@@ -1,0 +1,237 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The driver-facing correctness battery: one entry per implemented
+  * operator (SURVEY §2), each a recipe run through the full engine with
+  * a DuckDB-equivalent oracle SQL.
+  *
+  * Column names are aliased identically on both sides — the driver's
+  * compare sorts columns by name before hashing values.
+  */
+object QueryBank {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def li(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/lineitem.parquet")
+  private def cust(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/customer.parquet")
+  private def ord(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/orders.parquet")
+  private def nat(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/nation.parquet")
+
+  private def r(recipe: String)(df: DataFrame): DataFrame =
+    Wrangle.recipe(recipe).apply(df)
+
+  // Each tuple: name -> (query, oracle SQL | null for rows-only check)
+  private val entries: Vector[(String, Q, String)] = Vector(
+
+    // ---- §2.3 column ops -------------------------------------------
+    ("drop",
+      (s, d) => r("drop :c_acctbal,:c_mktsegment")(cust(s, d)),
+      "SELECT c_custkey, c_name, c_nationkey FROM customer"),
+
+    ("keep",
+      (s, d) => r("keep :c_custkey,:c_name")(cust(s, d)),
+      "SELECT c_custkey, c_name FROM customer"),
+
+    ("rename",
+      (s, d) => r("rename :c_name :customer_name")(cust(s, d)),
+      "SELECT c_custkey, c_name AS customer_name, c_nationkey, c_acctbal, c_mktsegment FROM customer"),
+
+    ("set_headers",
+      (s, d) => r("set-headers :rk,:rname")(s.read.parquet(s"$d/region.parquet")),
+      "SELECT r_regionkey AS rk, r_name AS rname FROM region"),
+
+    ("columns_replace",
+      (s, d) => r("columns-replace s/^c_/cust_/")(cust(s, d)),
+      "SELECT c_custkey AS cust_custkey, c_name AS cust_name, c_nationkey AS cust_nationkey, c_acctbal AS cust_acctbal, c_mktsegment AS cust_mktsegment FROM customer"),
+
+    ("cleanse_column_names",
+      (s, d) => r("cleanse-column-names")(nat(s, d)),
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation"),
+
+    ("change_column_case",
+      (s, d) => r("change-column-case upper")(nat(s, d)),
+      "SELECT n_nationkey AS N_NATIONKEY, n_name AS N_NAME, n_regionkey AS N_REGIONKEY FROM nation"),
+
+    ("copy",
+      (s, d) => r("copy :n_name :nation_name")(nat(s, d)),
+      "SELECT n_nationkey, n_name, n_regionkey, n_name AS nation_name FROM nation"),
+
+    ("merge",
+      (s, d) => r("merge :l_returnflag :l_linestatus :flag '_'")(li(s, d)),
+      "SELECT *, l_returnflag || '_' || l_linestatus AS flag FROM lineitem"),
+
+    ("swap",
+      (s, d) => r("swap :n_name :n_regionkey")(nat(s, d)),
+      "SELECT n_nationkey, n_name AS n_regionkey, n_regionkey AS n_name FROM nation"),
+
+    ("set_type",
+      (s, d) => r("set-type :l_quantity long; set-type :l_linenumber long; keep :l_orderkey,:l_linenumber,:l_quantity")(li(s, d)),
+      "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, CAST(trunc(l_quantity) AS BIGINT) AS l_quantity FROM lineitem"),
+
+    ("split_to_columns",
+      (s, d) => r("split-to-columns :c_name '#'; drop :c_acctbal,:c_mktsegment,:c_nationkey")(cust(s, d)),
+      "SELECT c_custkey, c_name, string_split(c_name, '#')[1] AS c_name_1, string_split(c_name, '#')[2] AS c_name_2 FROM customer"),
+
+    ("set_column",
+      (s, d) => r("set-column :revenue exp:{ l_extendedprice * (1 - l_discount) }; keep :l_orderkey,:l_linenumber,:revenue")(li(s, d)),
+      "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS revenue FROM lineitem"),
+
+    // ---- §2.4 filters / row ops ------------------------------------
+    ("filter_row",
+      (s, d) => r("filter-row exp:{ l_quantity > 25 } true; keep :l_orderkey,:l_linenumber,:l_quantity")(li(s, d)),
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE NOT (l_quantity > 25)"),
+
+    ("filter_by_regex",
+      (s, d) => r("filter-by-regex if-matched :c_mktsegment 'BUILD.*'")(cust(s, d)),
+      "SELECT * FROM customer WHERE NOT regexp_full_match(c_mktsegment, 'BUILD.*')"),
+
+    ("filter_empty_or_null",
+      (s, d) => r("filter-empty-or-null :o_orderstatus")(ord(s, d)),
+      "SELECT * FROM orders WHERE o_orderstatus IS NOT NULL"),
+
+    ("split_to_rows",
+      (s, d) => r("split-to-rows :c_name ' '; keep :c_custkey,:c_name")(cust(s, d)),
+      "SELECT c_custkey, unnest(string_split(c_name, ' ')) AS c_name FROM customer"),
+
+    ("send_to_error",
+      (s, d) => r("send-to-error exp:{ o_totalprice > 150000 }; keep :o_orderkey,:o_totalprice")(ord(s, d)),
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE NOT (o_totalprice > 150000)"),
+
+    // ---- §2.5 string transforms ------------------------------------
+    ("uppercase",
+      (s, d) => r("uppercase :c_mktsegment; lowercase :c_name; titlecase :c_name; keep :c_custkey,:c_name,:c_mktsegment")(cust(s, d)),
+      // initcap capitalizes each whitespace-separated word, as does DuckDB over split parts
+      "SELECT c_custkey, list_aggregate(list_transform(string_split(lower(c_name), ' '), x -> upper(x[1]) || x[2:]), 'string_agg', ' ') AS c_name, upper(c_mktsegment) AS c_mktsegment FROM customer"),
+
+    ("trim",
+      (s, d) => r("set-column :padded exp:{ concat('  ', c_name, ' ') }; trim :padded; keep :c_custkey,:c_name,:padded")(cust(s, d)),
+      "SELECT c_custkey, c_name, trim('  ' || c_name || ' ') AS padded FROM customer"),
+
+    ("cut_character",
+      (s, d) => r("cut-character :c_name :prefix 1-8; keep :c_custkey,:prefix")(cust(s, d)),
+      "SELECT c_custkey, c_name[1:8] AS prefix FROM customer"),
+
+    ("split_email",
+      (s, d) => r("set-column :email exp:{ concat(lower(c_name), '@example.com') }; split-email :email; keep :c_custkey,:email,:email_account,:email_domain")(cust(s, d)),
+      "SELECT c_custkey, lower(c_name) || '@example.com' AS email, lower(c_name) AS email_account, 'example.com' AS email_domain FROM customer"),
+
+    ("fill_null_or_empty",
+      (s, d) => r("fill-null-or-empty :o_orderpriority 'NONE'")(ord(s, d)),
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, CASE WHEN o_orderpriority IS NULL OR o_orderpriority = '' THEN 'NONE' ELSE o_orderpriority END AS o_orderpriority FROM orders"),
+
+    ("hash",
+      (s, d) => r("copy :c_name :name_md5; hash :name_md5 MD5; keep :c_custkey,:name_md5")(cust(s, d)),
+      "SELECT c_custkey, md5(c_name) AS name_md5 FROM customer"),
+
+    ("mask_number",
+      (s, d) => r("copy :c_name :masked; mask-number :masked 'xxxxxxxx##########'; keep :c_custkey,:masked")(cust(s, d)),
+      null),
+
+    ("extract_regex_groups",
+      (s, d) => r("extract-regex-groups :c_name 'Customer#(\\d+)'; keep :c_custkey,:c_name_1")(cust(s, d)),
+      "SELECT c_custkey, coalesce(regexp_extract(c_name, 'Customer#(\\d+)', 1), '') AS c_name_1 FROM customer"),
+
+    ("find_and_replace",
+      (s, d) => r("find-and-replace :c_mktsegment s/BUILDING/CONSTRUCTION/g")(cust(s, d)),
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, regexp_replace(c_mktsegment, 'BUILDING', 'CONSTRUCTION', 'g') AS c_mktsegment FROM customer"),
+
+    ("quantize",
+      (s, d) => r("quantize :c_acctbal :balance_band 0:3000=low,3000:7000=mid,7000:100000=high; keep :c_custkey,:c_acctbal,:balance_band")(cust(s, d)),
+      "SELECT c_custkey, c_acctbal, CASE WHEN c_acctbal >= 7000 AND c_acctbal < 100000 THEN 'high' WHEN c_acctbal >= 3000 AND c_acctbal < 7000 THEN 'mid' WHEN c_acctbal >= 0 AND c_acctbal < 3000 THEN 'low' END AS balance_band FROM customer"),
+
+    ("encode_decode",
+      (s, d) => r("encode base64 :c_name; decode base64 :c_name_encode_base64; keep :c_custkey,:c_name,:c_name_encode_base64,:c_name_encode_base64_decode_base64")(cust(s, d)),
+      "SELECT c_custkey, c_name, to_base64(encode(c_name)) AS c_name_encode_base64, c_name AS c_name_encode_base64_decode_base64 FROM customer"),
+
+    // ---- §2.6 dates -------------------------------------------------
+    ("format_date",
+      (s, d) => r("copy :o_orderdate :od; format-date :od 'yyyy-MM-dd'; keep :o_orderkey,:od")(ord(s, d)),
+      "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od FROM orders"),
+
+    ("diff_date",
+      (s, d) => r("diff-date :l_shipdate :l_shipdate :ship_diff_ms; keep :l_orderkey,:l_linenumber,:ship_diff_ms")(li(s, d)),
+      "SELECT l_orderkey, l_linenumber, CAST(0 AS BIGINT) AS ship_diff_ms FROM lineitem"),
+
+    ("parse_as_simple_date",
+      (s, d) => r("copy :o_orderdate :ts; format-date :ts 'yyyy-MM-dd HH:mm:ss'; parse-as-simple-date :ts 'yyyy-MM-dd HH:mm:ss'; keep :o_orderkey,:ts")(ord(s, d)),
+      "SELECT o_orderkey, o_orderdate AS ts FROM orders"),
+
+    ("parse_timestamp",
+      (s, d) => r("set-column :epoch_ms exp:{ 1700000000000 }; parse-timestamp :epoch_ms 'milliseconds'; format-date :epoch_ms 'yyyy-MM-dd HH:mm:ss'; keep :o_orderkey,:epoch_ms")(ord(s, d)),
+      "SELECT o_orderkey, strftime(to_timestamp(1700000000000 / 1000), '%Y-%m-%d %H:%M:%S') AS epoch_ms FROM orders"),
+
+    ("format_unix_timestamp",
+      (s, d) => r("set-column :ut exp:{ 1600000000 }; format-unix-timestamp :ut 'yyyy-MM-dd'; keep :o_orderkey,:ut")(ord(s, d)),
+      "SELECT o_orderkey, strftime(to_timestamp(1600000000), '%Y-%m-%d') AS ut FROM orders"),
+
+    // ---- §2.1 parsers ----------------------------------------------
+    ("parse_as_csv",
+      (s, d) => r("set-column :line exp:{ concat(c_custkey, '|', c_mktsegment) }; parse-as-csv :line '|' false; keep :c_custkey,:line_1,:line_2")(cust(s, d)),
+      "SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS line_1, c_mktsegment AS line_2 FROM customer"),
+
+    ("parse_as_json",
+      (s, d) => r("""set-column :j exp:{ concat('{"k":', c_custkey, ',"seg":"', c_mktsegment, '"}') }; parse-as-json :j 1; keep :c_custkey,:j_k,:j_seg""")(cust(s, d)),
+      "SELECT c_custkey, c_custkey AS j_k, c_mktsegment AS j_seg FROM customer"),
+
+    ("json_path",
+      (s, d) => r("""set-column :j exp:{ concat('{"a":{"b":"', c_mktsegment, '"}}') }; json-path :j :seg '$.a.b'; keep :c_custkey,:seg""")(cust(s, d)),
+      "SELECT c_custkey, c_mktsegment AS seg FROM customer"),
+
+    ("parse_as_fixed_length",
+      (s, d) => r("set-column :fixed exp:{ concat('AB', 'CDE', 'FG') }; parse-as-fixed-length :fixed '2,3,2'; keep :c_custkey,:fixed_1,:fixed_2,:fixed_3")(cust(s, d)),
+      "SELECT c_custkey, 'AB' AS fixed_1, 'CDE' AS fixed_2, 'FG' AS fixed_3 FROM customer"),
+
+    ("xpath",
+      (s, d) => r("set-column :x exp:{ concat('<r><v>', c_mktsegment, '</v></r>') }; xpath :x :seg '/r/v'; keep :c_custkey,:seg")(cust(s, d)),
+      "SELECT c_custkey, c_mktsegment AS seg FROM customer"),
+
+    // ---- §2.2 writers ----------------------------------------------
+    ("write_as_json_object",
+      (s, d) => r("write-as-json-object :payload :n_nationkey,:n_name; keep :n_nationkey,:payload")(nat(s, d)),
+      """SELECT n_nationkey, '{"n_nationkey":' || n_nationkey || ',"n_name":"' || n_name || '"}' AS payload FROM nation"""),
+
+    // ---- §2.7 lookups ----------------------------------------------
+    ("table_lookup",
+      (s, d) => Wrangle.recipe("table-lookup :c_nationkey nations; keep :c_custkey,:c_nationkey,:c_nationkey_n_name")
+        .withLookup("nations",
+          nat(s, d).selectExpr("n_nationkey", "n_name"))
+        .apply(cust(s, d)),
+      "SELECT c_custkey, c_nationkey, n_name AS c_nationkey_n_name FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey"),
+
+    // ---- §2.9 expression namespaces --------------------------------
+    ("expr_math",
+      (s, d) => r("set-column :v exp:{ math:round(math:sqrt(math:abs(c_acctbal)) * 100) / 100 }; keep :c_custkey,:v")(cust(s, d)),
+      "SELECT c_custkey, round(sqrt(abs(c_acctbal)) * 100) / 100 AS v FROM customer"),
+
+    ("expr_string_ns",
+      (s, d) => r("set-column :v exp:{ string:uppercase(string:reverse(c_name)) }; keep :c_custkey,:v")(cust(s, d)),
+      "SELECT c_custkey, upper(reverse(c_name)) AS v FROM customer"),
+
+    ("expr_dq",
+      (s, d) => r("set-column :is_num exp:{ dq:isNumber(c_name) }; set-column :len exp:{ dq:strlen(c_name) }; keep :c_custkey,:is_num,:len")(cust(s, d)),
+      "SELECT c_custkey, (TRY_CAST(c_name AS DOUBLE) IS NOT NULL) AS is_num, length(c_name) AS len FROM customer"),
+
+    ("expr_date_ns",
+      (s, d) => r("set-column :yr exp:{ date:YEAR(o_orderdate) }; set-column :mo exp:{ date:MONTH(o_orderdate) }; keep :o_orderkey,:yr,:mo")(ord(s, d)),
+      "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo FROM orders"),
+
+    ("expr_ternary",
+      (s, d) => r("set-column :grade exp:{ c_acctbal > 5000 ? 'high' : (c_acctbal > 1000 ? 'mid' : 'low') }; keep :c_custkey,:grade")(cust(s, d)),
+      "SELECT c_custkey, CASE WHEN c_acctbal > 5000 THEN 'high' WHEN c_acctbal > 1000 THEN 'mid' ELSE 'low' END AS grade FROM customer"),
+
+    ("expr_regex_ops",
+      (s, d) => r("set-column :is_building exp:{ c_mktsegment =^ 'BUILD' }; keep :c_custkey,:is_building")(cust(s, d)),
+      "SELECT c_custkey, starts_with(c_mktsegment, 'BUILD') AS is_building FROM customer")
+  )
+
+  val queries: Map[String, Q] =
+    entries.map { case (n, q, _) => n -> q }.toMap
+
+  val oracleSql: Map[String, String] =
+    entries.collect { case (n, _, sql) if sql != null => n -> sql }.toMap
+}

@@ -1,0 +1,111 @@
+package graft
+
+import graft.api._
+import graft.ops._
+import graft.parser.RecipeParser
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Result of running a recipe: the main output plus the error
+  * side-channel (rows diverted by `send-to-error` etc., each carrying
+  * the ORIGINAL input row as JSON — reference: wrangler-core
+  * executor/RecipePipelineExecutor.java:128-148).
+  */
+final case class WrangleResult(output: DataFrame, errors: DataFrame)
+
+/** The public engine API — Spark-native equivalent of the reference's
+  * TestingRig / RecipePipelineExecutor lifecycle (reference:
+  * wrangler-test test/TestingRig.java:63-80): recipe text → typed
+  * DirectiveSpec AST → chain of DataFrame transformations, all native
+  * Catalyst expressions, so pruning/pushdown/codegen apply across the
+  * whole recipe.
+  *
+  * {{{
+  *   val out = Wrangle.recipe("""
+  *     set-type :l_quantity long;
+  *     filter-row exp:{ l_discount > 0.05 } false;
+  *     set-column :revenue exp:{ l_extendedprice * (1 - l_discount) };
+  *   """).apply(df)
+  * }}}
+  */
+final class Wrangle private (
+    specs: Vector[DirectiveSpec],
+    lookups: Map[String, DataFrame],
+    catalogs: Map[String, DataFrame]) {
+
+  def withLookup(name: String, df: DataFrame): Wrangle =
+    new Wrangle(specs, lookups + (name -> df), catalogs)
+
+  def withCatalog(name: String, df: DataFrame): Wrangle =
+    new Wrangle(specs, lookups, catalogs + (name -> df))
+
+  /** Main output only (errors dropped). */
+  def apply(df: DataFrame): DataFrame = run(df).output
+
+  /** Main output + error side-channel. */
+  def run(df: DataFrame): WrangleResult = {
+    val spark = df.sparkSession
+    val ctx = WrangleContext(spark, lookups, catalogs)
+    val needsOrig = specs.exists(s => RowOps.needsOrig(s.name))
+    val init = PipeState.init(df, needsOrig)
+    val ops = specs.map(Registry.compile)
+    val fin = ops.foldLeft(init) { (st, op) => op(st, ctx) }
+    val out = PipeState.hiddenCols(fin.df)
+      .foldLeft(fin.df)((d, c) => d.drop(c))
+    val errors =
+      if (fin.errors.isEmpty) Wrangle.emptyErrors(spark)
+      else fin.errors.reduce(_ unionByName _)
+    WrangleResult(out, errors)
+  }
+}
+
+object Wrangle {
+  def recipe(text: String): Wrangle =
+    new Wrangle(RecipeParser.parse(text), Map.empty, Map.empty)
+
+  def specs(text: String): Vector[DirectiveSpec] = RecipeParser.parse(text)
+
+  private[graft] def emptyErrors(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("directive", StringType),
+        StructField("message", StringType),
+        StructField("row", StringType))))
+  }
+}
+
+/** Directive registry: name → builder. Spark-native counterpart of the
+  * reference's SystemDirectiveRegistry (reference: wrangler-core
+  * registry/SystemDirectiveRegistry.java:49). User-defined directives
+  * plug in via [[Registry.register]] — the UDD path (reference:
+  * wrangler-core registry/UserDirectiveRegistry.java:164-183).
+  */
+object Registry {
+  type Builder = DirectiveSpec => Option[PipeOp]
+
+  @volatile private var userBuilders: Vector[Builder] = Vector.empty
+
+  /** Register a user-defined directive builder (UDD SPI). */
+  def register(b: Builder): Unit = synchronized { userBuilders :+= b }
+
+  private val system: Vector[Builder] = Vector(
+    ColumnOps.build, RowOps.build, StringOps.build,
+    DateOps.build, ParserOps.build, WriterOps.build, LookupOps.build)
+
+  def compile(spec: DirectiveSpec): PipeOp =
+    (userBuilders ++ system).iterator
+      .flatMap(b => b(spec))
+      .nextOption()
+      .getOrElse(throw new RecipeException(
+        s"unknown directive '${spec.name}'"))
+
+  def knows(name: String): Boolean =
+    try { compile(DirectiveSpec(name, Vector.empty, "")); true }
+    catch {
+      case _: RecipeException => // unknown vs arg errors: probe name only
+        (userBuilders ++ system).exists(b =>
+          try b(DirectiveSpec(name, Vector.empty, "")).isDefined
+          catch { case _: Exception => true })
+    }
+}

@@ -1,0 +1,328 @@
+package graft.expr
+
+import graft.api.RecipeException
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar function namespaces of the expression dialect, compiled to
+  * native Catalyst columns.
+  *
+  * Namespace inventory mirrors the reference JEXL bindings
+  * (reference: wrangler-core expression/EL.java:141-158 — global,
+  * datetime:, date:, json:, math:, string:/strings:, escape:, bytes:,
+  * arrays:, dq:, geo:, number:, logical:, decimal:, arithmetic:, types:).
+  * Every function here is a deterministic scalar, so everything stays
+  * inside whole-stage codegen — no UDFs on this path.
+  */
+object Functions {
+
+  def dispatch(ns: String, fn: String, argEs: List[Expr]): Column = {
+    val key = if (ns.isEmpty) fn else s"$ns:$fn"
+    val args: List[Column] = argEs.map(ExprCompiler.toColumn)
+    def a(i: Int) = args(i)
+    // literal-string argument (needed where Spark's API takes a String)
+    def litStr(i: Int): String = argEs(i) match {
+      case Expr.Lit(s: String) => s
+      case other => throw new RecipeException(
+        s"$key: argument ${i + 1} must be a string literal, got $other")
+    }
+
+    key match {
+      // ---- global namespace (reference: io.cdap.functions.Global) ----
+      case "coalesce"            => coalesce(args: _*)
+      case "concat"              => concat(args: _*)
+      case "format"              => format_string(litStr(0), args.tail: _*)
+      case "lower" | "lowercase" => lower(a(0))
+      case "upper" | "uppercase" => upper(a(0))
+      case "titlecase"           => initcap(a(0))
+      case "trim"                => trim(a(0))
+      case "ltrim"               => ltrim(a(0))
+      case "rtrim"               => rtrim(a(0))
+      case "length" | "strlen"   => length(a(0))
+      case "substring"           =>
+        if (args.size == 2) a(0).substr(a(1) + lit(1), length(a(0)))
+        else a(0).substr(a(1) + lit(1), a(2) - a(1))
+      case "indexof"             => instr(a(0), a(1)) - lit(1) // 0-based like Java
+      case "contains"            => a(0).contains(a(1))
+      case "startswith"          => a(0).startsWith(a(1))
+      case "endswith"            => a(0).endsWith(a(1))
+      case "replace"             => regexp_replace(a(0), a(1), a(2))
+      case "reverse"             => reverse(a(0))
+      case "split"               => split(a(0), a(1))
+      case "repeat"              => repeat(a(0), a(1).cast(IntegerType))
+      case "padatstart"          => lpad(a(0), a(1).cast(IntegerType), lit(" "))
+      case "padatend"            => rpad(a(0), a(1).cast(IntegerType), lit(" "))
+      case "unquote"             => regexp_replace(a(0), "^[\"']|[\"']$", "")
+      case "tointeger" | "tolong" => a(0).cast(LongType)
+      case "tofloat"             => a(0).cast(FloatType)
+      case "todouble"            => a(0).cast(DoubleType)
+      case "tostring"            => a(0).cast(StringType)
+      case "tobytes"             => a(0).cast(BinaryType)
+      case "nulltoempty"         => coalesce(a(0), lit(""))
+      case "nulltozero"          => coalesce(a(0), lit(0))
+      case "nulltovalue"         => coalesce(a(0), a(1))
+      case "isnull"              => a(0).isNull
+      case "isnotnull"           => a(0).isNotNull
+      case "getfield"            => a(0).getField(litStr(1))
+      // method-style shims (postfix `.length()` etc.)
+      case "charat"              => a(0).substr(a(1) + lit(1), lit(1))
+      case "equalsignorecase"    => lower(a(0)) === lower(a(1))
+
+      // ---- math: (java.lang.Math statics) ----
+      case "math:abs"    => abs(a(0))
+      case "math:ceil"   => ceil(a(0))
+      case "math:floor"  => floor(a(0))
+      case "math:exp"    => exp(a(0))
+      case "math:log"    => log(a(0))
+      case "math:log10"  => log10(a(0))
+      case "math:log2"   => log2(a(0))
+      case "math:pow"    => pow(a(0), a(1))
+      case "math:sqrt"   => sqrt(a(0))
+      case "math:cbrt"   => cbrt(a(0))
+      case "math:sin"    => sin(a(0))
+      case "math:cos"    => cos(a(0))
+      case "math:tan"    => tan(a(0))
+      case "math:signum" => signum(a(0))
+      case "math:hypot"  => hypot(a(0), a(1))
+      case "math:min"    => least(args: _*)
+      case "math:max"    => greatest(args: _*)
+      case "math:round"  => round(a(0))
+      case "math:rint"   => round(a(0)).cast(DoubleType)
+      case "math:random" => rand()
+      case "math:floordiv" => floor(a(0) / a(1)).cast(LongType)
+      case "math:toradians" => radians(a(0))
+      case "math:todegrees" => degrees(a(0))
+
+      // ---- string:/strings: (commons-lang StringUtils surface) ----
+      case s if s.startsWith("string:") || s.startsWith("strings:") =>
+        stringNs(s.substring(s.indexOf(':') + 1), args)
+
+      // ---- dq: data-quality predicates (reference: functions/DataQuality.java) ----
+      case s if s.startsWith("dq:") => dqNs(s.substring(3), args)
+
+      // ---- date:/datetime: ----
+      case s if s.startsWith("date:") => dateNs(s.substring(5), args)
+      case s if s.startsWith("datetime:") => dateNs(s.substring(9), args)
+
+      // ---- number: ----
+      case "number:asinteger" => a(0).cast(IntegerType)
+      case "number:asfloat"   => a(0).cast(FloatType)
+      case "number:asdouble"  => a(0).cast(DoubleType)
+      case "number:mantissa"  => a(0).cast(DoubleType) % lit(1.0)
+
+      // ---- logical: bitwise ----
+      case "logical:bitand" => a(0).bitwiseAND(a(1))
+      case "logical:bitor"  => a(0).bitwiseOR(a(1))
+      case "logical:bitxor" => a(0).bitwiseXOR(a(1))
+      case "logical:not"    => when(a(0) === 0, 1).otherwise(0)
+      case "logical:setbit" => a(0).bitwiseOR(shiftleft(lit(1), 0) * a(1))
+
+      // ---- json: ----
+      case "json:select"      => get_json_object(a(0), litStr(1))
+      case "json:stringify"   => to_json(a(0))
+      case "json:arraylength" => json_array_length(a(0))
+      case "json:isvalid"     => try_parse_json_ok(a(0))
+
+      // ---- arithmetic:/decimal: null-safe arithmetic ----
+      case "arithmetic:add" | "decimal:add"           => a(0) + a(1)
+      case "arithmetic:minus" | "decimal:subtract"    => a(0) - a(1)
+      case "arithmetic:multiply" | "decimal:multiply" => a(0) * a(1)
+      case "arithmetic:divideq" | "decimal:divide"    => a(0) / a(1)
+      case "arithmetic:divider"                       => a(0) % a(1)
+      case "arithmetic:equal"                         => a(0) === a(1)
+      case "arithmetic:max"                           => greatest(args: _*)
+      case "arithmetic:min"                           => least(args: _*)
+      case "decimal:precision" => length(regexp_replace(a(0).cast(StringType), "[-.]", ""))
+      case "decimal:scale" =>
+        length(substring_index(a(0).cast(StringType), ".", -1)) *
+          when(a(0).cast(StringType).contains("."), 1).otherwise(0)
+      case "decimal:unscaled" =>
+        regexp_replace(a(0).cast(StringType), "[.]", "").cast(LongType)
+      case "decimal:decimal_add"                      => a(0) + a(1)
+
+      // ---- bytes: ----
+      case "bytes:tostring"     => a(0).cast(StringType)
+      case "bytes:tostringutf8" => decode(a(0), "UTF-8")
+      case "bytes:toint" | "bytes:tolong" => a(0).cast(LongType)
+      case "bytes:tohexstring"  => lower(hex(a(0)))
+
+      // ---- arrays: ----
+      case "arrays:length" => array_size(a(0))
+      case "arrays:join"   =>
+        array_join(a(0), if (argEs.size > 1) litStr(1) else ",")
+
+      // ---- types: (reference: functions/Types.java) ----
+      case "types:isinteger" => try_to_number_ok(a(0), LongType)
+      case "types:isdouble"  => try_to_number_ok(a(0), DoubleType)
+      case "types:isnumber"  => try_to_number_ok(a(0), DoubleType)
+      case "types:isboolean" => lower(a(0)).isin("true", "false")
+      case "types:isempty"   => a(0).isNull || length(a(0)) === 0
+      case "types:isdate"    => try_cast_ok(a(0), DateType)
+
+      case other =>
+        throw new RecipeException(s"unknown function '$other' (${args.size} args)")
+    }
+  }
+
+  // -- helpers ---------------------------------------------------------
+
+  private def try_cast_ok(c: Column, t: DataType): Column =
+    c.try_cast(t).isNotNull
+
+  private def try_to_number_ok(c: Column, t: DataType): Column =
+    c.try_cast(t).isNotNull
+
+  private def try_parse_json_ok(c: Column): Column =
+    try_parse_json(c).isNotNull
+
+  // ---- string: namespace -------------------------------------------
+  private def stringNs(fn: String, args: List[Column]): Column = {
+    def a(i: Int) = args(i)
+    fn.toLowerCase match {
+      case "uppercase" | "upper"   => upper(a(0))
+      case "lowercase" | "lower"   => lower(a(0))
+      case "capitalize"            => initcap(a(0))
+      case "swapcase" =>
+        // no native; approximate via translate of ASCII cases
+        translate(a(0),
+          "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ",
+          "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz")
+      case "trim"                  => trim(a(0))
+      case "strip"                 => trim(a(0))
+      case "isblank"               => a(0).isNull || length(trim(a(0))) === 0
+      case "isempty"               => a(0).isNull || length(a(0)) === 0
+      case "isnotblank"            => a(0).isNotNull && length(trim(a(0))) > 0
+      case "isalpha"               => regexp_like(a(0), lit("^[A-Za-z]+$"))
+      case "isnumeric"             => regexp_like(a(0), lit("^[0-9]+$"))
+      case "isalphanumeric"        => regexp_like(a(0), lit("^[A-Za-z0-9]+$"))
+      case "length"                => length(a(0))
+      case "reverse"               => reverse(a(0))
+      case "contains"              => a(0).contains(a(1))
+      case "containsignorecase"    => lower(a(0)).contains(lower(a(1)))
+      case "startswith"            => a(0).startsWith(a(1))
+      case "endswith"              => a(0).endsWith(a(1))
+      case "indexof"               => instr(a(0), a(1)) - lit(1)
+      case "lastindexof"           =>
+        length(a(0)) - instr(reverse(a(0)), reverse(a(1))) -
+          length(a(1)) + lit(1)
+      case "removeend"             =>
+        when(a(0).endsWith(a(1)),
+          a(0).substr(lit(1), length(a(0)) - length(a(1)))).otherwise(a(0))
+      case "removestart"           =>
+        when(a(0).startsWith(a(1)), a(0).substr(length(a(1)) + 1, length(a(0))))
+          .otherwise(a(0))
+      case "abbreviate"            =>
+        when(length(a(0)) <= a(1), a(0))
+          .otherwise(concat(a(0).substr(lit(1), a(1).cast(IntegerType) - 3), lit("...")))
+      case "center"                => a(0) // no-op approximation
+      case "leftpad"               => lpad(a(0), a(1).cast(IntegerType), lit(" "))
+      case "rightpad"              => rpad(a(0), a(1).cast(IntegerType), lit(" "))
+      case "join"                  => concat_ws("", args: _*)
+      case "chop"                  => a(0).substr(lit(1), length(a(0)) - 1)
+      case "defaultifempty"        =>
+        when(a(0).isNull || length(a(0)) === 0, a(1)).otherwise(a(0))
+      case other =>
+        throw new RecipeException(s"string:$other not supported")
+    }
+  }
+
+  // ---- dq: namespace -----------------------------------------------
+  // Regex classifiers match the reference's semantics
+  // (reference: wrangler-core functions/DataQuality.java).
+  private def dqNs(fn: String, args: List[Column]): Column = {
+    def a(i: Int) = args(i)
+    fn.toLowerCase match {
+      case "isnumber"  => a(0).try_cast(DoubleType).isNotNull
+      case "isinteger" => a(0).try_cast(LongType).isNotNull
+      case "isempty"   => a(0).isNull || length(a(0)) === 0
+      case "isnull"    => a(0).isNull
+      case "isnotnull" => a(0).isNotNull
+      case "strlen"    => length(a(0))
+      case "inrange"   => a(0) >= a(1) && a(0) <= a(2)
+      case "isdate"    => a(0).try_cast(DateType).isNotNull
+      case "istime"    => regexp_like(a(0), lit("^\\d{1,2}:\\d{2}(:\\d{2})?$"))
+      case "isip" =>
+        dqNs("isipv4", args) || dqNs("isipv6", args)
+      case "isipv4" =>
+        regexp_like(a(0), lit("^((25[0-5]|2[0-4]\\d|[01]?\\d?\\d)\\.){3}(25[0-5]|2[0-4]\\d|[01]?\\d?\\d)$"))
+      case "isipv6" =>
+        regexp_like(a(0), lit("^([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}$"))
+      case "isemail" =>
+        regexp_like(a(0), lit("^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"))
+      case "isurl" =>
+        regexp_like(a(0), lit("^(https?|ftp)://[^\\s/$.?#].[^\\s]*$"))
+      case "isdomainname" =>
+        regexp_like(a(0), lit("^([A-Za-z0-9-]+\\.)+[A-Za-z]{2,}$"))
+      case "isdomaintld" =>
+        regexp_like(a(0), lit("^[A-Za-z]{2,}$"))
+      case "iscreditcard" =>
+        regexp_like(regexp_replace(a(0), "[ -]", ""), lit("^\\d{13,19}$"))
+      case "isvisa"   => regexp_like(regexp_replace(a(0), "[ -]", ""), lit("^4\\d{12}(\\d{3})?$"))
+      case "ismaster" => regexp_like(regexp_replace(a(0), "[ -]", ""), lit("^5[1-5]\\d{14}$"))
+      case "isamex"   => regexp_like(regexp_replace(a(0), "[ -]", ""), lit("^3[47]\\d{13}$"))
+      case "isisbn" =>
+        regexp_like(regexp_replace(a(0), "[- ]", ""), lit("^(\\d{9}[\\dXx]|\\d{13})$"))
+      case "isisbn10" =>
+        regexp_like(regexp_replace(a(0), "[- ]", ""), lit("^\\d{9}[\\dXx]$"))
+      case "isisbn13" =>
+        regexp_like(regexp_replace(a(0), "[- ]", ""), lit("^\\d{13}$"))
+      case "isphone" =>
+        regexp_like(a(0), lit("^\\+?[0-9. ()-]{7,15}$"))
+      case "iszipcode" =>
+        regexp_like(a(0), lit("^\\d{5}(-\\d{4})?$"))
+      case other => throw new RecipeException(s"dq:$other not supported")
+    }
+  }
+
+  // ---- date:/datetime: namespace -----------------------------------
+  // Reference: io.cdap.functions.{Dates, DateAndTime} — mapped to native
+  // Catalyst datetime functions.
+  private def dateNs(fn: String, args: List[Column]): Column = {
+    def a(i: Int) = args(i)
+    fn.toLowerCase match {
+      case "year"                  => year(a(0))
+      case "month"                 => month(a(0))
+      case "day" | "dayofmonth" | "daysfrommonth" => dayofmonth(a(0))
+      case "day_of_week" | "dayofweek" | "weekdayfromdate" => dayofweek(a(0))
+      case "day_of_year" | "dayofyear" | "yeardayfromdate" => dayofyear(a(0))
+      case "hour" | "hoursfromtime"     => hour(a(0))
+      case "minute" | "minutesfromtime" => minute(a(0))
+      case "second" | "secondsfromtime" => second(a(0))
+      case "week" | "weekofyear"   => weekofyear(a(0))
+      case "quarter"               => quarter(a(0))
+      case "currentdate"           => current_date()
+      case "currenttime" | "currenttimems" | "now" => current_timestamp()
+      case "currenttimestamp"      => current_timestamp()
+      case "days_between" | "daysbetween" | "datediff" => datediff(a(0), a(1))
+      case "months_between" | "monthsbetween" => months_between(a(0), a(1))
+      case "datefromdayssince"     => date_add(a(1), a(0).cast(IntegerType))
+      case "dateoffsetbycomponents" =>
+        add_months(date_add(a(0), a(3).cast(IntegerType)), a(2).cast(IntegerType) + a(1).cast(IntegerType) * 12)
+      case "dayssincefromdate"     => datediff(a(1), a(0))
+      case "monthsfromdate"        => month(a(0))
+      case "yearfromdate"          => year(a(0))
+      case "epochfromtimestamp" | "unixtimestamp_seconds" => unix_timestamp(a(0))
+      case "unixtimestamp_millis"  => unix_millis(a(0).cast(TimestampType))
+      case "seconds_to_days"       => (a(0) / lit(86400)).cast(LongType)
+      case "seconds_to_hours"      => (a(0) / lit(3600)).cast(LongType)
+      case "seconds_to_minutes"    => (a(0) / lit(60)).cast(LongType)
+      case "seconds_to_weeks"      => (a(0) / lit(604800)).cast(LongType)
+      case "month_short" | "monthshort" => date_format(a(0), "MMM")
+      case "month_long" | "monthlong"   => date_format(a(0), "MMMM")
+      case "datefromcomponents"    => make_date(a(0), a(1), a(2))
+      case "timestampfromcomponents" =>
+        make_timestamp(a(0), a(1), a(2), a(3), a(4), a(5))
+      case "lastdayofmonth"        => last_day(a(0))
+      case "nextweekdayfromdate"   => next_day(a(0), "monday")
+      case "datefromjulianday" =>
+        // Julian day number → date: JDN 2440588 = 1970-01-01
+        date_add(to_date(lit("1970-01-01")), (a(0) - lit(2440588)).cast(IntegerType))
+      case "juliandayfromdate" =>
+        (datediff(a(0), to_date(lit("1970-01-01"))) + lit(2440588)).cast(LongType)
+      case "isdate"                => a(0).try_cast(DateType).isNotNull
+      case "istime"                => a(0).try_cast(TimestampType).isNotNull
+      case other => throw new RecipeException(s"date:$other not supported")
+    }
+  }
+}

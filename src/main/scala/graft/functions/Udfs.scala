@@ -1,0 +1,338 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+/** The small UDF island: deterministic scalar functions with no native
+  * Catalyst equivalent (SURVEY §4.2 — "UDF only for the library-bound
+  * ops"). Everything else in the engine is native `Column` expressions.
+  * All functions here are pure and null-safe.
+  */
+object Udfs {
+
+  // ---- base32 (RFC 4648) — commons-codec equivalent, self-contained --
+  // (reference behavior: wrangler-core directives/transformation/Encode.java:104)
+  private val B32 = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+
+  def base32Encode(bytes: Array[Byte]): String = {
+    if (bytes == null) return null
+    val sb = new StringBuilder
+    var buffer = 0L
+    var bits = 0
+    for (b <- bytes) {
+      buffer = (buffer << 8) | (b & 0xff)
+      bits += 8
+      while (bits >= 5) {
+        sb.append(B32.charAt(((buffer >> (bits - 5)) & 31).toInt))
+        bits -= 5
+      }
+    }
+    if (bits > 0) sb.append(B32.charAt(((buffer << (5 - bits)) & 31).toInt))
+    while (sb.length % 8 != 0) sb.append('=')
+    sb.toString
+  }
+
+  def base32Decode(s: String): Array[Byte] = {
+    if (s == null) return null
+    val clean = s.toUpperCase.replaceAll("=+$", "")
+    val out = new java.io.ByteArrayOutputStream
+    var buffer = 0L
+    var bits = 0
+    for (c <- clean) {
+      val v = B32.indexOf(c)
+      if (v >= 0) {
+        buffer = (buffer << 5) | v
+        bits += 5
+        if (bits >= 8) { out.write(((buffer >> (bits - 8)) & 0xff).toInt); bits -= 8 }
+      }
+    }
+    out.toByteArray
+  }
+
+  val base32EncodeUdf: UserDefinedFunction = udf(base32Encode _)
+  val base32DecodeUdf: UserDefinedFunction = udf(base32Decode _)
+
+  // ---- mask-number: '#'=keep digit, 'x'=mask, literal passes through --
+  // (reference: wrangler-core directives/transformation/MaskNumber.java:121-146)
+  def maskNumber(value: String, pattern: String): String = {
+    if (value == null) return null
+    val sb = new StringBuilder
+    var vi = 0
+    var pi = 0
+    while (pi < pattern.length && vi < value.length) {
+      val p = pattern.charAt(pi)
+      p match {
+        case '#' => sb.append(value.charAt(vi)); vi += 1
+        case 'x' => sb.append('x'); vi += 1
+        case other =>
+          // literal: emit it; consume the input char only if it equals the
+          // literal (the reference's consume-if-equal quirk)
+          sb.append(other)
+          if (value.charAt(vi) == other) vi += 1
+      }
+      pi += 1
+    }
+    sb.toString
+  }
+  val maskNumberUdf: UserDefinedFunction = udf(maskNumber _)
+
+  // ---- mask-shuffle: per-char shuffle preserving char classes ---------
+  // (reference: wrangler-core directives/transformation/MaskShuffle.java:80)
+  // Deterministic here (seeded by the value) so results are reproducible.
+  def maskShuffle(value: String): String = {
+    if (value == null) return null
+    val rnd = new scala.util.Random(value.hashCode.toLong)
+    value.map {
+      case c if c.isUpper => ('A' + rnd.nextInt(26)).toChar
+      case c if c.isLower => ('a' + rnd.nextInt(26)).toChar
+      case c if c.isDigit => ('0' + rnd.nextInt(10)).toChar
+      case c => c
+    }
+  }
+  val maskShuffleUdf: UserDefinedFunction = udf(maskShuffle _)
+
+  // ---- generic MessageDigest hash (hex) for non-native algorithms -----
+  // (reference: wrangler-core directives/transformation/MessageHash.java:54-107;
+  //  JDK-provided algorithms only — no external JCE provider here)
+  def digestHex(value: String, algo: String): String = {
+    if (value == null) return null
+    val md = java.security.MessageDigest.getInstance(algo)
+    md.digest(value.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+  val digestHexUdf: UserDefinedFunction = udf(digestHex _)
+
+  // ---- text distance / similarity -------------------------------------
+  // (reference: wrangler-core directives/transformation/TextDistanceMeasure.java:72-133,
+  //  TextMetricMeasure.java — simmetrics StringDistances/StringMetrics;
+  //  re-implemented from the published metric definitions)
+  def levenshtein(a: String, b: String): Int = {
+    val (m, n) = (a.length, b.length)
+    if (m == 0) return n
+    if (n == 0) return m
+    var prev = Array.tabulate(n + 1)(identity)
+    var cur = new Array[Int](n + 1)
+    for (i <- 1 to m) {
+      cur(0) = i
+      for (j <- 1 to n) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+      }
+      val t = prev; prev = cur; cur = t
+    }
+    prev(n)
+  }
+
+  private def bigrams(s: String): Map[String, Int] =
+    if (s.length < 2) Map(s -> 1)
+    else s.sliding(2).toSeq.groupBy(identity).map { case (k, v) => k -> v.size }
+
+  private def tokens(s: String): Set[String] =
+    s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+
+  /** similarity ∈ [0,1] per published metric definitions */
+  def textMetric(method: String, a0: String, b0: String): Double = {
+    if (a0 == null || b0 == null) return 0.0
+    val (a, b) = (a0, b0)
+    method.toLowerCase match {
+      case "levenshtein" | "damerau-levenshtein" =>
+        val d = levenshtein(a, b)
+        if (math.max(a.length, b.length) == 0) 1.0
+        else 1.0 - d.toDouble / math.max(a.length, b.length)
+      case "jaccard" | "generalized-jaccard" =>
+        val (ta, tb) = (tokens(a), tokens(b))
+        if (ta.isEmpty && tb.isEmpty) 1.0
+        else ta.intersect(tb).size.toDouble / ta.union(tb).size
+      case "dice" =>
+        val (ta, tb) = (tokens(a), tokens(b))
+        if (ta.isEmpty && tb.isEmpty) 1.0
+        else 2.0 * ta.intersect(tb).size / (ta.size + tb.size)
+      case "overlap" | "overlap-cofficient" | "overlap-coefficient" =>
+        val (ta, tb) = (tokens(a), tokens(b))
+        if (ta.isEmpty || tb.isEmpty) 0.0
+        else ta.intersect(tb).size.toDouble / math.min(ta.size, tb.size)
+      case "cosine" =>
+        val (ba, bb) = (bigrams(a), bigrams(b))
+        val dot = ba.keySet.intersect(bb.keySet).iterator
+          .map(k => ba(k).toDouble * bb(k)).sum
+        val na = math.sqrt(ba.values.map(v => v.toDouble * v).sum)
+        val nb = math.sqrt(bb.values.map(v => v.toDouble * v).sum)
+        if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+      case "identity" => if (a == b) 1.0 else 0.0
+      case "longest-common-subsequence" =>
+        val l = lcsLen(a, b)
+        if (math.max(a.length, b.length) == 0) 1.0
+        else l.toDouble / math.max(a.length, b.length)
+      case "longest-common-substring" =>
+        val l = lcSubstrLen(a, b)
+        if (math.max(a.length, b.length) == 0) 1.0
+        else l.toDouble / math.max(a.length, b.length)
+      case "block" | "block-distance" | "euclidean" =>
+        val (ba, bb) = (bigrams(a), bigrams(b))
+        val keys = ba.keySet.union(bb.keySet)
+        val dist = method.toLowerCase match {
+          case "euclidean" =>
+            math.sqrt(keys.iterator.map { k =>
+              val d = ba.getOrElse(k, 0) - bb.getOrElse(k, 0); d.toDouble * d
+            }.sum)
+          case _ => keys.iterator.map(k =>
+            math.abs(ba.getOrElse(k, 0) - bb.getOrElse(k, 0)).toDouble).sum
+        }
+        val total = ba.values.sum + bb.values.sum
+        if (total == 0) 1.0 else math.max(0.0, 1.0 - dist / total)
+      case other => throw new IllegalArgumentException(s"text metric: $other")
+    }
+  }
+
+  /** raw distance flavor (higher = more different) */
+  def textDistance(method: String, a: String, b: String): Double = {
+    if (a == null || b == null) return Double.MaxValue
+    method.toLowerCase match {
+      case "levenshtein" | "damerau-levenshtein" => levenshtein(a, b).toDouble
+      case "longest-common-subsequence" => (a.length + b.length - 2 * lcsLen(a, b)).toDouble
+      case "longest-common-substring" =>
+        (math.max(a.length, b.length) - lcSubstrLen(a, b)).toDouble
+      case m => 1.0 - textMetric(m, a, b)
+    }
+  }
+
+  private def lcsLen(a: String, b: String): Int = {
+    val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) =
+        if (a.charAt(i - 1) == b.charAt(j - 1)) dp(i - 1)(j - 1) + 1
+        else math.max(dp(i - 1)(j), dp(i)(j - 1))
+    dp(a.length)(b.length)
+  }
+
+  private def lcSubstrLen(a: String, b: String): Int = {
+    var best = 0
+    val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      if (a.charAt(i - 1) == b.charAt(j - 1)) {
+        dp(i)(j) = dp(i - 1)(j - 1) + 1
+        if (dp(i)(j) > best) best = dp(i)(j)
+      }
+    dp(a.length)(b.length)
+    best
+  }
+
+  val textMetricUdf: UserDefinedFunction = udf(textMetric _)
+  val textDistanceUdf: UserDefinedFunction = udf(textDistance _)
+
+  // ---- Porter stemmer ---------------------------------------------------
+  // Implementation of the published Porter (1980) algorithm, the same
+  // algorithm behind the reference's nlp/internal/PorterStemmer.java.
+  def porterStem(word: String): String = {
+    if (word == null || word.length <= 2) return word
+    var w = word.toLowerCase
+
+    def isVowel(s: String, i: Int): Boolean = {
+      val c = s.charAt(i)
+      "aeiou".indexOf(c) >= 0 ||
+        (c == 'y' && i > 0 && !isVowel(s, i - 1))
+    }
+    def measure(s: String): Int = {
+      var m = 0
+      var i = 0
+      while (i < s.length && !isVowel(s, i)) i += 1
+      while (i < s.length) {
+        while (i < s.length && isVowel(s, i)) i += 1
+        if (i < s.length) { m += 1; while (i < s.length && !isVowel(s, i)) i += 1 }
+      }
+      m
+    }
+    def hasVowel(s: String): Boolean = (0 until s.length).exists(isVowel(s, _))
+    def endsCVC(s: String): Boolean =
+      s.length >= 3 && !isVowel(s, s.length - 3) && isVowel(s, s.length - 2) &&
+        !isVowel(s, s.length - 1) && !"wxy".contains(s.charAt(s.length - 1))
+    def doubleC(s: String): Boolean =
+      s.length >= 2 && s.charAt(s.length - 1) == s.charAt(s.length - 2) &&
+        !isVowel(s, s.length - 1)
+
+    // step 1a
+    if (w.endsWith("sses")) w = w.dropRight(2)
+    else if (w.endsWith("ies")) w = w.dropRight(2)
+    else if (w.endsWith("ss")) ()
+    else if (w.endsWith("s")) w = w.dropRight(1)
+    // step 1b
+    var step1bFlag = false
+    if (w.endsWith("eed")) { if (measure(w.dropRight(3)) > 0) w = w.dropRight(1) }
+    else if (w.endsWith("ed") && hasVowel(w.dropRight(2))) { w = w.dropRight(2); step1bFlag = true }
+    else if (w.endsWith("ing") && hasVowel(w.dropRight(3))) { w = w.dropRight(3); step1bFlag = true }
+    if (step1bFlag) {
+      if (w.endsWith("at") || w.endsWith("bl") || w.endsWith("iz")) w += "e"
+      else if (doubleC(w) && !"lsz".contains(w.last)) w = w.dropRight(1)
+      else if (measure(w) == 1 && endsCVC(w)) w += "e"
+    }
+    // step 1c
+    if (w.endsWith("y") && hasVowel(w.dropRight(1))) w = w.dropRight(1) + "i"
+    // step 2
+    val step2 = List(
+      "ational" -> "ate", "tional" -> "tion", "enci" -> "ence", "anci" -> "ance",
+      "izer" -> "ize", "abli" -> "able", "alli" -> "al", "entli" -> "ent",
+      "eli" -> "e", "ousli" -> "ous", "ization" -> "ize", "ation" -> "ate",
+      "ator" -> "ate", "alism" -> "al", "iveness" -> "ive", "fulness" -> "ful",
+      "ousness" -> "ous", "aliti" -> "al", "iviti" -> "ive", "biliti" -> "ble")
+    step2.find { case (suf, _) => w.endsWith(suf) }.foreach { case (suf, rep) =>
+      val stem = w.dropRight(suf.length)
+      if (measure(stem) > 0) w = stem + rep
+    }
+    // step 3
+    val step3 = List("icate" -> "ic", "ative" -> "", "alize" -> "al",
+      "iciti" -> "ic", "ical" -> "ic", "ful" -> "", "ness" -> "")
+    step3.find { case (suf, _) => w.endsWith(suf) }.foreach { case (suf, rep) =>
+      val stem = w.dropRight(suf.length)
+      if (measure(stem) > 0) w = stem + rep
+    }
+    // step 4
+    val step4 = List("al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+      "ement", "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize")
+    step4.find(w.endsWith).foreach { suf =>
+      val stem = w.dropRight(suf.length)
+      if (measure(stem) > 1) w = stem
+      else if (suf == "ion" && stem.nonEmpty && "st".contains(stem.last) &&
+        measure(stem) > 1) w = stem
+    }
+    if (w.endsWith("ion") && w.length > 3 && "st".contains(w.charAt(w.length - 4)) &&
+      measure(w.dropRight(3)) > 1) w = w.dropRight(3)
+    // step 5a
+    if (w.endsWith("e")) {
+      val stem = w.dropRight(1)
+      if (measure(stem) > 1 || (measure(stem) == 1 && !endsCVC(stem))) w = stem
+    }
+    // step 5b
+    if (doubleC(w) && w.endsWith("l") && measure(w) > 1) w = w.dropRight(1)
+    w
+  }
+
+  def stemTokens(text: String): Array[String] =
+    if (text == null) Array.empty
+    else text.split("\\s+").filter(_.nonEmpty).map(porterStem)
+
+  val stemUdf: UserDefinedFunction = udf(stemTokens _)
+
+  // ---- currency parse/format (locale-aware) ---------------------------
+  // (reference: wrangler-core directives/currency/ParseAsCurrency.java:92,
+  //  FormatAsCurrency.java:88 — java.text.NumberFormat per locale)
+  def parseCurrency(value: String, locale: String): java.lang.Double = {
+    if (value == null) return null
+    val loc = java.util.Locale.forLanguageTag(
+      Option(locale).getOrElse("en-US").replace('_', '-'))
+    val nf = java.text.NumberFormat.getCurrencyInstance(loc)
+    try java.lang.Double.valueOf(nf.parse(value.trim).doubleValue)
+    catch {
+      case _: java.text.ParseException =>
+        try java.lang.Double.valueOf(
+          value.replaceAll("[^0-9.,-]", "").replace(",", "").toDouble)
+        catch { case _: NumberFormatException => null }
+    }
+  }
+  def formatCurrency(value: java.lang.Double, locale: String): String = {
+    if (value == null) return null
+    val loc = java.util.Locale.forLanguageTag(
+      Option(locale).getOrElse("en-US").replace('_', '-'))
+    java.text.NumberFormat.getCurrencyInstance(loc).format(value.doubleValue)
+  }
+  val parseCurrencyUdf: UserDefinedFunction = udf(parseCurrency _)
+  val formatCurrencyUdf: UserDefinedFunction = udf(formatCurrency _)
+}

@@ -1,0 +1,219 @@
+package graft.ops
+
+import graft.api._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Parser directives — expand a raw column into structure (SURVEY §2.1).
+  *
+  * Data-dependent schemas (headerless CSV arity, JSON shape) are
+  * resolved by a bounded driver-side sample probe, mirroring the
+  * reference service deriving schema from sampled rows
+  * (reference: wrangler-service service/directive/DirectivesHandler.java:683-687).
+  */
+object ParserOps {
+
+  def build(spec: DirectiveSpec): Option[PipeOp] = Option(spec.name match {
+
+    // (reference: wrangler-core directives/parser/CsvParser.java:131-199 —
+    // appended col_1..col_n, or header names with cells trimmed and
+    // spaces→'_'; the header row itself is dropped from the output)
+    case "parse-as-csv" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        val delim = spec.optStr(1).getOrElse(",")
+        val header = spec.optBool(2, default = false)
+        val qd = java.util.regex.Pattern.quote(delim)
+        val parts = split(col(c), qd)
+        if (header) {
+          val first = df.select(col(c)).limit(1).collect()
+          if (first.isEmpty) df
+          else {
+            val headerRaw = first(0).getString(0)
+            val names = headerRaw.split(qd).map(
+              _.trim.replace(" ", "_")) // header cell cleanup per reference
+            val noHeader = df.filter(col(c) =!= lit(headerRaw))
+            names.zipWithIndex.foldLeft(noHeader) { case (d, (n, i)) =>
+              d.withColumn(n, element_at(parts, i + 1))
+            }
+          }
+        } else {
+          val n = ColumnOps.probeArity(df, parts)
+          (1 to n).foldLeft(df) { (d, i) =>
+            d.withColumn(s"${c}_$i", element_at(parts, i))
+          }
+        }
+      }
+    }
+
+    // (reference: wrangler-core directives/parser/JsParser.java:97-163 —
+    // source col removed; object → flattened `col_key` columns to depth;
+    // top-level array → one row per element; primitive → scalar)
+    case "parse-as-json" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        val depth = spec.optInt(1, default = 1)
+        val spark = ctx.spark
+        // sample-driven schema inference (bounded scan)
+        import spark.implicits._
+        val sample = df.select(col(c).cast(StringType)).limit(1000)
+          .as[String].filter((s: String) => s != null)
+        val inferred = spark.read.json(sample).schema
+        if (inferred.isEmpty) df
+        else {
+          val parsedCol = "__graft_json"
+          val parsed = df
+            .withColumn(parsedCol, from_json(col(c).cast(StringType),
+              // arrays at top level: infer element struct via wrapper
+              jsonTopType(spark, df, c, inferred)))
+          val isArray = parsed.schema(parsedCol).dataType.isInstanceOf[ArrayType]
+          val exploded =
+            if (isArray) parsed.withColumn(parsedCol, explode_outer(col(parsedCol)))
+            else parsed
+          flattenStruct(exploded.drop(c), parsedCol, c, depth)
+        }
+      }
+    }
+
+    // Jayway-style JsonPath extraction (reference: wrangler-core
+    // directives/parser/JsPath.java:90) — the common `$.a.b[0]` subset
+    // maps to native get_json_object.
+    case "json-path" => ColumnOps.simple(spec) { df =>
+      val (src, dest) = (spec.col(0), spec.col(1))
+      val path0 = spec.str(2)
+      val path = if (path0.startsWith("$")) path0 else "$." + path0
+      df.withColumn(dest, get_json_object(col(src).cast(StringType), path))
+    }
+
+    // XML → JSON string then same flatten as parse-as-json (reference:
+    // wrangler-core directives/xml/XmlToJson.java:84). Conversion uses
+    // scala-xml (ships with Spark) in a small deterministic UDF.
+    case "parse-xml-to-json" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        df.withColumn(c, XmlSupport.xmlToJsonUdf(col(c).cast(StringType)))
+      }
+    }
+
+    // native xpath functions (reference v1 ops: wrangler-core
+    // parser/MigrateToV2.java:444-460)
+    case "xpath" => ColumnOps.simple(spec) { df =>
+      df.withColumn(spec.col(1), xpath_string(col(spec.col(0)), lit(spec.str(2))))
+    }
+    case "xpath-array" => ColumnOps.simple(spec) { df =>
+      df.withColumn(spec.col(1), xpath(col(spec.col(0)), lit(spec.str(2))))
+    }
+
+    // fixed widths → col_1..col_n, pure substring math (reference:
+    // wrangler-core directives/parser/FixedLengthParser.java:93)
+    case "parse-as-fixed-length" => ColumnOps.simple(spec) { df =>
+      val c = spec.col(0)
+      val widths = spec.str(1).split(",").map(_.trim.toInt)
+      val offsets = widths.scanLeft(1)(_ + _)
+      widths.indices.foldLeft(df) { (d, i) =>
+        d.withColumn(s"${c}_${i + 1}", col(c).substr(offsets(i), widths(i)))
+      }
+    }
+
+    // (reference: wrangler-core directives/language/SetCharset.java:77)
+    case "set-charset" => ColumnOps.simple(spec) { df =>
+      val c = spec.col(0)
+      df.withColumn(c, decode(col(c), spec.str(1)))
+    }
+
+    // Apache/nginx access logs via regexp_extract for the standard
+    // common/combined formats (reference: wrangler-core
+    // directives/parser/ParseLog.java:83 — nl.basjes httpdlog)
+    case "parse-as-log" => ColumnOps.simple(spec) { df =>
+      val c = spec.col(0)
+      val re = "^(\\S+) (\\S+) (\\S+) \\[([^\\]]+)\\] \"(\\S+) (\\S+)[^\"]*\" " +
+        "(\\d{3}) (\\S+)(?: \"([^\"]*)\" \"([^\"]*)\")?.*$"
+      val fields = Seq("remote_host", "ident", "auth", "time", "method",
+        "uri", "status", "bytes", "referrer", "user_agent")
+      fields.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
+        d.withColumn(s"${c}_$f", regexp_extract(col(c), re, i + 1))
+      }
+    }
+
+    case _ => null
+  })
+
+  /** If the sampled JSON is a top-level array, wrap the inferred struct
+    * in an ArrayType so from_json explodes correctly.
+    */
+  private def jsonTopType(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, c: String, inferred: StructType): DataType = {
+    val firstNonNull = df.select(col(c).cast(StringType))
+      .filter(col(c).isNotNull).limit(1).collect()
+    val isArr = firstNonNull.headOption
+      .exists(r => r.getString(0).trim.startsWith("["))
+    if (isArr) ArrayType(inferred) else inferred
+  }
+
+  /** Flatten a struct column into `prefix_key` scalar columns to `depth`
+    * levels; deeper levels stay as struct/array columns.
+    */
+  def flattenStruct(df: DataFrame, structCol: String, prefix: String,
+      depth: Int): DataFrame = {
+    df.schema(structCol).dataType match {
+      case st: StructType =>
+        val cols = df.columns.filterNot(_ == structCol).map(col) ++
+          st.fields.map(f => col(structCol).getField(f.name).as(s"${prefix}_${f.name}"))
+        val flat = df.select(cols.toSeq: _*)
+        if (depth <= 1) flat
+        else st.fields.filter(_.dataType.isInstanceOf[StructType]).foldLeft(flat) {
+          (d, f) => flattenStruct(d, s"${prefix}_${f.name}", s"${prefix}_${f.name}", depth - 1)
+        }
+      case _ => // primitive: value back into the source column name
+        df.withColumnRenamed(structCol, prefix)
+    }
+  }
+}
+
+/** XML→JSON conversion on scala-xml — a deterministic scalar UDF. */
+object XmlSupport {
+  import org.apache.spark.sql.expressions.UserDefinedFunction
+  import org.apache.spark.sql.functions.udf
+
+  def xmlToJson(s: String): String = {
+    if (s == null) return null
+    try {
+      val root = scala.xml.XML.loadString(s)
+      s"""{"${root.label}":${nodeToJson(root)}}"""
+    } catch { case _: Exception => null }
+  }
+
+  private def nodeToJson(n: scala.xml.Node): String = {
+    val children = n.child.collect { case e: scala.xml.Elem => e }
+    val attrs = n.attributes.asAttrMap.map { case (k, v) =>
+      s""""@$k":${quote(v)}""" }
+    if (children.isEmpty && attrs.isEmpty) quote(n.text)
+    else {
+      val grouped = children.groupBy(_.label).map { case (label, ns) =>
+        if (ns.size == 1) s""""$label":${nodeToJson(ns.head)}"""
+        else s""""$label":[${ns.map(nodeToJson).mkString(",")}]"""
+      }
+      val content =
+        if (children.isEmpty && n.text.nonEmpty) Seq(s""""#text":${quote(n.text)}""")
+        else Seq.empty
+      (attrs ++ grouped ++ content).mkString("{", ",", "}")
+    }
+  }
+
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  val xmlToJsonUdf: UserDefinedFunction = udf(xmlToJson _)
+}

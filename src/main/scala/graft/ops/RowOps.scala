@@ -1,0 +1,190 @@
+package graft.ops
+
+import graft.api._
+import graft.expr.ExprCompiler
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Row-level directives: filters, error channel, explodes (SURVEY §2.4).
+  *
+  * Filters compile to native predicates so Catalyst pushes them into the
+  * parquet scan; the error channel is a DAG branch (filter + anti-filter)
+  * rather than a per-row try/catch.
+  */
+object RowOps {
+
+  /** Directives that need the hidden original-row column attached. */
+  val needsOrig: Set[String] =
+    Set("send-to-error", "send-to-error-and-continue")
+
+  def build(spec: DirectiveSpec): Option[PipeOp] = Option(spec.name match {
+
+    // `filter-row <cond> <true|false>`: true ⇒ DROP matching rows
+    // (reference: wrangler-core directives/row/RecordConditionFilter.java:90-108
+    //  — keeps the row when !result)
+    case "filter-row" | "filter-row-if-true" | "filter-row-if-false" |
+         "filter-rows-on" =>
+      val (condSrc, dropWhenTrue) = spec.name match {
+        case "filter-row"          => (spec.expr(0), spec.optBool(1, default = true))
+        case "filter-row-if-true"  => (spec.rawFrom(0), true)
+        case "filter-row-if-false" => (spec.rawFrom(0), false)
+        case _ => // v1 `filter-rows-on condition-true <expr>` etc.
+          spec.str(0).toLowerCase match {
+            case "condition-true"  => (spec.rawFrom(1), true)
+            case "condition-false" => (spec.rawFrom(1), false)
+            case "regex-match" =>
+              return Some(regexFilter(spec.col(1), spec.str(2), dropMatching = true, spec))
+            case "regex-not-match" =>
+              return Some(regexFilter(spec.col(1), spec.str(2), dropMatching = false, spec))
+            case "empty-or-null-columns" =>
+              return Some(emptyOrNullFilter(spec.cols(1), spec))
+            case o => throw new RecipeException(s"filter-rows-on: unknown mode $o")
+          }
+      }
+      val cond = ExprCompiler.compile(condSrc)
+      ColumnOps.simple(spec) { df =>
+        if (dropWhenTrue) df.filter(!coalesce(cond, lit(false)))
+        else df.filter(coalesce(cond, lit(false)))
+      }
+
+    // `filter-by-regex if-matched <col> <regex>` — full-string anchored
+    // match, because the reference uses Matcher.matches()
+    // (reference: wrangler-core directives/row/RecordRegexFilter.java:68-83)
+    case "filter-by-regex" =>
+      regexFilter(spec.col(1), spec.str(2),
+        dropMatching = spec.str(0).toLowerCase != "if-not-matched", spec)
+    case "filter-row-if-matched" =>
+      regexFilter(spec.col(0), spec.str(1), dropMatching = true, spec)
+    case "filter-row-if-not-matched" =>
+      regexFilter(spec.col(0), spec.str(1), dropMatching = false, spec)
+
+    // drops a row only when EVERY listed column is null — empty string is
+    // deliberately NOT dropped, matching the reference implementation
+    // (reference: wrangler-core directives/row/RecordMissingOrNullFilter.java:73-85;
+    //  its missing-column row-duplication quirk is NOT replicated — we
+    //  treat a missing column as "not null present" and keep the row once)
+    case "filter-empty-or-null" => emptyOrNullFilter(spec.cols(0), spec)
+
+    // abort the run when the condition holds for any row
+    // (reference: wrangler-core directives/row/Fail.java:81)
+    case "fail" =>
+      val cond = ExprCompiler.compile(spec.expr(0))
+      ColumnOps.simple(spec) { df =>
+        df.filter(
+          assert_true(!coalesce(cond, lit(false)),
+            lit(s"fail: condition [${spec.expr(0)}] triggered")).isNull)
+      }
+
+    // error side-channel: matching rows leave the main branch and land in
+    // the errors output carrying the ORIGINAL input row
+    // (reference: wrangler-core directives/row/SendToError.java:99,
+    //  executor/RecipePipelineExecutor.java:133-137)
+    case "send-to-error" => errorOp(spec, terminateRow = true)
+    case "send-to-error-and-continue" => errorOp(spec, terminateRow = false)
+
+    // multi-column zip-explode: arrays zip to the longest (null-padded),
+    // scalars repeat (reference: wrangler-core directives/row/Flatten.java:92-155)
+    case "flatten" => ColumnOps.simple(spec) { df =>
+      val cols = spec.cols(0)
+      val arrayCols = cols.filter(c =>
+        df.schema(df.schema.fieldIndex(c)).dataType.isInstanceOf[ArrayType])
+      if (arrayCols.isEmpty) df
+      else if (arrayCols.size == 1 && cols.size == 1) {
+        val c = cols.head
+        // preserve column order while replacing values by exploded elems
+        df.withColumn(c, explode_outer(col(c)))
+      } else {
+        val zipped = "__graft_zip"
+        val maxLen = greatest(arrayCols.map(c => size(col(c))): _*)
+        val asArrays = cols.map { c =>
+          if (arrayCols.contains(c)) col(c).as(c)
+          else array_repeat(col(c), maxLen).as(c)
+        }
+        df.withColumn(zipped, explode_outer(arrays_zip(asArrays: _*)))
+          .select(df.columns.map { c =>
+            if (cols.contains(c)) col(zipped).getField(c).as(c) else col(c)
+          }.toSeq: _*)
+      }
+    }
+
+    // split string → one row per part
+    // (reference: wrangler-core directives/row/SplitToRows.java:75)
+    case "split-to-rows" => ColumnOps.simple(spec) { df =>
+      val c = spec.col(0)
+      df.withColumn(c, explode(split(col(c), spec.str(1))))
+    }
+
+    // (reference: wrangler-core directives/row/SetRecordDelimiter.java:82)
+    case "set-record-delim" => ColumnOps.simple(spec) { df =>
+      val c = spec.col(0)
+      val delim = spec.str(1)
+      val limited = spec.tokens.drop(2).collectFirst { case TNum(n) => n.toInt }
+      val parts = split(col(c), java.util.regex.Pattern.quote(delim))
+      val sliced = limited.map(l => slice(parts, 1, l)).getOrElse(parts)
+      df.withColumn(c, explode(sliced))
+    }
+
+    // transient variables become plain columns: a per-record variable is
+    // exactly a derived column in a set-based engine. Cross-row
+    // (order-dependent) usage is undefined distributed — same caveat as
+    // the reference on Spark/MR (reference: wrangler-core
+    // directives/aggregates/SetTransientVariable.java:82, SURVEY §4.3)
+    case "set-variable" => ColumnOps.simple(spec) { df =>
+      df.withColumn(spec.col(0), ExprCompiler.compile(spec.rawFrom(1)))
+    }
+
+    case "increment-variable" => ColumnOps.simple(spec) { df =>
+      // running conditional count in input order — windowed cumulative sum
+      import org.apache.spark.sql.expressions.Window
+      val cond = ExprCompiler.compile(spec.rawFrom(2))
+      val step = spec.num(1).toLong
+      val w = Window.orderBy(monotonically_increasing_id())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(spec.col(0),
+        sum(when(coalesce(cond, lit(false)), step).otherwise(0L)).over(w))
+    }
+
+    case _ => null
+  })
+
+  private def regexFilter(c: String, regex: String, dropMatching: Boolean,
+      spec: DirectiveSpec): PipeOp = {
+    // regex literal "null"/empty ⇒ match-nothing no-op pattern
+    // (reference: wrangler-core directives/row/RecordRegexFilter.java:79-83)
+    val noop = regex == null || regex.isEmpty || regex == "null"
+    ColumnOps.simple(spec) { df =>
+      if (noop) df
+      else {
+        val matched = col(c).cast(StringType).rlike(s"^(?:$regex)$$")
+        if (dropMatching) df.filter(!coalesce(matched, lit(false)))
+        else df.filter(coalesce(matched, lit(false)))
+      }
+    }
+  }
+
+  private def emptyOrNullFilter(cols: Seq[String], spec: DirectiveSpec): PipeOp =
+    ColumnOps.simple(spec) { df =>
+      val present = cols.filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
+      if (present.isEmpty) df
+      else df.filter(present.map(c => col(c).isNotNull).reduce(_ || _))
+    }
+
+  private def errorOp(spec: DirectiveSpec, terminateRow: Boolean): PipeOp = {
+    val condSrc = spec.expr(0)
+    val message = spec.optStr(2).orElse(spec.optStr(1))
+      .getOrElse(s"condition [$condSrc] triggered")
+    new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = {
+        val cond = coalesce(ExprCompiler.compile(condSrc), lit(false))
+        val errDf = st.df.filter(cond).select(
+          lit(spec.name).as("directive"),
+          lit(message).as("message"),
+          col(PipeState.OrigCol).as("row"))
+        val main = if (terminateRow) st.df.filter(!cond) else st.df
+        PipeState(main, st.errors :+ errDf, st.hasOrig)
+      }
+    }
+  }
+}
