@@ -43,11 +43,12 @@ final class Wrangle private (
 
   /** Main output + error side-channel. */
   def run(df: DataFrame): WrangleResult = {
+    // compile first: directive errors surface before any data is touched
+    val ops = specs.map(Registry.compile)
     val spark = df.sparkSession
     val ctx = WrangleContext(spark, lookups, catalogs)
     val needsOrig = specs.exists(s => RowOps.needsOrig(s.name))
     val init = PipeState.init(df, needsOrig)
-    val ops = specs.map(Registry.compile)
     val fin = ops.foldLeft(init) { (st, op) => op(st, ctx) }
     val out = PipeState.hiddenCols(fin.df)
       .foldLeft(fin.df)((d, c) => d.drop(c))

@@ -66,6 +66,7 @@ final case class DirectiveSpec(name: String, tokens: Vector[Token], raw: String)
     case TNum(n)   => n.toString
     case TBool(b)  => b.toString
     case TExpr(c)  => c
+    case TList(xs) => xs.map(_.text).mkString(",") // e.g. cut ranges `1-3,7-8`
     case t => throw new RecipeException(s"$name: arg ${i + 1} is not text: $t")
   }
   def num(i: Int): BigDecimal = tok(i) match {

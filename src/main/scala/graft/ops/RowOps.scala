@@ -43,9 +43,11 @@ object RowOps {
           }
       }
       val cond = ExprCompiler.compile(condSrc)
+      // plain (un-coalesced) predicates so parquet pushdown applies; a
+      // null condition drops the row in both modes — the reference's
+      // strict JEXL errors such rows out of the main output too
       ColumnOps.simple(spec) { df =>
-        if (dropWhenTrue) df.filter(!coalesce(cond, lit(false)))
-        else df.filter(coalesce(cond, lit(false)))
+        if (dropWhenTrue) df.filter(!cond) else df.filter(cond)
       }
 
     // `filter-by-regex if-matched <col> <regex>` — full-string anchored

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+
+class ExprSpec extends SparkSpec {
+
+  private def base = df("a INT, b DOUBLE, s STRING",
+    Seq(Row(1, 2.5, "hello"), Row(10, 0.5, "World"), Row(null, null, null)))
+
+  private def eval(expr: String): Seq[Any] =
+    strings(base.withColumn("out",
+      graft.expr.ExprCompiler.compile(expr)).select("out"), "out")
+
+  test("arithmetic and precedence") {
+    assert(eval("a + 2 * 3") == Seq(7, 16, null))
+  }
+
+  test("comparisons and boolean algebra") {
+    assert(eval("a > 5 && b < 1.0") == Seq(false, true, null))
+  }
+
+  test("ternary: null condition falls to the else branch") {
+    assert(eval("a > 5 ? 'big' : 'small'") == Seq("small", "big", "small"))
+  }
+
+  test("string ops: =^ startsWith, =$ endsWith, =~ anchored regex") {
+    assert(eval("s =^ 'he'") == Seq(true, false, null))
+    assert(eval("s =$ 'ld'") == Seq(false, true, null))
+    assert(eval("s =~ '[a-z]+'") == Seq(true, false, null))
+  }
+
+  test("function namespaces") {
+    assert(eval("math:abs(0 - a)") == Seq(1, 10, null))
+    assert(eval("string:uppercase(s)") == Seq("HELLO", "WORLD", null))
+    assert(eval("dq:isNumber(s)") == Seq(false, false, false))
+    assert(eval("strlen(s)") == Seq(5, 5, null))
+  }
+
+  test("null handling: coalesce family") {
+    assert(eval("NullToValue(a, 42)") == Seq(1, 10, 42))
+    assert(eval("IsNull(a)") == Seq(false, false, true))
+  }
+
+  test("elvis operator") {
+    assert(eval("a ?: 99") == Seq(1, 10, 99))
+  }
+}

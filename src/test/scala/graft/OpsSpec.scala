@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Per-operator behavior tests, TestingRig-style: literal rows in,
+  * recipe string, expected values out — including the reference's
+  * correctness-critical quirks (SURVEY §4.3).
+  */
+class OpsSpec extends SparkSpec {
+
+  test("mask-number: #=keep, x=mask, literal consume-if-equal quirk") {
+    // reference: MaskNumber.java:121-146 asserts "xxx-xx-1234" style
+    val d = df("ssn STRING", Seq(Row("123-45-6789")))
+    assert(strings(wrangle("mask-number :ssn 'xxx-xx-####'", d), "ssn") ==
+      Seq("xxx-xx-6789"))
+  }
+
+  test("trim removes the reference's extended unicode whitespace set") {
+    // reference: Trimmer.java:29-56 (NBSP et al., not just ASCII)
+    val d = df("s STRING", Seq(Row("   padded 　")))
+    assert(strings(wrangle("trim :s", d), "s") == Seq("padded"))
+  }
+
+  test("filter-row true REMOVES matching rows (inverted keep)") {
+    // reference: RecordConditionFilter.java:90-108
+    val d = df("v INT", Seq(Row(1), Row(20), Row(3)))
+    assert(strings(wrangle("filter-row exp:{ v > 5 } true", d), "v") == Seq(1, 3))
+    assert(strings(wrangle("filter-row exp:{ v > 5 } false", d), "v") == Seq(20))
+  }
+
+  test("filter-by-regex is full-string anchored like Matcher.matches()") {
+    // reference: RecordRegexFilter.java:68-83
+    val d = df("s STRING", Seq(Row("abc"), Row("abcdef"), Row("xyz")))
+    // 'abc' as a find() would also hit abcdef; matches() must not
+    assert(strings(wrangle("filter-by-regex if-matched :s 'abc'", d), "s") ==
+      Seq("abcdef", "xyz"))
+  }
+
+  test("filter-empty-or-null drops only all-null rows; empty string survives") {
+    // reference: RecordMissingOrNullFilter.java:73-85
+    val d = df("a STRING, b STRING",
+      Seq(Row(null, null), Row("", null), Row("x", "y")))
+    val out = wrangle("filter-empty-or-null :a,:b", d)
+    assert(out.count() == 2)
+  }
+
+  test("flatten: multi-column zip pads shorter arrays with null, repeats scalars") {
+    // reference: Flatten.java:92-155
+    val d = spark.sql(
+      "SELECT array(1,2,3) AS a, array('x','y') AS b, 'k' AS c")
+    val out = wrangle("flatten :a,:b", d)
+    val rows = out.select("a", "b", "c").collect().map(r =>
+      (r.get(0), r.get(1), r.get(2))).toSeq
+    assert(rows == Seq((1, "x", "k"), (2, "y", "k"), (3, null, "k")))
+  }
+
+  test("rename errors when target exists case-insensitively") {
+    // reference: ColumnConverter.java:33-45
+    val d = df("a INT, B INT", Seq(Row(1, 2)))
+    val ex = intercept[Exception](wrangle("rename :a :b", d).collect())
+    assert(ex.getMessage.contains("already exists"))
+  }
+
+  test("send-to-error carries the ORIGINAL input row") {
+    // reference: RecipePipelineExecutor.java:133-137
+    val d = df("v INT, s STRING", Seq(Row(1, "keep"), Row(99, "bad")))
+    val res = Wrangle.recipe(
+      "uppercase :s; send-to-error exp:{ v > 50 };").run(d)
+    assert(res.output.count() == 1)
+    val err = res.errors.collect().head
+    // original row, pre-uppercase
+    assert(err.getAs[String]("row").contains("\"bad\""))
+  }
+
+  test("send-to-error-and-continue keeps the row in the main branch too") {
+    val d = df("v INT", Seq(Row(1), Row(99)))
+    val res = Wrangle.recipe("send-to-error-and-continue exp:{ v > 50 };").run(d)
+    assert(res.output.count() == 2)
+    assert(res.errors.count() == 1)
+  }
+
+  test("fail aborts when condition holds") {
+    val d = df("v INT", Seq(Row(1), Row(99)))
+    intercept[Exception] {
+      wrangle("fail exp:{ v > 50 }", d).collect()
+    }
+    // and passes when it never fires
+    assert(wrangle("fail exp:{ v > 1000 }", d).count() == 2)
+  }
+
+  test("set-type decimal and numeric casts") {
+    val d = df("s STRING", Seq(Row("123.456")))
+    val out = wrangle("set-type :s double", d)
+    assert(out.schema("s").dataType.typeName == "double")
+    assert(strings(out, "s") == Seq(123.456))
+  }
+
+  test("parse-as-csv with header uses first row names and drops it") {
+    // reference: CsvParser.java:148-199 (cells trimmed, spaces→_)
+    val d = df("body STRING",
+      Seq(Row("first name,age"), Row("alice,30"), Row("bob,41")))
+    val out = wrangle("parse-as-csv :body ',' true", d)
+    assert(out.columns.toSet == Set("body", "first_name", "age"))
+    assert(out.count() == 2)
+    assert(strings(out.orderBy("age"), "first_name") == Seq("alice", "bob"))
+  }
+
+  test("parse-as-json flattens objects and removes source column") {
+    // reference: JsParser.java:124-141
+    val d = df("j STRING", Seq(Row("""{"a":1,"b":{"c":"x"}}""")))
+    val out = wrangle("parse-as-json :j 2", d)
+    assert(!out.columns.contains("j"))
+    assert(out.columns.contains("j_a"))
+    assert(out.columns.contains("j_b_c"))
+  }
+
+  test("parse-as-json explodes top-level arrays into rows") {
+    val d = df("j STRING", Seq(Row("""[{"a":1},{"a":2}]""")))
+    val out = wrangle("parse-as-json :j 1", d)
+    assert(out.count() == 2)
+  }
+
+  test("quantize maps ranges to labels, null outside") {
+    val d = df("v DOUBLE", Seq(Row(5.0), Row(15.0), Row(-1.0)))
+    assert(strings(wrangle("quantize :v :band 0:10=low,10:20=high", d), "band") ==
+      Seq("low", "high", null))
+  }
+
+  test("cut-character supports multi-ranges") {
+    val d = df("s STRING", Seq(Row("abcdefghij")))
+    assert(strings(wrangle("cut-character :s :out 1-3,7-8", d), "out") ==
+      Seq("abcgh"))
+  }
+
+  test("base32 encode/decode round-trips") {
+    val d = df("s STRING", Seq(Row("hello world")))
+    val out = wrangle(
+      "encode base32 :s; decode base32 :s_encode_base32;", d)
+    assert(strings(out, "s_encode_base32_decode_base32") == Seq("hello world"))
+  }
+
+  test("text-distance levenshtein is native and correct") {
+    val d = df("a STRING, b STRING", Seq(Row("kitten", "sitting")))
+    assert(strings(wrangle("text-distance levenshtein :a :b :d", d), "d") ==
+      Seq(3.0))
+  }
+
+  test("stemming produces porter stems") {
+    val d = df("s STRING", Seq(Row("running flies happily")))
+    val out = wrangle("stemming :s", d).select("s_porter").collect()
+    val stems = out.head.getSeq[String](0)
+    assert(stems == Seq("run", "fli", "happili"))
+  }
+
+  test("diff-date yields milliseconds") {
+    // reference: DiffDate.java:47
+    val d = spark.sql(
+      "SELECT timestamp'2024-01-02 00:00:00' AS t1, timestamp'2024-01-01 00:00:00' AS t2")
+    assert(strings(wrangle("diff-date :t1 :t2 :ms", d), "ms") == Seq(86400000L))
+  }
+
+  test("set-variable behaves as a derived column") {
+    val d = df("v INT", Seq(Row(2)))
+    assert(strings(wrangle("set-variable tmp v * 10; set-column :o exp:{ tmp + 1 };", d), "o") ==
+      Seq(21))
+  }
+}

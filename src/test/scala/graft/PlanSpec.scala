@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the 100 TB design contract:
+  * filters reach the parquet scan, lookups broadcast, recipes collapse
+  * into a single projection (no per-directive barriers).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("filter-row predicate is pushed to the parquet scan") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val out = wrangle("filter-row exp:{ l_quantity > 25 } false; keep :l_orderkey,:l_quantity", li)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(l_quantity"), s"no pushdown in plan:\n$plan")
+  }
+
+  test("column pruning: keep reduces the parquet ReadSchema") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val out = wrangle("keep :l_orderkey,:l_quantity", li)
+    val scan = out.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan not pruned:\n$scan")
+  }
+
+  test("table-lookup compiles to a broadcast hash join") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val nat = spark.read.parquet(s"$dir/nation.parquet")
+    val out = Wrangle.recipe("table-lookup :c_nationkey nations;")
+      .withLookup("nations", nat)
+      .apply(cust)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("a 10-directive recipe stays in one whole-stage codegen projection") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val out = wrangle("""
+      set-type :l_quantity long;
+      set-column :rev exp:{ l_extendedprice * (1 - l_discount) };
+      set-column :charge exp:{ rev * (1 + l_tax) };
+      merge :l_returnflag :l_linestatus :fs '_';
+      uppercase :fs;
+      trim :fs;
+      copy :rev :rev2;
+      rename :rev2 :revenue_copy;
+      drop :l_partkey;
+      keep :l_orderkey,:rev,:charge,:fs,:revenue_copy;
+    """, li)
+    val exec = out.queryExecution.executedPlan.toString
+    // exactly one WholeStageCodegen span and one scan — no shuffles
+    assert(!exec.contains("Exchange"), s"unexpected shuffle:\n$exec")
+    assert("\\(1\\)".r.findFirstIn(exec).isDefined ||
+      exec.contains("WholeStageCodegen"), s"no codegen:\n$exec")
+  }
+
+  test("filters never trigger a shuffle") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val out = wrangle(
+      "filter-by-regex if-matched :l_returnflag 'A'; filter-empty-or-null :l_orderkey;", li)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+}
