@@ -226,8 +226,122 @@ object QueryBank {
 
     ("expr_regex_ops",
       (s, d) => r("set-column :is_building exp:{ c_mktsegment =^ 'BUILD' }; keep :c_custkey,:is_building")(cust(s, d)),
-      "SELECT c_custkey, starts_with(c_mktsegment, 'BUILD') AS is_building FROM customer")
+      "SELECT c_custkey, starts_with(c_mktsegment, 'BUILD') AS is_building FROM customer"),
+
+    // ---- LLM-pipeline operators ------------------------------------
+    ("dedup_exact",
+      (s, d) => graft.llm.Dedup.exact(docs(s, d), "text", "doc_id"),
+      "SELECT * FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY " + normSql("text") + ")"),
+
+    ("dedup_minhash",
+      (s, d) => graft.llm.Dedup
+        .minhashDedup(docs(s, d), "text", "doc_id", threshold = 0.8)
+        .select("doc_id", "lang", "source"),
+      null), // approximate — rows-only check; exactness covered by ScalaTest
+
+    ("minhash_pairs",
+      (s, d) => graft.llm.Dedup
+        .minhashPairs(docs(s, d), "text", "doc_id", threshold = 0.8)
+        .select("id_a", "id_b"),
+      null),
+
+    ("simhash_pairs",
+      (s, d) => graft.llm.Dedup
+        .simhashPairs(docs(s, d), "text", "doc_id", maxHamming = 3)
+        .select("id_a", "id_b", "hamming"),
+      null),
+
+    ("token_count",
+      (s, d) => r("token-count :text; keep :doc_id,:text_tokens")(docs(s, d)),
+      "SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS text_tokens FROM documents"),
+
+    ("fingerprint",
+      (s, d) => r("fingerprint :text; keep :doc_id,:text_fingerprint")(docs(s, d)),
+      "SELECT doc_id, md5(" + normSql("text") + ") AS text_fingerprint FROM documents"),
+
+    ("lang_id",
+      (s, d) => r("lang-id :text; keep :doc_id,:text_lang")(docs(s, d)),
+      langIdSql),
+
+    ("quality_features",
+      (s, d) => {
+        val t = org.apache.spark.sql.functions.col("text")
+        val f = graft.llm.TextAnalysis.qualityFeatures(t).toMap
+        docs(s, d).select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          f("n_tokens").as("n_tokens"),
+          org.apache.spark.sql.functions.round(f("mean_token_len"), 4).as("mean_token_len"),
+          org.apache.spark.sql.functions.round(f("punct_ratio"), 4).as("punct_ratio"),
+          org.apache.spark.sql.functions.round(f("digit_ratio"), 4).as("digit_ratio"))
+      },
+      """SELECT doc_id,
+        | len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tokens,
+        | round(list_sum(list_transform(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0), x -> len(x))) * 1.0
+        |   / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)), 1), 4) AS mean_token_len,
+        | round(len(regexp_extract_all(text, '[[:punct:]]')) * 1.0 / greatest(len(text), 1), 4) AS punct_ratio,
+        | round(len(regexp_extract_all(text, '[0-9]')) * 1.0 / greatest(len(text), 1), 4) AS digit_ratio
+        |FROM documents""".stripMargin),
+
+    ("quality_score",
+      (s, d) => r("quality-score :text; keep :doc_id,:text_quality")(docs(s, d)),
+      null), // composite heuristic — rows-only; features above are oracle-checked
+
+    ("ann_brute_topk",
+      (s, d) => annBrute(s, d),
+      """SELECT e2.vec_id AS vec_id,
+        | row_number() OVER (ORDER BY list_cosine_similarity(e2.embedding,
+        |   (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, e2.vec_id) AS rank
+        |FROM embeddings e2 ORDER BY rank LIMIT 20""".stripMargin),
+
+    ("ann_lsh_topk",
+      (s, d) => annLsh(s, d),
+      null) // approximate probe set — rows-only; recall covered by ScalaTest
   )
+
+  private def docs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** DuckDB rendering of Dedup.normalized (regexp flags differ). */
+  private def normSql(c: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+
+  private val langIdSql: String = {
+    val sw = graft.llm.TextAnalysis.stopwords
+    def cnt(l: String) =
+      s"len(list_filter(string_split_regex(lower(text), '\\s+'), t -> list_contains([" +
+        sw(l).map(w => s"'$w'").mkString(",") + "], t)))"
+    s"""WITH c AS (SELECT doc_id, ${cnt("de")} AS cde, ${cnt("en")} AS cen,
+       | ${cnt("es")} AS ces, ${cnt("fr")} AS cfr FROM documents)
+       |SELECT doc_id, CASE
+       | WHEN greatest(cde, cen, ces, cfr) = 0 THEN 'und'
+       | WHEN cde >= cen AND cde >= ces AND cde >= cfr THEN 'de'
+       | WHEN cen >= ces AND cen >= cfr THEN 'en'
+       | WHEN ces >= cfr THEN 'es'
+       | ELSE 'fr' END AS text_lang FROM c""".stripMargin
+  }
+
+  private def annBrute(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    graft.llm.Similarity.cosineTopK(e, "vec_id", "embedding", q, 20)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cosine").desc, col("vec_id"))))
+      .select("vec_id", "rank")
+  }
+
+  private def annLsh(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    graft.llm.Similarity.lshTopK(e, "vec_id", "embedding", q, 10,
+      bits = 8, probeHamming = 2)
+  }
 
   val queries: Map[String, Q] =
     entries.map { case (n, q, _) => n -> q }.toMap

@@ -92,7 +92,8 @@ object Registry {
 
   private val system: Vector[Builder] = Vector(
     ColumnOps.build, RowOps.build, StringOps.build,
-    DateOps.build, ParserOps.build, WriterOps.build, LookupOps.build)
+    DateOps.build, ParserOps.build, WriterOps.build, LookupOps.build,
+    LlmOps.build)
 
   def compile(spec: DirectiveSpec): PipeOp =
     (userBuilders ++ system).iterator

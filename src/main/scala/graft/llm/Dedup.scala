@@ -1,0 +1,184 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * Scale design (the 100 TB contract):
+  *  - exact dedup = one hash-keyed shuffle with map-side partial
+  *    aggregation (`min_by`), no window/sort;
+  *  - near-dup = banded MinHash-LSH: candidate pairs come from a
+  *    shuffle on (band, bucket) keys only — never an all-pairs cross
+  *    join — then exact Jaccard verification on the candidates;
+  *  - SimHash = 64-bit signature banded into 16-bit chunks, same
+  *    bucket-join pattern, Hamming verify via native bit_count(xor).
+  *
+  * Everything is `functions._` (codegen'd); no UDFs.
+  */
+object Dedup {
+
+  /** Normalization used for exact/near dedup keys: lowercase, collapse
+    * whitespace, strip non-alphanumerics.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** Content fingerprint: md5 of the normalized text (hex string). */
+  def fingerprint(text: Column): Column = md5(normalized(text).cast(BinaryType))
+
+  /** Exact deduplication: keeps the row with the smallest `idCol` per
+    * normalized-content hash. Single shuffle on the 64-bit content hash
+    * with partial min_by aggregation.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val cols = df.columns
+    val keyed = df.withColumn("__h", xxhash64(normalized(col(textCol))))
+    keyed
+      .groupBy(col("__h"))
+      .agg(min_by(struct(cols.map(col).toSeq: _*), col(idCol)).as("__r"))
+      .select(cols.map(c => col(s"__r.$c").as(c)).toSeq: _*)
+  }
+
+  /** Character shingles of the normalized text, distinct, hashed to
+    * 64-bit. `k` is the shingle width.
+    */
+  def shingleHashes(text: Column, k: Int): Column = {
+    val norm = normalized(text)
+    array_distinct(
+      transform(sequence(lit(1), greatest(length(norm) - lit(k - 1), lit(1))),
+        i => xxhash64(norm.substr(i, lit(k)))))
+  }
+
+  /** MinHash signature of a shingle-hash array: `numHashes` independent
+    * hash functions realized as xxhash64(shingleHash, i) — overflow-free
+    * under ANSI mode and as uniform as the affine construction — min per
+    * hash function.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingles, h => xxhash64(h, lit(seed), lit(i))))
+    }: _*)
+
+  /** Candidate duplicate pairs by banded LSH + exact Jaccard verify.
+    *
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    *
+    * @param numHashes signature length (bands * rowsPerBand)
+    * @param bands     LSH bands; P(candidate) ≈ 1-(1-j^r)^b
+    */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 128, bands: Int = 16, shingleK: Int = 5,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+
+    val base = df.select(
+      col(idCol).as("__id"),
+      shingleHashes(col(textCol), shingleK).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+      .cache() // reused by bucket join + verification joins
+
+    // (band, bucketHash, id): one row per band per doc
+    val buckets = base.select(
+      col("__id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          xxhash64(to_json(slice(col("__sig"), b * r + 1, lit(r)))).as("bucket"))))
+        .as("__bb"))
+      .select(col("__id"), col("__bb.band").as("__band"),
+        col("__bb.bucket").as("__bucket"))
+
+    // candidates: same (band,bucket), ordered pair, de-duplicated.
+    // shuffle keys = (band,bucket) — candidate generation never compares
+    // documents outside a shared bucket.
+    val l = buckets.select(col("__band"), col("__bucket"), col("__id").as("id_a"))
+    val rgt = buckets.select(col("__band"), col("__bucket"), col("__id").as("id_b"))
+    val cands = l.join(rgt, Seq("__band", "__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    // exact Jaccard on candidates only
+    val withA = cands.join(base.select(col("__id").as("id_a"), col("__sh").as("__sha")), "id_a")
+    val withB = withA.join(base.select(col("__id").as("id_b"), col("__sh").as("__shb")), "id_b")
+    withB
+      .withColumn("jaccard",
+        size(array_intersect(col("__sha"), col("__shb"))).cast(DoubleType) /
+          size(array_union(col("__sha"), col("__shb"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Near-dedup: drop every row that appears as the larger id of a
+    * verified MinHash pair (keep-smallest-id policy; transitive chains
+    * collapse toward their smallest member over repeated application).
+    */
+  def minhashDedup(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 128, bands: Int = 16, shingleK: Int = 5,
+      threshold: Double = 0.7): DataFrame = {
+    val losers = minhashPairs(df, textCol, idCol, numHashes, bands, shingleK, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** 64-bit SimHash over whitespace tokens (sign of per-bit vote sums),
+    * fully native via nested higher-order functions.
+    */
+  def simhash64(text: Column): Column = {
+    val tokens = filter(split(normalized(text), " "), t => length(t) > 0)
+    val hashes = transform(tokens, t => xxhash64(t))
+    // per-bit majority vote, folded into one long; bit masks are Scala-side
+    // literals so the whole signature is a single codegen'd expression
+    (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
+      val mask = lit(1L << j)
+      val vote = aggregate(hashes, lit(0),
+        (a, h) => a + when(h.bitwiseAND(mask) =!= 0, 1).otherwise(-1))
+      acc.bitwiseOR(when(vote > 0, mask).otherwise(lit(0L)))
+    }
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
+    * chunks (any shared chunk ⇒ candidate, guaranteeing recall for
+    * Hamming distance ≤ 3), verify with native bit_count(xor).
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("__id"),
+      simhash64(col(textCol)).as("__sig"))
+    val banded = sigs.select(col("__id"), col("__sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("__sig"), b * 16).bitwiseAND(lit(0xffffL)).as("chunk"))): _*))
+        .as("__bb"))
+      .select(col("__id"), col("__sig"),
+        col("__bb.band").as("__band"), col("__bb.chunk").as("__chunk"))
+    val l = banded.select(col("__band"), col("__chunk"),
+      col("__id").as("id_a"), col("__sig").as("sig_a"))
+    val r = banded.select(col("__band"), col("__chunk"),
+      col("__id").as("id_b"), col("__sig").as("sig_b"))
+    l.join(r, Seq("__band", "__chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Word n-gram Jaccard similarity between two text columns (exact,
+    * for candidate verification or small joined sets).
+    */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    def grams(c: Column) = {
+      val toks = filter(split(normalized(c), " "), t => length(t) > 0)
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
+        i => xxhash64(to_json(slice(toks, i, lit(n))))))
+    }
+    val ga: Column = grams(a)
+    val gb: Column = grams(b)
+    size(array_intersect(ga, gb)).cast(DoubleType) /
+      size(array_union(ga, gb))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text analysis for training-data curation: token counting, language
+  * ID, quality scoring, document fingerprinting. All native Column
+  * expressions (codegen'd, pushdown-safe) — designed to run in the same
+  * projection as the rest of a cleaning recipe.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (0 for empty/null-ish text). */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword count: word pieces + digits + punctuation runs,
+    * the usual cheap proxy for tokenizer token counts.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => length(trim(t)) > 0))
+
+  /** Stopword tables for the n-gram/stopword language heuristic. Small,
+    * public, high-frequency function words per language.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was",
+      "for", "on", "with", "as", "at", "by", "this", "from", "or", "an", "be"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den",
+      "nicht", "ein", "eine", "auf", "für", "im", "dem", "sich", "des", "auch"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "un", "une",
+      "dans", "que", "qui", "pour", "sur", "pas", "au", "plus", "par"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "es", "un", "una",
+      "en", "que", "no", "por", "con", "para", "del", "se", "su"))
+
+  /** Per-language stopword-hit count over whitespace tokens. */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val sw = stopwords(lang)
+    val tokens = split(lower(text), "\\s+")
+    size(filter(tokens, t => t.isin(sw: _*)))
+  }
+
+  /** Heuristic language id: argmax over per-language stopword hit
+    * counts; 'und' (undetermined) when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val scores = stopwords.keys.toSeq.sorted.map(l => (l, stopwordHits(text, l)))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(lit("und")) { case (acc, (l, s)) =>
+      // first (alphabetical) language wins ties, deterministic
+      when(s === best && s > 0 && acc === "und", lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality features: length, token stats, punctuation/digit/upper
+    * ratios, stopword density — the standard cheap quality signals.
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val n = length(text).cast(DoubleType)
+    val toks = filter(split(text, "\\s+"), t => length(t) > 0)
+    val nTok = size(toks).cast(DoubleType)
+    Seq(
+      "n_chars" -> length(text),
+      "n_tokens" -> size(toks),
+      "mean_token_len" ->
+        when(nTok > 0, aggregate(toks, lit(0.0), (a, t) => a + length(t)) / nTok)
+          .otherwise(lit(0.0)),
+      "punct_ratio" ->
+        regexp_count(text, lit("[\\p{Punct}]")).cast(DoubleType) / greatest(n, lit(1.0)),
+      "digit_ratio" ->
+        regexp_count(text, lit("[0-9]")).cast(DoubleType) / greatest(n, lit(1.0)),
+      "upper_ratio" ->
+        regexp_count(text, lit("[A-Z]")).cast(DoubleType) / greatest(n, lit(1.0)),
+      "stopword_ratio" ->
+        when(nTok > 0, stopwordHits(text, "en").cast(DoubleType) / nTok)
+          .otherwise(lit(0.0)))
+  }
+
+  /** Composite quality score in [0,1]: penalizes extreme lengths, high
+    * punctuation/digit density, missing stopwords.
+    */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text).toMap
+    val lenOk = when(f("n_tokens") >= 5 && f("n_tokens") <= 100000, 1.0)
+      .otherwise(0.3)
+    val punctOk = when(f("punct_ratio") < 0.2, 1.0).otherwise(0.5)
+    val digitOk = when(f("digit_ratio") < 0.3, 1.0).otherwise(0.5)
+    val swOk = when(f("stopword_ratio") > 0.05, 1.0).otherwise(0.7)
+    round(lenOk * punctOk * digitOk * swOk, 4)
+  }
+
+  /** Stable document fingerprint (md5 hex of normalized content). */
+  def fingerprint(text: Column): Column = Dedup.fingerprint(text)
+
+  /** One-call profile: appends all analysis columns. */
+  def profile(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val withFeatures = qualityFeatures(t).foldLeft(df) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }
+    withFeatures
+      .withColumn("lang_pred", langId(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

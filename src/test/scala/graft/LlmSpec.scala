@@ -1,0 +1,146 @@
+package graft
+
+import graft.llm._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class LlmSpec extends SparkSpec {
+
+  private def docsDf = df("doc_id BIGINT, text STRING", Seq(
+    Row(1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    Row(2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    Row(3L, "completely different content about spark catalyst optimizer internals"),
+    Row(4L, "The quick brown fox jumps over the lazy dog near the river bank today!"), // exact dup of 1 modulo case/punct
+    Row(5L, "another unrelated document mentioning databases and storage engines")))
+
+  test("exact dedup keeps smallest id per normalized content") {
+    val out = Dedup.exact(docsDf, "text", "doc_id")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 5L)) // 4 collapses into 1
+  }
+
+  test("minhash LSH finds the planted near-duplicate pair, no cross join") {
+    val pairs = Dedup.minhashPairs(docsDf, "text", "doc_id",
+      numHashes = 64, bands = 16, shingleK = 5, threshold = 0.6)
+    val got = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"missing planted pair, got $got")
+    assert(got.contains((1L, 4L)))
+    assert(!got.exists { case (a, b) => Set(a, b).contains(3L) })
+    // scale contract: no cartesian in the plan
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"all-pairs join detected:\n$plan")
+  }
+
+  test("minhashDedup drops near-duplicates, keeps distinct docs") {
+    val out = Dedup.minhashDedup(docsDf, "text", "doc_id",
+      numHashes = 64, bands = 16, shingleK = 5, threshold = 0.6)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(3L) && ids.contains(5L) && ids.contains(1L))
+    assert(!ids.contains(2L) && !ids.contains(4L))
+  }
+
+  test("simhash: near-dups within small hamming distance, distinct docs far") {
+    val sigs = docsDf.select(col("doc_id"),
+      Dedup.simhash64(col("text")).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(4L)) <= 3, "case/punct variant should be close")
+    assert(ham(sigs(1L), sigs(3L)) > 10, "unrelated docs should be far")
+  }
+
+  test("simhashPairs surfaces close pairs via banding") {
+    val pairs = Dedup.simhashPairs(docsDf, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("ngram jaccard: identical=1, planted near-dup high, unrelated low") {
+    val d = docsDf.limit(1).select(
+      Dedup.ngramJaccard(lit("a b c d e"), lit("a b c d e"), 2).as("same"),
+      Dedup.ngramJaccard(
+        lit("the quick brown fox jumps over the lazy dog today"),
+        lit("the quick brown fox jumps over the lazy dog tonight"), 2).as("near"),
+      Dedup.ngramJaccard(lit("a b c d e"), lit("x y z w v"), 2).as("far"))
+    val r = d.collect().head
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) > 0.5)
+    assert(r.getDouble(2) == 0.0)
+  }
+
+  private def embDf = {
+    val rnd = new scala.util.Random(3)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    def jitter(eps: Float) = base.map(x => x + eps * rnd.nextGaussian().toFloat)
+    val rows = Seq(
+      Row(0L, base.toSeq), Row(1L, jitter(0.05f).toSeq), Row(2L, jitter(0.1f).toSeq)) ++
+      (3L to 40L).map(i => Row(i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    df("vec_id BIGINT, embedding ARRAY<FLOAT>", rows)
+  }
+
+  test("brute-force cosine top-k ranks the jittered neighbors first") {
+    val q = embDf.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val top = Similarity.cosineTopK(embDf, "vec_id", "embedding", q, 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(top.head == 0L)
+    assert(top.toSet.contains(1L))
+  }
+
+  test("LSH top-k recalls the true nearest neighbors with multiprobe") {
+    val q = embDf.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val brute = Similarity.cosineTopK(embDf, "vec_id", "embedding", q, 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.lshTopK(embDf, "vec_id", "embedding", q, 3,
+      bits = 6, probeHamming = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((brute intersect lsh).size >= 2, s"poor recall: brute=$brute lsh=$lsh")
+  }
+
+  test("crossTopK: per-query exact top-k via broadcast, no corpus shuffle before join") {
+    val queries = embDf.limit(2).select(
+      col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val out = Similarity.crossTopK(embDf, queries, "vec_id", "embedding",
+      "qid", "qvec", 3)
+    assert(out.count() == 6)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+  }
+
+  test("langId picks the stopword-dominant language") {
+    val d = df("t STRING", Seq(
+      Row("the cat sat on the mat and it was happy"),
+      Row("der hund ist nicht auf der straße und die katze"),
+      Row("xyzzy plugh")))
+    val out = d.select(TextAnalysis.langId(col("t"))).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("tokenCount and fingerprint are stable") {
+    val d = df("t STRING", Seq(Row("  Hello,  World! one two ")))
+    val r = d.select(TextAnalysis.tokenCount(col("t")),
+      TextAnalysis.fingerprint(col("t")),
+      TextAnalysis.fingerprint(lit("hello world one two"))).collect().head
+    assert(r.getInt(0) == 4)
+    assert(r.getString(1) == r.getString(2)) // normalization collapses
+  }
+
+  test("multimodal: metadata attach + stub decode + frame sampling plumbing") {
+    val d = df("id BIGINT, payload BINARY", Seq(
+      Row(1L, "somebinarypayloadcontentsimulatinganimage".getBytes),
+      Row(2L, "anotherpayload".getBytes)))
+    val withMeta = Multimodal.attachMetadata(d, "payload", "image", "png")
+    val meta = withMeta.select("payload_meta.*")
+    assert(meta.columns.toSet ==
+      Set("media_type", "format", "n_bytes", "width", "height", "duration_ms", "checksum"))
+    val feats = withMeta.withColumn("features",
+      Multimodal.decodeStub(col("payload")))
+    val v = feats.select("features").head().getSeq[Float](0)
+    assert(v.size == 16 && math.abs(v.sum - 1.0) < 1e-5)
+    val frames = Multimodal.sampleFrames(d, "payload", "id", n = 3, frameBytes = 8)
+    assert(frames.count() == 6)
+    assert(frames.columns.toSeq == Seq("id", "frame_idx", "offset", "frame"))
+  }
+}
