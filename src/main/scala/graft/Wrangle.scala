@@ -93,7 +93,7 @@ object Registry {
   private val system: Vector[Builder] = Vector(
     ColumnOps.build, RowOps.build, StringOps.build,
     DateOps.build, ParserOps.build, WriterOps.build, LookupOps.build,
-    LlmOps.build)
+    LlmOps.build, ExternalOps.build)
 
   def compile(spec: DirectiveSpec): PipeOp =
     (userBuilders ++ system).iterator

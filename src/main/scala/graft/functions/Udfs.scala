@@ -335,4 +335,107 @@ object Udfs {
   }
   val parseCurrencyUdf: UserDefinedFunction = udf(parseCurrency _)
   val formatCurrencyUdf: UserDefinedFunction = udf(formatCurrency _)
+
+  // ---- dedup kernels ---------------------------------------------------
+  // Per-row MinHash/SimHash signatures as tight JIT'd loops. The
+  // relational parts of dedup (banding, bucket shuffles, candidate
+  // joins, Jaccard verification) stay native DataFrame ops; only the
+  // per-document kernel lives here, because Catalyst higher-order
+  // functions are CodegenFallback (interpreted per element) and
+  // re-evaluate captured subexpressions per element — a 100x slowdown
+  // measured against this implementation.
+
+  private val wsRun = java.util.regex.Pattern.compile("\\s+")
+
+  /** Same normalization as graft.llm.Dedup.normalized (keep in sync). */
+  def normalizeText(text: String): String = {
+    if (text == null) return ""
+    val sb = new StringBuilder(text.length)
+    var i = 0
+    while (i < text.length) {
+      val c = Character.toLowerCase(text.charAt(i))
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+        Character.isWhitespace(c)) sb.append(c)
+      i += 1
+    }
+    wsRun.matcher(sb.toString.trim).replaceAll(" ")
+  }
+
+  /** 64-bit hashes of the k-char shingles of the normalized text,
+    * distinct. FNV-1a rolling over the window (public-domain hash).
+    */
+  def shingleHashSet(text: String, k: Int): Array[Long] = {
+    val norm = normalizeText(text)
+    if (norm.isEmpty) return Array.empty
+    val n = math.max(norm.length - k + 1, 1)
+    val set = new java.util.HashSet[Long](n * 2)
+    var i = 0
+    while (i < n) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      val end = math.min(i + k, norm.length)
+      var p = i
+      while (p < end) {
+        h ^= norm.charAt(p)
+        h *= 0x100000001b3L
+        p += 1; j += 1
+      }
+      set.add(h)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var x = 0
+    while (it.hasNext) { out(x) = it.next(); x += 1 }
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  /** MinHash signature: numHashes affine rehashes (a*h+b with natural
+    * 64-bit wraparound) over the shingle hash set.
+    */
+  def minhashSig(text: String, numHashes: Int, shingleK: Int, seed: Long): Array[Long] = {
+    val sh = shingleHashSet(text, shingleK)
+    val rnd = new java.util.Random(seed)
+    val as = Array.fill(numHashes)(rnd.nextLong() | 1L)
+    val bs = Array.fill(numHashes)(rnd.nextLong())
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var si = 0
+    while (si < sh.length) {
+      val h = sh(si)
+      var i = 0
+      while (i < numHashes) {
+        val v = as(i) * h + bs(i)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      si += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over whitespace tokens of the normalized text. */
+  def simhashSig(text: String): Long = {
+    val norm = normalizeText(text)
+    if (norm.isEmpty) return 0L
+    val votes = new Array[Int](64)
+    for (tok <- norm.split(" ") if tok.nonEmpty) {
+      var h = 0xcbf29ce484222325L
+      var p = 0
+      while (p < tok.length) { h ^= tok.charAt(p); h *= 0x100000001b3L; p += 1 }
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  val shingleSetUdf: UserDefinedFunction = udf(shingleHashSet _)
+  val minhashSigUdf: UserDefinedFunction = udf(minhashSig _)
+  val simhashSigUdf: UserDefinedFunction = udf(simhashSig _)
 }

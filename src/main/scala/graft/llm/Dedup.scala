@@ -15,7 +15,11 @@ import org.apache.spark.sql.types._
   *  - SimHash = 64-bit signature banded into 16-bit chunks, same
   *    bucket-join pattern, Hamming verify via native bit_count(xor).
   *
-  * Everything is `functions._` (codegen'd); no UDFs.
+  * The relational structure (shuffles, joins, filters) is all native
+  * DataFrame ops; the per-document signature kernels are JIT'd
+  * functions (see graft.functions.Udfs) because Catalyst higher-order
+  * functions are CodegenFallback and re-evaluate captured
+  * subexpressions per array element.
   */
 object Dedup {
 
@@ -41,26 +45,6 @@ object Dedup {
       .select(cols.map(c => col(s"__r.$c").as(c)).toSeq: _*)
   }
 
-  /** Character shingles of the normalized text, distinct, hashed to
-    * 64-bit. `k` is the shingle width.
-    */
-  def shingleHashes(text: Column, k: Int): Column = {
-    val norm = normalized(text)
-    array_distinct(
-      transform(sequence(lit(1), greatest(length(norm) - lit(k - 1), lit(1))),
-        i => xxhash64(norm.substr(i, lit(k)))))
-  }
-
-  /** MinHash signature of a shingle-hash array: `numHashes` independent
-    * hash functions realized as xxhash64(shingleHash, i) — overflow-free
-    * under ANSI mode and as uniform as the affine construction — min per
-    * hash function.
-    */
-  def minhashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingles, h => xxhash64(h, lit(seed), lit(i))))
-    }: _*)
-
   /** Candidate duplicate pairs by banded LSH + exact Jaccard verify.
     *
     * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
@@ -74,19 +58,25 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
 
+    // per-document kernel (shingle set + signature) is a JIT'd function —
+    // Catalyst higher-order functions are CodegenFallback and re-evaluate
+    // captured expressions per element (measured 100x slower here)
     val base = df.select(
       col(idCol).as("__id"),
-      shingleHashes(col(textCol), shingleK).as("__sh"))
+      graft.functions.Udfs.shingleSetUdf(col(textCol), lit(shingleK)).as("__sh"),
+      graft.functions.Udfs.minhashSigUdf(col(textCol), lit(numHashes),
+        lit(shingleK), lit(42L)).as("__sig"))
       .filter(size(col("__sh")) > 0)
-      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
-      .cache() // reused by bucket join + verification joins
+      .persist()
+    base.count() // eager: signatures compute exactly once, not per join branch
 
     // (band, bucketHash, id): one row per band per doc
     val buckets = base.select(
       col("__id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"),
-          xxhash64(to_json(slice(col("__sig"), b * r + 1, lit(r)))).as("bucket"))))
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * r until (b + 1) * r)
+            .map(i => element_at(col("__sig"), i + 1)): _*).as("bucket"))): _*))
         .as("__bb"))
       .select(col("__id"), col("__bb.band").as("__band"),
         col("__bb.bucket").as("__bucket"))
@@ -123,21 +113,9 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** 64-bit SimHash over whitespace tokens (sign of per-bit vote sums),
-    * fully native via nested higher-order functions.
-    */
-  def simhash64(text: Column): Column = {
-    val tokens = filter(split(normalized(text), " "), t => length(t) > 0)
-    val hashes = transform(tokens, t => xxhash64(t))
-    // per-bit majority vote, folded into one long; bit masks are Scala-side
-    // literals so the whole signature is a single codegen'd expression
-    (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
-      val mask = lit(1L << j)
-      val vote = aggregate(hashes, lit(0),
-        (a, h) => a + when(h.bitwiseAND(mask) =!= 0, 1).otherwise(-1))
-      acc.bitwiseOR(when(vote > 0, mask).otherwise(lit(0L)))
-    }
-  }
+  /** 64-bit SimHash over whitespace tokens (sign of per-bit vote sums). */
+  def simhash64(text: Column): Column =
+    graft.functions.Udfs.simhashSigUdf(text)
 
   /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
     * chunks (any shared chunk ⇒ candidate, guaranteeing recall for
@@ -146,7 +124,8 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sigs = df.select(col(idCol).as("__id"),
-      simhash64(col(textCol)).as("__sig"))
+      simhash64(col(textCol)).as("__sig")).persist()
+    sigs.count() // eager: signature computed once, not per self-join side
     val banded = sigs.select(col("__id"), col("__sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

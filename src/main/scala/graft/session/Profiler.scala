@@ -1,0 +1,77 @@
+package graft.session
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column profiling — the Spark-native equivalent of the reference's
+  * BasicStatistics + chlorine semantic-type detection
+  * (reference: wrangler-core statistics/BasicStatistics.java:36-83,
+  * service `/summary` endpoint DirectivesHandler.java:654-658).
+  *
+  * One aggregation pass over the data produces, per column: null/empty/
+  * non-null frequencies and semantic-type frequencies (email, URL, IP,
+  * credit-card, date, phone, zip) via the same regex classifiers as the
+  * dq: namespace. Single job, map-side combine — no per-column scans.
+  */
+object Profiler {
+
+  private val semanticRegexes: Seq[(String, String)] = Seq(
+    "email" -> "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$",
+    "url" -> "^(https?|ftp)://[^\\s/$.?#].[^\\s]*$",
+    "ipv4" -> "^((25[0-5]|2[0-4]\\d|[01]?\\d?\\d)\\.){3}(25[0-5]|2[0-4]\\d|[01]?\\d?\\d)$",
+    "credit_card" -> "^\\d{13,19}$",
+    "date" -> "^\\d{4}-\\d{2}-\\d{2}$",
+    "phone" -> "^\\+?[0-9. ()-]{7,15}$",
+    "zip" -> "^\\d{5}(-\\d{4})?$")
+
+  /** Wide single-pass stats: one output row, 3+K cells per column. */
+  private def aggExprs(df: DataFrame): Seq[Column] =
+    df.columns.toSeq.flatMap { c =>
+      val s = col(c).cast(StringType)
+      Seq(
+        count(lit(1)).as(s"${c}__total"),
+        count(when(col(c).isNull, 1)).as(s"${c}__null"),
+        count(when(s === "", 1)).as(s"${c}__empty")) ++
+        semanticRegexes.map { case (name, re) =>
+          count(when(regexp_like(s, lit(re)), 1)).as(s"${c}__$name")
+        }
+    }
+
+  /** Long-format profile: (column, measure, count, fraction). */
+  def profile(df: DataFrame): DataFrame = {
+    val wide = df.agg(aggExprs(df).head, aggExprs(df).tail: _*)
+    val measures = Seq("total", "null", "empty") ++ semanticRegexes.map(_._1)
+    val stacked = df.columns.toSeq.flatMap { c =>
+      measures.map { m =>
+        struct(lit(c).as("column"), lit(m).as("measure"),
+          col(s"${c}__$m").as("count"),
+          round(col(s"${c}__$m").cast(DoubleType) /
+            greatest(col(s"${c}__total"), lit(1L)), 6).as("fraction"))
+      }
+    }
+    wide.select(explode(array(stacked: _*)).as("p")).select("p.*")
+  }
+}
+
+/** Workspace sampling strategies (reference: wrangler-core
+  * sampling/{Bernoulli,Poisson,Reservoir}.java, chosen via
+  * wrangler-service SamplingMethod.java:27-30 — first|poisson|bernoulli|
+  * reservoir).
+  */
+object Sampler {
+  def first(df: DataFrame, n: Int): DataFrame = df.limit(n)
+
+  def bernoulli(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
+    df.sample(withReplacement = false, fraction, seed)
+
+  def poisson(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
+    df.sample(withReplacement = true, fraction, seed)
+
+  /** Uniform fixed-size sample via distributed reservoir (takeSample). */
+  def reservoir(df: DataFrame, n: Int, seed: Long = 42L): DataFrame = {
+    val rows = df.rdd.takeSample(withReplacement = false, n, seed)
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(rows.toSeq), df.schema)
+  }
+}
