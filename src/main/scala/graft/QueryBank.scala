@@ -295,7 +295,154 @@ object QueryBank {
 
     ("ann_lsh_topk",
       (s, d) => annLsh(s, d),
-      null) // approximate probe set — rows-only; recall covered by ScalaTest
+      null), // approximate probe set — rows-only; recall covered by ScalaTest
+
+    // ---- §2.1 parsers, second wave ---------------------------------
+    ("parse_xml_to_json",
+      (s, d) => r("set-column :x exp:{ concat('<r><seg>', c_mktsegment, '</seg></r>') }; parse-xml-to-json :x; json-path :x :seg '$.r.seg'; keep :c_custkey,:seg")(cust(s, d)),
+      "SELECT c_custkey, c_mktsegment AS seg FROM customer"),
+
+    ("xpath_array",
+      (s, d) => r("set-column :x exp:{ concat('<r><v>', c_mktsegment, '</v><v>', c_name, '</v></r>') }; xpath-array :x :vals '/r/v/text()'; keep :c_custkey,:vals")(cust(s, d)),
+      "SELECT c_custkey, [c_mktsegment, c_name] AS vals FROM customer"),
+
+    ("set_charset",
+      (s, d) => r("copy :c_name :bin; set-type :bin bytes; set-charset :bin 'utf-8'; keep :c_custkey,:c_name,:bin")(cust(s, d)),
+      "SELECT c_custkey, c_name, c_name AS bin FROM customer"),
+
+    ("parse_as_log",
+      (s, d) => r("set-column :log exp:{ concat('10.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] \"GET /page/', c_custkey, ' HTTP/1.0\" 200 2326') }; parse-as-log :log common; keep :c_custkey,:log_remote_host,:log_method,:log_uri,:log_status")(cust(s, d)),
+      "SELECT c_custkey, '10.0.0.1' AS log_remote_host, 'GET' AS log_method, '/page/' || c_custkey AS log_uri, '200' AS log_status FROM customer"),
+
+    ("parse_as_date",
+      (s, d) => r("copy :o_orderdate :ds; format-date :ds 'MM/dd/yyyy'; parse-as-date :ds; format-date :ds 'yyyy-MM-dd'; keep :o_orderkey,:ds")(ord(s, d)),
+      "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS ds FROM orders"),
+
+    ("parse_as_datetime",
+      (s, d) => r("copy :o_orderdate :ts; format-date :ts 'yyyy-MM-dd HH:mm:ss'; parse-as-datetime :ts 'yyyy-MM-dd HH:mm:ss'; format-datetime :ts 'yyyy-MM-dd HH:mm'; keep :o_orderkey,:ts")(ord(s, d)),
+      "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M') AS ts FROM orders"),
+
+    ("parse_as_currency",
+      (s, d) => r("set-column :cur exp:{ '$1,234.56' }; parse-as-currency :cur :amount; keep :c_custkey,:amount")(cust(s, d)),
+      "SELECT c_custkey, CAST(1234.56 AS DOUBLE) AS amount FROM customer"),
+
+    ("format_as_currency",
+      (s, d) => r("format-as-currency :c_acctbal :formatted; keep :c_custkey,:formatted")(cust(s, d)),
+      null), // locale NumberFormat rendering — rows-only; parse side is oracled
+
+    ("set_record_delim",
+      (s, d) => r("set-column :parts exp:{ concat(c_mktsegment, '|', c_name) }; set-record-delim :parts '|'; keep :c_custkey,:parts")(cust(s, d)),
+      "SELECT c_custkey, unnest([c_mktsegment, c_name]) AS parts FROM customer"),
+
+    // ---- §2.2 writers, second wave ---------------------------------
+    ("write_as_csv",
+      (s, d) => r("keep :n_nationkey,:n_name; write-as-csv :line")(nat(s, d)),
+      "SELECT n_nationkey, n_name, n_nationkey || ',' || n_name AS line FROM nation"),
+
+    ("write_as_json_map",
+      (s, d) => r("keep :n_nationkey,:n_name; write-as-json-map :payload")(nat(s, d)),
+      """SELECT n_nationkey, n_name, '{"n_nationkey":' || n_nationkey || ',"n_name":"' || n_name || '"}' AS payload FROM nation"""),
+
+    // ---- §2.4 row ops, second wave ---------------------------------
+    ("send_to_error_and_continue",
+      (s, d) => r("send-to-error-and-continue exp:{ o_totalprice > 150000 }; keep :o_orderkey,:o_totalprice")(ord(s, d)),
+      "SELECT o_orderkey, o_totalprice FROM orders"),
+
+    ("flatten",
+      (s, d) => r("set-column :parts exp:{ split(c_name, '#') }; flatten :parts; keep :c_custkey,:parts")(cust(s, d)),
+      "SELECT c_custkey, unnest(string_split(c_name, '#')) AS parts FROM customer"),
+
+    ("set_variable",
+      (s, d) => r("set-variable doubled c_acctbal * 2; keep :c_custkey,:doubled")(cust(s, d)),
+      "SELECT c_custkey, c_acctbal * 2 AS doubled FROM customer"),
+
+    ("increment_variable",
+      (s, d) => r("increment-variable counter 1 c_acctbal > 0; keep :c_custkey,:counter")(cust(s, d)),
+      null), // running count is input-order-dependent — rows-only
+
+    // ---- §2.5 strings, second wave ---------------------------------
+    ("split_deprecated",
+      (s, d) => r("split :c_name '#' :head :tail; keep :c_custkey,:head,:tail")(cust(s, d)),
+      "SELECT c_custkey, string_split(c_name, '#')[1] AS head, string_split(c_name, '#')[2] AS tail FROM customer"),
+
+    ("indexsplit",
+      (s, d) => r("indexsplit :c_name 1 8 :prefix; keep :c_custkey,:prefix")(cust(s, d)),
+      "SELECT c_custkey, c_name[1:8] AS prefix FROM customer"),
+
+    ("split_url",
+      (s, d) => r("set-column :url exp:{ concat('https://example.com/p/', c_custkey, '?q=', c_mktsegment) }; split-url :url; keep :c_custkey,:url_protocol,:url_host,:url_path,:url_query,:url_port")(cust(s, d)),
+      "SELECT c_custkey, 'https' AS url_protocol, 'example.com' AS url_host, '/p/' || c_custkey AS url_path, 'q=' || c_mktsegment AS url_query, CAST(NULL AS INT) AS url_port FROM customer"),
+
+    ("url_encode",
+      (s, d) => r("set-column :s exp:{ concat(c_mktsegment, ' ', c_custkey) }; url-encode :s; keep :c_custkey,:s")(cust(s, d)),
+      "SELECT c_custkey, replace(c_mktsegment || ' ' || c_custkey, ' ', '+') AS s FROM customer"),
+
+    ("url_decode",
+      (s, d) => r("set-column :s exp:{ concat(c_mktsegment, ' x ', c_custkey) }; url-encode :s; url-decode :s; keep :c_custkey,:s")(cust(s, d)),
+      "SELECT c_custkey, c_mktsegment || ' x ' || c_custkey AS s FROM customer"),
+
+    ("text_distance_lev",
+      (s, d) => r("text-distance levenshtein :c_name :c_mktsegment :dist; keep :c_custkey,:dist")(cust(s, d)),
+      "SELECT c_custkey, CAST(levenshtein(c_name, c_mktsegment) AS DOUBLE) AS dist FROM customer"),
+
+    ("text_metric_jaccard",
+      (s, d) => r("text-metric jaccard :c_name :c_name :sim; keep :c_custkey,:sim")(cust(s, d)),
+      "SELECT c_custkey, CAST(1.0 AS DOUBLE) AS sim FROM customer"),
+
+    ("stemming",
+      (s, d) => r("stemming :c_mktsegment; keep :c_custkey,:c_mktsegment_porter")(cust(s, d)),
+      null), // porter algorithm not DuckDB-expressible — rows-only
+
+    ("mask_shuffle",
+      (s, d) => r("mask-shuffle :c_name; keep :c_custkey,:c_name")(cust(s, d)),
+      null), // seeded per-value shuffle — rows-only
+
+    ("generate_uuid",
+      (s, d) => r("generate-uuid :uid; keep :c_custkey,:uid")(cust(s, d)),
+      null), // nondeterministic by design — rows-only
+
+    // ---- §2.6 datetime, second wave --------------------------------
+    ("datetime_roundtrip",
+      (s, d) => r("copy :o_orderdate :ts; format-date :ts 'yyyy-MM-dd HH:mm:ss'; parse-as-datetime :ts 'yyyy-MM-dd HH:mm:ss'; datetime-to-timestamp :ts 'UTC'; timestamp-to-datetime :ts 'UTC'; format-datetime :ts 'yyyy-MM-dd'; keep :o_orderkey,:ts")(ord(s, d)),
+      "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS ts FROM orders"),
+
+    ("current_datetime",
+      (s, d) => r("current-datetime :now; set-column :has_now exp:{ IsNotNull(now) }; keep :o_orderkey,:has_now")(ord(s, d)),
+      "SELECT o_orderkey, true AS has_now FROM orders"),
+
+    // ---- §2.7 lookups, second wave ---------------------------------
+    ("catalog_lookup",
+      (s, d) => Wrangle.recipe("catalog-lookup region :n_regionkey; keep :n_nationkey,:n_regionkey,:n_regionkey_region_description")
+        .withCatalog("region", s.read.parquet(s"$d/region.parquet"))
+        .apply(nat(s, d)),
+      "SELECT n_nationkey, n_regionkey, r_name AS n_regionkey_region_description FROM nation LEFT JOIN region ON n_regionkey = r_regionkey"),
+
+    // ---- §2.8 validation / profiling -------------------------------
+    ("validate_standard",
+      (s, d) => r("""set-column :j exp:{ c_custkey % 2 == 0 ? concat('{"k":', c_custkey, '}') : 'notjson' }; validate-standard :j; keep :c_custkey,:j""")(cust(s, d)),
+      """SELECT c_custkey, '{"k":' || c_custkey || '}' AS j FROM customer WHERE c_custkey % 2 = 0"""),
+
+    ("profile_columns",
+      (s, d) => graft.session.Profiler.profile(
+        cust(s, d).selectExpr("c_name", "c_mktsegment")),
+      profileSql),
+
+    // ---- §2.9 expressions, second wave -----------------------------
+    ("expr_global_format",
+      (s, d) => r("set-column :v exp:{ format('%s-%d', c_mktsegment, c_custkey) }; keep :c_custkey,:v")(cust(s, d)),
+      "SELECT c_custkey, printf('%s-%d', c_mktsegment, c_custkey) AS v FROM customer"),
+
+    ("expr_logical",
+      (s, d) => r("set-column :v exp:{ logical:BitAnd(c_custkey, 255) }; set-column :w exp:{ logical:BitXor(c_custkey, 15) }; keep :c_custkey,:v,:w")(cust(s, d)),
+      "SELECT c_custkey, c_custkey & 255 AS v, xor(c_custkey, 15) AS w FROM customer"),
+
+    ("expr_json_fns",
+      (s, d) => r("""set-column :j exp:{ concat('[1,2,', c_custkey, ']') }; set-column :n exp:{ json:ArrayLength(j) }; set-column :sel exp:{ json:Select(j, '$[0]') }; keep :c_custkey,:n,:sel""")(cust(s, d)),
+      "SELECT c_custkey, CAST(3 AS INT) AS n, '1' AS sel FROM customer"),
+
+    ("expr_datetime_fns",
+      (s, d) => r("set-column :doy exp:{ date:DAY_OF_YEAR(o_orderdate) }; set-column :q exp:{ date:QUARTER(o_orderdate) }; set-column :ld exp:{ datetime:LastDayOfMonth(o_orderdate) }; format-date :ld 'yyyy-MM-dd'; keep :o_orderkey,:doy,:q,:ld")(ord(s, d)),
+      "SELECT o_orderkey, CAST(dayofyear(o_orderdate) AS INT) AS doy, CAST(quarter(o_orderdate) AS INT) AS q, strftime(last_day(o_orderdate), '%Y-%m-%d') AS ld FROM orders")
   )
 
   private def docs(s: SparkSession, dir: String) =
@@ -320,6 +467,29 @@ object QueryBank {
        | WHEN cen >= ces AND cen >= cfr THEN 'en'
        | WHEN ces >= cfr THEN 'es'
        | ELSE 'fr' END AS text_lang FROM c""".stripMargin
+  }
+
+  /** DuckDB mirror of Profiler.profile over (c_name, c_mktsegment):
+    * same measures, same regexes, long format.
+    */
+  private val profileSql: String = {
+    val measures =
+      Seq("total" -> null, "null" -> null, "empty" -> null) ++
+        graft.session.Profiler.semanticRegexes
+    val parts = for {
+      c <- Seq("c_name", "c_mktsegment")
+      (m, re) <- measures
+    } yield {
+      val cnt = m match {
+        case "total" => "count(*)"
+        case "null"  => s"count(*) FILTER (WHERE $c IS NULL)"
+        case "empty" => s"count(*) FILTER (WHERE CAST($c AS VARCHAR) = '')"
+        case _ => s"count(*) FILTER (WHERE regexp_full_match(CAST($c AS VARCHAR), '${re.replace("'", "''")}'))"
+      }
+      s"SELECT '$c' AS \"column\", '$m' AS measure, $cnt AS count, " +
+        s"round($cnt * 1.0 / greatest(count(*), 1), 6) AS fraction FROM customer"
+    }
+    parts.mkString(" UNION ALL ")
   }
 
   private def annBrute(s: SparkSession, d: String): DataFrame = {

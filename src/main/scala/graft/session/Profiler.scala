@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
   */
 object Profiler {
 
-  private val semanticRegexes: Seq[(String, String)] = Seq(
+  val semanticRegexes: Seq[(String, String)] = Seq(
     "email" -> "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$",
     "url" -> "^(https?|ftp)://[^\\s/$.?#].[^\\s]*$",
     "ipv4" -> "^((25[0-5]|2[0-4]\\d|[01]?\\d?\\d)\\.){3}(25[0-5]|2[0-4]\\d|[01]?\\d?\\d)$",
