@@ -440,6 +440,38 @@ object QueryBank {
       (s, d) => r("""set-column :j exp:{ concat('[1,2,', c_custkey, ']') }; set-column :n exp:{ json:ArrayLength(j) }; set-column :sel exp:{ json:Select(j, '$[0]') }; keep :c_custkey,:n,:sel""")(cust(s, d)),
       "SELECT c_custkey, CAST(3 AS INT) AS n, '1' AS sel FROM customer"),
 
+    ("bpeish_token_count",
+      (s, d) => docs(s, d).select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        graft.llm.TextAnalysis.bpeishTokenCount(
+          org.apache.spark.sql.functions.col("text")).as("n_subtokens")),
+      """SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens FROM documents"""),
+
+    ("multimodal_metadata",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val withBin = docs(s, d).select(col("doc_id"),
+          col("text").cast("binary").as("payload"))
+        graft.llm.Multimodal.attachMetadata(withBin, "payload", "image", "png")
+          .select(col("doc_id"),
+            col("payload_meta.n_bytes").as("n_bytes"),
+            col("payload_meta.checksum").as("checksum"),
+            col("payload_meta.media_type").as("media_type"))
+      },
+      "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS checksum, 'image' AS media_type FROM documents"),
+
+    ("multimodal_frames",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val withBin = docs(s, d).select(col("doc_id"),
+          col("text").cast("binary").as("payload"))
+        graft.llm.Multimodal.sampleFrames(withBin, "payload", "doc_id",
+          n = 3, frameBytes = 16)
+          .select(col("doc_id"), col("frame_idx"),
+            col("frame").cast("string").as("frame"))
+      },
+      null), // frame offsets are engine-internal byte math — rows-only
+
     ("expr_datetime_fns",
       (s, d) => r("set-column :doy exp:{ date:DAY_OF_YEAR(o_orderdate) }; set-column :q exp:{ date:QUARTER(o_orderdate) }; set-column :ld exp:{ datetime:LastDayOfMonth(o_orderdate) }; format-date :ld 'yyyy-MM-dd'; keep :o_orderkey,:doy,:q,:ld")(ord(s, d)),
       "SELECT o_orderkey, CAST(dayofyear(o_orderdate) AS INT) AS doy, CAST(quarter(o_orderdate) AS INT) AS q, strftime(last_day(o_orderdate), '%Y-%m-%d') AS ld FROM orders")

@@ -28,7 +28,6 @@ object SparkEntry {
       set-column :charge exp:{ revenue * (1 + l_tax) };
       merge :l_returnflag :l_linestatus :flag_status '_';
       uppercase :flag_status;
-      drop :l_comment_placeholder_none;
       keep :l_orderkey,:l_quantity,:revenue,:charge,:flag_status;
     """).apply(t(dir, "lineitem"))
   }

@@ -30,13 +30,21 @@ final case class WrangleResult(output: DataFrame, errors: DataFrame)
 final class Wrangle private (
     specs: Vector[DirectiveSpec],
     lookups: Map[String, DataFrame],
-    catalogs: Map[String, DataFrame]) {
+    catalogs: Map[String, DataFrame],
+    precondition: Option[String] = None) {
 
   def withLookup(name: String, df: DataFrame): Wrangle =
-    new Wrangle(specs, lookups + (name -> df), catalogs)
+    new Wrangle(specs, lookups + (name -> df), catalogs, precondition)
 
   def withCatalog(name: String, df: DataFrame): Wrangle =
-    new Wrangle(specs, lookups, catalogs + (name -> df))
+    new Wrangle(specs, lookups, catalogs + (name -> df), precondition)
+
+  /** Rows matching the precondition are filtered out before the recipe
+    * runs (reference: wrangler-transform Precondition.java +
+    * Wrangler.java:365-372 — skip-record-if-true).
+    */
+  def withPrecondition(conditionExpr: String): Wrangle =
+    new Wrangle(specs, lookups, catalogs, Some(conditionExpr))
 
   /** Main output only (errors dropped). */
   def apply(df: DataFrame): DataFrame = run(df).output
@@ -48,7 +56,9 @@ final class Wrangle private (
     val spark = df.sparkSession
     val ctx = WrangleContext(spark, lookups, catalogs)
     val needsOrig = specs.exists(s => RowOps.needsOrig(s.name))
-    val init = PipeState.init(df, needsOrig)
+    val pre = precondition.fold(df)(p =>
+      df.filter(!graft.expr.ExprCompiler.compile(p)))
+    val init = PipeState.init(pre, needsOrig)
     val fin = ops.foldLeft(init) { (st, op) => op(st, ctx) }
     val out = PipeState.hiddenCols(fin.df)
       .foldLeft(fin.df)((d, c) => d.drop(c))

@@ -152,6 +152,34 @@ object Functions {
       case "arrays:join"   =>
         array_join(a(0), if (argEs.size > 1) litStr(1) else ",")
 
+      // ---- escape: (reference: commons StringEscapeUtils via EL.java:141-158) ----
+      case "escape:escapehtml" | "escape:escapehtml4" =>
+        translateSeq(a(0), Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;",
+          "\"" -> "&quot;"))
+      case "escape:unescapehtml" | "escape:unescapehtml4" =>
+        translateSeq(a(0), Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+          "&quot;" -> "\"", "&#39;" -> "'"))
+      case "escape:escapexml" | "escape:escapexml11" =>
+        translateSeq(a(0), Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;",
+          "\"" -> "&quot;", "'" -> "&apos;"))
+      case "escape:unescapexml" =>
+        translateSeq(a(0), Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+          "&quot;" -> "\"", "&apos;" -> "'"))
+      case "escape:escapejson" =>
+        translateSeq(a(0), Seq("\\" -> "\\\\", "\"" -> "\\\"", "\n" -> "\\n",
+          "\r" -> "\\r", "\t" -> "\\t"))
+      case "escape:unescapejson" =>
+        translateSeq(a(0), Seq("\\\"" -> "\"", "\\n" -> "\n", "\\r" -> "\r",
+          "\\t" -> "\t", "\\\\" -> "\\"))
+      case "escape:escapecsv" =>
+        when(a(0).contains(",") || a(0).contains("\"") || a(0).contains("\n"),
+          concat(lit("\""), regexp_replace(a(0), "\"", "\"\""), lit("\"")))
+          .otherwise(a(0))
+
+      // ---- geo: point-in-polygon (reference: io.cdap.functions.GeoFences) ----
+      case "geo:infence" => graft.functions.Geo.inFenceUdf(
+        a(0).cast(DoubleType), a(1).cast(DoubleType), a(2))
+
       // ---- types: (reference: functions/Types.java) ----
       case "types:isinteger" => try_to_number_ok(a(0), LongType)
       case "types:isdouble"  => try_to_number_ok(a(0), DoubleType)
@@ -166,6 +194,13 @@ object Functions {
   }
 
   // -- helpers ---------------------------------------------------------
+
+  /** Sequential literal replacements (escape tables). */
+  private def translateSeq(c: Column, pairs: Seq[(String, String)]): Column =
+    pairs.foldLeft(c) { case (acc, (from, to)) =>
+      regexp_replace(acc, java.util.regex.Pattern.quote(from),
+        java.util.regex.Matcher.quoteReplacement(to))
+    }
 
   private def try_cast_ok(c: Column, t: DataType): Column =
     c.try_cast(t).isNotNull

@@ -15,12 +15,13 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(filter(split(text, "\\s+"), t => length(t) > 0))
 
-  /** BPE-ish subword count: word pieces + digits + punctuation runs,
-    * the usual cheap proxy for tokenizer token counts.
+  /** BPE-ish subword count: alphanumeric runs + single non-space
+    * symbols, the usual cheap proxy for tokenizer token counts.
+    * (regexp_count, not lookaround splits — RE2-compatible so the same
+    * pattern works in the DuckDB oracle.)
     */
   def bpeishTokenCount(text: Column): Column =
-    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-      t => length(trim(t)) > 0))
+    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
 
   /** Stopword tables for the n-gram/stopword language heuristic. Small,
     * public, high-frequency function words per language.

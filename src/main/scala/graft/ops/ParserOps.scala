@@ -99,6 +99,15 @@ object ParserOps {
       }
     }
 
+    // v1 parse-as-xml kept the column as a parsed XML handle for the
+    // xpath directives (reference: wrangler-core parser/MigrateToV2.java:437-441);
+    // our xpath functions evaluate directly on the XML string, so this
+    // validates well-formedness (malformed → null) and passes through.
+    case "parse-as-xml" => ColumnOps.simple(spec) { df =>
+      val c = spec.col(0)
+      df.withColumn(c, XmlSupport.xmlValidUdf(col(c).cast(StringType)))
+    }
+
     // native xpath functions (reference v1 ops: wrangler-core
     // parser/MigrateToV2.java:444-460)
     case "xpath" => ColumnOps.simple(spec) { df =>
@@ -216,4 +225,15 @@ object XmlSupport {
     } + "\""
 
   val xmlToJsonUdf: UserDefinedFunction = udf(xmlToJson _)
+
+  /** Pass through well-formed XML, null otherwise (Spark's xpath
+    * expressions raise fatal parse errors on malformed input, so
+    * validation happens here first).
+    */
+  def xmlValid(s: String): String =
+    if (s == null) null
+    else try { scala.xml.XML.loadString(s); s }
+    catch { case _: Exception => null }
+
+  val xmlValidUdf: UserDefinedFunction = udf(xmlValid _)
 }

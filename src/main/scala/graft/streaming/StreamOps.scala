@@ -23,13 +23,25 @@ object StreamOps {
   def wrangleStream(recipe: String, stream: DataFrame): DataFrame =
     Wrangle.recipe(recipe).apply(stream)
 
+  /** Normalize a nanosecond-precision LongType timestamp column (read
+    * with spark.sql.legacy.parquet.nanosAsLong=true — Spark has no
+    * TIMESTAMP(NANOS) parquet type) down to microsecond TimestampType.
+    */
+  def normalizeTs(df: DataFrame, tsCol: String): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(tsCol, timestamp_micros(
+          (col(tsCol) / 1000).cast(org.apache.spark.sql.types.LongType)))
+      case _ => df
+    }
+
   /** Watermarked sliding-window aggregation over an event stream:
     * count + sum(value) per (window, event_type).
     */
   def windowedCounts(events: DataFrame, tsCol: String, typeCol: String,
       valueCol: String, window_ : String = "5 minutes",
       slide: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =
-    events
+    normalizeTs(events, tsCol)
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), window_, slide), col(typeCol))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total_value"))
@@ -40,20 +52,26 @@ object StreamOps {
       closed: Boolean)
 
   /** Keyed session state via mapGroupsWithState: per-user running
-    * aggregates with a processing-time session timeout.
+    * aggregates. `timeoutMs > 0` arms a processing-time session timeout
+    * that closes idle sessions (long-running deployments); `<= 0` uses
+    * NoTimeout — required when driving a bounded batch through
+    * processAllAvailable, which never quiesces under re-arming timers.
     */
-  def sessionize(events: DataFrame, timeoutMs: Long = 30000): DataFrame = {
+  def sessionize(events0: DataFrame, timeoutMs: Long = 0): DataFrame = {
+    val events = normalizeTs(events0, "ts")
     val spark = events.sparkSession
     import spark.implicits._
     val typed = events
       .select(col("user_id").cast("long"), col("ts").cast("timestamp"),
         col("event_type").cast("string"), col("value").cast("double"))
       .as[Event]
+    val timeoutKind =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     typed.groupByKey(_.user_id)
-      .mapGroupsWithState[SessionInfo, SessionInfo](
-        GroupStateTimeout.ProcessingTimeTimeout) {
+      .mapGroupsWithState[SessionInfo, SessionInfo](timeoutKind) {
         (uid: Long, rows: Iterator[Event], state: GroupState[SessionInfo]) =>
-          if (state.hasTimedOut) {
+          if (timeoutMs > 0 && state.hasTimedOut) {
             val s = state.get
             state.remove()
             s.copy(closed = true)
@@ -64,7 +82,7 @@ object StreamOps {
             }
             val next = SessionInfo(uid, n, v, closed = false)
             state.update(next)
-            state.setTimeoutDuration(timeoutMs)
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
             next
           }
       }.toDF()
@@ -76,8 +94,22 @@ object StreamOps {
   def runBatchAsStream(spark: SparkSession, sourceDir: String,
       transform: DataFrame => DataFrame, queryName: String,
       outputMode: OutputMode = OutputMode.Append): DataFrame = {
-    val schema = spark.read.parquet(sourceDir).schema
-    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    // the events table carries TIMESTAMP(NANOS) — readable only as long
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource wants a directory; testdata tables are single
+    // files — stage a symlink dir when given a file
+    val src = {
+      val p = java.nio.file.Paths.get(sourceDir)
+      if (java.nio.file.Files.isDirectory(p)) sourceDir
+      else {
+        val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
+        java.nio.file.Files.createSymbolicLink(
+          dir.resolve(p.getFileName), p.toAbsolutePath)
+        dir.toString
+      }
+    }
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
     val q = transform(stream).writeStream
       .outputMode(outputMode)
       .format("memory")

@@ -1,0 +1,137 @@
+package graft
+
+import graft.api._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class MiscSpec extends SparkSpec {
+
+  test("profiler: one-pass null/empty/semantic-type stats") {
+    val d = df("email STRING, v STRING", Seq(
+      Row("a@b.com", null), Row("not-an-email", ""), Row(null, "x")))
+    val p = graft.session.Profiler.profile(d)
+    val m = p.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("email", "total")) == 3)
+    assert(m(("email", "null")) == 1)
+    assert(m(("email", "email")) == 1)
+    assert(m(("v", "empty")) == 1)
+    assert(m(("v", "null")) == 1)
+  }
+
+  test("samplers produce bounded deterministic-seeded samples") {
+    val d = spark.range(1000).toDF("id")
+    assert(graft.session.Sampler.first(d, 10).count() == 10)
+    val b = graft.session.Sampler.bernoulli(d, 0.1, seed = 1).count()
+    assert(b > 50 && b < 200)
+    assert(graft.session.Sampler.reservoir(d, 25, seed = 1).count() == 25)
+  }
+
+  test("lineage relations derived from recipe AST") {
+    val specs = Wrangle.specs(
+      "rename :a :b; set-column :c exp:{ b * 2 }; drop :d; merge :b :c :e '-';")
+    val rel = graft.session.Lineage.toRows(specs)
+    assert(rel.contains(("rename", "rename", "a", "b")))
+    assert(rel.contains(("set-column", "create", "c", "")))
+    assert(rel.contains(("drop", "drop", "d", "")))
+    assert(rel.contains(("merge", "create", "e", "")))
+  }
+
+  test("UDD: user-registered directive plugs into the recipe language") {
+    Registry.register { spec =>
+      if (spec.name == "exclaim")
+        Some(graft.ops.ColumnOps.simple(spec) { d =>
+          d.withColumn(spec.col(0), concat(col(spec.col(0)), lit("!")))
+        })
+      else None
+    }
+    val d = df("s STRING", Seq(Row("hey")))
+    assert(strings(wrangle("exclaim :s", d), "s") == Seq("hey!"))
+  }
+
+  test("precondition filters rows before the recipe (skip-if-true)") {
+    val d = df("v INT", Seq(Row(1), Row(100)))
+    val out = Wrangle.recipe("set-column :w exp:{ v * 2 };")
+      .withPrecondition("v > 50")
+      .apply(d)
+    assert(out.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((1, 2L)))
+  }
+
+  test("parse-as-avro decodes binary records via schema json") {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    import org.apache.avro.io.EncoderFactory
+    val schemaJson =
+      """{"type":"record","name":"R","fields":[
+        |{"name":"x","type":"int"},{"name":"s","type":"string"}]}""".stripMargin
+    val schema = new Schema.Parser().parse(schemaJson)
+    val rec = new GenericData.Record(schema)
+    rec.put("x", 7); rec.put("s", "ok")
+    val bos = new java.io.ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(bos, null)
+    new GenericDatumWriter[GenericData.Record](schema).write(rec, enc)
+    enc.flush()
+    val d = df("payload BINARY", Seq(Row(bos.toByteArray)))
+    val out = wrangle(
+      s"parse-as-avro :payload '${schemaJson.replaceAll("\\s", "")}'; " +
+        "parse-as-json :payload 1;", d)
+    val row = out.collect().head
+    assert(row.getAs[Long]("payload_x") == 7L)
+    assert(row.getAs[String]("payload_s") == "ok")
+  }
+
+  test("invoke-http posts row JSON and merges the response") {
+    // local loopback server — no egress
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/echo", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val resp = s"""{"echoed":$body,"status":"ok"}""".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val d = df("a INT, b STRING", Seq(Row(1, "x")))
+      val out = wrangle(
+        s"invoke-http 'http://127.0.0.1:$port/echo' :a,:b", d)
+      val resp = out.select("http_response").collect().head.getString(0)
+      assert(resp.contains("\"status\":\"ok\"") && resp.contains("\"a\":1"))
+    } finally server.stop(0)
+  }
+
+  test("validate-standard routes bad JSON to the error channel") {
+    val d = df("j STRING", Seq(Row("""{"a":1}"""), Row("nope")))
+    val res = Wrangle.recipe("validate-standard :j;").run(d)
+    assert(res.output.count() == 1)
+    assert(res.errors.count() == 1)
+  }
+
+  test("geo:InFence point-in-polygon") {
+    val fence =
+      """{"type":"Polygon","coordinates":[[[-1.0,-1.0],[1.0,-1.0],[1.0,1.0],[-1.0,1.0],[-1.0,-1.0]]]}"""
+    val d = df("lat DOUBLE, lon DOUBLE", Seq(Row(0.0, 0.0), Row(5.0, 5.0)))
+    val out = d.withColumn("in",
+      graft.expr.ExprCompiler.compile(s"geo:InFence(lat, lon, '${fence.replace("\"", "\\\"")}')"))
+    assert(out.select("in").collect().map(_.getBoolean(0)).toSeq == Seq(true, false))
+  }
+
+  test("escape namespace: html escape/unescape round-trip") {
+    val d = df("s STRING", Seq(Row("""a<b>&"c"""")))
+    val out = d.withColumn("e",
+        graft.expr.ExprCompiler.compile("escape:escapeHtml(s)"))
+      .withColumn("u", graft.expr.ExprCompiler.compile("escape:unescapeHtml(e)"))
+    val r = out.collect().head
+    assert(r.getAs[String]("e") == "a&lt;b&gt;&amp;&quot;c&quot;")
+    assert(r.getAs[String]("u") == """a<b>&"c"""")
+  }
+
+  test("parse-as-xml validates well-formedness, malformed becomes null") {
+    val d = df("x STRING", Seq(Row("<a><b>1</b></a>"), Row("<broken")))
+    val out = wrangle("parse-as-xml :x", d)
+    val vals = strings(out, "x")
+    assert(vals.head == "<a><b>1</b></a>" && vals(1) == null)
+  }
+}

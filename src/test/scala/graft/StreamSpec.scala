@@ -1,0 +1,49 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamSpec extends SparkSpec {
+
+  private val eventsDir = "/root/testdata/sf0.001"
+
+  test("recipe applies unchanged to a streaming source") {
+    val out = StreamOps.runBatchAsStream(spark, s"$eventsDir/events.parquet",
+      st => StreamOps.wrangleStream(
+        "filter-row exp:{ value > 0 } false; set-column :v2 exp:{ value * 2 };", st),
+      queryName = "stream_recipe")
+    assert(out.count() > 0)
+    assert(out.columns.contains("v2"))
+    val bad = out.filter(col("value") <= 0).count()
+    assert(bad == 0)
+  }
+
+  test("watermarked windowed aggregation over the event stream") {
+    val out = StreamOps.runBatchAsStream(spark, s"$eventsDir/events.parquet",
+      st => StreamOps.windowedCounts(st, "ts", "event_type", "value",
+        window_ = "1 hour", slide = "1 hour"),
+      // Update mode: Append would hold back the newest (still-open)
+      // window until the watermark passes it — correct but untestable
+      // with a single micro-batch
+      queryName = "stream_windows", outputMode = OutputMode.Update)
+    assert(out.columns.toSet == Set("window", "event_type", "n", "total_value"))
+    // batch equivalence: same grouped totals
+    val batch = StreamOps.normalizeTs(
+        spark.read.parquet(s"$eventsDir/events.parquet"), "ts")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(out.agg(sum("n")).head().getLong(0) ==
+      batch.agg(sum("n")).head().getLong(0))
+  }
+
+  test("mapGroupsWithState sessionization emits per-user aggregates") {
+    val out = StreamOps.runBatchAsStream(spark, s"$eventsDir/events.parquet",
+      st => StreamOps.sessionize(st),
+      queryName = "stream_sessions", outputMode = OutputMode.Update)
+    assert(out.count() > 0)
+    val batchUsers = spark.read.parquet(s"$eventsDir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(out.select("user_id").distinct().count() == batchUsers)
+  }
+}
