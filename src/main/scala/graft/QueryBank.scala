@@ -472,6 +472,10 @@ object QueryBank {
       },
       null), // frame offsets are engine-internal byte math — rows-only
 
+    ("data_model_map_column",
+      (s, d) => r("data-model-map-column prop:{field=account_balance,type=long} :c_acctbal; keep :c_custkey,:account_balance")(cust(s, d)),
+      "SELECT c_custkey, CAST(trunc(c_acctbal) AS BIGINT) AS account_balance FROM customer"),
+
     ("expr_datetime_fns",
       (s, d) => r("set-column :doy exp:{ date:DAY_OF_YEAR(o_orderdate) }; set-column :q exp:{ date:QUARTER(o_orderdate) }; set-column :ld exp:{ datetime:LastDayOfMonth(o_orderdate) }; format-date :ld 'yyyy-MM-dd'; keep :o_orderkey,:doy,:q,:ld")(ord(s, d)),
       "SELECT o_orderkey, CAST(dayofyear(o_orderdate) AS INT) AS doy, CAST(quarter(o_orderdate) AS INT) AS q, strftime(last_day(o_orderdate), '%Y-%m-%d') AS ld FROM orders")

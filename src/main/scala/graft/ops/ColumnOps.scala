@@ -103,6 +103,22 @@ object ColumnOps {
       }
     }
 
+    // metadata-driven rename+retype toward a target data-model field
+    // (reference: wrangler-core directives/datamodel/DataModelMapColumn.java:152
+    //  — resolves the target field from an Avro schema glossary; here the
+    //  target name/type arrive via prop:{field=…,type=…} or positionally)
+    case "data-model-map-column" => simple(spec) { df =>
+      val props = spec.tokens.collectFirst { case TProps(p) => p }.getOrElse(Map.empty)
+      val src = spec.col(spec.arity - 1)
+      val target = props.getOrElse("field",
+        if (spec.arity >= 2) spec.col(spec.arity - 2) else src)
+      val typed = props.get("type") match {
+        case Some(t) => castTo(col(src), t, None)
+        case None    => col(src)
+      }
+      df.withColumn(src, typed).withColumnRenamed(src, target)
+    }
+
     case "set-column" | "set" => // v1: `set column <col> <expr>`
       val (target, exprSrc) = if (spec.name == "set") {
         // v1 spelling: `set column dest expr…`
