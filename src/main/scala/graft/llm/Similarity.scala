@@ -18,22 +18,42 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** dot(vec, literal query) as a native expression (double math). */
-  private def dotLit(vec: Column, q: Array[Double]): Column =
-    aggregate(
-      zip_with(vec, lit(q), (x, y) => x.cast(DoubleType) * y),
-      lit(0.0), (acc, x) => acc + x)
+  // Per-row vector math is a JIT'd kernel (same rationale as the dedup
+  // signature kernels: Catalyst higher-order functions are interpreted
+  // per element). The relational shape — scans, top-k, broadcast —
+  // stays native.
+  private def cosineKernel(q: Array[Double]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    udf((v: Seq[Float]) => {
+      if (v == null) null
+      else {
+        var dot = 0.0
+        var n = 0.0
+        var i = 0
+        val len = math.min(v.length, q.length)
+        while (i < len) {
+          val x = v(i).toDouble
+          dot += x * q(i)
+          n += x * x
+          i += 1
+        }
+        val denom = math.sqrt(n) * qn
+        if (denom == 0) java.lang.Double.valueOf(0.0)
+        else java.lang.Double.valueOf(dot / denom)
+      }
+    })
+  }
 
   private def normLit(q: Array[Double]): Double =
     math.sqrt(q.map(x => x * x).sum)
 
-  /** L2 norm of the embedding column. */
+  /** L2 norm of the embedding column (native, for composability). */
   def l2norm(vec: Column): Column =
     sqrt(aggregate(vec, lit(0.0),
       (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
 
   def cosineToQuery(vec: Column, q: Array[Double]): Column =
-    dotLit(vec, q) / (l2norm(vec) * lit(normLit(q)))
+    cosineKernel(q)(vec)
 
   /** Exact brute-force top-k by cosine similarity to a query vector.
     * Deterministic tiebreak on id.
@@ -50,11 +70,29 @@ object Similarity {
     Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Signed-projection LSH signature (`bits`-bit bucket id). */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
-      acc.bitwiseOR(when(dotLit(vec, p) >= 0, lit(1L << i)).otherwise(0L))
-    }
+  /** Signed-projection LSH signature (`bits`-bit bucket id) — one JIT'd
+    * pass over the vector for all planes.
+    */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val kernel = udf((v: Seq[Float]) => {
+      if (v == null) null
+      else {
+        var sig = 0L
+        var b = 0
+        while (b < planes.length) {
+          val p = planes(b)
+          var dot = 0.0
+          var i = 0
+          val len = math.min(v.length, p.length)
+          while (i < len) { dot += v(i).toDouble * p(i); i += 1 }
+          if (dot >= 0) sig |= (1L << b)
+          b += 1
+        }
+        java.lang.Long.valueOf(sig)
+      }
+    })
+    kernel(vec)
+  }
 
   /** Bucketed approximate top-k: probe the query's bucket and all
     * buckets within `probeHamming` bit flips (multi-probe LSH), exact
@@ -91,12 +129,22 @@ object Similarity {
   def crossTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, qidCol: String, qvecCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dot = aggregate(
-      zip_with(col(vecCol), col(qvecCol), (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
-    val cos = dot / (l2norm(col(vecCol)) * l2norm(col(qvecCol)))
+    val pairCosine = udf((a: Seq[Float], b: Seq[Float]) => {
+      if (a == null || b == null) null
+      else {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        val len = math.min(a.length, b.length)
+        while (i < len) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        val denom = math.sqrt(na) * math.sqrt(nb)
+        if (denom == 0) java.lang.Double.valueOf(0.0)
+        else java.lang.Double.valueOf(dot / denom)
+      }
+    })
     val scored = corpus.join(broadcast(queries))
-      .withColumn("cosine", cos)
+      .withColumn("cosine", pairCosine(col(vecCol), col(qvecCol)))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
     scored.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
