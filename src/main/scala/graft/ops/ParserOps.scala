@@ -22,9 +22,16 @@ object ParserOps {
     case "parse-as-csv" => new PipeOp {
       def name = spec.name
       def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
-        val c = spec.col(0)
-        val delim = spec.optStr(1).getOrElse(",")
-        val header = spec.optBool(2, default = false)
+        // v1 wrote the delimiter unquoted (`parse-as-csv body , true`),
+        // which the lexer folds into a comma-list — unfold it here
+        val (c, delim, header) = spec.tokens.headOption match {
+          case Some(TList(items)) if items.size >= 2 =>
+            (items.head.text, ",",
+              items.last.text.equalsIgnoreCase("true"))
+          case _ =>
+            (spec.col(0), spec.optStr(1).getOrElse(","),
+              spec.optBool(2, default = false))
+        }
         val qd = java.util.regex.Pattern.quote(delim)
         val parts = split(col(c), qd)
         if (header) {

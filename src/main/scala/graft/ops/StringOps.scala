@@ -174,10 +174,12 @@ object StringOps {
       df.withColumn(c, if (encodeHex) hexed else unhex(hexed))
     }
 
+    // native codegen'd expression (not a UDF) — keeps masking-heavy
+    // recipes inside whole-stage codegen
     case "mask-number" => ColumnOps.simple(spec) { df =>
       val c = spec.col(0)
-      df.withColumn(c,
-        Udfs.maskNumberUdf(col(c).cast(StringType), lit(spec.str(1))))
+      df.withColumn(c, org.apache.spark.sql.graftx.functions.mask_number(
+        col(c).cast(StringType), lit(spec.str(1))))
     }
 
     case "mask-shuffle" => ColumnOps.simple(spec) { df =>

@@ -1,0 +1,89 @@
+/* Native Catalyst expressions for graft.
+ *
+ * Lives under org.apache.spark.sql so it can use the private[sql]
+ * Column<->Expression bridge (classic.ExpressionUtils) — the supported
+ * route for libraries shipping custom expressions on Spark 4.
+ */
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen._
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** mask-number as a whole-stage-codegen'd expression: '#' keeps the
+  * digit, 'x' masks, literal chars pass through (consume-if-equal)
+  * (reference semantics: wrangler-core
+  * directives/transformation/MaskNumber.java:121-146).
+  *
+  * The scalar kernel is shared with the UDF fallback
+  * ([[graft.functions.Udfs.maskNumber]]); this form stays inside
+  * codegen so a masking-heavy recipe doesn't break the generated
+  * pipeline into interpreted islands.
+  */
+case class MaskNumberExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(value: Any, pattern: Any): Any =
+    UTF8String.fromString(graft.functions.Udfs.maskNumber(
+      value.asInstanceOf[UTF8String].toString,
+      pattern.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, p) =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.Udfs.maskNumber($v.toString(), $p.toString()));
+         |""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MaskNumberExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** FNV-1a 64-bit hash of a string — codegen'd kernel shared with the
+  * dedup pipeline's shingle hashing, exposed as an expression for
+  * recipes that need a stable cheap hash column.
+  */
+case class Fnv64Expr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(value: Any): Any = {
+    val s = value.asInstanceOf[UTF8String].toString
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    java.lang.Long.valueOf(h)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""String s = $v.toString();
+         |long h = 0xcbf29ce484222325L;
+         |for (int i = 0; i < s.length(); i++) {
+         |  h ^= s.charAt(i); h *= 0x100000001b3L;
+         |}
+         |${ev.value} = h;
+         |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv64Expr =
+    copy(child = newChild)
+}
+
+/** Column-level API for the native expressions. */
+object functions {
+  def mask_number(col: Column, pattern: Column): Column =
+    ExpressionUtils.column(MaskNumberExpr(
+      ExpressionUtils.expression(col), ExpressionUtils.expression(pattern)))
+
+  def fnv64(col: Column): Column =
+    ExpressionUtils.column(Fnv64Expr(ExpressionUtils.expression(col)))
+}

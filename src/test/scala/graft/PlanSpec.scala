@@ -64,4 +64,28 @@ class PlanSpec extends SparkSpec {
       "filter-by-regex if-matched :l_returnflag 'A'; filter-empty-or-null :l_orderkey;", li)
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("mask-number compiles to a native codegen expression, not a UDF") {
+    // parquet-backed (a local relation would be constant-folded away)
+    val src = spark.read.parquet(s"$dir/customer.parquet")
+    val out = wrangle("mask-number :c_name 'xxxxxxxx#'", src)
+    assert(out.select("c_name").head().getString(0).startsWith("xxxxxxxx"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && plan.toLowerCase.contains("masknumber"),
+      s"expected native expression:\n$plan")
+    // value agrees with the shared kernel
+    val masked = out.select("c_name").head().getString(0)
+    val raw = src.select("c_name").head().getString(0)
+    assert(masked == graft.functions.Udfs.maskNumber(raw, "xxxxxxxx#"))
+  }
+
+  test("fnv64 native expression matches the JVM kernel") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val d = spark.range(1).select(lit("hello world").as("s"))
+    val got = d.select(org.apache.spark.sql.graftx.functions.fnv64(col("s")))
+      .head().getLong(0)
+    var h = 0xcbf29ce484222325L
+    "hello world".foreach { c => h ^= c; h *= 0x100000001b3L }
+    assert(got == h)
+  }
 }

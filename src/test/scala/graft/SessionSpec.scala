@@ -1,0 +1,43 @@
+package graft
+
+import graft.session.{Usage, WrangleSession}
+
+class SessionSpec extends SparkSpec {
+
+  test("workspace lifecycle: create, execute, schema, summary") {
+    val sess = new WrangleSession(spark)
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    sess.createWorkspace("w1", cust, method = "first", n = 100)
+
+    val res = sess.execute("w1",
+      "set-column :bal2 exp:{ c_acctbal * 2 }; send-to-error exp:{ c_acctbal < 0 };")
+    assert(res.rows.nonEmpty)
+    assert(res.rows.head.contains("bal2"))
+    assert(res.schemaDdl.contains("bal2"))
+    assert(res.errorCount >= 0)
+
+    // schema derivation without execution
+    val ddl = sess.schema("w1", "keep :c_custkey,:c_name; rename :c_name :nm;")
+    assert(ddl.contains("nm") && !ddl.contains("c_acctbal"))
+
+    // profile of the wrangled sample
+    val prof = sess.summary("w1", "keep :c_name;")
+    assert(prof.filter("column = 'c_name' AND measure = 'total'").count() == 1)
+    sess.dropWorkspace("w1")
+  }
+
+  test("usage registry lists every registered directive") {
+    assert(Usage.directives.size > 80)
+    // every listed directive must actually resolve in the engine
+    // (compile may fail on missing args, but never on unknown name)
+    Usage.directives.foreach { case (name, _) =>
+      val known =
+        try { graft.Registry.compile(api.DirectiveSpec(name, Vector.empty, "")); true }
+        catch {
+          case e: api.RecipeException => !e.getMessage.contains("unknown directive")
+          case _: Exception => true
+        }
+      assert(known, s"usage lists unknown directive: $name")
+    }
+  }
+}
