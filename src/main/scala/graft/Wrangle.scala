@@ -10,7 +10,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the ORIGINAL input row as JSON — reference: wrangler-core
   * executor/RecipePipelineExecutor.java:128-148).
   */
-final case class WrangleResult(output: DataFrame, errors: DataFrame)
+final case class WrangleResult(output: DataFrame, errors: DataFrame) {
+
+  /** Plugin-level on-error policy (reference: wrangler-transform
+    * Wrangler.java:389-410 — fail-pipeline / send-to-error-port /
+    * skip-on-error): `fail` aborts when any row hit the error channel,
+    * `skip` drops them silently, `error-port` (default) leaves both
+    * branches available on this result.
+    */
+  def onError(policy: String): DataFrame = policy.toLowerCase match {
+    case "fail" | "fail-pipeline" =>
+      val bad = errors.limit(1).collect()
+      if (bad.nonEmpty) throw new graft.api.RecipeException(
+        s"on-error=fail: ${bad.head.getAs[String]("directive")}: " +
+          bad.head.getAs[String]("message"))
+      output
+    case "skip" | "skip-on-error" | "error-port" | "send-to-error-port" =>
+      output
+    case other => throw new graft.api.RecipeException(s"on-error: $other")
+  }
+}
 
 /** The public engine API — Spark-native equivalent of the reference's
   * TestingRig / RecipePipelineExecutor lifecycle (reference:
@@ -103,7 +122,7 @@ object Registry {
   private val system: Vector[Builder] = Vector(
     ColumnOps.build, RowOps.build, StringOps.build,
     DateOps.build, ParserOps.build, WriterOps.build, LookupOps.build,
-    LlmOps.build, ExternalOps.build)
+    LlmOps.build, ExternalOps.build, BinaryFormats.build)
 
   def compile(spec: DirectiveSpec): PipeOp =
     (userBuilders ++ system).iterator

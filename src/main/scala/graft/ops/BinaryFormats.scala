@@ -1,0 +1,195 @@
+package graft.ops
+
+import graft.api._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Binary container formats implemented without their heavyweight
+  * libraries: xlsx (a zip of xml — parsed with java.util.zip +
+  * scala.xml), HL7 v2 (pipe-delimited segments), Avro object-container
+  * files (avro-core ships with Spark).
+  */
+object BinaryFormats {
+
+  def build(spec: DirectiveSpec): Option[PipeOp] = Option(spec.name match {
+
+    // one output row per sheet row; first-row-as-header optional
+    // (reference: wrangler-core directives/parser/ParseExcel.java:100 —
+    // Apache POI there; xlsx = zip of XML here, no POI dependency)
+    case "parse-as-excel" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        val sheet = spec.optStr(1).getOrElse("0")
+        val header = spec.optBool(2, default = false)
+        val rowsCol = Xlsx.parseUdf(col(c), lit(sheet))
+        val exploded = df
+          .withColumn("__xl", explode_outer(rowsCol))
+          .withColumn("__xl_idx", col("__xl.idx"))
+          .withColumn("__xl_cells", col("__xl.cells"))
+        if (!header) {
+          // fixed arity from a bounded probe
+          val probe = exploded.limit(200)
+            .select(max(size(col("__xl_cells")))).collect().headOption
+          val n = math.max(1,
+            probe.filterNot(_.isNullAt(0)).map(_.getInt(0)).getOrElse(1))
+          (1 to n).foldLeft(exploded) { (d, i) =>
+            d.withColumn(s"${c}_$i", element_at(col("__xl_cells"), i))
+          }.drop("__xl", "__xl_idx", "__xl_cells")
+        } else {
+          val hdr = exploded.filter(col("__xl_idx") === 0)
+            .select(col("__xl_cells")).limit(1).collect()
+          val names =
+            if (hdr.isEmpty) Array.empty[String]
+            else hdr(0).getSeq[String](0).toArray.map(
+              Option(_).getOrElse("col").trim.replace(" ", "_"))
+          val noHdr = exploded.filter(col("__xl_idx") > 0)
+          names.zipWithIndex.foldLeft(noHdr) { case (d, (nm, i)) =>
+            d.withColumn(nm, element_at(col("__xl_cells"), i + 1))
+          }.drop("__xl", "__xl_idx", "__xl_cells")
+        }
+      }
+    }
+
+    // minimal HL7 v2: segments split on CR/LF, fields on '|',
+    // components on '^'; appends `<col>_<SEG>` map columns
+    // (reference: wrangler-core directives/parser/HL7Parser.java:111 —
+    // HAPI there; the v2 wire syntax itself is a public text format)
+    case "parse-as-hl7" => ColumnOps.simple(spec) { df =>
+      val c = spec.col(0)
+      df.withColumn(s"${c}_hl7", Hl7.parseUdf(col(c).cast(StringType)))
+    }
+
+    // byte[] column = an entire Avro container file; one row per record
+    // (reference: wrangler-core directives/parser/ParseAvroFile.java:79)
+    case "parse-as-avro-file" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        df.withColumn(c, explode_outer(AvroFile.parseUdf(col(c))))
+      }
+    }
+
+    case _ => null
+  })
+}
+
+/** In-memory xlsx reader: sharedStrings + sheet cell values. */
+object Xlsx {
+  import org.apache.spark.sql.expressions.UserDefinedFunction
+  import org.apache.spark.sql.functions.udf
+
+  case class XlRow(idx: Int, cells: Seq[String])
+
+  private def entries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+    val zis = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val out = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    var e = zis.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory) out(e.getName) = zis.readAllBytes()
+      e = zis.getNextEntry
+    }
+    out.toMap
+  }
+
+  /** Column reference "BC12" → 0-based column index. */
+  private def colIndex(ref: String): Int = {
+    val letters = ref.takeWhile(_.isLetter)
+    letters.foldLeft(0)((acc, ch) => acc * 26 + (ch - 'A' + 1)) - 1
+  }
+
+  def parse(bytes: Array[Byte], sheet: String): Seq[XlRow] = {
+    if (bytes == null) return Seq.empty
+    try {
+      val es = entries(bytes)
+      val shared: IndexedSeq[String] =
+        es.get("xl/sharedStrings.xml").map { b =>
+          (scala.xml.XML.load(new java.io.ByteArrayInputStream(b)) \\ "si")
+            .map(_.text).toIndexedSeq
+        }.getOrElse(IndexedSeq.empty)
+      val sheetPath =
+        if (sheet.forall(_.isDigit))
+          s"xl/worksheets/sheet${sheet.toInt + 1}.xml"
+        else s"xl/worksheets/$sheet.xml"
+      val sheetXml = es.getOrElse(sheetPath,
+        es.getOrElse("xl/worksheets/sheet1.xml", return Seq.empty))
+      val doc = scala.xml.XML.load(new java.io.ByteArrayInputStream(sheetXml))
+      (doc \\ "row").zipWithIndex.map { case (row, ri) =>
+        val cells = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (cell <- row \ "c") {
+          val ci = (cell \@ "r") match {
+            case "" => cells.size
+            case ref => colIndex(ref)
+          }
+          while (cells.size <= ci) cells += null
+          val v = (cell \ "v").text
+          cells(ci) = (cell \@ "t") match {
+            case "s" => shared.lift(v.trim.toInt).orNull
+            case "inlineStr" => (cell \ "is").text
+            case _ => if (v.isEmpty) null else v
+          }
+        }
+        XlRow(ri, cells.toSeq)
+      }
+    } catch { case _: Exception => Seq.empty }
+  }
+
+  val parseUdf: UserDefinedFunction = udf(parse _)
+}
+
+/** Minimal HL7 v2 parser → Map("SEG.i" or "SEG.i.j" -> value). */
+object Hl7 {
+  import org.apache.spark.sql.expressions.UserDefinedFunction
+  import org.apache.spark.sql.functions.udf
+
+  def parse(msg: String): Map[String, String] = {
+    if (msg == null) return Map.empty
+    val out = scala.collection.mutable.Map.empty[String, String]
+    val segCount = scala.collection.mutable.Map.empty[String, Int]
+    for (seg <- msg.split("[\\r\\n]+").iterator.map(_.trim).filter(_.nonEmpty)) {
+      val fields = seg.split("\\|", -1)
+      val segName0 = fields.head
+      val n = segCount.getOrElse(segName0, 0)
+      segCount(segName0) = n + 1
+      val segName = if (n == 0) segName0 else s"$segName0$n"
+      fields.iterator.zipWithIndex.drop(1).foreach { case (f, i) =>
+        if (f.nonEmpty) {
+          val comps = f.split("\\^", -1)
+          if (comps.length > 1) {
+            comps.iterator.zipWithIndex.filter(_._1.nonEmpty).foreach {
+              case (comp, j) => out(s"$segName.$i.${j + 1}") = comp
+            }
+          } else out(s"$segName.$i") = f
+        }
+      }
+    }
+    out.toMap
+  }
+
+  val parseUdf: UserDefinedFunction = udf(parse _)
+}
+
+/** Avro object-container file → JSON strings (one per record). */
+object AvroFile {
+  import org.apache.spark.sql.expressions.UserDefinedFunction
+  import org.apache.spark.sql.functions.udf
+  import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+  import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+
+  def parse(bytes: Array[Byte]): Seq[String] = {
+    if (bytes == null) return Seq.empty
+    try {
+      val reader = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(bytes),
+        new GenericDatumReader[GenericRecord]())
+      try {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (reader.hasNext) out += reader.next().toString
+        out.toSeq
+      } finally reader.close()
+    } catch { case _: Exception => Seq.empty }
+  }
+
+  val parseUdf: UserDefinedFunction = udf(parse _)
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+class BinarySpec extends SparkSpec {
+
+  /** Build a minimal xlsx (zip of xml) in memory. */
+  private def makeXlsx(rows: Seq[Seq[String]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    val shared = rows.flatten.distinct
+    put("xl/sharedStrings.xml",
+      "<sst>" + shared.map(s => s"<si><t>$s</t></si>").mkString + "</sst>")
+    val sheet = rows.zipWithIndex.map { case (r, ri) =>
+      val cells = r.zipWithIndex.map { case (v, ci) =>
+        val ref = s"${('A' + ci).toChar}${ri + 1}"
+        s"""<c r="$ref" t="s"><v>${shared.indexOf(v)}</v></c>"""
+      }.mkString
+      s"<row>$cells</row>"
+    }.mkString
+    put("xl/worksheets/sheet1.xml",
+      s"<worksheet><sheetData>$sheet</sheetData></worksheet>")
+    zos.close()
+    bos.toByteArray
+  }
+
+  test("parse-as-excel: header mode names columns, drops header row") {
+    val xlsx = makeXlsx(Seq(
+      Seq("name", "age"), Seq("alice", "30"), Seq("bob", "41")))
+    val d = df("payload BINARY", Seq(Row(xlsx)))
+    val out = wrangle("parse-as-excel :payload 0 true", d)
+    assert(out.columns.contains("name") && out.columns.contains("age"))
+    assert(out.count() == 2)
+    assert(strings(out.orderBy("age"), "name") == Seq("alice", "bob"))
+  }
+
+  test("parse-as-excel: positional mode emits payload_1..n") {
+    val xlsx = makeXlsx(Seq(Seq("x", "y", "z")))
+    val d = df("payload BINARY", Seq(Row(xlsx)))
+    val out = wrangle("parse-as-excel :payload", d)
+    assert(out.columns.count(_.startsWith("payload_")) == 3)
+    assert(strings(out, "payload_3") == Seq("z"))
+  }
+
+  test("parse-as-hl7 extracts segment fields and components") {
+    val msg = "MSH|^~\\&|SENDER|FAC|RCVR|FAC2|202401011200||ADT^A01|123|P|2.3\r" +
+      "PID|1||PATID1234^5^M11||Jones^William||19610615|M"
+    val d = df("m STRING", Seq(Row(msg)))
+    val out = wrangle("parse-as-hl7 :m", d)
+    val map = out.select("m_hl7").head().getMap[String, String](0)
+    assert(map("PID.5.1") == "Jones")
+    assert(map("PID.5.2") == "William")
+    assert(map("PID.7") == "19610615")
+    assert(map("MSH.2") == "SENDER")
+  }
+
+  test("parse-as-avro-file explodes container records") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[{"name":"x","type":"int"}]}""")
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new DataFileWriter[GenericData.Record](
+      new GenericDatumWriter[GenericData.Record](schema))
+    w.create(schema, bos)
+    (1 to 3).foreach { i =>
+      val r = new GenericData.Record(schema); r.put("x", i); w.append(r)
+    }
+    w.close()
+    val d = df("payload BINARY", Seq(Row(bos.toByteArray)))
+    val out = wrangle("parse-as-avro-file :payload; parse-as-json :payload 1;", d)
+    assert(out.count() == 3)
+    assert(strings(out.orderBy("payload_x"), "payload_x") == Seq(1, 2, 3))
+  }
+
+  test("sources auto-detect reads csv and parquet") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_src_").toString
+    val csvPath = s"$tmp/t.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(csvPath),
+      "a,b\n1,x\n2,y\n")
+    assert(graft.sources.Sources.detectFormat(csvPath) == "csv")
+    val got = graft.sources.Sources.auto(spark, csvPath)
+    assert(got.count() == 2 && got.columns.toSeq == Seq("a", "b"))
+    val pq = s"$tmp/t.parquet"
+    graft.sources.Sources.write(got, pq)
+    assert(graft.sources.Sources.auto(spark, pq).count() == 2)
+  }
+
+  test("on-error policies: fail aborts, skip passes") {
+    val d = df("v INT", Seq(Row(1), Row(99)))
+    val res = Wrangle.recipe("send-to-error exp:{ v > 50 };").run(d)
+    intercept[graft.api.RecipeException](res.onError("fail"))
+    assert(res.onError("skip").count() == 1)
+  }
+}
