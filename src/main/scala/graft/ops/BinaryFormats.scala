@@ -60,6 +60,18 @@ object BinaryFormats {
       df.withColumn(s"${c}_hl7", Hl7.parseUdf(col(c).cast(StringType)))
     }
 
+    // schema-less protobuf wire-format decode: tag/wire-type walk over
+    // the buffer -> map "field#" -> value (varints as longs, 32/64-bit
+    // fixed as numbers, length-delimited as utf8 when printable else
+    // hex; nested messages recursed one level as "f.g"). The reference
+    // decodes against a registry descriptor (wrangler-core
+    // directives/parser/ParseProtobuf.java:106); descriptor-less wire
+    // decoding is the dependency-free subset.
+    case "parse-as-protobuf" => ColumnOps.simple(spec) { df =>
+      val c = spec.col(0)
+      df.withColumn(s"${c}_proto", Protobuf.parseUdf(col(c)))
+    }
+
     // byte[] column = an entire Avro container file; one row per record
     // (reference: wrangler-core directives/parser/ParseAvroFile.java:79)
     case "parse-as-avro-file" => new PipeOp {
@@ -189,6 +201,83 @@ object AvroFile {
         out.toSeq
       } finally reader.close()
     } catch { case _: Exception => Seq.empty }
+  }
+
+  val parseUdf: UserDefinedFunction = udf(parse _)
+}
+
+/** Schema-less protobuf wire-format decoder. */
+object Protobuf {
+  import org.apache.spark.sql.expressions.UserDefinedFunction
+  import org.apache.spark.sql.functions.udf
+
+  private def readVarint(b: Array[Byte], pos: Int): (Long, Int) = {
+    var v = 0L
+    var shift = 0
+    var p = pos
+    while (p < b.length) {
+      val x = b(p)
+      v |= (x & 0x7fL) << shift
+      p += 1
+      if ((x & 0x80) == 0) return (v, p)
+      shift += 7
+      if (shift > 63) return (v, p)
+    }
+    (v, p)
+  }
+
+  private def printable(bytes: Array[Byte]): Boolean =
+    bytes.nonEmpty && bytes.forall(x => x >= 0x20 && x < 0x7f || x == '\n' || x == '\t')
+
+  def decode(b: Array[Byte], prefix: String, depth: Int,
+      out: scala.collection.mutable.Map[String, String]): Boolean = {
+    var p = 0
+    var fields = 0
+    while (p < b.length) {
+      val (tag, p1) = readVarint(b, p)
+      val field = (tag >>> 3).toInt
+      val wire = (tag & 7).toInt
+      if (field <= 0 || field > 536870911) return false
+      val key = if (prefix.isEmpty) field.toString else s"$prefix.$field"
+      wire match {
+        case 0 =>
+          val (v, p2) = readVarint(b, p1)
+          out(key) = v.toString
+          p = p2
+        case 1 =>
+          if (p1 + 8 > b.length) return false
+          val v = java.nio.ByteBuffer.wrap(b, p1, 8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+          out(key) = v.toString
+          p = p1 + 8
+        case 5 =>
+          if (p1 + 4 > b.length) return false
+          val v = java.nio.ByteBuffer.wrap(b, p1, 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+          out(key) = v.toString
+          p = p1 + 4
+        case 2 =>
+          val (len, p2) = readVarint(b, p1)
+          if (len < 0 || p2 + len > b.length) return false
+          val bytes = java.util.Arrays.copyOfRange(b, p2, p2 + len.toInt)
+          // try nested message first (bounded depth), else string/hex
+          val nested = scala.collection.mutable.Map.empty[String, String]
+          if (depth > 0 && bytes.nonEmpty && decode(bytes, key, depth - 1, nested))
+            out ++= nested
+          else if (printable(bytes)) out(key) = new String(bytes, "UTF-8")
+          else out(key) = bytes.map("%02x".format(_)).mkString
+          p = p2 + len.toInt
+        case _ => return false
+      }
+      fields += 1
+    }
+    fields > 0
+  }
+
+  def parse(b: Array[Byte]): Map[String, String] = {
+    if (b == null) return Map.empty
+    val out = scala.collection.mutable.Map.empty[String, String]
+    if (decode(b, "", 2, out)) out.toMap else Map.empty
   }
 
   val parseUdf: UserDefinedFunction = udf(parse _)

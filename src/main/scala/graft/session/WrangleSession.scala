@@ -85,6 +85,10 @@ object Usage {
     "xpath" -> "xpath :col :dest 'xpath'",
     "xpath-array" -> "xpath-array :col :dest 'xpath'",
     "parse-as-avro" -> "parse-as-avro :col 'schema-json' | prop:{schema=…}",
+    "parse-as-avro-file" -> "parse-as-avro-file :col",
+    "parse-as-excel" -> "parse-as-excel :col [sheet] [first-row-as-header]",
+    "parse-as-hl7" -> "parse-as-hl7 :col",
+    "parse-as-protobuf" -> "parse-as-protobuf :col",
     "parse-as-log" -> "parse-as-log :col format",
     "parse-as-date" -> "parse-as-date :col [timezone]",
     "parse-as-simple-date" -> "parse-as-simple-date :col format",

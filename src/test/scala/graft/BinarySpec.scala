@@ -98,4 +98,20 @@ class BinarySpec extends SparkSpec {
     intercept[graft.api.RecipeException](res.onError("fail"))
     assert(res.onError("skip").count() == 1)
   }
+
+  test("parse-as-protobuf decodes the wire format without a descriptor") {
+    // message { int32 a = 1; string b = 2; fixed64 c = 3 }
+    // a=150, b="test", c=42  hand-encoded:
+    val bytes: Array[Byte] = Array[Int](
+      0x08, 0x96, 0x01,                         // field 1 varint 150
+      0x12, 0x04, 't', 'e', 's', 't',           // field 2 "test"
+      0x19, 42, 0, 0, 0, 0, 0, 0, 0             // field 3 fixed64 42
+    ).map(_.toByte)
+    val d = df("payload BINARY", Seq(Row(bytes)))
+    val out = wrangle("parse-as-protobuf :payload", d)
+    val map = out.select("payload_proto").head().getMap[String, String](0)
+    assert(map("1") == "150")
+    assert(map("2") == "test")
+    assert(map("3") == "42")
+  }
 }
