@@ -1,0 +1,40 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension installing graft's native expressions into the SQL
+  * function registry, so plain `spark.sql` can call them:
+  *
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions) …
+  *   spark.sql("SELECT mask_number(ssn, 'xxx-xx-####') FROM t")
+  * }}}
+  *
+  * (For an existing session, [[GraftExtensions.register]] installs the
+  * same functions through the session's registry.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.injectables.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name),
+          new ExpressionInfo(classOf[GraftExtensions].getName, name),
+          builder))
+    }
+}
+
+object GraftExtensions {
+  private val injectables: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "mask_number" -> (args => MaskNumberExpr(args(0), args(1))),
+    "fnv64" -> (args => Fnv64Expr(args.head)))
+
+  /** Install on an already-built session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    injectables.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}

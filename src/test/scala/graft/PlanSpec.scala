@@ -88,4 +88,15 @@ class PlanSpec extends SparkSpec {
     "hello world".foreach { c => h ^= c; h *= 0x100000001b3L }
     assert(got == h)
   }
+
+  test("SQL surface: registered functions callable from spark.sql") {
+    org.apache.spark.sql.graftx.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT mask_number('123-45-6789', 'xxx-xx-####') AS m, fnv64('abc') AS h")
+      .head()
+    assert(r.getString(0) == "xxx-xx-6789")
+    var h = 0xcbf29ce484222325L
+    "abc".foreach { c => h ^= c; h *= 0x100000001b3L }
+    assert(r.getLong(1) == h)
+  }
 }
