@@ -54,7 +54,7 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 128, bands: Int = 16, shingleK: Int = 5,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
 
@@ -81,11 +81,23 @@ object Dedup {
       .select(col("__id"), col("__bb.band").as("__band"),
         col("__bb.bucket").as("__bucket"))
 
+    // skew guard: a bucket with B members yields B^2 candidate pairs —
+    // a single hot bucket (e.g. a corpus full of identical boilerplate)
+    // would go quadratic. Oversized buckets are dropped here; runs
+    // should collapse exact duplicates first (see [[exact]] /
+    // [[minhashDedup]]), which is what makes buckets that hot.
+    val sized = buckets
+      .withColumn("__bsize",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__band"), col("__bucket"))))
+      .filter(col("__bsize") <= maxBucketSize)
+      .drop("__bsize")
+
     // candidates: same (band,bucket), ordered pair, de-duplicated.
     // shuffle keys = (band,bucket) — candidate generation never compares
     // documents outside a shared bucket.
-    val l = buckets.select(col("__band"), col("__bucket"), col("__id").as("id_a"))
-    val rgt = buckets.select(col("__band"), col("__bucket"), col("__id").as("id_b"))
+    val l = sized.select(col("__band"), col("__bucket"), col("__id").as("id_a"))
+    val rgt = sized.select(col("__band"), col("__bucket"), col("__id").as("id_b"))
     val cands = l.join(rgt, Seq("__band", "__bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -108,9 +120,14 @@ object Dedup {
   def minhashDedup(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 128, bands: Int = 16, shingleK: Int = 5,
       threshold: Double = 0.7): DataFrame = {
-    val losers = minhashPairs(df, textCol, idCol, numHashes, bands, shingleK, threshold)
+    // collapse exact duplicates first: dirt-cheap, and it keeps the LSH
+    // buckets from concentrating identical signatures (the skew guard's
+    // pathological case)
+    val distinctDocs = exact(df, textCol, idCol)
+    val losers = minhashPairs(distinctDocs, textCol, idCol,
+      numHashes, bands, shingleK, threshold)
       .select(col("id_b").as(idCol)).distinct()
-    df.join(losers, Seq(idCol), "left_anti")
+    distinctDocs.join(losers, Seq(idCol), "left_anti")
   }
 
   /** 64-bit SimHash over whitespace tokens (sign of per-bit vote sums). */

@@ -143,4 +143,21 @@ class LlmSpec extends SparkSpec {
     assert(frames.count() == 6)
     assert(frames.columns.toSeq == Seq("id", "frame_idx", "offset", "frame"))
   }
+
+  test("minhash dedup survives a heavily duplicated corpus (skew guard)") {
+    // 500 docs x 40 exact copies = 20k rows; without the exact-collapse
+    // + bucket cap this would generate ~40^2 x 500 x bands candidates
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val blown = (0 until 40).map(i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ union _)
+    val t0 = System.nanoTime()
+    val out = Dedup.minhashDedup(blown, "text", "doc_id",
+      numHashes = 64, bands = 16, shingleK = 5, threshold = 0.8)
+    val n = out.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(n <= 500, s"exact copies must collapse, got $n")
+    assert(secs < 120, s"took ${secs}s")
+  }
 }
