@@ -476,6 +476,28 @@ object QueryBank {
       (s, d) => r("data-model-map-column prop:{field=account_balance,type=long} :c_acctbal; keep :c_custkey,:account_balance")(cust(s, d)),
       "SELECT c_custkey, CAST(trunc(c_acctbal) AS BIGINT) AS account_balance FROM customer"),
 
+    // the reference's published benchmark recipe shape (13 directives:
+    // parse-as-csv, drops, fill-null-or-empty, uppercase, mask-number,
+    // mask-shuffle, filter-row-if-true — wrangler-docs/performance.md:25-39),
+    // for a like-for-like BENCH comparison against BASELINE.md
+    ("baseline_13_directive_recipe",
+      (s, d) => r("""
+        set-column :body exp:{ concat(l_orderkey, ',', l_partkey, ',', l_quantity, ',', l_returnflag, ',', l_linestatus) };
+        parse-as-csv :body ',' false;
+        drop :l_partkey;
+        drop :l_suppkey;
+        drop :l_linenumber;
+        fill-null-or-empty :body_4 'N';
+        uppercase :body_5;
+        mask-number :body_1 'xx########';
+        mask-shuffle :body_4;
+        set-type :body_3 double;
+        filter-row exp:{ l_quantity > 0 } false;
+        merge :body_4 :body_5 :flags '_';
+        keep :l_orderkey,:body_1,:body_2,:body_3,:flags;
+      """)(li(s, d)),
+      null), // mask-shuffle is not SQL-replicable — rows-only; throughput query
+
     ("expr_datetime_fns",
       (s, d) => r("set-column :doy exp:{ date:DAY_OF_YEAR(o_orderdate) }; set-column :q exp:{ date:QUARTER(o_orderdate) }; set-column :ld exp:{ datetime:LastDayOfMonth(o_orderdate) }; format-date :ld 'yyyy-MM-dd'; keep :o_orderkey,:doy,:q,:ld")(ord(s, d)),
       "SELECT o_orderkey, CAST(dayofyear(o_orderdate) AS INT) AS doy, CAST(quarter(o_orderdate) AS INT) AS q, strftime(last_day(o_orderdate), '%Y-%m-%d') AS ld FROM orders")

@@ -81,13 +81,24 @@ object Udfs {
   // Deterministic here (seeded by the value) so results are reproducible.
   def maskShuffle(value: String): String = {
     if (value == null) return null
-    val rnd = new scala.util.Random(value.hashCode.toLong)
-    value.map {
-      case c if c.isUpper => ('A' + rnd.nextInt(26)).toChar
-      case c if c.isLower => ('a' + rnd.nextInt(26)).toChar
-      case c if c.isDigit => ('0' + rnd.nextInt(10)).toChar
-      case c => c
+    // inline xorshift64* seeded by the value — no Random allocation
+    var s = value.hashCode.toLong | 1L
+    def next(bound: Int): Int = {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      (((s * 0x2545F4914F6CDD1DL) >>> 33) % bound).toInt
     }
+    val sb = new StringBuilder(value.length)
+    var i = 0
+    while (i < value.length) {
+      val c = value.charAt(i)
+      sb.append(
+        if (c.isUpper) ('A' + next(26)).toChar
+        else if (c.isLower) ('a' + next(26)).toChar
+        else if (c.isDigit) ('0' + next(10)).toChar
+        else c)
+      i += 1
+    }
+    sb.toString
   }
   val maskShuffleUdf: UserDefinedFunction = udf(maskShuffle _)
 
