@@ -119,6 +119,20 @@ object ColumnOps {
       df.withColumn(src, typed).withColumnRenamed(src, target)
     }
 
+    // v1 `set columns a,b,c` = positional header rename (reference:
+    // wrangler-core parser/MigrateToV2.java:100-121 maps `set columns`
+    // → set-headers and `set column` → set-column)
+    case "set" if spec.str(0).toLowerCase == "columns" =>
+      simple(spec) { df =>
+        val names = spec.cols(1)
+        val user = PipeState.userCols(df)
+        val hidden = PipeState.hiddenCols(df)
+        val renamed = user.zipWithIndex.map { case (c, i) =>
+          if (i < names.size) col(c).as(names(i)) else col(c)
+        }
+        df.select((renamed ++ hidden.map(col)).toSeq: _*)
+      }
+
     case "set-column" | "set" => // v1: `set column <col> <expr>`
       val (target, exprSrc) = if (spec.name == "set") {
         // v1 spelling: `set column dest expr…`

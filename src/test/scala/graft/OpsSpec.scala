@@ -165,4 +165,12 @@ class OpsSpec extends SparkSpec {
     assert(strings(wrangle("set-variable tmp v * 10; set-column :o exp:{ tmp + 1 };", d), "o") ==
       Seq(21))
   }
+
+  test("v1 set column / set columns execute") {
+    val d = df("price INT, qty INT", Seq(Row(10, 3)))
+    val out1 = wrangle("set column total price * qty", d)
+    assert(strings(out1, "total") == Seq(30))
+    val out2 = wrangle("set columns cost,amount", d)
+    assert(out2.columns.toSeq == Seq("cost", "amount"))
+  }
 }

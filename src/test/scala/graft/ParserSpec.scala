@@ -59,4 +59,10 @@ class ParserSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("frobnicate"))
   }
+
+  test("v1 'set column' and 'set columns' spellings") {
+    val specs = graft.parser.RecipeParser.parse(
+      "set column total price * 2\nset columns a,b,c")
+    assert(specs.map(_.name) == Vector("set", "set"))
+  }
 }
