@@ -130,13 +130,4 @@ object Registry {
       .nextOption()
       .getOrElse(throw new RecipeException(
         s"unknown directive '${spec.name}'"))
-
-  def knows(name: String): Boolean =
-    try { compile(DirectiveSpec(name, Vector.empty, "")); true }
-    catch {
-      case _: RecipeException => // unknown vs arg errors: probe name only
-        (userBuilders ++ system).exists(b =>
-          try b(DirectiveSpec(name, Vector.empty, "")).isDefined
-          catch { case _: Exception => true })
-    }
 }

@@ -357,6 +357,31 @@ object Functions {
         (datediff(a(0), to_date(lit("1970-01-01"))) + lit(2440588)).cast(LongType)
       case "isdate"                => a(0).try_cast(DateType).isNotNull
       case "istime"                => a(0).try_cast(TimestampType).isNotNull
+      // remaining DateAndTime surface (reference: io.cdap.functions.DateAndTime)
+      case "yearweekfromdate"      =>
+        year(a(0)) * lit(100) + weekofyear(a(0))
+      case "yeardayfromdate2" | "yearday" =>
+        year(a(0)) * lit(1000) + dayofyear(a(0))
+      case "timefromcomponents"    =>
+        make_timestamp(lit(1970), lit(1), lit(1), a(0), a(1), a(2))
+      case "datefromcomponents2"   => make_date(a(0), a(1), a(2))
+      case "secondssincefromtimestamp" | "secondssince" =>
+        unix_timestamp(a(1)) - unix_timestamp(a(0))
+      case "timestampfromdatetime" => to_timestamp(a(0))
+      case "timestampfromepoch"    => timestamp_seconds(a(0))
+      case "datefromtimestamp" | "datefrom" => to_date(a(0))
+      case "timestampfromtime2"    => a(0).cast(TimestampType)
+      case "previousweekdayfromdate" =>
+        date_sub(next_day(a(0), "monday"), 7)
+      case "midnightsecondsfromtime" =>
+        hour(a(0)) * lit(3600) + minute(a(0)) * lit(60) + second(a(0))
+      case "hoursfromtimestamp"    => hour(a(0))
+      case "minutesfromtimestamp"  => minute(a(0))
+      case "secondsfromtimestamp"  => second(a(0))
+      case "weekofyearfromdate"    => weekofyear(a(0))
+      case "quarterfromdate"       => quarter(a(0))
+      case "addmonthstodate" | "addmonths" => add_months(a(0), a(1).cast(IntegerType))
+      case "adddaystodate" | "adddays" => date_add(a(0), a(1).cast(IntegerType))
       case other => throw new RecipeException(s"date:$other not supported")
     }
   }
