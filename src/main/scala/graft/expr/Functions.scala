@@ -180,6 +180,24 @@ object Functions {
       case "geo:infence" => graft.functions.Geo.inFenceUdf(
         a(0).cast(DoubleType), a(1).cast(DoubleType), a(2))
 
+      // ---- ddl: schema ops (reference: io.cdap.functions.DDL) ----
+      // schemas are recipe literals; evaluated at compile time on the
+      // driver, exactly like the reference's driver-side DDL helpers
+      case "ddl:parse" =>
+        lit(StructType.fromDDL(litStr(0)).json)
+      case "ddl:hasfield" =>
+        lit(StructType.fromDDL(litStr(0)).fieldNames.exists(_.equalsIgnoreCase(litStr(1))))
+      case "ddl:select" =>
+        val keep = litStr(1).split(",").map(_.trim.toLowerCase).toSet
+        lit(StructType(StructType.fromDDL(litStr(0))
+          .fields.filter(f => keep(f.name.toLowerCase))).toDDL)
+      case "ddl:drop" =>
+        val rm = litStr(1).split(",").map(_.trim.toLowerCase).toSet
+        lit(StructType(StructType.fromDDL(litStr(0))
+          .fields.filterNot(f => rm(f.name.toLowerCase))).toDDL)
+      case "ddl:tojson" =>
+        lit(StructType.fromDDL(litStr(0)).json)
+
       // ---- types: (reference: functions/Types.java) ----
       case "types:isinteger" => try_to_number_ok(a(0), LongType)
       case "types:isdouble"  => try_to_number_ok(a(0), DoubleType)

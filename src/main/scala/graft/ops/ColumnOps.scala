@@ -86,8 +86,29 @@ object ColumnOps {
 
     case "set-type" => simple(spec) { df =>
       val c = spec.col(0)
-      df.withColumn(c, castTo(col(c), spec.str(1),
-        spec.tokens.drop(2).collectFirst { case TNum(n) => n.toInt }))
+      val scale = spec.tokens.drop(2).collectFirst { case TNum(n) => n.toInt }
+      // optional decimal rounding mode (reference: wrangler-core
+      // utils/ColumnConverter.java:212-233 honors a RoundingMode arg);
+      // HALF_EVEN maps to bround, HALF_UP to round, FLOOR/CEILING to
+      // floor/ceil at the target scale; default = plain cast (HALF_UP)
+      val rounding = spec.tokens.drop(2).collectFirst {
+        case TIdent(m) if m.exists(_.isLetter) => m.toUpperCase
+      }
+      val casted = (spec.str(1).toUpperCase, scale, rounding) match {
+        case ("DECIMAL", Some(s), Some(mode)) =>
+          val pre = mode match {
+            case "HALF_EVEN" => bround(col(c).cast(DoubleType), s)
+            case "HALF_UP"   => round(col(c).cast(DoubleType), s)
+            case "FLOOR" | "DOWN" =>
+              (floor(col(c).cast(DoubleType) * math.pow(10, s)) / math.pow(10, s))
+            case "CEILING" | "UP" =>
+              (ceil(col(c).cast(DoubleType) * math.pow(10, s)) / math.pow(10, s))
+            case _ => col(c)
+          }
+          pre.cast(DecimalType(38, s))
+        case _ => castTo(col(c), spec.str(1), scale)
+      }
+      df.withColumn(c, casted)
     }
 
     // regex-split into appended col_1..col_n; arity resolved by a

@@ -33,7 +33,18 @@ object ParserOps {
               spec.optBool(2, default = false))
         }
         val qd = java.util.regex.Pattern.quote(delim)
-        val parts = split(col(c), qd)
+        // quote-aware parse for single-char delimiters (RFC-4180 style,
+        // like the reference's commons-CSV); regex split otherwise
+        val parts =
+          if (delim.length == 1) {
+            val n0 = ColumnOps.probeArity(df, split(col(c), qd))
+            val schema = StructType((1 to n0).map(i =>
+              StructField(s"_c$i", StringType)))
+            val parsed = from_csv(col(c), schema,
+              // RFC-4180: "" escapes a quote inside a quoted field
+              Map("sep" -> delim, "quote" -> "\"", "escape" -> "\""))
+            array((1 to n0).map(i => parsed.getField(s"_c$i")): _*)
+          } else split(col(c), qd)
         if (header) {
           val first = df.select(col(c)).limit(1).collect()
           if (first.isEmpty) df

@@ -173,4 +173,31 @@ class OpsSpec extends SparkSpec {
     val out2 = wrangle("set columns cost,amount", d)
     assert(out2.columns.toSeq == Seq("cost", "amount"))
   }
+
+  test("parse-as-csv honors RFC-4180 quoting for single-char delimiters") {
+    val d = df("body STRING", Seq(Row("\"a,b\",plain,\"c\"\"d\"")))
+    val out = wrangle("parse-as-csv :body ',' false", d)
+    assert(strings(out, "body_1") == Seq("a,b"))
+    assert(strings(out, "body_2") == Seq("plain"))
+    assert(strings(out, "body_3") == Seq("c\"d"))
+  }
+
+  test("set-type decimal honors rounding modes") {
+    val d = df("v STRING", Seq(Row("2.345")))
+    val even = wrangle("set-type :v decimal 2 HALF_EVEN", d)
+    assert(even.head().getDecimal(0).toPlainString == "2.34")
+    val up = wrangle("set-type :v decimal 2 HALF_UP", d)
+    assert(up.head().getDecimal(0).toPlainString == "2.35")
+  }
+
+  test("ddl namespace: compile-time schema ops") {
+    val d = df("x INT", Seq(Row(1)))
+    val out = d.withColumn("has",
+        graft.expr.ExprCompiler.compile("ddl:hasField('a INT, b STRING', 'b')"))
+      .withColumn("sel",
+        graft.expr.ExprCompiler.compile("ddl:select('a INT, b STRING', 'a')"))
+    val r = out.head()
+    assert(r.getAs[Boolean]("has"))
+    assert(r.getAs[String]("sel") == "a INT")
+  }
 }
