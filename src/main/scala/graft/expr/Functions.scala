@@ -123,6 +123,14 @@ object Functions {
       case "json:stringify"   => to_json(a(0))
       case "json:arraylength" => json_array_length(a(0))
       case "json:isvalid"     => try_parse_json_ok(a(0))
+      case "json:parse"       => a(0) // parsed lazily by downstream json fns
+      case "json:isarray"     =>
+        try_parse_json_ok(a(0)) && ltrim(a(0).cast(StringType)).startsWith("[")
+      case "json:isobject"    =>
+        try_parse_json_ok(a(0)) && ltrim(a(0).cast(StringType)).startsWith("{")
+      case "json:isnull"      =>
+        a(0).isNull || trim(a(0).cast(StringType)) === "null"
+      case "json:keys"        => json_object_keys(a(0))
 
       // ---- arithmetic:/decimal: null-safe arithmetic ----
       case "arithmetic:add" | "decimal:add"           => a(0) + a(1)
@@ -275,6 +283,19 @@ object Functions {
       case "chop"                  => a(0).substr(lit(1), length(a(0)) - 1)
       case "defaultifempty"        =>
         when(a(0).isNull || length(a(0)) === 0, a(1)).otherwise(a(0))
+      case "substringbefore"       =>
+        when(a(0).contains(a(1)),
+          a(0).substr(lit(1), instr(a(0), a(1)) - 1)).otherwise(a(0))
+      case "substringafter"        =>
+        when(a(0).contains(a(1)),
+          a(0).substr(instr(a(0), a(1)) + length(a(1)), length(a(0))))
+          .otherwise(lit(""))
+      case "countmatches"          =>
+        ((length(a(0)) - length(replace(a(0), a(1), lit("")))) / length(a(1)))
+          .cast(IntegerType)
+      case "repeat"                => repeat(a(0), a(1).cast(IntegerType))
+      case "deletewhitespace"      => regexp_replace(a(0), "\\s+", "")
+      case "normalizespace"        => trim(regexp_replace(a(0), "\\s+", " "))
       case other =>
         throw new RecipeException(s"string:$other not supported")
     }

@@ -45,4 +45,13 @@ class ExprSpec extends SparkSpec {
   test("elvis operator") {
     assert(eval("a ?: 99") == Seq(1, 10, 99))
   }
+
+  test("json and string namespace extensions") {
+    assert(eval("json:IsArray('[1,2]')") == Seq(true, true, true))
+    assert(eval("json:IsObject('{}')") == Seq(true, true, true))
+    assert(eval("string:substringBefore('a-b-c', '-')") == Seq("a", "a", "a"))
+    assert(eval("string:substringAfter('a-b-c', '-')") == Seq("b-c", "b-c", "b-c"))
+    assert(eval("string:countMatches('abcabcab', 'ab')") == Seq(3, 3, 3))
+    assert(eval("string:normalizeSpace('  a   b ')") == Seq("a b", "a b", "a b"))
+  }
 }
