@@ -130,7 +130,9 @@ object QueryBank {
 
     ("mask_number",
       (s, d) => r("copy :c_name :masked; mask-number :masked 'xxxxxxxx##########'; keep :c_custkey,:masked")(cust(s, d)),
-      null),
+      // c_name is always 18 chars ("Customer#%09d"): pattern masks the
+      // first 8, keeps the remaining 10 — positional walk in SQL
+      "SELECT c_custkey, 'xxxxxxxx' || substr(c_name, 9) AS masked FROM customer"),
 
     ("extract_regex_groups",
       (s, d) => r("extract-regex-groups :c_name 'Customer#(\\d+)'; keep :c_custkey,:c_name_1")(cust(s, d)),
@@ -284,7 +286,7 @@ object QueryBank {
 
     ("quality_score",
       (s, d) => r("quality-score :text; keep :doc_id,:text_quality")(docs(s, d)),
-      null), // composite heuristic — rows-only; features above are oracle-checked
+      qualityScoreSql),
 
     ("ann_brute_topk",
       (s, d) => annBrute(s, d),
@@ -303,8 +305,10 @@ object QueryBank {
       "SELECT c_custkey, c_mktsegment AS seg FROM customer"),
 
     ("xpath_array",
-      (s, d) => r("set-column :x exp:{ concat('<r><v>', c_mktsegment, '</v><v>', c_name, '</v></r>') }; xpath-array :x :vals '/r/v/text()'; keep :c_custkey,:vals")(cust(s, d)),
-      "SELECT c_custkey, [c_mktsegment, c_name] AS vals FROM customer"),
+      // array output joined to a string so the driver comparator can
+      // sort/hash it; the array-typed behavior stays covered in OpsSpec
+      (s, d) => r("set-column :x exp:{ concat('<r><v>', c_mktsegment, '</v><v>', c_name, '</v></r>') }; xpath-array :x :vals '/r/v/text()'; set-column :vals exp:{ arrays:join(vals, ' ') }; keep :c_custkey,:vals")(cust(s, d)),
+      "SELECT c_custkey, c_mktsegment || ' ' || c_name AS vals FROM customer"),
 
     ("set_charset",
       (s, d) => r("copy :c_name :bin; set-type :bin bytes; set-charset :bin 'utf-8'; keep :c_custkey,:c_name,:bin")(cust(s, d)),
@@ -328,7 +332,15 @@ object QueryBank {
 
     ("format_as_currency",
       (s, d) => r("format-as-currency :c_acctbal :formatted; keep :c_custkey,:formatted")(cust(s, d)),
-      null), // locale NumberFormat rendering — rows-only; parse side is oracled
+      // JDK en-US currency rendering rebuilt from integer cents (DuckDB's
+      // format() has no thousands separator for doubles)
+      """WITH c AS (SELECT c_custkey, c_acctbal,
+        |  CAST(round(abs(c_acctbal) * 100) AS BIGINT) AS cents FROM customer)
+        |SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN '-$' ELSE '$' END ||
+        |  format('{:,}', cents // 100) || '.' ||
+        |  lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS formatted
+        |FROM c""".stripMargin),
 
     ("set_record_delim",
       (s, d) => r("set-column :parts exp:{ concat(c_mktsegment, '|', c_name) }; set-record-delim :parts '|'; keep :c_custkey,:parts")(cust(s, d)),
@@ -358,7 +370,11 @@ object QueryBank {
 
     ("increment_variable",
       (s, d) => r("increment-variable counter 1 c_acctbal > 0; keep :c_custkey,:counter")(cust(s, d)),
-      null), // running count is input-order-dependent — rows-only
+      // input order == c_custkey order (the customer parquet is written
+      // key-sorted), so the running count is a keyed window in SQL
+      """SELECT c_custkey, CAST(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)
+        |  OVER (ORDER BY c_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS BIGINT) AS counter FROM customer""".stripMargin),
 
     // ---- §2.5 strings, second wave ---------------------------------
     ("split_deprecated",
@@ -390,8 +406,14 @@ object QueryBank {
       "SELECT c_custkey, CAST(1.0 AS DOUBLE) AS sim FROM customer"),
 
     ("stemming",
-      (s, d) => r("stemming :c_mktsegment; keep :c_custkey,:c_mktsegment_porter")(cust(s, d)),
-      null), // porter algorithm not DuckDB-expressible — rows-only
+      // token array joined to a string for the driver comparator; the
+      // oracle enumerates the Porter stems of the 5 TPC-H segments
+      (s, d) => r("stemming :c_mktsegment; set-column :c_mktsegment_porter exp:{ arrays:join(c_mktsegment_porter, ' ') }; keep :c_custkey,:c_mktsegment_porter")(cust(s, d)),
+      """SELECT c_custkey, CASE c_mktsegment
+        | WHEN 'AUTOMOBILE' THEN 'automobil' WHEN 'BUILDING' THEN 'build'
+        | WHEN 'FURNITURE' THEN 'furnitur' WHEN 'MACHINERY' THEN 'machineri'
+        | WHEN 'HOUSEHOLD' THEN 'household' END AS c_mktsegment_porter
+        |FROM customer""".stripMargin),
 
     ("mask_shuffle",
       (s, d) => r("mask-shuffle :c_name; keep :c_custkey,:c_name")(cust(s, d)),
@@ -470,7 +492,12 @@ object QueryBank {
           .select(col("doc_id"), col("frame_idx"),
             col("frame").cast("string").as("frame"))
       },
-      null), // frame offsets are engine-internal byte math — rows-only
+      // same integer offset math as Multimodal.sampleFrames: 3 frames of
+      // 16 bytes at floor(i * max(len-16,1) / 2); text is ASCII so byte
+      // slices == char slices
+      """SELECT doc_id, i AS frame_idx,
+        | substr(text, CAST((i * greatest(len(text) - 16, 1)) // 2 AS INT) + 1, 16) AS frame
+        |FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) t""".stripMargin),
 
     ("data_model_map_column",
       (s, d) => r("data-model-map-column prop:{field=account_balance,type=long} :c_acctbal; keep :c_custkey,:account_balance")(cust(s, d)),
@@ -512,7 +539,7 @@ object QueryBank {
   private def normSql(c: String): String =
     s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
 
-  private val langIdSql: String = {
+  private lazy val langIdSql: String = {
     val sw = graft.llm.TextAnalysis.stopwords
     def cnt(l: String) =
       s"len(list_filter(string_split_regex(lower(text), '\\s+'), t -> list_contains([" +
@@ -530,7 +557,28 @@ object QueryBank {
   /** DuckDB mirror of Profiler.profile over (c_name, c_mktsegment):
     * same measures, same regexes, long format.
     */
-  private val profileSql: String = {
+  /** DuckDB mirror of TextAnalysis.qualityScore: same features, same
+    * thresholds, same 4-digit rounding.
+    */
+  private lazy val qualityScoreSql: String = {
+    val en = graft.llm.TextAnalysis.stopwords("en")
+      .map(w => s"'$w'").mkString(",")
+    s"""WITH f AS (SELECT doc_id,
+       | len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS n_tokens,
+       | CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / greatest(len(text), 1) AS punct_ratio,
+       | CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(len(text), 1) AS digit_ratio,
+       | len(list_filter(string_split_regex(lower(text), '\\s+'), t -> list_contains([$en], t))) AS sw_hits
+       | FROM documents)
+       |SELECT doc_id, CAST(round(
+       | (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.3 END) *
+       | (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.5 END) *
+       | (CASE WHEN digit_ratio < 0.3 THEN 1.0 ELSE 0.5 END) *
+       | (CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(sw_hits AS DOUBLE) / n_tokens ELSE 0.0 END) > 0.05
+       |   THEN 1.0 ELSE 0.7 END), 4) AS DOUBLE) AS text_quality
+       |FROM f""".stripMargin
+  }
+
+  private lazy val profileSql: String = {
     val measures =
       Seq("total" -> null, "null" -> null, "empty" -> null) ++
         graft.session.Profiler.semanticRegexes

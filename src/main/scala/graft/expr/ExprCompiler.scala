@@ -50,7 +50,7 @@ object ExprParser {
               // keep unknown escapes (\d etc.) intact for regex literals
               sb.append(s.charAt(pos + 1) match {
                 case 'n' => "\n"; case 't' => "\t"; case 'r' => "\r"
-                case '\'' => "'"; case '"' => "\""; case '\\' => "\\\\"
+                case '\'' => "'"; case '"' => "\""; case '\\' => "\\"
                 case other => "\\" + other
               })
               pos += 2

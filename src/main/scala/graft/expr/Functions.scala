@@ -116,7 +116,15 @@ object Functions {
       case "logical:bitor"  => a(0).bitwiseOR(a(1))
       case "logical:bitxor" => a(0).bitwiseXOR(a(1))
       case "logical:not"    => when(a(0) === 0, 1).otherwise(0)
-      case "logical:setbit" => a(0).bitwiseOR(shiftleft(lit(1), 0) * a(1))
+      case "logical:setbit" =>
+        // reference SetBit(value, position, bit): set (bit=1) or clear
+        // (bit=0) the bit at the given position
+        val value = a(0).cast(LongType)
+        val mask  = call_function("shiftleft", lit(1L), a(1).cast(IntegerType))
+        if (args.size >= 3)
+          when(a(2).cast(IntegerType) === 1, value.bitwiseOR(mask))
+            .otherwise(value.bitwiseAND(bitwise_not(mask)))
+        else value.bitwiseOR(mask)
 
       // ---- json: ----
       case "json:select"      => get_json_object(a(0), litStr(1))
@@ -265,8 +273,9 @@ object Functions {
       case "endswith"              => a(0).endsWith(a(1))
       case "indexof"               => instr(a(0), a(1)) - lit(1)
       case "lastindexof"           =>
-        length(a(0)) - instr(reverse(a(0)), reverse(a(1))) -
-          length(a(1)) + lit(1)
+        when(instr(a(0), a(1)) === 0, lit(-1)).otherwise(
+          length(a(0)) - instr(reverse(a(0)), reverse(a(1))) -
+            length(a(1)) + lit(1))
       case "removeend"             =>
         when(a(0).endsWith(a(1)),
           a(0).substr(lit(1), length(a(0)) - length(a(1)))).otherwise(a(0))
@@ -388,7 +397,8 @@ object Functions {
       case "timestampfromcomponents" =>
         make_timestamp(a(0), a(1), a(2), a(3), a(4), a(5))
       case "lastdayofmonth"        => last_day(a(0))
-      case "nextweekdayfromdate"   => next_day(a(0), "monday")
+      case "nextweekdayfromdate"   =>
+        if (args.size >= 2) next_day(a(0), a(1)) else next_day(a(0), "monday")
       case "datefromjulianday" =>
         // Julian day number → date: JDN 2440588 = 1970-01-01
         date_add(to_date(lit("1970-01-01")), (a(0) - lit(2440588)).cast(IntegerType))
@@ -411,7 +421,10 @@ object Functions {
       case "datefromtimestamp" | "datefrom" => to_date(a(0))
       case "timestampfromtime2"    => a(0).cast(TimestampType)
       case "previousweekdayfromdate" =>
-        date_sub(next_day(a(0), "monday"), 7)
+        // most recent such weekday strictly before the source date:
+        // next_day(d-1, w) lands on d when d is already w, so -7 stays strict
+        val wd = if (args.size >= 2) a(1) else lit("monday")
+        date_sub(next_day(date_sub(a(0), 1), wd), 7)
       case "midnightsecondsfromtime" =>
         hour(a(0)) * lit(3600) + minute(a(0)) * lit(60) + second(a(0))
       case "hoursfromtimestamp"    => hour(a(0))

@@ -76,12 +76,15 @@ object Multimodal {
       n: Int, frameBytes: Int = 1024): DataFrame = {
     val b = col(binCol)
     val len = length(b)
+    // integer offset math (floor division) — deterministic and
+    // oracle-replicable, no double-rounding ambiguity
+    def off(i: Column): Column =
+      floor(i.cast(LongType) * greatest(len - frameBytes, lit(1)) /
+        lit(math.max(n - 1, 1).toLong)).cast(LongType)
     val frames = transform(sequence(lit(0), lit(n - 1)), i => struct(
       i.as("frame_idx"),
-      (i * greatest(len - frameBytes, lit(1)) / lit(math.max(n - 1, 1))).as("offset"),
-      b.substr(
-        (i * greatest(len - frameBytes, lit(1)) / lit(math.max(n - 1, 1))) + 1,
-        lit(frameBytes)).as("frame")))
+      off(i).as("offset"),
+      b.substr((off(i) + 1).cast(IntegerType), lit(frameBytes)).as("frame")))
     df.select(col(idCol), explode(frames).as("__f"))
       .select(col(idCol), col("__f.frame_idx").as("frame_idx"),
         col("__f.offset").as("offset"), col("__f.frame").as("frame"))

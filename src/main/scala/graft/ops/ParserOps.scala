@@ -52,7 +52,16 @@ object ParserOps {
             val headerRaw = first(0).getString(0)
             val names = headerRaw.split(qd).map(
               _.trim.replace(" ", "_")) // header cell cleanup per reference
-            val noHeader = df.filter(col(c) =!= lit(headerRaw))
+            // drop ONLY the header row itself (the first occurrence), not
+            // every data row whose text equals the header line, and keep
+            // null rows (null-safe <=> comparison)
+            val rid = "__graft_hdr_rid"
+            val withId = df.withColumn(rid, monotonically_increasing_id())
+            val hdrId = withId.filter(col(c) <=> lit(headerRaw))
+              .agg(min(col(rid))).collect()(0)
+            val noHeader =
+              if (hdrId.isNullAt(0)) df
+              else withId.filter(col(rid) =!= lit(hdrId.getLong(0))).drop(rid)
             names.zipWithIndex.foldLeft(noHeader) { case (d, (n, i)) =>
               d.withColumn(n, element_at(parts, i + 1))
             }

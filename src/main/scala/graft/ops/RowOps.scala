@@ -137,14 +137,38 @@ object RowOps {
     }
 
     case "increment-variable" => ColumnOps.simple(spec) { df =>
-      // running conditional count in input order — windowed cumulative sum
+      // Running conditional sum in input order, WITHOUT a global
+      // unpartitioned window (which would move the whole dataset to a
+      // single task): two-phase scan — per-partition partial sums are
+      // collected to the driver (one row per partition, bounded), turned
+      // into exclusive prefix offsets, and added to a within-partition
+      // cumulative sum. The window is partitioned by spark_partition_id,
+      // so every task scans only its own partition.
+      // Order-dependence caveat unchanged (input order = partition order,
+      // same as the reference on a distributed runner — SURVEY §4.3).
       import org.apache.spark.sql.expressions.Window
       val cond = ExprCompiler.compile(spec.rawFrom(2))
       val step = spec.num(1).toLong
-      val w = Window.orderBy(monotonically_increasing_id())
+      val stepCol = when(coalesce(cond, lit(false)), step).otherwise(0L)
+      val pidC = "__graft_iv_pid"
+      val ridC = "__graft_iv_rid"
+      val tagged = df.withColumn(pidC, spark_partition_id())
+        .withColumn(ridC, monotonically_increasing_id())
+      // one row per partition — bounded driver-side work
+      val partials = tagged.groupBy(col(pidC)).agg(sum(stepCol).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      // exclusive prefix: each partition's offset = sum of all prior ones
+      val offsets: Map[Int, Long] = {
+        var acc = 0L
+        partials.map { case (pid, s) => val o = pid -> acc; acc += s; o }.toMap
+      }
+      val offCol =
+        if (offsets.isEmpty) lit(0L)
+        else coalesce(element_at(typedLit(offsets), col(pidC)), lit(0L))
+      val w = Window.partitionBy(col(pidC)).orderBy(col(ridC))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      df.withColumn(spec.col(0),
-        sum(when(coalesce(cond, lit(false)), step).otherwise(0L)).over(w))
+      tagged.withColumn(spec.col(0), sum(stepCol).over(w) + offCol)
+        .drop(pidC, ridC)
     }
 
     case _ => null

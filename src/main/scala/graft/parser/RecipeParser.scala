@@ -188,7 +188,7 @@ object RecipeParser {
 
   private def unescape(c: Char): String = c match {
     case 'n' => "\n"; case 't' => "\t"; case 'r' => "\r"
-    case '\'' => "'"; case '"' => "\""; case '\\' => "\\\\"
+    case '\'' => "'"; case '"' => "\""; case '\\' => "\\"
     case other => "\\" + other // keep regex escapes like \d intact
   }
 }

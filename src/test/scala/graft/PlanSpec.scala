@@ -65,6 +65,27 @@ class PlanSpec extends SparkSpec {
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("increment-variable compiles without an unpartitioned window") {
+    // the one shape that moves a whole dataset onto a single task: a
+    // global Window.orderBy — every window in a compiled recipe must
+    // carry a partitionSpec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val out = wrangle("increment-variable counter 1 c_acctbal > 0;", cust)
+    val unpartitioned = out.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      s"unpartitioned window found:\n${out.queryExecution.executedPlan}")
+    // and the running count still matches the single-stream semantics
+    val got = out.orderBy("c_custkey").select("counter")
+      .collect().map(_.getLong(0)).toSeq
+    val bals = cust.orderBy("c_custkey").select("c_acctbal")
+      .collect().map(_.getDouble(0)).toSeq
+    val want = bals.scanLeft(0L)((acc, b) => if (b > 0) acc + 1 else acc).tail
+    assert(got == want)
+  }
+
   test("mask-number compiles to a native codegen expression, not a UDF") {
     // parquet-backed (a local relation would be constant-folded away)
     val src = spark.read.parquet(s"$dir/customer.parquet")
