@@ -527,8 +527,137 @@ object QueryBank {
 
     ("expr_datetime_fns",
       (s, d) => r("set-column :doy exp:{ date:DAY_OF_YEAR(o_orderdate) }; set-column :q exp:{ date:QUARTER(o_orderdate) }; set-column :ld exp:{ datetime:LastDayOfMonth(o_orderdate) }; format-date :ld 'yyyy-MM-dd'; keep :o_orderkey,:doy,:q,:ld")(ord(s, d)),
-      "SELECT o_orderkey, CAST(dayofyear(o_orderdate) AS INT) AS doy, CAST(quarter(o_orderdate) AS INT) AS q, strftime(last_day(o_orderdate), '%Y-%m-%d') AS ld FROM orders")
+      "SELECT o_orderkey, CAST(dayofyear(o_orderdate) AS INT) AS doy, CAST(quarter(o_orderdate) AS INT) AS q, strftime(last_day(o_orderdate), '%Y-%m-%d') AS ld FROM orders"),
+
+    // ---- §2.1 binary container parsers ------------------------------
+    // Fixtures are built deterministically FROM the nation table (in the
+    // query, not the engine), so a plain-SQL oracle over nation verifies
+    // the full parse path. Mirrors the reference's binary fixtures
+    // (titanic.xlsx / cdap-log.avro / addressbook.desc).
+    ("parse_as_excel",
+      (s, d) => {
+        import s.implicits._
+        val xlsx = makeXlsx(Seq(Seq("k", "v")) ++
+          natRows(s, d).map { case (k, v) => Seq(k.toString, v) })
+        r("parse-as-excel :payload 0 true; keep :k,:v")(
+          Seq(xlsx).toDF("payload"))
+      },
+      "SELECT CAST(n_nationkey AS VARCHAR) AS k, n_name AS v FROM nation"),
+
+    ("parse_as_avro_file",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.avro.file.DataFileWriter
+        import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+        val schema = new org.apache.avro.Schema.Parser().parse(avroNationSchema)
+        val bos = new java.io.ByteArrayOutputStream()
+        val w = new DataFileWriter[GenericData.Record](
+          new GenericDatumWriter[GenericData.Record](schema))
+        w.create(schema, bos)
+        natRows(s, d).foreach { case (k, v) =>
+          val rec = new GenericData.Record(schema)
+          rec.put("k", k); rec.put("v", v); w.append(rec)
+        }
+        w.close()
+        r("parse-as-avro-file :payload; parse-as-json :payload 1; keep :payload_k,:payload_v")(
+          Seq(bos.toByteArray).toDF("payload"))
+      },
+      "SELECT n_nationkey AS payload_k, n_name AS payload_v FROM nation"),
+
+    ("parse_as_avro",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val enc = udf { (k: Long, v: String) =>
+          import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+          val schema = new org.apache.avro.Schema.Parser().parse(avroNationSchema)
+          val bos = new java.io.ByteArrayOutputStream()
+          val e = org.apache.avro.io.EncoderFactory.get().binaryEncoder(bos, null)
+          val rec = new GenericData.Record(schema)
+          rec.put("k", k); rec.put("v", v)
+          new GenericDatumWriter[GenericData.Record](schema).write(rec, e)
+          e.flush(); bos.toByteArray
+        }
+        val base = nat(s, d).select(
+          enc(col("n_nationkey"), col("n_name")).as("payload"))
+        r(s"parse-as-avro :payload '$avroNationSchema'; parse-as-json :payload 1; keep :payload_k,:payload_v")(base)
+      },
+      "SELECT n_nationkey AS payload_k, n_name AS payload_v FROM nation"),
+
+    ("parse_as_protobuf",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        import graft.ops.ProtoWire
+        // descriptor for: package graftq; message Nation { int64 k=1; string v=2; }
+        val desc = ProtoWire.build { set =>
+          set.msg(1) { fdp =>
+            fdp.str(1, "nation.proto"); fdp.str(2, "graftq")
+            fdp.msg(4) { m =>
+              m.str(1, "Nation")
+              m.msg(2) { f => f.str(1, "k"); f.int(3, 1); f.int(4, 1); f.int(5, 3) }
+              m.msg(2) { f => f.str(1, "v"); f.int(3, 2); f.int(4, 1); f.int(5, 9) }
+            }
+          }
+        }
+        val b64 = java.util.Base64.getEncoder.encodeToString(desc)
+        val enc = udf { (k: Long, v: String) =>
+          ProtoWire.build { w => w.int(1, k); w.str(2, v) }
+        }
+        val base = nat(s, d).select(
+          enc(col("n_nationkey"), col("n_name")).as("payload"))
+        r(s"parse-as-protobuf :payload '$b64' 'graftq.Nation'")(base)
+          .select(col("payload_proto")("k").as("k"),
+            col("payload_proto")("v").as("v"))
+      },
+      "SELECT CAST(n_nationkey AS VARCHAR) AS k, n_name AS v FROM nation"),
+
+    ("parse_as_hl7",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = nat(s, d).select(col("n_nationkey").as("k"),
+          concat(lit("MSH|^~\\&|GRAFT|X|Y|Z|20240101||ADT^A01|"),
+            col("n_nationkey"), lit("|P|2.3\rPID|1||"), col("n_nationkey"),
+            lit("^^M11||"), col("n_name"), lit("^REP")).as("m"))
+        r("parse-as-hl7 :m")(base).select(col("k"),
+          col("m_hl7")("PID.5.1").as("surname"),
+          col("m_hl7")("PID.5.2").as("given"),
+          col("m_hl7")("MSH.8.1").as("msgtype"))
+      },
+      "SELECT n_nationkey AS k, n_name AS surname, 'REP' AS given, 'ADT' AS msgtype FROM nation")
   )
+
+  /** Avro schema shared by the avro fixture queries. */
+  private val avroNationSchema =
+    """{"type":"record","name":"N","fields":[{"name":"k","type":"long"},{"name":"v","type":"string"}]}"""
+
+  private def natRows(s: SparkSession, d: String): Seq[(Long, String)] =
+    nat(s, d).selectExpr("CAST(n_nationkey AS LONG)", "n_name")
+      .orderBy("n_nationkey")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  /** Minimal in-memory xlsx builder (zip of xml) for the excel fixture. */
+  private def makeXlsx(rows: Seq[Seq[String]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    val shared = rows.flatten.distinct
+    put("xl/sharedStrings.xml",
+      "<sst>" + shared.map(v => s"<si><t>$v</t></si>").mkString + "</sst>")
+    val sheet = rows.zipWithIndex.map { case (row, ri) =>
+      val cells = row.zipWithIndex.map { case (v, ci) =>
+        val ref = s"${('A' + ci).toChar}${ri + 1}"
+        s"""<c r="$ref" t="s"><v>${shared.indexOf(v)}</v></c>"""
+      }.mkString
+      s"<row>$cells</row>"
+    }.mkString
+    put("xl/worksheets/sheet1.xml",
+      s"<worksheet><sheetData>$sheet</sheetData></worksheet>")
+    zos.close()
+    bos.toByteArray
+  }
 
   private def docs(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/documents.parquet")

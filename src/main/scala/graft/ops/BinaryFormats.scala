@@ -60,16 +60,40 @@ object BinaryFormats {
       df.withColumn(s"${c}_hl7", Hl7.parseUdf(col(c).cast(StringType)))
     }
 
-    // schema-less protobuf wire-format decode: tag/wire-type walk over
-    // the buffer -> map "field#" -> value (varints as longs, 32/64-bit
-    // fixed as numbers, length-delimited as utf8 when printable else
-    // hex; nested messages recursed one level as "f.g"). The reference
-    // decodes against a registry descriptor (wrangler-core
-    // directives/parser/ParseProtobuf.java:106); descriptor-less wire
-    // decoding is the dependency-free subset.
+    // protobuf decode. With a descriptor (a FileDescriptorSet, itself
+    // protobuf wire format — parsed by the same decoder) fields come out
+    // by NAME with nested messages and typed rendering, matching the
+    // reference's registry-descriptor path (wrangler-core
+    // directives/parser/ParseProtobuf.java:106 +
+    // codec/ProtobufDecoderUsingDescriptor.java). Without one, the
+    // dependency-free subset: tag/wire-type walk -> "field#" -> value.
+    //   parse-as-protobuf :col                                 (wire walk)
+    //   parse-as-protobuf :col <descriptor> <MessageName>      (named)
+    // <descriptor> = path to a .desc file or base64 of its bytes.
     case "parse-as-protobuf" => ColumnOps.simple(spec) { df =>
       val c = spec.col(0)
-      df.withColumn(s"${c}_proto", Protobuf.parseUdf(col(c)))
+      val descriptor: Option[Array[Byte]] = (spec.tokens.collectFirst {
+        case TProps(p) if p.contains("descriptor") => p("descriptor")
+      } orElse spec.optStr(1)).map { d =>
+        if (d.endsWith(".desc") || new java.io.File(d).isFile)
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(d))
+        else java.util.Base64.getDecoder.decode(d)
+      }
+      descriptor match {
+        case Some(bytes) =>
+          val msgName = spec.tokens.collectFirst {
+            case TProps(p) if p.contains("message") => p("message")
+          }.orElse(spec.optStr(2)).getOrElse(throw new RecipeException(
+            "parse-as-protobuf: message name required with a descriptor"))
+          val msgs = Protobuf.parseDescriptorSet(bytes)
+          val root = Protobuf.resolveMessage(msgs, msgName).getOrElse(
+            throw new RecipeException(
+              s"parse-as-protobuf: message '$msgName' not in descriptor " +
+                s"(has: ${msgs.keys.toSeq.sorted.mkString(", ")})"))
+          df.withColumn(s"${c}_proto", Protobuf.namedUdf(msgs, root)(col(c)))
+        case None =>
+          df.withColumn(s"${c}_proto", Protobuf.parseUdf(col(c)))
+      }
     }
 
     // byte[] column = an entire Avro container file; one row per record
@@ -281,4 +305,167 @@ object Protobuf {
   }
 
   val parseUdf: UserDefinedFunction = udf(parse _)
+
+  // ---- descriptor-based decode --------------------------------------
+  // A .desc FileDescriptorSet is itself protobuf wire format (public
+  // layout: google/protobuf/descriptor.proto), so the walker above is
+  // enough to read it — no protobuf-java dependency.
+
+  /** FieldDescriptorProto subset: name=1, number=3, label=4, type=5,
+    * type_name=6. */
+  case class PbField(name: String, number: Int, label: Int, tpe: Int,
+      typeName: String)
+  case class PbMsg(fields: Map[Int, PbField])
+
+  /** Generic wire walk → (field#, wireType, value) where value is Long
+    * (wire 0/1/5) or Array[Byte] (wire 2). None on malformed input. */
+  private def walkWire(b: Array[Byte]): Option[Vector[(Int, Int, Any)]] = {
+    val out = Vector.newBuilder[(Int, Int, Any)]
+    var p = 0
+    while (p < b.length) {
+      val (tag, p1) = readVarint(b, p)
+      val field = (tag >>> 3).toInt
+      val wire = (tag & 7).toInt
+      if (field <= 0 || field > 536870911 || p1 <= p) return None
+      wire match {
+        case 0 =>
+          val (v, p2) = readVarint(b, p1); out += ((field, 0, v)); p = p2
+        case 1 =>
+          if (p1 + 8 > b.length) return None
+          out += ((field, 1, java.nio.ByteBuffer.wrap(b, p1, 8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong))
+          p = p1 + 8
+        case 5 =>
+          if (p1 + 4 > b.length) return None
+          out += ((field, 5, java.nio.ByteBuffer.wrap(b, p1, 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong))
+          p = p1 + 4
+        case 2 =>
+          val (len, p2) = readVarint(b, p1)
+          if (len < 0 || p2 + len > b.length) return None
+          out += ((field, 2, java.util.Arrays.copyOfRange(b, p2, p2 + len.toInt)))
+          p = p2 + len.toInt
+        case _ => return None
+      }
+    }
+    Some(out.result())
+  }
+
+  private def utf8(a: Any): String = new String(a.asInstanceOf[Array[Byte]], "UTF-8")
+
+  /** Parse a FileDescriptorSet → fully-qualified ".pkg.Msg" → PbMsg. */
+  def parseDescriptorSet(b: Array[Byte]): Map[String, PbMsg] = {
+    val out = scala.collection.mutable.Map.empty[String, PbMsg]
+    def parseMsg(mb: Array[Byte], prefix: String): Unit = {
+      val items = walkWire(mb).getOrElse(return)
+      val name = items.collectFirst { case (1, 2, v) => utf8(v) }.getOrElse(return)
+      val full = s"$prefix.$name"
+      val fields = items.collect { case (2, 2, fb: Array[Byte]) =>
+        val fi = walkWire(fb).getOrElse(Vector.empty)
+        PbField(
+          name = fi.collectFirst { case (1, 2, v) => utf8(v) }.getOrElse(""),
+          number = fi.collectFirst { case (3, 0, v: Long) => v.toInt }.getOrElse(0),
+          label = fi.collectFirst { case (4, 0, v: Long) => v.toInt }.getOrElse(1),
+          tpe = fi.collectFirst { case (5, 0, v: Long) => v.toInt }.getOrElse(0),
+          typeName = fi.collectFirst { case (6, 2, v) => utf8(v) }.getOrElse(""))
+      }
+      out(full) = PbMsg(fields.filter(_.number > 0).map(f => f.number -> f).toMap)
+      items.collect { case (3, 2, nb: Array[Byte]) => parseMsg(nb, full) }
+    }
+    for {
+      items <- walkWire(b).toSeq
+      (1, 2, fdp: Array[Byte]) <- items
+      fi <- walkWire(fdp).toSeq
+    } {
+      val pkg = fi.collectFirst { case (2, 2, v) => utf8(v) }
+        .filter(_.nonEmpty).map("." + _).getOrElse("")
+      fi.collect { case (4, 2, mb: Array[Byte]) => parseMsg(mb, pkg) }
+    }
+    out.toMap
+  }
+
+  /** Find a message by name: exact ".a.B", bare "a.B", or suffix "B". */
+  def resolveMessage(msgs: Map[String, PbMsg], name: String): Option[String] = {
+    val dotted = if (name.startsWith(".")) name else s".$name"
+    if (msgs.contains(dotted)) Some(dotted)
+    else msgs.keys.find(_.endsWith(s".$name")).map(identity)
+  }
+
+  private def zigzag(v: Long): Long = (v >>> 1) ^ -(v & 1L)
+
+  /** Decode a payload against a resolved descriptor: field NAMES, typed
+    * rendering, nested messages as "outer.inner", repeated as "name[i]". */
+  def decodeNamed(b: Array[Byte], msgs: Map[String, PbMsg], msgKey: String,
+      prefix: String, out: scala.collection.mutable.Map[String, String]): Unit = {
+    val msg = msgs.getOrElse(msgKey, return)
+    val occ = scala.collection.mutable.Map.empty[Int, Int]
+    for ((num, wire, v) <- walkWire(b).getOrElse(Vector.empty)) {
+      msg.fields.get(num) match {
+        case None => // unknown field — render by number like the bare walk
+          out(s"$prefix$num") = v match {
+            case l: Long => l.toString
+            case a: Array[Byte] => if (printable(a)) utf8(a)
+              else a.map("%02x".format(_)).mkString
+          }
+        case Some(f) =>
+          val base = prefix + f.name
+          val key =
+            if (f.label == 3) { // repeated
+              val i = occ.getOrElse(num, 0); occ(num) = i + 1; s"$base[$i]"
+            } else base
+          (f.tpe, v) match {
+            case (1, l: Long)  => out(key) = java.lang.Double.longBitsToDouble(l).toString
+            case (2, l: Long)  => out(key) = java.lang.Float.intBitsToFloat(l.toInt).toString
+            case (3 | 5 | 16, l: Long) => out(key) = l.toString          // int64/int32/sfixed64
+            case (4 | 6, l: Long) => out(key) = java.lang.Long.toUnsignedString(l) // uint64/fixed64
+            case (13 | 7, l: Long) => out(key) = (l & 0xffffffffL).toString // uint32/fixed32
+            case (15, l: Long) => out(key) = l.toInt.toString             // sfixed32
+            case (17 | 18, l: Long) => out(key) = zigzag(l).toString      // sint32/64
+            case (8, l: Long)  => out(key) = (l != 0).toString            // bool
+            case (14, l: Long) => out(key) = l.toString                   // enum number
+            case (9, a: Array[Byte])  => out(key) = utf8(a)               // string
+            case (12, a: Array[Byte]) => out(key) = a.map("%02x".format(_)).mkString
+            case (10 | 11, a: Array[Byte]) =>                             // group/message
+              decodeNamed(a, msgs, f.typeName, s"$key.", out)
+            case (_, l: Long) => out(key) = l.toString
+            case (_, a: Array[Byte]) => out(key) =
+              if (printable(a)) utf8(a) else a.map("%02x".format(_)).mkString
+          }
+      }
+    }
+  }
+
+  def namedUdf(msgs: Map[String, PbMsg], msgKey: String): UserDefinedFunction =
+    udf { (b: Array[Byte]) =>
+      if (b == null) Map.empty[String, String]
+      else {
+        val out = scala.collection.mutable.Map.empty[String, String]
+        decodeNamed(b, msgs, msgKey, "", out)
+        out.toMap
+      }
+    }
+}
+
+/** Minimal protobuf wire-format WRITER — used to build descriptor and
+  * payload fixtures (tests + the query battery) without protobuf-java;
+  * the natural seed of a future write-as-protobuf sink.
+  */
+object ProtoWire {
+  final class W {
+    private val bos = new java.io.ByteArrayOutputStream()
+    def varint(v0: Long): W = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { bos.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      bos.write(v.toInt); this
+    }
+    private def tag(field: Int, wire: Int): W = varint((field.toLong << 3) | wire)
+    def int(field: Int, v: Long): W = { tag(field, 0); varint(v) }
+    def bytes(field: Int, b: Array[Byte]): W =
+      { tag(field, 2); varint(b.length); bos.write(b); this }
+    def str(field: Int, s: String): W = bytes(field, s.getBytes("UTF-8"))
+    def msg(field: Int)(f: W => Unit): W =
+      { val w = new W; f(w); bytes(field, w.toBytes) }
+    def toBytes: Array[Byte] = bos.toByteArray
+  }
+  def build(f: W => Unit): Array[Byte] = { val w = new W; f(w); w.toBytes }
 }

@@ -99,6 +99,52 @@ class BinarySpec extends SparkSpec {
     assert(res.onError("skip").count() == 1)
   }
 
+  test("parse-as-protobuf with a descriptor decodes by field name, nested") {
+    import graft.ops.ProtoWire
+    // FileDescriptorSet for:
+    //   package tutorial;
+    //   message Person { string name=1; int32 id=2; Phone phone=3;
+    //                    repeated string email=4; }
+    //   message Phone  { string number=1; }
+    // (field numbers per google/protobuf/descriptor.proto)
+    def field(w: ProtoWire.W, name: String, num: Int, label: Int, tpe: Int,
+        typeName: String = ""): Unit =
+      w.msg(2) { f =>
+        f.str(1, name); f.int(3, num); f.int(4, label); f.int(5, tpe)
+        if (typeName.nonEmpty) f.str(6, typeName)
+      }
+    val desc = ProtoWire.build { s =>
+      s.msg(1) { fdp =>
+        fdp.str(1, "person.proto"); fdp.str(2, "tutorial")
+        fdp.msg(4) { m =>
+          m.str(1, "Person")
+          field(m, "name", 1, 1, 9)
+          field(m, "id", 2, 1, 5)
+          field(m, "phone", 3, 1, 11, ".tutorial.Phone")
+          field(m, "email", 4, 3, 9)
+        }
+        fdp.msg(4) { m => m.str(1, "Phone"); field(m, "number", 1, 1, 9) }
+      }
+    }
+    val payload = ProtoWire.build { p =>
+      p.str(1, "Ada"); p.int(2, 42)
+      p.msg(3)(ph => ph.str(1, "555-0100"))
+      p.str(4, "ada@x.io"); p.str(4, "ada@y.io")
+    }
+    val b64 = java.util.Base64.getEncoder.encodeToString(desc)
+    val d = df("payload BINARY", Seq(Row(payload)))
+    val out = wrangle(s"parse-as-protobuf :payload '$b64' 'tutorial.Person'", d)
+    val map = out.select("payload_proto").head().getMap[String, String](0)
+    assert(map("name") == "Ada")
+    assert(map("id") == "42")
+    assert(map("phone.number") == "555-0100")
+    assert(map("email[0]") == "ada@x.io" && map("email[1]") == "ada@y.io")
+    // bare message name resolves too
+    val out2 = wrangle(s"parse-as-protobuf :payload '$b64' 'Person'", d)
+    assert(out2.select("payload_proto").head()
+      .getMap[String, String](0)("name") == "Ada")
+  }
+
   test("parse-as-protobuf decodes the wire format without a descriptor") {
     // message { int32 a = 1; string b = 2; fixed64 c = 3 }
     // a=150, b="test", c=42  hand-encoded:
