@@ -610,6 +610,31 @@ object QueryBank {
       },
       "SELECT CAST(n_nationkey AS VARCHAR) AS k, n_name AS v FROM nation"),
 
+    ("multimodal_header_metadata",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        // real PNG headers with nation-derived dimensions — metadata must
+        // come from the IHDR bytes, not the hash fallback
+        val mkPng = udf { (k: Long) =>
+          def be32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte,
+            (v >> 8).toByte, v.toByte)
+          Array(0x89.toByte) ++ "PNG".getBytes("US-ASCII") ++
+            Array[Byte](0x0d, 0x0a, 0x1a, 0x0a) ++ be32(13) ++
+            "IHDR".getBytes("US-ASCII") ++ be32(k + 100) ++ be32(2 * k + 50) ++
+            Array[Byte](8, 6, 0, 0, 0)
+        }
+        val base = nat(s, d).select(col("n_nationkey").as("k"),
+          mkPng(col("n_nationkey").cast("long")).as("payload"))
+        graft.llm.Multimodal.attachMetadata(base, "payload", "image", "png")
+          .select(col("k"),
+            col("payload_meta.format").as("format"),
+            col("payload_meta.width").as("width"),
+            col("payload_meta.height").as("height"))
+      },
+      """SELECT n_nationkey AS k, 'png' AS format,
+        | CAST(n_nationkey + 100 AS INT) AS width,
+        | CAST(2 * n_nationkey + 50 AS INT) AS height FROM nation""".stripMargin),
+
     ("parse_as_hl7",
       (s, d) => {
         import org.apache.spark.sql.functions._

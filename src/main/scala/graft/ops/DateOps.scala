@@ -27,7 +27,8 @@ object DateOps {
   private val CommonFormats = Seq(
     "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd",
     "MM/dd/yyyy HH:mm:ss", "MM/dd/yyyy", "dd/MM/yyyy", "yyyy/MM/dd",
-    "MMM d, yyyy", "MMMM d, yyyy", "dd-MMM-yyyy", "yyyyMMdd")
+    "MMM d, yyyy", "MMMM d, yyyy", "dd-MMM-yyyy", "yyyyMMdd",
+    "MMMM d yyyy", "MMM d yyyy", "d MMMM yyyy", "d MMM yyyy")
 
   def build(spec: DirectiveSpec): Option[PipeOp] = Option(spec.name match {
 
@@ -38,11 +39,20 @@ object DateOps {
         to_timestamp(col(c).cast(StringType), translatePattern(spec.str(1))))
     }
 
-    // best-effort multi-format parse (reference: ParseDate.java:91 — Natty)
+    // best-effort multi-format parse + natural-language relative phrases
+    // ("yesterday", "3 days ago", "next tuesday" — the Natty subset,
+    // reference: ParseDate.java:91). Relative phrases resolve against a
+    // deterministic anchor date: prop:{anchor=yyyy-MM-dd} (or a bare
+    // yyyy-MM-dd argument), defaulting to the current UTC date.
     case "parse-as-date" => ColumnOps.simple(spec) { df =>
       val c = spec.col(0)
+      val anchor = spec.tokens.collectFirst {
+        case TProps(p) if p.contains("anchor") => p("anchor")
+      }.orElse(spec.optStr(1).filter(_.matches("\\d{4}-\\d{2}-\\d{2}")))
+        .getOrElse(java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString)
       val candidates = CommonFormats.map(f =>
-        try_to_timestamp(col(c).cast(StringType), lit(f)))
+        try_to_timestamp(col(c).cast(StringType), lit(f))) :+
+        NlDate.parseUdf(col(c).cast(StringType), lit(anchor))
       df.withColumn(c, coalesce(candidates: _*))
     }
 
@@ -135,4 +145,79 @@ object DateOps {
 
     case _ => null
   })
+}
+
+/** Deterministic natural-language date subset (the phrases the
+  * reference handles via Natty — ParseDate.java:91): relative day
+  * words, "N <unit>s ago" / "in N <unit>s" / "N <unit>s from now",
+  * "next/last <weekday>|week|month|year". Resolves against an explicit
+  * anchor date so results are reproducible and testable.
+  */
+object NlDate {
+  import java.time.LocalDate
+
+  private val weekdays: Map[String, java.time.DayOfWeek] =
+    java.time.DayOfWeek.values().flatMap { d =>
+      val full = d.name.toLowerCase
+      Seq(full -> d, full.take(3) -> d)
+    }.toMap
+
+  private val numberWords = Map(
+    "a" -> 1L, "an" -> 1L, "one" -> 1L, "two" -> 2L, "three" -> 3L,
+    "four" -> 4L, "five" -> 5L, "six" -> 6L, "seven" -> 7L, "eight" -> 8L,
+    "nine" -> 9L, "ten" -> 10L)
+
+  private def num(s: String): Option[Long] =
+    numberWords.get(s).orElse(
+      if (s.forall(_.isDigit) && s.nonEmpty) Some(s.toLong) else None)
+
+  private def shift(anchor: LocalDate, n: Long, unit: String): Option[LocalDate] =
+    unit match {
+      case "day"   => Some(anchor.plusDays(n))
+      case "week"  => Some(anchor.plusWeeks(n))
+      case "month" => Some(anchor.plusMonths(n))
+      case "year"  => Some(anchor.plusYears(n))
+      case _       => None
+    }
+
+  private val Ago     = "^(\\S+) (day|week|month|year)s? ago$".r
+  private val In      = "^in (\\S+) (day|week|month|year)s?$".r
+  private val FromNow = "^(\\S+) (day|week|month|year)s? from (?:now|today)$".r
+  private val Next    = "^next (\\S+)$".r
+  private val Last    = "^last (\\S+)$".r
+
+  def parse(raw: String, anchor: LocalDate): LocalDate = {
+    if (raw == null) return null
+    val s = raw.trim.toLowerCase.replaceAll("\\s+", " ")
+    val r: Option[LocalDate] = s match {
+      case "now" | "today"        => Some(anchor)
+      case "yesterday"            => Some(anchor.minusDays(1))
+      case "tomorrow"             => Some(anchor.plusDays(1))
+      case "day before yesterday" => Some(anchor.minusDays(2))
+      case "day after tomorrow"   => Some(anchor.plusDays(2))
+      case Ago(n, u)     => num(n).flatMap(v => shift(anchor, -v, u))
+      case In(n, u)      => num(n).flatMap(v => shift(anchor, v, u))
+      case FromNow(n, u) => num(n).flatMap(v => shift(anchor, v, u))
+      case Next(w) => weekdays.get(w) match {
+        // strictly after the anchor, like Natty's "next <weekday>"
+        case Some(d) => Some(anchor.`with`(
+          java.time.temporal.TemporalAdjusters.next(d)))
+        case None => shift(anchor, 1, w)
+      }
+      case Last(w) => weekdays.get(w) match {
+        // most recent strictly before the anchor
+        case Some(d) => Some(anchor.`with`(
+          java.time.temporal.TemporalAdjusters.previous(d)))
+        case None => shift(anchor, -1, w)
+      }
+      case _ => None
+    }
+    r.orNull
+  }
+
+  val parseUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (v: String, anchor: String) =>
+      Option(parse(v, LocalDate.parse(anchor)))
+        .map(d => java.sql.Timestamp.valueOf(d.atStartOfDay)).orNull
+    }
 }

@@ -160,4 +160,44 @@ class LlmSpec extends SparkSpec {
     assert(n <= 500, s"exact copies must collapse, got $n")
     assert(secs < 120, s"took ${secs}s")
   }
+
+  test("MediaHeaders.probe reads PNG/GIF/WAV/JPEG headers") {
+    import graft.llm.MediaHeaders
+    def be32(v: Long): Seq[Byte] =
+      Seq((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be16(v: Int): Seq[Byte] = Seq((v >> 8).toByte, v.toByte)
+    def le16(v: Int): Seq[Byte] = Seq(v.toByte, (v >> 8).toByte)
+    def le32(v: Long): Seq[Byte] =
+      Seq(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+    val png = (Seq(0x89.toByte) ++ "PNG".getBytes.toSeq ++
+      Seq[Byte](0x0d, 0x0a, 0x1a, 0x0a) ++ be32(13) ++ "IHDR".getBytes.toSeq ++
+      be32(640) ++ be32(480) ++ Seq[Byte](8, 6, 0, 0, 0)).toArray
+    val pp = MediaHeaders.probe(png)
+    assert(pp.format == "png" && pp.width == 640 && pp.height == 480)
+
+    val gif = ("GIF89a".getBytes.toSeq ++ le16(320) ++ le16(200) ++
+      Seq[Byte](0, 0, 0)).toArray
+    val gp = MediaHeaders.probe(gif)
+    assert(gp.format == "gif" && gp.width == 320 && gp.height == 200)
+
+    // RIFF/WAVE: fmt chunk byteRate=16000, data chunk 32000 bytes -> 2000ms
+    val wav = ("RIFF".getBytes.toSeq ++ le32(36 + 32000) ++
+      "WAVE".getBytes.toSeq ++ "fmt ".getBytes.toSeq ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(16000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes.toSeq ++ le32(32000)).toArray
+    val wp = MediaHeaders.probe(wav)
+    assert(wp.format == "wav" && wp.duration_ms == 2000L)
+
+    // JPEG with an APP0 segment before SOF0 (marker walk must skip it)
+    val jpg = (Seq[Byte](0xff.toByte, 0xd8.toByte) ++
+      Seq[Byte](0xff.toByte, 0xe0.toByte) ++ be16(4) ++ Seq[Byte](0, 0) ++
+      Seq[Byte](0xff.toByte, 0xc0.toByte) ++ be16(11) ++ Seq[Byte](8) ++
+      be16(1080) ++ be16(1920) ++ Seq[Byte](3, 0, 0)).toArray
+    val jp = MediaHeaders.probe(jpg)
+    assert(jp.format == "jpeg" && jp.width == 1920 && jp.height == 1080)
+
+    assert(MediaHeaders.probe("plain text payload!!".getBytes) == null)
+  }
+
 }

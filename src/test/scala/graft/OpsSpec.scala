@@ -200,4 +200,15 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Boolean]("has"))
     assert(r.getAs[String]("sel") == "a INT")
   }
+
+  test("parse-as-date handles natural-language relative phrases") {
+    val d = df("s STRING", Seq(Row("yesterday"), Row("3 days ago"),
+      Row("next tuesday"), Row("last friday"), Row("in two weeks"),
+      Row("2024-06-15"), Row("not a date")))
+    val out = wrangle("parse-as-date :s prop:{anchor=2024-06-12}; format-date :s 'yyyy-MM-dd';", d)
+    // anchor 2024-06-12 is a Wednesday
+    assert(strings(out, "s") == Seq("2024-06-11", "2024-06-09",
+      "2024-06-18", "2024-06-07", "2024-06-26", "2024-06-15", null))
+  }
+
 }
