@@ -529,6 +529,36 @@ object QueryBank {
       (s, d) => r("set-column :doy exp:{ date:DAY_OF_YEAR(o_orderdate) }; set-column :q exp:{ date:QUARTER(o_orderdate) }; set-column :ld exp:{ datetime:LastDayOfMonth(o_orderdate) }; format-date :ld 'yyyy-MM-dd'; keep :o_orderkey,:doy,:q,:ld")(ord(s, d)),
       "SELECT o_orderkey, CAST(dayofyear(o_orderdate) AS INT) AS doy, CAST(quarter(o_orderdate) AS INT) AS q, strftime(last_day(o_orderdate), '%Y-%m-%d') AS ld FROM orders"),
 
+    // ---- §2.9 expressions: remaining namespaces ---------------------
+    ("expr_escape_ns",
+      (s, d) => r("""set-column :raw exp:{ concat('<x & "', c_mktsegment, '">') }; set-column :html exp:{ escape:EscapeHtml(raw) }; set-column :xml exp:{ escape:EscapeXml(raw) }; keep :c_custkey,:html,:xml""")(cust(s, d)),
+      """SELECT c_custkey,
+        | '&lt;x &amp; &quot;' || c_mktsegment || '&quot;&gt;' AS html,
+        | '&lt;x &amp; &quot;' || c_mktsegment || '&quot;&gt;' AS xml
+        |FROM customer""".stripMargin),
+
+    ("expr_bytes_ns",
+      (s, d) => r("set-column :b exp:{ bytes:ToStringUTF8(tobytes(c_name)) }; set-column :hx exp:{ bytes:ToHexString(tobytes(c_mktsegment)) }; keep :c_custkey,:b,:hx")(cust(s, d)),
+      "SELECT c_custkey, c_name AS b, lower(hex(c_mktsegment)) AS hx FROM customer"),
+
+    ("expr_arrays_ns",
+      (s, d) => r("set-column :arr exp:{ split(c_name, '#') }; set-column :n exp:{ arrays:Length(arr) }; set-column :joined exp:{ arrays:Join(arr, '-') }; keep :c_custkey,:n,:joined")(cust(s, d)),
+      "SELECT c_custkey, CAST(2 AS INT) AS n, array_to_string(string_split(c_name, '#'), '-') AS joined FROM customer"),
+
+    ("expr_types_ns",
+      (s, d) => r("set-column :i exp:{ types:IsInteger(tostring(c_custkey)) }; set-column :bl exp:{ types:IsBoolean(c_mktsegment) }; set-column :dt exp:{ types:IsDate('2024-01-01') }; keep :c_custkey,:i,:bl,:dt")(cust(s, d)),
+      "SELECT c_custkey, true AS i, false AS bl, true AS dt FROM customer"),
+
+    ("expr_geo_ns",
+      // ±1.5° square fence around the origin; lat ∈ {-1,0,1} always in,
+      // lon ∈ {-2..2} in only when |lon| <= 1
+      (s, d) => r("""set-column :inside exp:{ geo:InFence(c_custkey % 3 - 1, c_custkey % 5 - 2, '{"type":"Polygon","coordinates":[[[-1.5,-1.5],[1.5,-1.5],[1.5,1.5],[-1.5,1.5],[-1.5,-1.5]]]}') }; keep :c_custkey,:inside""")(cust(s, d)),
+      "SELECT c_custkey, abs((c_custkey % 5) - 2) <= 1 AS inside FROM customer"),
+
+    ("expr_ddl_ns",
+      (s, d) => r("set-column :has exp:{ ddl:HasField('a int, b string', 'b') }; set-column :sel exp:{ ddl:Select('a int, b string, c double', 'a,c') }; keep :c_custkey,:has,:sel")(cust(s, d)),
+      "SELECT c_custkey, true AS has, 'a INT,c DOUBLE' AS sel FROM customer"),
+
     // ---- §2.1 binary container parsers ------------------------------
     // Fixtures are built deterministically FROM the nation table (in the
     // query, not the engine), so a plain-SQL oracle over nation verifies

@@ -222,8 +222,7 @@ object Functions {
       case "types:isempty"   => a(0).isNull || length(a(0)) === 0
       case "types:isdate"    => try_cast_ok(a(0), DateType)
 
-      case other =>
-        throw new RecipeException(s"unknown function '$other' (${args.size} args)")
+      case other => unknown(other)
     }
   }
 
@@ -306,7 +305,7 @@ object Functions {
       case "deletewhitespace"      => regexp_replace(a(0), "\\s+", "")
       case "normalizespace"        => trim(regexp_replace(a(0), "\\s+", " "))
       case other =>
-        throw new RecipeException(s"string:$other not supported")
+        unknown(s"string:$other")
     }
   }
 
@@ -354,7 +353,7 @@ object Functions {
         regexp_like(a(0), lit("^\\+?[0-9. ()-]{7,15}$"))
       case "iszipcode" =>
         regexp_like(a(0), lit("^\\d{5}(-\\d{4})?$"))
-      case other => throw new RecipeException(s"dq:$other not supported")
+      case other => unknown(s"dq:$other")
     }
   }
 
@@ -434,7 +433,96 @@ object Functions {
       case "quarterfromdate"       => quarter(a(0))
       case "addmonthstodate" | "addmonths" => add_months(a(0), a(1).cast(IntegerType))
       case "adddaystodate" | "adddays" => date_add(a(0), a(1).cast(IntegerType))
-      case other => throw new RecipeException(s"date:$other not supported")
+      case other => unknown(s"date:$other")
     }
+  }
+
+  /** Supported-function inventory per namespace — drives the precise
+    * unknown-function error below (the reference registers whole Java
+    * classes per namespace, EL.java:141-158; here the surface is
+    * enumerated so a typo fails with the actual menu).
+    */
+  val supported: Map[String, Seq[String]] = {
+    val string = Seq("abbreviate", "capitalize", "center", "chop", "contains",
+      "containsignorecase", "countmatches", "defaultifempty",
+      "deletewhitespace", "endswith", "indexof", "isalpha", "isalphanumeric",
+      "isblank", "isempty", "isnotblank", "isnumeric", "join", "lastindexof",
+      "leftpad", "length", "lower", "lowercase", "normalizespace",
+      "removeend", "removestart", "repeat", "reverse", "rightpad",
+      "startswith", "strip", "substringafter", "substringbefore", "swapcase",
+      "trim", "upper", "uppercase")
+    val date = Seq("adddays", "adddaystodate", "addmonths", "addmonthstodate",
+      "currentdate", "currenttime", "currenttimems", "currenttimestamp",
+      "datediff", "datefrom", "datefromcomponents", "datefromcomponents2",
+      "datefromdayssince", "datefromjulianday", "datefromtimestamp",
+      "dateoffsetbycomponents", "day", "day_of_week", "day_of_year",
+      "dayofmonth", "dayofweek", "dayofyear", "days_between", "daysbetween",
+      "daysfrommonth", "dayssincefromdate", "epochfromtimestamp", "hour",
+      "hoursfromtime", "hoursfromtimestamp", "isdate", "istime",
+      "juliandayfromdate", "lastdayofmonth", "midnightsecondsfromtime",
+      "minute", "minutesfromtime", "minutesfromtimestamp", "month",
+      "month_long", "month_short", "monthlong", "months_between",
+      "monthsbetween", "monthsfromdate", "monthshort", "nextweekdayfromdate",
+      "now", "previousweekdayfromdate", "quarter", "quarterfromdate",
+      "second", "seconds_to_days", "seconds_to_hours", "seconds_to_minutes",
+      "seconds_to_weeks", "secondsfromtime", "secondsfromtimestamp",
+      "secondssince", "secondssincefromtimestamp", "timefromcomponents",
+      "timestampfromcomponents", "timestampfromdatetime",
+      "timestampfromepoch", "timestampfromtime2", "unixtimestamp_millis",
+      "unixtimestamp_seconds", "week", "weekdayfromdate", "weekofyear",
+      "weekofyearfromdate", "year", "yearday", "yeardayfromdate",
+      "yeardayfromdate2", "yearfromdate", "yearweekfromdate")
+    Map(
+      "" -> Seq("charat", "coalesce", "concat", "contains", "endswith",
+        "equalsignorecase", "format", "getfield", "indexof", "isnotnull",
+        "isnull", "length", "lower", "lowercase", "ltrim", "nulltoempty",
+        "nulltovalue", "nulltozero", "padatend", "padatstart", "repeat",
+        "replace", "reverse", "rtrim", "split", "startswith", "strlen",
+        "substring", "titlecase", "tobytes", "todouble", "tofloat",
+        "tointeger", "tolong", "tostring", "trim", "unquote", "upper",
+        "uppercase"),
+      "string" -> string, "strings" -> string,
+      "dq" -> Seq("inrange", "isamex", "iscreditcard", "isdate",
+        "isdomainname", "isdomaintld", "isemail", "isempty", "isinteger",
+        "isip", "isipv4", "isipv6", "isisbn", "isisbn10", "isisbn13",
+        "ismaster", "isnotnull", "isnull", "isnumber", "isphone", "istime",
+        "isurl", "isvisa", "iszipcode", "strlen"),
+      "date" -> date, "datetime" -> date,
+      "math" -> Seq("abs", "cbrt", "ceil", "cos", "exp", "floor", "floordiv",
+        "hypot", "log", "log10", "log2", "max", "min", "pow", "random",
+        "rint", "round", "signum", "sin", "sqrt", "tan", "todegrees",
+        "toradians"),
+      "number" -> Seq("asdouble", "asfloat", "asinteger", "mantissa"),
+      "logical" -> Seq("bitand", "bitor", "bitxor", "not", "setbit"),
+      "json" -> Seq("arraylength", "isarray", "isnull", "isobject",
+        "isvalid", "keys", "parse", "select", "stringify"),
+      "arithmetic" -> Seq("add", "divideq", "divider", "equal", "max",
+        "min", "minus", "multiply"),
+      "decimal" -> Seq("add", "decimal_add", "divide", "multiply",
+        "precision", "scale", "subtract", "unscaled"),
+      "bytes" -> Seq("tohexstring", "toint", "tolong", "tostring",
+        "tostringutf8"),
+      "arrays" -> Seq("join", "length"),
+      "escape" -> Seq("escapecsv", "escapehtml", "escapehtml4",
+        "escapejson", "escapexml", "escapexml11", "unescapehtml",
+        "unescapehtml4", "unescapejson", "unescapexml"),
+      "geo" -> Seq("infence"),
+      "ddl" -> Seq("drop", "hasfield", "parse", "select", "tojson"),
+      "types" -> Seq("isboolean", "isdate", "isdouble", "isempty",
+        "isinteger", "isnumber"))
+  }
+
+  /** Fail-fast with the menu for the namespace (or the namespace list). */
+  private def unknown(key: String): Nothing = {
+    val ns = if (key.contains(':')) key.takeWhile(_ != ':') else ""
+    val msg = supported.get(ns) match {
+      case Some(fns) =>
+        val label = if (ns.isEmpty) "the global namespace" else s"$ns:"
+        s"unknown function '$key' — $label supports: ${fns.mkString(", ")}"
+      case None =>
+        s"unknown function '$key' — unknown namespace '$ns:'; namespaces: " +
+          supported.keys.filter(_.nonEmpty).toSeq.sorted.mkString(", ")
+    }
+    throw new RecipeException(msg)
   }
 }
