@@ -529,6 +529,14 @@ object QueryBank {
       (s, d) => r("set-column :doy exp:{ date:DAY_OF_YEAR(o_orderdate) }; set-column :q exp:{ date:QUARTER(o_orderdate) }; set-column :ld exp:{ datetime:LastDayOfMonth(o_orderdate) }; format-date :ld 'yyyy-MM-dd'; keep :o_orderkey,:doy,:q,:ld")(ord(s, d)),
       "SELECT o_orderkey, CAST(dayofyear(o_orderdate) AS INT) AS doy, CAST(quarter(o_orderdate) AS INT) AS q, strftime(last_day(o_orderdate), '%Y-%m-%d') AS ld FROM orders"),
 
+    // ---- §2.7 packaged catalog (no registration step) ---------------
+    ("catalog_lookup_builtin",
+      (s, d) => r("set-column :code exp:{ c_custkey % 2 == 0 ? 'US' : 'FR' }; catalog-lookup iso3166 :code; keep :c_custkey,:code,:code_iso3166_description")(cust(s, d)),
+      """SELECT c_custkey, CASE WHEN c_custkey % 2 = 0 THEN 'US' ELSE 'FR' END AS code,
+        | CASE WHEN c_custkey % 2 = 0 THEN 'United States of America'
+        |      ELSE 'France' END AS code_iso3166_description
+        |FROM customer""".stripMargin),
+
     // ---- §2.9 expressions: remaining namespaces ---------------------
     ("expr_escape_ns",
       (s, d) => r("""set-column :raw exp:{ concat('<x & "', c_mktsegment, '">') }; set-column :html exp:{ escape:EscapeHtml(raw) }; set-column :xml exp:{ escape:EscapeXml(raw) }; keep :c_custkey,:html,:xml""")(cust(s, d)),

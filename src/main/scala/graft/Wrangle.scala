@@ -92,6 +92,13 @@ object Wrangle {
   def recipe(text: String): Wrangle =
     new Wrangle(RecipeParser.parse(text), Map.empty, Map.empty)
 
+  /** Recipe with `$name$` macro substitution (reference: Directives.g4
+    * macro rule): `Wrangle.recipe("filter-row exp:{ $cond$ } false;",
+    * Map("cond" -> "l_quantity > 5"))`.
+    */
+  def recipe(text: String, macros: Map[String, String]): Wrangle =
+    new Wrangle(RecipeParser.parse(text, macros), Map.empty, Map.empty)
+
   def specs(text: String): Vector[DirectiveSpec] = RecipeParser.parse(text)
 
   private[graft] def emptyErrors(spark: SparkSession): DataFrame = {
@@ -115,19 +122,42 @@ object Registry {
   type Builder = DirectiveSpec => Option[PipeOp]
 
   @volatile private var userBuilders: Vector[Builder] = Vector.empty
+  // aliasing/exclusion config (reference: ConfigDirectiveContext +
+  // wrangler-docs/exclusion-and-aliasing.md): alias → root name;
+  // excluded names are rejected at compile time
+  @volatile private var aliases: Map[String, String] = Map.empty
+  @volatile private var excluded: Set[String] = Set.empty
 
   /** Register a user-defined directive builder (UDD SPI). */
   def register(b: Builder): Unit = synchronized { userBuilders :+= b }
 
-  private val system: Vector[Builder] = Vector(
-    ColumnOps.build, RowOps.build, StringOps.build,
-    DateOps.build, ParserOps.build, WriterOps.build, LookupOps.build,
-    LlmOps.build, ExternalOps.build, BinaryFormats.build)
+  /** Install an alias/exclusion configuration (both maps lowercase). */
+  def configure(aliasMap: Map[String, String] = Map.empty,
+      exclusions: Set[String] = Set.empty): Unit = synchronized {
+    aliases = aliasMap.map { case (k, v) => k.toLowerCase -> v.toLowerCase }
+    excluded = exclusions.map(_.toLowerCase)
+  }
 
-  def compile(spec: DirectiveSpec): PipeOp =
+  def resetConfig(): Unit = configure()
+
+  def compile(spec0: DirectiveSpec): PipeOp = {
+    // root of an alias is subject to the exclusion list too, matching
+    // the reference: excluding 'drop' also disables any alias of it
+    val rootName = aliases.getOrElse(spec0.name, spec0.name)
+    if (excluded(spec0.name) || excluded(rootName))
+      throw new RecipeException(
+        s"directive '${spec0.name}' is excluded by configuration")
+    val spec = if (rootName == spec0.name) spec0
+      else spec0.copy(name = rootName)
     (userBuilders ++ system).iterator
       .flatMap(b => b(spec))
       .nextOption()
       .getOrElse(throw new RecipeException(
         s"unknown directive '${spec.name}'"))
+  }
+
+  private val system: Vector[Builder] = Vector(
+    ColumnOps.build, RowOps.build, StringOps.build,
+    DateOps.build, ParserOps.build, WriterOps.build, LookupOps.build,
+    LlmOps.build, ExternalOps.build, BinaryFormats.build)
 }

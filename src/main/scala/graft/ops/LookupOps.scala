@@ -13,14 +13,21 @@ object LookupOps {
   def build(spec: DirectiveSpec): Option[PipeOp] = Option(spec.name match {
 
     // static dictionary lookup → `<col>_<catalog>_description`
-    // (reference: wrangler-core directives/lookup/CatalogLookup.java:93)
+    // (reference: wrangler-core directives/lookup/CatalogLookup.java:93).
+    // Unregistered names fall back to the packaged catalogs
+    // (iso3166, icd-10 — like the reference's bundled ICD code files,
+    // executor/ICDCatalog.java:33-34), so the directive works out of
+    // the box with no user-registered DataFrame.
     case "catalog-lookup" => new PipeOp {
       def name = spec.name
       def apply(st: PipeState, ctx: WrangleContext): PipeState = {
         val catalog = spec.str(0)
         val c = spec.col(1)
-        val cat = ctx.catalogs.getOrElse(catalog,
-          throw new RecipeException(s"catalog-lookup: unknown catalog '$catalog'"))
+        val cat = ctx.catalogs.get(catalog)
+          .orElse(BuiltinCatalogs.load(ctx.spark, catalog))
+          .getOrElse(throw new RecipeException(
+            s"catalog-lookup: unknown catalog '$catalog' (built-ins: " +
+              s"${BuiltinCatalogs.names.mkString(", ")})"))
         // catalog schema contract: (code, description)
         val Array(codeCol, descCol) = cat.columns.take(2)
         val renamed = cat.select(
@@ -54,4 +61,32 @@ object LookupOps {
 
     case _ => null
   })
+}
+
+/** Packaged (code, description) catalogs loaded from classpath
+  * resources — public reference data shipped with the engine so
+  * `catalog-lookup iso3166 :code` needs no registration step.
+  */
+object BuiltinCatalogs {
+  val names: Seq[String] = Seq("iso3166", "icd-10")
+  private val aliasOf = Map("icd" -> "icd-10", "icd10" -> "icd-10")
+
+  def load(spark: org.apache.spark.sql.SparkSession,
+      name: String): Option[org.apache.spark.sql.DataFrame] = {
+    val resolved = aliasOf.getOrElse(name.toLowerCase, name.toLowerCase)
+    Option(getClass.getResourceAsStream(s"/graft/catalogs/$resolved.csv"))
+      .map { is =>
+        val lines =
+          try scala.io.Source.fromInputStream(is, "UTF-8").getLines().toVector
+          finally is.close()
+        import org.apache.spark.sql.types._
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(lines.tail.map { l =>
+            val i = l.indexOf(',')
+            org.apache.spark.sql.Row(l.take(i), l.drop(i + 1))
+          }: _*)
+        spark.createDataFrame(rows, StructType(Seq(
+          StructField("code", StringType), StructField("description", StringType))))
+      }
+  }
 }

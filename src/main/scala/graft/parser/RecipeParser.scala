@@ -21,6 +21,26 @@ object RecipeParser {
   def parse(recipe: String): Vector[DirectiveSpec] =
     splitStatements(recipe).flatMap(parseStatement)
 
+  /** Parse with `$name$` macro substitution (reference: Directives.g4
+    * macro rule + the properties the executor injects). Substitution is
+    * textual and happens before statement splitting, like the reference;
+    * an unresolved `$name$` fails fast rather than reaching a directive
+    * as a malformed token.
+    */
+  def parse(recipe: String, macros: Map[String, String]): Vector[DirectiveSpec] =
+    parse(substituteMacros(recipe, macros))
+
+  private val MacroRe = "\\$([A-Za-z_][A-Za-z0-9_]*)\\$".r
+
+  private[parser] def substituteMacros(recipe: String,
+      macros: Map[String, String]): String =
+    if (macros.isEmpty) recipe
+    else MacroRe.replaceAllIn(recipe, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        macros.getOrElse(m.group(1), throw new RecipeException(
+          s"undefined macro '$$${m.group(1)}$$' (have: " +
+            s"${macros.keys.toSeq.sorted.mkString(", ")})"))))
+
   /** Split into statements on ';' / newline, respecting quotes+braces. */
   private[parser] def splitStatements(recipe: String): Vector[String] = {
     val out = ArrayBuffer.empty[String]

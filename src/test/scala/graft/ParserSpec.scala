@@ -65,4 +65,44 @@ class ParserSpec extends AnyFunSuite {
       "set column total price * 2\nset columns a,b,c")
     assert(specs.map(_.name) == Vector("set", "set"))
   }
+
+  test("macro substitution: $name$ expands before parsing") {
+    val specs = graft.parser.RecipeParser.parse(
+      "filter-row exp:{ $cond$ } false; drop :$col$;",
+      Map("cond" -> "l_quantity > 5", "col" -> "l_tax"))
+    assert(specs.size == 2)
+    assert(specs(0).raw.contains("l_quantity > 5"))
+    assert(specs(1).raw.contains("l_tax"))
+    val e = intercept[graft.api.RecipeException] {
+      graft.parser.RecipeParser.parse("drop :$nope$;", Map("x" -> "1"))
+    }
+    assert(e.getMessage.contains("undefined macro"))
+    // no substitution pass when no macros are supplied (currency
+    // literals with '$' stay intact)
+    assert(graft.parser.RecipeParser.parse(
+      "set-column :c exp:{ '$1,234.56' };").nonEmpty)
+  }
+
+  test("registry aliasing and exclusion config") {
+    import graft.Registry
+    try {
+      Registry.configure(aliasMap = Map("remove-cols" -> "drop"),
+        exclusions = Set("invoke-http"))
+      val spec = graft.parser.RecipeParser.parse("remove-cols :a;").head
+      assert(Registry.compile(spec).name == "drop")
+      val e = intercept[graft.api.RecipeException] {
+        Registry.compile(graft.parser.RecipeParser.parse(
+          "invoke-http :u 'http://x' 'a';").head)
+      }
+      assert(e.getMessage.contains("excluded"))
+      // excluding the root also disables its aliases
+      Registry.configure(aliasMap = Map("remove-cols" -> "drop"),
+        exclusions = Set("drop"))
+      val e2 = intercept[graft.api.RecipeException] {
+        Registry.compile(graft.parser.RecipeParser.parse("remove-cols :a;").head)
+      }
+      assert(e2.getMessage.contains("excluded"))
+    } finally Registry.resetConfig()
+  }
+
 }
