@@ -32,13 +32,31 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // JVM/FS warmup on a trivial scan so the first measured query isn't
-    // charged for classloading + parquet footer caching
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10)
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // Fixed warmup set at the smallest SF: exercises the same code paths
+    // (UDF classloading, kernel JIT, codegen compilation, parquet footer
+    // caching) the heavy queries hit, WITHOUT charging the first
+    // measured query for it. Run-order variance on e.g. minhash_pairs
+    // was 5x before this (BENCH_r02 vs local rerun).
+    val warmupDir = "/root/testdata/sf0.001"
+    val warmupQueries = Seq("baseline_13_directive_recipe", "dedup_minhash",
+      "minhash_pairs", "simhash_pairs", "ann_brute_topk", "parse_as_date")
+    for (n <- warmupQueries)
+      try SparkEntry.queries(n)(spark, warmupDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> materialize(n))
+    // median of N runs per query (N=3 by default): a single noisy run —
+    // GC pause, first-touch JIT, OS cache miss — no longer moves the
+    // reported number
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0)
+      if (ok.isEmpty) -1.0
+      else ok.sorted.apply(ok.size / 2)
+    }
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
+      n -> median((1 to runs).map(_ => materialize(n)))
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -81,8 +81,12 @@ object Udfs {
   // Deterministic here (seeded by the value) so results are reproducible.
   def maskShuffle(value: String): String = {
     if (value == null) return null
-    // inline xorshift64* seeded by the value — no Random allocation
-    var s = value.hashCode.toLong | 1L
+    // inline xorshift64* seeded by the value — no Random allocation.
+    // splitmix-style seed mixing: a bare `hashCode | 1` collapses
+    // adjacent even/odd hashCodes ("NATION_0"/"NATION_1") to one seed
+    var s = value.hashCode.toLong * 0x9E3779B97F4A7C15L
+    s ^= (s >>> 32)
+    if (s == 0) s = 0x5DEECE66DL
     def next(bound: Int): Int = {
       s ^= s << 13; s ^= s >>> 7; s ^= s << 17
       (((s * 0x2545F4914F6CDD1DL) >>> 33) % bound).toInt
