@@ -1,0 +1,369 @@
+package graft.functions
+
+/** Pure-JVM implementations of the digest algorithms the reference's
+  * `hash` directive offers through BouncyCastle but the JDK lacks
+  * (reference: wrangler-core directives/transformation/MessageHash.java:54-107).
+  * Each is written from its published specification:
+  *
+  *  - BLAKE2b-160/256/384/512 — RFC 7693
+  *  - RIPEMD-128/160          — Dobbertin/Bosselaers/Preneel 1996 spec
+  *  - SM3                     — GB/T 32905-2016 (public national standard)
+  *  - KECCAK-224/256/384/512  — original Keccak submission padding
+  *    (0x01), vs the JDK's SHA3-* which uses the FIPS-202 0x06 padding;
+  *    both share the Keccak-f[1600] permutation below
+  *
+  * Verified against the algorithms' published test vectors in
+  * DigestSpec.
+  */
+object Digests {
+
+  def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  /** Algorithm-name router used by the hash directive for non-JDK
+    * names; returns null when the name is not one of ours.
+    */
+  def digest(algo: String, data: Array[Byte]): Array[Byte] =
+    algo.toUpperCase match {
+      case "BLAKE2B-160" => blake2b(data, 20)
+      case "BLAKE2B-256" => blake2b(data, 32)
+      case "BLAKE2B-384" => blake2b(data, 48)
+      case "BLAKE2B-512" => blake2b(data, 64)
+      case "RIPEMD128" | "RIPEMD-128" => ripemd(data, 128)
+      case "RIPEMD160" | "RIPEMD-160" => ripemd(data, 160)
+      case "SM3" => sm3(data)
+      case "KECCAK-224" => keccak(data, 224)
+      case "KECCAK-256" => keccak(data, 256)
+      case "KECCAK-384" => keccak(data, 384)
+      case "KECCAK-512" => keccak(data, 512)
+      case _ => null
+    }
+
+  // ---- BLAKE2b (RFC 7693) --------------------------------------------
+
+  private val B2IV = Array(
+    0x6a09e667f3bcc908L, 0xbb67ae8584caa73bL, 0x3c6ef372fe94f82bL,
+    0xa54ff53a5f1d36f1L, 0x510e527fade682d1L, 0x9b05688c2b3e6c1fL,
+    0x1f83d9abfb41bd6bL, 0x5be0cd19137e2179L)
+
+  private val B2SIGMA: Array[Array[Int]] = Array(
+    Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15),
+    Array(14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3),
+    Array(11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4),
+    Array(7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8),
+    Array(9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13),
+    Array(2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9),
+    Array(12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11),
+    Array(13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10),
+    Array(6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5),
+    Array(10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0))
+
+  def blake2b(data: Array[Byte], outLen: Int): Array[Byte] = {
+    val h = B2IV.clone()
+    h(0) ^= 0x01010000L ^ outLen.toLong
+    val n = data.length
+    var t = 0L
+    var off = 0
+    // full blocks except the last (the final block, even if full or
+    // empty, is compressed with the finalization flag)
+    while (n - off > 128) {
+      t += 128
+      compressB2(h, data, off, t, last = false)
+      off += 128
+    }
+    val block = new Array[Byte](128)
+    val rem = n - off
+    System.arraycopy(data, off, block, 0, rem)
+    t += rem
+    compressB2(h, block, 0, t, last = true)
+    val out = new Array[Byte](outLen)
+    var i = 0
+    while (i < outLen) { out(i) = (h(i / 8) >>> (8 * (i % 8))).toByte; i += 1 }
+    out
+  }
+
+  private def compressB2(h: Array[Long], block: Array[Byte], off: Int,
+      t: Long, last: Boolean): Unit = {
+    val m = new Array[Long](16)
+    var i = 0
+    while (i < 16) {
+      var v = 0L
+      var j = 7
+      while (j >= 0) { v = (v << 8) | (block(off + i * 8 + j) & 0xffL); j -= 1 }
+      m(i) = v
+      i += 1
+    }
+    val v = new Array[Long](16)
+    System.arraycopy(h, 0, v, 0, 8)
+    System.arraycopy(B2IV, 0, v, 8, 8)
+    v(12) ^= t
+    // t is a 128-bit counter in the spec; inputs here are < 2^63 bytes
+    if (last) v(14) = ~v(14)
+    def rotr(x: Long, k: Int) = (x >>> k) | (x << (64 - k))
+    def g(a: Int, b: Int, c: Int, d: Int, x: Long, y: Long): Unit = {
+      v(a) += v(b) + x; v(d) = rotr(v(d) ^ v(a), 32)
+      v(c) += v(d); v(b) = rotr(v(b) ^ v(c), 24)
+      v(a) += v(b) + y; v(d) = rotr(v(d) ^ v(a), 16)
+      v(c) += v(d); v(b) = rotr(v(b) ^ v(c), 63)
+    }
+    var r = 0
+    while (r < 12) {
+      val s = B2SIGMA(r % 10)
+      g(0, 4, 8, 12, m(s(0)), m(s(1))); g(1, 5, 9, 13, m(s(2)), m(s(3)))
+      g(2, 6, 10, 14, m(s(4)), m(s(5))); g(3, 7, 11, 15, m(s(6)), m(s(7)))
+      g(0, 5, 10, 15, m(s(8)), m(s(9))); g(1, 6, 11, 12, m(s(10)), m(s(11)))
+      g(2, 7, 8, 13, m(s(12)), m(s(13))); g(3, 4, 9, 14, m(s(14)), m(s(15)))
+      r += 1
+    }
+    i = 0
+    while (i < 8) { h(i) ^= v(i) ^ v(i + 8); i += 1 }
+  }
+
+  // ---- RIPEMD-128/160 --------------------------------------------------
+
+  // message word order and rotation tables from the published spec
+  private val RL = Array(
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    7, 4, 13, 1, 10, 6, 15, 3, 12, 0, 9, 5, 2, 14, 11, 8,
+    3, 10, 14, 4, 9, 15, 8, 1, 2, 7, 0, 6, 13, 11, 5, 12,
+    1, 9, 11, 10, 0, 8, 12, 4, 13, 3, 7, 15, 14, 5, 6, 2,
+    4, 0, 5, 9, 7, 12, 2, 10, 14, 1, 3, 8, 11, 6, 15, 13)
+  private val RR = Array(
+    5, 14, 7, 0, 9, 2, 11, 4, 13, 6, 15, 8, 1, 10, 3, 12,
+    6, 11, 3, 7, 0, 13, 5, 10, 14, 15, 8, 12, 4, 9, 1, 2,
+    15, 5, 1, 3, 7, 14, 6, 9, 11, 8, 12, 2, 10, 0, 4, 13,
+    8, 6, 4, 1, 3, 11, 15, 0, 5, 12, 2, 13, 9, 7, 10, 14,
+    12, 15, 10, 4, 1, 5, 8, 7, 6, 2, 13, 14, 0, 3, 9, 11)
+  private val SL = Array(
+    11, 14, 15, 12, 5, 8, 7, 9, 11, 13, 14, 15, 6, 7, 9, 8,
+    7, 6, 8, 13, 11, 9, 7, 15, 7, 12, 15, 9, 11, 7, 13, 12,
+    11, 13, 6, 7, 14, 9, 13, 15, 14, 8, 13, 6, 5, 12, 7, 5,
+    11, 12, 14, 15, 14, 15, 9, 8, 9, 14, 5, 6, 8, 6, 5, 12,
+    9, 15, 5, 11, 6, 8, 13, 12, 5, 12, 13, 14, 11, 8, 5, 6)
+  private val SR = Array(
+    8, 9, 9, 11, 13, 15, 15, 5, 7, 7, 8, 11, 14, 14, 12, 6,
+    9, 13, 15, 7, 12, 8, 9, 11, 7, 7, 12, 7, 6, 15, 13, 11,
+    9, 7, 15, 11, 8, 6, 6, 14, 12, 13, 5, 14, 13, 13, 7, 5,
+    15, 5, 8, 11, 14, 14, 6, 14, 6, 9, 12, 9, 12, 5, 15, 8,
+    8, 5, 12, 9, 12, 5, 14, 6, 8, 13, 6, 5, 15, 13, 11, 11)
+  private val KL = Array(0x00000000, 0x5a827999, 0x6ed9eba1, 0x8f1bbcdc, 0xa953fd4e)
+  private val KR160 = Array(0x50a28be6, 0x5c4dd124, 0x6d703ef3, 0x7a6d76e9, 0x00000000)
+  private val KR128 = Array(0x50a28be6, 0x5c4dd124, 0x6d703ef3, 0x00000000)
+
+  def ripemd(data: Array[Byte], bits: Int): Array[Byte] = {
+    require(bits == 128 || bits == 160)
+    val is160 = bits == 160
+    val padded = mdPad(data, littleEndianLen = true)
+    val h = if (is160)
+      Array(0x67452301, 0xefcdab89, 0x98badcfe, 0x10325476, 0xc3d2e1f0)
+    else Array(0x67452301, 0xefcdab89, 0x98badcfe, 0x10325476)
+    def rotl(x: Int, k: Int) = (x << k) | (x >>> (32 - k))
+    def f(j: Int, x: Int, y: Int, z: Int): Int = j / 16 match {
+      case 0 => x ^ y ^ z
+      case 1 => (x & y) | (~x & z)
+      case 2 => (x | ~y) ^ z
+      case 3 => (x & z) | (y & ~z)
+      case _ => x ^ (y | ~z)
+    }
+    val rounds = if (is160) 80 else 64
+    var blk = 0
+    while (blk < padded.length) {
+      val x = new Array[Int](16)
+      var i = 0
+      while (i < 16) {
+        x(i) = (padded(blk + 4 * i) & 0xff) |
+          ((padded(blk + 4 * i + 1) & 0xff) << 8) |
+          ((padded(blk + 4 * i + 2) & 0xff) << 16) |
+          ((padded(blk + 4 * i + 3) & 0xff) << 24)
+        i += 1
+      }
+      var (al, bl, cl, dl) = (h(0), h(1), h(2), h(3))
+      var (ar, br, cr, dr) = (h(0), h(1), h(2), h(3))
+      var el = if (is160) h(4) else 0
+      var er = if (is160) h(4) else 0
+      var j = 0
+      while (j < rounds) {
+        if (is160) {
+          var t = rotl(al + f(j, bl, cl, dl) + x(RL(j)) + KL(j / 16), SL(j)) + el
+          al = el; el = dl; dl = rotl(cl, 10); cl = bl; bl = t
+          t = rotl(ar + f(rounds - 1 - j, br, cr, dr) + x(RR(j)) + KR160(j / 16), SR(j)) + er
+          ar = er; er = dr; dr = rotl(cr, 10); cr = br; br = t
+        } else {
+          var t = rotl(al + f(j, bl, cl, dl) + x(RL(j)) + KL(j / 16), SL(j))
+          al = dl; dl = cl; cl = bl; bl = t
+          t = rotl(ar + f(rounds - 1 - j, br, cr, dr) + x(RR(j)) + KR128(j / 16), SR(j))
+          ar = dr; dr = cr; cr = br; br = t
+        }
+        j += 1
+      }
+      if (is160) {
+        val t = h(1) + cl + dr
+        h(1) = h(2) + dl + er; h(2) = h(3) + el + ar; h(3) = h(4) + al + br
+        h(4) = h(0) + bl + cr; h(0) = t
+      } else {
+        val t = h(1) + cl + dr
+        h(1) = h(2) + dl + ar; h(2) = h(3) + al + br; h(3) = h(0) + bl + cr
+        h(0) = t
+      }
+      blk += 64
+    }
+    val out = new Array[Byte](bits / 8)
+    var i = 0
+    while (i < out.length) { out(i) = (h(i / 4) >>> (8 * (i % 4))).toByte; i += 1 }
+    out
+  }
+
+  /** MD4/MD5/RIPEMD-style padding: 0x80, zeros, 8-byte bit length. */
+  private def mdPad(data: Array[Byte], littleEndianLen: Boolean): Array[Byte] = {
+    val n = data.length
+    val padLen = if (n % 64 < 56) 56 - n % 64 else 120 - n % 64
+    val out = new Array[Byte](n + padLen + 8)
+    System.arraycopy(data, 0, out, 0, n)
+    out(n) = 0x80.toByte
+    val bitLen = n.toLong * 8
+    var i = 0
+    while (i < 8) {
+      val shift = if (littleEndianLen) 8 * i else 8 * (7 - i)
+      out(n + padLen + i) = (bitLen >>> shift).toByte
+      i += 1
+    }
+    out
+  }
+
+  // ---- SM3 (GB/T 32905-2016) -------------------------------------------
+
+  def sm3(data: Array[Byte]): Array[Byte] = {
+    val v = Array(0x7380166f, 0x4914b2b9, 0x172442d7, 0xda8a0600,
+      0xa96f30bc, 0x163138aa, 0xe38dee4d, 0xb0fb0e4e)
+    val padded = mdPad(data, littleEndianLen = false)
+    def rotl(x: Int, k0: Int) = { val k = k0 & 31; if (k == 0) x else (x << k) | (x >>> (32 - k)) }
+    def p0(x: Int) = x ^ rotl(x, 9) ^ rotl(x, 17)
+    def p1(x: Int) = x ^ rotl(x, 15) ^ rotl(x, 23)
+    var blk = 0
+    while (blk < padded.length) {
+      val w = new Array[Int](68)
+      var i = 0
+      while (i < 16) {
+        w(i) = ((padded(blk + 4 * i) & 0xff) << 24) |
+          ((padded(blk + 4 * i + 1) & 0xff) << 16) |
+          ((padded(blk + 4 * i + 2) & 0xff) << 8) |
+          (padded(blk + 4 * i + 3) & 0xff)
+        i += 1
+      }
+      while (i < 68) {
+        w(i) = p1(w(i - 16) ^ w(i - 9) ^ rotl(w(i - 3), 15)) ^
+          rotl(w(i - 13), 7) ^ w(i - 6)
+        i += 1
+      }
+      var Array(a, b, c, d, e, f, g, h) = v
+      var j = 0
+      while (j < 64) {
+        val t = if (j < 16) 0x79cc4519 else 0x7a879d8a
+        val ss1 = rotl(rotl(a, 12) + e + rotl(t, j), 7)
+        val ss2 = ss1 ^ rotl(a, 12)
+        val wj = w(j)
+        val wpj = w(j) ^ w(j + 4)
+        val ff = if (j < 16) a ^ b ^ c else (a & b) | (a & c) | (b & c)
+        val gg = if (j < 16) e ^ f ^ g else (e & f) | (~e & g)
+        val tt1 = ff + d + ss2 + wpj
+        val tt2 = gg + h + ss1 + wj
+        d = c; c = rotl(b, 9); b = a; a = tt1
+        h = g; g = rotl(f, 19); f = e; e = p0(tt2)
+        j += 1
+      }
+      v(0) ^= a; v(1) ^= b; v(2) ^= c; v(3) ^= d
+      v(4) ^= e; v(5) ^= f; v(6) ^= g; v(7) ^= h
+      blk += 64
+    }
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 32) { out(i) = (v(i / 4) >>> (8 * (3 - i % 4))).toByte; i += 1 }
+    out
+  }
+
+  // ---- Keccak (original 0x01 padding; SHA3 in the JDK uses 0x06) -------
+
+  private val KRC = Array(
+    0x0000000000000001L, 0x0000000000008082L, 0x800000000000808aL,
+    0x8000000080008000L, 0x000000000000808bL, 0x0000000080000001L,
+    0x8000000080008081L, 0x8000000000008009L, 0x000000000000008aL,
+    0x0000000000000088L, 0x0000000080008009L, 0x000000008000000aL,
+    0x000000008000808bL, 0x800000000000008bL, 0x8000000000008089L,
+    0x8000000000008003L, 0x8000000000008002L, 0x8000000000000080L,
+    0x000000000000800aL, 0x800000008000000aL, 0x8000000080008081L,
+    0x8000000000008080L, 0x0000000080000001L, 0x8000000080008008L)
+
+  // rotation offsets indexed [x][y]
+  private val KROT = Array(
+    Array(0, 36, 3, 41, 18), Array(1, 44, 10, 45, 2),
+    Array(62, 6, 43, 15, 61), Array(28, 55, 25, 21, 56),
+    Array(27, 20, 39, 8, 14))
+
+  private def keccakF(s: Array[Long]): Unit = {
+    def rotl(x: Long, k0: Int) = { val k = k0 & 63; if (k == 0) x else (x << k) | (x >>> (64 - k)) }
+    var round = 0
+    while (round < 24) {
+      // theta
+      val c = new Array[Long](5)
+      var x = 0
+      while (x < 5) { c(x) = s(x) ^ s(x + 5) ^ s(x + 10) ^ s(x + 15) ^ s(x + 20); x += 1 }
+      x = 0
+      while (x < 5) {
+        val d = c((x + 4) % 5) ^ rotl(c((x + 1) % 5), 1)
+        var y = 0
+        while (y < 5) { s(x + 5 * y) ^= d; y += 1 }
+        x += 1
+      }
+      // rho + pi
+      val b = new Array[Long](25)
+      x = 0
+      while (x < 5) {
+        var y = 0
+        while (y < 5) {
+          b(y + 5 * ((2 * x + 3 * y) % 5)) = rotl(s(x + 5 * y), KROT(x)(y))
+          y += 1
+        }
+        x += 1
+      }
+      // chi
+      x = 0
+      while (x < 5) {
+        var y = 0
+        while (y < 5) {
+          s(x + 5 * y) = b(x + 5 * y) ^ (~b((x + 1) % 5 + 5 * y) & b((x + 2) % 5 + 5 * y))
+          y += 1
+        }
+        x += 1
+      }
+      // iota
+      s(0) ^= KRC(round)
+      round += 1
+    }
+  }
+
+  def keccak(data: Array[Byte], outBits: Int): Array[Byte] = {
+    val rate = (1600 - 2 * outBits) / 8
+    val s = new Array[Long](25)
+    def absorb(block: Array[Byte], off: Int): Unit = {
+      var i = 0
+      while (i < rate / 8) {
+        var v = 0L
+        var j = 7
+        while (j >= 0) { v = (v << 8) | (block(off + i * 8 + j) & 0xffL); j -= 1 }
+        s(i) ^= v
+        i += 1
+      }
+      keccakF(s)
+    }
+    var off = 0
+    while (data.length - off >= rate) { absorb(data, off); off += rate }
+    val last = new Array[Byte](rate)
+    System.arraycopy(data, off, last, 0, data.length - off)
+    last(data.length - off) = 0x01 // original Keccak domain padding
+    last(rate - 1) = (last(rate - 1) | 0x80).toByte
+    absorb(last, 0)
+    val out = new Array[Byte](outBits / 8)
+    var i = 0
+    while (i < out.length) { out(i) = (s(i / 8) >>> (8 * (i % 8))).toByte; i += 1 }
+    out
+  }
+}

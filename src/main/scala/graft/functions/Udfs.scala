@@ -111,8 +111,13 @@ object Udfs {
   //  JDK-provided algorithms only — no external JCE provider here)
   def digestHex(value: String, algo: String): String = {
     if (value == null) return null
-    val md = java.security.MessageDigest.getInstance(algo)
-    md.digest(value.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bytes = value.getBytes("UTF-8")
+    // pure-JVM algorithms first (BLAKE2b/RIPEMD/SM3/KECCAK — Digests),
+    // then whatever the JDK's MessageDigest provides (incl. SHA3-*)
+    val custom = Digests.digest(algo, bytes)
+    if (custom != null) Digests.hex(custom)
+    else java.security.MessageDigest.getInstance(algo)
+      .digest(bytes).map("%02x".format(_)).mkString
   }
   val digestHexUdf: UserDefinedFunction = udf(digestHex _)
 

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.functions.Digests
+
+/** Published test vectors for the pure-JVM digest implementations. */
+class DigestSpec extends SparkSpec {
+
+  private def h(algo: String, s: String): String =
+    Digests.hex(Digests.digest(algo, s.getBytes("UTF-8")))
+
+  test("BLAKE2b vectors (RFC 7693)") {
+    assert(h("BLAKE2B-512", "abc") ==
+      "ba80a53f981c4d0d6a2797b69f12f6e94c212f14685ac4b74b12bb6fdbffa2d1" +
+        "7d87c5392aab792dc252d5de4533cc9518d38aa8dbf1925ab92386edd4009923")
+    assert(h("BLAKE2B-512", "") ==
+      "786a02f742015903c6c6fd852552d272912f4740e15847618a86e217f71f5419" +
+        "d25e1031afee585313896444934eb04b903a685b1448b755d56f701afe9be2ce")
+    assert(h("BLAKE2B-256", "abc") ==
+      "bddd813c634239723171ef3fee98579b94964e3bb1cb3e427262c8c068d52319")
+    // multi-block input (>128 bytes)
+    val long = "a" * 300
+    assert(Digests.blake2b(long.getBytes, 64).length == 64)
+  }
+
+  test("RIPEMD vectors (Dobbertin et al.)") {
+    assert(h("RIPEMD160", "") == "9c1185a5c5e9fc54612808977ee8f548b2258d31")
+    assert(h("RIPEMD160", "abc") == "8eb208f7e05d987a9b044a8e98c6b087f15a0bfc")
+    assert(h("RIPEMD160", "message digest") ==
+      "5d0689ef49d2fae572b881b123a85ffa21595f36")
+    assert(h("RIPEMD128", "") == "cdf26213a150dc3ecb610f18f6b38b46")
+    assert(h("RIPEMD128", "abc") == "c14a12199c66e4ba84636b0f69144c77")
+  }
+
+  test("SM3 vectors (GB/T 32905-2016)") {
+    assert(h("SM3", "abc") ==
+      "66c7f0f462eeedd9d1f2d46bdc10e4e24167c4875cf2f7a2297da02b8f4ba8e0")
+    assert(h("SM3", "") ==
+      "1ab21d8355cfa17f8e61194831e81a8f22bec8c728fefb747ed035eb5082aa2b")
+  }
+
+  test("Keccak vectors (pre-FIPS 0x01 padding)") {
+    assert(h("KECCAK-256", "") ==
+      "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470")
+    assert(h("KECCAK-256", "abc") ==
+      "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45")
+    assert(h("KECCAK-512", "") ==
+      "0eab42de4c3ceb9235fc91acffe746b29c29a8c366b7c60e4e67c466f36a4304" +
+        "c00fa9caf9d87976ba469bcbe06713b435f091ef2769fb160cdab33d3670680e")
+  }
+
+  test("hash directive routes exotic algorithms") {
+    val d = df("v STRING", Seq(Row("abc")))
+    assert(strings(wrangle("hash :v 'BLAKE2B-256'", d), "v") ==
+      Seq("bddd813c634239723171ef3fee98579b94964e3bb1cb3e427262c8c068d52319"))
+    assert(strings(wrangle("hash :v 'RIPEMD160'", d), "v") ==
+      Seq("8eb208f7e05d987a9b044a8e98c6b087f15a0bfc"))
+    assert(strings(wrangle("hash :v 'SM3'", d), "v") ==
+      Seq("66c7f0f462eeedd9d1f2d46bdc10e4e24167c4875cf2f7a2297da02b8f4ba8e0"))
+    assert(strings(wrangle("hash :v 'KECCAK-256'", d), "v") ==
+      Seq("4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45"))
+    // JDK SHA3 family still routes through MessageDigest
+    assert(strings(wrangle("hash :v 'SHA3-256'", d), "v") ==
+      Seq("3a985da74fe225b2045c172d6bd390bd855f086e3e9d525b46bfe24511431532"))
+  }
+}
