@@ -319,6 +319,15 @@ object QueryBank {
         |FROM embeddings e
         |WHERE e.vec_id IN (0,7,70,73,84,108,266,271,478,498)""".stripMargin),
 
+    ("ann_ivf_topk",
+      (s, d) => annIvf(s, d),
+      // deterministic seeded quantizer at sf0.01: retrieved id set
+      // pinned, cosines recomputed by DuckDB from the same embeddings
+      """SELECT e.vec_id, list_cosine_similarity(e.embedding,
+        |  (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS cosine
+        |FROM embeddings e
+        |WHERE e.vec_id IN (0,73,165,257,344,365,387,388,483,498)""".stripMargin),
+
     // ---- §2.1 parsers, second wave ---------------------------------
     ("parse_xml_to_json",
       (s, d) => r("set-column :x exp:{ concat('<r><seg>', c_mktsegment, '</seg></r>') }; parse-xml-to-json :x; json-path :x :seg '$.r.seg'; keep :c_custkey,:seg")(cust(s, d)),
@@ -837,6 +846,15 @@ object QueryBank {
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("cosine").desc, col("vec_id"))))
       .select("vec_id", "rank")
+  }
+
+  private def annIvf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    graft.llm.Similarity.ivfTopK(e, "vec_id", "embedding", q, 10,
+      nlist = 8, nprobe = 4)
   }
 
   private def annLsh(s: SparkSession, d: String): DataFrame = {

@@ -17,6 +17,20 @@ import org.apache.spark.sql.types._
   */
 object Functions {
 
+  /** User-registered expression functions — the engine's counterpart of
+    * the reference registering whole Java classes into the EL
+    * (EL.java:141-158). Keys are lowercase "ns:fn" (or bare "fn");
+    * user registrations win over the built-in table, so a deployment
+    * can also override a built-in.
+    */
+  @volatile private var userFns: Map[String, List[Column] => Column] = Map.empty
+
+  def register(name: String, fn: List[Column] => Column): Unit =
+    synchronized { userFns += name.toLowerCase -> fn }
+
+  def unregister(name: String): Unit =
+    synchronized { userFns -= name.toLowerCase }
+
   def dispatch(ns: String, fn: String, argEs: List[Expr]): Column = {
     val key = if (ns.isEmpty) fn else s"$ns:$fn"
     val args: List[Column] = argEs.map(ExprCompiler.toColumn)
@@ -27,6 +41,9 @@ object Functions {
       case other => throw new RecipeException(
         s"$key: argument ${i + 1} must be a string literal, got $other")
     }
+
+    val user = userFns.get(key)
+    if (user.isDefined) return user.get(args)
 
     key match {
       // ---- global namespace (reference: io.cdap.functions.Global) ----

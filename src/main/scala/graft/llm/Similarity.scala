@@ -121,6 +121,94 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF coarse quantizer: driver-side Lloyd k-means over a bounded
+    * sample (IVF quantizers are trained offline on samples in every
+    * real ANN system; `sampleN` caps the driver work). Vectors are
+    * unit-normalized so nearest-centroid-by-dot ≡ nearest-by-cosine.
+    * Deterministic: seeded init, fixed iteration count.
+    */
+  def trainCentroids(df: DataFrame, vecCol: String, nlist: Int,
+      iters: Int = 10, sampleN: Int = 2048, seed: Long = 11L): Array[Array[Double]] = {
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val sample = df.select(col(vecCol)).limit(sampleN).collect()
+      .flatMap(r => Option(r.getSeq[Float](0)))
+      .map(s => unit(s.map(_.toDouble).toArray))
+    require(sample.nonEmpty, "ivf: empty corpus sample")
+    val rnd = new scala.util.Random(seed)
+    val cents = Array.fill(math.min(nlist, sample.length))(
+      sample(rnd.nextInt(sample.length)).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](cents.length)
+      for (v <- sample) {
+        var best = 0; var bestDot = Double.MinValue; var c = 0
+        while (c < cents.length) {
+          var dot = 0.0; var i = 0
+          while (i < v.length) { dot += v(i) * cents(c)(i); i += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      var c = 0
+      while (c < cents.length) {
+        if (counts(c) > 0) cents(c) = unit(sums(c).map(_ / counts(c)))
+        c += 1 // empty cell keeps its previous centroid
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Nearest-centroid cell id (argmax dot against unit centroids —
+    * cosine-consistent without normalizing the data side). */
+  def ivfCell(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val kernel = udf((v: Seq[Float]) => {
+      if (v == null) null
+      else {
+        var best = 0; var bestDot = Double.MinValue; var c = 0
+        while (c < centroids.length) {
+          val cent = centroids(c)
+          var dot = 0.0; var i = 0
+          val len = math.min(v.length, cent.length)
+          while (i < len) { dot += v(i).toDouble * cent(i); i += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
+        }
+        java.lang.Integer.valueOf(best)
+      }
+    })
+    kernel(vec)
+  }
+
+  /** IVF approximate top-k: probe the `nprobe` cells whose centroids
+    * are closest to the query, exact cosine inside the probed cells.
+    * The scale path: the cell filter runs in the scan projection, so
+    * only ~nprobe/nlist of the corpus reaches the cosine kernel — and
+    * at real scale the cell id is a precomputed, partition-prunable
+    * index column (write the corpus partitioned by it).
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, nlist: Int = 16, nprobe: Int = 4,
+      seed: Long = 11L): DataFrame = {
+    val cents = trainCentroids(df, vecCol, nlist, seed = seed)
+    val probes = cents.zipWithIndex.map { case (c, i) =>
+      val dot = c.zip(query).map { case (a, b) => a * b }.sum
+      (i, dot)
+    }.sortBy(-_._2).take(nprobe).map(_._1).toSeq
+    df.withColumn("__cell", ivfCell(col(vecCol), cents))
+      .filter(col("__cell").isin(probes: _*))
+      .select(col(idCol), cosineToQuery(col(vecCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-queries × corpus exact top-k, for a (small, broadcastable) set
     * of query vectors: broadcast join + per-query window top-k. The
     * corpus side never shuffles for the join; only the (queries × k)

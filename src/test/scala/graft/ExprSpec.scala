@@ -54,4 +54,21 @@ class ExprSpec extends SparkSpec {
     assert(eval("string:countMatches('abcabcab', 'ab')") == Seq(3, 3, 3))
     assert(eval("string:normalizeSpace('  a   b ')") == Seq("a b", "a b", "a b"))
   }
+
+  test("user-registered expression functions (EL extension point)") {
+    import org.apache.spark.sql.functions._
+    graft.expr.Functions.register("custom:double_it", args => args.head * 2)
+    try {
+      val d = df("v INT", Seq(Row(21)))
+      val out = wrangle("set-column :w exp:{ custom:double_it(v) };", d)
+      assert(out.select("w").head().getInt(0) == 42)
+    } finally graft.expr.Functions.unregister("custom:double_it")
+    // after unregister the precise unknown-function error returns
+    val e = intercept[graft.api.RecipeException] {
+      wrangle("set-column :w exp:{ custom:double_it(v) };",
+        df("v INT", Seq(Row(1)))).collect()
+    }
+    assert(e.getMessage.contains("unknown"))
+  }
+
 }

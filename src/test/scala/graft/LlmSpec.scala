@@ -200,4 +200,30 @@ class LlmSpec extends SparkSpec {
     assert(MediaHeaders.probe("plain text payload!!".getBytes) == null)
   }
 
+
+  test("IVF top-k: full-probe equals brute force; partial probe prunes") {
+    import graft.llm.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    // probing every cell must reproduce the exact answer
+    val full = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10,
+      nlist = 8, nprobe = 8).collect().map(_.getLong(0)).toSet
+    assert(full == brute)
+    // partial probe: bounded scan, decent recall
+    val part = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10,
+      nlist = 8, nprobe = 4)
+    assert(part.count() <= 10)
+    val recall = part.collect().map(_.getLong(0)).toSet.intersect(brute).size
+    assert(recall >= 4, s"ivf recall too low: $recall/10")
+    // the cell filter actually prunes the corpus
+    val cents = Similarity.trainCentroids(emb, "embedding", 8)
+    val cells = emb.withColumn("__cell",
+      Similarity.ivfCell(org.apache.spark.sql.functions.col("embedding"), cents))
+      .groupBy("__cell").count().collect()
+    assert(cells.length > 1, "quantizer collapsed to one cell")
+  }
+
 }
