@@ -88,6 +88,37 @@ object StreamOps {
       }.toDF()
   }
 
+  /** Streaming exact dedup with BOUNDED state: duplicates are dropped
+    * within the watermark horizon, and state for keys older than the
+    * watermark is evicted — the only dedup shape that survives an
+    * unbounded stream (a bare dropDuplicates grows state forever).
+    */
+  def streamingDedup(stream: DataFrame, keyCols: Seq[String], tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    normalizeTs(stream, tsCol)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Recipe + error side-channel on a stream: per micro-batch, the
+    * recipe runs once and the two DAG branches go to their own sinks
+    * (foreachBatch is the Structured-Streaming shape for multi-output
+    * queries). The batchDf is materialized once per batch so the main
+    * and error branches don't recompute the source.
+    */
+  def wrangleStreamWithErrors(recipe: String, stream: DataFrame)(
+      mainSink: (DataFrame, Long) => Unit,
+      errorSink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val compiled = Wrangle.recipe(recipe)
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val cached = batch.persist()
+      try {
+        val result = compiled.run(cached)
+        mainSink(result.output, id)
+        errorSink(result.errors, id)
+      } finally { cached.unpersist(); () }
+    }
+  }
+
   /** Drive a batch DataFrame through a streaming query synchronously
     * (memory sink) — the local-smoke harness shape from the Spark docs.
     */

@@ -46,4 +46,38 @@ class StreamSpec extends SparkSpec {
       .select("user_id").distinct().count()
     assert(out.select("user_id").distinct().count() == batchUsers)
   }
+
+  test("streaming dedup drops within-watermark duplicates, bounded state") {
+    // duplicate every event id by unioning the stream source with itself
+    val src = s"$eventsDir/events.parquet"
+    val out = StreamOps.runBatchAsStream(spark, src,
+      st => StreamOps.streamingDedup(st.union(st), Seq("event_id"), "ts"),
+      queryName = "stream_dedup", outputMode = OutputMode.Append)
+    val distinctIds = spark.read.parquet(src).select("event_id").distinct().count()
+    assert(out.count() == distinctIds)
+  }
+
+  test("streaming error channel: foreachBatch splits main and error rows") {
+    val src = s"$eventsDir/events.parquet"
+    val schema = spark.read.parquet(src).schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_err_")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(src).toAbsolutePath)
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val mains = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val errs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamOps.wrangleStreamWithErrors(
+      "send-to-error exp:{ value > 100 } 'too big';", stream)(
+      (df, _) => mains += df.count(),
+      (df, _) => errs += df.count())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val total = spark.read.parquet(src).count()
+    val big = spark.read.parquet(src).filter(col("value") > 100).count()
+    assert(mains.sum == total - big)
+    assert(errs.sum == big)
+  }
+
 }
