@@ -481,6 +481,17 @@ object QueryBank {
         cust(s, d).selectExpr("c_name", "c_mktsegment")),
       profileSql),
 
+    ("profile_numeric",
+      (s, d) => graft.session.Profiler.numericProfile(
+        cust(s, d).selectExpr("c_acctbal", "c_custkey")),
+      Seq("c_acctbal", "c_custkey").map { c =>
+        s"""SELECT '$c' AS "column", count($c) AS n,
+           | count(*) FILTER (WHERE $c IS NULL) AS nulls,
+           | round(min(CAST($c AS DOUBLE)), 4) AS min,
+           | round(max(CAST($c AS DOUBLE)), 4) AS max,
+           | round(avg(CAST($c AS DOUBLE)), 4) AS mean FROM customer""".stripMargin
+      }.mkString(" UNION ALL ")),
+
     // ---- §2.9 expressions, second wave -----------------------------
     ("expr_global_format",
       (s, d) => r("set-column :v exp:{ format('%s-%d', c_mktsegment, c_custkey) }; keep :c_custkey,:v")(cust(s, d)),

@@ -52,6 +52,57 @@ object Profiler {
     }
     wide.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }
+
+  /** Numeric column stats, one aggregation pass, long format:
+    * (column, n, nulls, min, max, mean) — the BasicStatistics numeric
+    * block. Values rounded to 4 decimals so results are stable across
+    * partial-aggregation orders (float addition isn't associative).
+    */
+  def numericProfile(df: DataFrame): DataFrame = {
+    val numCols = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+    }.toSeq
+    require(numCols.nonEmpty, "numericProfile: no numeric columns")
+    val exprs = numCols.flatMap { c =>
+      val d = col(c).cast(DoubleType)
+      Seq(count(d).as(s"${c}__n"),
+        count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+        round(min(d), 4).as(s"${c}__min"),
+        round(max(d), 4).as(s"${c}__max"),
+        round(avg(d), 4).as(s"${c}__mean"))
+    }
+    val wide = df.agg(exprs.head, exprs.tail: _*)
+    val stacked = numCols.map { c =>
+      struct(lit(c).as("column"), col(s"${c}__n").as("n"),
+        col(s"${c}__nulls").as("nulls"), col(s"${c}__min").as("min"),
+        col(s"${c}__max").as("max"), col(s"${c}__mean").as("mean"))
+    }
+    wide.select(explode(array(stacked: _*)).as("p")).select("p.*")
+  }
+
+  /** Approximate quantiles + distinct counts for numeric columns — the
+    * sketch-based path for 100 TB profiling (t-digest/HLL style
+    * mergeable sketches, constant memory per column; never exact sorts).
+    */
+  def approxNumericProfile(df: DataFrame,
+      probabilities: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    val numCols = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+    }.toSeq
+    require(numCols.nonEmpty, "approxNumericProfile: no numeric columns")
+    val probArr = array(probabilities.map(lit): _*)
+    val exprs = numCols.flatMap { c =>
+      val d = col(c).cast(DoubleType)
+      Seq(approx_count_distinct(d).as(s"${c}__distinct"),
+        percentile_approx(d, probArr, lit(10000)).as(s"${c}__q"))
+    }
+    val wide = df.agg(exprs.head, exprs.tail: _*)
+    val stacked = numCols.map { c =>
+      struct(lit(c).as("column"), col(s"${c}__distinct").as("approx_distinct"),
+        col(s"${c}__q").as("quantiles"))
+    }
+    wide.select(explode(array(stacked: _*)).as("p")).select("p.*")
+  }
 }
 
 /** Workspace sampling strategies (reference: wrangler-core

@@ -40,4 +40,21 @@ class SessionSpec extends SparkSpec {
       assert(known, s"usage lists unknown directive: $name")
     }
   }
+
+  test("approx numeric profile: sketch-based quantiles and distinct counts") {
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .selectExpr("c_acctbal", "c_custkey")
+    val prof = graft.session.Profiler.approxNumericProfile(cust)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(prof.keySet == Set("c_acctbal", "c_custkey"))
+    val keyRow = prof("c_custkey")
+    val n = cust.count()
+    // approx distinct within 10% of exact
+    val approx = keyRow.getLong(1)
+    assert(math.abs(approx - n).toDouble / n < 0.1, s"approx=$approx n=$n")
+    // median of 1..n near n/2
+    val qs = keyRow.getSeq[Double](2)
+    assert(qs.size == 3 && math.abs(qs(1) - n / 2.0) / n < 0.05)
+  }
+
 }
