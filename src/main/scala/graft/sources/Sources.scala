@@ -39,9 +39,23 @@ object Sources {
       case "json"    => spark.read.json(path)
       case "orc"     => spark.read.orc(path)
       case "text"    => spark.read.text(path)
-      case "avro"    => spark.read.format("avro").load(path) // needs spark-avro module
+      case "avro"    => readAvro(spark, path)
       case _         => spark.read.parquet(path)
     }
+
+  /** Avro container files WITHOUT the spark-avro module (absent from
+    * this classpath): whole files as binary → records as JSON via the
+    * avro-core reader already used by parse-as-avro-file → schema
+    * inference by spark.read.json. Files are read whole (an avro
+    * container is not arbitrarily splittable without the module); fine
+    * for the many-files layout avro datasets ship in.
+    */
+  private def readAvro(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val jsons = spark.sparkContext.binaryFiles(path)
+      .flatMap { case (_, pds) => graft.ops.AvroFile.parse(pds.toArray()) }
+    spark.read.json(spark.createDataset(jsons))
+  }
 
   /** Write with format keyed on the target extension. */
   def write(df: DataFrame, path: String, mode: String = "overwrite"): Unit =

@@ -79,6 +79,29 @@ class BinarySpec extends SparkSpec {
     assert(strings(out.orderBy("payload_x"), "payload_x") == Seq(1, 2, 3))
   }
 
+  test("sources auto-detect reads avro container files without spark-avro") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[{"name":"x","type":"int"},{"name":"s","type":"string"}]}""")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_avro_")
+    val f = new java.io.File(tmp.toFile, "part-0.avro")
+    val w = new DataFileWriter[GenericData.Record](
+      new GenericDatumWriter[GenericData.Record](schema))
+    w.create(schema, f)
+    (1 to 4).foreach { i =>
+      val r = new GenericData.Record(schema)
+      r.put("x", i); r.put("s", s"v$i"); w.append(r)
+    }
+    w.close()
+    assert(graft.sources.Sources.detectFormat(f.toString) == "avro")
+    val got = graft.sources.Sources.auto(spark, f.toString)
+    assert(got.count() == 4)
+    assert(got.columns.toSet == Set("x", "s"))
+    assert(got.agg(org.apache.spark.sql.functions.sum("x")).head().getLong(0) == 10)
+  }
+
   test("sources auto-detect reads csv and parquet") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_src_").toString
     val csvPath = s"$tmp/t.csv"
