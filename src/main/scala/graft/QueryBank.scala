@@ -319,6 +319,15 @@ object QueryBank {
         |FROM embeddings e
         |WHERE e.vec_id IN (0,7,70,73,84,108,266,271,478,498)""".stripMargin),
 
+    ("embedding_pairs",
+      (s, d) => graft.llm.Dedup.embeddingPairs(emb(s, d), "vec_id",
+        "embedding", threshold = 0.45, bands = 16, bitsPerBand = 4)
+        .select("id_a", "id_b"),
+      // seeded-deterministic banded-LSH candidate set at sf0.01
+      """SELECT CAST(a AS BIGINT) AS id_a, CAST(b AS BIGINT) AS id_b FROM (VALUES
+        | (7,340),(28,305),(44,301),(53,300),(75,256),(156,438),(158,452),
+        | (166,324),(169,466),(238,287),(290,325),(338,406),(387,388)) t(a, b)""".stripMargin),
+
     ("ann_ivf_topk",
       (s, d) => annIvf(s, d),
       // deterministic seeded quantizer at sf0.01: retrieved id set

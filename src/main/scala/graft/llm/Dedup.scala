@@ -162,6 +162,65 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Embedding-cosine near-duplicate pairs: candidates from banded
+    * random-hyperplane LSH (any shared band ⇒ candidate), exact cosine
+    * verification ≥ threshold. Identical (band, bucket)-shuffle shape
+    * to [[minhashPairs]] — candidate generation never compares vectors
+    * outside a shared bucket, so no all-pairs product at any scale.
+    *
+    * Output: (id_a, id_b, cosine) with id_a < id_b, cosine ≥ threshold.
+    */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.9, bands: Int = 8, bitsPerBand: Int = 8,
+      seed: Long = 7L, maxBucketSize: Int = 10000): DataFrame = {
+    val dim = df.select(col(vecCol)).limit(1).collect()
+      .headOption.map(_.getSeq[Float](0).length)
+      .getOrElse(return df.sparkSession.emptyDataFrame
+        .selectExpr("CAST(null AS BIGINT) id_a", "CAST(null AS BIGINT) id_b",
+          "CAST(null AS DOUBLE) cosine").limit(0))
+    val planes = Similarity.hyperplanes(dim, bands * bitsPerBand, seed)
+    val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__sig", Similarity.lshBucket(col("__v"), planes))
+      .persist()
+    base.count() // eager: signatures compute once, not per self-join side
+    val mask = (1L << bitsPerBand) - 1
+    val banded = base.select(col("__id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("__sig"), b * bitsPerBand).bitwiseAND(lit(mask))
+            .as("chunk"))): _*)).as("__bb"))
+      .select(col("__id"), col("__bb.band").as("__band"),
+        col("__bb.chunk").as("__chunk"))
+    // same skew guard as minhashPairs: a hot bucket goes quadratic
+    val sized = banded
+      .withColumn("__bsize",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__band"), col("__chunk"))))
+      .filter(col("__bsize") <= maxBucketSize)
+      .drop("__bsize")
+    val l = sized.select(col("__band"), col("__chunk"), col("__id").as("id_a"))
+    val rgt = sized.select(col("__band"), col("__chunk"), col("__id").as("id_b"))
+    val cands = l.join(rgt, Seq("__band", "__chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(base.select(col("__id").as("id_a"), col("__v").as("__va")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__v").as("__vb")), "id_b")
+      .withColumn("cosine", Similarity.pairCosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Embedding-cosine near-dedup: keep-smallest-id over verified pairs,
+    * same policy as [[minhashDedup]].
+    */
+  def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.9): DataFrame = {
+    val losers = embeddingPairs(df, idCol, vecCol, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Word n-gram Jaccard similarity between two text columns (exact,
     * for candidate verification or small joined sets).
     */

@@ -214,10 +214,9 @@ object Similarity {
     * corpus side never shuffles for the join; only the (queries × k)
     * result aggregates.
     */
-  def crossTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, qidCol: String, qvecCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val pairCosine = udf((a: Seq[Float], b: Seq[Float]) => {
+  /** Pairwise cosine between two embedding columns (JIT'd kernel). */
+  val pairCosine: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((a: Seq[Float], b: Seq[Float]) => {
       if (a == null || b == null) null
       else {
         var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -231,6 +230,10 @@ object Similarity {
         else java.lang.Double.valueOf(dot / denom)
       }
     })
+
+  def crossTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, qidCol: String, qvecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val scored = corpus.join(broadcast(queries))
       .withColumn("cosine", pairCosine(col(vecCol), col(qvecCol)))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))

@@ -226,4 +226,37 @@ class LlmSpec extends SparkSpec {
     assert(cells.length > 1, "quantizer collapsed to one cell")
   }
 
+
+  test("embedding-cosine near-dup: planted duplicates found, no cross join") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(5)
+    def vec(): Array[Float] = Array.fill(32)(rnd.nextGaussian().toFloat)
+    def jitter(v: Array[Float]): Array[Float] =
+      v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val bases = Array.fill(20)(vec())
+    // ids 0..19 distinct vectors; 100..104 near-copies of bases 0..4
+    val rows = bases.zipWithIndex.map { case (v, i) => Row(i.toLong, v.toSeq) } ++
+      (0 until 5).map(i => Row((100 + i).toLong, jitter(bases(i)).toSeq))
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val d = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows.toSeq: _*)), schema)
+    val pairs = graft.llm.Dedup.embeddingPairs(d, "vec_id", "embedding",
+      threshold = 0.95, bands = 8, bitsPerBand = 4)
+    val found = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 5).map(i => (i.toLong, (100 + i).toLong)).toSet
+    assert(expected.subsetOf(found), s"missing planted pairs: ${expected -- found}")
+    // nothing spurious: all found pairs really have cosine >= 0.95
+    assert(pairs.filter(org.apache.spark.sql.functions.col("cosine") < 0.95).count() == 0)
+    // physical plan: candidates come from a bucket equi-join, never a product
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+    // dedup keeps the smallest id of each pair
+    val kept = graft.llm.Dedup.embeddingDedup(d, "vec_id", "embedding",
+      threshold = 0.95).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((0L until 20L).forall(kept.contains))
+    assert((100L to 104L).forall(id => !kept.contains(id)))
+  }
+
 }
