@@ -47,13 +47,21 @@ object ExprParser {
           pos += 1
           while (pos < s.length && s.charAt(pos) != c) {
             if (s.charAt(pos) == '\\' && pos + 1 < s.length) {
-              // keep unknown escapes (\d etc.) intact for regex literals
-              sb.append(s.charAt(pos + 1) match {
-                case 'n' => "\n"; case 't' => "\t"; case 'r' => "\r"
-                case '\'' => "'"; case '"' => "\""; case '\\' => "\\"
-                case other => "\\" + other
-              })
-              pos += 2
+              // \\uXXXX unicode escape, else keep unknown escapes
+              // (\d etc.) intact for regex literals
+              if (s.charAt(pos + 1) == 'u' && pos + 5 < s.length &&
+                  s.substring(pos + 2, pos + 6).forall(ch =>
+                    Character.digit(ch, 16) >= 0)) {
+                sb.append(Integer.parseInt(s.substring(pos + 2, pos + 6), 16).toChar)
+                pos += 6
+              } else {
+                sb.append(s.charAt(pos + 1) match {
+                  case 'n' => "\n"; case 't' => "\t"; case 'r' => "\r"
+                  case '\'' => "'"; case '"' => "\""; case '\\' => "\\"
+                  case other => "\\" + other
+                })
+                pos += 2
+              }
             } else { sb.append(s.charAt(pos)); pos += 1 }
           }
           pos += 1

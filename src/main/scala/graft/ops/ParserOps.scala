@@ -45,26 +45,37 @@ object ParserOps {
               Map("sep" -> delim, "quote" -> "\"", "escape" -> "\""))
             array((1 to n0).map(i => parsed.getField(s"_c$i")): _*)
           } else split(col(c), qd)
-        if (header) {
-          val first = df.select(col(c)).limit(1).collect()
-          if (first.isEmpty) df
-          else {
-            val headerRaw = first(0).getString(0)
-            val names = headerRaw.split(qd).map(
-              _.trim.replace(" ", "_")) // header cell cleanup per reference
-            // drop ONLY the header row itself (the first occurrence), not
-            // every data row whose text equals the header line, and keep
-            // null rows (null-safe <=> comparison)
-            val rid = "__graft_hdr_rid"
-            val withId = df.withColumn(rid, monotonically_increasing_id())
-            val hdrId = withId.filter(col(c) <=> lit(headerRaw))
-              .agg(min(col(rid))).collect()(0)
-            val noHeader =
-              if (hdrId.isNullAt(0)) df
-              else withId.filter(col(rid) =!= lit(hdrId.getLong(0))).drop(rid)
-            names.zipWithIndex.foldLeft(noHeader) { case (d, (n, i)) =>
-              d.withColumn(n, element_at(parts, i + 1))
-            }
+        // reference isHeader heuristic (CsvParser.java:184-199): the
+        // first row is a header only if every cell is non-empty and
+        // none type-infers to a number/boolean — otherwise it is data
+        def looksLikeHeader(cells: Array[String]): Boolean =
+          cells.nonEmpty && cells.forall { cell =>
+            val t = cell.trim
+            t.nonEmpty && t.toDoubleOption.isEmpty &&
+              !t.equalsIgnoreCase("true") && !t.equalsIgnoreCase("false")
+          }
+        val firstRow =
+          if (header) df.select(col(c)).limit(1).collect()
+            .headOption.flatMap(r => Option(r.getString(0)))
+          else None
+        if (header && firstRow.exists(h => looksLikeHeader(h.split(qd)))) {
+          val headerRaw = firstRow.get
+          // header cell cleanup per reference (CsvParser.java:150):
+          // trim + collapse internal whitespace runs to one underscore
+          val names = headerRaw.split(qd).map(
+            _.trim.replaceAll("\\s+", "_"))
+          // drop ONLY the header row itself (the first occurrence), not
+          // every data row whose text equals the header line, and keep
+          // null rows (null-safe <=> comparison)
+          val rid = "__graft_hdr_rid"
+          val withId = df.withColumn(rid, monotonically_increasing_id())
+          val hdrId = withId.filter(col(c) <=> lit(headerRaw))
+            .agg(min(col(rid))).collect()(0)
+          val noHeader =
+            if (hdrId.isNullAt(0)) df
+            else withId.filter(col(rid) =!= lit(hdrId.getLong(0))).drop(rid)
+          names.zipWithIndex.foldLeft(noHeader) { case (d, (n, i)) =>
+            d.withColumn(n, element_at(parts, i + 1))
           }
         } else {
           val n = ColumnOps.probeArity(df, parts)

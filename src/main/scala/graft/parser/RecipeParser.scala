@@ -127,7 +127,14 @@ object RecipeParser {
         i += 1
         while (i < n && stmt.charAt(i) != c) {
           if (stmt.charAt(i) == '\\' && i + 1 < n) {
-            sb.append(unescape(stmt.charAt(i + 1))); i += 2
+            // \\uXXXX unicode escape (reference: quoted directive args
+            // like merge's unicode newline separator)
+            if (stmt.charAt(i + 1) == 'u' && i + 5 < n &&
+                stmt.substring(i + 2, i + 6).forall(ch =>
+                  Character.digit(ch, 16) >= 0)) {
+              sb.append(Integer.parseInt(stmt.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            } else { sb.append(unescape(stmt.charAt(i + 1))); i += 2 }
           } else { sb.append(stmt.charAt(i)); i += 1 }
         }
         i += 1 // closing quote

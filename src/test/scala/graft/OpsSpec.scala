@@ -211,4 +211,22 @@ class OpsSpec extends SparkSpec {
       "2024-06-18", "2024-06-07", "2024-06-26", "2024-06-15", null))
   }
 
+
+  test("parse-as-csv header semantics match the reference") {
+    // reference CsvParserTest.testHeaders: cells trimmed, whitespace
+    // runs (incl. tabs) collapse to one underscore
+    val d = df("body STRING", Seq(
+      Row("first name, last  \t  name"), Row("alice,zed")))
+    val out = wrangle("parse-as-csv :body ',' true; keep :first_name,:last_name", d)
+    assert(out.count() == 1)
+    val r = out.head()
+    assert(r.getString(0) == "alice" && r.getString(1) == "zed")
+    // reference isHeader heuristic: a numeric-looking first row is DATA,
+    // not a header - nothing is dropped, positional names are used
+    val d2 = df("body STRING", Seq(Row("1,2"), Row("3,4")))
+    val out2 = wrangle("parse-as-csv :body ',' true", d2)
+    assert(out2.count() == 2)
+    assert(out2.columns.count(_.startsWith("body_")) == 2)
+  }
+
 }

@@ -105,4 +105,11 @@ class ParserSpec extends AnyFunSuite {
     } finally Registry.resetConfig()
   }
 
+
+  test("unicode escapes in quoted args (reference MergeTest)") {
+    val recipe = "merge :A :B :C '" + "\\" + "u000A'"
+    val spec = graft.parser.RecipeParser.parse(recipe).head
+    assert(spec.str(3) == "\n")
+  }
+
 }
