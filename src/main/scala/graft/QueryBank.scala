@@ -443,6 +443,13 @@ object QueryBank {
       (s, d) => r("text-metric jaccard :c_name :c_name :sim; keep :c_custkey,:sim")(cust(s, d)),
       "SELECT c_custkey, CAST(1.0 AS DOUBLE) AS sim FROM customer"),
 
+    ("text_metric_jaro",
+      // nontrivial jaro inputs: segment name + the shared digit tail
+      (s, d) => r("set-column :alt exp:{ concat(c_mktsegment, substring(c_name, 8)) }; text-metric jaro :c_name :alt :sim; set-column :sim exp:{ math:round(sim * 10000) / 10000.0 }; keep :c_custkey,:sim")(cust(s, d)),
+      """SELECT c_custkey, round(jaro_similarity(c_name,
+        | c_mktsegment || substr(c_name, 9)) * 10000) / 10000.0 AS sim
+        |FROM customer""".stripMargin),
+
     ("stemming",
       // token array joined to a string for the driver comparator; the
       // oracle enumerates the Porter stems of the 5 TPC-H segments

@@ -149,15 +149,92 @@ object Udfs {
   private def tokens(s: String): Set[String] =
     s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
 
+  /** Jaro similarity (published definition: match window, matches m,
+    * transpositions t → (m/|a| + m/|b| + (m-t)/m) / 3).
+    */
+  def jaro(a: String, b: String): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val window = math.max(0, math.max(a.length, b.length) / 2 - 1)
+    val aM = new Array[Boolean](a.length)
+    val bM = new Array[Boolean](b.length)
+    var m = 0
+    for (i <- a.indices) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(b.length - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bM(j) && a.charAt(i) == b.charAt(j)) {
+          aM(i) = true; bM(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var j = 0
+    for (i <- a.indices if aM(i)) {
+      while (!bM(j)) j += 1
+      if (a.charAt(i) != b.charAt(j)) t += 1
+      j += 1
+    }
+    (m.toDouble / a.length + m.toDouble / b.length +
+      (m - t / 2.0) / m) / 3.0
+  }
+
+  /** Optimal-string-alignment Damerau-Levenshtein (adjacent
+    * transposition counts as one edit). */
+  def damerauLevenshtein(a: String, b: String): Int = {
+    val d = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- 0 to a.length) d(i)(0) = i
+    for (j <- 0 to b.length) d(0)(j) = j
+    for (i <- 1 to a.length; j <- 1 to b.length) {
+      val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + cost)
+      if (i > 1 && j > 1 && a.charAt(i - 1) == b.charAt(j - 2) &&
+          a.charAt(i - 2) == b.charAt(j - 1))
+        d(i)(j) = math.min(d(i)(j), d(i - 2)(j - 2) + 1)
+    }
+    d(a.length)(b.length)
+  }
+
+  /** Simon White / Sørensen-Dice over per-word character bigram
+    * multisets ("How to Strike a Match": Healed/Sealed = 0.8). */
+  def simonWhite(a: String, b: String): Double = {
+    def pairs(s: String): Seq[String] =
+      s.toLowerCase.split("\\s+").filter(_.length > 1)
+        .flatMap(w => w.sliding(2)).toSeq
+    val (pa, pb) = (pairs(a), pairs(b))
+    if (pa.isEmpty && pb.isEmpty) return 1.0
+    if (pa.isEmpty || pb.isEmpty) return 0.0
+    // multiset intersection
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    pa.foreach(p => counts(p) = counts.getOrElse(p, 0) + 1)
+    var inter = 0
+    pb.foreach { p =>
+      val c = counts.getOrElse(p, 0)
+      if (c > 0) { inter += 1; counts(p) = c - 1 }
+    }
+    2.0 * inter / (pa.size + pb.size)
+  }
+
   /** similarity ∈ [0,1] per published metric definitions */
   def textMetric(method: String, a0: String, b0: String): Double = {
     if (a0 == null || b0 == null) return 0.0
     val (a, b) = (a0, b0)
     method.toLowerCase match {
-      case "levenshtein" | "damerau-levenshtein" =>
+      case "levenshtein" =>
         val d = levenshtein(a, b)
         if (math.max(a.length, b.length) == 0) 1.0
         else 1.0 - d.toDouble / math.max(a.length, b.length)
+      case "damerau-levenshtein" =>
+        val d = damerauLevenshtein(a, b)
+        if (math.max(a.length, b.length) == 0) 1.0
+        else 1.0 - d.toDouble / math.max(a.length, b.length)
+      case "jaro" => jaro(a, b)
+      case "simon-white" => simonWhite(a, b)
       case "jaccard" | "generalized-jaccard" =>
         val (ta, tb) = (tokens(a), tokens(b))
         if (ta.isEmpty && tb.isEmpty) 1.0
@@ -207,7 +284,8 @@ object Udfs {
   def textDistance(method: String, a: String, b: String): Double = {
     if (a == null || b == null) return Double.MaxValue
     method.toLowerCase match {
-      case "levenshtein" | "damerau-levenshtein" => levenshtein(a, b).toDouble
+      case "levenshtein" => levenshtein(a, b).toDouble
+      case "damerau-levenshtein" => damerauLevenshtein(a, b).toDouble
       case "longest-common-subsequence" => (a.length + b.length - 2 * lcsLen(a, b)).toDouble
       case "longest-common-substring" =>
         (math.max(a.length, b.length) - lcSubstrLen(a, b)).toDouble

@@ -229,4 +229,22 @@ class OpsSpec extends SparkSpec {
     assert(out2.columns.count(_.startsWith("body_")) == 2)
   }
 
+
+  test("jaro, damerau-levenshtein, simon-white metrics (published values)") {
+    import graft.functions.Udfs
+    assert(math.abs(Udfs.jaro("MARTHA", "MARHTA") - 0.944444) < 1e-5)
+    assert(math.abs(Udfs.jaro("DIXON", "DICKSONX") - 0.766667) < 1e-5)
+    assert(Udfs.jaro("abc", "abc") == 1.0)
+    assert(Udfs.jaro("abc", "xyz") == 0.0)
+    assert(Udfs.damerauLevenshtein("CA", "AC") == 1)      // transposition
+    assert(Udfs.damerauLevenshtein("abcdef", "abcdfe") == 1)
+    assert(Udfs.damerauLevenshtein("kitten", "sitting") == 3)
+    assert(math.abs(Udfs.simonWhite("Healed", "Sealed") - 0.8) < 1e-9)
+    assert(math.abs(Udfs.simonWhite("Healed", "Help") - 0.25) < 1e-9)
+    // directive routing
+    val d = df("a STRING, b STRING", Seq(Row("MARTHA", "MARHTA")))
+    val out = wrangle("text-metric jaro :a :b :sim", d)
+    assert(math.abs(out.select("sim").head().getDouble(0) - 0.944444) < 1e-5)
+  }
+
 }
