@@ -1,0 +1,109 @@
+package graft
+
+/** Every directive name the reference declares (the 82
+  * `public static final String NAME` constants in wrangler-core) must
+  * resolve in our Registry — the compile attempt may fail on missing
+  * ARGUMENTS, but never with "unknown directive".
+  */
+class CoverageSpec extends SparkSpec {
+
+  private val referenceDirectives = Seq(
+      "catalog-lookup",
+      "change-column-case",
+      "cleanse-column-names",
+      "columns-replace",
+      "copy",
+      "current-datetime",
+      "cut-character",
+      "data-model-map-column",
+      "datetime-to-timestamp",
+      "decode",
+      "diff-date",
+      "drop",
+      "encode",
+      "extract-regex-groups",
+      "fail",
+      "fill-null-or-empty",
+      "filter-by-regex",
+      "filter-empty-or-null",
+      "filter-row",
+      "find-and-replace",
+      "flatten",
+      "format-as-currency",
+      "format-date",
+      "format-datetime",
+      "generate-uuid",
+      "hash",
+      "increment-variable",
+      "indexsplit",
+      "invoke-http",
+      "json-path",
+      "keep",
+      "lowercase",
+      "ltrim",
+      "mask-number",
+      "mask-shuffle",
+      "merge",
+      "parse-as-avro",
+      "parse-as-avro-file",
+      "parse-as-csv",
+      "parse-as-currency",
+      "parse-as-date",
+      "parse-as-datetime",
+      "parse-as-excel",
+      "parse-as-fixed-length",
+      "parse-as-hl7",
+      "parse-as-json",
+      "parse-as-log",
+      "parse-as-protobuf",
+      "parse-as-simple-date",
+      "parse-timestamp",
+      "parse-xml-to-json",
+      "quantize",
+      "rename",
+      "rtrim",
+      "send-to-error",
+      "send-to-error-and-continue",
+      "set-charset",
+      "set-column",
+      "set-headers",
+      "set-record-delim",
+      "set-type",
+      "set-variable",
+      "split",
+      "split-email",
+      "split-to-columns",
+      "split-to-rows",
+      "split-url",
+      "stemming",
+      "swap",
+      "table-lookup",
+      "text-distance",
+      "text-metric",
+      "timestamp-to-datetime",
+      "titlecase",
+      "trim",
+      "uppercase",
+      "url-decode",
+      "url-encode",
+      "validate-standard",
+      "write-as-csv",
+      "write-as-json-map",
+      "write-as-json-object")
+
+  test("all 82 reference directives resolve in the registry") {
+    val missing = referenceDirectives.filter { name =>
+      try {
+        graft.Registry.compile(graft.api.DirectiveSpec(
+          name, Vector(graft.api.TCol("a"), graft.api.TCol("b"),
+            graft.api.TCol("c")), ":a :b :c"))
+        false
+      } catch {
+        case e: graft.api.RecipeException =>
+          e.getMessage.contains("unknown directive")
+        case _: Throwable => false // arg-shape errors are fine
+      }
+    }
+    assert(missing.isEmpty, s"not registered: ${missing.mkString(", ")}")
+  }
+}
