@@ -169,6 +169,11 @@ object Dedup {
     * outside a shared bucket, so no all-pairs product at any scale.
     *
     * Output: (id_a, id_b, cosine) with id_a < id_b, cosine ≥ threshold.
+    *
+    * Sizing: candidate volume ≈ bands · n²/2^(bitsPerBand+1), so
+    * bitsPerBand must grow with the corpus (≈ log2(n / desired bucket
+    * size)). The defaults (8×8) target high-threshold near-dup (≥0.9);
+    * low thresholds need coarser bands and accept more candidates.
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.9, bands: Int = 8, bitsPerBand: Int = 8,

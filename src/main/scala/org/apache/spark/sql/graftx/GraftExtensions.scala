@@ -31,10 +31,25 @@ object GraftExtensions {
     "mask_number" -> (args => MaskNumberExpr(args(0), args(1))),
     "fnv64" -> (args => Fnv64Expr(args.head)))
 
-  /** Install on an already-built session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Install on an already-built session: native expressions plus the
+    * JVM kernels (digests, text metrics, Porter) as SQL UDFs.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     injectables.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    import graft.functions.{Digests, Udfs}
+    spark.udf.register("digest_hex",
+      (algo: String, v: String) => Udfs.digestHex(v, algo))
+    spark.udf.register("jaro", (a: String, b: String) => Udfs.jaro(a, b))
+    spark.udf.register("simon_white",
+      (a: String, b: String) => Udfs.simonWhite(a, b))
+    spark.udf.register("damerau_levenshtein",
+      (a: String, b: String) => Udfs.damerauLevenshtein(a, b))
+    spark.udf.register("porter_stem", (w: String) => Udfs.porterStem(w))
+    spark.udf.register("blake2b256",
+      (v: String) => Digests.hex(Digests.blake2b(
+        v.getBytes("UTF-8"), 32)))
+  }
 }

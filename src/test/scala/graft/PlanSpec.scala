@@ -115,6 +115,12 @@ class PlanSpec extends SparkSpec {
     val r = spark.sql(
       "SELECT mask_number('123-45-6789', 'xxx-xx-####') AS m, fnv64('abc') AS h")
       .head()
+    val kern = spark.sql(
+      "SELECT jaro('MARTHA','MARHTA') AS j, porter_stem('running') AS p, " +
+        "digest_hex('SM3', 'abc') AS s").head()
+    assert(math.abs(kern.getDouble(0) - 0.944444) < 1e-5)
+    assert(kern.getString(1) == "run")
+    assert(kern.getString(2).startsWith("66c7f0f4"))
     assert(r.getString(0) == "xxx-xx-6789")
     var h = 0xcbf29ce484222325L
     "abc".foreach { c => h ^= c; h *= 0x100000001b3L }
