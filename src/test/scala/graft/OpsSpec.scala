@@ -247,4 +247,26 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(out.select("sim").head().getDouble(0) - 0.944444) < 1e-5)
   }
 
+
+  test("v1 recipe end-to-end (reference CsvParserTest.testTrailingCommas)") {
+    val d = df("body STRING", Seq(
+      Row("school_id, student_id, last_name, first_name,,,"),
+      Row("14J456,33445566,Potter,Harry,,,"),
+      Row("14J456,44333433,Weasley,Ron,,,"),
+      Row("14J456,65765566,Granger,Hermione,,,")))
+    val out = wrangle("""
+      parse-as-csv :body ',' false;
+      filter-rows-on regex-match body_1 ^school_id$;
+      drop :body;
+      set columns school_id, student_id, last_name, first_name;
+      keep :school_id,:student_id,:last_name,:first_name;
+    """, d)
+    assert(out.count() == 3)
+    assert(out.columns.toSeq ==
+      Seq("school_id", "student_id", "last_name", "first_name"))
+    val names = out.orderBy("student_id").select("last_name")
+      .collect().map(_.getString(0)).toSeq
+    assert(names == Seq("Potter", "Weasley", "Granger"))
+  }
+
 }

@@ -112,4 +112,5 @@ class ParserSpec extends AnyFunSuite {
     assert(spec.str(3) == "\n")
   }
 
+
 }
