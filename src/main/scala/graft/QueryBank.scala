@@ -251,11 +251,24 @@ object QueryBank {
       (s, d) => graft.llm.Dedup
         .minhashPairs(docs(s, d), "text", "doc_id", threshold = 0.8)
         .select("id_a", "id_b"),
-      """SELECT CAST(a AS BIGINT) AS id_a, CAST(b AS BIGINT) AS id_b FROM (VALUES
+      // pinned candidate set INDEPENDENTLY validated: DuckDB recomputes
+      // each pair's true 5-gram Jaccard from the raw text — a pair the
+      // engine claimed wrongly would be filtered out here and mismatch
+      """WITH pins(a, b) AS (VALUES
         | (8,245),(26,455),(31,383),(44,446),(45,267),(45,413),(58,293),
         | (61,185),(70,447),(72,377),(87,134),(92,450),(98,290),(107,387),
         | (120,332),(152,178),(166,323),(267,413),(285,301),(295,374),
-        | (310,389),(326,457),(393,420),(435,486),(458,462)) t(a, b)""".stripMargin),
+        | (310,389),(326,457),(393,420),(435,486),(458,462)),
+        |norm AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS n
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(len(n) - 4, 1) + 1),
+        |    i -> substr(n, CAST(i AS INT), 5))) AS s FROM norm)
+        |SELECT CAST(a AS BIGINT) AS id_a, CAST(b AS BIGINT) AS id_b
+        |FROM pins JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
+        |WHERE len(list_intersect(sa.s, sb.s)) * 1.0
+        |      / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8""".stripMargin),
 
     ("simhash_pairs",
       (s, d) => graft.llm.Dedup
