@@ -280,6 +280,42 @@ object QueryBank {
         | (70,447,1),(72,377,3),(92,450,3),(98,290,1),(107,387,3),(120,332,2),
         | (152,178,2),(267,413,0),(285,301,1),(393,420,0),(458,462,2)) t(a, b, h)""".stripMargin),
 
+    ("ngram_jaccard",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        // word-bigram jaccard between each doc and its own first 10 words
+        val head10 = array_join(slice(split(col("text"), " "), 1, 10), " ")
+        docs(s, d).select(col("doc_id"),
+          round(graft.llm.Dedup.ngramJaccard(col("text"), head10, 2), 4).as("j"))
+      },
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+        |    i -> to_json(list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 1)))) AS ga,
+        |  list_distinct(list_transform(range(1, greatest(len(toks[1:10]) - 1, 1) + 1),
+        |    i -> to_json(list_slice(toks[1:10], CAST(i AS INT), CAST(i AS INT) + 1)))) AS gb
+        |  FROM t)
+        |SELECT doc_id, round(CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+        |  / len(list_distinct(list_concat(ga, gb))), 4) AS j FROM g""".stripMargin),
+
+    ("cross_topk",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        graft.llm.Similarity.crossTopK(e, q, "vec_id", "embedding",
+          "qid", "qvec", 3).select("qid", "vec_id", "rank")
+      },
+      """SELECT qid, vec_id, rank FROM (
+        | SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) AS rank
+        | FROM embeddings e, embeddings q WHERE q.vec_id < 5) WHERE rank <= 3""".stripMargin),
+
     ("token_count",
       (s, d) => r("token-count :text; keep :doc_id,:text_tokens")(docs(s, d)),
       "SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS text_tokens FROM documents"),
