@@ -637,6 +637,36 @@ object QueryBank {
       (s, d) => r("set-column :doy exp:{ date:DAY_OF_YEAR(o_orderdate) }; set-column :q exp:{ date:QUARTER(o_orderdate) }; set-column :ld exp:{ datetime:LastDayOfMonth(o_orderdate) }; format-date :ld 'yyyy-MM-dd'; keep :o_orderkey,:doy,:q,:ld")(ord(s, d)),
       "SELECT o_orderkey, CAST(dayofyear(o_orderdate) AS INT) AS doy, CAST(quarter(o_orderdate) AS INT) AS q, strftime(last_day(o_orderdate), '%Y-%m-%d') AS ld FROM orders"),
 
+    // ---- §2.8 session surface -------------------------------------
+    ("precondition",
+      // skip-record-if-true semantics: matching rows never enter the recipe
+      (s, d) => Wrangle.recipe("keep :c_custkey,:c_acctbal;")
+        .withPrecondition("c_acctbal < 0")
+        .apply(cust(s, d)),
+      "SELECT c_custkey, c_acctbal FROM customer WHERE NOT (c_acctbal < 0)"),
+
+    ("udd_directive",
+      // user-defined directive through the Registry SPI + !name syntax
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.Registry.register(spec =>
+          if (spec.name != "acctbal-sign") None
+          else Some(graft.ops.ColumnOps.simple(spec) { df =>
+            df.withColumn(spec.col(0),
+              when(col("c_acctbal") > 0, "pos")
+                .when(col("c_acctbal") < 0, "neg").otherwise("zero"))
+          }))
+        r("!acctbal-sign :sign; keep :c_custkey,:sign")(cust(s, d))
+      },
+      """SELECT c_custkey, CASE WHEN c_acctbal > 0 THEN 'pos'
+        | WHEN c_acctbal < 0 THEN 'neg' ELSE 'zero' END AS sign
+        |FROM customer""".stripMargin),
+
+    ("sample_first",
+      (s, d) => graft.session.Sampler.first(
+        cust(s, d).orderBy("c_custkey"), 100).select("c_custkey", "c_name"),
+      "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 100"),
+
     // ---- §2.7 packaged catalog (no registration step) ---------------
     ("catalog_lookup_builtin",
       (s, d) => r("set-column :code exp:{ c_custkey % 2 == 0 ? 'US' : 'FR' }; catalog-lookup iso3166 :code; keep :c_custkey,:code,:code_iso3166_description")(cust(s, d)),
