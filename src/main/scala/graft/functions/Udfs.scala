@@ -445,6 +445,41 @@ object Udfs {
 
   private val wsRun = java.util.regex.Pattern.compile("\\s+")
 
+  /** Word n-gram Jaccard over distinct gram hash sets — tight loop,
+    * no per-window array/json allocation beyond the gram join.
+    */
+  def ngramJaccard(a: String, b: String, n: Int): Double = {
+    def grams(s: String): java.util.HashSet[Long] = {
+      val toks = normalizeText(s).split(" ").filter(_.nonEmpty)
+      val out = new java.util.HashSet[Long]()
+      val windows = math.max(toks.length - n + 1, 1)
+      var i = 0
+      while (i < windows) {
+        var h = 0xcbf29ce484222325L
+        var j = i
+        val end = math.min(i + n, toks.length)
+        while (j < end) {
+          val t = toks(j)
+          var p = 0
+          while (p < t.length) { h ^= t.charAt(p); h *= 0x100000001b3L; p += 1 }
+          h ^= 0x1f; h *= 0x100000001b3L // token boundary
+          j += 1
+        }
+        out.add(h)
+        i += 1
+      }
+      out
+    }
+    val (ga, gb) = (grams(a), grams(b))
+    if (ga.isEmpty && gb.isEmpty) return 1.0
+    var inter = 0
+    val it = ga.iterator()
+    while (it.hasNext) if (gb.contains(it.next())) inter += 1
+    val union = ga.size + gb.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+  val ngramJaccardUdf: UserDefinedFunction = udf(ngramJaccard _)
+
   /** Same normalization as graft.llm.Dedup.normalized (keep in sync). */
   def normalizeText(text: String): String = {
     if (text == null) return ""

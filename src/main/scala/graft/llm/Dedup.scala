@@ -227,18 +227,12 @@ object Dedup {
   }
 
   /** Word n-gram Jaccard similarity between two text columns (exact,
-    * for candidate verification or small joined sets).
+    * for candidate verification or small joined sets). JIT'd kernel —
+    * the HOF formulation (transform/slice/to_json per window) is
+    * CodegenFallback and re-evaluated the normalization regexes per
+    * element (measured ~15 s vs <1 s over 5 K docs at sf0.1).
     */
-  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
-    def grams(c: Column) = {
-      val toks = filter(split(normalized(c), " "), t => length(t) > 0)
-      array_distinct(transform(
-        sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
-        i => xxhash64(to_json(slice(toks, i, lit(n))))))
-    }
-    val ga: Column = grams(a)
-    val gb: Column = grams(b)
-    size(array_intersect(ga, gb)).cast(DoubleType) /
-      size(array_union(ga, gb))
-  }
+  def ngramJaccard(a: Column, b: Column, n: Int): Column =
+    graft.functions.Udfs.ngramJaccardUdf(a.cast(StringType),
+      b.cast(StringType), lit(n))
 }
