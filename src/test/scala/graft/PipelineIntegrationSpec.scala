@@ -45,4 +45,37 @@ class PipelineIntegrationSpec extends SparkSpec {
     val total = curated.agg(sum("text_tokens")).head().getLong(0)
     assert(total > 0)
   }
+
+  test("retrieval pipeline: embed-dedup -> IVF index -> top-k per query") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // 1. drop near-duplicate vectors (none planted here - set stays intact,
+    //    which is itself the assertion: no false positives at 0.95)
+    val deduped = graft.llm.Dedup.embeddingDedup(emb, "vec_id", "embedding",
+      threshold = 0.95)
+    assert(deduped.count() == emb.count())
+    // 2. IVF index over the deduped corpus, then retrieval for 3 queries
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    for ((qid, q) <- queries) {
+      val hits = graft.llm.Similarity.ivfTopK(deduped, "vec_id", "embedding",
+        q, k = 5, nlist = 8, nprobe = 8)
+      val ids = hits.collect().map(_.getLong(0))
+      assert(ids.length == 5)
+      assert(ids.head == qid, s"query $qid should retrieve itself first")
+      // full probe == exact: matches brute force
+      val brute = graft.llm.Similarity.cosineTopK(deduped, "vec_id",
+        "embedding", q, 5).collect().map(_.getLong(0))
+      assert(ids.toSeq == brute.toSeq)
+    }
+    // 3. quality gate + token budget over the documents side
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val curated = graft.Wrangle.recipe(
+      "quality-score :text; token-count :text;").apply(docs)
+      .filter(col("text_quality") >= 0.5 && col("text_tokens") >= 5)
+    assert(curated.count() > 0)
+    assert(curated.columns.contains("text_quality"))
+  }
+
 }
