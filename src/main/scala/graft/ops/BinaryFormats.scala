@@ -416,7 +416,8 @@ object Protobuf {
           (f.tpe, v) match {
             case (1, l: Long)  => out(key) = java.lang.Double.longBitsToDouble(l).toString
             case (2, l: Long)  => out(key) = java.lang.Float.intBitsToFloat(l.toInt).toString
-            case (3 | 5 | 16, l: Long) => out(key) = l.toString          // int64/int32/sfixed64
+            case (3 | 16, l: Long) => out(key) = l.toString               // int64/sfixed64
+            case (5, l: Long) => out(key) = l.toInt.toString              // int32 (sign-extended varint)
             case (4 | 6, l: Long) => out(key) = java.lang.Long.toUnsignedString(l) // uint64/fixed64
             case (13 | 7, l: Long) => out(key) = (l & 0xffffffffL).toString // uint32/fixed32
             case (15, l: Long) => out(key) = l.toInt.toString             // sfixed32
@@ -465,6 +466,7 @@ object ProtoWire {
     def str(field: Int, s: String): W = bytes(field, s.getBytes("UTF-8"))
     def msg(field: Int)(f: W => Unit): W =
       { val w = new W; f(w); bytes(field, w.toBytes) }
+    def raw(b: Array[Byte]): W = { bos.write(b); this }
     def toBytes: Array[Byte] = bos.toByteArray
   }
   def build(f: W => Unit): Array[Byte] = { val w = new W; f(w); w.toBytes }

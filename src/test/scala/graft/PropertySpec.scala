@@ -84,4 +84,65 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("protobuf wire round-trip: random messages decode by name") {
+    import graft.ops.{ProtoWire, Protobuf}
+    val gen = for {
+      i64 <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      i32 <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+      s <- Gen.alphaNumStr.map(_.take(40))
+      d <- Gen.chooseNum(-1e12, 1e12)
+      b <- Gen.oneOf(true, false)
+      inner <- Gen.alphaNumStr.map(_.take(20))
+    } yield (i64, i32, s, d, b, inner)
+    // descriptor: message M { int64 a=1; int32 b=2; string c=3;
+    //   double d=4; bool e=5; Inner f=6 } message Inner { string x=1 }
+    def fieldOf(w: ProtoWire.W, name: String, num: Int, tpe: Int,
+        typeName: String = ""): Unit =
+      w.msg(2) { f =>
+        f.str(1, name); f.int(3, num); f.int(4, 1); f.int(5, tpe)
+        if (typeName.nonEmpty) f.str(6, typeName)
+      }
+    val desc = ProtoWire.build { s0 =>
+      s0.msg(1) { fdp =>
+        fdp.str(1, "m.proto"); fdp.str(2, "pkg")
+        fdp.msg(4) { m =>
+          m.str(1, "M")
+          fieldOf(m, "a", 1, 3); fieldOf(m, "b", 2, 5); fieldOf(m, "c", 3, 9)
+          fieldOf(m, "d", 4, 1); fieldOf(m, "e", 5, 8)
+          fieldOf(m, "f", 6, 11, ".pkg.Inner")
+        }
+        fdp.msg(4) { m => m.str(1, "Inner"); fieldOf(m, "x", 1, 9) }
+      }
+    }
+    val msgs = Protobuf.parseDescriptorSet(desc)
+    val root = Protobuf.resolveMessage(msgs, "pkg.M").get
+    val prop = Prop.forAll(gen) { case (i64, i32, s, d, b, inner) =>
+      // field 4 is wire type 1 (double): manual tag + fixed64 bytes
+      val fixed = {
+        val w = new ProtoWire.W
+        w.int(1, i64)
+        w.int(2, i32.toLong) // sign-extended like a real encoder
+        w.str(3, s)
+        w.varint((4L << 3) | 1)
+        val bb = java.nio.ByteBuffer.allocate(8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.putLong(java.lang.Double.doubleToLongBits(d))
+        w.raw(bb.array())
+        w.int(5, if (b) 1 else 0)
+        w.msg(6)(iw => iw.str(1, inner))
+        w.toBytes
+      }
+      val out = scala.collection.mutable.Map.empty[String, String]
+      Protobuf.decodeNamed(fixed, msgs, root, "", out)
+      out("a") == i64.toString &&
+        out("b") == i32.toString &&
+        out("c") == s &&
+        math.abs(out("d").toDouble - d) < math.abs(d) * 1e-12 + 1e-9 &&
+        out("e") == b.toString &&
+        out("f.x") == inner
+    }
+    check("protobuf round-trip")(prop)
+  }
+
 }
