@@ -124,7 +124,7 @@ object MediaHeaders {
   private def le32(b: Array[Byte], i: Int): Long =
     le16(b, i).toLong | (le16(b, i + 2).toLong << 16)
   private def ascii(b: Array[Byte], i: Int, n: Int): String =
-    if (i + n <= b.length) new String(b, i, n, "US-ASCII") else ""
+    if (i >= 0 && i + n <= b.length) new String(b, i, n, "US-ASCII") else ""
 
   def probe(b: Array[Byte]): Probe = {
     if (b == null || b.length < 12) return null
@@ -158,10 +158,13 @@ object MediaHeaders {
       var dataLen = -1L
       while (p + 8 <= b.length) {
         val id = ascii(b, p, 4)
-        val len = le32(b, p + 4)
-        if (id == "fmt " && p + 16 <= b.length) byteRate = le32(b, p + 16)
+        val len = le32(b, p + 4) // unsigned 32-bit — may exceed Int.MaxValue
+        if (id == "fmt " && p + 20 <= b.length) byteRate = le32(b, p + 16)
         if (id == "data") dataLen = len
-        p += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+        // stop on a declared length that walks past the buffer (or
+        // would wrap negative as an Int) — malformed/truncated input
+        val step = 8L + len + (len & 1L) // chunks are word-aligned
+        if (p + step > b.length) p = b.length else p += step.toInt
       }
       val dur: java.lang.Long =
         if (byteRate > 0 && dataLen >= 0) dataLen * 1000L / byteRate else null

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Hostile-input robustness: the byte-level parsers and the tokenizer
+  * must never hang, loop, or escape with anything but the library's
+  * own exception types, whatever bytes arrive at 100 TB scale.
+  */
+class RobustnessSpec extends AnyFunSuite {
+
+  private def check(name: String)(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  private val bytesGen: Gen[Array[Byte]] =
+    Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+
+  test("MediaHeaders.probe never throws on arbitrary bytes") {
+    check("probe") {
+      Prop.forAll(bytesGen) { b =>
+        graft.llm.MediaHeaders.probe(b); true
+      }
+    }
+    // signature-prefixed garbage (the adversarial case: header starts
+    // valid then lies about lengths)
+    val sigs = Seq(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+      "GIF89a".getBytes, "RIFF".getBytes ++ Array[Byte](-1, -1, -1, -1) ++
+        "WAVE".getBytes, Array[Byte](0xff.toByte, 0xd8.toByte), "BM".getBytes)
+    check("probe-sig") {
+      Prop.forAll(bytesGen, Gen.choose(0, sigs.size - 1)) { (b, i) =>
+        graft.llm.MediaHeaders.probe(sigs(i) ++ b); true
+      }
+    }
+  }
+
+  test("Protobuf decoders never throw on arbitrary bytes") {
+    val msgs = Map(".m.M" -> graft.ops.Protobuf.PbMsg(Map(
+      1 -> graft.ops.Protobuf.PbField("a", 1, 1, 9, ""))))
+    check("proto") {
+      Prop.forAll(bytesGen) { b =>
+        graft.ops.Protobuf.parse(b)
+        graft.ops.Protobuf.parseDescriptorSet(b)
+        val out = scala.collection.mutable.Map.empty[String, String]
+        graft.ops.Protobuf.decodeNamed(b, msgs, ".m.M", "", out)
+        true
+      }
+    }
+  }
+
+  test("Xlsx and HL7 parsers never throw on arbitrary input") {
+    check("xlsx") {
+      Prop.forAll(bytesGen) { b => graft.ops.Xlsx.parse(b, "0"); true }
+    }
+    check("hl7") {
+      Prop.forAll(Gen.asciiPrintableStr) { s =>
+        graft.ops.Hl7.parse(s); true
+      }
+    }
+  }
+
+  test("recipe tokenizer terminates with at worst a RecipeException") {
+    val recipeish = Gen.listOf(Gen.frequency(
+      (5, Gen.alphaNumChar),
+      (2, Gen.oneOf(' ', ':', ';', ',', '\'', '"', '{', '}', '\\', '$',
+        '\n', '!', '#', '-', '.')))).map(_.mkString)
+    check("tokenize") {
+      Prop.forAll(recipeish) { s =>
+        try { graft.parser.RecipeParser.parse(s); true }
+        catch { case _: graft.api.RecipeException => true }
+      }
+    }
+  }
+
+  test("NlDate.parse never throws; garbage yields null") {
+    val anchor = java.time.LocalDate.of(2024, 6, 12)
+    check("nldate") {
+      Prop.forAll(Gen.asciiPrintableStr) { s =>
+        graft.NlDateProbe.parse(s, anchor); true
+      }
+    }
+    assert(graft.ops.NlDate.parse("definitely not a date", anchor) == null)
+  }
+}
+
+/** Indirection so the spec compiles even if NlDate moves. */
+object NlDateProbe {
+  def parse(s: String, d: java.time.LocalDate) = graft.ops.NlDate.parse(s, d)
+}
