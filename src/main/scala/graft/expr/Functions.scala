@@ -144,7 +144,17 @@ object Functions {
         else value.bitwiseOR(mask)
 
       // ---- json: ----
-      case "json:select"      => get_json_object(a(0), litStr(1))
+      case "json:select"      =>
+        // reference JsonFunctions.Select takes 1+ paths: first match
+        // wins; Jayway-only path features route to the interpreter
+        def one(i: Int): Column = {
+          val p = litStr(i)
+          val path = if (p.startsWith("$")) p else "$." + p
+          if (graft.functions.JsonPathLite.needsLite(path))
+            graft.functions.JsonPathLite.evalUdf(a(0).cast(StringType), lit(path))
+          else get_json_object(a(0), path)
+        }
+        coalesce((1 until args.size).map(one): _*)
       case "json:stringify"   => to_json(a(0))
       case "json:arraylength" => json_array_length(a(0))
       case "json:isvalid"     => try_parse_json_ok(a(0))

@@ -117,13 +117,19 @@ object ParserOps {
     }
 
     // Jayway-style JsonPath extraction (reference: wrangler-core
-    // directives/parser/JsPath.java:90) — the common `$.a.b[0]` subset
-    // maps to native get_json_object.
+    // directives/parser/JsPath.java:90). The common `$.a.b[0]` subset
+    // maps to native (codegen'd) get_json_object; recursive descent,
+    // wildcards, and predicates route to the JsonPathLite interpreter.
     case "json-path" => ColumnOps.simple(spec) { df =>
       val (src, dest) = (spec.col(0), spec.col(1))
       val path0 = spec.str(2)
       val path = if (path0.startsWith("$")) path0 else "$." + path0
-      df.withColumn(dest, get_json_object(col(src).cast(StringType), path))
+      val extracted =
+        if (graft.functions.JsonPathLite.needsLite(path))
+          graft.functions.JsonPathLite.evalUdf(
+            col(src).cast(StringType), lit(path))
+        else get_json_object(col(src).cast(StringType), path)
+      df.withColumn(dest, extracted)
     }
 
     // XML → JSON string then same flatten as parse-as-json (reference:

@@ -269,4 +269,37 @@ class OpsSpec extends SparkSpec {
     assert(names == Seq("Potter", "Weasley", "Granger"))
   }
 
+
+  test("json-path: recursive descent, wildcard, and predicate paths") {
+    val json = """{"store":{"book":[
+      {"title":"A","price":8.95,"tag":"x"},
+      {"title":"B","price":12.99,"tag":"y"},
+      {"title":"C","price":8.99,"tag":"x"}],
+      "bicycle":{"price":19.95}}}""".replaceAll("\\n\\s*", "")
+    val d = df("j STRING", Seq(Row(json)))
+    // recursive descent collects every price anywhere
+    val prices = wrangle("json-path :j :out '$..price'", d)
+      .select("out").head().getString(0)
+    assert(prices == "[8.95,12.99,8.99,19.95]")
+    // wildcard over an array of objects
+    val titles = wrangle("json-path :j :out '$.store.book[*].title'", d)
+      .select("out").head().getString(0)
+    assert(titles == """["A","B","C"]""")
+    // predicate filter on a field
+    val cheap = wrangle("json-path :j :out '$.store.book[?(@.price<9)].title'", d)
+      .select("out").head().getString(0)
+    assert(cheap == """["A","C"]""")
+    val tagged = wrangle("""json-path :j :out "$.store.book[?(@.tag=='y')].title"""" + "\n", d)
+      .select("out").head().getString(0)
+    assert(tagged == "B")
+    // simple paths still use get_json_object (codegen) and agree
+    val one = wrangle("json-path :j :out '$.store.bicycle.price'", d)
+      .select("out").head().getString(0)
+    assert(one == "19.95")
+    // multi-path json:Select: first match wins
+    val sel = wrangle("""set-column :v exp:{ json:Select(j, '$.store.missing', '$.store.bicycle.price') }; keep :v""", d)
+      .select("v").head().getString(0)
+    assert(sel == "19.95")
+  }
+
 }
