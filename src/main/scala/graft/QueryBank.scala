@@ -397,6 +397,11 @@ object QueryBank {
       (s, d) => r("set-column :x exp:{ concat('<r><v>', c_mktsegment, '</v><v>', c_name, '</v></r>') }; xpath-array :x :vals '/r/v/text()'; set-column :vals exp:{ arrays:join(vals, ' ') }; keep :c_custkey,:vals")(cust(s, d)),
       "SELECT c_custkey, c_mktsegment || ' ' || c_name AS vals FROM customer"),
 
+    ("json_path_wildcard",
+      // JsonPathLite route: [*] wildcard over an array of objects
+      (s, d) => r("""set-column :j exp:{ concat('{"items":[{"v":', n_nationkey, '},{"v":', n_nationkey + 1, '}]}') }; json-path :j :vals '$.items[*].v'; keep :n_nationkey,:vals""")(nat(s, d)),
+      "SELECT n_nationkey, '[' || n_nationkey || ',' || (n_nationkey + 1) || ']' AS vals FROM nation"),
+
     ("set_charset",
       (s, d) => r("copy :c_name :bin; set-type :bin bytes; set-charset :bin 'utf-8'; keep :c_custkey,:c_name,:bin")(cust(s, d)),
       "SELECT c_custkey, c_name, c_name AS bin FROM customer"),
