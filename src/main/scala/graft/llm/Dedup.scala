@@ -130,6 +130,63 @@ object Dedup {
     distinctDocs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over a verified pair set by iterative
+    * min-label propagation: each id converges to the smallest id
+    * reachable through duplicate pairs. Near-dup components have tiny
+    * diameter, so few iterations suffice; the loop stops at fixpoint
+    * (checked via count of changed labels) with a hard cap.
+    *
+    * Returns (id, component) — component = min id of the cluster.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id"))
+      .distinct().withColumn("component", col("id"))
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      // each node adopts the min of its own and its neighbors' labels
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dedup with TRANSITIVE collapse: verified pairs are clustered
+    * into connected components and only each component's smallest id
+    * survives — the standard MinHash-LSH dedup policy for chains
+    * (A~B, B~C ⇒ keep A only, even though A~C was never verified).
+    * [[minhashDedup]] keeps the weaker only-drop-verified-partners
+    * policy; this one assumes similarity is transitive across a chain.
+    */
+  def minhashDedupCC(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 128, bands: Int = 16, shingleK: Int = 5,
+      threshold: Double = 0.7): DataFrame = {
+    val distinctDocs = exact(df, textCol, idCol)
+    val pairs = minhashPairs(distinctDocs, textCol, idCol,
+      numHashes, bands, shingleK, threshold)
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol)).distinct()
+    distinctDocs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash over whitespace tokens (sign of per-bit vote sums). */
   def simhash64(text: Column): Column =
     graft.functions.Udfs.simhashSigUdf(text)

@@ -259,4 +259,38 @@ class LlmSpec extends SparkSpec {
     assert((100L to 104L).forall(id => !kept.contains(id)))
   }
 
+
+  test("connected-components dedup collapses transitive chains") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // pairs (1,5),(5,9),(20,30) -> components {1,5,9} and {20,30}
+    val schema = StructType(Seq(StructField("id_a", LongType),
+      StructField("id_b", LongType)))
+    val pairs = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(
+        Row(1L, 5L), Row(5L, 9L), Row(20L, 30L))), schema)
+    val cc = graft.llm.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 20L -> 20L, 30L -> 20L))
+
+    // end-to-end: a duplicate CHAIN (A~B, B~C, A!~C) keeps only A
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // B: overlaps heavily with A (drop tail, add one)
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      // C: overlaps heavily with B but less with A
+      (2L, "alpha beta gamma delta epsilon zeta eta theta lambda mu"),
+      (3L, "completely different content nothing shared here at all ok"))
+    val dsch = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val d = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(
+        docs.map { case (i, t) => Row(i, t) }: _*)), dsch)
+    val kept = graft.llm.Dedup.minhashDedupCC(d, "text", "doc_id",
+      numHashes = 64, bands = 16, shingleK = 3, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(0L) && kept.contains(3L))
+    assert(!kept.contains(1L), "B should collapse into A's component")
+  }
+
 }
