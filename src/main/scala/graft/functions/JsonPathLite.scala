@@ -25,10 +25,14 @@ object JsonPathLite {
   private case class RecurseField(name: String) extends Seg
   private case class Pred(field: String, op: String, value: String) extends Seg
 
-  /** True when the path needs the interpreter (get_json_object can't). */
+  /** True when the path needs the interpreter (get_json_object can't).
+    * `.*` anywhere — interior object wildcards like `$.*.a` return
+    * silent nulls from get_json_object.
+    */
   def needsLite(path: String): Boolean =
     path.contains("..") || path.contains("[*]") || path.contains("[?") ||
-      path.endsWith(".*")
+      path.contains(".*") || path.contains(":") ||
+      raw"\[\s*\d+\s*,".r.findFirstIn(path).isDefined
 
   private val FilterRe =
     """\[\?\(@\.([A-Za-z0-9_]+)\s*(==|!=|<=|>=|<|>)\s*('[^']*'|"[^"]*"|[^)\s]+)\)\]""".r

@@ -144,6 +144,7 @@ object Dedup {
       .distinct().persist()
     var labels = edges.select(col("src").as("id"))
       .distinct().withColumn("component", col("id"))
+    var labelsPinned = false // is `labels` a persist we must release?
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
@@ -153,19 +154,39 @@ object Dedup {
           col("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val step = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
-        .persist()
+      // every 3rd iteration truncate lineage (localCheckpoint) so the
+      // plan tree doesn't deepen with the iteration count; otherwise a
+      // plain persist. Either way the PREVIOUS labels are released once
+      // `changed` (which reads both) has been computed — the cache
+      // footprint stays at one label set, not one per iteration.
+      val next =
+        if ((it + 1) % 3 == 0) step.localCheckpoint() else step.persist()
       val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") =!= col("old")).limit(1).count()
+      if (labelsPinned) labels.unpersist()
       labels = next
+      labelsPinned = true
       converged = changed == 0
       it += 1
     }
     edges.unpersist()
-    labels
+    // maxIter exits with changed>0 mean a duplicate chain longer than
+    // maxIter hops did NOT fully collapse — surface it, don't be silent
+    if (!converged)
+      System.err.println(
+        s"[graft] connectedComponents: NOT converged after $maxIter " +
+          "iterations — components wider than maxIter hops are split; " +
+          "raise maxIter for deep duplicate chains")
+    // pin the final result eagerly, then drop the loop's persist handle:
+    // callers get a lineage-free, materialized label set and the cache
+    // owes nothing to intermediate iterations
+    val out = labels.localCheckpoint()
+    if (labelsPinned) labels.unpersist()
+    out
   }
 
   /** Near-dedup with TRANSITIVE collapse: verified pairs are clustered
@@ -196,7 +217,7 @@ object Dedup {
     * Hamming distance ≤ 3), verify with native bit_count(xor).
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     val sigs = df.select(col(idCol).as("__id"),
       simhash64(col(textCol)).as("__sig")).persist()
     sigs.count() // eager: signature computed once, not per self-join side
@@ -207,9 +228,20 @@ object Dedup {
         .as("__bb"))
       .select(col("__id"), col("__sig"),
         col("__bb.band").as("__band"), col("__bb.chunk").as("__chunk"))
-    val l = banded.select(col("__band"), col("__chunk"),
+    // same skew guard as minhashPairs/embeddingPairs: a hot 16-bit chunk
+    // (identical/empty/templated docs ⇒ identical signatures, or the
+    // all-zero chunk) yields B² candidates from one bucket. Oversized
+    // buckets are dropped; collapse exact duplicates first ([[exact]] /
+    // [[simhashDedup]]) — that is what makes buckets that hot.
+    val sized = banded
+      .withColumn("__bsize",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__band"), col("__chunk"))))
+      .filter(col("__bsize") <= maxBucketSize)
+      .drop("__bsize")
+    val l = sized.select(col("__band"), col("__chunk"),
       col("__id").as("id_a"), col("__sig").as("sig_a"))
-    val r = banded.select(col("__band"), col("__chunk"),
+    val r = sized.select(col("__band"), col("__chunk"),
       col("__id").as("id_b"), col("__sig").as("sig_b"))
     l.join(r, Seq("__band", "__chunk"))
       .filter(col("id_a") < col("id_b"))
@@ -217,6 +249,19 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash near-dedup: exact duplicates collapse first (keeping the
+    * LSH chunks from concentrating identical signatures — the skew
+    * guard's pathological case), then keep-smallest-id over verified
+    * Hamming pairs, same policy as [[minhashDedup]].
+    */
+  def simhashDedup(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val distinctDocs = exact(df, textCol, idCol)
+    val losers = simhashPairs(distinctDocs, textCol, idCol, maxHamming)
+      .select(col("id_b").as(idCol)).distinct()
+    distinctDocs.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Embedding-cosine near-duplicate pairs: candidates from banded

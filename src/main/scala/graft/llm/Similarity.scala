@@ -209,11 +209,6 @@ object Similarity {
       .limit(k)
   }
 
-  /** All-queries × corpus exact top-k, for a (small, broadcastable) set
-    * of query vectors: broadcast join + per-query window top-k. The
-    * corpus side never shuffles for the join; only the (queries × k)
-    * result aggregates.
-    */
   /** Pairwise cosine between two embedding columns (JIT'd kernel). */
   val pairCosine: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((a: Seq[Float], b: Seq[Float]) => {
@@ -231,13 +226,58 @@ object Similarity {
       }
     })
 
+  /** All-queries × corpus exact top-k for a (small, broadcastable) set
+    * of query vectors — TWO-PHASE top-k:
+    *
+    *  1. broadcast-join queries onto the corpus and reduce EACH INPUT
+    *     PARTITION to ≤ queries×k rows with a bounded per-query heap
+    *     (`mapPartitions` — the scored corpus is never shuffled and no
+    *     task ever holds more than Q×k rows);
+    *  2. rank the surviving queries × partitions × k rows with a
+    *     per-query window (bounded input, so the single-task-per-query
+    *     window is fine here).
+    *
+    * The naive alternative — `Window.partitionBy(qid)` directly over
+    * the scored corpus — funnels every query's FULL corpus score set
+    * onto one task: an OOM at real scale. Phase 1 exists to keep the
+    * window's input at Q×P×k, independent of corpus size.
+    */
   def crossTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, qidCol: String, qvecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.expressions.Window
     val scored = corpus.join(broadcast(queries))
       .withColumn("cosine", pairCosine(col(vecCol), col(qvecCol)))
+      .select(col(qidCol), col(idCol), col("cosine"))
+    // heap ordering: dequeue() must evict the WORST row — lowest cosine,
+    // then largest id (matching the final orderBy(cosine desc, id asc))
+    val worstFirst: Ordering[Row] = new Ordering[Row] {
+      def compare(a: Row, b: Row): Int = {
+        val ca = if (a.isNullAt(2)) Double.NegativeInfinity else a.getDouble(2)
+        val cb = if (b.isNullAt(2)) Double.NegativeInfinity else b.getDouble(2)
+        val c = java.lang.Double.compare(cb, ca)
+        if (c != 0) c
+        else (a.get(1), b.get(1)) match {
+          case (null, null) => 0
+          case (null, _)    => 1 // null id sorts last ⇒ worst
+          case (_, null)    => -1
+          case (x, y)       => x.asInstanceOf[Comparable[Any]].compareTo(y)
+        }
+      }
+    }
+    val partial = scored.mapPartitions { rows =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Any, scala.collection.mutable.PriorityQueue[Row]]
+      rows.foreach { r =>
+        val h = heaps.getOrElseUpdate(r.get(0),
+          scala.collection.mutable.PriorityQueue.empty[Row](worstFirst))
+        h += r
+        if (h.size > k) h.dequeue()
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }(Encoders.row(scored.schema))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("cosine").desc, col(idCol))
-    scored.withColumn("__rank", row_number().over(w))
+    partial.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
       .select(col(qidCol), col(idCol), col("cosine"), col("__rank").as("rank"))
   }

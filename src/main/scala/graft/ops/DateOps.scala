@@ -169,16 +169,21 @@ object NlDate {
 
   private def num(s: String): Option[Long] =
     numberWords.get(s).orElse(
-      if (s.forall(_.isDigit) && s.nonEmpty) Some(s.toLong) else None)
+      if (s.forall(_.isDigit) && s.nonEmpty)
+        // best-effort contract: a 20+ digit token must yield null, not
+        // a NumberFormatException; |n| is bounded so LocalDate.plus*
+        // can't overflow into DateTimeException either
+        s.toLongOption.filter(v => v >= 0 && v <= 1000000L)
+      else None)
 
   private def shift(anchor: LocalDate, n: Long, unit: String): Option[LocalDate] =
-    unit match {
+    scala.util.Try(unit match {
       case "day"   => Some(anchor.plusDays(n))
       case "week"  => Some(anchor.plusWeeks(n))
       case "month" => Some(anchor.plusMonths(n))
       case "year"  => Some(anchor.plusYears(n))
       case _       => None
-    }
+    }).toOption.flatten
 
   private val Ago     = "^(\\S+) (day|week|month|year)s? ago$".r
   private val In      = "^in (\\S+) (day|week|month|year)s?$".r

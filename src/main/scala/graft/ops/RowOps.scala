@@ -152,8 +152,14 @@ object RowOps {
       val stepCol = when(coalesce(cond, lit(false)), step).otherwise(0L)
       val pidC = "__graft_iv_pid"
       val ridC = "__graft_iv_rid"
+      // pid/rid are assigned by physical placement, so the partials job
+      // and the final windowed job MUST observe the same assignment —
+      // localCheckpoint pins it (a re-evaluated nondeterministic
+      // upstream, e.g. after a shuffle, could otherwise hand the two
+      // jobs different pid/rid layouts and misalign the offsets)
       val tagged = df.withColumn(pidC, spark_partition_id())
         .withColumn(ridC, monotonically_increasing_id())
+        .localCheckpoint()
       // one row per partition — bounded driver-side work
       val partials = tagged.groupBy(col(pidC)).agg(sum(stepCol).as("s"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)

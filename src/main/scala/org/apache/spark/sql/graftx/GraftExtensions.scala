@@ -40,16 +40,22 @@ object GraftExtensions {
         name, builder, "built-in")
     }
     import graft.functions.{Digests, Udfs}
+    // NULL in ⇒ NULL out, like Spark built-ins (boxed returns so the
+    // UDF schema stays nullable rather than throwing NPE mid-query)
     spark.udf.register("digest_hex",
       (algo: String, v: String) => Udfs.digestHex(v, algo))
-    spark.udf.register("jaro", (a: String, b: String) => Udfs.jaro(a, b))
-    spark.udf.register("simon_white",
-      (a: String, b: String) => Udfs.simonWhite(a, b))
-    spark.udf.register("damerau_levenshtein",
-      (a: String, b: String) => Udfs.damerauLevenshtein(a, b))
+    spark.udf.register("jaro", (a: String, b: String) =>
+      if (a == null || b == null) null
+      else java.lang.Double.valueOf(Udfs.jaro(a, b)))
+    spark.udf.register("simon_white", (a: String, b: String) =>
+      if (a == null || b == null) null
+      else java.lang.Double.valueOf(Udfs.simonWhite(a, b)))
+    spark.udf.register("damerau_levenshtein", (a: String, b: String) =>
+      if (a == null || b == null) null
+      else java.lang.Integer.valueOf(Udfs.damerauLevenshtein(a, b)))
     spark.udf.register("porter_stem", (w: String) => Udfs.porterStem(w))
-    spark.udf.register("blake2b256",
-      (v: String) => Digests.hex(Digests.blake2b(
-        v.getBytes("UTF-8"), 32)))
+    spark.udf.register("blake2b256", (v: String) =>
+      if (v == null) null
+      else Digests.hex(Digests.blake2b(v.getBytes("UTF-8"), 32)))
   }
 }

@@ -99,14 +99,77 @@ class LlmSpec extends SparkSpec {
     assert((brute intersect lsh).size >= 2, s"poor recall: brute=$brute lsh=$lsh")
   }
 
-  test("crossTopK: per-query exact top-k via broadcast, no corpus shuffle before join") {
+  test("crossTopK: two-phase top-k, no full-corpus exchange into a per-qid window") {
     val queries = embDf.limit(2).select(
       col("vec_id").as("qid"), col("embedding").as("qvec"))
     val out = Similarity.crossTopK(embDf, queries, "vec_id", "embedding",
       "qid", "qvec", 3)
     assert(out.count() == 6)
+    // ranks agree with brute force per query
+    val qs = queries.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    qs.foreach { case (qid, qv) =>
+      val brute = Similarity.cosineTopK(embDf, "vec_id", "embedding", qv, 3)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val got = out.filter(col("qid") === qid).orderBy("rank")
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(got == brute, s"qid=$qid: two-phase=$got brute=$brute")
+    }
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+    // phase 1 (bounded per-partition heap) must sit below the window:
+    // the window's input is Q×P×k rows, never the scored corpus
+    assert(plan.contains("MapPartitions"),
+      s"partial top-k phase missing from plan:\n$plan")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+    val winIdx = plan.indexOf("Window")
+    val mapIdx = plan.indexOf("MapPartitions")
+    assert(winIdx >= 0 && mapIdx > winIdx,
+      s"window does not sit above the partial top-k:\n$plan")
+  }
+
+  test("simhashPairs skew guard bounds a degenerate hot bucket") {
+    // 1000 identical docs ⇒ identical signatures ⇒ ONE bucket per band;
+    // without the cap the bucket join goes quadratic (499 500 pairs ×4)
+    val rows = (1L to 1000L).map(i => Row(i,
+      "the exact same boilerplate text repeated across the corpus"))
+    val d = df("doc_id BIGINT, text STRING", rows)
+    val capped = Dedup.simhashPairs(d, "text", "doc_id",
+      maxHamming = 3, maxBucketSize = 50)
+    assert(capped.count() == 0, "oversized buckets must be dropped")
+    // the documented path for hot buckets: collapse exact dups first
+    val kept = Dedup.simhashDedup(d, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L), s"exact pre-collapse should keep id 1, got $kept")
+  }
+
+  test("connectedComponents releases its cache and flags non-convergence") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id_a", LongType),
+      StructField("id_b", LongType)))
+    def pairsDf(edges: Seq[(Long, Long)]) = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(
+        edges.map { case (a, b) => Row(a, b) }: _*)), schema)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val cc = Dedup.connectedComponents(pairsDf(Seq((1L, 2L), (2L, 3L), (10L, 11L))))
+    val got = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // cache footprint must not scale with iterations: intermediate label
+    // sets and edges are released; only the returned checkpoint lingers
+    assert(after - before <= 2,
+      s"persisted RDDs grew $before -> $after (cache leak across iterations)")
+    // a chain deeper than maxIter exits WITHOUT converging — labels are
+    // still a valid partial collapse (prefix of the chain), not garbage
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    val partial = Dedup.connectedComponents(pairsDf(chain), maxIter = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(partial(1L) == 1L)
+    assert(partial.values.toSet.size > 1, "2 iters cannot collapse a 12-chain")
+    // and enough iterations do collapse it fully
+    val full = Dedup.connectedComponents(pairsDf(chain), maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full.values.toSet == Set(1L))
   }
 
   test("langId picks the stopword-dominant language") {
