@@ -672,12 +672,56 @@ object QueryBank {
         cust(s, d).orderBy("c_custkey"), 100).select("c_custkey", "c_name"),
       "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 100"),
 
+    // seeded samplers: deterministic under a pinned seed on the
+    // single-split sf0.01 scan (fixture-oracle pattern, like
+    // mask_shuffle). The pins are validated against the real table —
+    // DuckDB joins customer, so a fabricated key would surface as a
+    // row-count/hash mismatch, and the sampled fraction is checked by
+    // the pinned cardinality itself.
+    ("sample_bernoulli",
+      (s, d) => graft.session.Sampler.bernoulli(cust(s, d), 0.05, seed = 7L)
+        .select("c_custkey", "c_name"),
+      sampleBernoulliSql),
+
+    ("sample_poisson",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        // with-replacement: multiplicities matter, so count per key
+        graft.session.Sampler.poisson(cust(s, d), 0.04, seed = 7L)
+          .groupBy("c_custkey").agg(count(lit(1)).as("n"))
+      },
+      samplePoissonSql),
+
+    ("sample_reservoir",
+      (s, d) => graft.session.Sampler.reservoir(cust(s, d), 40, seed = 7L)
+        .select("c_custkey", "c_name"),
+      sampleReservoirSql),
+
     // ---- §2.7 packaged catalog (no registration step) ---------------
     ("catalog_lookup_builtin",
       (s, d) => r("set-column :code exp:{ c_custkey % 2 == 0 ? 'US' : 'FR' }; catalog-lookup iso3166 :code; keep :c_custkey,:code,:code_iso3166_description")(cust(s, d)),
       """SELECT c_custkey, CASE WHEN c_custkey % 2 = 0 THEN 'US' ELSE 'FR' END AS code,
         | CASE WHEN c_custkey % 2 = 0 THEN 'United States of America'
         |      ELSE 'France' END AS code_iso3166_description
+        |FROM customer""".stripMargin),
+
+    ("catalog_lookup_icd9",
+      // full 14 567-code CMS ICD-9-CM builtin: realistic diagnosis codes
+      // drawn from across the file (numeric, V and E ranges) plus a
+      // guaranteed miss — the lookup happens against the whole catalog
+      (s, d) => r("""set-column :code exp:{ c_custkey % 7 == 0 ? '0010' : c_custkey % 7 == 1 ? '25000' : c_custkey % 7 == 2 ? '29590' : c_custkey % 7 == 3 ? '4019' : c_custkey % 7 == 4 ? '78650' : c_custkey % 7 == 5 ? 'V700' : 'XXXX' }; catalog-lookup icd-9 :code; keep :c_custkey,:code,:code_icd-9_description""")(cust(s, d)),
+      """SELECT c_custkey,
+        | CASE c_custkey % 7 WHEN 0 THEN '0010' WHEN 1 THEN '25000'
+        |  WHEN 2 THEN '29590' WHEN 3 THEN '4019' WHEN 4 THEN '78650'
+        |  WHEN 5 THEN 'V700' ELSE 'XXXX' END AS code,
+        | CASE c_custkey % 7
+        |  WHEN 0 THEN 'Cholera due to vibrio cholerae'
+        |  WHEN 1 THEN 'Diabetes mellitus without mention of complication, type II or unspecified type, not stated as uncontrolled'
+        |  WHEN 2 THEN 'Unspecified schizophrenia, unspecified'
+        |  WHEN 3 THEN 'Unspecified essential hypertension'
+        |  WHEN 4 THEN 'Chest pain, unspecified'
+        |  WHEN 5 THEN 'Routine general medical examination at a health care facility'
+        |  ELSE NULL END AS "code_icd-9_description"
         |FROM customer""".stripMargin),
 
     // ---- §2.9 expressions: remaining namespaces ---------------------
@@ -828,8 +872,71 @@ object QueryBank {
           col("m_hl7")("PID.5.2").as("given"),
           col("m_hl7")("MSH.8.1").as("msgtype"))
       },
-      "SELECT n_nationkey AS k, n_name AS surname, 'REP' AS given, 'ADT' AS msgtype FROM nation")
+      "SELECT n_nationkey AS k, n_name AS surname, 'REP' AS given, 'ADT' AS msgtype FROM nation"),
+
+    ("parse_as_hl7_nested",
+      // multi-OBX message: repeated segments land as a JSON array,
+      // components/subcomponents as nested objects, escapes decoded —
+      // extraction drills into the SECOND and THIRD OBX by index
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = nat(s, d).select(col("n_nationkey").as("k"),
+          concat(lit("MSH|^~\\&|GRAFT|X|Y|Z|20240101||ADT^A01|"),
+            col("n_nationkey"), lit("|P|2.3\rPID|1||"), col("n_nationkey"),
+            lit("^^M11||"), col("n_name"), lit("^REP"),
+            lit("\rOBX|1|NM|GLU^Glucose||95|mg\\T\\dL"),
+            lit("\rOBX|2|NM|HGB^Hemoglobin||"), col("n_nationkey"), lit("|g/dL"),
+            lit("\rOBX|3|TX|NOTE||A&B~C^D")).as("m"))
+        r("""parse-as-hl7 :m;
+            |json-path :m_hl7_json :msgtype '$.MSH.9.1';
+            |json-path :m_hl7_json :obx2name '$.OBX[1].3.2';
+            |json-path :m_hl7_json :obx2val '$.OBX[1].5';
+            |json-path :m_hl7_json :sub '$.OBX[2].5[0].2';
+            |json-path :m_hl7_json :esc '$.OBX[0].6';
+            |keep :k,:msgtype,:obx2name,:obx2val,:sub,:esc""".stripMargin)(base)
+      },
+      """SELECT n_nationkey AS k, 'ADT' AS msgtype, 'Hemoglobin' AS obx2name,
+        | CAST(n_nationkey AS VARCHAR) AS obx2val, 'B' AS sub, 'mg&dL' AS esc
+        |FROM nation""".stripMargin)
   )
+
+  /** Pinned seed-7 sampler outputs on the single-split sf0.01 customer
+    * scan (per-partition seeding makes them stable for any CPU count —
+    * the file is under the 4 MB open-cost floor, so always 1 split).
+    * Keys are pinned; the oracle joins customer so DuckDB independently
+    * supplies the names — a drifted key would fail the join row count.
+    * Regenerate with graft.tools.GenSamplerFixtures if seeds change. */
+  private lazy val sampleBernoulliSql: String =
+    """SELECT c.c_custkey, c.c_name FROM customer c JOIN (VALUES
+      | (11),(13),(20),(27),(56),(71),(107),(111),(136),(145),(146),(150),
+      | (152),(154),(170),(184),(194),(219),(229),(230),(234),(251),(252),
+      | (295),(297),(318),(366),(379),(394),(401),(443),(480),(504),(523),
+      | (534),(563),(576),(612),(625),(627),(654),(666),(720),(731),(732),
+      | (746),(750),(770),(777),(806),(807),(814),(822),(871),(890),(893),
+      | (906),(935),(982),(1036),(1037),(1086),(1173),(1201),(1248),(1256),
+      | (1281),(1291),(1297),(1318),(1320),(1342),(1343),(1379),(1381),
+      | (1387),(1396),(1407),(1413),(1416),(1430),(1469),(1471),(1494),
+      | (1499)) t(k) ON c.c_custkey = t.k""".stripMargin
+
+  private lazy val samplePoissonSql: String =
+    """SELECT c.c_custkey, CAST(t.n AS BIGINT) AS n FROM customer c JOIN (VALUES
+      | (49,1),(54,1),(62,1),(115,1),(120,1),(159,1),(229,1),(253,1),
+      | (273,1),(274,1),(313,1),(328,1),(360,1),(377,1),(396,1),(409,1),
+      | (417,1),(466,2),(474,1),(487,1),(496,1),(501,1),(533,1),(535,1),
+      | (558,1),(609,1),(625,1),(647,1),(652,1),(670,1),(672,1),(685,1),
+      | (702,1),(725,1),(759,1),(762,1),(772,1),(776,1),(779,1),(805,1),
+      | (806,1),(811,1),(844,1),(846,1),(858,1),(873,2),(914,1),(922,1),
+      | (970,1),(1038,1),(1107,1),(1131,1),(1249,1),(1293,1),(1328,1),
+      | (1329,1),(1341,1),(1442,1),(1446,1),(1456,1),(1474,1),(1476,1),
+      | (1486,1)) t(k, n) ON c.c_custkey = t.k""".stripMargin
+
+  private lazy val sampleReservoirSql: String =
+    """SELECT c.c_custkey, c.c_name FROM customer c JOIN (VALUES
+      | (14),(25),(29),(75),(121),(127),(207),(209),(219),(270),(289),
+      | (317),(491),(507),(544),(579),(584),(588),(595),(606),(607),(639),
+      | (708),(713),(776),(807),(984),(1035),(1036),(1045),(1167),(1205),
+      | (1234),(1238),(1255),(1309),(1419),(1440),(1480),(1488)) t(k)
+      |ON c.c_custkey = t.k""".stripMargin
 
   /** Expected mask-shuffle output over nation (identical at every SF):
     * the xorshift64* masking is seeded by each value, so the fixture is

@@ -51,13 +51,18 @@ object BinaryFormats {
       }
     }
 
-    // minimal HL7 v2: segments split on CR/LF, fields on '|',
-    // components on '^'; appends `<col>_<SEG>` map columns
-    // (reference: wrangler-core directives/parser/HL7Parser.java:111 —
-    // HAPI there; the v2 wire syntax itself is a public text format)
+    // HL7 v2: segments split on CR/LF, fields on '|', components on
+    // '^', subcomponents on '&', field repeats on '~'. Two outputs:
+    // `<col>_hl7` — flat SEG.field[.comp] map (quick lookups), and
+    // `<col>_hl7_json` — the full-depth nested structure with repeated
+    // segments as arrays, HAPI-equivalent (reference: wrangler-core
+    // directives/parser/HL7Parser.java:111-245 — HAPI there; the v2
+    // wire syntax itself is a public text format). Navigate the json
+    // with json-path, e.g. `$.OBX[1]['5']`.
     case "parse-as-hl7" => ColumnOps.simple(spec) { df =>
       val c = spec.col(0)
       df.withColumn(s"${c}_hl7", Hl7.parseUdf(col(c).cast(StringType)))
+        .withColumn(s"${c}_hl7_json", Hl7.parseNestedUdf(col(c).cast(StringType)))
     }
 
     // protobuf decode. With a descriptor (a FileDescriptorSet, itself
@@ -204,6 +209,105 @@ object Hl7 {
   }
 
   val parseUdf: UserDefinedFunction = udf(parse _)
+
+  // ---- nested structure (HAPI-equivalent depth) --------------------
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Standard HL7 v2 escape sequences (MSH-2 defaults). */
+  private def unescape(s: String): String =
+    if (!s.contains('\\')) s
+    else s.replace("\\F\\", "|").replace("\\S\\", "^")
+      .replace("\\T\\", "&").replace("\\R\\", "~").replace("\\E\\", "\\")
+
+  private def subNode(comp: String): com.fasterxml.jackson.databind.JsonNode = {
+    val subs = comp.split("&", -1)
+    if (subs.length == 1) mapper.getNodeFactory.textNode(unescape(comp))
+    else {
+      val o = mapper.createObjectNode()
+      subs.iterator.zipWithIndex.foreach { case (s, j) =>
+        if (s.nonEmpty) o.put((j + 1).toString, unescape(s))
+      }
+      o
+    }
+  }
+
+  private def repNode(rep: String): com.fasterxml.jackson.databind.JsonNode = {
+    val comps = rep.split("\\^", -1)
+    if (comps.length == 1) subNode(rep)
+    else {
+      val o = mapper.createObjectNode()
+      comps.iterator.zipWithIndex.foreach { case (c, j) =>
+        if (c.nonEmpty) o.set[com.fasterxml.jackson.databind.JsonNode](
+          (j + 1).toString, subNode(c))
+      }
+      o
+    }
+  }
+
+  private def fieldNode(f: String): com.fasterxml.jackson.databind.JsonNode = {
+    val reps = f.split("~", -1)
+    if (reps.length == 1) repNode(f)
+    else {
+      val a = mapper.createArrayNode()
+      reps.foreach(r => a.add(repNode(r)))
+      a
+    }
+  }
+
+  /** Full-depth HL7 v2 message structure as JSON, matching the
+    * reference's HAPI visitor output shape (HL7Parser.java:111-245):
+    * `{SEG: {field: value | {component: value | {subcomponent: value}}}}`,
+    * a REPEATED segment becoming an array of segment objects and a
+    * repeated field (`~`) an array of values. Differences from the
+    * reference, both deliberate: the 3rd+ repeat of a segment is kept
+    * (HL7Parser.java:208-216 silently drops repeats once the JsonArray
+    * exists — a bug, not a semantic), and MSH numbering follows the
+    * standard (MSH.1 = field separator, MSH.2 = encoding characters,
+    * MSH.9 = message type) as HAPI reports it. Standard escape
+    * sequences (\F\ \S\ \T\ \R\ \E\) are decoded at the leaves.
+    * Navigate the result with json-path: `$.OBX[1]['5']`.
+    */
+  def parseNested(msg: String): String = {
+    if (msg == null) return null
+    val segments = mapper.createObjectNode()
+    for (seg <- msg.split("[\\r\\n]+").iterator.map(_.trim).filter(_.nonEmpty)) {
+      val fields = seg.split("\\|", -1)
+      val segName = fields.head
+      val segObj = mapper.createObjectNode()
+      if (segName == "MSH") {
+        segObj.put("1", "|")
+        // MSH-2 is the encoding-character set itself — a primitive,
+        // never component-split
+        fields.iterator.zipWithIndex.drop(1).foreach { case (f, i) =>
+          if (f.nonEmpty) {
+            if (i == 1) segObj.put("2", f)
+            else segObj.set[com.fasterxml.jackson.databind.JsonNode](
+              (i + 1).toString, fieldNode(f))
+          }
+        }
+      } else {
+        fields.iterator.zipWithIndex.drop(1).foreach { case (f, i) =>
+          if (f.nonEmpty)
+            segObj.set[com.fasterxml.jackson.databind.JsonNode](
+              i.toString, fieldNode(f))
+        }
+      }
+      segments.get(segName) match {
+        case null => segments.set[com.fasterxml.jackson.databind.JsonNode](
+          segName, segObj)
+        case arr: com.fasterxml.jackson.databind.node.ArrayNode =>
+          arr.add(segObj)
+        case prev =>
+          val a = mapper.createArrayNode()
+          a.add(prev); a.add(segObj)
+          segments.set[com.fasterxml.jackson.databind.JsonNode](segName, a)
+      }
+    }
+    mapper.writeValueAsString(segments)
+  }
+
+  val parseNestedUdf: UserDefinedFunction = udf(parseNested _)
 }
 
 /** Avro object-container file → JSON strings (one per record). */

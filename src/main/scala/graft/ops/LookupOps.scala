@@ -68,25 +68,47 @@ object LookupOps {
   * `catalog-lookup iso3166 :code` needs no registration step.
   */
 object BuiltinCatalogs {
-  val names: Seq[String] = Seq("iso3166", "icd-10")
-  private val aliasOf = Map("icd" -> "icd-10", "icd10" -> "icd-10")
+  val names: Seq[String] = Seq("iso3166", "icd-9", "icd-10")
+  private val aliasOf = Map(
+    "icd" -> "icd-9", "icd9" -> "icd-9", "icd10" -> "icd-10")
+
+  /** icd-9: the complete public-domain CMS ICD-9-CM diagnosis code list
+    * (14 567 codes), the same data file the reference bundles
+    * (wrangler-core resources icd-9_cm_codes.txt via
+    * executor/ICDCatalog.java:76-90). Layout: code left-justified in a
+    * 6-char field, description from column 7 — parsed as
+    * first-token/rest so both this file and the 7-wide CMS ICD-10
+    * order-file layout read correctly.
+    */
+  private def fixedWidth(lines: Vector[String]): Vector[(String, String)] =
+    lines.filter(_.trim.nonEmpty).map { l =>
+      val i = l.indexOf(' ')
+      if (i < 0) (l.trim, "") else (l.take(i).trim, l.drop(i).trim)
+    }
 
   def load(spark: org.apache.spark.sql.SparkSession,
       name: String): Option[org.apache.spark.sql.DataFrame] = {
     val resolved = aliasOf.getOrElse(name.toLowerCase, name.toLowerCase)
-    Option(getClass.getResourceAsStream(s"/graft/catalogs/$resolved.csv"))
-      .map { is =>
-        val lines =
-          try scala.io.Source.fromInputStream(is, "UTF-8").getLines().toVector
-          finally is.close()
-        import org.apache.spark.sql.types._
-        val rows: java.util.List[org.apache.spark.sql.Row] =
-          java.util.Arrays.asList(lines.tail.map { l =>
+    def res(path: String) = Option(getClass.getResourceAsStream(path))
+    def slurp(is: java.io.InputStream): Vector[String] =
+      try scala.io.Source.fromInputStream(is, "UTF-8").getLines().toVector
+      finally is.close()
+    val pairs: Option[Vector[(String, String)]] =
+      res(s"/graft/catalogs/${resolved}_cm_codes.txt").map(is => fixedWidth(slurp(is)))
+        .orElse(res(s"/graft/catalogs/$resolved.csv").map { is =>
+          slurp(is).tail.map { l =>
             val i = l.indexOf(',')
-            org.apache.spark.sql.Row(l.take(i), l.drop(i + 1))
-          }: _*)
-        spark.createDataFrame(rows, StructType(Seq(
-          StructField("code", StringType), StructField("description", StringType))))
-      }
+            (l.take(i), l.drop(i + 1))
+          }
+        })
+    pairs.map { ps =>
+      import org.apache.spark.sql.types._
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(ps.map { case (c, d) =>
+          org.apache.spark.sql.Row(c, d)
+        }: _*)
+      spark.createDataFrame(rows, StructType(Seq(
+        StructField("code", StringType), StructField("description", StringType))))
+    }
   }
 }

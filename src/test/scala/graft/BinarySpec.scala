@@ -59,6 +59,36 @@ class BinarySpec extends SparkSpec {
     assert(map("MSH.2") == "SENDER")
   }
 
+  test("parse-as-hl7 nested json: repeated segments, subcomponents, escapes") {
+    val msg = "MSH|^~\\&|SENDER|FAC|RCVR|FAC2|202401011200||ORU^R01|123|P|2.3\r" +
+      "PID|1||PATID1234^5^M11||Jones^William\r" +
+      "OBX|1|NM|GLU^Glucose||95|mg\\T\\dL\r" +
+      "OBX|2|NM|HGB^Hemoglobin||13.5|g/dL\r" +
+      "OBX|3|TX|NOTE||A&B~C^D"
+    val d = df("m STRING", Seq(Row(msg)))
+    val out = wrangle("parse-as-hl7 :m", d)
+    val js = out.select("m_hl7_json").head().getString(0)
+    def jp(p: String) = graft.functions.JsonPathLite.eval(js, p)
+    // standard MSH numbering: MSH.1 = separator, MSH.2 = encoding chars,
+    // MSH.9 = message type
+    assert(jp("$.MSH.1") == "|")
+    assert(jp("$.MSH.2") == "^~\\&")
+    assert(jp("$.MSH.9.1") == "ORU")
+    // ALL three OBX repeats survive as an array (the reference drops
+    // the 3rd+ — deliberately not replicated)
+    assert(jp("$.OBX[0].5") == "95")
+    assert(jp("$.OBX[1].5") == "13.5")
+    assert(jp("$.OBX[2].2") == "TX")
+    // subcomponent (&) depth inside a field repeat (~)
+    assert(jp("$.OBX[2].5[0].1") == "A")
+    assert(jp("$.OBX[2].5[0].2") == "B")
+    assert(jp("$.OBX[2].5[1].1") == "C")
+    // escape sequences decode at the leaves
+    assert(jp("$.OBX[0].6") == "mg&dL")
+    // single segment stays an object, not a 1-element array
+    assert(jp("$.PID.5.1") == "Jones")
+  }
+
   test("parse-as-avro-file explodes container records") {
     import org.apache.avro.Schema
     import org.apache.avro.file.DataFileWriter

@@ -134,4 +134,27 @@ class MiscSpec extends SparkSpec {
     val vals = strings(out, "x")
     assert(vals.head == "<a><b>1</b></a>" && vals(1) == null)
   }
+
+  test("builtin icd-9 catalog ships the full CMS code list") {
+    val cat = graft.ops.BuiltinCatalogs.load(spark, "icd-9").get
+    assert(cat.count() > 14000, "full ICD-9-CM list expected, not a subset")
+    // spot checks across the file: numeric, V and E code ranges
+    val got = cat.filter(col("code").isin("0010", "4019", "V700", "E9950"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("0010") == "Cholera due to vibrio cholerae")
+    assert(got("4019") == "Unspecified essential hypertension")
+    assert(got("V700") ==
+      "Routine general medical examination at a health care facility")
+    assert(got("E9950") ==
+      "Injury due to war operations by unarmed hand-to-hand combat")
+    // end-to-end through the directive, including a miss -> null
+    val d = df("code STRING", Seq(Row("25000"), Row("NOPE")))
+    val out = wrangle("catalog-lookup icd-9 :code", d)
+    val descs = strings(out, "code_icd-9_description")
+    assert(descs.head.toString.startsWith("Diabetes mellitus without mention"))
+    assert(descs(1) == null)
+    // the alias routes to the icd-9 data like the reference's ICDCatalog
+    assert(graft.ops.BuiltinCatalogs.load(spark, "icd9").get.count() ==
+      cat.count())
+  }
 }
