@@ -128,6 +128,22 @@ object QueryBank {
       (s, d) => r("copy :c_name :name_md5; hash :name_md5 MD5; keep :c_custkey,:name_md5")(cust(s, d)),
       "SELECT c_custkey, md5(c_name) AS name_md5 FROM customer"),
 
+    ("hash_exotic",
+      // round-4 digest tail: MD4 (RFC 1320), RIPEMD-256 (1996 spec),
+      // SHA-512/256 (JDK). Oracle pins the algorithms' PUBLISHED test
+      // vectors for '' and 'abc' — independent of our implementation.
+      (s, d) => r("""set-column :v exp:{ c_custkey % 2 == 0 ? 'abc' : '' }; copy :v :md4; hash :md4 MD4; copy :v :r256; hash :r256 RIPEMD256; copy :v :s512; hash :s512 'SHA-512/256'; keep :c_custkey,:md4,:r256,:s512""")(cust(s, d)),
+      """SELECT c_custkey,
+        | CASE WHEN c_custkey % 2 = 0 THEN 'a448017aaf21d8525fc10ae87aa6729d'
+        |      ELSE '31d6cfe0d16ae931b73c59d7e0c089c0' END AS md4,
+        | CASE WHEN c_custkey % 2 = 0
+        |      THEN 'afbd6e228b9d8cbbcef5ca2d03e6dba10ac0bc7dcbe4680e1e42d2e975459b65'
+        |      ELSE '02ba4c4e5f8ecd1877fc52d64d30e37a2d9774fb1e5d026380ae0168e3c5522d' END AS r256,
+        | CASE WHEN c_custkey % 2 = 0
+        |      THEN '53048e2681941ef99b2e29b76b4c7dabe4c2d0c634fc6d46e0e2f13107e7af23'
+        |      ELSE 'c672b8d1ef56ed28ab87c3622c5114069bdd3ad7b8f9737498d0c01ecef0967a' END AS s512
+        |FROM customer""".stripMargin),
+
     ("mask_number",
       (s, d) => r("copy :c_name :masked; mask-number :masked 'xxxxxxxx##########'; keep :c_custkey,:masked")(cust(s, d)),
       // c_name is always 18 chars ("Customer#%09d"): pattern masks the
@@ -401,6 +417,16 @@ object QueryBank {
       // JsonPathLite route: [*] wildcard over an array of objects
       (s, d) => r("""set-column :j exp:{ concat('{"items":[{"v":', n_nationkey, '},{"v":', n_nationkey + 1, '}]}') }; json-path :j :vals '$.items[*].v'; keep :n_nationkey,:vals""")(nat(s, d)),
       "SELECT n_nationkey, '[' || n_nationkey || ',' || (n_nationkey + 1) || ']' AS vals FROM nation"),
+
+    ("json_path_slice",
+      // JsonPathLite long tail: array slice, nested-field script
+      // predicate, negative index — all interpreter-routed
+      (s, d) => r("""set-column :j exp:{ concat('{"a":[{"v":', n_nationkey, ',"m":{"x":1}},{"v":', n_nationkey + 1, ',"m":{"x":7}},{"v":', n_nationkey + 2, ',"m":{"x":4}}]}') }; json-path :j :mid '$.a[1:].v'; json-path :j :hi '$.a[?(@.m.x > 4)].v'; json-path :j :lastv '$.a[-1].v'; keep :n_nationkey,:mid,:hi,:lastv""")(nat(s, d)),
+      """SELECT n_nationkey,
+        | '[' || (n_nationkey + 1) || ',' || (n_nationkey + 2) || ']' AS mid,
+        | CAST(n_nationkey + 1 AS VARCHAR) AS hi,
+        | CAST(n_nationkey + 2 AS VARCHAR) AS lastv
+        |FROM nation""".stripMargin),
 
     ("set_charset",
       (s, d) => r("copy :c_name :bin; set-type :bin bytes; set-charset :bin 'utf-8'; keep :c_custkey,:c_name,:bin")(cust(s, d)),

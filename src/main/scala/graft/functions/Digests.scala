@@ -6,11 +6,20 @@ package graft.functions
   * Each is written from its published specification:
   *
   *  - BLAKE2b-160/256/384/512 — RFC 7693
-  *  - RIPEMD-128/160          — Dobbertin/Bosselaers/Preneel 1996 spec
+  *  - RIPEMD-128/160/256/320  — Dobbertin/Bosselaers/Preneel 1996 spec
+  *  - MD4                     — RFC 1320
   *  - SM3                     — GB/T 32905-2016 (public national standard)
-  *  - KECCAK-224/256/384/512  — original Keccak submission padding
+  *  - KECCAK-224/256/288/384/512 — original Keccak submission padding
   *    (0x01), vs the JDK's SHA3-* which uses the FIPS-202 0x06 padding;
   *    both share the Keccak-f[1600] permutation below
+  *
+  * SHA-512/224, SHA-512/256, MD2/MD5/SHA-1/2/3 come from the JDK's
+  * MessageDigest (Udfs.digestHex falls through to it). Of the
+  * reference's MessageHash.java:54-107 list that leaves
+  * GOST3411(+2012), Skein-*, Tiger and Whirlpool unsupported — their
+  * S-box/rotation tables are opaque constants that can't be derived
+  * from a formula and self-checked, so we fail fast on those names
+  * rather than risk a silently wrong digest.
   *
   * Verified against the algorithms' published test vectors in
   * DigestSpec.
@@ -30,9 +39,13 @@ object Digests {
       case "BLAKE2B-512" => blake2b(data, 64)
       case "RIPEMD128" | "RIPEMD-128" => ripemd(data, 128)
       case "RIPEMD160" | "RIPEMD-160" => ripemd(data, 160)
+      case "RIPEMD256" | "RIPEMD-256" => ripemdWide(data, 256)
+      case "RIPEMD320" | "RIPEMD-320" => ripemdWide(data, 320)
+      case "MD4" => md4(data)
       case "SM3" => sm3(data)
       case "KECCAK-224" => keccak(data, 224)
       case "KECCAK-256" => keccak(data, 256)
+      case "KECCAK-288" => keccak(data, 288)
       case "KECCAK-384" => keccak(data, 384)
       case "KECCAK-512" => keccak(data, 512)
       case _ => null
@@ -207,6 +220,136 @@ object Digests {
       blk += 64
     }
     val out = new Array[Byte](bits / 8)
+    var i = 0
+    while (i < out.length) { out(i) = (h(i / 4) >>> (8 * (i % 4))).toByte; i += 1 }
+    out
+  }
+
+  /** RIPEMD-256/320 — the double-width variants from the same 1996
+    * spec: both parallel lines keep their OWN state (no final
+    * cross-combination), and after each 16-step round one register is
+    * exchanged between the lines (256: A,B,C,D in round order;
+    * 320: B,D,A,C,E).
+    */
+  def ripemdWide(data: Array[Byte], bits: Int): Array[Byte] = {
+    require(bits == 256 || bits == 320)
+    val is320 = bits == 320
+    val padded = mdPad(data, littleEndianLen = true)
+    val hl =
+      if (is320) Array(0x67452301, 0xefcdab89, 0x98badcfe, 0x10325476, 0xc3d2e1f0)
+      else Array(0x67452301, 0xefcdab89, 0x98badcfe, 0x10325476)
+    val hr =
+      if (is320) Array(0x76543210, 0xfedcba98, 0x89abcdef, 0x01234567, 0x3c2d1e0f)
+      else Array(0x76543210, 0xfedcba98, 0x89abcdef, 0x01234567)
+    def rotl(x: Int, k: Int) = (x << k) | (x >>> (32 - k))
+    def f(j: Int, x: Int, y: Int, z: Int): Int = j / 16 match {
+      case 0 => x ^ y ^ z
+      case 1 => (x & y) | (~x & z)
+      case 2 => (x | ~y) ^ z
+      case 3 => (x & z) | (y & ~z)
+      case _ => x ^ (y | ~z)
+    }
+    val rounds = if (is320) 80 else 64
+    var blk = 0
+    while (blk < padded.length) {
+      val x = new Array[Int](16)
+      var i = 0
+      while (i < 16) {
+        x(i) = (padded(blk + 4 * i) & 0xff) |
+          ((padded(blk + 4 * i + 1) & 0xff) << 8) |
+          ((padded(blk + 4 * i + 2) & 0xff) << 16) |
+          ((padded(blk + 4 * i + 3) & 0xff) << 24)
+        i += 1
+      }
+      var (al, bl0, cl, dl) = (hl(0), hl(1), hl(2), hl(3))
+      var (ar, br, cr, dr) = (hr(0), hr(1), hr(2), hr(3))
+      var el = if (is320) hl(4) else 0
+      var er = if (is320) hr(4) else 0
+      var bl = bl0
+      var j = 0
+      while (j < rounds) {
+        if (is320) {
+          var t = rotl(al + f(j, bl, cl, dl) + x(RL(j)) + KL(j / 16), SL(j)) + el
+          al = el; el = dl; dl = rotl(cl, 10); cl = bl; bl = t
+          t = rotl(ar + f(rounds - 1 - j, br, cr, dr) + x(RR(j)) + KR160(j / 16), SR(j)) + er
+          ar = er; er = dr; dr = rotl(cr, 10); cr = br; br = t
+        } else {
+          var t = rotl(al + f(j, bl, cl, dl) + x(RL(j)) + KL(j / 16), SL(j))
+          al = dl; dl = cl; cl = bl; bl = t
+          t = rotl(ar + f(rounds - 1 - j, br, cr, dr) + x(RR(j)) + KR128(j / 16), SR(j))
+          ar = dr; dr = cr; cr = br; br = t
+        }
+        j += 1
+        // register exchange between the lines at each round boundary
+        if (j % 16 == 0) ((j / 16, is320): @unchecked) match {
+          case (1, false) => val t = al; al = ar; ar = t
+          case (2, false) => val t = bl; bl = br; br = t
+          case (3, false) => val t = cl; cl = cr; cr = t
+          case (4, false) => val t = dl; dl = dr; dr = t
+          case (1, true)  => val t = bl; bl = br; br = t
+          case (2, true)  => val t = dl; dl = dr; dr = t
+          case (3, true)  => val t = al; al = ar; ar = t
+          case (4, true)  => val t = cl; cl = cr; cr = t
+          case (5, true)  => val t = el; el = er; er = t
+        }
+      }
+      hl(0) += al; hl(1) += bl; hl(2) += cl; hl(3) += dl
+      hr(0) += ar; hr(1) += br; hr(2) += cr; hr(3) += dr
+      if (is320) { hl(4) += el; hr(4) += er }
+      blk += 64
+    }
+    val h = hl ++ hr
+    val out = new Array[Byte](bits / 8)
+    var i = 0
+    while (i < out.length) { out(i) = (h(i / 4) >>> (8 * (i % 4))).toByte; i += 1 }
+    out
+  }
+
+  // ---- MD4 (RFC 1320) --------------------------------------------------
+
+  def md4(data: Array[Byte]): Array[Byte] = {
+    val padded = mdPad(data, littleEndianLen = true)
+    val h = Array(0x67452301, 0xefcdab89, 0x98badcfe, 0x10325476)
+    def rotl(x: Int, k: Int) = (x << k) | (x >>> (32 - k))
+    // per-round message order and shift schedules from the RFC
+    val ord2 = Array(0, 4, 8, 12, 1, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15)
+    val ord3 = Array(0, 8, 4, 12, 2, 10, 6, 14, 1, 9, 5, 13, 3, 11, 7, 15)
+    val s1 = Array(3, 7, 11, 19); val s2 = Array(3, 5, 9, 13)
+    val s3 = Array(3, 9, 11, 15)
+    var blk = 0
+    while (blk < padded.length) {
+      val x = new Array[Int](16)
+      var i = 0
+      while (i < 16) {
+        x(i) = (padded(blk + 4 * i) & 0xff) |
+          ((padded(blk + 4 * i + 1) & 0xff) << 8) |
+          ((padded(blk + 4 * i + 2) & 0xff) << 16) |
+          ((padded(blk + 4 * i + 3) & 0xff) << 24)
+        i += 1
+      }
+      var (a, b, c, d) = (h(0), h(1), h(2), h(3))
+      var j = 0
+      while (j < 16) { // round 1: F = xy | ~x z
+        val t = rotl(a + ((b & c) | (~b & d)) + x(j), s1(j % 4))
+        a = d; d = c; c = b; b = t
+        j += 1
+      }
+      j = 0
+      while (j < 16) { // round 2: G = xy | xz | yz, K = 5a827999
+        val t = rotl(a + ((b & c) | (b & d) | (c & d)) + x(ord2(j)) + 0x5a827999, s2(j % 4))
+        a = d; d = c; c = b; b = t
+        j += 1
+      }
+      j = 0
+      while (j < 16) { // round 3: H = x^y^z, K = 6ed9eba1
+        val t = rotl(a + (b ^ c ^ d) + x(ord3(j)) + 0x6ed9eba1, s3(j % 4))
+        a = d; d = c; c = b; b = t
+        j += 1
+      }
+      h(0) += a; h(1) += b; h(2) += c; h(3) += d
+      blk += 64
+    }
+    val out = new Array[Byte](16)
     var i = 0
     while (i < out.length) { out(i) = (h(i / 4) >>> (8 * (i % 4))).toByte; i += 1 }
     out

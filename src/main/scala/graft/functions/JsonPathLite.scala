@@ -4,8 +4,11 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ArrayNode
 
 /** JsonPath subset beyond Spark's `get_json_object`: recursive descent
-  * (`$..name`), wildcards (`[*]`, `.*`), array slices by index, and
-  * simple predicates (`[?(@.field op value)]`) — the Jayway features
+  * (`$..name`), wildcards (`[*]`, `.*`), negative indexing (`[-1]`),
+  * Python-style slices (`[1:3]`, `[::2]`, `[::-1]`), index/field unions
+  * (`[1,3]`, `['a','b']`), and predicates on dotted @-paths with a
+  * literal or another @-path on the right (`[?(@.a.b > 3)]`,
+  * `[?(@.a > @.b)]`, bare existence `[?(@.a)]`) — the Jayway features
   * recipes actually use (reference: wrangler-core
   * directives/parser/JsPath.java:90 + functions/JsonFunctions).
   * Simple dotted paths keep using the codegen'd `get_json_object`;
@@ -23,7 +26,14 @@ object JsonPathLite {
   private case class Index(i: Int) extends Seg
   private case object Wildcard extends Seg
   private case class RecurseField(name: String) extends Seg
-  private case class Pred(field: String, op: String, value: String) extends Seg
+  /** `lhs` is the dotted @-path; `rhs` is Left(@-path) or
+    * Right(literal); op "" = bare existence filter `[?(@.a)]`. */
+  private case class Pred(lhs: List[String], op: String,
+      rhs: Either[List[String], String]) extends Seg
+  private case class Slice(start: Option[Int], end: Option[Int],
+      step: Int) extends Seg
+  private case class IndexUnion(is: Seq[Int]) extends Seg
+  private case class FieldUnion(names: Seq[String]) extends Seg
 
   /** True when the path needs the interpreter (get_json_object can't).
     * `.*` anywhere — interior object wildcards like `$.*.a` return
@@ -32,10 +42,15 @@ object JsonPathLite {
   def needsLite(path: String): Boolean =
     path.contains("..") || path.contains("[*]") || path.contains("[?") ||
       path.contains(".*") || path.contains(":") ||
-      raw"\[\s*\d+\s*,".r.findFirstIn(path).isDefined
+      raw"\[\s*-?\d+\s*,".r.findFirstIn(path).isDefined ||
+      raw"\[\s*'[^']*'\s*,".r.findFirstIn(path).isDefined ||
+      raw"\[\s*-\d+\s*\]".r.findFirstIn(path).isDefined
 
   private val FilterRe =
-    """\[\?\(@\.([A-Za-z0-9_]+)\s*(==|!=|<=|>=|<|>)\s*('[^']*'|"[^"]*"|[^)\s]+)\)\]""".r
+    ("""\[\?\(@\.([A-Za-z0-9_]+(?:\.[A-Za-z0-9_]+)*)""" +
+      """(?:\s*(==|!=|<=|>=|<|>)\s*""" +
+      """(@\.[A-Za-z0-9_]+(?:\.[A-Za-z0-9_]+)*|'[^']*'|"[^"]*"|[^)\s]+))?\)\]""").r
+  private val SliceRe = raw"\[\s*(-?\d*)\s*:\s*(-?\d*)\s*(?::\s*(-?\d+)\s*)?\]".r
 
   private[functions] def parsePath(p0: String): List[Seg] = {
     var p = p0.trim.stripPrefix("$")
@@ -58,21 +73,43 @@ object JsonPathLite {
       else if (p.startsWith("[?")) {
         FilterRe.findPrefixMatchOf(p) match {
           case Some(m) =>
-            out += Pred(m.group(1), m.group(2),
-              m.group(3).stripPrefix("'").stripSuffix("'")
-                .stripPrefix("\"").stripSuffix("\""))
+            val lhs = m.group(1).split('.').toList
+            val seg =
+              if (m.group(2) == null) Pred(lhs, "", Right(""))
+              else {
+                val rv = m.group(3)
+                val rhs =
+                  if (rv.startsWith("@.")) Left(rv.drop(2).split('.').toList)
+                  else Right(rv.stripPrefix("'").stripSuffix("'")
+                    .stripPrefix("\"").stripSuffix("\""))
+                Pred(lhs, m.group(2), rhs)
+              }
+            out += seg
             p = p.drop(m.matched.length)
           case None => throw new IllegalArgumentException(s"bad filter in $p0")
         }
+      } else if (SliceRe.findPrefixMatchOf(p).isDefined) {
+        val m = SliceRe.findPrefixMatchOf(p).get
+        def opt(s: String) = if (s.isEmpty) None else Some(s.toInt)
+        val st = Option(m.group(3)).map(_.toInt).getOrElse(1)
+        require(st != 0, s"zero slice step in $p0")
+        out += Slice(opt(m.group(1)), opt(m.group(2)), st)
+        p = p.drop(m.matched.length)
       } else if (p.startsWith("['")) {
-        val end = p.indexOf("']")
+        val end = p.indexOf("]")
         require(end > 0, s"bad bracket field in $p0")
-        out += Field(p.substring(2, end))
-        p = p.drop(end + 2)
+        val names = p.substring(1, end).split(",").map(_.trim).toSeq
+        require(names.forall(n =>
+          n.length >= 2 && n.head == '\'' && n.last == '\''),
+          s"bad bracket field in $p0")
+        val fs = names.map(n => n.substring(1, n.length - 1))
+        out += (if (fs.length == 1) Field(fs.head) else FieldUnion(fs))
+        p = p.drop(end + 1)
       } else if (p.startsWith("[")) {
         val end = p.indexOf("]")
         require(end > 0, s"bad index in $p0")
-        out += Index(p.substring(1, end).trim.toInt)
+        val parts = p.substring(1, end).split(",").map(_.trim.toInt).toSeq
+        out += (if (parts.length == 1) Index(parts.head) else IndexUnion(parts))
         p = p.drop(end + 1)
       } else throw new IllegalArgumentException(s"bad path segment at '$p' in $p0")
     }
@@ -86,17 +123,31 @@ object JsonPathLite {
     while (it.hasNext) descendants(it.next(), acc)
   }
 
+  /** Walk a dotted @-path from `n`; null when any hop is missing. */
+  private def resolve(n: JsonNode, path: List[String]): JsonNode =
+    path.foldLeft(n) { (cur, name) =>
+      if (cur == null) null
+      else { val next = cur.get(name); if (next == null || next.isNull) null else next }
+    }
+
   private def matches(n: JsonNode, pr: Pred): Boolean = {
-    val f = n.get(pr.field)
-    if (f == null || f.isNull) return false
-    val numericCmp = f.isNumber &&
-      scala.util.Try(pr.value.toDouble).isSuccess
+    val f = resolve(n, pr.lhs)
+    if (f == null) return false
+    if (pr.op.isEmpty) return true // bare existence filter [?(@.a)]
+    val (value, rhsNumeric) = pr.rhs match {
+      case Left(rp) =>
+        val r = resolve(n, rp)
+        if (r == null) return false
+        (r.asText(), r.isNumber)
+      case Right(lit) => (lit, scala.util.Try(lit.toDouble).isSuccess)
+    }
+    val numericCmp = f.isNumber && rhsNumeric
     def cmp: Int =
-      if (numericCmp) java.lang.Double.compare(f.asDouble(), pr.value.toDouble)
-      else f.asText().compareTo(pr.value)
+      if (numericCmp) java.lang.Double.compare(f.asDouble(), value.toDouble)
+      else f.asText().compareTo(value)
     pr.op match {
-      case "==" => if (numericCmp) cmp == 0 else f.asText() == pr.value
-      case "!=" => if (numericCmp) cmp != 0 else f.asText() != pr.value
+      case "==" => if (numericCmp) cmp == 0 else f.asText() == value
+      case "!=" => if (numericCmp) cmp != 0 else f.asText() != value
       case "<"  => cmp < 0
       case "<=" => cmp <= 0
       case ">"  => cmp > 0
@@ -109,7 +160,37 @@ object JsonPathLite {
     case Field(name) =>
       nodes.flatMap(n => Option(n.get(name)).filterNot(_.isNull))
     case Index(i) =>
-      nodes.flatMap(n => Option(n.get(i)))
+      // negative = from the end, Jayway/Python style
+      nodes.flatMap(n => Option(n.get(if (i < 0) n.size + i else i)))
+    case Slice(s0, e0, st) =>
+      nodes.flatMap { n =>
+        if (!n.isArray) Nil
+        else {
+          val len = n.size
+          def norm(i: Int, dflt: Int) = {
+            val v = if (i < 0) len + i else i
+            math.max(0, math.min(len, v))
+          }
+          if (st > 0) {
+            val s = s0.map(norm(_, 0)).getOrElse(0)
+            val e = e0.map(norm(_, len)).getOrElse(len)
+            (s until e by st).map(n.get)
+          } else {
+            // negative step walks backwards; open start = last element
+            val s = s0.map(i => math.min(len - 1, if (i < 0) len + i else i))
+              .getOrElse(len - 1)
+            val e = e0.map(i => math.max(-1, if (i < 0) len + i else i))
+              .getOrElse(-1)
+            (s until e by st).filter(i => i >= 0 && i < len).map(n.get)
+          }
+        }
+      }
+    case IndexUnion(is) =>
+      nodes.flatMap(n =>
+        is.flatMap(i => Option(n.get(if (i < 0) n.size + i else i))))
+    case FieldUnion(names) =>
+      nodes.flatMap(n =>
+        names.flatMap(f => Option(n.get(f)).filterNot(_.isNull)))
     case Wildcard =>
       nodes.flatMap { n =>
         val out = scala.collection.mutable.ListBuffer.empty[JsonNode]

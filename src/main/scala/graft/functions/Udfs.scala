@@ -112,12 +112,26 @@ object Udfs {
   def digestHex(value: String, algo: String): String = {
     if (value == null) return null
     val bytes = value.getBytes("UTF-8")
-    // pure-JVM algorithms first (BLAKE2b/RIPEMD/SM3/KECCAK — Digests),
-    // then whatever the JDK's MessageDigest provides (incl. SHA3-*)
+    // pure-JVM algorithms first (BLAKE2b/RIPEMD/MD4/SM3/KECCAK —
+    // Digests), then whatever the JDK's MessageDigest provides
+    // (incl. SHA3-*, SHA-512/224, SHA-512/256)
     val custom = Digests.digest(algo, bytes)
     if (custom != null) Digests.hex(custom)
-    else java.security.MessageDigest.getInstance(algo)
-      .digest(bytes).map("%02x".format(_)).mkString
+    else {
+      val up = algo.toUpperCase
+      // names in the reference's BouncyCastle list we deliberately
+      // don't implement (opaque S-box/rotation tables — see Digests
+      // scaladoc): precise error, not NoSuchAlgorithmException
+      if (up.startsWith("GOST") || up.startsWith("SKEIN") ||
+          up == "TIGER" || up == "WHIRLPOOL")
+        throw new IllegalArgumentException(
+          s"hash: '$algo' is not supported (table-based algorithm with " +
+            "no self-checkable spec-derived constants); supported " +
+            "beyond the JDK set: BLAKE2B-*, RIPEMD-128/160/256/320, " +
+            "MD4, SM3, KECCAK-224/256/288/384/512, SHA-512/224, SHA-512/256")
+      java.security.MessageDigest.getInstance(algo)
+        .digest(bytes).map("%02x".format(_)).mkString
+    }
   }
   val digestHexUdf: UserDefinedFunction = udf(digestHex _)
 

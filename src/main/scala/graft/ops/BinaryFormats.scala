@@ -142,6 +142,9 @@ object Xlsx {
 
   def parse(bytes: Array[Byte], sheet: String): Seq[XlRow] = {
     if (bytes == null) return Seq.empty
+    // legacy .xls (OLE2/BIFF8) takes its own reader; its precise
+    // legacy-version error must propagate, not collapse to zero rows
+    if (XlsBiff.isOle2(bytes)) return XlsBiff.parse(bytes, sheet)
     try {
       val es = entries(bytes)
       val shared: IndexedSeq[String] =

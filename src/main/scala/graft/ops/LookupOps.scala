@@ -69,8 +69,12 @@ object LookupOps {
   */
 object BuiltinCatalogs {
   val names: Seq[String] = Seq("iso3166", "icd-9", "icd-10")
+  // the reference's CatalogLookup.java:73 accepts ICD-9 /
+  // ICD-10-2016 / ICD-10-2017; year-suffixed names route to our
+  // icd-10 data
   private val aliasOf = Map(
-    "icd" -> "icd-9", "icd9" -> "icd-9", "icd10" -> "icd-10")
+    "icd" -> "icd-9", "icd9" -> "icd-9", "icd10" -> "icd-10",
+    "icd-10-2016" -> "icd-10", "icd-10-2017" -> "icd-10")
 
   /** icd-9: the complete public-domain CMS ICD-9-CM diagnosis code list
     * (14 567 codes), the same data file the reference bundles

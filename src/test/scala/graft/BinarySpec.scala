@@ -213,4 +213,174 @@ class BinarySpec extends SparkSpec {
     assert(map("2") == "test")
     assert(map("3") == "42")
   }
+
+  // ---- legacy .xls (BIFF8 in an OLE2 container) ----------------------
+  // Fixtures are hand-assembled from the public [MS-CFB]/[MS-XLS]
+  // specs: cell records of every supported type, an SST string split
+  // across a CONTINUE record, both the regular-sector and the
+  // mini-stream (miniFAT) storage paths, and a BIFF5 reject.
+
+  test("parse-as-excel reads BIFF8 .xls: cell records + SST CONTINUE split") {
+    val xls = XlsFixture.cfbRegular(XlsFixture.biffWorkbook())
+    val d = df("payload BINARY", Seq(Row(xls)))
+    val out = wrangle("parse-as-excel :payload", d).orderBy("payload_1")
+    val rows = out.collect().map(r => (1 to 3).map(i =>
+      r.getAs[String](s"payload_$i")))
+    // sorted by first cell: "1" < "alpha" < "inline"
+    // MULRK(1, 2.5), LABELSST -> the CONTINUE-split string
+    assert(rows(0) == Seq("1", "2.5", "continued!"))
+    // LABELSST("alpha"), NUMBER(3.14), RK int 42
+    assert(rows(1) == Seq("alpha", "3.14", "42"))
+    // inline LABEL, BOOLERR true, FORMULA cached 7
+    assert(rows(2) == Seq("inline", "true", "7"))
+  }
+
+  test("parse-as-excel reads a small .xls from the mini stream (miniFAT)") {
+    val xls = XlsFixture.cfbMini(XlsFixture.biffWorkbook())
+    val d = df("payload BINARY", Seq(Row(xls)))
+    val out = wrangle("parse-as-excel :payload", d)
+    assert(out.count() == 3)
+    assert(strings(out.orderBy("payload_1"), "payload_1") ==
+      Seq("1", "alpha", "inline"))
+  }
+
+  test("parse-as-excel rejects legacy BIFF5 with a precise error") {
+    val xls = XlsFixture.cfbRegular(XlsFixture.biffWorkbook(vers = 0x0500))
+    val ex = intercept[Exception] {
+      graft.ops.Xlsx.parse(xls, "0")
+    }
+    assert(ex.getMessage.contains("BIFF5"), s"got: ${ex.getMessage}")
+  }
+}
+
+/** Hand-rolled [MS-CFB] + [MS-XLS] BIFF8 fixture writer (test-only). */
+object XlsFixture {
+  private def u16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def u32(v: Int): Array[Byte] =
+    Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xff).toByte)
+  private def rec(id: Int, data: Array[Byte]): Array[Byte] =
+    u16(id) ++ u16(data.length) ++ data
+  private def dbl(d: Double): Array[Byte] = {
+    val bits = java.lang.Double.doubleToLongBits(d)
+    (0 until 8).map(i => ((bits >>> (8 * i)) & 0xff).toByte).toArray
+  }
+  private def ascii(s: String) = s.getBytes("ISO-8859-1")
+
+  /** BIFF8 workbook stream: globals (BOF, BOUNDSHEET, SST with a
+    * CONTINUE-split string, EOF) + one worksheet substream. */
+  def biffWorkbook(vers: Int = 0x0600): Array[Byte] = {
+    // SST: "alpha" whole; "continued!" split after 4 chars — the
+    // CONTINUE record re-announces the flags byte before "inued!"
+    val sstData = u32(2) ++ u32(2) ++
+      (u16(5) ++ Array(0.toByte) ++ ascii("alpha")) ++
+      (u16(10) ++ Array(0.toByte) ++ ascii("cont"))
+    val continueData = Array(0.toByte) ++ ascii("inued!")
+    def labelsst(r: Int, c: Int, isst: Int) =
+      rec(0x00FD, u16(r) ++ u16(c) ++ u16(0) ++ u32(isst))
+    val sheet =
+      rec(0x0809, u16(vers) ++ u16(0x0010) ++ u32(0) ++ u32(0)) ++
+        labelsst(0, 0, 0) ++
+        rec(0x0203, u16(0) ++ u16(1) ++ u16(0) ++ dbl(3.14)) ++
+        rec(0x027E, u16(0) ++ u16(2) ++ u16(0) ++ u32((42 << 2) | 2)) ++
+        // MULRK row1 cols0-1: RK ints 1 and RK double 2.5
+        rec(0x00BD, u16(1) ++ u16(0) ++
+          (u16(0) ++ u32((1 << 2) | 2)) ++
+          (u16(0) ++ u32((java.lang.Double.doubleToLongBits(2.5) >>> 32).toInt
+            & 0xFFFFFFFC)) ++ u16(1)) ++
+        labelsst(1, 2, 1) ++
+        // inline LABEL string
+        rec(0x0204, u16(2) ++ u16(0) ++ u16(0) ++
+          u16(6) ++ Array(0.toByte) ++ ascii("inline")) ++
+        rec(0x0205, u16(2) ++ u16(1) ++ u16(0) ++ Array(1.toByte, 0.toByte)) ++
+        // FORMULA with cached numeric result 7 (no parsed expression)
+        rec(0x0006, u16(2) ++ u16(2) ++ u16(0) ++ dbl(7.0) ++
+          u16(0) ++ u32(0) ++ u16(0)) ++
+        rec(0x000A, Array.empty)
+    def globals(sheetPos: Int) =
+      rec(0x0809, u16(vers) ++ u16(0x0005) ++ u32(0) ++ u32(0)) ++
+        rec(0x0085, u32(sheetPos) ++ u16(0) ++
+          Array(6.toByte, 0.toByte) ++ ascii("Sheet1")) ++
+        rec(0x00FC, sstData) ++ rec(0x003C, continueData) ++
+        rec(0x000A, Array.empty)
+    val gLen = globals(0).length
+    globals(gLen) ++ sheet
+  }
+
+  private val FREE = 0xFFFFFFFF
+  private val EOC = 0xFFFFFFFE
+  private val FATSECT = 0xFFFFFFFD
+
+  private def dirEntry(name: String, typ: Int, child: Int, start: Int,
+      size: Int): Array[Byte] = {
+    val e = new Array[Byte](128)
+    val nm = name.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+    System.arraycopy(nm, 0, e, 0, nm.length)
+    def put(off: Int, b: Array[Byte]): Unit =
+      System.arraycopy(b, 0, e, off, b.length)
+    put(64, u16(nm.length + 2)) // incl UTF-16 null terminator
+    e(66) = typ.toByte
+    e(67) = 1 // black
+    put(68, u32(FREE)); put(72, u32(FREE)); put(76, u32(child))
+    put(116, u32(start)); put(120, u32(size)) // low half of the u64 size
+    e
+  }
+
+  private def header(numFat: Int, dirStart: Int, miniFatStart: Int,
+      numMiniFat: Int, fatSectors: Seq[Int]): Array[Byte] = {
+    val h = new Array[Byte](512)
+    def put(off: Int, b: Array[Byte]): Unit =
+      System.arraycopy(b, 0, h, off, b.length)
+    put(0, Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)
+      .map(_.toByte))
+    put(24, u16(0x003E)); put(26, u16(0x0003)) // minor/major version
+    put(28, u16(0xFFFE)) // little-endian marker
+    put(30, u16(9)); put(32, u16(6)) // 512-byte sectors, 64-byte minis
+    put(44, u32(numFat)); put(48, u32(dirStart))
+    put(56, u32(4096)) // mini-stream cutoff
+    put(60, u32(miniFatStart)); put(64, u32(numMiniFat))
+    put(68, u32(EOC)); put(72, u32(0)) // no DIFAT chain
+    var o = 76
+    fatSectors.foreach { s => put(o, u32(s)); o += 4 }
+    while (o < 512) { put(o, u32(FREE)); o += 4 }
+    h
+  }
+
+  private def pad(b: Array[Byte], unit: Int): Array[Byte] =
+    b ++ new Array[Byte]((unit - b.length % unit) % unit)
+
+  /** Workbook ≥ 4096 bytes in regular sectors: 0=FAT, 1=dir, 2..=data. */
+  def cfbRegular(wb0: Array[Byte]): Array[Byte] = {
+    val wb = pad(if (wb0.length < 4096) pad(wb0, 4096) else wb0, 512)
+    val n = wb.length / 512
+    val fat = new Array[Byte](512)
+    def fput(i: Int, v: Int) = System.arraycopy(u32(v), 0, fat, 4 * i, 4)
+    fput(0, FATSECT); fput(1, EOC)
+    (0 until n).foreach(i => fput(2 + i, if (i == n - 1) EOC else 3 + i))
+    (2 + n until 128).foreach(fput(_, FREE))
+    val dir = pad(dirEntry("Root Entry", 5, 1, EOC, 0) ++
+      dirEntry("Workbook", 2, FREE, 2, wb.length), 512)
+    header(1, 1, EOC, 0, Seq(0)) ++ fat ++ dir ++ wb
+  }
+
+  /** Workbook < 4096 bytes in the MINI stream: 0=FAT, 1=dir,
+    * 2=miniFAT, 3..=the root entry's container sectors. */
+  def cfbMini(wb: Array[Byte]): Array[Byte] = {
+    require(wb.length < 4096, "mini-stream fixture must be small")
+    val m = (wb.length + 63) / 64 // mini sectors
+    val container = pad(pad(wb, 64), 512)
+    val c = container.length / 512
+    val fat = new Array[Byte](512)
+    def fput(i: Int, v: Int) = System.arraycopy(u32(v), 0, fat, 4 * i, 4)
+    fput(0, FATSECT); fput(1, EOC); fput(2, EOC)
+    (0 until c).foreach(i => fput(3 + i, if (i == c - 1) EOC else 4 + i))
+    (3 + c until 128).foreach(fput(_, FREE))
+    val miniFat = new Array[Byte](512)
+    def mput(i: Int, v: Int) = System.arraycopy(u32(v), 0, miniFat, 4 * i, 4)
+    (0 until m).foreach(i => mput(i, if (i == m - 1) EOC else i + 1))
+    (m until 128).foreach(mput(_, FREE))
+    val dir = pad(dirEntry("Root Entry", 5, 1, 3, container.length) ++
+      dirEntry("Workbook", 2, FREE, 0, wb.length), 512)
+    header(1, 1, 2, 1, Seq(0)) ++ fat ++ dir ++ miniFat ++ container
+  }
 }

@@ -32,6 +32,48 @@ class DigestSpec extends SparkSpec {
     assert(h("RIPEMD128", "abc") == "c14a12199c66e4ba84636b0f69144c77")
   }
 
+  test("RIPEMD-256/320 vectors (Dobbertin et al.)") {
+    assert(h("RIPEMD256", "") ==
+      "02ba4c4e5f8ecd1877fc52d64d30e37a2d9774fb1e5d026380ae0168e3c5522d")
+    assert(h("RIPEMD256", "abc") ==
+      "afbd6e228b9d8cbbcef5ca2d03e6dba10ac0bc7dcbe4680e1e42d2e975459b65")
+    assert(h("RIPEMD320", "") ==
+      "22d65d5661536cdc75c1fdf5c6de7b41b9f27325ebc61e8557177d705a0ec880" +
+        "151c3a32a00899b8")
+    assert(h("RIPEMD320", "abc") ==
+      "de4c01b3054f8930a79d09ae738e92301e5a17085beffdc1b8d116713e74f82f" +
+        "a942d64cdbc4682d")
+    // multi-block
+    assert(Digests.ripemdWide(("a" * 200).getBytes, 256).length == 32)
+  }
+
+  test("MD4 vectors (RFC 1320)") {
+    assert(h("MD4", "") == "31d6cfe0d16ae931b73c59d7e0c089c0")
+    assert(h("MD4", "a") == "bde52cb31de33e46245e05fbdbd6fb24")
+    assert(h("MD4", "abc") == "a448017aaf21d8525fc10ae87aa6729d")
+    assert(h("MD4", "message digest") == "d9130a8164549fe818874806e1c7014b")
+  }
+
+  test("SHA-512/224 and SHA-512/256 via the JDK route") {
+    import graft.functions.Udfs.digestHex
+    assert(digestHex("abc", "SHA-512/224") ==
+      "4634270f707b6a54daae7530460842e20e37ed265ceee9a43e8924aa")
+    assert(digestHex("abc", "SHA-512/256") ==
+      "53048e2681941ef99b2e29b76b4c7dabe4c2d0c634fc6d46e0e2f13107e7af23")
+    assert(digestHex("", "SHA-512/256") ==
+      "c672b8d1ef56ed28ab87c3622c5114069bdd3ad7b8f9737498d0c01ecef0967a")
+  }
+
+  test("documented-unsupported names raise a precise error") {
+    val ex = intercept[IllegalArgumentException] {
+      graft.functions.Udfs.digestHex("abc", "WHIRLPOOL")
+    }
+    assert(ex.getMessage.contains("not supported"))
+    intercept[IllegalArgumentException] {
+      graft.functions.Udfs.digestHex("abc", "Skein-512-512")
+    }
+  }
+
   test("SM3 vectors (GB/T 32905-2016)") {
     assert(h("SM3", "abc") ==
       "66c7f0f462eeedd9d1f2d46bdc10e4e24167c4875cf2f7a2297da02b8f4ba8e0")

@@ -302,4 +302,39 @@ class OpsSpec extends SparkSpec {
     assert(sel == "19.95")
   }
 
+  test("json-path: slices, unions, nested and @-path predicates") {
+    import graft.functions.JsonPathLite.{eval => jp}
+    val j = """{"a":[{"n":1,"m":{"x":5},"p":2},{"n":2,"m":{"x":1},"p":9},
+      {"n":3,"m":{"x":8},"p":3},{"n":4,"p":4}]}""".replaceAll("\n\\s*", "")
+    // slices: [1:3], open ends, step, negative step, negative index
+    assert(jp(j, "$.a[1:3].n") == "[2,3]")
+    assert(jp(j, "$.a[:2].n") == "[1,2]")
+    assert(jp(j, "$.a[2:].n") == "[3,4]")
+    assert(jp(j, "$.a[::2].n") == "[1,3]")
+    assert(jp(j, "$.a[::-1].n") == "[4,3,2,1]")
+    assert(jp(j, "$.a[-2:].n") == "[3,4]")
+    assert(jp(j, "$.a[-1].n") == "4")
+    // index and field unions
+    assert(jp(j, "$.a[0,2].n") == "[1,3]")
+    assert(jp(j, "$.a[0]['n','p']") == "[1,2]")
+    // predicate on a NESTED field, literal rhs
+    assert(jp(j, "$.a[?(@.m.x > 3)].n") == "[1,3]")
+    // predicate comparing two @-paths
+    assert(jp(j, "$.a[?(@.n >= @.p)].n") == "[3,4]")
+    assert(jp(j, "$.a[?(@.m.x < @.p)].n") == "2")
+    // bare existence filter
+    assert(jp(j, "$.a[?(@.m)].n") == "[1,2,3]")
+    // routing: all of these must take the interpreter, simple ones not
+    import graft.functions.JsonPathLite.needsLite
+    assert(needsLite("$.a[1:3]") && needsLite("$.a[0,2]") &&
+      needsLite("$.a['n','p']") && needsLite("$.a[-1]") &&
+      needsLite("$.a[?(@.m.x>3)]"))
+    assert(!needsLite("$.store.bicycle.price") && !needsLite("$.a[0].n"))
+    // end-to-end through the directive
+    val d = df("j STRING", Seq(Row(j)))
+    val out = wrangle("json-path :j :out '$.a[?(@.m.x >= 5)].m.x'", d)
+      .select("out").head().getString(0)
+    assert(out == "[5,8]")
+  }
+
 }
