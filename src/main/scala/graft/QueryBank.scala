@@ -367,6 +367,24 @@ object QueryBank {
       (s, d) => r("quality-score :text; keep :doc_id,:text_quality")(docs(s, d)),
       qualityScoreSql),
 
+    ("pipeline_curation",
+      // end-to-end curation composite: lang-id + quality-score +
+      // token-count compose in ONE projection over the scan, the
+      // quality filter prunes before the single exact-dedup shuffle,
+      // and the per-language rollup is a second (tiny) shuffle — the
+      // shape a 100 TB curation run wants
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val enriched =
+          r("lang-id :text; quality-score :text; token-count :text")(docs(s, d))
+        val kept = graft.llm.Dedup.exact(
+          enriched.filter(col("text_quality") >= lit(0.5)), "text", "doc_id")
+        kept.groupBy(col("text_lang")).agg(
+          count(lit(1)).as("docs"),
+          sum(col("text_tokens")).as("tokens"))
+      },
+      pipelineCurationSql),
+
     ("ann_brute_topk",
       (s, d) => annBrute(s, d),
       """SELECT e2.vec_id AS vec_id,
@@ -1021,6 +1039,42 @@ object QueryBank {
   private def normSql(c: String): String =
     s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
 
+  /** DuckDB mirror of the pipeline_curation composite: same lang-id
+    * argmax, same quality formula/threshold, exact dedup as
+    * min(doc_id) per normalized text within the quality-kept set.
+    */
+  private lazy val pipelineCurationSql: String = {
+    val sw = graft.llm.TextAnalysis.stopwords
+    def cnt(l: String) =
+      s"len(list_filter(string_split_regex(lower(text), '\\s+'), t -> list_contains([" +
+        sw(l).map(w => s"'$w'").mkString(",") + "], t)))"
+    val en = sw("en").map(w => s"'$w'").mkString(",")
+    s"""WITH c AS (SELECT doc_id, text,
+       | ${cnt("de")} AS cde, ${cnt("en")} AS cen, ${cnt("es")} AS ces, ${cnt("fr")} AS cfr,
+       | len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS n_tokens,
+       | CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / greatest(len(text), 1) AS punct_ratio,
+       | CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(len(text), 1) AS digit_ratio,
+       | len(list_filter(string_split_regex(lower(text), '\\s+'), t -> list_contains([$en], t))) AS sw_hits
+       | FROM documents),
+       |g AS (SELECT doc_id, text, n_tokens,
+       | CASE WHEN greatest(cde, cen, ces, cfr) = 0 THEN 'und'
+       |  WHEN cde >= cen AND cde >= ces AND cde >= cfr THEN 'de'
+       |  WHEN cen >= ces AND cen >= cfr THEN 'en'
+       |  WHEN ces >= cfr THEN 'es' ELSE 'fr' END AS text_lang,
+       | CAST(round(
+       |  (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.3 END) *
+       |  (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.5 END) *
+       |  (CASE WHEN digit_ratio < 0.3 THEN 1.0 ELSE 0.5 END) *
+       |  (CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(sw_hits AS DOUBLE) / n_tokens ELSE 0.0 END) > 0.05
+       |    THEN 1.0 ELSE 0.7 END), 4) AS DOUBLE) AS q
+       | FROM c),
+       |k AS (SELECT * FROM g WHERE q >= 0.5),
+       |dd AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY ${normSql("text")})
+       |SELECT k.text_lang, count(*) AS docs,
+       | CAST(sum(k.n_tokens) AS BIGINT) AS tokens
+       |FROM k JOIN dd USING (doc_id) GROUP BY 1""".stripMargin
+  }
+
   private lazy val langIdSql: String = {
     val sw = graft.llm.TextAnalysis.stopwords
     def cnt(l: String) =
@@ -1085,9 +1139,13 @@ object QueryBank {
     val e = emb(s, d)
     val q = e.filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).map(_.toDouble).toArray
+    // the rank window sees only the k=20 rows surviving cosineTopK's
+    // TakeOrderedAndProject; partitionBy(constant) keeps that explicit
+    // and silences Spark's single-partition WindowExec warning
     graft.llm.Similarity.cosineTopK(e, "vec_id", "embedding", q, 20)
       .withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))
           .orderBy(col("cosine").desc, col("vec_id"))))
       .select("vec_id", "rank")
   }

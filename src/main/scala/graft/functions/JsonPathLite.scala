@@ -8,7 +8,8 @@ import com.fasterxml.jackson.databind.node.ArrayNode
   * Python-style slices (`[1:3]`, `[::2]`, `[::-1]`), index/field unions
   * (`[1,3]`, `['a','b']`), and predicates on dotted @-paths with a
   * literal or another @-path on the right (`[?(@.a.b > 3)]`,
-  * `[?(@.a > @.b)]`, bare existence `[?(@.a)]`) — the Jayway features
+  * `[?(@.a > @.b)]`, bare existence `[?(@.a)]`), composable with
+  * `&&`/`||` (`&&` binds tighter, as in Jayway) — the Jayway features
   * recipes actually use (reference: wrangler-core
   * directives/parser/JsPath.java:90 + functions/JsonFunctions).
   * Simple dotted paths keep using the codegen'd `get_json_object`;
@@ -26,10 +27,13 @@ object JsonPathLite {
   private case class Index(i: Int) extends Seg
   private case object Wildcard extends Seg
   private case class RecurseField(name: String) extends Seg
-  /** `lhs` is the dotted @-path; `rhs` is Left(@-path) or
-    * Right(literal); op "" = bare existence filter `[?(@.a)]`. */
-  private case class Pred(lhs: List[String], op: String,
-      rhs: Either[List[String], String]) extends Seg
+  /** One comparison atom: `lhs` is the dotted @-path; `rhs` is
+    * Left(@-path) or Right(literal); op "" = bare existence `@.a`. */
+  private case class Atom(lhs: List[String], op: String,
+      rhs: Either[List[String], String])
+  /** A filter `[?(...)]` in disjunctive normal form: OR of ANDs
+    * (`&&` binds tighter than `||`, as in Jayway). */
+  private case class Pred(ors: List[List[Atom]]) extends Seg
   private case class Slice(start: Option[Int], end: Option[Int],
       step: Int) extends Seg
   private case class IndexUnion(is: Seq[Int]) extends Seg
@@ -46,10 +50,62 @@ object JsonPathLite {
       raw"\[\s*'[^']*'\s*,".r.findFirstIn(path).isDefined ||
       raw"\[\s*-\d+\s*\]".r.findFirstIn(path).isDefined
 
-  private val FilterRe =
-    ("""\[\?\(@\.([A-Za-z0-9_]+(?:\.[A-Za-z0-9_]+)*)""" +
+  private val AtomRe =
+    ("""\s*@\.([A-Za-z0-9_]+(?:\.[A-Za-z0-9_]+)*)""" +
       """(?:\s*(==|!=|<=|>=|<|>)\s*""" +
-      """(@\.[A-Za-z0-9_]+(?:\.[A-Za-z0-9_]+)*|'[^']*'|"[^"]*"|[^)\s]+))?\)\]""").r
+      """(@\.[A-Za-z0-9_]+(?:\.[A-Za-z0-9_]+)*|'[^']*'|"[^"]*"|[^)\s&|]+))?\s*""").r
+
+  private def parseAtom(s: String): Atom = AtomRe.findPrefixMatchOf(s) match {
+    case Some(m) if m.matched.length == s.length =>
+      if (m.group(2) == null) Atom(m.group(1).split('.').toList, "", Right(""))
+      else {
+        val rv = m.group(3)
+        val rhs =
+          if (rv.startsWith("@.")) Left(rv.drop(2).split('.').toList)
+          else Right(rv.stripPrefix("'").stripSuffix("'")
+            .stripPrefix("\"").stripSuffix("\""))
+        Atom(m.group(1).split('.').toList, m.group(2), rhs)
+      }
+    case _ => throw new IllegalArgumentException(s"bad filter atom '$s'")
+  }
+
+  /** Split on a two-char separator outside single/double quotes. */
+  private def splitTop(s: String, sep: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new java.lang.StringBuilder
+    var i = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { cur.append(c); if (c == quote) quote = 0; i += 1 }
+      else if (c == '\'' || c == '"') { quote = c; cur.append(c); i += 1 }
+      else if (s.startsWith(sep, i)) { out += cur.toString; cur.setLength(0); i += sep.length }
+      else { cur.append(c); i += 1 }
+    }
+    out += cur.toString
+    out.toList
+  }
+
+  /** Find the index just past the `)]` that closes `[?(`, honoring
+    * quoted literals. Returns -1 when unterminated. */
+  private def filterEnd(p: String): Int = {
+    var i = 2 // past "[?"
+    var depth = 0
+    var quote: Char = 0
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') quote = c
+      else if (c == '(') depth += 1
+      else if (c == ')') {
+        depth -= 1
+        if (depth == 0)
+          return if (p.startsWith(")]", i)) i + 2 else -1
+      }
+      i += 1
+    }
+    -1
+  }
   private val SliceRe = raw"\[\s*(-?\d*)\s*:\s*(-?\d*)\s*(?::\s*(-?\d+)\s*)?\]".r
 
   private[functions] def parsePath(p0: String): List[Seg] = {
@@ -71,23 +127,12 @@ object JsonPathLite {
         p = rest.drop(name.length)
       } else if (p.startsWith("[*]")) { out += Wildcard; p = p.drop(3) }
       else if (p.startsWith("[?")) {
-        FilterRe.findPrefixMatchOf(p) match {
-          case Some(m) =>
-            val lhs = m.group(1).split('.').toList
-            val seg =
-              if (m.group(2) == null) Pred(lhs, "", Right(""))
-              else {
-                val rv = m.group(3)
-                val rhs =
-                  if (rv.startsWith("@.")) Left(rv.drop(2).split('.').toList)
-                  else Right(rv.stripPrefix("'").stripSuffix("'")
-                    .stripPrefix("\"").stripSuffix("\""))
-                Pred(lhs, m.group(2), rhs)
-              }
-            out += seg
-            p = p.drop(m.matched.length)
-          case None => throw new IllegalArgumentException(s"bad filter in $p0")
-        }
+        val end = filterEnd(p)
+        require(end > 0, s"bad filter in $p0")
+        val inner = p.substring(3, end - 2) // strip "[?(" and ")]"
+        out += Pred(splitTop(inner, "||").map(or =>
+          splitTop(or, "&&").map(parseAtom)))
+        p = p.drop(end)
       } else if (SliceRe.findPrefixMatchOf(p).isDefined) {
         val m = SliceRe.findPrefixMatchOf(p).get
         def opt(s: String) = if (s.isEmpty) None else Some(s.toInt)
@@ -130,11 +175,11 @@ object JsonPathLite {
       else { val next = cur.get(name); if (next == null || next.isNull) null else next }
     }
 
-  private def matches(n: JsonNode, pr: Pred): Boolean = {
-    val f = resolve(n, pr.lhs)
+  private def matchAtom(n: JsonNode, a: Atom): Boolean = {
+    val f = resolve(n, a.lhs)
     if (f == null) return false
-    if (pr.op.isEmpty) return true // bare existence filter [?(@.a)]
-    val (value, rhsNumeric) = pr.rhs match {
+    if (a.op.isEmpty) return true // bare existence filter [?(@.a)]
+    val (value, rhsNumeric) = a.rhs match {
       case Left(rp) =>
         val r = resolve(n, rp)
         if (r == null) return false
@@ -145,7 +190,7 @@ object JsonPathLite {
     def cmp: Int =
       if (numericCmp) java.lang.Double.compare(f.asDouble(), value.toDouble)
       else f.asText().compareTo(value)
-    pr.op match {
+    a.op match {
       case "==" => if (numericCmp) cmp == 0 else f.asText() == value
       case "!=" => if (numericCmp) cmp != 0 else f.asText() != value
       case "<"  => cmp < 0
@@ -155,6 +200,9 @@ object JsonPathLite {
       case _    => false
     }
   }
+
+  private def matches(n: JsonNode, pr: Pred): Boolean =
+    pr.ors.exists(_.forall(matchAtom(n, _)))
 
   private def step(nodes: Seq[JsonNode], seg: Seg): Seq[JsonNode] = seg match {
     case Field(name) =>

@@ -54,26 +54,27 @@ object ParserOps {
             t.nonEmpty && t.toDoubleOption.isEmpty &&
               !t.equalsIgnoreCase("true") && !t.equalsIgnoreCase("false")
           }
-        val firstRow =
-          if (header) df.select(col(c)).limit(1).collect()
-            .headOption.flatMap(r => Option(r.getString(0)))
+        // the header can only be the FIRST row (the reference checks
+        // once per directive instance, CsvParser.java:146-156), so one
+        // limit(1) probe fetches both its rid and its text — never a
+        // full scan (the rid identifies the exact row to drop, so a
+        // data row whose text equals the header line survives)
+        val rid = "__graft_hdr_rid"
+        lazy val withId = df.withColumn(rid, monotonically_increasing_id())
+        val firstProbe =
+          if (header) withId.select(col(rid), col(c).cast(StringType))
+            .limit(1).collect().headOption.filter(!_.isNullAt(1))
+            .map(r => (r.getLong(0), r.getString(1)))
           else None
+        val firstRow = firstProbe.map(_._2)
         if (header && firstRow.exists(h => looksLikeHeader(h.split(qd)))) {
           val headerRaw = firstRow.get
           // header cell cleanup per reference (CsvParser.java:150):
           // trim + collapse internal whitespace runs to one underscore
           val names = headerRaw.split(qd).map(
             _.trim.replaceAll("\\s+", "_"))
-          // drop ONLY the header row itself (the first occurrence), not
-          // every data row whose text equals the header line, and keep
-          // null rows (null-safe <=> comparison)
-          val rid = "__graft_hdr_rid"
-          val withId = df.withColumn(rid, monotonically_increasing_id())
-          val hdrId = withId.filter(col(c) <=> lit(headerRaw))
-            .agg(min(col(rid))).collect()(0)
           val noHeader =
-            if (hdrId.isNullAt(0)) df
-            else withId.filter(col(rid) =!= lit(hdrId.getLong(0))).drop(rid)
+            withId.filter(col(rid) =!= lit(firstProbe.get._1)).drop(rid)
           names.zipWithIndex.foldLeft(noHeader) { case (d, (n, i)) =>
             d.withColumn(n, element_at(parts, i + 1))
           }

@@ -40,7 +40,8 @@ object Profiler {
 
   /** Long-format profile: (column, measure, count, fraction). */
   def profile(df: DataFrame): DataFrame = {
-    val wide = df.agg(aggExprs(df).head, aggExprs(df).tail: _*)
+    val aggs = aggExprs(df)
+    val wide = df.agg(aggs.head, aggs.tail: _*)
     val measures = Seq("total", "null", "empty") ++ semanticRegexes.map(_._1)
     val stacked = df.columns.toSeq.flatMap { c =>
       measures.map { m =>

@@ -324,6 +324,10 @@ class OpsSpec extends SparkSpec {
     assert(jp(j, "$.a[?(@.m.x < @.p)].n") == "2")
     // bare existence filter
     assert(jp(j, "$.a[?(@.m)].n") == "[1,2,3]")
+    // compound predicates: && binds tighter than ||
+    assert(jp(j, "$.a[?(@.m.x > 3 && @.p < 3)].n") == "1")
+    assert(jp(j, "$.a[?(@.n == 4 || @.m.x > 3 && @.p < 3)].n") == "[1,4]")
+    assert(jp(j, "$.a[?(@.m && @.n >= 2)].n") == "[2,3]")
     // routing: all of these must take the interpreter, simple ones not
     import graft.functions.JsonPathLite.needsLite
     assert(needsLite("$.a[1:3]") && needsLite("$.a[0,2]") &&
