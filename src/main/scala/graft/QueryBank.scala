@@ -367,6 +367,19 @@ object QueryBank {
       (s, d) => r("quality-score :text; keep :doc_id,:text_quality")(docs(s, d)),
       qualityScoreSql),
 
+    ("redact_pii",
+      // every pattern type fires once per row; the oracle is the
+      // expected literal with typed placeholders — DuckDB never runs
+      // the regexes, so this validates spans AND replacement order
+      (s, d) => r("""set-column :t exp:{ concat('contact ', c_name, ' at user', c_custkey, '@example.com or 555-123-4567, ssn 123-45-6789, card 4111 1111 1111 1111, ip 10.', c_custkey % 256, '.0.1') }; redact-pii :t; keep :c_custkey,:t""")(cust(s, d)),
+      """SELECT c_custkey, 'contact ' || c_name ||
+        | ' at [EMAIL] or [PHONE], ssn [SSN], card [CARD], ip [IP]' AS t
+        |FROM customer""".stripMargin),
+
+    ("repetition_ratio",
+      (s, d) => r("repetition-ratio :text; keep :doc_id,:text_dup_line_ratio,:text_dup_3gram_ratio")(docs(s, d)),
+      repetitionSql),
+
     ("pipeline_curation",
       // end-to-end curation composite: lang-id + quality-score +
       // token-count compose in ONE projection over the scan, the
@@ -1038,6 +1051,27 @@ object QueryBank {
   /** DuckDB rendering of Dedup.normalized (regexp flags differ). */
   private def normSql(c: String): String =
     s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+
+  /** DuckDB recomputation of Udfs.repetitionRatios with list
+    * functions: same line/trigram definitions, same half-up 1e-6
+    * rounding.
+    */
+  private lazy val repetitionSql: String =
+    """WITH t AS (SELECT doc_id,
+      | list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+      |   x -> len(x) > 0) AS lines,
+      | list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+      | FROM documents)
+      |SELECT doc_id,
+      | CASE WHEN len(lines) > 0
+      |  THEN round((len(lines) - len(list_distinct(lines)))
+      |    / CAST(len(lines) AS DOUBLE), 6) ELSE 0.0 END AS text_dup_line_ratio,
+      | CASE WHEN len(toks) >= 3
+      |  THEN round(((len(toks) - 2) - len(list_distinct(
+      |    list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))))
+      |    / CAST(len(toks) - 2 AS DOUBLE), 6) ELSE 0.0 END AS text_dup_3gram_ratio
+      |FROM t""".stripMargin
 
   /** DuckDB mirror of the pipeline_curation composite: same lang-id
     * argmax, same quality formula/threshold, exact dedup as

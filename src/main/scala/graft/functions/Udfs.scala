@@ -459,6 +459,42 @@ object Udfs {
 
   private val wsRun = java.util.regex.Pattern.compile("\\s+")
 
+  /** Gopher-style within-document repetition signals: duplicate-line
+    * fraction and duplicate word-3-gram fraction. A JVM kernel, not
+    * Catalyst HOFs (CodegenFallback — see the island note above). The
+    * DuckDB oracle recomputes both with list functions.
+    */
+  def repetitionRatios(text: String): (Double, Double) = {
+    if (text == null) return (0.0, 0.0)
+    // half-UP at 1e-6 (not rint's half-even) — matches DuckDB round()
+    def r6(d: Double) = math.floor(d * 1e6 + 0.5) / 1e6
+    val lines = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toArray
+    val dupLine =
+      if (lines.isEmpty) 0.0
+      else {
+        val distinct = new java.util.HashSet[String]()
+        lines.foreach(distinct.add)
+        r6((lines.length - distinct.size).toDouble / lines.length)
+      }
+    val toks = wsRun.split(text).filter(_.nonEmpty)
+    val tri = toks.length - 2
+    val dupTri =
+      if (tri <= 0) 0.0
+      else {
+        val distinct = new java.util.HashSet[String]()
+        var i = 0
+        while (i < tri) {
+          distinct.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+          i += 1
+        }
+        r6((tri - distinct.size).toDouble / tri)
+      }
+    (dupLine, dupTri)
+  }
+
+  val repetitionUdf: UserDefinedFunction = udf((s: String) =>
+    if (s == null) null else repetitionRatios(s))
+
   /** Word n-gram Jaccard over distinct gram hash sets — tight loop,
     * no per-window array/json allocation beyond the gram join.
     */

@@ -92,6 +92,35 @@ object TextAnalysis {
     round(lenOk * punctOk * digitOk * swOk, 4)
   }
 
+  /** PII redaction patterns, applied in this order (card before phone
+    * so a spaced card number is not half-eaten by the phone pattern).
+    * RE2-compatible (no lookaround) so the DuckDB oracle can run the
+    * SAME patterns; all are find-anywhere, replace-all.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "[EMAIL]"),
+    ("ssn", """\b\d{3}-\d{2}-\d{4}\b""", "[SSN]"),
+    ("card", """\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4}\b""", "[CARD]"),
+    // no leading \b: it cannot match before '(' or '+' (non-word
+    // chars), which would strand the paren/country prefix
+    ("phone", """(?:\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b""",
+      "[PHONE]"),
+    ("ip", """\b(?:\d{1,3}\.){3}\d{1,3}\b""", "[IP]"))
+
+  /** Mask PII spans in free text with typed placeholders — the
+    * standard pre-training scrub pass. `types` selects a subset of
+    * [[piiPatterns]] (all by default). Pure regexp_replace chain:
+    * stays in whole-stage codegen.
+    */
+  def redactPii(text: Column, types: Seq[String] = Nil): Column = {
+    val selected =
+      if (types.isEmpty) piiPatterns
+      else piiPatterns.filter(p => types.contains(p._1))
+    selected.foldLeft(text) { case (c, (_, re, tag)) =>
+      regexp_replace(c, lit(re), lit(tag))
+    }
+  }
+
   /** Stable document fingerprint (md5 hex of normalized content). */
   def fingerprint(text: Column): Column = Dedup.fingerprint(text)
 

@@ -40,6 +40,28 @@ object LlmOps {
         TextAnalysis.fingerprint(col(spec.col(0))))
     }
 
+    // `redact-pii :col [email,ssn,...]` — in-place scrub with typed
+    // placeholders; no types argument = all patterns
+    case "redact-pii" => ColumnOps.simple(spec) { df =>
+      val types = spec.optStr(1)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+      val unknown = types.filterNot(t => TextAnalysis.piiPatterns.exists(_._1 == t))
+      require(unknown.isEmpty, s"redact-pii: unknown type(s) ${unknown.mkString(",")}; " +
+        s"supported: ${TextAnalysis.piiPatterns.map(_._1).mkString(",")}")
+      df.withColumn(spec.col(0), TextAnalysis.redactPii(col(spec.col(0)), types))
+    }
+
+    // duplicate-line and duplicate-3-gram fractions (Gopher-style
+    // repetition quality signals)
+    case "repetition-ratio" => ColumnOps.simple(spec) { df =>
+      val c = spec.col(0)
+      df.withColumn("__rep", graft.functions.Udfs.repetitionUdf(col(c)))
+        .withColumn(s"${c}_dup_line_ratio", col("__rep._1"))
+        .withColumn(s"${c}_dup_3gram_ratio", col("__rep._2"))
+        .drop("__rep")
+    }
+
     case _ => null
   })
 }

@@ -323,6 +323,38 @@ class LlmSpec extends SparkSpec {
   }
 
 
+  test("redact-pii masks each span type; subset selection; unknown type errors") {
+    val d = df("t STRING", Seq(
+      Row("mail a.b+c@x-y.co.uk, call (415) 555-2671 or +1 415.555.2671"),
+      Row("ssn 078-05-1120 card 4111-1111-1111-1111 host 192.168.0.255"),
+      Row(null)))
+    val out = strings(wrangle("redact-pii :t", d), "t")
+    assert(out(0) == "mail [EMAIL], call [PHONE] or [PHONE]")
+    assert(out(1) == "ssn [SSN] card [CARD] host [IP]")
+    assert(out(2) == null)
+    // subset: only emails masked, the rest untouched
+    val sub = strings(wrangle("redact-pii :t 'email'", d), "t")
+    assert(sub(0) == "mail [EMAIL], call (415) 555-2671 or +1 415.555.2671")
+    assert(sub(1).toString.contains("078-05-1120"))
+    val ex = intercept[Exception](wrangle("redact-pii :t 'emali'", d).collect())
+    assert(ex.getMessage.contains("unknown type"))
+  }
+
+  test("repetition-ratio: duplicate lines and trigrams") {
+    import graft.functions.Udfs.repetitionRatios
+    // 4 non-empty trimmed lines (x,x,x,y), 2 distinct -> 0.5; its two
+    // trigrams (x x x, x x y) are distinct -> 0.0
+    assert(repetitionRatios("x\n\n x \nx\ny") == (0.5, 0.0))
+    assert(repetitionRatios("a b a b a b") == (0.0, 0.5))
+    assert(repetitionRatios("") == (0.0, 0.0))
+    assert(repetitionRatios(null) == (0.0, 0.0))
+    val d = df("t STRING", Seq(Row("l1\nl1\nl2"), Row("a b c d")))
+    val out = wrangle("repetition-ratio :t", d)
+      .select("t_dup_line_ratio", "t_dup_3gram_ratio").collect()
+    assert(out(0).getDouble(0) > 0.3 && out(0).getDouble(0) < 0.34)
+    assert(out(1).getDouble(0) == 0.0 && out(1).getDouble(1) == 0.0)
+  }
+
   test("connected-components dedup collapses transitive chains") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
