@@ -142,9 +142,15 @@ object Xlsx {
 
   def parse(bytes: Array[Byte], sheet: String): Seq[XlRow] = {
     if (bytes == null) return Seq.empty
-    // legacy .xls (OLE2/BIFF8) takes its own reader; its precise
-    // legacy-version error must propagate, not collapse to zero rows
-    if (XlsBiff.isOle2(bytes)) return XlsBiff.parse(bytes, sheet)
+    // legacy .xls (OLE2/BIFF8) takes its own reader; a corrupt
+    // container degrades to zero rows like a corrupt xlsx, but the
+    // precise legacy-BIFF5 error (UnsupportedOperation) must propagate
+    if (XlsBiff.isOle2(bytes))
+      return try XlsBiff.parse(bytes, sheet)
+      catch {
+        case e: UnsupportedOperationException => throw e
+        case _: Exception => Seq.empty
+      }
     try {
       val es = entries(bytes)
       val shared: IndexedSeq[String] =

@@ -21,6 +21,17 @@ object LlmOps {
         threshold = spec.optStr(2).map(_.toDouble).getOrElse(0.7))
     }
 
+    case "dedup-simhash" => ColumnOps.simple(spec) { df =>
+      Dedup.simhashDedup(df, spec.col(0), spec.col(1),
+        maxHamming = spec.optStr(2).map(_.toInt).getOrElse(3))
+    }
+
+    // content col first, id second — same order as the other dedup-*
+    case "dedup-embedding" => ColumnOps.simple(spec) { df =>
+      Dedup.embeddingDedup(df, idCol = spec.col(1), vecCol = spec.col(0),
+        threshold = spec.optStr(2).map(_.toDouble).getOrElse(0.9))
+    }
+
     case "lang-id" => ColumnOps.simple(spec) { df =>
       df.withColumn(s"${spec.col(0)}_lang", TextAnalysis.langId(col(spec.col(0))))
     }

@@ -195,7 +195,10 @@ object XlsBiff {
     val bofId = u16(wb, 0)
     val vers = u16(wb, 4)
     if (bofId != 0x0809 || vers < 0x0600)
-      throw new IllegalArgumentException(
+      // UnsupportedOperationException deliberately: corrupt-container
+      // IllegalArgument/IndexOutOfBounds failures collapse to zero rows
+      // in Xlsx.parse, but THIS error must reach the user
+      throw new UnsupportedOperationException(
         "parse-as-excel: legacy BIFF5-or-older .xls is not supported — " +
           "save as .xlsx or Excel 97-2003 (BIFF8)")
 

@@ -323,6 +323,21 @@ class LlmSpec extends SparkSpec {
   }
 
 
+  test("dedup-simhash and dedup-embedding directives wire to the library") {
+    val d = df("id BIGINT, t STRING", Seq(
+      Row(1L, "the quick brown fox jumps over the lazy dog"),
+      Row(2L, "the quick brown fox jumps over the lazy dog"),
+      Row(3L, "completely different text about spark engines")))
+    val out = wrangle("dedup-simhash :t :id", d)
+    assert(strings(out.orderBy("id"), "id") == Seq(1L, 3L))
+    val d2 = df("id BIGINT, v ARRAY<FLOAT>", Seq(
+      Row(1L, Seq(1.0f, 0.0f, 0.5f)),
+      Row(2L, Seq(1.0f, 0.0f, 0.5f)),
+      Row(3L, Seq(-1.0f, 0.5f, 0.0f))))
+    val out2 = wrangle("dedup-embedding :v :id", d2)
+    assert(strings(out2.orderBy("id"), "id") == Seq(1L, 3L))
+  }
+
   test("redact-pii masks each span type; subset selection; unknown type errors") {
     val d = df("t STRING", Seq(
       Row("mail a.b+c@x-y.co.uk, call (415) 555-2671 or +1 415.555.2671"),

@@ -59,6 +59,18 @@ class RobustnessSpec extends AnyFunSuite {
         graft.ops.Hl7.parse(s); true
       }
     }
+    // a corrupt OLE2 container (valid magic, garbage body) must
+    // terminate (chain-loop guards) and either yield zero rows or the
+    // one deliberate legacy-BIFF error — never hang or leak an
+    // index/argument exception
+    check("xls-ole2") {
+      val magic = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)
+        .map(_.toByte)
+      Prop.forAll(bytesGen) { b =>
+        try { graft.ops.Xlsx.parse(magic ++ b, "0"); true }
+        catch { case _: UnsupportedOperationException => true }
+      }
+    }
   }
 
   test("recipe tokenizer terminates with at worst a RecipeException") {
