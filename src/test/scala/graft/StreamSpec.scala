@@ -57,6 +57,27 @@ class StreamSpec extends SparkSpec {
     assert(out.count() == distinctIds)
   }
 
+  test("curation ops compose on a stream: redact + lang-id + fingerprint dedup") {
+    // per-row llm directives are plain Column ops, so a curation recipe
+    // runs unchanged on a stream; content dedup = fingerprint +
+    // within-watermark drop (bounded state)
+    val src = s"$eventsDir/events.parquet"
+    val out = StreamOps.runBatchAsStream(spark, src,
+      st => {
+        val enriched = StreamOps.wrangleStream(
+          "set-column :txt exp:{ concat('mail u', user_id, '@ex.com re the ', event_type) }; " +
+            "redact-pii :txt; lang-id :txt; fingerprint :txt;", st)
+        StreamOps.streamingDedup(enriched, Seq("txt_fingerprint"), "ts")
+      },
+      queryName = "stream_curation", outputMode = OutputMode.Append)
+    assert(out.filter(col("txt").contains("@")).count() == 0)
+    assert(out.filter(!col("txt").contains("[EMAIL]")).count() == 0)
+    // after redaction the text varies only by event_type, so the
+    // fingerprint dedup keeps exactly one row per type
+    val types = spark.read.parquet(src).select("event_type").distinct().count()
+    assert(out.count() == types)
+  }
+
   test("streaming error channel: foreachBatch splits main and error rows") {
     val src = s"$eventsDir/events.parquet"
     val schema = spark.read.parquet(src).schema
