@@ -244,6 +244,21 @@ class BinarySpec extends SparkSpec {
       Seq("1", "alpha", "inline"))
   }
 
+  test("parse-as-excel .xls: sheet by name; composes with redact-pii") {
+    val xls = XlsFixture.cfbRegular(XlsFixture.biffWorkbook())
+    val d = df("payload BINARY", Seq(Row(xls)))
+    // BOUNDSHEET name routing (not index)
+    val byName = wrangle("parse-as-excel :payload 'Sheet1'", d)
+    assert(byName.count() == 3)
+    // parsed cells feed the curation surface in the same recipe
+    val out = wrangle(
+      "parse-as-excel :payload 'Sheet1'; " +
+        "set-column :note exp:{ concat(payload_1, ' <u1@ex.io>') }; " +
+        "redact-pii :note; keep :note", d)
+    val notes = strings(out, "note").map(_.toString)
+    assert(notes.forall(_.endsWith(" <[EMAIL]>")), notes.mkString("|"))
+  }
+
   test("parse-as-excel rejects legacy BIFF5 with a precise error") {
     val xls = XlsFixture.cfbRegular(XlsFixture.biffWorkbook(vers = 0x0500))
     val ex = intercept[Exception] {
