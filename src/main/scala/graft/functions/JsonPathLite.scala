@@ -45,7 +45,11 @@ object JsonPathLite {
     */
   def needsLite(path: String): Boolean =
     path.contains("..") || path.contains("[*]") || path.contains("[?") ||
-      path.contains(".*") || path.contains(":") ||
+      path.contains(".*") ||
+      // a colon only signals a SLICE inside brackets — a bare colon in
+      // a dotted name (namespaced keys like $.soap:Envelope) stays on
+      // get_json_object, which handles it natively
+      raw"\[\s*-?\d*\s*:".r.findFirstIn(path).isDefined ||
       raw"\[\s*-?\d+\s*,".r.findFirstIn(path).isDefined ||
       raw"\[\s*'[^']*'\s*,".r.findFirstIn(path).isDefined ||
       raw"\[\s*-\d+\s*\]".r.findFirstIn(path).isDefined
@@ -112,16 +116,20 @@ object JsonPathLite {
     var p = p0.trim.stripPrefix("$")
     val out = scala.collection.mutable.ListBuffer.empty[Seg]
     while (p.nonEmpty) {
+      // dotted names accept ':' and '-' too (namespaced/kebab keys),
+      // matching get_json_object's lenient named-field grammar
+      def nameChar(c: Char) =
+        c.isLetterOrDigit || c == '_' || c == ':' || c == '-'
       if (p.startsWith("..")) {
         val rest = p.drop(2)
-        val name = rest.takeWhile(c => c.isLetterOrDigit || c == '_')
+        val name = rest.takeWhile(nameChar)
         require(name.nonEmpty, s"bad recursive descent in $p0")
         out += RecurseField(name)
         p = rest.drop(name.length)
       } else if (p.startsWith(".*")) { out += Wildcard; p = p.drop(2) }
       else if (p.startsWith(".")) {
         val rest = p.drop(1)
-        val name = rest.takeWhile(c => c.isLetterOrDigit || c == '_')
+        val name = rest.takeWhile(nameChar)
         require(name.nonEmpty, s"bad field in $p0")
         out += Field(name)
         p = rest.drop(name.length)
@@ -141,9 +149,20 @@ object JsonPathLite {
         out += Slice(opt(m.group(1)), opt(m.group(2)), st)
         p = p.drop(m.matched.length)
       } else if (p.startsWith("['")) {
-        val end = p.indexOf("]")
+        // quote-aware closing-bracket scan and comma split, so quoted
+        // names may contain ',' or ']' ("$['a,b']" is ONE field)
+        var i = 1
+        var quote: Char = 0
+        var end = -1
+        while (i < p.length && end < 0) {
+          val ch = p.charAt(i)
+          if (quote != 0) { if (ch == quote) quote = 0 }
+          else if (ch == '\'') quote = ch
+          else if (ch == ']') end = i
+          i += 1
+        }
         require(end > 0, s"bad bracket field in $p0")
-        val names = p.substring(1, end).split(",").map(_.trim).toSeq
+        val names = splitTop(p.substring(1, end), ",").map(_.trim)
         require(names.forall(n =>
           n.length >= 2 && n.head == '\'' && n.last == '\''),
           s"bad bracket field in $p0")

@@ -492,8 +492,10 @@ object Udfs {
     (dupLine, dupTri)
   }
 
-  val repetitionUdf: UserDefinedFunction = udf((s: String) =>
-    if (s == null) null else repetitionRatios(s))
+  // null text maps to (0.0, 0.0) — the kernel's own contract AND what
+  // the DuckDB oracle's CASE...ELSE 0.0 emits (a null struct here
+  // would hash-mismatch the oracle on any corpus with null documents)
+  val repetitionUdf: UserDefinedFunction = udf(repetitionRatios _)
 
   /** Word n-gram Jaccard over distinct gram hash sets — tight loop,
     * no per-window array/json allocation beyond the gram join.

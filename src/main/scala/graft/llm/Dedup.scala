@@ -160,9 +160,12 @@ object Dedup {
             .as("component"))
       // every 3rd iteration truncate lineage (localCheckpoint) so the
       // plan tree doesn't deepen with the iteration count; otherwise a
-      // plain persist. Either way the PREVIOUS labels are released once
-      // `changed` (which reads both) has been computed — the cache
-      // footprint stays at one label set, not one per iteration.
+      // plain persist. The PREVIOUS labels are released once `changed`
+      // (which reads both) has been computed. Caveat: unpersist() is a
+      // no-op on a localCheckpoint'd dataset (no cacheManager entry),
+      // so checkpointed label sets (1 per 3 iterations) are freed by
+      // the ContextCleaner on GC, not eagerly — the EAGERLY-held
+      // footprint stays at one label set.
       val next =
         if ((it + 1) % 3 == 0) step.localCheckpoint() else step.persist()
       val changed = next.join(labels.withColumnRenamed("component", "old"), "id")

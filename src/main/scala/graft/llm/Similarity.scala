@@ -259,8 +259,11 @@ object Similarity {
         if (c != 0) c
         else (a.get(1), b.get(1)) match {
           case (null, null) => 0
-          case (null, _)    => 1 // null id sorts last ⇒ worst
-          case (_, null)    => -1
+          // Spark's orderBy(id) ASC ranks nulls FIRST, i.e. a null id
+          // is the BEST row at a cosine tie — the heap must agree or
+          // phase 1 could evict a row phase 2 would have kept
+          case (null, _)    => -1
+          case (_, null)    => 1
           case (x, y)       => x.asInstanceOf[Comparable[Any]].compareTo(y)
         }
       }

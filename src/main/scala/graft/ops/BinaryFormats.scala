@@ -61,8 +61,13 @@ object BinaryFormats {
     // with json-path, e.g. `$.OBX[1]['5']`.
     case "parse-as-hl7" => ColumnOps.simple(spec) { df =>
       val c = spec.col(0)
-      df.withColumn(s"${c}_hl7", Hl7.parseUdf(col(c).cast(StringType)))
-        .withColumn(s"${c}_hl7_json", Hl7.parseNestedUdf(col(c).cast(StringType)))
+      // ONE UDF invocation produces both outputs (single per-row
+      // serialization round; the flat map and nested tree are built
+      // from the same call)
+      df.withColumn("__hl7b", Hl7.parseBothUdf(col(c).cast(StringType)))
+        .withColumn(s"${c}_hl7", col("__hl7b._1"))
+        .withColumn(s"${c}_hl7_json", col("__hl7b._2"))
+        .drop("__hl7b")
     }
 
     // protobuf decode. With a descriptor (a FileDescriptorSet, itself
@@ -223,11 +228,32 @@ object Hl7 {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  /** Standard HL7 v2 escape sequences (MSH-2 defaults). */
-  private def unescape(s: String): String =
-    if (!s.contains('\\')) s
-    else s.replace("\\F\\", "|").replace("\\S\\", "^")
-      .replace("\\T\\", "&").replace("\\R\\", "~").replace("\\E\\", "\\")
+  /** Standard HL7 v2 escape sequences (MSH-2 defaults), decoded in a
+    * single left-to-right pass — sequential String.replace would let a
+    * later pattern match across an already-consumed boundary (the
+    * legal encoding of a literal backslash-F, `\E\F\E\`, must yield
+    * `\F\`, not have its middle `\F\` re-decoded as a field separator).
+    * Unknown `\..\` sequences are kept verbatim, as HAPI does.
+    */
+  private def unescape(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 2 < s.length && s.charAt(i + 2) == '\\') {
+        s.charAt(i + 1) match {
+          case 'F' => sb.append('|'); i += 3
+          case 'S' => sb.append('^'); i += 3
+          case 'T' => sb.append('&'); i += 3
+          case 'R' => sb.append('~'); i += 3
+          case 'E' => sb.append('\\'); i += 3
+          case _   => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   private def subNode(comp: String): com.fasterxml.jackson.databind.JsonNode = {
     val subs = comp.split("&", -1)
@@ -317,6 +343,11 @@ object Hl7 {
   }
 
   val parseNestedUdf: UserDefinedFunction = udf(parseNested _)
+
+  /** Flat map + nested JSON from one UDF call (one serialization
+    * round per row instead of two). */
+  val parseBothUdf: UserDefinedFunction =
+    udf((msg: String) => (parse(msg), parseNested(msg)))
 }
 
 /** Avro object-container file → JSON strings (one per record). */

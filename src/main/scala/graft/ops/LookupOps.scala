@@ -71,9 +71,11 @@ object BuiltinCatalogs {
   val names: Seq[String] = Seq("iso3166", "icd-9", "icd-10")
   // the reference's CatalogLookup.java:73 accepts ICD-9 /
   // ICD-10-2016 / ICD-10-2017; year-suffixed names route to our
-  // icd-10 data
+  // icd-10 data. Bare "icd" keeps its original icd-10 meaning (it has
+  // aliased icd-10 since this catalog shipped — silently re-pointing
+  // it would change existing recipes' results).
   private val aliasOf = Map(
-    "icd" -> "icd-9", "icd9" -> "icd-9", "icd10" -> "icd-10",
+    "icd" -> "icd-10", "icd9" -> "icd-9", "icd10" -> "icd-10",
     "icd-10-2016" -> "icd-10", "icd-10-2017" -> "icd-10")
 
   /** icd-9: the complete public-domain CMS ICD-9-CM diagnosis code list

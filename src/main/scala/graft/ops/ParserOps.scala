@@ -58,9 +58,16 @@ object ParserOps {
         // once per directive instance, CsvParser.java:146-156), so one
         // limit(1) probe fetches both its rid and its text — never a
         // full scan (the rid identifies the exact row to drop, so a
-        // data row whose text equals the header line survives)
+        // data row whose text equals the header line survives).
+        // localCheckpoint pins the rid assignment: the probe job and
+        // the final filter job MUST see the same physical row order,
+        // which a nondeterministic upstream (post-shuffle) would not
+        // otherwise guarantee — same hazard + fix as increment-variable
+        // (RowOps). header=false recipes (the common at-scale path)
+        // never build withId and pay nothing.
         val rid = "__graft_hdr_rid"
-        lazy val withId = df.withColumn(rid, monotonically_increasing_id())
+        lazy val withId =
+          df.withColumn(rid, monotonically_increasing_id()).localCheckpoint()
         val firstProbe =
           if (header) withId.select(col(rid), col(c).cast(StringType))
             .limit(1).collect().headOption.filter(!_.isNullAt(1))

@@ -363,11 +363,13 @@ class LlmSpec extends SparkSpec {
     assert(repetitionRatios("a b a b a b") == (0.0, 0.5))
     assert(repetitionRatios("") == (0.0, 0.0))
     assert(repetitionRatios(null) == (0.0, 0.0))
-    val d = df("t STRING", Seq(Row("l1\nl1\nl2"), Row("a b c d")))
+    val d = df("t STRING", Seq(Row("l1\nl1\nl2"), Row("a b c d"), Row(null)))
     val out = wrangle("repetition-ratio :t", d)
       .select("t_dup_line_ratio", "t_dup_3gram_ratio").collect()
     assert(out(0).getDouble(0) > 0.3 && out(0).getDouble(0) < 0.34)
     assert(out(1).getDouble(0) == 0.0 && out(1).getDouble(1) == 0.0)
+    // null text -> (0.0, 0.0), matching the kernel and the DuckDB oracle
+    assert(out(2).getDouble(0) == 0.0 && out(2).getDouble(1) == 0.0)
   }
 
   test("connected-components dedup collapses transitive chains") {

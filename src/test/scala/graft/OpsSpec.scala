@@ -339,6 +339,18 @@ class OpsSpec extends SparkSpec {
     val out = wrangle("json-path :j :out '$.a[?(@.m.x >= 5)].m.x'", d)
       .select("out").head().getString(0)
     assert(out == "[5,8]")
+    // namespaced keys: a bare colon in a dotted name must NOT route to
+    // the interpreter (get_json_object handles it natively)…
+    assert(!needsLite("$.soap:Envelope.soap:Body"))
+    val ns = """{"soap:Envelope":{"soap:Body":{"v":7}},"a":[{"x-y":1},{"x-y":2}]}"""
+    val nsd = df("j STRING", Seq(Row(ns)))
+    assert(wrangle("json-path :j :out '$.soap:Envelope.soap:Body.v'", nsd)
+      .select("out").head().getString(0) == "7")
+    // …and the interpreter accepts ':' / '-' names when it IS needed
+    assert(jp(ns, "$..soap:Body") == """{"v":7}""")
+    assert(jp(ns, "$.a[*].x-y") == "[1,2]")
+    // a quoted bracket field containing a comma is ONE field, not a union
+    assert(jp("""{"a,b":3}""", "$['a,b']") == "3")
   }
 
 }
