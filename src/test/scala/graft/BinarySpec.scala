@@ -276,6 +276,34 @@ class BinarySpec extends SparkSpec {
 
 /** Hand-rolled [MS-CFB] + [MS-XLS] BIFF8 fixture writer (test-only). */
 object XlsFixture {
+
+  /** Generic grid → BIFF8 workbook: strings as inline LABELs, numbers
+    * as NUMBER records (for the round-trip property test). */
+  def biffFromGrid(rows: Seq[Seq[Any]]): Array[Byte] = {
+    val cells = new java.io.ByteArrayOutputStream()
+    rows.zipWithIndex.foreach { case (cols, ri) =>
+      cols.zipWithIndex.foreach {
+        case (s: String, ci) =>
+          val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+          cells.write(rec(0x0204, u16(ri) ++ u16(ci) ++ u16(0) ++
+            u16(s.length) ++ Array(1.toByte) ++ b)) // uncompressed utf-16
+        case (d: Double, ci) =>
+          cells.write(rec(0x0203, u16(ri) ++ u16(ci) ++ u16(0) ++ dbl(d)))
+        case (other, ci) =>
+          throw new IllegalArgumentException(s"unsupported cell $other at $ci")
+      }
+    }
+    val sheet =
+      rec(0x0809, u16(0x0600) ++ u16(0x0010) ++ u32(0) ++ u32(0)) ++
+        cells.toByteArray ++ rec(0x000A, Array.empty)
+    def globals(sheetPos: Int) =
+      rec(0x0809, u16(0x0600) ++ u16(0x0005) ++ u32(0) ++ u32(0)) ++
+        rec(0x0085, u32(sheetPos) ++ u16(0) ++
+          Array(6.toByte, 0.toByte) ++ ascii("Sheet1")) ++
+        rec(0x000A, Array.empty)
+    val gLen = globals(0).length
+    globals(gLen) ++ sheet
+  }
   private def u16(v: Int): Array[Byte] =
     Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
   private def u32(v: Int): Array[Byte] =

@@ -59,6 +59,32 @@ class RobustnessSpec extends AnyFunSuite {
         graft.ops.Hl7.parse(s); true
       }
     }
+    // property round-trip: arbitrary grids written as BIFF8 by the
+    // spec-derived test writer read back identically through BOTH
+    // storage paths (regular sectors and mini stream)
+    check("xls-roundtrip") {
+      val cellGen: Gen[Any] = Gen.oneOf(
+        Gen.choose(-1000000.0, 1000000.0).map(d => d: Any),
+        Gen.choose(-500, 500).map(_.toDouble: Any),
+        Gen.listOfN(8, Gen.choose(32.toChar, 126.toChar))
+          .map(_.mkString: Any))
+      val rowGen = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, cellGen))
+      val gridGen = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, rowGen))
+      Prop.forAll(gridGen) { g =>
+        val wb = XlsFixture.biffFromGrid(g)
+        val expected = g.map(_.map {
+          case s: String => s
+          case d: Double =>
+            if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString
+            else d.toString
+        })
+        val reg = graft.ops.Xlsx.parse(XlsFixture.cfbRegular(wb), "0")
+          .map(_.cells.toList)
+        val mini = graft.ops.Xlsx.parse(XlsFixture.cfbMini(wb), "0")
+          .map(_.cells.toList)
+        reg == expected && mini == expected
+      }
+    }
     // a corrupt OLE2 container (valid magic, garbage body) must
     // terminate (chain-loop guards) and either yield zero rows or the
     // one deliberate legacy-BIFF error — never hang or leak an
