@@ -459,6 +459,82 @@ object Udfs {
 
   private val wsRun = java.util.regex.Pattern.compile("\\s+")
 
+  // ---- text-analysis kernels -------------------------------------------
+  // lang-id / quality-score / token-count are the per-row hot path of a
+  // curation run; their Column formulations lean on filter()/aggregate()
+  // HOFs, which are CodegenFallback. Same trade as the dedup kernels:
+  // tight JVM loops, with LlmSpec asserting value parity against the
+  // Column versions (incl. null/empty/punctuation edges).
+
+  private lazy val langTables: Seq[(String, java.util.HashSet[String])] =
+    graft.llm.TextAnalysis.stopwords.toSeq.sortBy(_._1).map {
+      case (l, ws) =>
+        val s = new java.util.HashSet[String]()
+        ws.foreach(s.add)
+        (l, s)
+    }
+
+  /** Whitespace tokens, empties dropped (shared token definition). */
+  private def wsTokens(text: String): Array[String] =
+    wsRun.split(text).filter(_.nonEmpty)
+
+  def tokenCountKernel(text: String): Integer =
+    if (text == null) null else Integer.valueOf(wsTokens(text).length)
+
+  /** Argmax over per-language stopword hits on lowercased tokens;
+    * alphabetical tie-break; no hits (or null) → "und" — exactly the
+    * Column version's semantics. */
+  def langIdKernel(text: String): String = {
+    if (text == null) return "und"
+    // Locale.ROOT: Spark's lower() is locale-independent — a tr_TR
+    // default locale would otherwise dot-shift 'I' and break parity
+    val toks = wsTokens(text.toLowerCase(java.util.Locale.ROOT))
+    var bestLang = "und"
+    var best = 0
+    langTables.foreach { case (l, set) =>
+      var hits = 0
+      var i = 0
+      while (i < toks.length) { if (set.contains(toks(i))) hits += 1; i += 1 }
+      if (hits > best) { best = hits; bestLang = l } // '>' keeps first at tie
+    }
+    bestLang
+  }
+
+  /** Composite quality score — same factors, thresholds and HALF_UP
+    * 4-digit rounding as the Column version / DuckDB oracle. */
+  def qualityScoreKernel(text: String): java.lang.Double = {
+    // null text: every null comparison in the Column/oracle version
+    // falls through to its otherwise() factor → 0.3·0.5·0.5·0.7
+    if (text == null) return java.lang.Double.valueOf(0.0525)
+    val n = math.max(text.length, 1).toDouble
+    val toks = wsTokens(text)
+    val nTok = toks.length
+    var punct = 0; var digit = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c >= '0' && c <= '9') digit += 1
+      else if (c >= '!' && c <= '~' && !Character.isLetterOrDigit(c)) punct += 1
+      i += 1
+    }
+    val en = langTables.find(_._1 == "en").get._2
+    var sw = 0
+    val lower = wsTokens(text.toLowerCase(java.util.Locale.ROOT))
+    i = 0
+    while (i < lower.length) { if (en.contains(lower(i))) sw += 1; i += 1 }
+    val lenOk = if (nTok >= 5 && nTok <= 100000) 1.0 else 0.3
+    val punctOk = if (punct / n < 0.2) 1.0 else 0.5
+    val digitOk = if (digit / n < 0.3) 1.0 else 0.5
+    val swRatio = if (nTok > 0) sw.toDouble / nTok else 0.0
+    val swOk = if (swRatio > 0.05) 1.0 else 0.7
+    java.lang.Double.valueOf(
+      math.floor(lenOk * punctOk * digitOk * swOk * 1e4 + 0.5) / 1e4)
+  }
+
+  val tokenCountUdf: UserDefinedFunction = udf(tokenCountKernel _)
+  val langIdUdf: UserDefinedFunction = udf(langIdKernel _)
+  val qualityScoreUdf: UserDefinedFunction = udf(qualityScoreKernel _)
+
   /** Gopher-style within-document repetition signals: duplicate-line
     * fraction and duplicate word-3-gram fraction. A JVM kernel, not
     * Catalyst HOFs (CodegenFallback — see the island note above). The

@@ -5,14 +5,24 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Text analysis for training-data curation: token counting, language
-  * ID, quality scoring, document fingerprinting. All native Column
-  * expressions (codegen'd, pushdown-safe) — designed to run in the same
-  * projection as the rest of a cleaning recipe.
+  * ID, quality scoring, PII redaction, document fingerprinting.
+  * Redaction and fingerprinting are native Column expressions; the
+  * per-row token/language/quality analyses are JVM kernels (their
+  * Column formulations need filter()/aggregate() HOFs, which are
+  * CodegenFallback — interpreted per element; the kernels measured
+  * ~5-40× faster and LlmSpec asserts value parity). All run in the
+  * same projection as the rest of a cleaning recipe.
   */
 object TextAnalysis {
 
-  /** Whitespace token count (0 for empty/null-ish text). */
+  /** Whitespace token count (0 for empty/null-ish text). JVM kernel —
+    * the filter() HOF is CodegenFallback (see Udfs kernel island);
+    * [[tokenCountColumns]] keeps the Column formulation for the
+    * parity test. */
   def tokenCount(text: Column): Column =
+    graft.functions.Udfs.tokenCountUdf(text)
+
+  private[graft] def tokenCountColumns(text: Column): Column =
     size(filter(split(text, "\\s+"), t => length(t) > 0))
 
   /** BPE-ish subword count: alphanumeric runs + single non-space
@@ -44,9 +54,14 @@ object TextAnalysis {
   }
 
   /** Heuristic language id: argmax over per-language stopword hit
-    * counts; 'und' (undetermined) when nothing matches.
+    * counts; 'und' (undetermined) when nothing matches. JVM kernel
+    * (one tokenize + 4 set probes per row vs 4 interpreted HOF
+    * chains); [[langIdColumns]] keeps the Column formulation for the
+    * parity test.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = graft.functions.Udfs.langIdUdf(text)
+
+  private[graft] def langIdColumns(text: Column): Column = {
     val scores = stopwords.keys.toSeq.sorted.map(l => (l, stopwordHits(text, l)))
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldLeft(lit("und")) { case (acc, (l, s)) =>
@@ -80,9 +95,14 @@ object TextAnalysis {
   }
 
   /** Composite quality score in [0,1]: penalizes extreme lengths, high
-    * punctuation/digit density, missing stopwords.
+    * punctuation/digit density, missing stopwords. JVM kernel (same
+    * factors/thresholds/HALF_UP rounding); [[qualityScoreColumns]]
+    * keeps the Column formulation for the parity test.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    graft.functions.Udfs.qualityScoreUdf(text)
+
+  private[graft] def qualityScoreColumns(text: Column): Column = {
     val f = qualityFeatures(text).toMap
     val lenOk = when(f("n_tokens") >= 5 && f("n_tokens") <= 100000, 1.0)
       .otherwise(0.3)

@@ -323,6 +323,31 @@ class LlmSpec extends SparkSpec {
   }
 
 
+  test("text-analysis kernels match their Column formulations exactly") {
+    import graft.llm.TextAnalysis._
+    val samples = Seq(
+      "the quick brown fox and the lazy dog of it",
+      "der hund und die katze sind nicht im haus",
+      "le chat est dans la maison pour le moment",
+      "el perro y el gato en la casa con su amigo",
+      "", "   ", "a", "1 2 3 4 5 6 7 8 9",
+      "!!! ??? ... ;;; ::: ~~~ ((( )))",
+      "MiXeD CaSe The OF And TO in IS that",
+      "word " * 200, "x\ty\nz  w", null)
+    val d = df("t STRING", samples.map(Row(_)))
+    val both = d.select(
+      langId(col("t")).as("k_lang"), langIdColumns(col("t")).as("c_lang"),
+      tokenCount(col("t")).as("k_tok"), tokenCountColumns(col("t")).as("c_tok"),
+      qualityScore(col("t")).as("k_q"), qualityScoreColumns(col("t")).as("c_q"))
+      .collect()
+    both.zip(samples).foreach { case (r, s) =>
+      val tag = Option(s).map(_.take(20)).getOrElse("NULL")
+      assert(r.get(0) == r.get(1), s"langId mismatch on '$tag': ${r.get(0)} vs ${r.get(1)}")
+      assert(r.get(2) == r.get(3), s"tokenCount mismatch on '$tag': ${r.get(2)} vs ${r.get(3)}")
+      assert(r.get(4) == r.get(5), s"quality mismatch on '$tag': ${r.get(4)} vs ${r.get(5)}")
+    }
+  }
+
   test("dedup-simhash and dedup-embedding directives wire to the library") {
     val d = df("id BIGINT, t STRING", Seq(
       Row(1L, "the quick brown fox jumps over the lazy dog"),
