@@ -474,6 +474,10 @@ object Udfs {
         (l, s)
     }
 
+  // hoisted: one lookup per JVM, not one linear scan per row
+  private lazy val enStopwords: java.util.HashSet[String] =
+    langTables.find(_._1 == "en").get._2
+
   /** Whitespace tokens, empties dropped (shared token definition). */
   private def wsTokens(text: String): Array[String] =
     wsRun.split(text).filter(_.nonEmpty)
@@ -506,7 +510,10 @@ object Udfs {
     // null text: every null comparison in the Column/oracle version
     // falls through to its otherwise() factor → 0.3·0.5·0.5·0.7
     if (text == null) return java.lang.Double.valueOf(0.0525)
-    val n = math.max(text.length, 1).toDouble
+    // denominator counts CODEPOINTS — Spark length() and DuckDB len()
+    // both do; UTF-16 units would double-count astral chars (emoji)
+    // and silently shift the ratios off the oracle
+    val n = math.max(text.codePointCount(0, text.length), 1).toDouble
     val toks = wsTokens(text)
     val nTok = toks.length
     var punct = 0; var digit = 0
@@ -517,7 +524,7 @@ object Udfs {
       else if (c >= '!' && c <= '~' && !Character.isLetterOrDigit(c)) punct += 1
       i += 1
     }
-    val en = langTables.find(_._1 == "en").get._2
+    val en = enStopwords
     var sw = 0
     val lower = wsTokens(text.toLowerCase(java.util.Locale.ROOT))
     i = 0

@@ -198,29 +198,9 @@ object Hl7 {
   import org.apache.spark.sql.expressions.UserDefinedFunction
   import org.apache.spark.sql.functions.udf
 
-  def parse(msg: String): Map[String, String] = {
-    if (msg == null) return Map.empty
-    val out = scala.collection.mutable.Map.empty[String, String]
-    val segCount = scala.collection.mutable.Map.empty[String, Int]
-    for (seg <- msg.split("[\\r\\n]+").iterator.map(_.trim).filter(_.nonEmpty)) {
-      val fields = seg.split("\\|", -1)
-      val segName0 = fields.head
-      val n = segCount.getOrElse(segName0, 0)
-      segCount(segName0) = n + 1
-      val segName = if (n == 0) segName0 else s"$segName0$n"
-      fields.iterator.zipWithIndex.drop(1).foreach { case (f, i) =>
-        if (f.nonEmpty) {
-          val comps = f.split("\\^", -1)
-          if (comps.length > 1) {
-            comps.iterator.zipWithIndex.filter(_._1.nonEmpty).foreach {
-              case (comp, j) => out(s"$segName.$i.${j + 1}") = comp
-            }
-          } else out(s"$segName.$i") = f
-        }
-      }
-    }
-    out.toMap
-  }
+  /** Flat SEG.field[.comp] map — thin view over [[parseBoth]] (ONE
+    * parse implementation feeds both output shapes; no drift). */
+  def parse(msg: String): Map[String, String] = parseBoth(msg)._1
 
   val parseUdf: UserDefinedFunction = udf(parse _)
 
@@ -228,12 +208,15 @@ object Hl7 {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  /** Standard HL7 v2 escape sequences (MSH-2 defaults), decoded in a
-    * single left-to-right pass — sequential String.replace would let a
-    * later pattern match across an already-consumed boundary (the
-    * legal encoding of a literal backslash-F, `\E\F\E\`, must yield
-    * `\F\`, not have its middle `\F\` re-decoded as a field separator).
-    * Unknown `\..\` sequences are kept verbatim, as HAPI does.
+  /** Standard HL7 v2 escape sequences (MSH-2 defaults), decoded by
+    * HAPI's delimiter-pairing rule: a backslash OPENS a sequence whose
+    * body runs to the NEXT backslash; known bodies decode, unknown
+    * bodies (z-escapes `\Zfoo\`, hex `\Xdd\`) are kept verbatim
+    * INCLUDING both delimiters, and the scan resumes AFTER the closing
+    * one — so neither a decoded `\E\` nor an unknown sequence's closing
+    * backslash can seed a phantom match (sequential String.replace got
+    * `\E\F\E\` wrong; a 1-char-advance scan got `\Zfoo\F\` wrong).
+    * An unpaired trailing backslash passes through verbatim.
     */
   private def unescape(s: String): String = {
     if (s.indexOf('\\') < 0) return s
@@ -241,16 +224,22 @@ object Hl7 {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\\' && i + 2 < s.length && s.charAt(i + 2) == '\\') {
-        s.charAt(i + 1) match {
-          case 'F' => sb.append('|'); i += 3
-          case 'S' => sb.append('^'); i += 3
-          case 'T' => sb.append('&'); i += 3
-          case 'R' => sb.append('~'); i += 3
-          case 'E' => sb.append('\\'); i += 3
-          case _   => sb.append(c); i += 1
+      if (c != '\\') { sb.append(c); i += 1 }
+      else {
+        val close = s.indexOf('\\', i + 1)
+        if (close < 0) { sb.append(s, i, s.length); i = s.length }
+        else {
+          s.substring(i + 1, close) match {
+            case "F" => sb.append('|')
+            case "S" => sb.append('^')
+            case "T" => sb.append('&')
+            case "R" => sb.append('~')
+            case "E" => sb.append('\\')
+            case _   => sb.append(s, i, close + 1) // unknown: verbatim
+          }
+          i = close + 1
         }
-      } else { sb.append(c); i += 1 }
+      }
     }
     sb.toString
   }
@@ -303,12 +292,39 @@ object Hl7 {
     * sequences (\F\ \S\ \T\ \R\ \E\) are decoded at the leaves.
     * Navigate the result with json-path: `$.OBX[1]['5']`.
     */
-  def parseNested(msg: String): String = {
-    if (msg == null) return null
+  def parseNested(msg: String): String = parseBoth(msg)._2
+
+  val parseNestedUdf: UserDefinedFunction = udf(parseNested _)
+
+  /** THE parse implementation: one segment/field split feeds both the
+    * flat `SEG.field[.comp]` map (raw values, repeat-suffixed segment
+    * names) and the full-depth nested JSON (repeated segments as
+    * arrays, `~`/`^`/`&` depth, escapes decoded). `parse` and
+    * `parseNested` are views over this — one code path, no drift.
+    */
+  def parseBoth(msg: String): (Map[String, String], String) = {
+    if (msg == null) return (Map.empty, null)
+    val flat = scala.collection.mutable.Map.empty[String, String]
+    val segCount = scala.collection.mutable.Map.empty[String, Int]
     val segments = mapper.createObjectNode()
     for (seg <- msg.split("[\\r\\n]+").iterator.map(_.trim).filter(_.nonEmpty)) {
       val fields = seg.split("\\|", -1)
       val segName = fields.head
+      // ---- flat view: repeat-suffixed name, raw ^-components --------
+      val n = segCount.getOrElse(segName, 0)
+      segCount(segName) = n + 1
+      val flatName = if (n == 0) segName else s"$segName$n"
+      fields.iterator.zipWithIndex.drop(1).foreach { case (f, i) =>
+        if (f.nonEmpty) {
+          val comps = f.split("\\^", -1)
+          if (comps.length > 1) {
+            comps.iterator.zipWithIndex.filter(_._1.nonEmpty).foreach {
+              case (comp, j) => flat(s"$flatName.$i.${j + 1}") = comp
+            }
+          } else flat(s"$flatName.$i") = f
+        }
+      }
+      // ---- nested view: full depth from the same field array --------
       val segObj = mapper.createObjectNode()
       if (segName == "MSH") {
         segObj.put("1", "|")
@@ -339,15 +355,11 @@ object Hl7 {
           segments.set[com.fasterxml.jackson.databind.JsonNode](segName, a)
       }
     }
-    mapper.writeValueAsString(segments)
+    (flat.toMap, mapper.writeValueAsString(segments))
   }
 
-  val parseNestedUdf: UserDefinedFunction = udf(parseNested _)
-
-  /** Flat map + nested JSON from one UDF call (one serialization
-    * round per row instead of two). */
-  val parseBothUdf: UserDefinedFunction =
-    udf((msg: String) => (parse(msg), parseNested(msg)))
+  /** Flat map + nested JSON from one shared parse per row. */
+  val parseBothUdf: UserDefinedFunction = udf(parseBoth _)
 }
 
 /** Avro object-container file → JSON strings (one per record). */

@@ -87,10 +87,14 @@ class BinarySpec extends SparkSpec {
     assert(jp("$.OBX[0].6") == "mg&dL")
     // adjacency: \E\F\E\ encodes a literal "\F\" — a later pattern
     // must not re-decode across the consumed \E\ boundary
-    val esc = df("m STRING", Seq(Row("MSH|^~\\&|S\rOBX|1|TX|N||\\E\\F\\E\\|u")))
+    val esc = df("m STRING", Seq(Row("MSH|^~\\&|S\rOBX|1|TX|N||\\E\\F\\E\\|u" +
+      "\rOBX|2|TX|Z||\\Zfoo\\F\\")))
     val js2 = wrangle("parse-as-hl7 :m", esc)
       .select("m_hl7_json").head().getString(0)
-    assert(graft.functions.JsonPathLite.eval(js2, "$.OBX.5") == "\\F\\")
+    assert(graft.functions.JsonPathLite.eval(js2, "$.OBX[0].5") == "\\F\\")
+    // unknown z-escape: kept verbatim INCLUDING delimiters, and its
+    // closing backslash must not seed a phantom \F\ decode
+    assert(graft.functions.JsonPathLite.eval(js2, "$.OBX[1].5") == "\\Zfoo\\F\\")
     // single segment stays an object, not a 1-element array
     assert(jp("$.PID.5.1") == "Jones")
   }

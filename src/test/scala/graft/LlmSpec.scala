@@ -333,7 +333,10 @@ class LlmSpec extends SparkSpec {
       "", "   ", "a", "1 2 3 4 5 6 7 8 9",
       "!!! ??? ... ;;; ::: ~~~ ((( )))",
       "MiXeD CaSe The OF And TO in IS that",
-      "word " * 200, "x\ty\nz  w", null)
+      "word " * 200, "x\ty\nz  w", null,
+      // astral chars: length() counts CODEPOINTS — 2 punct over 10
+      // codepoints sits exactly on the 0.2 punct threshold
+      "!!" + "😀" * 8)
     val d = df("t STRING", samples.map(Row(_)))
     val both = d.select(
       langId(col("t")).as("k_lang"), langIdColumns(col("t")).as("c_lang"),
