@@ -5,8 +5,8 @@ import org.apache.spark.sql.SparkSession
 object GenSamplerFixtures {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val spark = SparkSession.builder().master(sys.env.getOrElse("GEN_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("GEN_SHUF", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
