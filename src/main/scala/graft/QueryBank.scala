@@ -367,6 +367,45 @@ object QueryBank {
       (s, d) => r("quality-score :text; keep :doc_id,:text_quality")(docs(s, d)),
       qualityScoreSql),
 
+    ("ltrim_rtrim",
+      // pad both sides, then one-sided trims: ltrim must keep the
+      // trailing pad and rtrim the leading one (DuckDB mirrors with an
+      // explicit space+tab trim set)
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = cust(s, d).select(col("c_custkey"),
+          concat(lit("  \t"), col("c_name"), lit("\t  ")).as("l"),
+          concat(lit("  \t"), col("c_name"), lit("\t  ")).as("r"))
+        r("ltrim :l; rtrim :r; keep :c_custkey,:l,:r")(base)
+      },
+      """SELECT c_custkey,
+        | c_name || chr(9) || '  ' AS l,
+        | '  ' || chr(9) || c_name AS r
+        |FROM customer""".stripMargin),
+
+    ("lineage_static",
+      // static field lineage of a parsed recipe: the real parser +
+      // Lineage analyzer vs a pinned expectation (fixture-oracle)
+      (s, d) => {
+        val specs = Wrangle.specs(
+          "rename :a :b; set-column :c exp:{ b + 1 }; drop :d; merge :b :c :e ' '")
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(graft.session.Lineage.toRows(specs).map {
+            case (a, b2, c0, d0) => org.apache.spark.sql.Row(a, b2, c0, d0)
+          }: _*)
+        import org.apache.spark.sql.types._
+        s.createDataFrame(rows, StructType(Seq(
+          StructField("directive", StringType), StructField("relation", StringType),
+          StructField("col_name", StringType), StructField("detail", StringType))))
+      },
+      lineageSql),
+
+    ("source_autodetect",
+      // format auto-detection + read through the Sources entry point
+      (s, d) => graft.sources.Sources.auto(s, s"$d/nation.parquet")
+        .select("n_nationkey", "n_name"),
+      "SELECT n_nationkey, n_name FROM nation"),
+
     ("redact_pii",
       // every pattern type fires once per row; the oracle is the
       // expected literal with typed placeholders — DuckDB never runs
@@ -1051,6 +1090,15 @@ object QueryBank {
   /** DuckDB rendering of Dedup.normalized (regexp flags differ). */
   private def normSql(c: String): String =
     s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+
+  private lazy val lineageSql: String =
+    """SELECT * FROM (VALUES
+      | ('rename', 'rename', 'a', 'b'),
+      | ('set-column', 'create', 'c', ''),
+      | ('drop', 'drop', 'd', ''),
+      | ('merge', 'read', 'b', ''),
+      | ('merge', 'read', 'c', ''),
+      | ('merge', 'create', 'e', '')) t(directive, relation, col_name, detail)""".stripMargin
 
   /** DuckDB recomputation of Udfs.repetitionRatios with list
     * functions: same line/trigram definitions, same half-up 1e-6
