@@ -102,6 +102,14 @@ object QueryBank {
       (s, d) => r("send-to-error exp:{ o_totalprice > 150000 }; keep :o_orderkey,:o_totalprice")(ord(s, d)),
       "SELECT o_orderkey, o_totalprice FROM orders WHERE NOT (o_totalprice > 150000)"),
 
+    ("on_error_skip",
+      // the plugin-level on-error=skip policy through the full
+      // Wrangle.run lifecycle: errored rows silently dropped
+      (s, d) => Wrangle.recipe(
+        "send-to-error exp:{ o_totalprice > 150000 }; keep :o_orderkey,:o_totalprice")
+        .run(ord(s, d)).onError("skip"),
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE NOT (o_totalprice > 150000)"),
+
     // ---- §2.5 string transforms ------------------------------------
     ("uppercase",
       (s, d) => r("uppercase :c_mktsegment; lowercase :c_name; titlecase :c_name; keep :c_custkey,:c_name,:c_mktsegment")(cust(s, d)),
