@@ -110,6 +110,19 @@ object QueryBank {
         .run(ord(s, d)).onError("skip"),
       "SELECT o_orderkey, o_totalprice FROM orders WHERE NOT (o_totalprice > 150000)"),
 
+    ("error_port_rows",
+      // the ERROR branch's content: each errored row is serialized to
+      // json on the side channel — extract the key back out and let
+      // DuckDB recompute which rows must have errored
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        Wrangle.recipe("send-to-error exp:{ o_totalprice > 150000 }")
+          .run(ord(s, d)).errors
+          .select(get_json_object(col("row"), "$.o_orderkey")
+            .cast("bigint").as("o_orderkey"))
+      },
+      "SELECT o_orderkey FROM orders WHERE o_totalprice > 150000"),
+
     // ---- §2.5 string transforms ------------------------------------
     ("uppercase",
       (s, d) => r("uppercase :c_mktsegment; lowercase :c_name; titlecase :c_name; keep :c_custkey,:c_name,:c_mktsegment")(cust(s, d)),
@@ -395,16 +408,11 @@ object QueryBank {
       // static field lineage of a parsed recipe: the real parser +
       // Lineage analyzer vs a pinned expectation (fixture-oracle)
       (s, d) => {
+        import s.implicits._
         val specs = Wrangle.specs(
           "rename :a :b; set-column :c exp:{ b + 1 }; drop :d; merge :b :c :e ' '")
-        val rows: java.util.List[org.apache.spark.sql.Row] =
-          java.util.Arrays.asList(graft.session.Lineage.toRows(specs).map {
-            case (a, b2, c0, d0) => org.apache.spark.sql.Row(a, b2, c0, d0)
-          }: _*)
-        import org.apache.spark.sql.types._
-        s.createDataFrame(rows, StructType(Seq(
-          StructField("directive", StringType), StructField("relation", StringType),
-          StructField("col_name", StringType), StructField("detail", StringType))))
+        graft.session.Lineage.toRows(specs)
+          .toDF("directive", "relation", "col_name", "detail")
       },
       lineageSql),
 

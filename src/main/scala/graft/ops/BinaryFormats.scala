@@ -198,9 +198,15 @@ object Hl7 {
   import org.apache.spark.sql.expressions.UserDefinedFunction
   import org.apache.spark.sql.functions.udf
 
-  /** Flat SEG.field[.comp] map — thin view over [[parseBoth]] (ONE
-    * parse implementation feeds both output shapes; no drift). */
-  def parse(msg: String): Map[String, String] = parseBoth(msg)._1
+  /** Flat SEG.field[.comp] map — thin view over the shared core (ONE
+    * parse implementation feeds both output shapes; no drift). NOTE:
+    * flat MSH numbering counts pipe-separated values positionally
+    * (MSH.1 = sending app), one off from the standard's MSH-1 = the
+    * field separator itself — the NESTED json follows the standard
+    * ("1" = "|", "9" = message type). Kept as shipped: recipes in the
+    * battery rely on the positional flat form. */
+  def parse(msg: String): Map[String, String] =
+    parseInto(msg, wantFlat = true, wantNested = false)._1
 
   val parseUdf: UserDefinedFunction = udf(parse _)
 
@@ -292,7 +298,8 @@ object Hl7 {
     * sequences (\F\ \S\ \T\ \R\ \E\) are decoded at the leaves.
     * Navigate the result with json-path: `$.OBX[1]['5']`.
     */
-  def parseNested(msg: String): String = parseBoth(msg)._2
+  def parseNested(msg: String): String =
+    parseInto(msg, wantFlat = false, wantNested = true)._2
 
   val parseNestedUdf: UserDefinedFunction = udf(parseNested _)
 
@@ -302,7 +309,11 @@ object Hl7 {
     * arrays, `~`/`^`/`&` depth, escapes decoded). `parse` and
     * `parseNested` are views over this — one code path, no drift.
     */
-  def parseBoth(msg: String): (Map[String, String], String) = {
+  def parseBoth(msg: String): (Map[String, String], String) =
+    parseInto(msg, wantFlat = true, wantNested = true)
+
+  private def parseInto(msg: String, wantFlat: Boolean,
+      wantNested: Boolean): (Map[String, String], String) = {
     if (msg == null) return (Map.empty, null)
     val flat = scala.collection.mutable.Map.empty[String, String]
     val segCount = scala.collection.mutable.Map.empty[String, Int]
@@ -311,20 +322,23 @@ object Hl7 {
       val fields = seg.split("\\|", -1)
       val segName = fields.head
       // ---- flat view: repeat-suffixed name, raw ^-components --------
-      val n = segCount.getOrElse(segName, 0)
-      segCount(segName) = n + 1
-      val flatName = if (n == 0) segName else s"$segName$n"
-      fields.iterator.zipWithIndex.drop(1).foreach { case (f, i) =>
-        if (f.nonEmpty) {
-          val comps = f.split("\\^", -1)
-          if (comps.length > 1) {
-            comps.iterator.zipWithIndex.filter(_._1.nonEmpty).foreach {
-              case (comp, j) => flat(s"$flatName.$i.${j + 1}") = comp
-            }
-          } else flat(s"$flatName.$i") = f
+      if (wantFlat) {
+        val n = segCount.getOrElse(segName, 0)
+        segCount(segName) = n + 1
+        val flatName = if (n == 0) segName else s"$segName$n"
+        fields.iterator.zipWithIndex.drop(1).foreach { case (f, i) =>
+          if (f.nonEmpty) {
+            val comps = f.split("\\^", -1)
+            if (comps.length > 1) {
+              comps.iterator.zipWithIndex.filter(_._1.nonEmpty).foreach {
+                case (comp, j) => flat(s"$flatName.$i.${j + 1}") = comp
+              }
+            } else flat(s"$flatName.$i") = f
+          }
         }
       }
       // ---- nested view: full depth from the same field array --------
+      if (wantNested) {
       val segObj = mapper.createObjectNode()
       if (segName == "MSH") {
         segObj.put("1", "|")
@@ -354,8 +368,10 @@ object Hl7 {
           a.add(prev); a.add(segObj)
           segments.set[com.fasterxml.jackson.databind.JsonNode](segName, a)
       }
+      }
     }
-    (flat.toMap, mapper.writeValueAsString(segments))
+    (flat.toMap,
+      if (wantNested) mapper.writeValueAsString(segments) else null)
   }
 
   /** Flat map + nested JSON from one shared parse per row. */

@@ -65,14 +65,16 @@ object ParserOps {
         // otherwise guarantee — same hazard + fix as increment-variable
         // (RowOps). header=false recipes (the common at-scale path)
         // never build withId and pay nothing.
-        // LAZY checkpoint: each partition's rids freeze the first time
-        // that partition is computed (the probe only computes+stores
-        // partition 0; a first-row-is-data recipe abandons just that
-        // one partition) — an eager one would materialize the whole
-        // input per recipe compile even when no header is detected
+        // NOTE: localCheckpoint materializes the whole input on the
+        // probe's first job either way (LocalRDDCheckpointData fills in
+        // ALL missing partitions when it finalizes) — that one full
+        // pass is the price of a deterministic header drop under a
+        // nondeterministic upstream, and header=true recipes read the
+        // data anyway. header=false (the at-scale path) never builds
+        // withId and pays nothing.
         val rid = "__graft_hdr_rid"
         lazy val withId = df.withColumn(rid, monotonically_increasing_id())
-          .localCheckpoint(eager = false)
+          .localCheckpoint()
         val firstProbe =
           if (header) withId.select(col(rid), col(c).cast(StringType))
             .limit(1).collect().headOption.filter(!_.isNullAt(1))

@@ -11,7 +11,11 @@ object GenSamplerFixtures {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val cust = spark.read.parquet(s"$dir/customer.parquet")
-    println("parts=" + cust.rdd.getNumPartitions)
+    println("parts=" + cust.rdd.getNumPartitions +
+      " master=" + spark.sparkContext.master +
+      " shuffle=" + spark.conf.get("spark.sql.shuffle.partitions") +
+      " (pinned oracles were generated with the defaults — a non-default" +
+      " override changes the fixtures!)")
     val b = graft.session.Sampler.bernoulli(cust, 0.05, seed = 7L)
       .select("c_custkey").collect().map(_.getLong(0)).sorted
     println("BERNOULLI(" + b.length + "): " + b.mkString(","))
