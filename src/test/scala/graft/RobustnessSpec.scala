@@ -99,6 +99,26 @@ class RobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("JsonPathLite.eval never throws and terminates on arbitrary paths") {
+    import graft.functions.JsonPathLite
+    val json = """{"a":[{"b":1},{"b":2}],"c":{"d":"x"},"e:f":3,"g-h":[1,2,3]}"""
+    check("jsonpath-paths") {
+      Prop.forAll(Gen.listOf(Gen.oneOf(
+        Gen.const("$"), Gen.const("."), Gen.const(".."), Gen.const("["),
+        Gen.const("]"), Gen.const("[*]"), Gen.const("[?(@.b>1)]"),
+        Gen.const("[1:3]"), Gen.const("[-1]"), Gen.const("['a','b']"),
+        Gen.const("a"), Gen.const(":"), Gen.const("'"), Gen.const("&&"),
+        Gen.const("||"), Gen.asciiPrintableChar.map(_.toString)))) { parts =>
+        JsonPathLite.eval(json, "$" + parts.mkString); true // null or value, no throw
+      }
+    }
+    check("jsonpath-json") {
+      Prop.forAll(Gen.asciiPrintableStr) { j =>
+        JsonPathLite.eval(j, "$.a[?(@.b > 1)].b[1:3]"); true
+      }
+    }
+  }
+
   test("recipe tokenizer terminates with at worst a RecipeException") {
     val recipeish = Gen.listOf(Gen.frequency(
       (5, Gen.alphaNumChar),
