@@ -59,22 +59,24 @@ object ParserOps {
         // limit(1) probe fetches both its rid and its text — never a
         // full scan (the rid identifies the exact row to drop, so a
         // data row whose text equals the header line survives).
-        // localCheckpoint pins the rid assignment: the probe job and
-        // the final filter job MUST see the same physical row order,
-        // which a nondeterministic upstream (post-shuffle) would not
-        // otherwise guarantee — same hazard + fix as increment-variable
-        // (RowOps). header=false recipes (the common at-scale path)
-        // never build withId and pay nothing.
-        // NOTE: localCheckpoint materializes the whole input on the
-        // probe's first job either way (LocalRDDCheckpointData fills in
-        // ALL missing partitions when it finalizes) — that one full
-        // pass is the price of a deterministic header drop under a
-        // nondeterministic upstream, and header=true recipes read the
-        // data anyway. header=false (the at-scale path) never builds
-        // withId and pays nothing.
+        // The probe job and the final filter job MUST see the same
+        // physical row→rid assignment. When the upstream plan's layout
+        // is stable across re-evaluation (file scan + narrow
+        // deterministic ops — PlanStability), both jobs re-derive the
+        // identical assignment and NOTHING is materialized: the probe
+        // reads one split and the directive streams at any scale. Only
+        // an unstable upstream (post-shuffle, sample, nondeterministic
+        // expression) needs the pin; there localCheckpoint materializes
+        // the whole input once (LocalRDDCheckpointData finalization
+        // fills all partitions) — the price of a deterministic header
+        // drop over a nondeterministic plan. header=false recipes (the
+        // common at-scale path) never build withId and pay nothing.
         val rid = "__graft_hdr_rid"
-        lazy val withId = df.withColumn(rid, monotonically_increasing_id())
-          .localCheckpoint()
+        lazy val withId = {
+          val tagged = df.withColumn(rid, monotonically_increasing_id())
+          if (PlanStability.stableLayout(df)) tagged
+          else tagged.localCheckpoint()
+        }
         val firstProbe =
           if (header) withId.select(col(rid), col(c).cast(StringType))
             .limit(1).collect().headOption.filter(!_.isNullAt(1))

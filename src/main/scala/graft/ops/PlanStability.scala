@@ -2,6 +2,8 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation, FileTable}
 
 /** Decides whether a DataFrame's physical row→partition layout is
   * stable across re-evaluation within one session.
@@ -36,16 +38,23 @@ object PlanStability {
   def stableLayout(df: DataFrame): Boolean =
     stable(df.queryExecution.analyzed)
 
-  private val stableLeaves = Set(
-    "LogicalRelation",        // DataSource v1 file scans (parquet/csv/…)
-    "DataSourceV2Relation",   // DataSource v2 scans
-    "DataSourceV2ScanRelation",
-    "LocalRelation",          // in-memory literal rows
-    "OneRowRelation",
-    "Range")
+  // A LogicalRelation is stable only when it wraps a HadoopFsRelation —
+  // file-split planning is a deterministic function of the file listing.
+  // It also wraps JDBCRelation and other BaseRelations whose row order
+  // across re-evaluation is NOT guaranteed; likewise DSv2 relations are
+  // stable only for file-based tables (a Kafka or JDBC v2 scan is not).
+  private def stableLeaf(leaf: LeafNode): Boolean = leaf match {
+    case lr: LogicalRelation       => lr.relation.isInstanceOf[HadoopFsRelation]
+    case r: DataSourceV2Relation   => r.table.isInstanceOf[FileTable]
+    case r: DataSourceV2ScanRelation => r.relation.table.isInstanceOf[FileTable]
+    case _: LocalRelation          => true // in-memory literal rows
+    case _: OneRowRelation         => true
+    case _: Range                  => true
+    case _                         => false
+  }
 
   private def stable(p: LogicalPlan): Boolean = p match {
-    case leaf: LeafNode => stableLeaves(leaf.getClass.getSimpleName)
+    case leaf: LeafNode => stableLeaf(leaf)
     case _: Project | _: Filter | _: Generate | _: SubqueryAlias |
          _: GlobalLimit | _: LocalLimit =>
       // GlobalLimit is stable only in the degenerate single-partition

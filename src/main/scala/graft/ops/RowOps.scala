@@ -153,13 +153,20 @@ object RowOps {
       val pidC = "__graft_iv_pid"
       val ridC = "__graft_iv_rid"
       // pid/rid are assigned by physical placement, so the partials job
-      // and the final windowed job MUST observe the same assignment —
-      // localCheckpoint pins it (a re-evaluated nondeterministic
-      // upstream, e.g. after a shuffle, could otherwise hand the two
-      // jobs different pid/rid layouts and misalign the offsets)
-      val tagged = df.withColumn(pidC, spark_partition_id())
-        .withColumn(ridC, monotonically_increasing_id())
-        .localCheckpoint()
+      // and the final windowed job MUST observe the same assignment.
+      // A stable-layout upstream (file scan + narrow deterministic ops
+      // — PlanStability) re-derives the identical assignment on every
+      // evaluation, so both jobs stream straight off the scan with no
+      // materialization. Only an unstable upstream (post-shuffle,
+      // sample, nondeterministic expression) could hand the two jobs
+      // different pid/rid layouts and misalign the offsets — there
+      // localCheckpoint pins it. (At-scale alternatives for the
+      // unstable path are documented in PERF.md.)
+      val tagged = {
+        val t = df.withColumn(pidC, spark_partition_id())
+          .withColumn(ridC, monotonically_increasing_id())
+        if (PlanStability.stableLayout(df)) t else t.localCheckpoint()
+      }
       // one row per partition — bounded driver-side work
       val partials = tagged.groupBy(col(pidC)).agg(sum(stepCol).as("s"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
