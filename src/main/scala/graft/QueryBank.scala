@@ -522,6 +522,13 @@ object QueryBank {
       (s, d) => r("set-column :log exp:{ concat('10.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] \"GET /page/', c_custkey, ' HTTP/1.0\" 200 2326') }; parse-as-log :log common; keep :c_custkey,:log_remote_host,:log_method,:log_uri,:log_status")(cust(s, d)),
       "SELECT c_custkey, '10.0.0.1' AS log_remote_host, 'GET' AS log_method, '/page/' || c_custkey AS log_uri, '200' AS log_status FROM customer"),
 
+    // arbitrary httpdlog LogFormat string → generated regex
+    ("parse_as_log_custom",
+      (s, d) => r("set-column :log exp:{ concat('web01 10.0.0.1 frank [10/Oct/2000:13:55:36 -0700] \"GET /page/', c_custkey, '?ref=2 HTTP/1.1\" 200 2326 1042 \"203.0.113.9\"') }; " +
+        "parse-as-log :log '%v %h %u %t \"%m %U%q %H\" %>s %b %D \"%{X-Forwarded-For}i\"'; " +
+        "keep :c_custkey,:log_server_name,:log_url_path,:log_query,:log_protocol,:log_response_time_micros,:log_request_header_x_forwarded_for")(cust(s, d)),
+      "SELECT c_custkey, 'web01' AS log_server_name, '/page/' || c_custkey AS log_url_path, '?ref=2' AS log_query, 'HTTP/1.1' AS log_protocol, '1042' AS log_response_time_micros, '203.0.113.9' AS log_request_header_x_forwarded_for FROM customer"),
+
     ("parse_as_date",
       (s, d) => r("copy :o_orderdate :ds; format-date :ds 'MM/dd/yyyy'; parse-as-date :ds; format-date :ds 'yyyy-MM-dd'; keep :o_orderkey,:ds")(ord(s, d)),
       "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS ds FROM orders"),

@@ -195,17 +195,30 @@ object ParserOps {
       df.withColumn(c, decode(col(c), spec.str(1)))
     }
 
-    // Apache/nginx access logs via regexp_extract for the standard
-    // common/combined formats (reference: wrangler-core
-    // directives/parser/ParseLog.java:83 — nl.basjes httpdlog)
+    // Apache/nginx access logs via regexp_extract. The stock
+    // common/combined formats use a tuned regex that also splits the
+    // request line into method+uri; any OTHER format string is treated
+    // as an Apache LogFormat %-directive string and compiled to a
+    // generated regex (HttpdLogFormat), matching the reference
+    // accepting arbitrary httpdlog formats (reference: wrangler-core
+    // directives/parser/ParseLog.java:67,83 — nl.basjes httpdlog)
     case "parse-as-log" => ColumnOps.simple(spec) { df =>
       val c = spec.col(0)
-      val re = "^(\\S+) (\\S+) (\\S+) \\[([^\\]]+)\\] \"(\\S+) (\\S+)[^\"]*\" " +
-        "(\\d{3}) (\\S+)(?: \"([^\"]*)\" \"([^\"]*)\")?.*$"
-      val fields = Seq("remote_host", "ident", "auth", "time", "method",
-        "uri", "status", "bytes", "referrer", "user_agent")
-      fields.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
-        d.withColumn(s"${c}_$f", regexp_extract(col(c), re, i + 1))
+      val fmt = spec.optStr(1).getOrElse("combined")
+      fmt.toLowerCase match {
+        case "common" | "clf" | "combined" =>
+          val re = "^(\\S+) (\\S+) (\\S+) \\[([^\\]]+)\\] \"(\\S+) (\\S+)[^\"]*\" " +
+            "(\\d{3}) (\\S+)(?: \"([^\"]*)\" \"([^\"]*)\")?.*$"
+          val fields = Seq("remote_host", "ident", "auth", "time", "method",
+            "uri", "status", "bytes", "referrer", "user_agent")
+          fields.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
+            d.withColumn(s"${c}_$f", regexp_extract(col(c), re, i + 1))
+          }
+        case _ =>
+          val (re, fields) = HttpdLogFormat.compile(fmt)
+          fields.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
+            d.withColumn(s"${c}_$f", regexp_extract(col(c), re, i + 1))
+          }
       }
     }
 

@@ -112,5 +112,30 @@ class ParserSpec extends AnyFunSuite {
     assert(spec.str(3) == "\n")
   }
 
+  test("httpd LogFormat compiles to a regex that dissects a custom line") {
+    val (re, fields) = graft.ops.HttpdLogFormat.compile(
+      "%v %h %u %t \"%m %U%q %H\" %>s %b %D \"%{X-Forwarded-For}i\" \"%{session}C\"")
+    assert(fields == Seq("server_name", "remote_host", "auth", "time",
+      "method", "url_path", "query", "protocol", "status", "bytes",
+      "response_time_micros", "request_header_x_forwarded_for"))
+    val line = "web01 10.0.0.1 frank [10/Oct/2000:13:55:36 -0700] " +
+      "\"GET /page/7?ref=2 HTTP/1.1\" 200 2326 1042 \"203.0.113.9\" \"abc=1\""
+    val m = java.util.regex.Pattern.compile(re).matcher(line)
+    assert(m.matches(), s"regex $re did not match $line")
+    val got = fields.indices.map(i => m.group(i + 1))
+    assert(got == Seq("web01", "10.0.0.1", "frank",
+      "10/Oct/2000:13:55:36 -0700", "GET", "/page/7", "?ref=2", "HTTP/1.1",
+      "200", "2326", "1042", "203.0.113.9"))
+  }
 
+  test("httpd LogFormat: %% literal, no-query %U, unquoted header") {
+    val (re, fields) = graft.ops.HttpdLogFormat.compile("%h %U%q %>s 100%% %{Referer}i")
+    assert(fields == Seq("remote_host", "url_path", "query", "status",
+      "request_header_referer"))
+    val m = java.util.regex.Pattern.compile(re)
+      .matcher("1.2.3.4 /index.html 404 100% http://x.example/a")
+    assert(m.matches())
+    assert(m.group(2) == "/index.html" && m.group(3) == "" &&
+      m.group(5) == "http://x.example/a")
+  }
 }
