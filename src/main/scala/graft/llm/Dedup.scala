@@ -45,6 +45,26 @@ object Dedup {
       .select(cols.map(c => col(s"__r.$c").as(c)).toSeq: _*)
   }
 
+  /** Skew guard shared by the banded-LSH pair generators: a bucket with
+    * B members yields B² candidate pairs, so one hot bucket (identical
+    * boilerplate, the all-zero chunk) goes quadratic. One
+    * partial-aggregated groupBy over the banded rows finds the
+    * oversized buckets — few by construction — and a broadcast
+    * anti-join removes their rows. Unlike the previous window
+    * (`count().over(partitionBy(band,bucket))`), this never sorts and
+    * never re-shuffles the full banded set: the aggregate combines
+    * map-side, the hot-key list is tiny, and the anti-join is
+    * broadcast. Runs should collapse exact duplicates first (see
+    * [[exact]]) — that is what makes buckets hot.
+    */
+  private def dropHotBuckets(banded: DataFrame, keys: Seq[String],
+      maxBucketSize: Int): DataFrame = {
+    val hot = banded.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > maxBucketSize)
+      .select(keys.map(col): _*)
+    banded.join(broadcast(hot), keys, "left_anti")
+  }
+
   /** Candidate duplicate pairs by banded LSH + exact Jaccard verify.
     *
     * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
@@ -81,17 +101,8 @@ object Dedup {
       .select(col("__id"), col("__bb.band").as("__band"),
         col("__bb.bucket").as("__bucket"))
 
-    // skew guard: a bucket with B members yields B^2 candidate pairs —
-    // a single hot bucket (e.g. a corpus full of identical boilerplate)
-    // would go quadratic. Oversized buckets are dropped here; runs
-    // should collapse exact duplicates first (see [[exact]] /
-    // [[minhashDedup]]), which is what makes buckets that hot.
-    val sized = buckets
-      .withColumn("__bsize",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__band"), col("__bucket"))))
-      .filter(col("__bsize") <= maxBucketSize)
-      .drop("__bsize")
+    // skew guard — see [[dropHotBuckets]]
+    val sized = dropHotBuckets(buckets, Seq("__band", "__bucket"), maxBucketSize)
 
     // candidates: same (band,bucket), ordered pair, de-duplicated.
     // shuffle keys = (band,bucket) — candidate generation never compares
@@ -231,17 +242,8 @@ object Dedup {
         .as("__bb"))
       .select(col("__id"), col("__sig"),
         col("__bb.band").as("__band"), col("__bb.chunk").as("__chunk"))
-    // same skew guard as minhashPairs/embeddingPairs: a hot 16-bit chunk
-    // (identical/empty/templated docs ⇒ identical signatures, or the
-    // all-zero chunk) yields B² candidates from one bucket. Oversized
-    // buckets are dropped; collapse exact duplicates first ([[exact]] /
-    // [[simhashDedup]]) — that is what makes buckets that hot.
-    val sized = banded
-      .withColumn("__bsize",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__band"), col("__chunk"))))
-      .filter(col("__bsize") <= maxBucketSize)
-      .drop("__bsize")
+    // skew guard — see [[dropHotBuckets]]
+    val sized = dropHotBuckets(banded, Seq("__band", "__chunk"), maxBucketSize)
     val l = sized.select(col("__band"), col("__chunk"),
       col("__id").as("id_a"), col("__sig").as("sig_a"))
     val r = sized.select(col("__band"), col("__chunk"),
@@ -294,25 +296,51 @@ object Dedup {
       .persist()
     base.count() // eager: signatures compute once, not per self-join side
     val mask = (1L << bitsPerBand) - 1
-    val banded = base.select(col("__id"),
+    val banded0 = base.select(col("__id"), col("__sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("__sig"), b * bitsPerBand).bitwiseAND(lit(mask))
             .as("chunk"))): _*)).as("__bb"))
-      .select(col("__id"), col("__bb.band").as("__band"),
+      .select(col("__id"), col("__sig"), col("__bb.band").as("__band"),
         col("__bb.chunk").as("__chunk"))
-    // same skew guard as minhashPairs: a hot bucket goes quadratic
-    val sized = banded
-      .withColumn("__bsize",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__band"), col("__chunk"))))
-      .filter(col("__bsize") <= maxBucketSize)
-      .drop("__bsize")
-    val l = sized.select(col("__band"), col("__chunk"), col("__id").as("id_a"))
-    val rgt = sized.select(col("__band"), col("__chunk"), col("__id").as("id_b"))
+    // The downstream joins are all broadcast, so the candidate + verify
+    // pipeline inherits the STREAM side's partitioning. A small input
+    // (one parquet split) would funnel the whole quadratic-ish verify
+    // through a single task; spreading the narrow (id,sig,band,chunk)
+    // rows here is far cheaper than shuffling the pair stream later.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val banded =
+      if (banded0.rdd.getNumPartitions < par)
+        banded0.repartition(par, col("__band"), col("__chunk"))
+      else banded0
+    // skew guard — see [[dropHotBuckets]]
+    val sized = dropHotBuckets(banded, Seq("__band", "__chunk"), maxBucketSize)
+    val l = sized.select(col("__band"), col("__chunk"),
+      col("__id").as("id_a"), col("__sig").as("__sa"))
+    val rgt = sized.select(col("__band"), col("__chunk"),
+      col("__id").as("id_b"), col("__sig").as("__sb"))
+    // A pair sharing k bands would surface k times; instead of a
+    // distinct() (a full shuffle of the candidate stream — the hot spot
+    // at low thresholds, where most pairs share several bands) keep
+    // each pair only at its FIRST shared band, recomputed per row from
+    // the signature XOR with plain codegen'd bit arithmetic:
+    //   x        = sa ^ sb            (zero nibble b ⇔ band b shared)
+    //   folded   = x | x>>1 | … | x>>(bits-1)   (bit B·b = OR of nibble b)
+    //   z        = ~folded & mask     (bit B·b set ⇔ band b shared)
+    //   first    = bit_count((z & -z) - 1)  ( = B · lowest shared band)
+    // If the first shared band's bucket was dropped by the skew guard
+    // the pair is dropped with it — same best-effort-recall contract
+    // the guard already imposes.
+    val x = col("__sa").bitwiseXOR(col("__sb"))
+    val folded = (1 until bitsPerBand).foldLeft(x)(
+      (acc, s) => acc.bitwiseOR(shiftright(x, s)))
+    val bandMask = (0 until bands).map(b => 1L << (b * bitsPerBand)).reduce(_ | _)
+    val shared = bitwise_not(folded).bitwiseAND(lit(bandMask))
+    val lowestBit = shared.bitwiseAND(negate(shared))
     val cands = l.join(rgt, Seq("__band", "__chunk"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .filter(bit_count(lowestBit - lit(1L)) === col("__band") * lit(bitsPerBand))
+      .select("id_a", "id_b")
     cands
       .join(base.select(col("__id").as("id_a"), col("__v").as("__va")), "id_a")
       .join(base.select(col("__id").as("id_b"), col("__v").as("__vb")), "id_b")
