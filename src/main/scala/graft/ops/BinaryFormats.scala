@@ -163,6 +163,21 @@ object Xlsx {
           (scala.xml.XML.load(new java.io.ByteArrayInputStream(b)) \\ "si")
             .map(_.text).toIndexedSeq
         }.getOrElse(IndexedSeq.empty)
+      // styles: cell style index → numFmtId, for date-cell detection
+      // (same POI-parity rendering as the BIFF8 path — see ExcelDates)
+      val (customFmts, xfIfmts): (Map[Int, String], IndexedSeq[Int]) =
+        es.get("xl/styles.xml").map { b =>
+          val st = scala.xml.XML.load(new java.io.ByteArrayInputStream(b))
+          val custom = (st \\ "numFmt").flatMap { n =>
+            (n \@ "numFmtId").toIntOption.map(_ -> (n \@ "formatCode"))
+          }.toMap
+          val xfs = (st \ "cellXfs" \ "xf").map(x =>
+            (x \@ "numFmtId").toIntOption.getOrElse(0)).toIndexedSeq
+          (custom, xfs)
+        }.getOrElse((Map.empty, IndexedSeq.empty))
+      def dateStyle(s: String): Boolean =
+        s.toIntOption.flatMap(xfIfmts.lift)
+          .exists(ExcelDates.isDateFormat(_, customFmts))
       val sheetPath =
         if (sheet.forall(_.isDigit))
           s"xl/worksheets/sheet${sheet.toInt + 1}.xml"
@@ -182,6 +197,8 @@ object Xlsx {
           cells(ci) = (cell \@ "t") match {
             case "s" => shared.lift(v.trim.toInt).orNull
             case "inlineStr" => (cell \ "is").text
+            case "" | "n" if v.nonEmpty && dateStyle(cell \@ "s") =>
+              v.toDoubleOption.map(ExcelDates.renderSerial).getOrElse(v)
             case _ => if (v.isEmpty) null else v
           }
         }

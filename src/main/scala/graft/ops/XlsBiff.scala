@@ -13,6 +13,79 @@ package graft.ops
   * Legacy BIFF5-and-older workbooks raise a precise "convert to xlsx"
   * error instead of silently yielding zero rows.
   */
+/** Excel number-format date detection + 1900-system serial rendering,
+  * shared by the xlsx (styles.xml) and BIFF8 (FORMAT/XF) readers. The
+  * reference surfaces date-formatted numeric cells as dates via POI
+  * (reference: wrangler-core directives/parser/ParseExcel.java:166-170
+  * — HSSFDateUtil.isCellDateFormatted + getDateCellValue); here the
+  * same classification runs on the public format-id table ([MS-XLS]
+  * 2.4.126 / ECMA-376 §18.8.30) and format-string grammar.
+  */
+private[graft] object ExcelDates {
+
+  /** Stock date/time format ids. */
+  private val builtinDate = Set(14, 15, 16, 17, 18, 19, 20, 21, 22,
+    27, 28, 29, 30, 31, 32, 33, 34, 35, 36,
+    45, 46, 47, 50, 51, 52, 53, 54, 55, 56, 57, 58)
+
+  /** Is a CUSTOM format string a date format? Strip quoted literals,
+    * backslash escapes, bracketed sections (color/locale codes — but
+    * keep elapsed-duration [h]/[mm]/[ss] content), fractional-second
+    * zeros, and everything past the first section; date iff any
+    * y/m/d/h/s token survives and no general-number digit does.
+    */
+  def isDateFormatString(fmt: String): Boolean = {
+    if (fmt == null || fmt.isEmpty) return false
+    val sb = new StringBuilder
+    var i = 0
+    var inQuote = false
+    while (i < fmt.length) {
+      val ch = fmt.charAt(i)
+      if (inQuote) { if (ch == '"') inQuote = false }
+      else ch match {
+        case '"' => inQuote = true
+        case '\\' => i += 1
+        case '[' =>
+          val close = fmt.indexOf(']', i)
+          val inner = if (close > 0) fmt.substring(i + 1, close) else ""
+          if (inner.nonEmpty && inner.forall(c => "hmsHMS".indexOf(c.toInt) >= 0))
+            sb ++= inner
+          i = if (close > 0) close else fmt.length
+        case ';' => i = fmt.length // first section decides
+        case c => sb += c
+      }
+      i += 1
+    }
+    val s = sb.toString.replaceAll("\\.0+", "") // ss.000 fractional secs
+    s.exists(c => "ymdhsYMDHS".indexOf(c.toInt) >= 0) &&
+      !s.exists(c => c == '#' || c == '0' || c == '?')
+  }
+
+  /** Date-formatted? Custom FORMAT definitions take precedence over
+    * the builtin table (a workbook may redefine low ids).
+    */
+  def isDateFormat(ifmt: Int, custom: Map[Int, String]): Boolean =
+    custom.get(ifmt).map(isDateFormatString).getOrElse(builtinDate(ifmt))
+
+  /** 1900-system serial → ISO-8601 text, with Excel's phantom
+    * 1900-02-29 (serials ≥ 61 are one day ahead of reality). Whole-day
+    * serials render as a date, fractional ones as date + time, and
+    * pure time fractions (serial < 1) as time only — the same shapes
+    * POI's java.util.Date stringification distinguishes.
+    */
+  def renderSerial(serial: Double): String = {
+    var days0 = math.floor(serial).toLong
+    var secs = math.round((serial - days0) * 86400d)
+    if (secs >= 86400) { days0 += 1; secs -= 86400 }
+    val hms = java.time.LocalTime.ofSecondOfDay(secs).format(
+      java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss"))
+    if (days0 == 0) return hms
+    val days = if (days0 > 59) days0 - 1 else days0
+    val date = java.time.LocalDate.of(1899, 12, 31).plusDays(days)
+    if (secs == 0) date.toString else date.toString + " " + hms
+  }
+}
+
 object XlsBiff {
 
   def isOle2(bytes: Array[Byte]): Boolean =
@@ -170,18 +243,18 @@ object XlsBiff {
     }
 
   /** RK-encoded number ([MS-XLS] 2.5.217). */
+  private def rkDouble(rk: Int): Double = {
+    val div100 = (rk & 1) != 0
+    val d =
+      if ((rk & 2) != 0) (rk >> 2).toDouble
+      else java.lang.Double.longBitsToDouble((rk & 0xFFFFFFFCL) << 32)
+    if (div100) d / 100.0 else d
+  }
+
   private def rkValue(rk: Int): String = {
     val div100 = (rk & 1) != 0
     val isInt = (rk & 2) != 0
-    if (isInt) {
-      val v = rk >> 2
-      if (div100) {
-        if (v % 100 == 0) renderNum((v / 100).toDouble) else renderNum(v / 100.0)
-      } else v.toString
-    } else {
-      val d = java.lang.Double.longBitsToDouble((rk & 0xFFFFFFFCL) << 32)
-      renderNum(if (div100) d / 100.0 else d)
-    }
+    if (isInt && !div100) (rk >> 2).toString else renderNum(rkDouble(rk))
   }
 
   /** Match the xlsx path's raw-text rendering: integral doubles print
@@ -202,14 +275,27 @@ object XlsBiff {
         "parse-as-excel: legacy BIFF5-or-older .xls is not supported — " +
           "save as .xlsx or Excel 97-2003 (BIFF8)")
 
-    // ---- workbook globals: BOUNDSHEETs + SST -------------------------
+    // ---- workbook globals: BOUNDSHEETs + SST + FORMAT/XF -------------
     var bounds = Vector.empty[(String, Int)] // (sheet name, stream offset)
     var sst = Vector.empty[String]
+    var formats = Map.empty[Int, String] // custom FORMAT: ifmt → string
+    var xfIfmts = Vector.empty[Int]      // XF index → ifmt
     val it = records(wb, 0)
     var done = false
     while (it.hasNext && !done) {
       val r = it.next()
       r.id match {
+        case 0x041E if r.data.length >= 5 => // FORMAT: ifmt + XLUnicodeString
+          val cch = u16(r.data, 2)
+          val high = (r.data(4) & 0x01) != 0
+          val s =
+            if (high) new String(r.data, 5, math.min(cch * 2, r.data.length - 5),
+              java.nio.charset.StandardCharsets.UTF_16LE)
+            else new String(r.data, 5, math.min(cch, r.data.length - 5),
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+          formats += u16(r.data, 0) -> s
+        case 0x00E0 if r.data.length >= 4 => // XF: ifont, ifmt, …
+          xfIfmts :+= u16(r.data, 2)
         case 0x0085 => // BOUNDSHEET: lbPlyPos(4) grbit(2) ShortXLUnicodeString
           val cch = r.data(6) & 0xff
           val high = (r.data(7) & 0x01) != 0
@@ -253,6 +339,12 @@ object XlsBiff {
     // ---- worksheet substream: cell records ---------------------------
     val cells = scala.collection.mutable.Map.empty[(Int, Int), String]
     def put(row: Int, colIdx: Int, v: String): Unit = cells((row, colIdx)) = v
+    // date-formatted numeric cells surface as dates, like POI in the
+    // reference (ParseExcel.java:166-170)
+    def dateXf(ixfe: Int): Boolean = xfIfmts.lift(ixfe)
+      .exists(ExcelDates.isDateFormat(_, formats))
+    def numCell(ixfe: Int, d: Double): String =
+      if (dateXf(ixfe)) ExcelDates.renderSerial(d) else renderNum(d)
     val sit = records(wb, sheetPos)
     var pendingString: Option[(Int, Int)] = None // FORMULA awaiting STRING
     var sdone = false
@@ -269,16 +361,22 @@ object XlsBiff {
           val bits = (0 until 8).foldRight(0L)((i, acc) =>
             (acc << 8) | (r.data(6 + i) & 0xffL))
           put(u16(r.data, 0), u16(r.data, 2),
-            renderNum(java.lang.Double.longBitsToDouble(bits)))
+            numCell(u16(r.data, 4), java.lang.Double.longBitsToDouble(bits)))
         case 0x027E => // RK
-          put(u16(r.data, 0), u16(r.data, 2), rkValue(i32(r.data, 6)))
+          val rk = i32(r.data, 6)
+          put(u16(r.data, 0), u16(r.data, 2),
+            if (dateXf(u16(r.data, 4))) ExcelDates.renderSerial(rkDouble(rk))
+            else rkValue(rk))
         case 0x00BD => // MULRK: row, colFirst, (ixfe+rk)*, colLast
           val row = u16(r.data, 0)
           val colFirst = u16(r.data, 2)
           val nCells = (r.data.length - 6) / 6
           var i = 0
           while (i < nCells) {
-            put(row, colFirst + i, rkValue(i32(r.data, 4 + 6 * i + 2)))
+            val rk = i32(r.data, 4 + 6 * i + 2)
+            put(row, colFirst + i,
+              if (dateXf(u16(r.data, 4 + 6 * i))) ExcelDates.renderSerial(rkDouble(rk))
+              else rkValue(rk))
             i += 1
           }
         case 0x0204 => // LABEL (inline BIFF8 string)
@@ -300,7 +398,8 @@ object XlsBiff {
           } else {
             val bits = (0 until 8).foldRight(0L)((i, acc) =>
               (acc << 8) | (r.data(6 + i) & 0xffL))
-            put(row, colIdx, renderNum(java.lang.Double.longBitsToDouble(bits)))
+            put(row, colIdx,
+              numCell(u16(r.data, 4), java.lang.Double.longBitsToDouble(bits)))
           }
         case 0x0207 => // STRING: cached string result of the last FORMULA
           pendingString.foreach { case (row, colIdx) =>

@@ -276,6 +276,60 @@ class BinarySpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("BIFF5"), s"got: ${ex.getMessage}")
   }
+
+  test(".xls date cells: FORMAT/XF records turn serials into dates") {
+    val xls = XlsFixture.cfbRegular(XlsFixture.biffDateWorkbook())
+    val rows = graft.ops.Xlsx.parse(xls, "0").map(_.cells)
+    // row 0: XF0 (General) NUMBER stays numeric; XF1 (builtin 14
+    // m/d/yy) NUMBER 36526 = 2000-01-01; XF2 (custom yyyy-mm-dd
+    // via FORMAT 164) RK int serial
+    assert(rows(0) == Seq("3.14", "2000-01-01", "2000-01-02"))
+    // row 1: datetime serial (builtin 22 m/d/yy h:mm), time-only
+    // fraction (builtin 21 h:mm:ss), MULRK with a date XF on the
+    // second cell only
+    assert(rows(1) == Seq("2000-01-01 12:00:00", "06:30:00", "42",
+      "2000-01-01"))
+  }
+
+  test("ExcelDates custom format classification matches POI semantics") {
+    import graft.ops.ExcelDates.isDateFormatString
+    assert(isDateFormatString("yyyy-mm-dd"))
+    assert(isDateFormatString("dd/mm/yyyy hh:mm"))
+    assert(isDateFormatString("h:mm AM/PM"))
+    assert(isDateFormatString("[h]:mm:ss"))
+    assert(isDateFormatString("mm:ss.000"))
+    assert(isDateFormatString("[RED]yyyy\\-mm"))
+    assert(!isDateFormatString("General"))
+    assert(!isDateFormatString("#,##0.00"))
+    assert(!isDateFormatString("0.00E+00"))
+    assert(!isDateFormatString("\"year\" 0000"))
+  }
+
+  test("xlsx date cells: styles.xml numFmt drives serial rendering") {
+    // minimal xlsx with a styled numeric cell
+    val sheet =
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" s="1"><v>36526</v></c>
+        |<c r="B1" s="0"><v>36526</v></c>
+        |<c r="C1" s="2"><v>36526.25</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val styles =
+      """<?xml version="1.0"?><styleSheet>
+        |<numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy\-mm\-dd"/></numFmts>
+        |<cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="164"/><xf numFmtId="22"/></cellXfs>
+        |</styleSheet>""".stripMargin
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    def add(name: String, content: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(content.getBytes("UTF-8")); z.closeEntry()
+    }
+    add("xl/worksheets/sheet1.xml", sheet)
+    add("xl/styles.xml", styles)
+    z.close()
+    val rows = graft.ops.Xlsx.parse(bos.toByteArray, "0").map(_.cells)
+    assert(rows(0) == Seq("2000-01-01", "36526", "2000-01-01 06:00:00"))
+  }
 }
 
 /** Hand-rolled [MS-CFB] + [MS-XLS] BIFF8 fixture writer (test-only). */
@@ -355,6 +409,39 @@ object XlsFixture {
         rec(0x0085, u32(sheetPos) ++ u16(0) ++
           Array(6.toByte, 0.toByte) ++ ascii("Sheet1")) ++
         rec(0x00FC, sstData) ++ rec(0x003C, continueData) ++
+        rec(0x000A, Array.empty)
+    val gLen = globals(0).length
+    globals(gLen) ++ sheet
+  }
+
+  /** BIFF8 workbook with FORMAT/XF records: XF0=General, XF1=builtin
+    * 14 (m/d/yy), XF2=custom 164 ("yyyy\-mm\-dd"), XF3=builtin 22
+    * (m/d/yy h:mm), XF4=builtin 21 (h:mm:ss).
+    */
+  def biffDateWorkbook(): Array[Byte] = {
+    def xf(ifmt: Int) = rec(0x00E0, u16(0) ++ u16(ifmt) ++ u16(0))
+    val fmtStr = "yyyy\\-mm\\-dd"
+    val format = rec(0x041E,
+      u16(164) ++ u16(fmtStr.length) ++ Array(0.toByte) ++ ascii(fmtStr))
+    def num(r0: Int, c0: Int, ixfe: Int, d: Double) =
+      rec(0x0203, u16(r0) ++ u16(c0) ++ u16(ixfe) ++ dbl(d))
+    def rkInt(v: Int) = u32((v << 2) | 2)
+    val sheet =
+      rec(0x0809, u16(0x0600) ++ u16(0x0010) ++ u32(0) ++ u32(0)) ++
+        num(0, 0, 0, 3.14) ++
+        num(0, 1, 1, 36526.0) ++
+        rec(0x027E, u16(0) ++ u16(2) ++ u16(2) ++ rkInt(36527)) ++
+        num(1, 0, 3, 36526.5) ++
+        num(1, 1, 4, 6.5 / 24.0) ++
+        // MULRK row1 cols2-3: General 42, then a date-formatted serial
+        rec(0x00BD, u16(1) ++ u16(2) ++
+          (u16(0) ++ rkInt(42)) ++ (u16(1) ++ rkInt(36526)) ++ u16(3)) ++
+        rec(0x000A, Array.empty)
+    def globals(sheetPos: Int) =
+      rec(0x0809, u16(0x0600) ++ u16(0x0005) ++ u32(0) ++ u32(0)) ++
+        rec(0x0085, u32(sheetPos) ++ u16(0) ++
+          Array(6.toByte, 0.toByte) ++ ascii("Sheet1")) ++
+        format ++ xf(0) ++ xf(14) ++ xf(164) ++ xf(22) ++ xf(21) ++
         rec(0x000A, Array.empty)
     val gLen = globals(0).length
     globals(gLen) ++ sheet
