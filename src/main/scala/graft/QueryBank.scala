@@ -533,6 +533,13 @@ object QueryBank {
       (s, d) => r("copy :o_orderdate :ds; format-date :ds 'MM/dd/yyyy'; parse-as-date :ds; format-date :ds 'yyyy-MM-dd'; keep :o_orderkey,:ds")(ord(s, d)),
       "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS ds FROM orders"),
 
+    // natural-language phrases (Natty subset): weekday-of-month,
+    // month-name-only, relative units — deterministic via the anchor
+    ("parse_as_date_nl",
+      (s, d) => r("set-column :phrase exp:{ n_nationkey % 5 == 0 ? 'third thursday of june 2024' : (n_nationkey % 5 == 1 ? 'last friday in december 2024' : (n_nationkey % 5 == 2 ? 'march 2025' : (n_nationkey % 5 == 3 ? '3 days ago' : 'two weeks from now'))) }; " +
+        "parse-as-date :phrase prop:{anchor=2024-06-12}; format-date :phrase 'yyyy-MM-dd'; keep :n_nationkey,:phrase")(nat(s, d)),
+      "SELECT n_nationkey, CASE n_nationkey % 5 WHEN 0 THEN '2024-06-20' WHEN 1 THEN '2024-12-27' WHEN 2 THEN '2025-03-12' WHEN 3 THEN '2024-06-09' ELSE '2024-06-26' END AS phrase FROM nation"),
+
     ("parse_as_datetime",
       (s, d) => r("copy :o_orderdate :ts; format-date :ts 'yyyy-MM-dd HH:mm:ss'; parse-as-datetime :ts 'yyyy-MM-dd HH:mm:ss'; format-datetime :ts 'yyyy-MM-dd HH:mm'; keep :o_orderkey,:ts")(ord(s, d)),
       "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M') AS ts FROM orders"),

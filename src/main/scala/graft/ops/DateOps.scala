@@ -150,8 +150,12 @@ object DateOps {
 /** Deterministic natural-language date subset (the phrases the
   * reference handles via Natty — ParseDate.java:91): relative day
   * words, "N <unit>s ago" / "in N <unit>s" / "N <unit>s from now",
-  * "next/last <weekday>|week|month|year". Resolves against an explicit
-  * anchor date so results are reproducible and testable.
+  * "next/last <weekday>|week|month|year", weekday-of-month ("third
+  * thursday of june [2024]", "last friday in december"), and
+  * month-name-only ("june", "march 2025" — unspecified fields keep the
+  * anchor's value, Natty-style: day = anchor's day clamped to the
+  * month's length). Resolves against an explicit anchor date so
+  * results are reproducible and testable.
   */
 object NlDate {
   import java.time.LocalDate
@@ -161,6 +165,15 @@ object NlDate {
       val full = d.name.toLowerCase
       Seq(full -> d, full.take(3) -> d)
     }.toMap
+
+  private val months: Map[String, Int] = (1 to 12).flatMap { m =>
+    val full = java.time.Month.of(m).name.toLowerCase
+    Seq(full -> m, full.take(3) -> m)
+  }.toMap
+
+  private val ordinals = Map(
+    "first" -> 1, "1st" -> 1, "second" -> 2, "2nd" -> 2, "third" -> 3,
+    "3rd" -> 3, "fourth" -> 4, "4th" -> 4, "fifth" -> 5, "5th" -> 5)
 
   private val numberWords = Map(
     "a" -> 1L, "an" -> 1L, "one" -> 1L, "two" -> 2L, "three" -> 3L,
@@ -190,6 +203,8 @@ object NlDate {
   private val FromNow = "^(\\S+) (day|week|month|year)s? from (?:now|today)$".r
   private val Next    = "^next (\\S+)$".r
   private val Last    = "^last (\\S+)$".r
+  private val WdOfMonth = "^(\\S+) (\\S+) (?:of|in) (\\S+?)(?: (\\d{4}))?$".r
+  private val MonthOnly = "^(\\S+?)(?: (\\d{4}))?$".r
 
   def parse(raw: String, anchor: LocalDate): LocalDate = {
     if (raw == null) return null
@@ -209,12 +224,35 @@ object NlDate {
           java.time.temporal.TemporalAdjusters.next(d)))
         case None => shift(anchor, 1, w)
       }
+      // "third thursday of june [2024]" / "last friday in december" —
+      // checked before Last so "last friday in december" isn't eaten
+      case WdOfMonth(ord, wd, mon, yr)
+          if (ordinals.contains(ord) || ord == "last") &&
+            weekdays.contains(wd) && months.contains(mon) =>
+        val y = Option(yr).map(_.toInt).getOrElse(anchor.getYear)
+        val adj =
+          if (ord == "last")
+            java.time.temporal.TemporalAdjusters.lastInMonth(weekdays(wd))
+          else java.time.temporal.TemporalAdjusters
+            .dayOfWeekInMonth(ordinals(ord), weekdays(wd))
+        // dayOfWeekInMonth(5, …) rolls into the next month when the
+        // occurrence doesn't exist — that's a non-date, not a date
+        scala.util.Try(LocalDate.of(y, months(mon), 1).`with`(adj))
+          .toOption.filter(_.getMonthValue == months(mon))
       case Last(w) => weekdays.get(w) match {
         // most recent strictly before the anchor
         case Some(d) => Some(anchor.`with`(
           java.time.temporal.TemporalAdjusters.previous(d)))
         case None => shift(anchor, -1, w)
       }
+      // "june" / "march 2025": unspecified fields keep anchor values
+      case MonthOnly(mon, yr) if months.contains(mon) =>
+        Option(yr).map(_.toInt).orElse(Some(anchor.getYear)).flatMap { y =>
+          scala.util.Try {
+            val ym = java.time.YearMonth.of(y, months(mon))
+            ym.atDay(math.min(anchor.getDayOfMonth, ym.lengthOfMonth))
+          }.toOption
+        }
       case _ => None
     }
     r.orNull

@@ -211,6 +211,24 @@ class OpsSpec extends SparkSpec {
       "2024-06-18", "2024-06-07", "2024-06-26", "2024-06-15", null))
   }
 
+  test("parse-as-date: weekday-of-month and month-name-only phrases") {
+    val d = df("s STRING", Seq(
+      Row("third thursday of june"),       // 2024-06-20
+      Row("third thursday of june 2023"),  // 2023-06-15
+      Row("last friday in december"),      // 2024-12-27
+      Row("first mon of september 2025"),  // 2025-09-01
+      Row("fifth monday of february"),     // no 5th Monday -> null
+      Row("june"),                         // anchor day kept -> 2024-06-12
+      Row("february"),                     // 2024-02-12
+      Row("march 2025"),                   // 2025-03-12
+      Row("two weeks from now")))          // 2024-06-26
+    val out = wrangle(
+      "parse-as-date :s prop:{anchor=2024-06-12}; format-date :s 'yyyy-MM-dd';", d)
+    assert(strings(out, "s") == Seq("2024-06-20", "2023-06-15",
+      "2024-12-27", "2025-09-01", null, "2024-06-12", "2024-02-12",
+      "2025-03-12", "2024-06-26"))
+  }
+
 
   test("parse-as-csv header semantics match the reference") {
     // reference CsvParserTest.testHeaders: cells trimmed, whitespace
