@@ -153,7 +153,7 @@ object QueryBank {
       // round-4 digest tail: MD4 (RFC 1320), RIPEMD-256 (1996 spec),
       // SHA-512/256 (JDK). Oracle pins the algorithms' PUBLISHED test
       // vectors for '' and 'abc' — independent of our implementation.
-      (s, d) => r("""set-column :v exp:{ c_custkey % 2 == 0 ? 'abc' : '' }; copy :v :md4; hash :md4 MD4; copy :v :r256; hash :r256 RIPEMD256; copy :v :s512; hash :s512 'SHA-512/256'; keep :c_custkey,:md4,:r256,:s512""")(cust(s, d)),
+      (s, d) => r("""set-column :v exp:{ c_custkey % 2 == 0 ? 'abc' : '' }; copy :v :md4; hash :md4 MD4; copy :v :r256; hash :r256 RIPEMD256; copy :v :s512; hash :s512 'SHA-512/256'; copy :v :wp; hash :wp WHIRLPOOL; keep :c_custkey,:md4,:r256,:s512,:wp""")(cust(s, d)),
       """SELECT c_custkey,
         | CASE WHEN c_custkey % 2 = 0 THEN 'a448017aaf21d8525fc10ae87aa6729d'
         |      ELSE '31d6cfe0d16ae931b73c59d7e0c089c0' END AS md4,
@@ -162,7 +162,10 @@ object QueryBank {
         |      ELSE '02ba4c4e5f8ecd1877fc52d64d30e37a2d9774fb1e5d026380ae0168e3c5522d' END AS r256,
         | CASE WHEN c_custkey % 2 = 0
         |      THEN '53048e2681941ef99b2e29b76b4c7dabe4c2d0c634fc6d46e0e2f13107e7af23'
-        |      ELSE 'c672b8d1ef56ed28ab87c3622c5114069bdd3ad7b8f9737498d0c01ecef0967a' END AS s512
+        |      ELSE 'c672b8d1ef56ed28ab87c3622c5114069bdd3ad7b8f9737498d0c01ecef0967a' END AS s512,
+        | CASE WHEN c_custkey % 2 = 0
+        |      THEN '4e2448a4c6f486bb16b6562c73b4020bf3043e3a731bce721ae1b303d97e6d4c7181eebdb6c57e277d0e34957114cbd6c797fc9d95d8b582d225292076d4eef5'
+        |      ELSE '19fa61d75522a4669b44e39c1d2e1726c530232130d407f89afee0964997f7a73e83be698b288febcf88e3e03c4f0757ea8964e59b63d93708b138cc42a66eb3' END AS wp
         |FROM customer""".stripMargin),
 
     ("mask_number",

@@ -12,11 +12,15 @@ package graft.functions
   *  - KECCAK-224/256/288/384/512 — original Keccak submission padding
   *    (0x01), vs the JDK's SHA3-* which uses the FIPS-202 0x06 padding;
   *    both share the Keccak-f[1600] permutation below
+  *  - WHIRLPOOL — ISO/IEC 10118-3 / Barreto & Rijmen: the S-box is
+  *    GENERATED from the spec's two 16-entry mini-boxes, round
+  *    constants from the S-box, diffusion = circulant MDS matrix over
+  *    GF(2^8) — all formula-derivable and vector-checked
   *
   * SHA-512/224, SHA-512/256, MD2/MD5/SHA-1/2/3 come from the JDK's
   * MessageDigest (Udfs.digestHex falls through to it). Of the
   * reference's MessageHash.java:54-107 list that leaves
-  * GOST3411(+2012), Skein-*, Tiger and Whirlpool unsupported — their
+  * GOST3411(+2012), Skein-* and Tiger unsupported — their
   * S-box/rotation tables are opaque constants that can't be derived
   * from a formula and self-checked, so we fail fast on those names
   * rather than risk a silently wrong digest.
@@ -48,6 +52,7 @@ object Digests {
       case "KECCAK-288" => keccak(data, 288)
       case "KECCAK-384" => keccak(data, 384)
       case "KECCAK-512" => keccak(data, 512)
+      case "WHIRLPOOL" => whirlpool(data)
       case _ => null
     }
 
@@ -507,6 +512,97 @@ object Digests {
     val out = new Array[Byte](outBits / 8)
     var i = 0
     while (i < out.length) { out(i) = (s(i / 8) >>> (8 * (i % 8))).toByte; i += 1 }
+    out
+  }
+
+  // ---- Whirlpool (ISO/IEC 10118-3; Barreto & Rijmen spec) ------------
+  //
+  // Everything below is DERIVED, not transcribed: the 256-entry S-box
+  // is generated from the spec's two published 16-entry mini-boxes
+  // (E and the pseudo-randomly chosen R), the round constants from the
+  // S-box, and the diffusion layer is the circulant MDS matrix
+  // cir(1,1,4,1,8,5,2,9) over GF(2^8)/0x11D. Miyaguchi-Preneel
+  // chaining; 256-bit length field in the padding.
+
+  private val wpE = Array(0x1, 0xB, 0x9, 0xC, 0xD, 0x6, 0xF, 0x3,
+    0xE, 0x8, 0x7, 0x4, 0xA, 0x2, 0x5, 0x0)
+  private val wpR = Array(0x7, 0xC, 0xB, 0xD, 0xE, 0x4, 0x9, 0xF,
+    0x6, 0x3, 0x8, 0xA, 0x2, 0x5, 0x1, 0x0)
+
+  private lazy val wpSbox: Array[Int] = {
+    val eInv = new Array[Int](16)
+    for (i <- 0 until 16) eInv(wpE(i)) = i
+    val s = new Array[Int](256)
+    for (u <- 0 until 16; v <- 0 until 16) {
+      val c1 = wpE(u); val c2 = eInv(v)
+      val r = wpR(c1 ^ c2)
+      s(16 * u + v) = 16 * wpE(c1 ^ r) + eInv(c2 ^ r)
+    }
+    s
+  }
+
+  /** GF(2^8) multiply modulo x^8+x^4+x^3+x^2+1 (0x11D). */
+  private def wpMul(a: Int, b: Int): Int = {
+    var (x, y, p) = (a, b, 0)
+    while (y != 0) {
+      if ((y & 1) != 0) p ^= x
+      x <<= 1
+      if ((x & 0x100) != 0) x ^= 0x11D
+      y >>= 1
+    }
+    p
+  }
+
+  private val wpC = Array(1, 1, 4, 1, 8, 5, 2, 9) // MDS row circulant
+
+  /** One cipher round: SubBytes, ShiftColumns (col j down by j),
+    * MixRows (row × cir(1,1,4,1,8,5,2,9)), AddRoundKey. State is an
+    * 8×8 byte matrix, st(row)(col).
+    */
+  private def wpRound(st: Array[Array[Int]], key: Array[Array[Int]]): Array[Array[Int]] = {
+    val sub = Array.tabulate(8, 8)((i, j) => wpSbox(st(i)(j)))
+    val shifted = Array.tabulate(8, 8)((i, j) => sub((i - j + 8) % 8)(j))
+    Array.tabulate(8, 8) { (i, j) =>
+      var acc = 0
+      var k = 0
+      while (k < 8) { acc ^= wpMul(shifted(i)(k), wpC((j - k + 8) % 8)); k += 1 }
+      acc ^ key(i)(j)
+    }
+  }
+
+  def whirlpool(data: Array[Byte]): Array[Byte] = {
+    // pad: 0x80, zeros, 256-bit big-endian bit length → multiple of 64
+    val bitLen = java.math.BigInteger.valueOf(data.length.toLong)
+      .multiply(java.math.BigInteger.valueOf(8))
+    val padLen = {
+      val r = (data.length + 1 + 32) % 64
+      if (r == 0) 0 else 64 - r
+    }
+    val msg = new Array[Byte](data.length + 1 + padLen + 32)
+    System.arraycopy(data, 0, msg, 0, data.length)
+    msg(data.length) = 0x80.toByte
+    val lenBytes = bitLen.toByteArray.takeRight(32)
+    System.arraycopy(lenBytes, 0, msg, msg.length - lenBytes.length, lenBytes.length)
+
+    var h = Array.fill(8, 8)(0)
+    var off = 0
+    while (off < msg.length) {
+      val m = Array.tabulate(8, 8)((i, j) => msg(off + 8 * i + j) & 0xff)
+      var k = h.map(_.clone())
+      var s = Array.tabulate(8, 8)((i, j) => m(i)(j) ^ k(i)(j))
+      for (r <- 1 to 10) {
+        // round constant r: row 0 = S-box bytes 8(r-1)..8(r-1)+7
+        val rc = Array.tabulate(8, 8)((i, j) =>
+          if (i == 0) wpSbox(8 * (r - 1) + j) else 0)
+        k = wpRound(k, rc)
+        s = wpRound(s, k)
+      }
+      // Miyaguchi-Preneel: H' = W(H, m) ^ H ^ m
+      h = Array.tabulate(8, 8)((i, j) => s(i)(j) ^ h(i)(j) ^ m(i)(j))
+      off += 64
+    }
+    val out = new Array[Byte](64)
+    for (i <- 0 until 8; j <- 0 until 8) out(8 * i + j) = h(i)(j).toByte
     out
   }
 }

@@ -122,13 +122,13 @@ object Udfs {
       // names in the reference's BouncyCastle list we deliberately
       // don't implement (opaque S-box/rotation tables — see Digests
       // scaladoc): precise error, not NoSuchAlgorithmException
-      if (up.startsWith("GOST") || up.startsWith("SKEIN") ||
-          up == "TIGER" || up == "WHIRLPOOL")
+      if (up.startsWith("GOST") || up.startsWith("SKEIN") || up == "TIGER")
         throw new IllegalArgumentException(
           s"hash: '$algo' is not supported (table-based algorithm with " +
             "no self-checkable spec-derived constants); supported " +
             "beyond the JDK set: BLAKE2B-*, RIPEMD-128/160/256/320, " +
-            "MD4, SM3, KECCAK-224/256/288/384/512, SHA-512/224, SHA-512/256")
+            "MD4, SM3, KECCAK-224/256/288/384/512, WHIRLPOOL, " +
+            "SHA-512/224, SHA-512/256")
       java.security.MessageDigest.getInstance(algo)
         .digest(bytes).map("%02x".format(_)).mkString
     }

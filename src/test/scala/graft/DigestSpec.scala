@@ -66,11 +66,14 @@ class DigestSpec extends SparkSpec {
 
   test("documented-unsupported names raise a precise error") {
     val ex = intercept[IllegalArgumentException] {
-      graft.functions.Udfs.digestHex("abc", "WHIRLPOOL")
+      graft.functions.Udfs.digestHex("abc", "TIGER")
     }
     assert(ex.getMessage.contains("not supported"))
     intercept[IllegalArgumentException] {
       graft.functions.Udfs.digestHex("abc", "Skein-512-512")
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.Udfs.digestHex("abc", "GOST3411")
     }
   }
 
@@ -89,6 +92,25 @@ class DigestSpec extends SparkSpec {
     assert(h("KECCAK-512", "") ==
       "0eab42de4c3ceb9235fc91acffe746b29c29a8c366b7c60e4e67c466f36a4304" +
         "c00fa9caf9d87976ba469bcbe06713b435f091ef2769fb160cdab33d3670680e")
+  }
+
+  test("Whirlpool vectors (ISO/IEC 10118-3 reference vectors)") {
+    assert(h("WHIRLPOOL", "") ==
+      "19fa61d75522a4669b44e39c1d2e1726c530232130d407f89afee0964997f7a7" +
+        "3e83be698b288febcf88e3e03c4f0757ea8964e59b63d93708b138cc42a66eb3")
+    assert(h("WHIRLPOOL", "a") ==
+      "8aca2602792aec6f11a67206531fb7d7f0dff59413145e6973c45001d0087b42" +
+        "d11bc645413aeff63a42391a39145a591a92200d560195e53b478584fdae231a")
+    assert(h("WHIRLPOOL", "abc") ==
+      "4e2448a4c6f486bb16b6562c73b4020bf3043e3a731bce721ae1b303d97e6d4c" +
+        "7181eebdb6c57e277d0e34957114cbd6c797fc9d95d8b582d225292076d4eef5")
+    assert(h("WHIRLPOOL", "The quick brown fox jumps over the lazy dog") ==
+      "b97de512e91e3828b40d2b0fdce9ceb3c4a71f9bea8d88e75c4fa854df36725f" +
+        "d2b52eb6544edcacd6f8beddfea403cb55ae31f03ad62a5ef54e42ee82c3fb35")
+    // multi-block: 8×"1234567890" is 80 bytes → two compressions
+    assert(h("WHIRLPOOL", "1234567890" * 8) ==
+      "466ef18babb0154d25b9d38a6414f5c08784372bccb204d6549c4afadb601429" +
+        "4d5bd8df2a6c44e538cd047b2681a51a2c60481e88c5a20b2c2a80cf3a9a083b")
   }
 
   test("hash directive routes exotic algorithms") {
