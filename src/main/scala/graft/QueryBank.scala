@@ -1026,6 +1026,29 @@ object QueryBank {
       },
       """SELECT n_nationkey AS k, 'ADT' AS msgtype, 'Hemoglobin' AS obx2name,
         | CAST(n_nationkey AS VARCHAR) AS obx2val, 'B' AS sub, 'mg&dL' AS esc
+        |FROM nation""".stripMargin),
+
+    ("parse_as_hl7_grouped",
+      // ORU^R01 with two orders: HAPI message-structure group names
+      // (PATIENT_RESULT > PATIENT/ORDER_OBSERVATION > OBSERVATION)
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = nat(s, d).select(col("n_nationkey").as("k"),
+          concat(lit("MSH|^~\\&|LAB|X|Y|Z|20240101||ORU^R01|"),
+            col("n_nationkey"), lit("|P|2.3\rPID|1||"), col("n_nationkey"),
+            lit("||"), col("n_name"), lit("^F"),
+            lit("\rOBR|1||ORD1|GLU^Glucose\rOBX|1|NM|GLU||"),
+            col("n_nationkey"), lit("|mg/dL\rNTE|1||fasting"),
+            lit("\rOBR|2||ORD2|CBC^Count\rOBX|1|NM|WBC||7")).as("m"))
+        r("""parse-as-hl7 :m grouped;
+            |json-path :m_hl7_json :pname '$.PATIENT_RESULT.PATIENT.PID.5.1';
+            |json-path :m_hl7_json :glu '$.PATIENT_RESULT.ORDER_OBSERVATION[0].OBSERVATION.OBX.5';
+            |json-path :m_hl7_json :note '$.PATIENT_RESULT.ORDER_OBSERVATION[0].OBSERVATION.NTE.3';
+            |json-path :m_hl7_json :wbc '$.PATIENT_RESULT.ORDER_OBSERVATION[1].OBSERVATION.OBX.5';
+            |keep :k,:pname,:glu,:note,:wbc""".stripMargin)(base)
+      },
+      """SELECT n_nationkey AS k, n_name AS pname,
+        | CAST(n_nationkey AS VARCHAR) AS glu, 'fasting' AS note, '7' AS wbc
         |FROM nation""".stripMargin)
   )
 

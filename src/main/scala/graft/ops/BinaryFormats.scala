@@ -59,12 +59,18 @@ object BinaryFormats {
     // directives/parser/HL7Parser.java:111-245 — HAPI there; the v2
     // wire syntax itself is a public text format). Navigate the json
     // with json-path, e.g. `$.OBX[1]['5']`.
+    // `parse-as-hl7 :col grouped` nests segments under their HAPI
+    // message-structure group names (ORU_R01 PATIENT_RESULT /
+    // ORDER_OBSERVATION / OBSERVATION, ADT PROCEDURE / INSURANCE);
+    // default stays flat-by-segment like the reference's visitor.
     case "parse-as-hl7" => ColumnOps.simple(spec) { df =>
       val c = spec.col(0)
+      val grouped = spec.optStr(1).exists(_.equalsIgnoreCase("grouped"))
       // ONE UDF invocation produces both outputs (single per-row
       // serialization round; the flat map and nested tree are built
       // from the same call)
-      df.withColumn("__hl7b", Hl7.parseBothUdf(col(c).cast(StringType)))
+      val both = if (grouped) Hl7.parseBothGroupedUdf else Hl7.parseBothUdf
+      df.withColumn("__hl7b", both(col(c).cast(StringType)))
         .withColumn(s"${c}_hl7", col("__hl7b._1"))
         .withColumn(s"${c}_hl7_json", col("__hl7b._2"))
         .drop("__hl7b")
@@ -334,12 +340,11 @@ object Hl7 {
     if (msg == null) return (Map.empty, null)
     val flat = scala.collection.mutable.Map.empty[String, String]
     val segCount = scala.collection.mutable.Map.empty[String, Int]
-    val segments = mapper.createObjectNode()
-    for (seg <- msg.split("[\\r\\n]+").iterator.map(_.trim).filter(_.nonEmpty)) {
-      val fields = seg.split("\\|", -1)
-      val segName = fields.head
-      // ---- flat view: repeat-suffixed name, raw ^-components --------
-      if (wantFlat) {
+    // ---- flat view: repeat-suffixed name, raw ^-components ----------
+    if (wantFlat) {
+      for (seg <- msg.split("[\\r\\n]+").iterator.map(_.trim).filter(_.nonEmpty)) {
+        val fields = seg.split("\\|", -1)
+        val segName = fields.head
         val n = segCount.getOrElse(segName, 0)
         segCount(segName) = n + 1
         val flatName = if (n == 0) segName else s"$segName$n"
@@ -354,13 +359,167 @@ object Hl7 {
           }
         }
       }
-      // ---- nested view: full depth from the same field array --------
-      if (wantNested) {
+    }
+    // ---- nested view: full depth, shared segment builder ------------
+    val nested = if (wantNested) {
+      val segments = mapper.createObjectNode()
+      segmentTokens(msg).foreach { case (n, o, _) => addNode(segments, n, o) }
+      mapper.writeValueAsString(segments)
+    } else null
+    (flat.toMap, nested)
+  }
+
+  /** Flat map + nested JSON from one shared parse per row. */
+  val parseBothUdf: UserDefinedFunction = udf(parseBoth _)
+
+  // ---- message-structure groups (HAPI structure names) ---------------
+  //
+  // `parse-as-hl7 :col grouped` wraps segment runs in the named groups
+  // of the message's abstract structure, the shape HAPI's generated
+  // message classes expose (reference: HL7Parser.java:111 parses into
+  // HAPI structures; its visitor flattens them — the grouped mode
+  // surfaces what HAPI knows and the flat default matches the
+  // reference's output). Structures are declared from the public HL7
+  // v2 abstract message syntax for ORU_R01 and the common ADT events;
+  // unknown message types fall back to the flat-by-segment shape.
+
+  private sealed trait St
+  private case class SSeg(name: String, rep: Boolean = false) extends St
+  private case class SGrp(name: String, rep: Boolean, items: Seq[St]) extends St
+
+  private val AdtStructure: Seq[St] = Seq(SSeg("MSH"), SSeg("SFT", rep = true),
+    SSeg("EVN"), SSeg("PID"), SSeg("PD1"), SSeg("ROL", rep = true),
+    SSeg("NK1", rep = true), SSeg("PV1"), SSeg("PV2"),
+    SSeg("DB1", rep = true), SSeg("OBX", rep = true), SSeg("AL1", rep = true),
+    SSeg("DG1", rep = true), SSeg("DRG"),
+    SGrp("PROCEDURE", rep = true, Seq(SSeg("PR1"), SSeg("ROL", rep = true))),
+    SSeg("GT1", rep = true),
+    SGrp("INSURANCE", rep = true,
+      Seq(SSeg("IN1"), SSeg("IN2"), SSeg("IN3", rep = true))),
+    SSeg("ACC"), SSeg("UB1"), SSeg("UB2"), SSeg("PDA"))
+
+  private val OruR01: Seq[St] = Seq(SSeg("MSH"), SSeg("SFT", rep = true),
+    SGrp("PATIENT_RESULT", rep = true, Seq(
+      SGrp("PATIENT", rep = false, Seq(SSeg("PID"), SSeg("PD1"),
+        SSeg("NTE", rep = true), SSeg("NK1", rep = true),
+        SGrp("VISIT", rep = false, Seq(SSeg("PV1"), SSeg("PV2"))))),
+      SGrp("ORDER_OBSERVATION", rep = true, Seq(SSeg("ORC"), SSeg("OBR"),
+        SSeg("NTE", rep = true), SSeg("CTD"),
+        SGrp("OBSERVATION", rep = true,
+          Seq(SSeg("OBX"), SSeg("NTE", rep = true))),
+        SSeg("FT1", rep = true), SSeg("CTI", rep = true))))),
+    SSeg("DSC"))
+
+  private val structures: Map[String, Seq[St]] =
+    Map("ORU_R01" -> OruR01) ++
+      Seq("A01", "A02", "A03", "A04", "A05", "A06", "A07", "A08", "A11",
+        "A12", "A13", "A28", "A31").map(t => s"ADT_$t" -> AdtStructure)
+
+  private def knownNames(items: Seq[St]): Set[String] = items.flatMap {
+    case SSeg(n, _) => Set(n)
+    case SGrp(_, _, ch) => knownNames(ch)
+  }.toSet
+
+  private def canStart(st: St, tok: String): Boolean = st match {
+    case SSeg(n, _) => n == tok
+    case SGrp(_, _, items) => items.exists(canStart(_, tok))
+  }
+
+  private type SegTok = (String, com.fasterxml.jackson.databind.JsonNode)
+
+  private def addNode(parent: com.fasterxml.jackson.databind.node.ObjectNode,
+      name: String, node: com.fasterxml.jackson.databind.JsonNode): Unit =
+    parent.get(name) match {
+      case null => parent.set[com.fasterxml.jackson.databind.JsonNode](name, node)
+      case arr: com.fasterxml.jackson.databind.node.ArrayNode => arr.add(node)
+      case prev =>
+        val a = mapper.createArrayNode()
+        a.add(prev); a.add(node)
+        parent.set[com.fasterxml.jackson.databind.JsonNode](name, a)
+    }
+
+  /** Greedy walk of the abstract structure over the segment stream.
+    * Unknown segments (Z-segments and anything the structure doesn't
+    * name) attach to the group object being filled where they appear,
+    * like HAPI's nonstandard-segment placement. Returns true if any
+    * token was consumed (a group instance must consume ≥1 to exist).
+    */
+  private def matchSeq(items: Seq[St], toks: IndexedSeq[SegTok],
+      pos: Array[Int], known: Set[String],
+      parent: com.fasterxml.jackson.databind.node.ObjectNode): Boolean = {
+    var consumed = false
+    def peek: String = if (pos(0) < toks.length) toks(pos(0))._1 else null
+    def take(): SegTok = { val t = toks(pos(0)); pos(0) += 1; t }
+    for (item <- items) {
+      while (peek != null && !known(peek)) { // Z/unexpected: attach here
+        val (n, o) = take(); addNode(parent, n, o); consumed = true
+      }
+      item match {
+        case SSeg(n, rep) =>
+          var first = true
+          while (peek == n && (first || rep)) {
+            addNode(parent, n, take()._2); consumed = true; first = false
+          }
+        case g @ SGrp(n, rep, children) =>
+          var first = true
+          var progressing = true
+          while (progressing && peek != null && canStart(g, peek) &&
+              (first || rep)) {
+            val before = pos(0)
+            val o = mapper.createObjectNode()
+            if (matchSeq(children, toks, pos, known, o) && pos(0) > before) {
+              addNode(parent, n, o); consumed = true
+            } else progressing = false
+            first = false
+          }
+      }
+    }
+    consumed
+  }
+
+  /** Nested JSON with HAPI message-structure group names when the
+    * message type (MSH-9) has a declared structure; flat-by-segment
+    * otherwise. Leftover segments past the structure append at top
+    * level by name.
+    */
+  def parseNestedGrouped(msg: String): String = {
+    if (msg == null) return null
+    val toks = segmentTokens(msg)
+    if (toks.isEmpty) return mapper.writeValueAsString(mapper.createObjectNode())
+    // MSH-9: fields[8] of the MSH segment, components type^trigger^structure
+    val msh9 = toks.headOption.filter(_._1 == "MSH").map(_._3.split("\\|", -1))
+      .flatMap(_.lift(8)).getOrElse("")
+    val comps = msh9.split("\\^", -1)
+    val key = if (comps.length >= 3 && comps(2).nonEmpty) comps(2)
+      else if (comps.length >= 2) s"${comps(0)}_${comps(1)}" else comps(0)
+    structures.get(key) match {
+      case None => parseInto(msg, wantFlat = false, wantNested = true)._2
+      case Some(st) =>
+        val known = knownNames(st)
+        val root = mapper.createObjectNode()
+        val pos = Array(0)
+        val segToks = toks.map(t => (t._1, t._2)).toIndexedSeq
+        matchSeq(st, segToks, pos, known, root)
+        while (pos(0) < segToks.length) { // leftovers: flat at top
+          val (n, o) = segToks(pos(0)); pos(0) += 1
+          addNode(root, n, o)
+        }
+        mapper.writeValueAsString(root)
+    }
+  }
+
+  /** (segName, segObject, rawSegment) per segment, reusing the same
+    * field/component/escape rules as the flat+nested parse.
+    */
+  private def segmentTokens(msg: String): Vector[(String,
+      com.fasterxml.jackson.databind.JsonNode, String)] = {
+    val out = Vector.newBuilder[(String, com.fasterxml.jackson.databind.JsonNode, String)]
+    for (seg <- msg.split("[\\r\\n]+").iterator.map(_.trim).filter(_.nonEmpty)) {
+      val fields = seg.split("\\|", -1)
+      val segName = fields.head
       val segObj = mapper.createObjectNode()
       if (segName == "MSH") {
         segObj.put("1", "|")
-        // MSH-2 is the encoding-character set itself — a primitive,
-        // never component-split
         fields.iterator.zipWithIndex.drop(1).foreach { case (f, i) =>
           if (f.nonEmpty) {
             if (i == 1) segObj.put("2", f)
@@ -375,24 +534,17 @@ object Hl7 {
               i.toString, fieldNode(f))
         }
       }
-      segments.get(segName) match {
-        case null => segments.set[com.fasterxml.jackson.databind.JsonNode](
-          segName, segObj)
-        case arr: com.fasterxml.jackson.databind.node.ArrayNode =>
-          arr.add(segObj)
-        case prev =>
-          val a = mapper.createArrayNode()
-          a.add(prev); a.add(segObj)
-          segments.set[com.fasterxml.jackson.databind.JsonNode](segName, a)
-      }
-      }
+      out += ((segName, segObj, seg))
     }
-    (flat.toMap,
-      if (wantNested) mapper.writeValueAsString(segments) else null)
+    out.result()
   }
 
-  /** Flat map + nested JSON from one shared parse per row. */
-  val parseBothUdf: UserDefinedFunction = udf(parseBoth _)
+  /** Flat map + grouped nested JSON from one parse per row. */
+  def parseBothGrouped(msg: String): (Map[String, String], String) =
+    (parseInto(msg, wantFlat = true, wantNested = false)._1,
+      parseNestedGrouped(msg))
+
+  val parseBothGroupedUdf: UserDefinedFunction = udf(parseBothGrouped _)
 }
 
 /** Avro object-container file → JSON strings (one per record). */

@@ -224,6 +224,69 @@ class BinarySpec extends SparkSpec {
     assert(map("3") == "42")
   }
 
+  // ---- HL7 structure groups ------------------------------------------
+
+  private val oruMsg =
+    "MSH|^~\\&|LAB|X|Y|Z|20240101||ORU^R01|42|P|2.3\r" +
+      "PID|1||777||Doe^Jane\r" +
+      "ZPD|custom-z-data\r" +
+      "NK1|1|Doe^John\r" +
+      "OBR|1||ORD1|GLU^Glucose\r" +
+      "OBX|1|NM|GLU||95|mg/dL\r" +
+      "NTE|1||fasting\r" +
+      "OBX|2|NM|HGB||14\r" +
+      "OBR|2||ORD2|CBC^Blood Count\r" +
+      "OBX|1|NM|WBC||7.1"
+
+  test("parse-as-hl7 grouped: ORU_R01 message-structure names") {
+    val j = graft.ops.Hl7.parseNestedGrouped(oruMsg)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(j)
+    val pr = m.get("PATIENT_RESULT")
+    assert(pr != null, j)
+    // patient group holds PID + NK1, with the Z-segment attached where
+    // it appeared (inside PATIENT)
+    val patient = pr.get("PATIENT")
+    assert(patient.get("PID").get("5").get("2").asText() == "Jane")
+    assert(patient.get("NK1") != null)
+    assert(patient.get("ZPD") != null, j)
+    // two ORDER_OBSERVATION instances, first with two OBSERVATIONs
+    val oo = pr.get("ORDER_OBSERVATION")
+    assert(oo.isArray && oo.size() == 2, j)
+    val obs1 = oo.get(0).get("OBSERVATION")
+    assert(obs1.isArray && obs1.size() == 2, j)
+    assert(obs1.get(0).get("OBX").get("5").asText() == "95")
+    assert(obs1.get(0).get("NTE").get("3").asText() == "fasting")
+    assert(obs1.get(1).get("OBX").get("5").asText() == "14")
+    assert(oo.get(1).get("OBSERVATION").get("OBX").get("5").asText() == "7.1")
+  }
+
+  test("parse-as-hl7 grouped: ADT INSURANCE group; unknown type stays flat") {
+    val adt = "MSH|^~\\&|APP|X|Y|Z|20240101||ADT^A01|1|P|2.3\r" +
+      "EVN|A01\rPID|1||9\rPV1|1|I\r" +
+      "GT1|1\rIN1|1|PLANA\rIN2|1|12345\rIN1|2|PLANB"
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.ops.Hl7.parseNestedGrouped(adt))
+    val ins = m.get("INSURANCE")
+    assert(ins.isArray && ins.size() == 2, m.toString)
+    assert(ins.get(0).get("IN1").get("2").asText() == "PLANA")
+    assert(ins.get(0).get("IN2") != null)
+    assert(ins.get(1).get("IN1").get("2").asText() == "PLANB")
+    // unknown message type → flat-by-segment fallback
+    val unk = "MSH|^~\\&|APP|X|Y|Z|20240101||QRY^Q01|1|P|2.3\rQRD|x"
+    val f = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.ops.Hl7.parseNestedGrouped(unk))
+    assert(f.get("QRD") != null && f.get("MSH") != null)
+  }
+
+  test("parse-as-hl7 grouped directive surfaces the grouped json column") {
+    val d = df("m STRING", Seq(Row(oruMsg)))
+    val out = wrangle(
+      "parse-as-hl7 :m grouped; " +
+        "json-path :m_hl7_json :v '$.PATIENT_RESULT.ORDER_OBSERVATION[0].OBSERVATION[0].OBX.5'; " +
+        "keep :v", d)
+    assert(strings(out, "v") == Seq("95"))
+  }
+
   // ---- legacy .xls (BIFF8 in an OLE2 container) ----------------------
   // Fixtures are hand-assembled from the public [MS-CFB]/[MS-XLS]
   // specs: cell records of every supported type, an SST string split
