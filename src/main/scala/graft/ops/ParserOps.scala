@@ -170,7 +170,13 @@ object ParserOps {
     }
 
     // native xpath functions (reference v1 ops: wrangler-core
-    // parser/MigrateToV2.java:444-460)
+    // parser/MigrateToV2.java:444-460).
+    // COST NOTE: each xpath/xpath-array call re-parses the XML string
+    // into a DOM per row per directive — N extractions = N parses.
+    // For more than one or two extractions from the same document,
+    // `parse-xml-to-json :col` ONCE followed by `json-path` pulls is
+    // the right recipe shape: one parse per row, then cheap string
+    // navigation (see README "Recipe guidance").
     case "xpath" => ColumnOps.simple(spec) { df =>
       df.withColumn(spec.col(1), xpath_string(col(spec.col(0)), lit(spec.str(2))))
     }
