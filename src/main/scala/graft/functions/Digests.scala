@@ -555,18 +555,41 @@ object Digests {
 
   private val wpC = Array(1, 1, 4, 1, 8, 5, 2, 9) // MDS row circulant
 
-  /** One cipher round: SubBytes, ShiftColumns (col j down by j),
-    * MixRows (row × cir(1,1,4,1,8,5,2,9)), AddRoundKey. State is an
-    * 8×8 byte matrix, st(row)(col).
+  // mulTab(c)(b) = b · wpC(c) in GF(2^8) — derived once from wpMul,
+  // turning the per-byte diffusion into table lookups
+  private lazy val wpMulTab: Array[Array[Int]] =
+    Array.tabulate(8, 256)((c, b) => wpMul(b, wpC(c)))
+
+  /** One cipher round in place: SubBytes, ShiftColumns (col j down by
+    * j), MixRows (row × cir(1,1,4,1,8,5,2,9)), AddRoundKey. Flat 64-int
+    * state, index = 8·row + col; `tmp` is caller-provided scratch.
     */
-  private def wpRound(st: Array[Array[Int]], key: Array[Array[Int]]): Array[Array[Int]] = {
-    val sub = Array.tabulate(8, 8)((i, j) => wpSbox(st(i)(j)))
-    val shifted = Array.tabulate(8, 8)((i, j) => sub((i - j + 8) % 8)(j))
-    Array.tabulate(8, 8) { (i, j) =>
-      var acc = 0
-      var k = 0
-      while (k < 8) { acc ^= wpMul(shifted(i)(k), wpC((j - k + 8) % 8)); k += 1 }
-      acc ^ key(i)(j)
+  private def wpRound(st: Array[Int], key: Array[Int], tmp: Array[Int]): Unit = {
+    // SubBytes + ShiftColumns fused: tmp(i,j) = S(st((i-j) mod 8, j))
+    var i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        tmp(8 * i + j) = wpSbox(st(8 * (((i - j) + 8) % 8) + j))
+        j += 1
+      }
+      i += 1
+    }
+    // MixRows + AddRoundKey back into st
+    i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        var acc = key(8 * i + j)
+        var k = 0
+        while (k < 8) {
+          acc ^= wpMulTab(((j - k) + 8) % 8)(tmp(8 * i + k))
+          k += 1
+        }
+        st(8 * i + j) = acc
+        j += 1
+      }
+      i += 1
     }
   }
 
@@ -584,25 +607,37 @@ object Digests {
     val lenBytes = bitLen.toByteArray.takeRight(32)
     System.arraycopy(lenBytes, 0, msg, msg.length - lenBytes.length, lenBytes.length)
 
-    var h = Array.fill(8, 8)(0)
+    val h = new Array[Int](64)
+    val k = new Array[Int](64)
+    val s = new Array[Int](64)
+    val rc = new Array[Int](64)
+    val tmp = new Array[Int](64)
     var off = 0
     while (off < msg.length) {
-      val m = Array.tabulate(8, 8)((i, j) => msg(off + 8 * i + j) & 0xff)
-      var k = h.map(_.clone())
-      var s = Array.tabulate(8, 8)((i, j) => m(i)(j) ^ k(i)(j))
-      for (r <- 1 to 10) {
+      var i = 0
+      while (i < 64) {
+        val m = msg(off + i) & 0xff
+        k(i) = h(i)
+        s(i) = m ^ h(i)
+        i += 1
+      }
+      var r = 1
+      while (r <= 10) {
         // round constant r: row 0 = S-box bytes 8(r-1)..8(r-1)+7
-        val rc = Array.tabulate(8, 8)((i, j) =>
-          if (i == 0) wpSbox(8 * (r - 1) + j) else 0)
-        k = wpRound(k, rc)
-        s = wpRound(s, k)
+        i = 0
+        while (i < 64) { rc(i) = if (i < 8) wpSbox(8 * (r - 1) + i) else 0; i += 1 }
+        wpRound(k, rc, tmp)
+        wpRound(s, k, tmp)
+        r += 1
       }
       // Miyaguchi-Preneel: H' = W(H, m) ^ H ^ m
-      h = Array.tabulate(8, 8)((i, j) => s(i)(j) ^ h(i)(j) ^ m(i)(j))
+      i = 0
+      while (i < 64) { h(i) = s(i) ^ h(i) ^ (msg(off + i) & 0xff); i += 1 }
       off += 64
     }
     val out = new Array[Byte](64)
-    for (i <- 0 until 8; j <- 0 until 8) out(8 * i + j) = h(i)(j).toByte
+    var i = 0
+    while (i < 64) { out(i) = h(i).toByte; i += 1 }
     out
   }
 }

@@ -285,16 +285,15 @@ object Dedup {
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.9, bands: Int = 8, bitsPerBand: Int = 8,
       seed: Long = 7L, maxBucketSize: Int = 10000): DataFrame = {
-    val dim = df.select(col(vecCol)).limit(1).collect()
-      .headOption.map(_.getSeq[Float](0).length)
-      .getOrElse(return df.sparkSession.emptyDataFrame
-        .selectExpr("CAST(null AS BIGINT) id_a", "CAST(null AS BIGINT) id_b",
-          "CAST(null AS DOUBLE) cosine").limit(0))
-    val planes = Similarity.hyperplanes(dim, bands * bitsPerBand, seed)
+    // planes derive lazily from the vector length on the executors (no
+    // driver-side dim-probe job); the persist is populated by the
+    // first consuming job and then serves the remaining branches — a
+    // fresh call costs exactly one signature pass
     val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .withColumn("__sig", Similarity.lshBucket(col("__v"), planes))
+      .withColumn("__sig",
+        Similarity.lshBucketAuto(col("__v"), bands * bitsPerBand, seed))
+      .withColumn("__norm", Similarity.vecNorm(col("__v")))
       .persist()
-    base.count() // eager: signatures compute once, not per self-join side
     val mask = (1L << bitsPerBand) - 1
     val banded0 = base.select(col("__id"), col("__sig"),
       explode(array((0 until bands).map(b =>
@@ -342,9 +341,12 @@ object Dedup {
       .filter(bit_count(lowestBit - lit(1L)) === col("__band") * lit(bitsPerBand))
       .select("id_a", "id_b")
     cands
-      .join(base.select(col("__id").as("id_a"), col("__v").as("__va")), "id_a")
-      .join(base.select(col("__id").as("id_b"), col("__v").as("__vb")), "id_b")
-      .withColumn("cosine", Similarity.pairCosine(col("__va"), col("__vb")))
+      .join(base.select(col("__id").as("id_a"), col("__v").as("__va"),
+        col("__norm").as("__na")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__v").as("__vb"),
+        col("__norm").as("__nb")), "id_b")
+      .withColumn("cosine", Similarity.pairCosinePrenorm(
+        col("__va"), col("__vb"), col("__na"), col("__nb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

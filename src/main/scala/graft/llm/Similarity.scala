@@ -74,25 +74,47 @@ object Similarity {
     * pass over the vector for all planes.
     */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val kernel = udf((v: Seq[Float]) => sigOf(v, planes))
+    kernel(vec)
+  }
+
+  private def sigOf(v: Seq[Float], planes: Array[Array[Double]]): java.lang.Long =
+    if (v == null) null
+    else {
+      var sig = 0L
+      var b = 0
+      while (b < planes.length) {
+        val p = planes(b)
+        var dot = 0.0
+        var i = 0
+        val len = math.min(v.length, p.length)
+        while (i < len) { dot += v(i).toDouble * p(i); i += 1 }
+        if (dot >= 0) sig |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(sig)
+    }
+
+  /** [[lshBucket]] with the plane set derived lazily from the incoming
+    * vector's length — removes the driver-side dimension-probe job
+    * (planes are a deterministic function of (dim, bits, seed), so
+    * every executor derives the identical set; uniform-dim corpora get
+    * byte-identical signatures to the probed form).
+    */
+  def lshBucketAuto(vec: Column, bits: Int, seed: Long): Column = {
     val kernel = udf((v: Seq[Float]) => {
       if (v == null) null
-      else {
-        var sig = 0L
-        var b = 0
-        while (b < planes.length) {
-          val p = planes(b)
-          var dot = 0.0
-          var i = 0
-          val len = math.min(v.length, p.length)
-          while (i < len) { dot += v(i).toDouble * p(i); i += 1 }
-          if (dot >= 0) sig |= (1L << b)
-          b += 1
-        }
-        java.lang.Long.valueOf(sig)
-      }
+      else sigOf(v, planesFor(v.length, bits, seed))
     })
     kernel(vec)
   }
+
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Double]]]()
+
+  private def planesFor(dim: Int, bits: Int, seed: Long): Array[Array[Double]] =
+    planeCache.computeIfAbsent((dim, bits, seed),
+      key => hyperplanes(key._1, key._2, key._3))
 
   /** Bucketed approximate top-k: probe the query's bucket and all
     * buckets within `probeHamming` bit flips (multi-probe LSH), exact
@@ -210,6 +232,38 @@ object Similarity {
   }
 
   /** Pairwise cosine between two embedding columns (JIT'd kernel). */
+  /** Σx² accumulated in index order — the SAME order [[pairCosine]]
+    * uses, so sqrt(norm2(a)) * sqrt(norm2(b)) is bit-identical to the
+    * fused denominator and precomputing norms cannot move a borderline
+    * threshold comparison.
+    */
+  val vecNorm: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((v: Seq[Float]) => {
+      if (v == null) null
+      else {
+        var na = 0.0; var i = 0
+        while (i < v.length) { val x = v(i).toDouble; na += x * x; i += 1 }
+        java.lang.Double.valueOf(math.sqrt(na))
+      }
+    })
+
+  /** cosine from precomputed norms: dot(a,b) / (na * nb) — 1/3 the
+    * float work of [[pairCosine]] on a pair stream where each vector
+    * appears in many pairs.
+    */
+  val pairCosinePrenorm: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((a: Seq[Float], b: Seq[Float], na: java.lang.Double, nb: java.lang.Double) => {
+      if (a == null || b == null || na == null || nb == null) null
+      else {
+        var dot = 0.0; var i = 0
+        val len = math.min(a.length, b.length)
+        while (i < len) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+        val denom = na * nb
+        if (denom == 0) java.lang.Double.valueOf(0.0)
+        else java.lang.Double.valueOf(dot / denom)
+      }
+    })
+
   val pairCosine: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((a: Seq[Float], b: Seq[Float]) => {
       if (a == null || b == null) null
