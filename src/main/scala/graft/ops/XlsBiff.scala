@@ -74,6 +74,12 @@ private[graft] object ExcelDates {
     * POI's java.util.Date stringification distinguishes.
     */
   def renderSerial(serial: Double): String = {
+    // outside Excel's representable range (0 .. year-9999) the serial
+    // is not a date no matter what the format says — surface the raw
+    // number instead of throwing mid-parse
+    if (serial.isNaN || serial < 0 || serial > 2958465.99999)
+      return if (serial.isWhole && math.abs(serial) < 1e15)
+        serial.toLong.toString else serial.toString
     var days0 = math.floor(serial).toLong
     var secs = math.round((serial - days0) * 86400d)
     if (secs >= 86400) { days0 += 1; secs -= 86400 }

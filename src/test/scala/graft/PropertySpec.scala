@@ -145,4 +145,33 @@ class PropertySpec extends AnyFunSuite {
     check("protobuf round-trip")(prop)
   }
 
+  test("HttpdLogFormat.compile: total on arbitrary formats, regex valid") {
+    // any ASCII format string either raises the documented
+    // IllegalArgumentException (unterminated %{...}) or yields a regex
+    // that compiles with exactly one capture group per emitted field
+    check("logformat") {
+      Prop.forAll(asciiText) { fmt =>
+        try {
+          val (re, fields) = graft.ops.HttpdLogFormat.compile(fmt)
+          val p = java.util.regex.Pattern.compile(re)
+          p.matcher("").groupCount() == fields.size
+        } catch { case _: IllegalArgumentException => true }
+      }
+    }
+  }
+
+  test("ExcelDates: classifier and serial renderer never throw") {
+    check("excel-fmt") {
+      Prop.forAll(asciiText)(fmt =>
+        { graft.ops.ExcelDates.isDateFormatString(fmt); true })
+    }
+    check("excel-serial") {
+      Prop.forAll(Gen.chooseNum(-1e12, 1e12)) { d =>
+        graft.ops.ExcelDates.renderSerial(d) != null
+      }
+    }
+    // known fixed points
+    assert(graft.ops.ExcelDates.renderSerial(-5.0) == "-5")
+    assert(graft.ops.ExcelDates.renderSerial(1e7) == "10000000")
+  }
 }
