@@ -81,6 +81,8 @@ object Dedup {
     // per-document kernel (shingle set + signature) is a JIT'd function —
     // Catalyst higher-order functions are CodegenFallback and re-evaluate
     // captured expressions per element (measured 100x slower here)
+    // persist populates during the first consuming job and serves the
+    // remaining branches — no eager count job per call
     val base = df.select(
       col(idCol).as("__id"),
       graft.functions.Udfs.shingleSetUdf(col(textCol), lit(shingleK)).as("__sh"),
@@ -88,7 +90,6 @@ object Dedup {
         lit(shingleK), lit(42L)).as("__sig"))
       .filter(size(col("__sh")) > 0)
       .persist()
-    base.count() // eager: signatures compute exactly once, not per join branch
 
     // (band, bucketHash, id): one row per band per doc
     val buckets = base.select(
@@ -233,8 +234,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     val sigs = df.select(col(idCol).as("__id"),
-      simhash64(col(textCol)).as("__sig")).persist()
-    sigs.count() // eager: signature computed once, not per self-join side
+      simhash64(col(textCol)).as("__sig")).persist() // populated by first job
     val banded = sigs.select(col("__id"), col("__sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
