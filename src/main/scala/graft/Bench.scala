@@ -29,7 +29,14 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // deterministic inter-query cleanup (untimed): the dedup/ANN
+      // queries persist signature frames that otherwise linger until
+      // the GC-driven ContextCleaner notices them — measured as multi-
+      // second storage-pressure noise on whatever queries run next
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      t
     }
 
     // Fixed warmup set at the smallest SF: exercises the same code paths
@@ -44,6 +51,8 @@ object Bench {
       try SparkEntry.queries(n)(spark, warmupDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
 
     // median of N runs per query (N=3 by default): a single noisy run —
     // GC pause, first-touch JIT, OS cache miss — no longer moves the

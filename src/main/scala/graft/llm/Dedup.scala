@@ -81,8 +81,10 @@ object Dedup {
     // per-document kernel (shingle set + signature) is a JIT'd function —
     // Catalyst higher-order functions are CodegenFallback and re-evaluate
     // captured expressions per element (measured 100x slower here)
-    // persist populates during the first consuming job and serves the
-    // remaining branches — no eager count job per call
+    // The count() materializes the persist BEFORE the self-join runs:
+    // without it, the join's two branches race to populate the cache
+    // within one job and each uncached partition computes its expensive
+    // signature twice (measured: bimodal 2x run-to-run swings)
     val base = df.select(
       col(idCol).as("__id"),
       graft.functions.Udfs.shingleSetUdf(col(textCol), lit(shingleK)).as("__sh"),
@@ -90,6 +92,7 @@ object Dedup {
         lit(shingleK), lit(42L)).as("__sig"))
       .filter(size(col("__sh")) > 0)
       .persist()
+    base.count() // eager: signatures compute exactly once, not per join branch
 
     // (band, bucketHash, id): one row per band per doc
     val buckets = base.select(
@@ -234,7 +237,8 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     val sigs = df.select(col(idCol).as("__id"),
-      simhash64(col(textCol)).as("__sig")).persist() // populated by first job
+      simhash64(col(textCol)).as("__sig")).persist()
+    sigs.count() // eager: signature computed once, not per self-join side
     val banded = sigs.select(col("__id"), col("__sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -286,14 +290,15 @@ object Dedup {
       threshold: Double = 0.9, bands: Int = 8, bitsPerBand: Int = 8,
       seed: Long = 7L, maxBucketSize: Int = 10000): DataFrame = {
     // planes derive lazily from the vector length on the executors (no
-    // driver-side dim-probe job); the persist is populated by the
-    // first consuming job and then serves the remaining branches — a
-    // fresh call costs exactly one signature pass
+    // driver-side dim-probe job); the count() materializes the persist
+    // before the downstream branches race over it — uncached partitions
+    // read concurrently by two join sides compute their signatures twice
     val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__sig",
         Similarity.lshBucketAuto(col("__v"), bands * bitsPerBand, seed))
       .withColumn("__norm", Similarity.vecNorm(col("__v")))
       .persist()
+    base.count() // eager: signatures compute exactly once, not per join branch
     val mask = (1L << bitsPerBand) - 1
     val banded0 = base.select(col("__id"), col("__sig"),
       explode(array((0 until bands).map(b =>
