@@ -438,6 +438,36 @@ object QueryBank {
       (s, d) => r("repetition-ratio :text; keep :doc_id,:text_dup_line_ratio,:text_dup_3gram_ratio")(docs(s, d)),
       repetitionSql),
 
+    ("decontaminate",
+      // benchmark decontamination: docs whose doc_id % 97 == 0 stand in
+      // for a held-out eval set; every other document counts its word
+      // 3-grams found anywhere in that set (n=3 so the synthetic corpus
+      // yields a non-trivial hit distribution — 0..4 at sf0.01; the API
+      // default for real corpora is n=8). Corpus side is map-only: the
+      // benchmark grams arrive as one broadcast sorted array.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val all = docs(s, d)
+        graft.llm.Decontaminate.markHits(
+          all.filter(col("doc_id") % 97 =!= 0), "text",
+          all.filter(col("doc_id") % 97 === 0), "text", n = 3)
+          .select(col("doc_id"), col("text_contam_hits").as("hits"))
+      },
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[]) ELSE
+        |  list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |    i -> to_json(list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 2)))) END AS grams
+        |  FROM t),
+        |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+        |ch AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0),
+        |hits AS (SELECT ch.doc_id, count(*) AS h FROM ch JOIN bg USING (gram) GROUP BY ch.doc_id)
+        |SELECT g.doc_id, CAST(coalesce(h.h, 0) AS INT) AS hits
+        |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+        |WHERE g.doc_id % 97 <> 0""".stripMargin),
+
     ("pipeline_curation",
       // end-to-end curation composite: lang-id + quality-score +
       // token-count compose in ONE projection over the scan, the

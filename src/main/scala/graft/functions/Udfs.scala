@@ -615,6 +615,44 @@ object Udfs {
   }
   val ngramJaccardUdf: UserDefinedFunction = udf(ngramJaccard _)
 
+  /** Distinct FNV-1a hashes of the word n-grams of the normalized
+    * text, for benchmark decontamination (llm/Decontaminate.scala).
+    * Gram i (0-based) covers tokens [i, min(i+n, len)); i ranges over
+    * [0, max(len-n+1, 1)) — a document shorter than n tokens yields
+    * exactly ONE gram of all its tokens, and an empty document yields
+    * NONE (unlike ngramJaccard's seed-gram-for-empty, where two empty
+    * docs must compare equal). A 0x1f boundary marker between tokens
+    * keeps the hash injective over token SEQUENCES ("ab c" vs "a bc"),
+    * mirroring the to_json(list) gram identity the DuckDB oracle uses.
+    */
+  def tokenGramHashes(text: String, n: Int): Array[Long] = {
+    val toks = normalizeText(text).split(" ").filter(_.nonEmpty)
+    if (toks.isEmpty) return Array.empty
+    val windows = math.max(toks.length - n + 1, 1)
+    val set = new java.util.HashSet[Long](windows * 2)
+    var i = 0
+    while (i < windows) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      val end = math.min(i + n, toks.length)
+      while (j < end) {
+        val t = toks(j)
+        var p = 0
+        while (p < t.length) { h ^= t.charAt(p); h *= 0x100000001b3L; p += 1 }
+        h ^= 0x1f; h *= 0x100000001b3L // token boundary
+        j += 1
+      }
+      set.add(h)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+  val tokenGramHashesUdf: UserDefinedFunction = udf(tokenGramHashes _)
+
   /** Same normalization as graft.llm.Dedup.normalized (keep in sync). */
   def normalizeText(text: String): String = {
     if (text == null) return ""

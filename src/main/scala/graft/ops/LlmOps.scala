@@ -63,6 +63,31 @@ object LlmOps {
       df.withColumn(spec.col(0), TextAnalysis.redactPii(col(spec.col(0)), types))
     }
 
+    // `decontaminate :text benchtable [n] [minHits]` — drop documents
+    // sharing >= minHits word n-grams with the registered benchmark
+    // table (train/test-leakage guard); `contamination-hits` is the
+    // mark-only form, appending `<col>_contam_hits`
+    case "decontaminate" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = {
+        val bench = benchTable(spec, ctx)
+        st.mapDf(df => graft.llm.Decontaminate.drop(df, spec.col(0),
+          bench, bench.columns.head,
+          n = spec.optStr(2).map(_.toInt).getOrElse(8),
+          minHits = spec.optStr(3).map(_.toInt).getOrElse(1)))
+      }
+    }
+
+    case "contamination-hits" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = {
+        val bench = benchTable(spec, ctx)
+        st.mapDf(df => graft.llm.Decontaminate.markHits(df, spec.col(0),
+          bench, bench.columns.head,
+          n = spec.optStr(2).map(_.toInt).getOrElse(8)))
+      }
+    }
+
     // duplicate-line and duplicate-3-gram fractions (Gopher-style
     // repetition quality signals)
     case "repetition-ratio" => ColumnOps.simple(spec) { df =>
@@ -75,4 +100,11 @@ object LlmOps {
 
     case _ => null
   })
+
+  // first column of the registered table is the benchmark text column,
+  // same positional contract as table-lookup's key column
+  private def benchTable(spec: DirectiveSpec, ctx: WrangleContext) =
+    ctx.lookups.getOrElse(spec.str(1),
+      throw new RecipeException(
+        s"${spec.name}: unknown benchmark table '${spec.str(1)}'"))
 }

@@ -433,4 +433,57 @@ class LlmSpec extends SparkSpec {
     assert(!kept.contains(1L), "B should collapse into A's component")
   }
 
+  test("decontaminate counts shared n-grams and drops contaminated docs") {
+    val bench = df("q STRING", Seq(
+      Row("what is the capital of france"),
+      Row("list the prime numbers below ten")))
+    val corpus = df("doc_id BIGINT, text STRING", Seq(
+      // contains the full benchmark 6-gram "what is the capital of france"
+      Row(1L, "quiz answer: What is the capital of France? Paris of course"),
+      // shares "is the capital" and "the capital of" with the benchmark
+      Row(2L, "rome is the capital of italy and a very old city"),
+      Row(3L, "nothing shared with any benchmark question at all here"),
+      Row(4L, null)))
+
+    // n=3: doc 1 shares 4 distinct 3-grams ("what is the", "is the
+    // capital", "the capital of", "capital of france"), doc 2 two
+    val marked = graft.llm.Decontaminate
+      .markHits(corpus, "text", bench, "q", n = 3)
+      .select("doc_id", "text_contam_hits").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(marked == Map(1L -> 4, 2L -> 2, 3L -> 0, 4L -> 0), s"got $marked")
+
+    // drop with minHits=3 removes only doc 1; null text survives
+    val kept = graft.llm.Decontaminate
+      .drop(corpus, "text", bench, "q", n = 3, minHits = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L))
+
+    // a doc shorter than n tokens forms one whole-doc gram; it hits
+    // only if the benchmark contains that exact short sequence too
+    val shortBench = df("q STRING", Seq(Row("tiny doc")))
+    val shortCorpus = df("doc_id BIGINT, text STRING",
+      Seq(Row(1L, "tiny doc"), Row(2L, "tiny")))
+    val shortHits = graft.llm.Decontaminate
+      .markHits(shortCorpus, "text", shortBench, "q", n = 8)
+      .select("doc_id", "text_contam_hits").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(shortHits == Map(1L -> 1, 2L -> 0), s"got $shortHits")
+
+    // directive surface: registered benchmark table + recipe syntax
+    val viaDirective = graft.Wrangle
+      .recipe("decontaminate :text bench 3 3")
+      .withLookup("bench", bench)
+      .apply(corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaDirective == Set(2L, 3L, 4L))
+
+    // mark-only directive form
+    val hitCol = graft.Wrangle
+      .recipe("contamination-hits :text bench 3")
+      .withLookup("bench", bench)
+      .apply(corpus)
+    assert(hitCol.columns.contains("text_contam_hits"))
+  }
+
 }
