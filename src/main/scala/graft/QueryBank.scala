@@ -856,6 +856,29 @@ object QueryBank {
         .select("c_custkey", "c_name"),
       sampleReservoirSql),
 
+    // content-keyed md5-range sampling: EXACT SQL oracle (not a pinned
+    // fixture) — both engines hash the same key string and compare
+    // against the same 32-hex threshold literal, so the oracle verifies
+    // the full mechanism, not just a frozen row set
+    ("sample_by_hash",
+      (s, d) => r("sample-by-hash :c_custkey 0.1; keep :c_custkey,:c_name")(cust(s, d)),
+      s"""SELECT c_custkey, c_name FROM customer
+        | WHERE md5(coalesce(CAST(c_custkey AS VARCHAR), ''))
+        |  < '${graft.session.Sampler.hexThreshold(0.1)}'""".stripMargin),
+
+    ("hash_split",
+      // boundary literals reproduce hashSplit's own scanLeft double
+      // accumulation (0.0+0.8+0.1 != literal 0.9 in IEEE754) so the
+      // oracle thresholds are bit-identical to the Spark plan's
+      (s, d) => r("hash-split :c_custkey 'train:0.8,val:0.1,test:0.1'; keep :c_custkey,:split")(cust(s, d)),
+      s"""SELECT c_custkey,
+        | CASE WHEN md5(coalesce(CAST(c_custkey AS VARCHAR), ''))
+        |        < '${graft.session.Sampler.hexThreshold(0.0 + 0.8)}' THEN 'train'
+        |      WHEN md5(coalesce(CAST(c_custkey AS VARCHAR), ''))
+        |        < '${graft.session.Sampler.hexThreshold(0.0 + 0.8 + 0.1)}' THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM customer""".stripMargin),
+
     // ---- §2.7 packaged catalog (no registration step) ---------------
     ("catalog_lookup_builtin",
       (s, d) => r("set-column :code exp:{ c_custkey % 2 == 0 ? 'US' : 'FR' }; catalog-lookup iso3166 :code; keep :c_custkey,:code,:code_iso3166_description")(cust(s, d)),

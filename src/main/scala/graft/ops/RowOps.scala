@@ -127,6 +127,27 @@ object RowOps {
       df.withColumn(c, explode(sliced))
     }
 
+    // deterministic content-keyed sampling: the keep decision is a pure
+    // function of the key (md5 range test), so the sample is identical
+    // across partitioning, retries, and cluster sizes — see
+    // session.Sampler.consistent
+    case "sample-by-hash" => ColumnOps.simple(spec) { df =>
+      graft.session.Sampler.consistent(df, spec.col(0),
+        spec.str(1).toDouble, salt = spec.optStr(2).getOrElse(""))
+    }
+
+    // `hash-split :key train:0.9,val:0.05,test:0.05 [salt] [outcol]` —
+    // disjoint named subsets by hash range, each individually stable
+    case "hash-split" => ColumnOps.simple(spec) { df =>
+      val splits = spec.str(1).split(",").toSeq.map { part =>
+        val Array(name, frac) = part.trim.split(":")
+        name -> frac.toDouble
+      }
+      graft.session.Sampler.hashSplit(df, spec.col(0), splits,
+        salt = spec.optStr(2).getOrElse(""),
+        outCol = spec.optStr(3).getOrElse("split"))
+    }
+
     // transient variables become plain columns: a per-record variable is
     // exactly a derived column in a set-based engine. Cross-row
     // (order-dependent) usage is undefined distributed — same caveat as

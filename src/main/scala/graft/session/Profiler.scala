@@ -126,4 +126,63 @@ object Sampler {
     df.sparkSession.createDataFrame(
       df.sparkSession.sparkContext.parallelize(rows.toSeq), df.schema)
   }
+
+  /** Deterministic content-keyed sampling: keep a row iff
+    * md5(key ++ salt) falls in the first `fraction` of the 128-bit
+    * hash space. The comparison is lexicographic on the fixed-width
+    * lowercase hex digest, which is monotone with its numeric value,
+    * so the filter is a single codegen'd string compare over the scan.
+    *
+    * Unlike `bernoulli` (seeded rand() — the draw depends on row
+    * position, so it changes under repartitioning, task retry, AQE
+    * re-planning, or a different cluster size), the decision here is a
+    * pure function of the KEY: the same row is kept on every run, on
+    * any cluster, at any scale — the only sampling form that yields
+    * reproducible subsets of a 100 TB corpus, and the standard way to
+    * cut stable experiment slices. A non-empty `salt` re-draws the
+    * sample without touching the keys. Null keys hash as the empty
+    * string (kept or dropped deterministically, never silently null'd
+    * out of the filter).
+    */
+  def consistent(df: DataFrame, keyCol: String, fraction: Double,
+      salt: String = ""): DataFrame =
+    df.filter(hashPoint(keyCol, salt) < lit(hexThreshold(fraction)))
+
+  /** Assign each row to a named split (train/val/test, …) by where its
+    * key's hash lands among cumulative `fraction` ranges — the
+    * hash-partitioned counterpart of `consistent` for carving one
+    * corpus into disjoint, individually-stable subsets. Fractions must
+    * sum to 1 (±1e-6); the last split absorbs the rounding tail so
+    * every row is assigned.
+    */
+  def hashSplit(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)], salt: String = "",
+      outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "hashSplit: at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-6,
+      s"hashSplit: fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val h = hashPoint(keyCol, salt)
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assigned = splits.init.zip(cum.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), upper), rest) =>
+      when(h < lit(hexThreshold(upper)), lit(name)).otherwise(rest)
+    }
+    df.withColumn(outCol, assigned)
+  }
+
+  private def hashPoint(keyCol: String, salt: String): Column =
+    md5(concat(coalesce(col(keyCol).cast(StringType), lit("")), lit(salt)))
+
+  /** 32-hex-digit threshold string for a [0,1] fraction of the 128-bit
+    * hash space: floor(fraction * 2^128), zero-padded. Public so the
+    * DuckDB oracle can embed the bit-identical literal.
+    */
+  def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction must be in [0,1], got $fraction")
+    val full = BigInt(1) << 128
+    val t = (BigDecimal(fraction) * BigDecimal(full)).toBigInt.min(full - 1)
+    val h = t.toString(16)
+    "0" * (32 - h.length) + h
+  }
 }

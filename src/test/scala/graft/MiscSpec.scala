@@ -157,4 +157,51 @@ class MiscSpec extends SparkSpec {
     assert(graft.ops.BuiltinCatalogs.load(spark, "icd9").get.count() ==
       cat.count())
   }
+
+  test("consistent hash sampling is key-stable and partition-independent") {
+    import graft.session.Sampler
+    val rows = (1L to 2000L).map(i => Row(i, s"name_$i"))
+    val d = df("id BIGINT, name STRING", rows)
+    val kept = Sampler.consistent(d, "id", 0.2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // roughly the asked fraction (md5 is uniform; 2000 draws)
+    assert(kept.size > 300 && kept.size < 500, s"got ${kept.size}")
+    // identical decision after an arbitrary repartition — the property
+    // seeded rand() sampling does NOT have
+    val keptShuffled = Sampler.consistent(d.repartition(7), "id", 0.2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == keptShuffled)
+    // growing the fraction only ADDS rows (nested samples)
+    val kept30 = Sampler.consistent(d, "id", 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(kept30))
+    // a different salt re-draws
+    val salted = Sampler.consistent(d, "id", 0.2, salt = "v2")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(salted != kept)
+    // null keys: deterministic, never dropped by a null comparison
+    val withNull = df("id BIGINT, name STRING",
+      Seq(Row(null, "a"), Row(2L, "b")))
+    assert(Sampler.consistent(withNull, "id", 1.0).count() == 2)
+
+    // hashSplit: total, disjoint, stable, and consistent with the
+    // single-fraction form (same hash, same thresholds)
+    val split = Sampler.hashSplit(d, "id",
+      Seq("train" -> 0.2, "val" -> 0.3, "test" -> 0.5))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(split.values.sum == 2000)
+    assert(split.keySet == Set("train", "val", "test"))
+    val trainIds = Sampler.hashSplit(d, "id",
+      Seq("train" -> 0.2, "val" -> 0.3, "test" -> 0.5))
+      .filter(col("split") === "train")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(trainIds == kept, "hashSplit train bucket == consistent(0.2)")
+
+    // directive surface
+    val viaRecipe = wrangle(
+      "hash-split :id 'train:0.2,val:0.3,test:0.5'; filter-row exp:{ split != 'train' } true", d)
+    assert(viaRecipe.select("id").collect().map(_.getLong(0)).toSet == kept)
+    assert(wrangle("sample-by-hash :id 0.2", d).count() == kept.size)
+  }
 }
