@@ -181,7 +181,12 @@ object Sampler {
     require(fraction >= 0.0 && fraction <= 1.0,
       s"fraction must be in [0,1], got $fraction")
     val full = BigInt(1) << 128
-    val t = (BigDecimal(fraction) * BigDecimal(full)).toBigInt.min(full - 1)
+    // java.math.BigDecimal: unlimited precision (scala.math.BigDecimal
+    // defaults to MathContext.DECIMAL128 and silently rounds the
+    // 39-digit product); new BigDecimal(double) is the exact binary value
+    val t = BigInt(new java.math.BigDecimal(fraction)
+      .multiply(new java.math.BigDecimal(full.bigInteger))
+      .toBigInteger).min(full - 1)
     val h = t.toString(16)
     "0" * (32 - h.length) + h
   }

@@ -174,4 +174,39 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.ops.ExcelDates.renderSerial(-5.0) == "-5")
     assert(graft.ops.ExcelDates.renderSerial(1e7) == "10000000")
   }
+
+  test("tokenGramHashes: total, deterministic, distinct, window-bounded") {
+    check("gram-hashes") {
+      Prop.forAll(asciiText, Gen.choose(1, 10)) { (s, n) =>
+        val a = Udfs.tokenGramHashes(s, n)
+        val b = Udfs.tokenGramHashes(s, n)
+        val toks = Udfs.normalizeText(s).split(" ").count(_.nonEmpty)
+        val expectedMax = if (toks == 0) 0 else math.max(toks - n + 1, 1)
+        a.sameElements(b) &&                 // deterministic
+          a.length == a.toSet.size &&        // distinct
+          a.length <= expectedMax            // one hash per window
+      }
+    }
+    // null-total
+    assert(Udfs.tokenGramHashes(null, 3).isEmpty)
+    // boundary-marker injectivity over token sequences
+    assert(!Udfs.tokenGramHashes("ab c", 2)
+      .sameElements(Udfs.tokenGramHashes("a bc", 2)))
+  }
+
+  test("hexThreshold: 32-hex, monotone, exact endpoints") {
+    import graft.session.Sampler.hexThreshold
+    check("hex-threshold") {
+      Prop.forAll(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0.0, 1.0)) { (a, b) =>
+        val (ha, hb) = (hexThreshold(a), hexThreshold(b))
+        ha.length == 32 && hb.length == 32 &&
+          ha.forall(c => c.isDigit || (c >= 'a' && c <= 'f')) &&
+          ((a <= b) == (ha <= hb) || a == b)  // monotone w/ numeric value
+      }
+    }
+    assert(graft.session.Sampler.hexThreshold(0.0) == "0" * 32)
+    // 1.0 caps at the max digest so every md5 string compares below-or-equal
+    assert(graft.session.Sampler.hexThreshold(1.0) == "f" * 32)
+    intercept[IllegalArgumentException](graft.session.Sampler.hexThreshold(1.5))
+  }
 }
