@@ -438,6 +438,39 @@ object QueryBank {
       (s, d) => r("repetition-ratio :text; keep :doc_id,:text_dup_line_ratio,:text_dup_3gram_ratio")(docs(s, d)),
       repetitionSql),
 
+    ("dup_spans",
+      // exact duplicated-span detection (Lee et al.-style substring
+      // dedup): maximal runs of >= 5 tokens appearing more than once
+      // in the corpus, excluding each window's global first occurrence.
+      // The oracle recomputes the whole pipeline on gram STRINGS where
+      // the Spark side uses 64-bit gram hashes — a hash collision
+      // would surface here as a mismatch.
+      (s, d) => graft.llm.SpanDedup.duplicatedSpans(
+        docs(s, d), "text", "doc_id", minTokens = 5),
+      spanDedupBase +
+        "\nSELECT doc_id, span_start, span_end FROM spans"),
+
+    ("dedup_spans_text",
+      // the rewrite: touched documents come back with non-first spans
+      // cut (whitespace-normalized by the token rejoin), untouched
+      // documents byte-identical
+      (s, d) => graft.llm.SpanDedup.removeDuplicatedSpans(
+        docs(s, d), "text", "doc_id", minTokens = 5)
+        .select("doc_id", "text"),
+      spanDedupBase + """,
+        |sl AS (SELECT doc_id, list(struct_pack(s := span_start, e := span_end)) AS sp
+        |       FROM spans GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CASE WHEN sl.doc_id IS NULL THEN
+        |    (SELECT d2.text FROM documents d2 WHERE d2.doc_id = t.doc_id)
+        |  ELSE coalesce(array_to_string(
+        |    list_transform(
+        |      list_filter(range(1, len(t.toks) + 1),
+        |        i -> len(list_filter(sl.sp, x -> i >= x.s AND i <= x.e)) = 0),
+        |      i -> t.toks[CAST(i AS INT)]), ' '), '')
+        |  END AS text
+        |FROM t LEFT JOIN sl ON t.doc_id = sl.doc_id""".stripMargin),
+
     ("decontaminate",
       // benchmark decontamination: docs whose doc_id % 97 == 0 stand in
       // for a held-out eval set; every other document counts its word
@@ -1195,6 +1228,34 @@ object QueryBank {
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Shared CTE chain for the span-dedup oracles: raw whitespace
+    * tokens → per-position 5-gram strings → duplicated windows with
+    * their global first occurrence (min over the same id*2^32+pos
+    * BIGINT the Spark plan orders by) → non-keeper positions merged
+    * gaps-and-islands into maximal spans. Mirrors llm/SpanDedup step
+    * for step on gram STRINGS (the Spark side hashes them).
+    */
+  private lazy val spanDedupBase: String =
+    """WITH t AS (SELECT doc_id,
+      |   list_filter(string_split(regexp_replace(text, '\s+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      | FROM documents),
+      |a AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+      |        i -> struct_pack(p := i, g := to_json(toks[CAST(i AS INT):CAST(i AS INT) + 4])))) AS s
+      |      FROM t),
+      |anchors AS (SELECT doc_id, CAST(s.p AS BIGINT) AS p, s.g AS g,
+      |                   doc_id * 4294967296 + CAST(s.p AS BIGINT) AS k FROM a),
+      |dup AS (SELECT g, min(k) AS keeper FROM anchors GROUP BY g HAVING count(*) >= 2),
+      |rm AS (SELECT a2.doc_id, a2.p FROM anchors a2 JOIN dup d USING (g) WHERE a2.k <> d.keeper),
+      |isl AS (SELECT doc_id, p,
+      |    CASE WHEN max(p + 4) OVER (PARTITION BY doc_id ORDER BY p
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL THEN 1
+      |      WHEN p > max(p + 4) OVER (PARTITION BY doc_id ORDER BY p
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END AS new_island
+      |  FROM rm),
+      |grp AS (SELECT doc_id, p, sum(new_island) OVER (PARTITION BY doc_id ORDER BY p) AS isl_id FROM isl),
+      |spans AS (SELECT doc_id, CAST(min(p) AS INT) AS span_start, CAST(max(p) + 4 AS INT) AS span_end
+      |  FROM grp GROUP BY doc_id, isl_id)""".stripMargin
 
   /** DuckDB rendering of Dedup.normalized (regexp flags differ). */
   private def normSql(c: String): String =

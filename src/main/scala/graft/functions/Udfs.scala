@@ -653,6 +653,60 @@ object Udfs {
   }
   val tokenGramHashesUdf: UserDefinedFunction = udf(tokenGramHashes _)
 
+  /** FNV-1a hash of every length-n window of the RAW whitespace tokens
+    * (case-sensitive, no normalization — exact-substring semantics for
+    * llm/SpanDedup), in token order: element i (0-based) is the hash
+    * of tokens [i, i+n). A document with fewer than n tokens yields an
+    * EMPTY array — it cannot contain a full-length duplicated span.
+    * Same 0x1f token-boundary marker as tokenGramHashes, so the hash
+    * is injective over token sequences modulo 64-bit collisions.
+    */
+  def wsGramHashes(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.empty
+    val toks = wsRun.split(text.trim).filter(_.nonEmpty)
+    if (toks.length < n) return Array.empty
+    val out = new Array[Long](toks.length - n + 1)
+    var i = 0
+    while (i < out.length) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      while (j < i + n) {
+        val t = toks(j)
+        var p = 0
+        while (p < t.length) { h ^= t.charAt(p); h *= 0x100000001b3L; p += 1 }
+        h ^= 0x1f; h *= 0x100000001b3L // token boundary
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+  val wsGramHashesUdf: UserDefinedFunction = udf(wsGramHashes _)
+
+  /** Rebuild `text` with the 1-based token index ranges in `spans`
+    * removed (whitespace-tokenized like wsGramHashes; kept tokens
+    * rejoin with single spaces). Spans are inclusive [start, end].
+    */
+  def cutTokenSpans(text: String, spans: Seq[(Long, Long)]): String = {
+    if (text == null) return null
+    val toks = wsRun.split(text.trim).filter(_.nonEmpty)
+    if (spans == null || spans.isEmpty) return toks.mkString(" ")
+    val sb = new StringBuilder(text.length)
+    var i = 0
+    while (i < toks.length) {
+      val p = i + 1L
+      val covered = spans.exists { case (s, e) => p >= s && p <= e }
+      if (!covered) {
+        if (sb.nonEmpty) sb.append(' ')
+        sb.append(toks(i))
+      }
+      i += 1
+    }
+    sb.toString
+  }
+  val cutTokenSpansUdf: UserDefinedFunction = udf(cutTokenSpans _)
+
   /** Same normalization as graft.llm.Dedup.normalized (keep in sync). */
   def normalizeText(text: String): String = {
     if (text == null) return ""

@@ -63,6 +63,14 @@ object LlmOps {
       df.withColumn(spec.col(0), TextAnalysis.redactPii(col(spec.col(0)), types))
     }
 
+    // `dedup-spans :text :doc_id [minTokens]` — remove every non-first
+    // occurrence of any >= minTokens-token run duplicated anywhere in
+    // the corpus (exact-substring dedup, llm/SpanDedup)
+    case "dedup-spans" => ColumnOps.simple(spec) { df =>
+      graft.llm.SpanDedup.removeDuplicatedSpans(df, spec.col(0), spec.col(1),
+        minTokens = spec.optStr(2).map(_.toInt).getOrElse(50))
+    }
+
     // `decontaminate :text benchtable [n] [minHits]` — drop documents
     // sharing >= minHits word n-grams with the registered benchmark
     // table (train/test-leakage guard); `contamination-hits` is the

@@ -486,4 +486,52 @@ class LlmSpec extends SparkSpec {
     assert(hitCol.columns.contains("text_contam_hits"))
   }
 
+  test("span dedup removes non-first occurrences of duplicated runs") {
+    // docs 1 and 2 share the 8-token boilerplate prefix; doc 3 repeats
+    // a 5-token phrase internally; doc 4 is clean and short
+    val boiler = "this document is provided as is without warranty"
+    val corpus = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, s"$boiler alpha beta gamma delta epsilon"),
+      Row(2L, s"$boiler zeta eta theta iota kappa"),
+      Row(3L, "one two three four five STOP one two three four five"),
+      Row(4L, "too short to matter"),
+      Row(5L, null)))
+
+    val spans = graft.llm.SpanDedup
+      .duplicatedSpans(corpus, "text", "doc_id", minTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // doc 1 holds the first occurrence (smallest id) — only doc 2's
+    // copy of the 8-token boilerplate is a span; doc 3's SECOND
+    // "one two three four five" (tokens 7..11) is a span
+    assert(spans == Set((2L, 1, 8), (3L, 7, 11)), s"got $spans")
+
+    val rewritten = graft.llm.SpanDedup
+      .removeDuplicatedSpans(corpus, "text", "doc_id", minTokens = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rewritten(1L) == s"$boiler alpha beta gamma delta epsilon")
+    assert(rewritten(2L) == "zeta eta theta iota kappa")
+    assert(rewritten(3L) == "one two three four five STOP")
+    assert(rewritten(4L) == "too short to matter")
+    assert(rewritten(5L) == null)
+
+    // a doc whose every token is duplicated rewrites to empty, not null
+    val all = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "a b c d e"), Row(2L, "a b c d e")))
+    val gone = graft.llm.SpanDedup
+      .removeDuplicatedSpans(all, "text", "doc_id", minTokens = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gone == Map(1L -> "a b c d e", 2L -> ""))
+
+    // directive surface
+    val viaRecipe = wrangle("dedup-spans :text :doc_id 5", corpus)
+      .filter(col("doc_id") === 2L).head().getString(1)
+    assert(viaRecipe == "zeta eta theta iota kappa")
+
+    // scale contract: no cartesian/BNLJ anywhere in the plan
+    val plan = graft.llm.SpanDedup
+      .duplicatedSpans(corpus, "text", "doc_id", 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
 }
