@@ -34,6 +34,14 @@ import graft.functions.Udfs
   * membership filter over window hashes to drop the (overwhelmingly
   * unique) singletons before they shuffle.
   *
+  * The anchor subtree is deliberately NOT persisted even though both
+  * the groupBy side and the join stream side evaluate it (two scans +
+  * two kernel passes, visible as two Generate/FileScan branches in the
+  * plan): caching it would materialize an O(total tokens) frame —
+  * data-sized — while the rescan is linear, pipelined, and free of
+  * storage pressure. Recompute beats cache when the cached thing is as
+  * big as the input.
+  *
   * Overlapping duplicated windows chain into ONE maximal span
   * (consecutive duplicated positions merge), so a long copied
   * paragraph comes out as a single [start, end] token range.

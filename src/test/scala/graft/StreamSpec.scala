@@ -1,6 +1,7 @@
 package graft
 
 import graft.streaming.StreamOps
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
@@ -76,6 +77,29 @@ class StreamSpec extends SparkSpec {
     // fingerprint dedup keeps exactly one row per type
     val types = spark.read.parquet(src).select("event_type").distinct().count()
     assert(out.count() == types)
+  }
+
+  test("decontamination scores a stream against a batch benchmark") {
+    // the benchmark side reduces to a broadcast array at PLAN BUILD
+    // time (batch job); the corpus side is one more projection, so
+    // markHits composes onto a stream like any stateless op
+    val bench = df("q STRING", Seq(Row("purchase completed by user")))
+    val src = s"$eventsDir/events.parquet"
+    val out = StreamOps.runBatchAsStream(spark, src,
+      st => {
+        val withTxt = StreamOps.wrangleStream(
+          "set-column :txt exp:{ concat(event_type, ' completed by user') };", st)
+        graft.llm.Decontaminate.markHits(withTxt, "txt", bench, "q", n = 3)
+      },
+      queryName = "stream_decontam", outputMode = OutputMode.Append)
+    // 'purchase' rows match both benchmark 3-grams ("purchase
+    // completed by", "completed by user"); every other type shares
+    // only "completed by user"
+    val hits = out.groupBy(col("event_type"))
+      .agg(org.apache.spark.sql.functions.max("txt_contam_hits").as("h"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(hits("purchase") == 2, s"got $hits")
+    assert(hits.filter(_._1 != "purchase").values.forall(_ == 1), s"got $hits")
   }
 
   test("streaming error channel: foreachBatch splits main and error rows") {
