@@ -899,6 +899,16 @@ object QueryBank {
         | WHERE md5(coalesce(CAST(c_custkey AS VARCHAR), ''))
         |  < '${graft.session.Sampler.hexThreshold(0.1)}'""".stripMargin),
 
+    ("sample_weighted",
+      // data mixing: src0 passes whole, src1 at 20%, everything else
+      // at 60% — the exact SQL oracle replays the per-group thresholds
+      (s, d) => r("sample-weighted :doc_id :source 'src0:1.0,src1:0.2' 0.6; keep :doc_id,:source")(docs(s, d)),
+      s"""SELECT doc_id, source FROM documents
+        | WHERE md5(coalesce(CAST(doc_id AS VARCHAR), '')) <
+        |  CASE WHEN source = 'src0' THEN '${graft.session.Sampler.hexThreshold(1.0)}'
+        |       WHEN source = 'src1' THEN '${graft.session.Sampler.hexThreshold(0.2)}'
+        |       ELSE '${graft.session.Sampler.hexThreshold(0.6)}' END""".stripMargin),
+
     ("hash_split",
       // boundary literals reproduce hashSplit's own scanLeft double
       // accumulation (0.0+0.8+0.1 != literal 0.9 in IEEE754) so the

@@ -136,6 +136,20 @@ object RowOps {
         spec.str(1).toDouble, salt = spec.optStr(2).getOrElse(""))
     }
 
+    // `sample-weighted :key :group 'web:0.5,books:1.0' [default] [salt]`
+    // — per-group sampling rates (data mixing): each group contributes
+    // its own stable hash-range fraction of the corpus
+    case "sample-weighted" => ColumnOps.simple(spec) { df =>
+      val weights = spec.str(2).split(",").toSeq.map { part =>
+        val Array(name, frac) = part.trim.split(":")
+        name -> frac.toDouble
+      }
+      graft.session.Sampler.weightedByGroup(df, spec.col(0), spec.col(1),
+        weights,
+        default = spec.optStr(3).map(_.toDouble).getOrElse(1.0),
+        salt = spec.optStr(4).getOrElse(""))
+    }
+
     // `hash-split :key train:0.9,val:0.05,test:0.05 [salt] [outcol]` —
     // disjoint named subsets by hash range, each individually stable
     case "hash-split" => ColumnOps.simple(spec) { df =>

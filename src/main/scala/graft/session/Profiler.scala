@@ -170,6 +170,24 @@ object Sampler {
     df.withColumn(outCol, assigned)
   }
 
+  /** Per-group sampling rates over one corpus — the data-mixing
+    * primitive: each row keeps iff its key's hash point falls inside
+    * ITS group's fraction (a source at weight 1.0 passes whole, one at
+    * 0.25 contributes a quarter). Same key-pure hash as `consistent`,
+    * so every group's subset is individually stable and nested across
+    * weight changes; groups absent from `weights` use `default`.
+    */
+  def weightedByGroup(df: DataFrame, keyCol: String, groupCol: String,
+      weights: Seq[(String, Double)], default: Double = 1.0,
+      salt: String = ""): DataFrame = {
+    val h = hashPoint(keyCol, salt)
+    val pred = weights.foldRight(
+      h < lit(hexThreshold(default)): Column) { case ((g, f), rest) =>
+      when(col(groupCol) === lit(g), h < lit(hexThreshold(f))).otherwise(rest)
+    }
+    df.filter(pred)
+  }
+
   private def hashPoint(keyCol: String, salt: String): Column =
     md5(concat(coalesce(col(keyCol).cast(StringType), lit("")), lit(salt)))
 

@@ -203,5 +203,24 @@ class MiscSpec extends SparkSpec {
       "hash-split :id 'train:0.2,val:0.3,test:0.5'; filter-row exp:{ split != 'train' } true", d)
     assert(viaRecipe.select("id").collect().map(_.getLong(0)).toSet == kept)
     assert(wrangle("sample-by-hash :id 0.2", d).count() == kept.size)
+
+    // weighted-by-group (data mixing): group A whole, group B at the
+    // 0.2 rate — B's kept set is exactly the id-sample intersected
+    // with B's rows, because the hash point ignores the group
+    val grouped = df("id BIGINT, grp STRING",
+      (1L to 2000L).map(i => Row(i, if (i % 2 == 0) "a" else "b")))
+    val mixed = Sampler.weightedByGroup(grouped, "id", "grp",
+      Seq("a" -> 1.0, "b" -> 0.2))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert((1L to 2000L).filter(_ % 2 == 0).forall(mixed.contains))
+    assert(mixed.filter(_ % 2 == 1) == kept.filter(_ % 2 == 1))
+    // unknown group takes the default rate
+    val defaulted = Sampler.weightedByGroup(grouped, "id", "grp",
+      Seq("zzz" -> 0.5), default = 0.2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(defaulted == kept)
+    // directive form
+    assert(wrangle("sample-weighted :id :grp 'a:1.0,b:0.2'", grouped)
+      .count() == mixed.size)
   }
 }
