@@ -438,6 +438,21 @@ object QueryBank {
       (s, d) => r("repetition-ratio :text; keep :doc_id,:text_dup_line_ratio,:text_dup_3gram_ratio")(docs(s, d)),
       repetitionSql),
 
+    ("chunk_text",
+      // context-window chunking: 40-token windows, 10-token overlap
+      // (step 30); the oracle rebuilds every window with DuckDB list
+      // slicing — verifies starts, the short tail chunk, and the
+      // no-degenerate-window stop rule
+      (s, d) => r("chunk-text :text 40 10; keep :doc_id,:chunk_id,:text")(docs(s, d)),
+      """WITH t AS (SELECT doc_id,
+        |   list_filter(string_split(regexp_replace(text, '\s+', ' ', 'g'), ' '), x -> x <> '') AS toks
+        | FROM documents),
+        |c AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 10, 1) + 1, 30),
+        |        s -> struct_pack(cid := CAST((s - 1) / 30 AS INT),
+        |          txt := array_to_string(toks[CAST(s AS INT):CAST(s AS INT) + 39], ' ')))) AS ch
+        |      FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, ch.cid AS chunk_id, ch.txt AS text FROM c""".stripMargin),
+
     ("dup_spans",
       // exact duplicated-span detection (Lee et al.-style substring
       // dedup): maximal runs of >= 5 tokens appearing more than once

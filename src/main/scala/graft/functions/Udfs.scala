@@ -684,6 +684,34 @@ object Udfs {
   }
   val wsGramHashesUdf: UserDefinedFunction = udf(wsGramHashes _)
 
+  /** Sliding token windows for context-window chunking: windows of
+    * `size` whitespace tokens stepping by `size - overlap`, starts
+    * emitted while start <= max(len - overlap, 1) — so the final
+    * (possibly short) chunk still covers the document tail without a
+    * degenerate fully-contained window. Empty/null documents yield no
+    * chunks. Chunk i = element i of the returned array (the caller's
+    * posexplode index IS the chunk id).
+    */
+  def chunkTokens(text: String, size: Int, overlap: Int): Array[String] = {
+    require(size >= 1, s"chunk size must be >= 1, got $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap must be in [0, size), got $overlap")
+    if (text == null) return Array.empty
+    val toks = wsRun.split(text.trim).filter(_.nonEmpty)
+    if (toks.isEmpty) return Array.empty
+    val step = size - overlap
+    val lastStart = math.max(toks.length - overlap, 1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var s = 1
+    while (s <= lastStart) {
+      out += toks.slice(s - 1, math.min(s - 1 + size, toks.length))
+        .mkString(" ")
+      s += step
+    }
+    out.toArray
+  }
+  val chunkTokensUdf: UserDefinedFunction = udf(chunkTokens _)
+
   /** Rebuild `text` with the 1-based token index ranges in `spans`
     * removed (whitespace-tokenized like wsGramHashes; kept tokens
     * rejoin with single spaces). Spans are inclusive [start, end].

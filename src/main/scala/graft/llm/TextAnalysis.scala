@@ -144,6 +144,26 @@ object TextAnalysis {
   /** Stable document fingerprint (md5 hex of normalized content). */
   def fingerprint(text: Column): Column = Dedup.fingerprint(text)
 
+  /** Context-window chunking: one output row per sliding token window
+    * (`size` tokens, `overlap` shared with the previous chunk) — the
+    * prep step for embedding/RAG indexing and max-sequence-length
+    * training shards. The text column is REPLACED by the chunk and a
+    * 0-based `chunk_id` column is appended; empty/null documents
+    * disappear (no chunks). Pure projection + generator: chunking a
+    * 100 TB corpus is one map-side pass, no shuffle.
+    */
+  def chunkText(df: DataFrame, textCol: String, size: Int,
+      overlap: Int = 0, chunkIdCol: String = "chunk_id"): DataFrame = {
+    require(size >= 1, s"chunk size must be >= 1, got $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap must be in [0, size), got $overlap")
+    val others = df.columns.filter(_ != textCol).map(col).toSeq
+    df.select(others :+
+      posexplode(graft.functions.Udfs.chunkTokensUdf(
+        col(textCol), lit(size), lit(overlap)))
+        .as(Seq(chunkIdCol, textCol)): _*)
+  }
+
   /** One-call profile: appends all analysis columns. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -63,6 +63,13 @@ object LlmOps {
       df.withColumn(spec.col(0), TextAnalysis.redactPii(col(spec.col(0)), types))
     }
 
+    // `chunk-text :text size [overlap]` — one row per sliding token
+    // window (context-window chunking for embedding/RAG/seq-len prep)
+    case "chunk-text" => ColumnOps.simple(spec) { df =>
+      TextAnalysis.chunkText(df, spec.col(0), spec.str(1).toInt,
+        overlap = spec.optStr(2).map(_.toInt).getOrElse(0))
+    }
+
     // `dedup-spans :text :doc_id [minTokens]` — remove every non-first
     // occurrence of any >= minTokens-token run duplicated anywhere in
     // the corpus (exact-substring dedup, llm/SpanDedup)

@@ -486,6 +486,26 @@ class LlmSpec extends SparkSpec {
     assert(hitCol.columns.contains("text_contam_hits"))
   }
 
+  test("chunk-text: sliding windows with overlap, tail covered, no degenerates") {
+    val corpus = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
+      Row(2L, "a b c"),                           // shorter than one window
+      Row(3L, ""),
+      Row(4L, null)))
+    // size 4, overlap 1 -> step 3, starts while s <= len-1: 1,4,7
+    val chunks = graft.llm.TextAnalysis.chunkText(corpus, "text", 4, 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc(1L).map(c => c._2 -> c._3).sortBy(_._1).toSeq == Seq(
+      0 -> "t1 t2 t3 t4", 1 -> "t4 t5 t6 t7", 2 -> "t7 t8 t9 t10"))
+    assert(byDoc(2L).map(_._3).toSeq == Seq("a b c")) // one short chunk
+    assert(!byDoc.contains(3L) && !byDoc.contains(4L)) // empty/null: no rows
+    // directive form + guard rails
+    assert(wrangle("chunk-text :text 4 1", corpus).count() == chunks.length)
+    intercept[IllegalArgumentException](
+      graft.llm.TextAnalysis.chunkText(corpus, "text", 4, 4))
+  }
+
   test("span dedup removes non-first occurrences of duplicated runs") {
     // docs 1 and 2 share the 8-token boilerplate prefix; doc 3 repeats
     // a 5-token phrase internally; doc 4 is clean and short

@@ -194,6 +194,31 @@ class PropertySpec extends AnyFunSuite {
       .sameElements(Udfs.tokenGramHashes("a bc", 2)))
   }
 
+  test("wsGramHashes/cutTokenSpans: total, consistent, span-safe") {
+    val spanGen = Gen.listOf(for {
+      s <- Gen.choose(-5L, 30L); len <- Gen.choose(-2L, 10L)
+    } yield (s, s + len))
+    check("cut-spans") {
+      Prop.forAll(asciiText, spanGen) { (text, spans) =>
+        val out = Udfs.cutTokenSpans(text, spans)
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+        // never throws, never null on non-null input, token count only shrinks
+        out != null && out.split(" ").count(_.nonEmpty) <= toks.length
+      }
+    }
+    check("ws-gram-hashes") {
+      Prop.forAll(asciiText, Gen.choose(1, 8)) { (text, n) =>
+        val hs = Udfs.wsGramHashes(text, n)
+        val toks = text.trim.split("\\s+").count(_.nonEmpty)
+        // one hash per full window, empty when the doc is shorter than n
+        hs.length == math.max(toks - n + 1, 0)
+      }
+    }
+    assert(Udfs.cutTokenSpans(null, Seq((1L, 2L))) == null)
+    assert(Udfs.cutTokenSpans("a b c", Seq((1L, 3L))) == "")
+    assert(Udfs.wsGramHashes(null, 3).isEmpty)
+  }
+
   test("hexThreshold: 32-hex, monotone, exact endpoints") {
     import graft.session.Sampler.hexThreshold
     check("hex-threshold") {
