@@ -665,18 +665,26 @@ object Udfs {
     if (text == null) return Array.empty
     val toks = wsRun.split(text.trim).filter(_.nonEmpty)
     if (toks.length < n) return Array.empty
+    // each token hashes ONCE (chars touched once per doc, not once per
+    // covering window); a window combines its n token hashes with the
+    // same order-sensitive xor-multiply fold, so the window hash stays
+    // injective over token sequences modulo 64-bit collisions
+    val th = new Array[Long](toks.length)
+    var t = 0
+    while (t < toks.length) {
+      var h = 0xcbf29ce484222325L
+      val tok = toks(t)
+      var p = 0
+      while (p < tok.length) { h ^= tok.charAt(p); h *= 0x100000001b3L; p += 1 }
+      th(t) = h
+      t += 1
+    }
     val out = new Array[Long](toks.length - n + 1)
     var i = 0
     while (i < out.length) {
       var h = 0xcbf29ce484222325L
       var j = i
-      while (j < i + n) {
-        val t = toks(j)
-        var p = 0
-        while (p < t.length) { h ^= t.charAt(p); h *= 0x100000001b3L; p += 1 }
-        h ^= 0x1f; h *= 0x100000001b3L // token boundary
-        j += 1
-      }
+      while (j < i + n) { h = (h ^ th(j)) * 0x100000001b3L; j += 1 }
       out(i) = h
       i += 1
     }
