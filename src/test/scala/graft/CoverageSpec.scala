@@ -91,8 +91,8 @@ class CoverageSpec extends SparkSpec {
       "write-as-json-map",
       "write-as-json-object")
 
-  test("all 82 reference directives resolve in the registry") {
-    val missing = referenceDirectives.filter { name =>
+  private def unresolved(names: Seq[String]): Seq[String] =
+    names.filter { name =>
       try {
         graft.Registry.compile(graft.api.DirectiveSpec(
           name, Vector(graft.api.TCol("a"), graft.api.TCol("b"),
@@ -104,6 +104,23 @@ class CoverageSpec extends SparkSpec {
         case _: Throwable => false // arg-shape errors are fine
       }
     }
+
+  test("all 82 reference directives resolve in the registry") {
+    val missing = unresolved(referenceDirectives)
+    assert(missing.isEmpty, s"not registered: ${missing.mkString(", ")}")
+  }
+
+  // the engine's own curation surface — every LLM-pipeline and
+  // consistent-sampling directive must stay recipe-reachable
+  private val curationDirectives = Seq(
+    "dedup-exact", "dedup-minhash", "dedup-simhash", "dedup-embedding",
+    "dedup-spans", "decontaminate", "contamination-hits", "chunk-text",
+    "lang-id", "token-count", "quality-score", "fingerprint",
+    "redact-pii", "repetition-ratio",
+    "sample-by-hash", "sample-weighted", "hash-split")
+
+  test("all curation/sampling directives resolve in the registry") {
+    val missing = unresolved(curationDirectives)
     assert(missing.isEmpty, s"not registered: ${missing.mkString(", ")}")
   }
 }
