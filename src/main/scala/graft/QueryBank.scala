@@ -534,6 +534,30 @@ object QueryBank {
       },
       pipelineCurationSql),
 
+    ("pipeline_curation_v2",
+      // the full modern training-data pipeline in one plan: quality
+      // gate (one projection over the scan) → benchmark decontamination
+      // (map-only broadcast kernel, docs with >= 2 shared 3-grams
+      // dropped) → context-window chunking (map-only generator) → one
+      // tiny per-source rollup shuffle. At 100 TB the ONLY shuffle that
+      // sees data is the final rollup, and it carries one row per chunk
+      // group.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val all = docs(s, d)
+        val bench = all.filter(col("doc_id") % 97 === 0)
+        val corpus = all.filter(col("doc_id") % 97 =!= 0)
+        val scored = r("quality-score :text")(corpus)
+          .filter(col("text_quality") >= lit(0.5))
+        val clean = graft.llm.Decontaminate.drop(
+          scored, "text", bench, "text", n = 3, minHits = 2)
+        graft.llm.TextAnalysis.chunkText(clean, "text", 40, 10)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("chunks"),
+            sum(graft.llm.TextAnalysis.tokenCount(col("text"))).as("tokens"))
+      },
+      pipelineCurationV2Sql),
+
     ("ann_brute_topk",
       (s, d) => annBrute(s, d),
       """SELECT e2.vec_id AS vec_id,
@@ -1350,6 +1374,49 @@ object QueryBank {
        |SELECT k.text_lang, count(*) AS docs,
        | CAST(sum(k.n_tokens) AS BIGINT) AS tokens
        |FROM k JOIN dd USING (doc_id) GROUP BY 1""".stripMargin
+  }
+
+  /** DuckDB mirror of pipeline_curation_v2: the quality formula from
+    * pipelineCurationSql on the non-benchmark corpus, the
+    * decontaminate 3-gram-hit CTEs (docs with >= 2 hits dropped), the
+    * chunk_text window rebuild, and the per-source rollup.
+    */
+  private lazy val pipelineCurationV2Sql: String = {
+    val sw = graft.llm.TextAnalysis.stopwords
+    val en = sw("en").map(w => s"'$w'").mkString(",")
+    s"""WITH c AS (SELECT doc_id, source, text,
+       | len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS n_tokens,
+       | CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / greatest(len(text), 1) AS punct_ratio,
+       | CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / greatest(len(text), 1) AS digit_ratio,
+       | len(list_filter(string_split_regex(lower(text), '\\s+'), t -> list_contains([$en], t))) AS sw_hits
+       | FROM documents WHERE doc_id % 97 <> 0),
+       |k AS (SELECT doc_id, source, text FROM c WHERE CAST(round(
+       |  (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.3 END) *
+       |  (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.5 END) *
+       |  (CASE WHEN digit_ratio < 0.3 THEN 1.0 ELSE 0.5 END) *
+       |  (CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(sw_hits AS DOUBLE) / n_tokens ELSE 0.0 END) > 0.05
+       |    THEN 1.0 ELSE 0.7 END), 4) AS DOUBLE) >= 0.5),
+       |nt AS (SELECT doc_id,
+       |  list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+       |    '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' '), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |ng AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[]) ELSE
+       |  list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+       |    i -> to_json(list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 2)))) END AS grams
+       |  FROM nt),
+       |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM ng WHERE doc_id % 97 = 0),
+       |ch AS (SELECT doc_id, unnest(grams) AS gram FROM ng WHERE doc_id % 97 <> 0),
+       |hits AS (SELECT ch.doc_id, count(*) AS h FROM ch JOIN bg USING (gram) GROUP BY ch.doc_id),
+       |surv AS (SELECT k.* FROM k LEFT JOIN hits h USING (doc_id) WHERE coalesce(h.h, 0) < 2),
+       |st AS (SELECT doc_id, source,
+       |  list_filter(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' '), x -> x <> '') AS toks
+       |  FROM surv),
+       |ck AS (SELECT doc_id, source, unnest(list_transform(
+       |    range(1, greatest(len(toks) - 10, 1) + 1, 30),
+       |    s -> len(toks[CAST(s AS INT):CAST(s AS INT) + 39]))) AS chunk_tokens
+       |  FROM st WHERE len(toks) > 0)
+       |SELECT source, count(*) AS chunks, CAST(sum(chunk_tokens) AS BIGINT) AS tokens
+       |FROM ck GROUP BY source""".stripMargin
   }
 
   private lazy val langIdSql: String = {
