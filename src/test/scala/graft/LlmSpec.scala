@@ -484,6 +484,13 @@ class LlmSpec extends SparkSpec {
       .withLookup("bench", bench)
       .apply(corpus)
     assert(hitCol.columns.contains("text_contam_hits"))
+
+    // an empty benchmark contaminates nothing (empty broadcast array)
+    val emptyBench = df("q STRING", Seq(Row(null.asInstanceOf[String])))
+    val zeroed = graft.llm.Decontaminate
+      .markHits(corpus, "text", emptyBench, "q", n = 3)
+      .select("text_contam_hits").collect().map(_.getInt(0))
+    assert(zeroed.forall(_ == 0))
   }
 
   test("chunk-text: sliding windows with overlap, tail covered, no degenerates") {
