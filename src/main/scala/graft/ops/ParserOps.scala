@@ -75,7 +75,7 @@ object ParserOps {
         lazy val withId = {
           val tagged = df.withColumn(rid, monotonically_increasing_id())
           if (PlanStability.stableLayout(df)) tagged
-          else tagged.localCheckpoint()
+          else PlanStability.pin(tagged)
         }
         val firstProbe =
           if (header) withId.select(col(rid), col(c).cast(StringType))

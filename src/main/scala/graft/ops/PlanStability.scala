@@ -38,6 +38,19 @@ object PlanStability {
   def stableLayout(df: DataFrame): Boolean =
     stable(df.queryExecution.analyzed)
 
+  /** Materialize an UNSTABLE plan so two jobs observe one layout.
+    * With a configured `spark.checkpoint.dir` this is a RELIABLE
+    * checkpoint — written to the fault-tolerant store, so an executor
+    * loss between the two jobs recomputes nothing (the cluster-scale
+    * choice; see PERF.md). Without one it falls back to
+    * localCheckpoint: executor-local, non-replicated, fine on a single
+    * node, lossy on a real cluster.
+    */
+  def pin(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
+
   // A LogicalRelation is stable only when it wraps a HadoopFsRelation —
   // file-split planning is a deterministic function of the file listing.
   // It also wraps JDBCRelation and other BaseRelations whose row order

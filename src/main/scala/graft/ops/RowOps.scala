@@ -200,7 +200,7 @@ object RowOps {
       val tagged = {
         val t = df.withColumn(pidC, spark_partition_id())
           .withColumn(ridC, monotonically_increasing_id())
-        if (PlanStability.stableLayout(df)) t else t.localCheckpoint()
+        if (PlanStability.stableLayout(df)) t else PlanStability.pin(t)
       }
       // one row per partition — bounded driver-side work
       val partials = tagged.groupBy(col(pidC)).agg(sum(stepCol).as("s"))

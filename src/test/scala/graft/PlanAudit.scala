@@ -16,7 +16,8 @@ object PlanAudit {
     println("===== flagship entry =====")
     println(SparkEntry.entry(spark).queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode))
-    Seq("filter_row", "table_lookup", "dedup_exact", "ann_brute_topk").foreach(dump)
+    Seq("filter_row", "table_lookup", "dedup_exact", "ann_brute_topk",
+      "decontaminate", "dup_spans", "pipeline_curation_v2").foreach(dump)
     spark.stop()
   }
 }

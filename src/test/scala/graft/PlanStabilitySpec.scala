@@ -111,4 +111,29 @@ class PlanStabilitySpec extends SparkSpec {
     val total = out.agg(max(col("ctr"))).collect()(0).getLong(0)
     assert(total === nation.filter(col("n_regionkey") > 1).count())
   }
+
+  test("pin upgrades to a reliable checkpoint when a dir is configured") {
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty)
+    val dir = Files.createTempDirectory("graft_ckpt").toFile
+    dir.deleteOnExit()
+    sc.setCheckpointDir(dir.getAbsolutePath)
+    try {
+      val out = wrangle("increment-variable ctr 1 n_regionkey > 1",
+        nation.repartition(4))
+      assert(hasCheckpoint(out), "unstable upstream must keep the pin")
+      // the reliable path writes RDD files under the configured dir
+      val wrote = dir.listFiles != null && dir.listFiles.nonEmpty
+      assert(wrote, "reliable checkpoint must materialize to the dir")
+      val total = out.agg(max(col("ctr"))).collect()(0).getLong(0)
+      assert(total === nation.filter(col("n_regionkey") > 1).count())
+    } finally {
+      // SparkContext has no public unset and the session is shared
+      // JVM-wide across suites; restore via the private[spark] setter
+      // (public in bytecode) so other suites keep the local default
+      sc.getClass.getMethod("checkpointDir_$eq", classOf[Option[String]])
+        .invoke(sc, None)
+      assert(sc.getCheckpointDir.isEmpty)
+    }
+  }
 }
