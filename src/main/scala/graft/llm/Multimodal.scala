@@ -29,7 +29,7 @@ object Multimodal {
 
   /** Wrap a binary column into the (payload, metadata) pair. When the
     * payload carries a recognizable container header (PNG/JPEG/GIF/BMP/
-    * WAV — all public byte layouts, parsed by `MediaHeaders.probe`, no
+    * WAV/MP4/MP3 — all public byte layouts, parsed by `MediaHeaders.probe`, no
     * codecs needed), dimensions/duration/format come from the header;
     * otherwise they fall back to deterministic hash-derived stand-ins so
     * opaque test payloads still get stable metadata.
@@ -108,7 +108,8 @@ object Multimodal {
 /** Container-header byte-peeking for the common public media formats —
   * dimensions and duration straight from the header bytes, no codec
   * libraries. Layouts: PNG IHDR, JPEG SOFn markers, GIF logical screen
-  * descriptor, BMP info header, WAV/RIFF fmt+data chunks.
+  * descriptor, BMP info header, WAV/RIFF fmt+data chunks, MP4/ISO-BMFF
+  * mvhd+tkhd boxes, MP3 frame headers (after an ID3v2 skip).
   */
 object MediaHeaders {
   /** (format, width, height, durationMs) — nulls where not applicable;
@@ -150,6 +151,81 @@ object MediaHeaders {
         else p += 2 + be16(b, p + 2)
       }
       return Probe("jpeg", null, null, null)
+    }
+    // MP4 / ISO BMFF: size(4,BE) "ftyp" at offset 0; walk top-level
+    // boxes to moov, then moov children: mvhd (timescale+duration →
+    // duration_ms) and trak/tkhd (16.16 fixed-point width/height of
+    // the first visual track). Public layout: ISO/IEC 14496-12.
+    if (ascii(b, 4, 4) == "ftyp") {
+      var durMs: java.lang.Long = null
+      var w: Integer = null
+      var h: Integer = null
+      def walk(from: Long, to: Long, depth: Int): Unit = {
+        var p = from
+        while (p + 8 <= to && depth < 6) {
+          var size = be32(b, p.toInt)
+          val id = ascii(b, p.toInt + 4, 4)
+          var hdr = 8L
+          if (size == 1 && p + 16 <= to) { // 64-bit largesize
+            size = (be32(b, p.toInt + 8) << 32) | be32(b, p.toInt + 12)
+            hdr = 16L
+          } else if (size == 0) size = to - p // box runs to end
+          if (size < hdr) return // malformed
+          val end = math.min(p + size, to)
+          id match {
+            case "moov" | "trak" => walk(p + hdr, end, depth + 1)
+            case "mvhd" if p + hdr + 20 <= to =>
+              val v = u8(b, (p + hdr).toInt)
+              val (ts, dur) =
+                if (v == 1 && p + hdr + 32 <= to)
+                  (be32(b, (p + hdr + 20).toInt),
+                    (be32(b, (p + hdr + 24).toInt) << 32) |
+                      be32(b, (p + hdr + 28).toInt))
+                else (be32(b, (p + hdr + 12).toInt), be32(b, (p + hdr + 16).toInt))
+              if (ts > 0) durMs = dur * 1000L / ts
+            case "tkhd" =>
+              val v = u8(b, (p + hdr).toInt)
+              val wOff = p + hdr + (if (v == 1) 88 else 76)
+              if (w == null && wOff + 8 <= to) {
+                val tw = (be32(b, wOff.toInt) >> 16).toInt // 16.16 fixed
+                val th = (be32(b, (wOff + 4).toInt) >> 16).toInt
+                if (tw > 0 && th > 0) { w = tw; h = th }
+              }
+            case _ => ()
+          }
+          p = end
+        }
+      }
+      walk(0L, b.length.toLong, 0)
+      return Probe("mp4", w, h, durMs)
+    }
+    // MP3: optional ID3v2 (10-byte header, syncsafe size), then the
+    // first MPEG audio frame header: duration estimated from the CBR
+    // bitrate over the remaining payload bytes (spec tables, MPEG-1/2
+    // Layer III — ISO/IEC 11172-3 / 13818-3).
+    {
+      var p = 0
+      if (ascii(b, 0, 3) == "ID3" && b.length >= 10) {
+        val sz = (u8(b, 6) << 21) | (u8(b, 7) << 14) | (u8(b, 8) << 7) | u8(b, 9)
+        p = 10 + sz
+      }
+      if (p + 4 <= b.length && u8(b, p) == 0xff && (u8(b, p + 1) & 0xe0) == 0xe0) {
+        val verBits = (u8(b, p + 1) >> 3) & 0x3   // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        val layerBits = (u8(b, p + 1) >> 1) & 0x3 // 1=Layer III
+        if (layerBits == 1 && verBits != 1) {
+          val idx = (u8(b, p + 2) >> 4) & 0xf
+          val kbps =
+            if (verBits == 3) // MPEG-1 Layer III
+              Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                160, 192, 224, 256, 320)(idx)
+            else // MPEG-2/2.5 Layer III
+              Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+                96, 112, 128, 144, 160)(idx)
+          val dur: java.lang.Long =
+            if (kbps > 0) (b.length - p).toLong * 8L / kbps else null
+          return Probe("mp3", null, null, dur)
+        }
+      }
     }
     // WAV: RIFF....WAVE, then chunk walk; duration = dataBytes/byteRate
     if (ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE") {

@@ -261,6 +261,33 @@ class LlmSpec extends SparkSpec {
     assert(jp.format == "jpeg" && jp.width == 1920 && jp.height == 1080)
 
     assert(MediaHeaders.probe("plain text payload!!".getBytes) == null)
+
+    // MP4 / ISO BMFF: ftyp + moov{mvhd v0 (timescale 1000, duration
+    // 90000 -> 90000 ms), trak{tkhd v0 with 1280x720 16.16 fixed}}
+    def box(id: String, payload: Seq[Byte]): Seq[Byte] =
+      be32(8L + payload.length) ++ id.getBytes.toSeq ++ payload
+    val mvhd = box("mvhd", Seq[Byte](0, 0, 0, 0) ++ // v0 + flags
+      be32(0) ++ be32(0) ++ be32(1000) ++ be32(90000) ++ be32(0x00010000L))
+    val tkhd = box("tkhd", Seq[Byte](0, 0, 0, 0) ++
+      be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(90000) ++
+      be32(0) ++ be32(0) ++ be16(0) ++ be16(0) ++ be16(0) ++ be16(0) ++
+      Seq.fill(36)(0.toByte) ++ // identity matrix slot
+      be32(1280L << 16) ++ be32(720L << 16))
+    val mp4 = (box("ftyp", "isom0000".getBytes.toSeq) ++
+      box("moov", (mvhd ++ box("trak", tkhd)).toSeq)).toArray
+    val m4 = MediaHeaders.probe(mp4)
+    assert(m4.format == "mp4" && m4.duration_ms == 90000L &&
+      m4.width == 1280 && m4.height == 720, s"got $m4")
+
+    // MP3: ID3v2 (empty, syncsafe size 0) + MPEG-1 Layer III 128 kbps
+    // frame header + 1600 bytes of payload -> (1600+4)*8/128 = 100 ms
+    val mp3 = ("ID3".getBytes.toSeq ++ Seq[Byte](4, 0, 0) ++
+      Seq[Byte](0, 0, 0, 0) ++
+      Seq[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00) ++
+      Seq.fill(1600)(0x55.toByte)).toArray
+    val m3 = MediaHeaders.probe(mp3)
+    assert(m3.format == "mp3" && m3.duration_ms == (1604L * 8 / 128),
+      s"got $m3")
   }
 
 
