@@ -23,20 +23,22 @@ object Bench {
 
     def materialize(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+        -1.0
+      } finally {
+        // deterministic inter-query cleanup (untimed, and also on
+        // failure — an aborted query's persisted frames would inflict
+        // the same storage-pressure noise on whatever runs next): the
+        // dedup/ANN queries persist signature frames that otherwise
+        // linger until the GC-driven ContextCleaner notices them
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
       }
-      val t = (System.nanoTime() - t0) / 1e9
-      // deterministic inter-query cleanup (untimed): the dedup/ANN
-      // queries persist signature frames that otherwise linger until
-      // the GC-driven ContextCleaner notices them — measured as multi-
-      // second storage-pressure noise on whatever queries run next
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      t
     }
 
     // Fixed warmup set at the smallest SF: exercises the same code paths

@@ -25,6 +25,14 @@ import graft.functions.Udfs
   * Gram identity (normalization, windows, short/empty-document rules)
   * is defined by [[Udfs.tokenGramHashes]]; hits count DISTINCT shared
   * grams, so a gram repeated in the corpus document counts once.
+  *
+  * Lifecycle notes: the benchmark reduction (distinct + collect) runs
+  * EAGERLY when the returned plan is BUILT — constructing a
+  * decontaminate step costs one small Spark job before anything
+  * executes, and the sorted gram array lives as a broadcast until the
+  * driver GCs the returned plan (the usual Spark broadcast contract —
+  * a long-lived session stacking many decontaminate steps against
+  * large benchmarks should drop plan references when done with them).
   */
 object Decontaminate {
 

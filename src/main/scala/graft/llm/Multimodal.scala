@@ -176,14 +176,22 @@ object MediaHeaders {
             case "moov" | "trak" => walk(p + hdr, end, depth + 1)
             case "mvhd" if p + hdr + 20 <= to =>
               val v = u8(b, (p + hdr).toInt)
-              val (ts, dur) =
-                if (v == 1 && p + hdr + 32 <= to)
-                  (be32(b, (p + hdr + 20).toInt),
-                    (be32(b, (p + hdr + 24).toInt) << 32) |
-                      be32(b, (p + hdr + 28).toInt))
-                else (be32(b, (p + hdr + 12).toInt), be32(b, (p + hdr + 16).toInt))
-              if (ts > 0) durMs = dur * 1000L / ts
-            case "tkhd" =>
+              // a truncated v1 box must NOT fall through to the v0
+              // offsets — those bytes are halves of the 64-bit
+              // creation/modification timestamps, not timescale/duration
+              if (v == 1) {
+                if (p + hdr + 32 <= to) {
+                  val ts = be32(b, (p + hdr + 20).toInt)
+                  val dur = (be32(b, (p + hdr + 24).toInt) << 32) |
+                    be32(b, (p + hdr + 28).toInt)
+                  if (ts > 0) durMs = dur * 1000L / ts
+                }
+              } else {
+                val ts = be32(b, (p + hdr + 12).toInt)
+                val dur = be32(b, (p + hdr + 16).toInt)
+                if (ts > 0) durMs = dur * 1000L / ts
+              }
+            case "tkhd" if p + hdr + 1 <= to =>
               val v = u8(b, (p + hdr).toInt)
               val wOff = p + hdr + (if (v == 1) 88 else 76)
               if (w == null && wOff + 8 <= to) {

@@ -231,11 +231,14 @@ object Similarity {
       .limit(k)
   }
 
-  /** Pairwise cosine between two embedding columns (JIT'd kernel). */
   /** Σx² accumulated in index order — the SAME order [[pairCosine]]
-    * uses, so sqrt(norm2(a)) * sqrt(norm2(b)) is bit-identical to the
+    * uses, so for a UNIFORM-dimension corpus (the assumption the whole
+    * hyperplane-LSH path already makes: planes derive from the vector
+    * length) sqrt(norm2(a)) * sqrt(norm2(b)) is bit-identical to the
     * fused denominator and precomputing norms cannot move a borderline
-    * threshold comparison.
+    * threshold comparison. Mixed-length vectors are outside that
+    * contract: [[pairCosine]] folds over the common prefix while this
+    * norm covers the full vector, so the two forms diverge there.
     */
   val vecNorm: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((v: Seq[Float]) => {

@@ -157,6 +157,9 @@ object TextAnalysis {
     require(size >= 1, s"chunk size must be >= 1, got $size")
     require(overlap >= 0 && overlap < size,
       s"overlap must be in [0, size), got $overlap")
+    require(!df.columns.contains(chunkIdCol),
+      s"chunkText: column '$chunkIdCol' already exists (re-chunking " +
+        "chunks? pass a different chunkIdCol or drop the old one)")
     val others = df.columns.filter(_ != textCol).map(col).toSeq
     df.select(others :+
       posexplode(graft.functions.Udfs.chunkTokensUdf(

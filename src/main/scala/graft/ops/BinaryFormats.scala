@@ -338,12 +338,17 @@ object Hl7 {
   private def parseInto(msg: String, wantFlat: Boolean,
       wantNested: Boolean): (Map[String, String], String) = {
     if (msg == null) return (Map.empty, null)
+    // segment + field split happens ONCE; both views consume the same
+    // token arrays (this is a hot per-row UDF — the default directive
+    // asks for both views)
+    val rawSegs: Array[Array[String]] =
+      msg.split("[\\r\\n]+").iterator.map(_.trim).filter(_.nonEmpty)
+        .map(_.split("\\|", -1)).toArray
     val flat = scala.collection.mutable.Map.empty[String, String]
     val segCount = scala.collection.mutable.Map.empty[String, Int]
     // ---- flat view: repeat-suffixed name, raw ^-components ----------
     if (wantFlat) {
-      for (seg <- msg.split("[\\r\\n]+").iterator.map(_.trim).filter(_.nonEmpty)) {
-        val fields = seg.split("\\|", -1)
+      for (fields <- rawSegs) {
         val segName = fields.head
         val n = segCount.getOrElse(segName, 0)
         segCount(segName) = n + 1
@@ -363,7 +368,8 @@ object Hl7 {
     // ---- nested view: full depth, shared segment builder ------------
     val nested = if (wantNested) {
       val segments = mapper.createObjectNode()
-      segmentTokens(msg).foreach { case (n, o, _) => addNode(segments, n, o) }
+      segmentTokensFrom(rawSegs).foreach { case (n, o, _) =>
+        addNode(segments, n, o) }
       mapper.writeValueAsString(segments)
     } else null
     (flat.toMap, nested)
@@ -487,7 +493,7 @@ object Hl7 {
     val toks = segmentTokens(msg)
     if (toks.isEmpty) return mapper.writeValueAsString(mapper.createObjectNode())
     // MSH-9: fields[8] of the MSH segment, components type^trigger^structure
-    val msh9 = toks.headOption.filter(_._1 == "MSH").map(_._3.split("\\|", -1))
+    val msh9 = toks.headOption.filter(_._1 == "MSH").map(_._3.toSeq)
       .flatMap(_.lift(8)).getOrElse("")
     val comps = msh9.split("\\^", -1)
     val key = if (comps.length >= 3 && comps(2).nonEmpty) comps(2)
@@ -508,14 +514,19 @@ object Hl7 {
     }
   }
 
-  /** (segName, segObject, rawSegment) per segment, reusing the same
+  /** (segName, segObject, fields) per segment, reusing the same
     * field/component/escape rules as the flat+nested parse.
     */
   private def segmentTokens(msg: String): Vector[(String,
-      com.fasterxml.jackson.databind.JsonNode, String)] = {
-    val out = Vector.newBuilder[(String, com.fasterxml.jackson.databind.JsonNode, String)]
-    for (seg <- msg.split("[\\r\\n]+").iterator.map(_.trim).filter(_.nonEmpty)) {
-      val fields = seg.split("\\|", -1)
+      com.fasterxml.jackson.databind.JsonNode, Array[String])] =
+    segmentTokensFrom(
+      msg.split("[\\r\\n]+").iterator.map(_.trim).filter(_.nonEmpty)
+        .map(_.split("\\|", -1)).toArray)
+
+  private def segmentTokensFrom(rawSegs: Array[Array[String]]): Vector[(String,
+      com.fasterxml.jackson.databind.JsonNode, Array[String])] = {
+    val out = Vector.newBuilder[(String, com.fasterxml.jackson.databind.JsonNode, Array[String])]
+    for (fields <- rawSegs) {
       val segName = fields.head
       val segObj = mapper.createObjectNode()
       if (segName == "MSH") {
@@ -534,7 +545,7 @@ object Hl7 {
               i.toString, fieldNode(f))
         }
       }
-      out += ((segName, segObj, seg))
+      out += ((segName, segObj, fields))
     }
     out.result()
   }

@@ -50,7 +50,16 @@ object HttpdLogFormat {
             case 'o' => fields += norm(s"response_header_$name"); sb.append(pat)
             case 'C' | 'c' => // cookies: consume, don't emit
               sb.append(if (inQuotes) "[^\"]*" else "\\S+")
-            case 't' => fields += "time"; sb.append(pat)
+            case 't' =>
+              // strftime output contains a space exactly where the fmt
+              // has a literal one (conversions themselves are
+              // space-free, %c/%+ locale forms aside) — so match as
+              // many space-separated words as the fmt declares instead
+              // of a single \S+ that would misalign on '%{%d/%b/%Y:%T %z}t'
+              fields += "time"
+              val words = name.count(_ == ' ')
+              sb.append(if (inQuotes) "([^\"]*)"
+                else s"(\\S+(?: \\S+){$words})")
             case 'e' => fields += norm(s"env_$name"); sb.append(pat)
             case other => fields += norm(s"${name}_$other"); sb.append(pat)
           }
@@ -68,7 +77,16 @@ object HttpdLogFormat {
       }
     }
     sb.append("\\s*$")
-    (sb.toString, fields.toSeq)
+    // a repeated directive (two %t forms, the same header twice) must
+    // not collapse into one output column — the later withColumn would
+    // silently overwrite the earlier capture. Suffix repeats: time_2, …
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val unique = fields.toSeq.map { f =>
+      val k = seen.getOrElse(f, 0)
+      seen(f) = k + 1
+      if (k == 0) f else s"${f}_${k + 1}"
+    }
+    (sb.toString, unique)
   }
 
   /** One-letter directives. `%U`/`%q` split path from query string the

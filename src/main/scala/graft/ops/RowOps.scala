@@ -140,12 +140,8 @@ object RowOps {
     // — per-group sampling rates (data mixing): each group contributes
     // its own stable hash-range fraction of the corpus
     case "sample-weighted" => ColumnOps.simple(spec) { df =>
-      val weights = spec.str(2).split(",").toSeq.map { part =>
-        val Array(name, frac) = part.trim.split(":")
-        name -> frac.toDouble
-      }
       graft.session.Sampler.weightedByGroup(df, spec.col(0), spec.col(1),
-        weights,
+        parseFractions(spec.name, spec.str(2)),
         default = spec.optStr(3).map(_.toDouble).getOrElse(1.0),
         salt = spec.optStr(4).getOrElse(""))
     }
@@ -153,11 +149,8 @@ object RowOps {
     // `hash-split :key train:0.9,val:0.05,test:0.05 [salt] [outcol]` —
     // disjoint named subsets by hash range, each individually stable
     case "hash-split" => ColumnOps.simple(spec) { df =>
-      val splits = spec.str(1).split(",").toSeq.map { part =>
-        val Array(name, frac) = part.trim.split(":")
-        name -> frac.toDouble
-      }
-      graft.session.Sampler.hashSplit(df, spec.col(0), splits,
+      graft.session.Sampler.hashSplit(df, spec.col(0),
+        parseFractions(spec.name, spec.str(1)),
         salt = spec.optStr(2).getOrElse(""),
         outCol = spec.optStr(3).getOrElse("split"))
     }
@@ -261,4 +254,19 @@ object RowOps {
       }
     }
   }
+
+  /** Parse a `name:frac,name:frac` list with a directive-scoped error
+    * instead of a bare MatchError on a malformed entry.
+    */
+  private def parseFractions(directive: String, raw: String): Seq[(String, Double)] =
+    raw.split(",").toSeq.map { part =>
+      part.trim.split(":") match {
+        case Array(name, frac) =>
+          val f = frac.toDoubleOption.getOrElse(throw new RecipeException(
+            s"$directive: '$frac' is not a number in '$part'"))
+          name -> f
+        case _ => throw new RecipeException(
+          s"$directive: expected name:fraction, got '$part'")
+      }
+    }
 }

@@ -86,7 +86,10 @@ private[graft] object ExcelDates {
     val hms = java.time.LocalTime.ofSecondOfDay(secs).format(
       java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss"))
     if (days0 == 0) return hms
-    val days = if (days0 > 59) days0 - 1 else days0
+    // phantom 1900-02-29: serial 60 rolls over to Mar 1 (Jan-0 + 60
+    // days in a non-leap year), colliding with 61 exactly like POI's
+    // getJavaDate; only serials PAST the phantom day shift back one
+    val days = if (days0 > 60) days0 - 1 else days0
     val date = java.time.LocalDate.of(1899, 12, 31).plusDays(days)
     if (secs == 0) date.toString else date.toString + " " + hms
   }

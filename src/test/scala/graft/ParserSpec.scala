@@ -138,4 +138,23 @@ class ParserSpec extends AnyFunSuite {
     assert(m.group(2) == "/index.html" && m.group(3) == "" &&
       m.group(5) == "http://x.example/a")
   }
+
+  test("httpd LogFormat: space-bearing %{fmt}t and repeated directives") {
+    // a custom strftime with one literal space matches two words
+    val (re, fields) = graft.ops.HttpdLogFormat.compile(
+      "%h %{%d/%b/%Y:%T %z}t %>s")
+    assert(fields == Seq("remote_host", "time", "status"))
+    val m = java.util.regex.Pattern.compile(re)
+      .matcher("10.0.0.1 10/Oct/2000:13:55:36 -0700 200")
+    assert(m.matches(), s"$re")
+    assert(m.group(2) == "10/Oct/2000:13:55:36 -0700")
+
+    // repeated directives keep both captures under suffixed names
+    val (re2, fields2) = graft.ops.HttpdLogFormat.compile("%t %{%s}t %h %h")
+    assert(fields2 == Seq("time", "time_2", "remote_host", "remote_host_2"))
+    val m2 = java.util.regex.Pattern.compile(re2)
+      .matcher("[10/Oct/2000:13:55:36 -0700] 971211336 1.1.1.1 2.2.2.2")
+    assert(m2.matches())
+    assert(m2.group(2) == "971211336" && m2.group(4) == "2.2.2.2")
+  }
 }

@@ -173,6 +173,12 @@ class PropertySpec extends AnyFunSuite {
     // known fixed points
     assert(graft.ops.ExcelDates.renderSerial(-5.0) == "-5")
     assert(graft.ops.ExcelDates.renderSerial(1e7) == "10000000")
+    // the 1900 phantom-leap-day boundary, POI getJavaDate parity:
+    // 59 = Feb 28; 60 (Excel's fake Feb 29) and 61 BOTH land on Mar 1
+    assert(graft.ops.ExcelDates.renderSerial(59.0) == "1900-02-28")
+    assert(graft.ops.ExcelDates.renderSerial(60.0) == "1900-03-01")
+    assert(graft.ops.ExcelDates.renderSerial(61.0) == "1900-03-01")
+    assert(graft.ops.ExcelDates.renderSerial(62.0) == "1900-03-02")
   }
 
   test("tokenGramHashes: total, deterministic, distinct, window-bounded") {
