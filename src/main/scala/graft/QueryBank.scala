@@ -1292,10 +1292,11 @@ object QueryBank {
       |a AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
       |        i -> struct_pack(p := i, g := to_json(toks[CAST(i AS INT):CAST(i AS INT) + 4])))) AS s
       |      FROM t),
-      |anchors AS (SELECT doc_id, CAST(s.p AS BIGINT) AS p, s.g AS g,
-      |                   doc_id * 4294967296 + CAST(s.p AS BIGINT) AS k FROM a),
-      |dup AS (SELECT g, min(k) AS keeper FROM anchors GROUP BY g HAVING count(*) >= 2),
-      |rm AS (SELECT a2.doc_id, a2.p FROM anchors a2 JOIN dup d USING (g) WHERE a2.k <> d.keeper),
+      |anchors AS (SELECT doc_id, CAST(s.p AS BIGINT) AS p, s.g AS g FROM a),
+      |dup AS (SELECT g, min(struct_pack(d := doc_id, p := p)) AS keeper
+      |        FROM anchors GROUP BY g HAVING count(*) >= 2),
+      |rm AS (SELECT a2.doc_id, a2.p FROM anchors a2 JOIN dup d USING (g)
+      |       WHERE NOT (a2.doc_id = d.keeper.d AND a2.p = d.keeper.p)),
       |isl AS (SELECT doc_id, p,
       |    CASE WHEN max(p + 4) OVER (PARTITION BY doc_id ORDER BY p
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL THEN 1

@@ -62,7 +62,13 @@ object Dedup {
     val hot = banded.groupBy(keys.map(col): _*).count()
       .filter(col("count") > maxBucketSize)
       .select(keys.map(col): _*)
-    banded.join(broadcast(hot), keys, "left_anti")
+    // no broadcast() hint: the hot-key list is tiny on sane corpora
+    // (AQE broadcasts it at runtime), but a pathologically templated
+    // corpus — the exact case this guard exists for — can have
+    // millions of hot buckets, and a FORCED broadcast would OOM the
+    // driver right when the guard is most needed. Letting the planner
+    // choose degrades that case to a plain anti shuffle join.
+    banded.join(hot, keys, "left_anti")
   }
 
   /** Candidate duplicate pairs by banded LSH + exact Jaccard verify.

@@ -221,9 +221,12 @@ object MediaHeaders {
         val verBits = (u8(b, p + 1) >> 3) & 0x3   // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
         val layerBits = (u8(b, p + 1) >> 1) & 0x3 // 1=Layer III
         if (layerBits == 1 && verBits != 1) {
+          // index 15 is the spec's 'bad' bitrate — present in corrupt
+          // and some truncated files; treat like 'free' (no duration)
           val idx = (u8(b, p + 2) >> 4) & 0xf
           val kbps =
-            if (verBits == 3) // MPEG-1 Layer III
+            if (idx >= 15) 0
+            else if (verBits == 3) // MPEG-1 Layer III
               Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
                 160, 192, 224, 256, 320)(idx)
             else // MPEG-2/2.5 Layer III

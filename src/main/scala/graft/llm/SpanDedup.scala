@@ -44,10 +44,10 @@ import graft.functions.Udfs
   *
   * Overlapping duplicated windows chain into ONE maximal span
   * (consecutive duplicated positions merge), so a long copied
-  * paragraph comes out as a single [start, end] token range.
-  * Document ids must be non-negative and < 2^31 (they pack with the
-  * position into one orderable BIGINT so both this plan and the SQL
-  * oracle can pick the identical keeper with a plain min()).
+  * paragraph comes out as a single [start, end] token range. The
+  * keeper is min over an (id, pos) STRUCT — lexicographic struct
+  * ordering is identical in Spark and DuckDB, and unlike a packed
+  * BIGINT it cannot overflow for 64-bit hash-derived document ids.
   */
 object SpanDedup {
 
@@ -63,8 +63,7 @@ object SpanDedup {
         posexplode(Udfs.wsGramHashesUdf(col(textCol), lit(minTokens)))
           .as(Seq("__p0", "__h")))
       .select(col("__id"), (col("__p0") + 1).as("__p"), col("__h"),
-        (col("__id").cast("long") * lit(4294967296L) + col("__p0") + 1)
-          .as("__k"))
+        struct(col("__id"), (col("__p0") + 1).as("__p")).as("__k"))
     val dup = anchors.groupBy("__h")
       .agg(count(lit(1)).as("__c"), min("__k").as("__keeper"))
       .filter(col("__c") >= 2)

@@ -335,44 +335,48 @@ object Hl7 {
   def parseBoth(msg: String): (Map[String, String], String) =
     parseInto(msg, wantFlat = true, wantNested = true)
 
+  private def splitSegs(msg: String): Array[Array[String]] =
+    msg.split("[\\r\\n]+").iterator.map(_.trim).filter(_.nonEmpty)
+      .map(_.split("\\|", -1)).toArray
+
+  /** Flat `SEG.field[.comp]` map from pre-split segments. */
+  private def flatFrom(rawSegs: Array[Array[String]]): Map[String, String] = {
+    val flat = scala.collection.mutable.Map.empty[String, String]
+    val segCount = scala.collection.mutable.Map.empty[String, Int]
+    for (fields <- rawSegs) {
+      val segName = fields.head
+      val n = segCount.getOrElse(segName, 0)
+      segCount(segName) = n + 1
+      val flatName = if (n == 0) segName else s"$segName$n"
+      fields.iterator.zipWithIndex.drop(1).foreach { case (f, i) =>
+        if (f.nonEmpty) {
+          val comps = f.split("\\^", -1)
+          if (comps.length > 1) {
+            comps.iterator.zipWithIndex.filter(_._1.nonEmpty).foreach {
+              case (comp, j) => flat(s"$flatName.$i.${j + 1}") = comp
+            }
+          } else flat(s"$flatName.$i") = f
+        }
+      }
+    }
+    flat.toMap
+  }
+
   private def parseInto(msg: String, wantFlat: Boolean,
       wantNested: Boolean): (Map[String, String], String) = {
     if (msg == null) return (Map.empty, null)
     // segment + field split happens ONCE; both views consume the same
     // token arrays (this is a hot per-row UDF — the default directive
     // asks for both views)
-    val rawSegs: Array[Array[String]] =
-      msg.split("[\\r\\n]+").iterator.map(_.trim).filter(_.nonEmpty)
-        .map(_.split("\\|", -1)).toArray
-    val flat = scala.collection.mutable.Map.empty[String, String]
-    val segCount = scala.collection.mutable.Map.empty[String, Int]
-    // ---- flat view: repeat-suffixed name, raw ^-components ----------
-    if (wantFlat) {
-      for (fields <- rawSegs) {
-        val segName = fields.head
-        val n = segCount.getOrElse(segName, 0)
-        segCount(segName) = n + 1
-        val flatName = if (n == 0) segName else s"$segName$n"
-        fields.iterator.zipWithIndex.drop(1).foreach { case (f, i) =>
-          if (f.nonEmpty) {
-            val comps = f.split("\\^", -1)
-            if (comps.length > 1) {
-              comps.iterator.zipWithIndex.filter(_._1.nonEmpty).foreach {
-                case (comp, j) => flat(s"$flatName.$i.${j + 1}") = comp
-              }
-            } else flat(s"$flatName.$i") = f
-          }
-        }
-      }
-    }
-    // ---- nested view: full depth, shared segment builder ------------
+    val rawSegs = splitSegs(msg)
+    val flat = if (wantFlat) flatFrom(rawSegs) else Map.empty[String, String]
     val nested = if (wantNested) {
       val segments = mapper.createObjectNode()
       segmentTokensFrom(rawSegs).foreach { case (n, o, _) =>
         addNode(segments, n, o) }
       mapper.writeValueAsString(segments)
     } else null
-    (flat.toMap, nested)
+    (flat, nested)
   }
 
   /** Flat map + nested JSON from one shared parse per row. */
@@ -490,7 +494,11 @@ object Hl7 {
     */
   def parseNestedGrouped(msg: String): String = {
     if (msg == null) return null
-    val toks = segmentTokens(msg)
+    groupedFromToks(segmentTokens(msg))
+  }
+
+  private def groupedFromToks(toks: Vector[(String,
+      com.fasterxml.jackson.databind.JsonNode, Array[String])]): String = {
     if (toks.isEmpty) return mapper.writeValueAsString(mapper.createObjectNode())
     // MSH-9: fields[8] of the MSH segment, components type^trigger^structure
     val msh9 = toks.headOption.filter(_._1 == "MSH").map(_._3.toSeq)
@@ -499,7 +507,10 @@ object Hl7 {
     val key = if (comps.length >= 3 && comps(2).nonEmpty) comps(2)
       else if (comps.length >= 2) s"${comps(0)}_${comps(1)}" else comps(0)
     structures.get(key) match {
-      case None => parseInto(msg, wantFlat = false, wantNested = true)._2
+      case None => // no declared structure: flat-by-segment, same toks
+        val segments = mapper.createObjectNode()
+        toks.foreach { case (n, o, _) => addNode(segments, n, o) }
+        mapper.writeValueAsString(segments)
       case Some(st) =>
         val known = knownNames(st)
         val root = mapper.createObjectNode()
@@ -551,9 +562,13 @@ object Hl7 {
   }
 
   /** Flat map + grouped nested JSON from one parse per row. */
-  def parseBothGrouped(msg: String): (Map[String, String], String) =
-    (parseInto(msg, wantFlat = true, wantNested = false)._1,
-      parseNestedGrouped(msg))
+  def parseBothGrouped(msg: String): (Map[String, String], String) = {
+    if (msg == null) return (Map.empty, null)
+    // one split per row: the flat map and the grouped tree share the
+    // same token arrays, like the ungrouped parseBoth path
+    val rawSegs = splitSegs(msg)
+    (flatFrom(rawSegs), groupedFromToks(segmentTokensFrom(rawSegs)))
+  }
 
   val parseBothGroupedUdf: UserDefinedFunction = udf(parseBothGrouped _)
 }

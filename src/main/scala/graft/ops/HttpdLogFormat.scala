@@ -35,9 +35,11 @@ object HttpdLogFormat {
       if (ch == '%' && i + 1 < n) {
         val inQuotes = i > 0 && format.charAt(i - 1) == '"'
         var j = i + 1
-        // condition modifiers: %>s, %<s, %400,501{...} status lists
+        // condition modifiers: %>s, %<s, %400,501{...} status lists,
+        // and the '!' negation (%!400,501{Referer}i)
         while (j < n && (format.charAt(j) == '<' || format.charAt(j) == '>' ||
-          format.charAt(j) == ',' || format.charAt(j).isDigit)) j += 1
+          format.charAt(j) == ',' || format.charAt(j) == '!' ||
+          format.charAt(j).isDigit)) j += 1
         if (j < n && format.charAt(j) == '{') {
           val close = format.indexOf('}', j)
           require(close > 0 && close + 1 < n,
