@@ -639,11 +639,19 @@ object QueryBank {
       "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS ds FROM orders"),
 
     // natural-language phrases (Natty subset): weekday-of-month,
-    // month-name-only, relative units — deterministic via the anchor
+    // month-name-only, relative units, compositional before/after,
+    // month/year boundaries, bare weekdays — deterministic via the
+    // anchor (2024-06-12 is a Wednesday)
     ("parse_as_date_nl",
-      (s, d) => r("set-column :phrase exp:{ n_nationkey % 5 == 0 ? 'third thursday of june 2024' : (n_nationkey % 5 == 1 ? 'last friday in december 2024' : (n_nationkey % 5 == 2 ? 'march 2025' : (n_nationkey % 5 == 3 ? '3 days ago' : 'two weeks from now'))) }; " +
+      (s, d) => r("set-column :phrase exp:{ n_nationkey % 10 == 0 ? 'third thursday of june 2024' : (n_nationkey % 10 == 1 ? 'last friday in december 2024' : (n_nationkey % 10 == 2 ? 'march 2025' : (n_nationkey % 10 == 3 ? '3 days ago' : (n_nationkey % 10 == 4 ? 'two weeks from now' : (n_nationkey % 10 == 5 ? 'end of month' : (n_nationkey % 10 == 6 ? 'beginning of year' : (n_nationkey % 10 == 7 ? '3 days before yesterday' : (n_nationkey % 10 == 8 ? 'last day of february 2024' : 'friday')))))))) }; " +
         "parse-as-date :phrase prop:{anchor=2024-06-12}; format-date :phrase 'yyyy-MM-dd'; keep :n_nationkey,:phrase")(nat(s, d)),
-      "SELECT n_nationkey, CASE n_nationkey % 5 WHEN 0 THEN '2024-06-20' WHEN 1 THEN '2024-12-27' WHEN 2 THEN '2025-03-12' WHEN 3 THEN '2024-06-09' ELSE '2024-06-26' END AS phrase FROM nation"),
+      """SELECT n_nationkey, CASE n_nationkey % 10
+        | WHEN 0 THEN '2024-06-20' WHEN 1 THEN '2024-12-27'
+        | WHEN 2 THEN '2025-03-12' WHEN 3 THEN '2024-06-09'
+        | WHEN 4 THEN '2024-06-26' WHEN 5 THEN '2024-06-30'
+        | WHEN 6 THEN '2024-01-01' WHEN 7 THEN '2024-06-08'
+        | WHEN 8 THEN '2024-02-29' ELSE '2024-06-14' END AS phrase
+        |FROM nation""".stripMargin),
 
     ("parse_as_datetime",
       (s, d) => r("copy :o_orderdate :ts; format-date :ts 'yyyy-MM-dd HH:mm:ss'; parse-as-datetime :ts 'yyyy-MM-dd HH:mm:ss'; format-datetime :ts 'yyyy-MM-dd HH:mm'; keep :o_orderkey,:ts")(ord(s, d)),

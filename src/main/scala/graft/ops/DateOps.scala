@@ -193,8 +193,12 @@ object DateOps {
 /** Deterministic natural-language date subset (the phrases the
   * reference handles via Natty — ParseDate.java:91): relative day
   * words, "N <unit>s ago" / "in N <unit>s" / "N <unit>s from now",
-  * "next/last <weekday>|week|month|year", weekday-of-month ("third
-  * thursday of june [2024]", "last friday in december"), and
+  * compositional "N <unit>s before|after <phrase>" (the tail re-parses
+  * recursively: "3 days before yesterday", "a week after next monday"),
+  * "next/last <weekday>|week|month|year", bare weekdays ("friday" =
+  * next occurrence counting today), "beginning|start|end of [the]
+  * month|year", "first|last day of <month> [year]", weekday-of-month
+  * ("third thursday of june [2024]", "last friday in december"), and
   * month-name-only ("june", "march 2025" — unspecified fields keep the
   * anchor's value, Natty-style: day = anchor's day clamped to the
   * month's length). Resolves against an explicit anchor date so
@@ -244,6 +248,12 @@ object NlDate {
   private val Ago     = "^(\\S+) (day|week|month|year)s? ago$".r
   private val In      = "^in (\\S+) (day|week|month|year)s?$".r
   private val FromNow = "^(\\S+) (day|week|month|year)s? from (?:now|today)$".r
+  // compositional: "3 days before yesterday", "2 weeks after next monday"
+  private val BeforeAfter =
+    "^(\\S+) (day|week|month|year)s? (before|after) (.+)$".r
+  private val BeginEnd =
+    "^(beginning|start|end) of (?:the )?(month|year)$".r
+  private val DayOfMonth = "^(first|last) day of (\\S+?)(?: (\\d{4}))?$".r
   private val Next    = "^next (\\S+)$".r
   private val Last    = "^last (\\S+)$".r
   private val WdOfMonth = "^(\\S+) (\\S+) (?:of|in) (\\S+?)(?: (\\d{4}))?$".r
@@ -261,6 +271,24 @@ object NlDate {
       case Ago(n, u)     => num(n).flatMap(v => shift(anchor, -v, u))
       case In(n, u)      => num(n).flatMap(v => shift(anchor, v, u))
       case FromNow(n, u) => num(n).flatMap(v => shift(anchor, v, u))
+      // shift relative to another PHRASE — the tail re-parses with the
+      // same anchor ("3 days before yesterday", "a week after next monday")
+      case BeforeAfter(n, u, dir, rest) =>
+        Option(parse(rest, anchor)).flatMap(base =>
+          num(n).flatMap(v =>
+            shift(base, if (dir == "before") -v else v, u)))
+      case BeginEnd(which, unit) => Some((which, unit) match {
+        case ("end", "month") => anchor.withDayOfMonth(anchor.lengthOfMonth)
+        case (_, "month")     => anchor.withDayOfMonth(1)
+        case ("end", "year")  => LocalDate.of(anchor.getYear, 12, 31)
+        case (_, "year")      => LocalDate.of(anchor.getYear, 1, 1)
+      })
+      case DayOfMonth(which, mon, yr) if months.contains(mon) =>
+        scala.util.Try {
+          val y = Option(yr).map(_.toInt).getOrElse(anchor.getYear)
+          val ym = java.time.YearMonth.of(y, months(mon))
+          if (which == "last") ym.atEndOfMonth else ym.atDay(1)
+        }.toOption
       case Next(w) => weekdays.get(w) match {
         // strictly after the anchor, like Natty's "next <weekday>"
         case Some(d) => Some(anchor.`with`(
@@ -288,6 +316,11 @@ object NlDate {
           java.time.temporal.TemporalAdjusters.previous(d)))
         case None => shift(anchor, -1, w)
       }
+      // bare weekday ("friday"): the next occurrence counting today —
+      // the resolution Natty applies to an unqualified weekday
+      case w if weekdays.contains(w) =>
+        Some(anchor.`with`(
+          java.time.temporal.TemporalAdjusters.nextOrSame(weekdays(w))))
       // "june" / "march 2025": unspecified fields keep anchor values
       case MonthOnly(mon, yr) if months.contains(mon) =>
         Option(yr).map(_.toInt).orElse(Some(anchor.getYear)).flatMap { y =>

@@ -229,6 +229,27 @@ class OpsSpec extends SparkSpec {
       "2025-03-12", "2024-06-26"))
   }
 
+  test("parse-as-date: compositional, boundary, and bare-weekday phrases") {
+    // anchor 2024-06-12 is a Wednesday
+    val d = df("s STRING", Seq(
+      Row("3 days before yesterday"),       // 2024-06-08
+      Row("a week after next monday"),      // next mon = 06-17 -> 06-24
+      Row("two months after end of month"), // 06-30 -> 2024-08-30
+      Row("beginning of month"),            // 2024-06-01
+      Row("end of year"),                   // 2024-12-31
+      Row("start of the year"),             // 2024-01-01
+      Row("first day of september"),        // 2024-09-01
+      Row("last day of february 2024"),     // leap -> 2024-02-29
+      Row("last day of smarch"),            // unknown month -> null
+      Row("friday"),                        // next-or-same -> 2024-06-14
+      Row("wednesday")))                    // same day -> 2024-06-12
+    val out = wrangle(
+      "parse-as-date :s prop:{anchor=2024-06-12}; format-date :s 'yyyy-MM-dd';", d)
+    assert(strings(out, "s") == Seq("2024-06-08", "2024-06-24",
+      "2024-08-30", "2024-06-01", "2024-12-31", "2024-01-01",
+      "2024-09-01", "2024-02-29", null, "2024-06-14", "2024-06-12"))
+  }
+
 
   test("parse-as-csv header semantics match the reference") {
     // reference CsvParserTest.testHeaders: cells trimmed, whitespace
