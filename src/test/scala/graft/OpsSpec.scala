@@ -251,6 +251,23 @@ class OpsSpec extends SparkSpec {
   }
 
 
+  test("parse-as-log accepts the Apache LogFormat nicknames") {
+    val d = df("log STRING", Seq(Row(
+      "10.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] \"GET /a HTTP/1.1\" " +
+        "200 2326 \"http://ref.example/\" \"curl/8\" 420 2440")))
+    val out = wrangle("parse-as-log :log combinedio", d)
+    val r = out.head()
+    assert(out.columns.contains("log_bytes_received"))
+    assert(r.getAs[String]("log_bytes_received") == "420")
+    assert(r.getAs[String]("log_bytes_sent") == "2440")
+    assert(r.getAs[String]("log_request_header_user_agent") == "curl/8")
+
+    val ag = wrangle("parse-as-log :ua agent",
+      df("ua STRING", Seq(Row("Mozilla/5.0 (X11; Linux)"))))
+    assert(ag.head().getAs[String]("ua_request_header_user_agent")
+      == "Mozilla/5.0 (X11; Linux)")
+  }
+
   test("parse-as-csv header semantics match the reference") {
     // reference CsvParserTest.testHeaders: cells trimmed, whitespace
     // runs (incl. tabs) collapse to one underscore

@@ -64,12 +64,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("porter stemmer reaches a fixpoint") {
+  test("porter stemmer: deterministic, non-growing, converges") {
+    // Porter is NOT idempotent (correct per spec: 'agreed'->'agre'->
+    // 'agr' — step 5a strips another final e each pass on high-m
+    // words), so a fixpoint-after-k assertion is wrong for every fixed
+    // k. What it does guarantee: determinism, output never longer than
+    // input, and convergence under iteration (each changing pass
+    // shrinks the word or rewrites a final y->i, which then sticks).
     check("porter") {
       Prop.forAll(Gen.listOf(Gen.alphaLowerChar).map(_.mkString)
         .suchThat(_.length >= 3)) { w =>
-        val s2 = Udfs.porterStem(Udfs.porterStem(w))
-        Udfs.porterStem(s2) == s2
+        val a = Udfs.porterStem(w)
+        var cur = a
+        var i = 0
+        while (i <= w.length + 2 && Udfs.porterStem(cur) != cur) {
+          cur = Udfs.porterStem(cur); i += 1
+        }
+        a == Udfs.porterStem(w) && a.length <= w.length &&
+          Udfs.porterStem(cur) == cur
       }
     }
   }
