@@ -259,8 +259,16 @@ object NlDate {
   private val WdOfMonth = "^(\\S+) (\\S+) (?:of|in) (\\S+?)(?: (\\d{4}))?$".r
   private val MonthOnly = "^(\\S+?)(?: (\\d{4}))?$".r
 
-  def parse(raw: String, anchor: LocalDate): LocalDate = {
-    if (raw == null) return null
+  def parse(raw: String, anchor: LocalDate): LocalDate =
+    parse(raw, anchor, depth = 0)
+
+  // best-effort contract: adversarial nesting ("1 day after 1 day
+  // after ... today") must yield null, not a StackOverflowError — the
+  // compositional BeforeAfter case recurses at most maxNesting deep
+  private val maxNesting = 16
+
+  private def parse(raw: String, anchor: LocalDate, depth: Int): LocalDate = {
+    if (raw == null || depth > maxNesting) return null
     val s = raw.trim.toLowerCase.replaceAll("\\s+", " ")
     val r: Option[LocalDate] = s match {
       case "now" | "today"        => Some(anchor)
@@ -274,7 +282,7 @@ object NlDate {
       // shift relative to another PHRASE — the tail re-parses with the
       // same anchor ("3 days before yesterday", "a week after next monday")
       case BeforeAfter(n, u, dir, rest) =>
-        Option(parse(rest, anchor)).flatMap(base =>
+        Option(parse(rest, anchor, depth + 1)).flatMap(base =>
           num(n).flatMap(v =>
             shift(base, if (dir == "before") -v else v, u)))
       case BeginEnd(which, unit) => Some((which, unit) match {

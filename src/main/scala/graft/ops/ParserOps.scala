@@ -220,24 +220,21 @@ object ParserOps {
           fields.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
             d.withColumn(s"${c}_$f", regexp_extract(col(c), re, i + 1))
           }
-        // remaining Apache nicknames: referer/agent logs put an
-        // unquoted, space-bearing value at end of line — their fields
-        // capture to the line end rather than the next \S+ token
-        case "referer" =>
-          df.withColumn(s"${c}_request_header_referer",
-              regexp_extract(col(c), "^(\\S+) -> (\\S*)$", 1))
-            .withColumn(s"${c}_url_path",
-              regexp_extract(col(c), "^(\\S+) -> (\\S*)$", 2))
+        // the agent log is ONLY an unquoted user-agent, which contains
+        // spaces — no %-directive pattern can express capture-to-EOL,
+        // so it gets a dedicated regex
         case "agent" =>
           df.withColumn(s"${c}_request_header_user_agent",
             regexp_extract(col(c), "^(.*)$", 1))
         case other =>
-          // "combinedio" expands to its documented format string;
-          // anything else IS a format string
-          val resolved =
-            if (other == "combinedio")
+          // remaining Apache nicknames expand to their documented
+          // format strings; anything else IS a format string
+          val resolved = other match {
+            case "combinedio" =>
               "%h %l %u %t \"%r\" %>s %b \"%{Referer}i\" \"%{User-Agent}i\" %I %O"
-            else fmt
+            case "referer" => "%{Referer}i -> %U"
+            case _         => fmt
+          }
           val (re, fields) = HttpdLogFormat.compile(resolved)
           fields.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
             d.withColumn(s"${c}_$f", regexp_extract(col(c), re, i + 1))

@@ -242,12 +242,15 @@ class OpsSpec extends SparkSpec {
       Row("last day of february 2024"),     // leap -> 2024-02-29
       Row("last day of smarch"),            // unknown month -> null
       Row("friday"),                        // next-or-same -> 2024-06-14
-      Row("wednesday")))                    // same day -> 2024-06-12
+      Row("wednesday"),                     // same day -> 2024-06-12
+      // adversarial nesting: depth-capped -> null, never a stack overflow
+      Row(("1 day after " * 60) + "today")))
     val out = wrangle(
       "parse-as-date :s prop:{anchor=2024-06-12}; format-date :s 'yyyy-MM-dd';", d)
     assert(strings(out, "s") == Seq("2024-06-08", "2024-06-24",
       "2024-08-30", "2024-06-01", "2024-12-31", "2024-01-01",
-      "2024-09-01", "2024-02-29", null, "2024-06-14", "2024-06-12"))
+      "2024-09-01", "2024-02-29", null, "2024-06-14", "2024-06-12",
+      null))
   }
 
 
@@ -266,6 +269,13 @@ class OpsSpec extends SparkSpec {
       df("ua STRING", Seq(Row("Mozilla/5.0 (X11; Linux)"))))
     assert(ag.head().getAs[String]("ua_request_header_user_agent")
       == "Mozilla/5.0 (X11; Linux)")
+
+    val ref = wrangle("parse-as-log :rl referer",
+      df("rl STRING", Seq(Row("http://other.example/page -> /landing"))))
+    val rr = ref.head()
+    assert(rr.getAs[String]("rl_request_header_referer")
+      == "http://other.example/page")
+    assert(rr.getAs[String]("rl_url_path") == "/landing")
   }
 
   test("parse-as-csv header semantics match the reference") {
