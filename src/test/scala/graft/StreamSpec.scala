@@ -102,6 +102,28 @@ class StreamSpec extends SparkSpec {
     assert(hits.filter(_._1 != "purchase").values.forall(_ == 1), s"got $hits")
   }
 
+  test("hash sampling and chunking compose on a stream") {
+    // all three are stateless projections/generators, so the streaming
+    // planner accepts them unchanged — the same subset and the same
+    // chunks come out as in batch (hash decisions are key-pure)
+    val src = s"$eventsDir/events.parquet"
+    def shape(st: org.apache.spark.sql.DataFrame) = {
+      val withTxt = StreamOps.wrangleStream(
+        "set-column :txt exp:{ concat(event_type, ' by user ', user_id, ' value recorded today') }; " +
+          "sample-by-hash :user_id 0.5; hash-split :user_id 'a:0.5,b:0.5' '' bucket;", st)
+      graft.llm.TextAnalysis.chunkText(withTxt, "txt", 3, 1)
+    }
+    val streamed = StreamOps.runBatchAsStream(spark, src, shape,
+      queryName = "stream_hashops", outputMode = OutputMode.Append)
+    val batch = shape(spark.read.parquet(src))
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    val sKeys = streamed.select("user_id", "chunk_id", "bucket")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val bKeys = batch.select("user_id", "chunk_id", "bucket")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(sKeys == bKeys)
+  }
+
   test("streaming error channel: foreachBatch splits main and error rows") {
     val src = s"$eventsDir/events.parquet"
     val schema = spark.read.parquet(src).schema
