@@ -534,6 +534,18 @@ object QueryBank {
       },
       pipelineCurationSql),
 
+    ("embedding_clusters",
+      // seeded coarse quantizer as a corpus-composition rollup:
+      // deterministic centroids at sf0.01 -> pinned per-cell counts
+      // (fixture-oracle pattern like ann_lsh/ann_ivf; the driver
+      // validates determinism of the k-means + assignment kernel)
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.llm.Similarity.clusterAssign(emb(s, d), "embedding", k = 8)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      },
+      embeddingClustersSql),
+
     ("pipeline_curation_v2",
       // the full modern training-data pipeline in one plan: quality
       // gate (one projection over the scan) → benchmark decontamination
@@ -1285,6 +1297,14 @@ object QueryBank {
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  // pinned per-cell counts for embedding_clusters (seeded k=8 quantizer
+  // at sf0.01 — regenerate with the CellProbe pattern if the seed or
+  // sample contract changes)
+  private lazy val embeddingClustersSql: String =
+    """SELECT CAST(cell AS INT) AS cell, CAST(n AS BIGINT) AS n FROM (VALUES
+      | (0, 66), (1, 57), (2, 71), (3, 50), (4, 67), (5, 66), (6, 65),
+      | (7, 58)) t(cell, n)""".stripMargin
 
   /** Shared CTE chain for the span-dedup oracles: raw whitespace
     * tokens → per-position 5-gram strings → duplicated windows with

@@ -63,6 +63,13 @@ object LlmOps {
       df.withColumn(spec.col(0), TextAnalysis.redactPii(col(spec.col(0)), types))
     }
 
+    // `cluster-embeddings :vec [k]` — seeded-k-means cell per row
+    // (corpus composition / diversity mixing / ANN layout precompute)
+    case "cluster-embeddings" => ColumnOps.simple(spec) { df =>
+      graft.llm.Similarity.clusterAssign(df, spec.col(0),
+        k = spec.optStr(1).map(_.toInt).getOrElse(16))
+    }
+
     // `chunk-text :text size [overlap]` — one row per sliding token
     // window (context-window chunking for embedding/RAG/seq-len prep)
     case "chunk-text" => ColumnOps.simple(spec) { df =>

@@ -540,6 +540,26 @@ class LlmSpec extends SparkSpec {
       graft.llm.TextAnalysis.chunkText(corpus, "text", 4, 4))
   }
 
+  test("cluster-embeddings: deterministic seeded cells, map-only") {
+    val out = graft.llm.Similarity.clusterAssign(embDf, "embedding", k = 4)
+    assert(out.columns.contains("cell"))
+    val a = out.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = graft.llm.Similarity.clusterAssign(embDf, "embedding", k = 4)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b, "seeded quantizer must be deterministic")
+    assert(a.values.toSet.subsetOf((0 until 4).toSet))
+    // the jittered near-copies of vec 0 land in vec 0's cell
+    assert(a(1L) == a(0L) && a(2L) == a(0L))
+    // no shuffle: assignment is one kernel pass over the scan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    // directive surface
+    val viaRecipe = wrangle("cluster-embeddings :embedding 4", embDf)
+    assert(viaRecipe.columns.contains("cell"))
+  }
+
   test("span dedup removes non-first occurrences of duplicated runs") {
     // docs 1 and 2 share the 8-token boilerplate prefix; doc 3 repeats
     // a 5-token phrase internally; doc 4 is clean and short
