@@ -534,6 +534,28 @@ object QueryBank {
       },
       pipelineCurationSql),
 
+    ("surprisal_score",
+      // corpus-relative unigram surprisal — DuckDB recomputes the
+      // whole estimator (counts, total, per-doc mean -ln p) exactly
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.llm.TextAnalysis.surprisalScore(docs(s, d), "text")
+          .select(col("doc_id"),
+            round(col("text_surprisal"), 4).as("surprisal"))
+      },
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |w AS (SELECT unnest(toks) AS tok FROM t),
+        |c AS (SELECT tok, count(*) AS c FROM w GROUP BY tok),
+        |tot AS (SELECT sum(c) AS total FROM c),
+        |d AS (SELECT t.doc_id, unnest(t.toks) AS tok FROM t),
+        |s AS (SELECT d.doc_id, avg(-ln(c.c / tot.total)) AS sc
+        |      FROM d JOIN c USING (tok) CROSS JOIN tot GROUP BY d.doc_id)
+        |SELECT t.doc_id, CAST(round(s.sc, 4) AS DOUBLE) AS surprisal
+        |FROM t LEFT JOIN s ON t.doc_id = s.doc_id""".stripMargin),
+
     ("embedding_clusters",
       // seeded coarse quantizer as a corpus-composition rollup:
       // deterministic centroids at sf0.01 -> pinned per-cell counts

@@ -743,6 +743,13 @@ object Udfs {
   }
   val cutTokenSpansUdf: UserDefinedFunction = udf(cutTokenSpans _)
 
+  /** Normalized word tokens (normalizeText split on single spaces). */
+  def normTokens(text: String): Array[String] = {
+    val n = normalizeText(text)
+    if (n.isEmpty) Array.empty else n.split(" ")
+  }
+  val normTokensUdf: UserDefinedFunction = udf(normTokens _)
+
   /** Same normalization as graft.llm.Dedup.normalized (keep in sync). */
   def normalizeText(text: String): String = {
     if (text == null) return ""

@@ -144,6 +144,51 @@ object TextAnalysis {
   /** Stable document fingerprint (md5 hex of normalized content). */
   def fingerprint(text: Column): Column = Dedup.fingerprint(text)
 
+  /** Corpus-relative surprisal: mean -ln(p(token)) per document, with
+    * unigram probabilities estimated from THIS corpus — the
+    * self-contained stand-in for the LM-perplexity quality filters of
+    * published web-corpus pipelines (CCNet-style: boilerplate and
+    * in-domain text scores low, anomalous token soup scores high).
+    *
+    * Two linear passes: one token-keyed groupBy builds the unigram
+    * table (map-side combined; the top `maxVocab` entries broadcast as
+    * one map), then scoring is a map-only kernel over the scan — no
+    * join, no second shuffle. With the vocab under `maxVocab` (any
+    * test SF; most real corpora after normalization) the score is
+    * exact; beyond it, rare tail tokens fall back to count 1, a
+    * documented approximation that only sharpens the high-surprisal
+    * signal they already carry. Empty/null documents yield null.
+    */
+  def surprisalScore(df: DataFrame, textCol: String,
+      maxVocab: Int = 1 << 20, outCol: String = ""): DataFrame = {
+    val out = if (outCol.nonEmpty) outCol else s"${textCol}_surprisal"
+    val grouped = df
+      .select(explode(graft.functions.Udfs.normTokensUdf(col(textCol))).as("__t"))
+      .groupBy("__t").count()
+    val total = grouped.agg(sum("count")).head().getLong(0)
+    if (total == 0L)
+      return df.withColumn(out, lit(null).cast("double"))
+    val vocab = grouped.orderBy(col("count").desc, col("__t")).limit(maxVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bc = df.sparkSession.sparkContext.broadcast(vocab)
+    val totD = total.toDouble
+    val scoreUdf = udf((s: String) => {
+      val toks = graft.functions.Udfs.normTokens(s)
+      if (toks.isEmpty) null
+      else {
+        val m = bc.value
+        var acc = 0.0
+        var i = 0
+        while (i < toks.length) {
+          acc += -math.log(m.getOrElse(toks(i), 1L) / totD)
+          i += 1
+        }
+        java.lang.Double.valueOf(acc / toks.length)
+      }
+    })
+    df.withColumn(out, scoreUdf(col(textCol)))
+  }
+
   /** Context-window chunking: one output row per sliding token window
     * (`size` tokens, `overlap` shared with the previous chunk) — the
     * prep step for embedding/RAG indexing and max-sequence-length

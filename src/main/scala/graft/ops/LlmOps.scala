@@ -46,6 +46,12 @@ object LlmOps {
         TextAnalysis.qualityScore(col(spec.col(0))))
     }
 
+    // `surprisal-score :text` — corpus-relative mean -ln p(token)
+    // (unigram LM-perplexity proxy; appends `<col>_surprisal`)
+    case "surprisal-score" => ColumnOps.simple(spec) { df =>
+      TextAnalysis.surprisalScore(df, spec.col(0))
+    }
+
     case "fingerprint" => ColumnOps.simple(spec) { df =>
       df.withColumn(s"${spec.col(0)}_fingerprint",
         TextAnalysis.fingerprint(col(spec.col(0))))

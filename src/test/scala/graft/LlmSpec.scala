@@ -540,6 +540,30 @@ class LlmSpec extends SparkSpec {
       graft.llm.TextAnalysis.chunkText(corpus, "text", 4, 4))
   }
 
+  test("surprisal-score ranks common-token docs below anomalous ones") {
+    val corpus = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "the cat sat on the mat"),
+      Row(2L, "the cat sat on the rug"),
+      Row(3L, "the dog sat on the mat"),
+      Row(4L, "zyx qwv jkl pqr mno vwx"), // all-rare token soup
+      Row(5L, ""),
+      Row(6L, null)))
+    val out = graft.llm.TextAnalysis.surprisalScore(corpus, "text")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[java.lang.Double]("text_surprisal"))).toMap
+    // boilerplate-ish docs (shared vocab) score lower than token soup
+    assert(out(1L).get < out(4L).get)
+    assert(out(2L).get < out(4L).get)
+    // empty/null -> null, not a crash or a zero
+    assert(out(5L).isEmpty && out(6L).isEmpty)
+    // exact value check: doc 4's tokens each occur once in a corpus of
+    // 24 tokens -> surprisal = -ln(1/24) = ln(24)
+    assert(math.abs(out(4L).get - math.log(24)) < 1e-9, s"got ${out(4L)}")
+    // directive surface
+    val viaRecipe = wrangle("surprisal-score :text", corpus)
+    assert(viaRecipe.columns.contains("text_surprisal"))
+  }
+
   test("cluster-embeddings: deterministic seeded cells, map-only") {
     val out = graft.llm.Similarity.clusterAssign(embDf, "embedding", k = 4)
     assert(out.columns.contains("cell"))
