@@ -216,21 +216,6 @@ object Similarity {
     * at real scale the cell id is a precomputed, partition-prunable
     * index column (write the corpus partitioned by it).
     */
-  /** Append a `cell` column assigning each embedding to its nearest
-    * seeded-k-means centroid — the IVF coarse quantizer exposed as a
-    * corpus-analysis op (cluster composition, diversity-aware mixing,
-    * and the precompute step for a cell-partitioned ANN layout: write
-    * the corpus partitioned by this column and ivfTopK's cell filter
-    * becomes partition pruning). Centroids train on a bounded driver
-    * sample (seeded, deterministic); assignment is one map-side kernel
-    * pass — no shuffle.
-    */
-  def clusterAssign(df: DataFrame, vecCol: String, k: Int = 16,
-      seed: Long = 11L, outCol: String = "cell"): DataFrame = {
-    val cents = trainCentroids(df, vecCol, k, seed = seed)
-    df.withColumn(outCol, ivfCell(col(vecCol), cents))
-  }
-
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], k: Int, nlist: Int = 16, nprobe: Int = 4,
       seed: Long = 11L): DataFrame = {
@@ -244,6 +229,30 @@ object Similarity {
       .select(col(idCol), cosineToQuery(col(vecCol), query).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Append a `cell` column assigning each embedding to its nearest
+    * seeded-k-means centroid — the IVF coarse quantizer exposed as a
+    * corpus-analysis op (cluster composition, diversity-aware mixing,
+    * and the precompute step for a cell-partitioned ANN layout: write
+    * the corpus partitioned by this column and ivfTopK's cell filter
+    * becomes partition pruning). Centroids train on a bounded driver
+    * sample (seeded, deterministic); assignment is one map-side kernel
+    * pass — no shuffle. A corpus with no non-null embeddings yields a
+    * null cell column (composition op, not a query — it must not abort
+    * an otherwise-valid pipeline).
+    */
+  def clusterAssign(df: DataFrame, vecCol: String, k: Int = 16,
+      seed: Long = 11L, outCol: String = "cell"): DataFrame = {
+    require(k >= 1, s"cluster-embeddings: k must be >= 1, got $k")
+    try {
+      val cents = trainCentroids(df, vecCol, k, seed = seed)
+      df.withColumn(outCol, ivfCell(col(vecCol), cents))
+    } catch {
+      case e: IllegalArgumentException if e.getMessage != null &&
+          e.getMessage.contains("empty corpus sample") =>
+        df.withColumn(outCol, lit(null).cast("int"))
+    }
   }
 
   /** Σx² accumulated in index order — the SAME order [[pairCosine]]

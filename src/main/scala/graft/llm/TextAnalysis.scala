@@ -165,11 +165,20 @@ object TextAnalysis {
     val grouped = df
       .select(explode(graft.functions.Udfs.normTokensUdf(col(textCol))).as("__t"))
       .groupBy("__t").count()
-    val total = grouped.agg(sum("count")).head().getLong(0)
+    // one stats action: when the vocab fits the cap (the common case)
+    // the grand total is the local sum of the collected counts; only a
+    // TRUNCATED collect needs the extra distributed sum for exactness
+    val collected = grouped.orderBy(col("count").desc, col("__t"))
+      .limit(maxVocab).collect().map(r => r.getString(0) -> r.getLong(1))
+    if (collected.isEmpty) // zero-token corpus (all null/empty docs)
+      return df.withColumn(out, lit(null).cast("double"))
+    val total =
+      if (collected.length < maxVocab) collected.map(_._2).sum
+      else Option(grouped.agg(sum("count")).head()
+        .getAs[java.lang.Long](0)).map(_.longValue).getOrElse(0L)
     if (total == 0L)
       return df.withColumn(out, lit(null).cast("double"))
-    val vocab = grouped.orderBy(col("count").desc, col("__t")).limit(maxVocab)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocab = collected.toMap
     val bc = df.sparkSession.sparkContext.broadcast(vocab)
     val totD = total.toDouble
     val scoreUdf = udf((s: String) => {

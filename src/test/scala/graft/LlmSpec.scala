@@ -562,6 +562,13 @@ class LlmSpec extends SparkSpec {
     // directive surface
     val viaRecipe = wrangle("surprisal-score :text", corpus)
     assert(viaRecipe.columns.contains("text_surprisal"))
+
+    // zero-token corpus (all null/empty docs): null column, no NPE
+    val empties = df("doc_id BIGINT, text STRING",
+      Seq(Row(1L, ""), Row(2L, null)))
+    val z = graft.llm.TextAnalysis.surprisalScore(empties, "text")
+      .select("text_surprisal").collect()
+    assert(z.forall(_.isNullAt(0)))
   }
 
   test("cluster-embeddings: deterministic seeded cells, map-only") {
@@ -582,6 +589,14 @@ class LlmSpec extends SparkSpec {
     // directive surface
     val viaRecipe = wrangle("cluster-embeddings :embedding 4", embDf)
     assert(viaRecipe.columns.contains("cell"))
+
+    // composition op, not a query: an empty corpus gets a null cell
+    // column instead of aborting the pipeline; k<1 fails at plan build
+    val empty = graft.llm.Similarity.clusterAssign(
+      embDf.filter(col("vec_id") < 0), "embedding", k = 4)
+    assert(empty.count() == 0 && empty.columns.contains("cell"))
+    intercept[IllegalArgumentException](
+      graft.llm.Similarity.clusterAssign(embDf, "embedding", k = 0))
   }
 
   test("span dedup removes non-first occurrences of duplicated runs") {
