@@ -1330,8 +1330,8 @@ object QueryBank {
 
   /** Shared CTE chain for the span-dedup oracles: raw whitespace
     * tokens → per-position 5-gram strings → duplicated windows with
-    * their global first occurrence (min over the same id*2^32+pos
-    * BIGINT the Spark plan orders by) → non-keeper positions merged
+    * their global first occurrence (min over the same (doc_id, pos)
+    * struct the Spark plan orders by) → non-keeper positions merged
     * gaps-and-islands into maximal spans. Mirrors llm/SpanDedup step
     * for step on gram STRINGS (the Spark side hashes them).
     */

@@ -658,8 +658,11 @@ object Udfs {
     * llm/SpanDedup), in token order: element i (0-based) is the hash
     * of tokens [i, i+n). A document with fewer than n tokens yields an
     * EMPTY array — it cannot contain a full-length duplicated span.
-    * Same 0x1f token-boundary marker as tokenGramHashes, so the hash
-    * is injective over token sequences modulo 64-bit collisions.
+    * Unlike tokenGramHashes (one FNV stream with a 0x1f boundary byte),
+    * each token hashes once and a window folds its n token hashes with
+    * an order-sensitive xor-multiply — token boundaries are preserved
+    * by the per-token fold itself, so the window hash stays injective
+    * over token sequences modulo 64-bit collisions.
     */
   def wsGramHashes(text: String, n: Int): Array[Long] = {
     if (text == null) return Array.empty

@@ -16,7 +16,9 @@ import graft.functions.Udfs
   * in one tiny job, sorted into a primitive `Array[Long]`, and
   * broadcast; each corpus document then counts its own gram hits by
   * binary search inside a JIT'd kernel. 10M benchmark grams = 80 MB
-  * broadcast — well inside executor memory. For a benchmark set too
+  * broadcast — well inside executor memory; the default guard caps at
+  * 20M grams (160 MB), the same order as Spark's own broadcast-join
+  * ceiling. For a benchmark set too
   * large to broadcast (`maxBenchGrams` guard), the fallback shape is a
   * broadcast-or-shuffle equi-join on exploded gram hashes; that path is
   * deliberately NOT implicit because exploding the 100 TB corpus side
@@ -41,7 +43,7 @@ object Decontaminate {
     */
   def markHits(corpus: DataFrame, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 8,
-      maxBenchGrams: Int = 100000000): DataFrame = {
+      maxBenchGrams: Int = 20000000): DataFrame = {
     val hits = hitsColumn(corpus, textCol, bench, benchTextCol, n, maxBenchGrams)
     corpus.withColumn(s"${textCol}_contam_hits", hits)
   }
@@ -49,7 +51,7 @@ object Decontaminate {
   /** Keep only documents with fewer than `minHits` shared n-grams. */
   def drop(corpus: DataFrame, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 8, minHits: Int = 1,
-      maxBenchGrams: Int = 100000000): DataFrame = {
+      maxBenchGrams: Int = 20000000): DataFrame = {
     val hits = hitsColumn(corpus, textCol, bench, benchTextCol, n, maxBenchGrams)
     corpus.filter(hits < lit(minHits))
   }

@@ -215,8 +215,18 @@ object MediaHeaders {
       var p = 0
       if (ascii(b, 0, 3) == "ID3" && b.length >= 10) {
         val sz = (u8(b, 6) << 21) | (u8(b, 7) << 14) | (u8(b, 8) << 7) | u8(b, 9)
-        p = 10 + sz
+        // ID3v2.4 footer flag (header flags bit 0x10): the tag is
+        // header(10) + data(size) + footer(10) — without the extra 10
+        // the sync check lands on the footer's "3DI" magic
+        val footer = if ((u8(b, 5) & 0x10) != 0) 10 else 0
+        p = 10 + sz + footer
       }
+      // trailing ID3v1 tag (fixed 128 bytes, "TAG" magic) is metadata,
+      // not audio payload — exclude it from the CBR duration estimate
+      val payloadEnd =
+        if (b.length >= 128 && ascii(b, b.length - 128, 3) == "TAG")
+          b.length - 128
+        else b.length
       if (p + 4 <= b.length && u8(b, p) == 0xff && (u8(b, p + 1) & 0xe0) == 0xe0) {
         val verBits = (u8(b, p + 1) >> 3) & 0x3   // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
         val layerBits = (u8(b, p + 1) >> 1) & 0x3 // 1=Layer III
@@ -233,7 +243,7 @@ object MediaHeaders {
               Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80,
                 96, 112, 128, 144, 160)(idx)
           val dur: java.lang.Long =
-            if (kbps > 0) (b.length - p).toLong * 8L / kbps else null
+            if (kbps > 0) (payloadEnd - p).toLong * 8L / kbps else null
           return Probe("mp3", null, null, dur)
         }
       }

@@ -146,7 +146,15 @@ object Sampler {
     */
   def consistent(df: DataFrame, keyCol: String, fraction: Double,
       salt: String = ""): DataFrame =
-    df.filter(hashPoint(keyCol, salt) < lit(hexThreshold(fraction)))
+    df.filter(keepFraction(hashPoint(keyCol, salt), fraction))
+
+  /** Strict `<` against floor(fraction*2^128) — except fraction >= 1.0,
+    * which short-circuits to true: the threshold caps at 2^128-1 (the
+    * all-f digest), and a strict compare there would drop a key hashing
+    * to exactly "ff…f" even at "keep everything" weight.
+    */
+  private def keepFraction(h: Column, fraction: Double): Column =
+    if (fraction >= 1.0) lit(true) else h < lit(hexThreshold(fraction))
 
   /** Assign each row to a named split (train/val/test, …) by where its
     * key's hash lands among cumulative `fraction` ranges — the
@@ -165,7 +173,7 @@ object Sampler {
     val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
     val assigned = splits.init.zip(cum.init).foldRight(
       lit(splits.last._1): Column) { case (((name, _), upper), rest) =>
-      when(h < lit(hexThreshold(upper)), lit(name)).otherwise(rest)
+      when(keepFraction(h, upper), lit(name)).otherwise(rest)
     }
     df.withColumn(outCol, assigned)
   }
@@ -182,8 +190,8 @@ object Sampler {
       salt: String = ""): DataFrame = {
     val h = hashPoint(keyCol, salt)
     val pred = weights.foldRight(
-      h < lit(hexThreshold(default)): Column) { case ((g, f), rest) =>
-      when(col(groupCol) === lit(g), h < lit(hexThreshold(f))).otherwise(rest)
+      keepFraction(h, default)) { case ((g, f), rest) =>
+      when(col(groupCol) === lit(g), keepFraction(h, f)).otherwise(rest)
     }
     df.filter(pred)
   }

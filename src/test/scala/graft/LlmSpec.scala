@@ -288,6 +288,20 @@ class LlmSpec extends SparkSpec {
     val m3 = MediaHeaders.probe(mp3)
     assert(m3.format == "mp3" && m3.duration_ms == (1604L * 8 / 128),
       s"got $m3")
+
+    // ID3v2.4 footer flag (0x10): tag = header(10)+data(0)+footer(10);
+    // plus a trailing 128-byte ID3v1 "TAG" block — both are metadata,
+    // so the sync check must skip 20 bytes and the CBR duration must
+    // exclude the ID3v1 bytes: same 1604-byte payload as above
+    val mp3Footer = ("ID3".getBytes.toSeq ++ Seq[Byte](4, 0, 0x10) ++
+      Seq[Byte](0, 0, 0, 0) ++
+      ("3DI".getBytes.toSeq ++ Seq[Byte](4, 0, 0x10) ++ Seq[Byte](0, 0, 0, 0)) ++
+      Seq[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00) ++
+      Seq.fill(1600)(0x55.toByte) ++
+      ("TAG".getBytes.toSeq ++ Seq.fill(125)(0x20.toByte))).toArray
+    val m3f = MediaHeaders.probe(mp3Footer)
+    assert(m3f.format == "mp3" && m3f.duration_ms == (1604L * 8 / 128),
+      s"got $m3f")
   }
 
 

@@ -248,7 +248,8 @@ class PropertySpec extends AnyFunSuite {
       }
     }
     assert(graft.session.Sampler.hexThreshold(0.0) == "0" * 32)
-    // 1.0 caps at the max digest so every md5 string compares below-or-equal
+    // 1.0 caps at the max digest; the samplers short-circuit
+    // fraction >= 1.0 to lit(true) so even the all-f digest is kept
     assert(graft.session.Sampler.hexThreshold(1.0) == "f" * 32)
     intercept[IllegalArgumentException](graft.session.Sampler.hexThreshold(1.5))
   }
