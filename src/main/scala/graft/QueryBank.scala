@@ -275,6 +275,23 @@ object QueryBank {
       (s, d) => graft.llm.Dedup.exact(docs(s, d), "text", "doc_id"),
       "SELECT * FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY " + normSql("text") + ")"),
 
+    // A GENUINE Structured Streaming run, not a batch stand-in: the
+    // events table is driven through readStream → withWatermark →
+    // dropDuplicatesWithinWatermark → memory sink, synchronously. The
+    // output projects to the DEDUP KEY columns only, so which physical
+    // row the stream kept per key (arrival order — nondeterministic
+    // under parallel file splits) cannot leak into the compared values:
+    // the emitted set is exactly DISTINCT(keys), the batch dedup-exact
+    // semantics the oracle states.
+    ("stream_dedup",
+      (s, d) => graft.streaming.StreamOps.runBatchAsStream(
+        s, s"$d/events.parquet",
+        st => graft.streaming.StreamOps
+          .streamingDedup(st, Seq("user_id", "event_type"), "ts")
+          .select("user_id", "event_type"),
+        queryName = "stream_dedup_correctness"),
+      "SELECT DISTINCT user_id, event_type FROM events"),
+
     // The three candidate-pair sets below are seeded-deterministic, so
     // their expected values at the driver's correctness scale (sf0.01,
     // TESTDATA.md) are pinned as literal fixtures — any engine

@@ -125,8 +125,13 @@ object StreamOps {
   def runBatchAsStream(spark: SparkSession, sourceDir: String,
       transform: DataFrame => DataFrame, queryName: String,
       outputMode: OutputMode = OutputMode.Append): DataFrame = {
-    // the events table carries TIMESTAMP(NANOS) — readable only as long
+    // the events table carries TIMESTAMP(NANOS) — readable only as long.
+    // Restored after the run: this is a session-wide legacy flag and a
+    // later BATCH read of the same table must not inherit it.
+    val prevNanos =
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
     // FileStreamSource wants a directory; testdata tables are single
     // files — stage a symlink dir when given a file
     val src = {
@@ -149,5 +154,11 @@ object StreamOps {
     q.processAllAvailable()
     q.stop()
     spark.table(queryName)
+    } finally {
+      prevNanos match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+    }
   }
 }

@@ -9,6 +9,11 @@ class StreamSpec extends SparkSpec {
 
   private val eventsDir = "/root/testdata/sf0.001"
 
+  // the batch-equivalence reads below open the TIMESTAMP(NANOS) events
+  // table directly; runBatchAsStream scopes this flag to its own run
+  // and restores it, so the suite must opt in for its own batch reads
+  spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   test("recipe applies unchanged to a streaming source") {
     val out = StreamOps.runBatchAsStream(spark, s"$eventsDir/events.parquet",
       st => StreamOps.wrangleStream(
