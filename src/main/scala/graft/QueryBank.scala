@@ -704,6 +704,20 @@ object QueryBank {
         | WHEN 8 THEN '2024-02-29' ELSE '2024-06-14' END AS phrase
         |FROM nation""".stripMargin),
 
+    // date+time-of-day composites (Natty returns a full timestamp —
+    // ParseDate.java:91): trailing/leading/at-joined clock, am-pm noon
+    // and midnight words, 12am/12pm wrap (anchor 2024-06-12, a Wednesday)
+    ("parse_as_date_nl_time",
+      (s, d) => r("set-column :phrase exp:{ n_nationkey % 10 == 0 ? 'tomorrow 3pm' : (n_nationkey % 10 == 1 ? 'monday at 14:30' : (n_nationkey % 10 == 2 ? 'yesterday at 2:15 pm' : (n_nationkey % 10 == 3 ? 'next friday at noon' : (n_nationkey % 10 == 4 ? '3pm tomorrow' : (n_nationkey % 10 == 5 ? '14:30 on monday' : (n_nationkey % 10 == 6 ? 'midnight' : (n_nationkey % 10 == 7 ? 'day after tomorrow at 8 am' : (n_nationkey % 10 == 8 ? '2 days after today at 12:05 pm' : '12am tomorrow')))))))) }; " +
+        "parse-as-date :phrase prop:{anchor=2024-06-12}; format-date :phrase 'yyyy-MM-dd HH:mm'; keep :n_nationkey,:phrase")(nat(s, d)),
+      """SELECT n_nationkey, CASE n_nationkey % 10
+        | WHEN 0 THEN '2024-06-13 15:00' WHEN 1 THEN '2024-06-17 14:30'
+        | WHEN 2 THEN '2024-06-11 14:15' WHEN 3 THEN '2024-06-14 12:00'
+        | WHEN 4 THEN '2024-06-13 15:00' WHEN 5 THEN '2024-06-17 14:30'
+        | WHEN 6 THEN '2024-06-12 00:00' WHEN 7 THEN '2024-06-14 08:00'
+        | WHEN 8 THEN '2024-06-14 12:05' ELSE '2024-06-13 00:00' END AS phrase
+        |FROM nation""".stripMargin),
+
     ("parse_as_datetime",
       (s, d) => r("copy :o_orderdate :ts; format-date :ts 'yyyy-MM-dd HH:mm:ss'; parse-as-datetime :ts 'yyyy-MM-dd HH:mm:ss'; format-datetime :ts 'yyyy-MM-dd HH:mm'; keep :o_orderkey,:ts")(ord(s, d)),
       "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M') AS ts FROM orders"),

@@ -201,8 +201,11 @@ object DateOps {
   * ("third thursday of june [2024]", "last friday in december"), and
   * month-name-only ("june", "march 2025" — unspecified fields keep the
   * anchor's value, Natty-style: day = anchor's day clamped to the
-  * month's length). Resolves against an explicit anchor date so
-  * results are reproducible and testable.
+  * month's length), and date+time-of-day composites ("tomorrow 3pm",
+  * "monday at 14:30", "3pm tomorrow", bare "noon" — Natty returns a
+  * full timestamp, so a clock time resolves the phrase to that time of
+  * day instead of midnight). Resolves against an explicit anchor date
+  * so results are reproducible and testable.
   */
 object NlDate {
   import java.time.LocalDate
@@ -342,9 +345,76 @@ object NlDate {
     r.orNull
   }
 
+  // ---- time-of-day composites ("tomorrow 3pm", "monday at 14:30") ----
+  // Natty returns a full java.util.Date (ParseDate.java:91), so phrases
+  // carrying a clock time must resolve to a LocalDateTime, not midnight.
+
+  private val timeWords = Map(
+    "noon" -> java.time.LocalTime.NOON, "midday" -> java.time.LocalTime.NOON,
+    "midnight" -> java.time.LocalTime.MIDNIGHT)
+
+  // "14:30", "2:15:30 pm", "3pm", "3 pm" — a bare hour REQUIRES am/pm
+  // (an unsuffixed number stays a number: "june 2025" must not read
+  // 2025 as a clock)
+  private val ClockRe = "^(\\d{1,2}):(\\d{2})(?::(\\d{2}))?\\s*(am|pm)?$".r
+  private val HourAmPm = "^(\\d{1,2})\\s*(am|pm)$".r
+
+  private def parseTime(s: String): Option[java.time.LocalTime] = {
+    def mk(h: Int, m: Int, sec: Int, ap: String) = {
+      val hh = ap match {
+        case null => if (h <= 23) h else -1
+        case "am" => if (h >= 1 && h <= 12) h % 12 else -1
+        case _    => if (h >= 1 && h <= 12) h % 12 + 12 else -1 // "pm"
+      }
+      if (hh >= 0 && m <= 59 && sec <= 59)
+        Some(java.time.LocalTime.of(hh, m, sec)) else None
+    }
+    timeWords.get(s).orElse(s match {
+      case ClockRe(h, m, sec, ap) =>
+        mk(h.toInt, m.toInt, Option(sec).map(_.toInt).getOrElse(0), ap)
+      case HourAmPm(h, ap) => mk(h.toInt, 0, 0, ap)
+      case _ => None
+    })
+  }
+
+  /** Full NL resolution: date phrase with an optional time-of-day in
+    * any of Natty's surface positions — "<date> at <time>",
+    * "<date> <time>", "<time> [on] <date>", or a bare time (anchor
+    * day). Date-only phrases resolve to midnight, preserving the
+    * pre-composite behavior.
+    */
+  def parseDateTime(raw: String, anchor: LocalDate): java.time.LocalDateTime = {
+    if (raw == null) return null
+    val s = raw.trim.toLowerCase.replaceAll("\\s+", " ")
+    def dateAt(d: String, t: String): Option[java.time.LocalDateTime] =
+      parseTime(t).flatMap(tt => Option(parse(d, anchor)).map(_.atTime(tt)))
+    // "<date> at <time>" — lastIndexOf so a compositional date part
+    // ("2 days after today at 3pm") keeps its own tail intact
+    val atIdx = s.lastIndexOf(" at ")
+    if (atIdx > 0) {
+      val hit = dateAt(s.substring(0, atIdx), s.substring(atIdx + 4))
+      if (hit.isDefined) return hit.get
+    }
+    val toks = s.split(' ')
+    // longer time tail first so "next monday 2:15 pm" binds "2:15 pm"
+    for (k <- 2 to 1 by -1 if toks.length > k) {
+      val trail = dateAt(toks.dropRight(k).mkString(" "),
+        toks.takeRight(k).mkString(" "))
+      if (trail.isDefined) return trail.get
+      val dPart0 = toks.drop(k).mkString(" ")
+      val dPart = if (dPart0.startsWith("on ")) dPart0.substring(3) else dPart0
+      val lead = dateAt(dPart, toks.take(k).mkString(" "))
+      if (lead.isDefined) return lead.get
+    }
+    Option(parse(s, anchor)).map(_.atStartOfDay)
+      // a bare clock ("noon", "3pm", "14:30") resolves on the anchor day
+      .orElse(parseTime(s).map(anchor.atTime(_)))
+      .orNull
+  }
+
   val parseUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf { (v: String, anchor: String) =>
-      Option(parse(v, LocalDate.parse(anchor)))
-        .map(d => java.sql.Timestamp.valueOf(d.atStartOfDay)).orNull
+      Option(parseDateTime(v, LocalDate.parse(anchor)))
+        .map(java.sql.Timestamp.valueOf).orNull
     }
 }

@@ -253,6 +253,34 @@ class OpsSpec extends SparkSpec {
       null))
   }
 
+  test("parse-as-date: time-of-day composites resolve to a timestamp") {
+    // anchor 2024-06-12 is a Wednesday
+    val d = df("s STRING", Seq(
+      Row("tomorrow 3pm"),                   // 2024-06-13 15:00
+      Row("monday at 14:30"),                // next-or-same mon 06-17
+      Row("yesterday at 2:15 pm"),           // 2024-06-11 14:15
+      Row("next friday at noon"),            // strictly-after 06-14 12:00
+      Row("3pm tomorrow"),                   // leading time
+      Row("14:30 on monday"),                // leading clock + on
+      Row("midnight"),                       // bare time, anchor day
+      Row("noon"),                           // 2024-06-12 12:00
+      Row("day after tomorrow at 8 am"),     // 06-14 08:00
+      Row("2 days after today at 12:05 pm"), // 12pm wrap: 06-14 12:05
+      Row("12am tomorrow"),                  // 12am wrap: 06-13 00:00
+      Row("tomorrow at 2:15:42 pm"),         // seconds survive
+      Row("tomorrow at 25:00"),              // invalid hour -> date alone? no: null time, whole falls back
+      Row("june 2025"),                      // year must NOT read as a clock
+      Row("tomorrow")))                      // date-only keeps midnight
+    val out = wrangle(
+      "parse-as-date :s prop:{anchor=2024-06-12}; format-date :s 'yyyy-MM-dd HH:mm:ss';", d)
+    assert(strings(out, "s") == Seq(
+      "2024-06-13 15:00:00", "2024-06-17 14:30:00", "2024-06-11 14:15:00",
+      "2024-06-14 12:00:00", "2024-06-13 15:00:00", "2024-06-17 14:30:00",
+      "2024-06-12 00:00:00", "2024-06-12 12:00:00", "2024-06-14 08:00:00",
+      "2024-06-14 12:05:00", "2024-06-13 00:00:00", "2024-06-13 14:15:42",
+      null, "2025-06-12 00:00:00", "2024-06-13 00:00:00"))
+  }
+
 
   test("parse-as-log accepts the Apache LogFormat nicknames") {
     val d = df("log STRING", Seq(Row(

@@ -140,10 +140,14 @@ class RobustnessSpec extends AnyFunSuite {
       }
     }
     assert(graft.ops.NlDate.parse("definitely not a date", anchor) == null)
+    assert(graft.ops.NlDate.parseDateTime("tomorrow at 99:99", anchor) == null)
   }
 }
 
 /** Indirection so the spec compiles even if NlDate moves. */
 object NlDateProbe {
-  def parse(s: String, d: java.time.LocalDate) = graft.ops.NlDate.parse(s, d)
+  // the time-composite entry point subsumes the date-only parse — fuzz
+  // the full surface
+  def parse(s: String, d: java.time.LocalDate) =
+    graft.ops.NlDate.parseDateTime(s, d)
 }
