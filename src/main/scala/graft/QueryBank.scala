@@ -1257,6 +1257,58 @@ object QueryBank {
       },
       """SELECT n_nationkey AS k, n_name AS pname,
         | CAST(n_nationkey AS VARCHAR) AS glu, 'fasting' AS note, '7' AS wbc
+        |FROM nation""".stripMargin),
+
+    ("parse_as_hl7_grouped_orm",
+      // ORM^O01 with two orders: first a lab order (OBR detail + NTE),
+      // second a pharmacy order (RXO detail — exercises the
+      // ORDER_DETAIL leading-segment choice)
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = nat(s, d).select(col("n_nationkey").as("k"),
+          concat(lit("MSH|^~\\&|HIS|X|Y|Z|20240101||ORM^O01|"),
+            col("n_nationkey"), lit("|P|2.3\rPID|1||"), col("n_nationkey"),
+            lit("||"), col("n_name"), lit("^F\rPV1|1|O"),
+            lit("\rORC|NW|ORD1\rOBR|1||ORD1|GLU^Glucose\rNTE|1||stat"),
+            lit("\rORC|NW|ORD2\rRXO|AMOX^Amoxicillin|500||MG")).as("m"))
+        r("""parse-as-hl7 :m grouped;
+            |json-path :m_hl7_json :pname '$.PATIENT.PID.5.1';
+            |json-path :m_hl7_json :visit '$.PATIENT.PATIENT_VISIT.PV1.2';
+            |json-path :m_hl7_json :obr '$.ORDER[0].ORDER_DETAIL.OBR.4.2';
+            |json-path :m_hl7_json :note '$.ORDER[0].ORDER_DETAIL.NTE.3';
+            |json-path :m_hl7_json :rxo '$.ORDER[1].ORDER_DETAIL.RXO.1.2';
+            |keep :k,:pname,:visit,:obr,:note,:rxo""".stripMargin)(base)
+      },
+      """SELECT n_nationkey AS k, n_name AS pname, 'O' AS visit,
+        | 'Glucose' AS obr, 'stat' AS note, 'Amoxicillin' AS rxo
+        |FROM nation""".stripMargin),
+
+    ("parse_as_hl7_grouped_siu",
+      // SIU^S12 appointment: SCH at top, PATIENT group, RESOURCES with
+      // SERVICE/LOCATION_RESOURCE/PERSONNEL_RESOURCE subgroups
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = nat(s, d).select(col("n_nationkey").as("k"),
+          concat(lit("MSH|^~\\&|SCHED|X|Y|Z|20240101||SIU^S12|"),
+            col("n_nationkey"),
+            lit("|P|2.3\rSCH|1|APPT1|||||CHECKUP^Routine checkup"),
+            lit("\rNTE|1||bring card\rPID|1||"), col("n_nationkey"),
+            lit("||"), col("n_name"), lit("^F\rPV1|1|O\rRGS|1"),
+            lit("\rAIS|1||EXAM^Examination\rNTE|1||fasting required"),
+            lit("\rAIL|1||ROOM1^Exam Room 1"),
+            lit("\rAIP|1||DOC1^Smith^John")).as("m"))
+        r("""parse-as-hl7 :m grouped;
+            |json-path :m_hl7_json :reason '$.SCH.7.2';
+            |json-path :m_hl7_json :pname '$.PATIENT.PID.5.1';
+            |json-path :m_hl7_json :svc '$.RESOURCES.SERVICE.AIS.3.1';
+            |json-path :m_hl7_json :svcnote '$.RESOURCES.SERVICE.NTE.3';
+            |json-path :m_hl7_json :room '$.RESOURCES.LOCATION_RESOURCE.AIL.3.2';
+            |json-path :m_hl7_json :doc '$.RESOURCES.PERSONNEL_RESOURCE.AIP.3.2';
+            |keep :k,:reason,:pname,:svc,:svcnote,:room,:doc""".stripMargin)(base)
+      },
+      """SELECT n_nationkey AS k, 'Routine checkup' AS reason,
+        | n_name AS pname, 'EXAM' AS svc, 'fasting required' AS svcnote,
+        | 'Exam Room 1' AS room, 'Smith' AS doc
         |FROM nation""".stripMargin)
   )
 

@@ -420,10 +420,47 @@ object Hl7 {
         SSeg("FT1", rep = true), SSeg("CTI", rep = true))))),
     SSeg("DSC"))
 
+  // ORM_O01 general order message (HL7 v2.4 ch.4 abstract syntax; HAPI
+  // message class ORM_O01). ORDER_DETAIL's leading segment is a CHOICE
+  // of OBR|RQD|RQ1|RXO|ODS|ODT — the greedy walk renders a choice as a
+  // run of optional segments, which consumes exactly the one present in
+  // a well-formed message.
+  private val OrmO01: Seq[St] = Seq(SSeg("MSH"), SSeg("NTE", rep = true),
+    SGrp("PATIENT", rep = false, Seq(SSeg("PID"), SSeg("PD1"),
+      SSeg("NTE", rep = true),
+      SGrp("PATIENT_VISIT", rep = false, Seq(SSeg("PV1"), SSeg("PV2"))),
+      SGrp("INSURANCE", rep = true,
+        Seq(SSeg("IN1"), SSeg("IN2"), SSeg("IN3"))),
+      SSeg("GT1"), SSeg("AL1", rep = true))),
+    SGrp("ORDER", rep = true, Seq(SSeg("ORC"),
+      SGrp("ORDER_DETAIL", rep = false, Seq(
+        SSeg("OBR"), SSeg("RQD"), SSeg("RQ1"), SSeg("RXO"),
+        SSeg("ODS", rep = true), SSeg("ODT", rep = true),
+        SSeg("NTE", rep = true), SSeg("CTD"), SSeg("DG1", rep = true),
+        SGrp("OBSERVATION", rep = true,
+          Seq(SSeg("OBX"), SSeg("NTE", rep = true))))),
+      SSeg("FT1", rep = true), SSeg("CTI", rep = true), SSeg("BLG"))))
+
+  // SIU schedule information (HL7 v2.4 ch.10; HAPI SIU_S12 — all SIU
+  // trigger events S12–S26 share this structure)
+  private val SiuS12: Seq[St] = Seq(SSeg("MSH"), SSeg("SCH"),
+    SSeg("NTE", rep = true),
+    SGrp("PATIENT", rep = true, Seq(SSeg("PID"), SSeg("PV1"), SSeg("PV2"),
+      SSeg("OBX", rep = true), SSeg("DG1", rep = true))),
+    SGrp("RESOURCES", rep = true, Seq(SSeg("RGS"),
+      SGrp("SERVICE", rep = true, Seq(SSeg("AIS"), SSeg("NTE", rep = true))),
+      SGrp("GENERAL_RESOURCE", rep = true,
+        Seq(SSeg("AIG"), SSeg("NTE", rep = true))),
+      SGrp("LOCATION_RESOURCE", rep = true,
+        Seq(SSeg("AIL"), SSeg("NTE", rep = true))),
+      SGrp("PERSONNEL_RESOURCE", rep = true,
+        Seq(SSeg("AIP"), SSeg("NTE", rep = true))))))
+
   private val structures: Map[String, Seq[St]] =
-    Map("ORU_R01" -> OruR01) ++
+    Map("ORU_R01" -> OruR01, "ORM_O01" -> OrmO01) ++
       Seq("A01", "A02", "A03", "A04", "A05", "A06", "A07", "A08", "A11",
-        "A12", "A13", "A28", "A31").map(t => s"ADT_$t" -> AdtStructure)
+        "A12", "A13", "A28", "A31").map(t => s"ADT_$t" -> AdtStructure) ++
+      (12 to 26).map(e => s"SIU_S$e" -> SiuS12)
 
   private def knownNames(items: Seq[St]): Set[String] = items.flatMap {
     case SSeg(n, _) => Set(n)

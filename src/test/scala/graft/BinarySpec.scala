@@ -278,6 +278,56 @@ class BinarySpec extends SparkSpec {
     assert(f.get("QRD") != null && f.get("MSH") != null)
   }
 
+  test("parse-as-hl7 grouped: ORM_O01 order groups incl. detail choice") {
+    val orm = "MSH|^~\\&|HIS|X|Y|Z|20240101||ORM^O01|1|P|2.3\r" +
+      "PID|1||9||Doe^Jane\rPV1|1|O\r" +
+      "ORC|NW|ORD1\rOBR|1||ORD1|GLU^Glucose\rNTE|1||stat\r" +
+      "OBX|1|NM|GLU||95|mg/dL\r" +
+      "ORC|NW|ORD2\rRXO|AMOX^Amoxicillin|500||MG"
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.ops.Hl7.parseNestedGrouped(orm))
+    assert(m.get("PATIENT").get("PID").get("5").get("1").asText() == "Doe")
+    assert(m.get("PATIENT").get("PATIENT_VISIT").get("PV1")
+      .get("2").asText() == "O", m.toString)
+    val orders = m.get("ORDER")
+    assert(orders.isArray && orders.size() == 2, m.toString)
+    val d1 = orders.get(0).get("ORDER_DETAIL")
+    assert(d1.get("OBR").get("4").get("2").asText() == "Glucose")
+    assert(d1.get("NTE").get("3").asText() == "stat")
+    // the OBX lands in the OBSERVATION subgroup, not loose in the detail
+    assert(d1.get("OBSERVATION").get("OBX").get("5").asText() == "95")
+    // second order's detail is the RXO choice branch
+    val d2 = orders.get(1).get("ORDER_DETAIL")
+    assert(d2.get("RXO").get("1").get("2").asText() == "Amoxicillin")
+  }
+
+  test("parse-as-hl7 grouped: SIU_S12 schedule resource subgroups") {
+    val siu = "MSH|^~\\&|SCHED|X|Y|Z|20240101||SIU^S12|1|P|2.3\r" +
+      "SCH|1|APPT1|||||CHECKUP^Routine checkup\rNTE|1||bring card\r" +
+      "PID|1||9||Doe^Jane\rPV1|1|O\rRGS|1\r" +
+      "AIS|1||EXAM^Examination\rNTE|1||fasting required\r" +
+      "AIL|1||ROOM1^Exam Room 1\rAIP|1||DOC1^Smith^John"
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.ops.Hl7.parseNestedGrouped(siu))
+    assert(m.get("SCH").get("7").get("2").asText() == "Routine checkup")
+    assert(m.get("NTE").get("3").asText() == "bring card") // top-level NTE
+    assert(m.get("PATIENT").get("PID").get("5").get("1").asText() == "Doe")
+    val res = m.get("RESOURCES")
+    assert(res.get("RGS") != null, m.toString)
+    assert(res.get("SERVICE").get("AIS").get("3").get("1").asText() == "EXAM")
+    // the second NTE binds to the SERVICE group, not the top level
+    assert(res.get("SERVICE").get("NTE").get("3").asText() == "fasting required")
+    assert(res.get("LOCATION_RESOURCE").get("AIL").get("3")
+      .get("2").asText() == "Exam Room 1")
+    assert(res.get("PERSONNEL_RESOURCE").get("AIP").get("3")
+      .get("2").asText() == "Smith")
+    // every SIU trigger event shares the structure
+    val s26 = siu.replace("SIU^S12", "SIU^S26")
+    val m26 = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.ops.Hl7.parseNestedGrouped(s26))
+    assert(m26.get("RESOURCES") != null)
+  }
+
   test("parse-as-hl7 grouped directive surfaces the grouped json column") {
     val d = df("m STRING", Seq(Row(oruMsg)))
     val out = wrangle(
