@@ -402,6 +402,9 @@ class BinarySpec extends SparkSpec {
     // second cell only
     assert(rows(1) == Seq("2000-01-01 12:00:00", "06:30:00", "42",
       "2000-01-01"))
+    // row 2: FORMULA cached numerics — date XF renders as date,
+    // General XF stays numeric
+    assert(rows(2) == Seq("2000-01-01", "36526"))
   }
 
   test("ExcelDates custom format classification matches POI semantics") {
@@ -549,6 +552,13 @@ object XlsFixture {
         // MULRK row1 cols2-3: General 42, then a date-formatted serial
         rec(0x00BD, u16(1) ++ u16(2) ++
           (u16(0) ++ rkInt(42)) ++ (u16(1) ++ rkInt(36526)) ++ u16(3)) ++
+        // row2: FORMULA cells with cached numeric results — a date XF
+        // must render the cached serial as a date (POI getDateCellValue
+        // parity), a General XF keeps it numeric
+        rec(0x0006, u16(2) ++ u16(0) ++ u16(1) ++ dbl(36526.0) ++
+          u16(0) ++ u32(0) ++ u16(0)) ++
+        rec(0x0006, u16(2) ++ u16(1) ++ u16(0) ++ dbl(36526.0) ++
+          u16(0) ++ u32(0) ++ u16(0)) ++
         rec(0x000A, Array.empty)
     def globals(sheetPos: Int) =
       rec(0x0809, u16(0x0600) ++ u16(0x0005) ++ u32(0) ++ u32(0)) ++
