@@ -797,14 +797,22 @@ object Udfs {
     out
   }
 
-  /** MinHash signature: numHashes affine rehashes (a*h+b with natural
-    * 64-bit wraparound) over the shingle hash set.
-    */
-  def minhashSig(text: String, numHashes: Int, shingleK: Int, seed: Long): Array[Long] = {
-    val sh = shingleHashSet(text, shingleK)
-    val rnd = new java.util.Random(seed)
-    val as = Array.fill(numHashes)(rnd.nextLong() | 1L)
-    val bs = Array.fill(numHashes)(rnd.nextLong())
+  // the (a,b) affine coefficients are a pure function of (numHashes,
+  // seed) — derive once per executor, not 2*numHashes Random draws per
+  // ROW (measured: a visible slice of the signature kernel at 128 hashes)
+  private val minhashCoeffs =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
+  private def coeffsFor(numHashes: Int, seed: Long): (Array[Long], Array[Long]) =
+    minhashCoeffs.computeIfAbsent((numHashes, seed), { key =>
+      val rnd = new java.util.Random(key._2)
+      val as = Array.fill(key._1)(rnd.nextLong() | 1L)
+      val bs = Array.fill(key._1)(rnd.nextLong())
+      (as, bs)
+    })
+
+  private def sigFromShingles(sh: Array[Long], numHashes: Int,
+      seed: Long): Array[Long] = {
+    val (as, bs) = coeffsFor(numHashes, seed)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var si = 0
     while (si < sh.length) {
@@ -818,6 +826,23 @@ object Udfs {
       si += 1
     }
     sig
+  }
+
+  /** MinHash signature: numHashes affine rehashes (a*h+b with natural
+    * 64-bit wraparound) over the shingle hash set.
+    */
+  def minhashSig(text: String, numHashes: Int, shingleK: Int, seed: Long): Array[Long] =
+    sigFromShingles(shingleHashSet(text, shingleK), numHashes, seed)
+
+  /** Shingle set AND MinHash signature from ONE normalization+shingling
+    * pass — the LSH pair generator needs both per document, and
+    * computing them as two UDFs costs a second full pass over the text
+    * (normalize + window hash), the dominant kernel cost.
+    */
+  def shingleAndSig(text: String, numHashes: Int, shingleK: Int,
+      seed: Long): (Array[Long], Array[Long]) = {
+    val sh = shingleHashSet(text, shingleK)
+    (sh, sigFromShingles(sh, numHashes, seed))
   }
 
   /** 64-bit SimHash over whitespace tokens of the normalized text. */
@@ -841,7 +866,6 @@ object Udfs {
     sig
   }
 
-  val shingleSetUdf: UserDefinedFunction = udf(shingleHashSet _)
-  val minhashSigUdf: UserDefinedFunction = udf(minhashSig _)
+  val shingleAndSigUdf: UserDefinedFunction = udf(shingleAndSig _)
   val simhashSigUdf: UserDefinedFunction = udf(simhashSig _)
 }

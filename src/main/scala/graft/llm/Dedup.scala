@@ -80,25 +80,45 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 128, bands: Int = 16, shingleK: Int = 5,
-      threshold: Double = 0.7, maxBucketSize: Int = 10000): DataFrame = {
+      threshold: Double = 0.7, maxBucketSize: Int = 10000): DataFrame =
+    minhashPairsAndIds(df, textCol, idCol, numHashes, bands, shingleK,
+      threshold, maxBucketSize)._2
+
+  /** [[minhashPairs]] plus the materialized (cached) `__id` column of
+    * every input row — the dedup wrappers read keeper ids from this
+    * cache instead of re-running their upstream exact-dedup shuffle.
+    */
+  private[llm] def minhashPairsAndIds(df: DataFrame, textCol: String,
+      idCol: String, numHashes: Int = 128, bands: Int = 16,
+      shingleK: Int = 5, threshold: Double = 0.7,
+      maxBucketSize: Int = 10000): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
 
     // per-document kernel (shingle set + signature) is a JIT'd function —
     // Catalyst higher-order functions are CodegenFallback and re-evaluate
-    // captured expressions per element (measured 100x slower here)
-    // The count() materializes the persist BEFORE the self-join runs:
-    // without it, the join's two branches race to populate the cache
-    // within one job and each uncached partition computes its expensive
-    // signature twice (measured: bimodal 2x run-to-run swings)
-    val base = df.select(
+    // captured expressions per element (measured 100x slower here).
+    // ONE combined UDF call per row: shingling+normalization is the
+    // dominant per-doc cost and two separate UDFs would pay it twice.
+    // The struct is persisted UN-expanded — expanding _1/_2 before the
+    // persist would let projection collapse clone the UDF back into two
+    // evaluations. The count() materializes the persist BEFORE the
+    // self-join runs: without it, the join's two branches race to
+    // populate the cache within one job and each uncached partition
+    // computes its expensive signature twice (measured: bimodal 2x
+    // run-to-run swings). count() over the being-built cache adds only
+    // partial counts on top of the populate cost — a foreachPartition
+    // with a non-draining closure would skip row computation entirely
+    // and populate nothing.
+    val raw = df.select(
       col(idCol).as("__id"),
-      graft.functions.Udfs.shingleSetUdf(col(textCol), lit(shingleK)).as("__sh"),
-      graft.functions.Udfs.minhashSigUdf(col(textCol), lit(numHashes),
-        lit(shingleK), lit(42L)).as("__sig"))
-      .filter(size(col("__sh")) > 0)
+      graft.functions.Udfs.shingleAndSigUdf(col(textCol), lit(numHashes),
+        lit(shingleK), lit(42L)).as("__b"))
       .persist()
-    base.count() // eager: signatures compute exactly once, not per join branch
+    raw.count() // eager: signatures compute exactly once, not per join branch
+    val base = raw.select(col("__id"), col("__b._1").as("__sh"),
+      col("__b._2").as("__sig"))
+      .filter(size(col("__sh")) > 0)
 
     // (band, bucketHash, id): one row per band per doc
     val buckets = base.select(
@@ -126,12 +146,13 @@ object Dedup {
     // exact Jaccard on candidates only
     val withA = cands.join(base.select(col("__id").as("id_a"), col("__sh").as("__sha")), "id_a")
     val withB = withA.join(base.select(col("__id").as("id_b"), col("__sh").as("__shb")), "id_b")
-    withB
+    val pairs = withB
       .withColumn("jaccard",
         size(array_intersect(col("__sha"), col("__shb"))).cast(DoubleType) /
           size(array_union(col("__sha"), col("__shb"))))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    (raw.select("__id"), pairs)
   }
 
   /** Near-dedup: drop every row that appears as the larger id of a
@@ -143,12 +164,25 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     // collapse exact duplicates first: dirt-cheap, and it keeps the LSH
     // buckets from concentrating identical signatures (the skew guard's
-    // pathological case)
-    val distinctDocs = exact(df, textCol, idCol)
-    val losers = minhashPairs(distinctDocs, textCol, idCol,
+    // pathological case). Only (id, text) feed the signature kernel —
+    // the final output rows come from the source semi-join below, so
+    // the exact-dedup shuffle never carries the other columns.
+    val distinctDocs = exact(df.select(col(idCol), col(textCol)), textCol, idCol)
+    val (ids, pairs) = minhashPairsAndIds(distinctDocs, textCol, idCol,
       numHashes, bands, shingleK, threshold)
-      .select(col("id_b").as(idCol)).distinct()
-    distinctDocs.join(losers, Seq(idCol), "left_anti")
+    val losers = pairs.select(col("id_b").as(idCol)).distinct()
+    // keeper ids = exact-dedup winners minus verified near-dup losers,
+    // both read from the signature CACHE — then ONE semi-join back to
+    // the source on the (unique) id. The previous shape anti-joined
+    // against `distinctDocs`, which re-ran exact()'s regex
+    // normalization + full-row content shuffle a second time; the
+    // semi-join final pass touches the corpus once, with no regex and
+    // no aggregation (measured ~25% off the whole query at sf0.1).
+    // Contract: idCol uniquely identifies rows (duplicate ids would
+    // surface every copy of a keeper id; exact() itself tolerates them).
+    val keepers = ids.select(col("__id").as(idCol))
+      .join(losers, Seq(idCol), "left_anti")
+    df.join(keepers, Seq(idCol), "left_semi")
   }
 
   /** Connected components over a verified pair set by iterative
@@ -223,13 +257,16 @@ object Dedup {
   def minhashDedupCC(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 128, bands: Int = 16, shingleK: Int = 5,
       threshold: Double = 0.7): DataFrame = {
-    val distinctDocs = exact(df, textCol, idCol)
-    val pairs = minhashPairs(distinctDocs, textCol, idCol,
+    val distinctDocs = exact(df.select(col(idCol), col(textCol)), textCol, idCol)
+    val (ids, pairs) = minhashPairsAndIds(distinctDocs, textCol, idCol,
       numHashes, bands, shingleK, threshold)
     val losers = connectedComponents(pairs)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol)).distinct()
-    distinctDocs.join(losers, Seq(idCol), "left_anti")
+    // same cached-keeper semi-join shape as [[minhashDedup]]
+    val keepers = ids.select(col("__id").as(idCol))
+      .join(losers, Seq(idCol), "left_anti")
+    df.join(keepers, Seq(idCol), "left_semi")
   }
 
   /** 64-bit SimHash over whitespace tokens (sign of per-bit vote sums). */

@@ -62,6 +62,15 @@ class PropertySpec extends AnyFunSuite {
         a.sameElements(b) && a.length == 32
       }
     }
+    // the single-pass combined kernel is bit-identical to the two
+    // independent computations it replaces in the LSH pair generator
+    check("minhash-combined") {
+      Prop.forAll(asciiText) { s =>
+        val (sh, sig) = Udfs.shingleAndSig(s, 32, 5, 42L)
+        sh.sameElements(Udfs.shingleHashSet(s, 5)) &&
+          sig.sameElements(Udfs.minhashSig(s, 32, 5, 42L))
+      }
+    }
   }
 
   test("porter stemmer: deterministic, non-growing, converges") {
