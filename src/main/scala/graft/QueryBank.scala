@@ -543,8 +543,14 @@ object QueryBank {
         import org.apache.spark.sql.functions._
         val enriched =
           r("lang-id :text; quality-score :text; token-count :text")(docs(s, d))
+        // prune BEFORE the dedup shuffle: the rollup needs only
+        // (lang, tokens), and exact()'s min_by struct is not
+        // nested-field-pruned by Catalyst — at 100 TB the unused
+        // source columns would ride the content shuffle for nothing
         val kept = graft.llm.Dedup.exact(
-          enriched.filter(col("text_quality") >= lit(0.5)), "text", "doc_id")
+          enriched.filter(col("text_quality") >= lit(0.5))
+            .select("doc_id", "text", "text_lang", "text_tokens"),
+          "text", "doc_id")
         kept.groupBy(col("text_lang")).agg(
           count(lit(1)).as("docs"),
           sum(col("text_tokens")).as("tokens"))
