@@ -232,6 +232,13 @@ object QueryBank {
       (s, d) => r("set-column :x exp:{ concat('<r><v>', c_mktsegment, '</v></r>') }; xpath :x :seg '/r/v'; keep :c_custkey,:seg")(cust(s, d)),
       "SELECT c_custkey, c_mktsegment AS seg FROM customer"),
 
+    // a 3-pull run on the same column — compiled to ONE shared DOM
+    // parse by Registry.compileAll (plan asserted in OpsSpec)
+    ("xpath_fused",
+      (s, d) => r("set-column :x exp:{ concat('<r a=\"', c_custkey, '\"><v>', c_mktsegment, '</v><w>fixed</w></r>') }; " +
+        "xpath :x :seg '/r/v'; xpath :x :ck '/r/@a'; xpath :x :w '/r/w'; keep :c_custkey,:seg,:ck,:w")(cust(s, d)),
+      "SELECT c_custkey, c_mktsegment AS seg, CAST(c_custkey AS VARCHAR) AS ck, 'fixed' AS w FROM customer"),
+
     // ---- §2.2 writers ----------------------------------------------
     ("write_as_json_object",
       (s, d) => r("write-as-json-object :payload :n_nationkey,:n_name; keep :n_nationkey,:payload")(nat(s, d)),

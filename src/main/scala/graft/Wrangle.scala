@@ -71,7 +71,8 @@ final class Wrangle private (
   /** Main output + error side-channel. */
   def run(df: DataFrame): WrangleResult = {
     // compile first: directive errors surface before any data is touched
-    val ops = specs.map(Registry.compile)
+    // (compileAll also fuses consecutive same-column xpath pulls)
+    val ops = Registry.compileAll(specs)
     val spark = df.sparkSession
     val ctx = WrangleContext(spark, lookups, catalogs)
     val needsOrig = specs.exists(s => RowOps.needsOrig(s.name))
@@ -139,6 +140,43 @@ object Registry {
   }
 
   def resetConfig(): Unit = configure()
+
+  /** Compile a whole recipe with peephole fusion: a run of >= 2
+    * consecutive xpath/xpath-array directives pulling from the same
+    * source column becomes ONE fused op (one DOM parse per row instead
+    * of one per directive — ParserOps.fusedXpaths). Runs break when the
+    * source column differs, an output overwrites the source, or a
+    * user-defined builder claims any directive in the run (UDD
+    * overrides win over fusion, like they win over system builders).
+    */
+  def compileAll(specs: Vector[DirectiveSpec]): Vector[PipeOp] = {
+    def rootName(s: DirectiveSpec): String = aliases.getOrElse(s.name, s.name)
+    def isXpath(s: DirectiveSpec): Boolean = {
+      val n = rootName(s)
+      (n == "xpath" || n == "xpath-array") &&
+        !excluded(s.name) && !excluded(n) &&
+        // malformed arg lists fall through to compile() for its error
+        scala.util.Try { s.col(0); s.col(1); s.str(2) }.isSuccess &&
+        userBuilders.forall(b => b(s.copy(name = n)).isEmpty)
+    }
+    val out = Vector.newBuilder[PipeOp]
+    var i = 0
+    while (i < specs.length) {
+      val s = specs(i)
+      if (isXpath(s)) {
+        val src = s.col(0)
+        var j = i
+        while (j < specs.length && isXpath(specs(j)) &&
+            specs(j).col(0) == src && specs(j).col(1) != src) j += 1
+        if (j - i >= 2) {
+          out += ParserOps.fusedXpaths(
+            specs.slice(i, j).map(sp => sp.copy(name = rootName(sp))))
+          i = j
+        } else { out += compile(s); i += 1 }
+      } else { out += compile(s); i += 1 }
+    }
+    out.result()
+  }
 
   def compile(spec0: DirectiveSpec): PipeOp = {
     // root of an alias is subject to the exclusion list too, matching

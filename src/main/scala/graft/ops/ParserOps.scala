@@ -171,12 +171,11 @@ object ParserOps {
 
     // native xpath functions (reference v1 ops: wrangler-core
     // parser/MigrateToV2.java:444-460).
-    // COST NOTE: each xpath/xpath-array call re-parses the XML string
-    // into a DOM per row per directive — N extractions = N parses.
-    // For more than one or two extractions from the same document,
-    // `parse-xml-to-json :col` ONCE followed by `json-path` pulls is
-    // the right recipe shape: one parse per row, then cheap string
-    // navigation (see README "Recipe guidance").
+    // COST NOTE: each native xpath/xpath-array call re-parses the XML
+    // string into a DOM per row per directive. A run of >= 2
+    // consecutive xpath pulls from the SAME column is fused by the
+    // compiler (Registry.compileAll -> fusedXpaths below) into ONE
+    // parse per row; a lone pull keeps the codegen'd native function.
     case "xpath" => ColumnOps.simple(spec) { df =>
       df.withColumn(spec.col(1), xpath_string(col(spec.col(0)), lit(spec.str(2))))
     }
@@ -275,6 +274,34 @@ object ParserOps {
         df.withColumnRenamed(structCol, prefix)
     }
   }
+
+  /** Compiler fusion for a run of >= 2 consecutive xpath/xpath-array
+    * directives on the same source column: ONE XpathBundle UDF parses
+    * the DOM once per row and evaluates every expression; each
+    * directive's output column extracts from the array result. The UDF
+    * is marked non-deterministic ONLY to stop projection collapse from
+    * inlining it into N copies (one per output) — the plan must carry
+    * exactly one parse call. Trade-off: a non-deterministic node also
+    * makes PlanStability classify downstream layout as unstable, so a
+    * later header-probe/increment-variable would pin — an xpath run
+    * feeding those is rare and correctness-safe either way.
+    */
+  def fusedXpaths(specs: Seq[DirectiveSpec]): PipeOp = new PipeOp {
+    def name = s"xpath×${specs.size}(fused)"
+    def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+      val src = specs.head.col(0)
+      val kinds = specs.map(_.name == "xpath-array")
+      val bundle = new XmlSupport.XpathBundle(specs.map(_.str(2)), kinds)
+      val u = udf((s: String) => bundle.eval(s)).asNondeterministic()
+      val tmp = "__xpath_fused"
+      val withTmp = df.withColumn(tmp, u(col(src).cast(StringType)))
+      specs.zipWithIndex.foldLeft(withTmp) { case (d, (sp, i)) =>
+        val entry = col(tmp).getItem(i)
+        d.withColumn(sp.col(1),
+          if (kinds(i)) entry else entry.getItem(0))
+      }.drop(tmp)
+    }
+  }
 }
 
 /** XML→JSON conversion on scala-xml — a deterministic scalar UDF. */
@@ -330,4 +357,63 @@ object XmlSupport {
     catch { case _: Exception => null }
 
   val xmlValidUdf: UserDefinedFunction = udf(xmlValid _)
+
+  /** One-DOM-parse evaluation of several XPath expressions — the fused
+    * kernel behind the compiler's xpath-run fusion (Registry.compileAll).
+    * Replicates the per-expression semantics of Spark's native
+    * xpath_string / xpath functions (Hive UDFXPathUtil lineage, which
+    * re-parses the XML string on EVERY expression evaluation):
+    * scalar = XPathConstants.STRING (string-value of the first match,
+    * "" when nothing matches), array = NODESET mapped through
+    * getNodeValue (text/attribute nodes yield their text, element nodes
+    * yield null — evaluate text()/@attr paths, like the native fn);
+    * malformed XML propagates a parse error like the native
+    * expressions; null input yields null for every output. Parity is
+    * asserted against the native functions in OpsSpec.
+    *
+    * Per-task state (builder, compiled expressions) is rebuilt lazily
+    * after deserialization; a task is single-threaded so the shared
+    * DocumentBuilder is safe.
+    */
+  final class XpathBundle(paths: Seq[String], arrayKind: Seq[Boolean])
+      extends Serializable {
+    @transient private lazy val compiled = {
+      val xp = javax.xml.xpath.XPathFactory.newInstance().newXPath()
+      paths.map(xp.compile).toIndexedSeq
+    }
+    @transient private lazy val builder = {
+      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      // the native functions match element names LITERALLY inside a
+      // default-xmlns document ('/r/v' hits <r xmlns=...><v>) — i.e.
+      // their internal parse is NOT namespace-aware; asserted against
+      // the native functions in the OpsSpec parity test
+      f.setNamespaceAware(false)
+      f.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
+      // hardened like the native util: DTDs rejected, no entity fetches
+      try f.setFeature(
+        "http://apache.org/xml/features/disallow-doctype-decl", true)
+      catch { case _: Exception => () }
+      val b = f.newDocumentBuilder()
+      b.setErrorHandler(null) // no [Fatal Error] stderr spam; throw only
+      b
+    }
+    def eval(xml: String): Seq[Seq[String]] = {
+      if (xml == null) return null
+      builder.reset()
+      val doc = builder.parse(
+        new org.xml.sax.InputSource(new java.io.StringReader(xml)))
+      paths.indices.map { i =>
+        if (arrayKind(i)) {
+          val nl = compiled(i)
+            .evaluate(doc, javax.xml.xpath.XPathConstants.NODESET)
+            .asInstanceOf[org.w3c.dom.NodeList]
+          (0 until nl.getLength).map(j => nl.item(j).getNodeValue)
+        } else {
+          Seq(compiled(i)
+            .evaluate(doc, javax.xml.xpath.XPathConstants.STRING)
+            .asInstanceOf[String])
+        }
+      }
+    }
+  }
 }
