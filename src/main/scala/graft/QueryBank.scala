@@ -151,9 +151,11 @@ object QueryBank {
 
     ("hash_exotic",
       // round-4 digest tail: MD4 (RFC 1320), RIPEMD-256 (1996 spec),
-      // SHA-512/256 (JDK). Oracle pins the algorithms' PUBLISHED test
-      // vectors for '' and 'abc' — independent of our implementation.
-      (s, d) => r("""set-column :v exp:{ c_custkey % 2 == 0 ? 'abc' : '' }; copy :v :md4; hash :md4 MD4; copy :v :r256; hash :r256 RIPEMD256; copy :v :s512; hash :s512 'SHA-512/256'; copy :v :wp; hash :wp WHIRLPOOL; keep :c_custkey,:md4,:r256,:s512,:wp""")(cust(s, d)),
+      // SHA-512/256 (JDK), WHIRLPOOL (ISO 10118-3), GOST3411-2012-256
+      // "Streebog" (RFC 6986). Oracle pins test vectors for '' and
+      // 'abc' that were generated from INDEPENDENT implementations
+      // (published vectors; Streebog cross-generated from GNU nettle).
+      (s, d) => r("""set-column :v exp:{ c_custkey % 2 == 0 ? 'abc' : '' }; copy :v :md4; hash :md4 MD4; copy :v :r256; hash :r256 RIPEMD256; copy :v :s512; hash :s512 'SHA-512/256'; copy :v :wp; hash :wp WHIRLPOOL; copy :v :gost; hash :gost 'GOST3411-2012-256'; keep :c_custkey,:md4,:r256,:s512,:wp,:gost""")(cust(s, d)),
       """SELECT c_custkey,
         | CASE WHEN c_custkey % 2 = 0 THEN 'a448017aaf21d8525fc10ae87aa6729d'
         |      ELSE '31d6cfe0d16ae931b73c59d7e0c089c0' END AS md4,
@@ -165,7 +167,10 @@ object QueryBank {
         |      ELSE 'c672b8d1ef56ed28ab87c3622c5114069bdd3ad7b8f9737498d0c01ecef0967a' END AS s512,
         | CASE WHEN c_custkey % 2 = 0
         |      THEN '4e2448a4c6f486bb16b6562c73b4020bf3043e3a731bce721ae1b303d97e6d4c7181eebdb6c57e277d0e34957114cbd6c797fc9d95d8b582d225292076d4eef5'
-        |      ELSE '19fa61d75522a4669b44e39c1d2e1726c530232130d407f89afee0964997f7a73e83be698b288febcf88e3e03c4f0757ea8964e59b63d93708b138cc42a66eb3' END AS wp
+        |      ELSE '19fa61d75522a4669b44e39c1d2e1726c530232130d407f89afee0964997f7a73e83be698b288febcf88e3e03c4f0757ea8964e59b63d93708b138cc42a66eb3' END AS wp,
+        | CASE WHEN c_custkey % 2 = 0
+        |      THEN '81b4236d62d08c68f30a1e3460b6ff4fcc2618c67062fbc41ed47e13cf19294e'
+        |      ELSE 'bbe19c8d2025d99f943a932a0b365a822aa36a4c479d22cc02c8973e219a533f' END AS gost
         |FROM customer""".stripMargin),
 
     ("mask_number",

@@ -113,6 +113,38 @@ class DigestSpec extends SparkSpec {
         "4d5bd8df2a6c44e538cd047b2681a51a2c60481e88c5a20b2c2a80cf3a9a083b")
   }
 
+  test("Streebog GOST3411-2012 vectors (RFC 6986; cross-checked vs nettle)") {
+    // RFC 6986 M1 (the 63-ASCII-digit message), digests in the spec's
+    // printed byte order
+    val m1 = "012345678901234567890123456789012345678901234567890123456789012"
+    assert(h("GOST3411-2012-512", m1) ==
+      "486f64c1917879417fef082b3381a4e211c324f074654c38823a7b76f830ad00" +
+        "fa1fbae42b1285c0352f227524bc9ab16254288dd6863dccd5b9f54a1ad0541b")
+    assert(h("GOST3411-2012-256", m1) ==
+      "00557be5e584fd52a449b16b0251d05d27f94ab76cbaa6da890b59d8ef1e159d")
+    // RFC 6986 M2 (the CP1251-encoded Russian text, 72 bytes -> two blocks)
+    val m2 = ("d1e520e2e5f2f0e82c20d1f2f0e8e1eee6e820e2edf3f6e82c20e2e5fee2fa" +
+      "20f120eceef0ff20f1f2f0e5ebe0ece820ede020f5f0e0e1f0fbff20efebfaea" +
+      "fb20c8e3eef0e5e2fb").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+    assert(graft.functions.Digests.hex(
+      graft.functions.Digests.streebog(m2, 512)) ==
+      "69462242f50ef423adf531a24ab94b349112672e468fdfd8fca4a3513f71a92c" +
+        "17b03c24168f7119e2c3b0dcbee2a6d81e6d2261607266832ddff85c2278393b")
+    assert(graft.functions.Digests.hex(
+      graft.functions.Digests.streebog(m2, 256)) ==
+      "12b368584651aa6b59a641883775be8ff6af02088bed188e8f36e01928119a93")
+    // empty message (single padded block; exercises the N=0 tail path)
+    assert(h("GOST3411-2012-512", "") ==
+      "8a1a1c4cbf909f8ecb81cd1b5c713abad26a4cac2a5fda3ce86e352855712f36" +
+        "a7f0be98eb6cf51553b507b73a87e97946aebc29859255049f86aa09a25d948e")
+    assert(h("GOST3411-2012-256", "") ==
+      "bbe19c8d2025d99f943a932a0b365a822aa36a4c479d22cc02c8973e219a533f")
+    // the 1994 GOST function stays a precise fail-fast
+    intercept[IllegalArgumentException](
+      graft.functions.Udfs.digestHex("x", "GOST3411"))
+  }
+
   test("hash directive routes exotic algorithms") {
     val d = df("v STRING", Seq(Row("abc")))
     assert(strings(wrangle("hash :v 'BLAKE2B-256'", d), "v") ==
