@@ -155,7 +155,7 @@ object QueryBank {
       // "Streebog" (RFC 6986). Oracle pins test vectors for '' and
       // 'abc' that were generated from INDEPENDENT implementations
       // (published vectors; Streebog cross-generated from GNU nettle).
-      (s, d) => r("""set-column :v exp:{ c_custkey % 2 == 0 ? 'abc' : '' }; copy :v :md4; hash :md4 MD4; copy :v :r256; hash :r256 RIPEMD256; copy :v :s512; hash :s512 'SHA-512/256'; copy :v :wp; hash :wp WHIRLPOOL; copy :v :gost; hash :gost 'GOST3411-2012-256'; keep :c_custkey,:md4,:r256,:s512,:wp,:gost""")(cust(s, d)),
+      (s, d) => r("""set-column :v exp:{ c_custkey % 2 == 0 ? 'abc' : '' }; copy :v :md4; hash :md4 MD4; copy :v :r256; hash :r256 RIPEMD256; copy :v :s512; hash :s512 'SHA-512/256'; copy :v :wp; hash :wp WHIRLPOOL; copy :v :gost; hash :gost 'GOST3411-2012-256'; copy :v :g94; hash :g94 GOST3411; keep :c_custkey,:md4,:r256,:s512,:wp,:gost,:g94""")(cust(s, d)),
       """SELECT c_custkey,
         | CASE WHEN c_custkey % 2 = 0 THEN 'a448017aaf21d8525fc10ae87aa6729d'
         |      ELSE '31d6cfe0d16ae931b73c59d7e0c089c0' END AS md4,
@@ -170,7 +170,10 @@ object QueryBank {
         |      ELSE '19fa61d75522a4669b44e39c1d2e1726c530232130d407f89afee0964997f7a73e83be698b288febcf88e3e03c4f0757ea8964e59b63d93708b138cc42a66eb3' END AS wp,
         | CASE WHEN c_custkey % 2 = 0
         |      THEN '81b4236d62d08c68f30a1e3460b6ff4fcc2618c67062fbc41ed47e13cf19294e'
-        |      ELSE 'bbe19c8d2025d99f943a932a0b365a822aa36a4c479d22cc02c8973e219a533f' END AS gost
+        |      ELSE 'bbe19c8d2025d99f943a932a0b365a822aa36a4c479d22cc02c8973e219a533f' END AS gost,
+        | CASE WHEN c_custkey % 2 = 0
+        |      THEN 'b285056dbf18d7392d7677369524dd14747459ed8143997e163b2986f92fd42c'
+        |      ELSE '981e5f3ca30c841487830f84fb433e13ac1101569b9c13584ac483234cd656c0' END AS g94
         |FROM customer""".stripMargin),
 
     ("mask_number",

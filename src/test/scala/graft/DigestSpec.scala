@@ -72,8 +72,10 @@ class DigestSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.functions.Udfs.digestHex("abc", "Skein-512-512")
     }
+    // GOST3411 and GOST3411-2012-* are now implemented; an unknown
+    // GOST spelling still gets the precise error, not NoSuchAlgorithm
     intercept[IllegalArgumentException] {
-      graft.functions.Udfs.digestHex("abc", "GOST3411")
+      graft.functions.Udfs.digestHex("abc", "GOST3411-2012")
     }
   }
 
@@ -140,9 +142,26 @@ class DigestSpec extends SparkSpec {
         "a7f0be98eb6cf51553b507b73a87e97946aebc29859255049f86aa09a25d948e")
     assert(h("GOST3411-2012-256", "") ==
       "bbe19c8d2025d99f943a932a0b365a822aa36a4c479d22cc02c8973e219a533f")
-    // the 1994 GOST function stays a precise fail-fast
+  }
+
+  test("GOST R 34.11-94 CryptoPro vectors (published; cross-checked vs nettle)") {
+    assert(h("GOST3411", "") ==
+      "981e5f3ca30c841487830f84fb433e13ac1101569b9c13584ac483234cd656c0")
+    assert(h("GOST3411", "a") ==
+      "e74c52dd282183bf37af0079c9f78055715a103f17e3133ceff1aacf2f403011")
+    assert(h("GOST3411", "abc") ==
+      "b285056dbf18d7392d7677369524dd14747459ed8143997e163b2986f92fd42c")
+    assert(h("GOST3411", "message digest") ==
+      "bc6041dd2aa401ebfa6e9886734174febdb4729aa972d60f549ac39b29721ba0")
+    // multi-block (64 bytes = two compressions before finalization)
+    assert(h("GOST3411",
+      "This is message, length=32 bytes" + "This is message, length=32 bytes")
+        .length == 64)
+    // Skein/Tiger stay a precise fail-fast
     intercept[IllegalArgumentException](
-      graft.functions.Udfs.digestHex("x", "GOST3411"))
+      graft.functions.Udfs.digestHex("x", "SKEIN-512-256"))
+    intercept[IllegalArgumentException](
+      graft.functions.Udfs.digestHex("x", "TIGER"))
   }
 
   test("hash directive routes exotic algorithms") {
