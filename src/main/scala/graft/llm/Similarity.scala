@@ -24,7 +24,7 @@ object Similarity {
   // stays native.
   private def cosineKernel(q: Array[Double]): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val qn = math.sqrt(q.map(x => x * x).sum)
-    udf((v: Seq[Float]) => {
+    udf((v: Array[Float]) => {
       if (v == null) null
       else {
         var dot = 0.0
@@ -74,11 +74,11 @@ object Similarity {
     * pass over the vector for all planes.
     */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
-    val kernel = udf((v: Seq[Float]) => sigOf(v, planes))
+    val kernel = udf((v: Array[Float]) => sigOf(v, planes))
     kernel(vec)
   }
 
-  private def sigOf(v: Seq[Float], planes: Array[Array[Double]]): java.lang.Long =
+  private def sigOf(v: Array[Float], planes: Array[Array[Double]]): java.lang.Long =
     if (v == null) null
     else {
       var sig = 0L
@@ -102,7 +102,7 @@ object Similarity {
     * byte-identical signatures to the probed form).
     */
   def lshBucketAuto(vec: Column, bits: Int, seed: Long): Column = {
-    val kernel = udf((v: Seq[Float]) => {
+    val kernel = udf((v: Array[Float]) => {
       if (v == null) null
       else sigOf(v, planesFor(v.length, bits, seed))
     })
@@ -191,7 +191,7 @@ object Similarity {
   /** Nearest-centroid cell id (argmax dot against unit centroids —
     * cosine-consistent without normalizing the data side). */
   def ivfCell(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val kernel = udf((v: Seq[Float]) => {
+    val kernel = udf((v: Array[Float]) => {
       if (v == null) null
       else {
         var best = 0; var bestDot = Double.MinValue; var c = 0
@@ -265,7 +265,7 @@ object Similarity {
     * norm covers the full vector, so the two forms diverge there.
     */
   val vecNorm: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((v: Seq[Float]) => {
+    udf((v: Array[Float]) => {
       if (v == null) null
       else {
         var na = 0.0; var i = 0
@@ -279,7 +279,7 @@ object Similarity {
     * appears in many pairs.
     */
   val pairCosinePrenorm: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((a: Seq[Float], b: Seq[Float], na: java.lang.Double, nb: java.lang.Double) => {
+    udf((a: Array[Float], b: Array[Float], na: java.lang.Double, nb: java.lang.Double) => {
       if (a == null || b == null || na == null || nb == null) null
       else {
         var dot = 0.0; var i = 0
@@ -292,7 +292,7 @@ object Similarity {
     })
 
   val pairCosine: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((a: Seq[Float], b: Seq[Float]) => {
+    udf((a: Array[Float], b: Array[Float]) => {
       if (a == null || b == null) null
       else {
         var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
