@@ -154,9 +154,15 @@ class LlmSpec extends SparkSpec {
     val cc = Dedup.connectedComponents(pairsDf(Seq((1L, 2L), (2L, 3L), (10L, 11L))))
     val got = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
-    val after = spark.sparkContext.getPersistentRDDs.size
     // cache footprint must not scale with iterations: intermediate label
-    // sets and edges are released; only the returned checkpoint lingers
+    // sets and edges are released; only the returned checkpoint lingers.
+    // unpersist() is NON-blocking, so under load the bookkeeping lags a
+    // moment behind the loop — poll briefly instead of reading one
+    // racy snapshot (this was a rare flake on a contended box)
+    def after = spark.sparkContext.getPersistentRDDs.size
+    val deadline = System.currentTimeMillis + 15000
+    while (after - before > 2 && System.currentTimeMillis < deadline)
+      Thread.sleep(100)
     assert(after - before <= 2,
       s"persisted RDDs grew $before -> $after (cache leak across iterations)")
     // a chain deeper than maxIter exits WITHOUT converging — labels are
