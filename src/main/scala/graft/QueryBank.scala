@@ -290,6 +290,73 @@ object QueryBank {
       (s, d) => graft.llm.Dedup.exact(docs(s, d), "text", "doc_id"),
       "SELECT * FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY " + normSql("text") + ")"),
 
+    // keep-best policy: same content groups, but the LONGEST raw copy
+    // survives (ties -> smallest id) — synthesized case/punctuation
+    // variants per content group so raw lengths differ inside a group
+    ("dedup_exact_keepbest",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = cust(s, d).select(col("c_custkey").as("id"),
+          concat(lit("group "), (col("c_custkey") % 100).cast("string"),
+            expr("CASE c_custkey % 3 WHEN 0 THEN ' shared content!!!'" +
+              " WHEN 1 THEN ' SHARED CONTENT' ELSE ' shared   content' END"))
+            .as("text"))
+          .withColumn("len", length(col("text")))
+        graft.llm.Dedup.exactKeepBest(base, "text", "id", "len")
+          .select("id", "text")
+      },
+      """WITH base AS (SELECT c_custkey AS id,
+        | 'group ' || CAST(c_custkey % 100 AS VARCHAR) ||
+        |   (CASE c_custkey % 3 WHEN 0 THEN ' shared content!!!'
+        |    WHEN 1 THEN ' SHARED CONTENT' ELSE ' shared   content' END) AS text
+        | FROM customer)
+        |SELECT id, text FROM base
+        |QUALIFY row_number() OVER (PARTITION BY """.stripMargin + normSql("text") +
+        " ORDER BY length(text) DESC, id) = 1"),
+
+    // corpus-wide exact line dedup: the >=30-char header line keeps
+    // only its global first occurrence (min (id, line-index)); unique
+    // body lines and the short footer line are never touched
+    ("dedup_lines",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = cust(s, d).select(col("c_custkey").as("id"),
+          concat(lit("SHARED HEADER LINE WITH ENOUGH CHARACTERS\n"),
+            lit("unique body line for customer "), col("c_custkey").cast("string"),
+            lit("\nshort")).as("text"))
+        graft.llm.SpanDedup.removeDuplicatedLines(base, "text", "id")
+          .select("id", "text")
+      },
+      """SELECT c_custkey AS id,
+        | CASE WHEN c_custkey = (SELECT min(c_custkey) FROM customer)
+        |  THEN 'SHARED HEADER LINE WITH ENOUGH CHARACTERS' || chr(10) ||
+        |    'unique body line for customer ' || CAST(c_custkey AS VARCHAR) ||
+        |    chr(10) || 'short'
+        |  ELSE 'unique body line for customer ' || CAST(c_custkey AS VARCHAR) ||
+        |    chr(10) || 'short' END AS text
+        |FROM customer""".stripMargin),
+
+    // canonical URL dedup keys: three URL shapes per modulo — tracking
+    // params dropped + query sorted, default port + www. + fragment
+    // stripped, duplicate slashes collapsed, unparseable passthrough
+    ("normalize_url",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = cust(s, d).select(col("c_custkey").as("id"),
+          expr("CASE c_custkey % 3" +
+            " WHEN 0 THEN concat('HTTPS://WWW.Shop.Example.COM:443//products//', c_custkey, '/?utm_source=mail&b=2&a=1&fbclid=x#frag')" +
+            " WHEN 1 THEN concat('http://Example.org:8080/a/', c_custkey)" +
+            " ELSE 'not a url at all' END").as("url"))
+        r("normalize-url :url;")(base)
+      },
+      """SELECT c_custkey AS id,
+        | CASE c_custkey % 3
+        |  WHEN 0 THEN 'https://shop.example.com/products/' ||
+        |    CAST(c_custkey AS VARCHAR) || '?a=1&b=2'
+        |  WHEN 1 THEN 'http://example.org:8080/a/' || CAST(c_custkey AS VARCHAR)
+        |  ELSE 'not a url at all' END AS url
+        |FROM customer""".stripMargin),
+
     // A GENUINE Structured Streaming run, not a batch stand-in: the
     // events table is driven through readStream → withWatermark →
     // dropDuplicatesWithinWatermark → memory sink, synchronously. The

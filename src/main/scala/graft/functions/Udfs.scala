@@ -751,6 +751,74 @@ object Udfs {
   }
   val cutTokenSpansUdf: UserDefinedFunction = udf(cutTokenSpans _)
 
+  /** Rebuild `text` with the 0-based LINE indices in `drop` removed
+    * (split on \n, kept lines rejoin with \n — the reassembly step of
+    * corpus-wide line dedup). Null/empty drop list passes the text
+    * through byte-identical.
+    */
+  def cutLines(text: String, drop: Seq[Long]): String = {
+    if (text == null) return null
+    if (drop == null || drop.isEmpty) return text
+    val lines = text.split("\n", -1)
+    val dropSet = drop.toSet
+    val sb = new StringBuilder(text.length)
+    var i = 0
+    var first = true
+    while (i < lines.length) {
+      if (!dropSet.contains(i.toLong)) {
+        if (!first) sb.append('\n')
+        sb.append(lines(i))
+        first = false
+      }
+      i += 1
+    }
+    sb.toString
+  }
+  val cutLinesUdf: UserDefinedFunction = udf(cutLines _)
+
+  // ---- URL canonicalization (dedup-key normalization) -----------------
+  // The form Common-Crawl-derived curation pipelines reduce URLs to
+  // before URL-level dedup: lowercase scheme/host, strip a leading www.,
+  // drop default ports, drop the fragment, drop tracking parameters,
+  // sort the surviving query pairs, collapse duplicate slashes and the
+  // trailing slash. Unparseable input passes through trimmed (a dedup
+  // KEY must never silently become null).
+
+  private val trackingParams = Set("gclid", "fbclid", "msclkid", "mc_cid",
+    "mc_eid", "igshid", "ref", "ref_src", "yclid", "twclid")
+  private def isTrackingParam(k: String): Boolean = {
+    val lk = k.toLowerCase
+    lk.startsWith("utm_") || trackingParams(lk)
+  }
+
+  def normalizeUrl(url: String): String = {
+    if (url == null) return null
+    val s = url.trim
+    try {
+      val u = new java.net.URI(s)
+      if (u.getScheme == null || u.getHost == null) return s
+      val scheme = u.getScheme.toLowerCase
+      var host = u.getHost.toLowerCase
+      if (host.startsWith("www.")) host = host.substring(4)
+      val port = u.getPort
+      val keepPort = port >= 0 &&
+        !((scheme == "http" && port == 80) || (scheme == "https" && port == 443))
+      var path = Option(u.getRawPath).getOrElse("")
+      if (path.isEmpty) path = "/"
+      path = path.replaceAll("/{2,}", "/")
+      if (path.length > 1 && path.endsWith("/")) path = path.dropRight(1)
+      val query = Option(u.getRawQuery)
+        .map(_.split("&").filter(_.nonEmpty)
+          .filterNot(kv => isTrackingParam(kv.takeWhile(_ != '=')))
+          .sorted)
+        .filter(_.nonEmpty)
+        .map(_.mkString("&"))
+      scheme + "://" + host + (if (keepPort) s":$port" else "") + path +
+        query.map("?" + _).getOrElse("")
+    } catch { case _: Exception => s }
+  }
+  val normalizeUrlUdf: UserDefinedFunction = udf(normalizeUrl _)
+
   /** Normalized word tokens (normalizeText split on single spaces). */
   def normTokens(text: String): Array[String] = {
     val n = normalizeText(text)

@@ -45,6 +45,27 @@ object Dedup {
       .select(cols.map(c => col(s"__r.$c").as(c)).toSeq: _*)
   }
 
+  /** Exact deduplication keeping the BEST copy per normalized-content
+    * group instead of the smallest id: the row with the highest
+    * (numeric) `prioCol` survives, ties broken toward the smallest
+    * `idCol`. The published keep-longest / keep-highest-quality dedup
+    * policy (duplicate web pages often differ only in truncation —
+    * keeping the longest or best-scored copy preserves the most
+    * content). Same single hash-keyed shuffle with map-side partial
+    * aggregation as [[exact]].
+    */
+  def exactKeepBest(df: DataFrame, textCol: String, idCol: String,
+      prioCol: String): DataFrame = {
+    val cols = df.columns
+    df.withColumn("__h", xxhash64(normalized(col(textCol))))
+      .groupBy(col("__h"))
+      // min_by over (-priority, id): max priority wins, then min id
+      .agg(min_by(struct(cols.map(col).toSeq: _*),
+        struct((lit(0.0) - col(prioCol).cast(DoubleType)).as("__np"),
+          col(idCol).as("__ti"))).as("__r"))
+      .select(cols.map(c => col(s"__r.$c").as(c)).toSeq: _*)
+  }
+
   /** Skew guard shared by the banded-LSH pair generators: a bucket with
     * B members yields B² candidate pairs, so one hot bucket (identical
     * boilerplate, the all-zero chunk) goes quadratic. One

@@ -105,6 +105,48 @@ object SpanDedup {
       .select(col("__id").as(idCol), col("span_start"), col("span_end"))
   }
 
+  /** Corpus-wide exact LINE dedup (CCNet/Dolma-style): every line of at
+    * least `minChars` characters that appears more than once ANYWHERE
+    * in the corpus is removed from every position except its single
+    * global first occurrence (min (id, line-index)); shorter lines —
+    * headers, bullets, boilerplate below the length floor — are never
+    * touched. Lines match EXACTLY (no normalization), so the rewrite is
+    * byte-faithful: documents with no removals pass through untouched,
+    * and rewritten documents keep their remaining lines and newlines
+    * as-is.
+    *
+    * Same two-round scale shape as [[duplicatedSpans]]: a bare count
+    * HashAggregate over native xxhash64 line hashes finds duplicated
+    * lines (16-byte exchange rows, no sort), the duplicated-hash set
+    * broadcasts into a left-semi join so singleton lines never shuffle
+    * their positions, and only duplicated anchors pay the keeper
+    * window. Removal positions fold to one small per-doc list; only
+    * documents WITH removals rewrite (line split + index drop kernel).
+    */
+  def removeDuplicatedLines(corpus: DataFrame, textCol: String,
+      idCol: String, minChars: Int = 30): DataFrame = {
+    require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    val anchors = corpus
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("__p", "__ln")))
+      .filter(length(col("__ln")) >= minChars)
+      .select(col("__id"), col("__p"), xxhash64(col("__ln")).as("__h"),
+        struct(col("__id"), col("__p")).as("__k"))
+    val dupH = anchors.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("__h")
+    val keeperW = Window.partitionBy("__h")
+    val rm = anchors.join(dupH, Seq("__h"), "left_semi")
+      .withColumn("__keeper", min(col("__k")).over(keeperW))
+      .filter(col("__k") =!= col("__keeper"))
+      .groupBy(col("__id").as("__rid"))
+      .agg(collect_list(col("__p").cast("long")).as("__drop"))
+    corpus.join(rm, corpus(idCol) === col("__rid"), "left")
+      .withColumn(textCol,
+        when(col("__drop").isNull, col(textCol))
+          .otherwise(Udfs.cutLinesUdf(col(textCol), col("__drop"))))
+      .drop("__rid", "__drop")
+  }
+
   /** Rewrite `textCol` with every non-first duplicated span removed.
     * Documents with no duplicated spans pass through byte-identical;
     * rewritten documents come back whitespace-normalized (kept tokens

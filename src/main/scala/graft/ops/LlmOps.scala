@@ -12,8 +12,30 @@ object LlmOps {
 
   def build(spec: DirectiveSpec): Option[PipeOp] = Option(spec.name match {
 
+    // optional third column = numeric priority: keep the HIGHEST
+    // priority copy per content group (ties -> smallest id) instead of
+    // the smallest id — the keep-longest/keep-best-quality policy
     case "dedup-exact" => ColumnOps.simple(spec) { df =>
-      Dedup.exact(df, spec.col(0), spec.col(1))
+      spec.optCol(2) match {
+        case Some(prio) => Dedup.exactKeepBest(df, spec.col(0), spec.col(1), prio)
+        case None => Dedup.exact(df, spec.col(0), spec.col(1))
+      }
+    }
+
+    // `dedup-lines :text :id [minChars]` — corpus-wide exact line
+    // dedup: any line >= minChars chars repeated anywhere keeps only
+    // its global first occurrence (CCNet/Dolma-style line dedup)
+    case "dedup-lines" => ColumnOps.simple(spec) { df =>
+      graft.llm.SpanDedup.removeDuplicatedLines(df, spec.col(0), spec.col(1),
+        minChars = spec.optStr(2).map(_.toInt).getOrElse(30))
+    }
+
+    // `normalize-url :col` — canonical URL dedup key: lowercase
+    // scheme/host, strip www./default port/fragment/tracking params,
+    // sort query pairs, collapse slashes (in place)
+    case "normalize-url" => ColumnOps.simple(spec) { df =>
+      df.withColumn(spec.col(0), graft.functions.Udfs.normalizeUrlUdf(
+        col(spec.col(0)).cast(org.apache.spark.sql.types.StringType)))
     }
 
     case "dedup-minhash" => ColumnOps.simple(spec) { df =>

@@ -114,9 +114,11 @@ class CoverageSpec extends SparkSpec {
   // consistent-sampling directive must stay recipe-reachable
   private val curationDirectives = Seq(
     "dedup-exact", "dedup-minhash", "dedup-simhash", "dedup-embedding",
-    "dedup-spans", "decontaminate", "contamination-hits", "chunk-text",
+    "dedup-spans", "dedup-lines", "normalize-url",
+    "decontaminate", "contamination-hits", "chunk-text",
     "lang-id", "token-count", "quality-score", "fingerprint",
-    "redact-pii", "repetition-ratio",
+    "redact-pii", "repetition-ratio", "surprisal-score",
+    "cluster-embeddings",
     "sample-by-hash", "sample-weighted", "hash-split")
 
   test("all curation/sampling directives resolve in the registry") {

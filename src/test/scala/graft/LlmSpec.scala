@@ -178,6 +178,60 @@ class LlmSpec extends SparkSpec {
     assert(full.values.toSet == Set(1L))
   }
 
+  test("exactKeepBest keeps the highest-priority copy, ties to min id") {
+    val d = df("id BIGINT, text STRING, q DOUBLE", Seq(
+      Row(1L, "same content", 0.2),
+      Row(2L, "SAME CONTENT!!", 0.9),   // best copy of the group
+      Row(3L, "same   content", 0.9),   // tie on q -> loses to id 2
+      Row(4L, "other doc", 0.5)))
+    val kept = Dedup.exactKeepBest(d, "text", "id", "q")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L))
+    // directive surface: optional third column flips the policy
+    val viaRecipe = wrangle("dedup-exact :text :id :q", d)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaRecipe == kept)
+    // without the priority column the original min-id policy holds
+    assert(wrangle("dedup-exact :text :id", d)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+  }
+
+  test("removeDuplicatedLines: global first occurrence survives, short lines exempt") {
+    val header = "SHARED HEADER LINE WITH ENOUGH CHARACTERS"
+    val d = df("id BIGINT, text STRING", Seq(
+      Row(1L, s"$header\nunique one\nhi"),
+      Row(2L, s"$header\nunique two\nhi"),          // header removed here
+      Row(3L, s"unique three\n$header\nhi"),        // and here (later (id,pos))
+      Row(4L, "no duplicates at all")))
+    val out = graft.llm.SpanDedup.removeDuplicatedLines(d, "text", "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == s"$header\nunique one\nhi") // global first kept
+    assert(out(2L) == "unique two\nhi")
+    assert(out(3L) == "unique three\nhi")
+    assert(out(4L) == "no duplicates at all")     // byte-identical passthrough
+    // "hi" repeats in 3 docs but is under minChars — never touched
+    assert(out.values.count(_.endsWith("hi")) == 3)
+    // directive surface + custom floor: with minChars=2 the "hi" lines
+    // dedup too (first doc keeps it)
+    val aggressive = wrangle("dedup-lines :text :id 2", d)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(aggressive(1L).endsWith("hi") && !aggressive(2L).contains("hi"))
+  }
+
+  test("normalizeUrl canonicalizes and passes junk through") {
+    import graft.functions.Udfs.normalizeUrl
+    assert(normalizeUrl(
+      "HTTPS://WWW.Shop.Example.COM:443//a//b/?utm_source=x&b=2&a=1&fbclid=y#frag")
+      == "https://shop.example.com/a/b?a=1&b=2")
+    assert(normalizeUrl("http://example.org:8080/x/") ==
+      "http://example.org:8080/x")          // non-default port kept
+    assert(normalizeUrl("http://example.org") == "http://example.org/")
+    assert(normalizeUrl("https://example.org/?utm_source=x&utm_medium=y") ==
+      "https://example.org/")               // all params tracking -> none
+    assert(normalizeUrl("  not a url at all ") == "not a url at all")
+    assert(normalizeUrl(null) == null)
+  }
+
   test("langId picks the stopword-dominant language") {
     val d = df("t STRING", Seq(
       Row("the cat sat on the mat and it was happy"),
