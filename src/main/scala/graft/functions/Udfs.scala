@@ -122,17 +122,17 @@ object Udfs {
       // names in the reference's BouncyCastle list we deliberately
       // don't implement (opaque tables with no second implementation
       // to verify against — see Digests scaladoc): precise error, not
-      // NoSuchAlgorithmException. GOST3411 (94, CryptoPro) and
-      // GOST3411-2012-256/512 (Streebog) ARE supported (handled by
-      // Digests.digest above); this fail-fast covers Skein and Tiger
-      // plus unknown GOST spellings.
-      if (up.startsWith("GOST") || up.startsWith("SKEIN") || up == "TIGER")
+      // NoSuchAlgorithmException. GOST3411 (94, CryptoPro),
+      // GOST3411-2012-256/512 (Streebog), and TIGER/TIGER2 ARE
+      // supported (handled by Digests.digest above); this fail-fast
+      // covers Skein plus unknown GOST spellings.
+      if (up.startsWith("GOST") || up.startsWith("SKEIN"))
         throw new IllegalArgumentException(
           s"hash: '$algo' is not supported (table-based algorithm with " +
             "no verifiable constant derivation); supported " +
             "beyond the JDK set: BLAKE2B-*, RIPEMD-128/160/256/320, " +
-            "MD4, SM3, KECCAK-224/256/288/384/512, WHIRLPOOL, " +
-            "GOST3411, GOST3411-2012-256, GOST3411-2012-512, " +
+            "MD4, SM3, KECCAK-224/256/288/384/512, WHIRLPOOL, TIGER, " +
+            "TIGER2, GOST3411, GOST3411-2012-256, GOST3411-2012-512, " +
             "SHA-512/224, SHA-512/256")
       java.security.MessageDigest.getInstance(algo)
         .digest(bytes).map("%02x".format(_)).mkString

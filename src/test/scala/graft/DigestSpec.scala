@@ -66,12 +66,9 @@ class DigestSpec extends SparkSpec {
 
   test("documented-unsupported names raise a precise error") {
     val ex = intercept[IllegalArgumentException] {
-      graft.functions.Udfs.digestHex("abc", "TIGER")
-    }
-    assert(ex.getMessage.contains("not supported"))
-    intercept[IllegalArgumentException] {
       graft.functions.Udfs.digestHex("abc", "Skein-512-512")
     }
+    assert(ex.getMessage.contains("not supported"))
     // GOST3411 and GOST3411-2012-* are now implemented; an unknown
     // GOST spelling still gets the precise error, not NoSuchAlgorithm
     intercept[IllegalArgumentException] {
@@ -157,11 +154,43 @@ class DigestSpec extends SparkSpec {
     assert(h("GOST3411",
       "This is message, length=32 bytes" + "This is message, length=32 bytes")
         .length == 64)
-    // Skein/Tiger stay a precise fail-fast
+    // Skein stays a precise fail-fast (Tiger is implemented now)
     intercept[IllegalArgumentException](
       graft.functions.Udfs.digestHex("x", "SKEIN-512-256"))
-    intercept[IllegalArgumentException](
-      graft.functions.Udfs.digestHex("x", "TIGER"))
+  }
+
+  test("Tiger and Tiger2 vectors (Anderson-Biham; cross-checked vs libgcrypt)") {
+    // the paper's published test vectors
+    assert(h("TIGER", "") ==
+      "3293ac630c13f0245f92bbb1766e16167a4e58492dde73f3")
+    assert(h("TIGER", "abc") ==
+      "2aab1484e8c158f2bfb8c5ff41b57a525129131c957b5f93")
+    assert(h("TIGER", "Tiger") ==
+      "dd00230799f5009fec6debc838bb6a27df2b9d6f110c7937")
+    assert(h("TIGER",
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+-")
+      == "f71c8583902afb879edfe610f82c0d4786a3a534504486b5")
+    // Tiger2 differs only in the 0x80 pad marker
+    assert(h("TIGER2", "") ==
+      "4441be75f6018773c206c22745374b924aa8313fef919f41")
+    assert(h("TIGER2", "abc") ==
+      "f68d7bc5af4b43a06e048d7829560d4a9415658bb0b1f3bf")
+    // length sweep 0..129 of the deterministic pattern (i*131+7)&0xff —
+    // covers the 55/56/57 pad split and one/two/three-block inputs.
+    // Expected digests were produced by libgcrypt TIGER/TIGER2; pinned
+    // here as the SHA-256 of the concatenated hex digests.
+    def sweep(algo: String): String = {
+      val cat = (0 until 130).map { n =>
+        val in = Array.tabulate[Byte](n)(i => ((i * 131 + 7) & 0xff).toByte)
+        graft.functions.Digests.hex(graft.functions.Digests.digest(algo, in))
+      }.mkString
+      graft.functions.Digests.hex(java.security.MessageDigest
+        .getInstance("SHA-256").digest(cat.getBytes("UTF-8")))
+    }
+    assert(sweep("TIGER") ==
+      "aecc74377ed1e7958b330deb67b896b99073487deb6ab401cb3a794bc3719083")
+    assert(sweep("TIGER2") ==
+      "343e5d71d25ee0d71062441e12af06744c773ece980de5c22389cd8a8a65184b")
   }
 
   test("hash directive routes exotic algorithms") {
