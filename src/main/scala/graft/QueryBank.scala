@@ -364,6 +364,169 @@ object QueryBank {
         |  ELSE 'not a url at all' END AS url
         |FROM customer""".stripMargin),
 
+    // C4 line cleaning: the oracle RE-IMPLEMENTS the published rules
+    // as DuckDB list lambdas (not pinned outputs). Three page shapes:
+    // %3=0 five good sentence lines survive among a short line, an
+    // unterminated line, and a javascript line; %3=1 adds "lorem
+    // ipsum" -> page blanked; %3=2 has only two sentences -> blanked
+    // by the min-sentence rule.
+    ("clean_lines_c4",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val good = (1 to 4).map(i =>
+          s"Sentence number $i of this page reads fine.").mkString("\n")
+        val base = cust(s, d).select(col("c_custkey").as("id"),
+          expr(s"""CASE c_custkey % 3
+             WHEN 0 THEN concat('Customer ', c_custkey, ' wrote this first sentence.', '\n',
+               'Too short.', '\n', 'this line never terminates properly', '\n',
+               'Please enable javascript to continue reading this.', '\n', '$good')
+             WHEN 1 THEN concat('Customer ', c_custkey, ' wrote this first sentence.', '\n',
+               '$good', '\n', 'We need lorem ipsum filler text here.')
+             ELSE concat('Customer ', c_custkey, ' wrote this first sentence.', '\n',
+               'Sentence number 1 of this page reads fine.')
+           END""").as("text"))
+        r("clean-lines-c4 :text;")(base).select("id", "text")
+      },
+      """WITH base AS (
+        | SELECT c_custkey AS id,
+        |  CASE c_custkey % 3
+        |   WHEN 0 THEN 'Customer ' || c_custkey || ' wrote this first sentence.' || chr(10) ||
+        |     'Too short.' || chr(10) || 'this line never terminates properly' || chr(10) ||
+        |     'Please enable javascript to continue reading this.' || chr(10) ||
+        |     'Sentence number 1 of this page reads fine.' || chr(10) ||
+        |     'Sentence number 2 of this page reads fine.' || chr(10) ||
+        |     'Sentence number 3 of this page reads fine.' || chr(10) ||
+        |     'Sentence number 4 of this page reads fine.'
+        |   WHEN 1 THEN 'Customer ' || c_custkey || ' wrote this first sentence.' || chr(10) ||
+        |     'Sentence number 1 of this page reads fine.' || chr(10) ||
+        |     'Sentence number 2 of this page reads fine.' || chr(10) ||
+        |     'Sentence number 3 of this page reads fine.' || chr(10) ||
+        |     'Sentence number 4 of this page reads fine.' || chr(10) ||
+        |     'We need lorem ipsum filler text here.'
+        |   ELSE 'Customer ' || c_custkey || ' wrote this first sentence.' || chr(10) ||
+        |     'Sentence number 1 of this page reads fine.'
+        |  END AS text FROM customer
+        |), cleaned AS (
+        | SELECT id, text,
+        |  coalesce(list_aggregate(list_filter(string_split(text, chr(10)),
+        |    x -> len(list_filter(string_split_regex(trim(x), '\s+'), w -> len(w) > 0)) >= 3
+        |     AND regexp_matches(x, '[.!?"]\s*$')
+        |     AND NOT contains(lower(x), 'javascript')), 'string_agg', chr(10)), '') AS kept
+        | FROM base
+        |)
+        |SELECT id,
+        | CASE WHEN contains(lower(text), 'lorem ipsum') OR contains(text, '{')
+        |    OR len(kept) - len(regexp_replace(kept, '[.!?]', '', 'g')) < 5
+        |  THEN '' ELSE kept END AS text
+        |FROM cleaned""".stripMargin),
+
+    // Gopher/MassiveText document gate: oracle re-computes every rule
+    // with list lambdas. Six fixture shapes flip one rule each: good
+    // prose / too few words / '#' symbol ratio / all-bullet lines /
+    // ellipsis-ended lines / numeric words (alpha + stopword fail).
+    ("gopher_rules",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = cust(s, d).select(col("c_custkey").as("id"),
+          expr("""CASE c_custkey % 6
+             WHEN 0 THEN repeat('the data and value row ', 12)
+             WHEN 1 THEN 'the and a few words.'
+             WHEN 2 THEN repeat('the data ### and value row ', 12)
+             WHEN 3 THEN repeat(concat('- the item and value', '\n'), 20)
+             WHEN 4 THEN repeat(concat('the data and value trailing dots...', '\n'), 12)
+             ELSE repeat('111 222 333 444 ', 20)
+           END""").as("text"))
+        r("gopher-rules :text;")(base)
+          .select(col("id"), col("text_gopher_keep").as("keep"))
+      },
+      """WITH base AS (
+        | SELECT c_custkey AS id,
+        |  CASE c_custkey % 6
+        |   WHEN 0 THEN repeat('the data and value row ', 12)
+        |   WHEN 1 THEN 'the and a few words.'
+        |   WHEN 2 THEN repeat('the data ### and value row ', 12)
+        |   WHEN 3 THEN repeat('- the item and value' || chr(10), 20)
+        |   WHEN 4 THEN repeat('the data and value trailing dots...' || chr(10), 12)
+        |   ELSE repeat('111 222 333 444 ', 20)
+        |  END AS text FROM customer
+        |), feat AS (
+        | SELECT id,
+        |  list_filter(string_split_regex(trim(text), '\s+'), w -> len(w) > 0) AS words,
+        |  list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |    l -> len(l) > 0) AS lines,
+        |  len(text) - len(replace(text, '#', '')) AS hashes,
+        |  (len(text) - len(replace(text, '...', ''))) / 3 AS elldots,
+        |  len(text) - len(replace(text, '…', '')) AS ellchar
+        | FROM base
+        |), flags AS (
+        | SELECT id, len(words) AS wc,
+        |  CASE WHEN len(words) > 0 THEN
+        |   CAST(list_aggregate(list_transform(words, w -> len(w)), 'sum') AS DOUBLE) / len(words)
+        |   ELSE 0 END AS meanlen,
+        |  CASE WHEN len(words) > 0 THEN
+        |   CAST(hashes + elldots + ellchar AS DOUBLE) / len(words) ELSE 0 END AS symratio,
+        |  CASE WHEN len(lines) > 0 THEN
+        |   CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-•*]'))) AS DOUBLE) / len(lines)
+        |   ELSE 0 END AS bulletratio,
+        |  CASE WHEN len(lines) > 0 THEN
+        |   CAST(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE) / len(lines)
+        |   ELSE 0 END AS ellratio,
+        |  CASE WHEN len(words) > 0 THEN
+        |   CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(words)
+        |   ELSE 0 END AS alpharatio,
+        |  CAST(list_contains(list_transform(words, w -> lower(w)), 'the') AS INT) +
+        |  CAST(list_contains(list_transform(words, w -> lower(w)), 'be') AS INT) +
+        |  CAST(list_contains(list_transform(words, w -> lower(w)), 'to') AS INT) +
+        |  CAST(list_contains(list_transform(words, w -> lower(w)), 'of') AS INT) +
+        |  CAST(list_contains(list_transform(words, w -> lower(w)), 'and') AS INT) +
+        |  CAST(list_contains(list_transform(words, w -> lower(w)), 'that') AS INT) +
+        |  CAST(list_contains(list_transform(words, w -> lower(w)), 'have') AS INT) +
+        |  CAST(list_contains(list_transform(words, w -> lower(w)), 'with') AS INT) AS stophits
+        | FROM feat
+        |)
+        |SELECT id,
+        | (wc >= 50 AND wc <= 100000 AND meanlen >= 3.0 AND meanlen <= 10.0
+        |  AND symratio <= 0.1 AND bulletratio <= 0.9 AND ellratio <= 0.3
+        |  AND alpharatio >= 0.8 AND stophits >= 2) AS keep
+        |FROM flags""".stripMargin),
+
+    // Greedy context-window packing: the oracle replays the same
+    // first-fit-in-order scan as a recursive CTE per bucket. Token
+    // counts are synthetic ((id*37)%97+20, one oversize doc per 50) so
+    // the packing logic itself — not text parsing — is what's compared.
+    ("pack_sequences",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = cust(s, d).select(col("c_custkey").as("id"))
+          .withColumn("tok", expr(
+            "CAST((id*37)%97+20 AS INT) + CASE WHEN id%50=0 THEN 280 ELSE 0 END"))
+        r("pack-sequences :tok :id 256 4")(base)
+          .select(col("id"), col("pack_bucket"), col("pack_bin"),
+            col("pack_offset"))
+      },
+      """WITH RECURSIVE base AS (
+        | SELECT c_custkey AS id,
+        |  CAST((c_custkey*37) % 97 + 20 AS INT) +
+        |   CASE WHEN c_custkey % 50 = 0 THEN 280 ELSE 0 END AS tok,
+        |  CAST(c_custkey % 4 AS INT) AS bucket
+        | FROM customer
+        |), ordered AS (
+        | SELECT id, tok, bucket,
+        |  row_number() OVER (PARTITION BY bucket ORDER BY id) AS rn
+        | FROM base
+        |), pack AS (
+        | SELECT id, tok, bucket, rn, 0 AS bin, tok AS fill
+        | FROM ordered WHERE rn = 1
+        | UNION ALL
+        | SELECT o.id, o.tok, o.bucket, o.rn,
+        |  CASE WHEN p.fill + o.tok > 256 THEN p.bin + 1 ELSE p.bin END,
+        |  CASE WHEN p.fill + o.tok > 256 THEN o.tok ELSE p.fill + o.tok END
+        | FROM ordered o JOIN pack p ON o.bucket = p.bucket AND o.rn = p.rn + 1
+        |)
+        |SELECT id, bucket AS pack_bucket, CAST(bin AS INT) AS pack_bin,
+        | CAST(fill - tok AS INT) AS pack_offset
+        |FROM pack""".stripMargin),
+
     // A GENUINE Structured Streaming run, not a batch stand-in: the
     // events table is driven through readStream → withWatermark →
     // dropDuplicatesWithinWatermark → memory sink, synchronously. The

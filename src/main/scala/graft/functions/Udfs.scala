@@ -941,4 +941,110 @@ object Udfs {
 
   val shingleAndSigUdf: UserDefinedFunction = udf(shingleAndSig _)
   val simhashSigUdf: UserDefinedFunction = udf(simhashSig _)
+
+  // ---- published-recipe document filters (C4, Gopher) -----------------
+
+  private val c4Terminal = java.util.regex.Pattern.compile("[.!?\"]\\s*$")
+
+  /** C4-style line cleaning (Raffel et al. 2020 §2.2, re-expressed):
+    * keep only lines that end in terminal punctuation [.!?"], carry at
+    * least `minWords` whitespace words, and don't mention
+    * "javascript"; then blank the whole page to '' when it contains
+    * "lorem ipsum" or "{" or the kept text has fewer than
+    * `minSentences` sentence-ending marks [.!?]. Blanked pages compose
+    * with filter-empty-or-null. The DuckDB oracle (clean_lines_c4)
+    * re-implements the SAME rules as list lambdas, so every branch is
+    * hash-compared, not pinned.
+    */
+  def c4CleanLines(text: String, minWords: Int, minSentences: Int): String = {
+    if (text == null) return null
+    val kept = text.split("\n", -1).filter { line =>
+      val t = line.trim
+      val wc = if (t.isEmpty) 0 else wsRun.split(t).count(_.nonEmpty)
+      wc >= minWords && c4Terminal.matcher(line).find() &&
+        !line.toLowerCase.contains("javascript")
+    }.mkString("\n")
+    var sentences = 0
+    var i = 0
+    while (i < kept.length) {
+      val c = kept.charAt(i)
+      if (c == '.' || c == '!' || c == '?') sentences += 1
+      i += 1
+    }
+    if (text.toLowerCase.contains("lorem ipsum") || text.contains("{") ||
+      sentences < minSentences) ""
+    else kept
+  }
+  val c4CleanLinesUdf: UserDefinedFunction = udf(c4CleanLines _)
+
+  private val gopherStops =
+    Array("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-quality rules (Rae et al. 2021, MassiveText
+    * filtering): keep a document iff word count is in [50, 100000],
+    * mean word length in [3, 10], symbol-to-word ratio ('#' chars +
+    * ellipses) <= 0.1, <= 90% of non-blank lines bullet-led ([-•*]),
+    * <= 30% of non-blank lines ellipsis-ended, >= 80% of words contain
+    * an alphabetic character, and >= 2 distinct required stopwords
+    * appear as exact lowercase tokens. Same-rule DuckDB oracle
+    * (gopher_rules) hash-compares each branch.
+    */
+  def gopherKeep(text: String): Boolean = {
+    if (text == null) return false
+    val t = text.trim
+    if (t.isEmpty) return false
+    val words = wsRun.split(t).filter(_.nonEmpty)
+    val wc = words.length
+    if (wc < 50 || wc > 100000) return false
+    var lenSum = 0L
+    var alpha = 0
+    val seen = new Array[Boolean](gopherStops.length)
+    for (w <- words) {
+      lenSum += w.length
+      var hasAlpha = false
+      var i = 0
+      while (i < w.length && !hasAlpha) {
+        val c = w.charAt(i)
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) hasAlpha = true
+        i += 1
+      }
+      if (hasAlpha) alpha += 1
+      val lw = w.toLowerCase
+      var j = 0
+      while (j < gopherStops.length) {
+        if (lw == gopherStops(j)) seen(j) = true
+        j += 1
+      }
+    }
+    val meanLen = lenSum.toDouble / wc
+    var hashes = 0
+    var ellChar = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '#') hashes += 1
+      if (c == '…') ellChar += 1
+      i += 1
+    }
+    // non-overlapping "..." occurrences (mirrors the oracle's
+    // len - len(replace(text,'...',''))/3 formulation)
+    var ellDots = 0
+    var p = text.indexOf("...")
+    while (p >= 0) { ellDots += 1; p = text.indexOf("...", p + 3) }
+    val symRatio = (hashes + ellChar + ellDots).toDouble / wc
+    val lines = text.split("\n", -1).map(_.trim).filter(_.nonEmpty)
+    val lc = lines.length
+    val bullets = lines.count { l =>
+      val c = l.charAt(0); c == '-' || c == '•' || c == '*'
+    }
+    val ellEnded = lines.count(l => l.endsWith("...") || l.endsWith("…"))
+    val bulletOk = lc == 0 || bullets.toDouble / lc <= 0.9
+    val ellOk = lc == 0 || ellEnded.toDouble / lc <= 0.3
+    var stopHits = 0
+    var j = 0
+    while (j < seen.length) { if (seen(j)) stopHits += 1; j += 1 }
+    meanLen >= 3.0 && meanLen <= 10.0 && symRatio <= 0.1 &&
+      bulletOk && ellOk && alpha.toDouble / wc >= 0.8 && stopHits >= 2
+  }
+  val gopherKeepUdf: UserDefinedFunction = udf(gopherKeep _)
 }

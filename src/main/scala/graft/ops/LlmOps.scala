@@ -54,6 +54,32 @@ object LlmOps {
         threshold = spec.optStr(2).map(_.toDouble).getOrElse(0.9))
     }
 
+    // `clean-lines-c4 :text [minWords] [minSentences]` — C4-style line
+    // retention (terminal punctuation, >=minWords words, no
+    // "javascript") + page blanking (lorem ipsum / '{' / too few
+    // sentences -> ''); compose with filter-empty-or-null
+    case "clean-lines-c4" => ColumnOps.simple(spec) { df =>
+      df.withColumn(spec.col(0), graft.functions.Udfs.c4CleanLinesUdf(
+        col(spec.col(0)),
+        lit(spec.optStr(1).map(_.toInt).getOrElse(3)),
+        lit(spec.optStr(2).map(_.toInt).getOrElse(5))))
+    }
+
+    // `gopher-rules :text` — Gopher/MassiveText document-quality gate;
+    // appends boolean `<col>_gopher_keep`
+    case "gopher-rules" => ColumnOps.simple(spec) { df =>
+      df.withColumn(s"${spec.col(0)}_gopher_keep",
+        graft.functions.Udfs.gopherKeepUdf(col(spec.col(0))))
+    }
+
+    // `pack-sequences :tok :id ctx [buckets]` — greedy context-window
+    // packing (llm/Packing); appends pack_bucket/pack_bin/pack_offset
+    case "pack-sequences" => ColumnOps.simple(spec) { df =>
+      graft.llm.Packing.packSequences(df, spec.col(0), spec.col(1),
+        spec.str(2).toInt,
+        buckets = spec.optStr(3).map(_.toInt).getOrElse(64))
+    }
+
     case "lang-id" => ColumnOps.simple(spec) { df =>
       df.withColumn(s"${spec.col(0)}_lang", TextAnalysis.langId(col(spec.col(0))))
     }

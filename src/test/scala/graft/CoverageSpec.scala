@@ -118,7 +118,8 @@ class CoverageSpec extends SparkSpec {
     "decontaminate", "contamination-hits", "chunk-text",
     "lang-id", "token-count", "quality-score", "fingerprint",
     "redact-pii", "repetition-ratio", "surprisal-score",
-    "cluster-embeddings",
+    "cluster-embeddings", "clean-lines-c4", "gopher-rules",
+    "pack-sequences",
     "sample-by-hash", "sample-weighted", "hash-split")
 
   test("all curation/sampling directives resolve in the registry") {

@@ -281,7 +281,10 @@ class LlmSpec extends SparkSpec {
     val n = out.count()
     val secs = (System.nanoTime() - t0) / 1e9
     assert(n <= 500, s"exact copies must collapse, got $n")
-    assert(secs < 120, s"took ${secs}s")
+    // guard target is the QUADRATIC blowup (10-100x, minutes-to-hours),
+    // not constant factors: hypervisor contention on this box inflates
+    // wall clock up to ~1.5x (see PERF.md), so the bound leaves slack
+    assert(secs < 240, s"took ${secs}s")
   }
 
   test("MediaHeaders.probe reads PNG/GIF/WAV/JPEG headers") {
@@ -719,6 +722,88 @@ class LlmSpec extends SparkSpec {
       .duplicatedSpans(corpus, "text", "doc_id", 5)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
+  test("C4 line cleaning keeps terminal-punct lines and blanks bad pages") {
+    import graft.functions.Udfs.c4CleanLines
+    val page = Seq(
+      "First sentence of the page ends fine.",
+      "Too short.", //                       2 words < 3
+      "this line never terminates properly", // no terminal punct
+      "Please enable javascript to continue.", // banned word
+      "Second good sentence right here!",
+      "A third one follows immediately?",
+      "Fourth sentence also reads well.",
+      "Fifth sentence closes the page.").mkString("\n")
+    val cleaned = c4CleanLines(page, 3, 5)
+    assert(cleaned == Seq(
+      "First sentence of the page ends fine.",
+      "Second good sentence right here!",
+      "A third one follows immediately?",
+      "Fourth sentence also reads well.",
+      "Fifth sentence closes the page.").mkString("\n"))
+    // page-level blanks: lorem ipsum, code brace, too few sentences
+    assert(c4CleanLines(s"$page\nSome lorem ipsum filler appears.", 3, 5) == "")
+    assert(c4CleanLines(s"$page\nvar x = { a: 1 };", 3, 5) == "")
+    assert(c4CleanLines("Just one good sentence here.", 3, 5) == "")
+    assert(c4CleanLines("Just one good sentence here.", 3, 1) ==
+      "Just one good sentence here.")
+    assert(c4CleanLines(null, 3, 5) == null)
+    // quoted-speech lines end with a quote mark, which C4 retains
+    assert(c4CleanLines("He said \"stop right there.\"", 3, 1) ==
+      "He said \"stop right there.\"")
+    // directive surface rewrites in place
+    val d = df("text STRING", Seq(Row(page)))
+    assert(wrangle("clean-lines-c4 :text 3 5", d).head().getString(0)
+      .startsWith("First sentence"))
+  }
+
+  test("Gopher rules gate flips on each published threshold") {
+    import graft.functions.Udfs.gopherKeep
+    val good = "the data and value row " * 12 // 60 words, 2 stopwords
+    assert(gopherKeep(good))
+    assert(!gopherKeep("the and a few words.")) //        wc < 50
+    assert(!gopherKeep("the data ### and value row " * 12)) // symbol ratio
+    assert(!gopherKeep("- the item and value\n" * 20)) //  all bullets
+    assert(!gopherKeep("the data and value trailing dots...\n" * 12)) // ellipsis
+    assert(!gopherKeep("111 222 333 444 " * 20)) //  alpha + stopwords
+    assert(!gopherKeep("antidisestablishmentarianism arian " * 30)) // mean len
+    assert(!gopherKeep("")); assert(!gopherKeep(null))
+    // boundary: mean word length exactly 3.0 passes (>= 3)
+    assert(gopherKeep("the and abc " * 20))
+    val d = df("text STRING", Seq(Row(good), Row("tiny.")))
+    val kept = wrangle("gopher-rules :text", d)
+      .collect().map(_.getBoolean(1)).toSeq
+    assert(kept == Seq(true, false))
+  }
+
+  test("sequence packing is greedy first-fit within id-ordered buckets") {
+    // single bucket: 100+100 fit one 256-bin, 100 opens the next;
+    // an oversize doc gets its own bin and the scan continues after it
+    val d = df("id BIGINT, tok INT", Seq(
+      Row(10L, 100), Row(11L, 100), Row(12L, 100),
+      Row(13L, 300), Row(14L, 50), Row(15L, 200), Row(16L, 57)))
+    val packed = graft.llm.Packing
+      .packSequences(d, "tok", "id", ctx = 256, buckets = 1)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getInt(4)))
+    assert(packed.toSeq == Seq(
+      (10L, 0, 0), (11L, 0, 100), (12L, 1, 0), (13L, 2, 0),
+      (14L, 3, 0), (15L, 3, 50), (16L, 4, 0)))
+    // bucketing: ids split by id % 2; packing restarts per bucket
+    val two = graft.llm.Packing
+      .packSequences(d, "tok", "id", ctx = 256, buckets = 2)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(two.toSeq == Seq(
+      (10L, 0, 0, 0), (11L, 1, 0, 0), (12L, 0, 0, 100),
+      (13L, 1, 1, 0), (14L, 0, 0, 200), (15L, 1, 2, 0), (16L, 0, 1, 0)))
+    // directive surface + argument validation
+    val viaRecipe = wrangle("pack-sequences :tok :id 256 2", d)
+    assert(viaRecipe.columns.toSeq.takeRight(3) ==
+      Seq("pack_bucket", "pack_bin", "pack_offset"))
+    intercept[IllegalArgumentException](
+      graft.llm.Packing.packSequences(d, "tok", "id", 0, 1))
   }
 
 }
