@@ -343,6 +343,29 @@ object QueryBank {
         |    chr(10) || 'short' END AS text
         |FROM customer""".stripMargin),
 
+    // paragraph-unit variant of dedup_lines: the shared boilerplate
+    // PARAGRAPH (which itself contains a newline) keeps only its
+    // global first occurrence; the trailing short paragraph is under
+    // the length floor and survives everywhere
+    ("dedup_paragraphs",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = cust(s, d).select(col("c_custkey").as("id"),
+          concat(lit("SHARED BOILERPLATE PARAGRAPH\nSPANNING TWO LINES\n\n"),
+            lit("unique paragraph for customer "), col("c_custkey").cast("string"),
+            lit("\n\nshort")).as("text"))
+        r("dedup-paragraphs :text :id;")(base).select("id", "text")
+      },
+      """SELECT c_custkey AS id,
+        | CASE WHEN c_custkey = (SELECT min(c_custkey) FROM customer)
+        |  THEN 'SHARED BOILERPLATE PARAGRAPH' || chr(10) ||
+        |    'SPANNING TWO LINES' || chr(10) || chr(10) ||
+        |    'unique paragraph for customer ' || CAST(c_custkey AS VARCHAR) ||
+        |    chr(10) || chr(10) || 'short'
+        |  ELSE 'unique paragraph for customer ' || CAST(c_custkey AS VARCHAR) ||
+        |    chr(10) || chr(10) || 'short' END AS text
+        |FROM customer""".stripMargin),
+
     // canonical URL dedup keys: three URL shapes per modulo — tracking
     // params dropped + query sorted, default port + www. + fragment
     // stripped, duplicate slashes collapsed, unparseable passthrough
@@ -543,6 +566,30 @@ object QueryBank {
           .select("user_id", "event_type"),
         queryName = "stream_dedup_correctness"),
       "SELECT DISTINCT user_id, event_type FROM events"),
+
+    // The same genuine-stream harness over the watermarked tumbling
+    // window aggregation: Append mode emits exactly the windows the
+    // 10-minute watermark finalized (window end <= max event time -
+    // 10 min); the oracle recomputes those windows and that emission
+    // rule in batch SQL. round() guards the float-sum against
+    // accumulation-order ulps.
+    ("stream_window_agg",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.streaming.StreamOps.runBatchAsStream(
+          s, s"$d/events.parquet",
+          st => graft.streaming.StreamOps
+            .windowedCounts(st, "ts", "event_type", "value")
+            .select(col("window.start").as("wstart"), col("event_type"),
+              col("n"), round(col("total_value"), 4).as("total_value")),
+          queryName = "stream_window_agg_correctness")
+      },
+      """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS wstart, event_type,
+        | count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events, (SELECT max(ts) AS mx FROM events)
+        |WHERE time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE
+        |   <= mx - INTERVAL 10 MINUTE
+        |GROUP BY 1, 2""".stripMargin),
 
     // The three candidate-pair sets below are seeded-deterministic, so
     // their expected values at the driver's correctness scale (sf0.01,
@@ -1567,6 +1614,37 @@ object QueryBank {
       """SELECT n_nationkey AS k, 'Routine checkup' AS reason,
         | n_name AS pname, 'EXAM' AS svc, 'fasting required' AS svcnote,
         | 'Exam Room 1' AS room, 'Smith' AS doc
+        |FROM nation""".stripMargin),
+
+    ("parse_as_hl7_grouped_mdm",
+      // MDM^T02 document notification + content: COMMON_ORDER group
+      // (ORC/OBR/NTE), top-level TXA, OBSERVATION group (OBX/NTE)
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = nat(s, d).select(col("n_nationkey").as("k"),
+          concat(lit("MSH|^~\\&|HIS|X|Y|Z|20240101||MDM^T02|"),
+            col("n_nationkey"),
+            lit("|P|2.5\rEVN|T02|20240101\rPID|1||"), col("n_nationkey"),
+            lit("||"), col("n_name"), lit("^F\rPV1|1|I"),
+            lit("\rORC|NW|ORD1\rOBR|1||FIL1|DISCH^Discharge Summary"),
+            lit("\rNTE|1||dictated not reviewed"),
+            lit("\rTXA|1|DS^Discharge Summary||20240102"),
+            lit("\rOBX|1|TX|FIND||Patient is stable."),
+            lit("\rNTE|1||signed electronically")).as("m"))
+        r("""parse-as-hl7 :m grouped;
+            |json-path :m_hl7_json :pname '$.PID.5.1';
+            |json-path :m_hl7_json :ordsvc '$.COMMON_ORDER.OBR.4.2';
+            |json-path :m_hl7_json :ordnote '$.COMMON_ORDER.NTE.3';
+            |json-path :m_hl7_json :doctype '$.TXA.2.1';
+            |json-path :m_hl7_json :finding '$.OBSERVATION.OBX.5';
+            |json-path :m_hl7_json :obsnote '$.OBSERVATION.NTE.3';
+            |keep :k,:pname,:ordsvc,:ordnote,:doctype,:finding,:obsnote""".stripMargin)(base)
+      },
+      """SELECT n_nationkey AS k, n_name AS pname,
+        | 'Discharge Summary' AS ordsvc,
+        | 'dictated not reviewed' AS ordnote, 'DS' AS doctype,
+        | 'Patient is stable.' AS finding,
+        | 'signed electronically' AS obsnote
         |FROM nation""".stripMargin)
   )
 

@@ -751,30 +751,31 @@ object Udfs {
   }
   val cutTokenSpansUdf: UserDefinedFunction = udf(cutTokenSpans _)
 
-  /** Rebuild `text` with the 0-based LINE indices in `drop` removed
-    * (split on \n, kept lines rejoin with \n — the reassembly step of
-    * corpus-wide line dedup). Null/empty drop list passes the text
-    * through byte-identical.
-    */
-  def cutLines(text: String, drop: Seq[Long]): String = {
+  /** Rebuild `text` with the 0-based block indices in `drop` removed,
+    * where blocks are the split on the LITERAL `delim` and survivors
+    * rejoin with the same delimiter — the reassembly step of
+    * corpus-wide line dedup ("\n") and paragraph dedup (the blank line
+    * "\n\n"); SpanDedup.removeDuplicatedLines. Null/empty drop list
+    * passes the text through byte-identical. */
+  def cutBlocks(text: String, drop: Seq[Long], delim: String): String = {
     if (text == null) return null
     if (drop == null || drop.isEmpty) return text
-    val lines = text.split("\n", -1)
+    val blocks = text.split(java.util.regex.Pattern.quote(delim), -1)
     val dropSet = drop.toSet
     val sb = new StringBuilder(text.length)
     var i = 0
     var first = true
-    while (i < lines.length) {
+    while (i < blocks.length) {
       if (!dropSet.contains(i.toLong)) {
-        if (!first) sb.append('\n')
-        sb.append(lines(i))
+        if (!first) sb.append(delim)
+        sb.append(blocks(i))
         first = false
       }
       i += 1
     }
     sb.toString
   }
-  val cutLinesUdf: UserDefinedFunction = udf(cutLines _)
+  val cutBlocksUdf: UserDefinedFunction = udf(cutBlocks _)
 
   // ---- URL canonicalization (dedup-key normalization) -----------------
   // The form Common-Crawl-derived curation pipelines reduce URLs to

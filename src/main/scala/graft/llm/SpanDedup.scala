@@ -113,7 +113,9 @@ object SpanDedup {
     * touched. Lines match EXACTLY (no normalization), so the rewrite is
     * byte-faithful: documents with no removals pass through untouched,
     * and rewritten documents keep their remaining lines and newlines
-    * as-is.
+    * as-is. `delim` generalizes the unit: the default "\n" dedups
+    * lines; "\n\n" dedups blank-line-separated PARAGRAPHS (the
+    * dedup-paragraphs directive) with identical keep-first semantics.
     *
     * Same two-round scale shape as [[duplicatedSpans]]: a bare count
     * HashAggregate over native xxhash64 line hashes finds duplicated
@@ -124,11 +126,13 @@ object SpanDedup {
     * documents WITH removals rewrite (line split + index drop kernel).
     */
   def removeDuplicatedLines(corpus: DataFrame, textCol: String,
-      idCol: String, minChars: Int = 30): DataFrame = {
+      idCol: String, minChars: Int = 30, delim: String = "\n"): DataFrame = {
     require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    require(delim.nonEmpty, "delim must be non-empty")
     val anchors = corpus
       .select(col(idCol).as("__id"),
-        posexplode(split(col(textCol), "\n", -1)).as(Seq("__p", "__ln")))
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(delim), -1)).as(Seq("__p", "__ln")))
       .filter(length(col("__ln")) >= minChars)
       .select(col("__id"), col("__p"), xxhash64(col("__ln")).as("__h"),
         struct(col("__id"), col("__p")).as("__k"))
@@ -143,7 +147,8 @@ object SpanDedup {
     corpus.join(rm, corpus(idCol) === col("__rid"), "left")
       .withColumn(textCol,
         when(col("__drop").isNull, col(textCol))
-          .otherwise(Udfs.cutLinesUdf(col(textCol), col("__drop"))))
+          .otherwise(Udfs.cutBlocksUdf(col(textCol), col("__drop"),
+            lit(delim))))
       .drop("__rid", "__drop")
   }
 

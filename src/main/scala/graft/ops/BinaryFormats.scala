@@ -456,11 +456,26 @@ object Hl7 {
       SGrp("PERSONNEL_RESOURCE", rep = true,
         Seq(SSeg("AIP"), SSeg("NTE", rep = true))))))
 
+  // MDM medical-document management (HL7 v2.5 ch.9; HAPI MDM_T01 /
+  // MDM_T02). Even trigger events carry the document content as an
+  // OBSERVATION group; odd ones are notification-only (same structure
+  // minus the observations).
+  private val MdmT01: Seq[St] = Seq(SSeg("MSH"), SSeg("SFT", rep = true),
+    SSeg("EVN"), SSeg("PID"), SSeg("PV1"),
+    SGrp("COMMON_ORDER", rep = true,
+      Seq(SSeg("ORC"), SSeg("OBR"), SSeg("NTE", rep = true))),
+    SSeg("TXA"))
+  private val MdmT02: Seq[St] = MdmT01 :+
+    SGrp("OBSERVATION", rep = true,
+      Seq(SSeg("OBX"), SSeg("NTE", rep = true)))
+
   private val structures: Map[String, Seq[St]] =
     Map("ORU_R01" -> OruR01, "ORM_O01" -> OrmO01) ++
       Seq("A01", "A02", "A03", "A04", "A05", "A06", "A07", "A08", "A11",
         "A12", "A13", "A28", "A31").map(t => s"ADT_$t" -> AdtStructure) ++
-      (12 to 26).map(e => s"SIU_S$e" -> SiuS12)
+      (12 to 26).map(e => s"SIU_S$e" -> SiuS12) ++
+      (1 to 11).map(e => f"MDM_T$e%02d" ->
+        (if (e % 2 == 0) MdmT02 else MdmT01))
 
   private def knownNames(items: Seq[St]): Set[String] = items.flatMap {
     case SSeg(n, _) => Set(n)

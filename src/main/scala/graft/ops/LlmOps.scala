@@ -30,6 +30,13 @@ object LlmOps {
         minChars = spec.optStr(2).map(_.toInt).getOrElse(30))
     }
 
+    // `dedup-paragraphs :text :id [minChars]` — same global keep-first
+    // exact dedup, but the unit is a blank-line-separated paragraph
+    case "dedup-paragraphs" => ColumnOps.simple(spec) { df =>
+      graft.llm.SpanDedup.removeDuplicatedLines(df, spec.col(0), spec.col(1),
+        minChars = spec.optStr(2).map(_.toInt).getOrElse(30), delim = "\n\n")
+    }
+
     // `normalize-url :col` — canonical URL dedup key: lowercase
     // scheme/host, strip www./default port/fragment/tracking params,
     // sort query pairs, collapse slashes (in place)

@@ -114,7 +114,7 @@ class CoverageSpec extends SparkSpec {
   // consistent-sampling directive must stay recipe-reachable
   private val curationDirectives = Seq(
     "dedup-exact", "dedup-minhash", "dedup-simhash", "dedup-embedding",
-    "dedup-spans", "dedup-lines", "normalize-url",
+    "dedup-spans", "dedup-lines", "dedup-paragraphs", "normalize-url",
     "decontaminate", "contamination-hits", "chunk-text",
     "lang-id", "token-count", "quality-score", "fingerprint",
     "redact-pii", "repetition-ratio", "surprisal-score",

@@ -218,6 +218,21 @@ class LlmSpec extends SparkSpec {
     assert(aggressive(1L).endsWith("hi") && !aggressive(2L).contains("hi"))
   }
 
+  test("dedup-paragraphs: blank-line blocks dedup as units, lines inside survive") {
+    // the shared paragraph spans two lines — line dedup would cut each
+    // line independently; paragraph dedup treats the block as the unit
+    val boiler = "SHARED BOILERPLATE PARAGRAPH\nSPANNING TWO LINES"
+    val d = df("id BIGINT, text STRING", Seq(
+      Row(1L, s"$boiler\n\nbody of the first document here"),
+      Row(2L, s"$boiler\n\nbody of the second document here"),
+      Row(3L, "no shared paragraphs\n\nanywhere in this one")))
+    val out = wrangle("dedup-paragraphs :text :id", d)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == s"$boiler\n\nbody of the first document here")
+    assert(out(2L) == "body of the second document here")
+    assert(out(3L) == "no shared paragraphs\n\nanywhere in this one")
+  }
+
   test("normalizeUrl canonicalizes and passes junk through") {
     import graft.functions.Udfs.normalizeUrl
     assert(normalizeUrl(
