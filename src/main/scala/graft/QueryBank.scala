@@ -152,11 +152,14 @@ object QueryBank {
     ("hash_exotic",
       // round-4 digest tail: MD4 (RFC 1320), RIPEMD-256 (1996 spec),
       // SHA-512/256 (JDK), WHIRLPOOL (ISO 10118-3), GOST3411-2012-256
-      // "Streebog" (RFC 6986), Tiger/Tiger2 (Anderson-Biham 1996).
+      // "Streebog" (RFC 6986), Tiger/Tiger2 (Anderson-Biham 1996),
+      // Skein-512-256 (Skein 1.3 spec).
       // Oracle pins test vectors for '' and 'abc' that were generated
       // from INDEPENDENT implementations (published vectors; Streebog
-      // cross-generated from GNU nettle, Tiger from GNU libgcrypt).
-      (s, d) => r("""set-column :v exp:{ c_custkey % 2 == 0 ? 'abc' : '' }; copy :v :md4; hash :md4 MD4; copy :v :r256; hash :r256 RIPEMD256; copy :v :s512; hash :s512 'SHA-512/256'; copy :v :wp; hash :wp WHIRLPOOL; copy :v :gost; hash :gost 'GOST3411-2012-256'; copy :v :g94; hash :g94 GOST3411; copy :v :tig; hash :tig TIGER; copy :v :tig2; hash :tig2 TIGER2; keep :c_custkey,:md4,:r256,:s512,:wp,:gost,:g94,:tig,:tig2""")(cust(s, d)),
+      // cross-generated from GNU nettle, Tiger from GNU libgcrypt;
+      // Skein '' is the published empty-message vector, 'abc' is a
+      // regression pin from the IV+KAT-verified impl in DigestSpec).
+      (s, d) => r("""set-column :v exp:{ c_custkey % 2 == 0 ? 'abc' : '' }; copy :v :md4; hash :md4 MD4; copy :v :r256; hash :r256 RIPEMD256; copy :v :s512; hash :s512 'SHA-512/256'; copy :v :wp; hash :wp WHIRLPOOL; copy :v :gost; hash :gost 'GOST3411-2012-256'; copy :v :g94; hash :g94 GOST3411; copy :v :tig; hash :tig TIGER; copy :v :tig2; hash :tig2 TIGER2; copy :v :sk; hash :sk 'Skein-512-256'; keep :c_custkey,:md4,:r256,:s512,:wp,:gost,:g94,:tig,:tig2,:sk""")(cust(s, d)),
       """SELECT c_custkey,
         | CASE WHEN c_custkey % 2 = 0 THEN 'a448017aaf21d8525fc10ae87aa6729d'
         |      ELSE '31d6cfe0d16ae931b73c59d7e0c089c0' END AS md4,
@@ -180,7 +183,10 @@ object QueryBank {
         |      ELSE '3293ac630c13f0245f92bbb1766e16167a4e58492dde73f3' END AS tig,
         | CASE WHEN c_custkey % 2 = 0
         |      THEN 'f68d7bc5af4b43a06e048d7829560d4a9415658bb0b1f3bf'
-        |      ELSE '4441be75f6018773c206c22745374b924aa8313fef919f41' END AS tig2
+        |      ELSE '4441be75f6018773c206c22745374b924aa8313fef919f41' END AS tig2,
+        | CASE WHEN c_custkey % 2 = 0
+        |      THEN '0977b339c3c85927071805584d5460d8f20da8389bbe97c59b1cfac291fe9527'
+        |      ELSE '39ccc4554a8b31853b9de7a1fe638a24cce6b35a55f2431009e18780335d2621' END AS sk
         |FROM customer""".stripMargin),
 
     ("mask_number",

@@ -30,12 +30,15 @@ package graft.functions
   *    on 400 random inputs plus the paper's test vectors before the
   *    DigestSpec pins were written
   *
+  *  - Skein-256/512/1024 (all output sizes) — Ferguson et al., Skein
+  *    1.3 (SHA-3 finalist): Threefish + UBI, no opaque tables at all;
+  *    verified against the spec's published derived-IV tables AND its
+  *    Appendix-C KAT digests (two independent end-to-end checks)
+  *
   * SHA-512/224, SHA-512/256, MD2/MD5/SHA-1/2/3 come from the JDK's
-  * MessageDigest (Udfs.digestHex falls through to it). Of the
-  * reference's MessageHash.java:54-107 list that leaves only Skein-*
-  * unsupported — opaque constant tables with no second local
-  * implementation to verify against, so we fail fast on those names
-  * rather than risk a silently wrong digest.
+  * MessageDigest (Udfs.digestHex falls through to it). With Skein
+  * implemented, every name in the reference's MessageHash.java:54-107
+  * list is now supported.
   *
   * Verified against the algorithms' published test vectors in
   * DigestSpec.
@@ -70,8 +73,12 @@ object Digests {
       case "GOST3411" | "GOST3411-94" => gost94(data)
       case "TIGER" | "TIGER-192" | "TIGER1" => tiger(data, 0x01)
       case "TIGER2" => tiger(data, 0x80.toByte)
+      case SkeinName(state, out) if out.toInt > 0 && out.toInt % 8 == 0 =>
+        skein(data, state.toInt, out.toInt)
       case _ => null
     }
+
+  private val SkeinName = "SKEIN-(256|512|1024)-(\\d+)".r
 
   // ---- BLAKE2b (RFC 7693) --------------------------------------------
 
@@ -1158,6 +1165,194 @@ object Digests {
       var j = 0
       while (j < 8) { out(i * 8 + j) = v.toByte; v >>>= 8; j += 1 }
       i += 1
+    }
+    out
+  }
+
+  // ---- Skein (version 1.3) -------------------------------------------
+  // Ferguson, Lucks, Schneier, Whiting, Bellare, Kohno, Callas, Walker:
+  // "The Skein Hash Function Family" (SHA-3 finalist submission, public
+  // spec). Unlike Streebog/Tiger there are NO opaque constant tables:
+  // the whole function is the Threefish MIX/permute network driven by
+  // the spec's published rotation/permutation schedules plus the single
+  // key-schedule constant C240, chained with UBI. Verified end-to-end
+  // against the spec's published derived-IV tables (Skein-256-256,
+  // -512-256, -512-512) and Appendix-C KAT digests (empty and
+  // decrementing-byte messages, incl. a 2-block message) in DigestSpec
+  // — the IV match alone exercises Threefish + key schedule + tweak
+  // handling bit-exactly. Covers the reference's 13 Skein-N-M names
+  // (MessageHash.java:87-99) and any other byte-multiple output size.
+
+  private val SkC240 = 0x1BD11BDAA9FC1A22L
+
+  private val SkPerm: Map[Int, Array[Int]] = Map(
+    4 -> Array(0, 3, 2, 1),
+    8 -> Array(2, 1, 4, 7, 6, 5, 0, 3),
+    16 -> Array(0, 9, 2, 13, 6, 11, 4, 15, 10, 7, 12, 3, 14, 5, 8, 1))
+
+  private val SkRot: Map[Int, Array[Array[Int]]] = Map(
+    4 -> Array(
+      Array(14, 16), Array(52, 57), Array(23, 40), Array(5, 37),
+      Array(25, 33), Array(46, 12), Array(58, 22), Array(32, 32)),
+    8 -> Array(
+      Array(46, 36, 19, 37), Array(33, 27, 14, 42), Array(17, 49, 36, 39),
+      Array(44, 9, 54, 56), Array(39, 30, 34, 24), Array(13, 50, 10, 17),
+      Array(25, 29, 39, 43), Array(8, 35, 56, 22)),
+    16 -> Array(
+      Array(24, 13, 8, 47, 8, 17, 22, 37),
+      Array(38, 19, 10, 55, 49, 18, 23, 52),
+      Array(33, 4, 51, 13, 34, 41, 59, 17),
+      Array(5, 20, 48, 41, 47, 28, 16, 25),
+      Array(41, 9, 37, 31, 12, 47, 44, 30),
+      Array(16, 34, 56, 51, 4, 53, 42, 41),
+      Array(31, 44, 47, 46, 19, 42, 44, 25),
+      Array(9, 48, 35, 52, 23, 31, 37, 20)))
+
+  /** Threefish-256/512/1024 encryption (block size = key size = 64*Nw
+    * bits); returns the ciphertext words. 72 rounds (80 for Nw=16),
+    * subkey injection every 4 rounds from the rotating key schedule
+    * with the 3-word tweak rotation.
+    */
+  private def threefish(key: Array[Long], t0: Long, t1: Long,
+      block: Array[Long]): Array[Long] = {
+    val nw = key.length
+    val ks = new Array[Long](nw + 1)
+    var knw = SkC240
+    var i = 0
+    while (i < nw) { ks(i) = key(i); knw ^= key(i); i += 1 }
+    ks(nw) = knw
+    val t2 = t0 ^ t1
+    def tw(j: Int): Long = (j % 3) match {
+      case 0 => t0; case 1 => t1; case _ => t2
+    }
+    val v = block.clone()
+    val w = new Array[Long](nw)
+    val perm = SkPerm(nw)
+    val rot = SkRot(nw)
+    val nr = if (nw == 16) 80 else 72
+    var d = 0
+    while (d < nr) {
+      if (d % 4 == 0) {
+        val s = d / 4
+        var j = 0
+        while (j < nw) { v(j) += ks((s + j) % (nw + 1)); j += 1 }
+        v(nw - 3) += tw(s); v(nw - 2) += tw(s + 1); v(nw - 1) += s
+      }
+      val r = rot(d % 8)
+      var j = 0
+      while (j < nw / 2) {
+        val y0 = v(2 * j) + v(2 * j + 1)
+        w(2 * j) = y0
+        w(2 * j + 1) = java.lang.Long.rotateLeft(v(2 * j + 1), r(j)) ^ y0
+        j += 1
+      }
+      j = 0
+      while (j < nw) { v(j) = w(perm(j)); j += 1 }
+      d += 1
+    }
+    val s = nr / 4
+    var j = 0
+    while (j < nw) { v(j) += ks((s + j) % (nw + 1)); j += 1 }
+    v(nw - 3) += tw(s); v(nw - 2) += tw(s + 1); v(nw - 1) += s
+    v
+  }
+
+  /** UBI chaining: process `msg` in state-size blocks through
+    * Threefish in Matyas-Meyer-Oseas mode (H = E_H,T(P) xor P). The
+    * tweak's position field counts cumulative message bytes INCLUDING
+    * the current (unpadded) block; First/Final flags in tweak bits
+    * 126/127, block type in bits 120-125. An empty message processes
+    * one all-zero block at position 0 (spec's UBI definition).
+    */
+  private def skeinUbi(g: Array[Long], msg: Array[Byte],
+      blockType: Int): Array[Long] = {
+    val nw = g.length
+    val nb = nw * 8
+    var h = g
+    val words = new Array[Long](nw)
+    var off = 0
+    var pos = 0L
+    var first = true
+    var done = false
+    while (!done) {
+      val take = math.min(nb, msg.length - off)
+      val last = msg.length - off <= nb
+      pos += take
+      var i = 0
+      while (i < nw) {
+        var wv = 0L
+        var b = 0
+        while (b < 8) {
+          val k = 8 * i + b
+          if (k < take) wv |= (msg(off + k) & 0xffL) << (8 * b)
+          b += 1
+        }
+        words(i) = wv
+        i += 1
+      }
+      val t1 = (blockType.toLong << 56) |
+        (if (first) 1L << 62 else 0L) | (if (last) 1L << 63 else 0L)
+      val e = threefish(h, pos, t1, words)
+      val nh = new Array[Long](nw)
+      i = 0
+      while (i < nw) { nh(i) = e(i) ^ words(i); i += 1 }
+      h = nh
+      first = false
+      off += nb
+      done = last
+    }
+    h
+  }
+
+  // Derived IVs (= UBI(0, config, CFG)) are fixed per (state, output)
+  // pair; cache them so per-row hashing skips the config block.
+  private val skeinIvCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Long]]()
+
+  /** Skein-`stateBits`-`outBits` of `data`. stateBits in {256, 512,
+    * 1024}; outBits any positive multiple of 8 (output stage iterates
+    * counter blocks for outputs longer than the state).
+    */
+  /** Derived IV = UBI(0, config, CFG) — exposed for the DigestSpec
+    * check against the spec's published precomputed IV tables.
+    */
+  private[graft] def skeinIv(stateBits: Int, outBits: Int): Array[Long] =
+    skeinIvCache.computeIfAbsent(
+      stateBits.toLong * 1000000L + outBits,
+      _ => {
+        // 32-byte config string: "SHA3", version 1 (16-bit LE), output
+        // bits (64-bit LE), tree params zero (sequential hashing)
+        val cfg = new Array[Byte](32)
+        cfg(0) = 'S'; cfg(1) = 'H'; cfg(2) = 'A'; cfg(3) = '3'
+        cfg(4) = 1
+        var i = 0
+        while (i < 8) {
+          cfg(8 + i) = ((outBits.toLong >>> (8 * i)) & 0xff).toByte
+          i += 1
+        }
+        skeinUbi(new Array[Long](stateBits / 64), cfg, 4)
+      })
+
+  def skein(data: Array[Byte], stateBits: Int, outBits: Int): Array[Byte] = {
+    val nw = stateBits / 64
+    val iv = skeinIv(stateBits, outBits)
+    val g = skeinUbi(iv, data, 48)
+    val outLen = outBits / 8
+    val out = new Array[Byte](outLen)
+    var produced = 0
+    var ctr = 0L
+    while (produced < outLen) {
+      val ctrBytes = new Array[Byte](8)
+      var i = 0
+      while (i < 8) { ctrBytes(i) = (ctr >>> (8 * i)).toByte; i += 1 }
+      val h = skeinUbi(g, ctrBytes, 63)
+      var k = 0
+      while (k < nw * 8 && produced < outLen) {
+        out(produced) = (h(k / 8) >>> (8 * (k % 8))).toByte
+        produced += 1
+        k += 1
+      }
+      ctr += 1
     }
     out
   }

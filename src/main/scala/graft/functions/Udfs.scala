@@ -119,21 +119,17 @@ object Udfs {
     if (custom != null) Digests.hex(custom)
     else {
       val up = algo.toUpperCase
-      // names in the reference's BouncyCastle list we deliberately
-      // don't implement (opaque tables with no second implementation
-      // to verify against — see Digests scaladoc): precise error, not
-      // NoSuchAlgorithmException. GOST3411 (94, CryptoPro),
-      // GOST3411-2012-256/512 (Streebog), and TIGER/TIGER2 ARE
-      // supported (handled by Digests.digest above); this fail-fast
-      // covers Skein plus unknown GOST spellings.
+      // every name in the reference's BouncyCastle list is implemented
+      // (Digests.digest above); an UNKNOWN GOST/Skein spelling (or a
+      // non-byte-multiple Skein output) still gets this precise error
+      // rather than the JDK's NoSuchAlgorithmException
       if (up.startsWith("GOST") || up.startsWith("SKEIN"))
         throw new IllegalArgumentException(
-          s"hash: '$algo' is not supported (table-based algorithm with " +
-            "no verifiable constant derivation); supported " +
+          s"hash: unknown algorithm spelling '$algo'; supported " +
             "beyond the JDK set: BLAKE2B-*, RIPEMD-128/160/256/320, " +
             "MD4, SM3, KECCAK-224/256/288/384/512, WHIRLPOOL, TIGER, " +
             "TIGER2, GOST3411, GOST3411-2012-256, GOST3411-2012-512, " +
-            "SHA-512/224, SHA-512/256")
+            "SKEIN-{256,512,1024}-<bits>, SHA-512/224, SHA-512/256")
       java.security.MessageDigest.getInstance(algo)
         .digest(bytes).map("%02x".format(_)).mkString
     }

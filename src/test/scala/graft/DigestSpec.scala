@@ -64,15 +64,84 @@ class DigestSpec extends SparkSpec {
       "c672b8d1ef56ed28ab87c3622c5114069bdd3ad7b8f9737498d0c01ecef0967a")
   }
 
-  test("documented-unsupported names raise a precise error") {
-    val ex = intercept[IllegalArgumentException] {
-      graft.functions.Udfs.digestHex("abc", "Skein-512-512")
-    }
-    assert(ex.getMessage.contains("not supported"))
-    // GOST3411 and GOST3411-2012-* are now implemented; an unknown
-    // GOST spelling still gets the precise error, not NoSuchAlgorithm
+  test("unknown algorithm spellings raise a precise error") {
+    // every name in the reference's list IS implemented now; an
+    // unknown GOST/Skein spelling still gets the precise error, not
+    // NoSuchAlgorithmException
     intercept[IllegalArgumentException] {
       graft.functions.Udfs.digestHex("abc", "GOST3411-2012")
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.Udfs.digestHex("abc", "Skein-512-100") // not /8
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.Udfs.digestHex("abc", "Skein-384-384") // no such state
+    }
+  }
+
+  test("Skein derived IVs match the spec's published IV tables") {
+    // UBI(0, config) for three (state, out) pairs — matching the
+    // published precomputed IVs exercises Threefish-256/512, the key
+    // schedule, and the tweak layout bit-exactly with no message stage
+    import graft.functions.Digests
+    def iv(state: Int, out: Int): String =
+      Digests.skeinIv(state, out).map(w => f"$w%016X").mkString(" ")
+    assert(iv(256, 256) ==
+      "FC9DA860D048B449 2FCA66479FA7D833 B33BC3896656840F 6A54E920FDE8DA69")
+    assert(iv(512, 512) ==
+      "4903ADFF749C51CE 0D95DE399746DF03 8FD1934127C79BCE 9A255629FF352CB1 " +
+      "5DB62599DF6CA7B0 EABE394CA9D5C3F4 991112C71A75B523 AE18A40B660FCC33")
+    assert(iv(512, 256) ==
+      "CCD044A12FDB3E13 E83590301A79A9EB 55AEA0614F816E6F 2A2767A4AE9B94DB " +
+      "EC06025E74DD7683 E7A436CDC4746251 C36FBAF9393AD185 3EEDBA1833EDFC13")
+  }
+
+  test("Skein KAT digests (spec Appendix C + published empty-message vectors)") {
+    import graft.functions.Digests.{digest, hex}
+    def hx(algo: String, bytes: Array[Byte]): String = hex(digest(algo, bytes))
+    val e = Array.empty[Byte]
+    assert(hx("SKEIN-256-256", e) ==
+      "c8877087da56e072870daa843f176e9453115929094c3a40c463a196c29bf7ba")
+    assert(hx("SKEIN-512-512", e) ==
+      "bc5b4c50925519c290cc634277ae3d6257212395cba733bbad37a4af0fa06af4" +
+      "1fca7903d06564fea7a2d3730dbdb80c1f85562dfcc070334ea4d1d9e72cba7a")
+    assert(hx("SKEIN-1024-1024", e) ==
+      "0fff9563bb3279289227ac77d319b6fff8d7e9f09da1247b72a0a265cd6d2a62" +
+      "645ad547ed8193db48cff847c06494a03f55666d3b47eb4c20456c9373c86297" +
+      "d630d5578ebd34cb40991578f9f52b18003efa35d3da6553ff35db91b81ab890" +
+      "bec1b189b7f52cb2a783ebb7d823d725b0b4a71f6824e88f68f982eefc6d19c6")
+    assert(hx("SKEIN-512-256", e) ==
+      "39ccc4554a8b31853b9de7a1fe638a24cce6b35a55f2431009e18780335d2621")
+    // Appendix-C KATs: decrementing-byte messages starting at 0xFF
+    def dec(n: Int): Array[Byte] =
+      Array.tabulate(n)(i => (0xFF - i).toByte)
+    assert(hx("SKEIN-256-256", dec(1)) ==
+      "0b98dcd198ea0e50a7a244c444e25c23da30c10fc9a1f270a6637f1f34e67ed2")
+    assert(hx("SKEIN-256-256", dec(32)) ==
+      "8d0fa4ef777fd759dfd4044e6f6a5ac3c774aec943dcfc07927b723b5dbf408b")
+    assert(hx("SKEIN-512-512", dec(1)) ==
+      "71b7bce6fe6452227b9ced6014249e5bf9a9754c3ad618ccc4e0aae16b316cc8" +
+      "ca698d864307ed3e80b6ef1570812ac5272dc409b5a012df2a579102f340617a")
+    assert(hx("SKEIN-512-512", dec(64)) ==
+      "45863ba3be0c4dfc27e75d358496f4ac9a736a505d9313b42b2f5eada79fc17f" +
+      "63861e947afb1d056aa199575ad3f8c9a3cc1780b5e5fa4cae050e989876625b")
+    // 128 bytes = two 512-bit MSG blocks: exercises the multi-block path
+    assert(hx("SKEIN-512-512", dec(128)) ==
+      "91cca510c263c4ddd010530a33073309628631f308747e1bcbaa90e451cab92e" +
+      "5188087af4188773a332303e6667a7a210856f742139000071f48e8ba2a5adb7")
+    // truncated outputs and an output longer than one state block
+    assert(hx("SKEIN-256-128", e).length == 32)
+    assert(hx("SKEIN-512-384", e).length == 96)
+    assert(hx("SKEIN-256-224", e).length == 56)
+    assert(hx("SKEIN-1024-384", e).length == 96)
+    // reference name list: every Skein-N-M from MessageHash.java:87-99
+    val refNames = Seq("SKEIN-1024-1024", "SKEIN-1024-384", "SKEIN-1024-512",
+      "SKEIN-256-128", "SKEIN-256-160", "SKEIN-256-224", "SKEIN-256-256",
+      "SKEIN-512-128", "SKEIN-512-160", "SKEIN-512-224", "SKEIN-512-256",
+      "SKEIN-512-384", "SKEIN-512-512")
+    for (n <- refNames) {
+      val d = digest(n, "abc".getBytes("UTF-8"))
+      assert(d != null && d.length == n.split("-")(2).toInt / 8)
     }
   }
 
@@ -154,9 +223,9 @@ class DigestSpec extends SparkSpec {
     assert(h("GOST3411",
       "This is message, length=32 bytes" + "This is message, length=32 bytes")
         .length == 64)
-    // Skein stays a precise fail-fast (Tiger is implemented now)
-    intercept[IllegalArgumentException](
-      graft.functions.Udfs.digestHex("x", "SKEIN-512-256"))
+    // Skein routes through Digests too (full vectors in its own test)
+    assert(graft.functions.Udfs.digestHex("", "SKEIN-512-256") ==
+      "39ccc4554a8b31853b9de7a1fe638a24cce6b35a55f2431009e18780335d2621")
   }
 
   test("Tiger and Tiger2 vectors (Anderson-Biham; cross-checked vs libgcrypt)") {
