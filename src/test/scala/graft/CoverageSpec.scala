@@ -117,7 +117,8 @@ class CoverageSpec extends SparkSpec {
     "dedup-spans", "dedup-lines", "dedup-paragraphs", "normalize-url",
     "decontaminate", "contamination-hits", "chunk-text",
     "lang-id", "token-count", "quality-score", "fingerprint",
-    "redact-pii", "repetition-ratio", "surprisal-score",
+    "redact-pii", "repetition-ratio", "surprisal-score", "bm25-score",
+    "quantize-embedding",
     "cluster-embeddings", "clean-lines-c4", "gopher-rules",
     "pack-sequences",
     "sample-by-hash", "sample-weighted", "hash-split")

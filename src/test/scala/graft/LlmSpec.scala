@@ -233,6 +233,40 @@ class LlmSpec extends SparkSpec {
     assert(out(3L) == "no shared paragraphs\n\nanywhere in this one")
   }
 
+  test("bm25-score: relevance orders by term frequency and rarity") {
+    val d = df("id BIGINT, text STRING", Seq(
+      Row(1L, "spark spark spark runs fast"),       // high tf of a query term
+      Row(2L, "spark is a query engine"),           // one query term
+      Row(3L, "nothing relevant whatsoever here"),  // no overlap -> 0
+      Row(4L, "window window spark")))              // two query terms
+    val out = wrangle("bm25-score :text 'spark window'", d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("text_bm25"))).toMap
+    assert(out(3L) == 0.0)
+    assert(out(4L) > out(2L)) // two matching terms beat one
+    assert(out(1L) > out(2L)) // higher tf beats single occurrence
+    // hand-check doc 2 ('spark' only): N=4, df(spark)=3, dl=5, avgdl=4.25
+    val idf = math.log(1.0 + (4 - 3 + 0.5) / (3 + 0.5))
+    val expect2 = idf * 1 * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * 5 / 4.25))
+    assert(math.abs(out(2L) - expect2) < 1e-12)
+  }
+
+  test("quantize-embedding: int8 codes with per-vector scale") {
+    val d = df("vec_id BIGINT, embedding ARRAY<FLOAT>", Seq(
+      Row(1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      Row(2L, Seq(0.0f, 0.0f)),
+      Row(3L, null)))
+    val rows = wrangle("quantize-embedding :embedding", d)
+      .orderBy("vec_id").collect()
+    val c1 = rows(0).getSeq[Int](rows(0).fieldIndex("embedding"))
+    // scale = 1/127; -0.5/scale = -63.5 rounds HALF-AWAY to -64
+    assert(c1 == Seq(127, -64, 32, 0))
+    assert(math.abs(rows(0).getDouble(rows(0).fieldIndex("embedding_scale")) - 1.0 / 127) < 1e-15)
+    assert(rows(1).getSeq[Int](rows(1).fieldIndex("embedding")) == Seq(0, 0))
+    assert(rows(1).getDouble(rows(1).fieldIndex("embedding_scale")) == 0.0)
+    assert(rows(2).isNullAt(rows(2).fieldIndex("embedding")))
+    assert(rows(2).isNullAt(rows(2).fieldIndex("embedding_scale")))
+  }
+
   test("normalizeUrl canonicalizes and passes junk through") {
     import graft.functions.Udfs.normalizeUrl
     assert(normalizeUrl(
