@@ -45,7 +45,21 @@ package graft.functions
   */
 object Digests {
 
-  def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  def hex(b: Array[Byte]): String = {
+    // table lookup, not "%02x".format: String.format costs ~300ns per
+    // BYTE, which made hex rendering dwarf the digest kernels
+    val out = new Array[Char](b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      val v = b(i) & 0xff
+      out(2 * i) = HexChars(v >>> 4)
+      out(2 * i + 1) = HexChars(v & 15)
+      i += 1
+    }
+    new String(out)
+  }
 
   /** Algorithm-name router used by the hash directive for non-JDK
     * names; returns null when the name is not one of ours.
@@ -584,35 +598,44 @@ object Digests {
   private lazy val wpMulTab: Array[Array[Int]] =
     Array.tabulate(8, 256)((c, b) => wpMul(b, wpC(c)))
 
-  /** One cipher round in place: SubBytes, ShiftColumns (col j down by
-    * j), MixRows (row × cir(1,1,4,1,8,5,2,9)), AddRoundKey. Flat 64-int
-    * state, index = 8·row + col; `tmp` is caller-provided scratch.
+  // Fast round form: the byte-matrix round — SubBytes, ShiftColumns
+  // (col j down by j), MixRows (row × cir(1,1,4,1,8,5,2,9)),
+  // AddRoundKey — algebraically regrouped per OUTPUT ROW:
+  //   st'(i,j) = key(i,j) xor XOR_k S(st((i-k) mod 8, k)) · C((j-k) mod 8)
+  // so with rows packed as big-endian u64 words, one round is 64 table
+  // lookups over 8 longs. wpCT(k)(b) packs, at byte j, S(b)·C((j-k)
+  // mod 8) — generated from the same wpSbox/wpMulTab the spec derives
+  // (nothing hand-entered), ISO 10118-3 vectors re-assert the rewrite.
+  private lazy val wpCT: Array[Array[Long]] =
+    Array.tabulate(8, 256) { (k, b) =>
+      var w = 0L
+      var j = 0
+      while (j < 8) {
+        w |= (wpMulTab(((j - k) + 8) % 8)(wpSbox(b)).toLong & 0xffL) <<
+          (56 - 8 * j)
+        j += 1
+      }
+      w
+    }
+
+  /** One cipher round on row-packed state: out(i) = key(i) xor
+    * XOR_k wpCT(k)(byte k of st((i-k) mod 8)).
     */
-  private def wpRound(st: Array[Int], key: Array[Int], tmp: Array[Int]): Unit = {
-    // SubBytes + ShiftColumns fused: tmp(i,j) = S(st((i-j) mod 8, j))
+  private def wpRound(st: Array[Long], key: Array[Long],
+      out: Array[Long]): Unit = {
+    val t0 = wpCT(0); val t1 = wpCT(1); val t2 = wpCT(2); val t3 = wpCT(3)
+    val t4 = wpCT(4); val t5 = wpCT(5); val t6 = wpCT(6); val t7 = wpCT(7)
     var i = 0
     while (i < 8) {
-      var j = 0
-      while (j < 8) {
-        tmp(8 * i + j) = wpSbox(st(8 * (((i - j) + 8) % 8) + j))
-        j += 1
-      }
-      i += 1
-    }
-    // MixRows + AddRoundKey back into st
-    i = 0
-    while (i < 8) {
-      var j = 0
-      while (j < 8) {
-        var acc = key(8 * i + j)
-        var k = 0
-        while (k < 8) {
-          acc ^= wpMulTab(((j - k) + 8) % 8)(tmp(8 * i + k))
-          k += 1
-        }
-        st(8 * i + j) = acc
-        j += 1
-      }
+      out(i) = key(i) ^
+        t0(((st(i) >>> 56) & 0xff).toInt) ^
+        t1(((st((i + 7) & 7) >>> 48) & 0xff).toInt) ^
+        t2(((st((i + 6) & 7) >>> 40) & 0xff).toInt) ^
+        t3(((st((i + 5) & 7) >>> 32) & 0xff).toInt) ^
+        t4(((st((i + 4) & 7) >>> 24) & 0xff).toInt) ^
+        t5(((st((i + 3) & 7) >>> 16) & 0xff).toInt) ^
+        t6(((st((i + 2) & 7) >>> 8) & 0xff).toInt) ^
+        t7((st((i + 1) & 7) & 0xff).toInt)
       i += 1
     }
   }
@@ -631,37 +654,50 @@ object Digests {
     val lenBytes = bitLen.toByteArray.takeRight(32)
     System.arraycopy(lenBytes, 0, msg, msg.length - lenBytes.length, lenBytes.length)
 
-    val h = new Array[Int](64)
-    val k = new Array[Int](64)
-    val s = new Array[Int](64)
-    val rc = new Array[Int](64)
-    val tmp = new Array[Int](64)
+    // state rows packed as big-endian u64 words (row i = bytes 8i..8i+7)
+    val h = new Array[Long](8)
+    val kk = new Array[Long](8)
+    val s = new Array[Long](8)
+    val m = new Array[Long](8)
+    val rc = new Array[Long](8)
+    val t = new Array[Long](8)
     var off = 0
     while (off < msg.length) {
       var i = 0
-      while (i < 64) {
-        val m = msg(off + i) & 0xff
-        k(i) = h(i)
-        s(i) = m ^ h(i)
+      while (i < 8) {
+        var w = 0L
+        var j = 0
+        while (j < 8) { w = (w << 8) | (msg(off + 8 * i + j) & 0xffL); j += 1 }
+        m(i) = w
+        kk(i) = h(i)
+        s(i) = w ^ h(i)
         i += 1
       }
       var r = 1
       while (r <= 10) {
         // round constant r: row 0 = S-box bytes 8(r-1)..8(r-1)+7
-        i = 0
-        while (i < 64) { rc(i) = if (i < 8) wpSbox(8 * (r - 1) + i) else 0; i += 1 }
-        wpRound(k, rc, tmp)
-        wpRound(s, k, tmp)
+        var rc0 = 0L
+        var j = 0
+        while (j < 8) {
+          rc0 = (rc0 << 8) | (wpSbox(8 * (r - 1) + j).toLong & 0xffL); j += 1
+        }
+        rc(0) = rc0
+        wpRound(kk, rc, t); System.arraycopy(t, 0, kk, 0, 8)
+        wpRound(s, kk, t); System.arraycopy(t, 0, s, 0, 8)
         r += 1
       }
       // Miyaguchi-Preneel: H' = W(H, m) ^ H ^ m
       i = 0
-      while (i < 64) { h(i) = s(i) ^ h(i) ^ (msg(off + i) & 0xff); i += 1 }
+      while (i < 8) { h(i) = s(i) ^ h(i) ^ m(i); i += 1 }
       off += 64
     }
     val out = new Array[Byte](64)
     var i = 0
-    while (i < 64) { out(i) = h(i).toByte; i += 1 }
+    while (i < 8) {
+      var j = 0
+      while (j < 8) { out(8 * i + j) = (h(i) >>> (56 - 8 * j)).toByte; j += 1 }
+      i += 1
+    }
     out
   }
 
@@ -1000,20 +1036,33 @@ object Digests {
     r
   }
 
-  // one step of the psi LFSR on 16 little-endian 16-bit words
+  // n steps of the psi LFSR on 16 little-endian 16-bit words — ring
+  // buffer over the word array, so psi^61 is 61 word ops instead of 61
+  // 32-byte array copies (per-compress hot path)
   private def g94Psi(y: Array[Byte], rounds: Int): Array[Byte] = {
-    var cur = y
+    val w = new Array[Int](16)
+    var i = 0
+    while (i < 16) {
+      w(i) = (y(2 * i) & 0xff) | ((y(2 * i + 1) & 0xff) << 8); i += 1
+    }
+    var base = 0
     var n = 0
     while (n < rounds) {
-      val r = new Array[Byte](32)
-      System.arraycopy(cur, 2, r, 0, 30)
-      def w(i: Int): Int = (cur(2 * i) & 0xff) | ((cur(2 * i + 1) & 0xff) << 8)
-      val nw = w(0) ^ w(1) ^ w(2) ^ w(3) ^ w(12) ^ w(15)
-      r(30) = nw.toByte; r(31) = (nw >>> 8).toByte
-      cur = r
+      val nw = w(base & 15) ^ w((base + 1) & 15) ^ w((base + 2) & 15) ^
+        w((base + 3) & 15) ^ w((base + 12) & 15) ^ w((base + 15) & 15)
+      // the dropped word-0 slot becomes the appended word 15
+      w(base & 15) = nw
+      base += 1
       n += 1
     }
-    cur
+    val r = new Array[Byte](32)
+    i = 0
+    while (i < 16) {
+      val v = w((base + i) & 15)
+      r(2 * i) = v.toByte; r(2 * i + 1) = (v >>> 8).toByte
+      i += 1
+    }
+    r
   }
 
   private def g94Compress(h: Array[Byte], m: Array[Byte]): Array[Byte] = {

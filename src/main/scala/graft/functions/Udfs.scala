@@ -130,8 +130,8 @@ object Udfs {
             "MD4, SM3, KECCAK-224/256/288/384/512, WHIRLPOOL, TIGER, " +
             "TIGER2, GOST3411, GOST3411-2012-256, GOST3411-2012-512, " +
             "SKEIN-{256,512,1024}-<bits>, SHA-512/224, SHA-512/256")
-      java.security.MessageDigest.getInstance(algo)
-        .digest(bytes).map("%02x".format(_)).mkString
+      Digests.hex(java.security.MessageDigest.getInstance(algo)
+        .digest(bytes))
     }
   }
   val digestHexUdf: UserDefinedFunction = udf(digestHex _)

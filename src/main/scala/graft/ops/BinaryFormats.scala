@@ -708,7 +708,7 @@ object Protobuf {
           if (depth > 0 && bytes.nonEmpty && decode(bytes, key, depth - 1, nested))
             out ++= nested
           else if (printable(bytes)) out(key) = new String(bytes, "UTF-8")
-          else out(key) = bytes.map("%02x".format(_)).mkString
+          else out(key) = graft.functions.Digests.hex(bytes)
           p = p2 + len.toInt
         case _ => return false
       }
@@ -824,7 +824,7 @@ object Protobuf {
           out(s"$prefix$num") = v match {
             case l: Long => l.toString
             case a: Array[Byte] => if (printable(a)) utf8(a)
-              else a.map("%02x".format(_)).mkString
+              else graft.functions.Digests.hex(a)
           }
         case Some(f) =>
           val base = prefix + f.name
@@ -844,12 +844,12 @@ object Protobuf {
             case (8, l: Long)  => out(key) = (l != 0).toString            // bool
             case (14, l: Long) => out(key) = l.toString                   // enum number
             case (9, a: Array[Byte])  => out(key) = utf8(a)               // string
-            case (12, a: Array[Byte]) => out(key) = a.map("%02x".format(_)).mkString
+            case (12, a: Array[Byte]) => out(key) = graft.functions.Digests.hex(a)
             case (10 | 11, a: Array[Byte]) =>                             // group/message
               decodeNamed(a, msgs, f.typeName, s"$key.", out)
             case (_, l: Long) => out(key) = l.toString
             case (_, a: Array[Byte]) => out(key) =
-              if (printable(a)) utf8(a) else a.map("%02x".format(_)).mkString
+              if (printable(a)) utf8(a) else graft.functions.Digests.hex(a)
           }
       }
     }

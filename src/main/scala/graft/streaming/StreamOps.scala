@@ -121,16 +121,30 @@ object StreamOps {
 
   /** Drive a batch DataFrame through a streaming query synchronously
     * (memory sink) — the local-smoke harness shape from the Spark docs.
+    *
+    * `statePartitions` scope-sets spark.sql.shuffle.partitions for the
+    * query's lifetime (restored after): a stateful streaming query
+    * instantiates one state store per shuffle partition PER micro-batch,
+    * so running a local smoke batch at the session's cluster-sized
+    * partition count pays 32 store open/commit cycles per batch for
+    * kilobytes of state. Result-invariant (partitioning never changes
+    * streaming agg/dedup semantics); a real deployment sizes this to
+    * its key cardinality, not to this harness default. 0 = leave the
+    * session value.
     */
   def runBatchAsStream(spark: SparkSession, sourceDir: String,
       transform: DataFrame => DataFrame, queryName: String,
-      outputMode: OutputMode = OutputMode.Append): DataFrame = {
+      outputMode: OutputMode = OutputMode.Append,
+      statePartitions: Int = 8): DataFrame = {
     // the events table carries TIMESTAMP(NANOS) — readable only as long.
     // Restored after the run: this is a session-wide legacy flag and a
     // later BATCH read of the same table must not inherit it.
     val prevNanos =
       spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prevParts = spark.conf.getOption("spark.sql.shuffle.partitions")
+    if (statePartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
     try {
     // FileStreamSource wants a directory; testdata tables are single
     // files — stage a symlink dir when given a file
@@ -158,6 +172,10 @@ object StreamOps {
       prevNanos match {
         case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
         case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+      if (statePartitions > 0) prevParts match {
+        case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
+        case None => spark.conf.unset("spark.sql.shuffle.partitions")
       }
     }
   }
