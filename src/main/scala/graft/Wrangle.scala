@@ -172,6 +172,14 @@ object Registry {
           out += ParserOps.fusedXpaths(
             specs.slice(i, j).map(sp => sp.copy(name = rootName(sp))))
           i = j
+        } else if (ops.XmlSupport.parseSimplePath(s.str(2)).isDefined) {
+          // a LONE xpath with a simple location path also routes
+          // through the kernel: the native function pays a ~40us/row
+          // Xalan evaluate() where the walker pays ~5us (parity
+          // asserted in OpsSpec); complex paths keep the native
+          // codegen'd expression
+          out += ParserOps.fusedXpaths(Seq(s.copy(name = rootName(s))))
+          i += 1
         } else { out += compile(s); i += 1 }
       } else { out += compile(s); i += 1 }
     }

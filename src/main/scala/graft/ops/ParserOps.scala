@@ -374,6 +374,16 @@ object XmlSupport {
     * Per-task state (builder, compiled expressions) is rebuilt lazily
     * after deserialization; a task is single-threaded so the shared
     * DocumentBuilder is safe.
+    *
+    * PERF: the DOM parse is ~6us/row, but a javax.xml.xpath
+    * evaluate() costs ~40us/row (Xalan rebuilds its DTM view of the
+    * document per call). Simple absolute location paths — /a/b,
+    * /a/b/@attr, /a/b/text(); by far the common case — are therefore
+    * compiled to a direct depth-first DOM walk with the same data
+    * model (adjacent text/CDATA chunks merge into one logical text
+    * node, as XPath requires). Anything else (predicates, //, *, ':',
+    * functions) falls back to the compiled javax expression. Parity of
+    * both paths is asserted against the native functions in OpsSpec.
     */
   final class XpathBundle(paths: Seq[String], arrayKind: Seq[Boolean])
       extends Serializable {
@@ -381,6 +391,9 @@ object XmlSupport {
       val xp = javax.xml.xpath.XPathFactory.newInstance().newXPath()
       paths.map(xp.compile).toIndexedSeq
     }
+    // element steps + terminal kind per path; None = not simple
+    private val simple: IndexedSeq[Option[(Array[String], String)]] =
+      paths.map(XmlSupport.parseSimplePath).toIndexedSeq
     @transient private lazy val builder = {
       val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
       // the native functions match element names LITERALLY inside a
@@ -403,17 +416,124 @@ object XmlSupport {
       val doc = builder.parse(
         new org.xml.sax.InputSource(new java.io.StringReader(xml)))
       paths.indices.map { i =>
-        if (arrayKind(i)) {
-          val nl = compiled(i)
-            .evaluate(doc, javax.xml.xpath.XPathConstants.NODESET)
-            .asInstanceOf[org.w3c.dom.NodeList]
-          (0 until nl.getLength).map(j => nl.item(j).getNodeValue)
-        } else {
-          Seq(compiled(i)
-            .evaluate(doc, javax.xml.xpath.XPathConstants.STRING)
-            .asInstanceOf[String])
+        simple(i) match {
+          case Some((elems, term)) =>
+            val hits = XmlSupport.walkSimple(doc, elems, term,
+              all = arrayKind(i))
+            if (arrayKind(i))
+              hits.map {
+                case e: org.w3c.dom.Element => null
+                case s: String => s
+              }
+            else Seq(hits.headOption.map {
+              case e: org.w3c.dom.Element => e.getTextContent
+              case s: String => s
+            }.getOrElse(""))
+          case None =>
+            if (arrayKind(i)) {
+              val nl = compiled(i)
+                .evaluate(doc, javax.xml.xpath.XPathConstants.NODESET)
+                .asInstanceOf[org.w3c.dom.NodeList]
+              (0 until nl.getLength).map(j => nl.item(j).getNodeValue)
+            } else {
+              Seq(compiled(i)
+                .evaluate(doc, javax.xml.xpath.XPathConstants.STRING)
+                .asInstanceOf[String])
+            }
         }
       }
     }
+  }
+
+  /** Recognize a simple absolute location path: /e1/e2/.../en with an
+    * optional terminal `@attr` or `text()`. Returns the element steps
+    * and terminal kind ("elem" | "text" | attr name prefixed "@").
+    * Steps with predicates, wildcards, '//', namespace prefixes, or
+    * functions return None (javax XPath fallback).
+    */
+  private[graft] def parseSimplePath(path: String): Option[(Array[String], String)] = {
+    if (path == null || !path.startsWith("/") || path.contains("//"))
+      return None
+    val parts = path.stripPrefix("/").split("/", -1)
+    if (parts.isEmpty || parts.exists(_.isEmpty)) return None
+    val name = "^[A-Za-z_][A-Za-z0-9_.\\-]*$".r
+    val (steps, term) = parts.last match {
+      case "text()" => (parts.dropRight(1), "text")
+      case a if a.startsWith("@") => (parts.dropRight(1), a)
+      case _ => (parts, "elem")
+    }
+    if (steps.isEmpty) return None
+    if (term.startsWith("@") &&
+        !name.pattern.matcher(term.substring(1)).matches()) return None
+    if (steps.forall(s => name.pattern.matcher(s).matches()))
+      Some((steps, term))
+    else None
+  }
+
+  /** Depth-first walk matching a simple path against the DOM, in
+    * document order. Yields, per XPath data model: matched Elements
+    * (terminal "elem"), attribute value Strings ("@attr"), or merged
+    * adjacent text/CDATA run Strings ("text"). `all=false` stops at
+    * the first hit (STRING semantics).
+    */
+  private[graft] def walkSimple(doc: org.w3c.dom.Document,
+      elems: Array[String], term: String,
+      all: Boolean): Seq[AnyRef] = {
+    import org.w3c.dom.{Element, Node}
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    def emit(el: Element): Boolean = { // true = stop traversal
+      term match {
+        case "elem" => out += el; !all
+        case "text" =>
+          // XPath data model: adjacent text/CDATA chunks form one
+          // logical text node; a comment or child element ends the run.
+          // Replicating the native functions exactly (probed):
+          // NODESET getNodeValue yields only the FIRST chunk of a run,
+          // STRING yields the whole merged run
+          var c = el.getFirstChild
+          val run = new java.lang.StringBuilder
+          var firstChunk: String = null
+          var inRun = false
+          var stop = false
+          def endRun(): Unit = if (inRun) {
+            out += (if (all) firstChunk else run.toString)
+            run.setLength(0); firstChunk = null; inRun = false
+            if (!all) stop = true
+          }
+          while (c != null && !stop) {
+            c.getNodeType match {
+              case Node.TEXT_NODE | Node.CDATA_SECTION_NODE =>
+                if (!inRun) firstChunk = c.getNodeValue
+                run.append(c.getNodeValue); inRun = true
+              case _ => endRun()
+            }
+            c = c.getNextSibling
+          }
+          endRun()
+          stop
+        case attr =>
+          val a = el.getAttributeNode(attr.substring(1))
+          if (a != null) { out += a.getValue; !all } else false
+      }
+    }
+    def rec(el: Element, idx: Int): Boolean = {
+      if (el.getTagName != elems(idx)) false
+      else if (idx == elems.length - 1) emit(el)
+      else {
+        var c = el.getFirstChild
+        var stop = false
+        while (c != null && !stop) {
+          c match {
+            case e: Element => stop = rec(e, idx + 1)
+            case _ => ()
+          }
+          c = c.getNextSibling
+        }
+        stop
+      }
+    }
+    val root = doc.getDocumentElement
+    if (root != null) rec(root, 0)
+    out.toSeq
   }
 }

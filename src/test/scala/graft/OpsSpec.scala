@@ -288,6 +288,13 @@ class OpsSpec extends SparkSpec {
       "<r a=\"7\"><v>alpha</v><v>beta</v><w/></r>",   // attr, repeats, empty elem
       "<r><v>only</v></r>",                           // no attr, no match for /r/w
       "<r xmlns=\"urn:x\"><v>ns</v></r>",             // default namespace
+      // CDATA merges into the adjacent text run; a child element SPLITS
+      // the run into two text nodes (XPath data model edge cases of the
+      // simple-path DOM walker)
+      "<r a=\"1\"><v>pre<![CDATA[mid]]>post</v><v>x<w/>y</v></r>",
+      // comment splits a run; runs starting with CDATA; mixed chunks
+      "<r a=\"2\"><v>a<!--c-->b</v><v>t1<w/>t2<![CDATA[c2]]>t3</v></r>",
+      "<x><v>wrong root</v></x>",                     // first step mismatch
       null)
     val d = df("x STRING", xmls.map(Row(_)))
     // fused path (a 3-directive run on the same column)
@@ -311,14 +318,20 @@ class OpsSpec extends SparkSpec {
     val plan = q.queryExecution.optimizedPlan.toString
     assert("UDF".r.findAllIn(plan).size == 1, plan)
 
-    // a lone xpath keeps the native codegen'd function (no UDF at all)
+    // a lone SIMPLE-path xpath routes through the kernel too (one UDF);
+    // a complex path (predicate) keeps the native codegen'd function
     val solo = wrangle("xpath :x :v1 '/r/v';", dr)
-    assert(!solo.queryExecution.optimizedPlan.toString.contains("UDF"))
+    assert("UDF".r.findAllIn(
+      solo.queryExecution.optimizedPlan.toString).size == 1)
+    val complex = wrangle("xpath :x :v1 '/r/v[1]';", dr)
+    assert(!complex.queryExecution.optimizedPlan.toString.contains("UDF"))
 
-    // run breaks on a different source column — both still native
+    // run breaks on a different source column — two separate kernels,
+    // identical results
     val twoSrc = wrangle(
       "copy :x :y; xpath :x :v1 '/r/v'; xpath :y :v2 '/r/v';", dr)
-    assert(!twoSrc.queryExecution.optimizedPlan.toString.contains("UDF"))
+    assert("UDF".r.findAllIn(
+      twoSrc.queryExecution.optimizedPlan.toString).size == 2)
     assert(twoSrc.select("v1").collect().map(_.getString(0)).toSeq ==
       twoSrc.select("v2").collect().map(_.getString(0)).toSeq)
 
