@@ -974,6 +974,52 @@ object QueryBank {
         |   (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, e2.vec_id) AS rank
         |FROM embeddings e2 ORDER BY rank LIMIT 20""".stripMargin),
 
+    ("ann_quantized_topk",
+      // cosine top-k over int8-quantized codes (scales cancel, so the
+      // score is integer dot products + sqrt — exact SQL oracle, no
+      // pinning): DuckDB re-quantizes with the identical rule and
+      // recomputes the same doubles
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).toArray
+        graft.llm.Similarity
+          .quantizedCosineTopK(e, "vec_id", "embedding", q, 20)
+          .withColumn("rank",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(lit(1))
+              .orderBy(col("cosine").desc, col("vec_id"))))
+          .select("vec_id", "rank")
+      },
+      """WITH qz AS (SELECT vec_id, list_transform(embedding, x ->
+        |   CAST(round(CAST(x AS DOUBLE) / (list_max(list_transform(embedding,
+        |     y -> abs(CAST(y AS DOUBLE)))) / 127)) AS BIGINT)) AS c
+        |  FROM embeddings),
+        |q AS (SELECT c AS qc FROM qz WHERE vec_id = 0),
+        |s AS (SELECT z.vec_id,
+        |   list_sum(list_transform(range(1, len(z.c) + 1),
+        |     i -> z.c[CAST(i AS INT)] * qc[CAST(i AS INT)])) AS dot,
+        |   list_sum(list_transform(z.c, v -> v * v)) AS n1,
+        |   list_sum(list_transform(qc, v -> v * v)) AS n2
+        |   FROM qz z CROSS JOIN q)
+        |SELECT vec_id, row_number() OVER (ORDER BY
+        |   dot / (sqrt(n1) * sqrt(n2)) DESC, vec_id) AS rank
+        |FROM s ORDER BY rank LIMIT 20""".stripMargin),
+
+    ("hashing_tf",
+      // feature-hashing count vectors — DuckDB reproduces the md5
+      // bucket rule and per-bucket counts exactly
+      (s, d) => r("hashing-tf :text 16; keep :doc_id,:text_tf")(docs(s, d)),
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id, list_transform(range(0, 16), j ->
+        |  CAST(len(list_filter(toks,
+        |    tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT % 16 = j)) AS INT)) AS text_tf
+        |FROM t""".stripMargin),
+
     ("ann_lsh_topk",
       (s, d) => annLsh(s, d),
       // deterministic multiprobe result at sf0.01: the retrieved id set

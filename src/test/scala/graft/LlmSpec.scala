@@ -267,6 +267,34 @@ class LlmSpec extends SparkSpec {
     assert(rows(2).isNullAt(rows(2).fieldIndex("embedding_scale")))
   }
 
+  test("hashing-tf: stable buckets, counts, zero vector for empty") {
+    import graft.functions.Udfs.hashingTf
+    val v = hashingTf("spark spark window", 16)
+    assert(v.sum == 3 && v.length == 16)
+    // same token always lands in the same bucket; 'spark' bucket holds 2
+    assert(v.max == 2)
+    assert(hashingTf(null, 8).toSeq == Seq.fill(8)(0))
+    // bucket matches the documented rule: first 32 md5 bits (unsigned) mod k
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest("spark".getBytes("UTF-8"))
+    val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    assert(v((u % 16).toInt) == 2)
+  }
+
+  test("quantized cosine top-k ranks like exact cosine on separable vectors") {
+    val d = df("vec_id BIGINT, embedding ARRAY<FLOAT>", Seq(
+      Row(0L, Seq(1.0f, 0.0f, 0.2f)),
+      Row(1L, Seq(0.9f, 0.1f, 0.2f)),   // near the query
+      Row(2L, Seq(-1.0f, 0.0f, 0.0f)),  // opposite
+      Row(3L, Seq(0.0f, 1.0f, 0.0f))))  // orthogonal-ish
+    val q = Array(1.0f, 0.0f, 0.2f)
+    val top = graft.llm.Similarity
+      .quantizedCosineTopK(d, "vec_id", "embedding", q, 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(0L, 1L, 3L))
+  }
+
   test("normalizeUrl canonicalizes and passes junk through") {
     import graft.functions.Udfs.normalizeUrl
     assert(normalizeUrl(
