@@ -1007,6 +1007,21 @@ object QueryBank {
         |   dot / (sqrt(n1) * sqrt(n2)) DESC, vec_id) AS rank
         |FROM s ORDER BY rank LIMIT 20""".stripMargin),
 
+    ("split_sentences",
+      // terminal-punctuation segmentation (pattern restricted to the
+      // Java/RE2 common dialect, so DuckDB evaluates the same regex)
+      (s, d) => r("set-column :text exp:{ concat('Customer ', c_name, ' lives here. Segment is ', c_mktsegment, '! the tail') }; split-sentences :text; keep :c_custkey,:sentence_id,:text")(cust(s, d)),
+      """WITH t AS (SELECT c_custkey,
+        |  'Customer ' || c_name || ' lives here. Segment is ' ||
+        |  c_mktsegment || '! the tail' AS text FROM customer),
+        |e AS (SELECT c_custkey, unnest(list_transform(range(1, len(sents) + 1),
+        |    i -> struct_pack(sid := i - 1, s := sents[CAST(i AS INT)]))) AS u
+        |  FROM (SELECT c_custkey, list_filter(list_transform(
+        |     regexp_extract_all(text, '[^.!?]+(?:[.!?]+["'')\]]*|$)'),
+        |     x -> trim(x)), x -> len(x) > 0) AS sents FROM t))
+        |SELECT c_custkey, CAST(u.sid AS INT) AS sentence_id, u.s AS text
+        |FROM e""".stripMargin),
+
     ("hashing_tf",
       // feature-hashing count vectors — DuckDB reproduces the md5
       // bucket rule and per-bucket counts exactly

@@ -278,6 +278,35 @@ object TextAnalysis {
         .as(Seq(chunkIdCol, textCol)): _*)
   }
 
+  /** Terminal-punctuation sentence pattern — deliberately restricted
+    * to a regex both Java and RE2 dialects evaluate identically (no
+    * lookbehind): a run of non-terminal chars, then either terminal
+    * punctuation (keeping attached closing quotes/brackets) or end of
+    * input (the tail fragment without terminal punctuation).
+    */
+  private[graft] val SentencePattern = """[^.!?]+(?:[.!?]+["')\]]*|$)"""
+
+  /** Sentence segmentation: one output row per sentence (trimmed,
+    * empties dropped), the text column REPLACED by the sentence and a
+    * 0-based `sentence_id` appended — the precursor to sentence-level
+    * dedup/scoring and a finer-grained chunking unit. Pure projection
+    * + generator (native regexp_extract_all + posexplode): map-only,
+    * no shuffle at any scale.
+    */
+  def splitSentences(df: DataFrame, textCol: String,
+      idxCol: String = "sentence_id"): DataFrame = {
+    require(!df.columns.contains(idxCol),
+      s"splitSentences: column '$idxCol' already exists")
+    val others = df.columns.filter(_ != textCol).map(col).toSeq
+    val sents = filter(
+      transform(
+        regexp_extract_all(col(textCol), lit(SentencePattern), lit(0)),
+        s => trim(s)),
+      s => length(s) > 0)
+    df.select(others :+
+      posexplode(sents).as(Seq(idxCol, textCol)): _*)
+  }
+
   /** One-call profile: appends all analysis columns. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

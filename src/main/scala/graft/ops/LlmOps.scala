@@ -121,6 +121,12 @@ object LlmOps {
       graft.llm.Similarity.quantizeEmbedding(df, spec.col(0))
     }
 
+    // `split-sentences :text` — one row per sentence (text replaced,
+    // `sentence_id` appended; map-only generator)
+    case "split-sentences" => ColumnOps.simple(spec) { df =>
+      TextAnalysis.splitSentences(df, spec.col(0))
+    }
+
     // `hashing-tf :text [k]` — fixed-width hashed term-frequency
     // vector (no vocabulary, map-only; appends `<col>_tf`)
     case "hashing-tf" => ColumnOps.simple(spec) { df =>

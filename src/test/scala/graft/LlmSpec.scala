@@ -267,6 +267,21 @@ class LlmSpec extends SparkSpec {
     assert(rows(2).isNullAt(rows(2).fieldIndex("embedding_scale")))
   }
 
+  test("split-sentences: terminal punctuation, attached closers, tail fragment") {
+    val d = df("id BIGINT, text STRING", Seq(
+      Row(1L, "Hello world. \"Are you ok?\" Yes! trailing tail"),
+      Row(2L, "no terminal punctuation at all"),
+      Row(3L, "")))
+    val out = wrangle("split-sentences :text", d)
+      .collect().map(r => (r.getLong(0), r.getInt(r.fieldIndex("sentence_id")),
+        r.getString(r.fieldIndex("text"))))
+    assert(out.filter(_._1 == 1L).map(t => (t._2, t._3)).toSeq == Seq(
+      (0, "Hello world."), (1, "\"Are you ok?\""), (2, "Yes!"),
+      (3, "trailing tail")))
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq == Seq("no terminal punctuation at all"))
+    assert(!out.exists(_._1 == 3L)) // empty doc -> no rows
+  }
+
   test("hashing-tf: stable buckets, counts, zero vector for empty") {
     import graft.functions.Udfs.hashingTf
     val v = hashingTf("spark spark window", 16)
