@@ -1022,6 +1022,22 @@ object QueryBank {
         |SELECT c_custkey, CAST(u.sid AS INT) AS sentence_id, u.s AS text
         |FROM e""".stripMargin),
 
+    ("dequantize_embedding",
+      // quantize -> dequantize roundtrip: both sides reconstruct
+      // code*scale in double then narrow to float32 — identical
+      // rounding, exact hash match
+      (s, d) => r("quantize-embedding :embedding; dequantize-embedding :embedding; keep :vec_id,:embedding")(emb(s, d)),
+      """SELECT vec_id,
+        | CASE WHEN list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) = 0
+        |  THEN list_transform(embedding, x -> CAST(0.0 AS REAL))
+        |  ELSE list_transform(embedding, x -> CAST(
+        |   CAST(round(CAST(x AS DOUBLE) /
+        |     (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127))
+        |    AS BIGINT) *
+        |   (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127)
+        |   AS REAL)) END AS embedding
+        |FROM embeddings""".stripMargin),
+
     ("hashing_tf",
       // feature-hashing count vectors — DuckDB reproduces the md5
       // bucket rule and per-bucket counts exactly

@@ -394,6 +394,18 @@ object Similarity {
     df.withColumn(sc, scale).withColumn(vecCol, codes)
   }
 
+  /** Inverse of [[quantizeEmbedding]]: codes x scale back to float32
+    * (reconstruction error <= scale/2 per element). Drops the scale
+    * column; pure Catalyst transform, map-only.
+    */
+  def dequantizeEmbedding(df: DataFrame, vecCol: String,
+      scaleCol: String = ""): DataFrame = {
+    val sc = if (scaleCol.nonEmpty) scaleCol else s"${vecCol}_scale"
+    df.withColumn(vecCol,
+        transform(col(vecCol), c => (c.cast("double") * col(sc)).cast("float")))
+      .drop(sc)
+  }
+
   /** Driver-side mirror of [[quantizeEmbedding]]'s per-element rule —
     * same max|x|/127 scale, same HALF_UP rounding Spark's round() uses.
     */

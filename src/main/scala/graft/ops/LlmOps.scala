@@ -121,6 +121,12 @@ object LlmOps {
       graft.llm.Similarity.quantizeEmbedding(df, spec.col(0))
     }
 
+    // `dequantize-embedding :vec` — codes x scale back to float32
+    // (drops `<vec>_scale`)
+    case "dequantize-embedding" => ColumnOps.simple(spec) { df =>
+      graft.llm.Similarity.dequantizeEmbedding(df, spec.col(0))
+    }
+
     // `split-sentences :text` — one row per sentence (text replaced,
     // `sentence_id` appended; map-only generator)
     case "split-sentences" => ColumnOps.simple(spec) { df =>

@@ -118,7 +118,8 @@ class CoverageSpec extends SparkSpec {
     "decontaminate", "contamination-hits", "chunk-text",
     "lang-id", "token-count", "quality-score", "fingerprint",
     "redact-pii", "repetition-ratio", "surprisal-score", "bm25-score",
-    "quantize-embedding", "hashing-tf", "split-sentences",
+    "quantize-embedding", "dequantize-embedding", "hashing-tf",
+    "split-sentences",
     "cluster-embeddings", "clean-lines-c4", "gopher-rules",
     "pack-sequences",
     "sample-by-hash", "sample-weighted", "hash-split")

@@ -297,6 +297,26 @@ class LlmSpec extends SparkSpec {
     assert(v((u % 16).toInt) == 2)
   }
 
+  test("quantize/dequantize roundtrip bounds reconstruction error by scale/2") {
+    val d = df("vec_id BIGINT, embedding ARRAY<FLOAT>", Seq(
+      Row(1L, Seq(0.83f, -0.41f, 0.077f, 0.0f)),
+      Row(2L, Seq(-1.25f, 0.5f))))
+    val orig = Map(1L -> Seq(0.83f, -0.41f, 0.077f, 0.0f),
+      2L -> Seq(-1.25f, 0.5f))
+    val rows = wrangle(
+      "quantize-embedding :embedding; dequantize-embedding :embedding", d)
+      .collect()
+    assert(!rows.head.schema.fieldNames.contains("embedding_scale"))
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val rec = r.getSeq[Float](r.fieldIndex("embedding"))
+      val scale = orig(id).map(math.abs(_)).max / 127.0
+      orig(id).zip(rec).foreach { case (o, x) =>
+        assert(math.abs(o - x) <= scale / 2 + 1e-7, s"id=$id $o vs $x")
+      }
+    }
+  }
+
   test("quantized cosine top-k ranks like exact cosine on separable vectors") {
     val d = df("vec_id BIGINT, embedding ARRAY<FLOAT>", Seq(
       Row(0L, Seq(1.0f, 0.0f, 0.2f)),
