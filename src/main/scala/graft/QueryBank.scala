@@ -918,15 +918,18 @@ object QueryBank {
       // symmetric per-vector int8 codes + reconstruction scale — both
       // sides compute max|x|/127 and round(x/scale) on identical
       // doubles (round() is half-away-from-zero in Spark AND DuckDB),
-      // so codes and scale match bit-for-bit with no rounding guard
-      (s, d) => r("quantize-embedding :embedding; keep :vec_id,:embedding,:embedding_scale")(emb(s, d)),
+      // so codes and scale match bit-for-bit with no rounding guard.
+      // Codes are joined to a CSV string (Int.toString on both sides)
+      // so the driver comparator can sort the column; the array-typed
+      // behavior stays covered in LlmSpec.
+      (s, d) => r("quantize-embedding :embedding; set-column :embedding exp:{ arrays:join(embedding, ',') }; keep :vec_id,:embedding,:embedding_scale")(emb(s, d)),
       """SELECT vec_id,
         | CASE WHEN embedding IS NULL THEN NULL
         |  WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
-        |   THEN list_transform(embedding, x -> 0)
-        |  ELSE list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) /
+        |   THEN array_to_string(list_transform(embedding, x -> 0), ',')
+        |  ELSE array_to_string(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) /
         |   (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127))
-        |   AS INTEGER)) END AS embedding,
+        |   AS INTEGER)), ',') END AS embedding,
         | list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127
         |  AS embedding_scale
         |FROM embeddings""".stripMargin),
@@ -1025,9 +1028,17 @@ object QueryBank {
     ("dequantize_embedding",
       // quantize -> dequantize roundtrip: both sides reconstruct
       // code*scale in double then narrow to float32 — identical
-      // rounding, exact hash match
-      (s, d) => r("quantize-embedding :embedding; dequantize-embedding :embedding; keep :vec_id,:embedding")(emb(s, d)),
-      """SELECT vec_id,
+      // rounding, exact hash match. Floats can't be joined to a string
+      // portably (Java vs DuckDB float rendering differ on exponent
+      // forms), so the vector is posexploded to scalar (vec_id, pos,
+      // value) rows — bit-identical float32 on both sides, and every
+      // column is driver-sortable.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        r("quantize-embedding :embedding; dequantize-embedding :embedding; keep :vec_id,:embedding")(emb(s, d))
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "value")))
+      },
+      """WITH dq AS (SELECT vec_id,
         | CASE WHEN list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) = 0
         |  THEN list_transform(embedding, x -> CAST(0.0 AS REAL))
         |  ELSE list_transform(embedding, x -> CAST(
@@ -1036,19 +1047,25 @@ object QueryBank {
         |    AS BIGINT) *
         |   (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127)
         |   AS REAL)) END AS embedding
-        |FROM embeddings""".stripMargin),
+        |FROM embeddings)
+        |SELECT vec_id, CAST(u.pos AS INT) AS pos, u.value AS value
+        |FROM (SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1),
+        |  i -> struct_pack(pos := i - 1, value := embedding[CAST(i AS INT)]))) AS u
+        |  FROM dq)""".stripMargin),
 
     ("hashing_tf",
       // feature-hashing count vectors — DuckDB reproduces the md5
-      // bucket rule and per-bucket counts exactly
-      (s, d) => r("hashing-tf :text 16; keep :doc_id,:text_tf")(docs(s, d)),
+      // bucket rule and per-bucket counts exactly; the 16-bucket count
+      // vector is joined to a CSV string so the driver comparator can
+      // sort it (array-typed behavior stays covered in LlmSpec)
+      (s, d) => r("hashing-tf :text 16; set-column :text_tf exp:{ arrays:join(text_tf, ',') }; keep :doc_id,:text_tf")(docs(s, d)),
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '), x -> len(x) > 0) AS toks
         |  FROM documents)
-        |SELECT doc_id, list_transform(range(0, 16), j ->
+        |SELECT doc_id, array_to_string(list_transform(range(0, 16), j ->
         |  CAST(len(list_filter(toks,
-        |    tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT % 16 = j)) AS INT)) AS text_tf
+        |    tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT % 16 = j)) AS INT)), ',') AS text_tf
         |FROM t""".stripMargin),
 
     ("ann_lsh_topk",

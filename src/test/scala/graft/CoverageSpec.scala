@@ -128,4 +128,30 @@ class CoverageSpec extends SparkSpec {
     val missing = unresolved(curationDirectives)
     assert(missing.isEmpty, s"not registered: ${missing.mkString(", ")}")
   }
+
+  /** Harness-compat gate: the driver's oracle comparator sorts the
+    * result with pandas before hashing, and pandas `sort_values` dies
+    * on array/map/struct cells (`unhashable type: numpy.ndarray`) —
+    * the query then lands in the un-oracle-able bucket with an `err`
+    * row instead of a green. Every QueryBank output schema must
+    * therefore contain only driver-sortable (atomic) top-level types;
+    * a query that needs to expose a vector serializes it (CSV-join for
+    * ints, posexplode to scalars for floats) like quantize_embedding /
+    * dequantize_embedding / hashing_tf do.
+    */
+  test("every QueryBank output schema is driver-sortable (atomic columns only)") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val dir = "/root/testdata/sf0.001"
+    val bad = QueryBank.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val nonAtomic = fn(spark, dir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] ||
+                  f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+      nonAtomic
+    }
+    assert(bad.isEmpty,
+      s"non-sortable top-level columns (driver oracle would error):\n  ${bad.mkString("\n  ")}")
+  }
 }
