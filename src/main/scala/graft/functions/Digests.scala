@@ -87,7 +87,8 @@ object Digests {
       case "GOST3411" | "GOST3411-94" => gost94(data)
       case "TIGER" | "TIGER-192" | "TIGER1" => tiger(data, 0x01)
       case "TIGER2" => tiger(data, 0x80.toByte)
-      case SkeinName(state, out) if out.toInt > 0 && out.toInt % 8 == 0 =>
+      case SkeinName(state, out)
+          if out.length <= 6 && out.toInt > 0 && out.toInt % 8 == 0 =>
         skein(data, state.toInt, out.toInt)
       case _ => null
     }

@@ -781,14 +781,21 @@ object Udfs {
   // trailing slash. Unparseable input passes through trimmed (a dedup
   // KEY must never silently become null).
 
+  // Unambiguous click/campaign identifiers only. Bare `ref` is NOT in
+  // the default list: on many sites it is semantic (?ref=branch selects
+  // different content) and stripping it would collapse distinct
+  // resources to one dedup key; callers that know their corpus uses it
+  // for attribution pass it via `extraDrop` (`normalize-url :url ref`).
   private val trackingParams = Set("gclid", "fbclid", "msclkid", "mc_cid",
-    "mc_eid", "igshid", "ref", "ref_src", "yclid", "twclid")
-  private def isTrackingParam(k: String): Boolean = {
+    "mc_eid", "igshid", "ref_src", "yclid", "twclid")
+  private def isTrackingParam(k: String, extraDrop: Set[String]): Boolean = {
     val lk = k.toLowerCase
-    lk.startsWith("utm_") || trackingParams(lk)
+    lk.startsWith("utm_") || trackingParams(lk) || extraDrop(lk)
   }
 
-  def normalizeUrl(url: String): String = {
+  def normalizeUrl(url: String): String = normalizeUrl(url, Set.empty[String])
+
+  def normalizeUrl(url: String, extraDrop: Set[String]): String = {
     if (url == null) return null
     val s = url.trim
     try {
@@ -806,7 +813,7 @@ object Udfs {
       if (path.length > 1 && path.endsWith("/")) path = path.dropRight(1)
       val query = Option(u.getRawQuery)
         .map(_.split("&").filter(_.nonEmpty)
-          .filterNot(kv => isTrackingParam(kv.takeWhile(_ != '=')))
+          .filterNot(kv => isTrackingParam(kv.takeWhile(_ != '='), extraDrop))
           .sorted)
         .filter(_.nonEmpty)
         .map(_.mkString("&"))
@@ -814,7 +821,16 @@ object Udfs {
         query.map("?" + _).getOrElse("")
     } catch { case _: Exception => s }
   }
-  val normalizeUrlUdf: UserDefinedFunction = udf(normalizeUrl _)
+  val normalizeUrlUdf: UserDefinedFunction = udf((u: String) => normalizeUrl(u))
+
+  /** Same normalization with a caller-supplied extra drop-list (CSV of
+    * lowercase query-param names) — the configurable face of the
+    * `normalize-url` directive.
+    */
+  val normalizeUrlDropUdf: UserDefinedFunction =
+    udf((u: String, extraCsv: String) => normalizeUrl(u,
+      Option(extraCsv).map(_.split(",").map(_.trim.toLowerCase)
+        .filter(_.nonEmpty).toSet).getOrElse(Set.empty)))
 
   /** Normalized word tokens (normalizeText split on single spaces). */
   def normTokens(text: String): Array[String] = {

@@ -17,8 +17,10 @@ import graft.functions.Udfs
   * broadcast; each corpus document then counts its own gram hits by
   * binary search inside a JIT'd kernel. 10M benchmark grams = 80 MB
   * broadcast — well inside executor memory; the default guard caps at
-  * 20M grams (160 MB), the same order as Spark's own broadcast-join
-  * ceiling. For a benchmark set too
+  * 100M grams (800 MB) so existing callers never trip it by surprise,
+  * but ~20M (160 MB, the order of Spark's own broadcast-join ceiling)
+  * is the RECOMMENDED operating point — pass `maxBenchGrams` explicitly
+  * to enforce a tighter budget. For a benchmark set too
   * large to broadcast (`maxBenchGrams` guard), the fallback shape is a
   * broadcast-or-shuffle equi-join on exploded gram hashes; that path is
   * deliberately NOT implicit because exploding the 100 TB corpus side
@@ -43,7 +45,7 @@ object Decontaminate {
     */
   def markHits(corpus: DataFrame, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 8,
-      maxBenchGrams: Int = 20000000): DataFrame = {
+      maxBenchGrams: Int = 100000000): DataFrame = {
     val hits = hitsColumn(corpus, textCol, bench, benchTextCol, n, maxBenchGrams)
     corpus.withColumn(s"${textCol}_contam_hits", hits)
   }
@@ -51,7 +53,7 @@ object Decontaminate {
   /** Keep only documents with fewer than `minHits` shared n-grams. */
   def drop(corpus: DataFrame, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 8, minHits: Int = 1,
-      maxBenchGrams: Int = 20000000): DataFrame = {
+      maxBenchGrams: Int = 100000000): DataFrame = {
     val hits = hitsColumn(corpus, textCol, bench, benchTextCol, n, maxBenchGrams)
     corpus.filter(hits < lit(minHits))
   }

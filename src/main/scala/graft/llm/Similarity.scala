@@ -453,7 +453,10 @@ object Similarity {
           n1 += codes(i).toLong * codes(i)
           i += 1
         }
-        if (n1 == 0L) java.lang.Double.valueOf(0.0)
+        // zero query OR zero data vector -> cosine undefined; score 0
+        // (mirrors the n1 guard so an all-zero query can't flood the
+        // top-k with NaN/Infinity orderings)
+        if (n1 == 0L || qn == 0.0) java.lang.Double.valueOf(0.0)
         else java.lang.Double.valueOf(dot / (math.sqrt(n1.toDouble) * qn))
       }
     })

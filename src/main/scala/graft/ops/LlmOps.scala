@@ -37,12 +37,20 @@ object LlmOps {
         minChars = spec.optStr(2).map(_.toInt).getOrElse(30), delim = "\n\n")
     }
 
-    // `normalize-url :col` — canonical URL dedup key: lowercase
-    // scheme/host, strip www./default port/fragment/tracking params,
-    // sort query pairs, collapse slashes (in place)
+    // `normalize-url :col [extra,params]` — canonical URL dedup key:
+    // lowercase scheme/host, strip www./default port/fragment/tracking
+    // params, sort query pairs, collapse slashes (in place). The
+    // optional second argument is a CSV of additional query-param names
+    // to drop (e.g. `ref` on corpora where it is attribution, not
+    // content selection).
     case "normalize-url" => ColumnOps.simple(spec) { df =>
-      df.withColumn(spec.col(0), graft.functions.Udfs.normalizeUrlUdf(
-        col(spec.col(0)).cast(org.apache.spark.sql.types.StringType)))
+      val src = col(spec.col(0)).cast(org.apache.spark.sql.types.StringType)
+      val normed = spec.optStr(1) match {
+        case Some(extra) =>
+          graft.functions.Udfs.normalizeUrlDropUdf(src, lit(extra))
+        case None => graft.functions.Udfs.normalizeUrlUdf(src)
+      }
+      df.withColumn(spec.col(0), normed)
     }
 
     case "dedup-minhash" => ColumnOps.simple(spec) { df =>
