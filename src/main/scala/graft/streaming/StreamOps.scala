@@ -23,15 +23,24 @@ object StreamOps {
   def wrangleStream(recipe: String, stream: DataFrame): DataFrame =
     Wrangle.recipe(recipe).apply(stream)
 
-  /** Normalize a nanosecond-precision LongType timestamp column (read
-    * with spark.sql.legacy.parquet.nanosAsLong=true — Spark has no
-    * TIMESTAMP(NANOS) parquet type) down to microsecond TimestampType.
+  /** Normalize an event-time column to watermark-compatible
+    * TimestampType: a nanosecond-precision LongType (read with
+    * spark.sql.legacy.parquet.nanosAsLong=true — Spark has no
+    * TIMESTAMP(NANOS) parquet type) becomes microsecond TimestampType,
+    * and TIMESTAMP_NTZ (parquet isAdjustedToUTC=false, what pyarrow
+    * writes for naive timestamps) is cast to TimestampType —
+    * withWatermark only accepts TZ timestamps. The engine pins
+    * spark.sql.session.timeZone=UTC, so the cast preserves the naive
+    * wall clock exactly.
     */
   def normalizeTs(df: DataFrame, tsCol: String): DataFrame =
     df.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn(tsCol, timestamp_micros(
           (col(tsCol) / 1000).cast(org.apache.spark.sql.types.LongType)))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol,
+          col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
 
