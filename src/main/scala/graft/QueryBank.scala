@@ -573,6 +573,27 @@ object QueryBank {
         queryName = "stream_dedup_correctness"),
       "SELECT DISTINCT user_id, event_type FROM events"),
 
+    // The same genuine-stream harness over mapGroupsWithState
+    // sessionization (Update mode, NoTimeout — the bounded batch is one
+    // micro-batch, so each user emits exactly one running-aggregate row
+    // and the oracle is the per-user batch rollup). round() guards the
+    // float-sum against accumulation-order ulps; `closed` is dropped
+    // (always false without a timeout).
+    ("stream_sessionize",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.streaming.StreamOps.runBatchAsStream(
+          s, s"$d/events.parquet",
+          st => graft.streaming.StreamOps.sessionize(st)
+            .select(col("user_id"), col("n_events"),
+              round(col("total_value"), 4).as("total_value")),
+          queryName = "stream_sessionize_correctness",
+          outputMode = org.apache.spark.sql.streaming.OutputMode.Update)
+      },
+      """SELECT user_id, count(*) AS n_events,
+        | round(sum(value), 4) AS total_value
+        |FROM events GROUP BY user_id""".stripMargin),
+
     // The same genuine-stream harness over the watermarked tumbling
     // window aggregation: Append mode emits exactly the windows the
     // 10-minute watermark finalized (window end <= max event time -
