@@ -26,6 +26,7 @@ object VerifyOne {
     names.foreach { name =>
       SparkEntry.queries(name)(spark, sfDir).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/$name")
+      spark.catalog.clearCache() // drop per-query signature caches
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
