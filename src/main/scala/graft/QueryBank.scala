@@ -859,6 +859,35 @@ object QueryBank {
         |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
         |WHERE g.doc_id % 97 <> 0""".stripMargin),
 
+    ("decontaminate_bloom",
+      // the huge-benchmark scale path: Bloom pre-screen + exact
+      // equi-join verify. Bit-identical to markHits by construction
+      // (false positives join nothing), so the oracle is the SAME
+      // exact-hit-count SQL as `decontaminate` — the driver verifies
+      // the screen+verify composition, not a looser approximation.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val all = docs(s, d)
+        graft.llm.Decontaminate.markHitsScalable(
+          all.filter(col("doc_id") % 97 =!= 0), "text", "doc_id",
+          all.filter(col("doc_id") % 97 === 0), "text", n = 3)
+          .select(col("doc_id"), col("text_contam_hits").as("hits"))
+      },
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[]) ELSE
+        |  list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |    i -> to_json(list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 2)))) END AS grams
+        |  FROM t),
+        |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+        |ch AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0),
+        |hits AS (SELECT ch.doc_id, count(*) AS h FROM ch JOIN bg USING (gram) GROUP BY ch.doc_id)
+        |SELECT g.doc_id, CAST(coalesce(h.h, 0) AS INT) AS hits
+        |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+        |WHERE g.doc_id % 97 <> 0""".stripMargin),
+
     ("pipeline_curation",
       // end-to-end curation composite: lang-id + quality-score +
       // token-count compose in ONE projection over the scan, the

@@ -939,22 +939,62 @@ object Udfs {
     sig
   }
 
-  /** MinHash signature: numHashes affine rehashes (a*h+b with natural
-    * 64-bit wraparound) over the shingle hash set.
+  /** Dev-only observability: rows that actually ran a MinHash signature
+    * kernel (detects cache-miss recompute of the persisted signature
+    * frame — each row SHOULD be computed exactly once per query).
     */
-  def minhashSig(text: String, numHashes: Int, shingleK: Int, seed: Long): Array[Long] =
-    sigFromShingles(shingleHashSet(text, shingleK), numHashes, seed)
+  val shingleKernelCalls = new java.util.concurrent.atomic.LongAdder()
 
   /** Shingle set AND MinHash signature from ONE normalization+shingling
-    * pass — the LSH pair generator needs both per document, and
-    * computing them as two UDFs costs a second full pass over the text
-    * (normalize + window hash), the dominant kernel cost.
+    * pass. Note: for an empty shingle set the signature is the
+    * numHashes-long MaxValue array (unlike [[minhashSig]], which
+    * signals emptiness with an empty array).
     */
   def shingleAndSig(text: String, numHashes: Int, shingleK: Int,
       seed: Long): (Array[Long], Array[Long]) = {
+    shingleKernelCalls.increment()
     val sh = shingleHashSet(text, shingleK)
     (sh, sigFromShingles(sh, numHashes, seed))
   }
+
+  /** MinHash signature ONLY — the shingle set stays kernel-local and is
+    * never returned, cached, or shuffled (it is text-sized: one 64-bit
+    * hash per character; carrying it through a persist or an exchange
+    * costs more than the whole signature pass — measured 2-3x the
+    * dedup_minhash wall at sf0.1). Returns an EMPTY array when the
+    * normalized text yields no shingles, so emptiness survives as a
+    * filterable signal (`size(sig) > 0`).
+    */
+  def minhashSig(text: String, numHashes: Int, shingleK: Int,
+      seed: Long): Array[Long] = {
+    shingleKernelCalls.increment()
+    val sh = shingleHashSet(text, shingleK)
+    if (sh.isEmpty) Array.emptyLongArray
+    else sigFromShingles(sh, numHashes, seed)
+  }
+  val minhashSigUdf: UserDefinedFunction = udf(minhashSig _)
+
+  /** Exact shingle-set Jaccard of two texts, recomputed from the raw
+    * text — the candidate-verify kernel. shingleHashSet returns SORTED
+    * distinct hashes, so the intersection is one linear merge; the
+    * union size is |A|+|B|-|A∩B|. Identical value to the former
+    * array_intersect/array_union formulation (both operate on the same
+    * distinct-hash sets). Empty-or-empty pairs score 0.0.
+    */
+  def shingleJaccard(a: String, b: String, k: Int): Double = {
+    val sa = shingleHashSet(a, k)
+    val sb = shingleHashSet(b, k)
+    if (sa.isEmpty || sb.isEmpty) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < sa.length && j < sb.length) {
+      val x = sa(i); val y = sb(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (sa.length + sb.length - inter)
+  }
+  val shingleJaccardUdf: UserDefinedFunction = udf(shingleJaccard _)
 
   /** 64-bit SimHash over whitespace tokens of the normalized text. */
   def simhashSig(text: String): Long = {

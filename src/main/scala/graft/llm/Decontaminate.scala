@@ -58,6 +58,73 @@ object Decontaminate {
     corpus.filter(hits < lit(minHits))
   }
 
+  /** Scale path for benchmark sets too large for the sorted-array
+    * broadcast: a Bloom-filter pre-screen plus an exact equi-join
+    * verify, with BIT-IDENTICAL results to [[markHits]].
+    *
+    * Shape at 100 TB: the benchmark gram set stays a DataFrame (never
+    * collected); one aggregation builds a Bloom filter over it (~1.2
+    * bytes/gram at 1% fpp vs 8 for the sorted array — 100M grams
+    * broadcast in ~120 MB instead of 800 MB). The corpus pass is then
+    * MAP-ONLY: each document screens its own grams against the
+    * broadcast filter and the overwhelming majority — clean documents —
+    * are done right there with hits=0. Only screened-in documents (true
+    * contaminations plus the fpp sliver of false positives) explode
+    * their grams into the exact equi-join verify, so the
+    * explode-multiplies-the-corpus cost the eager-join fallback pays
+    * everywhere is paid only on the contaminated fraction. False
+    * positives cannot reach the output: the verify join is exact, so
+    * a bloom-FP document joins nothing and lands at hits=0.
+    *
+    * Requires `idCol` to uniquely identify corpus rows (the verified
+    * counts are joined back on it — a small broadcast join, the only
+    * non-map corpus-side step).
+    */
+  def markHitsScalable(corpus: DataFrame, textCol: String, idCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    val benchGrams = bench
+      .select(explode(Udfs.tokenGramHashesUdf(col(benchTextCol), lit(n)))
+        .as("__g"))
+      .distinct().persist()
+    // sizes the filter AND materializes the persist so the verify join
+    // reads the cache instead of re-exploding the benchmark
+    val m = benchGrams.count()
+    if (m == 0) {
+      // empty benchmark: nothing can be contaminated, and Spark's
+      // stat.bloomFilter NPEs on an empty frame
+      benchGrams.unpersist()
+      return corpus.withColumn(s"${textCol}_contam_hits", lit(0))
+    }
+    val bloom = benchGrams.stat.bloomFilter("__g", m, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val screenUdf = udf((s: String) => {
+      val b = bc.value
+      val gs = Udfs.tokenGramHashes(s, n)
+      var i = 0
+      var hit = false
+      while (i < gs.length && !hit) {
+        if (b.mightContainLong(gs(i))) hit = true
+        i += 1
+      }
+      hit
+    })
+    val flagged = corpus
+      .filter(screenUdf(col(textCol)))
+      .select(col(idCol).as("__did"),
+        explode(Udfs.tokenGramHashesUdf(col(textCol), lit(n))).as("__g"))
+    // per-doc gram arrays are already distinct (tokenGramHashes is a
+    // set) and benchGrams is distinct, so count(*) = distinct shared
+    val hits = flagged.join(benchGrams, Seq("__g"))
+      .groupBy(col("__did")).agg(count(lit(1)).as("__hits"))
+      .withColumnRenamed("__did", idCol)
+    corpus.join(hits, Seq(idCol), "left")
+      .withColumn(s"${textCol}_contam_hits",
+        coalesce(col("__hits").cast("int"), lit(0)))
+      .drop("__hits")
+  }
+
   private def hitsColumn(corpus: DataFrame, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int,
       maxBenchGrams: Int): Column = {

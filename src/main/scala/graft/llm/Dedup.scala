@@ -103,43 +103,45 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 16, shingleK: Int = 5,
       threshold: Double = 0.7, maxBucketSize: Int = 10000): DataFrame =
     minhashPairsAndIds(df, textCol, idCol, numHashes, bands, shingleK,
-      threshold, maxBucketSize)._2
+      threshold, maxBucketSize, textSource = df)._2
 
   /** [[minhashPairs]] plus the materialized (cached) `__id` column of
     * every input row — the dedup wrappers read keeper ids from this
     * cache instead of re-running their upstream exact-dedup shuffle.
+    *
+    * `textSource` is where candidate-pair verification fetches text
+    * from (any frame with unique `idCol` covering the candidate ids —
+    * the dedup wrappers pass the ORIGINAL corpus so the fetch is a
+    * plain pruned scan, not a replay of their exact-dedup shuffle).
     */
   private[llm] def minhashPairsAndIds(df: DataFrame, textCol: String,
       idCol: String, numHashes: Int = 128, bands: Int = 16,
       shingleK: Int = 5, threshold: Double = 0.7,
-      maxBucketSize: Int = 10000): (DataFrame, DataFrame) = {
+      maxBucketSize: Int = 10000, textSource: DataFrame): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
 
-    // per-document kernel (shingle set + signature) is a JIT'd function —
-    // Catalyst higher-order functions are CodegenFallback and re-evaluate
+    // Per-document signature kernel is a JIT'd function — Catalyst
+    // higher-order functions are CodegenFallback and re-evaluate
     // captured expressions per element (measured 100x slower here).
-    // ONE combined UDF call per row: shingling+normalization is the
-    // dominant per-doc cost and two separate UDFs would pay it twice.
-    // The struct is persisted UN-expanded — expanding _1/_2 before the
-    // persist would let projection collapse clone the UDF back into two
-    // evaluations. The count() materializes the persist BEFORE the
-    // self-join runs: without it, the join's two branches race to
-    // populate the cache within one job and each uncached partition
-    // computes its expensive signature twice (measured: bimodal 2x
-    // run-to-run swings). count() over the being-built cache adds only
-    // partial counts on top of the populate cost — a foreachPartition
-    // with a non-draining closure would skip row computation entirely
-    // and populate nothing.
+    // ONLY the fixed-width signature leaves the kernel: the shingle set
+    // is text-sized (one hash per character), and an earlier shape that
+    // cached and shuffled it for the verify step spent 2-3x the whole
+    // query's wall in columnar decode + exchange serialization of those
+    // arrays at sf0.1 — and a corpus-sized cache column is exactly what
+    // does not survive 100 TB. Verification below recomputes shingles
+    // from text for the candidate SLIVER only. The count() materializes
+    // the persist BEFORE the self-join runs: without it, the join's two
+    // branches race to populate the cache within one job and each
+    // uncached partition computes its signature twice (measured:
+    // bimodal 2x run-to-run swings).
     val raw = df.select(
       col(idCol).as("__id"),
-      graft.functions.Udfs.shingleAndSigUdf(col(textCol), lit(numHashes),
-        lit(shingleK), lit(42L)).as("__b"))
+      graft.functions.Udfs.minhashSigUdf(col(textCol), lit(numHashes),
+        lit(shingleK), lit(42L)).as("__sig"))
       .persist()
     raw.count() // eager: signatures compute exactly once, not per join branch
-    val base = raw.select(col("__id"), col("__b._1").as("__sh"),
-      col("__b._2").as("__sig"))
-      .filter(size(col("__sh")) > 0)
+    val base = raw.filter(size(col("__sig")) > 0)
 
     // (band, bucketHash, id): one row per band per doc
     val buckets = base.select(
@@ -164,13 +166,19 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    // exact Jaccard on candidates only
-    val withA = cands.join(base.select(col("__id").as("id_a"), col("__sh").as("__sha")), "id_a")
-    val withB = withA.join(base.select(col("__id").as("id_b"), col("__sh").as("__shb")), "id_b")
+    // Exact shingle-Jaccard on candidates only, recomputed from TEXT:
+    // the tiny candidate set broadcasts against two pruned text scans
+    // (no corpus shuffle, no big-array exchange), then one merge-
+    // intersect kernel per pair. Verify cost scales with the candidate
+    // sliver, not the corpus.
+    val texts = textSource.select(col(idCol), col(textCol))
+    val withA = cands.join(
+      texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
+    val withB = withA.join(
+      texts.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")
     val pairs = withB
-      .withColumn("jaccard",
-        size(array_intersect(col("__sha"), col("__shb"))).cast(DoubleType) /
-          size(array_union(col("__sha"), col("__shb"))))
+      .withColumn("jaccard", graft.functions.Udfs.shingleJaccardUdf(
+        col("__ta"), col("__tb"), lit(shingleK)))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
     (raw.select("__id"), pairs)
@@ -189,8 +197,11 @@ object Dedup {
     // the final output rows come from the source semi-join below, so
     // the exact-dedup shuffle never carries the other columns.
     val distinctDocs = exact(df.select(col(idCol), col(textCol)), textCol, idCol)
+    // textSource = the ORIGINAL corpus: candidate verification fetches
+    // pair text through a pruned scan of df instead of replaying the
+    // exact-dedup shuffle (winner ids keep their text verbatim in df)
     val (ids, pairs) = minhashPairsAndIds(distinctDocs, textCol, idCol,
-      numHashes, bands, shingleK, threshold)
+      numHashes, bands, shingleK, threshold, textSource = df)
     val losers = pairs.select(col("id_b").as(idCol)).distinct()
     // keeper ids = exact-dedup winners minus verified near-dup losers,
     // both read from the signature CACHE — then ONE semi-join back to
@@ -280,7 +291,7 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     val distinctDocs = exact(df.select(col(idCol), col(textCol)), textCol, idCol)
     val (ids, pairs) = minhashPairsAndIds(distinctDocs, textCol, idCol,
-      numHashes, bands, shingleK, threshold)
+      numHashes, bands, shingleK, threshold, textSource = df)
     val losers = connectedComponents(pairs)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol)).distinct()

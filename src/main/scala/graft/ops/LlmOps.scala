@@ -216,6 +216,24 @@ object LlmOps {
       }
     }
 
+    // `contamination-hits-scale :text :id benchtable [n] [fpp]` — the
+    // huge-benchmark form of contamination-hits: Bloom pre-screen +
+    // exact equi-join verify (bit-identical hits; see
+    // Decontaminate.markHitsScalable). Needs a unique id column to
+    // join the verified counts back.
+    case "contamination-hits-scale" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = {
+        val bench = ctx.lookups.getOrElse(spec.str(2),
+          throw new RecipeException(
+            s"${spec.name}: unknown benchmark table '${spec.str(2)}'"))
+        st.mapDf(df => graft.llm.Decontaminate.markHitsScalable(
+          df, spec.col(0), spec.col(1), bench, bench.columns.head,
+          n = spec.optStr(3).map(_.toInt).getOrElse(8),
+          fpp = spec.optStr(4).map(_.toDouble).getOrElse(0.01)))
+      }
+    }
+
     // duplicate-line and duplicate-3-gram fractions (Gopher-style
     // repetition quality signals)
     case "repetition-ratio" => ColumnOps.simple(spec) { df =>

