@@ -630,6 +630,23 @@ object QueryBank {
         | (134,178,185,245,267,290,293,301,323,332,374,377,383,387,389,
         |  413,420,446,447,450,455,457,462,486)""".stripMargin),
 
+    ("dedup_minhash_cc",
+      // transitive-collapse policy: verified pairs cluster into
+      // connected components (iterative min-label propagation) and only
+      // each component's smallest id survives. Same seeded-determinism
+      // as dedup_minhash, so the sf0.01 keeper set pins exactly; any
+      // regression in banding, verification, OR the CC iteration breaks
+      // the match. (At sf0.01 every duplicate chain has diameter 1, so
+      // the dropped set equals dedup_minhash's — the CC path is still
+      // exercised end-to-end: label propagation to fixpoint, loser =
+      // id != component.)
+      (s, d) => graft.llm.Dedup
+        .minhashDedupCC(docs(s, d), "text", "doc_id", threshold = 0.8)
+        .select("doc_id", "lang", "source"),
+      """SELECT doc_id, lang, source FROM documents WHERE doc_id NOT IN
+        | (134,178,185,245,267,290,293,301,323,332,374,377,383,387,389,
+        |  413,420,446,447,450,455,457,462,486)""".stripMargin),
+
     ("minhash_pairs",
       (s, d) => graft.llm.Dedup
         .minhashPairs(docs(s, d), "text", "doc_id", threshold = 0.8)
