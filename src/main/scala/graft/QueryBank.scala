@@ -1540,6 +1540,45 @@ object QueryBank {
         |       WHEN source = 'src1' THEN '${graft.session.Sampler.hexThreshold(0.2)}'
         |       ELSE '${graft.session.Sampler.hexThreshold(0.6)}' END""".stripMargin),
 
+    ("select_budget",
+      // best-quality token-budget subset: inclusive running token sum
+      // in (quality desc, doc_id asc) order, stop at the first
+      // overflow. The oracle replays quality + token count + the
+      // cumulative window in SQL — integer token sums, no float risk.
+      (s, d) => r("quality-score :text; token-count :text; " +
+        "select-budget :text_tokens :text_quality :doc_id 20000; " +
+        "keep :doc_id,:text_quality,:text_tokens")(docs(s, d)),
+      s"""WITH q AS ($qualityScoreSql),
+        |tk AS (SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0))
+        |   AS text_tokens FROM documents),
+        |j AS (SELECT q.doc_id, q.text_quality, tk.text_tokens
+        |  FROM q JOIN tk USING (doc_id)),
+        |c AS (SELECT *, sum(text_tokens)
+        |   OVER (ORDER BY text_quality DESC, doc_id) AS cum FROM j)
+        |SELECT doc_id, text_quality, text_tokens FROM c
+        |WHERE cum <= 20000""".stripMargin),
+
+    ("sample_temperature",
+      // p∝n^α source mixing over the skewed lang distribution: the
+      // oracle recomputes the whole rate pipeline — sorted-order sqrt
+      // sum (list_sum over an ORDER BY list mirrors the driver's
+      // sequential sorted-group accumulation), one-shot min(1,·) cap,
+      // round to 6 decimals, then the 60-bit integer keep test
+      // (floor(r6·2^60) is an exponent-only scaling, exact in double on
+      // both engines — no hash-boundary ulp risk)
+      (s, d) => r("sample-temperature :doc_id :lang 0.5 0.25; keep :doc_id,:lang")(docs(s, d)),
+      """WITH gc AS (SELECT lang AS g, count(*) AS c FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
+        |  list_sum(list(sqrt(CAST(c AS DOUBLE)) ORDER BY g)) AS sp FROM gc),
+        |rates AS (SELECT g, CAST(floor(round(least(1.0,
+        |    ((0.25 * n / sp) * sqrt(CAST(c AS DOUBLE))) / CAST(c AS DOUBLE)),
+        |   6) * 1152921504606846976) AS BIGINT) AS thr FROM gc, tot)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN rates ON d.lang = rates.g
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |  < rates.thr""".stripMargin),
+
     ("hash_split",
       // boundary literals reproduce hashSplit's own scanLeft double
       // accumulation (0.0+0.8+0.1 != literal 0.9 in IEEE754) so the

@@ -72,4 +72,52 @@ object Packing {
     df.join(packed, col(idCol).cast(LongType) === col("__jid"), "left")
       .drop("__jid")
   }
+
+  /** Quality-ordered token-budget corpus subsetting: keep the
+    * best-`orderCol` rows (ties toward the smallest id) while the
+    * running token total stays within `budget` — "give me the best
+    * N-billion-token subset of this corpus", the final sizing step of
+    * a training-data pipeline. A row is kept iff its INCLUSIVE
+    * cumulative token count (in quality-desc, id-asc order) is
+    * ≤ budget, so selection stops at the first row that would
+    * overflow.
+    *
+    * Scale shape: NO global single-task window. The corpus is
+    * range-partitioned on the selection order (so partition i holds
+    * strictly better rows than partition i+1), pinned so the two
+    * passes observe one layout (sampling-based range boundaries are
+    * not re-derivable — PlanStability), then: one bounded job collects
+    * per-partition token sums (one row per partition), the driver
+    * turns them into exclusive prefix offsets, and a WITHIN-partition
+    * cumulative window adds the offset — every task scans only its own
+    * partition, the same two-phase prefix pattern as
+    * increment-variable. Null token counts cost 0.
+    */
+  def selectBudget(df: DataFrame, tokCol: String, orderCol: String,
+      idCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "select-budget: budget must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val cols = df.columns
+    val t = coalesce(col(tokCol).cast(LongType), lit(0L))
+    val ordering = Seq(col(orderCol).desc, col(idCol).asc)
+    val pidC = "__graft_sb_pid"
+    val ranged = graft.ops.PlanStability.pin(
+      df.repartitionByRange(ordering: _*)
+        .sortWithinPartitions(ordering: _*))
+      .withColumn(pidC, spark_partition_id())
+    val partials = ranged.groupBy(col(pidC)).agg(sum(t).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      partials.map { case (pid, s) => val o = pid -> acc; acc += s; o }.toMap
+    }
+    val offCol =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(offsets), col(pidC)), lit(0L))
+    val w = Window.partitionBy(col(pidC)).orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.withColumn("__cum", sum(t).over(w) + offCol)
+      .filter(col("__cum") <= budget)
+      .select(cols.map(col).toSeq: _*)
+  }
 }

@@ -216,6 +216,15 @@ object LlmOps {
       }
     }
 
+    // `select-budget :tokens :order :id budget` — quality-ordered
+    // token-budget corpus subsetting: keep best-`order` rows while the
+    // running token total stays ≤ budget (llm/Packing.selectBudget;
+    // range-partitioned two-phase prefix sum, no global window)
+    case "select-budget" => ColumnOps.simple(spec) { df =>
+      graft.llm.Packing.selectBudget(df, spec.col(0), spec.col(1),
+        spec.col(2), spec.str(3).toLong)
+    }
+
     // `contamination-hits-scale :text :id benchtable [n] [fpp]` — the
     // huge-benchmark form of contamination-hits: Bloom pre-screen +
     // exact equi-join verify (bit-identical hits; see

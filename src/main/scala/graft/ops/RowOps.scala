@@ -146,6 +146,17 @@ object RowOps {
         salt = spec.optStr(4).getOrElse(""))
     }
 
+    // `sample-temperature :key :group [alpha] [frac] [salt]` — p∝n^α
+    // source mixing: per-group keep rates sized from group counts so
+    // the expected kept fraction is `frac`, α up-weighting small
+    // sources (session.Sampler.temperatureMix)
+    case "sample-temperature" => ColumnOps.simple(spec) { df =>
+      graft.session.Sampler.temperatureMix(df, spec.col(0), spec.col(1),
+        alpha = spec.optStr(2).map(_.toDouble).getOrElse(0.5),
+        targetFrac = spec.optStr(3).map(_.toDouble).getOrElse(0.25),
+        salt = spec.optStr(4).getOrElse(""))
+    }
+
     // `hash-split :key train:0.9,val:0.05,test:0.05 [salt] [outcol]` —
     // disjoint named subsets by hash range, each individually stable
     case "hash-split" => ColumnOps.simple(spec) { df =>

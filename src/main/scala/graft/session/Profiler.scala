@@ -196,6 +196,71 @@ object Sampler {
     df.filter(pred)
   }
 
+  /** Temperature-based source mixing (the `p_g ∝ n_g^α` resampling rule
+    * published with multi-corpus LM training mixes): group g keeps a
+    * rate r_g = min(1, c·n_g^α / n_g) with c chosen so the expected
+    * kept row count is `targetFrac` of the corpus — α=1 keeps natural
+    * proportions, α=0 equalizes sources, in between up-weights small
+    * sources. One tiny count-per-group job sizes the rates on the
+    * driver (group cardinality is bounded — same contract as the
+    * IVF/k-means driver step); the corpus pass is then a map-only
+    * hash-range filter, stable under repartition/retry like
+    * [[consistent]].
+    *
+    * Oracle-exactness: rates are computed in deterministic
+    * sorted-group order, α=0.5 routes through IEEE-correctly-rounded
+    * sqrt, the rate is rounded to 6 decimals, and the keep compare is
+    * a 60-bit integer test (`first 15 md5 hex < floor(r6·2^60)` —
+    * the 2^60 scaling is exponent-only, exact in double), so an
+    * engine recomputing the same formula in SQL reproduces the kept
+    * set bit-for-bit. Rows whose group is NULL are dropped (they have
+    * no rate); the one-shot min(1,·) cap means over-full small groups
+    * under-deliver the target slightly rather than re-normalizing
+    * iteratively.
+    */
+  def temperatureMix(df: DataFrame, keyCol: String, groupCol: String,
+      alpha: Double = 0.5, targetFrac: Double = 0.25,
+      salt: String = ""): DataFrame = {
+    val thresholds = temperatureThresholds(df, groupCol, alpha, targetFrac)
+    val u = conv(substring(hashPoint(keyCol, salt), 1, 15), 16, 10)
+      .cast(LongType)
+    val pred = thresholds.foldRight(lit(false): Column) {
+      case ((g, thr), rest) =>
+        when(col(groupCol) === lit(g), u < lit(thr)).otherwise(rest)
+    }
+    df.filter(pred)
+  }
+
+  /** The per-group 60-bit keep thresholds behind [[temperatureMix]]:
+    * (group, floor(round(min(1, c·n^α/n), 6) · 2^60)), groups in
+    * sorted order. Public so tests and SQL mirrors can reproduce the
+    * exact integers.
+    */
+  def temperatureThresholds(df: DataFrame, groupCol: String,
+      alpha: Double, targetFrac: Double): Seq[(String, Long)] = {
+    require(targetFrac > 0.0 && targetFrac <= 1.0,
+      s"temperatureMix: targetFrac in (0,1], got $targetFrac")
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"temperatureMix: alpha in [0,1], got $alpha")
+    def powA(x: Double): Double =
+      if (alpha == 0.5) math.sqrt(x) else math.pow(x, alpha)
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast(StringType).as("g")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    if (counts.isEmpty) return Seq.empty
+    val n = counts.map(_._2).sum.toDouble
+    // sequential sum in sorted-group order — deterministic, mirrorable
+    var sp = 0.0
+    counts.foreach { case (_, c) => sp += powA(c.toDouble) }
+    counts.map { case (g, c) =>
+      val raw = ((targetFrac * n / sp) * powA(c.toDouble)) / c.toDouble
+      val r6 = java.math.BigDecimal.valueOf(math.min(1.0, raw))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      g -> (r6 * 1152921504606846976.0 /* 2^60: exponent-only, exact */).toLong
+    }
+  }
+
   private def hashPoint(keyCol: String, salt: String): Column =
     md5(concat(coalesce(col(keyCol).cast(StringType), lit("")), lit(salt)))
 

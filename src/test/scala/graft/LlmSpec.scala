@@ -709,6 +709,31 @@ class LlmSpec extends SparkSpec {
     assert(zeroed.forall(_ == 0))
   }
 
+  test("select-budget keeps best-quality rows within the token budget") {
+    val d = df("id BIGINT, tok INT, q DOUBLE", Seq(
+      Row(1L, 100, 0.5), Row(2L, 200, 0.9), Row(3L, 150, 0.9),
+      Row(4L, 300, 0.7), Row(5L, 50, 0.2), Row(6L, null, 0.95)))
+    // order: id6(q.95,tok0) id2(q.9,200) id3(q.9,150 — tie broken by id)
+    // id4(q.7,300) id1(q.5,100) id5(q.2,50); cum: 0,200,350,650,750,800
+    def sel(budget: Long) = graft.llm.Packing
+      .selectBudget(d, "tok", "q", "id", budget)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(sel(650) == Set(6L, 2L, 3L, 4L), s"got ${sel(650)}")
+    // stop at first overflow: 649 excludes id4 but not later smaller rows
+    assert(sel(649) == Set(6L, 2L, 3L), s"got ${sel(649)}")
+    assert(sel(0) == Set(6L)) // null tokens cost 0, still kept
+    assert(sel(10000) == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // partition-independent: same subset from a different layout
+    assert(graft.llm.Packing
+      .selectBudget(d.repartition(5), "tok", "q", "id", 650)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(6L, 2L, 3L, 4L))
+    // directive surface
+    val viaRecipe = graft.Wrangle
+      .recipe("select-budget :tok :q :id 650").apply(d)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaRecipe == Set(6L, 2L, 3L, 4L))
+  }
+
   test("decontaminate scale path (bloom + exact verify) matches markHits") {
     val bench = df("q STRING", Seq(
       Row("what is the capital of france"),

@@ -223,4 +223,51 @@ class MiscSpec extends SparkSpec {
     assert(wrangle("sample-weighted :id :grp 'a:1.0,b:0.2'", grouped)
       .count() == mixed.size)
   }
+
+  test("temperature mixing: n^alpha rates hit the target, alpha shapes them") {
+    import graft.session.Sampler
+    // skewed sources: big=1600, mid=300, small=100
+    val rows = (1L to 2000L).map { i =>
+      Row(i, if (i <= 1600) "big" else if (i <= 1900) "mid" else "small")
+    }
+    val d = df("id BIGINT, src STRING", rows)
+
+    // alpha=1: natural proportions — every group keeps ~frac
+    val t1 = Sampler.temperatureThresholds(d, "src", alpha = 1.0,
+      targetFrac = 0.5).toMap
+    val half = (0.5 * (1L << 60).toDouble).toLong
+    assert(t1.values.forall(v => math.abs(v - half) < (1L << 40)), s"got $t1")
+
+    // alpha=0.5: small sources up-weighted, big down-weighted,
+    // expected kept count still ~frac*N
+    val t05 = Sampler.temperatureThresholds(d, "src", alpha = 0.5,
+      targetFrac = 0.5).toMap
+    assert(t05("small") > t05("mid") && t05("mid") > t05("big"), s"got $t05")
+    val kept = Sampler.temperatureMix(d, "id", "src", alpha = 0.5,
+      targetFrac = 0.5).count()
+    assert(kept > 800 && kept < 1200, s"kept $kept of 2000 at frac 0.5")
+
+    // keep decision is key-pure: stable under repartition
+    val a = Sampler.temperatureMix(d, "id", "src", 0.5, 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampler.temperatureMix(d.repartition(7), "id", "src", 0.5, 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+
+    // alpha=0 equalizes expected PER-GROUP counts: rate_g = c/n_g
+    // (small group saturates toward 1 first)
+    // c = 0.3*2000/3 = 200 expected per group: small (100 rows)
+    // saturates at rate 1, big keeps 200/1600 = 0.125 — ratio 8
+    val t0 = Sampler.temperatureThresholds(d, "src", alpha = 0.0,
+      targetFrac = 0.3).toMap
+    assert(t0("small") == (1L << 60) && t0("small") > t0("big") * 7,
+      s"got $t0")
+
+    // null groups drop; directive surface wires through
+    val withNull = df("id BIGINT, src STRING",
+      Seq(Row(1L, "a"), Row(2L, null)))
+    assert(Sampler.temperatureMix(withNull, "id", "src", 0.5, 1.0)
+      .count() == 1)
+    assert(wrangle("sample-temperature :id :src 0.5 0.5", d).count() == kept)
+  }
 }
