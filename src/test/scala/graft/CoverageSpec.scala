@@ -115,14 +115,16 @@ class CoverageSpec extends SparkSpec {
   private val curationDirectives = Seq(
     "dedup-exact", "dedup-minhash", "dedup-simhash", "dedup-embedding",
     "dedup-spans", "dedup-lines", "dedup-paragraphs", "normalize-url",
-    "decontaminate", "contamination-hits", "chunk-text",
+    "decontaminate", "contamination-hits", "contamination-hits-scale",
+    "chunk-text", "select-budget",
     "lang-id", "token-count", "quality-score", "fingerprint",
     "redact-pii", "repetition-ratio", "surprisal-score", "bm25-score",
     "quantize-embedding", "dequantize-embedding", "hashing-tf",
     "split-sentences",
     "cluster-embeddings", "clean-lines-c4", "gopher-rules",
     "pack-sequences",
-    "sample-by-hash", "sample-weighted", "hash-split")
+    "sample-by-hash", "sample-weighted", "hash-split",
+    "sample-temperature")
 
   test("all curation/sampling directives resolve in the registry") {
     val missing = unresolved(curationDirectives)
