@@ -1540,6 +1540,25 @@ object QueryBank {
         |       WHEN source = 'src1' THEN '${graft.session.Sampler.hexThreshold(0.2)}'
         |       ELSE '${graft.session.Sampler.hexThreshold(0.6)}' END""".stripMargin),
 
+    ("bpe_token_count",
+      // corpus-trained BPE subword counts, verified as a per-lang
+      // rollup: training is a pure function of the word-frequency
+      // table (frequency-desc, lex tie-break), so the learned merges —
+      // and every derived count — are fixture-stable at sf0.01. Any
+      // regression in the merge loop, rank application, or the encode
+      // kernel shifts these sums. (Same pinned-rollup pattern as
+      // embedding_clusters; DuckDB cannot replay BPE training.)
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.llm.Bpe.tokenCount(docs(s, d), "text", numMerges = 200)
+          .groupBy(col("lang"))
+          .agg(sum(col("text_bpe_tokens")).as("bpe_tokens"),
+            count(lit(1)).as("docs"))
+      },
+      """SELECT lang, CAST(t AS BIGINT) AS bpe_tokens, CAST(n AS BIGINT) AS docs
+        |FROM (VALUES ('de', 3549, 70), ('en', 11757, 218), ('es', 3958, 73),
+        |  ('fr', 3758, 64), ('zh', 4143, 75)) v(lang, t, n)""".stripMargin),
+
     ("select_budget",
       // best-quality token-budget subset: inclusive running token sum
       // in (quality desc, doc_id asc) order, stop at the first

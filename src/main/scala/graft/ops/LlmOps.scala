@@ -216,6 +216,25 @@ object LlmOps {
       }
     }
 
+    // `bpe-token-count :text [numMerges] [maxWords]` — corpus-trained
+    // byte-pair-encoding subword count (llm/Bpe): bounded word-freq
+    // top-k -> driver merge loop -> broadcast ranks -> map-only encode
+    case "bpe-token-count" => ColumnOps.simple(spec) { df =>
+      graft.llm.Bpe.tokenCount(df, spec.col(0),
+        numMerges = spec.optStr(1).map(_.toInt).getOrElse(200),
+        maxWords = spec.optStr(2).map(_.toInt).getOrElse(50000))
+    }
+
+    // `bpe-encode :text [numMerges] [maxWords]` — same training, but
+    // appends the subword token ARRAY as `<col>_bpe`
+    case "bpe-encode" => ColumnOps.simple(spec) { df =>
+      val merges = graft.llm.Bpe.train(df, spec.col(0),
+        numMerges = spec.optStr(1).map(_.toInt).getOrElse(200),
+        maxWords = spec.optStr(2).map(_.toInt).getOrElse(50000))
+      df.withColumn(s"${spec.col(0)}_bpe",
+        graft.llm.Bpe.encodeColumn(df, spec.col(0), merges))
+    }
+
     // `select-budget :tokens :order :id budget` — quality-ordered
     // token-budget corpus subsetting: keep best-`order` rows while the
     // running token total stays ≤ budget (llm/Packing.selectBudget;

@@ -118,6 +118,7 @@ class CoverageSpec extends SparkSpec {
     "decontaminate", "contamination-hits", "contamination-hits-scale",
     "chunk-text", "select-budget",
     "lang-id", "token-count", "quality-score", "fingerprint",
+    "bpe-token-count", "bpe-encode",
     "redact-pii", "repetition-ratio", "surprisal-score", "bm25-score",
     "quantize-embedding", "dequantize-embedding", "hashing-tf",
     "split-sentences",

@@ -709,6 +709,52 @@ class LlmSpec extends SparkSpec {
     assert(zeroed.forall(_ == 0))
   }
 
+  test("BPE: deterministic merges, canonical encoding, fewer tokens with more merges") {
+    import graft.llm.Bpe
+    // hand-checkable frequency table: "low" x5, "lower" x2, "newest" x6,
+    // "widest" x3 — the published toy example family
+    val freqs = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val m1 = Bpe.trainFromFreqs(freqs, 1)
+    // most frequent pair: (e,s) appears in newest(6) + widest(3) = 9
+    assert(m1 == Seq(("e", "s")), s"got $m1")
+    val m4 = Bpe.trainFromFreqs(freqs, 4)
+    // then (es,t</w>) 9, then (l,o) 7, then the 6-count tie
+    // (n,e)/(e,w)/(w,est</w>) resolves lexicographically to (e,w)
+    assert(m4 == Seq(("e", "s"), ("es", "t</w>"), ("l", "o"), ("e", "w")),
+      s"got $m4")
+
+    // encoding applies merges by rank; unseen chars stay singletons
+    val ranks = new java.util.HashMap[(String, String), Int]()
+    m4.zipWithIndex.foreach { case (p, i) => ranks.put(p, i) }
+    assert(Bpe.encodeText("low", ranks).toSeq == Seq("lo", "w</w>"))
+    assert(Bpe.encodeText("lowest", ranks).toSeq == Seq("lo", "w", "est</w>"))
+    assert(Bpe.encodeText("Newest LOW", ranks).toSeq ==
+      Seq("n", "ew", "est</w>", "lo", "w</w>")) // lowercased words
+    assert(Bpe.encodeText(null, ranks).isEmpty)
+
+    // corpus-level: 0 merges = character count (+marker fusion), more
+    // merges never increase any document's token count
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "low lower newest"), Row(2L, "widest low newest newest"),
+      Row(3L, null)))
+    val c0 = Bpe.tokenCount(d, "text", numMerges = 0)
+      .select("doc_id", "text_bpe_tokens").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(c0(1L) == 3 + 5 + 6 && c0(3L) == 0, s"got $c0")
+    val c6 = Bpe.tokenCount(d, "text", numMerges = 6)
+      .select("doc_id", "text_bpe_tokens").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(c6.forall { case (k, v) => v <= c0(k) }, s"got $c6 vs $c0")
+
+    // directive surfaces
+    val viaCount = graft.Wrangle.recipe("bpe-token-count :text 6").apply(d)
+    assert(viaCount.columns.contains("text_bpe_tokens"))
+    val viaEnc = graft.Wrangle.recipe("bpe-encode :text 6").apply(d)
+      .filter(col("doc_id") === 1L)
+      .select("text_bpe").head().getSeq[String](0)
+    assert(viaEnc.nonEmpty && viaEnc.forall(_.nonEmpty))
+  }
+
   test("select-budget keeps best-quality rows within the token budget") {
     val d = df("id BIGINT, tok INT, q DOUBLE", Seq(
       Row(1L, 100, 0.5), Row(2L, 200, 0.9), Row(3L, 150, 0.9),
