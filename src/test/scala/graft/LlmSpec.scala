@@ -151,9 +151,17 @@ class LlmSpec extends SparkSpec {
       new java.util.ArrayList[Row](java.util.Arrays.asList(
         edges.map { case (a, b) => Row(a, b) }: _*)), schema)
     val before = spark.sparkContext.getPersistentRDDs.size
-    val cc = Dedup.connectedComponents(pairsDf(Seq((1L, 2L), (2L, 3L), (10L, 11L))))
+    // both regimes agree on the components: driver union-find (the
+    // small-pair-set fast path) and the distributed iteration
+    // (driverLimit = 0 forces it)
+    val edges1 = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val expect1 = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    val viaDriver = Dedup.connectedComponents(pairsDf(edges1))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == expect1)
+    val cc = Dedup.connectedComponents(pairsDf(edges1), driverLimit = 0)
     val got = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(got == expect1)
     // cache footprint must not scale with iterations: intermediate label
     // sets and edges are released; only the returned checkpoint lingers.
     // unpersist() is NON-blocking, so under load the bookkeeping lags a
@@ -166,16 +174,23 @@ class LlmSpec extends SparkSpec {
     assert(after - before <= 2,
       s"persisted RDDs grew $before -> $after (cache leak across iterations)")
     // a chain deeper than maxIter exits WITHOUT converging — labels are
-    // still a valid partial collapse (prefix of the chain), not garbage
+    // still a valid partial collapse (prefix of the chain), not garbage.
+    // (maxIter only governs the distributed loop; the driver union-find
+    // always converges, so force the iterative path.)
     val chain = (1L until 12L).map(i => (i, i + 1))
-    val partial = Dedup.connectedComponents(pairsDf(chain), maxIter = 2)
+    val partial = Dedup.connectedComponents(pairsDf(chain), maxIter = 2,
+      driverLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(partial(1L) == 1L)
     assert(partial.values.toSet.size > 1, "2 iters cannot collapse a 12-chain")
     // and enough iterations do collapse it fully
-    val full = Dedup.connectedComponents(pairsDf(chain), maxIter = 15)
+    val full = Dedup.connectedComponents(pairsDf(chain), maxIter = 15,
+      driverLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(full.values.toSet == Set(1L))
+    // the driver path collapses the same deep chain in one pass
+    assert(Dedup.connectedComponents(pairsDf(chain))
+      .collect().map(_.getLong(1)).toSet == Set(1L))
   }
 
   test("exactKeepBest keeps the highest-priority copy, ties to min id") {

@@ -75,6 +75,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("shingleJaccard: bounded, symmetric, identity, equals set formula") {
+    check("jaccard") {
+      Prop.forAll(asciiText, asciiText) { (a, b) =>
+        val j = Udfs.shingleJaccard(a, b, 5)
+        val sym = Udfs.shingleJaccard(b, a, 5)
+        val sa = Udfs.shingleHashSet(a, 5).toSet
+        val sb = Udfs.shingleHashSet(b, 5).toSet
+        val ref =
+          if (sa.isEmpty || sb.isEmpty) 0.0
+          else sa.intersect(sb).size.toDouble / sa.union(sb).size
+        j >= 0.0 && j <= 1.0 && j == sym && j == ref &&
+          (sa.isEmpty || Udfs.shingleJaccard(a, a, 5) == 1.0)
+      }
+    }
+  }
+
+  test("BPE encode: never throws, reassembles the normalized words") {
+    val merges = graft.llm.Bpe.trainFromFreqs(
+      Seq("low" -> 5L, "newest" -> 6L, "widest" -> 3L), 6)
+    val ranks = new java.util.HashMap[(String, String), Int]()
+    merges.zipWithIndex.foreach { case (p, i) => ranks.put(p, i) }
+    check("bpe") {
+      Prop.forAll(asciiText) { s =>
+        val toks = graft.llm.Bpe.encodeText(s, ranks)
+        // stripping the end-of-word marker (as a token SUFFIX — input
+        // text may itself contain the literal "</w>", which must
+        // survive) and concatenating restores exactly the lowercased
+        // whitespace words — merge application never loses or invents
+        // characters. (None of the trained merges involve < / > chars,
+        // so no merged token can end in a literal marker.)
+        val restored = toks.map(t =>
+          if (t.endsWith(graft.llm.Bpe.Eow))
+            t.dropRight(graft.llm.Bpe.Eow.length)
+          else t).mkString("")
+        val expected = s.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString("")
+        restored == expected &&
+          toks.count(_.endsWith(graft.llm.Bpe.Eow)) ==
+            s.split("\\s+").count(_.nonEmpty)
+      }
+    }
+  }
+
   test("porter stemmer: deterministic, non-growing, converges") {
     // Porter is NOT idempotent (correct per spec: 'agreed'->'agre'->
     // 'agr' — step 5a strips another final e each pass on high-m
