@@ -1120,6 +1120,30 @@ object QueryBank {
         |  i -> struct_pack(pos := i - 1, value := embedding[CAST(i AS INT)]))) AS u
         |  FROM dq)""".stripMargin),
 
+    ("normalize_embedding",
+      // L2 unit vectors: both engines accumulate the double norm over
+      // the array in order (identical sequential adds), divide in
+      // double, and narrow to float32 — bit-identical, so the floats
+      // are posexploded to scalar rows like dequantize_embedding
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.llm.Similarity.normalizeEmbedding(emb(s, d), "embedding")
+          .select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("pos", "value")))
+      },
+      """WITH nz AS (SELECT vec_id,
+        | CASE WHEN list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0 THEN embedding
+        |  ELSE list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) /
+        |   sqrt(list_sum(list_transform(embedding,
+        |     y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS REAL)) END
+        |  AS embedding
+        |FROM embeddings)
+        |SELECT vec_id, CAST(u.pos AS INT) AS pos, u.value AS value
+        |FROM (SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1),
+        |  i -> struct_pack(pos := i - 1, value := embedding[CAST(i AS INT)]))) AS u
+        |  FROM nz)""".stripMargin),
+
     ("hashing_tf",
       // feature-hashing count vectors — DuckDB reproduces the md5
       // bucket rule and per-bucket counts exactly; the 16-bucket count

@@ -394,6 +394,24 @@ object Similarity {
     df.withColumn(sc, scale).withColumn(vecCol, codes)
   }
 
+  /** L2-normalize an embedding column to unit vectors — the standard
+    * ANN precompute (dot product of unit vectors = cosine, so a
+    * normalized index skips the per-query norm work). Pure Catalyst
+    * transform/aggregate, map-only, codegen; the norm accumulates in
+    * double over the array IN ORDER (deterministic, SQL-mirrorable) and
+    * elements narrow back to float32. All-zero vectors pass through
+    * unchanged (norm 0 — there is nothing to scale).
+    */
+  def normalizeEmbedding(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val norm = sqrt(aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    df.withColumn(vecCol,
+      when(v.isNull, lit(null))
+        .when(norm === 0.0, v)
+        .otherwise(transform(v, x => (x.cast("double") / norm).cast("float"))))
+  }
+
   /** Inverse of [[quantizeEmbedding]]: codes x scale back to float32
     * (reconstruction error <= scale/2 per element). Drops the scale
     * column; pure Catalyst transform, map-only.

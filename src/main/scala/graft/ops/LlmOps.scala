@@ -135,6 +135,12 @@ object LlmOps {
       graft.llm.Similarity.dequantizeEmbedding(df, spec.col(0))
     }
 
+    // `normalize-embedding :vec` — L2 unit vectors in place (the ANN
+    // precompute: unit-vector dot = cosine); map-only Catalyst
+    case "normalize-embedding" => ColumnOps.simple(spec) { df =>
+      graft.llm.Similarity.normalizeEmbedding(df, spec.col(0))
+    }
+
     // `split-sentences :text` — one row per sentence (text replaced,
     // `sentence_id` appended; map-only generator)
     case "split-sentences" => ColumnOps.simple(spec) { df =>

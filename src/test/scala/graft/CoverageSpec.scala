@@ -120,7 +120,8 @@ class CoverageSpec extends SparkSpec {
     "lang-id", "token-count", "quality-score", "fingerprint",
     "bpe-token-count", "bpe-encode",
     "redact-pii", "repetition-ratio", "surprisal-score", "bm25-score",
-    "quantize-embedding", "dequantize-embedding", "hashing-tf",
+    "quantize-embedding", "dequantize-embedding", "normalize-embedding",
+    "hashing-tf",
     "split-sentences",
     "cluster-embeddings", "clean-lines-c4", "gopher-rules",
     "pack-sequences",

@@ -724,6 +724,24 @@ class LlmSpec extends SparkSpec {
     assert(zeroed.forall(_ == 0))
   }
 
+  test("normalize-embedding yields unit vectors; zero and null pass through") {
+    val d = df("id BIGINT, v ARRAY<FLOAT>", Seq(
+      Row(1L, Seq(3.0f, 4.0f)),
+      Row(2L, Seq(0.0f, 0.0f)),
+      Row(3L, null)))
+    val out = graft.llm.Similarity.normalizeEmbedding(d, "v")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[Float](1)).map(_.toSeq)).toMap
+    assert(out(1L).get == Seq(0.6f, 0.8f), s"got ${out(1L)}")
+    assert(out(2L).get == Seq(0.0f, 0.0f)) // zero vector unchanged
+    assert(out(3L).isEmpty)
+    // directive surface + unit norm on real data
+    val viaRecipe = graft.Wrangle.recipe("normalize-embedding :v").apply(d)
+      .filter(col("id") === 1L).select("v").head().getSeq[Float](0)
+    val norm = math.sqrt(viaRecipe.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-6)
+  }
+
   test("BPE: deterministic merges, canonical encoding, fewer tokens with more merges") {
     import graft.llm.Bpe
     // hand-checkable frequency table: "low" x5, "lower" x2, "newest" x6,
