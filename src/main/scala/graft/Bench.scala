@@ -17,6 +17,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // default 128 MB splits leave a ~300 MB single-file table at 3
+      // scan tasks — 29 of 32 cores idle on the flagship's hot stage.
+      // 16 MB splits saturate local[32] at these SFs; a real cluster
+      // sizes this to executor count x cores (same knob, PERF.md).
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
