@@ -846,6 +846,47 @@ object QueryBank {
         |  END AS text
         |FROM t LEFT JOIN sl ON t.doc_id = sl.doc_id""".stripMargin),
 
+    ("decontaminate_spans",
+      // surgical decontamination: the doc_id%97 eval split again, n=3
+      // windows, case-insensitive token identity. The oracle replays
+      // the WHOLE pipeline on strings (lowercased token slices as
+      // grams), marks covered positions, and rebuilds survivor tokens
+      // — untouched documents must come back byte-identical.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val all = docs(s, d)
+        graft.llm.Decontaminate.dropSpans(
+          all.filter(col("doc_id") % 97 =!= 0), "text",
+          all.filter(col("doc_id") % 97 === 0), "text", n = 3)
+          .select("doc_id", "text")
+      },
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |bg AS (SELECT DISTINCT to_json(list_transform(
+        |    list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 2), x -> lower(x))) AS gram
+        |  FROM t, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS u(i)
+        |  WHERE doc_id % 97 = 0 AND len(toks) >= 3),
+        |hit AS (SELECT doc_id, i FROM (
+        |    SELECT doc_id, i, to_json(list_transform(
+        |      list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 2), x -> lower(x))) AS gram
+        |    FROM t, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS u(i)
+        |    WHERE doc_id % 97 <> 0 AND len(toks) >= 3)
+        |  WHERE gram IN (SELECT gram FROM bg)),
+        |cov AS (SELECT DISTINCT doc_id, CAST(i + o AS BIGINT) AS p
+        |  FROM hit, unnest(range(0, 3)) AS v(o)),
+        |covl AS (SELECT doc_id, list(p) AS ps FROM cov GROUP BY doc_id),
+        |cut AS (SELECT t.doc_id,
+        |  array_to_string(list_transform(
+        |    list_filter(range(1, len(t.toks) + 1),
+        |      i -> NOT list_contains(covl.ps, i)),
+        |    i -> t.toks[CAST(i AS INT)]), ' ') AS cut_text
+        |  FROM t JOIN covl ON t.doc_id = covl.doc_id)
+        |SELECT t.doc_id,
+        |  CASE WHEN cut.doc_id IS NULL THEN t.text ELSE cut.cut_text END AS text
+        |FROM t LEFT JOIN cut ON t.doc_id = cut.doc_id
+        |WHERE t.doc_id % 97 <> 0""".stripMargin),
+
     ("decontaminate",
       // benchmark decontamination: docs whose doc_id % 97 == 0 stand in
       // for a held-out eval set; every other document counts its word

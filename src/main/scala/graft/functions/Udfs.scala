@@ -696,6 +696,86 @@ object Udfs {
   }
   val wsGramHashesUdf: UserDefinedFunction = udf(wsGramHashes _)
 
+  // lowercased-token window hashes: same positional fold as
+  // wsGramHashes, but each token hashes its lowercase form — the
+  // case-insensitive gram identity used by span decontamination
+  // (positions must still map to the RAW tokens for cutting)
+  private def lowerTokenHashes(toks: Array[String]): Array[Long] = {
+    val th = new Array[Long](toks.length)
+    var t = 0
+    while (t < toks.length) {
+      var h = 0xcbf29ce484222325L
+      val tok = toks(t)
+      var p = 0
+      while (p < tok.length) {
+        h ^= Character.toLowerCase(tok.charAt(p)); h *= 0x100000001b3L
+        p += 1
+      }
+      th(t) = h
+      t += 1
+    }
+    th
+  }
+  private def windowFold(th: Array[Long], n: Int): Array[Long] = {
+    val out = new Array[Long](th.length - n + 1)
+    var i = 0
+    while (i < out.length) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      while (j < i + n) { h = (h ^ th(j)) * 0x100000001b3L; j += 1 }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** Case-insensitive positional window hashes — [[wsGramHashes]] over
+    * lowercased tokens. Benchmark side of span decontamination.
+    */
+  def wsGramHashesLower(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.empty
+    val toks = wsRun.split(text.trim).filter(_.nonEmpty)
+    if (toks.length < n) return Array.empty
+    windowFold(lowerTokenHashes(toks), n)
+  }
+  val wsGramHashesLowerUdf: UserDefinedFunction = udf(wsGramHashesLower _)
+
+  /** Surgical span decontamination, fused into ONE map-only kernel:
+    * every length-`n` token window whose case-insensitive hash is in
+    * `sorted` (the broadcast benchmark gram set) marks its n tokens
+    * covered; covered tokens are cut and survivors rejoin with single
+    * spaces (same whitespace normalization as [[cutTokenSpans]]).
+    * Documents with NO contaminated window return byte-identical.
+    */
+  def cutContaminatedSpans(text: String, n: Int,
+      sorted: Array[Long]): String = {
+    if (text == null) return null
+    val toks = wsRun.split(text.trim).filter(_.nonEmpty)
+    if (toks.length < n) return text
+    val wh = windowFold(lowerTokenHashes(toks), n)
+    var covered: Array[Boolean] = null
+    var i = 0
+    while (i < wh.length) {
+      if (java.util.Arrays.binarySearch(sorted, wh(i)) >= 0) {
+        if (covered == null) covered = new Array[Boolean](toks.length)
+        var j = i
+        while (j < i + n) { covered(j) = true; j += 1 }
+      }
+      i += 1
+    }
+    if (covered == null) return text
+    val sb = new StringBuilder(text.length)
+    var t = 0
+    while (t < toks.length) {
+      if (!covered(t)) {
+        if (sb.nonEmpty) sb.append(' ')
+        sb.append(toks(t))
+      }
+      t += 1
+    }
+    sb.toString
+  }
+
   /** Sliding token windows for context-window chunking: windows of
     * `size` whitespace tokens stepping by `size - overlap`, starts
     * emitted while start <= max(len - overlap, 1) — so the final

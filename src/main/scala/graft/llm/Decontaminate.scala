@@ -125,6 +125,40 @@ object Decontaminate {
       .drop("__hits")
   }
 
+  /** SURGICAL span decontamination: instead of dropping whole
+    * documents, cut only the length-`n` token windows that appear in
+    * the benchmark (case-insensitive token match, positions mapped
+    * back to the raw tokens). Keeps everything the document says
+    * around the leaked span — the higher-recall variant for corpora
+    * where whole-document dropping wastes too much data.
+    *
+    * Shape at 100 TB: the benchmark reduces to its distinct positional
+    * window hashes (one tiny job, sorted array broadcast — same
+    * contract as [[markHits]]), and the corpus pass is ONE map-only
+    * kernel per document that hashes windows, binary-searches the
+    * broadcast set, and rewrites the text in place: no explode, no
+    * shuffle, nothing position-wise materialized. Documents with no
+    * contaminated window pass through byte-identical; rewritten
+    * documents get the same single-space token rejoin as dedup-spans.
+    */
+  def dropSpans(corpus: DataFrame, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8,
+      maxBenchGrams: Int = 100000000): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val grams: Array[Long] = bench
+      .select(explode(Udfs.wsGramHashesLowerUdf(col(benchTextCol), lit(n)))
+        .as("g"))
+      .distinct().as[Long].collect()
+    require(grams.length <= maxBenchGrams,
+      s"decontaminate-spans: benchmark has ${grams.length} distinct " +
+        s"$n-token windows (max $maxBenchGrams)")
+    java.util.Arrays.sort(grams)
+    val bc = spark.sparkContext.broadcast(grams)
+    val cutUdf = udf((s: String) => Udfs.cutContaminatedSpans(s, n, bc.value))
+    corpus.withColumn(textCol, cutUdf(col(textCol)))
+  }
+
   private def hitsColumn(corpus: DataFrame, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int,
       maxBenchGrams: Int): Column = {

@@ -250,6 +250,20 @@ object LlmOps {
         spec.col(2), spec.str(3).toLong)
     }
 
+    // `decontaminate-spans :text benchtable [n]` — surgical span
+    // decontamination: cut only the n-token windows that appear in the
+    // benchmark (case-insensitive), keep the rest of the document;
+    // map-only kernel (Decontaminate.dropSpans)
+    case "decontaminate-spans" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = {
+        val bench = benchTable(spec, ctx)
+        st.mapDf(df => graft.llm.Decontaminate.dropSpans(df, spec.col(0),
+          bench, bench.columns.head,
+          n = spec.optStr(2).map(_.toInt).getOrElse(8)))
+      }
+    }
+
     // `contamination-hits-scale :text :id benchtable [n] [fpp]` — the
     // huge-benchmark form of contamination-hits: Bloom pre-screen +
     // exact equi-join verify (bit-identical hits; see

@@ -116,6 +116,7 @@ class CoverageSpec extends SparkSpec {
     "dedup-exact", "dedup-minhash", "dedup-simhash", "dedup-embedding",
     "dedup-spans", "dedup-lines", "dedup-paragraphs", "normalize-url",
     "decontaminate", "contamination-hits", "contamination-hits-scale",
+    "decontaminate-spans",
     "chunk-text", "select-budget",
     "lang-id", "token-count", "quality-score", "fingerprint",
     "bpe-token-count", "bpe-encode",

@@ -813,6 +813,39 @@ class LlmSpec extends SparkSpec {
     assert(viaRecipe == Set(6L, 2L, 3L, 4L))
   }
 
+  test("decontaminate-spans cuts only the leaked windows, keeps the rest") {
+    val bench = df("q STRING", Seq(Row("what is the capital of france")))
+    val corpus = df("doc_id BIGINT, text STRING", Seq(
+      // leaked 6-gram mid-document, case-differing
+      Row(1L, "quiz: What IS the Capital of FRANCE answer Paris obviously"),
+      Row(2L, "nothing shared with the benchmark here at all"),
+      Row(3L, null),
+      Row(4L, "short doc")))
+    val out = graft.llm.Decontaminate
+      .dropSpans(corpus, "text", bench, "q", n = 6)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the 6 leaked tokens cut, survivors rejoin with single spaces
+    assert(out(1L) == "quiz: answer Paris obviously", s"got ${out(1L)}")
+    // untouched documents byte-identical (not re-tokenized)
+    assert(out(2L) == "nothing shared with the benchmark here at all")
+    assert(out(3L) == null)
+    assert(out(4L) == "short doc") // fewer than n tokens: untouched
+    // directive surface
+    val viaRecipe = graft.Wrangle
+      .recipe("decontaminate-spans :text bench 6")
+      .withLookup("bench", bench)
+      .apply(corpus)
+      .filter(col("doc_id") === 1L).select("text").head().getString(0)
+    assert(viaRecipe == "quiz: answer Paris obviously")
+    // overlapping windows merge: a doc that IS the benchmark goes empty
+    val whole = graft.llm.Decontaminate.dropSpans(
+      df("doc_id BIGINT, text STRING",
+        Seq(Row(1L, "What is THE capital of france"))),
+      "text", bench, "q", n = 6)
+      .select("text").head().getString(0)
+    assert(whole == "")
+  }
+
   test("decontaminate scale path (bloom + exact verify) matches markHits") {
     val bench = df("q STRING", Seq(
       Row("what is the capital of france"),
