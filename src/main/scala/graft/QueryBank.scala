@@ -1643,6 +1643,23 @@ object QueryBank {
         |SELECT doc_id, text_quality, text_tokens FROM c
         |WHERE cum <= 20000""".stripMargin),
 
+    ("normalize_unicode",
+      // NFC composition: e + combining-acute (U+0301) becomes the
+      // single codepoint é on both engines
+      (s, d) => r("set-column :t exp:{ concat('Café ', c_name) }; " +
+        "normalize-unicode :t NFC; keep :c_custkey,:t")(cust(s, d)),
+      """SELECT c_custkey, nfc_normalize('Cafe' || chr(769) || ' ' || c_name)
+        | AS t FROM customer""".stripMargin),
+
+    ("remove_accents",
+      // NFD + combining-mark strip == DuckDB strip_accents for Latin
+      // diacritics (the dedup-key/accent-insensitive-match transform)
+      (s, d) => r("set-column :t exp:{ concat('Crème Brûlée àéîõü ñÇ ', c_name) }; " +
+        "remove-accents :t; keep :c_custkey,:t")(cust(s, d)),
+      """SELECT c_custkey,
+        | strip_accents('Crème Brûlée àéîõü ñÇ ' || c_name) AS t
+        |FROM customer""".stripMargin),
+
     ("sample_temperature",
       // p∝n^α source mixing over the skewed lang distribution: the
       // oracle recomputes the whole rate pipeline — sorted-order sqrt

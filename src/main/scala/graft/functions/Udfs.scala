@@ -912,6 +912,27 @@ object Udfs {
       Option(extraCsv).map(_.split(",").map(_.trim.toLowerCase)
         .filter(_.nonEmpty).toSet).getOrElse(Set.empty)))
 
+  // ---- Unicode normalization / accent stripping -----------------------
+
+  /** Canonical Unicode normalization (java.text.Normalizer). */
+  def normalizeUnicode(s: String, form: String): String = {
+    if (s == null) return null
+    java.text.Normalizer.normalize(s,
+      java.text.Normalizer.Form.valueOf(form))
+  }
+  val normalizeUnicodeUdf: UserDefinedFunction = udf(normalizeUnicode _)
+
+  private val combiningMarks =
+    java.util.regex.Pattern.compile("\\p{M}+")
+
+  /** NFD-decompose then drop combining marks: "café" -> "cafe". */
+  def removeAccents(s: String): String = {
+    if (s == null) return null
+    combiningMarks.matcher(java.text.Normalizer.normalize(s,
+      java.text.Normalizer.Form.NFD)).replaceAll("")
+  }
+  val removeAccentsUdf: UserDefinedFunction = udf(removeAccents _)
+
   /** Normalized word tokens (normalizeText split on single spaces). */
   def normTokens(text: String): Array[String] = {
     val n = normalizeText(text)

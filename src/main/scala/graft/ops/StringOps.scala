@@ -96,6 +96,25 @@ object StringOps {
     case "url-encode" => inPlace(spec)(url_encode)
     case "url-decode" => inPlace(spec)(url_decode)
 
+    // `normalize-unicode :col [NFC|NFD|NFKC|NFKD]` — canonical Unicode
+    // normalization (default NFC): composed vs decomposed spellings of
+    // the same text ("é" as one codepoint vs e+combining-acute) become
+    // one byte sequence, the prerequisite for exact/hash dedup keys on
+    // multilingual corpora. Map-only UDF over java.text.Normalizer.
+    case "normalize-unicode" => ColumnOps.simple(spec) { df =>
+      val form = spec.optStr(1).getOrElse("NFC").toUpperCase
+      require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
+        s"normalize-unicode: unknown form '$form' (NFC|NFD|NFKC|NFKD)")
+      df.withColumn(spec.col(0),
+        Udfs.normalizeUnicodeUdf(col(spec.col(0)).cast(StringType), lit(form)))
+    }
+
+    // `remove-accents :col` — strip combining diacritical marks after
+    // NFD decomposition ("café" -> "cafe"); the standard
+    // accent-insensitive matching/dedup-key transform. Map-only.
+    case "remove-accents" => inPlace(spec)(c =>
+      Udfs.removeAccentsUdf(c.cast(StringType)))
+
     // appends `<col>_encode_<method>` (reference: wrangler-core
     // directives/transformation/Encode.java:104)
     case "encode" => ColumnOps.simple(spec) { df =>

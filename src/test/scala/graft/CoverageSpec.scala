@@ -115,6 +115,7 @@ class CoverageSpec extends SparkSpec {
   private val curationDirectives = Seq(
     "dedup-exact", "dedup-minhash", "dedup-simhash", "dedup-embedding",
     "dedup-spans", "dedup-lines", "dedup-paragraphs", "normalize-url",
+    "normalize-unicode", "remove-accents",
     "decontaminate", "contamination-hits", "contamination-hits-scale",
     "decontaminate-spans",
     "chunk-text", "select-budget",
