@@ -105,6 +105,20 @@ class StreamSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(hits("purchase") == 2, s"got $hits")
     assert(hits.filter(_._1 != "purchase").values.forall(_ == 1), s"got $hits")
+
+    // the SURGICAL variant is one fused map-only kernel, so it
+    // composes on a stream the same way: the leaked window is cut,
+    // the surrounding tokens survive
+    val cut = StreamOps.runBatchAsStream(spark, src,
+      st => {
+        val withTxt = StreamOps.wrangleStream(
+          "set-column :txt exp:{ concat('prefix kept ', event_type, ' completed by user') };", st)
+        graft.llm.Decontaminate.dropSpans(withTxt, "txt", bench, "q", n = 3)
+      },
+      queryName = "stream_decontam_spans", outputMode = OutputMode.Append)
+    val purchase = cut.filter(col("event_type") === "purchase")
+      .select("txt").head().getString(0)
+    assert(purchase == "prefix kept", s"got '$purchase'")
   }
 
   test("hash sampling and chunking compose on a stream") {
