@@ -57,6 +57,24 @@ object Sources {
     spark.read.json(spark.createDataset(jsons))
   }
 
+  /** Bucketed parquet table: pre-shuffle the data ONCE at write time
+    * into `buckets` hash buckets on `bucketCol` (optionally sorted
+    * within buckets) so that every later equi-join or aggregation on
+    * that key is exchange-free — the "pay the shuffle once, reuse it
+    * forever" layout for fact tables that join repeatedly on the same
+    * key at 100 TB. Registers `table` in the session catalog
+    * (saveAsTable is what persists bucketing metadata; a plain
+    * path-write cannot carry it). PlanSpec asserts the join of two
+    * co-bucketed tables plans with zero ShuffleExchange.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int, sortCol: String = ""): Unit = {
+    require(buckets > 0, "writeBucketed: buckets must be positive")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol)
+    (if (sortCol.nonEmpty) w.sortBy(sortCol) else w).saveAsTable(table)
+  }
+
   /** Write with format keyed on the target extension. */
   def write(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     detectFormat(path) match {

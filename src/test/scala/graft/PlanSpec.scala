@@ -110,6 +110,37 @@ class PlanSpec extends SparkSpec {
     assert(got == h)
   }
 
+  test("co-bucketed tables join with ZERO shuffle exchanges") {
+    // pay the shuffle once at write time, reuse forever: two tables
+    // bucketed on the same key must sort-merge-join without any
+    // ShuffleExchange (broadcast disabled so the bucketed path, not a
+    // broadcast, is what avoids the exchange)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey", "c_name", "c_mktsegment")
+    val ords = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    graft.sources.Sources.writeBucketed(cust, "b_cust", "c_custkey", 8,
+      sortCol = "c_custkey")
+    graft.sources.Sources.writeBucketed(ords, "b_ords", "o_custkey", 8,
+      sortCol = "o_custkey")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_cust").join(spark.table("b_ords"),
+        col("c_custkey") === col("o_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      // and the data actually matches the plain-join result
+      val expect = cust.join(ords, col("c_custkey") === col("o_custkey")).count()
+      assert(joined.count() == expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS b_cust")
+      spark.sql("DROP TABLE IF EXISTS b_ords")
+    }
+  }
+
   test("SQL surface: registered functions callable from spark.sql") {
     org.apache.spark.sql.graftx.GraftExtensions.register(spark)
     val r = spark.sql(
