@@ -1643,6 +1643,13 @@ object QueryBank {
         |SELECT doc_id, text_quality, text_tokens FROM c
         |WHERE cum <= 20000""".stripMargin),
 
+    ("repartition_output",
+      // layout-only op: the oracle proves row content is untouched by
+      // the coalesce/repartition decision (1 MB target forces a real
+      // layout change at sf0.01)
+      (s, d) => r("repartition-output 1; keep :c_custkey,:c_name")(cust(s, d)),
+      "SELECT c_custkey, c_name FROM customer"),
+
     ("normalize_unicode",
       // NFC composition: e + combining-acute (U+0301) becomes the
       // single codepoint é on both engines

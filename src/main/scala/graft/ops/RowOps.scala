@@ -146,6 +146,16 @@ object RowOps {
         salt = spec.optStr(4).getOrElse(""))
     }
 
+    // `repartition-output [targetMB]` — size the output layout so each
+    // written file lands near the target (default 128 MB): coalesce
+    // when shrinking (narrow), repartition only when growing; row
+    // content untouched (sources.Sources.repartitionForOutput)
+    case "repartition-output" => ColumnOps.simple(spec) { df =>
+      graft.sources.Sources.repartitionForOutput(df,
+        targetBytes = spec.optStr(0).map(_.toLong * 1024 * 1024)
+          .getOrElse(128L * 1024 * 1024))
+    }
+
     // `sample-temperature :key :group [alpha] [frac] [salt]` — p∝n^α
     // source mixing: per-group keep rates sized from group counts so
     // the expected kept fraction is `frac`, α up-weighting small

@@ -75,6 +75,29 @@ object Sources {
     (if (sortCol.nonEmpty) w.sortBy(sortCol) else w).saveAsTable(table)
   }
 
+  /** Partition the frame so each output file lands near `targetBytes`
+    * (default 128 MB) — the small-files guard for the write side of a
+    * pipeline: a 100 TB job that ends at spark.sql.shuffle.partitions
+    * granularity writes millions of KB-sized files (each a namenode
+    * entry and a task at read time), while one giant coalesced file
+    * serializes the write. Uses Catalyst's own size estimate for the
+    * plan (no extra job); `coalesce` when shrinking (narrow, no
+    * shuffle), `repartition` only when growing. Row content is
+    * untouched — this is layout only.
+    */
+  def repartitionForOutput(df: DataFrame,
+      targetBytes: Long = 128L * 1024 * 1024,
+      maxPartitions: Int = 200000): DataFrame = {
+    require(targetBytes > 0, "repartition-output: targetBytes must be > 0")
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val want = (estBytes / targetBytes).toLong + 1
+    val n = math.max(1L, math.min(want, maxPartitions.toLong)).toInt
+    val cur = df.rdd.getNumPartitions
+    if (n < cur) df.coalesce(n)
+    else if (n > cur) df.repartition(n)
+    else df
+  }
+
   /** Write with format keyed on the target extension. */
   def write(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     detectFormat(path) match {

@@ -127,7 +127,7 @@ class CoverageSpec extends SparkSpec {
     "split-sentences",
     "cluster-embeddings", "clean-lines-c4", "gopher-rules",
     "pack-sequences",
-    "sample-by-hash", "sample-weighted", "hash-split",
+    "sample-by-hash", "sample-weighted", "hash-split", "repartition-output",
     "sample-temperature")
 
   test("all curation/sampling directives resolve in the registry") {

@@ -224,6 +224,26 @@ class MiscSpec extends SparkSpec {
       .count() == mixed.size)
   }
 
+  test("repartition-output sizes the layout without touching rows") {
+    import graft.sources.Sources
+    val d = df("id BIGINT, pad STRING",
+      (1L to 5000L).map(i => Row(i, "x" * 200)))
+    // ~1MB of data at a 64KB target: partition count grows toward the
+    // estimate; at a huge target it coalesces to 1; rows never change
+    val grown = Sources.repartitionForOutput(d, targetBytes = 16 * 1024)
+    assert(grown.rdd.getNumPartitions > d.rdd.getNumPartitions)
+    val one = Sources.repartitionForOutput(d, targetBytes = 10L << 30)
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.count() == 5000 && grown.count() == 5000)
+    assert(grown.agg(sum("id")).head().getLong(0) == 5000L * 5001 / 2)
+    // shrink path is a narrow coalesce, not a shuffle
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("Coalesce") && !plan.contains("Exchange"),
+      s"shrink should be narrow:\n$plan")
+    // directive surface
+    assert(wrangle("repartition-output 1", d).count() == 5000)
+  }
+
   test("temperature mixing: n^alpha rates hit the target, alpha shapes them") {
     import graft.session.Sampler
     // skewed sources: big=1600, mid=300, small=100
