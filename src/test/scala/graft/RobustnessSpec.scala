@@ -17,6 +17,37 @@ class RobustnessSpec extends AnyFunSuite {
   private val bytesGen: Gen[Array[Byte]] =
     Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
 
+  test("round-9 text kernels never throw on arbitrary strings") {
+    import graft.functions.Udfs
+    val anyString: Gen[String] =
+      Gen.listOf(Gen.choose(Char.MinValue, Char.MaxValue)).map(_.mkString)
+    val sortedSet = Array(1L, 42L, 9999L)
+    check("cutContaminatedSpans") {
+      Prop.forAll(anyString) { s =>
+        val out = Udfs.cutContaminatedSpans(s, 3, sortedSet)
+        out == null || out.length <= math.max(s.length, 1)
+      }
+    }
+    check("wsGramHashesLower") {
+      Prop.forAll(anyString) { s =>
+        Udfs.wsGramHashesLower(s, 4) != null
+      }
+    }
+    check("normalizeUnicode-removeAccents") {
+      Prop.forAll(anyString) { s =>
+        // surrogate-hostile input: Normalizer accepts any CharSequence
+        Udfs.normalizeUnicode(s, "NFKC") != null &&
+          Udfs.removeAccents(s) != null
+      }
+    }
+    check("shingleJaccard-hostile") {
+      Prop.forAll(anyString, anyString) { (a, b) =>
+        val j = Udfs.shingleJaccard(a, b, 5)
+        j >= 0.0 && j <= 1.0
+      }
+    }
+  }
+
   test("MediaHeaders.probe never throws on arbitrary bytes") {
     check("probe") {
       Prop.forAll(bytesGen) { b =>
