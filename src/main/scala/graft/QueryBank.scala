@@ -393,6 +393,28 @@ object QueryBank {
         |  ELSE 'not a url at all' END AS url
         |FROM customer""".stripMargin),
 
+    ("dedup_url",
+      // the URL-level dedup composite Common-Crawl-derived pipelines
+      // run: canonicalize (case/www./port/tracking/fragment rules) so
+      // spelling variants of one resource share a key, then exact
+      // keep-first per canonical URL. Two variants per product id (and
+      // a www./utm-laden uppercase spelling) must collapse to one row
+      // with the smallest id — the oracle recomputes canonical forms
+      // and the keep-first window directly.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = cust(s, d).select(col("c_custkey").as("id"),
+          expr("CASE c_custkey % 2" +
+            " WHEN 0 THEN concat('HTTPS://WWW.Example.COM:443/p/', c_custkey % 50, '?utm_source=mail&fbclid=x')" +
+            " ELSE concat('https://example.com/p/', c_custkey % 50) END").as("url"))
+        r("normalize-url :url; dedup-exact :url :id; keep :id,:url")(base)
+      },
+      """WITH u AS (SELECT c_custkey AS id,
+        |  'https://example.com/p/' || CAST(c_custkey % 50 AS VARCHAR) AS url
+        |  FROM customer)
+        |SELECT id, url FROM u
+        |QUALIFY row_number() OVER (PARTITION BY url ORDER BY id) = 1""".stripMargin),
+
     // C4 line cleaning: the oracle RE-IMPLEMENTS the published rules
     // as DuckDB list lambdas (not pinned outputs). Three page shapes:
     // %3=0 five good sentence lines survive among a short line, an
