@@ -1014,6 +1014,40 @@ object QueryBank {
         |SELECT t.doc_id, CAST(round(s.sc, 4) AS DOUBLE) AS surprisal
         |FROM t LEFT JOIN s ON t.doc_id = s.doc_id""".stripMargin),
 
+    ("pipeline_ccnet",
+      // the CCNet selection shape: corpus-relative surprisal as the
+      // LM-perplexity proxy, per-LANGUAGE tertile bucketing (head =
+      // most fluent), keep head+middle. Ordering is by the ROUNDED
+      // score (the same round(4) the surprisal row hash-matches on)
+      // then doc_id, so both engines rank identically; empty docs
+      // (null score) sort last into the dropped tail. The window is
+      // partitioned by lang — no global single-task sort.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val scored = graft.llm.TextAnalysis.surprisalScore(docs(s, d), "text")
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(round(col("text_surprisal"), 4).asc_nulls_last,
+            col("doc_id"))
+        scored.withColumn("bucket", ntile(3).over(w))
+          .filter(col("bucket") <= 2)
+          .select(col("doc_id"), col("lang"), col("bucket"))
+      },
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |w AS (SELECT unnest(toks) AS tok FROM t),
+        |c AS (SELECT tok, count(*) AS c FROM w GROUP BY tok),
+        |tot AS (SELECT sum(c) AS total FROM c),
+        |dt AS (SELECT t.doc_id, unnest(t.toks) AS tok FROM t),
+        |s AS (SELECT dt.doc_id, avg(-ln(c.c / tot.total)) AS sc
+        |      FROM dt JOIN c USING (tok) CROSS JOIN tot GROUP BY dt.doc_id),
+        |b AS (SELECT d.doc_id, d.lang, ntile(3) OVER (PARTITION BY d.lang
+        |        ORDER BY round(s.sc, 4) ASC NULLS LAST, d.doc_id) AS bucket
+        |      FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id)
+        |SELECT doc_id, lang, bucket FROM b WHERE bucket <= 2""".stripMargin),
+
     ("bm25_score",
       // Okapi BM25 vs a fixed 3-term query — DuckDB recomputes
       // N/avgdl/df (exact integer stats) and the per-doc score with
