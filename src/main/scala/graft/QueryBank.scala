@@ -1275,6 +1275,29 @@ object QueryBank {
         | (7,340),(28,305),(44,301),(53,300),(75,256),(156,438),(158,452),
         | (166,324),(169,466),(238,287),(290,325),(338,406),(387,388)) t(a, b)""".stripMargin),
 
+    ("semantic_pairs",
+      // SemDeDup-style within-cluster pairs: the seeded quantizer makes
+      // the pair set deterministic at sf0.01 (pinned), and DuckDB
+      // recomputes each pinned pair's TRUE cosine from the embeddings —
+      // a pair claimed with a wrong cosine (or below threshold) breaks
+      // the hash
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.llm.Similarity
+          .semanticPairs(emb(s, d), "vec_id", "embedding",
+            k = 8, threshold = 0.45)
+          .select(col("id_a"), col("id_b"),
+            // DuckDB's list_cosine_similarity computes in float32;
+            // round(4) absorbs the single-precision gap
+            round(col("cosine"), 4).as("cosine"))
+      },
+      """SELECT CAST(a AS BIGINT) AS id_a, CAST(b AS BIGINT) AS id_b,
+        | round(list_cosine_similarity(ea.embedding, eb.embedding), 4) AS cosine
+        |FROM (VALUES (44,301),(53,300),(156,438),(169,466),(238,287),
+        |  (290,325)) t(a, b)
+        |JOIN embeddings ea ON ea.vec_id = a
+        |JOIN embeddings eb ON eb.vec_id = b""".stripMargin),
+
     ("ann_ivf_topk",
       (s, d) => annIvf(s, d),
       // deterministic seeded quantizer at sf0.01: retrieved id set

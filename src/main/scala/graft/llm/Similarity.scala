@@ -255,6 +255,50 @@ object Similarity {
     }
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023):
+    * cluster the embeddings with the seeded coarse quantizer, then
+    * compare pairs only WITHIN a cluster — the published design point
+    * is k large enough that cells stay small, so the per-cell
+    * self-join is bounded-quadratic and the corpus never sees an
+    * all-pairs product. Output: (id_a, id_b, cosine) with
+    * id_a < id_b and cosine ≥ threshold.
+    *
+    * Scale shape: one shuffle on the cell key for the self-join; a
+    * groupBy-count + anti-join guard (same policy as the LSH
+    * [[graft.llm.Dedup.minhashPairs]] skew guard) drops cells larger
+    * than `maxCellSize` rather than letting one degenerate cell go
+    * quadratic — at 100 TB, k should scale ~sqrt(N) per the paper.
+    */
+  def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, threshold: Double = 0.7, seed: Long = 11L,
+      maxCellSize: Int = 10000): DataFrame = {
+    val cells = clusterAssign(df.select(col(idCol), col(vecCol)),
+      vecCol, k, seed = seed)
+      .filter(col("cell").isNotNull)
+    val hot = cells.groupBy("cell").count()
+      .filter(col("count") > maxCellSize).select("cell")
+    val sized = cells.join(hot, Seq("cell"), "left_anti")
+    val l = sized.select(col("cell"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"))
+    val r = sized.select(col("cell"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"))
+    l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", pairCosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Drop the larger id of every [[semanticPairs]] pair — per-cluster
+    * semantic dedup with the keep-smallest policy.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, threshold: Double = 0.7, seed: Long = 11L): DataFrame = {
+    val losers = semanticPairs(df, idCol, vecCol, k, threshold, seed)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Σx² accumulated in index order — the SAME order [[pairCosine]]
     * uses, so for a UNIFORM-dimension corpus (the assumption the whole
     * hyperplane-LSH path already makes: planes derive from the vector

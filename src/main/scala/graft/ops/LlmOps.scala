@@ -182,6 +182,16 @@ object LlmOps {
         k = spec.optStr(1).map(_.toInt).getOrElse(16))
     }
 
+    // `dedup-semantic :vec :id [k] [threshold]` — SemDeDup-style
+    // within-cluster semantic dedup: coarse-quantizer cells bound the
+    // pairwise comparison, larger id of each >=threshold-cosine pair
+    // drops (Similarity.semanticDedup)
+    case "dedup-semantic" => ColumnOps.simple(spec) { df =>
+      graft.llm.Similarity.semanticDedup(df, spec.col(1), spec.col(0),
+        k = spec.optStr(2).map(_.toInt).getOrElse(16),
+        threshold = spec.optStr(3).map(_.toDouble).getOrElse(0.7))
+    }
+
     // `chunk-text :text size [overlap]` — one row per sliding token
     // window (context-window chunking for embedding/RAG/seq-len prep)
     case "chunk-text" => ColumnOps.simple(spec) { df =>

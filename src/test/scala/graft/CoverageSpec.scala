@@ -114,6 +114,7 @@ class CoverageSpec extends SparkSpec {
   // consistent-sampling directive must stay recipe-reachable
   private val curationDirectives = Seq(
     "dedup-exact", "dedup-minhash", "dedup-simhash", "dedup-embedding",
+    "dedup-semantic",
     "dedup-spans", "dedup-lines", "dedup-paragraphs", "normalize-url",
     "normalize-unicode", "remove-accents",
     "decontaminate", "contamination-hits", "contamination-hits-scale",

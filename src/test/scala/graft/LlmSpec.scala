@@ -724,6 +724,33 @@ class LlmSpec extends SparkSpec {
     assert(zeroed.forall(_ == 0))
   }
 
+  test("semantic dedup: planted near-identical vectors pair within their cluster") {
+    import graft.llm.Similarity
+    val rnd = new scala.util.Random(7)
+    def vec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(16)(r.nextFloat() * 2 - 1)
+    }
+    // 40 random vectors + a planted near-duplicate of id 3 (tiny jitter)
+    val base = (0L until 40L).map(i => Row(i, vec(i.toInt)))
+    val nearDup = Row(100L, vec(3).map(x => x + 0.001f * rnd.nextFloat()))
+    val d = df("vec_id BIGINT, embedding ARRAY<FLOAT>", base :+ nearDup)
+    val pairs = Similarity.semanticPairs(d, "vec_id", "embedding",
+      k = 4, threshold = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((3L, 100L)), s"planted pair missing: ${pairs.toSeq}")
+    // dedup drops the larger id of each pair, keeps everything else
+    val kept = Similarity.semanticDedup(d, "vec_id", "embedding",
+      k = 4, threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(100L) && kept.contains(3L))
+    assert(kept.size == 41 - pairs.map(_._2).distinct.size)
+    // directive surface
+    val viaRecipe = graft.Wrangle
+      .recipe("dedup-semantic :embedding :vec_id 4 0.95").apply(d)
+    assert(viaRecipe.count() == kept.size)
+  }
+
   test("normalize-embedding yields unit vectors; zero and null pass through") {
     val d = df("id BIGINT, v ARRAY<FLOAT>", Seq(
       Row(1L, Seq(3.0f, 4.0f)),
