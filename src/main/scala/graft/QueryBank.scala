@@ -1275,6 +1275,33 @@ object QueryBank {
         | (7,340),(28,305),(44,301),(53,300),(75,256),(156,438),(158,452),
         | (166,324),(169,466),(238,287),(290,325),(338,406),(387,388)) t(a, b)""".stripMargin),
 
+    ("pool_embeddings",
+      // chunk->document mean pooling: 50 groups of ~10 vectors each.
+      // Both engines average in double and narrow to float32; the
+      // float is widened back to double and round(6)-guarded before
+      // compare (aggregation order is nondeterministic in BOTH
+      // engines, so last-ulp sum differences are expected)
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.llm.Similarity.meanPoolEmbeddings(
+          emb(s, d).withColumn("grp", col("vec_id") % 50),
+          "grp", "embedding")
+          .select(col("grp"),
+            posexplode(col("embedding_pooled")).as(Seq("pos", "value")))
+          .select(col("grp"), col("pos"),
+            round(col("value").cast("double"), 6).as("value"))
+      },
+      """WITH e AS (SELECT vec_id % 50 AS grp, u.pos AS pos, u.value AS value
+        |  FROM (SELECT vec_id, unnest(list_transform(
+        |    range(1, len(embedding) + 1),
+        |    i -> struct_pack(pos := i - 1,
+        |      value := embedding[CAST(i AS INT)]))) AS u
+        |  FROM embeddings WHERE embedding IS NOT NULL))
+        |SELECT grp, CAST(pos AS INT) AS pos,
+        | round(CAST(CAST(avg(CAST(value AS DOUBLE)) AS REAL) AS DOUBLE), 6)
+        |  AS value
+        |FROM e GROUP BY grp, pos""".stripMargin),
+
     ("semantic_pairs",
       // SemDeDup-style within-cluster pairs: the seeded quantizer makes
       // the pair set deterministic at sf0.01 (pinned), and DuckDB

@@ -289,6 +289,33 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Element-wise mean-pool of an embedding column per group key — the
+    * chunk-embeddings→document-embedding step of a RAG/embedding
+    * pipeline (embed chunk-text windows, pool back to one vector per
+    * document). Pure relational: posexplode to (group, pos, value),
+    * ONE hash-aggregated groupBy on (group, pos) with map-side partial
+    * averages, reassemble with sort_array(collect_list) — no UDAF, no
+    * driver-side state, scales with rows × dims. Null vectors are
+    * skipped; groups with only nulls don't appear. Output: (groupCol,
+    * `<vecCol>_pooled` float32 array).
+    */
+  def meanPoolEmbeddings(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    val exploded = df
+      .filter(col(vecCol).isNotNull)
+      .select(col(groupCol),
+        posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+    exploded
+      .groupBy(col(groupCol), col("__pos"))
+      .agg(avg(col("__v").cast("double")).as("__m"))
+      .groupBy(col(groupCol))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__m"))))
+        .as("__ps"))
+      .select(col(groupCol),
+        transform(col("__ps"), p => p("__m").cast("float"))
+          .as(s"${vecCol}_pooled"))
+  }
+
   /** Drop the larger id of every [[semanticPairs]] pair — per-cluster
     * semantic dedup with the keep-smallest policy.
     */

@@ -182,6 +182,13 @@ object LlmOps {
         k = spec.optStr(1).map(_.toInt).getOrElse(16))
     }
 
+    // `pool-embeddings :vec :group` — element-wise mean of all vectors
+    // per group (chunk embeddings -> one document vector); output one
+    // row per group with `<vec>_pooled`
+    case "pool-embeddings" => ColumnOps.simple(spec) { df =>
+      graft.llm.Similarity.meanPoolEmbeddings(df, spec.col(1), spec.col(0))
+    }
+
     // `dedup-semantic :vec :id [k] [threshold]` — SemDeDup-style
     // within-cluster semantic dedup: coarse-quantizer cells bound the
     // pairwise comparison, larger id of each >=threshold-cosine pair

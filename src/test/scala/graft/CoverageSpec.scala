@@ -126,7 +126,7 @@ class CoverageSpec extends SparkSpec {
     "quantize-embedding", "dequantize-embedding", "normalize-embedding",
     "hashing-tf",
     "split-sentences",
-    "cluster-embeddings", "clean-lines-c4", "gopher-rules",
+    "cluster-embeddings", "pool-embeddings", "clean-lines-c4", "gopher-rules",
     "pack-sequences",
     "sample-by-hash", "sample-weighted", "hash-split", "repartition-output",
     "sample-temperature")

@@ -724,6 +724,19 @@ class LlmSpec extends SparkSpec {
     assert(zeroed.forall(_ == 0))
   }
 
+  test("pool-embeddings averages element-wise per group, skips nulls") {
+    val d = df("doc BIGINT, v ARRAY<FLOAT>", Seq(
+      Row(1L, Seq(1.0f, 2.0f)), Row(1L, Seq(3.0f, 4.0f)),
+      Row(1L, null), Row(2L, Seq(10.0f, 20.0f)), Row(3L, null)))
+    val out = graft.llm.Similarity.meanPoolEmbeddings(d, "doc", "v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    assert(out == Map(1L -> Seq(2.0f, 3.0f), 2L -> Seq(10.0f, 20.0f)),
+      s"got $out") // group 3 (all null) absent
+    val viaRecipe = graft.Wrangle.recipe("pool-embeddings :v :doc").apply(d)
+    assert(viaRecipe.columns.toSet == Set("doc", "v_pooled"))
+    assert(viaRecipe.count() == 2)
+  }
+
   test("semantic dedup: planted near-identical vectors pair within their cluster") {
     import graft.llm.Similarity
     val rnd = new scala.util.Random(7)
