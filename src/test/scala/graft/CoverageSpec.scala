@@ -146,6 +146,20 @@ class CoverageSpec extends SparkSpec {
     * ints, posexplode to scalars for floats) like quantize_embedding /
     * dequantize_embedding / hashing_tf do.
     */
+  /** Every registered query must carry a DuckDB oracle — a query
+    * without one silently downgrades to the driver's weak rows-only
+    * check. The two allow-listed entries are structurally
+    * un-oracle-able (random UUIDs; the flagship recipe is checked by
+    * the rows>0 smoke plus its own per-directive oracle rows).
+    */
+  test("every QueryBank entry has an oracle (explicit allow-list aside)") {
+    val allowNoOracle = Set("generate_uuid", "baseline_13_directive_recipe")
+    val missing = QueryBank.queries.keySet -- QueryBank.oracleSql.keySet --
+      allowNoOracle
+    assert(missing.isEmpty,
+      s"queries without a DuckDB oracle: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
   test("every QueryBank output schema is driver-sortable (atomic columns only)") {
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     val dir = "/root/testdata/sf0.001"
