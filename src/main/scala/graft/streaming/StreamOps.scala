@@ -144,7 +144,7 @@ object StreamOps {
   def runBatchAsStream(spark: SparkSession, sourceDir: String,
       transform: DataFrame => DataFrame, queryName: String,
       outputMode: OutputMode = OutputMode.Append,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 4): DataFrame = {
     // the events table carries TIMESTAMP(NANOS) — readable only as long.
     // Restored after the run: this is a session-wide legacy flag and a
     // later BATCH read of the same table must not inherit it.
