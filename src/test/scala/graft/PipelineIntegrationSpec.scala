@@ -46,6 +46,46 @@ class PipelineIntegrationSpec extends SparkSpec {
     assert(total > 0)
   }
 
+  test("round-9 pipeline: unicode -> clean -> gate -> span-decontam -> url+semantic dedup -> budget") {
+    import org.apache.spark.sql.functions._
+    val all = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val bench = all.filter(col("doc_id") % 97 === 0)
+    val corpus = all.filter(col("doc_id") % 97 =!= 0)
+
+    // 1. normalization + published gates + surgical decontamination +
+    //    scoring, all via the recipe surface in ONE pass
+    val prepped = Wrangle.recipe("""
+      normalize-unicode :text NFKC;
+      remove-accents :text;
+      gopher-rules :text;
+      quality-score :text;
+      token-count :text;
+      decontaminate-spans :text bench 3;
+    """).withLookup("bench", bench.select(col("text").as("q")))
+      .apply(corpus)
+    assert(prepped.columns.toSet.intersect(
+      Set("text_gopher_keep", "text_quality", "text_tokens")).size == 3)
+    assert(prepped.count() == corpus.count()) // span cut, nothing dropped
+
+    // 2. URL-level dedup on a synthetic url column (canonical collapse)
+    val withUrl = prepped.withColumn("url",
+      concat(lit("HTTPS://WWW.ex.COM/p/"), col("doc_id") % 100,
+        lit("?utm_source=x")))
+    val urlDeduped = Wrangle
+      .recipe("normalize-url :url; dedup-exact :url :doc_id;")
+      .apply(withUrl)
+    assert(urlDeduped.count() == 100) // 100 canonical resources survive
+
+    // 3. temperature-mix sources, then token-budget the best slice
+    val mixed = graft.session.Sampler.temperatureMix(
+      prepped, "doc_id", "lang", alpha = 0.5, targetFrac = 0.8)
+    val budgeted = graft.llm.Packing.selectBudget(
+      mixed, "text_tokens", "text_quality", "doc_id", budget = 10000)
+    val toks = budgeted.agg(sum("text_tokens")).head().getLong(0)
+    assert(toks <= 10000 && toks > 5000, s"budget landed at $toks")
+    assert(budgeted.count() > 0)
+  }
+
   test("retrieval pipeline: embed-dedup -> IVF index -> top-k per query") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
