@@ -45,7 +45,7 @@ object Decontaminate {
     */
   def markHits(corpus: DataFrame, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 8,
-      maxBenchGrams: Int = 100000000): DataFrame = {
+      maxBenchGrams: Int = 20000000): DataFrame = {
     val hits = hitsColumn(corpus, textCol, bench, benchTextCol, n, maxBenchGrams)
     corpus.withColumn(s"${textCol}_contam_hits", hits)
   }
@@ -53,7 +53,7 @@ object Decontaminate {
   /** Keep only documents with fewer than `minHits` shared n-grams. */
   def drop(corpus: DataFrame, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 8, minHits: Int = 1,
-      maxBenchGrams: Int = 100000000): DataFrame = {
+      maxBenchGrams: Int = 20000000): DataFrame = {
     val hits = hitsColumn(corpus, textCol, bench, benchTextCol, n, maxBenchGrams)
     corpus.filter(hits < lit(minHits))
   }
@@ -143,7 +143,7 @@ object Decontaminate {
     */
   def dropSpans(corpus: DataFrame, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 8,
-      maxBenchGrams: Int = 100000000): DataFrame = {
+      maxBenchGrams: Int = 20000000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val grams: Array[Long] = bench
@@ -171,8 +171,9 @@ object Decontaminate {
       .distinct().as[Long].collect()
     require(grams.length <= maxBenchGrams,
       s"decontaminate: benchmark has ${grams.length} distinct $n-grams " +
-        s"(max $maxBenchGrams); use the explode+join shape for benchmark " +
-        "sets this large")
+        s"(max $maxBenchGrams ≈ ${maxBenchGrams / 125000} MB broadcast); " +
+        "use markHitsScalable (Bloom pre-screen + exact verify, " +
+        "bit-identical results) for benchmark sets this large")
     java.util.Arrays.sort(grams)
     val bc = spark.sparkContext.broadcast(grams)
     val hitsUdf = udf((s: String) => {

@@ -237,11 +237,32 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
       driverLimit: Long = 5000000L): DataFrame = {
     val spark = pairs.sparkSession
+    // Validate up front instead of silently casting: a string/UUID id
+    // column would cast to null and corrupt labels (or NPE the driver
+    // union-find). Non-Long integrals (int/short/byte) widen losslessly.
+    Seq("id_a", "id_b").foreach { c =>
+      val dt = pairs.schema(pairs.schema.fieldIndex(c)).dataType
+      require(dt == LongType || dt == IntegerType || dt == ShortType ||
+          dt == ByteType,
+        s"connectedComponents: column '$c' has type ${dt.simpleString}; " +
+          "ids must be integral (byte/short/int/long). Map string/UUID " +
+          "keys to a dense long id (e.g. hash or zipWithIndex) first.")
+    }
     val pinned = pairs.select(col("id_a").cast(LongType),
       col("id_b").cast(LongType)).persist()
     val n = pinned.count()
     if (n <= driverLimit) {
-      val parent = new java.util.HashMap[Long, Long]()
+      import spark.implicits._
+      // collect through the primitive tuple encoder, not Row: (Long,Long)
+      // tuples are @specialized, so 5M pairs cost ~2 long[] worth of heap
+      // plus tuple headers (~200 MB) instead of the GenericRow + boxed
+      // Long cost (~1 GB) that a plain collect() pays. Same reason the
+      // union-find below is an open-addressed primitive map, not a boxed
+      // java.util.HashMap. toLocalIterator is still avoided: it schedules
+      // one job PER PARTITION.
+      val rows = pinned.as[(Long, Long)].collect()
+      val parent = new LongLongMap(math.min(Int.MaxValue.toLong,
+        rows.length.toLong * 2 + 16).toInt)
       def find(x: Long): Long = {
         var r = x
         while (parent.get(r) != r) r = parent.get(r)
@@ -249,26 +270,21 @@ object Dedup {
         while (parent.get(c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
         r
       }
-      // collect, not toLocalIterator: the limit already bounds this at
-      // ~80 MB, and toLocalIterator schedules one job PER PARTITION
-      val rows = pinned.collect()
       var ri = 0
       while (ri < rows.length) {
-        val row = rows(ri); ri += 1
-        val a = row.getLong(0); val b = row.getLong(1)
-        if (!parent.containsKey(a)) parent.put(a, a)
-        if (!parent.containsKey(b)) parent.put(b, b)
+        val p = rows(ri); ri += 1
+        val a = p._1; val b = p._2
+        if (!parent.contains(a)) parent.put(a, a)
+        if (!parent.contains(b)) parent.put(b, b)
         val ra = find(a); val rb = find(b)
         // union toward the SMALLER root so component = min id
         if (ra < rb) parent.put(rb, ra)
         else if (rb < ra) parent.put(ra, rb)
       }
       val out = new Array[(Long, Long)](parent.size)
-      val keys = parent.keySet().iterator()
-      var i = 0
-      while (keys.hasNext) { val k = keys.next(); out(i) = (k, find(k)); i += 1 }
+      var oi = 0
+      parent.foreachKey { k => out(oi) = (k, find(k)); oi += 1 }
       pinned.unpersist()
-      import spark.implicits._
       spark.createDataset(out.toSeq).toDF("id", "component")
     } else {
       val r = connectedComponentsIterative(pinned, maxIter)
@@ -507,4 +523,70 @@ object Dedup {
   def ngramJaccard(a: Column, b: Column, n: Int): Column =
     graft.functions.Udfs.ngramJaccardUdf(a.cast(StringType),
       b.cast(StringType), lit(n))
+}
+
+/** Open-addressed long→long hash map (linear probing, power-of-two
+  * capacity) for the driver union-find fast path in
+  * [[Dedup.connectedComponents]]: two primitive arrays + a bitmap-ish
+  * used flag ≈ 17 bytes/slot, vs ~80 bytes/entry for a boxed
+  * java.util.HashMap — the difference between ~300 MB and >1 GB of
+  * driver heap at the 5M-pair limit.
+  */
+private[llm] final class LongLongMap(expected: Int) {
+  private[this] var cap = {
+    var c = 16
+    while (c < expected && c > 0) c <<= 1
+    if (c <= 0) 1 << 30 else c // overflow clamp
+  }
+  private[this] var mask = cap - 1
+  private[this] var keys = new Array[Long](cap)
+  private[this] var vals = new Array[Long](cap)
+  private[this] var used = new Array[Boolean](cap)
+  private[this] var n = 0
+
+  def size: Int = n
+
+  private[this] def slot(k: Long): Int = {
+    // 64→32 bit mix (splitmix64 finalizer tail) then mask
+    var h = k * -7046029254386353131L // 0x9E3779B97F4A7C15
+    h ^= h >>> 32
+    var i = h.toInt & mask
+    while (used(i) && keys(i) != k) i = (i + 1) & mask
+    i
+  }
+
+  def contains(k: Long): Boolean = used(slot(k))
+
+  /** Value for a key that is known to be present (union-find parents
+    * are always seeded before lookup); undefined for absent keys.
+    */
+  def get(k: Long): Long = vals(slot(k))
+
+  def put(k: Long, v: Long): Unit = {
+    val i = slot(k)
+    if (!used(i)) {
+      used(i) = true; keys(i) = k; vals(i) = v; n += 1
+      if (n.toLong * 2 > cap) grow()
+    } else vals(i) = v
+  }
+
+  private[this] def grow(): Unit = {
+    val ok = keys; val ov = vals; val ou = used; val oc = cap
+    cap <<= 1; mask = cap - 1
+    keys = new Array[Long](cap); vals = new Array[Long](cap)
+    used = new Array[Boolean](cap)
+    var i = 0
+    while (i < oc) {
+      if (ou(i)) {
+        val j = slot(ok(i))
+        used(j) = true; keys(j) = ok(i); vals(j) = ov(i)
+      }
+      i += 1
+    }
+  }
+
+  def foreachKey(f: Long => Unit): Unit = {
+    var i = 0
+    while (i < cap) { if (used(i)) f(keys(i)); i += 1 }
+  }
 }

@@ -91,8 +91,23 @@ object Sources {
     require(targetBytes > 0, "repartition-output: targetBytes must be > 0")
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val want = (estBytes / targetBytes).toLong + 1
-    val n = math.max(1L, math.min(want, maxPartitions.toLong)).toInt
     val cur = df.rdd.getNumPartitions
+    // Catalyst's sizeInBytes is an upper-bound GUESS for plans without
+    // reliable stats (post-join products, defaultSizeInBytes fallbacks)
+    // and can be off by orders of magnitude high. Shrinking on a bad
+    // estimate is cheap (narrow coalesce), but GROWING is a full
+    // shuffle — so cap growth at a small multiple of the current
+    // partition count and surface when either cap bites instead of
+    // silently scheduling a 200k-partition exchange.
+    val growthCap = math.max(cur.toLong * 8, 64L)
+    val n = math.max(1L,
+      math.min(math.min(want, maxPartitions.toLong),
+        if (want > cur) growthCap else want)).toInt
+    if (want > math.min(maxPartitions.toLong, growthCap))
+      System.err.println(
+        s"[graft] repartition-output: size estimate ${estBytes} B asks " +
+          s"for $want partitions; capped to $n (cur=$cur). If the " +
+          "estimate is real, repartition explicitly; if not, ignore.")
     if (n < cur) df.coalesce(n)
     else if (n > cur) df.repartition(n)
     else df

@@ -173,6 +173,49 @@ class RobustnessSpec extends AnyFunSuite {
     assert(graft.ops.NlDate.parse("definitely not a date", anchor) == null)
     assert(graft.ops.NlDate.parseDateTime("tomorrow at 99:99", anchor) == null)
   }
+
+  test("connectedComponents: union-find and iterative fallback agree on random graphs") {
+    // the equivalence contract at the driverLimit switch point: BOTH
+    // regimes must yield identical (id -> min-reachable-id) labels for
+    // the same pair set. driverLimit=0 forces the distributed loop.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = SparkSpec.spark
+    val schema = StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType)))
+    val graphGen: Gen[List[(Long, Long)]] = for {
+      nNodes <- Gen.choose(2, 24)
+      nEdges <- Gen.choose(1, 48)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0, nNodes - 1)
+        b <- Gen.choose(0, nNodes - 1)
+      } yield (a.toLong, b.toLong))
+    } yield edges
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10),
+      Prop.forAll(graphGen) { edges =>
+        val pairs = spark.createDataFrame(
+          java.util.Arrays.asList(edges.map { case (a, b) => Row(a, b) }: _*),
+          schema)
+        val fast = graft.llm.Dedup.connectedComponents(pairs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val dist = graft.llm.Dedup
+          .connectedComponents(pairs, maxIter = 30, driverLimit = 0)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        fast == dist
+      })
+    assert(res.passed, s"cc-equivalence: ${res.status}")
+    // non-integral id columns fail fast with a clear message instead of
+    // null-casting into corrupted labels
+    val strPairs = spark.createDataFrame(
+      java.util.Arrays.asList(Row("a", "b")),
+      StructType(Seq(
+        StructField("id_a", org.apache.spark.sql.types.StringType),
+        StructField("id_b", org.apache.spark.sql.types.StringType))))
+    val e = intercept[IllegalArgumentException] {
+      graft.llm.Dedup.connectedComponents(strPairs)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }
 
 /** Indirection so the spec compiles even if NlDate moves. */
