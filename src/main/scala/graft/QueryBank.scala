@@ -123,6 +123,29 @@ object QueryBank {
       },
       "SELECT o_orderkey FROM orders WHERE o_totalprice > 150000"),
 
+    ("fail_passthrough",
+      // the non-firing half of `fail`'s contract through the driver
+      // gate: the assert_true filter evaluates per row but never
+      // triggers, so the stream passes through untouched (the FIRING
+      // half — abort with the directive's message — is asserted in
+      // OpsSpec "fail aborts when condition holds", which an exact-SQL
+      // oracle cannot express)
+      (s, d) => r("fail exp:{ n_nationkey < 0 }; keep :n_nationkey,:n_name")(nat(s, d)),
+      "SELECT n_nationkey, n_name FROM nation"),
+
+    ("invoke_http",
+      // invoke-http against the in-process loopback echo fixture: the
+      // response is a DETERMINISTIC function of the posted row JSON, so
+      // DuckDB reconstructs the exact http_response string with
+      // concatenation — a real per-row HTTP round trip with an exact
+      // oracle and zero egress (127.0.0.1 only)
+      (s, d) => r(s"invoke-http '${LoopbackEcho.url}' :n_nationkey,:n_name; " +
+        "keep :n_nationkey,:n_name,:http_response")(nat(s, d)),
+      """SELECT n_nationkey, n_name,
+        | '{"ok":true,"echoed":{"n_nationkey":' || n_nationkey ||
+        | ',"n_name":"' || n_name || '"}}' AS http_response
+        |FROM nation""".stripMargin),
+
     // ---- §2.5 string transforms ------------------------------------
     ("uppercase",
       (s, d) => r("uppercase :c_mktsegment; lowercase :c_name; titlecase :c_name; keep :c_custkey,:c_name,:c_mktsegment")(cust(s, d)),
@@ -1606,6 +1629,38 @@ object QueryBank {
         | substr(text, CAST((i * greatest(len(text) - 16, 1)) // 2 AS INT) + 1, 16) AS frame
         |FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) t""".stripMargin),
 
+    ("multimodal_wav_decode",
+      // REAL audio decode: deterministic PCM WAV payloads are
+      // synthesized per doc_id (fixture UDF below), then DECODED —
+      // RIFF chunk walk + signed-LE16 sample extraction — into exact
+      // integer sample statistics. DuckDB recomputes the same stats
+      // from the sample formula directly (it never sees the bytes),
+      // so any decoder slip (offset, sign, endianness, chunk walk)
+      // breaks the hash match.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val wav = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthWavUdf(col("doc_id")))
+        wav.select(col("doc_id"),
+            graft.llm.MediaHeaders.wavStatsUdf(col("payload")).as("st"))
+          .select(col("doc_id"),
+            col("st.n_samples").as("wav_n"),
+            col("st.peak").as("wav_peak"),
+            col("st.sum").as("wav_sum"),
+            col("st.sumsq").as("wav_sumsq"))
+      },
+      """WITH s AS (SELECT doc_id,
+        |  list_transform(range(0, 64 + doc_id % 64),
+        |    i -> (doc_id * 31 + i * 7919) % 65536 - 32768) AS smp
+        | FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        | CAST(len(smp) AS BIGINT) AS wav_n,
+        | CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS wav_peak,
+        | CAST(list_sum(smp) AS BIGINT) AS wav_sum,
+        | CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT) AS wav_sumsq
+        |FROM s""".stripMargin),
+
     ("data_model_map_column",
       (s, d) => r("data-model-map-column prop:{field=account_balance,type=long} :c_acctbal; keep :c_custkey,:account_balance")(cust(s, d)),
       "SELECT c_custkey, CAST(trunc(c_acctbal) AS BIGINT) AS account_balance FROM customer"),
@@ -2449,9 +2504,65 @@ object QueryBank {
       bits = 8, probeHamming = 2)
   }
 
+  /** Fixture: a minimal valid mono 16-bit 8 kHz PCM WAV whose samples
+    * are a pure function of the id — sample[i] = (id*31 + i*7919) mod
+    * 65536 - 32768, n = 64 + id mod 64 — so the DuckDB oracle can
+    * recompute the decoded statistics without ever seeing the bytes.
+    */
+  private val synthWavUdf = org.apache.spark.sql.functions.udf((id: Long) => {
+    val n = (64 + (id % 64)).toInt
+    val bytes = new Array[Byte](44 + n * 2)
+    def w16(o: Int, v: Int): Unit = {
+      bytes(o) = (v & 0xff).toByte; bytes(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def w32(o: Int, v: Long): Unit = { w16(o, (v & 0xffff).toInt); w16(o + 2, ((v >> 16) & 0xffff).toInt) }
+    def tag(o: Int, s: String): Unit =
+      (0 until 4).foreach(i => bytes(o + i) = s.charAt(i).toByte)
+    tag(0, "RIFF"); w32(4, 36L + n * 2); tag(8, "WAVE")
+    tag(12, "fmt "); w32(16, 16); w16(20, 1); w16(22, 1) // PCM, mono
+    w32(24, 8000); w32(28, 16000); w16(32, 2); w16(34, 16)
+    tag(36, "data"); w32(40, n * 2L)
+    var i = 0
+    while (i < n) {
+      val s = (((id * 31 + i.toLong * 7919) % 65536) - 32768).toInt
+      w16(44 + 2 * i, s & 0xffff)
+      i += 1
+    }
+    bytes
+  })
+
   val queries: Map[String, Q] =
     entries.map { case (n, q, _) => n -> q }.toMap
 
   val oracleSql: Map[String, String] =
     entries.collect { case (n, _, sql) if sql != null => n -> sql }.toMap
+}
+
+/** Loopback echo fixture for the `invoke_http` correctness row: one
+  * ephemeral-port HTTP server per JVM on 127.0.0.1 (never egress),
+  * answering `{"ok":true,"echoed":<posted body>}` — deterministic in
+  * the request, so the row result is exactly SQL-oracle-able.
+  *
+  * The server is started FROM A DAEMON THREAD: HttpServer's dispatcher
+  * thread inherits the daemon flag of the thread calling start(), so
+  * the fixture never blocks JVM exit (Verify/Bench mains must
+  * terminate without an explicit stop hook).
+  */
+private object LoopbackEcho {
+  lazy val url: String = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/echo", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val resp = s"""{"ok":true,"echoed":$body}""".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    val starter = new Thread(() => server.start(), "loopback-echo-start")
+    starter.setDaemon(true)
+    starter.start()
+    starter.join()
+    s"http://127.0.0.1:${server.getAddress.getPort}/echo"
+  }
 }

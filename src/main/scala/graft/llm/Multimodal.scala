@@ -9,11 +9,15 @@ import org.apache.spark.sql.types._
   * the layout a 100 TB media pipeline needs (payload stays columnar
   * parquet, metadata is filterable/prunable without touching bytes).
   *
-  * The actual media DECODE step is stubbed deterministically (no
-  * image/audio codecs in this environment — see `decodeStub`): the
-  * Spark-side plumbing (schema, batching, partition sizing, frame
-  * sampling, feature shape) is real and tested; swapping `decodeStub`
-  * for a JNI/codec call is a one-function change.
+  * Decode status: header metadata (dims/duration/format) is REAL for
+  * PNG/JPEG/GIF/BMP/WAV/MP4/MP3 ([[MediaHeaders.probe]]), and audio
+  * sample decode is REAL for PCM WAV ([[MediaHeaders.wavStats]] —
+  * pure byte layout, no codec needed). The image/video FEATURE decode
+  * is stubbed deterministically (compressed codecs aren't in this
+  * environment — see `decodeStub`): the Spark-side plumbing (schema,
+  * batching, partition sizing, frame sampling, feature shape) is real
+  * and tested; swapping `decodeStub` for a JNI/codec call is a
+  * one-function change.
   */
 object Multimodal {
 
@@ -272,4 +276,66 @@ object MediaHeaders {
 
   val probeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf(probe _)
+
+  /** Exact sample statistics from a REAL decode of a PCM WAV payload —
+    * the one format whose "decode" is pure public byte layout (RIFF
+    * chunk walk + little-endian 8/16-bit sample extraction, no codec):
+    * this closes the media-decode stub for audio with genuinely decoded
+    * samples. Integer outputs (count / peak / sum / sum-of-squares) so
+    * results are exactly SQL-oracle-able; mean and RMS are one division
+    * away for callers. Multi-channel payloads aggregate over ALL
+    * interleaved channel samples.
+    */
+  case class WavStats(n_samples: Long, peak: Int, sum: Long, sumsq: Long)
+
+  def wavStats(b: Array[Byte]): WavStats = {
+    if (b == null || b.length < 44) return null
+    if (ascii(b, 0, 4) != "RIFF" || ascii(b, 8, 4) != "WAVE") return null
+    var p = 12
+    var fmt = -1
+    var bits = -1
+    var dataOff = -1
+    var dataLen = -1L
+    while (p + 8 <= b.length) {
+      val id = ascii(b, p, 4)
+      val len = le32(b, p + 4)
+      if (id == "fmt " && p + 24 <= b.length) {
+        fmt = le16(b, p + 8)
+        bits = le16(b, p + 22)
+      }
+      if (id == "data" && dataOff < 0) { dataOff = p + 8; dataLen = len }
+      val step = 8L + len + (len & 1L) // chunks are word-aligned
+      if (p + step > b.length) p = b.length else p += step.toInt
+    }
+    // PCM only (format 1): compressed WAVE subtypes need real codecs
+    if (fmt != 1 || dataOff < 0) return null
+    val end = math.min(b.length.toLong, dataOff + dataLen).toInt
+    if (bits == 16) {
+      val n = (end - dataOff) / 2
+      var sum = 0L; var sumsq = 0L; var peak = 0
+      var i = 0
+      while (i < n) {
+        val s = (le16(b, dataOff + 2 * i) << 16) >> 16 // sign-extend LE16
+        sum += s; sumsq += s.toLong * s
+        val a = math.abs(s); if (a > peak) peak = a
+        i += 1
+      }
+      WavStats(n, peak, sum, sumsq)
+    } else if (bits == 8) {
+      // 8-bit WAV is UNSIGNED with a 128 midpoint per the RIFF spec
+      val n = end - dataOff
+      var sum = 0L; var sumsq = 0L; var peak = 0
+      var i = 0
+      while (i < n) {
+        val s = u8(b, dataOff + i) - 128
+        sum += s; sumsq += s.toLong * s
+        val a = math.abs(s); if (a > peak) peak = a
+        i += 1
+      }
+      WavStats(n, peak, sum, sumsq)
+    } else null
+  }
+
+  val wavStatsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(wavStats _)
 }

