@@ -663,6 +663,54 @@ object QueryBank {
         |   <= mx - INTERVAL 10 MINUTE
         |GROUP BY 1, 2""".stripMargin),
 
+    // As-of join (union-merge: ONE key shuffle, no candidate explosion —
+    // JoinOps.asofJoin): each event picks up its user's most recent
+    // order at-or-before the event time; (custkey, orderdate) ties
+    // resolve to the max orderkey on both sides, so the match is exact.
+    ("asof_join",
+      (s, d) => graft.ops.JoinOps.asofJoin(
+        s.read.parquet(s"$d/events.parquet")
+          .select("event_id", "user_id", "ts"),
+        ord(s, d),
+        "user_id", "o_custkey", "ts", "o_orderdate",
+        Seq("o_orderkey", "o_totalprice"),
+        rightTiebreak = Some("o_orderkey")),
+      """WITH o2 AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                            ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders),
+        |o3 AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        |       FROM o2 WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |       o3.o_orderkey AS asof_o_orderkey,
+        |       o3.o_totalprice AS asof_o_totalprice
+        |FROM events e ASOF LEFT JOIN o3
+        |  ON e.user_id = o3.o_custkey AND e.ts >= o3.o_orderdate""".stripMargin),
+
+    // Range-containment join via grid bucketing (JoinOps.rangeJoin):
+    // events land in value bands derived from nation — the non-equi
+    // predicate becomes an equi-join on the grid cell (shuffle-right at
+    // scale) with the exact predicate re-applied as a post-filter.
+    ("range_join",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val bands = nat(s, d).select(
+          (col("n_nationkey") * 20.0).as("lo"),
+          ((col("n_nationkey") + 1) * 20.0).as("hi"),
+          col("n_nationkey").as("band_id"),
+          col("n_name").as("band_name"))
+        graft.ops.JoinOps.rangeJoin(
+          s.read.parquet(s"$d/events.parquet").select("event_id", "value"),
+          bands, "value", "lo", "hi", cellWidth = 20.0)
+          .select("event_id", "value", "band_id", "band_name")
+      },
+      """SELECT e.event_id, e.value, n.n_nationkey AS band_id,
+        |       n.n_name AS band_name
+        |FROM events e JOIN nation n
+        |  ON e.value >= n.n_nationkey*20.0
+        | AND e.value < (n.n_nationkey+1)*20.0""".stripMargin),
+
     // The three candidate-pair sets below are seeded-deterministic, so
     // their expected values at the driver's correctness scale (sf0.01,
     // TESTDATA.md) are pinned as literal fixtures — any engine

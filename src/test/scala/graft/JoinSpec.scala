@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.ops.JoinOps
+
+class JoinSpec extends SparkSpec {
+
+  private def trades = df("sym STRING, t DOUBLE, qty INT", Seq(
+    Row("A", 10.0, 1), Row("A", 20.0, 2), Row("A", 25.0, 3),
+    Row("B", 5.0, 4), Row("B", 50.0, 5),
+    Row("C", 7.0, 6))) // C has no quotes at all
+
+  private def quotes = df("qsym STRING, qt DOUBLE, px DOUBLE, seq INT", Seq(
+    Row("A", 8.0, 1.0, 1), Row("A", 20.0, 2.0, 1), Row("A", 22.0, 3.0, 1),
+    Row("B", 6.0, 4.0, 1), Row("B", 40.0, 5.0, 1),
+    // (key, time) collision: largest tiebreak must win deterministically
+    Row("B", 40.0, 6.0, 2)))
+
+  private def collectAsof(d: org.apache.spark.sql.DataFrame) =
+    d.collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2),
+      Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+
+  test("asofJoin backward: latest at-or-before, nulls when none precede") {
+    val out = JoinOps.asofJoin(trades, quotes,
+      "sym", "qsym", "t", "qt", Seq("px"),
+      rightTiebreak = Some("seq"))
+    assert(out.columns.toSeq == Seq("sym", "t", "qty", "asof_px"))
+    assert(collectAsof(out) == Set(
+      ("A", 10.0, 1, Some(1.0)),  // quote at 8
+      ("A", 20.0, 2, Some(2.0)),  // equal time matches
+      ("A", 25.0, 3, Some(3.0)),  // quote at 22
+      ("B", 5.0, 4, None),        // nothing at-or-before 5
+      ("B", 50.0, 5, Some(6.0)),  // tie at qt=40 -> seq=2 row wins
+      ("C", 7.0, 6, None)))       // key with no right rows
+  }
+
+  test("asofJoin forward: earliest at-or-after") {
+    val out = JoinOps.asofJoin(trades, quotes,
+      "sym", "qsym", "t", "qt", Seq("px"),
+      direction = "forward", rightTiebreak = Some("seq"))
+    assert(collectAsof(out) == Set(
+      ("A", 10.0, 1, Some(2.0)),  // next quote at 20
+      ("A", 20.0, 2, Some(2.0)),  // equal time matches
+      ("A", 25.0, 3, None),       // no quote at-or-after 25
+      ("B", 5.0, 4, Some(4.0)),   // next quote at 6
+      ("B", 50.0, 5, None),
+      ("C", 7.0, 6, None)))
+  }
+
+  test("asofJoin tolerance masks far matches; inner drops them") {
+    val out = JoinOps.asofJoin(trades, quotes,
+      "sym", "qsym", "t", "qt", Seq("px"),
+      rightTiebreak = Some("seq"), tolerance = Some(3.0))
+    assert(collectAsof(out) == Set(
+      ("A", 10.0, 1, Some(1.0)),  // |10-8|=2 <= 3
+      ("A", 20.0, 2, Some(2.0)),
+      ("A", 25.0, 3, Some(3.0)),  // |25-22|=3 <= 3
+      ("B", 5.0, 4, None),
+      ("B", 50.0, 5, None),       // |50-40|=10 masked
+      ("C", 7.0, 6, None)))
+    val inner = JoinOps.asofJoin(trades, quotes,
+      "sym", "qsym", "t", "qt", Seq("px"),
+      rightTiebreak = Some("seq"), tolerance = Some(3.0), inner = true)
+    assert(inner.count() == 3)
+  }
+
+  test("asofJoin matches the naive window-max oracle on random data") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val l = df("k STRING, t DOUBLE, id INT",
+      (1 to 300).map(i => Row(s"k${rnd.nextInt(5)}", rnd.nextInt(100).toDouble, i)))
+    val r = df("rk STRING, rt DOUBLE, v DOUBLE",
+      (1 to 200).map(i => Row(s"k${rnd.nextInt(6)}", rnd.nextInt(100).toDouble,
+        i.toDouble)))
+    // naive quadratic oracle: per left row, the max-(rt, v) right row
+    // with rt <= t — v doubles as the tiebreak
+    val naive = l.join(r, col("k") === col("rk") && col("rt") <= col("t"), "left")
+      .groupBy("k", "t", "id")
+      .agg(max(struct(col("rt"), col("v"))).as("m"))
+      .select(col("id"), col("m.v").as("expect"))
+    val got = JoinOps.asofJoin(l, r, "k", "rk", "t", "rt", Seq("v"),
+      rightTiebreak = Some("v"))
+      .select(col("id"), col("asof_v"))
+    val joined = got.join(naive, "id")
+      .where(not(col("asof_v") <=> col("expect")))
+    assert(joined.count() == 0)
+  }
+
+  test("asofJoin plan: one key shuffle, no BNLJ/cartesian, window partitioned") {
+    val out = JoinOps.asofJoin(trades, quotes,
+      "sym", "qsym", "t", "qt", Seq("px"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    // union-merge: exactly one exchange on the key feeds the window
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 key exchange, plan:\n$plan")
+  }
+
+  test("rangeJoin: containment via grid cells, exact post-filter") {
+    val pts = df("v DOUBLE, pid INT",
+      Seq(Row(0.5, 1), Row(10.0, 2), Row(19.99, 3), Row(20.0, 4),
+        Row(35.0, 5), Row(-3.0, 6)))
+    val iv = df("lo DOUBLE, hi DOUBLE, band STRING", Seq(
+      Row(0.0, 20.0, "low"), Row(20.0, 40.0, "high"),
+      Row(-10.0, 1.0, "neg"),      // overlaps "low" on [0,1)
+      Row(30.0, 30.0, "empty")))   // degenerate: matches nothing
+    val out = JoinOps.rangeJoin(pts, iv, "v", "lo", "hi", cellWidth = 7.0)
+    val got = out.collect().map(r => (r.getInt(1), r.getString(4))).toSet
+    assert(got == Set(
+      (1, "low"), (1, "neg"), (2, "low"), (3, "low"),
+      (4, "high"), (5, "high"), (6, "neg")))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("rangeJoin matches naive non-equi join on random intervals") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val pts = df("v DOUBLE, pid INT",
+      (1 to 500).map(i => Row(rnd.nextDouble() * 100 - 20, i)))
+    val iv = df("lo DOUBLE, hi DOUBLE, iid INT",
+      (1 to 60).map { i =>
+        val lo = rnd.nextDouble() * 90 - 20
+        Row(lo, lo + rnd.nextDouble() * 15, i)
+      })
+    val naive = pts.join(iv, col("v") >= col("lo") && col("v") < col("hi"))
+      .select("pid", "iid")
+    val got = JoinOps.rangeJoin(pts, iv, "v", "lo", "hi", cellWidth = 5.0)
+      .select("pid", "iid")
+    assert(got.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(got).count() == 0)
+  }
+}
