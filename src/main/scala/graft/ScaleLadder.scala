@@ -113,7 +113,7 @@ object ScaleLadder {
     "dedup_exact", "dedup_spans_text", "decontaminate_bloom",
     "ann_brute_topk", "ann_ivf_topk", "ann_lsh_topk", "ann_quantized_topk",
     "embedding_pairs", "normalize_embedding", "dequantize_embedding",
-    "baseline_13_directive_recipe",
+    "baseline_13_directive_recipe", "asof_join", "range_join",
     "stream_window_agg", "stream_dedup", "stream_sessionize")
 
   def main(args: Array[String]): Unit = {
