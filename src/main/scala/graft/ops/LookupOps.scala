@@ -3,10 +3,12 @@ package graft.ops
 import graft.api._
 import org.apache.spark.sql.functions._
 
-/** Lookup directives — the only join-like operators in the surface
-  * (SURVEY §2.7). Both are BROADCAST left joins: the lookup side is a
-  * small dimension by construction (a catalog / reference table), so at
-  * 100 TB the fact side never shuffles.
+/** Lookup + join directives (SURVEY §2.7, §2.11). The two lookups are
+  * BROADCAST left joins: the lookup side is a small dimension by
+  * construction (a catalog / reference table), so at 100 TB the fact
+  * side never shuffles. `asof-join` / `range-join` expose
+  * [[JoinOps]]' temporal/range joins to the recipe surface against a
+  * registered table.
   */
 object LookupOps {
 
@@ -56,6 +58,46 @@ object LookupOps {
         st.mapDf(_.join(broadcast(renamed),
             col(c) === col("__graft_lk_key"), "left")
           .drop("__graft_lk_key"))
+      }
+    }
+
+    // `asof-join :leftKey :leftTime table :rightKey :rightTime
+    //  payload1[,payload2...] [backward|forward] [toleranceSeconds]
+    //  [tiebreakCol]` — attach each row's most recent (or next)
+    // registered-table row per key. Union-merge under the hood
+    // (JoinOps.asofJoin): one key shuffle, no candidate explosion.
+    case "asof-join" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = {
+        val table = spec.str(2)
+        val right = ctx.lookups.getOrElse(table,
+          throw new RecipeException(s"asof-join: unknown table '$table'"))
+        st.mapDf(df => JoinOps.asofJoin(df, right,
+          spec.col(0), spec.col(3), spec.col(1), spec.col(4),
+          payload = spec.str(5).split(",").map(_.trim).toSeq,
+          direction = spec.optStr(6).getOrElse("backward"),
+          // `-` / `none` skip tolerance while still allowing a
+          // positional tiebreak argument after it
+          tolerance = spec.optStr(7)
+            .filter(s => s.nonEmpty && s != "-" && !s.equalsIgnoreCase("none"))
+            .map(_.toDouble),
+          rightTiebreak = spec.optStr(8)))
+      }
+    }
+
+    // `range-join :pointCol table :loCol :hiCol cellWidth` — attach
+    // every registered-table interval row containing the point value;
+    // grid-bucketed equi-join (JoinOps.rangeJoin), never a
+    // nested-loop plan.
+    case "range-join" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = {
+        val table = spec.str(1)
+        val intervals = ctx.lookups.getOrElse(table,
+          throw new RecipeException(s"range-join: unknown table '$table'"))
+        st.mapDf(df => JoinOps.rangeJoin(df, intervals,
+          spec.col(0), spec.col(2), spec.col(3),
+          cellWidth = spec.num(4).toDouble))
       }
     }
 

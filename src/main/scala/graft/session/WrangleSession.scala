@@ -162,6 +162,9 @@ object Usage {
     "timestamp-to-datetime" -> "timestamp-to-datetime :col [zone]",
     "catalog-lookup" -> "catalog-lookup catalog :col",
     "table-lookup" -> "table-lookup :col table",
+    "asof-join" -> ("asof-join :leftKey :leftTime table :rightKey :rightTime " +
+      "payload[,payload]* [backward|forward] [toleranceSeconds|none] [tiebreakCol]"),
+    "range-join" -> "range-join :pointCol table :loCol :hiCol cellWidth",
     "validate-standard" -> "validate-standard :col [required-fields]",
     "dedup-exact" -> "dedup-exact :textcol :idcol",
     "dedup-minhash" -> "dedup-minhash :textcol :idcol [threshold]",

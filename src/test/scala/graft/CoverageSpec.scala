@@ -129,7 +129,8 @@ class CoverageSpec extends SparkSpec {
     "cluster-embeddings", "pool-embeddings", "clean-lines-c4", "gopher-rules",
     "pack-sequences",
     "sample-by-hash", "sample-weighted", "hash-split", "repartition-output",
-    "sample-temperature")
+    "sample-temperature",
+    "asof-join", "range-join")
 
   test("all curation/sampling directives resolve in the registry") {
     val missing = unresolved(curationDirectives)

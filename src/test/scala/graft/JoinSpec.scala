@@ -116,6 +116,27 @@ class JoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("asof-join / range-join directive spellings against registered tables") {
+    val out = Wrangle
+      .recipe("asof-join :sym :t quotes :qsym :qt px backward none seq")
+      .withLookup("quotes", quotes)
+      .apply(trades)
+    assert(collectAsof(out) == Set(
+      ("A", 10.0, 1, Some(1.0)), ("A", 20.0, 2, Some(2.0)),
+      ("A", 25.0, 3, Some(3.0)), ("B", 5.0, 4, None),
+      ("B", 50.0, 5, Some(6.0)), ("C", 7.0, 6, None)))
+
+    val iv = df("lo DOUBLE, hi DOUBLE, band STRING",
+      Seq(Row(0.0, 20.0, "low"), Row(20.0, 60.0, "high")))
+    val ranged = Wrangle
+      .recipe("range-join :t bands :lo :hi 20")
+      .withLookup("bands", iv)
+      .apply(trades)
+    assert(ranged.collect().map(r => (r.getInt(2), r.getString(5))).toSet ==
+      Set((1, "low"), (2, "high"), (3, "high"), (4, "low"),
+        (5, "high"), (6, "low")))
+  }
+
   test("rangeJoin matches naive non-equi join on random intervals") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(11)
