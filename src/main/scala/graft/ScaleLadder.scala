@@ -40,14 +40,19 @@ import org.apache.spark.sql.functions._
   *      SPARK_GRAFT_LADDER_OUT (default SCALE_LADDER.json).
   */
 object ScaleLadder {
-  /** 10 distinct rotations of a 10-letter alphabet; k=0 is the identity.
-    * Covers the most frequent English letters so nearly every word (and
-    * therefore nearly every shingle hash) changes between copies.
+  /** Per-copy text bijection: composed rotations of two DISJOINT
+    * 10-letter alphabets give 100 distinct character bijections
+    * (k = 0 is the identity), so ladders up to 100 copies keep every
+    * copy's shingle space disjoint from every other's. The first
+    * alphabet covers the most frequent English letters so nearly every
+    * word (and therefore nearly every shingle hash) changes between
+    * copies.
     */
   private val Alpha = "etaoinshrd"
-  private def rot(k: Int): String = {
-    val d = Alpha + Alpha
-    d.substring(k % Alpha.length, k % Alpha.length + Alpha.length)
+  private val Alpha2 = "lucmgypwbv"
+  private def rotOf(alpha: String, k: Int): String = {
+    val d = alpha + alpha
+    d.substring(k % alpha.length, k % alpha.length + alpha.length)
   }
 
   def generate(spark: SparkSession, baseDir: String, outDir: String,
@@ -71,7 +76,9 @@ object ScaleLadder {
       docs.select(
         (col("doc_id") + lit(k.toLong * 1000000L)).as("doc_id"),
         (if (k == 0) col("text")
-         else translate(col("text"), Alpha, rot(k))).as("text"),
+         else translate(
+           translate(col("text"), Alpha, rotOf(Alpha, k % 10)),
+           Alpha2, rotOf(Alpha2, k / 10))).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionAll _), "documents")
 

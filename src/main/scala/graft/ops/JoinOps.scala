@@ -80,15 +80,21 @@ object JoinOps {
         lit(null).cast("double").as(tb) :+
         lit(null).cast(timeType).as(rt)): _*)
 
-    val r = right.select(
-      (leftCols.map(c => lit(null).cast(left.schema(c).dataType.sql).as(c)) ++
-        payload.map(col) :+
-        col(rightKey).cast(keyType).as(kCol) :+
-        col(rightTime).cast(timeType).as(tCol) :+
-        lit(0).as(side) :+
-        rightTiebreak.map(col(_).cast("double"))
-          .getOrElse(lit(0.0)).as(tb) :+
-        col(rightTime).cast(timeType).as(rt)): _*)
+    // null-key/null-time right rows can never be a match — and must be
+    // removed up front, not just skipped by the rt carry: last(payload,
+    // ignoreNulls) would still pick up a null-time row's payload while
+    // rt came from an earlier row, an inconsistent half-match
+    val r = right
+      .where(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        (leftCols.map(c => lit(null).cast(left.schema(c).dataType.sql).as(c)) ++
+          payload.map(col) :+
+          col(rightKey).cast(keyType).as(kCol) :+
+          col(rightTime).cast(timeType).as(tCol) :+
+          lit(0).as(side) :+
+          rightTiebreak.map(col(_).cast("double"))
+            .getOrElse(lit(0.0)).as(tb) :+
+          col(rightTime).cast(timeType).as(rt)): _*)
 
     // Within a (key, time) collision group the scan order is: right rows
     // ascending by tiebreak (so the last one seen — the survivor under
@@ -108,11 +114,16 @@ object JoinOps {
       (d, p) => d.withColumn(p, last(col(p), ignoreNulls = true).over(w))
     }
 
-    val matched = tolerance match {
+    // null-key/null-time LEFT rows are no-match by definition (standard
+    // join null semantics). The time check is load-bearing for
+    // direction="forward": its descending sort puts null-time left rows
+    // AFTER every right row, where the window would hand them a
+    // spurious "match"
+    val matched = (tolerance match {
       case Some(tol) => col(rt).isNotNull &&
         abs(col(tCol).cast("double") - col(rt).cast("double")) <= tol
       case None => col(rt).isNotNull
-    }
+    }) && col(tCol).isNotNull && col(kCol).isNotNull
     val masked = payload.foldLeft(carried.withColumn("__asof_ok", matched)) {
       (d, p) => d.withColumn(p,
         when(col("__asof_ok"), col(p)).otherwise(lit(null)))

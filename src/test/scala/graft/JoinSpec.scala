@@ -116,6 +116,32 @@ class JoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("asofJoin null semantics: null keys/times never match, either side") {
+    val l = df("sym STRING, t DOUBLE, qty INT", Seq(
+      Row("A", 10.0, 1), Row(null, 10.0, 2), Row("A", null, 3)))
+    val r = df("qsym STRING, qt DOUBLE, px DOUBLE, seq INT", Seq(
+      Row("A", 8.0, 1.0, 1),
+      Row("A", null, 99.0, 2),   // null-time right row must be ignored,
+      Row(null, 9.0, 98.0, 3)))  // not half-matched via the payload carry
+    for (dir <- Seq("backward", "forward")) {
+      val out = JoinOps.asofJoin(l, r, "sym", "qsym", "t", "qt", Seq("px"),
+        direction = dir, rightTiebreak = Some("seq"))
+      val m = out.collect().map(x => x.getInt(2) -> Option(x.get(3))).toMap
+      assert(m(2) == None, s"null left key matched under $dir")
+      assert(m(3) == None, s"null left time matched under $dir")
+      if (dir == "backward") assert(m(1) == Some(1.0)) // real match intact
+    }
+  }
+
+  test("rangeJoin null semantics: null points and null bounds drop out") {
+    val pts = df("v DOUBLE, pid INT", Seq(Row(5.0, 1), Row(null, 2)))
+    val iv = df("lo DOUBLE, hi DOUBLE, band STRING", Seq(
+      Row(0.0, 10.0, "ok"), Row(null, 10.0, "nulllo"), Row(0.0, null, "nullhi")))
+    val got = JoinOps.rangeJoin(pts, iv, "v", "lo", "hi", cellWidth = 5.0)
+      .collect().map(r => (r.getInt(1), r.getString(4))).toSet
+    assert(got == Set((1, "ok")))
+  }
+
   test("asof-join / range-join directive spellings against registered tables") {
     val out = Wrangle
       .recipe("asof-join :sym :t quotes :qsym :qt px backward none seq")

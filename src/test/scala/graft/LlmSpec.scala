@@ -622,6 +622,30 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("dedup-key normalization kernel matches the regex Column formulation") {
+    val rnd = new scala.util.Random(19)
+    val alphabet =
+      "abcXYZ019 \t\n\f\r!.,;:-_()[]{}\"'åÅéÉüÜßİıÆæØø中日€😀 …"
+    val fuzz = (1 to 400).map(_ =>
+      (1 to rnd.nextInt(60)).map(_ =>
+        alphabet.charAt(rnd.nextInt(alphabet.length))).mkString)
+    val edges = Seq(
+      null, "", " ", "  \t \n ", "a", " a ", "a .. b", "A.B", "a . b",
+      "ABC!!!def", "x y", "İstanbul I ı", "STRASSE ß strasse",
+      "1..2..3", "...", "über Äpfel señor", "a" * 5000,
+      ("word " * 100) + "!@#$%^&*()")
+    val d = df("t STRING", (fuzz ++ edges).map(Row(_)))
+    val rows = d.select(
+      graft.llm.Dedup.normalized(col("t")).as("kernel"),
+      graft.llm.Dedup.normalizedRef(col("t")).as("ref"),
+      col("t")).collect()
+    rows.foreach { r =>
+      assert(r.get(0) == r.get(1),
+        s"normalize mismatch on '${Option(r.get(2)).map(_.toString.take(40))}'" +
+          s": kernel='${r.get(0)}' ref='${r.get(1)}'")
+    }
+  }
+
   test("dedup-simhash and dedup-embedding directives wire to the library") {
     val d = df("id BIGINT, t STRING", Seq(
       Row(1L, "the quick brown fox jumps over the lazy dog"),
