@@ -174,7 +174,6 @@ object Dedup {
       shingleK: Int = 5, threshold: Double = 0.7,
       maxBucketSize: Int = 10000, textSource: DataFrame): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val r = numHashes / bands
 
     // Per-document signature kernel is a JIT'd function — Catalyst
     // higher-order functions are CodegenFallback and re-evaluate
@@ -190,24 +189,27 @@ object Dedup {
     // branches race to populate the cache within one job and each
     // uncached partition computes its signature twice (measured:
     // bimodal 2x run-to-run swings).
+    // The kernel fuses banding too: only `bands` bucket longs per doc
+    // are cached (8x smaller than the signature array), and every
+    // consumer of the banded frame (hot-bucket count, both self-join
+    // sides) pays a posexplode instead of bands x r element_at+xxhash64
+    // Catalyst calls on each re-read — at the 100x ladder those three
+    // re-reads were the query's dominant CPU (60-80 s per branch).
+    // Bucket values are bit-identical to the old Column formulation
+    // (Udfs.minhashBandBuckets scaladoc), so candidate sets — and the
+    // pinned oracles — are unchanged.
     val raw = df.select(
       col(idCol).as("__id"),
-      graft.functions.Udfs.minhashSigUdf(col(textCol), lit(numHashes),
-        lit(shingleK), lit(42L)).as("__sig"))
+      graft.functions.Udfs.minhashBandBucketsUdf(col(textCol),
+        lit(numHashes), lit(bands), lit(shingleK), lit(42L)).as("__bk"))
       .persist()
     raw.count() // eager: signatures compute exactly once, not per join branch
-    val base = raw.filter(size(col("__sig")) > 0)
+    val base = raw.filter(size(col("__bk")) > 0)
 
     // (band, bucketHash, id): one row per band per doc
-    val buckets = base.select(
-      col("__id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          xxhash64((b * r until (b + 1) * r)
-            .map(i => element_at(col("__sig"), i + 1)): _*).as("bucket"))): _*))
-        .as("__bb"))
-      .select(col("__id"), col("__bb.band").as("__band"),
-        col("__bb.bucket").as("__bucket"))
+    val buckets = base.select(col("__id"),
+      posexplode(col("__bk")).as(Seq("__band", "__bucket")))
+      .select(col("__id"), col("__band"), col("__bucket"))
 
     // skew guard — see [[dropHotBuckets]]
     val sized = dropHotBuckets(buckets, Seq("__band", "__bucket"), maxBucketSize)

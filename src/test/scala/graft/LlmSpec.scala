@@ -622,6 +622,30 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("fused band-bucket kernel matches the xxhash64 Column formulation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(50)
+    val numHashes = 128; val bands = 16; val r = numHashes / bands
+    val sig = graft.functions.Udfs.minhashSigUdf(
+      col("text"), lit(numHashes), lit(5), lit(42L))
+    val oldBuckets = array((0 until bands).map(b =>
+      xxhash64((b * r until (b + 1) * r)
+        .map(i => element_at(sig, i + 1)): _*)): _*)
+    val kernel = graft.functions.Udfs.minhashBandBucketsUdf(
+      col("text"), lit(numHashes), lit(bands), lit(5), lit(42L))
+    val rows = docs.select(kernel.as("k"), oldBuckets.as("c")).collect()
+    rows.foreach { row =>
+      assert(row.getSeq[Long](0) == row.getSeq[Long](1),
+        "band buckets diverge from the xxhash64 fold")
+    }
+    // empty text: kernel returns an empty array (filtered upstream)
+    val empty = df("text STRING", Seq(Row(""), Row(null))).select(
+      graft.functions.Udfs.minhashBandBucketsUdf(
+        col("text"), lit(numHashes), lit(bands), lit(5), lit(42L)).as("k"))
+      .collect()
+    assert(empty(0).getSeq[Long](0).isEmpty)
+  }
+
   test("dedup-key normalization kernel matches the regex Column formulation") {
     val rnd = new scala.util.Random(19)
     val alphabet =
