@@ -482,12 +482,20 @@ object Similarity {
     */
   def normalizeEmbedding(df: DataFrame, vecCol: String): DataFrame = {
     val v = col(vecCol)
-    val norm = sqrt(aggregate(v, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
-    df.withColumn(vecCol,
-      when(v.isNull, lit(null))
-        .when(norm === 0.0, v)
-        .otherwise(transform(v, x => (x.cast("double") / norm).cast("float"))))
+    // stage the norm as a COLUMN before the transform: interpreted HOF
+    // lambdas re-evaluate captured subtrees per element, so an inline
+    // aggregate() norm is O(d^2) per vector — same trap as the round-9
+    // dequantize fix (measured here: 122 s CPU for 200 K x 64-float
+    // vectors, 9.5 µs/element). As an attribute it evaluates once/row.
+    val nc = "__l2_norm"
+    df.withColumn(nc, sqrt(aggregate(v, lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .withColumn(vecCol,
+        when(v.isNull, lit(null))
+          .when(col(nc) === 0.0, v)
+          .otherwise(transform(v,
+            x => (x.cast("double") / col(nc)).cast("float"))))
+      .drop(nc)
   }
 
   /** Inverse of [[quantizeEmbedding]]: codes x scale back to float32
