@@ -216,6 +216,47 @@ class RobustnessSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("integral"))
   }
+
+  test("exact dedup: anti-join fast path and full-row fallback agree") {
+    // the equivalence contract at the maxBroadcastLosers switch point:
+    // both regimes must keep exactly the same rows. 0 forces the
+    // classic full-row min_by shuffle; the duplicated corpus guarantees
+    // a non-empty loser set so both paths do real work.
+    import org.apache.spark.sql.Row
+    val spark = SparkSpec.spark
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType), StructField("meta", StringType)))
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 300).map { i =>
+      // ~30 distinct contents, case/punctuation variants normalize equal
+      val g = rnd.nextInt(30)
+      val variant = rnd.nextInt(3) match {
+        case 0 => s"Document number $g about topic $g."
+        case 1 => s"document NUMBER $g about topic $g"
+        case 2 => s"  document number $g, about topic $g!  "
+      }
+      Row(i.toLong, variant, s"m$i")
+    }
+    val d = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    def key(r: Row) = (r.getLong(0), r.getString(1), r.getString(2))
+    val fast = graft.llm.Dedup.exact(d, "text", "id")
+      .collect().map(key).toSet
+    val fallback = graft.llm.Dedup
+      .exact(d, "text", "id", maxBroadcastLosers = 0)
+      .collect().map(key).toSet
+    assert(fast == fallback, "exact-dedup paths diverge")
+    assert(fast.size < 300 && fast.size >= 30)
+    val bestFast = graft.llm.Dedup.exactKeepBest(d, "text", "id", "id")
+      .collect().map(key).toSet
+    val bestFallback = graft.llm.Dedup
+      .exactKeepBest(d, "text", "id", "id", maxBroadcastLosers = 0)
+      .collect().map(key).toSet
+    assert(bestFast == bestFallback, "keep-best paths diverge")
+    // keep-best with prio=id keeps the LARGEST id per group; exact
+    // keeps the smallest — the two policies must differ on dup groups
+    assert(bestFast != fast)
+  }
 }
 
 /** Indirection so the spec compiles even if NlDate moves. */
