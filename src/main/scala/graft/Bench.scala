@@ -83,10 +83,15 @@ object Bench {
     // transient spike doesn't poison the whole record. The fields let
     // the judge (and the driver) adjudicate a noisy capture without a
     // manual rerun.
+    // threshold is calibrated to sf0.1's rename cost; override when
+    // benching a larger SF (where the trivial scan legitimately costs
+    // more) so the marker doesn't report permanent phantom contention
+    val floorMax =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR_MAX", "0.15").toDouble
     def floorSample(): Double = median((1 to 3).map(_ => materialize("rename")))
     var floorStart = floorSample()
     var backoffs = 0
-    while (floorStart > 0.15 && backoffs < 2) {
+    while (floorStart > floorMax && backoffs < 2) {
       System.err.println(
         f"[bench] contended floor $floorStart%.3f s — backing off 10 s")
       Thread.sleep(10000)
@@ -100,7 +105,7 @@ object Bench {
 
     val floorEnd = floorSample()
     val floor = math.min(floorStart, floorEnd)
-    val contended = floor > 0.15
+    val contended = floor > floorMax
 
     // 3-decimal values: millisecond precision is already below run
     // noise, and the shorter line survives stdout-capture truncation

@@ -57,6 +57,12 @@ object ScaleLadder {
 
   def generate(spark: SparkSession, baseDir: String, outDir: String,
                copies: Int): Unit = {
+    // beyond 100 the composed rotations repeat (copy k = copy k-100),
+    // minting exact cross-copy clones and silently corrupting the
+    // measured ratios with an artificial hot-bucket storm
+    require(copies >= 1 && copies <= 100,
+      s"ScaleLadder: copies must be 1..100 (got $copies) — only 100 " +
+        "distinct text bijections exist")
     val out = new java.io.File(outDir)
     def tbl(n: String): DataFrame =
       spark.read.parquet(s"$baseDir/$n.parquet")

@@ -46,18 +46,23 @@ object Dedup {
     * normalized-content hash.
     *
     * Shape (the low-dup-rate fast path): ONE NARROW shuffle —
-    * `(hash, rank)` pairs only, ~24 bytes/row with map-side partial
-    * min — finds each duplicated group's losers, and a broadcast
-    * anti-join by id removes them. The document text never enters an
-    * exchange; the surviving rows keep their input partitioning (no
-    * output shuffle either). Measured at the 100x ladder (500 K docs,
-    * ~5 % dup rate): 19.9 s for the full-row min_by shuffle vs the
-    * text-free shape, which is bounded by the normalize+hash scan.
+    * `(hash, rank)` pairs only, ~24 bytes/row — finds each duplicated
+    * group's losers, and a broadcast anti-join on (hash, id) removes
+    * them. The document text never enters an exchange; the surviving
+    * rows keep their input partitioning (no output shuffle either).
+    * Measured at the 100x ladder (500 K docs, ~5 % dup rate): 19.9 s
+    * for the full-row min_by shuffle vs ~1.2 s for this shape, which
+    * is bounded by the (kernel) normalize+hash scan.
     *
     * When the loser set exceeds `maxBroadcastLosers` (extreme dup
     * rates — the count is one cheap action on the already-narrow
     * frame), falls back to the classic full-row min_by shuffle, which
     * never needs a broadcast.
+    *
+    * Note this operator is EAGER: the loser set is materialized
+    * (checkpoint + count) when the result frame is built, like the
+    * signature cache in [[minhashPairs]] — the guarded plan choice
+    * needs the loser count before a plan can be returned.
     */
   def exact(df: DataFrame, textCol: String, idCol: String,
       maxBroadcastLosers: Long = 10000000L): DataFrame =
@@ -101,14 +106,26 @@ object Dedup {
     // OOM on a 40-branch union input)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
     val losers = ids
+      // null-safe struct compare: a null rank (e.g. null priority) must
+      // not silently exempt a row from loser-hood
       .withColumn("__keep", min(col("__r")).over(w))
-      .where(col("__r") =!= col("__keep"))
-      .select(col("__r.__id").as(idCol))
+      .where(not(col("__r") <=> col("__keep")))
+      .select(col("__h").as("__lh"), col("__r.__id").as("__lid"))
       .localCheckpoint()
     val nLosers = losers.count()
     if (nLosers == 0) df
     else if (nLosers <= maxBroadcastLosers)
-      df.join(broadcast(losers), Seq(idCol), "left_anti")
+      // anti-join on (hash, id) — not id alone: with duplicated id
+      // values an id-only anti-join would delete same-id rows from
+      // UNRELATED content groups, and a null-id loser would never match.
+      // The hash recompute on the left is the cheap kernel scan; rows
+      // identical in BOTH (hash, id) are mutually indistinguishable and
+      // all kept (the fallback keeps one — the only divergence, and only
+      // on same-id byte-duplicate rows).
+      keyed.join(broadcast(losers),
+          col("__h") === col("__lh") && col(idCol) <=> col("__lid"),
+          "left_anti")
+        .select(cols.map(col).toSeq: _*)
     else {
       // extreme-dup fallback: classic single full-row shuffle, no
       // broadcast anywhere (the checkpointed loser blocks are freed by

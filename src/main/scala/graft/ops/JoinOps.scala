@@ -57,44 +57,59 @@ object JoinOps {
                prefix: String = "asof_"): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"asofJoin: direction must be backward|forward, got '$direction'")
+    require(payload.nonEmpty, "asofJoin: payload must name at least one column")
     val leftCols = left.columns.toSeq
     require(!payload.exists(leftCols.contains),
       "asofJoin: payload column names collide with left columns")
+    require(!payload.map(p => s"$prefix$p").exists(leftCols.contains),
+      s"asofJoin: output column names ($prefix<payload>) collide with left columns")
 
     val keyType = left.schema(leftKey).dataType.sql
     val timeType = left.schema(leftTime).dataType.sql
+    // tiebreak keeps its ORIGINAL type: a cast to double would collapse
+    // long values above 2^53 and silently void the determinism guarantee
+    val tbType = rightTiebreak.map(c => right.schema(c).dataType.sql)
+      .getOrElse("int")
 
     val kCol = "__asof_key"
     val tCol = "__asof_t"
     val side = "__asof_side" // 0 = right, 1 = left: right sorts first at
                              // equal times, so t_left == t_right matches
     val tb = "__asof_tb"
-    val rt = "__asof_rt"     // matched right-row time (tolerance + inner)
+    // The matched right row travels as ONE struct (its time + payload
+    // values), non-null exactly on right rows: last(struct, ignoreNulls)
+    // then lands on the nearest right ROW as a unit. Carrying payload
+    // columns individually is wrong — ignoreNulls would skip a matched
+    // row's legitimately-null payload value and surface a STALE value
+    // from an older row (and different payload columns could come from
+    // different rows).
+    val rp = "__asof_row"
 
     val lAligned = left.select(
-      (leftCols.map(col) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType.sql).as(p)) :+
+      (leftCols.map(col) :+
         col(leftKey).cast(keyType).as(kCol) :+
         col(leftTime).cast(timeType).as(tCol) :+
         lit(1).as(side) :+
-        lit(null).cast("double").as(tb) :+
-        lit(null).cast(timeType).as(rt)): _*)
+        lit(null).cast(tbType).as(tb) :+
+        lit(null).cast(
+          s"struct<__rt:$timeType,${payload.zipWithIndex.map { case (p, i) =>
+            s"__p$i:${right.schema(p).dataType.sql}" }.mkString(",")}>")
+          .as(rp)): _*)
 
-    // null-key/null-time right rows can never be a match — and must be
-    // removed up front, not just skipped by the rt carry: last(payload,
-    // ignoreNulls) would still pick up a null-time row's payload while
-    // rt came from an earlier row, an inconsistent half-match
+    // null-key/null-time right rows can never be a match: removed up
+    // front so they cannot become the carried struct
     val r = right
       .where(col(rightKey).isNotNull && col(rightTime).isNotNull)
       .select(
-        (leftCols.map(c => lit(null).cast(left.schema(c).dataType.sql).as(c)) ++
-          payload.map(col) :+
+        (leftCols.map(c => lit(null).cast(left.schema(c).dataType.sql).as(c)) :+
           col(rightKey).cast(keyType).as(kCol) :+
           col(rightTime).cast(timeType).as(tCol) :+
           lit(0).as(side) :+
-          rightTiebreak.map(col(_).cast("double"))
-            .getOrElse(lit(0.0)).as(tb) :+
-          col(rightTime).cast(timeType).as(rt)): _*)
+          rightTiebreak.map(col(_).cast(tbType))
+            .getOrElse(lit(0).cast(tbType)).as(tb) :+
+          struct((col(rightTime).cast(timeType).as("__rt") +:
+            payload.zipWithIndex.map { case (p, i) => col(p).as(s"__p$i") }): _*)
+            .as(rp)): _*)
 
     // Within a (key, time) collision group the scan order is: right rows
     // ascending by tiebreak (so the last one seen — the survivor under
@@ -108,32 +123,29 @@ object JoinOps {
     val w = Window.partitionBy(kCol).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = payload.foldLeft(
-      lAligned.unionByName(r)
-        .withColumn(rt, last(col(rt), ignoreNulls = true).over(w))) {
-      (d, p) => d.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
+    val carried = lAligned.unionByName(r)
+      .withColumn(rp, last(col(rp), ignoreNulls = true).over(w))
 
     // null-key/null-time LEFT rows are no-match by definition (standard
     // join null semantics). The time check is load-bearing for
     // direction="forward": its descending sort puts null-time left rows
     // AFTER every right row, where the window would hand them a
     // spurious "match"
+    val rt = col(rp).getField("__rt")
     val matched = (tolerance match {
-      case Some(tol) => col(rt).isNotNull &&
-        abs(col(tCol).cast("double") - col(rt).cast("double")) <= tol
-      case None => col(rt).isNotNull
+      case Some(tol) => rt.isNotNull &&
+        abs(col(tCol).cast("double") - rt.cast("double")) <= tol
+      case None => rt.isNotNull
     }) && col(tCol).isNotNull && col(kCol).isNotNull
-    val masked = payload.foldLeft(carried.withColumn("__asof_ok", matched)) {
-      (d, p) => d.withColumn(p,
-        when(col("__asof_ok"), col(p)).otherwise(lit(null)))
-    }
 
-    val out = masked
+    carried
+      .withColumn("__asof_ok", matched)
       .where(col(side) === 1 && (if (inner) col("__asof_ok") else lit(true)))
       .select((leftCols.map(col) ++
-        payload.map(p => col(p).as(s"$prefix$p"))): _*)
-    out
+        payload.zipWithIndex.map { case (p, i) =>
+          when(col("__asof_ok"), col(rp).getField(s"__p$i"))
+            .otherwise(lit(null)).as(s"$prefix$p")
+        }): _*)
   }
 
   /** Range (interval containment) join: pairs each point row with every

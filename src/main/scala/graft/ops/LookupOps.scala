@@ -80,7 +80,11 @@ object LookupOps {
           // positional tiebreak argument after it
           tolerance = spec.optStr(7)
             .filter(s => s.nonEmpty && s != "-" && !s.equalsIgnoreCase("none"))
-            .map(_.toDouble),
+            .map(s => try s.toDouble catch {
+              case _: NumberFormatException => throw new RecipeException(
+                s"asof-join: tolerance '$s' is not numeric (use a number, " +
+                  "'none', or '-')")
+            }),
           rightTiebreak = spec.optStr(8)))
       }
     }

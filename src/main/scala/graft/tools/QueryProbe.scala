@@ -26,7 +26,10 @@ object QueryProbe {
     val df = graft.SparkEntry.queries(name)(spark, dir)
     if (args.contains("--explain")) df.explain("formatted")
     val showIdx = args.indexOf("--show")
-    if (showIdx >= 0) df.show(args(showIdx + 1).toInt, truncate = false)
+    if (showIdx >= 0) {
+      require(showIdx + 1 < args.length, "--show requires a row count")
+      df.show(args(showIdx + 1).toInt, truncate = false)
+    }
     val t0 = System.nanoTime()
     val n = df.count()
     val sec = (System.nanoTime() - t0) / 1e9

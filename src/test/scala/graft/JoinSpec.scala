@@ -116,6 +116,25 @@ class JoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("asofJoin carries the matched ROW: a null payload value stays null") {
+    // regression: carrying payload columns individually through
+    // last(ignoreNulls) surfaced a STALE value from an older right row
+    // when the true as-of match held a null payload (and multi-payload
+    // columns could each come from a different row)
+    val l = df("sym STRING, t DOUBLE, qty INT", Seq(Row("A", 10.0, 1)))
+    val r = df("qsym STRING, qt DOUBLE, px DOUBLE, sz DOUBLE", Seq(
+      Row("A", 8.0, 1.0, 100.0),
+      Row("A", 9.0, null, 200.0))) // the true match: px null, sz 200
+    val out = JoinOps.asofJoin(l, r, "sym", "qsym", "t", "qt",
+      Seq("px", "sz")).collect()(0)
+    assert(Option(out.get(3)).isEmpty, "stale px carried from t=8")
+    assert(out.getDouble(4) == 200.0)
+    // tolerance must validate the matched row's time, not an older one
+    val tight = JoinOps.asofJoin(l, r, "sym", "qsym", "t", "qt",
+      Seq("px", "sz"), tolerance = Some(1.5)).collect()(0)
+    assert(Option(tight.get(3)).isEmpty && tight.getDouble(4) == 200.0)
+  }
+
   test("asofJoin null semantics: null keys/times never match, either side") {
     val l = df("sym STRING, t DOUBLE, qty INT", Seq(
       Row("A", 10.0, 1), Row(null, 10.0, 2), Row("A", null, 3)))

@@ -257,6 +257,29 @@ class RobustnessSpec extends AnyFunSuite {
     // keeps the smallest — the two policies must differ on dup groups
     assert(bestFast != fast)
   }
+
+  test("exact dedup: duplicated and null ids do not nuke unrelated groups") {
+    // regression: an id-only loser anti-join deleted same-id rows from
+    // OTHER content groups and never removed null-id losers
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = SparkSpec.spark
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+    val d = spark.createDataFrame(java.util.Arrays.asList(
+      Row(2L, "alpha content"),   // unique content, id shared with a loser
+      Row(1L, "beta content"),
+      Row(2L, "beta content"),    // loser of group beta (id 2)
+      Row(null, "gamma content"), // null-id keeper (nulls sort first)
+      Row(5L, "gamma content")), schema) // loser of group gamma
+    val got = graft.llm.Dedup.exact(d, "text", "id")
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSet
+    assert(got == Set(
+      (Some(2L), "alpha content"),  // must SURVIVE despite sharing id=2
+      (Some(1L), "beta content"),
+      (None, "gamma content")),     // null-id winner; id=5 loser removed
+      s"got $got")
+  }
 }
 
 /** Indirection so the spec compiles even if NlDate moves. */
