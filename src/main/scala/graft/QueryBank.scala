@@ -688,6 +688,30 @@ object QueryBank {
         |FROM events e ASOF LEFT JOIN o3
         |  ON e.user_id = o3.o_custkey AND e.ts >= o3.o_orderdate""".stripMargin),
 
+    // The forward direction, and the no-match masking path: only ~10 %
+    // of customers have events at all, so most orders emit null
+    // payloads (ASOF LEFT). Ties pre-collapsed to max event_id on both
+    // sides, like asof_join.
+    ("asof_join_forward",
+      (s, d) => graft.ops.JoinOps.asofJoin(
+        ord(s, d).select("o_orderkey", "o_custkey", "o_orderdate"),
+        s.read.parquet(s"$d/events.parquet"),
+        "o_custkey", "user_id", "o_orderdate", "ts",
+        Seq("event_id", "value"),
+        direction = "forward",
+        rightTiebreak = Some("event_id")),
+      """WITH e2 AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id, ts
+        |                            ORDER BY event_id DESC) AS rn
+        |  FROM events),
+        |e3 AS (SELECT user_id, ts, event_id, value FROM e2 WHERE rn = 1)
+        |SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+        |       e3.event_id AS asof_event_id,
+        |       e3.value AS asof_value
+        |FROM orders o ASOF LEFT JOIN e3
+        |  ON o.o_custkey = e3.user_id AND o.o_orderdate <= e3.ts""".stripMargin),
+
     // Range-containment join via grid bucketing (JoinOps.rangeJoin):
     // events land in value bands derived from nation — the non-equi
     // predicate becomes an equi-join on the grid cell (shuffle-right at
