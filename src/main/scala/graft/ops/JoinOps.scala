@@ -32,8 +32,11 @@ object JoinOps {
 
   /** As-of join: for each left row, attach the payload of the single
     * right row with the same key whose time is the latest at-or-before
-    * (direction="backward") or earliest at-or-after ("forward") the left
-    * row's time.
+    * (direction="backward"), earliest at-or-after ("forward"), or
+    * closest in either direction ("nearest", ties to the at-or-before
+    * side like pandas merge_asof) relative to the left row's time.
+    * "nearest" still runs on the single key exchange — it adds a second
+    * sorted window over the same partitioning, not a second shuffle.
     *
     * @param payload      right-side columns carried onto the left rows
     *                     (emitted as `<prefix><name>`)
@@ -55,8 +58,8 @@ object JoinOps {
                tolerance: Option[Double] = None,
                inner: Boolean = false,
                prefix: String = "asof_"): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"asofJoin: direction must be backward|forward, got '$direction'")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asofJoin: direction must be backward|forward|nearest, got '$direction'")
     require(payload.nonEmpty, "asofJoin: payload must name at least one column")
     val leftCols = left.columns.toSeq
     require(!payload.exists(leftCols.contains),
@@ -115,16 +118,34 @@ object JoinOps {
     // ascending by tiebreak (so the last one seen — the survivor under
     // last() — carries the LARGEST tiebreak), then the left rows. For
     // "forward" the time axis flips but the within-time order must not.
-    val ord: Seq[Column] =
-      if (direction == "backward")
-        Seq(col(tCol).asc, col(side).asc, col(tb).asc)
-      else
-        Seq(col(tCol).desc, col(side).asc, col(tb).asc)
-    val w = Window.partitionBy(kCol).orderBy(ord: _*)
+    // Both windows share the key partitioning: one exchange, and
+    // "nearest" pays only a second sort, never a second shuffle.
+    val wB = Window.partitionBy(kCol)
+      .orderBy(col(tCol).asc, col(side).asc, col(tb).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(kCol)
+      .orderBy(col(tCol).desc, col(side).asc, col(tb).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = lAligned.unionByName(r)
-      .withColumn(rp, last(col(rp), ignoreNulls = true).over(w))
+    val u = lAligned.unionByName(r)
+    val carried = direction match {
+      case "backward" =>
+        u.withColumn(rp, last(col(rp), ignoreNulls = true).over(wB))
+      case "forward" =>
+        u.withColumn(rp, last(col(rp), ignoreNulls = true).over(wF))
+      case _ => // nearest: closer of the two candidates, tie -> backward
+        val tD = col(tCol).cast("double")
+        val dB = tD - col("__rpB").getField("__rt").cast("double")
+        val dF = col("__rpF").getField("__rt").cast("double") - tD
+        u.withColumn("__rpB", last(col(rp), ignoreNulls = true).over(wB))
+          .withColumn("__rpF", last(col(rp), ignoreNulls = true).over(wF))
+          .withColumn(rp,
+            when(col("__rpB").isNull, col("__rpF"))
+              .when(col("__rpF").isNull, col("__rpB"))
+              .when(dF < dB, col("__rpF"))
+              .otherwise(col("__rpB")))
+          .drop("__rpB", "__rpF")
+    }
 
     // null-key/null-time LEFT rows are no-match by definition (standard
     // join null semantics). The time check is load-bearing for

@@ -62,7 +62,7 @@ object LookupOps {
     }
 
     // `asof-join :leftKey :leftTime table :rightKey :rightTime
-    //  payload1[,payload2...] [backward|forward] [toleranceSeconds]
+    //  payload1[,payload2...] [backward|forward|nearest] [toleranceSeconds]
     //  [tiebreakCol]` — attach each row's most recent (or next)
     // registered-table row per key. Union-merge under the hood
     // (JoinOps.asofJoin): one key shuffle, no candidate explosion.

@@ -163,7 +163,7 @@ object Usage {
     "catalog-lookup" -> "catalog-lookup catalog :col",
     "table-lookup" -> "table-lookup :col table",
     "asof-join" -> ("asof-join :leftKey :leftTime table :rightKey :rightTime " +
-      "payload[,payload]* [backward|forward] [toleranceSeconds|none] [tiebreakCol]"),
+      "payload[,payload]* [backward|forward|nearest] [toleranceSeconds|none] [tiebreakCol]"),
     "range-join" -> "range-join :pointCol table :loCol :hiCol cellWidth",
     "validate-standard" -> "validate-standard :col [required-fields]",
     "dedup-exact" -> "dedup-exact :textcol :idcol",

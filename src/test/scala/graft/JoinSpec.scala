@@ -116,6 +116,36 @@ class JoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("asofJoin nearest: closer side wins, ties to backward, one-sided ok") {
+    val l = df("sym STRING, t DOUBLE, qty INT", Seq(
+      Row("A", 10.0, 1),  // quotes at 8 (d=2) and 11 (d=1): forward wins
+      Row("A", 9.0, 2),   // equidistant 8/11? d=1 vs 2 -> backward (8)
+      Row("A", 9.5, 3),   // exact tie d=1.5 both -> backward (8)
+      Row("B", 5.0, 4),   // only a future quote exists -> forward side
+      Row("C", 7.0, 5)))  // no quotes at all -> null
+    val r = df("qsym STRING, qt DOUBLE, px DOUBLE, seq INT", Seq(
+      Row("A", 8.0, 1.0, 1), Row("A", 11.0, 2.0, 1),
+      Row("B", 50.0, 3.0, 1)))
+    val out = JoinOps.asofJoin(l, r, "sym", "qsym", "t", "qt", Seq("px"),
+      direction = "nearest", rightTiebreak = Some("seq"))
+    assert(collectAsof(out) == Set(
+      ("A", 10.0, 1, Some(2.0)),
+      ("A", 9.0, 2, Some(1.0)),
+      ("A", 9.5, 3, Some(1.0)),
+      ("B", 5.0, 4, Some(3.0)),
+      ("C", 7.0, 5, None)))
+    // tolerance applies to the CHOSEN side's distance
+    val tol = JoinOps.asofJoin(l, r, "sym", "qsym", "t", "qt", Seq("px"),
+      direction = "nearest", rightTiebreak = Some("seq"),
+      tolerance = Some(1.0))
+    assert(collectAsof(tol) == Set(
+      ("A", 10.0, 1, Some(2.0)),  // d=1 within
+      ("A", 9.0, 2, Some(1.0)),   // d=1 within
+      ("A", 9.5, 3, None),        // d=1.5 masked
+      ("B", 5.0, 4, None),        // d=45 masked
+      ("C", 7.0, 5, None)))
+  }
+
   test("asofJoin carries the matched ROW: a null payload value stays null") {
     // regression: carrying payload columns individually through
     // last(ignoreNulls) surfaced a STALE value from an older right row
