@@ -126,7 +126,8 @@ object ScaleLadder {
     "dedup_exact", "dedup_spans_text", "decontaminate_bloom",
     "ann_brute_topk", "ann_ivf_topk", "ann_lsh_topk", "ann_quantized_topk",
     "embedding_pairs", "normalize_embedding", "dequantize_embedding",
-    "baseline_13_directive_recipe", "asof_join", "range_join",
+    "baseline_13_directive_recipe", "asof_join", "asof_join_forward",
+    "range_join", "dedup_exact_keepbest",
     "stream_window_agg", "stream_dedup", "stream_sessionize")
 
   def main(args: Array[String]): Unit = {
