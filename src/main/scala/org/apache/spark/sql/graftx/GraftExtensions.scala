@@ -27,9 +27,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  private def litInt(e: Expression, what: String): Int = e match {
+    case l: org.apache.spark.sql.catalyst.expressions.Literal if l.foldable =>
+      l.eval(null).asInstanceOf[Number].intValue()
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   private val injectables: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "mask_number" -> (args => MaskNumberExpr(args(0), args(1))),
-    "fnv64" -> (args => Fnv64Expr(args.head)))
+    "fnv64" -> (args => Fnv64Expr(args.head)),
+    // mergeable sketches (the analyzer wraps AggregateFunctions in
+    // AggregateExpression, same as built-in max/min registration)
+    "hll_sketch" -> (args => args match {
+      case Seq(c) => HllSketchAgg(c)
+      case Seq(c, p) => HllSketchAgg(c, litInt(p, "hll_sketch precision"))
+      case _ => throw new IllegalArgumentException("hll_sketch(col[, p])")
+    }),
+    "hll_union" -> (args => HllUnionAgg(args.head)),
+    "hll_estimate" -> (args => HllEstimateExpr(args.head)),
+    "kll_quantiles" -> (args => args match {
+      case Seq(c, probs) if probs.foldable =>
+        val arr = probs.eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        KllQuantileAgg(c, arr.toDoubleArray().toSeq)
+      case _ => throw new IllegalArgumentException(
+        "kll_quantiles(col, array(<double literals>))")
+    }),
+    "heavy_hitters" -> (args => args match {
+      case Seq(c) => HeavyHittersAgg(c)
+      case Seq(c, k) => HeavyHittersAgg(c, litInt(k, "heavy_hitters k"))
+      case _ => throw new IllegalArgumentException("heavy_hitters(col[, k])")
+    }),
+    "topk_by" -> (args => args match {
+      case Seq(v, it, k) => TopKByAgg(v, it, litInt(k, "topk_by k"))
+      case _ => throw new IllegalArgumentException("topk_by(value, item, k)")
+    }))
 
   /** Install on an already-built session: native expressions plus the
     * JVM kernels (digests, text metrics, Porter) as SQL UDFs.

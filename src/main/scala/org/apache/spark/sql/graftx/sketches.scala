@@ -1,0 +1,618 @@
+/* Mergeable sketch aggregates for graft.
+ *
+ * The 100 TB profiling pattern is sketch-once / re-aggregate-cheaply:
+ * build a constant-memory mergeable summary per partition (or per
+ * day/source in a lake), ship ONLY the summaries through the shuffle,
+ * and union stored summaries later without touching raw data again.
+ * These are native Catalyst `TypedImperativeAggregate`s, so Spark's
+ * partial-aggregation machinery (map-side update → serialized buffer →
+ * reduce-side merge) applies automatically.
+ *
+ * All algorithms are implemented from their published descriptions:
+ *  - HyperLogLog: Flajolet et al., "HyperLogLog: the analysis of a
+ *    near-optimal cardinality estimation algorithm" (AofA 2007).
+ *  - KLL: Karnin, Lang, Liberty, "Optimal quantile approximation in
+ *    streams" (FOCS 2016).
+ *  - SpaceSaving: Metwally, Agrawal, El Abbadi, "Efficient computation
+ *    of frequent and top-k elements in data streams" (ICDT 2005);
+ *    merge per Agarwal et al., "Mergeable summaries" (PODS 2012).
+ */
+package org.apache.spark.sql.graftx
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared HLL register math (dense representation: 2^p byte registers). */
+object Hll {
+  val Seed = 0x9747b28cL
+
+  def emptyRegs(p: Int): Array[Byte] = new Array[Byte](1 << p)
+
+  /** Fold one 64-bit hash into the register array. */
+  def add(regs: Array[Byte], p: Int, h: Long): Unit = {
+    val idx = (h >>> (64 - p)).toInt
+    val rest = h << p
+    // rank of the first set bit among the remaining 64-p bits, 1-based;
+    // all-zero rest saturates at (64-p)+1
+    val rank = (math.min(java.lang.Long.numberOfLeadingZeros(rest), 64 - p) + 1).toByte
+    if (rank > regs(idx)) regs(idx) = rank
+  }
+
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    require(a.length == b.length,
+      s"hll_union: mismatched sketch precision (${a.length} vs ${b.length} registers)")
+    var i = 0
+    while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  /** Standard HLL estimator with the linear-counting small-range
+    * correction. (No large-range correction: with a 64-bit hash the
+    * collision regime is beyond any realistic cardinality.)
+    */
+  def estimate(regs: Array[Byte]): Long = {
+    val m = regs.length
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      val r = regs(i)
+      sum += 1.0 / (1L << r)
+      if (r == 0) zeros += 1
+      i += 1
+    }
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1 + 1.079 / m)
+    }
+    var e = alpha * m * m / sum
+    if (e <= 2.5 * m && zeros > 0) e = m * math.log(m.toDouble / zeros)
+    math.round(e)
+  }
+
+  /** Wire format: [p: byte][registers: 2^p bytes]. */
+  def serialize(regs: Array[Byte]): Array[Byte] = {
+    val p = java.lang.Integer.numberOfTrailingZeros(regs.length)
+    val out = new Array[Byte](1 + regs.length)
+    out(0) = p.toByte
+    System.arraycopy(regs, 0, out, 1, regs.length)
+    out
+  }
+
+  def deserialize(bytes: Array[Byte]): Array[Byte] = {
+    val p = bytes(0).toInt
+    require(bytes.length == 1 + (1 << p), s"hll: corrupt sketch (${bytes.length} bytes, p=$p)")
+    java.util.Arrays.copyOfRange(bytes, 1, bytes.length)
+  }
+}
+
+/** Aggregate: build a dense HLL sketch (BinaryType) over any column.
+  * Precision p in [4, 18]; standard error ≈ 1.04/sqrt(2^p)
+  * (p=12 → 1.6 %). Null inputs are skipped, like count(DISTINCT).
+  */
+case class HllSketchAgg(
+    child: Expression,
+    p: Int = 12,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  require(p >= 4 && p <= 18, s"hll_sketch: precision $p outside [4, 18]")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): Array[Byte] = Hll.emptyRegs(p)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) Hll.add(buf, p, XxHash64Function.hash(v, child.dataType, Hll.Seed))
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = Hll.merge(a, b)
+
+  override def eval(buf: Array[Byte]): Any = Hll.serialize(buf)
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = Hll.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = Hll.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HllSketchAgg =
+    copy(child = c.head)
+  override def prettyName: String = "hll_sketch"
+}
+
+/** Aggregate: union stored HLL sketches (BinaryType → BinaryType) —
+  * the re-aggregation half of sketch-once/union-later. All inputs must
+  * share one precision.
+  */
+case class HllUnionAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with ExpectsInputTypes {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  // empty marker until the first sketch fixes the precision
+  override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val regs = Hll.deserialize(v.asInstanceOf[Array[Byte]])
+      if (buf.isEmpty) regs else Hll.merge(buf, regs)
+    }
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    if (a.isEmpty) b else if (b.isEmpty) a else Hll.merge(a, b)
+
+  override def eval(buf: Array[Byte]): Any =
+    Hll.serialize(if (buf.isEmpty) Hll.emptyRegs(12) else buf)
+
+  override def serialize(buf: Array[Byte]): Array[Byte] =
+    if (buf.isEmpty) buf else Hll.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): Array[Byte] =
+    if (bytes.isEmpty) bytes else Hll.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): HllUnionAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllUnionAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HllUnionAgg =
+    copy(child = c.head)
+  override def prettyName: String = "hll_union"
+}
+
+/** Scalar: read the cardinality estimate out of a serialized HLL sketch. */
+case class HllEstimateExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes
+    with codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(v: Any): Any =
+    Hll.estimate(Hll.deserialize(v.asInstanceOf[Array[Byte]]))
+
+  override protected def withNewChildInternal(newChild: Expression): HllEstimateExpr =
+    copy(child = newChild)
+  override def prettyName: String = "hll_estimate"
+}
+
+/** KLL sketch state: a ladder of weighted buffers. Items at level h
+  * carry weight 2^h; compaction sorts a full level, promotes every
+  * other element (alternating offset), and discards the counterparts.
+  */
+final class KllBuf(val k: Int) {
+  var n: Long = 0L
+  var flip: Int = 0
+  val levels: mutable.ArrayBuffer[mutable.ArrayBuffer[Double]] =
+    mutable.ArrayBuffer(mutable.ArrayBuffer.empty[Double])
+
+  private def capacity(h: Int): Int = {
+    val fromTop = levels.length - 1 - h
+    math.max(8, math.ceil(k * math.pow(2.0 / 3.0, fromTop)).toInt)
+  }
+
+  private def totalCapacity: Int = levels.indices.map(capacity).sum
+  private def totalSize: Int = levels.map(_.length).sum
+
+  def update(v: Double): Unit = {
+    levels(0) += v
+    n += 1
+    if (totalSize > totalCapacity) compress()
+  }
+
+  def mergeIn(other: KllBuf): Unit = {
+    while (levels.length < other.levels.length)
+      levels += mutable.ArrayBuffer.empty[Double]
+    var h = 0
+    while (h < other.levels.length) {
+      levels(h) ++= other.levels(h)
+      h += 1
+    }
+    n += other.n
+    while (totalSize > totalCapacity) compress()
+  }
+
+  /** Compact the lowest over-full (or failing that, largest) level. */
+  private def compress(): Unit = {
+    var h = levels.indices.find(i => levels(i).length > capacity(i)).getOrElse(-1)
+    if (h < 0) h = levels.indices.maxBy(levels(_).length)
+    val buf = levels(h)
+    if (buf.length < 2) return
+    val sorted = buf.sorted
+    if (h + 1 >= levels.length) levels += mutable.ArrayBuffer.empty[Double]
+    val keepOdd = sorted.length % 2 == 1
+    // an odd leftover stays at level h with its own weight — no bias
+    val retained = if (keepOdd) mutable.ArrayBuffer(sorted.head) else mutable.ArrayBuffer.empty[Double]
+    val start = (if (keepOdd) 1 else 0) + flip
+    flip ^= 1
+    var i = start
+    while (i < sorted.length) {
+      levels(h + 1) += sorted(i)
+      i += 2
+    }
+    levels(h) = retained
+  }
+
+  /** Lower-quantile estimate at probability `prob`. */
+  def quantile(prob: Double): Double = {
+    require(n > 0, "kll: empty sketch")
+    val weighted = mutable.ArrayBuffer.empty[(Double, Long)]
+    var h = 0
+    while (h < levels.length) {
+      val w = 1L << h
+      levels(h).foreach(v => weighted += ((v, w)))
+      h += 1
+    }
+    val sorted = weighted.sortBy(_._1)
+    val totalW = sorted.iterator.map(_._2).sum
+    val target = math.max(1L, math.ceil(prob * totalW).toLong)
+    var cum = 0L
+    var i = 0
+    while (i < sorted.length) {
+      cum += sorted(i)._2
+      if (cum >= target) return sorted(i)._1
+      i += 1
+    }
+    sorted.last._1
+  }
+
+  def serialize(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(k); out.writeInt(flip); out.writeLong(n)
+    out.writeInt(levels.length)
+    levels.foreach { l =>
+      out.writeInt(l.length)
+      l.foreach(out.writeDouble)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+}
+
+object KllBuf {
+  def deserialize(bytes: Array[Byte]): KllBuf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new KllBuf(in.readInt())
+    buf.flip = in.readInt()
+    buf.n = in.readLong()
+    val nLevels = in.readInt()
+    buf.levels.clear()
+    (0 until nLevels).foreach { _ =>
+      val sz = in.readInt()
+      val l = new mutable.ArrayBuffer[Double](sz)
+      (0 until sz).foreach(_ => l += in.readDouble())
+      buf.levels += l
+    }
+    buf
+  }
+}
+
+/** Aggregate: KLL quantile estimates for a double column at the given
+  * probabilities. k=200 → ~1.7 % two-sided normalized rank error.
+  * Returns array<double> aligned with `probabilities`; null inputs are
+  * skipped; an all-null group returns null.
+  */
+case class KllQuantileAgg(
+    child: Expression,
+    probabilities: Seq[Double],
+    k: Int = 200,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllBuf] with ExpectsInputTypes {
+
+  require(probabilities.nonEmpty && probabilities.forall(q => q >= 0 && q <= 1),
+    "kll_quantiles: probabilities must be in [0, 1]")
+  require(k >= 8, s"kll_quantiles: k=$k too small")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def createAggregationBuffer(): KllBuf = new KllBuf(k)
+
+  override def update(buf: KllBuf, input: InternalRow): KllBuf = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(a: KllBuf, b: KllBuf): KllBuf = { a.mergeIn(b); a }
+
+  override def eval(buf: KllBuf): Any =
+    if (buf.n == 0) null
+    else new GenericArrayData(probabilities.map(buf.quantile).toArray)
+
+  override def serialize(buf: KllBuf): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): KllBuf = KllBuf.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): KllQuantileAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllQuantileAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KllQuantileAgg =
+    copy(child = c.head)
+  override def prettyName: String = "kll_quantiles"
+}
+
+/** SpaceSaving counter table. Capacity k; eviction replaces the
+  * minimum-count entry and inherits its count as the error bound.
+  */
+final class SpaceSavingBuf(val k: Int) {
+  // item -> (estimated count, max overestimate)
+  val counters: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty
+
+  def update(item: String): Unit = {
+    counters.get(item) match {
+      case Some((c, e)) => counters(item) = (c + 1, e)
+      case None if counters.size < k => counters(item) = (1L, 0L)
+      case None =>
+        // O(k) min scan — k is small (≤ a few thousand); ties broken
+        // by item order for determinism
+        val (minItem, (minC, _)) =
+          counters.minBy { case (it, (c, _)) => (c, it) }
+        counters.remove(minItem)
+        counters(item) = (minC + 1, minC)
+    }
+  }
+
+  def mergeIn(other: SpaceSavingBuf): Unit = {
+    other.counters.foreach { case (it, (c, e)) =>
+      counters.get(it) match {
+        case Some((c0, e0)) => counters(it) = (c0 + c, e0 + e)
+        case None => counters(it) = (c, e)
+      }
+    }
+    if (counters.size > k) {
+      val keep = counters.toSeq
+        .sortBy { case (it, (c, _)) => (-c, it) }
+        .take(k)
+      counters.clear()
+      counters ++= keep
+    }
+  }
+
+  /** (item, count, err) sorted by count desc, item asc. */
+  def result: Seq[(String, Long, Long)] =
+    counters.toSeq
+      .sortBy { case (it, (c, _)) => (-c, it) }
+      .map { case (it, (c, e)) => (it, c, e) }
+
+  def serialize(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(k); out.writeInt(counters.size)
+    counters.foreach { case (it, (c, e)) =>
+      val b = it.getBytes("UTF-8")
+      out.writeInt(b.length); out.write(b)
+      out.writeLong(c); out.writeLong(e)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+}
+
+object SpaceSavingBuf {
+  def deserialize(bytes: Array[Byte]): SpaceSavingBuf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new SpaceSavingBuf(in.readInt())
+    val sz = in.readInt()
+    (0 until sz).foreach { _ =>
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.counters(new String(b, "UTF-8")) = (in.readLong(), in.readLong())
+    }
+    buf
+  }
+}
+
+/** Aggregate: SpaceSaving heavy hitters over a string column. Returns
+  * array<struct<item, count, err>> (count desc). Guarantees: every item
+  * with true frequency > n/k is present; counts overestimate by at most
+  * `err` ≤ n/k. With k larger than the true distinct count the table
+  * never evicts and counts are exact.
+  */
+case class HeavyHittersAgg(
+    child: Expression,
+    k: Int = 64,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSavingBuf] with ExpectsInputTypes {
+
+  require(k >= 1, s"heavy_hitters: k=$k must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("count", LongType, nullable = false),
+    StructField("err", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): SpaceSavingBuf = new SpaceSavingBuf(k)
+
+  override def update(buf: SpaceSavingBuf, input: InternalRow): SpaceSavingBuf = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[UTF8String].toString)
+    buf
+  }
+
+  override def merge(a: SpaceSavingBuf, b: SpaceSavingBuf): SpaceSavingBuf = {
+    a.mergeIn(b); a
+  }
+
+  override def eval(buf: SpaceSavingBuf): Any =
+    new GenericArrayData(buf.result.map { case (it, c, e) =>
+      InternalRow(UTF8String.fromString(it), c, e)
+    }.toArray)
+
+  override def serialize(buf: SpaceSavingBuf): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): SpaceSavingBuf =
+    SpaceSavingBuf.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): HeavyHittersAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HeavyHittersAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HeavyHittersAgg =
+    copy(child = c.head)
+  override def prettyName: String = "heavy_hitters"
+}
+
+/** Exact top-k per group as a bounded-heap aggregate. Each map-side
+  * partial ships at most k rows per group through the shuffle — the
+  * scale-correct alternative to a row_number window (which shuffles and
+  * sorts EVERY row of every group). Ordering: value desc, then item asc
+  * (deterministic under ties). Returns array<struct<value, item>>.
+  */
+case class TopKByAgg(
+    value: Expression,
+    item: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, String)]]
+  with ExpectsInputTypes {
+
+  require(k >= 1 && k <= 100000, s"topk_by: k=$k outside [1, 100000]")
+
+  override def children: Seq[Expression] = Seq(value, item)
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, StringType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("value", DoubleType, nullable = false),
+    StructField("item", StringType, nullable = false))), containsNull = false)
+
+  // min-heap on (value asc, item desc) so the head is the WORST kept
+  // entry: evict when a better one arrives
+  private def heapOrd: Ordering[(Double, String)] =
+    Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.String)
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, String)] =
+    mutable.PriorityQueue.empty(heapOrd)
+
+  private def offer(heap: mutable.PriorityQueue[(Double, String)],
+      entry: (Double, String)): Unit = {
+    if (heap.size < k) heap.enqueue(entry)
+    else if (heapOrd.lt(entry, heap.head)) { heap.dequeue(); heap.enqueue(entry) }
+  }
+
+  override def update(heap: mutable.PriorityQueue[(Double, String)],
+      input: InternalRow): mutable.PriorityQueue[(Double, String)] = {
+    val v = value.eval(input)
+    val it = item.eval(input)
+    if (v != null && it != null)
+      offer(heap, (v.asInstanceOf[Double], it.asInstanceOf[UTF8String].toString))
+    heap
+  }
+
+  override def merge(a: mutable.PriorityQueue[(Double, String)],
+      b: mutable.PriorityQueue[(Double, String)]): mutable.PriorityQueue[(Double, String)] = {
+    b.foreach(offer(a, _))
+    a
+  }
+
+  override def eval(heap: mutable.PriorityQueue[(Double, String)]): Any =
+    new GenericArrayData(heap.toSeq
+      .sortBy { case (v, it) => (-v, it) }
+      .map { case (v, it) => InternalRow(v, UTF8String.fromString(it)) }
+      .toArray)
+
+  override def serialize(heap: mutable.PriorityQueue[(Double, String)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(heap.size)
+    heap.foreach { case (v, it) =>
+      out.writeDouble(v)
+      val b = it.getBytes("UTF-8")
+      out.writeInt(b.length); out.write(b)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, String)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val heap = createAggregationBuffer()
+    val sz = in.readInt()
+    (0 until sz).foreach { _ =>
+      val v = in.readDouble()
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      heap.enqueue((v, new String(b, "UTF-8")))
+    }
+    heap
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKByAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKByAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TopKByAgg =
+    copy(value = c(0), item = c(1))
+  override def prettyName: String = "topk_by"
+}
+
+/** Column-level entry points (mirrors `graft.functions` style). */
+object Sketches {
+  private def agg(e: aggregate.AggregateFunction): Column =
+    ExpressionUtils.column(e.toAggregateExpression())
+
+  /** Mergeable HLL sketch (binary) of a column's distinct values. */
+  def hllSketch(c: Column, p: Int = 12): Column =
+    agg(HllSketchAgg(ExpressionUtils.expression(c), p))
+
+  /** Union stored HLL sketches back into one sketch. */
+  def hllUnion(c: Column): Column =
+    agg(HllUnionAgg(ExpressionUtils.expression(c)))
+
+  /** Cardinality estimate from a serialized sketch (scalar). */
+  def hllEstimate(c: Column): Column =
+    ExpressionUtils.column(HllEstimateExpr(ExpressionUtils.expression(c)))
+
+  /** One-shot approximate distinct count of a column. */
+  def hllDistinct(c: Column, p: Int = 12): Column = hllEstimate(hllSketch(c, p))
+
+  /** KLL quantile estimates at `probs` for a numeric column. */
+  def kllQuantiles(c: Column, probs: Seq[Double], k: Int = 200): Column =
+    agg(KllQuantileAgg(ExpressionUtils.expression(c.cast("double")), probs, k))
+
+  /** SpaceSaving heavy hitters: array<struct<item,count,err>>. */
+  def heavyHitters(c: Column, k: Int = 64): Column =
+    agg(HeavyHittersAgg(ExpressionUtils.expression(c.cast("string")), k))
+
+  /** Exact top-k (value desc, item asc) per group via bounded heaps. */
+  def topKBy(value: Column, item: Column, k: Int): Column =
+    agg(TopKByAgg(
+      ExpressionUtils.expression(value.cast("double")),
+      ExpressionUtils.expression(item.cast("string")), k))
+}

@@ -1,0 +1,246 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.{Hll, KllBuf, Sketches, SpaceSavingBuf}
+
+/** Mergeable sketch aggregates: accuracy bounds, merge laws, serde,
+  * and partial-vs-single-partition equivalence under Spark's real
+  * partial-aggregation path.
+  */
+class SketchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- HLL kernel ---------------------------------------------------
+
+  test("hll kernel: estimate within 3 sigma across cardinality sweep") {
+    for (n <- Seq(100, 5000, 200000)) {
+      val regs = Hll.emptyRegs(12)
+      val rnd = new scala.util.Random(7)
+      // distinct longs hashed through the same path as the aggregate
+      (0 until n).foreach { i =>
+        Hll.add(regs, 12,
+          org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(i.toLong * 2654435761L + rnd.nextInt(3), // dups allowed
+              org.apache.spark.sql.types.LongType, Hll.Seed))
+      }
+      val distinct = (0 until n).map(i => i.toLong * 2654435761L).distinct.size
+      val est = Hll.estimate(regs)
+      val sigma = 1.04 / math.sqrt(4096)
+      // dups from nextInt(3) perturb at most tiny amounts; bound on n
+      assert(math.abs(est.toDouble / distinct - 1.0) < 3 * sigma + 0.01,
+        s"n=$n est=$est")
+    }
+  }
+
+  test("hll kernel: merge equals union of streams") {
+    val a = Hll.emptyRegs(10)
+    val b = Hll.emptyRegs(10)
+    val all = Hll.emptyRegs(10)
+    def h(i: Int) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(i.toLong, org.apache.spark.sql.types.LongType, Hll.Seed)
+    (0 until 10000).foreach { i =>
+      if (i % 2 == 0) Hll.add(a, 10, h(i)) else Hll.add(b, 10, h(i))
+      Hll.add(all, 10, h(i))
+    }
+    assert(Hll.merge(a.clone(), b).toSeq == all.toSeq)
+  }
+
+  test("hll serde roundtrip preserves registers") {
+    val regs = Hll.emptyRegs(8)
+    (0 until 500).foreach(i => Hll.add(regs, 8,
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(i.toLong, org.apache.spark.sql.types.LongType, Hll.Seed)))
+    assert(Hll.deserialize(Hll.serialize(regs)).toSeq == regs.toSeq)
+  }
+
+  // ---- HLL through Spark aggregation --------------------------------
+
+  test("hll aggregate: small cardinality is near-exact (linear counting)") {
+    val data = (1 to 3000).map(i => (i % 7, s"u${i % 500}"))
+    val exact = data.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val out = data.toDF("g", "u").repartition(8)
+      .groupBy($"g")
+      .agg(Sketches.hllDistinct($"u").as("est"))
+      .collect()
+    out.foreach { r =>
+      // a few hundred distincts at p=12 is deep linear-counting regime
+      assert(math.abs(r.getLong(1) - exact(r.getInt(0))) <= 15, r.toString)
+    }
+  }
+
+  test("hll aggregate: sketch-then-union equals one-shot sketch") {
+    val df = (1 to 20000).map(i => (i % 5, i % 3777)).toDF("part", "v")
+      .repartition(16)
+    val perPart = df.groupBy($"part").agg(Sketches.hllSketch($"v").as("sk"))
+    val unioned = perPart.agg(
+      Sketches.hllEstimate(Sketches.hllUnion($"sk")).as("est"))
+      .head().getLong(0)
+    val oneShot = df.agg(Sketches.hllDistinct($"v").as("est"))
+      .head().getLong(0)
+    assert(unioned == oneShot, s"union=$unioned oneShot=$oneShot")
+    assert(math.abs(unioned - 3777.0) / 3777.0 < 0.05)
+  }
+
+  test("hll aggregate: nulls skipped, empty input estimates zero") {
+    val df = Seq[(Integer, String)]((1, null), (2, null)).toDF("id", "v")
+    assert(df.agg(Sketches.hllDistinct($"v")).head().getLong(0) == 0L)
+  }
+
+  // ---- KLL ----------------------------------------------------------
+
+  test("kll kernel: rank error bounded on sorted, reversed, shuffled input") {
+    val n = 100000
+    val orders = Seq(
+      (0 until n).map(_.toDouble),
+      (0 until n).reverse.map(_.toDouble),
+      new scala.util.Random(11).shuffle((0 until n).toVector).map(_.toDouble))
+    for (data <- orders) {
+      val buf = new KllBuf(200)
+      data.foreach(buf.update)
+      for (q <- Seq(0.01, 0.25, 0.5, 0.75, 0.99)) {
+        val est = buf.quantile(q)
+        val rank = est / n // data is 0..n-1 uniform
+        assert(math.abs(rank - q) < 0.025, s"q=$q est=$est rank=$rank")
+      }
+    }
+  }
+
+  test("kll kernel: merge keeps count and rank error") {
+    val a = new KllBuf(200)
+    val b = new KllBuf(200)
+    (0 until 50000).foreach(i => a.update(i.toDouble))
+    (50000 until 100000).foreach(i => b.update(i.toDouble))
+    a.mergeIn(b)
+    assert(a.n == 100000)
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val rank = a.quantile(q) / 100000
+      assert(math.abs(rank - q) < 0.025, s"q=$q rank=$rank")
+    }
+  }
+
+  test("kll serde roundtrip preserves quantiles and count") {
+    val buf = new KllBuf(128)
+    (0 until 20000).foreach(i => buf.update((i * 37 % 20000).toDouble))
+    val back = KllBuf.deserialize(buf.serialize())
+    assert(back.n == buf.n)
+    Seq(0.1, 0.5, 0.9).foreach(q =>
+      assert(back.quantile(q) == buf.quantile(q)))
+  }
+
+  test("kll aggregate: distributed quantiles within rank tolerance") {
+    val df = (0 until 60000).map(i => (i % 4, i.toDouble)).toDF("g", "v")
+      .repartition(16)
+    val out = df.agg(
+      Sketches.kllQuantiles($"v", Seq(0.25, 0.5, 0.75)).as("qs"))
+      .head().getSeq[Double](0)
+    Seq(0.25, 0.5, 0.75).zip(out).foreach { case (q, est) =>
+      assert(math.abs(est / 60000 - q) < 0.025, s"q=$q est=$est")
+    }
+  }
+
+  test("kll aggregate: all-null group returns null") {
+    val df = Seq[(Int, java.lang.Double)]((1, null), (1, null)).toDF("g", "v")
+    assert(df.groupBy($"g").agg(Sketches.kllQuantiles($"v", Seq(0.5)))
+      .head().isNullAt(1))
+  }
+
+  // ---- SpaceSaving --------------------------------------------------
+
+  test("spacesaving kernel: guarantees on a skewed stream") {
+    val buf = new SpaceSavingBuf(20)
+    val rnd = new scala.util.Random(5)
+    // zipf-ish: item j appears ~ n / (j+1)^1.2 times, interleaved
+    val stream = rnd.shuffle(
+      (0 until 200).flatMap(j =>
+        Seq.fill(math.max(1, (5000 / math.pow(j + 1, 1.2)).toInt))(s"w$j")))
+    stream.foreach(buf.update)
+    val n = stream.size
+    val trueCounts = stream.groupBy(identity).view.mapValues(_.size).toMap
+    val inSketch = buf.result.map(_._1).toSet
+    // every item with true count > n/k must be present
+    trueCounts.filter(_._2 > n / 20).keys.foreach(it =>
+      assert(inSketch.contains(it), s"$it missing"))
+    // counts overestimate by at most the recorded err, err <= n/k
+    buf.result.foreach { case (it, c, e) =>
+      val t = trueCounts(it)
+      assert(c >= t && c - t <= e && e <= n / 20, s"$it c=$c t=$t e=$e")
+    }
+  }
+
+  test("spacesaving kernel: merge respects additive error bound") {
+    val a = new SpaceSavingBuf(16)
+    val b = new SpaceSavingBuf(16)
+    val sa = (0 until 5000).map(i => s"x${i % 40}")
+    val sb = (0 until 5000).map(i => s"x${(i * 7) % 60}")
+    sa.foreach(a.update); sb.foreach(b.update)
+    a.mergeIn(b)
+    val trueCounts = (sa ++ sb).groupBy(identity).view.mapValues(_.size).toMap
+    a.result.foreach { case (it, c, e) =>
+      val t = trueCounts(it)
+      assert(c >= t && c - t <= e, s"$it c=$c t=$t e=$e")
+    }
+    assert(a.counters.size <= 16)
+  }
+
+  test("spacesaving aggregate: exact when capacity exceeds distincts") {
+    val df = (1 to 9000).map(i => s"t${i % 9}").toDF("v").repartition(12)
+    val rows = df.agg(Sketches.heavyHitters($"v", 64).as("hh"))
+      .select(explode($"hh").as("e"))
+      .select($"e.item", $"e.count", $"e.err")
+      .collect()
+    assert(rows.length == 9)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 1000L, r.toString)
+      assert(r.getLong(2) == 0L, r.toString)
+    }
+  }
+
+  // ---- TopKBy -------------------------------------------------------
+
+  test("topk_by aggregate matches a window over every partitioning") {
+    val rnd = new scala.util.Random(3)
+    val data = (1 to 5000).map(i => (i % 7, rnd.nextDouble() * 1000, s"id$i"))
+    val df = data.toDF("g", "v", "id").repartition(16)
+    val viaAgg = df.groupBy($"g")
+      .agg(Sketches.topKBy($"v", $"id", 5).as("top"))
+      .select($"g", posexplode($"top").as(Seq("rank", "e")))
+      .select($"g", $"rank", $"e.item".as("id"), $"e.value".as("v"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    val expected = data.groupBy(_._1).flatMap { case (g, rows) =>
+      rows.sortBy { case (_, v, id) => (-v, id) }.take(5).zipWithIndex
+        .map { case ((_, _, id), rank) => (g, rank, id) }
+    }.toSet
+    assert(viaAgg == expected)
+  }
+
+  test("topk_by handles ties deterministically (item asc)") {
+    val df = Seq((1, 5.0, "b"), (1, 5.0, "a"), (1, 5.0, "c"), (1, 4.0, "d"))
+      .toDF("g", "v", "id").repartition(4)
+    val top = df.groupBy($"g").agg(Sketches.topKBy($"v", $"id", 2).as("t"))
+      .select(explode($"t.item").as("item")).as[String].collect().toSeq
+    assert(top == Seq("a", "b"))
+  }
+
+  test("topk_by with k larger than group returns whole group sorted") {
+    val df = Seq((1, 2.0, "x"), (1, 9.0, "y"), (1, 5.0, "z"))
+      .toDF("g", "v", "id")
+    val top = df.groupBy($"g").agg(Sketches.topKBy($"v", $"id", 10).as("t"))
+      .select(explode($"t.item").as("item")).as[String].collect().toSeq
+    assert(top == Seq("y", "z", "x"))
+  }
+
+  // ---- SQL registration --------------------------------------------
+
+  test("sketch functions callable from SQL after register()") {
+    org.apache.spark.sql.graftx.GraftExtensions.register(spark)
+    (1 to 1000).map(i => i % 123).toDF("v").createOrReplaceTempView("sk_sql")
+    val est = spark.sql("SELECT hll_estimate(hll_sketch(v)) FROM sk_sql")
+      .head().getLong(0)
+    assert(math.abs(est - 123) <= 6)
+    val hh = spark.sql("SELECT heavy_hitters(CAST(v AS STRING), 200) FROM sk_sql")
+      .head().getSeq[Row](0)
+    assert(hh.length == 123)
+  }
+}
