@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.graftx
 
 /** The driver-facing correctness battery: one entry per implemented
   * operator (SURVEY §2), each a recipe run through the full engine with
@@ -734,6 +735,130 @@ object QueryBank {
         |FROM events e JOIN nation n
         |  ON e.value >= n.n_nationkey*20.0
         | AND e.value < (n.n_nationkey+1)*20.0""".stripMargin),
+
+    // ---- mergeable sketches (graftx.Sketches) ----------------------
+    // The sketch estimates themselves aren't SQL-recomputable, so the
+    // oracle contract is: Spark emits the EXACT figure (computed
+    // distributed alongside the sketch) plus a within-tolerance boolean
+    // derived from the sketch; DuckDB recomputes the exact figure and
+    // asserts literal TRUE. A broken sketch flips the boolean and the
+    // hash mismatches.
+    ("hll_distinct",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        s.read.parquet(s"$d/events.parquet")
+          .groupBy(col("event_type"))
+          .agg(
+            countDistinct(col("user_id")).as("exact_distinct"),
+            (abs(graftx.Sketches.hllDistinct(col("user_id")).cast("double") /
+              countDistinct(col("user_id")) - 1.0) <= 0.05).as("within_tol"))
+      },
+      "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, TRUE AS within_tol FROM events GROUP BY 1"),
+
+    // sketch-once / union-later: per-type sketches are built first,
+    // then UNIONED (never re-reading raw rows) — the stored-sketch
+    // re-aggregation pattern. The union estimate is ONE driver value
+    // (bounded collect, like the limit-1 probes) folded into the exact
+    // verification aggregate as a literal.
+    ("hll_union_reaggregate",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val ev = s.read.parquet(s"$d/events.parquet")
+        val est = ev.groupBy(col("event_type"))
+          .agg(graftx.Sketches.hllSketch(col("user_id")).as("sk"))
+          .agg(graftx.Sketches.hllEstimate(
+            graftx.Sketches.hllUnion(col("sk"))).as("est"))
+          .head().getLong(0)
+        ev.agg(countDistinct(col("user_id")).as("exact_distinct"))
+          .select(col("exact_distinct"),
+            (abs(lit(est.toDouble) / col("exact_distinct") - 1.0) <= 0.05)
+              .as("within_tol"))
+      },
+      "SELECT count(DISTINCT user_id) AS exact_distinct, TRUE AS within_tol FROM events"),
+
+    ("kll_quantiles",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val probs = Seq(0.25, 0.5, 0.75)
+        val l = li(s, d)
+        // 3 estimates to the driver (bounded collect), then ONE
+        // distributed pass computes their exact ranks — never a sort
+        val ests = l.agg(graftx.Sketches.kllQuantiles(
+            col("l_extendedprice"), probs).as("qs"))
+          .head().getSeq[Double](0)
+        val fracCols = probs.indices.map(i => avg(
+          when(col("l_extendedprice") <= lit(ests(i)), 1.0).otherwise(0.0))
+          .as(s"f$i"))
+        val fracs = l.agg(fracCols.head, fracCols.tail: _*)
+        fracs.select(posexplode(
+            array(probs.indices.map(i => col(s"f$i")): _*)).as(Seq("i", "frac")))
+          .select(col("i"),
+            (abs(col("frac") -
+              element_at(array(probs.map(lit): _*), col("i") + 1)) <= 0.025)
+              .as("within_tol"))
+      },
+      "SELECT i, TRUE AS within_tol FROM (SELECT unnest([0, 1, 2]) AS i) t"),
+
+    // capacity (64) exceeds the true distinct count, so SpaceSaving
+    // never evicts: counts are exact and every err is 0 — machinery
+    // (update / partial merge / trim / eval ordering) proven end-to-end
+    // by an exact oracle. The approximate regime is property-tested in
+    // SketchSpec against the published n/k guarantees.
+    ("heavy_hitters",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        s.read.parquet(s"$d/events.parquet")
+          .agg(graftx.Sketches.heavyHitters(col("event_type"), 64).as("hh"))
+          .select(explode(col("hh")).as("e"))
+          .select(col("e.item").as("event_type"), col("e.count").as("cnt"),
+            col("e.err").as("err"))
+      },
+      "SELECT event_type, count(*) AS cnt, CAST(0 AS BIGINT) AS err FROM events GROUP BY 1"),
+
+    // exact top-k per group through the bounded-heap aggregate: the
+    // shuffle carries ≤ k rows per group per map partition, vs a
+    // row_number window shuffling and sorting every row of every group
+    ("topk_by_group",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        ord(s, d).groupBy(col("o_orderpriority"))
+          .agg(graftx.Sketches.topKBy(
+            col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+          .select(col("o_orderpriority"),
+            posexplode(col("top")).as(Seq("rank", "e")))
+          .select(col("o_orderpriority"), col("rank"),
+            col("e.item").cast("long").as("o_orderkey"),
+            col("e.value").as("o_totalprice"))
+      },
+      """SELECT o_orderpriority, CAST(rn - 1 AS INT) AS rank, o_orderkey,
+        |       o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |          ORDER BY o_totalprice DESC,
+        |                   CAST(o_orderkey AS VARCHAR) ASC) AS rn
+        |      FROM orders) q
+        |WHERE rn <= 3""".stripMargin),
+
+    // ---- batch sessionize (SessionOps) -----------------------------
+    ("sessionize_batch",
+      (s, d) => graft.ops.SessionOps.sessionize(
+        s.read.parquet(s"$d/events.parquet"),
+        "user_id", "ts", gapSeconds = 1800, valueCol = Some("value")),
+      """WITH labeled AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |labeled2 AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+        |  FROM labeled)
+        |SELECT user_id, session_idx, min(ts) AS session_start,
+        |       max(ts) AS session_end, count(*) AS n_events,
+        |       round(sum(value), 4) AS total_value
+        |FROM labeled2 GROUP BY 1, 2""".stripMargin),
 
     // The three candidate-pair sets below are seeded-deterministic, so
     // their expected values at the driver's correctness scale (sf0.01,
