@@ -839,6 +839,44 @@ object QueryBank {
         |      FROM orders) q
         |WHERE rn <= 3""".stripMargin),
 
+    // recipe-language spellings of the same operators (SketchOps):
+    // the full parser → directive → plan path with exact oracles
+    ("heavy_hitters_directive",
+      (s, d) => r("heavy-hitters :event_type 64")(
+        s.read.parquet(s"$d/events.parquet")),
+      "SELECT event_type AS item, count(*) AS count, CAST(0 AS BIGINT) AS err FROM events GROUP BY 1"),
+
+    ("topk_directive",
+      (s, d) => r("topk-by :o_orderpriority :o_totalprice :o_orderkey 3")(
+        ord(s, d)),
+      """SELECT o_orderpriority, CAST(rn - 1 AS INT) AS rank,
+        |       CAST(o_orderkey AS VARCHAR) AS item, o_totalprice AS value
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |          ORDER BY o_totalprice DESC,
+        |                   CAST(o_orderkey AS VARCHAR) ASC) AS rn
+        |      FROM orders) q
+        |WHERE rn <= 3""".stripMargin),
+
+    ("sessionize_directive",
+      (s, d) => r("sessionize :user_id :ts 1800 :value")(
+        s.read.parquet(s"$d/events.parquet")),
+      """WITH labeled AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |labeled2 AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+        |  FROM labeled)
+        |SELECT user_id, session_idx, min(ts) AS session_start,
+        |       max(ts) AS session_end, count(*) AS n_events,
+        |       round(sum(value), 4) AS total_value
+        |FROM labeled2 GROUP BY 1, 2""".stripMargin),
+
     // ---- batch sessionize (SessionOps) -----------------------------
     ("sessionize_batch",
       (s, d) => graft.ops.SessionOps.sessionize(

@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.api._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.Sketches
+
+/** Recipe-surface for the mergeable sketch aggregates and batch
+  * sessionization ([[org.apache.spark.sql.graftx.Sketches]],
+  * [[SessionOps]]). These directives REPLACE the frame with their
+  * result (like the profiling/sampling directives): a recipe ending in
+  * `profile-distinct` is a profiling job, not a row transform.
+  *
+  * All of them aggregate with constant-size mergeable buffers, so the
+  * shuffle carries sketches (KB), not rows — the only full-data cost is
+  * the scan. That is the shape a 100 TB profiling pass needs.
+  */
+object SketchOps {
+
+  def build(spec: DirectiveSpec): Option[PipeOp] = Option(spec.name match {
+
+    // `sessionize :user :ts <gapSeconds> [:valueCol]` — collapse an
+    // event frame into one row per (user, session): gaps-and-islands
+    // with sessions closing after gapSeconds of inactivity.
+    case "sessionize" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState =
+        st.mapDf(df => SessionOps.sessionize(df,
+          spec.col(0), spec.col(1), spec.num(2).toLong,
+          valueCol = spec.optStr(3).map(s => s.stripPrefix(":"))))
+    }
+
+    // `profile-distinct :c1[,:c2...] [precision]` — one row per column:
+    // (column, approx_distinct). Every column's HLL builds in the SAME
+    // single pass over the data.
+    case "profile-distinct" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState =
+        st.mapDf { df =>
+          val cs = spec.cols(0)
+          val p = spec.optStr(1).map(_.toInt).getOrElse(12)
+          val aggs = cs.map(c => Sketches.hllDistinct(col(c), p).as(s"__d_$c"))
+          val one = df.agg(aggs.head, aggs.tail: _*)
+          val pairs = cs.map(c =>
+            struct(lit(c).as("column"), col(s"__d_$c").as("approx_distinct")))
+          one.select(explode(array(pairs: _*)).as("e"))
+            .select(col("e.column").as("column"),
+              col("e.approx_distinct").as("approx_distinct"))
+        }
+    }
+
+    // `profile-quantiles :col q1,q2,... [k]` — (prob, value) rows from
+    // one KLL sketch pass.
+    case "profile-quantiles" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState =
+        st.mapDf { df =>
+          val c = spec.col(0)
+          val probs = spec.str(1).split(",").map(_.trim.toDouble).toSeq
+          val k = spec.optStr(2).map(_.toInt).getOrElse(200)
+          df.agg(Sketches.kllQuantiles(col(c), probs, k).as("qs"))
+            .select(posexplode(col("qs")).as(Seq("i", "value")))
+            .select(element_at(array(probs.map(lit): _*), col("i") + 1).as("prob"),
+              col("value"))
+        }
+    }
+
+    // `heavy-hitters :col [k]` — (item, count, err) rows, count desc.
+    case "heavy-hitters" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState =
+        st.mapDf { df =>
+          val c = spec.col(0)
+          val k = spec.optStr(1).map(_.toInt).getOrElse(64)
+          df.agg(Sketches.heavyHitters(col(c), k).as("hh"))
+            .select(explode(col("hh")).as("e"))
+            .select(col("e.item").as("item"), col("e.count").as("count"),
+              col("e.err").as("err"))
+        }
+    }
+
+    // `topk-by :group :value :item <k>` — exact per-group top-k via the
+    // bounded-heap aggregate: (group, rank, item, value) rows.
+    case "topk-by" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState =
+        st.mapDf { df =>
+          val g = spec.col(0)
+          df.groupBy(col(g))
+            .agg(Sketches.topKBy(col(spec.col(1)), col(spec.col(2)),
+              spec.num(3).toInt).as("top"))
+            .select(col(g), posexplode(col("top")).as(Seq("rank", "e")))
+            .select(col(g), col("rank"), col("e.item").as("item"),
+              col("e.value").as("value"))
+        }
+    }
+
+    case _ => null
+  })
+}

@@ -231,6 +231,48 @@ class SketchSpec extends SparkSpec {
     assert(top == Seq("y", "z", "x"))
   }
 
+  // ---- recipe directives -------------------------------------------
+
+  test("profile-distinct directive: one pass, near-exact at low cardinality") {
+    val d = (1 to 4000).map(i => (s"seg${i % 5}", i % 800)).toDF("seg", "k")
+    val prof = wrangle("profile-distinct :seg,:k", d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prof("seg") == 5L)
+    assert(math.abs(prof("k") - 800) <= 20)
+  }
+
+  test("profile-quantiles directive emits (prob, value) rows in order") {
+    val d = (0 until 10000).map(_.toDouble).toDF("v")
+    val rows = wrangle("profile-quantiles :v 0.1,0.5,0.9", d).collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(0.1, 0.5, 0.9))
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) / 10000 - r.getDouble(0)) < 0.025)
+    }
+  }
+
+  test("topk-by directive matches groupwise sort") {
+    val d = Seq(("a", 1.0, "x"), ("a", 3.0, "y"), ("a", 2.0, "z"),
+      ("b", 9.0, "w")).toDF("g", "v", "id")
+    val out = wrangle("topk-by :g :v :id 2", d)
+      .orderBy("g", "rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+    assert(out == Seq(("a", 0, "y"), ("a", 1, "z"), ("b", 0, "w")))
+  }
+
+  test("sessionize directive groups events by inactivity gap") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val d = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 2.0),
+      (1L, ts("2024-01-01 11:30:00"), 3.0), // > 30 min gap → new session
+      (2L, ts("2024-01-01 09:00:00"), 4.0)).toDF("user_id", "ts", "value")
+    val out = wrangle("sessionize :user_id :ts 1800 :value", d)
+      .orderBy("user_id", "session_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq((1L, 0L, 2L, 3.0), (1L, 1L, 1L, 3.0),
+      (2L, 0L, 1L, 4.0)))
+  }
+
   // ---- SQL registration --------------------------------------------
 
   test("sketch functions callable from SQL after register()") {
