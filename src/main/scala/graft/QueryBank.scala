@@ -877,6 +877,39 @@ object QueryBank {
         |       round(sum(value), 4) AS total_value
         |FROM labeled2 GROUP BY 1, 2""".stripMargin),
 
+    // PSI drift of one event type's value distribution against the
+    // full stream — identical bin/eps/log math recomputed by DuckDB
+    ("drift_psi",
+      (s, d) => {
+        val ev = s.read.parquet(s"$d/events.parquet")
+        graft.session.Profiler.psiDrift(
+          ev.where(org.apache.spark.sql.functions.col("event_type") === "purchase"),
+          ev, "value", bins = 10)
+      },
+      """WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi
+        |                FROM events WHERE value IS NOT NULL),
+        |binned AS (
+        |  SELECT CAST(least(greatest(
+        |           floor((value - lo) * 10 / (hi - lo)), 0), 9) AS INT) AS bin,
+        |         event_type
+        |  FROM events, bounds WHERE value IS NOT NULL),
+        |cur AS (SELECT bin, count(*) AS c FROM binned
+        |        WHERE event_type = 'purchase' GROUP BY 1),
+        |base AS (SELECT bin, count(*) AS c FROM binned GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(c) FROM cur) AS tc,
+        |               (SELECT sum(c) FROM base) AS tb),
+        |spine AS (SELECT unnest(range(10)) AS bin)
+        |SELECT CAST(s.bin AS INT) AS bin,
+        |       round(greatest(coalesce(cur.c, 0) / tc, 1e-6), 6) AS frac_current,
+        |       round(greatest(coalesce(base.c, 0) / tb, 1e-6), 6) AS frac_baseline,
+        |       round((greatest(coalesce(cur.c, 0) / tc, 1e-6)
+        |              - greatest(coalesce(base.c, 0) / tb, 1e-6))
+        |             * ln(greatest(coalesce(cur.c, 0) / tc, 1e-6)
+        |                  / greatest(coalesce(base.c, 0) / tb, 1e-6)), 6) AS psi_term
+        |FROM spine s CROSS JOIN tot
+        |LEFT JOIN cur ON cur.bin = s.bin
+        |LEFT JOIN base ON base.bin = s.bin""".stripMargin),
+
     // ---- batch sessionize (SessionOps) -----------------------------
     ("sessionize_batch",
       (s, d) => graft.ops.SessionOps.sessionize(

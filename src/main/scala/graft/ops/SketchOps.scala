@@ -94,6 +94,20 @@ object SketchOps {
         }
     }
 
+    // `drift-psi :col table [bins]` — Population Stability Index of the
+    // current frame against a registered baseline table: one
+    // (bin, frac_current, frac_baseline, psi_term) row per bin.
+    case "drift-psi" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = {
+        val table = spec.str(1)
+        val baseline = ctx.lookups.getOrElse(table,
+          throw new RecipeException(s"drift-psi: unknown table '$table'"))
+        st.mapDf(df => graft.session.Profiler.psiDrift(df, baseline,
+          spec.col(0), bins = spec.optStr(2).map(_.toInt).getOrElse(10)))
+      }
+    }
+
     case _ => null
   })
 }

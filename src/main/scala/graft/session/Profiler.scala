@@ -104,6 +104,60 @@ object Profiler {
     }
     wide.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }
+
+  /** Population Stability Index between a current frame and a baseline
+    * over one numeric column: fixed-width bins derived from the
+    * BASELINE's min/max (out-of-range current values clamp into the
+    * edge bins), per-bin population fractions on both sides, and the
+    * standard PSI term `(p - q) * ln(p / q)` with `eps` flooring so
+    * empty bins stay finite. Rule of thumb: Σ psi_term < 0.1 stable,
+    * 0.1–0.25 moderate drift, > 0.25 action.
+    *
+    * Scale shape: one bounded 2-value stats action on the baseline
+    * (min/max), then each side is a map-only bin projection + a
+    * `bins`-row aggregate; the per-bin frames (≤ bins rows) broadcast
+    * onto a `spark.range(bins)` spine. Totals are two bounded 1-value
+    * collects folded in as literals — nothing row-scaled ever reaches
+    * the driver and nothing shuffles but the two tiny count exchanges.
+    */
+  def psiDrift(current: DataFrame, baseline: DataFrame, column: String,
+      bins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2 && bins <= 100000, s"psiDrift: bins=$bins outside [2, 100000]")
+    val v = col(column).cast(DoubleType)
+    val Array(lo, hi) = baseline.agg(min(v), max(v)).head() match {
+      case r if r.isNullAt(0) =>
+        throw new IllegalArgumentException(s"psiDrift: baseline '$column' is all null")
+      case r => Array(r.getDouble(0), r.getDouble(1))
+    }
+    require(hi > lo, s"psiDrift: degenerate baseline range [$lo, $hi]")
+
+    def binCounts(df: DataFrame): DataFrame = df
+      .where(v.isNotNull)
+      .select(least(greatest(
+          floor((v - lit(lo)) * bins / lit(hi - lo)), lit(0.0)),
+        lit(bins - 1.0)).cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+
+    val cur = binCounts(current)
+    val base = binCounts(baseline)
+    // bounded collects: one long each (the documented literal-fold
+    // pattern; a dummy-key join would constant-fold to a nested loop)
+    val tCur = cur.agg(sum(col("c"))).head().getLong(0).toDouble
+    val tBase = base.agg(sum(col("c"))).head().getLong(0).toDouble
+
+    spark(current).range(bins).select(col("id").cast("int").as("bin"))
+      .join(broadcast(cur.withColumnRenamed("c", "cc")), Seq("bin"), "left")
+      .join(broadcast(base.withColumnRenamed("c", "cb")), Seq("bin"), "left")
+      .select(col("bin"),
+        greatest(coalesce(col("cc"), lit(0L)) / tCur, lit(eps)).as("p"),
+        greatest(coalesce(col("cb"), lit(0L)) / tBase, lit(eps)).as("q"))
+      .select(col("bin"),
+        round(col("p"), 6).as("frac_current"),
+        round(col("q"), 6).as("frac_baseline"),
+        round((col("p") - col("q")) * log(col("p") / col("q")), 6).as("psi_term"))
+  }
+
+  private def spark(df: DataFrame) = df.sparkSession
 }
 
 /** Workspace sampling strategies (reference: wrangler-core

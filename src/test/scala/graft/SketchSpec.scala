@@ -273,6 +273,40 @@ class SketchSpec extends SparkSpec {
       (2L, 0L, 1L, 4.0)))
   }
 
+  // ---- PSI drift ---------------------------------------------------
+
+  test("psiDrift: identical distributions score ~0, shifted scores high") {
+    val base = (0 until 10000).map(i => (i % 100).toDouble).toDF("v")
+    val same = (0 until 5000).map(i => (i % 100).toDouble).toDF("v")
+    val shifted = (0 until 5000).map(i => 50.0 + (i % 50)).toDF("v")
+    val psiSame = graft.session.Profiler.psiDrift(same, base, "v", bins = 10)
+      .agg(sum($"psi_term")).head().getDouble(0)
+    val psiShift = graft.session.Profiler.psiDrift(shifted, base, "v", bins = 10)
+      .agg(sum($"psi_term")).head().getDouble(0)
+    assert(math.abs(psiSame) < 0.001, s"same-dist psi=$psiSame")
+    assert(psiShift > 1.0, s"shifted psi=$psiShift") // half the bins empty
+  }
+
+  test("psiDrift: out-of-range current values clamp into edge bins") {
+    val base = (0 until 1000).map(_.toDouble).toDF("v")
+    val cur = Seq(-500.0, 2000.0).toDF("v")
+    val rows = graft.session.Profiler.psiDrift(cur, base, "v", bins = 4)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(rows(0) == 0.5 && rows(3) == 0.5)
+    assert(rows(1) == 1e-6 && rows(2) == 1e-6) // eps floor, not zero
+  }
+
+  test("drift-psi directive reads the baseline from a registered table") {
+    val base = (0 until 2000).map(i => (i % 40).toDouble).toDF("v")
+    val cur = (0 until 1000).map(i => (i % 40).toDouble).toDF("v")
+    val out = Wrangle.recipe("drift-psi :v baseline 8")
+      .withLookup("baseline", base)
+      .apply(cur)
+    assert(out.count() == 8)
+    val total = out.agg(sum($"psi_term")).head().getDouble(0)
+    assert(math.abs(total) < 0.001)
+  }
+
   // ---- SQL registration --------------------------------------------
 
   test("sketch functions callable from SQL after register()") {
