@@ -910,6 +910,35 @@ object QueryBank {
         |LEFT JOIN cur ON cur.bin = s.bin
         |LEFT JOIN base ON base.bin = s.bin""".stripMargin),
 
+    // Z-order (Morton) clustering values: equi-width buckets from each
+    // column's min/max, bits interleaved column-round-robin — the
+    // write-layout primitive behind multi-dimensional data skipping.
+    // DuckDB recomputes the identical bucket + bit arithmetic
+    // (disjoint-bit terms summed, so no operator-precedence traps).
+    ("zorder_values",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.ops.LayoutOps.zorderValue(
+            s.read.parquet(s"$d/events.parquet"), Seq("value", "user_id"),
+            bits = 4)
+          .select(col("event_id"), col("__zvalue").as("zvalue"))
+      },
+      """WITH bounds AS (
+        |  SELECT min(value) AS lov, max(value) AS hiv,
+        |         min(CAST(user_id AS DOUBLE)) AS lou,
+        |         max(CAST(user_id AS DOUBLE)) AS hiu
+        |  FROM events),
+        |b AS (SELECT event_id,
+        |  CAST(least(greatest(floor((value - lov) * 16 / (hiv - lov)), 0), 15) AS BIGINT) AS bv,
+        |  CAST(least(greatest(floor((CAST(user_id AS DOUBLE) - lou) * 16 / (hiu - lou)), 0), 15) AS BIGINT) AS bu
+        |  FROM events CROSS JOIN bounds)
+        |SELECT event_id,
+        |  ((bv >> 0) & 1) * 1 + ((bu >> 0) & 1) * 2
+        |  + ((bv >> 1) & 1) * 4 + ((bu >> 1) & 1) * 8
+        |  + ((bv >> 2) & 1) * 16 + ((bu >> 2) & 1) * 32
+        |  + ((bv >> 3) & 1) * 64 + ((bu >> 3) & 1) * 128 AS zvalue
+        |FROM b""".stripMargin),
+
     // ---- batch sessionize (SessionOps) -----------------------------
     ("sessionize_batch",
       (s, d) => graft.ops.SessionOps.sessionize(

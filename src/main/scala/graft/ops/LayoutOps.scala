@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Write-layout clustering: Morton (Z-order) interleaving of
+  * equi-width column buckets, so that rows close in EVERY clustered
+  * dimension land close in the output file order. At 100 TB this is
+  * what makes multi-dimensional data skipping work: parquet row-group
+  * min/max stats on z-clustered files prune scans for predicates on ANY
+  * prefix-ish combination of the clustered columns, where sorting by
+  * (a, b) only ever prunes on `a`.
+  *
+  * Everything is native Catalyst arithmetic (floor / shiftleft /
+  * bitwiseAND inside whole-stage codegen): the only non-map-side work
+  * is one bounded min/max stats action (2 values per column) and the
+  * final range exchange that physically clusters the output.
+  */
+object LayoutOps {
+
+  /** Attach `__zvalue`: each column is bucketed into 2^bits equi-width
+    * cells from its own min/max (bounds from ONE stats pass; degenerate
+    * all-equal columns collapse to bucket 0), and the bucket bits are
+    * interleaved column-round-robin, lowest bit first.
+    */
+  def zorderValue(df: DataFrame, columns: Seq[String], bits: Int = 8): DataFrame = {
+    require(columns.nonEmpty, "zorder: need at least one column")
+    require(bits >= 1 && bits * columns.length <= 62,
+      s"zorder: $bits bits x ${columns.length} cols overflows a long")
+    val statsCols = columns.flatMap(c =>
+      Seq(min(col(c).cast(DoubleType)).as(s"__lo_$c"),
+        max(col(c).cast(DoubleType)).as(s"__hi_$c")))
+    val stats = df.agg(statsCols.head, statsCols.tail: _*).head()
+    val bounds = columns.zipWithIndex.map { case (c, i) =>
+      val lo = stats.getDouble(2 * i)
+      val hi = stats.getDouble(2 * i + 1)
+      (c, lo, hi)
+    }
+    val nBuckets = 1L << bits
+    val bucketCols: Seq[Column] = bounds.map { case (c, lo, hi) =>
+      val v = col(c).cast(DoubleType)
+      if (hi > lo)
+        least(greatest(
+            floor((v - lit(lo)) * nBuckets / lit(hi - lo)), lit(0.0)),
+          lit((nBuckets - 1).toDouble)).cast("long")
+      else lit(0L)
+    }
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      bucketCols.zipWithIndex.foldLeft(acc) { case (a, (bc, i)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(bc, b).bitwiseAND(lit(1L)), b * columns.length + i))
+      }
+    }
+    df.withColumn("__zvalue", z)
+  }
+
+  /** Physically cluster the frame in z-order: range-repartition on the
+    * interleaved value (each output partition covers one contiguous
+    * z-range, so every clustered column is locally banded in every
+    * file), keep the order inside partitions, drop the helper column.
+    */
+  def zorderBy(df: DataFrame, columns: Seq[String], bits: Int = 8,
+      numPartitions: Option[Int] = None): DataFrame = {
+    val withZ = zorderValue(df, columns, bits)
+    val parted = numPartitions match {
+      case Some(n) => withZ.repartitionByRange(n, col("__zvalue"))
+      case None => withZ.repartitionByRange(col("__zvalue"))
+    }
+    parted.sortWithinPartitions(col("__zvalue")).drop("__zvalue")
+  }
+}
