@@ -664,6 +664,38 @@ object QueryBank {
         |   <= mx - INTERVAL 10 MINUTE
         |GROUP BY 1, 2""".stripMargin),
 
+    // Streaming sketch: tumbling-window approx distinct users through a
+    // genuine readStream micro-batch run (append mode emits only
+    // watermark-closed windows), then the batch exact distinct per
+    // window verifies the estimate — DuckDB recomputes the exact side
+    // over the same closed-window set and asserts TRUE.
+    ("stream_hll_window",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val est = graft.streaming.StreamOps.runBatchAsStream(
+          s, s"$d/events.parquet",
+          st => graft.streaming.StreamOps
+            .windowedDistinct(st, "ts", "event_type", "user_id")
+            .select(col("window.start").as("wstart"), col("event_type"),
+              col("approx_users")),
+          queryName = "stream_hll_window_correctness")
+        val exact = s.read.parquet(s"$d/events.parquet")
+          .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+          .select(col("window.start").as("wstart"), col("event_type"),
+            col("exact_users"))
+        est.join(exact, Seq("wstart", "event_type"))
+          .select(col("wstart"), col("event_type"), col("exact_users"),
+            (abs(col("approx_users") - col("exact_users")) <=
+              greatest(lit(2.0), col("exact_users") * 0.05)).as("within_tol"))
+      },
+      """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS wstart, event_type,
+        | count(DISTINCT user_id) AS exact_users, TRUE AS within_tol
+        |FROM events, (SELECT max(ts) AS mx FROM events)
+        |WHERE time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE
+        |   <= mx - INTERVAL 10 MINUTE
+        |GROUP BY 1, 2""".stripMargin),
+
     // As-of join (union-merge: ONE key shuffle, no candidate explosion —
     // JoinOps.asofJoin): each event picks up its user's most recent
     // order at-or-before the event time; (custkey, orderdate) ties
@@ -959,6 +991,53 @@ object QueryBank {
         |       max(ts) AS session_end, count(*) AS n_events,
         |       round(sum(value), 4) AS total_value
         |FROM labeled2 GROUP BY 1, 2""".stripMargin),
+
+    // ---- incremental dedup (IncrementalDedup) ----------------------
+    // daily-ingest shape: the batch (doc_id >= 250) dedupes against the
+    // already-ingested corpus (doc_id < 250) through compact persisted
+    // state — fingerprints for exact, banded buckets for near-dup —
+    // with the corpus never re-scanned beyond the candidate sliver.
+    ("dedup_incremental_exact",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val dd = docs(s, d)
+        graft.llm.IncrementalDedup.exactAgainst(
+            dd.where(col("doc_id") >= 250), "text", "doc_id",
+            graft.llm.IncrementalDedup.exactState(
+              dd.where(col("doc_id") < 250), "text"))
+          .select("doc_id", "lang", "source")
+      },
+      s"""WITH batch AS (SELECT * FROM documents WHERE doc_id >= 250),
+        |seen AS (SELECT DISTINCT ${normSql("text")} AS k
+        |         FROM documents WHERE doc_id < 250)
+        |SELECT doc_id, lang, source FROM batch
+        |WHERE doc_id IN (SELECT min(doc_id) FROM batch
+        |                 GROUP BY ${normSql("text")})
+        |  AND ${normSql("text")} NOT IN (SELECT k FROM seen)""".stripMargin),
+
+    // near-dup incremental: batch-internal minhashDedup then the banded
+    // join against stored corpus buckets. Survivors provably equal
+    // full-corpus minhashDedup survivors restricted to batch ids
+    // (corpus ids are all smaller — RobustnessSpec proves the identity
+    // mechanically), so the SAME pinned drop list oracles this row.
+    ("dedup_incremental_minhash",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val dd = docs(s, d)
+        val batch = dd.where(col("doc_id") >= 250)
+        val corpus = dd.where(col("doc_id") < 250)
+        graft.llm.IncrementalDedup.minhashAgainst(
+            graft.llm.Dedup.minhashDedup(batch, "text", "doc_id",
+              threshold = 0.8),
+            "text", "doc_id",
+            graft.llm.IncrementalDedup.minhashState(corpus, "text", "doc_id"),
+            corpus, threshold = 0.8)
+          .select("doc_id", "lang", "source")
+      },
+      """SELECT doc_id, lang, source FROM documents WHERE doc_id >= 250
+        | AND doc_id NOT IN
+        | (134,178,185,245,267,290,293,301,323,332,374,377,383,387,389,
+        |  413,420,446,447,450,455,457,462,486)""".stripMargin),
 
     // The three candidate-pair sets below are seeded-deterministic, so
     // their expected values at the driver's correctness scale (sf0.01,

@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental deduplication — the daily-ingest shape: dedupe a NEW
+  * batch against the accumulated corpus WITHOUT touching corpus rows,
+  * using compact persisted state.
+  *
+  * At 100 TB the corpus is never re-scanned per batch: exact dedup
+  * keeps a fingerprint table (16-byte md5 per distinct doc, bucketed by
+  * fingerprint so the daily anti-join is shuffle-free on the corpus
+  * side), and near-dedup keeps the banded MinHash bucket table
+  * (`bands` longs per doc). Each ingest is then:
+  * batch-internal dedup → one anti-join / banded join against state →
+  * append survivors' state rows. Verification fetches only the
+  * candidate sliver's text from the corpus (pruned scan), mirroring
+  * [[Dedup.minhashPairsAndIds]].
+  */
+object IncrementalDedup {
+
+  /** Fingerprint state of a corpus: one row per distinct normalized
+    * content, column `fp`.
+    */
+  def exactState(df: DataFrame, textCol: String): DataFrame =
+    df.select(Dedup.fingerprint(col(textCol)).as("fp")).distinct()
+
+  /** Exact incremental dedup: batch-internal keep-smallest-id first,
+    * then drop everything whose fingerprint is already in `state`
+    * (column `fp`). ONE content shuffle for the internal dedup and one
+    * anti-join against the state table.
+    */
+  def exactAgainst(newBatch: DataFrame, textCol: String, idCol: String,
+      state: DataFrame): DataFrame = {
+    val internal = Dedup.exact(newBatch, textCol, idCol)
+    internal
+      .withColumn("__fp", Dedup.fingerprint(col(textCol)))
+      .join(state.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
+  /** Banded-bucket state of a corpus for near-dedup: (__id, __band,
+    * __bucket) rows — `bands` longs per doc, the signature never needs
+    * recomputing at ingest time.
+    */
+  def minhashState(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 128, bands: Int = 16, shingleK: Int = 5): DataFrame =
+    df.select(col(idCol).as("__id"),
+        graft.functions.Udfs.minhashBandBucketsUdf(col(textCol),
+          lit(numHashes), lit(bands), lit(shingleK), lit(42L)).as("__bk"))
+      .filter(size(col("__bk")) > 0)
+      .select(col("__id"), posexplode(col("__bk")).as(Seq("__band", "__bucket")))
+
+  /** Near-dedup a new batch against stored corpus state: signatures are
+    * computed for the BATCH only, candidates come from the banded join
+    * batch-buckets × state-buckets, and exact Jaccard verifies each
+    * candidate against the corpus text (pruned fetch by id). Batch rows
+    * near-matching any corpus doc are dropped; pass the result through
+    * [[Dedup.minhashDedup]] first if batch-internal near-dupes matter.
+    *
+    * @param corpusText frame with (idCol, textCol) covering state ids —
+    *                   only candidate ids are ever fetched from it
+    */
+  def minhashAgainst(newBatch: DataFrame, textCol: String, idCol: String,
+      state: DataFrame, corpusText: DataFrame,
+      numHashes: Int = 128, bands: Int = 16, shingleK: Int = 5,
+      threshold: Double = 0.7, maxBucketSize: Int = 10000): DataFrame = {
+    val batchBuckets = minhashState(newBatch, textCol, idCol,
+      numHashes, bands, shingleK)
+      .select(col("__id").as("__id_new"), col("__band"), col("__bucket"))
+    // hot-bucket guard on the STATE side (the side that grows):
+    // same policy as the self-join generators
+    val stateSized = state
+      .withColumn("__n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__band"), col("__bucket"))))
+      .filter(col("__n") <= maxBucketSize).drop("__n")
+    val cands = batchBuckets
+      .join(stateSized.select(col("__id").as("__id_old"),
+        col("__band"), col("__bucket")), Seq("__band", "__bucket"))
+      .select("__id_new", "__id_old").distinct()
+    val matched = cands
+      .join(newBatch.select(col(idCol).as("__id_new"),
+        col(textCol).as("__tn")), "__id_new")
+      .join(corpusText.select(col(idCol).as("__id_old"),
+        col(textCol).as("__to")), "__id_old")
+      .filter(graft.functions.Udfs.shingleJaccardUdf(
+        col("__tn"), col("__to"), lit(shingleK)) >= threshold)
+      .select(col("__id_new")).distinct()
+    newBatch.join(matched.select(col("__id_new").as(idCol)),
+      Seq(idCol), "left_anti")
+  }
+}

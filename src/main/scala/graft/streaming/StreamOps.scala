@@ -97,6 +97,23 @@ object StreamOps {
       }.toDF()
   }
 
+  /** Watermarked tumbling-window approximate distinct-count via the
+    * mergeable HLL aggregate ([[org.apache.spark.sql.graftx.Sketches]]):
+    * per open (window, type) group the state store holds ONE 4 KB
+    * register set, not a per-key entry — the state stays bounded no
+    * matter how many distinct ids a window sees, which is the only
+    * distinct-count shape that survives an unbounded high-cardinality
+    * stream (exact streaming countDistinct state grows with ids).
+    */
+  def windowedDistinct(events: DataFrame, tsCol: String, typeCol: String,
+      idCol: String, window_ : String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    normalizeTs(events, tsCol)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col(typeCol))
+      .agg(org.apache.spark.sql.graftx.Sketches
+        .hllDistinct(col(idCol)).as("approx_users"))
+
   /** Streaming exact dedup with BOUNDED state: duplicates are dropped
     * within the watermark horizon, and state for keys older than the
     * watermark is evicted — the only dedup shape that survives an

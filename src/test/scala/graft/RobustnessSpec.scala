@@ -280,6 +280,50 @@ class RobustnessSpec extends AnyFunSuite {
       (None, "gamma content")),     // null-id winner; id=5 loser removed
       s"got $got")
   }
+
+  test("incremental exact dedup equals full-corpus dedup restricted to the batch") {
+    // the identity that makes incremental ingest correct: when corpus
+    // ids all precede batch ids, exactAgainst(batch, state(corpus))
+    // keeps exactly the batch rows that Dedup.exact(corpus ∪ batch)
+    // would keep.
+    val spark = SparkSpec.spark
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import org.apache.spark.sql.functions.col
+    val corpus = d.where(col("doc_id") < 25)
+    val batch = d.where(col("doc_id") >= 25)
+    val incremental = graft.llm.IncrementalDedup.exactAgainst(
+        batch, "text", "doc_id",
+        graft.llm.IncrementalDedup.exactState(corpus, "text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = graft.llm.Dedup.exact(d, "text", "doc_id")
+      .where(col("doc_id") >= 25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(incremental == full,
+      s"diff=${(incremental diff full) ++ (full diff incremental)}")
+  }
+
+  test("incremental minhash dedup equals full-corpus near-dedup on the batch") {
+    // same identity for near-dup: in-batch minhashDedup + banded join
+    // against stored corpus buckets == minhashDedup(corpus ∪ batch)
+    // restricted to batch ids (corpus ids are all smaller, so 'larger
+    // id of a verified pair' decomposes into exactly those two checks).
+    val spark = SparkSpec.spark
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import org.apache.spark.sql.functions.col
+    val corpus = d.where(col("doc_id") < 25)
+    val batch = d.where(col("doc_id") >= 25)
+    val incremental = graft.llm.IncrementalDedup.minhashAgainst(
+        graft.llm.Dedup.minhashDedup(batch, "text", "doc_id", threshold = 0.8),
+        "text", "doc_id",
+        graft.llm.IncrementalDedup.minhashState(corpus, "text", "doc_id"),
+        corpus, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = graft.llm.Dedup.minhashDedup(d, "text", "doc_id", threshold = 0.8)
+      .where(col("doc_id") >= 25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(incremental == full,
+      s"diff=${(incremental diff full) ++ (full diff incremental)}")
+  }
 }
 
 /** Indirection so the spec compiles even if NlDate moves. */
