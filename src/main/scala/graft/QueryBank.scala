@@ -1026,10 +1026,8 @@ object QueryBank {
         val dd = docs(s, d)
         val batch = dd.where(col("doc_id") >= 250)
         val corpus = dd.where(col("doc_id") < 250)
-        graft.llm.IncrementalDedup.minhashAgainst(
-            graft.llm.Dedup.minhashDedup(batch, "text", "doc_id",
-              threshold = 0.8),
-            "text", "doc_id",
+        graft.llm.IncrementalDedup.minhashDedupAgainst(
+            batch, "text", "doc_id",
             graft.llm.IncrementalDedup.minhashState(corpus, "text", "doc_id"),
             corpus, threshold = 0.8)
           .select("doc_id", "lang", "source")

@@ -134,7 +134,9 @@ object ScaleLadder {
     // on an underloaded 32-core box; anything near the copy count would
     // mean buffer growth is leaking into the merge path
     "hll_distinct", "hll_union_reaggregate", "kll_quantiles",
-    "heavy_hitters", "topk_by_group", "sessionize_batch")
+    "heavy_hitters", "topk_by_group", "sessionize_batch",
+    "drift_psi", "zorder_values", "dedup_incremental_exact",
+    "dedup_incremental_minhash")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -150,7 +150,7 @@ object Dedup {
     * broadcast. Runs should collapse exact duplicates first (see
     * [[exact]]) — that is what makes buckets hot.
     */
-  private def dropHotBuckets(banded: DataFrame, keys: Seq[String],
+  private[llm] def dropHotBuckets(banded: DataFrame, keys: Seq[String],
       maxBucketSize: Int): DataFrame = {
     val hot = banded.groupBy(keys.map(col): _*).count()
       .filter(col("count") > maxBucketSize)

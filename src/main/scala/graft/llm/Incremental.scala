@@ -61,6 +61,61 @@ object IncrementalDedup {
     * @param corpusText frame with (idCol, textCol) covering state ids —
     *                   only candidate ids are ever fetched from it
     */
+  /** Full near-dedup ingest in ONE batch signature pass: in-batch
+    * near-dedup AND the corpus-state check share the same persisted
+    * banded-bucket frame (the two-call
+    * `minhashDedup` → [[minhashAgainst]] composition computes batch
+    * signatures twice; this fuses them). Survivors equal full-corpus
+    * `Dedup.minhashDedup` restricted to batch ids whenever corpus ids
+    * precede batch ids (RobustnessSpec proves the identity).
+    */
+  def minhashDedupAgainst(batch: DataFrame, textCol: String, idCol: String,
+      state: DataFrame, corpusText: DataFrame,
+      numHashes: Int = 128, bands: Int = 16, shingleK: Int = 5,
+      threshold: Double = 0.7, maxBucketSize: Int = 10000): DataFrame = {
+    val raw = batch.select(col(idCol).as("__id"),
+        graft.functions.Udfs.minhashBandBucketsUdf(col(textCol),
+          lit(numHashes), lit(bands), lit(shingleK), lit(42L)).as("__bk"))
+      .persist()
+    raw.count() // eager: one signature pass feeds BOTH joins below
+    val buckets = raw.filter(size(col("__bk")) > 0)
+      .select(col("__id"), posexplode(col("__bk")).as(Seq("__band", "__bucket")))
+    val sized = Dedup.dropHotBuckets(buckets, Seq("__band", "__bucket"),
+      maxBucketSize)
+    val texts = batch.select(col(idCol), col(textCol))
+
+    // in-batch: same banded self-join + Jaccard verify as minhashPairs
+    val l = sized.select(col("__band"), col("__bucket"), col("__id").as("id_a"))
+    val rgt = sized.select(col("__band"), col("__bucket"), col("__id").as("id_b"))
+    val inLosers = l.join(rgt, Seq("__band", "__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")
+      .filter(graft.functions.Udfs.shingleJaccardUdf(
+        col("__ta"), col("__tb"), lit(shingleK)) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+
+    // vs corpus: the SAME buckets against the stored state
+    val stateSized = Dedup.dropHotBuckets(
+      state.select(col("__id"), col("__band"), col("__bucket")),
+      Seq("__band", "__bucket"), maxBucketSize)
+    val crossMatched = sized
+      .select(col("__id").as("__id_new"), col("__band"), col("__bucket"))
+      .join(stateSized.select(col("__id").as("__id_old"),
+        col("__band"), col("__bucket")), Seq("__band", "__bucket"))
+      .select("__id_new", "__id_old").distinct()
+      .join(batch.select(col(idCol).as("__id_new"),
+        col(textCol).as("__tn")), "__id_new")
+      .join(corpusText.select(col(idCol).as("__id_old"),
+        col(textCol).as("__to")), "__id_old")
+      .filter(graft.functions.Udfs.shingleJaccardUdf(
+        col("__tn"), col("__to"), lit(shingleK)) >= threshold)
+      .select(col("__id_new").as(idCol)).distinct()
+
+    batch.join(inLosers.union(crossMatched).distinct(), Seq(idCol), "left_anti")
+  }
+
   def minhashAgainst(newBatch: DataFrame, textCol: String, idCol: String,
       state: DataFrame, corpusText: DataFrame,
       numHashes: Int = 128, bands: Int = 16, shingleK: Int = 5,
@@ -69,12 +124,9 @@ object IncrementalDedup {
       numHashes, bands, shingleK)
       .select(col("__id").as("__id_new"), col("__band"), col("__bucket"))
     // hot-bucket guard on the STATE side (the side that grows):
-    // same policy as the self-join generators
-    val stateSized = state
-      .withColumn("__n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__band"), col("__bucket"))))
-      .filter(col("__n") <= maxBucketSize).drop("__n")
+    // same aggregate+anti-join policy as the self-join generators
+    val stateSized = Dedup.dropHotBuckets(state, Seq("__band", "__bucket"),
+      maxBucketSize)
     val cands = batchBuckets
       .join(stateSized.select(col("__id").as("__id_old"),
         col("__band"), col("__bucket")), Seq("__band", "__bucket"))

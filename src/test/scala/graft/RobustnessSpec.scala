@@ -312,17 +312,21 @@ class RobustnessSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     val corpus = d.where(col("doc_id") < 25)
     val batch = d.where(col("doc_id") >= 25)
-    val incremental = graft.llm.IncrementalDedup.minhashAgainst(
+    val state = graft.llm.IncrementalDedup.minhashState(corpus, "text", "doc_id")
+    val composed = graft.llm.IncrementalDedup.minhashAgainst(
         graft.llm.Dedup.minhashDedup(batch, "text", "doc_id", threshold = 0.8),
-        "text", "doc_id",
-        graft.llm.IncrementalDedup.minhashState(corpus, "text", "doc_id"),
-        corpus, threshold = 0.8)
+        "text", "doc_id", state, corpus, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fused = graft.llm.IncrementalDedup.minhashDedupAgainst(
+        batch, "text", "doc_id", state, corpus, threshold = 0.8)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val full = graft.llm.Dedup.minhashDedup(d, "text", "doc_id", threshold = 0.8)
       .where(col("doc_id") >= 25)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(incremental == full,
-      s"diff=${(incremental diff full) ++ (full diff incremental)}")
+    assert(composed == full,
+      s"composed diff=${(composed diff full) ++ (full diff composed)}")
+    assert(fused == full,
+      s"fused diff=${(fused diff full) ++ (full diff fused)}")
   }
 }
 

@@ -273,6 +273,21 @@ class SketchSpec extends SparkSpec {
       (2L, 0L, 1L, 4.0)))
   }
 
+  test("hll sketches survive a parquet round trip and re-aggregate") {
+    // the lake contract: write per-group sketch tables today, union
+    // them next week without the raw rows
+    val df = (1 to 8000).map(i => (i % 4, i % 1337)).toDF("part", "v")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sketch_rt").toString
+    df.groupBy($"part").agg(Sketches.hllSketch($"v").as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+      .agg(Sketches.hllEstimate(Sketches.hllUnion($"sk")).as("est"))
+      .head().getLong(0)
+    val oneShot = df.agg(Sketches.hllDistinct($"v")).head().getLong(0)
+    assert(reloaded == oneShot, s"reloaded=$reloaded oneShot=$oneShot")
+  }
+
   // ---- PSI drift ---------------------------------------------------
 
   test("psiDrift: identical distributions score ~0, shifted scores high") {
