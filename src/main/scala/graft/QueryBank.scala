@@ -971,6 +971,15 @@ object QueryBank {
         |  + ((bv >> 3) & 1) * 64 + ((bu >> 3) & 1) * 128 AS zvalue
         |FROM b""".stripMargin),
 
+    // layout-only directive: content identity is the oracle (same
+    // pattern as repartition_output) — the clustering itself is
+    // asserted structurally in LayoutSpec
+    ("cluster_zorder_directive",
+      (s, d) => r("cluster-zorder :value,:user_id 4")(
+        s.read.parquet(s"$d/events.parquet"))
+        .select("event_id", "user_id", "value"),
+      "SELECT event_id, user_id, value FROM events"),
+
     // ---- batch sessionize (SessionOps) -----------------------------
     ("sessionize_batch",
       (s, d) => graft.ops.SessionOps.sessionize(

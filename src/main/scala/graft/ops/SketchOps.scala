@@ -94,6 +94,17 @@ object SketchOps {
         }
     }
 
+    // `cluster-zorder :c1[,:c2...] [bits]` — physically re-cluster the
+    // frame in Morton order over the named columns (write-layout
+    // optimization: content identical, order/partitioning changed so
+    // parquet row-group stats prune scans on any clustered dimension).
+    case "cluster-zorder" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState =
+        st.mapDf(df => LayoutOps.zorderBy(df, spec.cols(0),
+          bits = spec.optStr(1).map(_.toInt).getOrElse(8)))
+    }
+
     // `drift-psi :col table [bins]` — Population Stability Index of the
     // current frame against a registered baseline table: one
     // (bin, frac_current, frac_baseline, psi_term) row per bin.
