@@ -62,7 +62,15 @@ object GraftExtensions {
     "topk_by" -> (args => args match {
       case Seq(v, it, k) => TopKByAgg(v, it, litInt(k, "topk_by k"))
       case _ => throw new IllegalArgumentException("topk_by(value, item, k)")
-    }))
+    }),
+    "kmv_sketch" -> (args => args match {
+      case Seq(c) => KmvSketchAgg(c)
+      case Seq(c, k) => KmvSketchAgg(c, litInt(k, "kmv_sketch k"))
+      case _ => throw new IllegalArgumentException("kmv_sketch(col[, k])")
+    }),
+    "kmv_estimate" -> (args => KmvEstimateExpr(args.head)),
+    "kmv_jaccard" -> (args => KmvJaccardExpr(args(0), args(1))),
+    "kmv_intersect" -> (args => KmvIntersectExpr(args(0), args(1))))
 
   /** Install on an already-built session: native expressions plus the
     * JVM kernels (digests, text metrics, Porter) as SQL UDFs.

@@ -487,6 +487,172 @@ case class HeavyHittersAgg(
   override def prettyName: String = "heavy_hitters"
 }
 
+/** KMV (k-minimum-values / bottom-k) distinct-value sketch: keep the k
+  * smallest 64-bit hashes of the distinct values. Unlike HLL it
+  * supports SET OPERATIONS: the union of two sketches is merge+trim,
+  * and Jaccard/intersection estimate from the overlap within the
+  * combined sketch's k smallest values — the corpus-overlap question
+  * ("how much of crawl B is already in A?") HLL cannot answer.
+  * Below capacity the sketch holds every distinct hash, so estimates
+  * are exact (modulo 64-bit hash collisions).
+  *
+  * Estimators (Beyer et al., "On synopses for distinct-value
+  * estimation under multiset operations", SIGMOD 2007):
+  *   distinct  ≈ (k-1) * 2^64 / kthMinValue   (when full)
+  *   jaccard(A,B) ≈ |K(A∪B) ∩ A ∩ B| / k      (K = k smallest of union)
+  */
+object Kmv {
+  /** Buffer: sorted long set capped at k (unsigned hash order). */
+  final class Buf(val k: Int) {
+    val set: java.util.TreeSet[java.lang.Long] = new java.util.TreeSet(
+      new java.util.Comparator[java.lang.Long] {
+        override def compare(a: java.lang.Long, b: java.lang.Long): Int =
+          java.lang.Long.compareUnsigned(a, b)
+      })
+    def add(h: Long): Unit = {
+      if (set.size < k) { set.add(h); () }
+      else if (java.lang.Long.compareUnsigned(h, set.last.longValue) < 0) {
+        if (set.add(h)) { set.pollLast(); () }
+      }
+    }
+    def mergeIn(o: Buf): Unit = {
+      val it = o.set.iterator()
+      while (it.hasNext) add(it.next().longValue)
+    }
+  }
+
+  def serialize(b: Buf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.k); out.writeInt(b.set.size)
+    b.set.forEach(h => out.writeLong(h))
+    out.flush(); bos.toByteArray
+  }
+
+  def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val b = new Buf(in.readInt())
+    val n = in.readInt()
+    (0 until n).foreach(_ => b.set.add(in.readLong()))
+    b
+  }
+
+  /** Distinct-count estimate from a serialized sketch. */
+  def estimate(bytes: Array[Byte]): Long = {
+    val b = deserialize(bytes)
+    val n = b.set.size
+    if (n < b.k) n.toLong
+    else {
+      // unsigned kth-min as a fraction of the 2^64 hash space
+      val kth = b.set.last.longValue()
+      val u = (kth >>> 1).toDouble * 2.0 + (kth & 1L)
+      val frac = math.max(u / 1.8446744073709552e19, Double.MinPositiveValue)
+      math.round((b.k - 1) / frac)
+    }
+  }
+
+  /** Jaccard estimate of the two underlying sets. */
+  def jaccard(a: Array[Byte], b: Array[Byte]): Double = {
+    val ba = deserialize(a); val bb = deserialize(b)
+    require(ba.k == bb.k, s"kmv_jaccard: mismatched k (${ba.k} vs ${bb.k})")
+    val union = new Buf(ba.k)
+    union.mergeIn(ba); union.mergeIn(bb)
+    if (union.set.isEmpty) return 0.0
+    var both = 0
+    var n = 0
+    val it = union.set.iterator()
+    while (it.hasNext) {
+      val h = it.next()
+      if (ba.set.contains(h) && bb.set.contains(h)) both += 1
+      n += 1
+    }
+    both.toDouble / n
+  }
+
+  /** Intersection-size estimate: jaccard x union-distinct estimate. */
+  def intersectEstimate(a: Array[Byte], b: Array[Byte]): Long = {
+    val ba = deserialize(a); val bb = deserialize(b)
+    val union = new Buf(ba.k)
+    union.mergeIn(ba); union.mergeIn(bb)
+    math.round(jaccard(a, b) * estimate(serialize(union)))
+  }
+}
+
+/** Aggregate: build a KMV bottom-k sketch (BinaryType) over any column. */
+case class KmvSketchAgg(
+    child: Expression,
+    k: Int = 1024,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Kmv.Buf] {
+
+  require(k >= 16 && k <= (1 << 20), s"kmv_sketch: k=$k outside [16, 1M]")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): Kmv.Buf = new Kmv.Buf(k)
+
+  override def update(buf: Kmv.Buf, input: InternalRow): Kmv.Buf = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.add(XxHash64Function.hash(v, child.dataType, Hll.Seed))
+    buf
+  }
+
+  override def merge(a: Kmv.Buf, b: Kmv.Buf): Kmv.Buf = { a.mergeIn(b); a }
+
+  override def eval(buf: Kmv.Buf): Any = Kmv.serialize(buf)
+  override def serialize(buf: Kmv.Buf): Array[Byte] = Kmv.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): Kmv.Buf = Kmv.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KmvSketchAgg =
+    copy(child = c.head)
+  override def prettyName: String = "kmv_sketch"
+}
+
+/** Scalar readers over serialized KMV sketches. */
+case class KmvEstimateExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes
+    with codegen.CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    Kmv.estimate(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): KmvEstimateExpr =
+    copy(child = c)
+  override def prettyName: String = "kmv_estimate"
+}
+
+case class KmvJaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes
+    with codegen.CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kmv.jaccard(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): KmvJaccardExpr = copy(left = l, right = r)
+  override def prettyName: String = "kmv_jaccard"
+}
+
+case class KmvIntersectExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes
+    with codegen.CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kmv.intersectEstimate(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): KmvIntersectExpr = copy(left = l, right = r)
+  override def prettyName: String = "kmv_intersect"
+}
+
 /** Exact top-k per group as a bounded-heap aggregate. Each map-side
   * partial ships at most k rows per group through the shuffle — the
   * scale-correct alternative to a row_number window (which shuffles and
@@ -609,6 +775,24 @@ object Sketches {
   /** SpaceSaving heavy hitters: array<struct<item,count,err>>. */
   def heavyHitters(c: Column, k: Int = 64): Column =
     agg(HeavyHittersAgg(ExpressionUtils.expression(c.cast("string")), k))
+
+  /** Mergeable KMV bottom-k sketch (binary) — supports set operations. */
+  def kmvSketch(c: Column, k: Int = 1024): Column =
+    agg(KmvSketchAgg(ExpressionUtils.expression(c), k))
+
+  /** Distinct estimate from a serialized KMV sketch (scalar). */
+  def kmvEstimate(c: Column): Column =
+    ExpressionUtils.column(KmvEstimateExpr(ExpressionUtils.expression(c)))
+
+  /** Jaccard similarity estimate of two sketched sets (scalar). */
+  def kmvJaccard(a: Column, b: Column): Column =
+    ExpressionUtils.column(KmvJaccardExpr(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Intersection-size estimate of two sketched sets (scalar). */
+  def kmvIntersect(a: Column, b: Column): Column =
+    ExpressionUtils.column(KmvIntersectExpr(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Exact top-k (value desc, item asc) per group via bounded heaps. */
   def topKBy(value: Column, item: Column, k: Int): Column =

@@ -288,6 +288,63 @@ class SketchSpec extends SparkSpec {
     assert(reloaded == oneShot, s"reloaded=$reloaded oneShot=$oneShot")
   }
 
+  // ---- KMV bottom-k ------------------------------------------------
+
+  test("kmv kernel: exact below capacity, estimate within 10% above") {
+    import org.apache.spark.sql.graftx.Kmv
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.LongType
+    def sketchOf(vals: Range, k: Int): Array[Byte] = {
+      val b = new Kmv.Buf(k)
+      vals.foreach(i => b.add(
+        XxHash64Function.hash(i.toLong, LongType, org.apache.spark.sql.graftx.Hll.Seed)))
+      Kmv.serialize(b)
+    }
+    assert(Kmv.estimate(sketchOf(0 until 500, 1024)) == 500L)
+    val est = Kmv.estimate(sketchOf(0 until 100000, 1024))
+    assert(math.abs(est / 100000.0 - 1.0) < 0.10, s"est=$est")
+  }
+
+  test("kmv kernel: jaccard and intersection track known overlap") {
+    import org.apache.spark.sql.graftx.Kmv
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.LongType
+    def sk(r: Range, k: Int): Array[Byte] = {
+      val b = new Kmv.Buf(k)
+      r.foreach(i => b.add(
+        XxHash64Function.hash(i.toLong, LongType, org.apache.spark.sql.graftx.Hll.Seed)))
+      Kmv.serialize(b)
+    }
+    // |A|=|B|=20000, overlap 10000 -> jaccard = 1/3
+    val a = sk(0 until 20000, 512)
+    val b = sk(10000 until 30000, 512)
+    val j = Kmv.jaccard(a, b)
+    assert(math.abs(j - 1.0 / 3) < 0.08, s"jaccard=$j")
+    val inter = Kmv.intersectEstimate(a, b)
+    assert(math.abs(inter / 10000.0 - 1.0) < 0.25, s"inter=$inter")
+    // below capacity both estimates are exact
+    val ax = sk(0 until 300, 1024)
+    val bx = sk(200 until 500, 1024)
+    assert(Kmv.jaccard(ax, bx) == 100.0 / 500)
+    assert(Kmv.intersectEstimate(ax, bx) == 100L)
+  }
+
+  test("kmv aggregate: per-source sketches give exact pairwise overlap below capacity") {
+    val df = (0 until 3000).map { i =>
+      val src = i % 3
+      // source s covers ids [s*800, s*800+1000): adjacent overlap 200
+      (s"src$src", (src * 800 + i / 3 % 1000).toLong)
+    }.toDF("source", "id").repartition(8)
+    val sk = df.groupBy($"source")
+      .agg(Sketches.kmvSketch($"id", 4096).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    import org.apache.spark.sql.graftx.Kmv
+    assert(Kmv.estimate(sk("src0")) == 1000L)
+    assert(Kmv.intersectEstimate(sk("src0"), sk("src1")) == 200L)
+    assert(Kmv.intersectEstimate(sk("src1"), sk("src2")) == 200L)
+    assert(Kmv.intersectEstimate(sk("src0"), sk("src2")) == 0L)
+  }
+
   // ---- PSI drift ---------------------------------------------------
 
   test("psiDrift: identical distributions score ~0, shifted scores high") {
