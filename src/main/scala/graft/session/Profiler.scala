@@ -105,6 +105,53 @@ object Profiler {
     wide.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }
 
+  /** Per-column STORED sketches — the profile-once / merge-later
+    * artifact: one row per column with the serialized HLL (distinct)
+    * and, for numerics, KLL (quantiles) sketches as binary columns.
+    * Persist the output per partition/day/source; later profiles union
+    * via [[mergeSketchProfiles]] without re-reading raw data. All
+    * sketches build in ONE pass over the frame.
+    */
+  def sketchProfile(df: DataFrame, hllP: Int = 12, kllK: Int = 200): DataFrame = {
+    import org.apache.spark.sql.graftx.Sketches
+    val cols = df.schema.fields.map(_.name).toSeq
+    val numeric = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+    }.toSet
+    require(cols.nonEmpty, "sketchProfile: empty schema")
+    val aggs = cols.flatMap { c =>
+      Seq(Sketches.hllSketch(col(c), hllP).as(s"__hll_$c")) ++
+        (if (numeric(c))
+          Seq(Sketches.kllSketchBinary(col(c).cast(DoubleType), kllK)
+            .as(s"__kll_$c"))
+        else Nil)
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column"),
+        col(s"__hll_$c").as("hll"),
+        (if (numeric(c)) col(s"__kll_$c") else lit(null).cast("binary"))
+          .as("kll"))
+    }
+    wide.select(explode(array(stacked: _*)).as("p")).select("p.*")
+  }
+
+  /** Union stored sketch-profile rows (from [[sketchProfile]] runs over
+    * different slices) into one profile per column, with readable
+    * figures: approx distinct from the merged HLL, quantiles from the
+    * merged KLL.
+    */
+  def mergeSketchProfiles(profiles: DataFrame,
+      probabilities: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    import org.apache.spark.sql.graftx.Sketches
+    profiles.groupBy(col("column"))
+      .agg(Sketches.hllUnion(col("hll")).as("__h"),
+        Sketches.kllMerge(col("kll")).as("__k"))
+      .select(col("column"),
+        Sketches.hllEstimate(col("__h")).as("approx_distinct"),
+        Sketches.kllQuantilesOf(col("__k"), probabilities).as("quantiles"))
+  }
+
   /** Population Stability Index between a current frame and a baseline
     * over one numeric column: fixed-width bins derived from the
     * BASELINE's min/max (out-of-range current values clamp into the

@@ -362,6 +362,108 @@ case class KllQuantileAgg(
   override def prettyName: String = "kll_quantiles"
 }
 
+/** Aggregate: KLL sketch in its serialized form (BinaryType) — the
+  * storable artifact; read quantiles later with [[KllQuantilesOfExpr]]
+  * or merge stored sketches with [[KllMergeAgg]].
+  */
+case class KllSketchAgg(
+    child: Expression,
+    k: Int = 200,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllBuf] with ExpectsInputTypes {
+
+  require(k >= 8, s"kll_sketch: k=$k too small")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): KllBuf = new KllBuf(k)
+  override def update(buf: KllBuf, input: InternalRow): KllBuf = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Double])
+    buf
+  }
+  override def merge(a: KllBuf, b: KllBuf): KllBuf = { a.mergeIn(b); a }
+  override def eval(buf: KllBuf): Any = buf.serialize()
+  override def serialize(buf: KllBuf): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): KllBuf = KllBuf.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KllSketchAgg =
+    copy(child = c.head)
+  override def prettyName: String = "kll_sketch"
+}
+
+/** Aggregate: merge STORED KLL sketches (BinaryType → BinaryType). The
+  * first non-empty sketch fixes the working capacity. Null inputs and
+  * empty sketches are skipped.
+  */
+case class KllMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllBuf] with ExpectsInputTypes {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  // n == 0 marks the not-yet-initialized sentinel
+  override def createAggregationBuffer(): KllBuf = new KllBuf(200)
+
+  override def update(buf: KllBuf, input: InternalRow): KllBuf = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val in = KllBuf.deserialize(v.asInstanceOf[Array[Byte]])
+      if (in.n == 0) buf
+      else if (buf.n == 0) in
+      else { buf.mergeIn(in); buf }
+    }
+  }
+  override def merge(a: KllBuf, b: KllBuf): KllBuf =
+    if (a.n == 0) b else if (b.n == 0) a else { a.mergeIn(b); a }
+  override def eval(buf: KllBuf): Any = buf.serialize()
+  override def serialize(buf: KllBuf): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): KllBuf = KllBuf.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KllMergeAgg =
+    copy(child = c.head)
+  override def prettyName: String = "kll_merge"
+}
+
+/** Scalar: quantile estimates out of a serialized KLL sketch; null for
+  * an empty sketch.
+  */
+case class KllQuantilesOfExpr(child: Expression, probabilities: Seq[Double])
+    extends UnaryExpression with ExpectsInputTypes
+    with codegen.CodegenFallback {
+  require(probabilities.nonEmpty && probabilities.forall(q => q >= 0 && q <= 1),
+    "kll_quantiles_of: probabilities must be in [0, 1]")
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val buf = KllBuf.deserialize(v.asInstanceOf[Array[Byte]])
+    if (buf.n == 0) null
+    else new GenericArrayData(probabilities.map(buf.quantile).toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): KllQuantilesOfExpr =
+    copy(child = c)
+  override def prettyName: String = "kll_quantiles_of"
+}
+
 /** SpaceSaving counter table. Capacity k; eviction replaces the
   * minimum-count entry and inherits its count as the error bound.
   */
@@ -775,6 +877,19 @@ object Sketches {
   /** SpaceSaving heavy hitters: array<struct<item,count,err>>. */
   def heavyHitters(c: Column, k: Int = 64): Column =
     agg(HeavyHittersAgg(ExpressionUtils.expression(c.cast("string")), k))
+
+  /** KLL sketch in storable (binary) form. */
+  def kllSketchBinary(c: Column, k: Int = 200): Column =
+    agg(KllSketchAgg(ExpressionUtils.expression(c.cast("double")), k))
+
+  /** Merge stored KLL sketches back into one sketch. */
+  def kllMerge(c: Column): Column =
+    agg(KllMergeAgg(ExpressionUtils.expression(c)))
+
+  /** Quantile estimates out of a serialized KLL sketch (scalar). */
+  def kllQuantilesOf(c: Column, probs: Seq[Double]): Column =
+    ExpressionUtils.column(KllQuantilesOfExpr(
+      ExpressionUtils.expression(c), probs))
 
   /** Mergeable KMV bottom-k sketch (binary) — supports set operations. */
   def kmvSketch(c: Column, k: Int = 1024): Column =

@@ -288,6 +288,37 @@ class SketchSpec extends SparkSpec {
     assert(reloaded == oneShot, s"reloaded=$reloaded oneShot=$oneShot")
   }
 
+  // ---- sketch profiles ---------------------------------------------
+
+  test("sketchProfile halves merge to the whole-frame profile") {
+    val df = (0 until 12000)
+      .map(i => (i % 900, s"u${i % 777}", (i % 500).toDouble))
+      .toDF("a", "b", "c")
+    def prof(d: org.apache.spark.sql.DataFrame) =
+      graft.session.Profiler.sketchProfile(d)
+    val whole = graft.session.Profiler.mergeSketchProfiles(prof(df))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.getSeq[Double](2)).map(_.toSeq))).toMap
+    val halves = prof(df.where($"a" % 2 === 0))
+      .unionAll(prof(df.where($"a" % 2 =!= 0)))
+    val merged = graft.session.Profiler.mergeSketchProfiles(halves)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.getSeq[Double](2)).map(_.toSeq))).toMap
+    // HLL union is register-max: half-profiles merge EXACTLY to the
+    // whole-frame registers
+    assert(whole.keySet == Set("a", "b", "c"))
+    assert(merged("a")._1 == whole("a")._1)
+    assert(merged("b")._1 == whole("b")._1)
+    assert(math.abs(merged("a")._1 - 900) <= 20)
+    // string column has no KLL sketch
+    assert(whole("b")._2.isEmpty && merged("b")._2.isEmpty)
+    // merged KLL quantiles stay within rank tolerance of uniform 0..499
+    val qs = merged("c")._2.get
+    Seq(0.25, 0.5, 0.75).zip(qs).foreach { case (p, est) =>
+      assert(math.abs(est / 500 - p) < 0.03, s"p=$p est=$est")
+    }
+  }
+
   // ---- KMV bottom-k ------------------------------------------------
 
   test("kmv kernel: exact below capacity, estimate within 10% above") {
