@@ -410,6 +410,49 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(total) < 0.001)
   }
 
+  // ---- edge cases ----------------------------------------------------
+
+  test("sessionize: empty frame and single event") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val empty = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("user_id", "ts", "value")
+    assert(graft.ops.SessionOps.sessionize(
+      empty, "user_id", "ts", 1800).count() == 0)
+    val one = Seq((7L, ts("2024-01-01 00:00:00"), 1.5))
+      .toDF("user_id", "ts", "value")
+    val r = graft.ops.SessionOps.sessionize(
+      one, "user_id", "ts", 1800, Some("value")).collect()
+    assert(r.length == 1 && r(0).getLong(1) == 0L && r(0).getLong(4) == 1L)
+  }
+
+  test("kmv sketches survive a parquet round trip") {
+    import org.apache.spark.sql.graftx.Kmv
+    // consecutive pairs share v, so both groups see the full 0..1199 set
+    val df = (0 until 4800).map(i => (i % 2, (i / 2) % 1200)).toDF("g", "v")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kmv_rt").toString
+    df.groupBy($"g").agg(Sketches.kmvSketch($"v", 4096).as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val sks = spark.read.parquet(dir).collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    // groups see identical value sets -> jaccard exactly 1
+    assert(Kmv.jaccard(sks(0), sks(1)) == 1.0)
+    assert(Kmv.estimate(sks(0)) == 1200L)
+  }
+
+  test("topk_by: NaN handling is deterministic (retained as largest, listed last)") {
+    // TotalOrdering ranks NaN above +Inf, so a NaN row WINS retention
+    // against real values but sorts to the END of the output array
+    // (eval sorts by -v, and -NaN == NaN is TotalOrdering-largest).
+    // Deterministic either way; callers who don't want NaN rows at all
+    // should filter upstream.
+    val df = Seq((1, Double.NaN, "n"), (1, 5.0, "a"), (1, 7.0, "b"))
+      .toDF("g", "v", "id")
+    val items = df.groupBy($"g").agg(Sketches.topKBy($"v", $"id", 2).as("t"))
+      .select(explode($"t.item").as("i")).as[String].collect().toSeq
+    assert(items == Seq("b", "n"))
+  }
+
   // ---- SQL registration --------------------------------------------
 
   test("sketch functions callable from SQL after register()") {
