@@ -971,6 +971,25 @@ object QueryBank {
         |  + ((bv >> 3) & 1) * 64 + ((bu >> 3) & 1) * 128 AS zvalue
         |FROM b""".stripMargin),
 
+    // Join pre-flight: exact output cardinality + hottest key of the
+    // orders-events join, from count tables only (rows never move)
+    ("join_size_profile",
+      (s, d) => graft.ops.JoinOps.joinSizeProfile(
+        ord(s, d), s.read.parquet(s"$d/events.parquet"),
+        "o_custkey", "user_id"),
+      """WITH lc AS (SELECT o_custkey AS k, count(*) AS cl FROM orders
+        |            WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |rc AS (SELECT user_id AS k, count(*) AS cr FROM events
+        |       WHERE user_id IS NOT NULL GROUP BY 1),
+        |m AS (SELECT lc.k, cl * cr AS o FROM lc JOIN rc USING (k))
+        |SELECT count(*) AS matched_keys,
+        |       CAST(sum(o) AS BIGINT) AS est_rows,
+        |       (SELECT k FROM m ORDER BY o DESC, k DESC LIMIT 1)
+        |         AS hottest_key,
+        |       (SELECT o FROM m ORDER BY o DESC, k DESC LIMIT 1)
+        |         AS hottest_key_rows
+        |FROM m""".stripMargin),
+
     // KMV set-overlap: per-source vocabulary sketches, pairwise shared
     // words + Jaccard from sketch intersection. k exceeds every union,
     // so the bottom-k sketch holds ALL distinct hashes and the

@@ -204,4 +204,28 @@ object JoinOps {
       .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop(cell)
   }
+
+  /** Join pre-flight: the diagnostic to run BEFORE a 100 TB join.
+    * Exact output cardinality (Σ count_left(k) × count_right(k)) and
+    * the hottest key — the two numbers that predict skew stalls and
+    * output explosions. Cost: one partial-aggregated count per side +
+    * a join of the distinct-key-sized count tables; rows never move.
+    * Output: one row (matched_keys, est_rows, hottest_key,
+    * hottest_key_rows); ties on the hot key resolve to the largest key.
+    */
+  def joinSizeProfile(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String): DataFrame = {
+    val lc = left.where(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("__cl"))
+    val rc = right.where(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("__k")).agg(count(lit(1)).as("__cr"))
+    lc.join(rc, "__k")
+      .withColumn("__out", col("__cl") * col("__cr"))
+      .agg(count(lit(1)).as("matched_keys"),
+        sum(col("__out")).as("est_rows"),
+        max(struct(col("__out"), col("__k"))).as("__top"))
+      .select(col("matched_keys"), col("est_rows"),
+        col("__top.__k").as("hottest_key"),
+        col("__top.__out").as("hottest_key_rows"))
+  }
 }

@@ -453,6 +453,27 @@ class SketchSpec extends SparkSpec {
     assert(items == Seq("b", "n"))
   }
 
+  test("sketch aggregates plan map-side partials: the shuffle carries buffers") {
+    // the scale contract: partial_<agg> must sit BELOW the exchange so
+    // only serialized sketch buffers (KB) cross the wire, never rows
+    for ((label, aggCol) <- Seq(
+        "hll" -> Sketches.hllDistinct($"v"),
+        "kmv" -> Sketches.kmvSketch($"v"),
+        "topk" -> Sketches.topKBy($"v".cast("double"), $"v".cast("string"), 3),
+        "heavy" -> Sketches.heavyHitters($"v".cast("string")),
+        "kll" -> Sketches.kllQuantiles($"v".cast("double"), Seq(0.5)))) {
+      val plan = (1 to 100).map(i => (i % 3, i)).toDF("g", "v")
+        .repartition(4)
+        .groupBy($"g").agg(aggCol)
+        .queryExecution.executedPlan.toString
+      val partialIdx = plan.indexOf("partial_")
+      val exchangeIdx = plan.indexOf("Exchange hashpartitioning(g")
+      assert(partialIdx > 0, s"$label: no partial aggregation\n$plan")
+      assert(exchangeIdx > 0 && exchangeIdx < partialIdx,
+        s"$label: partial is not below the exchange\n$plan")
+    }
+  }
+
   // ---- SQL registration --------------------------------------------
 
   test("sketch functions callable from SQL after register()") {
