@@ -971,6 +971,23 @@ object QueryBank {
         |  + ((bv >> 3) & 1) * 64 + ((bu >> 3) & 1) * 128 AS zvalue
         |FROM b""".stripMargin),
 
+    // Per-group weighted sampling: A-ES exponential keys from
+    // deterministic md5 uniforms + the bounded-heap top-k — DuckDB
+    // replays the identical key formula through a window
+    ("sample_weighted_group",
+      (s, d) => r("sample-weighted-group :lang :n_chars :doc_id 5")(
+        docs(s, d)),
+      """SELECT lang, CAST(rn - 1 AS INT) AS rank,
+        |       CAST(doc_id AS VARCHAR) AS item
+        |FROM (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |        ORDER BY pow(
+        |          (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |            AS BIGINT) + 1) / 4503599627370496.0,
+        |          1.0 / n_chars) DESC,
+        |        CAST(doc_id AS VARCHAR) ASC) AS rn
+        |      FROM documents WHERE n_chars > 0) q
+        |WHERE rn <= 5""".stripMargin),
+
     // Join pre-flight: exact output cardinality + hottest key of the
     // orders-events join, from count tables only (rows never move)
     ("join_size_profile",

@@ -105,6 +105,16 @@ object SketchOps {
           bits = spec.optStr(1).map(_.toInt).getOrElse(8)))
     }
 
+    // `sample-weighted-group :group :weight :id <k>` — per-group
+    // weighted sample without replacement (Efraimidis-Spirakis keys,
+    // deterministic md5 uniforms, bounded-heap top-k).
+    case "sample-weighted-group" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState =
+        st.mapDf(df => graft.session.Sampler.weightedByGroup(df,
+          spec.col(0), spec.col(1), spec.col(2), spec.num(3).toInt))
+    }
+
     // `drift-psi :col table [bins]` — Population Stability Index of the
     // current frame against a registered baseline table: one
     // (bin, frac_current, frac_baseline, psi_term) row per bin.

@@ -221,6 +221,30 @@ object Sampler {
   def poisson(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
     df.sample(withReplacement = true, fraction, seed)
 
+  /** Per-group weighted sample WITHOUT replacement (Efraimidis &
+    * Spirakis A-ES): each row draws key = u^(1/w) with u a pure md5
+    * function of its id — deterministic across retries, partitionings
+    * and cluster sizes, exactly like [[byHash]] — and each group keeps
+    * its k largest keys through the bounded-heap aggregate (≤ k rows
+    * per group per map partition cross the shuffle; no per-group sort).
+    * Rows with null/non-positive weight are excluded. Returns
+    * (group, rank, item) with item = id as string.
+    */
+  def weightedByGroup(df: DataFrame, groupCol: String, weightCol: String,
+      idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftx.Sketches
+    // 13 hex chars = 52 uniform bits; +1 keeps u in (0, 1]
+    val u = (conv(substring(md5(
+        coalesce(col(idCol).cast(StringType), lit(""))), 1, 13), 16, 10)
+      .cast("long") + 1).cast(DoubleType) / lit(4503599627370496.0)
+    val key = pow(u, lit(1.0) / col(weightCol).cast(DoubleType))
+    df.where(col(weightCol).cast(DoubleType) > 0)
+      .groupBy(col(groupCol))
+      .agg(Sketches.topKBy(key, col(idCol).cast(StringType), k).as("__s"))
+      .select(col(groupCol), posexplode(col("__s")).as(Seq("rank", "e")))
+      .select(col(groupCol), col("rank"), col("e.item").as("item"))
+  }
+
   /** Uniform fixed-size sample via distributed reservoir (takeSample). */
   def reservoir(df: DataFrame, n: Int, seed: Long = 42L): DataFrame = {
     val rows = df.rdd.takeSample(withReplacement = false, n, seed)

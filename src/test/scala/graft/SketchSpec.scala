@@ -453,6 +453,27 @@ class SketchSpec extends SparkSpec {
     assert(items == Seq("b", "n"))
   }
 
+  test("weighted group sampling biases toward heavy rows and stays deterministic") {
+    // weight 100 vs 1: heavy ids should dominate the per-group sample
+    val df = (0 until 2000).map { i =>
+      val heavy = i % 10 < 2 // 100 heavy rows in EACH parity group
+      (i % 2, if (heavy) 100.0 else 1.0, s"id$i")
+    }.toDF("g", "w", "id")
+    val pick = graft.session.Sampler
+      .weightedByGroup(df, "g", "w", "id", 50)
+    val heavyFrac = pick.collect().count { r =>
+      r.getString(2).stripPrefix("id").toInt % 10 < 2
+    } / 100.0
+    // heavy rows are 10% of the population but ~100x weight: expect
+    // the sample to be mostly heavy (analytically >90%; assert loosely)
+    assert(heavyFrac > 0.7, s"heavyFrac=$heavyFrac")
+    // pure function of ids: a repartitioned rerun picks identically
+    val again = graft.session.Sampler
+      .weightedByGroup(df.repartition(13), "g", "w", "id", 50)
+    assert(pick.collect().map(_.toSeq).toSet ==
+      again.collect().map(_.toSeq).toSet)
+  }
+
   test("sketch aggregates plan map-side partials: the shuffle carries buffers") {
     // the scale contract: partial_<agg> must sit BELOW the exchange so
     // only serialized sketch buffers (KB) cross the wire, never rows
