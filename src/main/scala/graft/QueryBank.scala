@@ -971,6 +971,34 @@ object QueryBank {
         |  + ((bv >> 3) & 1) * 64 + ((bu >> 3) & 1) * 128 AS zvalue
         |FROM b""".stripMargin),
 
+    // Declarative data-quality gate: a rule suite evaluated in ONE
+    // aggregate pass; DuckDB recomputes every observed value + verdict
+    ("quality_report",
+      (s, d) => r("quality-report 'rowcount >= 1000; null_frac(:o_orderstatus) <= 0.5; distinct(:o_orderpriority) >= 3; min(:o_totalprice) >= 0; mean(:o_totalprice) <= 500000; in(:o_orderstatus: O,F,P)'")(
+        ord(s, d)),
+      """WITH agg AS (SELECT
+        |  CAST(count(*) AS DOUBLE) AS rc,
+        |  avg(CASE WHEN o_orderstatus IS NULL THEN 1.0 ELSE 0.0 END) AS nf,
+        |  CAST(count(DISTINCT o_orderpriority) AS DOUBLE) AS nd,
+        |  CAST(min(o_totalprice) AS DOUBLE) AS mn,
+        |  avg(o_totalprice) AS me,
+        |  CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+        |        AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+        |    AS DOUBLE) AS outside
+        |  FROM orders)
+        |SELECT 'rowcount >= 1000' AS rule, round(rc, 6) AS observed,
+        |       CAST(1000 AS DOUBLE) AS threshold, rc >= 1000 AS pass FROM agg
+        |UNION ALL SELECT 'null_frac(o_orderstatus) <= 0.5', round(nf, 6),
+        |       CAST(0.5 AS DOUBLE), nf <= 0.5 FROM agg
+        |UNION ALL SELECT 'distinct(o_orderpriority) >= 3', round(nd, 6),
+        |       CAST(3 AS DOUBLE), nd >= 3 FROM agg
+        |UNION ALL SELECT 'min(o_totalprice) >= 0', round(mn, 6),
+        |       CAST(0 AS DOUBLE), mn >= 0 FROM agg
+        |UNION ALL SELECT 'mean(o_totalprice) <= 500000', round(me, 6),
+        |       CAST(500000 AS DOUBLE), me <= 500000 FROM agg
+        |UNION ALL SELECT 'in(o_orderstatus)', round(outside, 6),
+        |       CAST(0 AS DOUBLE), outside <= 0 FROM agg""".stripMargin),
+
     // Per-group weighted sampling: A-ES exponential keys from
     // deterministic md5 uniforms + the bounded-heap top-k — DuckDB
     // replays the identical key formula through a window

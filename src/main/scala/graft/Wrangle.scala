@@ -205,5 +205,6 @@ object Registry {
   private val system: Vector[Builder] = Vector(
     ColumnOps.build, RowOps.build, StringOps.build,
     DateOps.build, ParserOps.build, WriterOps.build, LookupOps.build,
-    LlmOps.build, ExternalOps.build, BinaryFormats.build, SketchOps.build)
+    LlmOps.build, ExternalOps.build, BinaryFormats.build, SketchOps.build,
+    QualityOps.build)
 }

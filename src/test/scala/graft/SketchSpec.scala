@@ -474,6 +474,27 @@ class SketchSpec extends SparkSpec {
       again.collect().map(_.toSeq).toSet)
   }
 
+  test("quality-report: failing rules report pass=false with observed values") {
+    val df = Seq(("a", 1.0), ("b", -5.0), (null, 3.0))
+      .toDF("s", "v")
+    val rep = wrangle(
+      "quality-report 'rowcount >= 10; null_frac(:s) <= 0.1; min(:v) >= 0; in(:s: a,b)'",
+      df).collect().map(r =>
+        r.getString(0) -> (r.getDouble(1), r.getBoolean(3))).toMap
+    assert(rep("rowcount >= 10") == ((3.0, false)))
+    assert(rep("null_frac(s) <= 0.1")._2 == false)
+    assert(rep("min(v) >= 0") == ((-5.0, false)))
+    assert(rep("in(s)") == ((0.0, true))) // nulls don't violate the set
+  }
+
+  test("quality-report: approx mode swaps exact distinct for the HLL sketch") {
+    val df = (1 to 5000).map(i => s"k${i % 321}").toDF("k")
+    val rep = wrangle("quality-report 'distinct(:k) >= 300' approx", df)
+      .head()
+    assert(rep.getBoolean(3))
+    assert(math.abs(rep.getDouble(1) - 321) <= 10)
+  }
+
   test("sketch aggregates plan map-side partials: the shuffle carries buffers") {
     // the scale contract: partial_<agg> must sit BELOW the exchange so
     // only serialized sketch buffers (KB) cross the wire, never rows
