@@ -971,6 +971,25 @@ object QueryBank {
         |  + ((bv >> 3) & 1) * 64 + ((bu >> 3) & 1) * 128 AS zvalue
         |FROM b""".stripMargin),
 
+    // Snapshot diff: the current orders table against a deterministic
+    // 'previous version' (every 7th key missing -> added, every 5th
+    // price bumped -> changed) — one full-outer key join
+    ("snapshot_diff",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val cur = ord(s, d)
+        val prev = cur.where(col("o_orderkey") % 7 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")))
+        graft.ops.JoinOps.snapshotDiff(cur, prev, Seq("o_orderkey"))
+      },
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'added'
+        |       WHEN o_orderkey % 5 = 0 THEN 'changed'
+        |       ELSE 'unchanged' END AS diff_status
+        |FROM orders""".stripMargin),
+
     // Declarative data-quality gate: a rule suite evaluated in ONE
     // aggregate pass; DuckDB recomputes every observed value + verdict
     ("quality_report",

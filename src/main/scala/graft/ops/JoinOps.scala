@@ -205,6 +205,38 @@ object JoinOps {
       .drop(cell)
   }
 
+  /** Snapshot diff — changed-data detection between two versions of a
+    * keyed table: one co-partitioned full-outer join on the key, row
+    * status derived null-safely per compared column. Output: the key
+    * columns + `diff_status` in {added, removed, changed, unchanged}.
+    * At 100 TB both sides hash-exchange once on the key (bucket both
+    * snapshots on it and even that disappears); nothing else moves.
+    *
+    * @param compareCols columns whose change flips a row to `changed`;
+    *                    default = every shared non-key column
+    */
+  def snapshotDiff(current: DataFrame, previous: DataFrame,
+      keys: Seq[String], compareCols: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff: need at least one key column")
+    val comp =
+      if (compareCols.nonEmpty) compareCols
+      else current.columns.filterNot(keys.contains)
+        .filter(previous.columns.contains).toSeq
+    val cur = current.select((keys ++ comp).map(col): _*)
+      .withColumn("__in_cur", lit(1))
+    val prev = previous.select(
+      keys.map(col) ++ comp.map(c => col(c).as(s"__p_$c")): _*)
+      .withColumn("__in_prev", lit(1))
+    val joined = cur.join(prev, keys, "full_outer")
+    val anyChanged = comp.map(c => !(col(c) <=> col(s"__p_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    joined.select(keys.map(col) :+
+      when(col("__in_prev").isNull, "added")
+        .when(col("__in_cur").isNull, "removed")
+        .when(anyChanged, "changed")
+        .otherwise("unchanged").as("diff_status"): _*)
+  }
+
   /** Join pre-flight: the diagnostic to run BEFORE a 100 TB join.
     * Exact output cardinality (Σ count_left(k) × count_right(k)) and
     * the hottest key — the two numbers that predict skew stalls and

@@ -474,6 +474,17 @@ class SketchSpec extends SparkSpec {
       again.collect().map(_.toSeq).toSet)
   }
 
+  test("snapshotDiff covers all four statuses including removed and null-safe compares") {
+    val cur = Seq((1L, "a"), (2L, "b2"), (4L, null))
+      .toDF("k", "v")
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "gone"), (4L, null))
+      .toDF("k", "v")
+    val got = graft.ops.JoinOps.snapshotDiff(cur, prev, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "unchanged"))
+  }
+
   test("quality-report: failing rules report pass=false with observed values") {
     val df = Seq(("a", 1.0), ("b", -5.0), (null, 3.0))
       .toDF("s", "v")
