@@ -971,6 +971,30 @@ object QueryBank {
         |  + ((bv >> 3) & 1) * 64 + ((bu >> 3) & 1) * 128 AS zvalue
         |FROM b""".stripMargin),
 
+    // CDC apply: a deterministic changelog (price upserts at v1 for
+    // every 3rd key, deletes at v2 for every 11th — the overlap proves
+    // latest-wins) merged onto the orders snapshot in one key window
+    ("cdc_apply_changes",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = ord(s, d)
+        val dataCols = base.columns.filterNot(_ == "o_orderkey").toSeq
+        val up = base.where(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+          .select(col("o_orderkey") +: dataCols.map(col) :+
+            lit("upsert").as("op") :+ lit(1L).as("v"): _*)
+        val del = base.where(col("o_orderkey") % 11 === 0)
+          .select(col("o_orderkey") +: dataCols.map(col) :+
+            lit("delete").as("op") :+ lit(2L).as("v"): _*)
+        graft.ops.JoinOps.applyChanges(base, up.unionByName(del),
+          Seq("o_orderkey"), "op", "v")
+      },
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 11 <> 0""".stripMargin),
+
     // Snapshot diff: the current orders table against a deterministic
     // 'previous version' (every 7th key missing -> added, every 5th
     // price bumped -> changed) — one full-outer key join

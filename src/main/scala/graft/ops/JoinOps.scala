@@ -237,6 +237,39 @@ object JoinOps {
         .otherwise("unchanged").as("diff_status"): _*)
   }
 
+  /** CDC apply: merge a changelog onto a base snapshot, latest-wins.
+    * The changelog carries an operation column (`upsert` / `delete`)
+    * and a version column; for every key the highest-version change
+    * wins (ties break toward the higher operation string, then the
+    * change beats the base row). Output = the next snapshot.
+    *
+    * Scale shape: union + ONE window partitioned by key (single hash
+    * exchange of base+changes co-partitioned) — the same cost as any
+    * per-key merge, with no driver state. Bucket the base snapshot on
+    * the key and only the (much smaller) changelog moves.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame,
+      keys: Seq[String], opCol: String, versionCol: String): DataFrame = {
+    require(keys.nonEmpty, "applyChanges: need at least one key column")
+    val dataCols = base.columns.filterNot(keys.contains).toSeq
+    require(dataCols.forall(changes.columns.contains),
+      "applyChanges: changelog is missing base data columns")
+    val tagged = base.select(
+      (keys ++ dataCols).map(col) :+
+        lit("upsert").as("__op") :+
+        lit(Long.MinValue).as("__v"): _*)
+    val ch = changes.select(
+      (keys ++ dataCols).map(col) :+
+        col(opCol).as("__op") :+
+        col(versionCol).cast("long").as("__v"): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__v").desc, col("__op").desc)
+    tagged.unionByName(ch)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && col("__op") =!= "delete")
+      .select((keys ++ dataCols).map(col): _*)
+  }
+
   /** Join pre-flight: the diagnostic to run BEFORE a 100 TB join.
     * Exact output cardinality (Σ count_left(k) × count_right(k)) and
     * the hottest key — the two numbers that predict skew stalls and

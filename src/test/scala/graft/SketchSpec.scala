@@ -485,6 +485,22 @@ class SketchSpec extends SparkSpec {
       3L -> "removed", 4L -> "unchanged"))
   }
 
+  test("applyChanges: latest-wins upserts, deletes, inserts of new keys") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (2L, "b2", "upsert", 1L),  // update
+      (2L, "b3", "upsert", 3L),  // later update wins
+      (3L, "x", "delete", 1L),   // delete
+      (4L, "d", "upsert", 1L),   // brand-new key
+      (4L, "dead", "delete", 2L), // ...then deleted
+      (5L, "e", "upsert", 9L))   // new key survives
+      .toDF("k", "v", "op", "ver")
+    val next = graft.ops.JoinOps.applyChanges(
+      base, changes, Seq("k"), "op", "ver")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(next == Map(1L -> "a", 2L -> "b3", 5L -> "e"))
+  }
+
   test("quality-report: failing rules report pass=false with observed values") {
     val df = Seq(("a", 1.0), ("b", -5.0), (null, 3.0))
       .toDF("s", "v")
