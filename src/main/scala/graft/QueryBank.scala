@@ -971,6 +971,24 @@ object QueryBank {
         |  + ((bv >> 3) & 1) * 64 + ((bu >> 3) & 1) * 128 AS zvalue
         |FROM b""".stripMargin),
 
+    // SCD2 history: per-user event_type states versioned by event_id
+    // become validity intervals; consecutive duplicate states collapse
+    ("scd2_history",
+      (s, d) => graft.ops.JoinOps.scd2(
+        s.read.parquet(s"$d/events.parquet")
+          .select("user_id", "event_type", "event_id"),
+        Seq("user_id"), "event_id"),
+      """WITH c AS (
+        |  SELECT user_id, event_type, event_id,
+        |    lag(event_type) OVER w AS pe, lag(event_id) OVER w AS pv
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |k AS (SELECT user_id, event_type, event_id FROM c
+        |      WHERE NOT (pv IS NOT NULL AND pe IS NOT DISTINCT FROM event_type))
+        |SELECT user_id, event_type, event_id AS valid_from,
+        |  lead(event_id) OVER w2 AS valid_to,
+        |  lead(event_id) OVER w2 IS NULL AS is_current
+        |FROM k WINDOW w2 AS (PARTITION BY user_id ORDER BY event_id)""".stripMargin),
+
     // CDC apply: a deterministic changelog (price upserts at v1 for
     // every 3rd key, deletes at v2 for every 11th — the overlap proves
     // latest-wins) merged onto the orders snapshot in one key window

@@ -270,6 +270,38 @@ object JoinOps {
       .select((keys ++ dataCols).map(col): _*)
   }
 
+  /** SCD Type-2 history builder: turn a keyed changelog (one row per
+    * key per version) into validity intervals — each row gains
+    * `valid_from` (its version), `valid_to` (the next version for the
+    * key, null while current) and `is_current`. ONE window partitioned
+    * by key (single hash exchange + per-key sort); consecutive
+    * duplicate states are collapsed first so a no-op change does not
+    * open a new interval.
+    */
+  def scd2(changes: DataFrame, keys: Seq[String], versionCol: String,
+      compareCols: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "scd2: need at least one key column")
+    val comp =
+      if (compareCols.nonEmpty) compareCols
+      else changes.columns.filterNot(keys.contains)
+        .filterNot(_ == versionCol).toSeq
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(versionCol))
+    // collapse consecutive identical states (null-safe)
+    val sameAsPrev = comp.map(c => col(c) <=> lag(col(c), 1).over(w))
+      .reduceOption(_ && _).getOrElse(lit(false))
+    val collapsed = changes
+      .withColumn("__dup", when(lag(col(versionCol), 1).over(w).isNotNull
+        && sameAsPrev, true).otherwise(false))
+      .where(!col("__dup")).drop("__dup")
+    // second window over the collapsed set for the interval bounds
+    val w2 = Window.partitionBy(keys.map(col): _*).orderBy(col(versionCol))
+    collapsed
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(versionCol)
+  }
+
   /** Join pre-flight: the diagnostic to run BEFORE a 100 TB join.
     * Exact output cardinality (Σ count_left(k) × count_right(k)) and
     * the hottest key — the two numbers that predict skew stalls and

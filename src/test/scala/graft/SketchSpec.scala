@@ -485,6 +485,23 @@ class SketchSpec extends SparkSpec {
       3L -> "removed", 4L -> "unchanged"))
   }
 
+  test("scd2: intervals chain, duplicates collapse, last state is current") {
+    val changes = Seq(
+      (1L, "bronze", 10L), (1L, "bronze", 20L), // duplicate state: collapse
+      (1L, "silver", 30L), (1L, "gold", 40L),
+      (2L, "gold", 5L))
+      .toDF("k", "tier", "v")
+    val got = graft.ops.JoinOps.scd2(changes, Seq("k"), "v")
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, "bronze", 10L, Some(30L), false),
+      (1L, "silver", 30L, Some(40L), false),
+      (1L, "gold", 40L, None, true),
+      (2L, "gold", 5L, None, true)))
+  }
+
   test("applyChanges: latest-wins upserts, deletes, inserts of new keys") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val changes = Seq(
