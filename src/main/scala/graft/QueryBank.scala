@@ -1087,9 +1087,10 @@ object QueryBank {
         |            WHERE o_custkey IS NOT NULL GROUP BY 1),
         |rc AS (SELECT user_id AS k, count(*) AS cr FROM events
         |       WHERE user_id IS NOT NULL GROUP BY 1),
-        |m AS (SELECT lc.k, cl * cr AS o FROM lc JOIN rc USING (k))
+        |m AS (SELECT lc.k, CAST(cl * cr AS DECIMAL(38,0)) AS o
+        |      FROM lc JOIN rc USING (k))
         |SELECT count(*) AS matched_keys,
-        |       CAST(sum(o) AS BIGINT) AS est_rows,
+        |       CAST(sum(o) AS DECIMAL(38,0)) AS est_rows,
         |       (SELECT k FROM m ORDER BY o DESC, k DESC LIMIT 1)
         |         AS hottest_key,
         |       (SELECT o FROM m ORDER BY o DESC, k DESC LIMIT 1)

@@ -73,7 +73,14 @@ object IncrementalDedup {
       state: DataFrame, corpusText: DataFrame,
       numHashes: Int = 128, bands: Int = 16, shingleK: Int = 5,
       threshold: Double = 0.7, maxBucketSize: Int = 10000): DataFrame = {
-    val raw = batch.select(col(idCol).as("__id"),
+    // collapse in-batch EXACT duplicates first, like Dedup.minhashDedup:
+    // identical docs concentrate identical signatures into hot buckets,
+    // which the skew guard would then DROP — letting every copy through
+    // "near-dedup". Only distinct contents feed the signature kernel;
+    // exact-dup losers fall out via the final keeper semi-join.
+    val distinctDocs = Dedup.exact(
+      batch.select(col(idCol), col(textCol)), textCol, idCol)
+    val raw = distinctDocs.select(col(idCol).as("__id"),
         graft.functions.Udfs.minhashBandBucketsUdf(col(textCol),
           lit(numHashes), lit(bands), lit(shingleK), lit(42L)).as("__bk"))
       .persist()
@@ -82,6 +89,8 @@ object IncrementalDedup {
       .select(col("__id"), posexplode(col("__bk")).as(Seq("__band", "__bucket")))
     val sized = Dedup.dropHotBuckets(buckets, Seq("__band", "__bucket"),
       maxBucketSize)
+    // pair text fetched from the ORIGINAL batch (pruned scan, winner
+    // ids keep their text verbatim), mirroring minhashPairsAndIds
     val texts = batch.select(col(idCol), col(textCol))
 
     // in-batch: same banded self-join + Jaccard verify as minhashPairs
@@ -113,7 +122,11 @@ object IncrementalDedup {
         col("__tn"), col("__to"), lit(shingleK)) >= threshold)
       .select(col("__id_new").as(idCol)).distinct()
 
-    batch.join(inLosers.union(crossMatched).distinct(), Seq(idCol), "left_anti")
+    // keepers = exact-dedup winners minus near-dup losers minus corpus
+    // matches; exact-dup losers are excluded by not being in `raw`
+    val keepers = raw.select(col("__id").as(idCol))
+      .join(inLosers.union(crossMatched).distinct(), Seq(idCol), "left_anti")
+    batch.join(keepers, Seq(idCol), "left_semi")
   }
 
   def minhashAgainst(newBatch: DataFrame, textCol: String, idCol: String,

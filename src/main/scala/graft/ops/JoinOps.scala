@@ -316,12 +316,16 @@ object JoinOps {
       .groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("__cl"))
     val rc = right.where(col(rightKey).isNotNull)
       .groupBy(col(rightKey).as("__k")).agg(count(lit(1)).as("__cr"))
+    // decimal(38,0) arithmetic: two hot multi-billion-row sides would
+    // wrap long products negative (non-ANSI) in EXACTLY the explosion
+    // regime this diagnostic exists to flag
     lc.join(rc, "__k")
-      .withColumn("__out", col("__cl") * col("__cr"))
+      .withColumn("__out",
+        col("__cl").cast("decimal(38,0)") * col("__cr").cast("decimal(38,0)"))
       .agg(count(lit(1)).as("matched_keys"),
         sum(col("__out")).as("est_rows"),
         max(struct(col("__out"), col("__k"))).as("__top"))
-      .select(col("matched_keys"), col("est_rows"),
+      .select(col("matched_keys"), col("est_rows").cast("decimal(38,0)"),
         col("__top.__k").as("hottest_key"),
         col("__top.__out").as("hottest_key_rows"))
   }

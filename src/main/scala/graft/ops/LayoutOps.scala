@@ -33,9 +33,10 @@ object LayoutOps {
         max(col(c).cast(DoubleType)).as(s"__hi_$c")))
     val stats = df.agg(statsCols.head, statsCols.tail: _*).head()
     val bounds = columns.zipWithIndex.map { case (c, i) =>
-      val lo = stats.getDouble(2 * i)
-      val hi = stats.getDouble(2 * i + 1)
-      (c, lo, hi)
+      if (stats.isNullAt(2 * i))
+        throw new IllegalArgumentException(
+          s"zorder: column '$c' has no non-null values (empty input?)")
+      (c, stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
     }
     val nBuckets = 1L << bits
     val bucketCols: Seq[Column] = bounds.map { case (c, lo, hi) =>

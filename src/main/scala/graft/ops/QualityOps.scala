@@ -34,8 +34,10 @@ object QualityOps {
 
   /** Evaluate the rules in one aggregation; returns
     * (rule, observed, threshold, pass) with observed rounded to 6 dp.
+    * (The exact-vs-approx distinct choice is made when the rules are
+    * built — see [[parse]]'s `approx` flag.)
     */
-  def report(df: DataFrame, rules: Seq[Rule], approx: Boolean = false): DataFrame = {
+  def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "quality-report: no rules")
     val aggs = rules.zipWithIndex.map {
       case (AggRule(_, agg, _, _), i) => agg.cast("double").as(s"__q_$i")
@@ -95,7 +97,7 @@ object QualityOps {
       def name = spec.name
       def apply(st: PipeState, ctx: WrangleContext): PipeState = {
         val approx = spec.optStr(1).exists(_.equalsIgnoreCase("approx"))
-        st.mapDf(df => report(df, parse(spec.str(0), approx), approx))
+        st.mapDf(df => report(df, parse(spec.str(0), approx)))
       }
     }
     case _ => null

@@ -30,8 +30,13 @@ object SessionOps {
     require(gapSeconds > 0, s"sessionize: gapSeconds=$gapSeconds must be positive")
     val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
     val prevTs = lag(col(tsCol), 1).over(byUser)
+    // epoch seconds via cast("timestamp").cast("double"): correct for
+    // TimestampType AND numeric epoch-seconds columns (a bare
+    // unix_timestamp(bigint) goes long->string->parse, yields null, and
+    // silently collapses every user into one session)
+    def secs(c: Column) = c.cast("timestamp").cast("double")
     val isNew = when(prevTs.isNull, 1)
-      .when(unix_timestamp(col(tsCol)) - unix_timestamp(prevTs) > gapSeconds, 1)
+      .when(secs(col(tsCol)) - secs(prevTs) > gapSeconds, 1)
       .otherwise(0)
     events
       .withColumn("__new_session", isNew)

@@ -111,7 +111,7 @@ object SketchOps {
     case "sample-weighted-group" => new PipeOp {
       def name = spec.name
       def apply(st: PipeState, ctx: WrangleContext): PipeState =
-        st.mapDf(df => graft.session.Sampler.weightedByGroup(df,
+        st.mapDf(df => graft.session.Sampler.weightedTopKByGroup(df,
           spec.col(0), spec.col(1), spec.col(2), spec.num(3).toInt))
     }
 

@@ -189,8 +189,15 @@ object Profiler {
     val base = binCounts(baseline)
     // bounded collects: one long each (the documented literal-fold
     // pattern; a dummy-key join would constant-fold to a nested loop)
-    val tCur = cur.agg(sum(col("c"))).head().getLong(0).toDouble
-    val tBase = base.agg(sum(col("c"))).head().getLong(0).toDouble
+    def total(df: DataFrame, side: String): Double = {
+      val r = df.agg(sum(col("c"))).head()
+      if (r.isNullAt(0) || r.getLong(0) == 0L)
+        throw new IllegalArgumentException(
+          s"psiDrift: $side side has no non-null '$column' values")
+      r.getLong(0).toDouble
+    }
+    val tCur = total(cur, "current")
+    val tBase = total(base, "baseline")
 
     spark(current).range(bins).select(col("id").cast("int").as("bin"))
       .join(broadcast(cur.withColumnRenamed("c", "cc")), Seq("bin"), "left")
@@ -230,7 +237,7 @@ object Sampler {
     * Rows with null/non-positive weight are excluded. Returns
     * (group, rank, item) with item = id as string.
     */
-  def weightedByGroup(df: DataFrame, groupCol: String, weightCol: String,
+  def weightedTopKByGroup(df: DataFrame, groupCol: String, weightCol: String,
       idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.graftx.Sketches
     // 13 hex chars = 52 uniform bits; +1 keeps u in (0, 1]

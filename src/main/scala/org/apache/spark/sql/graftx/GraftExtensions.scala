@@ -48,11 +48,22 @@ object GraftExtensions {
     "hll_estimate" -> (args => HllEstimateExpr(args.head)),
     "kll_quantiles" -> (args => args match {
       case Seq(c, probs) if probs.foldable =>
+        // SQL parses 0.25 as DECIMAL, so convert elementwise instead of
+        // toDoubleArray (which casts and throws on Decimal elements)
         val arr = probs.eval(null)
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        KllQuantileAgg(c, arr.toDoubleArray().toSeq)
+        val qs = arr.toObjectArray(
+          probs.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+            .elementType)
+          .map {
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case n: Number => n.doubleValue()
+            case other => throw new IllegalArgumentException(
+              s"kll_quantiles: non-numeric probability $other")
+          }.toSeq
+        KllQuantileAgg(c, qs)
       case _ => throw new IllegalArgumentException(
-        "kll_quantiles(col, array(<double literals>))")
+        "kll_quantiles(col, array(<numeric literals>))")
     }),
     "heavy_hitters" -> (args => args match {
       case Seq(c) => HeavyHittersAgg(c)

@@ -238,12 +238,14 @@ final class KllBuf(val k: Int) {
     while (totalSize > totalCapacity) compress()
   }
 
-  /** Compact the lowest over-full (or failing that, largest) level. */
+  /** Compact the lowest over-full level. Callers only invoke this while
+    * totalSize > totalCapacity, which guarantees some level exceeds its
+    * own capacity (>= 8 >= 2 items), so `find` always succeeds and each
+    * call strictly shrinks totalSize — the mergeIn loop terminates.
+    */
   private def compress(): Unit = {
-    var h = levels.indices.find(i => levels(i).length > capacity(i)).getOrElse(-1)
-    if (h < 0) h = levels.indices.maxBy(levels(_).length)
+    val h = levels.indices.find(i => levels(i).length > capacity(i)).get
     val buf = levels(h)
-    if (buf.length < 2) return
     val sorted = buf.sorted
     if (h + 1 >= levels.length) levels += mutable.ArrayBuffer.empty[Double]
     val keepOdd = sorted.length % 2 == 1
@@ -653,13 +655,13 @@ object Kmv {
     }
   }
 
-  /** Jaccard estimate of the two underlying sets. */
-  def jaccard(a: Array[Byte], b: Array[Byte]): Double = {
+  /** (jaccard, union-distinct estimate) from one union build. */
+  private def overlap(a: Array[Byte], b: Array[Byte]): (Double, Long) = {
     val ba = deserialize(a); val bb = deserialize(b)
-    require(ba.k == bb.k, s"kmv_jaccard: mismatched k (${ba.k} vs ${bb.k})")
+    require(ba.k == bb.k, s"kmv: mismatched k (${ba.k} vs ${bb.k})")
     val union = new Buf(ba.k)
     union.mergeIn(ba); union.mergeIn(bb)
-    if (union.set.isEmpty) return 0.0
+    if (union.set.isEmpty) return (0.0, 0L)
     var both = 0
     var n = 0
     val it = union.set.iterator()
@@ -668,15 +670,16 @@ object Kmv {
       if (ba.set.contains(h) && bb.set.contains(h)) both += 1
       n += 1
     }
-    both.toDouble / n
+    (both.toDouble / n, estimate(serialize(union)))
   }
+
+  /** Jaccard estimate of the two underlying sets. */
+  def jaccard(a: Array[Byte], b: Array[Byte]): Double = overlap(a, b)._1
 
   /** Intersection-size estimate: jaccard x union-distinct estimate. */
   def intersectEstimate(a: Array[Byte], b: Array[Byte]): Long = {
-    val ba = deserialize(a); val bb = deserialize(b)
-    val union = new Buf(ba.k)
-    union.mergeIn(ba); union.mergeIn(bb)
-    math.round(jaccard(a, b) * estimate(serialize(union)))
+    val (j, u) = overlap(a, b)
+    math.round(j * u)
   }
 }
 

@@ -460,7 +460,7 @@ class SketchSpec extends SparkSpec {
       (i % 2, if (heavy) 100.0 else 1.0, s"id$i")
     }.toDF("g", "w", "id")
     val pick = graft.session.Sampler
-      .weightedByGroup(df, "g", "w", "id", 50)
+      .weightedTopKByGroup(df, "g", "w", "id", 50)
     val heavyFrac = pick.collect().count { r =>
       r.getString(2).stripPrefix("id").toInt % 10 < 2
     } / 100.0
@@ -469,7 +469,7 @@ class SketchSpec extends SparkSpec {
     assert(heavyFrac > 0.7, s"heavyFrac=$heavyFrac")
     // pure function of ids: a repartitioned rerun picks identically
     val again = graft.session.Sampler
-      .weightedByGroup(df.repartition(13), "g", "w", "id", 50)
+      .weightedTopKByGroup(df.repartition(13), "g", "w", "id", 50)
     assert(pick.collect().map(_.toSeq).toSet ==
       again.collect().map(_.toSeq).toSet)
   }
@@ -571,5 +571,23 @@ class SketchSpec extends SparkSpec {
     val hh = spark.sql("SELECT heavy_hitters(CAST(v AS STRING), 200) FROM sk_sql")
       .head().getSeq[Row](0)
     assert(hh.length == 123)
+    // plain decimal literals must work (SQL parses 0.25 as DECIMAL;
+    // the builder converts elementwise instead of toDoubleArray)
+    val qs = spark.sql(
+      "SELECT kll_quantiles(CAST(v AS DOUBLE), array(0.25, 0.75)) FROM sk_sql")
+      .head().getSeq[Double](0)
+    assert(qs.length == 2 && qs(0) < qs(1))
+    val kmv = spark.sql("SELECT kmv_estimate(kmv_sketch(v)) FROM sk_sql")
+      .head().getLong(0)
+    assert(kmv == 123L)
+  }
+
+  test("sessionize gap fires on numeric epoch-second columns too") {
+    // regression: unix_timestamp(bigint) parses via string format,
+    // yields null, and silently collapsed everything into one session
+    val d = Seq((1L, 1000L), (1L, 1100L), (1L, 9000L))
+      .toDF("user_id", "ts")
+    val sessions = graft.ops.SessionOps.sessionize(d, "user_id", "ts", 1800)
+    assert(sessions.count() == 2)
   }
 }
