@@ -141,6 +141,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff over co-bucketed snapshots plans ZERO shuffle exchanges") {
+    // the CDC-at-100TB contract: bucket both snapshot versions on the
+    // key at write time and the full-outer diff join needs no exchange
+    val cur = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val prev = cur.where(col("o_orderkey") % 2 === 0)
+    graft.sources.Sources.writeBucketed(cur, "b_snap_cur", "o_orderkey", 8,
+      sortCol = "o_orderkey")
+    graft.sources.Sources.writeBucketed(prev, "b_snap_prev", "o_orderkey", 8,
+      sortCol = "o_orderkey")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val diff = graft.ops.JoinOps.snapshotDiff(
+        spark.table("b_snap_cur"), spark.table("b_snap_prev"),
+        Seq("o_orderkey"))
+      val plan = diff.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed snapshot diff still shuffles:\n$plan")
+      val byStatus = diff.groupBy("diff_status").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byStatus("added") > 0 && byStatus("unchanged") > 0)
+      assert(!byStatus.contains("changed"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS b_snap_cur")
+      spark.sql("DROP TABLE IF EXISTS b_snap_prev")
+    }
+  }
+
   test("SQL surface: registered functions callable from spark.sql") {
     org.apache.spark.sql.graftx.GraftExtensions.register(spark)
     val r = spark.sql(
