@@ -971,6 +971,24 @@ object QueryBank {
         |  + ((bv >> 3) & 1) * 64 + ((bu >> 3) & 1) * 128 AS zvalue
         |FROM b""".stripMargin),
 
+    // Equi-depth bucketing: every bucket's population share must sit
+    // within KLL rank tolerance of 1/n — the boolean contract DuckDB
+    // asserts (boundaries themselves are sketch estimates)
+    ("bucket_quantiles",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val n = 8
+        val l = li(s, d)
+        val total = l.count().toDouble // bounded 1-value action
+        graft.ops.LayoutOps
+          .equiDepthBuckets(l, "l_extendedprice", n)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("c"))
+          .select(col("bucket"),
+            (abs(col("c") / lit(total) - 1.0 / n) <= 0.03).as("within_tol"))
+      },
+      "SELECT CAST(unnest(range(8)) AS INT) AS bucket, TRUE AS within_tol"),
+
     // SCD2 history: per-user event_type states versioned by event_id
     // become validity intervals; consecutive duplicate states collapse
     ("scd2_history",

@@ -56,6 +56,31 @@ object LayoutOps {
     df.withColumn("__zvalue", z)
   }
 
+  /** Equi-depth bucketing: assign each row a bucket 0..n-1 so buckets
+    * hold ~equal row counts, with boundaries from ONE KLL sketch pass
+    * (never a sort — the 100 TB stratification primitive behind
+    * balanced splits and skew-aware partitioning). Boundaries are a
+    * bounded (n-1)-value collect folded back as literals; the bucket
+    * assignment is a codegen'd comparison chain, map-only.
+    */
+  def equiDepthBuckets(df: DataFrame, column: String, n: Int,
+      bucketCol: String = "bucket"): DataFrame = {
+    require(n >= 2 && n <= 1000, s"equiDepthBuckets: n=$n outside [2, 1000]")
+    val probs = (1 until n).map(_.toDouble / n)
+    val qs = df.agg(org.apache.spark.sql.graftx.Sketches
+        .kllQuantiles(col(column).cast(DoubleType), probs).as("qs"))
+      .head() match {
+      case r if r.isNullAt(0) =>
+        throw new IllegalArgumentException(
+          s"equiDepthBuckets: column '$column' has no non-null values")
+      case r => r.getSeq[Double](0)
+    }
+    val v = col(column).cast(DoubleType)
+    val bucket = qs.map(b => when(v > lit(b), 1).otherwise(0))
+      .reduce(_ + _)
+    df.withColumn(bucketCol, when(v.isNull, lit(null)).otherwise(bucket))
+  }
+
   /** Physically cluster the frame in z-order: range-repartition on the
     * interleaved value (each output partition covers one contiguous
     * z-range, so every clustered column is locally banded in every

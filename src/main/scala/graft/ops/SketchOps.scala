@@ -94,6 +94,17 @@ object SketchOps {
         }
     }
 
+    // `bucket-quantiles :col <n> [newcol]` — equi-depth bucket ids from
+    // one KLL pass (no sort); nulls get a null bucket.
+    case "bucket-quantiles" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState =
+        st.mapDf(df => LayoutOps.equiDepthBuckets(df, spec.col(0),
+          spec.num(1).toInt,
+          bucketCol = spec.optStr(2).map(_.stripPrefix(":"))
+            .getOrElse("bucket")))
+    }
+
     // `cluster-zorder :c1[,:c2...] [bits]` — physically re-cluster the
     // frame in Morton order over the named columns (write-layout
     // optimization: content identical, order/partitioning changed so

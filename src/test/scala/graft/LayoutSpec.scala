@@ -29,6 +29,24 @@ class LayoutSpec extends SparkSpec {
     assert(z == Set(0L, 5L))
   }
 
+  test("equiDepthBuckets: near-equal populations, order-preserving, null-safe") {
+    val d = ((0 until 10000).map(i => ((i * i) % 9973).toDouble) :+
+      Double.NaN).map(Option(_)).toDF("v")
+      .selectExpr("CASE WHEN isnan(v) THEN NULL ELSE v END AS v")
+    val b = graft.ops.LayoutOps.equiDepthBuckets(d, "v", 10)
+    val counts = b.where(col("v").isNotNull).groupBy("bucket").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (0 until 10).toSet)
+    counts.values.foreach(c =>
+      assert(math.abs(c / 10000.0 - 0.1) < 0.03, counts.toString))
+    // monotone: a larger value never lands in a smaller bucket
+    val pairs = b.where(col("v").isNotNull)
+      .orderBy("v").select("bucket").as[Int].collect()
+    assert(pairs.sameElements(pairs.sorted))
+    // null value -> null bucket
+    assert(b.where(col("v").isNull).select("bucket").head().isNullAt(0))
+  }
+
   test("zorderBy clusters: disjoint partition z-ranges, corner stays local") {
     val rnd = new scala.util.Random(17)
     val d = (1 to 20000).map(_ => (rnd.nextDouble(), rnd.nextDouble()))
