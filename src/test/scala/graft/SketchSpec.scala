@@ -582,6 +582,25 @@ class SketchSpec extends SparkSpec {
     assert(kmv == 123L)
   }
 
+  test("new directives fail fast with clear errors on bad input") {
+    val d = Seq((1, 2.0)).toDF("a", "b")
+    val e1 = intercept[graft.api.RecipeException](
+      wrangle("quality-report 'frobnicate(a) >= 1'", d).collect())
+    assert(e1.getMessage.contains("cannot parse rule"))
+    val e2 = intercept[graft.api.RecipeException](
+      wrangle("drift-psi :b missing_table", d).collect())
+    assert(e2.getMessage.contains("unknown table"))
+    val e3 = intercept[IllegalArgumentException](
+      graft.ops.LayoutOps.equiDepthBuckets(d, "b", 1))
+    assert(e3.getMessage.contains("outside"))
+    val base = Seq(1.0, 2.0, 3.0).toDF("b") // non-degenerate baseline
+    val e4 = intercept[IllegalArgumentException](
+      graft.session.Profiler.psiDrift(
+        base.where(org.apache.spark.sql.functions.lit(false)), base, "b")
+        .collect())
+    assert(e4.getMessage.contains("current side"))
+  }
+
   test("sessionize gap fires on numeric epoch-second columns too") {
     // regression: unix_timestamp(bigint) parses via string format,
     // yields null, and silently collapsed everything into one session

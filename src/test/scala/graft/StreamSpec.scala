@@ -166,4 +166,32 @@ class StreamSpec extends SparkSpec {
     assert(errs.sum == big)
   }
 
+  test("quality gate monitors a stream per micro-batch via foreachBatch") {
+    // the streaming deployment shape for quality-report: evaluate the
+    // rule suite on every micro-batch and collect verdicts — a failing
+    // batch is visible the moment it lands
+    val src = s"$eventsDir/events.parquet"
+    val schema = spark.read.parquet(src).schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_q_")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(src).toAbsolutePath)
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val verdicts = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    val rules = graft.ops.QualityOps.parse(
+      "rowcount >= 1; null_frac(event_type) <= 0.0; min(value) >= -1e9")
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.QualityOps.report(df, rules).collect().foreach(r =>
+          verdicts += (r.getString(0) -> r.getBoolean(3)))
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(verdicts.nonEmpty && verdicts.forall(_._2),
+      verdicts.filterNot(_._2).toString)
+    assert(verdicts.map(_._1).distinct.size == 3)
+  }
+
 }
