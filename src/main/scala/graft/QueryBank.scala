@@ -971,6 +971,21 @@ object QueryBank {
         |  + ((bv >> 3) & 1) * 64 + ((bu >> 3) & 1) * 128 AS zvalue
         |FROM b""".stripMargin),
 
+    // Percent-rank without a global sort: customer is below the
+    // sketch's no-compaction capacity, so the KLL CDF is EXACT and
+    // DuckDB's cume_dist window must match to the rounded digit
+    ("approx_percent_rank",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.ops.LayoutOps.approxPercentRank(
+            cust(s, d).select("c_custkey", "c_acctbal"),
+            "c_acctbal", k = 4096)
+          .select(col("c_custkey"), round(col("percent_rank"), 6).as("prank"))
+      },
+      """SELECT c_custkey,
+        |  round(cume_dist() OVER (ORDER BY c_acctbal), 6) AS prank
+        |FROM customer""".stripMargin),
+
     // Equi-depth bucketing: every bucket's population share must sit
     // within KLL rank tolerance of 1/n — the boolean contract DuckDB
     // asserts (boundaries themselves are sketch estimates)

@@ -81,6 +81,43 @@ object LayoutOps {
     df.withColumn(bucketCol, when(v.isNull, lit(null)).otherwise(bucket))
   }
 
+  /** Approximate percent-rank (CDF value) per row WITHOUT a global
+    * sort/window: one KLL sketch pass, then the sketch's weighted
+    * sample (≤ ~3k doubles at k=200) broadcasts inside a closure and
+    * every row binary-searches its rank — map-only, any scale. Exact
+    * when the sketch never compacted (n below capacity); ~1.7 % rank
+    * error otherwise. Nulls rank as null.
+    */
+  def approxPercentRank(df: DataFrame, column: String,
+      outCol: String = "percent_rank", k: Int = 200): DataFrame = {
+    val sketchBytes = df.agg(org.apache.spark.sql.graftx.Sketches
+        .kllSketchBinary(col(column).cast(DoubleType), k).as("s"))
+      .head().getAs[Array[Byte]](0)
+    val buf = org.apache.spark.sql.graftx.KllBuf.deserialize(sketchBytes)
+    require(buf.n > 0,
+      s"approxPercentRank: column '$column' has no non-null values")
+    // flatten to parallel sorted arrays for a serializable, search-fast
+    // closure: values ascending + cumulative weight fraction
+    val weighted = buf.levels.zipWithIndex.flatMap { case (l, h) =>
+      l.map(v => (v, (1L << h).toDouble))
+    }.sortBy(_._1)
+    val values = weighted.map(_._1).toArray
+    val total = weighted.map(_._2).sum
+    val cdf = weighted.scanLeft(0.0)(_ + _._2).tail.map(_ / total).toArray
+    val rank = org.apache.spark.sql.functions.udf((v: java.lang.Double) =>
+      if (v == null) null
+      else {
+        // rightmost index with values(i) <= v
+        var lo = 0; var hi = values.length - 1; var ans = -1
+        while (lo <= hi) {
+          val m = (lo + hi) >>> 1
+          if (values(m) <= v) { ans = m; lo = m + 1 } else hi = m - 1
+        }
+        java.lang.Double.valueOf(if (ans < 0) 0.0 else cdf(ans))
+      })
+    df.withColumn(outCol, rank(col(column).cast(DoubleType)))
+  }
+
   /** Physically cluster the frame in z-order: range-repartition on the
     * interleaved value (each output partition covers one contiguous
     * z-range, so every clustered column is locally banded in every

@@ -261,6 +261,24 @@ final class KllBuf(val k: Int) {
     levels(h) = retained
   }
 
+  /** CDF estimate: fraction of the sketched population <= v. Exact
+    * whenever no compaction has happened (n below capacity). */
+  def cdf(v: Double): Double = {
+    require(n > 0, "kll: empty sketch")
+    var cum = 0.0
+    var total = 0.0
+    var h = 0
+    while (h < levels.length) {
+      val w = (1L << h).toDouble
+      levels(h).foreach { x =>
+        if (x <= v) cum += w
+        total += w
+      }
+      h += 1
+    }
+    cum / total
+  }
+
   /** Lower-quantile estimate at probability `prob`. */
   def quantile(prob: Double): Double = {
     require(n > 0, "kll: empty sketch")

@@ -130,7 +130,11 @@ class CoverageSpec extends SparkSpec {
     "pack-sequences",
     "sample-by-hash", "sample-weighted", "hash-split", "repartition-output",
     "sample-temperature",
-    "asof-join", "range-join")
+    "asof-join", "range-join",
+    // session-3 surface: sketches, sessionization, layout, quality
+    "sessionize", "profile-distinct", "profile-quantiles", "heavy-hitters",
+    "topk-by", "drift-psi", "cluster-zorder", "bucket-quantiles",
+    "sample-weighted-group", "quality-report")
 
   test("all curation/sampling directives resolve in the registry") {
     val missing = unresolved(curationDirectives)

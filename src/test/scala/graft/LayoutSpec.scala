@@ -47,6 +47,21 @@ class LayoutSpec extends SparkSpec {
     assert(b.where(col("v").isNull).select("bucket").head().isNullAt(0))
   }
 
+  test("approxPercentRank: bounded rank error in the compacted regime") {
+    val n = 80000
+    val d = new scala.util.Random(29).shuffle((0 until n).toVector)
+      .map(_.toDouble).toDF("v")
+    val ranked = graft.ops.LayoutOps.approxPercentRank(d, "v", k = 200)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1))
+    ranked.foreach { case (v, est) =>
+      val exact = (v + 1) / n // distinct uniform values
+      assert(math.abs(est - exact) < 0.03, s"v=$v est=$est exact=$exact")
+    }
+    // monotone in v
+    val sorted = ranked.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+  }
+
   test("zorderBy clusters: disjoint partition z-ranges, corner stays local") {
     val rnd = new scala.util.Random(17)
     val d = (1 to 20000).map(_ => (rnd.nextDouble(), rnd.nextDouble()))
