@@ -971,6 +971,24 @@ object QueryBank {
         |  + ((bv >> 3) & 1) * 64 + ((bu >> 3) & 1) * 128 AS zvalue
         |FROM b""".stripMargin),
 
+    // Trailing-window rolling aggregates per user (1h window): one
+    // key-partitioned range-frame window, replayed exactly by DuckDB
+    ("rolling_agg",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.ops.SessionOps.rollingAgg(
+            s.read.parquet(s"$d/events.parquet"),
+            "user_id", "ts", "value", windowSeconds = 3600)
+          .select(col("event_id"), col("user_id"),
+            col("rolling_n"), col("rolling_sum"))
+      },
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS rolling_n,
+        |  round(sum(value) OVER w, 4) AS rolling_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin),
+
     // Percent-rank without a global sort: customer is below the
     // sketch's no-compaction capacity, so the KLL CDF is EXACT and
     // DuckDB's cume_dist window must match to the rounded digit

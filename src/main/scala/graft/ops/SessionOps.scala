@@ -47,6 +47,26 @@ object SessionOps {
       .drop("__new_session")
   }
 
+  /** Trailing time-window aggregates per key: each event gains the
+    * count and sum of its key's events in the preceding `windowSeconds`
+    * (inclusive of itself) — one range-frame window over the SAME
+    * key-partitioned exchange sessionization uses; no self-join, no
+    * candidate explosion however dense the history.
+    */
+  def rollingAgg(events: DataFrame,
+                 keyCol: String,
+                 tsCol: String,
+                 valueCol: String,
+                 windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, s"rollingAgg: windowSeconds must be positive")
+    val secs = col(tsCol).cast("timestamp").cast("double")
+    val w = Window.partitionBy(col(keyCol)).orderBy(secs)
+      .rangeBetween(-windowSeconds, 0)
+    events
+      .withColumn("rolling_n", count(lit(1)).over(w))
+      .withColumn("rolling_sum", round(sum(col(valueCol)).over(w), 4))
+  }
+
   /** One row per (user, session): start/end, event count, and a sum over
     * `valueCol` if given. `session_idx` is the user's 0-based session
     * ordinal, deterministic given the event times.

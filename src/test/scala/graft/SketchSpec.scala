@@ -601,6 +601,22 @@ class SketchSpec extends SparkSpec {
     assert(e4.getMessage.contains("current side"))
   }
 
+  test("rollingAgg: trailing window includes self, drops expired, per key") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val d = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:30:00"), 2.0),
+      (1L, ts("2024-01-01 11:15:00"), 4.0), // 10:00 expired (>1h back)
+      (2L, ts("2024-01-01 10:10:00"), 8.0))
+      .toDF("user_id", "ts", "value")
+    val got = graft.ops.SessionOps
+      .rollingAgg(d, "user_id", "ts", "value", 3600)
+      .orderBy("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 1.0), (1L, 2L, 3.0), (1L, 2L, 6.0), (2L, 1L, 8.0)))
+  }
+
   test("sessionize gap fires on numeric epoch-second columns too") {
     // regression: unix_timestamp(bigint) parses via string format,
     // yields null, and silently collapsed everything into one session
