@@ -971,6 +971,20 @@ object QueryBank {
         |  + ((bv >> 3) & 1) * 64 + ((bu >> 3) & 1) * 128 AS zvalue
         |FROM b""".stripMargin),
 
+    // Uniform per-group sampling: unit-weight A-ES keys (u^(1/1) = the
+    // md5 uniform itself) — DuckDB ranks by the same uniform
+    ("sample_group",
+      (s, d) => r("sample-group :lang :doc_id 4")(docs(s, d)),
+      """SELECT lang, CAST(rn - 1 AS INT) AS rank,
+        |       CAST(doc_id AS VARCHAR) AS item
+        |FROM (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |        ORDER BY pow(
+        |          (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |            AS BIGINT) + 1) / 4503599627370496.0, 1.0) DESC,
+        |        CAST(doc_id AS VARCHAR) ASC) AS rn
+        |      FROM documents) q
+        |WHERE rn <= 4""".stripMargin),
+
     // Trailing-window rolling aggregates per user (1h window): one
     // key-partitioned range-frame window, replayed exactly by DuckDB
     ("rolling_agg",

@@ -126,6 +126,16 @@ object SketchOps {
           spec.col(0), spec.col(1), spec.col(2), spec.num(3).toInt))
     }
 
+    // `sample-group :group :id <k>` — uniform k rows per group: the
+    // A-ES sampler with unit weights (key = u), same determinism.
+    case "sample-group" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState =
+        st.mapDf(df => graft.session.Sampler.weightedTopKByGroup(
+          df.withColumn("__w1", org.apache.spark.sql.functions.lit(1.0)),
+          spec.col(0), "__w1", spec.col(1), spec.num(2).toInt))
+    }
+
     // `drift-psi :col table [bins]` — Population Stability Index of the
     // current frame against a registered baseline table: one
     // (bin, frac_current, frac_baseline, psi_term) row per bin.
