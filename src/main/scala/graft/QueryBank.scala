@@ -971,6 +971,28 @@ object QueryBank {
         |  + ((bv >> 3) & 1) * 64 + ((bu >> 3) & 1) * 128 AS zvalue
         |FROM b""".stripMargin),
 
+    // Time-series resample at 1h slots with forward fill — slot spine,
+    // per-slot means, and the ffill window all replayed by DuckDB
+    ("resample_timeseries",
+      (s, d) => graft.ops.SessionOps.resample(
+        s.read.parquet(s"$d/events.parquet"),
+        "user_id", "ts", "value", stepSeconds = 3600),
+      """WITH e AS (SELECT user_id,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS slot, value
+        |  FROM events),
+        |b AS (SELECT user_id, slot, count(*) AS n_events,
+        |        round(avg(value), 4) AS value_mean
+        |      FROM e GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(slot) AS lo, max(slot) AS hi
+        |          FROM e GROUP BY 1),
+        |slots AS (SELECT user_id, unnest(generate_series(lo, hi)) AS slot
+        |          FROM spans)
+        |SELECT s.user_id, s.slot,
+        |  coalesce(b.n_events, 0) AS n_events, b.value_mean,
+        |  last_value(b.value_mean IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.slot) AS value_ffill
+        |FROM slots s LEFT JOIN b USING (user_id, slot)""".stripMargin),
+
     // Uniform per-group sampling: unit-weight A-ES keys (u^(1/1) = the
     // md5 uniform itself) — DuckDB ranks by the same uniform
     ("sample_group",

@@ -67,6 +67,45 @@ object SessionOps {
       .withColumn("rolling_sum", round(sum(col(valueCol)).over(w), 4))
   }
 
+  /** Time-series resample with gap filling: one row per (key, slot) for
+    * every `stepSeconds` slot between each key's first and last event —
+    * empty slots carry n_events = 0 and a forward-filled value. Shapes:
+    * a per-key span aggregate, a generator explode for the slot spine
+    * (output-linear), one co-partitioned slot join, and one key window
+    * for the forward fill. `maxSlotsPerKey` guards the generator
+    * against a key whose span / step would explode the output.
+    */
+  def resample(events: DataFrame,
+               keyCol: String,
+               tsCol: String,
+               valueCol: String,
+               stepSeconds: Long,
+               maxSlotsPerKey: Long = 10000000L): DataFrame = {
+    require(stepSeconds > 0, "resample: stepSeconds must be positive")
+    val slot = floor(col(tsCol).cast("timestamp").cast("double") / stepSeconds)
+      .cast("long")
+    val slotted = events.withColumn("__slot", slot)
+    val bySlot = slotted.groupBy(col(keyCol), col("__slot"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col(valueCol)), 4).as("value_mean"))
+    val spans = slotted.groupBy(col(keyCol))
+      .agg(min(col("__slot")).as("__lo"), max(col("__slot")).as("__hi"))
+    // bounded 1-value probe: widest span across keys
+    val widest = spans.agg(max(col("__hi") - col("__lo"))).head()
+    if (!widest.isNullAt(0))
+      require(widest.getLong(0) < maxSlotsPerKey,
+        s"resample: a key spans ${widest.getLong(0)} slots at step " +
+          s"$stepSeconds s (cap $maxSlotsPerKey) — widen the step or raise the cap")
+    val slots = spans.select(col(keyCol),
+      explode(sequence(col("__lo"), col("__hi"))).as("__slot"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__slot"))
+    slots.join(bySlot, Seq(keyCol, "__slot"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("value_ffill",
+        last(col("value_mean"), ignoreNulls = true).over(w))
+      .withColumnRenamed("__slot", "slot")
+  }
+
   /** One row per (user, session): start/end, event count, and a sum over
     * `valueCol` if given. `session_idx` is the user's 0-based session
     * ordinal, deterministic given the event times.

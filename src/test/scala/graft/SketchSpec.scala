@@ -601,6 +601,27 @@ class SketchSpec extends SparkSpec {
     assert(e4.getMessage.contains("current side"))
   }
 
+  test("resample fills gaps with zero counts and forward-filled values") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val d = Seq(
+      (1L, ts("2024-01-01 00:05:00"), 10.0),
+      (1L, ts("2024-01-01 03:10:00"), 30.0), // 2 empty hours between
+      (2L, ts("2024-01-01 01:00:00"), 5.0))
+      .toDF("user_id", "ts", "value")
+    val out = graft.ops.SessionOps
+      .resample(d, "user_id", "ts", "value", 3600)
+      .orderBy("user_id", "slot").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(4)))
+    // user 1: 4 slots; gap slots carry 0 events and the ffilled 10.0
+    assert(out.toSeq == Seq(
+      (1L, 1L, 10.0), (1L, 0L, 10.0), (1L, 0L, 10.0), (1L, 1L, 30.0),
+      (2L, 1L, 5.0)))
+    val e = intercept[IllegalArgumentException](
+      graft.ops.SessionOps.resample(d, "user_id", "ts", "value", 1,
+        maxSlotsPerKey = 100).collect())
+    assert(e.getMessage.contains("slots at step"))
+  }
+
   test("rollingAgg: trailing window includes self, drops expired, per key") {
     val ts = java.sql.Timestamp.valueOf(_: String)
     val d = Seq(
