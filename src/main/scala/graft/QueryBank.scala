@@ -831,6 +831,31 @@ object QueryBank {
       },
       "SELECT i, TRUE AS within_tol FROM (SELECT unnest([0, 1, 2]) AS i) t"),
 
+    // PER-GROUP quantiles — the p50/p99-per-service profiling shape:
+    // one KLL per (event_type), estimates verified by a grouped
+    // counting pass after an equi-join broadcast of the tiny estimate
+    // table (no dummy keys, no sort anywhere)
+    ("kll_quantiles_by_group",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val probs = Seq(0.25, 0.5, 0.75)
+        val ev = s.read.parquet(s"$d/events.parquet")
+        val est = ev.groupBy(col("event_type"))
+          .agg(graftx.Sketches.kllQuantiles(col("value"), probs).as("qs"))
+          .select(col("event_type"), posexplode(col("qs")).as(Seq("i", "est")))
+        ev.join(broadcast(est), Seq("event_type"))
+          .groupBy(col("event_type"), col("i"))
+          .agg(avg(when(col("value") <= col("est"), 1.0).otherwise(0.0))
+            .as("frac"))
+          .select(col("event_type"), col("i"),
+            (abs(col("frac") -
+              element_at(array(probs.map(lit): _*), col("i") + 1)) <= 0.025)
+              .as("within_tol"))
+      },
+      """SELECT t.event_type, CAST(q.i AS INT) AS i, TRUE AS within_tol
+        |FROM (SELECT DISTINCT event_type FROM events) t
+        |CROSS JOIN (SELECT unnest(range(3)) AS i) q""".stripMargin),
+
     // capacity (64) exceeds the true distinct count, so SpaceSaving
     // never evicts: counts are exact and every err is 0 — machinery
     // (update / partial merge / trim / eval ordering) proven end-to-end
