@@ -1077,12 +1077,17 @@ object QueryBank {
         val n = 8
         val l = li(s, d)
         val total = l.count().toDouble // bounded 1-value action
-        graft.ops.LayoutOps
+        val counts = graft.ops.LayoutOps
           .equiDepthBuckets(l, "l_extendedprice", n)
           .groupBy(col("bucket"))
           .agg(count(lit(1)).as("c"))
+        // range spine: a pathologically empty bucket shows up as a
+        // within_tol=false row, not a row-count mismatch
+        s.range(n).select(col("id").cast("int").as("bucket"))
+          .join(broadcast(counts), Seq("bucket"), "left")
           .select(col("bucket"),
-            (abs(col("c") / lit(total) - 1.0 / n) <= 0.03).as("within_tol"))
+            (abs(coalesce(col("c"), lit(0L)) / lit(total) - 1.0 / n) <= 0.03)
+              .as("within_tol"))
       },
       "SELECT CAST(unnest(range(8)) AS INT) AS bucket, TRUE AS within_tol"),
 

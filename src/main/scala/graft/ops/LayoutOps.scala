@@ -62,13 +62,19 @@ object LayoutOps {
     * balanced splits and skew-aware partitioning). Boundaries are a
     * bounded (n-1)-value collect folded back as literals; the bucket
     * assignment is a codegen'd comparison chain, map-only.
+    *
+    * The sketch size SCALES WITH n (k = max(200, 40n) unless given):
+    * rank error ~ 1/k, so a fixed k=200 (~1.7 %) would swamp the 1/n
+    * bucket width as soon as n passes ~60 and quietly break the
+    * equal-counts contract.
     */
   def equiDepthBuckets(df: DataFrame, column: String, n: Int,
-      bucketCol: String = "bucket"): DataFrame = {
+      bucketCol: String = "bucket", k: Int = 0): DataFrame = {
     require(n >= 2 && n <= 1000, s"equiDepthBuckets: n=$n outside [2, 1000]")
+    val kUse = if (k > 0) k else math.max(200, 40 * n)
     val probs = (1 until n).map(_.toDouble / n)
     val qs = df.agg(org.apache.spark.sql.graftx.Sketches
-        .kllQuantiles(col(column).cast(DoubleType), probs).as("qs"))
+        .kllQuantiles(col(column).cast(DoubleType), probs, kUse).as("qs"))
       .head() match {
       case r if r.isNullAt(0) =>
         throw new IllegalArgumentException(
@@ -96,14 +102,9 @@ object LayoutOps {
     val buf = org.apache.spark.sql.graftx.KllBuf.deserialize(sketchBytes)
     require(buf.n > 0,
       s"approxPercentRank: column '$column' has no non-null values")
-    // flatten to parallel sorted arrays for a serializable, search-fast
-    // closure: values ascending + cumulative weight fraction
-    val weighted = buf.levels.zipWithIndex.flatMap { case (l, h) =>
-      l.map(v => (v, (1L << h).toDouble))
-    }.sortBy(_._1)
-    val values = weighted.map(_._1).toArray
-    val total = weighted.map(_._2).sum
-    val cdf = weighted.scanLeft(0.0)(_ + _._2).tail.map(_ / total).toArray
+    // the sketch's weighted sample as parallel sorted arrays — a
+    // serializable, binary-search-fast closure payload
+    val (values, cdf) = buf.weightedCdf()
     val rank = org.apache.spark.sql.functions.udf((v: java.lang.Double) =>
       if (v == null) null
       else {

@@ -90,14 +90,19 @@ object SessionOps {
         round(avg(col(valueCol)), 4).as("value_mean"))
     val spans = slotted.groupBy(col(keyCol))
       .agg(min(col("__slot")).as("__lo"), max(col("__slot")).as("__hi"))
-    // bounded 1-value probe: widest span across keys
-    val widest = spans.agg(max(col("__hi") - col("__lo"))).head()
-    if (!widest.isNullAt(0))
-      require(widest.getLong(0) < maxSlotsPerKey,
-        s"resample: a key spans ${widest.getLong(0)} slots at step " +
-          s"$stepSeconds s (cap $maxSlotsPerKey) — widen the step or raise the cap")
+    // in-plan guard (no eager job, no extra input scan): a key whose
+    // slot COUNT (span + 1) exceeds the cap fails at execution time
+    // with a targeted error instead of exploding the generator
+    val guardedHi = when(
+      col("__hi") - col("__lo") + 1 > maxSlotsPerKey,
+      raise_error(concat(
+        lit("resample: a key emits "),
+        (col("__hi") - col("__lo") + 1).cast("string"),
+        lit(s" slots at step $stepSeconds s (cap $maxSlotsPerKey) — " +
+          "widen the step or raise the cap"))).cast("long"))
+      .otherwise(col("__hi"))
     val slots = spans.select(col(keyCol),
-      explode(sequence(col("__lo"), col("__hi"))).as("__slot"))
+      explode(sequence(col("__lo"), guardedHi)).as("__slot"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__slot"))
     slots.join(bySlot, Seq(keyCol, "__slot"), "left")
       .withColumn("n_events", coalesce(col("n_events"), lit(0L)))

@@ -101,8 +101,7 @@ object SketchOps {
       def apply(st: PipeState, ctx: WrangleContext): PipeState =
         st.mapDf(df => LayoutOps.equiDepthBuckets(df, spec.col(0),
           spec.num(1).toInt,
-          bucketCol = spec.optStr(2).map(_.stripPrefix(":"))
-            .getOrElse("bucket")))
+          bucketCol = spec.optCol(2).getOrElse("bucket")))
     }
 
     // `cluster-zorder :c1[,:c2...] [bits]` — physically re-cluster the

@@ -261,22 +261,20 @@ final class KllBuf(val k: Int) {
     levels(h) = retained
   }
 
-  /** CDF estimate: fraction of the sketched population <= v. Exact
-    * whenever no compaction has happened (n below capacity). */
-  def cdf(v: Double): Double = {
+  /** The sketch's weighted sample flattened for CDF evaluation:
+    * (values ascending, cumulative weight fraction at each value).
+    * `cdf(v)` = fraction at the rightmost value <= v. Exact whenever no
+    * compaction has happened (n below capacity).
+    */
+  def weightedCdf(): (Array[Double], Array[Double]) = {
     require(n > 0, "kll: empty sketch")
-    var cum = 0.0
-    var total = 0.0
-    var h = 0
-    while (h < levels.length) {
-      val w = (1L << h).toDouble
-      levels(h).foreach { x =>
-        if (x <= v) cum += w
-        total += w
-      }
-      h += 1
-    }
-    cum / total
+    val weighted = levels.zipWithIndex.flatMap { case (l, h) =>
+      l.map(v => (v, (1L << h).toDouble))
+    }.sortBy(_._1)
+    val values = weighted.map(_._1).toArray
+    val total = weighted.iterator.map(_._2).sum
+    val cdf = weighted.scanLeft(0.0)(_ + _._2).tail.map(_ / total).toArray
+    (values, cdf)
   }
 
   /** Lower-quantile estimate at probability `prob`. */

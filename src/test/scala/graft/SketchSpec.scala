@@ -616,10 +616,14 @@ class SketchSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       (1L, 1L, 10.0), (1L, 0L, 10.0), (1L, 0L, 10.0), (1L, 1L, 30.0),
       (2L, 1L, 5.0)))
-    val e = intercept[IllegalArgumentException](
+    // the cap guard is IN-PLAN (raise_error — no eager extra scan), so
+    // it surfaces at execution time as a Spark runtime failure
+    val e = intercept[Exception](
       graft.ops.SessionOps.resample(d, "user_id", "ts", "value", 1,
         maxSlotsPerKey = 100).collect())
-    assert(e.getMessage.contains("slots at step"))
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("slots at step")), chain(e).toString)
   }
 
   test("rollingAgg: trailing window includes self, drops expired, per key") {
