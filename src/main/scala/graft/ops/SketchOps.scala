@@ -125,6 +125,36 @@ object SketchOps {
           spec.col(0), spec.col(1), spec.col(2), spec.num(3).toInt))
     }
 
+    // `dedup-exact-incremental :text :id stateTable` — drop batch rows
+    // whose fingerprint is already in the registered state table
+    // (column `fp`), after in-batch keep-smallest dedup.
+    case "dedup-exact-incremental" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = {
+        val state = ctx.lookups.getOrElse(spec.str(2),
+          throw new RecipeException(
+            s"dedup-exact-incremental: unknown table '${spec.str(2)}'"))
+        st.mapDf(df => graft.llm.IncrementalDedup.exactAgainst(
+          df, spec.col(0), spec.col(1), state))
+      }
+    }
+
+    // `dedup-minhash-incremental :text :id stateTable corpusTable
+    //  [threshold]` — fused in-batch + vs-stored-buckets near-dedup;
+    // state = (id, band, bucket) rows, corpus = (id, text) for the
+    // candidate-sliver verify.
+    case "dedup-minhash-incremental" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = {
+        def tbl(i: Int) = ctx.lookups.getOrElse(spec.str(i),
+          throw new RecipeException(
+            s"dedup-minhash-incremental: unknown table '${spec.str(i)}'"))
+        st.mapDf(df => graft.llm.IncrementalDedup.minhashDedupAgainst(
+          df, spec.col(0), spec.col(1), tbl(2), tbl(3),
+          threshold = spec.optStr(4).map(_.toDouble).getOrElse(0.7)))
+      }
+    }
+
     // `sample-group :group :id <k>` — uniform k rows per group: the
     // A-ES sampler with unit weights (key = u), same determinism.
     case "sample-group" => new PipeOp {

@@ -134,7 +134,8 @@ class CoverageSpec extends SparkSpec {
     // session-3 surface: sketches, sessionization, layout, quality
     "sessionize", "profile-distinct", "profile-quantiles", "heavy-hitters",
     "topk-by", "drift-psi", "cluster-zorder", "bucket-quantiles",
-    "sample-weighted-group", "quality-report", "sample-group")
+    "sample-weighted-group", "quality-report", "sample-group",
+    "dedup-exact-incremental", "dedup-minhash-incremental")
 
   test("all curation/sampling directives resolve in the registry") {
     val missing = unresolved(curationDirectives)

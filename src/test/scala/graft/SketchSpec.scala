@@ -582,6 +582,24 @@ class SketchSpec extends SparkSpec {
     assert(kmv == 123L)
   }
 
+  test("incremental dedup directives wire through registered state tables") {
+    val corpus = Seq((1L, "shared doc content here"), (2L, "unique old"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "shared doc content here"), (11L, "brand new"),
+      (12L, "brand new")).toDF("doc_id", "text")
+    val exactOut = Wrangle.recipe("dedup-exact-incremental :text :doc_id seen")
+      .withLookup("seen", graft.llm.IncrementalDedup.exactState(corpus, "text"))
+      .apply(batch).select("doc_id").as[Long].collect().toSet
+    assert(exactOut == Set(11L)) // 10 matches corpus; 12 loses in-batch
+    val nearOut = Wrangle.recipe(
+        "dedup-minhash-incremental :text :doc_id state corpus 0.8")
+      .withLookup("state",
+        graft.llm.IncrementalDedup.minhashState(corpus, "text", "doc_id"))
+      .withLookup("corpus", corpus)
+      .apply(batch).select("doc_id").as[Long].collect().toSet
+    assert(nearOut == Set(11L))
+  }
+
   test("new directives fail fast with clear errors on bad input") {
     val d = Seq((1, 2.0)).toDF("a", "b")
     val e1 = intercept[graft.api.RecipeException](
