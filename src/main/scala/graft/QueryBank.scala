@@ -658,7 +658,9 @@ object QueryBank {
           queryName = "stream_window_agg_correctness")
       },
       """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS wstart, event_type,
-        | count(*) AS n, round(sum(value), 4) AS total_value
+        | count(*) AS n,
+        | CAST(round(sum(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE)
+        |   AS total_value
         |FROM events, (SELECT max(ts) AS mx FROM events)
         |WHERE time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE
         |   <= mx - INTERVAL 10 MINUTE
@@ -931,7 +933,8 @@ object QueryBank {
         |  FROM labeled)
         |SELECT user_id, session_idx, min(ts) AS session_start,
         |       max(ts) AS session_end, count(*) AS n_events,
-        |       round(sum(value), 4) AS total_value
+        |       CAST(round(sum(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE)
+        |         AS total_value
         |FROM labeled2 GROUP BY 1, 2""".stripMargin),
 
     // PSI drift of one event type's value distribution against the
@@ -1200,21 +1203,32 @@ object QueryBank {
     // Join pre-flight: exact output cardinality + hottest key of the
     // orders-events join, from count tables only (rows never move)
     ("join_size_profile",
-      (s, d) => graft.ops.JoinOps.joinSizeProfile(
-        ord(s, d), s.read.parquet(s"$d/events.parquet"),
-        "o_custkey", "user_id"),
+      // the operator computes in DECIMAL(38,0) (overflow-proof at the
+      // scales this diagnostic exists for); the oracle SURFACE casts to
+      // BIGINT because parquet decimals and DuckDB-via-pandas decimals
+      // render differently (Decimal vs float64) in the driver compare
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        graft.ops.JoinOps.joinSizeProfile(
+            ord(s, d), s.read.parquet(s"$d/events.parquet"),
+            "o_custkey", "user_id")
+          .select(col("matched_keys"),
+            col("est_rows").cast("long").as("est_rows"),
+            col("hottest_key"),
+            col("hottest_key_rows").cast("long").as("hottest_key_rows"))
+      },
       """WITH lc AS (SELECT o_custkey AS k, count(*) AS cl FROM orders
         |            WHERE o_custkey IS NOT NULL GROUP BY 1),
         |rc AS (SELECT user_id AS k, count(*) AS cr FROM events
         |       WHERE user_id IS NOT NULL GROUP BY 1),
-        |m AS (SELECT lc.k, CAST(cl * cr AS DECIMAL(38,0)) AS o
+        |m AS (SELECT lc.k, cl * cr AS o
         |      FROM lc JOIN rc USING (k))
         |SELECT count(*) AS matched_keys,
-        |       CAST(sum(o) AS DECIMAL(38,0)) AS est_rows,
+        |       CAST(sum(o) AS BIGINT) AS est_rows,
         |       (SELECT k FROM m ORDER BY o DESC, k DESC LIMIT 1)
         |         AS hottest_key,
-        |       (SELECT o FROM m ORDER BY o DESC, k DESC LIMIT 1)
-        |         AS hottest_key_rows
+        |       (SELECT CAST(o AS BIGINT) FROM m
+        |        ORDER BY o DESC, k DESC LIMIT 1) AS hottest_key_rows
         |FROM m""".stripMargin),
 
     // KMV set-overlap: per-source vocabulary sketches, pairwise shared
@@ -1294,7 +1308,8 @@ object QueryBank {
         |  FROM labeled)
         |SELECT user_id, session_idx, min(ts) AS session_start,
         |       max(ts) AS session_end, count(*) AS n_events,
-        |       round(sum(value), 4) AS total_value
+        |       CAST(round(sum(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE)
+        |         AS total_value
         |FROM labeled2 GROUP BY 1, 2""".stripMargin),
 
     // ---- incremental dedup (IncrementalDedup) ----------------------

@@ -125,7 +125,12 @@ object SessionOps {
       min(col(tsCol)).as("session_start"),
       max(col(tsCol)).as("session_end"),
       count(lit(1)).as("n_events")) ++
-      valueCol.map(v => round(sum(col(v)), 4).as("total_value"))
+      // Exact decimal sum: double addition is order-dependent across
+      // partitionings, so summing DECIMAL(38,6) keeps the 4-dp rounding
+      // below deterministic regardless of the physical plan.
+      valueCol.map(v =>
+        round(sum(col(v).cast("decimal(38,6)")), 4).cast("double")
+          .as("total_value"))
     labeled
       .groupBy(col(userCol), col("session_idx"))
       .agg(aggs.head, aggs.tail: _*)

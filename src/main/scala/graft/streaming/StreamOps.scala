@@ -53,7 +53,11 @@ object StreamOps {
     normalizeTs(events, tsCol)
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), window_, slide), col(typeCol))
-      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total_value"))
+      // exact decimal accumulation: double sums are partition-order-
+      // dependent at the last ulp, which flips 4-dp roundings downstream
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(38,6)")).cast("double")
+          .as("total_value"))
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String,
       value: Double)
