@@ -79,18 +79,19 @@ object StringOps {
 
     // appends 7 parts; null input → all null
     // (reference: wrangler-core directives/transformation/SplitURL.java:89-108)
+    // One URI parse per row: url_parts is a native struct expression;
+    // codegen CSE computes it once and the seven GetStructField reads
+    // are free (was: 8 independent parse_url calls re-parsing the URL).
     case "split-url" => ColumnOps.simple(spec) { df =>
       val c = spec.col(0)
-      val src = col(c)
-      df.withColumn(s"${c}_protocol", lower(parse_url(src, lit("PROTOCOL"))))
-        .withColumn(s"${c}_authority", parse_url(src, lit("AUTHORITY")))
-        .withColumn(s"${c}_host", parse_url(src, lit("HOST")))
-        .withColumn(s"${c}_port",
-          regexp_extract(parse_url(src, lit("AUTHORITY")), ":(\\d+)$", 1)
-            .try_cast(IntegerType))
-        .withColumn(s"${c}_path", parse_url(src, lit("PATH")))
-        .withColumn(s"${c}_file", parse_url(src, lit("FILE")))
-        .withColumn(s"${c}_query", parse_url(src, lit("QUERY")))
+      val parts = org.apache.spark.sql.graftx.functions.url_parts(col(c))
+      df.withColumn(s"${c}_protocol", parts.getField("protocol"))
+        .withColumn(s"${c}_authority", parts.getField("authority"))
+        .withColumn(s"${c}_host", parts.getField("host"))
+        .withColumn(s"${c}_port", parts.getField("port"))
+        .withColumn(s"${c}_path", parts.getField("path"))
+        .withColumn(s"${c}_file", parts.getField("file"))
+        .withColumn(s"${c}_query", parts.getField("query"))
     }
 
     case "url-encode" => inPlace(spec)(url_encode)

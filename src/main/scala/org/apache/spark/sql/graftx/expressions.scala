@@ -78,6 +78,69 @@ case class Fnv64Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** All seven split-url parts from ONE `java.net.URI` parse per row,
+  * as a struct — replaces 8 independent `parse_url` calls (each of
+  * which re-parses the URL) in the split-url directive. Field
+  * semantics match Spark's `ParseUrl` (URI accessors, null on
+  * syntax error); codegen CSE computes the struct once and the seven
+  * `GetStructField` reads stay inside whole-stage codegen.
+  */
+case class UrlPartsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = UrlPartsExpr.schema
+
+  override protected def nullSafeEval(value: Any): Any =
+    UrlPartsExpr.parts(value.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""org.apache.spark.sql.catalyst.InternalRow r =
+         |  org.apache.spark.sql.graftx.UrlPartsExpr.parts($v);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+         |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): UrlPartsExpr =
+    copy(child = newChild)
+}
+
+object UrlPartsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("protocol", StringType),
+    StructField("authority", StringType),
+    StructField("host", StringType),
+    StructField("port", IntegerType),
+    StructField("path", StringType),
+    StructField("file", StringType),
+    StructField("query", StringType)))
+
+  private def u8(s: String): UTF8String =
+    if (s == null) null else UTF8String.fromString(s)
+
+  /** One URI parse -> all parts; null on unparseable input (matching
+    * parse_url, which nulls every part for a bad URL).
+    */
+  def parts(url: UTF8String): org.apache.spark.sql.catalyst.InternalRow =
+    try {
+      val uri = new java.net.URI(url.toString)
+      val rawPath = uri.getRawPath
+      val rawQuery = uri.getRawQuery
+      val file =
+        if (rawPath == null) null
+        else if (rawQuery == null) rawPath
+        else rawPath + "?" + rawQuery
+      val port: Any =
+        if (uri.getPort == -1) null else java.lang.Integer.valueOf(uri.getPort)
+      val scheme = uri.getScheme
+      new GenericInternalRow(Array[Any](
+        u8(if (scheme == null) null
+           else scheme.toLowerCase(java.util.Locale.ROOT)),
+        u8(uri.getRawAuthority), u8(uri.getHost), port,
+        u8(rawPath), u8(file), u8(rawQuery)))
+    } catch { case _: java.net.URISyntaxException => null }
+}
+
 /** Column-level API for the native expressions. */
 object functions {
   def mask_number(col: Column, pattern: Column): Column =
@@ -86,4 +149,7 @@ object functions {
 
   def fnv64(col: Column): Column =
     ExpressionUtils.column(Fnv64Expr(ExpressionUtils.expression(col)))
+
+  def url_parts(col: Column): Column =
+    ExpressionUtils.column(UrlPartsExpr(ExpressionUtils.expression(col)))
 }

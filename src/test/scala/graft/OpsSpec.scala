@@ -508,4 +508,32 @@ class OpsSpec extends SparkSpec {
     assert(jp("""{"a,b":3}""", "$['a,b']") == "3")
   }
 
+  test("split-url: single-parse struct matches parse_url semantics") {
+    import org.apache.spark.sql.Row
+    val d = df("s STRING", Seq(
+      Row("https://u:pw@ex.com:8443/a/b?x=1&y=2"),
+      Row("HTTP://EX.COM"),          // scheme lowercased, empty path
+      Row("not a url"),              // unparseable -> all parts null
+      Row(null)))
+    val out = wrangle("split-url :s", d).collect()
+      .map(r => (Option(r.getAs[String]("s")).getOrElse("null"), r)).toMap
+    val full = out("https://u:pw@ex.com:8443/a/b?x=1&y=2")
+    assert(full.getAs[String]("s_protocol") == "https")
+    assert(full.getAs[String]("s_authority") == "u:pw@ex.com:8443")
+    assert(full.getAs[String]("s_host") == "ex.com")
+    assert(full.getAs[Int]("s_port") == 8443)
+    assert(full.getAs[String]("s_path") == "/a/b")
+    assert(full.getAs[String]("s_file") == "/a/b?x=1&y=2")
+    assert(full.getAs[String]("s_query") == "x=1&y=2")
+    val bare = out("HTTP://EX.COM")
+    assert(bare.getAs[String]("s_protocol") == "http")
+    assert(bare.getAs[String]("s_host") == "EX.COM")
+    assert(bare.isNullAt(bare.fieldIndex("s_port")))
+    assert(bare.getAs[String]("s_path") == "")
+    for (bad <- Seq(out("not a url"), out("null"));
+         f <- Seq("s_protocol", "s_authority", "s_host", "s_port",
+                  "s_path", "s_file", "s_query"))
+      assert(bad.isNullAt(bad.fieldIndex(f)), s"$f should be null")
+  }
+
 }
