@@ -2232,9 +2232,23 @@ object QueryBank {
       (s, d) => r("mask-shuffle :n_name; keep :n_nationkey,:n_name")(nat(s, d)),
       maskShuffleSql),
 
+    // The uuids themselves are nondeterministic by design, so the
+    // oracle checks the SHAPE the directive guarantees: one uuid per
+    // input row, all distinct, all RFC-4122 v4 — properties DuckDB can
+    // state as expected constants from the input table alone.
     ("generate_uuid",
-      (s, d) => r("generate-uuid :uid; keep :c_custkey,:uid")(cust(s, d)),
-      null), // nondeterministic by design — rows-only
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        r("generate-uuid :uid; keep :c_custkey,:uid")(cust(s, d))
+          .agg(count(lit(1)).as("n_rows"),
+            (countDistinct(col("uid")) === count(lit(1)))
+              .as("all_distinct"),
+            (sum(when(col("uid").rlike(
+                "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"),
+              1L).otherwise(0L)) === count(lit(1))).as("all_v4"))
+      },
+      """SELECT count(*) AS n_rows, true AS all_distinct, true AS all_v4
+        |FROM customer""".stripMargin),
 
     // ---- §2.6 datetime, second wave --------------------------------
     ("datetime_roundtrip",
