@@ -2369,6 +2369,45 @@ object QueryBank {
         | CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT) AS wav_sumsq
         |FROM s""".stripMargin),
 
+    ("multimodal_png_decode",
+      // REAL image decode: deterministic 8-bit RGB PNGs are synthesized
+      // per doc_id (real encoder: per-scanline filters cycling through
+      // all five Sec.-9 types, zlib stream split across 1-3 IDAT
+      // chunks), then DECODED — chunk walk, concatenated-IDAT inflate,
+      // unfilter — into exact channel sums. DuckDB recomputes the sums
+      // from the pixel formula directly (it never sees the bytes), so
+      // any decoder slip (filter math, Paeth tie-break, chunk
+      // concatenation, stride) breaks the hash match.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val png = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthPngUdf(col("doc_id")))
+        png.select(col("doc_id"),
+            graft.llm.MediaHeaders.pngStatsUdf(col("payload")).as("st"))
+          .select(col("doc_id"),
+            col("st.width").as("png_w"), col("st.height").as("png_h"),
+            col("st.n_pixels").as("n_pixels"),
+            col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+            col("st.sum_b").as("sum_b"))
+      },
+      """WITH g AS (SELECT doc_id,
+        |  CAST(4 + doc_id % 13 AS BIGINT) AS w,
+        |  CAST(3 + doc_id % 11 AS BIGINT) AS h
+        | FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, CAST(w AS INT) AS png_w, CAST(h AS INT) AS png_h,
+        | CAST(w * h AS BIGINT) AS n_pixels,
+        | CAST(list_sum(list_transform(range(0, w * h),
+        |   i -> (doc_id * 7 + (i % w) * 13 + (i // w) * 31) % 256))
+        |   AS BIGINT) AS sum_r,
+        | CAST(list_sum(list_transform(range(0, w * h),
+        |   i -> (doc_id * 11 + (i % w) * 17 + (i // w) * 23) % 256))
+        |   AS BIGINT) AS sum_g,
+        | CAST(list_sum(list_transform(range(0, w * h),
+        |   i -> (doc_id * 5 + (i % w) * 29 + (i // w) * 19) % 256))
+        |   AS BIGINT) AS sum_b
+        |FROM g""".stripMargin),
+
     ("data_model_map_column",
       (s, d) => r("data-model-map-column prop:{field=account_balance,type=long} :c_acctbal; keep :c_custkey,:account_balance")(cust(s, d)),
       "SELECT c_custkey, CAST(trunc(c_acctbal) AS BIGINT) AS account_balance FROM customer"),
@@ -3237,6 +3276,35 @@ object QueryBank {
       i += 1
     }
     bytes
+  })
+
+  /** Fixture: a real 8-bit RGB PNG whose pixels are a pure function of
+    * the id — w = 4+id%13, h = 3+id%11, r=(id*7+x*13+y*31)%256,
+    * g=(id*11+x*17+y*23)%256, b=(id*5+x*29+y*19)%256 — encoded with
+    * scanline filter (id+y)%5 and the zlib stream split over 1+id%3
+    * IDAT chunks, so the decode exercises every unfilter path and the
+    * chunk-concatenation rule. The DuckDB oracle recomputes the channel
+    * sums from the formula without ever seeing the bytes.
+    */
+  private val synthPngUdf = org.apache.spark.sql.functions.udf((id: Long) => {
+    val w = (4 + id % 13).toInt
+    val h = (3 + id % 11).toInt
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        px(o) = ((id * 7 + x * 13 + y * 31) % 256).toByte
+        px(o + 1) = ((id * 11 + x * 17 + y * 23) % 256).toByte
+        px(o + 2) = ((id * 5 + x * 29 + y * 19) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    graft.llm.MediaHeaders.pngEncode(w, h, colorType = 2, px,
+      filterFor = yy => ((id + yy) % 5).toInt,
+      idatChunks = (1 + id % 3).toInt)
   })
 
   val queries: Map[String, Q] =

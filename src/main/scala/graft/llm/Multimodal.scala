@@ -338,4 +338,193 @@ object MediaHeaders {
 
   val wavStatsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf(wavStats _)
+
+  // ---- PNG pixel decode (real, pure-JVM) ---------------------------
+  // PNG spec (ISO/IEC 15948 / W3C PNG 2nd ed.): Sec. 5 chunk layout,
+  // Sec. 9 filtering, Sec. 11.2.2 IHDR, 11.2.4 IDAT. Supports 8-bit
+  // greyscale (0), truecolour (2) and truecolour+alpha (6), no
+  // interlace; anything else precise-rejects with null — palettes and
+  // sub-byte depths stay out of scope (documented README gap).
+
+  /** Exact integer pixel statistics from a real decode: zlib-inflated
+    * concatenated IDAT, per-scanline unfilter, channel sums. Integer
+    * sums (not means) so the stats are exactly SQL-oracle-able; for
+    * greyscale the single channel is mirrored into all three sums.
+    */
+  case class PngStats(width: Int, height: Int, n_pixels: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  def pngStats(b: Array[Byte]): PngStats = {
+    if (b == null || b.length < 8 + 25 + 12) return null
+    var i = 0
+    while (i < 8) { if (u8(b, i) != PngSig(i)) return null; i += 1 }
+    var p = 8
+    var w = -1; var h = -1; var depth = -1; var ct = -1; var interlace = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (p + 12 <= b.length && !sawEnd) {
+      val len = be32(b, p).toInt
+      val typ = ascii(b, p + 4, 4)
+      if (len < 0 || p + 12L + len > b.length) return null
+      typ match {
+        case "IHDR" =>
+          if (len < 13) return null
+          w = be32(b, p + 8).toInt; h = be32(b, p + 12).toInt
+          depth = u8(b, p + 16); ct = u8(b, p + 17); interlace = u8(b, p + 20)
+        case "IDAT" => idat.write(b, p + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunks pass through
+      }
+      p += 12 + len
+    }
+    if (w <= 0 || h <= 0 || depth != 8 || interlace != 0) return null
+    val bpp = ct match {
+      case 0 => 1; case 2 => 3; case 6 => 4; case _ => return null }
+    val stride = w * bpp
+    if (h.toLong * (1L + stride) > Int.MaxValue) return null
+    val raw = new Array[Byte](h * (1 + stride))
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !inf.finished()) {
+        val k = inf.inflate(raw, got, raw.length - got)
+        if (k == 0 && (inf.needsInput() || inf.needsDictionary())) return null
+        got += k
+      }
+    } catch { case _: java.util.zip.DataFormatException => return null }
+    finally inf.end()
+    if (got < raw.length) return null
+    // Sec. 9 unfilter, in place scanline by scanline: a=left, b=up,
+    // c=up-left (all 0 outside the image), byte arithmetic mod 256
+    val img = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val ft = u8(raw, y * (1 + stride))
+      val ro = y * (1 + stride) + 1
+      val io = y * stride
+      var x = 0
+      while (x < stride) {
+        val rx = u8(raw, ro + x)
+        val a = if (x >= bpp) u8(img, io + x - bpp) else 0
+        val up = if (y > 0) u8(img, io - stride + x) else 0
+        val c = if (x >= bpp && y > 0) u8(img, io - stride + x - bpp) else 0
+        val v = ft match {
+          case 0 => rx
+          case 1 => rx + a
+          case 2 => rx + up
+          case 3 => rx + ((a + up) >> 1)
+          case 4 => // Paeth predictor, Sec. 9.4
+            val pp = a + up - c
+            val pa = math.abs(pp - a)
+            val pb = math.abs(pp - up)
+            val pc = math.abs(pp - c)
+            rx + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+          case _ => return null
+        }
+        img(io + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) {
+        val o = yy * stride + xx * bpp
+        if (ct == 0) { val g = u8(img, o); sr += g; sg += g; sb += g }
+        else { sr += u8(img, o); sg += u8(img, o + 1); sb += u8(img, o + 2) }
+        xx += 1
+      }
+      yy += 1
+    }
+    PngStats(w, h, w.toLong * h, sr, sg, sb)
+  }
+
+  val pngStatsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(pngStats _)
+
+  /** Minimal PNG encoder (8-bit grey/RGB/RGBA, no interlace): the
+    * forward complement of [[pngStats]], used to build deterministic
+    * decode fixtures and to round-trip-test the unfilter paths.
+    * `filterFor(y)` picks the Sec. 9 filter per scanline (0..4);
+    * `idatChunks > 1` splits the zlib stream mid-byte across multiple
+    * IDAT chunks (decoders must concatenate before inflating).
+    */
+  def pngEncode(width: Int, height: Int, colorType: Int,
+      pixels: Array[Byte], filterFor: Int => Int = _ => 0,
+      idatChunks: Int = 1): Array[Byte] = {
+    val bpp = colorType match { case 0 => 1; case 2 => 3; case 6 => 4 }
+    val stride = width * bpp
+    require(pixels.length == height * stride,
+      s"pngEncode: ${pixels.length} pixel bytes for ${height}x$stride")
+    def px(o: Int): Int = pixels(o) & 0xff
+    val raw = new Array[Byte](height * (1 + stride))
+    var y = 0
+    while (y < height) {
+      val ft = math.floorMod(filterFor(y), 5)
+      raw(y * (1 + stride)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = px(y * stride + x)
+        val a = if (x >= bpp) px(y * stride + x - bpp) else 0
+        val up = if (y > 0) px((y - 1) * stride + x) else 0
+        val c = if (x >= bpp && y > 0) px((y - 1) * stride + x - bpp) else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - up
+          case 3 => cur - ((a + up) >> 1)
+          case 4 =>
+            val pp = a + up - c
+            val pa = math.abs(pp - a)
+            val pb = math.abs(pp - up)
+            val pc = math.abs(pp - c)
+            cur - (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+        }
+        raw(y * (1 + stride) + 1 + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val zout = new java.io.ByteArrayOutputStream()
+    val dos = new java.util.zip.DeflaterOutputStream(zout)
+    dos.write(raw); dos.close()
+    val z = zout.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    PngSig.foreach(v => out.write(v))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def w32(v: Long): Unit = {
+        out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      }
+      w32(data.length.toLong)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb, 0, 4); out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      w32(crc.getValue)
+    }
+    val ihdr = new Array[Byte](13)
+    def be(o: Int, v: Int): Unit = {
+      ihdr(o) = ((v >> 24) & 0xff).toByte; ihdr(o + 1) = ((v >> 16) & 0xff).toByte
+      ihdr(o + 2) = ((v >> 8) & 0xff).toByte; ihdr(o + 3) = (v & 0xff).toByte
+    }
+    be(0, width); be(4, height)
+    ihdr(8) = 8; ihdr(9) = colorType.toByte // depth 8
+    chunk("IHDR", ihdr)
+    val parts = math.max(1, math.min(idatChunks, z.length))
+    val per = math.max(1, z.length / parts)
+    var off = 0
+    while (off < z.length) {
+      val n = if (off + 2 * per > z.length) z.length - off else per
+      chunk("IDAT", java.util.Arrays.copyOfRange(z, off, off + n))
+      off += n
+    }
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
 }

@@ -446,6 +446,69 @@ class BinarySpec extends SparkSpec {
     val rows = graft.ops.Xlsx.parse(bos.toByteArray, "0").map(_.cells)
     assert(rows(0) == Seq("2000-01-01", "36526", "2000-01-01 06:00:00"))
   }
+
+  // ---- PNG decode ---------------------------------------------------
+  import graft.llm.MediaHeaders
+
+  private def gradient(w: Int, h: Int, bpp: Int): Array[Byte] = {
+    val px = new Array[Byte](w * h * bpp)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until bpp)
+      px((y * w + x) * bpp + c) = ((x * 7 + y * 11 + c * 3) % 256).toByte
+    px
+  }
+
+  private def sums(px: Array[Byte], w: Int, h: Int, bpp: Int): (Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * bpp
+      if (bpp == 1) { val g = px(o) & 0xff; sr += g; sg += g; sb += g }
+      else { sr += px(o) & 0xff; sg += px(o + 1) & 0xff; sb += px(o + 2) & 0xff }
+    }
+    (sr, sg, sb)
+  }
+
+  test("png round-trip: every filter type, grey/RGB/RGBA, split IDAT") {
+    for ((ct, bpp) <- Seq((0, 1), (2, 3), (6, 4)); ft <- 0 to 4) {
+      val (w, h) = (17, 9)
+      val px = gradient(w, h, bpp)
+      val bytes = MediaHeaders.pngEncode(w, h, ct, px,
+        filterFor = _ => ft, idatChunks = 3)
+      val st = MediaHeaders.pngStats(bytes)
+      assert(st != null, s"ct=$ct ft=$ft decoded to null")
+      val (sr, sg, sb) = sums(px, w, h, bpp)
+      assert((st.width, st.height, st.n_pixels) == (w, h, w.toLong * h))
+      assert((st.sum_r, st.sum_g, st.sum_b) == (sr, sg, sb),
+        s"ct=$ct ft=$ft channel sums differ")
+    }
+  }
+
+  test("png decode: mixed per-scanline filters and 1x1 edge image") {
+    val px = gradient(5, 7, 3)
+    val bytes = MediaHeaders.pngEncode(5, 7, 2, px, filterFor = y => y % 5)
+    val st = MediaHeaders.pngStats(bytes)
+    assert(st != null && (st.sum_r, st.sum_g, st.sum_b) == sums(px, 5, 7, 3))
+    val one = MediaHeaders.pngEncode(1, 1, 2, Array[Byte](10, 20, 30),
+      filterFor = _ => 4) // Paeth with no left/up neighbours
+    val s1 = MediaHeaders.pngStats(one)
+    assert(s1 != null && (s1.sum_r, s1.sum_g, s1.sum_b) == ((10L, 20L, 30L)))
+  }
+
+  test("png decode: precise rejects and corrupt streams return null") {
+    val good = MediaHeaders.pngEncode(4, 4, 2, gradient(4, 4, 3))
+    assert(MediaHeaders.pngStats(good) != null)
+    // truncated zlib stream
+    assert(MediaHeaders.pngStats(
+      java.util.Arrays.copyOfRange(good, 0, good.length - 20)) == null)
+    // bad signature
+    val bad = good.clone(); bad(0) = 0x00
+    assert(MediaHeaders.pngStats(bad) == null)
+    // interlaced flag -> reject (Adam7 out of scope)
+    val il = good.clone(); il(8 + 8 + 12) = 1 // IHDR interlace byte
+    assert(MediaHeaders.pngStats(il) == null)
+    // not a PNG at all / null
+    assert(MediaHeaders.pngStats("plainly not a png".getBytes) == null)
+    assert(MediaHeaders.pngStats(null) == null)
+  }
 }
 
 /** Hand-rolled [MS-CFB] + [MS-XLS] BIFF8 fixture writer (test-only). */
