@@ -2432,7 +2432,21 @@ object QueryBank {
         merge :body_4 :body_5 :flags '_';
         keep :l_orderkey,:body_1,:body_2,:body_3,:flags;
       """)(li(s, d)),
-      null), // mask-shuffle is not SQL-replicable — rows-only; throughput query
+      // Fully SQL-replicable after all: mask-number is a positional
+      // walk ('x'*min(2,len) then up to 8 kept digits), and
+      // mask-shuffle is seeded PER VALUE, so over the 3-valued
+      // l_returnflag domain it pins to three constants (R->I, A->Z,
+      // N->A — same pinned-kernel technique as maskShuffleSql, which
+      // anchors the kernel against the NATION_* fixture).
+      """SELECT l_orderkey,
+        | CASE WHEN length(CAST(l_orderkey AS VARCHAR)) = 1 THEN 'x'
+        |      ELSE 'xx' || substr(CAST(l_orderkey AS VARCHAR), 3, 8)
+        | END AS body_1,
+        | CAST(l_partkey AS VARCHAR) AS body_2,
+        | CAST(l_quantity AS DOUBLE) AS body_3,
+        | CASE l_returnflag WHEN 'R' THEN 'I' WHEN 'A' THEN 'Z'
+        |      WHEN 'N' THEN 'A' END || '_' || upper(l_linestatus) AS flags
+        |FROM lineitem WHERE l_quantity > 0""".stripMargin),
 
     ("expr_datetime_fns",
       (s, d) => r("set-column :doy exp:{ date:DAY_OF_YEAR(o_orderdate) }; set-column :q exp:{ date:QUARTER(o_orderdate) }; set-column :ld exp:{ datetime:LastDayOfMonth(o_orderdate) }; format-date :ld 'yyyy-MM-dd'; keep :o_orderkey,:doy,:q,:ld")(ord(s, d)),
