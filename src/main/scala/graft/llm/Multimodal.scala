@@ -78,6 +78,18 @@ object Multimodal {
     hist
   }
 
+  /** Image feature vector: REAL pixel decode for PNG payloads
+    * ([[MediaHeaders.pngFeatures]] — channel means + luminance
+    * histogram from the actual decoded image), deterministic
+    * [[decodeStub]] for formats whose codecs aren't available
+    * (JPEG/video). Same (binary -> Array[Float]) contract either way,
+    * so downstream ANN/clustering ops don't care which path fed them.
+    */
+  def imageFeatures(payload: Column, buckets: Int = 16): Column = {
+    val real = udf((b: Array[Byte]) => MediaHeaders.pngFeatures(b, buckets))
+    coalesce(real(payload), decodeStub(payload, buckets))
+  }
+
   /** Frame sampling for video-ish payloads: emit `n` evenly spaced
     * byte-slice "frames" per payload, one output row per frame
     * (explode — the real version slices at keyframe offsets).
@@ -346,6 +358,14 @@ object MediaHeaders {
   // interlace; anything else precise-rejects with null — palettes and
   // sub-byte depths stay out of scope (documented README gap).
 
+  /** A fully decoded (unfiltered) image: `pixels` holds h scanlines of
+    * w*bpp bytes, bpp = 1 (grey) / 3 (RGB) / 4 (RGBA) per `colorType`.
+    */
+  case class PngImage(width: Int, height: Int, colorType: Int,
+      pixels: Array[Byte]) {
+    def bpp: Int = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+  }
+
   /** Exact integer pixel statistics from a real decode: zlib-inflated
     * concatenated IDAT, per-scanline unfilter, channel sums. Integer
     * sums (not means) so the stats are exactly SQL-oracle-able; for
@@ -356,7 +376,10 @@ object MediaHeaders {
 
   private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
 
-  def pngStats(b: Array[Byte]): PngStats = {
+  /** Full decode to raw pixels; null on non-PNG or out-of-scope shapes
+    * (palette, sub-8-bit, interlaced, truncated).
+    */
+  def pngDecode(b: Array[Byte]): PngImage = {
     if (b == null || b.length < 8 + 25 + 12) return null
     var i = 0
     while (i < 8) { if (u8(b, i) != PngSig(i)) return null; i += 1 }
@@ -429,14 +452,25 @@ object MediaHeaders {
       }
       y += 1
     }
+    PngImage(w, h, ct, img)
+  }
+
+  def pngStats(b: Array[Byte]): PngStats = {
+    val im = pngDecode(b)
+    if (im == null) return null
+    val (w, h, bpp, stride) = (im.width, im.height, im.bpp, im.width * im.bpp)
     var sr = 0L; var sg = 0L; var sb = 0L
     var yy = 0
     while (yy < h) {
       var xx = 0
       while (xx < w) {
         val o = yy * stride + xx * bpp
-        if (ct == 0) { val g = u8(img, o); sr += g; sg += g; sb += g }
-        else { sr += u8(img, o); sg += u8(img, o + 1); sb += u8(img, o + 2) }
+        if (im.colorType == 0) {
+          val g = u8(im.pixels, o); sr += g; sg += g; sb += g
+        } else {
+          sr += u8(im.pixels, o); sg += u8(im.pixels, o + 1)
+          sb += u8(im.pixels, o + 2)
+        }
         xx += 1
       }
       yy += 1
@@ -446,6 +480,46 @@ object MediaHeaders {
 
   val pngStatsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf(pngStats _)
+
+  /** Feature vector from a REAL decode: [mean_r, mean_g, mean_b] / 255
+    * then a normalized (buckets-3)-bin luminance histogram (ITU-R
+    * BT.601 integer weights 299/587/114, alpha ignored). Null when the
+    * payload isn't a decodable PNG — callers fall back to the stub.
+    */
+  def pngFeatures(b: Array[Byte], buckets: Int): Array[Float] = {
+    if (buckets < 4) return null
+    val im = pngDecode(b)
+    if (im == null) return null
+    val (w, h, bpp, stride) = (im.width, im.height, im.bpp, im.width * im.bpp)
+    val bins = buckets - 3
+    val hist = new Array[Long](bins)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) {
+        val o = yy * stride + xx * bpp
+        val (r, g, bl) =
+          if (im.colorType == 0) {
+            val v = u8(im.pixels, o); (v, v, v)
+          } else (u8(im.pixels, o), u8(im.pixels, o + 1),
+            u8(im.pixels, o + 2))
+        sr += r; sg += g; sb += bl
+        val luma = (r * 299 + g * 587 + bl * 114) / 1000 // 0..255
+        hist(math.min(bins - 1, luma * bins / 256)) += 1
+        xx += 1
+      }
+      yy += 1
+    }
+    val n = w.toLong * h
+    val out = new Array[Float](buckets)
+    out(0) = (sr.toDouble / n / 255.0).toFloat
+    out(1) = (sg.toDouble / n / 255.0).toFloat
+    out(2) = (sb.toDouble / n / 255.0).toFloat
+    var i = 0
+    while (i < bins) { out(3 + i) = (hist(i).toDouble / n).toFloat; i += 1 }
+    out
+  }
 
   /** Minimal PNG encoder (8-bit grey/RGB/RGBA, no interlace): the
     * forward complement of [[pngStats]], used to build deterministic

@@ -394,6 +394,35 @@ class LlmSpec extends SparkSpec {
     assert(frames.columns.toSeq == Seq("id", "frame_idx", "offset", "frame"))
   }
 
+  test("imageFeatures: real decode for PNG, stub fallback for opaque bytes") {
+    // 2x2 RGB: pure red, green, blue, white
+    val px = Array[Int](255,0,0, 0,255,0, 0,0,255, 255,255,255)
+      .map(_.toByte)
+    val png = MediaHeaders.pngEncode(2, 2, 2, px)
+    val d = df("id BIGINT, payload BINARY", Seq(
+      Row(1L, png), Row(2L, "notapngjustbytes".getBytes)))
+    val out = d.withColumn("f", Multimodal.imageFeatures(col("payload"), 8))
+      .orderBy("id").select("f").collect().map(_.getSeq[Float](0))
+    val real = out(0)
+    // channel means: r=(255+0+0+255)/4/255, same for g and b
+    assert(real.size == 8)
+    assert(math.abs(real(0) - 0.5f) < 1e-6, s"mean_r ${real(0)}")
+    assert(math.abs(real(1) - 0.5f) < 1e-6)
+    assert(math.abs(real(2) - 0.5f) < 1e-6)
+    // luminance: red 76, green 149, blue 29, white 255 -> 5-bin hist
+    // bins of width 51.2: b0={29}, b1={76}, b2={149->bin2}, b4={255}
+    val hist = real.drop(3)
+    assert(math.abs(hist.sum - 1.0f) < 1e-5)
+    assert(hist(4) > 0.24f) // white pixel lands in the top bin
+    // direct kernel agreement
+    val k = MediaHeaders.pngFeatures(png, 8)
+    assert(k.toSeq == real.toSeq)
+    // non-PNG falls back to the deterministic stub (still 8 wide, sums to 1)
+    val stub = out(1)
+    assert(stub.size == 8 && math.abs(stub.sum - 1.0f) < 1e-5)
+    assert(MediaHeaders.pngFeatures("notapngjustbytes".getBytes, 8) == null)
+  }
+
   test("minhash dedup survives a heavily duplicated corpus (skew guard)") {
     // 500 docs x 40 exact copies = 20k rows; without the exact-collapse
     // + bucket cap this would generate ~40^2 x 500 x bands candidates
