@@ -2408,6 +2408,46 @@ object QueryBank {
         |   AS BIGINT) AS sum_b
         |FROM g""".stripMargin),
 
+    ("multimodal_gif_decode",
+      // REAL GIF decode: palette + LZW (variable-width, CLEAR/EOI,
+      // KwKwK) + optional interlace, synthesized per doc_id by the
+      // library's own encoder and decoded back to exact channel sums
+      // plus a position-weighted checksum (wsum) that makes the
+      // interlace row mapping observable. DuckDB recomputes everything
+      // from the palette/index formulas without seeing the bytes.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val gif = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthGifUdf(col("doc_id")))
+        gif.select(col("doc_id"),
+            graft.llm.MediaHeaders.gifStatsUdf(col("payload")).as("st"))
+          .select(col("doc_id"),
+            col("st.width").as("gif_w"), col("st.height").as("gif_h"),
+            col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+            col("st.sum_b").as("sum_b"), col("st.wsum").as("wsum"))
+      },
+      """WITH g AS (SELECT doc_id,
+        |  CAST(3 + doc_id % 17 AS BIGINT) AS w,
+        |  CAST(2 + doc_id % 13 AS BIGINT) AS h
+        | FROM documents WHERE doc_id < 200),
+        |px AS (SELECT doc_id, w, h,
+        |  list_transform(range(0, w * h),
+        |    i -> (doc_id * 3 + (i % w) * 5 + (i // w) * 11) % 256) AS ci
+        | FROM g)
+        |SELECT doc_id, CAST(w AS INT) AS gif_w, CAST(h AS INT) AS gif_h,
+        | CAST(list_sum(list_transform(ci, c -> (c * 7) % 256))
+        |   AS BIGINT) AS sum_r,
+        | CAST(list_sum(list_transform(ci, c -> (c * 13) % 256))
+        |   AS BIGINT) AS sum_g,
+        | CAST(list_sum(list_transform(ci, c -> (c * 29) % 256))
+        |   AS BIGINT) AS sum_b,
+        | CAST(list_sum(list_transform(range(0, w * h),
+        |   i -> i * ((ci[i + 1] * 7) % 256 + (ci[i + 1] * 13) % 256
+        |             + (ci[i + 1] * 29) % 256)))
+        |   AS BIGINT) AS wsum
+        |FROM px""".stripMargin),
+
     ("data_model_map_column",
       (s, d) => r("data-model-map-column prop:{field=account_balance,type=long} :c_acctbal; keep :c_custkey,:account_balance")(cust(s, d)),
       "SELECT c_custkey, CAST(trunc(c_acctbal) AS BIGINT) AS account_balance FROM customer"),
@@ -3319,6 +3359,38 @@ object QueryBank {
     graft.llm.MediaHeaders.pngEncode(w, h, colorType = 2, px,
       filterFor = yy => ((id + yy) % 5).toInt,
       idatChunks = (1 + id % 3).toInt)
+  })
+
+  /** Fixture: a real GIF89a whose 256-entry palette and pixel indices
+    * are pure functions of the id — pal[c] = ((c*7)%256, (c*13)%256,
+    * (c*29)%256), idx(x,y) = (id*3 + x*5 + y*11) % 256, w = 3+id%17,
+    * h = 2+id%13, interlaced when id is odd — LZW-encoded by the
+    * library's own encoder so the decode exercises variable-width
+    * codes, CLEAR handling, and both interlace paths.
+    */
+  private val synthGifUdf = org.apache.spark.sql.functions.udf((id: Long) => {
+    val w = (3 + id % 17).toInt
+    val h = (2 + id % 13).toInt
+    val pal = new Array[Byte](256 * 3)
+    var c = 0
+    while (c < 256) {
+      pal(3 * c) = ((c * 7) % 256).toByte
+      pal(3 * c + 1) = ((c * 13) % 256).toByte
+      pal(3 * c + 2) = ((c * 29) % 256).toByte
+      c += 1
+    }
+    val idx = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        idx(y * w + x) = ((id * 3 + x * 5 + y * 11) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    graft.llm.MediaHeaders.gifEncode(w, h, pal, idx,
+      interlace = id % 2 == 1)
   })
 
   val queries: Map[String, Q] =

@@ -12,12 +12,13 @@ import org.apache.spark.sql.types._
   * Decode status: header metadata (dims/duration/format) is REAL for
   * PNG/JPEG/GIF/BMP/WAV/MP4/MP3 ([[MediaHeaders.probe]]), and audio
   * sample decode is REAL for PCM WAV ([[MediaHeaders.wavStats]] —
-  * pure byte layout, no codec needed). The image/video FEATURE decode
-  * is stubbed deterministically (compressed codecs aren't in this
-  * environment — see `decodeStub`): the Spark-side plumbing (schema,
-  * batching, partition sizing, frame sampling, feature shape) is real
-  * and tested; swapping `decodeStub` for a JNI/codec call is a
-  * one-function change.
+  * pure byte layout, no codec needed). Image PIXEL decode is REAL for
+  * PNG ([[MediaHeaders.pngDecode]] — inflate + unfilter) and GIF
+  * ([[MediaHeaders.gifDecode]] — LZW + palette + interlace); JPEG and
+  * video FRAME decode remain a deterministic stub (DCT/codec
+  * implementations aren't in this environment — see `decodeStub`):
+  * the Spark-side plumbing (schema, batching, partition sizing, frame
+  * sampling, feature shape) is real and tested either way.
   */
 object Multimodal {
 
@@ -78,15 +79,19 @@ object Multimodal {
     hist
   }
 
-  /** Image feature vector: REAL pixel decode for PNG payloads
-    * ([[MediaHeaders.pngFeatures]] — channel means + luminance
-    * histogram from the actual decoded image), deterministic
-    * [[decodeStub]] for formats whose codecs aren't available
-    * (JPEG/video). Same (binary -> Array[Float]) contract either way,
-    * so downstream ANN/clustering ops don't care which path fed them.
+  /** Image feature vector: REAL pixel decode for PNG and GIF payloads
+    * ([[MediaHeaders.pngFeatures]]/[[MediaHeaders.gifFeatures]] —
+    * channel means + luminance histogram from the actual decoded
+    * image), deterministic [[decodeStub]] for formats whose codecs
+    * aren't available (JPEG/video). Same (binary -> Array[Float])
+    * contract either way, so downstream ANN/clustering ops don't care
+    * which path fed them.
     */
   def imageFeatures(payload: Column, buckets: Int = 16): Column = {
-    val real = udf((b: Array[Byte]) => MediaHeaders.pngFeatures(b, buckets))
+    val real = udf((b: Array[Byte]) => {
+      val png = MediaHeaders.pngFeatures(b, buckets)
+      if (png != null) png else MediaHeaders.gifFeatures(b, buckets)
+    })
     coalesce(real(payload), decodeStub(payload, buckets))
   }
 
@@ -599,6 +604,328 @@ object MediaHeaders {
       off += n
     }
     chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  // ---- GIF pixel decode (real, pure-JVM) ---------------------------
+  // GIF89a specification (CompuServe, public): logical screen
+  // descriptor, global/local color tables, image descriptor, Adam-free
+  // 4-pass interlace, and Appendix-F variable-width LSB-first LZW with
+  // CLEAR/EOI codes and the deferred KwKwK case.
+
+  /** Exact integer pixel statistics of the FIRST image in a GIF, from
+    * a real decode (LZW + palette resolution). Same oracle-friendly
+    * sum shape as [[PngStats]].
+    */
+  case class GifStats(width: Int, height: Int, n_pixels: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, wsum: Long)
+
+  /** Variable-width LSB-first GIF-LZW decode of the concatenated
+    * data sub-blocks. Returns exactly `expected` indices or null on a
+    * malformed stream.
+    */
+  private def lzwDecode(minCodeSize: Int, data: Array[Byte],
+      expected: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val out = new Array[Byte](expected)
+    var outN = 0
+    var codeSize = minCodeSize + 1
+    var next = eoi + 1
+    var prev = -1
+    var acc = 0L; var bits = 0; var pos = 0
+    val stack = new Array[Byte](4096)
+    def firstOf(code0: Int): Byte = {
+      var c = code0
+      while (c >= clear) c = prefix(c)
+      c.toByte
+    }
+    while (outN < expected) {
+      while (bits < codeSize) {
+        if (pos >= data.length) return null // truncated
+        acc |= (data(pos) & 0xffL) << bits
+        bits += 8; pos += 1
+      }
+      val code = (acc & ((1 << codeSize) - 1)).toInt
+      acc >>>= codeSize; bits -= codeSize
+      if (code == clear) {
+        codeSize = minCodeSize + 1; next = eoi + 1; prev = -1
+      } else if (code == eoi) {
+        return if (outN == expected) out else null
+      } else {
+        var cur = code
+        var top = 0
+        if (cur >= next) { // KwKwK: code not yet in the table
+          if (cur != next || prev < 0) return null
+          stack(top) = firstOf(prev); top += 1
+          cur = prev
+        }
+        while (cur >= clear) {
+          stack(top) = suffix(cur); top += 1
+          cur = prefix(cur)
+        }
+        stack(top) = cur.toByte; top += 1
+        while (top > 0 && outN < expected) {
+          top -= 1; out(outN) = stack(top); outN += 1
+        }
+        if (top > 0) return null // stream overruns the image size
+        if (prev >= 0 && next < 4096) {
+          prefix(next) = prev; suffix(next) = firstOf(code)
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    out
+  }
+
+  /** Variable-width LSB-first GIF-LZW encode — the forward complement
+    * of [[lzwDecode]] (width schedule mirrored so the decoder stays in
+    * step), used by [[gifEncode]].
+    */
+  private def lzwEncode(minCodeSize: Int, data: Array[Byte]): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var bits = 0
+    var codeSize = minCodeSize + 1
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << bits; bits += codeSize
+      while (bits >= 8) { out.write((acc & 0xff).toInt); acc >>>= 8; bits -= 8 }
+    }
+    val dict = new java.util.HashMap[Long, Integer]()
+    var next = eoi + 1
+    def reset(): Unit = { dict.clear(); next = eoi + 1 }
+    emit(clear)
+    if (data.nonEmpty) {
+      var w = data(0) & 0xff // current dict code for the pending string
+      var i = 1
+      while (i < data.length) {
+        val k = data(i) & 0xff
+        val key = (w.toLong << 12) | k // (code, byte) pair is the string id
+        val hit = dict.get(key)
+        if (hit != null) w = hit.intValue()
+        else {
+          emit(w)
+          if (next < 4096) {
+            dict.put(key, Integer.valueOf(next))
+            next += 1
+            // the decoder's table lags the encoder's by exactly one
+            // entry (it adds on receive, we add on emit), so it widens
+            // one code later than a naive n==2^cs bump — mirror that
+            if (next == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+          } else { emit(clear); codeSize = minCodeSize + 1; reset() }
+          w = k
+        }
+        i += 1
+      }
+      emit(w)
+    }
+    emit(eoi)
+    if (bits > 0) out.write((acc & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** GIF interlace pass order (spec Sec. 20, Appendix E): rows
+    * 0,8,16… then 4,12…, 2,6,10…, 1,3,5…
+    */
+  private def interlaceRows(h: Int): Array[Int] = {
+    val rows = new Array[Int](h)
+    var i = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+      var y = start
+      while (y < h) { rows(i) = y; i += 1; y += step }
+    }
+    rows
+  }
+
+  /** A fully decoded GIF first frame: `rgb` holds h scanlines of w
+    * palette-resolved RGB triples, in IMAGE row order (interlace
+    * already undone).
+    */
+  case class GifImage(width: Int, height: Int, rgb: Array[Byte])
+
+  def gifDecode(b: Array[Byte]): GifImage = {
+    if (b == null || b.length < 14) return null
+    val hdr = ascii(b, 0, 6)
+    if (hdr != "GIF87a" && hdr != "GIF89a") return null
+    var p = 6
+    val packed = u8(b, p + 4)
+    p += 7 // logical screen descriptor
+    var palette: Array[Byte] = null
+    var palSize = 0
+    if ((packed & 0x80) != 0) {
+      palSize = 2 << (packed & 7)
+      if (p + 3 * palSize > b.length) return null
+      palette = java.util.Arrays.copyOfRange(b, p, p + 3 * palSize)
+      p += 3 * palSize
+    }
+    while (p < b.length) {
+      u8(b, p) match {
+        case 0x3b => return null // trailer before any image
+        case 0x21 => // extension: label + sub-blocks
+          p += 2
+          while (p < b.length && u8(b, p) != 0) p += 1 + u8(b, p)
+          p += 1
+        case 0x2c =>
+          if (p + 10 > b.length) return null
+          val w = le16(b, p + 5); val h = le16(b, p + 7)
+          val ipacked = u8(b, p + 9)
+          p += 10
+          var pal = palette; var ps = palSize
+          if ((ipacked & 0x80) != 0) { // local color table wins
+            ps = 2 << (ipacked & 7)
+            if (p + 3 * ps > b.length) return null
+            pal = java.util.Arrays.copyOfRange(b, p, p + 3 * ps)
+            p += 3 * ps
+          }
+          if (pal == null || w <= 0 || h <= 0 ||
+              w.toLong * h > Int.MaxValue) return null
+          val minCode = u8(b, p); p += 1
+          if (minCode < 2 || minCode > 8) return null
+          val lzw = new java.io.ByteArrayOutputStream()
+          while (p < b.length && u8(b, p) != 0) {
+            val n = u8(b, p)
+            if (p + 1 + n > b.length) return null
+            lzw.write(b, p + 1, n); p += 1 + n
+          }
+          val idx = lzwDecode(minCode, lzw.toByteArray, w * h)
+          if (idx == null) return null
+          val rows =
+            if ((ipacked & 0x40) != 0) interlaceRows(h)
+            else Array.tabulate(h)(identity)
+          if (y_unused(rows, h)) return null
+          val rgb = new Array[Byte](w * h * 3)
+          var r = 0
+          while (r < h) {
+            val y = rows(r) // row r of the stream lands at image row y
+            var x = 0
+            while (x < w) {
+              val ci = idx(r * w + x) & 0xff
+              if (ci >= ps) return null // index outside the palette
+              val o = (y * w + x) * 3
+              rgb(o) = pal(3 * ci); rgb(o + 1) = pal(3 * ci + 1)
+              rgb(o + 2) = pal(3 * ci + 2)
+              x += 1
+            }
+            r += 1
+          }
+          return GifImage(w, h, rgb)
+        case _ => return null
+      }
+    }
+    null
+  }
+
+  def gifStats(b: Array[Byte]): GifStats = {
+    val im = gifDecode(b)
+    if (im == null) return null
+    val (w, h) = (im.width, im.height)
+    // wsum weights each pixel by its image position (y*w+x), so a wrong
+    // interlace row mapping changes the result even though the plain
+    // channel sums would not
+    var sr = 0L; var sg = 0L; var sb = 0L; var ws = 0L
+    var i = 0
+    val n = w * h
+    while (i < n) {
+      val pr = im.rgb(3 * i) & 0xff
+      val pg = im.rgb(3 * i + 1) & 0xff
+      val pb = im.rgb(3 * i + 2) & 0xff
+      sr += pr; sg += pg; sb += pb
+      ws += i.toLong * (pr + pg + pb)
+      i += 1
+    }
+    GifStats(w, h, n.toLong, sr, sg, sb, ws)
+  }
+
+  /** Same feature contract as [[pngFeatures]], from the GIF decode. */
+  def gifFeatures(b: Array[Byte], buckets: Int): Array[Float] = {
+    if (buckets < 4) return null
+    val im = gifDecode(b)
+    if (im == null) return null
+    val n = im.width * im.height
+    val bins = buckets - 3
+    val hist = new Array[Long](bins)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < n) {
+      val r = im.rgb(3 * i) & 0xff
+      val g = im.rgb(3 * i + 1) & 0xff
+      val bl = im.rgb(3 * i + 2) & 0xff
+      sr += r; sg += g; sb += bl
+      val luma = (r * 299 + g * 587 + bl * 114) / 1000
+      hist(math.min(bins - 1, luma * bins / 256)) += 1
+      i += 1
+    }
+    val out = new Array[Float](buckets)
+    out(0) = (sr.toDouble / n / 255.0).toFloat
+    out(1) = (sg.toDouble / n / 255.0).toFloat
+    out(2) = (sb.toDouble / n / 255.0).toFloat
+    var k = 0
+    while (k < bins) { out(3 + k) = (hist(k).toDouble / n).toFloat; k += 1 }
+    out
+  }
+
+  // interlace sanity: every image row assigned exactly once
+  private def y_unused(rows: Array[Int], h: Int): Boolean = {
+    val seen = new Array[Boolean](h)
+    var i = 0
+    while (i < h) {
+      val y = rows(i)
+      if (y < 0 || y >= h || seen(y)) return true
+      seen(y) = true; i += 1
+    }
+    false
+  }
+
+  val gifStatsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(gifStats _)
+
+  /** Minimal GIF89a encoder (global 256-color table, one image, real
+    * LZW, optional interlace) — the forward complement of [[gifStats]]
+    * for fixtures and round-trip tests.
+    */
+  def gifEncode(width: Int, height: Int, palette: Array[Byte],
+      indices: Array[Byte], interlace: Boolean = false): Array[Byte] = {
+    require(palette.length % 3 == 0 && palette.length >= 6)
+    require(indices.length == width * height)
+    var palBits = 1
+    while ((2 << (palBits - 1)) < palette.length / 3) palBits += 1
+    val palEntries = 2 << (palBits - 1)
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    "GIF89a".foreach(c => w8(c))
+    w16(width); w16(height)
+    w8(0x80 | (palBits - 1)) // GCT present, size 2^palBits
+    w8(0); w8(0)
+    out.write(palette, 0, palette.length)
+    (palette.length / 3 until palEntries)
+      .foreach(_ => { w8(0); w8(0); w8(0) }) // pad table to 2^n
+    w8(0x2c); w16(0); w16(0); w16(width); w16(height)
+    w8(if (interlace) 0x40 else 0)
+    val minCode = math.max(2, palBits)
+    w8(minCode)
+    val src =
+      if (!interlace) indices
+      else {
+        val rows = interlaceRows(height)
+        val re = new Array[Byte](indices.length)
+        for (r <- 0 until height; x <- 0 until width)
+          re(r * width + x) = indices(rows(r) * width + x)
+        re
+      }
+    val z = lzwEncode(minCode, src)
+    var off = 0
+    while (off < z.length) {
+      val n = math.min(255, z.length - off)
+      w8(n); out.write(z, off, n); off += n
+    }
+    w8(0) // block terminator
+    w8(0x3b)
     out.toByteArray
   }
 }

@@ -509,6 +509,66 @@ class BinarySpec extends SparkSpec {
     assert(MediaHeaders.pngStats("plainly not a png".getBytes) == null)
     assert(MediaHeaders.pngStats(null) == null)
   }
+
+  // ---- GIF decode ---------------------------------------------------
+
+  private def gifOracle(pal: Array[Byte], idx: Array[Byte], w: Int, h: Int)
+      : (Long, Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L; var ws = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val ci = idx(y * w + x) & 0xff
+      val (r, g, b) = (pal(3 * ci) & 0xff, pal(3 * ci + 1) & 0xff,
+        pal(3 * ci + 2) & 0xff)
+      sr += r; sg += g; sb += b; ws += (y.toLong * w + x) * (r + g + b)
+    }
+    (sr, sg, sb, ws)
+  }
+
+  test("gif round-trip: palette sizes, interlace, dict growth, KwKwK") {
+    val rnd = new scala.util.Random(42)
+    for (palEntries <- Seq(4, 16, 64, 256); interlace <- Seq(false, true)) {
+      val pal = Array.tabulate(palEntries * 3)(i => ((i * 37 + 11) % 256).toByte)
+      val (w, h) = (23, 17)
+      val idx = Array.tabulate(w * h)(_ => (rnd.nextInt(palEntries)).toByte)
+      val bytes = MediaHeaders.gifEncode(w, h, pal, idx, interlace)
+      val st = MediaHeaders.gifStats(bytes)
+      assert(st != null, s"pal=$palEntries interlace=$interlace -> null")
+      val (sr, sg, sb, ws) = gifOracle(pal, idx, w, h)
+      assert((st.width, st.height, st.n_pixels) == (w, h, w.toLong * h))
+      assert((st.sum_r, st.sum_g, st.sum_b, st.wsum) == ((sr, sg, sb, ws)),
+        s"pal=$palEntries interlace=$interlace sums differ")
+    }
+    // KwKwK: long runs of one index hit the code-not-yet-in-table case
+    val pal = Array.tabulate(12)(i => (i * 20).toByte) // 4 colors
+    val runs = Array.fill(400)(2.toByte) ++ Array.fill(3)(1.toByte)
+    val gif = MediaHeaders.gifEncode(31, 13, pal, runs, interlace = false)
+    val st = MediaHeaders.gifStats(gif)
+    assert(st != null && st.n_pixels == 403)
+    assert((st.sum_r, st.sum_g, st.sum_b, st.wsum) ==
+      gifOracle(pal, runs, 31, 13))
+    // dict growth to 12 bits + reset: a large low-entropy image
+    val big = Array.tabulate(300 * 200)(i => ((i / 7) % 256).toByte)
+    val palF = Array.tabulate(256 * 3)(i => ((i * 3 + 5) % 256).toByte)
+    val gbig = MediaHeaders.gifEncode(300, 200, palF, big, interlace = true)
+    val sbg = MediaHeaders.gifStats(gbig)
+    assert(sbg != null && sbg.n_pixels == 60000L)
+    assert((sbg.sum_r, sbg.sum_g, sbg.sum_b, sbg.wsum) ==
+      gifOracle(palF, big, 300, 200))
+  }
+
+  test("gif decode: precise rejects") {
+    val pal = Array.tabulate(12)(i => (i * 20).toByte)
+    val good = MediaHeaders.gifEncode(5, 4, pal, Array.fill(20)(1.toByte))
+    assert(MediaHeaders.gifStats(good) != null)
+    // truncated LZW
+    assert(MediaHeaders.gifStats(
+      java.util.Arrays.copyOfRange(good, 0, good.length - 4)) == null)
+    // bad signature
+    val bad = good.clone(); bad(4) = 'X'.toByte
+    assert(MediaHeaders.gifStats(bad) == null)
+    assert(MediaHeaders.gifStats("GIF89a but not really".getBytes) == null)
+    assert(MediaHeaders.gifStats(null) == null)
+  }
 }
 
 /** Hand-rolled [MS-CFB] + [MS-XLS] BIFF8 fixture writer (test-only). */
