@@ -2408,6 +2408,43 @@ object QueryBank {
         |   AS BIGINT) AS sum_b
         |FROM g""".stripMargin),
 
+    ("multimodal_bmp_decode",
+      // REAL BMP decode: 24-bit BI_RGB payloads (bottom-up for even
+      // ids, top-down for odd — the padding walk and row order are
+      // observable through wsum). DuckDB recomputes the sums from the
+      // pixel formula without seeing the bytes.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val bmp = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthBmpUdf(col("doc_id")))
+        bmp.select(col("doc_id"),
+            graft.llm.MediaHeaders.bmpStatsUdf(col("payload")).as("st"))
+          .select(col("doc_id"),
+            col("st.width").as("bmp_w"), col("st.height").as("bmp_h"),
+            col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+            col("st.sum_b").as("sum_b"), col("st.wsum").as("wsum"))
+      },
+      """WITH g AS (SELECT doc_id,
+        |  CAST(5 + doc_id % 11 AS BIGINT) AS w,
+        |  CAST(3 + doc_id % 7 AS BIGINT) AS h
+        | FROM documents WHERE doc_id < 200),
+        |px AS (SELECT doc_id, w, h,
+        |  list_transform(range(0, w * h),
+        |    i -> (doc_id * 13 + (i % w) * 3 + (i // w) * 17) % 256) AS pr,
+        |  list_transform(range(0, w * h),
+        |    i -> (doc_id * 19 + (i % w) * 7 + (i // w) * 5) % 256) AS pg,
+        |  list_transform(range(0, w * h),
+        |    i -> (doc_id * 23 + (i % w) * 11 + (i // w) * 29) % 256) AS pb
+        | FROM g)
+        |SELECT doc_id, CAST(w AS INT) AS bmp_w, CAST(h AS INT) AS bmp_h,
+        | CAST(list_sum(pr) AS BIGINT) AS sum_r,
+        | CAST(list_sum(pg) AS BIGINT) AS sum_g,
+        | CAST(list_sum(pb) AS BIGINT) AS sum_b,
+        | CAST(list_sum(list_transform(range(0, w * h),
+        |   i -> i * (pr[i + 1] + pg[i + 1] + pb[i + 1]))) AS BIGINT) AS wsum
+        |FROM px""".stripMargin),
+
     ("multimodal_gif_decode",
       // REAL GIF decode: palette + LZW (variable-width, CLEAR/EOI,
       // KwKwK) + optional interlace, synthesized per doc_id by the
@@ -3391,6 +3428,31 @@ object QueryBank {
     }
     graft.llm.MediaHeaders.gifEncode(w, h, pal, idx,
       interlace = id % 2 == 1)
+  })
+
+  /** Fixture: a real 24-bit BMP whose pixels are a pure function of
+    * the id — w = 5+id%11, h = 3+id%7, r=(id*13+x*3+y*17)%256,
+    * g=(id*19+x*7+y*5)%256, b=(id*23+x*11+y*29)%256 — stored bottom-up
+    * for even ids and top-down for odd, so the decode's row-order
+    * handling is exercised both ways.
+    */
+  private val synthBmpUdf = org.apache.spark.sql.functions.udf((id: Long) => {
+    val w = (5 + id % 11).toInt
+    val h = (3 + id % 7).toInt
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        px(o) = ((id * 13 + x * 3 + y * 17) % 256).toByte
+        px(o + 1) = ((id * 19 + x * 7 + y * 5) % 256).toByte
+        px(o + 2) = ((id * 23 + x * 11 + y * 29) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    graft.llm.MediaHeaders.bmpEncode(w, h, px, topDown = id % 2 == 1)
   })
 
   val queries: Map[String, Q] =

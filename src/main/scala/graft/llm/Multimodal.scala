@@ -90,7 +90,11 @@ object Multimodal {
   def imageFeatures(payload: Column, buckets: Int = 16): Column = {
     val real = udf((b: Array[Byte]) => {
       val png = MediaHeaders.pngFeatures(b, buckets)
-      if (png != null) png else MediaHeaders.gifFeatures(b, buckets)
+      if (png != null) png
+      else {
+        val gif = MediaHeaders.gifFeatures(b, buckets)
+        if (gif != null) gif else MediaHeaders.bmpFeatures(b, buckets)
+      }
     })
     coalesce(real(payload), decodeStub(payload, buckets))
   }
@@ -927,5 +931,174 @@ object MediaHeaders {
     w8(0) // block terminator
     w8(0x3b)
     out.toByteArray
+  }
+
+  // ---- BMP pixel decode (real, pure-JVM) ---------------------------
+  // Windows BITMAPINFOHEADER layout (public, MS docs): BGR byte order,
+  // rows padded to 4 bytes, bottom-up unless height is negative;
+  // supports uncompressed (BI_RGB) 8-bit palette / 24-bit / 32-bit.
+
+  /** Decoded BMP: `rgb` holds h scanlines of w RGB triples, top-down
+    * (bottom-up storage already undone).
+    */
+  case class BmpImage(width: Int, height: Int, rgb: Array[Byte])
+
+  case class BmpStats(width: Int, height: Int, n_pixels: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, wsum: Long)
+
+  def bmpDecode(b: Array[Byte]): BmpImage = {
+    if (b == null || b.length < 54 || ascii(b, 0, 2) != "BM") return null
+    val dataOff = le32(b, 10).toInt
+    val hdrSize = le32(b, 14).toInt
+    if (hdrSize < 40) return null // BITMAPCOREHEADER out of scope
+    val w = le32(b, 18).toInt
+    val hRaw = le32(b, 22).toInt
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val bits = le16(b, 28)
+    val compression = le32(b, 30)
+    if (w <= 0 || h == 0 || compression != 0) return null // BI_RGB only
+    if (w.toLong * h * 3 > Int.MaxValue) return null
+    var palette: Array[Byte] = null
+    var palEntries = 0
+    if (bits == 8) {
+      val declared = le32(b, 46).toInt // biClrUsed; 0 means full 256
+      palEntries = if (declared == 0) 256 else declared
+      val palOff = 14 + hdrSize
+      if (palOff + 4 * palEntries > b.length) return null
+      palette = java.util.Arrays.copyOfRange(b, palOff, palOff + 4 * palEntries)
+    } else if (bits != 24 && bits != 32) return null
+    val bytesPerPx = if (bits == 8) 1 else bits / 8
+    val rowBytes = ((w * bytesPerPx + 3) / 4) * 4 // 4-byte row padding
+    if (dataOff < 0 || dataOff.toLong + rowBytes.toLong * h > b.length)
+      return null
+    val rgb = new Array[Byte](w * h * 3)
+    var r = 0
+    while (r < h) {
+      val y = if (topDown) r else h - 1 - r // storage row r -> image row y
+      val ro = dataOff + r * rowBytes
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        if (bits == 8) {
+          val ci = u8(b, ro + x)
+          if (ci >= palEntries) return null
+          // palette quads are B,G,R,reserved
+          rgb(o) = palette(4 * ci + 2)
+          rgb(o + 1) = palette(4 * ci + 1)
+          rgb(o + 2) = palette(4 * ci)
+        } else {
+          val po = ro + x * bytesPerPx // pixel bytes are B,G,R[,A]
+          rgb(o) = b(po + 2); rgb(o + 1) = b(po + 1); rgb(o + 2) = b(po)
+        }
+        x += 1
+      }
+      r += 1
+    }
+    BmpImage(w, h, rgb)
+  }
+
+  def bmpStats(b: Array[Byte]): BmpStats = {
+    val im = bmpDecode(b)
+    if (im == null) return null
+    var sr = 0L; var sg = 0L; var sb = 0L; var ws = 0L
+    val n = im.width * im.height
+    var i = 0
+    while (i < n) {
+      val pr = im.rgb(3 * i) & 0xff
+      val pg = im.rgb(3 * i + 1) & 0xff
+      val pb = im.rgb(3 * i + 2) & 0xff
+      sr += pr; sg += pg; sb += pb
+      // position-weighted: a wrong bottom-up/top-down or padding walk
+      // changes wsum even when the plain sums survive it
+      ws += i.toLong * (pr + pg + pb)
+      i += 1
+    }
+    BmpStats(im.width, im.height, n.toLong, sr, sg, sb, ws)
+  }
+
+  val bmpStatsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(bmpStats _)
+
+  /** Same feature contract as [[pngFeatures]], from the BMP decode. */
+  def bmpFeatures(b: Array[Byte], buckets: Int): Array[Float] = {
+    if (buckets < 4) return null
+    val im = bmpDecode(b)
+    if (im == null) return null
+    featuresOf(im.rgb, im.width * im.height, buckets)
+  }
+
+  /** Shared (rgb triples -> means + luminance histogram) kernel. */
+  private def featuresOf(rgb: Array[Byte], n: Int,
+      buckets: Int): Array[Float] = {
+    val bins = buckets - 3
+    val hist = new Array[Long](bins)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < n) {
+      val r = rgb(3 * i) & 0xff
+      val g = rgb(3 * i + 1) & 0xff
+      val bl = rgb(3 * i + 2) & 0xff
+      sr += r; sg += g; sb += bl
+      val luma = (r * 299 + g * 587 + bl * 114) / 1000
+      hist(math.min(bins - 1, luma * bins / 256)) += 1
+      i += 1
+    }
+    val out = new Array[Float](buckets)
+    out(0) = (sr.toDouble / n / 255.0).toFloat
+    out(1) = (sg.toDouble / n / 255.0).toFloat
+    out(2) = (sb.toDouble / n / 255.0).toFloat
+    var k = 0
+    while (k < bins) { out(3 + k) = (hist(k).toDouble / n).toFloat; k += 1 }
+    out
+  }
+
+  /** Minimal BMP encoder (BI_RGB 24-bit or 8-bit palette, bottom-up or
+    * top-down) — forward complement of [[bmpStats]] for fixtures.
+    * For `bits = 8`, `pixels` holds palette indices and `palette` the
+    * RGB triples; for `bits = 24`, `pixels` holds RGB triples.
+    */
+  def bmpEncode(width: Int, height: Int, pixels: Array[Byte],
+      bits: Int = 24, palette: Array[Byte] = null,
+      topDown: Boolean = false): Array[Byte] = {
+    require(bits == 24 || bits == 8)
+    val palEntries = if (bits == 8) { require(palette != null); palette.length / 3 } else 0
+    val bytesPerPx = if (bits == 8) 1 else 3
+    require(pixels.length == width * height * bytesPerPx)
+    val rowBytes = ((width * bytesPerPx + 3) / 4) * 4
+    val dataOff = 54 + 4 * palEntries
+    val size = dataOff + rowBytes * height
+    val out = new Array[Byte](size)
+    def w16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte }
+    def w32(o: Int, v: Int): Unit = { w16(o, v & 0xffff); w16(o + 2, v >>> 16) }
+    out(0) = 'B'; out(1) = 'M'
+    w32(2, size); w32(10, dataOff)
+    w32(14, 40); w32(18, width)
+    w32(22, if (topDown) -height else height)
+    w16(26, 1); w16(28, bits); w32(30, 0)
+    w32(34, rowBytes * height)
+    if (bits == 8) {
+      w32(46, palEntries)
+      for (c <- 0 until palEntries) { // stored as B,G,R,0 quads
+        out(54 + 4 * c) = palette(3 * c + 2)
+        out(54 + 4 * c + 1) = palette(3 * c + 1)
+        out(54 + 4 * c + 2) = palette(3 * c)
+      }
+    }
+    for (r <- 0 until height) {
+      val y = if (topDown) r else height - 1 - r
+      val ro = dataOff + r * rowBytes
+      for (x <- 0 until width) {
+        if (bits == 8) out(ro + x) = pixels(y * width + x)
+        else {
+          val po = (y * width + x) * 3 // write B,G,R
+          out(ro + 3 * x) = pixels(po + 2)
+          out(ro + 3 * x + 1) = pixels(po + 1)
+          out(ro + 3 * x + 2) = pixels(po)
+        }
+      }
+    }
+    out
   }
 }

@@ -569,6 +569,52 @@ class BinarySpec extends SparkSpec {
     assert(MediaHeaders.gifStats("GIF89a but not really".getBytes) == null)
     assert(MediaHeaders.gifStats(null) == null)
   }
+
+  // ---- BMP decode ---------------------------------------------------
+
+  test("bmp round-trip: 24-bit both row orders, 8-bit palette, padding") {
+    // odd width 7 forces 3-byte row padding in the 24-bit case
+    val (w, h) = (7, 5)
+    val px = gradient(w, h, 3)
+    def expect(st: graft.llm.MediaHeaders.BmpStats): Unit = {
+      assert(st != null)
+      val (sr, sg, sb) = sums(px, w, h, 3)
+      var ws = 0L
+      for (i <- 0 until w * h)
+        ws += i.toLong * ((px(3 * i) & 0xff) + (px(3 * i + 1) & 0xff) +
+          (px(3 * i + 2) & 0xff))
+      assert((st.width, st.height) == (w, h))
+      assert((st.sum_r, st.sum_g, st.sum_b, st.wsum) == ((sr, sg, sb, ws)))
+    }
+    expect(MediaHeaders.bmpStats(MediaHeaders.bmpEncode(w, h, px)))
+    expect(MediaHeaders.bmpStats(
+      MediaHeaders.bmpEncode(w, h, px, topDown = true)))
+    // 8-bit palette: indices (y*w+x) % 5 into a 5-color palette
+    val pal = Array.tabulate(15)(i => ((i * 41 + 3) % 256).toByte)
+    val idx = Array.tabulate(w * h)(i => (i % 5).toByte)
+    val rgbExpanded = new Array[Byte](w * h * 3)
+    for (i <- 0 until w * h; c <- 0 until 3)
+      rgbExpanded(3 * i + c) = pal(3 * (idx(i) & 0xff) + c)
+    val st8 = MediaHeaders.bmpStats(
+      MediaHeaders.bmpEncode(w, h, idx, bits = 8, palette = pal))
+    assert(st8 != null)
+    val im8 = MediaHeaders.bmpDecode(
+      MediaHeaders.bmpEncode(w, h, idx, bits = 8, palette = pal))
+    assert(im8.rgb.toSeq == rgbExpanded.toSeq)
+  }
+
+  test("bmp decode: precise rejects") {
+    val good = MediaHeaders.bmpEncode(4, 4, gradient(4, 4, 3))
+    assert(MediaHeaders.bmpStats(good) != null)
+    assert(MediaHeaders.bmpStats(
+      java.util.Arrays.copyOfRange(good, 0, good.length - 8)) == null)
+    val bad = good.clone(); bad(0) = 'X'.toByte
+    assert(MediaHeaders.bmpStats(bad) == null)
+    // RLE compression flag -> precise reject
+    val rle = good.clone(); rle(30) = 1
+    assert(MediaHeaders.bmpStats(rle) == null)
+    assert(MediaHeaders.bmpStats(null) == null)
+  }
 }
 
 /** Hand-rolled [MS-CFB] + [MS-XLS] BIFF8 fixture writer (test-only). */
