@@ -216,8 +216,12 @@ object ParserOps {
             "(\\d{3}) (\\S+)(?: \"([^\"]*)\" \"([^\"]*)\")?.*$"
           val fields = Seq("remote_host", "ident", "auth", "time", "method",
             "uri", "status", "bytes", "referrer", "user_agent")
+          // one regex execution per row (native all-groups expression +
+          // codegen CSE), not one full match per field
+          val groups = org.apache.spark.sql.graftx.functions
+            .regex_groups_all(col(c).cast(StringType), re)
           fields.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
-            d.withColumn(s"${c}_$f", regexp_extract(col(c), re, i + 1))
+            d.withColumn(s"${c}_$f", groups.getItem(i))
           }
         // the agent log is ONLY an unquoted user-agent, which contains
         // spaces — no %-directive pattern can express capture-to-EOL,
@@ -235,8 +239,10 @@ object ParserOps {
             case _         => fmt
           }
           val (re, fields) = HttpdLogFormat.compile(resolved)
+          val groups = org.apache.spark.sql.graftx.functions
+            .regex_groups_all(col(c).cast(StringType), re)
           fields.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
-            d.withColumn(s"${c}_$f", regexp_extract(col(c), re, i + 1))
+            d.withColumn(s"${c}_$f", groups.getItem(i))
           }
       }
     }

@@ -162,8 +162,11 @@ object StringOps {
       val c = spec.col(0)
       val re = spec.str(1)
       val n = java.util.regex.Pattern.compile(re).matcher("").groupCount()
+      // one regex execution per row for all n groups (CSE'd native expr)
+      val groups = org.apache.spark.sql.graftx.functions
+        .regex_groups_all(col(c).cast(StringType), re)
       (1 to n).foldLeft(df) { (d, i) =>
-        d.withColumn(s"${c}_$i", regexp_extract(col(c), re, i))
+        d.withColumn(s"${c}_$i", groups.getItem(i - 1))
       }
     }
 

@@ -141,6 +141,50 @@ object UrlPartsExpr {
     } catch { case _: java.net.URISyntaxException => null }
 }
 
+/** ALL capture groups of a regex in ONE match execution per row, as
+  * array<string> — replaces N independent `regexp_extract` calls (one
+  * per group), each of which re-runs the whole regex. Per-group
+  * semantics mirror `regexp_extract`: empty string when the regex
+  * doesn't match or the group didn't participate. Codegen CSE
+  * computes the array once; the element reads are free.
+  */
+case class RegexGroupsAllExpr(child: Expression, regex: String)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val pattern = java.util.regex.Pattern.compile(regex)
+  @transient private lazy val nGroups = pattern.matcher("").groupCount()
+
+  def extractAll(v: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = new Array[AnyRef](nGroups)
+    val m = pattern.matcher(v.toString)
+    if (m.find()) {
+      var i = 0
+      while (i < nGroups) {
+        val g = m.group(i + 1)
+        out(i) =
+          if (g == null) UTF8String.EMPTY_UTF8 else UTF8String.fromString(g)
+        i += 1
+      }
+    } else java.util.Arrays.fill(out, UTF8String.EMPTY_UTF8)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(value: Any): Any =
+    extractAll(value.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("regexGroupsAll", this,
+      classOf[RegexGroupsAllExpr].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.extractAll($v);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RegexGroupsAllExpr = copy(child = newChild)
+}
+
 /** Column-level API for the native expressions. */
 object functions {
   def mask_number(col: Column, pattern: Column): Column =
@@ -152,4 +196,8 @@ object functions {
 
   def url_parts(col: Column): Column =
     ExpressionUtils.column(UrlPartsExpr(ExpressionUtils.expression(col)))
+
+  def regex_groups_all(col: Column, regex: String): Column =
+    ExpressionUtils.column(
+      RegexGroupsAllExpr(ExpressionUtils.expression(col), regex))
 }
