@@ -2408,6 +2408,42 @@ object QueryBank {
         |   AS BIGINT) AS sum_b
         |FROM g""".stripMargin),
 
+    ("extract_html_text",
+      // boilerplate-stripping HTML -> text: title from <head>, script
+      // subtree dropped, block tags become line boundaries, entities
+      // decoded — the oracle rebuilds the expected extraction literally
+      (s, d) => r("""set-column :h exp:{ concat('<html><head><title>Doc ', c_custkey, '</title><script>var x = "<p>not text</p>";</script></head><body><h1>', c_mktsegment, '</h1><p>Name &amp; ', c_name, '</p></body></html>') }; extract-html-text :h; keep :c_custkey,:h_title,:h_text""")(cust(s, d)),
+      """SELECT c_custkey, 'Doc ' || c_custkey AS h_title,
+        | c_mktsegment || chr(10) || 'Name & ' || c_name AS h_text
+        |FROM customer""".stripMargin),
+
+    ("parse_as_warc",
+      // WARC/WET ingestion: two records per doc (HTTP response +
+      // conversion) synthesized byte-exactly per the ISO 28500 layout,
+      // parsed back through the real record splitter; DuckDB rebuilds
+      // every surfaced field including the Content-Length arithmetic
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        r("parse-as-warc :w; keep :doc_id,:w_warc_type,:w_target_uri,:w_http_status,:w_content_length,:w_payload")(
+          docs(s, d).select(col("doc_id"))
+            .filter(col("doc_id") < 300)
+            .withColumn("w", synthWarcUdf(col("doc_id"))))
+      },
+      """WITH base AS (SELECT doc_id,
+        |  '<html><body><p>doc ' || doc_id || '</p></body></html>' AS body,
+        |  'text of doc ' || doc_id AS conv
+        | FROM documents WHERE doc_id < 300)
+        |SELECT doc_id, 'response' AS w_warc_type,
+        |  'http://ex.com/' || doc_id AS w_target_uri,
+        |  CAST(200 AS INT) AS w_http_status,
+        |  CAST(44 + length(body) AS BIGINT) AS w_content_length,
+        |  body AS w_payload
+        |FROM base
+        |UNION ALL
+        |SELECT doc_id, 'conversion', 'http://ex.com/' || doc_id,
+        |  CAST(NULL AS INT), CAST(length(conv) AS BIGINT), conv
+        |FROM base""".stripMargin),
+
     ("multimodal_bmp_decode",
       // REAL BMP decode: 24-bit BI_RGB payloads (bottom-up for even
       // ids, top-down for odd — the padding walk and row order are
@@ -3453,6 +3489,30 @@ object QueryBank {
       y += 1
     }
     graft.llm.MediaHeaders.bmpEncode(w, h, px, topDown = id % 2 == 1)
+  })
+
+  /** Fixture: a two-record WARC blob per doc — an HTTP response whose
+    * body is a pure function of the id, then the matching WET-style
+    * conversion record — built byte-exactly per the ISO 28500 layout
+    * (CRLF headers, Content-Length-delimited payload, two-CRLF
+    * separator) so the oracle can rebuild every parsed field.
+    */
+  private val synthWarcUdf = org.apache.spark.sql.functions.udf((id: Long) => {
+    def rec(typ: String, uri: String, payload: String, http: Boolean): String = {
+      val full =
+        if (http) s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$payload"
+        else payload
+      val n = full.getBytes("UTF-8").length
+      s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+        s"WARC-Record-ID: <urn:uuid:$id-$typ>\r\n" +
+        (if (http) "Content-Type: application/http; msgtype=response\r\n"
+         else "Content-Type: text/plain\r\n") +
+        s"Content-Length: $n\r\n\r\n$full\r\n\r\n"
+    }
+    val body = s"<html><body><p>doc $id</p></body></html>"
+    rec("response", s"http://ex.com/$id", body, http = true) +
+      rec("conversion", s"http://ex.com/$id", s"text of doc $id", http = false)
   })
 
   val queries: Map[String, Q] =

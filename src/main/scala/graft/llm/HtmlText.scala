@@ -1,0 +1,157 @@
+package graft.llm
+
+/** HTML → text extraction for web corpora — the step WET conversion /
+  * trafilatura-class tools perform before any quality gate can run.
+  * Deterministic single-pass state machine (no DOM, no external
+  * parser): drops script/style/noscript/template subtrees, comments
+  * and CDATA, turns block-level boundaries into newlines, strips all
+  * other tags, decodes the standard entity set, and collapses
+  * whitespace. Title is surfaced separately.
+  *
+  * Per-row kernel (JVM function, not a Catalyst HOF chain) following
+  * the measured kernel-vs-HOF rule in PERF.md.
+  */
+object HtmlText {
+
+  private val BlockTags: Set[String] = Set(
+    "p", "div", "br", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "h6",
+    "tr", "table", "thead", "tbody", "td", "th", "section", "article",
+    "header", "footer", "blockquote", "pre", "hr", "dt", "dd", "dl",
+    "figure", "figcaption", "nav", "aside", "main", "form")
+
+  private val DropTags: Set[String] = Set(
+    "script", "style", "noscript", "template", "svg", "head", "iframe")
+
+  private val Entities: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ", "ndash" -> "–",
+    "mdash" -> "—", "hellip" -> "…", "copy" -> "©",
+    "reg" -> "®", "trade" -> "™", "laquo" -> "«",
+    "raquo" -> "»", "lsquo" -> "‘", "rsquo" -> "’",
+    "ldquo" -> "“", "rdquo" -> "”")
+
+  def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val name = s.substring(i + 1, semi)
+          if (name.startsWith("#x") || name.startsWith("#X")) {
+            scala.util.Try(Integer.parseInt(name.substring(2), 16)) match {
+              case scala.util.Success(cp) if Character.isValidCodePoint(cp) =>
+                sb.appendAll(Character.toChars(cp)); i = semi + 1
+              case _ => sb.append(c); i += 1
+            }
+          } else if (name.startsWith("#")) {
+            scala.util.Try(Integer.parseInt(name.substring(1))) match {
+              case scala.util.Success(cp) if Character.isValidCodePoint(cp) =>
+                sb.appendAll(Character.toChars(cp)); i = semi + 1
+              case _ => sb.append(c); i += 1
+            }
+          } else Entities.get(name.toLowerCase) match {
+            case Some(rep) => sb.append(rep); i = semi + 1
+            case None      => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** (title, text): title from the first <title> element; text with
+    * one line per block, whitespace collapsed, empty lines dropped.
+    */
+  def extract(html0: String): (String, String) = {
+    if (html0 == null) return (null, null)
+    val html = html0
+    val text = new StringBuilder(html.length / 2)
+    var title: String = null
+    var titleBuf: StringBuilder = null
+    var i = 0
+    var dropDepth = 0
+    var dropTag: String = null
+    def tagNameAt(start: Int): (String, Boolean, Int) = {
+      // returns (lowercased name, isClosing, index just past '>')
+      var j = start + 1
+      val closing = j < html.length && html.charAt(j) == '/'
+      if (closing) j += 1
+      val nameStart = j
+      while (j < html.length && (html.charAt(j).isLetterOrDigit ||
+        html.charAt(j) == '-')) j += 1
+      val name = html.substring(nameStart, j).toLowerCase
+      // scan to '>' respecting quoted attribute values
+      var quote: Char = 0
+      while (j < html.length &&
+        !(quote == 0 && html.charAt(j) == '>')) {
+        val ch = html.charAt(j)
+        if (quote == 0 && (ch == '"' || ch == '\'')) quote = ch
+        else if (ch == quote) quote = 0
+        j += 1
+      }
+      (name, closing, math.min(j + 1, html.length))
+    }
+    while (i < html.length) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) html.length else e + 3
+        } else if (html.startsWith("<![CDATA[", i)) {
+          val e = html.indexOf("]]>", i + 9)
+          i = if (e < 0) html.length else e + 3
+        } else if (html.startsWith("<!", i) || html.startsWith("<?", i)) {
+          val e = html.indexOf('>', i + 1)
+          i = if (e < 0) html.length else e + 1
+        } else {
+          val (name, closing, next) = tagNameAt(i)
+          i = next
+          if (name == "title") {
+            if (!closing && title == null) titleBuf = new StringBuilder
+            else if (closing && titleBuf != null) {
+              title = collapseWs(decodeEntities(titleBuf.toString))
+              titleBuf = null
+            }
+          } else if (DropTags(name)) {
+            if (!closing) {
+              if (dropDepth == 0) dropTag = name
+              if (name == dropTag) dropDepth += 1
+            } else if (name == dropTag && dropDepth > 0) {
+              dropDepth -= 1
+              if (dropDepth == 0) dropTag = null
+            }
+          } else if (BlockTags(name) && dropDepth == 0) {
+            text.append('\n')
+          }
+        }
+      } else {
+        // title capture wins even inside <head> (a drop subtree —
+        // that's where <title> lives)
+        if (titleBuf != null) titleBuf.append(c)
+        else if (dropDepth == 0) text.append(c)
+        i += 1
+      }
+    }
+    val lines = decodeEntities(text.toString)
+      .split('\n')
+      .iterator
+      .map(collapseWs)
+      .filter(_.nonEmpty)
+      .mkString("\n")
+    (title, lines)
+  }
+
+  private def collapseWs(s: String): String =
+    s.replaceAll("[\\s\\u00a0]+", " ").trim
+
+  val extractUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((h: String) => {
+      val (t, x) = extract(h)
+      if (t == null && x == null) null else Row2(t, x)
+    })
+
+  case class Row2(title: String, text: String)
+}

@@ -73,6 +73,20 @@ object LlmOps {
     // retention (terminal punctuation, >=minWords words, no
     // "javascript") + page blanking (lorem ipsum / '{' / too few
     // sentences -> ''); compose with filter-empty-or-null
+    // `extract-html-text :col` — boilerplate-stripping HTML -> text
+    // (the WET-conversion step for web corpora): drops script/style/
+    // head subtrees, block tags become line boundaries, entities
+    // decoded, whitespace collapsed. Appends <col>_title, <col>_text.
+    case "extract-html-text" => ColumnOps.simple(spec) { df =>
+      val c = spec.col(0)
+      val ex = graft.llm.HtmlText.extractUdf(
+        col(c).cast(org.apache.spark.sql.types.StringType))
+      df.withColumn("__html", ex)
+        .withColumn(s"${c}_title", col("__html.title"))
+        .withColumn(s"${c}_text", col("__html.text"))
+        .drop("__html")
+    }
+
     case "clean-lines-c4" => ColumnOps.simple(spec) { df =>
       df.withColumn(spec.col(0), graft.functions.Udfs.c4CleanLinesUdf(
         col(spec.col(0)),

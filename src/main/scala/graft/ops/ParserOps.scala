@@ -194,6 +194,35 @@ object ParserOps {
       }
     }
 
+    // `parse-as-warc :col` — WARC/WET records (Common Crawl container,
+    // ISO 28500): one output row per record, HTTP envelope unwrapped
+    // for response records. Gzipped blobs (per-record gzip members)
+    // handled transparently. Column holds one shard / record / any
+    // concatenation as binary or string.
+    case "parse-as-warc" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        val bin =
+          if (df.schema(c).dataType == BinaryType) col(c)
+          else col(c).cast(StringType).cast(BinaryType)
+        df.withColumn("__warc",
+            explode(graft.sources.Warc.parseAllUdf(bin)))
+          .drop(c)
+          .withColumn(s"${c}_warc_type", col("__warc.warc_type"))
+          .withColumn(s"${c}_target_uri", col("__warc.target_uri"))
+          .withColumn(s"${c}_date", col("__warc.date"))
+          .withColumn(s"${c}_record_id", col("__warc.record_id"))
+          .withColumn(s"${c}_content_type", col("__warc.content_type"))
+          .withColumn(s"${c}_content_length", col("__warc.content_length"))
+          .withColumn(s"${c}_http_status", col("__warc.http_status"))
+          .withColumn(s"${c}_http_content_type",
+            col("__warc.http_content_type"))
+          .withColumn(s"${c}_payload", col("__warc.payload"))
+          .drop("__warc")
+      }
+    }
+
     // (reference: wrangler-core directives/language/SetCharset.java:77)
     case "set-charset" => ColumnOps.simple(spec) { df =>
       val c = spec.col(0)

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.llm.HtmlText
+import graft.sources.Warc
+
+/** HTML text extraction + WARC/WET ingestion (web-corpus path). */
+class WebSpec extends SparkSpec {
+
+  // ---- HtmlText -----------------------------------------------------
+
+  test("html extract: title, drop subtrees, blocks, entities, comments") {
+    val html =
+      """<!DOCTYPE html><html><head><title> My &amp; Page </title>
+        |<style>p { color: red }</style>
+        |<script>if (1 < 2) { alert("<p>not text</p>"); }</script>
+        |</head><body>
+        |<h1>Header</h1>
+        |<!-- a comment with <p>tags</p> inside -->
+        |<p>First &lt;paragraph&gt; with <b>inline</b> bold.</p>
+        |<div attr=">quoted bracket">Second   block</div>
+        |<ul><li>one</li><li>two &#65;</li></ul>
+        |<noscript><p>no js</p></noscript>
+        |</body></html>""".stripMargin
+    val (title, text) = HtmlText.extract(html)
+    assert(title == "My & Page")
+    val lines = text.split("\n").toSeq
+    assert(lines.contains("Header"))
+    assert(lines.contains("First <paragraph> with inline bold."))
+    assert(lines.contains("Second block"))   // whitespace collapsed
+    assert(lines.contains("one"))
+    assert(lines.contains("two A"))          // &#65; -> A
+    assert(!text.contains("alert"))          // script dropped
+    assert(!text.contains("color"))          // style dropped
+    assert(!text.contains("no js"))          // noscript dropped
+    assert(!text.contains("comment"))        // comments dropped
+    assert(!text.contains("quoted bracket")) // attr value not text
+  }
+
+  test("html extract: edge inputs") {
+    assert(HtmlText.extract(null) == ((null, null)))
+    assert(HtmlText.extract("no tags at all") == ((null, "no tags at all")))
+    assert(HtmlText.extract("<p>unclosed") == ((null, "unclosed")))
+    // hex entity + unknown entity passes through
+    assert(HtmlText.extract("<p>&#x41;&bogus;</p>") == ((null, "A&bogus;")))
+  }
+
+  test("extract-html-text directive appends title and text columns") {
+    val d = df("id BIGINT, h STRING", Seq(
+      Row(1L, "<html><head><title>T1</title></head><body><p>Hello</p><p>World</p></body></html>"),
+      Row(2L, null)))
+    val out = wrangle("extract-html-text :h", d).orderBy("id").collect()
+    assert(out(0).getAs[String]("h_title") == "T1")
+    assert(out(0).getAs[String]("h_text") == "Hello\nWorld")
+    assert(out(1).isNullAt(out(1).fieldIndex("h_title")))
+  }
+
+  // ---- Warc ---------------------------------------------------------
+
+  private def warcRecord(typ: String, uri: String, body: String,
+      http: Boolean): String = {
+    val payload =
+      if (http) s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$body"
+      else body
+    val pb = payload.getBytes("UTF-8")
+    s"WARC/1.0\r\n" +
+      s"WARC-Type: $typ\r\n" +
+      (if (uri != null) s"WARC-Target-URI: $uri\r\n" else "") +
+      s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      s"WARC-Record-ID: <urn:uuid:$typ-1>\r\n" +
+      (if (http) "Content-Type: application/http; msgtype=response\r\n"
+       else "Content-Type: text/plain\r\n") +
+      s"Content-Length: ${pb.length}\r\n\r\n" +
+      payload + "\r\n\r\n"
+  }
+
+  test("warc parse: response envelope, conversion record, warcinfo") {
+    val blob = (warcRecord("warcinfo", null, "software: test", http = false) +
+      warcRecord("response", "http://ex.com/a", "<html>A</html>", http = true) +
+      warcRecord("conversion", "http://ex.com/a", "plain text A", http = false))
+      .getBytes("UTF-8")
+    val rs = Warc.parseAll(blob)
+    assert(rs.map(_.warc_type) == Seq("warcinfo", "response", "conversion"))
+    val resp = rs(1)
+    assert(resp.target_uri == "http://ex.com/a")
+    assert(resp.http_status == 200)
+    assert(resp.http_content_type == "text/html")
+    assert(resp.payload == "<html>A</html>")
+    assert(rs(2).payload == "plain text A")
+    assert(rs(2).http_status == null)
+  }
+
+  test("warc parse: gzip (single and multi-member) and truncation") {
+    def gz(s: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s); g.close(); bos.toByteArray
+    }
+    val r1 = warcRecord("conversion", "u1", "body one", http = false).getBytes("UTF-8")
+    val r2 = warcRecord("conversion", "u2", "body two", http = false).getBytes("UTF-8")
+    // multi-member: each record its own gzip member (the CC layout)
+    val multi = gz(r1) ++ gz(r2)
+    val rs = Warc.parseAll(multi)
+    assert(rs.map(_.payload) == Seq("body one", "body two"))
+    // truncated shard: parse keeps the complete prefix records
+    val trunc = (r1 ++ r2).dropRight(30)
+    val rt = Warc.parseAll(trunc)
+    assert(rt.length == 1 && rt.head.payload == "body one")
+    assert(Warc.parseAll(Array.emptyByteArray).isEmpty)
+    assert(Warc.parseAll(null).isEmpty)
+  }
+
+  test("warc file read: one row per record with provenance path") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_test")
+    val f = dir.resolve("shard-00000.warc")
+    java.nio.file.Files.write(f,
+      (warcRecord("response", "http://ex.com/x", "<p>X</p>", http = true) +
+       warcRecord("response", "http://ex.com/y", "<p>Y</p>", http = true))
+        .getBytes("UTF-8"))
+    val out = Warc.read(spark, dir.toString + "/*.warc")
+      .orderBy("target_uri").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("target_uri") == "http://ex.com/x")
+    assert(out(0).getAs[String]("payload") == "<p>X</p>")
+    assert(out(0).getAs[String]("path").endsWith("shard-00000.warc"))
+  }
+
+  test("parse-as-warc directive + extract-html-text compose") {
+    val blob = warcRecord("response", "http://ex.com/p",
+      "<html><head><title>T</title></head><body><p>Hi &amp; bye</p></body></html>",
+      http = true)
+    val d = df("id BIGINT, w STRING", Seq(Row(1L, blob)))
+    val out = wrangle(
+      "parse-as-warc :w; extract-html-text :w_payload;", d).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("w_warc_type") == "response")
+    assert(r.getAs[Int]("w_http_status") == 200)
+    assert(r.getAs[String]("w_payload_title") == "T")
+    assert(r.getAs[String]("w_payload_text") == "Hi & bye")
+  }
+}
