@@ -2444,6 +2444,34 @@ object QueryBank {
         |  CAST(NULL AS INT), CAST(length(conv) AS BIGINT), conv
         |FROM base""".stripMargin),
 
+    ("multimodal_jpeg_decode",
+      // REAL JPEG decode via the JDK's ImageIO (public java.desktop
+      // API — full JPEG codec in every JDK). Lossy DCT means pixel
+      // sums are decoder-exact but formula-inexact, so the oracle is
+      // shape + bounded error: dimensions exactly, per-channel means
+      // within a quantization tolerance of the smooth-ramp fixture.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val jp = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthJpegUdf(col("doc_id")))
+        jp.select(col("doc_id"),
+            graft.llm.MediaHeaders.jpegStatsUdf(col("payload")).as("st"))
+          .select(col("doc_id"),
+            col("st.width").as("jpeg_w"), col("st.height").as("jpeg_h"),
+            // expected means of the linear-ramp planes; tolerance 8
+            // absorbs DCT quantization + chroma subsampling
+            ((abs(col("st.sum_r") / col("st.n_pixels")
+                - (col("doc_id") % 100 + (col("st.width") - 1) * 2)) < 8) &&
+             (abs(col("st.sum_g") / col("st.n_pixels")
+                - (col("doc_id") % 90 + (col("st.height") - 1) * 1.5)) < 8) &&
+             (abs(col("st.sum_b") / col("st.n_pixels")
+                - lit(64.0)) < 8)).as("means_ok"))
+      },
+      """SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS jpeg_w,
+        | CAST(8 + doc_id % 7 AS INT) AS jpeg_h, true AS means_ok
+        |FROM documents WHERE doc_id < 200""".stripMargin),
+
     ("multimodal_bmp_decode",
       // REAL BMP decode: 24-bit BI_RGB payloads (bottom-up for even
       // ids, top-down for odd — the padding walk and row order are
@@ -3513,6 +3541,29 @@ object QueryBank {
     val body = s"<html><body><p>doc $id</p></body></html>"
     rec("response", s"http://ex.com/$id", body, http = true) +
       rec("conversion", s"http://ex.com/$id", s"text of doc $id", http = false)
+  })
+
+  /** Fixture: a real JPEG of smooth linear ramps (so compression error
+    * stays small) — w = 8+id%9, h = 8+id%7, r = id%100 + 4x,
+    * g = id%90 + 3y, b = 64 — encoded by ImageIO's JPEG writer.
+    */
+  private val synthJpegUdf = org.apache.spark.sql.functions.udf((id: Long) => {
+    val w = (8 + id % 9).toInt
+    val h = (8 + id % 7).toInt
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        px(o) = ((id % 100) + 4 * x).toByte
+        px(o + 1) = ((id % 90) + 3 * y).toByte
+        px(o + 2) = 64.toByte
+        x += 1
+      }
+      y += 1
+    }
+    graft.llm.MediaHeaders.jpegEncode(w, h, px)
   })
 
   val queries: Map[String, Q] =

@@ -93,7 +93,11 @@ object Multimodal {
       if (png != null) png
       else {
         val gif = MediaHeaders.gifFeatures(b, buckets)
-        if (gif != null) gif else MediaHeaders.bmpFeatures(b, buckets)
+        if (gif != null) gif
+        else {
+          val bmp = MediaHeaders.bmpFeatures(b, buckets)
+          if (bmp != null) bmp else MediaHeaders.jpegFeatures(b, buckets)
+        }
       }
     })
     coalesce(real(payload), decodeStub(payload, buckets))
@@ -931,6 +935,96 @@ object MediaHeaders {
     w8(0) // block terminator
     w8(0x3b)
     out.toByteArray
+  }
+
+  // ---- JPEG pixel decode (real, via the JDK's ImageIO) -------------
+  // javax.imageio is a PUBLIC java.desktop API present in every full
+  // JDK (verified in this container: JPEG/PNG/GIF/BMP/TIFF readers).
+  // JPEG stays decoder-exact but formula-inexact (lossy DCT), so its
+  // oracle checks dimensions exactly and channel means within a
+  // quantization tolerance — falsifiable, not formula-hash-exact.
+
+  case class JpegStats(width: Int, height: Int, n_pixels: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  private def ensureHeadless(): Unit =
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
+
+  def jpegStats(b: Array[Byte]): JpegStats = {
+    if (b == null || b.length < 4 ||
+        (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return null
+    ensureHeadless()
+    val im =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case _: Exception => null }
+    if (im == null) return null
+    val (w, h) = (im.getWidth, im.getHeight)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = im.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    JpegStats(w, h, w.toLong * h, sr, sg, sb)
+  }
+
+  val jpegStatsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(jpegStats _)
+
+  /** Same feature contract as [[pngFeatures]], from the JPEG decode. */
+  def jpegFeatures(b: Array[Byte], buckets: Int): Array[Float] = {
+    if (buckets < 4) return null
+    if (b == null || b.length < 4 ||
+        (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return null
+    ensureHeadless()
+    val im =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case _: Exception => null }
+    if (im == null) return null
+    val (w, h) = (im.getWidth, im.getHeight)
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = im.getRGB(x, y)
+        val o = (y * w + x) * 3
+        rgb(o) = ((p >> 16) & 0xff).toByte
+        rgb(o + 1) = ((p >> 8) & 0xff).toByte
+        rgb(o + 2) = (p & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    featuresOf(rgb, w * h, buckets)
+  }
+
+  /** JPEG encoder via ImageIO (fixture complement of [[jpegStats]]). */
+  def jpegEncode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3)
+    ensureHeadless()
+    val im = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val o = (y * width + x) * 3
+        im.setRGB(x, y, ((rgb(o) & 0xff) << 16) |
+          ((rgb(o + 1) & 0xff) << 8) | (rgb(o + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "jpg", bos)
+    bos.toByteArray
   }
 
   // ---- BMP pixel decode (real, pure-JVM) ---------------------------

@@ -615,6 +615,35 @@ class BinarySpec extends SparkSpec {
     assert(MediaHeaders.bmpStats(rle) == null)
     assert(MediaHeaders.bmpStats(null) == null)
   }
+
+  // ---- JPEG decode (ImageIO) ---------------------------------------
+
+  test("jpeg round-trip: exact dims, means within DCT tolerance") {
+    val (w, h) = (16, 12)
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      px(o) = (40 + 4 * x).toByte    // smooth ramps keep error small
+      px(o + 1) = (30 + 3 * y).toByte
+      px(o + 2) = 64.toByte
+    }
+    val bytes = MediaHeaders.jpegEncode(w, h, px)
+    assert(bytes.length > 100 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8)
+    val st = MediaHeaders.jpegStats(bytes)
+    assert(st != null && (st.width, st.height) == ((w, h)))
+    def mean(sum: Long) = sum.toDouble / st.n_pixels
+    assert(math.abs(mean(st.sum_r) - (40 + 2.0 * (w - 1))) < 8)
+    assert(math.abs(mean(st.sum_g) - (30 + 1.5 * (h - 1))) < 8)
+    assert(math.abs(mean(st.sum_b) - 64.0) < 8)
+    val f = MediaHeaders.jpegFeatures(bytes, 8)
+    assert(f != null && f.length == 8 && math.abs(f.drop(3).sum - 1.0f) < 1e-5)
+    // rejects
+    assert(MediaHeaders.jpegStats("not a jpeg".getBytes) == null)
+    assert(MediaHeaders.jpegStats(
+      java.util.Arrays.copyOfRange(bytes, 0, 20)) == null)
+    assert(MediaHeaders.jpegStats(null) == null)
+  }
 }
 
 /** Hand-rolled [MS-CFB] + [MS-XLS] BIFF8 fixture writer (test-only). */
