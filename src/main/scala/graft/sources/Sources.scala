@@ -24,6 +24,9 @@ object Sources {
       case "orc"             => "orc"
       case "txt" | "log"     => "text"
       case "avro"            => "avro"
+      case "warc" | "wet" | "wat" => "warc"
+      case "gz" if name.endsWith(".warc.gz") || name.endsWith(".wet.gz") ||
+        name.endsWith(".wat.gz") => "warc"
       case _                 => "parquet" // directories default to parquet
     }
   }
@@ -40,6 +43,7 @@ object Sources {
       case "orc"     => spark.read.orc(path)
       case "text"    => spark.read.text(path)
       case "avro"    => readAvro(spark, path)
+      case "warc"    => Warc.read(spark, path)
       case _         => spark.read.parquet(path)
     }
 

@@ -125,6 +125,20 @@ class WebSpec extends SparkSpec {
     assert(out(0).getAs[String]("path").endsWith("shard-00000.warc"))
   }
 
+  test("source autodetect routes .warc/.wet(.gz) to the WARC reader") {
+    import graft.sources.Sources
+    assert(Sources.detectFormat("/data/shard-0.warc") == "warc")
+    assert(Sources.detectFormat("/data/CC-MAIN.wet.gz") == "warc")
+    assert(Sources.detectFormat("/data/CC-MAIN.warc.gz") == "warc")
+    assert(Sources.detectFormat("/data/plain.gz") == "parquet")
+    val dir = java.nio.file.Files.createTempDirectory("warc_auto")
+    java.nio.file.Files.write(dir.resolve("a.warc"),
+      warcRecord("conversion", "u", "auto body", http = false).getBytes("UTF-8"))
+    val out = Sources.auto(spark, dir.toString + "/*.warc").collect()
+    assert(out.length == 1 &&
+      out.head.getAs[String]("payload") == "auto body")
+  }
+
   test("parse-as-warc directive + extract-html-text compose") {
     val blob = warcRecord("response", "http://ex.com/p",
       "<html><head><title>T</title></head><body><p>Hi &amp; bye</p></body></html>",
