@@ -187,4 +187,28 @@ class PlanSpec extends SparkSpec {
     "abc".foreach { c => h ^= c; h *= 0x100000001b3L }
     assert(r.getLong(1) == h)
   }
+  test("split-url plans ONE url-parts parse, not 8 parse_url calls") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val out = wrangle(
+      "set-column :u exp:{ concat('https://ex.com/p/', c_custkey) }; split-url :u",
+      cust)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("urlpartsexpr") || plan.contains("UrlPartsExpr"),
+      s"native url-parts expression missing from plan:\n$plan")
+    assert(!plan.contains("parse_url"),
+      s"parse_url survived the split-url rework:\n$plan")
+    assert(plan.contains("*("), "fell out of whole-stage codegen")
+  }
+
+  test("parse-as-log plans ONE all-groups regex, not 10 regexp_extract") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val out = wrangle(
+      "set-column :line exp:{ concat(c_custkey, ' - - [01/Jan/2024:00:00:00 +0000] \\\"GET /x HTTP/1.1\\\" 200 10') }; parse-as-log :line combined",
+      cust)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("regexgroupsallexpr") || plan.contains("RegexGroupsAllExpr"),
+      s"native all-groups expression missing:\n$plan")
+    assert(!plan.contains("regexp_extract"),
+      s"per-field regexp_extract survived:\n$plan")
+  }
 }
