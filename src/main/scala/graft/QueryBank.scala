@@ -2417,6 +2417,19 @@ object QueryBank {
         | c_mktsegment || chr(10) || 'Name & ' || c_name AS h_text
         |FROM customer""".stripMargin),
 
+    ("extract_html_docs",
+      // the same extraction over the FULL documents table (scales with
+      // the ladder, unlike the pinned fixtures): wrap each doc's text
+      // in a page with title/script noise, extract, and let DuckDB
+      // rebuild the expected text (documents.text is HTML-safe:
+      // verified no <, >, & occurrences at generation)
+      (s, d) => r("""set-column :h exp:{ concat('<html><head><title>Doc ', doc_id, '</title><style>p{x:1}</style></head><body><h1>', source, '</h1><p>', text, '</p></body></html>') }; extract-html-text :h; keep :doc_id,:h_title,:h_text""")(
+        docs(s, d)),
+      """SELECT doc_id, 'Doc ' || doc_id AS h_title,
+        | source || chr(10) ||
+        |   trim(regexp_replace(text, '[[:space:]]+', ' ', 'g')) AS h_text
+        |FROM documents""".stripMargin),
+
     ("parse_as_warc",
       // WARC/WET ingestion: two records per doc (HTTP response +
       // conversion) synthesized byte-exactly per the ISO 28500 layout,

@@ -110,6 +110,18 @@ class WebSpec extends SparkSpec {
     assert(Warc.parseAll(null).isEmpty)
   }
 
+  test("warc parse: body containing the record separator sequence") {
+    // Content-Length drives the split — a payload embedding CRLF CRLF
+    // (or a fake WARC/1.0 line) must NOT end the record early
+    val tricky = "line one\r\n\r\nWARC/1.0\r\nfake: header\r\n\r\nline two"
+    val blob = (warcRecord("conversion", "u1", tricky, http = false) +
+      warcRecord("conversion", "u2", "after", http = false)).getBytes("UTF-8")
+    val rs = Warc.parseAll(blob)
+    assert(rs.length == 2)
+    assert(rs(0).payload == tricky)
+    assert(rs(1).payload == "after")
+  }
+
   test("warc file read: one row per record with provenance path") {
     val dir = java.nio.file.Files.createTempDirectory("warc_test")
     val f = dir.resolve("shard-00000.warc")
