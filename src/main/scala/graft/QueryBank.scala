@@ -2457,6 +2457,34 @@ object QueryBank {
         |  CAST(NULL AS INT), CAST(length(conv) AS BIGINT), conv
         |FROM base""".stripMargin),
 
+    ("multimodal_mp4_samples",
+      // REAL MP4 container access: stsz/stsc/stco/stss tables are
+      // synthesized byte-exactly, then the sample walker recovers the
+      // frames. The oracle rebuilds size/keyframe/byte-sum from the
+      // fixture formulas — a wrong chunk-offset or sample-run walk
+      // slices the wrong bytes and breaks byte_sum.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val mp4 = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthMp4Udf(col("doc_id")))
+        val byteSum = udf((b: Array[Byte]) =>
+          b.map(x => (x & 0xff).toLong).sum)
+        graft.llm.Multimodal.sampleFramesMp4(mp4, "payload", "doc_id")
+          .select(col("doc_id"), col("sample_idx"), col("size"),
+            col("keyframe"), byteSum(col("frame")).as("byte_sum"))
+      },
+      """WITH g AS (SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS ns
+        | FROM documents WHERE doc_id < 200),
+        |sp AS (SELECT doc_id, unnest(range(ns)) AS i FROM g)
+        |SELECT doc_id, CAST(i AS INT) AS sample_idx,
+        | CAST(8 + (doc_id + i) % 5 AS BIGINT) AS size,
+        | (i % 3 = 0) AS keyframe,
+        | CAST(list_sum(list_transform(range(0, 8 + (doc_id + i) % 5),
+        |   j -> (doc_id * 7 + i * 13 + j * 3) % 256)) AS BIGINT)
+        |   AS byte_sum
+        |FROM sp""".stripMargin),
+
     ("multimodal_jpeg_decode",
       // REAL JPEG decode via the JDK's ImageIO (public java.desktop
       // API — full JPEG codec in every JDK). Lossy DCT means pixel
@@ -3577,6 +3605,21 @@ object QueryBank {
       y += 1
     }
     graft.llm.MediaHeaders.jpegEncode(w, h, px)
+  })
+
+  /** Fixture: a real minimal ISO-BMFF file per doc — ns = 4+id%5
+    * samples, sample i of length 8+(id+i)%5 with byte j =
+    * (id*7+i*13+j*3)%256, two samples per chunk, keyframes at every
+    * third sample — tables built byte-exactly by mp4Build.
+    */
+  private val synthMp4Udf = org.apache.spark.sql.functions.udf((id: Long) => {
+    val ns = (4 + id % 5).toInt
+    val samples = (0 until ns).map { i =>
+      val len = (8 + (id + i) % 5).toInt
+      Array.tabulate(len)(j => ((id * 7 + i * 13 + j * 3) % 256).toByte)
+    }
+    graft.llm.MediaHeaders.mp4Build(samples, samplesPerChunk = 2,
+      keyframes1Based = (0 until ns).filter(_ % 3 == 0).map(_ + 1))
   })
 
   val queries: Map[String, Q] =

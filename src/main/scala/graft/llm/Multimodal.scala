@@ -125,6 +125,33 @@ object Multimodal {
         col("__f.offset").as("offset"), col("__f.frame").as("frame"))
   }
 
+  /** REAL container-level frame access for MP4 payloads: one row per
+    * sample at the exact offsets the stsz/stsc/stco tables declare,
+    * with keyframe flags from stss — the unit a video pipeline feeds
+    * to a codec. (The byte-slice [[sampleFrames]] stays for opaque
+    * formats.) Decoding the sample bytes themselves needs a codec and
+    * remains out of scope.
+    */
+  def sampleFramesMp4(df: DataFrame, binCol: String,
+      idCol: String, keyframesOnly: Boolean = false): DataFrame = {
+    val framesUdf = udf((b: Array[Byte]) =>
+      MediaHeaders.mp4Samples(b).collect {
+        case s if s.offset >= 0 && s.offset + s.size <= b.length =>
+          Mp4Frame(s.index, s.offset, s.size, s.keyframe,
+            java.util.Arrays.copyOfRange(
+              b, s.offset.toInt, (s.offset + s.size).toInt))
+      })
+    val exploded = df
+      .select(col(idCol), explode(framesUdf(col(binCol))).as("__f"))
+      .select(col(idCol), col("__f.sample_idx").as("sample_idx"),
+        col("__f.offset").as("offset"), col("__f.size").as("size"),
+        col("__f.keyframe").as("keyframe"), col("__f.frame").as("frame"))
+    if (keyframesOnly) exploded.where(col("keyframe")) else exploded
+  }
+
+  case class Mp4Frame(sample_idx: Int, offset: Long, size: Long,
+      keyframe: Boolean, frame: Array[Byte])
+
   /** Resize stub: re-bucket the feature histogram to a new width —
     * keeps the (payload → features) contract shape for downstream ops.
     */
@@ -935,6 +962,163 @@ object MediaHeaders {
     w8(0) // block terminator
     w8(0x3b)
     out.toByteArray
+  }
+
+  // ---- MP4 sample-table extraction (real, pure-JVM) ----------------
+  // ISO/IEC 14496-12 sample tables: stsz (sizes), stsc
+  // (sample-to-chunk runs), stco/co64 (chunk offsets), stss (sync
+  // samples). Computing per-sample absolute offsets from these is the
+  // real container-level frame access a video pipeline needs; only
+  // the codec decode of the sample BYTES stays out of scope.
+
+  case class Mp4Sample(index: Int, offset: Long, size: Long,
+      keyframe: Boolean)
+
+  def mp4Samples(b: Array[Byte]): Seq[Mp4Sample] = {
+    if (b == null || b.length < 16 || ascii(b, 4, 4) != "ftyp")
+      return Seq.empty
+    var sizes: Array[Long] = null
+    var chunkOffsets: Array[Long] = null
+    // (first_chunk, samples_per_chunk) runs from stsc
+    var stsc: Array[(Long, Long)] = null
+    var sync: Set[Long] = null // 1-based keyframe sample numbers
+    def walk(from: Long, to: Long, depth: Int): Unit = {
+      var p = from
+      while (p + 8 <= to && depth < 8) {
+        var size = be32(b, p.toInt)
+        val id = ascii(b, p.toInt + 4, 4)
+        var hdr = 8L
+        if (size == 1 && p + 16 <= to) {
+          size = (be32(b, p.toInt + 8) << 32) | be32(b, p.toInt + 12)
+          hdr = 16L
+        } else if (size == 0) size = to - p
+        if (size < hdr) return
+        val end = math.min(p + size, to)
+        val body = p + hdr
+        id match {
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+            walk(body, end, depth + 1)
+          case "stsz" if sizes == null && body + 12 <= to =>
+            val uniform = be32(b, (body + 4).toInt)
+            val n = be32(b, (body + 8).toInt).toInt
+            if (n >= 0 && n < 1000000) {
+              if (uniform != 0) sizes = Array.fill(n)(uniform)
+              else if (body + 12 + 4L * n <= to)
+                sizes = Array.tabulate(n)(i => be32(b, (body + 12 + 4L * i).toInt))
+            }
+          case "stsc" if stsc == null && body + 8 <= to =>
+            val n = be32(b, (body + 4).toInt).toInt
+            if (n >= 0 && n < 100000 && body + 8 + 12L * n <= to)
+              stsc = Array.tabulate(n) { i =>
+                (be32(b, (body + 8 + 12L * i).toInt),
+                  be32(b, (body + 12 + 12L * i).toInt))
+              }
+          case "stco" if chunkOffsets == null && body + 8 <= to =>
+            val n = be32(b, (body + 4).toInt).toInt
+            if (n >= 0 && n < 100000 && body + 8 + 4L * n <= to)
+              chunkOffsets = Array.tabulate(n)(i =>
+                be32(b, (body + 8 + 4L * i).toInt))
+          case "co64" if chunkOffsets == null && body + 8 <= to =>
+            val n = be32(b, (body + 4).toInt).toInt
+            if (n >= 0 && n < 100000 && body + 8 + 8L * n <= to)
+              chunkOffsets = Array.tabulate(n)(i =>
+                (be32(b, (body + 8 + 8L * i).toInt) << 32) |
+                  be32(b, (body + 12 + 8L * i).toInt))
+          case "stss" if sync == null && body + 8 <= to =>
+            val n = be32(b, (body + 4).toInt).toInt
+            if (n >= 0 && n < 1000000 && body + 8 + 4L * n <= to)
+              sync = (0 until n).map(i =>
+                be32(b, (body + 8 + 4L * i).toInt)).toSet
+          case _ => ()
+        }
+        p = end
+      }
+    }
+    walk(0L, b.length.toLong, 0)
+    if (sizes == null || chunkOffsets == null || stsc == null ||
+        stsc.isEmpty) return Seq.empty
+    // expand stsc runs -> samples-per-chunk per chunk, then walk chunks
+    val out = Vector.newBuilder[Mp4Sample]
+    var sample = 0 // 0-based
+    var chunk = 0  // 0-based
+    while (chunk < chunkOffsets.length && sample < sizes.length) {
+      // samples in this chunk = the last stsc run whose first_chunk <= chunk+1
+      var spc = stsc(0)._2
+      var r = 0
+      while (r < stsc.length && stsc(r)._1 <= chunk + 1) {
+        spc = stsc(r)._2; r += 1
+      }
+      var off = chunkOffsets(chunk)
+      var i = 0L
+      while (i < spc && sample < sizes.length) {
+        val sz = sizes(sample)
+        out += Mp4Sample(sample, off, sz,
+          sync == null || sync.contains(sample + 1L))
+        off += sz
+        sample += 1
+        i += 1
+      }
+      chunk += 1
+    }
+    out.result()
+  }
+
+  /** Fixture complement of [[mp4Samples]]: a minimal ISO-BMFF file
+    * with real stsz/stsc/stco/stss tables and the sample bytes laid
+    * out in an mdat at the offsets the tables declare.
+    */
+  def mp4Build(samples: Seq[Array[Byte]], samplesPerChunk: Int,
+      keyframes1Based: Seq[Int]): Array[Byte] = {
+    require(samplesPerChunk > 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    def be(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(id: String, payload: Array[Byte]): Array[Byte] =
+      be(8L + payload.length) ++ id.getBytes("US-ASCII") ++ payload
+    val n = samples.length
+    val nChunks = (n + samplesPerChunk - 1) / samplesPerChunk
+    val stszB = box("stsz", be(0) ++ be(0) ++ be(n.toLong) ++
+      samples.flatMap(s => be(s.length.toLong)).toArray)
+    val stscB = box("stsc", be(0) ++ be(1) ++
+      (be(1) ++ be(samplesPerChunk.toLong) ++ be(1)))
+    val stssB = box("stss", be(0) ++ be(keyframes1Based.length.toLong) ++
+      keyframes1Based.flatMap(k => be(k.toLong)).toArray)
+    // chunk offsets depend on the total header length — compute with a
+    // placeholder stco of the right size, then patch
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be(0) ++
+      "isomiso2".getBytes("US-ASCII"))
+    val stcoPayloadLen = 8 + 4 * nChunks
+    def assemble(chunkOffs: Seq[Long]): Array[Byte] = {
+      val stcoB = box("stco", be(0) ++ be(nChunks.toLong) ++
+        chunkOffs.flatMap(be).toArray)
+      val stbl = box("stbl", stszB ++ stscB ++ stcoB ++ stssB)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", minf)
+      val trak = box("trak", mdia)
+      val moov = box("moov", trak)
+      val mdat = box("mdat", samples.flatten.toArray)
+      ftyp ++ moov ++ mdat
+    }
+    // first pass with zero offsets to learn where mdat data starts
+    val probeBytes = assemble(Seq.fill(nChunks)(0L))
+    val mdatDataStart = probeBytes.length - samples.map(_.length).sum
+    val chunkOffs = {
+      val offs = new Array[Long](nChunks)
+      var off = mdatDataStart.toLong
+      var c = 0; var si = 0
+      while (c < nChunks) {
+        offs(c) = off
+        var i = 0
+        while (i < samplesPerChunk && si < n) {
+          off += samples(si).length; si += 1; i += 1
+        }
+        c += 1
+      }
+      offs.toSeq
+    }
+    bos.write(assemble(chunkOffs))
+    bos.toByteArray
   }
 
   // ---- JPEG pixel decode (real, via the JDK's ImageIO) -------------

@@ -616,6 +616,41 @@ class BinarySpec extends SparkSpec {
     assert(MediaHeaders.bmpStats(null) == null)
   }
 
+  // ---- MP4 sample tables --------------------------------------------
+
+  test("mp4 sample tables: stsz/stsc/stco round-trip with keyframes") {
+    val samples = (0 until 7).map(i =>
+      Array.tabulate(5 + i)(j => ((i * 31 + j * 7) % 256).toByte))
+    val bytes = MediaHeaders.mp4Build(samples, samplesPerChunk = 3,
+      keyframes1Based = Seq(1, 4, 7))
+    val got = MediaHeaders.mp4Samples(bytes)
+    assert(got.length == 7)
+    for ((s0, i) <- got.zipWithIndex) {
+      assert(s0.index == i && s0.size == 5 + i)
+      assert(s0.keyframe == Seq(0, 3, 6).contains(i), s"keyframe @$i")
+      val slice = java.util.Arrays.copyOfRange(
+        bytes, s0.offset.toInt, (s0.offset + s0.size).toInt)
+      assert(slice.toSeq == samples(i).toSeq, s"sample $i bytes differ")
+    }
+    // degenerate: not an mp4 / empty
+    assert(MediaHeaders.mp4Samples("junk".getBytes).isEmpty)
+    assert(MediaHeaders.mp4Samples(null).isEmpty)
+  }
+
+  test("sampleFramesMp4 emits real samples; keyframesOnly filters") {
+    import org.apache.spark.sql.Row
+    val samples = (0 until 6).map(i => Array.fill(4)(i.toByte))
+    val bytes = graft.llm.MediaHeaders.mp4Build(samples, 2, Seq(1, 5))
+    val d = df("id BIGINT, v BINARY", Seq(Row(1L, bytes)))
+    val all = graft.llm.Multimodal.sampleFramesMp4(d, "v", "id").collect()
+    assert(all.length == 6)
+    assert(all.map(_.getAs[Array[Byte]]("frame").head.toInt).toSeq ==
+      Seq(0, 1, 2, 3, 4, 5))
+    val kf = graft.llm.Multimodal
+      .sampleFramesMp4(d, "v", "id", keyframesOnly = true).collect()
+    assert(kf.map(_.getAs[Int]("sample_idx")).toSeq == Seq(0, 4))
+  }
+
   // ---- JPEG decode (ImageIO) ---------------------------------------
 
   test("jpeg round-trip: exact dims, means within DCT tolerance") {
