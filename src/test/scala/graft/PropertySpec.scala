@@ -306,4 +306,68 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.session.Sampler.hexThreshold(1.0) == "f" * 32)
     intercept[IllegalArgumentException](graft.session.Sampler.hexThreshold(1.5))
   }
+  // ---- web-corpus kernels: never throw on adversarial bytes ---------
+
+  private val tagSoup: Gen[String] = {
+    val frag = Gen.oneOf(
+      Gen.oneOf("<p>", "</p>", "<div", "<!--", "-->", "<![CDATA[", "]]>",
+        "<script>", "</script>", "<title>", "</title>", "&amp;", "&#65;",
+        "&#xZZ;", "&bogus", "<", ">", "\"", "'", "="),
+      Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString),
+      Gen.oneOf("\n", "\r\n", "\t", "\u00a0"))
+    Gen.listOf(frag).map(_.mkString)
+  }
+
+  test("html extract: total on arbitrary tag soup, output tag-free") {
+    check("htmlExtract") {
+      Prop.forAll(tagSoup) { soup =>
+        val (title, text) = graft.llm.HtmlText.extract(soup)
+        // total (no throw), and extracted text never leaks tag brackets
+        // from well-formed tags (a bare '<' with no tag name stays
+        // literal text, matching browser error recovery)
+        (text == null || !text.contains("<p>")) &&
+          (title == null || !title.contains("<"))
+      }
+    }
+  }
+
+  test("warc parse: total on arbitrary bytes, never throws") {
+    check("warcParse") {
+      Prop.forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) { bs =>
+        graft.sources.Warc.parseAll(bs.toArray) != null // total
+      }
+    }
+  }
+
+  test("png/gif/bmp/mp4 decoders: total on arbitrary bytes") {
+    check("mediaDecodersTotal") {
+      Prop.forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) { bs =>
+        val b = bs.toArray
+        // each returns null/empty on garbage rather than throwing
+        graft.llm.MediaHeaders.pngStats(b)
+        graft.llm.MediaHeaders.gifStats(b)
+        graft.llm.MediaHeaders.bmpStats(b)
+        graft.llm.MediaHeaders.mp4Samples(b) != null
+      }
+    }
+  }
+
+  test("png/gif decoders: total on corrupted VALID images") {
+    val pal = Array.tabulate(48)(i => (i * 11).toByte)
+    val idx = Array.tabulate(60)(i => (i % 16).toByte)
+    val gif = graft.llm.MediaHeaders.gifEncode(10, 6, pal, idx)
+    val px = Array.tabulate(10 * 6 * 3)(i => (i % 256).toByte)
+    val png = graft.llm.MediaHeaders.pngEncode(10, 6, 2, px)
+    check("corruptedDecode") {
+      Prop.forAll(Gen.choose(0, gif.length - 1),
+          Gen.choose(Byte.MinValue, Byte.MaxValue)) { (pos, v) =>
+        val g = gif.clone(); g(pos) = v
+        val p = png.clone(); p(pos % png.length) = v
+        // decode either succeeds or precise-rejects — never throws
+        graft.llm.MediaHeaders.gifStats(g)
+        graft.llm.MediaHeaders.pngStats(p)
+        true
+      }
+    }
+  }
 }
