@@ -2417,6 +2417,31 @@ object QueryBank {
         | c_mktsegment || chr(10) || 'Name & ' || c_name AS h_text
         |FROM customer""".stripMargin),
 
+    ("pipeline_web",
+      // the full web-corpus ingestion composite: WARC bytes -> record
+      // split (request records filtered) -> HTML boilerplate strip ->
+      // lang-id -> token-count -> per-language rollup. DuckDB replays
+      // every stage from the fixture formulas: the extraction rebuild,
+      // the stopword-count language vote, and the whitespace token
+      // count — one wrong stage anywhere breaks the rollup hash.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val warc = docs(s, d)
+          .withColumn("w",
+            synthWebWarcUdf(col("doc_id"), col("source"), col("text")))
+          .select("doc_id", "w")
+        val curated = r(
+          "parse-as-warc :w; " +
+          "filter-row exp:{ w_warc_type == 'response' } false; " +
+          "extract-html-text :w_payload; " +
+          "lang-id :w_payload_text; " +
+          "token-count :w_payload_text")(warc)
+        curated.groupBy(col("w_payload_text_lang").as("lang"))
+          .agg(count(lit(1)).as("docs"),
+            sum(col("w_payload_text_tokens")).as("tokens"))
+      },
+      pipelineWebSql),
+
     ("extract_html_docs",
       // the same extraction over the FULL documents table (scales with
       // the ladder, unlike the pinned fixtures): wrap each doc's text
@@ -3354,6 +3379,33 @@ object QueryBank {
        |FROM ck GROUP BY source""".stripMargin
   }
 
+  /** DuckDB replay of the pipeline_web composite over the extracted
+    * text (h1 source line + newline + whitespace-collapsed body).
+    */
+  private lazy val pipelineWebSql: String = {
+    val sw = graft.llm.TextAnalysis.stopwords
+    def cnt(l: String) =
+      s"len(list_filter(string_split_regex(lower(xt), '\\s+'), t -> list_contains([" +
+        sw(l).map(w => s"'$w'").mkString(",") + "], t)))"
+    s"""WITH ex AS (SELECT doc_id,
+       |  source || chr(10) ||
+       |    trim(regexp_replace(text, '[[:space:]]+', ' ', 'g')) AS xt
+       |  FROM documents),
+       |c AS (SELECT doc_id, xt, ${cnt("de")} AS cde, ${cnt("en")} AS cen,
+       |  ${cnt("es")} AS ces, ${cnt("fr")} AS cfr FROM ex),
+       |l AS (SELECT doc_id, xt, CASE
+       |  WHEN greatest(cde, cen, ces, cfr) = 0 THEN 'und'
+       |  WHEN cde >= cen AND cde >= ces AND cde >= cfr THEN 'de'
+       |  WHEN cen >= ces AND cen >= cfr THEN 'en'
+       |  WHEN ces >= cfr THEN 'es'
+       |  ELSE 'fr' END AS lang FROM c),
+       |t AS (SELECT lang,
+       |  len(list_filter(string_split_regex(xt, '\\s+'),
+       |    x -> len(x) > 0)) AS toks FROM l)
+       |SELECT lang, count(*) AS docs, CAST(sum(toks) AS BIGINT) AS tokens
+       |FROM t GROUP BY 1""".stripMargin
+  }
+
   private lazy val langIdSql: String = {
     val sw = graft.llm.TextAnalysis.stopwords
     def cnt(l: String) =
@@ -3566,22 +3618,40 @@ object QueryBank {
     * (CRLF headers, Content-Length-delimited payload, two-CRLF
     * separator) so the oracle can rebuild every parsed field.
     */
+  private def mkWarcRecord(id: Long, typ: String, uri: String,
+      payload: String, http: Boolean): String = {
+    val full =
+      if (http) s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$payload"
+      else payload
+    val n = full.getBytes("UTF-8").length
+    s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      s"WARC-Record-ID: <urn:uuid:$id-$typ>\r\n" +
+      (if (http) "Content-Type: application/http; msgtype=response\r\n"
+       else "Content-Type: text/plain\r\n") +
+      s"Content-Length: $n\r\n\r\n$full\r\n\r\n"
+  }
+
   private val synthWarcUdf = org.apache.spark.sql.functions.udf((id: Long) => {
-    def rec(typ: String, uri: String, payload: String, http: Boolean): String = {
-      val full =
-        if (http) s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$payload"
-        else payload
-      val n = full.getBytes("UTF-8").length
-      s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Target-URI: $uri\r\n" +
-        s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
-        s"WARC-Record-ID: <urn:uuid:$id-$typ>\r\n" +
-        (if (http) "Content-Type: application/http; msgtype=response\r\n"
-         else "Content-Type: text/plain\r\n") +
-        s"Content-Length: $n\r\n\r\n$full\r\n\r\n"
-    }
     val body = s"<html><body><p>doc $id</p></body></html>"
-    rec("response", s"http://ex.com/$id", body, http = true) +
-      rec("conversion", s"http://ex.com/$id", s"text of doc $id", http = false)
+    mkWarcRecord(id, "response", s"http://ex.com/$id", body, http = true) +
+      mkWarcRecord(id, "conversion", s"http://ex.com/$id",
+        s"text of doc $id", http = false)
+  })
+
+  /** Fixture for the web-curation composite: a response record whose
+    * HTML body embeds the document's own text (verified HTML-safe) plus
+    * title/script/h1 boilerplate, and a request record the pipeline
+    * must filter out.
+    */
+  private val synthWebWarcUdf = org.apache.spark.sql.functions.udf((id: Long,
+      source: String, text: String) => {
+    val html = s"<html><head><title>Doc $id</title>" +
+      "<script>var j = 1;</script></head>" +
+      s"<body><h1>$source</h1><p>$text</p></body></html>"
+    mkWarcRecord(id, "response", s"http://ex.com/$id", html, http = true) +
+      mkWarcRecord(id, "request", s"http://ex.com/$id",
+        "GET / HTTP/1.1", http = false)
   })
 
   /** Fixture: a real JPEG of smooth linear ramps (so compression error
