@@ -28,7 +28,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   */
 object Packing {
 
-  private case class Packed(id: Long, bin: Int, off: Int)
+  // public: the Dataset encoder's generated code constructs it — a
+  // private ctor makes janino fail and fall back to interpreted
+  // serialization every run
+  case class Packed(id: Long, bin: Int, off: Int)
 
   private val packUdf = udf((ids: Seq[Long], toks: Seq[Int], ctx: Int) => {
     val out = new Array[Packed](ids.length)

@@ -63,6 +63,13 @@ object StreamOps {
       value: Double)
   case class SessionInfo(user_id: Long, n_events: Long, total_value: Double,
       closed: Boolean)
+  /** Internal state: the running sum is fixed-point nanos (Long), so
+    * accumulation is order-independent across micro-batch iterator
+    * orderings — double folds differ at the last ulp per ordering,
+    * which can flip downstream roundings. Error vs the exact sum is
+    * <= n * 5e-10, far inside any sane rounding guard.
+    */
+  case class SessionAcc(n_events: Long, nanos: Long) // public: encoder codegen needs the ctor
 
   /** Keyed session state via mapGroupsWithState: per-user running
     * aggregates. `timeoutMs > 0` arms a processing-time session timeout
@@ -82,21 +89,20 @@ object StreamOps {
       if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     typed.groupByKey(_.user_id)
-      .mapGroupsWithState[SessionInfo, SessionInfo](timeoutKind) {
-        (uid: Long, rows: Iterator[Event], state: GroupState[SessionInfo]) =>
+      .mapGroupsWithState[SessionAcc, SessionInfo](timeoutKind) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[SessionAcc]) =>
           if (timeoutMs > 0 && state.hasTimedOut) {
             val s = state.get
             state.remove()
-            s.copy(closed = true)
+            SessionInfo(uid, s.n_events, s.nanos / 1e9, closed = true)
           } else {
-            val prev = state.getOption.getOrElse(SessionInfo(uid, 0L, 0.0, closed = false))
-            val (n, v) = rows.foldLeft((prev.n_events, prev.total_value)) {
-              case ((cn, cv), e) => (cn + 1, cv + e.value)
+            val prev = state.getOption.getOrElse(SessionAcc(0L, 0L))
+            val (n, v) = rows.foldLeft((prev.n_events, prev.nanos)) {
+              case ((cn, cv), e) => (cn + 1, cv + math.round(e.value * 1e9))
             }
-            val next = SessionInfo(uid, n, v, closed = false)
-            state.update(next)
+            state.update(SessionAcc(n, v))
             if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
-            next
+            SessionInfo(uid, n, v / 1e9, closed = false)
           }
       }.toDF()
   }
