@@ -50,6 +50,41 @@ object Warc {
     out.toByteArray
   }
 
+  private def indexOfCrlfCrlf(b: Array[Byte]): Int = {
+    var i = 0
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' &&
+        b(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Undo HTTP/1.1 chunked transfer framing (RFC 9112 Sec. 7.1):
+    * hex-size line, chunk bytes, CRLF, repeated until a 0-size chunk.
+    * Malformed framing returns the bytes as-is (ingestion keeps going).
+    */
+  private def dechunk(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var p = 0
+    while (p < b.length) {
+      // read the size line up to CRLF; ignore chunk extensions after ';'
+      var e = p
+      while (e + 1 < b.length && !(b(e) == '\r' && b(e + 1) == '\n')) e += 1
+      if (e + 1 >= b.length) return b
+      val sizeLine = new String(b, p, e - p, "ISO-8859-1")
+      val hexPart = sizeLine.split(";")(0).trim
+      val size = try Integer.parseInt(hexPart, 16)
+        catch { case _: NumberFormatException => return b }
+      if (size == 0) return out.toByteArray // terminal chunk (trailers ignored)
+      val dataStart = e + 2
+      if (dataStart + size > b.length) return b
+      out.write(b, dataStart, size)
+      p = dataStart + size + 2 // skip trailing CRLF
+    }
+    out.toByteArray
+  }
+
   /** All records in a WARC byte blob (one file, one record, or any
     * concatenation; gzipped or plain). Malformed input returns the
     * records parsed before the defect — ingestion keeps going on a
@@ -101,11 +136,14 @@ object Warc {
       // split the status line + headers off and surface the body
       var httpStatus: Integer = null
       var httpCt: String = null
-      var payloadText = new String(payloadBytes, "UTF-8")
+      var payloadText: String = null
       if (contentType.toLowerCase.startsWith("application/http")) {
-        val sep = payloadText.indexOf("\r\n\r\n")
+        // BYTE-level envelope split: archived bodies can be binary
+        // (gzip Content-Encoding) — a String round-trip would corrupt
+        // them before decoding
+        val sep = indexOfCrlfCrlf(payloadBytes)
         if (sep >= 0) {
-          val head = payloadText.substring(0, sep)
+          val head = new String(payloadBytes, 0, sep, "ISO-8859-1")
           val lines = head.split("\r\n")
           if (lines.nonEmpty && lines(0).startsWith("HTTP/")) {
             val parts = lines(0).split(" ")
@@ -113,14 +151,31 @@ object Warc {
               httpStatus = scala.util.Try(
                 Integer.valueOf(parts(1))).getOrElse(null)
           }
+          var chunked = false
+          var gzipped = false
           lines.drop(1).foreach { hl =>
             val c = hl.indexOf(':')
-            if (c > 0 && hl.substring(0, c).trim.equalsIgnoreCase("content-type"))
-              httpCt = hl.substring(c + 1).trim
+            if (c > 0) {
+              val k = hl.substring(0, c).trim.toLowerCase
+              val v = hl.substring(c + 1).trim
+              if (k == "content-type") httpCt = v
+              // real crawl archives store the wire form: chunked
+              // framing and gzip bodies must be undone to reach text
+              if (k == "transfer-encoding" &&
+                v.toLowerCase.contains("chunked")) chunked = true
+              if (k == "content-encoding" &&
+                v.toLowerCase.contains("gzip")) gzipped = true
+            }
           }
-          payloadText = payloadText.substring(sep + 4)
+          var body = java.util.Arrays.copyOfRange(
+            payloadBytes, sep + 4, payloadBytes.length)
+          if (chunked) body = dechunk(body)
+          if (gzipped && isGzip(body))
+            body = scala.util.Try(gunzipAll(body)).getOrElse(body)
+          payloadText = new String(body, "UTF-8")
         }
       }
+      if (payloadText == null) payloadText = new String(payloadBytes, "UTF-8")
       out += WarcRecord(
         headers.getOrElse("warc-type", ""),
         headers.getOrElse("warc-target-uri", null),

@@ -122,6 +122,44 @@ class WebSpec extends SparkSpec {
     assert(rs(1).payload == "after")
   }
 
+  test("warc parse: chunked and gzip HTTP bodies are decoded") {
+    def gz(x: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(x); g.close(); bos.toByteArray
+    }
+    def rec(headers: String, body: Array[Byte]): Array[Byte] = {
+      val envelope = ("HTTP/1.1 200 OK\r\n" + headers + "\r\n")
+        .getBytes("ISO-8859-1") ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${envelope.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        envelope ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    // chunked: "hello world" as two chunks with an extension on one
+    val chunkedBody = ("6;ext=1\r\nhello \r\n5\r\nworld\r\n0\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    val r1 = Warc.parseAll(rec(
+      "Transfer-Encoding: chunked\r\nContent-Type: text/html\r\n", chunkedBody))
+    assert(r1.length == 1 && r1.head.payload == "hello world")
+    // gzip body
+    val r2 = Warc.parseAll(rec(
+      "Content-Encoding: gzip\r\nContent-Type: text/html\r\n",
+      gz("compressed page".getBytes("UTF-8"))))
+    assert(r2.length == 1 && r2.head.payload == "compressed page")
+    // chunked THEN gzip (wire order: gzip inside chunked framing)
+    val gzBody = gz("both layers".getBytes("UTF-8"))
+    val framed = (f"${gzBody.length}%x\r\n").getBytes("ISO-8859-1") ++
+      gzBody ++ "\r\n0\r\n\r\n".getBytes("ISO-8859-1")
+    val r3 = Warc.parseAll(rec(
+      "Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n", framed))
+    assert(r3.length == 1 && r3.head.payload == "both layers")
+    // malformed chunk size falls back to raw bytes, never throws
+    val bad = Warc.parseAll(rec(
+      "Transfer-Encoding: chunked\r\n", "ZZZ\r\nnot chunked".getBytes))
+    assert(bad.length == 1 && bad.head.payload.contains("not chunked"))
+  }
+
   test("warc file read: one row per record with provenance path") {
     val dir = java.nio.file.Files.createTempDirectory("warc_test")
     val f = dir.resolve("shard-00000.warc")
