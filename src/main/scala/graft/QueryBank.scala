@@ -2417,6 +2417,39 @@ object QueryBank {
         | c_mktsegment || chr(10) || 'Name & ' || c_name AS h_text
         |FROM customer""".stripMargin),
 
+    ("extract_html_links",
+      // href extraction across quoted and bare values plus a decoy
+      // <area href> (not an <a> tag) — exploded to rows
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        r("""set-column :h exp:{ concat('<html><body><a href="/p/', c_custkey, '">x</a><a class="c" href="//cdn/', c_mktsegment, '">y</a><area href="/not-an-anchor"><a href=/bare/', c_custkey, '><a name="no-href">z</a></body></html>') }; extract-html-links :h; keep :c_custkey,:h_links""")(cust(s, d))
+          .select(col("c_custkey"),
+            posexplode(col("h_links")).as(Seq("pos", "link")))
+      },
+      """SELECT c_custkey, CAST(p AS INT) AS pos, link FROM (
+        |  SELECT c_custkey, 0 AS p, '/p/' || c_custkey AS link FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 1, '//cdn/' || c_mktsegment FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 2, '/bare/' || c_custkey FROM customer)""".stripMargin),
+
+    ("pagerank_links",
+      // DataFrame-iterative PageRank over the order->part bipartite
+      // edge list (3 damped iterations): per-edge contributions are
+      // IEEE doubles, per-vertex accumulation an exact DECIMAL(38,15)
+      // sum, so DuckDB replays the EXACT fixed point with three chained
+      // CTEs; round(...,10) absorbs the sub-1e-14 cast-boundary noise
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val edges = li(s, d).select(
+          concat(lit("o"), col("l_orderkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+        graft.graph.Graph.pageRank(edges, "src", "dst",
+            iterations = 3, damping = 0.85)
+          .select(col("vertex"), round(col("rank"), 10).as("rank"))
+      },
+      pageRankSql),
+
     ("pipeline_web",
       // the full web-corpus ingestion composite: WARC bytes -> record
       // split (request records filtered) -> HTML boilerplate strip ->
@@ -3377,6 +3410,38 @@ object QueryBank {
        |  FROM st WHERE len(toks) > 0)
        |SELECT source, count(*) AS chunks, CAST(sum(chunk_tokens) AS BIGINT) AS tokens
        |FROM ck GROUP BY source""".stripMargin
+  }
+
+  /** DuckDB replay of the 3-iteration damped PageRank: identical IEEE
+    * double steps (explicit DOUBLE casts — bare DuckDB literals are
+    * DECIMAL), identical DECIMAL(38,15) contribution sums.
+    */
+  private lazy val pageRankSql: String = {
+    def iter(k: Int): String =
+      s"""c$k AS (SELECT e.dst AS vertex,
+         |  CAST(sum(CAST(r.rank / od.d AS DECIMAL(38,15))) AS DOUBLE) AS inr
+         |  FROM edges e
+         |  JOIN r${k - 1} r ON r.vertex = e.src
+         |  JOIN odeg od ON od.src = e.src
+         |  GROUP BY 1),
+         |r$k AS (SELECT v.vertex,
+         |  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n
+         |    + CAST(0.85 AS DOUBLE) * coalesce(c.inr, CAST(0 AS DOUBLE))
+         |    AS rank
+         |  FROM verts v CROSS JOIN n LEFT JOIN c$k c USING (vertex))"""
+        .stripMargin
+    s"""WITH edges AS (SELECT 'o' || l_orderkey AS src,
+       |  'p' || l_partkey AS dst FROM lineitem),
+       |verts AS (SELECT DISTINCT src AS vertex FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+       |odeg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+       |r0 AS (SELECT v.vertex, CAST(1.0 AS DOUBLE) / n.n AS rank
+       |       FROM verts v CROSS JOIN n),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT vertex, round(rank, 10) AS rank FROM r3""".stripMargin
   }
 
   /** DuckDB replay of the pipeline_web composite over the extracted

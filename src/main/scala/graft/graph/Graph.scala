@@ -1,0 +1,86 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics as plain DataFrame iterations — the quality
+  * priors (PageRank-class centrality) web-curation pipelines join
+  * against before sampling. No GraphX/graphframes dependency: each
+  * iteration is one equi-join on src plus one aggregation on dst, the
+  * exact shuffle pair a 100 TB edge list wants (AQE handles skewed
+  * hubs; ranks re-partition by vertex between iterations).
+  *
+  * Determinism contract: per-edge contributions are IEEE-754 doubles
+  * (identical on any engine given identical inputs), and the per-dst
+  * accumulation is an exact DECIMAL(38,15) sum — so ranks are
+  * bit-reproducible across partitionings AND recomputable by an
+  * external SQL engine, the property every oracle in this repo leans
+  * on (double summation order would differ per partitioning).
+  */
+object Graph {
+
+  /** Standard damped PageRank over a directed edge list, fixed
+    * iteration count. rank_0 = 1/N; rank_{t+1}(v) = (1-d)/N +
+    * d * Σ_{u→v} rank_t(u)/outDeg(u). Dangling-vertex mass is NOT
+    * redistributed (documented choice — it only rescales ranks, and
+    * the fixed-point shape stays identical); vertices = src ∪ dst.
+    */
+  def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 0 && iterations <= 100)
+    val edges = edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val vertices = edges.select(col("src").as("vertex"))
+      .union(edges.select(col("dst").as("vertex")))
+      .distinct()
+      .persist()
+    val n = vertices.count().toDouble
+    if (n == 0) return vertices.withColumn("rank", lit(0.0))
+    val outDeg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("__outdeg"))
+      .persist()
+    var ranks = vertices.withColumn("rank", lit(1.0 / n))
+    for (_ <- 0 until iterations) {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("vertex", "src"), Seq("src"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("vertex"),
+          (col("rank") / col("__outdeg")).as("__contrib"))
+        .groupBy(col("vertex"))
+        // exact decimal accumulation -> partitioning-independent ranks
+        .agg(sum(col("__contrib").cast("decimal(38,15)"))
+          .cast("double").as("__in"))
+      // localCheckpoint TRUNCATES the lineage each iteration — chained
+      // iteration plans otherwise grow without bound (plan rendering
+      // alone OOMs past ~15 iterations). A cluster deployment uses
+      // reliable checkpoint() to storage; same shape.
+      ranks = vertices
+        .join(contribs, Seq("vertex"), "left")
+        .select(col("vertex"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    vertices.unpersist()
+    outDeg.unpersist()
+    ranks
+  }
+
+  /** In-degree / out-degree profile of an edge list — the cheap
+    * pre-flight before centrality work (hub detection, skew planning).
+    */
+  def degrees(edges0: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val edges = edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val out = edges.groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).as("out_degree"))
+    val in = edges.groupBy(col("dst").as("vertex"))
+      .agg(count(lit(1)).as("in_degree"))
+    out.join(in, Seq("vertex"), "full_outer")
+      .select(col("vertex"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+  }
+}

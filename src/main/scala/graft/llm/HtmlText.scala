@@ -147,6 +147,56 @@ object HtmlText {
   private def collapseWs(s: String): String =
     s.replaceAll("[\\s\\u00a0]+", " ").trim
 
+  /** All <a href> targets in document order (entity-decoded, quoted or
+    * bare attribute values) — the crawl-frontier / link-graph input.
+    */
+  def extractLinks(html: String): Seq[String] = {
+    if (html == null) return Seq.empty
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < html.length) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) return out.result()
+      // only <a ...> opening tags (case-insensitive), not </a> or <abbr>
+      val j = lt + 1
+      if (j < html.length &&
+          (html.charAt(j) == 'a' || html.charAt(j) == 'A') &&
+          (j + 1 >= html.length || !html.charAt(j + 1).isLetterOrDigit)) {
+        // scan the tag for href=..., respecting quotes
+        var k = j + 1
+        var quote: Char = 0
+        var end = -1
+        while (end < 0 && k < html.length) {
+          val c = html.charAt(k)
+          if (quote == 0 && c == '>') end = k
+          else {
+            if (quote == 0 && (c == '"' || c == '\'')) quote = c
+            else if (c == quote) quote = 0
+            k += 1
+          }
+        }
+        if (end < 0) return out.result()
+        val tag = html.substring(j + 1, end)
+        val m = HrefRe.findFirstMatchIn(tag)
+        m.foreach { mm =>
+          val v = Option(mm.group(1)).orElse(Option(mm.group(2)))
+            .getOrElse(mm.group(3))
+          if (v != null && v.nonEmpty) out += decodeEntities(v)
+        }
+        i = end + 1
+      } else i = lt + 1
+    }
+    out.result()
+  }
+
+  // (?<![\w-]) and not \b: "data-href" must not match (hyphen is a
+  // non-word char, so \b alone would accept it)
+  private val HrefRe =
+    """(?is)(?<![\w-])href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""".r
+
+  val extractLinksUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(extractLinks _)
+
   val extractUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf((h: String) => {
       val (t, x) = extract(h)

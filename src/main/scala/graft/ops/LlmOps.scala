@@ -87,6 +87,14 @@ object LlmOps {
         .drop("__html")
     }
 
+    // `extract-html-links :col` — all <a href> targets as an array
+    // column (crawl frontier / link-graph input).
+    case "extract-html-links" => ColumnOps.simple(spec) { df =>
+      val c = spec.col(0)
+      df.withColumn(s"${c}_links", graft.llm.HtmlText.extractLinksUdf(
+        col(c).cast(org.apache.spark.sql.types.StringType)))
+    }
+
     case "clean-lines-c4" => ColumnOps.simple(spec) { df =>
       df.withColumn(spec.col(0), graft.functions.Udfs.c4CleanLinesUdf(
         col(spec.col(0)),

@@ -55,6 +55,46 @@ class WebSpec extends SparkSpec {
     assert(out(1).isNullAt(out(1).fieldIndex("h_title")))
   }
 
+  test("html link extraction: quote styles, entities, decoys") {
+    val html = """<a href="/a">1</a> <A HREF='/b'>2</A> <a href=/c>3</a>
+      |<a data-href="/no">4</a> <area href="/area"> <abbr href="/abbr">
+      |<a class="k" href="/d?x=1&amp;y=2">5</a> <a name="n">6</a>""".stripMargin
+    assert(graft.llm.HtmlText.extractLinks(html) ==
+      Seq("/a", "/b", "/c", "/d?x=1&y=2"))
+    assert(graft.llm.HtmlText.extractLinks(null).isEmpty)
+    assert(graft.llm.HtmlText.extractLinks("no links").isEmpty)
+  }
+
+  // ---- Graph --------------------------------------------------------
+
+  test("pageRank: hand-checked fixed point, partitioning-invariant") {
+    import org.apache.spark.sql.Row
+    // a -> b, a -> c, b -> c, c -> a : classic 3-cycle-with-extra
+    val edges = df("src STRING, dst STRING", Seq(
+      Row("a", "b"), Row("a", "c"), Row("b", "c"), Row("c", "a")))
+    val ranks = graft.graph.Graph.pageRank(edges, "src", "dst",
+        iterations = 20, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // no dangling vertices here, so ranks converge to sum ~= 1
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6)
+    // c receives from both a (1/2) and b (1) -> highest; b lowest
+    assert(ranks("c") > ranks("a") && ranks("a") > ranks("b"))
+    // partitioning invariance: 7-way repartition gives IDENTICAL ranks
+    val ranks2 = graft.graph.Graph.pageRank(edges.repartition(7),
+        "src", "dst", iterations = 20, damping = 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ranks == ranks2, "ranks changed under repartitioning")
+  }
+
+  test("degrees: full-outer profile with zero fills") {
+    import org.apache.spark.sql.Row
+    val edges = df("src STRING, dst STRING", Seq(
+      Row("a", "b"), Row("a", "c"), Row("b", "c")))
+    val d0 = graft.graph.Graph.degrees(edges, "src", "dst")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(d0 == Set(("a", 2L, 0L), ("b", 1L, 1L), ("c", 0L, 2L)))
+  }
+
   // ---- Warc ---------------------------------------------------------
 
   private def warcRecord(typ: String, uri: String, body: String,
