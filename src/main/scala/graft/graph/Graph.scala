@@ -31,20 +31,29 @@ object Graph {
     val edges = edges0
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
+      .persist() // scanned every iteration
+    // one vertex-metadata table: id + out-degree (0 for dangling) —
+    // carried INSIDE the rank table so each iteration pays exactly one
+    // edge join + one dst aggregation + one vertex join, nothing more
+    val outDeg = edges.groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).as("__outdeg"))
     val vertices = edges.select(col("src").as("vertex"))
       .union(edges.select(col("dst").as("vertex")))
       .distinct()
+      .join(outDeg, Seq("vertex"), "left")
+      .select(col("vertex"),
+        coalesce(col("__outdeg"), lit(0L)).as("__outdeg"))
       .persist()
     val n = vertices.count().toDouble
-    if (n == 0) return vertices.withColumn("rank", lit(0.0))
-    val outDeg = edges.groupBy(col("src"))
-      .agg(count(lit(1)).as("__outdeg"))
-      .persist()
+    if (n == 0) {
+      edges.unpersist()
+      return vertices.select(col("vertex"), lit(0.0).as("rank"))
+    }
     var ranks = vertices.withColumn("rank", lit(1.0 / n))
     for (_ <- 0 until iterations) {
       val contribs = edges
-        .join(ranks.withColumnRenamed("vertex", "src"), Seq("src"))
-        .join(outDeg, Seq("src"))
+        .join(ranks.withColumnRenamed("vertex", "src")
+          .where(col("__outdeg") > 0), Seq("src"))
         .select(col("dst").as("vertex"),
           (col("rank") / col("__outdeg")).as("__contrib"))
         .groupBy(col("vertex"))
@@ -57,14 +66,14 @@ object Graph {
       // reliable checkpoint() to storage; same shape.
       ranks = vertices
         .join(contribs, Seq("vertex"), "left")
-        .select(col("vertex"),
+        .select(col("vertex"), col("__outdeg"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
         .localCheckpoint(true)
     }
     vertices.unpersist()
-    outDeg.unpersist()
-    ranks
+    edges.unpersist()
+    ranks.select(col("vertex"), col("rank"))
   }
 
   /** In-degree / out-degree profile of an edge list — the cheap
