@@ -2450,6 +2450,38 @@ object QueryBank {
       },
       pageRankSql),
 
+    ("graph_components",
+      // undirected CC through the graph wrapper: chain edges within
+      // groups of 10 docs plus one cross-link per 50 — components are
+      // analytic, so DuckDB states them in closed form. String
+      // vertices exercise the densify -> fixpoint -> min-rep path.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = docs(s, d).select(col("doc_id"))
+        val chain = base.where(col("doc_id") % 10 =!= 9)
+          .select(concat(lit("d"), col("doc_id")).as("src"),
+            concat(lit("d"), col("doc_id") + 1).as("dst"))
+        val cross = base.where(col("doc_id") % 50 === 0)
+          .select(concat(lit("d"), col("doc_id")).as("src"),
+            concat(lit("d"), col("doc_id") + 19).as("dst"))
+        graft.graph.Graph.connectedComponents(
+          chain.union(cross), "src", "dst")
+      },
+      // groups of 10 chained; a 0-to-19 bridge merges each 50-block's
+      // first two decades -> component = min doc id of the merged set,
+      // as a string label "d<min>". String min of "d<NN>" is NOT
+      // numeric min, so the rep is computed numerically here too.
+      """WITH ids AS (SELECT doc_id AS v FROM documents),
+        |comp AS (SELECT v,
+        |  CASE WHEN (v // 10) % 5 <= 1 THEN (v // 50) * 50
+        |       ELSE (v // 10) * 10 END AS cnum
+        | FROM ids),
+        |reps AS (SELECT cnum, 'd' || CAST(min_by(v, ('d' || v)) AS VARCHAR)
+        |           AS component
+        |         FROM comp GROUP BY cnum)
+        |SELECT 'd' || comp.v AS vertex, reps.component
+        |FROM comp JOIN reps USING (cnum)""".stripMargin),
+
     ("pipeline_web",
       // the full web-corpus ingestion composite: WARC bytes -> record
       // split (request records filtered) -> HTML boilerplate strip ->

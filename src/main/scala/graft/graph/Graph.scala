@@ -76,6 +76,57 @@ object Graph {
     ranks.select(col("vertex"), col("rank"))
   }
 
+  /** Undirected connected components over an edge list — delegates to
+    * the dedup pipeline's fixpoint machinery
+    * ([[graft.llm.Dedup.connectedComponents]]: driver union-find under
+    * a pair cap, distributed min-label propagation above it). Integral
+    * vertex ids run directly; any other type is densified first via a
+    * sorted row_number (documented cost: one global sort — at true
+    * scale assign ids upstream or key vertices integrally), and the
+    * returned component label is the MINIMUM vertex of the component
+    * (deterministic regardless of the internal id assignment).
+    */
+  def connectedComponents(edges0: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val edges = edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val integral = Seq("src", "dst").forall { c =>
+      edges.schema(edges.schema.fieldIndex(c)).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+    }
+    if (integral) {
+      val labels = graft.llm.Dedup.connectedComponents(
+        edges.select(col("src").as("id_a"), col("dst").as("id_b")))
+      labels.select(col("id").as("vertex"), col("component"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("vertex"))
+      val ids = edges.select(col("src").as("vertex"))
+        .union(edges.select(col("dst").as("vertex")))
+        .distinct()
+        .withColumn("__vid", row_number().over(w).cast("long"))
+        .persist()
+      val pairs = edges
+        .join(ids.withColumnRenamed("vertex", "src")
+          .withColumnRenamed("__vid", "id_a"), Seq("src"))
+        .join(ids.withColumnRenamed("vertex", "dst")
+          .withColumnRenamed("__vid", "id_b"), Seq("dst"))
+        .select("id_a", "id_b")
+      val labels = graft.llm.Dedup.connectedComponents(pairs)
+      val out = ids.join(labels.withColumnRenamed("id", "__vid"), Seq("__vid"))
+        .select(col("vertex"), col("component").as("__comp"))
+      // component label = min ORIGINAL vertex of the component
+      val reps = out.groupBy(col("__comp"))
+        .agg(min(col("vertex")).as("component"))
+      val res = out.join(reps, Seq("__comp")).select("vertex", "component")
+      ids.unpersist()
+      res
+    }
+  }
+
   /** In-degree / out-degree profile of an edge list — the cheap
     * pre-flight before centrality work (hub detection, skew planning).
     */

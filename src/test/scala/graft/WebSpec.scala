@@ -86,6 +86,23 @@ class WebSpec extends SparkSpec {
     assert(ranks == ranks2, "ranks changed under repartitioning")
   }
 
+  test("connectedComponents: integral direct path and string densify path") {
+    import org.apache.spark.sql.Row
+    // components {1,2,3}, {10,11}, via undirected chains
+    val e = df("src BIGINT, dst BIGINT", Seq(
+      Row(1L, 2L), Row(3L, 2L), Row(10L, 11L)))
+    val got = graft.graph.Graph.connectedComponents(e, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // string vertices: same shape, min-string representative
+    val es = df("src STRING, dst STRING", Seq(
+      Row("b", "a"), Row("c", "b"), Row("z", "y")))
+    val got2 = graft.graph.Graph.connectedComponents(es, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got2 == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "y" -> "y", "z" -> "y"))
+  }
+
   test("degrees: full-outer profile with zero fills") {
     import org.apache.spark.sql.Row
     val edges = df("src STRING, dst STRING", Seq(
