@@ -2450,6 +2450,29 @@ object QueryBank {
       },
       pageRankSql),
 
+    ("robots_allowed",
+      // RFC 9309 verdicts over a per-row robots fixture: three path
+      // classes (longest-match allow override, disallow hit, no match)
+      // whose expected verdicts DuckDB states in closed form
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val seg = lower(col("c_mktsegment"))
+        val base = cust(s, d)
+          .withColumn("rb", synthRobotsUdf(seg))
+          .withColumn("p", when(col("c_custkey") % 3 === 0,
+              concat(lit("/"), seg, lit("/open/a")))
+            .when(col("c_custkey") % 3 === 1,
+              concat(lit("/"), seg, lit("/a")))
+            .otherwise(lit("/other/a")))
+        r("robots-allowed :rb :p testbot; keep :c_custkey,:p,:p_allowed")(base)
+      },
+      """SELECT c_custkey,
+        | CASE WHEN c_custkey % 3 = 0 THEN '/' || lower(c_mktsegment) || '/open/a'
+        |      WHEN c_custkey % 3 = 1 THEN '/' || lower(c_mktsegment) || '/a'
+        |      ELSE '/other/a' END AS p,
+        | (c_custkey % 3 <> 1) AS p_allowed
+        |FROM customer""".stripMargin),
+
     ("graph_components",
       // undirected CC through the graph wrapper: chain edges within
       // groups of 10 docs plus one cross-link per 50 — components are
@@ -3788,6 +3811,14 @@ object QueryBank {
     graft.llm.MediaHeaders.mp4Build(samples, samplesPerChunk = 2,
       keyframes1Based = (0 until ns).filter(_ % 3 == 0).map(_ + 1))
   })
+
+  /** Fixture: a robots.txt whose group disallows the row's segment
+    * directory but allows its /open subtree (longest-match override).
+    */
+  private val synthRobotsUdf = org.apache.spark.sql.functions.udf(
+    (seg: String) =>
+      s"User-agent: testbot\nDisallow: /$seg/\nAllow: /$seg/open\n" +
+        "\nUser-agent: *\nDisallow: /\n")
 
   val queries: Map[String, Q] =
     entries.map { case (n, q, _) => n -> q }.toMap

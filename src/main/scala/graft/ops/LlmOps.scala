@@ -87,6 +87,18 @@ object LlmOps {
         .drop("__html")
     }
 
+    // `robots-allowed :robotsCol :pathCol [agent]` — RFC 9309 verdict
+    // as a boolean column <pathCol>_allowed (crawl politeness gate).
+    case "robots-allowed" => ColumnOps.simple(spec) { df =>
+      val robots = spec.col(0)
+      val path = spec.col(1)
+      val agent = spec.optStr(2).getOrElse("*")
+      df.withColumn(s"${path}_allowed", graft.llm.Robots.allowedUdf(
+        col(robots).cast(org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.functions.lit(agent),
+        col(path).cast(org.apache.spark.sql.types.StringType)))
+    }
+
     // `extract-html-links :col` — all <a href> targets as an array
     // column (crawl frontier / link-graph input).
     case "extract-html-links" => ColumnOps.simple(spec) { df =>

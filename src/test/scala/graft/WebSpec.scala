@@ -65,6 +65,52 @@ class WebSpec extends SparkSpec {
     assert(graft.llm.HtmlText.extractLinks("no links").isEmpty)
   }
 
+  test("robots.txt: RFC 9309 semantics") {
+    import graft.llm.Robots.allowed
+    val robots =
+      """# example
+        |User-agent: googlebot
+        |Disallow: /private/
+        |Allow: /private/public*
+        |
+        |User-agent: *
+        |Disallow: /tmp/
+        |Disallow: /*.pdf$
+        |Disallow:
+        |""".stripMargin
+    // specific group wins over *
+    assert(!allowed(robots, "googlebot", "/private/x"))
+    assert(allowed(robots, "googlebot", "/private/public/y")) // longest match: allow
+    assert(allowed(robots, "googlebot", "/tmp/z")) // googlebot group has no /tmp rule
+    // fallback group for other agents
+    assert(!allowed(robots, "otherbot", "/tmp/z"))
+    assert(allowed(robots, "otherbot", "/private/x"))
+    // wildcard + end anchor
+    assert(!allowed(robots, "otherbot", "/docs/file.pdf"))
+    assert(allowed(robots, "otherbot", "/docs/file.pdf.html")) // $ anchor
+    // empty disallow value = allow-all rule, not a match
+    assert(allowed(robots, "otherbot", "/anything"))
+    // UA prefix matching: product token "googlebot-images" hits googlebot
+    assert(!allowed(robots, "googlebot-images", "/private/x"))
+    // degenerate inputs
+    assert(allowed(null, "x", "/a"))
+    assert(allowed("", "x", "/a"))
+    assert(allowed("junk with no colons", "x", "/a"))
+    // tie between allow and disallow of equal specificity -> allow
+    val tie = "User-agent: *\nDisallow: /page\nAllow: /page\n"
+    assert(allowed(tie, "any", "/page"))
+  }
+
+  test("robots-allowed directive appends the verdict column") {
+    import org.apache.spark.sql.Row
+    val robots = "User-agent: *\nDisallow: /secret/\n"
+    val d = df("id BIGINT, r STRING, p STRING", Seq(
+      Row(1L, robots, "/secret/a"), Row(2L, robots, "/ok/a")))
+    val out = wrangle("robots-allowed :r :p mybot", d).orderBy("id").collect()
+    assert(!out(0).getAs[Boolean]("p_allowed"))
+    assert(out(1).getAs[Boolean]("p_allowed"))
+  }
+
   // ---- Graph --------------------------------------------------------
 
   test("pageRank: hand-checked fixed point, partitioning-invariant") {
