@@ -2450,6 +2450,25 @@ object QueryBank {
       },
       pageRankSql),
 
+    ("parse_as_sitemap",
+      // urlset XML per row -> exploded entries; DuckDB rebuilds the
+      // expected (loc, lastmod, priority) rows from the same formulas
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = cust(s, d).where(col("c_custkey") < 500)
+          .withColumn("sm", synthSitemapUdf(col("c_custkey")))
+        r("parse-as-sitemap :sm; keep :c_custkey,:sm_loc,:sm_lastmod,:sm_priority,:sm_is_index")(base)
+      },
+      """SELECT c_custkey,
+        |  'https://ex.com/p/' || c_custkey || '/' || i AS sm_loc,
+        |  CASE WHEN i = 0 THEN '2024-01-0' || (c_custkey % 9 + 1)
+        |       ELSE NULL END AS sm_lastmod,
+        |  CASE WHEN i = 0
+        |       THEN CAST((c_custkey % 10) AS DOUBLE) / 10 END AS sm_priority,
+        |  false AS sm_is_index
+        |FROM customer CROSS JOIN (SELECT unnest(range(3)) AS i) t
+        |WHERE c_custkey < 500""".stripMargin),
+
     ("robots_allowed",
       // RFC 9309 verdicts over a per-row robots fixture: three path
       // classes (longest-match allow override, disallow hit, no match)
@@ -3819,6 +3838,19 @@ object QueryBank {
     (seg: String) =>
       s"User-agent: testbot\nDisallow: /$seg/\nAllow: /$seg/open\n" +
         "\nUser-agent: *\nDisallow: /\n")
+
+  /** Fixture: a 3-url urlset where only the first entry carries
+    * lastmod/priority (formula-derived).
+    */
+  private val synthSitemapUdf = org.apache.spark.sql.functions.udf(
+    (id: Long) => {
+      val head = s"<url><loc>https://ex.com/p/$id/0</loc>" +
+        s"<lastmod>2024-01-0${id % 9 + 1}</lastmod>" +
+        s"<priority>0.${id % 10}</priority></url>"
+      val rest = (1 to 2).map(i =>
+        s"<url><loc>https://ex.com/p/$id/$i</loc></url>").mkString
+      s"<urlset>$head$rest</urlset>"
+    })
 
   val queries: Map[String, Q] =
     entries.map { case (n, q, _) => n -> q }.toMap

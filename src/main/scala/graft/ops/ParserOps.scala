@@ -223,6 +223,25 @@ object ParserOps {
       }
     }
 
+    // `parse-as-sitemap :col` — sitemaps.org urlset/sitemapindex XML
+    // to one row per entry (crawl-frontier companion to robots.txt).
+    case "parse-as-sitemap" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        df.withColumn("__sm",
+            explode(graft.sources.Warc.parseSitemapUdf(
+              col(c).cast(StringType))))
+          .drop(c)
+          .withColumn(s"${c}_loc", col("__sm.loc"))
+          .withColumn(s"${c}_lastmod", col("__sm.lastmod"))
+          .withColumn(s"${c}_changefreq", col("__sm.changefreq"))
+          .withColumn(s"${c}_priority", col("__sm.priority"))
+          .withColumn(s"${c}_is_index", col("__sm.is_index"))
+          .drop("__sm")
+      }
+    }
+
     // (reference: wrangler-core directives/language/SetCharset.java:77)
     case "set-charset" => ColumnOps.simple(spec) { df =>
       val c = spec.col(0)

@@ -193,6 +193,44 @@ object Warc {
   val parseAllUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf(parseAll _)
 
+  /** One sitemap entry (sitemaps.org XML protocol). `is_index` marks
+    * <sitemapindex> children (nested sitemap references to fetch),
+    * false for <urlset> page entries.
+    */
+  case class SitemapEntry(loc: String, lastmod: String,
+      changefreq: String, priority: java.lang.Double, is_index: Boolean)
+
+  /** Parse a sitemap XML document (urlset or sitemapindex) — the
+    * crawl-frontier companion to robots.txt. Malformed XML -> empty.
+    */
+  def parseSitemap(xml: String): Seq[SitemapEntry] = {
+    if (xml == null || xml.isEmpty) return Seq.empty
+    val root =
+      try scala.xml.XML.loadString(xml)
+      catch { case _: Exception => return Seq.empty }
+    def entries(tag: String, isIndex: Boolean): Seq[SitemapEntry] =
+      (root \ tag).flatMap { n =>
+        val loc = (n \ "loc").text.trim
+        if (loc.isEmpty) None
+        else Some(SitemapEntry(
+          loc,
+          Option((n \ "lastmod").text.trim).filter(_.nonEmpty).orNull,
+          Option((n \ "changefreq").text.trim).filter(_.nonEmpty).orNull,
+          Option((n \ "priority").text.trim).filter(_.nonEmpty)
+            .flatMap(v => scala.util.Try(
+              java.lang.Double.valueOf(v)).toOption).orNull,
+          isIndex))
+      }
+    root.label match {
+      case "urlset"       => entries("url", isIndex = false)
+      case "sitemapindex" => entries("sitemap", isIndex = true)
+      case _              => Seq.empty
+    }
+  }
+
+  val parseSitemapUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(parseSitemap _)
+
   /** Read WARC/WET shards from a path glob: one task per shard (the
     * Common Crawl unit of work), records exploded to rows with the
     * source path retained for provenance.

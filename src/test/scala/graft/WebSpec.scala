@@ -111,6 +111,31 @@ class WebSpec extends SparkSpec {
     assert(out(1).getAs[Boolean]("p_allowed"))
   }
 
+  test("sitemap parse: urlset, sitemapindex, malformed") {
+    import graft.sources.Warc
+    val urlset = """<?xml version="1.0"?>
+      |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      | <url><loc>https://ex.com/a</loc><lastmod>2024-01-01</lastmod>
+      |   <changefreq>daily</changefreq><priority>0.8</priority></url>
+      | <url><loc>https://ex.com/b</loc></url>
+      |</urlset>""".stripMargin
+    val es = Warc.parseSitemap(urlset)
+    assert(es.map(_.loc) == Seq("https://ex.com/a", "https://ex.com/b"))
+    assert(es(0).lastmod == "2024-01-01" && es(0).priority == 0.8 &&
+      es(0).changefreq == "daily" && !es(0).is_index)
+    assert(es(1).lastmod == null && es(1).priority == null)
+    val index = """<sitemapindex>
+      | <sitemap><loc>https://ex.com/s1.xml</loc></sitemap>
+      | <sitemap><loc>https://ex.com/s2.xml</loc></sitemap>
+      |</sitemapindex>""".stripMargin
+    val is = Warc.parseSitemap(index)
+    assert(is.map(_.loc) == Seq("https://ex.com/s1.xml", "https://ex.com/s2.xml"))
+    assert(is.forall(_.is_index))
+    assert(Warc.parseSitemap("<broken").isEmpty)
+    assert(Warc.parseSitemap(null).isEmpty)
+    assert(Warc.parseSitemap("<other><loc>x</loc></other>").isEmpty)
+  }
+
   // ---- Graph --------------------------------------------------------
 
   test("pageRank: hand-checked fixed point, partitioning-invariant") {
