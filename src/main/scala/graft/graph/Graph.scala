@@ -103,11 +103,23 @@ object Graph {
         edges.select(col("src").as("id_a"), col("dst").as("id_b")))
       labels.select(col("id").as("vertex"), col("component"))
     } else {
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("vertex"))
-      val ids = edges.select(col("src").as("vertex"))
+      // dense ids via distributed zipWithIndex — NOT a global-sort
+      // row_number window (single-partition, the scale-killer shape
+      // PlanGateSpec forbids). The id assignment varies with partition
+      // layout, but the returned component label is the min ORIGINAL
+      // vertex, so the output is layout-independent.
+      val verts = edges.select(col("src").as("vertex"))
         .union(edges.select(col("dst").as("vertex")))
         .distinct()
-        .withColumn("__vid", row_number().over(w).cast("long"))
+      val spark = verts.sparkSession
+      val vdt = verts.schema("vertex").dataType
+      val ids = spark.createDataFrame(
+        verts.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(r.get(0), i + 1L) },
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vertex", vdt),
+          org.apache.spark.sql.types.StructField("__vid",
+            org.apache.spark.sql.types.LongType))))
         .persist()
       val pairs = edges
         .join(ids.withColumnRenamed("vertex", "src")
