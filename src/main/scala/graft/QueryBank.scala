@@ -2469,6 +2469,24 @@ object QueryBank {
         |FROM customer CROSS JOIN (SELECT unnest(range(3)) AS i) t
         |WHERE c_custkey < 500""".stripMargin),
 
+    ("blocklist_hits",
+      // Aho-Corasick term scan over documents.text: DuckDB recomputes
+      // each pattern's ALL-positions count with replace-arithmetic
+      // (the fixture patterns are border-free, so overlapping and
+      // non-overlapping counts coincide and the totals match exactly)
+      (s, d) => r("blocklist :text 'the,and,with,tion,ing'; keep :doc_id,:text_blocklist_hits,:text_blocked")(docs(s, d)),
+      """SELECT doc_id,
+        | CAST((length(lower(text)) - length(replace(lower(text), 'the', ''))) / 3
+        |  + (length(lower(text)) - length(replace(lower(text), 'and', ''))) / 3
+        |  + (length(lower(text)) - length(replace(lower(text), 'with', ''))) / 4
+        |  + (length(lower(text)) - length(replace(lower(text), 'tion', ''))) / 4
+        |  + (length(lower(text)) - length(replace(lower(text), 'ing', ''))) / 3
+        |  AS BIGINT) AS text_blocklist_hits,
+        | (length(lower(text)) <> length(replace(replace(replace(replace(replace(
+        |    lower(text), 'the', ''), 'and', ''), 'with', ''), 'tion', ''),
+        |    'ing', ''))) AS text_blocked
+        |FROM documents""".stripMargin),
+
     ("robots_allowed",
       // RFC 9309 verdicts over a per-row robots fixture: three path
       // classes (longest-match allow override, disallow hit, no match)

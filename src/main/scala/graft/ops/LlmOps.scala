@@ -87,6 +87,23 @@ object LlmOps {
         .drop("__html")
     }
 
+    // `blocklist :col 'p1,p2,...'` — Aho-Corasick multi-pattern scan
+    // (case-insensitive): appends <col>_blocklist_hits (ALL occurrence
+    // positions, overlapping included) and <col>_blocked. O(text+hits)
+    // regardless of pattern count — the shape a thousands-strong term
+    // list needs; the automaton builds once and ships in the closure.
+    case "blocklist" => ColumnOps.simple(spec) { df =>
+      val c = spec.col(0)
+      val patterns = spec.str(1).split(",").map(_.trim).filter(_.nonEmpty)
+      require(patterns.nonEmpty, "blocklist: empty pattern list")
+      val ac = graft.llm.MultiMatch.build(patterns.toSeq)
+      val hitsUdf = org.apache.spark.sql.functions.udf(
+        (t: String) => ac.countHits(t))
+      df.withColumn(s"${c}_blocklist_hits",
+          hitsUdf(col(c).cast(org.apache.spark.sql.types.StringType)))
+        .withColumn(s"${c}_blocked", col(s"${c}_blocklist_hits") > 0)
+    }
+
     // `robots-allowed :robotsCol :pathCol [agent]` — RFC 9309 verdict
     // as a boolean column <pathCol>_allowed (crawl politeness gate).
     case "robots-allowed" => ColumnOps.simple(spec) { df =>

@@ -136,6 +136,45 @@ class WebSpec extends SparkSpec {
     assert(Warc.parseSitemap("<other><loc>x</loc></other>").isEmpty)
   }
 
+  test("aho-corasick: counts equal naive all-positions scan") {
+    import graft.llm.MultiMatch
+    val pats = Seq("aa", "aba", "he", "she", "hers", "x")
+    val ac = MultiMatch.build(pats, caseInsensitive = true)
+    def naive(t: String): Long = {
+      val lt = t.toLowerCase
+      pats.map { p =>
+        var c = 0L; var i = lt.indexOf(p)
+        while (i >= 0) { c += 1; i = lt.indexOf(p, i + 1) }
+        c
+      }.sum
+    }
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val t = (1 to rnd.nextInt(40))
+        .map(_ => "abhersx ".charAt(rnd.nextInt(8))).mkString
+      assert(ac.countHits(t) == naive(t), s"mismatch on '$t'")
+    }
+    // classic AC cases: overlapping + suffix patterns via fail links
+    assert(ac.countHits("ushers") == 3) // she, he, hers
+    assert(ac.countHits("aaa") == 2)    // overlapping aa
+    assert(ac.countHits("ABABA") == 2)  // case-insensitive overlapping aba
+    assert(ac.countHits(null) == 0)
+    assert(ac.matchedPatterns("ushers").toSeq == Seq(2, 3, 4))
+    assert(ac.anyMatch("zzxzz") && !ac.anyMatch("zzzzz"))
+  }
+
+  test("blocklist directive appends hits + blocked") {
+    import org.apache.spark.sql.Row
+    val d = df("id BIGINT, t STRING", Seq(
+      Row(1L, "The cat AND the hat"), Row(2L, "clean text"), Row(3L, null)))
+    val out = wrangle("blocklist :t 'the,and'", d).orderBy("id").collect()
+    assert(out(0).getAs[Long]("t_blocklist_hits") == 3L)
+    assert(out(0).getAs[Boolean]("t_blocked"))
+    assert(out(1).getAs[Long]("t_blocklist_hits") == 0L)
+    assert(!out(1).getAs[Boolean]("t_blocked"))
+    assert(out(2).getAs[Long]("t_blocklist_hits") == 0L)
+  }
+
   // ---- Graph --------------------------------------------------------
 
   test("pageRank: hand-checked fixed point, partitioning-invariant") {
