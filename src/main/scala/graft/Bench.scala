@@ -99,7 +99,14 @@ object Bench {
       backoffs += 1
     }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
+    // Optional local-debug filter: SPARK_GRAFT_BENCH_ONLY=a,b,c times just
+    // those queries (floor sampling unchanged) — for adjudicating a
+    // regression on one query without a 100 s full-bank run
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val benchNames = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val results = benchNames.map { n =>
       n -> median((1 to runs).map(_ => materialize(n)))
     }
 

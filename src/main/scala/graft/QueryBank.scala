@@ -2408,6 +2408,45 @@ object QueryBank {
         |   AS BIGINT) AS sum_b
         |FROM g""".stripMargin),
 
+    ("multimodal_png_palette",
+      // REAL indexed-colour decode: deterministic palette PNGs cycling
+      // through bit depths 1/2/4/8 (packed sub-byte indices, PLTE
+      // resolution, per-scanline filters over the packed bytes, split
+      // IDAT). DuckDB recomputes the palette-resolved channel sums from
+      // the index+palette formulas — a slip in bit unpacking order,
+      // PLTE lookup, or packed-stride filter math breaks the hash.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthPalettePngUdf(col("doc_id")))
+          .select(col("doc_id"),
+            graft.llm.MediaHeaders.pngStatsUdf(col("payload")).as("st"))
+          .select(col("doc_id"),
+            col("st.width").as("png_w"), col("st.height").as("png_h"),
+            col("st.n_pixels").as("n_pixels"),
+            col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+            col("st.sum_b").as("sum_b"))
+      },
+      """WITH g AS (SELECT doc_id,
+        |  CAST(5 + doc_id % 9 AS BIGINT) AS w,
+        |  CAST(4 + doc_id % 6 AS BIGINT) AS h,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 4
+        |       WHEN 2 THEN 16 ELSE 256 END AS BIGINT) AS e
+        | FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, CAST(w AS INT) AS png_w, CAST(h AS INT) AS png_h,
+        | CAST(w * h AS BIGINT) AS n_pixels,
+        | CAST(list_sum(list_transform(range(0, w * h), i ->
+        |   ((doc_id * 3 + (i % w) * 7 + (i // w) * 11) % e * 37 + 11)
+        |     % 256)) AS BIGINT) AS sum_r,
+        | CAST(list_sum(list_transform(range(0, w * h), i ->
+        |   ((doc_id * 3 + (i % w) * 7 + (i // w) * 11) % e * 59 + 3)
+        |     % 256)) AS BIGINT) AS sum_g,
+        | CAST(list_sum(list_transform(range(0, w * h), i ->
+        |   ((doc_id * 3 + (i % w) * 7 + (i // w) * 11) % e * 83 + 29)
+        |     % 256)) AS BIGINT) AS sum_b
+        |FROM g""".stripMargin),
+
     ("extract_html_text",
       // boilerplate-stripping HTML -> text: title from <head>, script
       // subtree dropped, block tags become line boundaries, entities
@@ -3711,6 +3750,41 @@ object QueryBank {
       filterFor = yy => ((id + yy) % 5).toInt,
       idatChunks = (1 + id % 3).toInt)
   })
+
+  /** Fixture: a real indexed-colour PNG cycling through bit depths
+    * 1/2/4/8 by id — palette entries e = 2^d with pal[c] =
+    * ((c*37+11)%256, (c*59+3)%256, (c*83+29)%256), idx(x,y) =
+    * (id*3 + x*7 + y*11) % e, w = 5+id%9, h = 4+id%6, per-scanline
+    * filter (id+y)%5, zlib split over 1+id%2 IDAT chunks.
+    */
+  private val synthPalettePngUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      val d = Seq(1, 2, 4, 8)((id % 4).toInt)
+      val entries = 1 << d
+      val w = (5 + id % 9).toInt
+      val h = (4 + id % 6).toInt
+      val pal = new Array[Byte](entries * 3)
+      var c = 0
+      while (c < entries) {
+        pal(3 * c) = ((c * 37 + 11) % 256).toByte
+        pal(3 * c + 1) = ((c * 59 + 3) % 256).toByte
+        pal(3 * c + 2) = ((c * 83 + 29) % 256).toByte
+        c += 1
+      }
+      val idx = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          idx(y * w + x) = ((id * 3 + x * 7 + y * 11) % entries).toByte
+          x += 1
+        }
+        y += 1
+      }
+      graft.llm.MediaHeaders.pngEncode(w, h, 3, idx,
+        filterFor = yy => ((id + yy) % 5).toInt,
+        idatChunks = (1 + id % 2).toInt, depth = d, palette = pal)
+    })
 
   /** Fixture: a real GIF89a whose 256-entry palette and pixel indices
     * are pure functions of the id — pal[c] = ((c*7)%256, (c*13)%256,

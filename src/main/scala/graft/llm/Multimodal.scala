@@ -393,17 +393,24 @@ object MediaHeaders {
 
   // ---- PNG pixel decode (real, pure-JVM) ---------------------------
   // PNG spec (ISO/IEC 15948 / W3C PNG 2nd ed.): Sec. 5 chunk layout,
-  // Sec. 9 filtering, Sec. 11.2.2 IHDR, 11.2.4 IDAT. Supports 8-bit
-  // greyscale (0), truecolour (2) and truecolour+alpha (6), no
-  // interlace; anything else precise-rejects with null — palettes and
-  // sub-byte depths stay out of scope (documented README gap).
+  // Sec. 9 filtering, Sec. 11.2.2 IHDR, 11.2.3 PLTE, 11.2.4 IDAT.
+  // Supports every non-interlaced IHDR shape the spec defines:
+  // greyscale (0) at depths 1/2/4/8/16, truecolour (2) at 8/16,
+  // indexed-colour (3) at 1/2/4/8 with PLTE resolution, grey+alpha (4)
+  // at 8/16, truecolour+alpha (6) at 8/16. Sub-byte samples unpack
+  // MSB-first (Sec. 7.2) and scale to 0..255 by v*255/(2^d-1)
+  // (Sec. 12.5 sample-depth scaling); 16-bit samples take the most
+  // significant byte (the spec's recommended depth rescale to 8).
+  // Adam7 interlace precise-rejects with null (documented README gap).
 
-  /** A fully decoded (unfiltered) image: `pixels` holds h scanlines of
-    * w*bpp bytes, bpp = 1 (grey) / 3 (RGB) / 4 (RGBA) per `colorType`.
+  /** A fully decoded (unfiltered, palette-resolved, 8-bit-rescaled)
+    * image: `pixels` holds h scanlines of w*bpp bytes, bpp = 1 (grey)
+    * / 2 (grey+alpha) / 3 (RGB, incl. resolved palette) / 4 (RGBA).
     */
   case class PngImage(width: Int, height: Int, colorType: Int,
       pixels: Array[Byte]) {
-    def bpp: Int = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+    def bpp: Int = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 3; case 4 => 2; case _ => 4 }
   }
 
   /** Exact integer pixel statistics from a real decode: zlib-inflated
@@ -425,6 +432,7 @@ object MediaHeaders {
     while (i < 8) { if (u8(b, i) != PngSig(i)) return null; i += 1 }
     var p = 8
     var w = -1; var h = -1; var depth = -1; var ct = -1; var interlace = -1
+    var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var sawEnd = false
     while (p + 12 <= b.length && !sawEnd) {
@@ -436,16 +444,35 @@ object MediaHeaders {
           if (len < 13) return null
           w = be32(b, p + 8).toInt; h = be32(b, p + 12).toInt
           depth = u8(b, p + 16); ct = u8(b, p + 17); interlace = u8(b, p + 20)
+        case "PLTE" =>
+          if (len % 3 != 0 || len > 256 * 3) return null
+          plte = java.util.Arrays.copyOfRange(b, p + 8, p + 8 + len)
         case "IDAT" => idat.write(b, p + 8, len)
         case "IEND" => sawEnd = true
         case _ => () // ancillary chunks pass through
       }
       p += 12 + len
     }
-    if (w <= 0 || h <= 0 || depth != 8 || interlace != 0) return null
-    val bpp = ct match {
-      case 0 => 1; case 2 => 3; case 6 => 4; case _ => return null }
-    val stride = w * bpp
+    if (w <= 0 || h <= 0 || interlace != 0) return null
+    // channels per colour type; legal (ct, depth) pairs per Sec. 11.2.2
+    val channels = ct match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return null }
+    val depthOk = ct match {
+      case 0 => Set(1, 2, 4, 8, 16)(depth)
+      case 3 => Set(1, 2, 4, 8)(depth) && plte != null
+      case _ => depth == 8 || depth == 16
+    }
+    if (!depthOk) return null
+    // filtering operates on the PACKED scanline bytes: stride is the
+    // packed byte width, filter `bpp` rounds a whole pixel up to >=1
+    // byte (Sec. 9, "bpp is rounded up to one")
+    val bitsPerPx = channels * depth
+    val stride = (w.toLong * bitsPerPx + 7) / 8 match {
+      case s if s > Int.MaxValue / 2 => return null
+      case s => s.toInt
+    }
+    val fbpp = math.max(1, (bitsPerPx + 7) / 8)
     if (h.toLong * (1L + stride) > Int.MaxValue) return null
     val raw = new Array[Byte](h * (1 + stride))
     val inf = new java.util.zip.Inflater()
@@ -460,8 +487,9 @@ object MediaHeaders {
     } catch { case _: java.util.zip.DataFormatException => return null }
     finally inf.end()
     if (got < raw.length) return null
-    // Sec. 9 unfilter, in place scanline by scanline: a=left, b=up,
-    // c=up-left (all 0 outside the image), byte arithmetic mod 256
+    // Sec. 9 unfilter, in place scanline by scanline over the PACKED
+    // bytes: a=left, b=up, c=up-left (all 0 outside the image), byte
+    // arithmetic mod 256
     val img = new Array[Byte](h * stride)
     var y = 0
     while (y < h) {
@@ -471,9 +499,9 @@ object MediaHeaders {
       var x = 0
       while (x < stride) {
         val rx = u8(raw, ro + x)
-        val a = if (x >= bpp) u8(img, io + x - bpp) else 0
+        val a = if (x >= fbpp) u8(img, io + x - fbpp) else 0
         val up = if (y > 0) u8(img, io - stride + x) else 0
-        val c = if (x >= bpp && y > 0) u8(img, io - stride + x - bpp) else 0
+        val c = if (x >= fbpp && y > 0) u8(img, io - stride + x - fbpp) else 0
         val v = ft match {
           case 0 => rx
           case 1 => rx + a
@@ -492,7 +520,50 @@ object MediaHeaders {
       }
       y += 1
     }
-    PngImage(w, h, ct, img)
+    // expand packed samples to the 8-bit output representation:
+    // sub-byte unpack MSB-first + depth rescale, 16-bit MSB, palette
+    // index -> PLTE RGB triple
+    val outBpp = ct match { case 0 => 1; case 2 => 3; case 3 => 3
+      case 4 => 2; case _ => 4 }
+    if (depth == 8 && ct != 3) return PngImage(w, h, ct, img)
+    val out = new Array[Byte](w * h * outBpp)
+    val palEntries = if (plte == null) 0 else plte.length / 3
+    // per-row sample reader over the packed bytes
+    y = 0
+    while (y < h) {
+      val io = y * stride
+      var bitPos = 0
+      var xo = y * w * outBpp
+      var xi = 0
+      val nSamples = w * channels
+      while (xi < nSamples) {
+        val s = depth match {
+          case 16 =>
+            val v = u8(img, io + (bitPos >> 3)); bitPos += 16; v // MSB
+          case 8 =>
+            val v = u8(img, io + (bitPos >> 3)); bitPos += 8; v
+          case d => // 1/2/4: MSB-first within each byte (Sec. 7.2)
+            val byteV = u8(img, io + (bitPos >> 3))
+            val shift = 8 - d - (bitPos & 7)
+            bitPos += d
+            (byteV >> shift) & ((1 << d) - 1)
+        }
+        if (ct == 3) {
+          if (s >= palEntries) return null // index outside the palette
+          out(xo) = plte(3 * s); out(xo + 1) = plte(3 * s + 1)
+          out(xo + 2) = plte(3 * s + 2)
+          xo += 3
+        } else {
+          // depth rescale to 8 bits: v*255/(2^d-1) is exact for 1/2/4
+          val v8 = if (depth < 8) s * 255 / ((1 << depth) - 1) else s
+          out(xo) = v8.toByte
+          xo += 1
+        }
+        xi += 1
+      }
+      y += 1
+    }
+    PngImage(w, h, ct, out)
   }
 
   def pngStats(b: Array[Byte]): PngStats = {
@@ -505,7 +576,7 @@ object MediaHeaders {
       var xx = 0
       while (xx < w) {
         val o = yy * stride + xx * bpp
-        if (im.colorType == 0) {
+        if (bpp <= 2) { // grey / grey+alpha: one luma channel, mirrored
           val g = u8(im.pixels, o); sr += g; sg += g; sb += g
         } else {
           sr += u8(im.pixels, o); sg += u8(im.pixels, o + 1)
@@ -561,32 +632,75 @@ object MediaHeaders {
     out
   }
 
-  /** Minimal PNG encoder (8-bit grey/RGB/RGBA, no interlace): the
-    * forward complement of [[pngStats]], used to build deterministic
-    * decode fixtures and to round-trip-test the unfilter paths.
-    * `filterFor(y)` picks the Sec. 9 filter per scanline (0..4);
-    * `idatChunks > 1` splits the zlib stream mid-byte across multiple
-    * IDAT chunks (decoders must concatenate before inflating).
+  /** Minimal PNG encoder (no interlace): the forward complement of
+    * [[pngStats]], used to build deterministic decode fixtures and to
+    * round-trip-test the unfilter paths. Covers every decodable shape:
+    * grey (0) 1/2/4/8/16, RGB (2) 8/16, indexed (3) 1/2/4/8 with a
+    * PLTE built from `palette`, grey+alpha (4) 8/16, RGBA (6) 8/16.
+    * `pixels` holds one byte per sample for depth<=8 (values must fit
+    * the depth; sub-byte samples are packed MSB-first) and two
+    * big-endian bytes per sample for depth 16. `filterFor(y)` picks
+    * the Sec. 9 filter per scanline (0..4); `idatChunks > 1` splits
+    * the zlib stream mid-byte across multiple IDAT chunks (decoders
+    * must concatenate before inflating).
     */
   def pngEncode(width: Int, height: Int, colorType: Int,
       pixels: Array[Byte], filterFor: Int => Int = _ => 0,
-      idatChunks: Int = 1): Array[Byte] = {
-    val bpp = colorType match { case 0 => 1; case 2 => 3; case 6 => 4 }
-    val stride = width * bpp
-    require(pixels.length == height * stride,
-      s"pngEncode: ${pixels.length} pixel bytes for ${height}x$stride")
-    def px(o: Int): Int = pixels(o) & 0xff
-    val raw = new Array[Byte](height * (1 + stride))
+      idatChunks: Int = 1, depth: Int = 8,
+      palette: Array[Byte] = null): Array[Byte] = {
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4 }
+    require(colorType != 3 || (palette != null && palette.length % 3 == 0
+      && palette.length <= 256 * 3), "pngEncode: ct 3 needs a PLTE")
+    val bitsPerPx = channels * depth
+    val stride = ((width.toLong * bitsPerPx + 7) / 8).toInt
+    val sampleBytes = if (depth == 16) 2 else 1
+    val nSamples = width * height * channels
+    require(pixels.length == nSamples * sampleBytes,
+      s"pngEncode: ${pixels.length} sample bytes for " +
+        s"$width x $height x $channels @ depth $depth")
+    // pack the unfiltered scanlines (identity for depth 8/16)
+    val packed = new Array[Byte](height * stride)
     var y = 0
+    while (y < height) {
+      var bitPos = 0
+      var si = y * width * channels * sampleBytes
+      var k = 0
+      val rowSamples = width * channels
+      while (k < rowSamples) {
+        depth match {
+          case 16 =>
+            packed(y * stride + (bitPos >> 3)) = pixels(si)
+            packed(y * stride + (bitPos >> 3) + 1) = pixels(si + 1)
+            bitPos += 16; si += 2
+          case 8 =>
+            packed(y * stride + (bitPos >> 3)) = pixels(si)
+            bitPos += 8; si += 1
+          case d =>
+            val v = pixels(si) & 0xff
+            require(v < (1 << d), s"pngEncode: sample $v at depth $d")
+            val shift = 8 - d - (bitPos & 7)
+            val o = y * stride + (bitPos >> 3)
+            packed(o) = (packed(o) | (v << shift)).toByte
+            bitPos += d; si += 1
+        }
+        k += 1
+      }
+      y += 1
+    }
+    val fbpp = math.max(1, (bitsPerPx + 7) / 8)
+    def px(o: Int): Int = packed(o) & 0xff
+    val raw = new Array[Byte](height * (1 + stride))
+    y = 0
     while (y < height) {
       val ft = math.floorMod(filterFor(y), 5)
       raw(y * (1 + stride)) = ft.toByte
       var x = 0
       while (x < stride) {
         val cur = px(y * stride + x)
-        val a = if (x >= bpp) px(y * stride + x - bpp) else 0
+        val a = if (x >= fbpp) px(y * stride + x - fbpp) else 0
         val up = if (y > 0) px((y - 1) * stride + x) else 0
-        val c = if (x >= bpp && y > 0) px((y - 1) * stride + x - bpp) else 0
+        val c = if (x >= fbpp && y > 0) px((y - 1) * stride + x - fbpp) else 0
         val v = ft match {
           case 0 => cur
           case 1 => cur - a
@@ -628,8 +742,9 @@ object MediaHeaders {
       ihdr(o + 2) = ((v >> 8) & 0xff).toByte; ihdr(o + 3) = (v & 0xff).toByte
     }
     be(0, width); be(4, height)
-    ihdr(8) = 8; ihdr(9) = colorType.toByte // depth 8
+    ihdr(8) = depth.toByte; ihdr(9) = colorType.toByte
     chunk("IHDR", ihdr)
+    if (colorType == 3) chunk("PLTE", palette)
     val parts = math.max(1, math.min(idatChunks, z.length))
     val per = math.max(1, z.length / parts)
     var off = 0

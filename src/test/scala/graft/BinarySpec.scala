@@ -508,6 +508,87 @@ class BinarySpec extends SparkSpec {
     // not a PNG at all / null
     assert(MediaHeaders.pngStats("plainly not a png".getBytes) == null)
     assert(MediaHeaders.pngStats(null) == null)
+    // ct 3 without a PLTE chunk -> reject (decoder needs the palette)
+    val pal = Array.tabulate(12)(i => (i * 20).toByte)
+    val p3 = MediaHeaders.pngEncode(4, 4, 3,
+      Array.tabulate[Byte](16)(i => (i % 4).toByte), depth = 8, palette = pal)
+    assert(MediaHeaders.pngStats(p3) != null)
+    val noPlte = {
+      // splice the PLTE chunk out: sig(8) + IHDR(25) then PLTE(12+12)
+      val b = p3
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(b, 0, 8 + 25)
+      out.write(b, 8 + 25 + 12 + 12, b.length - (8 + 25 + 12 + 12))
+      out.toByteArray
+    }
+    assert(MediaHeaders.pngStats(noPlte) == null)
+  }
+
+  test("png round-trip: sub-8-bit grey depths scale exactly") {
+    // depth d: samples 0..2^d-1, decoder rescales by v*255/(2^d-1)
+    for (d <- Seq(1, 2, 4); ft <- 0 to 4) {
+      val (w, h) = (13, 5) // 13 px/row: packed rows end mid-byte
+      val maxV = (1 << d) - 1
+      val px = Array.tabulate[Byte](w * h)(i => (i % (maxV + 1)).toByte)
+      val bytes = MediaHeaders.pngEncode(w, h, 0, px,
+        filterFor = _ => ft, depth = d)
+      val st = MediaHeaders.pngStats(bytes)
+      assert(st != null, s"d=$d ft=$ft decoded to null")
+      val expect = px.map(v => (v & 0xff) * 255L / maxV).sum
+      assert((st.width, st.height) == (w, h))
+      assert(st.sum_r == expect && st.sum_g == expect && st.sum_b == expect,
+        s"d=$d ft=$ft luma sum ${st.sum_r} != $expect")
+    }
+  }
+
+  test("png round-trip: indexed colour resolves the PLTE at all depths") {
+    for (d <- Seq(1, 2, 4, 8); ft <- 0 to 4) {
+      val entries = math.min(1 << d, 256)
+      val pal = Array.tabulate(entries * 3)(i => ((i * 53 + 7) % 256).toByte)
+      val (w, h) = (11, 7)
+      val idx = Array.tabulate[Byte](w * h)(i => (i % entries).toByte)
+      val bytes = MediaHeaders.pngEncode(w, h, 3, idx,
+        filterFor = _ => ft, depth = d, palette = pal)
+      val st = MediaHeaders.pngStats(bytes)
+      assert(st != null, s"palette d=$d ft=$ft decoded to null")
+      var sr = 0L; var sg = 0L; var sb = 0L
+      idx.foreach { i0 =>
+        val i = i0 & 0xff
+        sr += pal(3 * i) & 0xff; sg += pal(3 * i + 1) & 0xff
+        sb += pal(3 * i + 2) & 0xff
+      }
+      assert((st.sum_r, st.sum_g, st.sum_b) == ((sr, sg, sb)),
+        s"palette d=$d ft=$ft sums differ")
+    }
+  }
+
+  test("png round-trip: grey+alpha and 16-bit depths (MSB rescale)") {
+    // ct 4 depth 8: luma mirrored into all three sums, alpha ignored
+    val (w, h) = (9, 6)
+    val ga = Array.tabulate[Byte](w * h * 2)(i => ((i * 31 + 5) % 256).toByte)
+    val st4 = MediaHeaders.pngStats(
+      MediaHeaders.pngEncode(w, h, 4, ga, filterFor = y => y % 5))
+    assert(st4 != null)
+    val lumaSum = (0 until w * h).map(i => ga(2 * i) & 0xff).map(_.toLong).sum
+    assert(st4.sum_r == lumaSum && st4.sum_g == lumaSum && st4.sum_b == lumaSum)
+    // 16-bit: decoder takes the most significant byte of each sample
+    for ((ct, ch) <- Seq((0, 1), (2, 3), (4, 2), (6, 4)); ft <- 0 to 4) {
+      val px16 = Array.tabulate[Byte](w * h * ch * 2)(
+        i => ((i * 29 + 3) % 256).toByte)
+      val st = MediaHeaders.pngStats(MediaHeaders.pngEncode(
+        w, h, ct, px16, filterFor = _ => ft, depth = 16))
+      assert(st != null, s"16-bit ct=$ct ft=$ft decoded to null")
+      def msb(sample: Int): Long = px16(sample * 2) & 0xff
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (i <- 0 until w * h) {
+        if (ch <= 2) { val g = msb(i * ch); sr += g; sg += g; sb += g }
+        else {
+          sr += msb(i * ch); sg += msb(i * ch + 1); sb += msb(i * ch + 2)
+        }
+      }
+      assert((st.sum_r, st.sum_g, st.sum_b) == ((sr, sg, sb)),
+        s"16-bit ct=$ct ft=$ft sums differ")
+    }
   }
 
   // ---- GIF decode ---------------------------------------------------
