@@ -2447,6 +2447,43 @@ object QueryBank {
         |     % 256)) AS BIGINT) AS sum_b
         |FROM g""".stripMargin),
 
+    ("multimodal_png_adam7",
+      // REAL Adam7-interlaced decode: seven independently-filtered
+      // reduced images reassembled to the full pixel grid. Sizes cycle
+      // 4..16 x 3..11 so some fixtures leave Adam7 passes empty and
+      // others end passes mid-step; channel sums are position-
+      // independent, so a pass-placement slip only escapes if it drops
+      // or double-counts pixels — which the exact sums catch.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthAdam7PngUdf(col("doc_id")))
+          .select(col("doc_id"),
+            graft.llm.MediaHeaders.pngStatsUdf(col("payload")).as("st"))
+          .select(col("doc_id"),
+            col("st.width").as("png_w"), col("st.height").as("png_h"),
+            col("st.n_pixels").as("n_pixels"),
+            col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+            col("st.sum_b").as("sum_b"))
+      },
+      """WITH g AS (SELECT doc_id,
+        |  CAST(4 + doc_id % 13 AS BIGINT) AS w,
+        |  CAST(3 + doc_id % 9 AS BIGINT) AS h
+        | FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, CAST(w AS INT) AS png_w, CAST(h AS INT) AS png_h,
+        | CAST(w * h AS BIGINT) AS n_pixels,
+        | CAST(list_sum(list_transform(range(0, w * h),
+        |   i -> (doc_id * 13 + (i % w) * 5 + (i // w) * 17) % 256))
+        |   AS BIGINT) AS sum_r,
+        | CAST(list_sum(list_transform(range(0, w * h),
+        |   i -> (doc_id * 19 + (i % w) * 3 + (i // w) * 29) % 256))
+        |   AS BIGINT) AS sum_g,
+        | CAST(list_sum(list_transform(range(0, w * h),
+        |   i -> (doc_id * 23 + (i % w) * 11 + (i // w) * 7) % 256))
+        |   AS BIGINT) AS sum_b
+        |FROM g""".stripMargin),
+
     ("extract_html_text",
       // boilerplate-stripping HTML -> text: title from <head>, script
       // subtree dropped, block tags become line boundaries, entities
@@ -3784,6 +3821,34 @@ object QueryBank {
       graft.llm.MediaHeaders.pngEncode(w, h, 3, idx,
         filterFor = yy => ((id + yy) % 5).toInt,
         idatChunks = (1 + id % 2).toInt, depth = d, palette = pal)
+    })
+
+  /** Fixture: a real Adam7-interlaced truecolour PNG — rgb(x,y) =
+    * ((id*13 + x*5 + y*17) % 256, (id*19 + x*3 + y*29) % 256,
+    * (id*23 + x*11 + y*7) % 256), w = 4+id%13, h = 3+id%9,
+    * pass-sequential scanline filter (id+i)%5, zlib split over
+    * 1+id%3 IDAT chunks.
+    */
+  private val synthAdam7PngUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      val w = (4 + id % 13).toInt
+      val h = (3 + id % 9).toInt
+      val px = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val o = (y * w + x) * 3
+          px(o) = ((id * 13 + x * 5 + y * 17) % 256).toByte
+          px(o + 1) = ((id * 19 + x * 3 + y * 29) % 256).toByte
+          px(o + 2) = ((id * 23 + x * 11 + y * 7) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      graft.llm.MediaHeaders.pngEncode(w, h, 2, px,
+        filterFor = i => ((id + i) % 5).toInt,
+        idatChunks = (1 + id % 3).toInt, interlace = true)
     })
 
   /** Fixture: a real GIF89a whose 256-entry palette and pixel indices

@@ -28,21 +28,24 @@ object Graph {
   def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iterations >= 0 && iterations <= 100)
+    // pre-partition the edge list on src ONCE: the cache then satisfies
+    // the per-iteration join's distribution, so iterations never move
+    // edge bytes again — only the (much smaller) rank/contrib tables
     val edges = edges0
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
+      .repartition(col("src"))
       .persist() // scanned every iteration
-    // one vertex-metadata table: id + out-degree (0 for dangling) —
-    // carried INSIDE the rank table so each iteration pays exactly one
-    // edge join + one dst aggregation + one vertex join, nothing more
-    val outDeg = edges.groupBy(col("src").as("vertex"))
-      .agg(count(lit(1)).as("__outdeg"))
-    val vertices = edges.select(col("src").as("vertex"))
-      .union(edges.select(col("dst").as("vertex")))
-      .distinct()
-      .join(outDeg, Seq("vertex"), "left")
-      .select(col("vertex"),
-        coalesce(col("__outdeg"), lit(0L)).as("__outdeg"))
+    // one vertex-metadata table in ONE aggregation: each edge endpoint
+    // contributes a weighted row (src:1, dst:0), sum(weight) = out-degree
+    // (0 for dangling) — replaces the union+distinct+join (3 shuffles of
+    // the full endpoint list) with a single map-side-combinable groupBy
+    val vertices = edges
+      .select(explode(array(
+        struct(col("src").as("vertex"), lit(1L).as("__w")),
+        struct(col("dst").as("vertex"), lit(0L).as("__w")))).as("e"))
+      .groupBy(col("e.vertex").as("vertex"))
+      .agg(sum(col("e.__w")).as("__outdeg"))
       .persist()
     val n = vertices.count().toDouble
     if (n == 0) {

@@ -394,14 +394,15 @@ object MediaHeaders {
   // ---- PNG pixel decode (real, pure-JVM) ---------------------------
   // PNG spec (ISO/IEC 15948 / W3C PNG 2nd ed.): Sec. 5 chunk layout,
   // Sec. 9 filtering, Sec. 11.2.2 IHDR, 11.2.3 PLTE, 11.2.4 IDAT.
-  // Supports every non-interlaced IHDR shape the spec defines:
-  // greyscale (0) at depths 1/2/4/8/16, truecolour (2) at 8/16,
-  // indexed-colour (3) at 1/2/4/8 with PLTE resolution, grey+alpha (4)
-  // at 8/16, truecolour+alpha (6) at 8/16. Sub-byte samples unpack
-  // MSB-first (Sec. 7.2) and scale to 0..255 by v*255/(2^d-1)
-  // (Sec. 12.5 sample-depth scaling); 16-bit samples take the most
-  // significant byte (the spec's recommended depth rescale to 8).
-  // Adam7 interlace precise-rejects with null (documented README gap).
+  // Supports every IHDR shape the spec defines: greyscale (0) at
+  // depths 1/2/4/8/16, truecolour (2) at 8/16, indexed-colour (3) at
+  // 1/2/4/8 with PLTE resolution, grey+alpha (4) at 8/16,
+  // truecolour+alpha (6) at 8/16, in BOTH interlace methods (0 = none,
+  // 1 = Adam7, Sec. 8.2: seven sub-images, each filtered independently
+  // over its own reduced scanlines). Sub-byte samples unpack MSB-first
+  // (Sec. 7.2) and scale to 0..255 by v*255/(2^d-1) (Sec. 12.5
+  // sample-depth scaling); 16-bit samples take the most significant
+  // byte (the spec's recommended depth rescale to 8).
 
   /** A fully decoded (unfiltered, palette-resolved, 8-bit-rescaled)
     * image: `pixels` holds h scanlines of w*bpp bytes, bpp = 1 (grey)
@@ -423,9 +424,14 @@ object MediaHeaders {
 
   private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
 
-  /** Full decode to raw pixels; null on non-PNG or out-of-scope shapes
-    * (palette, sub-8-bit, interlaced, truncated).
+  /** Adam7 pass geometry (Sec. 8.2): (xStart, yStart, xStep, yStep)
+    * for each of the seven sub-images, in transmission order.
     */
+  private val Adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Full decode to raw pixels; null on non-PNG or malformed input. */
   def pngDecode(b: Array[Byte]): PngImage = {
     if (b == null || b.length < 8 + 25 + 12) return null
     var i = 0
@@ -453,7 +459,7 @@ object MediaHeaders {
       }
       p += 12 + len
     }
-    if (w <= 0 || h <= 0 || interlace != 0) return null
+    if (w <= 0 || h <= 0 || (interlace != 0 && interlace != 1)) return null
     // channels per colour type; legal (ct, depth) pairs per Sec. 11.2.2
     val channels = ct match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
@@ -464,17 +470,25 @@ object MediaHeaders {
       case _ => depth == 8 || depth == 16
     }
     if (!depthOk) return null
-    // filtering operates on the PACKED scanline bytes: stride is the
-    // packed byte width, filter `bpp` rounds a whole pixel up to >=1
-    // byte (Sec. 9, "bpp is rounded up to one")
+    // interlace method 0 is a single pass covering the whole image;
+    // Adam7 is seven reduced images, each packed, filtered and
+    // unfiltered INDEPENDENTLY (Sec. 8.2: "each pass is treated as an
+    // independent image for filtering purposes"). Empty passes (zero
+    // width or height) transmit nothing, not even filter bytes.
     val bitsPerPx = channels * depth
-    val stride = (w.toLong * bitsPerPx + 7) / 8 match {
-      case s if s > Int.MaxValue / 2 => return null
-      case s => s.toInt
-    }
     val fbpp = math.max(1, (bitsPerPx + 7) / 8)
-    if (h.toLong * (1L + stride) > Int.MaxValue) return null
-    val raw = new Array[Byte](h * (1 + stride))
+    val passes = if (interlace == 0) Array((0, 0, 1, 1)) else Adam7
+    // per-pass geometry: (xStart, yStart, xStep, yStep, width, height,
+    // packed byte stride)
+    val geoms = passes.map { case (xs, ys, xst, yst) =>
+      val pw = if (w > xs) (w - xs + xst - 1) / xst else 0
+      val ph = if (h > ys) (h - ys + yst - 1) / yst else 0
+      (xs, ys, xst, yst, pw, ph, ((pw.toLong * bitsPerPx + 7) / 8).toInt)
+    }
+    val totalRaw = geoms.map { case (_, _, _, _, pw, ph, pstride) =>
+      if (pw == 0 || ph == 0) 0L else ph.toLong * (1L + pstride) }.sum
+    if (totalRaw <= 0 || totalRaw > Int.MaxValue / 2) return null
+    val raw = new Array[Byte](totalRaw.toInt)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var got = 0
@@ -487,81 +501,94 @@ object MediaHeaders {
     } catch { case _: java.util.zip.DataFormatException => return null }
     finally inf.end()
     if (got < raw.length) return null
-    // Sec. 9 unfilter, in place scanline by scanline over the PACKED
-    // bytes: a=left, b=up, c=up-left (all 0 outside the image), byte
-    // arithmetic mod 256
-    val img = new Array[Byte](h * stride)
-    var y = 0
-    while (y < h) {
-      val ft = u8(raw, y * (1 + stride))
-      val ro = y * (1 + stride) + 1
-      val io = y * stride
-      var x = 0
-      while (x < stride) {
-        val rx = u8(raw, ro + x)
-        val a = if (x >= fbpp) u8(img, io + x - fbpp) else 0
-        val up = if (y > 0) u8(img, io - stride + x) else 0
-        val c = if (x >= fbpp && y > 0) u8(img, io - stride + x - fbpp) else 0
-        val v = ft match {
-          case 0 => rx
-          case 1 => rx + a
-          case 2 => rx + up
-          case 3 => rx + ((a + up) >> 1)
-          case 4 => // Paeth predictor, Sec. 9.4
-            val pp = a + up - c
-            val pa = math.abs(pp - a)
-            val pb = math.abs(pp - up)
-            val pc = math.abs(pp - c)
-            rx + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
-          case _ => return null
-        }
-        img(io + x) = (v & 0xff).toByte
-        x += 1
-      }
-      y += 1
-    }
-    // expand packed samples to the 8-bit output representation:
-    // sub-byte unpack MSB-first + depth rescale, 16-bit MSB, palette
-    // index -> PLTE RGB triple
     val outBpp = ct match { case 0 => 1; case 2 => 3; case 3 => 3
       case 4 => 2; case _ => 4 }
-    if (depth == 8 && ct != 3) return PngImage(w, h, ct, img)
+    if (w.toLong * h * outBpp > Int.MaxValue / 2) return null
     val out = new Array[Byte](w * h * outBpp)
     val palEntries = if (plte == null) 0 else plte.length / 3
-    // per-row sample reader over the packed bytes
-    y = 0
-    while (y < h) {
-      val io = y * stride
-      var bitPos = 0
-      var xo = y * w * outBpp
-      var xi = 0
-      val nSamples = w * channels
-      while (xi < nSamples) {
-        val s = depth match {
-          case 16 =>
-            val v = u8(img, io + (bitPos >> 3)); bitPos += 16; v // MSB
-          case 8 =>
-            val v = u8(img, io + (bitPos >> 3)); bitPos += 8; v
-          case d => // 1/2/4: MSB-first within each byte (Sec. 7.2)
-            val byteV = u8(img, io + (bitPos >> 3))
-            val shift = 8 - d - (bitPos & 7)
-            bitPos += d
-            (byteV >> shift) & ((1 << d) - 1)
+    var rawOff = 0
+    var pi = 0
+    while (pi < geoms.length) {
+      val (xs, ys, xst, yst, pw, ph, stride) = geoms(pi)
+      if (pw > 0 && ph > 0) {
+        // Sec. 9 unfilter, scanline by scanline over this pass's PACKED
+        // bytes: a=left, b=up, c=up-left (all 0 outside the pass), byte
+        // arithmetic mod 256
+        val img = new Array[Byte](ph * stride)
+        var y = 0
+        while (y < ph) {
+          val ft = u8(raw, rawOff + y * (1 + stride))
+          val ro = rawOff + y * (1 + stride) + 1
+          val io = y * stride
+          var x = 0
+          while (x < stride) {
+            val rx = u8(raw, ro + x)
+            val a = if (x >= fbpp) u8(img, io + x - fbpp) else 0
+            val up = if (y > 0) u8(img, io - stride + x) else 0
+            val c = if (x >= fbpp && y > 0) u8(img, io - stride + x - fbpp)
+              else 0
+            val v = ft match {
+              case 0 => rx
+              case 1 => rx + a
+              case 2 => rx + up
+              case 3 => rx + ((a + up) >> 1)
+              case 4 => // Paeth predictor, Sec. 9.4
+                val pp = a + up - c
+                val pa = math.abs(pp - a)
+                val pb = math.abs(pp - up)
+                val pc = math.abs(pp - c)
+                rx + (if (pa <= pb && pa <= pc) a
+                      else if (pb <= pc) up else c)
+              case _ => return null
+            }
+            img(io + x) = (v & 0xff).toByte
+            x += 1
+          }
+          y += 1
         }
-        if (ct == 3) {
-          if (s >= palEntries) return null // index outside the palette
-          out(xo) = plte(3 * s); out(xo + 1) = plte(3 * s + 1)
-          out(xo + 2) = plte(3 * s + 2)
-          xo += 3
-        } else {
-          // depth rescale to 8 bits: v*255/(2^d-1) is exact for 1/2/4
-          val v8 = if (depth < 8) s * 255 / ((1 << depth) - 1) else s
-          out(xo) = v8.toByte
-          xo += 1
+        rawOff += ph * (1 + stride)
+        // expand this pass's packed samples to the 8-bit output
+        // representation at the pass's pixel positions: sub-byte unpack
+        // MSB-first + depth rescale, 16-bit MSB, palette index -> PLTE
+        // RGB triple
+        y = 0
+        while (y < ph) {
+          val io = y * stride
+          val gy = ys + y * yst
+          var bitPos = 0
+          var px = 0
+          while (px < pw) {
+            val xo = (gy * w + (xs + px * xst)) * outBpp
+            var ch = 0
+            while (ch < channels) {
+              val s = depth match {
+                case 16 =>
+                  val v = u8(img, io + (bitPos >> 3)); bitPos += 16; v // MSB
+                case 8 =>
+                  val v = u8(img, io + (bitPos >> 3)); bitPos += 8; v
+                case d => // 1/2/4: MSB-first within each byte (Sec. 7.2)
+                  val byteV = u8(img, io + (bitPos >> 3))
+                  val shift = 8 - d - (bitPos & 7)
+                  bitPos += d
+                  (byteV >> shift) & ((1 << d) - 1)
+              }
+              if (ct == 3) {
+                if (s >= palEntries) return null // index outside the palette
+                out(xo) = plte(3 * s); out(xo + 1) = plte(3 * s + 1)
+                out(xo + 2) = plte(3 * s + 2)
+              } else {
+                // depth rescale to 8: v*255/(2^d-1) is exact for 1/2/4
+                val v8 = if (depth < 8) s * 255 / ((1 << depth) - 1) else s
+                out(xo + ch) = v8.toByte
+              }
+              ch += 1
+            }
+            px += 1
+          }
+          y += 1
         }
-        xi += 1
       }
-      y += 1
+      pi += 1
     }
     PngImage(w, h, ct, out)
   }
@@ -632,92 +659,112 @@ object MediaHeaders {
     out
   }
 
-  /** Minimal PNG encoder (no interlace): the forward complement of
-    * [[pngStats]], used to build deterministic decode fixtures and to
-    * round-trip-test the unfilter paths. Covers every decodable shape:
-    * grey (0) 1/2/4/8/16, RGB (2) 8/16, indexed (3) 1/2/4/8 with a
-    * PLTE built from `palette`, grey+alpha (4) 8/16, RGBA (6) 8/16.
-    * `pixels` holds one byte per sample for depth<=8 (values must fit
-    * the depth; sub-byte samples are packed MSB-first) and two
-    * big-endian bytes per sample for depth 16. `filterFor(y)` picks
-    * the Sec. 9 filter per scanline (0..4); `idatChunks > 1` splits
-    * the zlib stream mid-byte across multiple IDAT chunks (decoders
-    * must concatenate before inflating).
+  /** Minimal PNG encoder: the forward complement of [[pngStats]],
+    * used to build deterministic decode fixtures and to round-trip-test
+    * the unfilter paths. Covers every decodable shape: grey (0)
+    * 1/2/4/8/16, RGB (2) 8/16, indexed (3) 1/2/4/8 with a PLTE built
+    * from `palette`, grey+alpha (4) 8/16, RGBA (6) 8/16 — each in
+    * interlace method 0 or Adam7 (`interlace = true`). `pixels` holds
+    * one byte per sample for depth<=8 (values must fit the depth;
+    * sub-byte samples are packed MSB-first) and two big-endian bytes
+    * per sample for depth 16. `filterFor(i)` picks the Sec. 9 filter
+    * (0..4) for the i-th TRANSMITTED scanline (pass-sequential under
+    * Adam7); `idatChunks > 1` splits the zlib stream mid-byte across
+    * multiple IDAT chunks (decoders must concatenate before inflating).
     */
   def pngEncode(width: Int, height: Int, colorType: Int,
       pixels: Array[Byte], filterFor: Int => Int = _ => 0,
       idatChunks: Int = 1, depth: Int = 8,
-      palette: Array[Byte] = null): Array[Byte] = {
+      palette: Array[Byte] = null, interlace: Boolean = false): Array[Byte] = {
     val channels = colorType match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4 }
     require(colorType != 3 || (palette != null && palette.length % 3 == 0
       && palette.length <= 256 * 3), "pngEncode: ct 3 needs a PLTE")
     val bitsPerPx = channels * depth
-    val stride = ((width.toLong * bitsPerPx + 7) / 8).toInt
     val sampleBytes = if (depth == 16) 2 else 1
     val nSamples = width * height * channels
     require(pixels.length == nSamples * sampleBytes,
       s"pngEncode: ${pixels.length} sample bytes for " +
         s"$width x $height x $channels @ depth $depth")
-    // pack the unfiltered scanlines (identity for depth 8/16)
-    val packed = new Array[Byte](height * stride)
-    var y = 0
-    while (y < height) {
-      var bitPos = 0
-      var si = y * width * channels * sampleBytes
-      var k = 0
-      val rowSamples = width * channels
-      while (k < rowSamples) {
-        depth match {
-          case 16 =>
-            packed(y * stride + (bitPos >> 3)) = pixels(si)
-            packed(y * stride + (bitPos >> 3) + 1) = pixels(si + 1)
-            bitPos += 16; si += 2
-          case 8 =>
-            packed(y * stride + (bitPos >> 3)) = pixels(si)
-            bitPos += 8; si += 1
-          case d =>
-            val v = pixels(si) & 0xff
-            require(v < (1 << d), s"pngEncode: sample $v at depth $d")
-            val shift = 8 - d - (bitPos & 7)
-            val o = y * stride + (bitPos >> 3)
-            packed(o) = (packed(o) | (v << shift)).toByte
-            bitPos += d; si += 1
-        }
-        k += 1
-      }
-      y += 1
-    }
     val fbpp = math.max(1, (bitsPerPx + 7) / 8)
-    def px(o: Int): Int = packed(o) & 0xff
-    val raw = new Array[Byte](height * (1 + stride))
-    y = 0
-    while (y < height) {
-      val ft = math.floorMod(filterFor(y), 5)
-      raw(y * (1 + stride)) = ft.toByte
-      var x = 0
-      while (x < stride) {
-        val cur = px(y * stride + x)
-        val a = if (x >= fbpp) px(y * stride + x - fbpp) else 0
-        val up = if (y > 0) px((y - 1) * stride + x) else 0
-        val c = if (x >= fbpp && y > 0) px((y - 1) * stride + x - fbpp) else 0
-        val v = ft match {
-          case 0 => cur
-          case 1 => cur - a
-          case 2 => cur - up
-          case 3 => cur - ((a + up) >> 1)
-          case 4 =>
-            val pp = a + up - c
-            val pa = math.abs(pp - a)
-            val pb = math.abs(pp - up)
-            val pc = math.abs(pp - c)
-            cur - (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+    // each pass (the whole image for method 0, the seven Adam7 reduced
+    // images for method 1) packs and filters independently; filterFor
+    // receives the SEQUENTIAL transmitted-scanline index
+    val passes = if (!interlace) Array((0, 0, 1, 1)) else Adam7
+    val rawOut = new java.io.ByteArrayOutputStream()
+    var rawRow = 0
+    passes.foreach { case (xs, ys, xst, yst) =>
+      val pw = if (width > xs) (width - xs + xst - 1) / xst else 0
+      val ph = if (height > ys) (height - ys + yst - 1) / yst else 0
+      if (pw > 0 && ph > 0) {
+        val stride = ((pw.toLong * bitsPerPx + 7) / 8).toInt
+        // pack this pass's unfiltered scanlines (identity for depth
+        // 8/16 on the full-image pass)
+        val packed = new Array[Byte](ph * stride)
+        var y = 0
+        while (y < ph) {
+          var bitPos = 0
+          var k = 0
+          val gy = ys + y * yst
+          while (k < pw * channels) {
+            val gx = xs + (k / channels) * xst
+            val si = ((gy * width + gx) * channels + k % channels) * sampleBytes
+            depth match {
+              case 16 =>
+                packed(y * stride + (bitPos >> 3)) = pixels(si)
+                packed(y * stride + (bitPos >> 3) + 1) = pixels(si + 1)
+                bitPos += 16
+              case 8 =>
+                packed(y * stride + (bitPos >> 3)) = pixels(si)
+                bitPos += 8
+              case d =>
+                val v = pixels(si) & 0xff
+                require(v < (1 << d), s"pngEncode: sample $v at depth $d")
+                val shift = 8 - d - (bitPos & 7)
+                val o = y * stride + (bitPos >> 3)
+                packed(o) = (packed(o) | (v << shift)).toByte
+                bitPos += d
+            }
+            k += 1
+          }
+          y += 1
         }
-        raw(y * (1 + stride) + 1 + x) = (v & 0xff).toByte
-        x += 1
+        def px(o: Int): Int = packed(o) & 0xff
+        val raw = new Array[Byte](ph * (1 + stride))
+        y = 0
+        while (y < ph) {
+          val ft = math.floorMod(filterFor(rawRow), 5)
+          rawRow += 1
+          raw(y * (1 + stride)) = ft.toByte
+          var x = 0
+          while (x < stride) {
+            val cur = px(y * stride + x)
+            val a = if (x >= fbpp) px(y * stride + x - fbpp) else 0
+            val up = if (y > 0) px((y - 1) * stride + x) else 0
+            val c = if (x >= fbpp && y > 0) px((y - 1) * stride + x - fbpp)
+              else 0
+            val v = ft match {
+              case 0 => cur
+              case 1 => cur - a
+              case 2 => cur - up
+              case 3 => cur - ((a + up) >> 1)
+              case 4 =>
+                val pp = a + up - c
+                val pa = math.abs(pp - a)
+                val pb = math.abs(pp - up)
+                val pc = math.abs(pp - c)
+                cur - (if (pa <= pb && pa <= pc) a
+                       else if (pb <= pc) up else c)
+            }
+            raw(y * (1 + stride) + 1 + x) = (v & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        rawOut.write(raw)
       }
-      y += 1
     }
+    val raw = rawOut.toByteArray
     val zout = new java.io.ByteArrayOutputStream()
     val dos = new java.util.zip.DeflaterOutputStream(zout)
     dos.write(raw); dos.close()
@@ -743,6 +790,7 @@ object MediaHeaders {
     }
     be(0, width); be(4, height)
     ihdr(8) = depth.toByte; ihdr(9) = colorType.toByte
+    ihdr(12) = if (interlace) 1.toByte else 0.toByte
     chunk("IHDR", ihdr)
     if (colorType == 3) chunk("PLTE", palette)
     val parts = math.max(1, math.min(idatChunks, z.length))

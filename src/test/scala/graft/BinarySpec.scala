@@ -591,6 +591,40 @@ class BinarySpec extends SparkSpec {
     }
   }
 
+  test("png adam7: interlaced decode is pixel-identical to sequential") {
+    // every legal (ct, depth) shape, at sizes that exercise empty and
+    // partial Adam7 passes (1x1 leaves 6 of 7 passes empty; 13x5 ends
+    // passes mid-step; 16x9 has all 7 passes non-empty)
+    val shapes = Seq((0, 1), (0, 2), (0, 4), (0, 8), (0, 16), (2, 8),
+      (2, 16), (3, 1), (3, 2), (3, 4), (3, 8), (4, 8), (4, 16), (6, 8),
+      (6, 16))
+    for ((ct, d) <- shapes; (w, h) <- Seq((1, 1), (3, 2), (8, 8), (13, 5),
+        (16, 9))) {
+      val ch = ct match { case 0 => 1; case 2 => 3; case 3 => 1
+        case 4 => 2; case _ => 4 }
+      val sb = if (d == 16) 2 else 1
+      val maxV = if (d >= 8) 256 else 1 << d
+      val px = Array.tabulate[Byte](w * h * ch * sb)(
+        i => ((i * 37 + 11) % maxV).toByte)
+      val entries = math.min(1 << d, 256)
+      val pal = if (ct == 3)
+        Array.tabulate(entries * 3)(i => ((i * 41 + 13) % 256).toByte)
+      else null
+      // cycle filters so the interlaced stream exercises per-pass
+      // filter state (row 0 of EVERY pass must treat up as 0)
+      val seq = MediaHeaders.pngDecode(MediaHeaders.pngEncode(
+        w, h, ct, px, filterFor = i => (i + 1) % 5, depth = d,
+        palette = pal))
+      val adam = MediaHeaders.pngDecode(MediaHeaders.pngEncode(
+        w, h, ct, px, filterFor = i => (i + 2) % 5, depth = d,
+        palette = pal, interlace = true, idatChunks = 2))
+      assert(seq != null && adam != null, s"ct=$ct d=$d ${w}x$h null")
+      assert((adam.width, adam.height) == ((w, h)))
+      assert(java.util.Arrays.equals(seq.pixels, adam.pixels),
+        s"ct=$ct d=$d ${w}x$h adam7 pixels differ from sequential")
+    }
+  }
+
   // ---- GIF decode ---------------------------------------------------
 
   private def gifOracle(pal: Array[Byte], idx: Array[Byte], w: Int, h: Int)
