@@ -1490,6 +1490,38 @@ object QueryBank {
       (s, d) => r("quality-score :text; keep :doc_id,:text_quality")(docs(s, d)),
       qualityScoreSql),
 
+    ("classifier_quality_score",
+      // model-based quality filtering: train a hashed-TF logistic
+      // classifier IN the engine (3 batch-GD iterations, lang='en'
+      // rows as the positive seed) and score the whole corpus. DuckDB
+      // replays the entire fixed point — featurization, all three
+      // gradient aggregations (decimal-exact, so partitioning-
+      // independent), the weight updates, and the final sigmoid — so
+      // a drift anywhere in the training loop breaks the hash.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.llm.Classifier.qualityScore(docs(s, d), "text",
+            col("lang") === "en", dim = 16, iterations = 3, lr = 0.5)
+          .select(col("doc_id"),
+            (col("lang") === "en").cast("int").as("label"),
+            round(col("quality_score"), 6).as("quality_score"))
+      },
+      classifierOracleSql),
+
+    ("dsir_importance_weights",
+      // DSIR-style importance log-weights: hashed-unigram likelihood
+      // ratio of the lang='en' target distribution vs the raw corpus,
+      // add-one smoothed. DuckDB recomputes bucket counts, ln ratios,
+      // and the bucket-ordered weighted sum exactly.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.llm.Classifier.dsirLogWeights(docs(s, d), "text",
+            col("lang") === "en", dim = 16)
+          .select(col("doc_id"),
+            round(col("dsir_logweight"), 6).as("dsir_logweight"))
+      },
+      dsirOracleSql),
+
     ("ltrim_rtrim",
       // pad both sides, then one-sided trims: ltrim must keep the
       // trailing pad and rtrim the leading one (DuckDB mirrors with an
@@ -3676,6 +3708,102 @@ object QueryBank {
        | (CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(sw_hits AS DOUBLE) / n_tokens ELSE 0.0 END) > 0.05
        |   THEN 1.0 ELSE 0.7 END), 4) AS DOUBLE) AS text_quality
        |FROM f""".stripMargin
+  }
+
+  /** Shared DuckDB fragment: normalized word tokens of `text` — the
+    * exact mirror of [[graft.functions.Udfs.normTokens]] (also used by
+    * the hashing_tf oracle).
+    */
+  private lazy val toksSql: String =
+    """list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '), x -> len(x) > 0)""".stripMargin
+
+  /** DuckDB fragment: the 16-bucket hashed-TF list over `toks`
+    * (1-indexed), same MD5 bucket rule as Udfs.hashingTf.
+    */
+  private lazy val tf16Sql: String =
+    """list_transform(range(0, 16), j -> len(list_filter(toks,
+      |    tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT % 16 = j)))""".stripMargin
+
+  /** Full replay of Classifier.trainLogistic + scoreLogistic (dim 16,
+    * 3 iterations, lr 0.5, target lang='en') in plain SQL: per-doc
+    * L1-normalized TF features, one gradient CTE per iteration with
+    * DECIMAL(38,15) sums (order-independent, matching the engine's
+    * accumulation exactly), weight-update CTEs, and the final sigmoid.
+    * Dot products are written as explicit left-associative sums in
+    * bucket order — the same fixed evaluation order the Scala fold
+    * produces, so the doubles match bit-for-bit.
+    */
+  private lazy val classifierOracleSql: String = {
+    val dim = 16
+    val lr = "0.5"
+    val iters = 3
+    val xcols = (0 until dim).map(j =>
+      s"CASE WHEN total = 0 THEN 0.0 ELSE tf[${j + 1}]::DOUBLE / total END AS x$j")
+      .mkString(",\n  ")
+    // sigmoid of the bucket-ordered dot product against weight CTE `w`
+    def pExpr(w: String): String = {
+      val dot = s"$w.b" + (0 until dim).map(j => s" + $w.w$j * x$j").mkString
+      s"1.0 / (1.0 + exp(-($dot)))"
+    }
+    def gradCte(g: String, w: String): String = {
+      val p = pExpr(w)
+      val sums = (0 until dim).map(j =>
+        s"CAST(sum(CAST(($p - y) * x$j AS DECIMAL(38,15))) AS DOUBLE) AS g$j")
+        .mkString(",\n  ")
+      s"$g AS (SELECT\n  $sums,\n  " +
+        s"CAST(sum(CAST(($p - y) AS DECIMAL(38,15))) AS DOUBLE) AS gb\n  " +
+        s"FROM feat, $w)"
+    }
+    def stepCte(wNew: String, wOld: String, g: String): String = {
+      val cols = (0 until dim).map(j =>
+        s"$wOld.w$j - $lr * $g.g$j / n.n AS w$j").mkString(",\n  ")
+      s"$wNew AS (SELECT\n  $cols,\n  $wOld.b - $lr * $g.gb / n.n AS b\n  " +
+        s"FROM $wOld, $g, n)"
+    }
+    val w0 = "w0 AS (SELECT " +
+      (0 until dim).map(j => s"0.0 AS w$j").mkString(", ") + ", 0.0 AS b)"
+    val steps = (0 until iters).flatMap(i =>
+      Seq(gradCte(s"g$i", s"w$i"), stepCte(s"w${i + 1}", s"w$i", s"g$i")))
+    s"""WITH tokd AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |feat AS (SELECT doc_id,
+       |  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |  $xcols
+       |  FROM (SELECT doc_id, lang, $tf16Sql AS tf, len(toks) AS total
+       |        FROM tokd) ft),
+       |n AS (SELECT count(*)::DOUBLE AS n FROM feat),
+       |$w0,
+       |${steps.mkString(",\n")}
+       |SELECT doc_id, CAST(y AS INT) AS label,
+       |  round(${pExpr(s"w$iters")}, 6) AS quality_score
+       |FROM feat, w$iters""".stripMargin
+  }
+
+  /** Full replay of Classifier.dsirLogWeights (dim 16, target
+    * lang='en'): exact integer bucket counts for target and raw
+    * distributions, add-one-smoothed ln ratios, bucket-ordered
+    * weighted sum.
+    */
+  private lazy val dsirOracleSql: String = {
+    val dim = 16
+    val cnts = (0 until dim).map(j =>
+      s"sum(CASE WHEN t THEN tf[${j + 1}] ELSE 0 END) AS t$j, " +
+        s"sum(tf[${j + 1}]) AS r$j").mkString(",\n  ")
+    val tt = (0 until dim).map(j => s"t$j").mkString(" + ")
+    val rt = (0 until dim).map(j => s"r$j").mkString(" + ")
+    val score = "0.0" + (0 until dim).map(j =>
+      s" + tf[${j + 1}]::DOUBLE * (ln((c.t$j + 1)::DOUBLE / tot.tt) " +
+        s"- ln((c.r$j + 1)::DOUBLE / tot.rt))").mkString
+    s"""WITH tokd AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |feat AS (SELECT doc_id, (lang = 'en') AS t, $tf16Sql AS tf
+       |         FROM tokd),
+       |c AS (SELECT
+       |  $cnts
+       |  FROM feat),
+       |tot AS (SELECT ($tt)::DOUBLE + $dim AS tt,
+       |               ($rt)::DOUBLE + $dim AS rt FROM c)
+       |SELECT doc_id, round($score, 6) AS dsir_logweight
+       |FROM feat, c, tot""".stripMargin
   }
 
   private lazy val profileSql: String = {

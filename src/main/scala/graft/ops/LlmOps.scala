@@ -198,6 +198,29 @@ object LlmOps {
       TextAnalysis.splitSentences(df, spec.col(0))
     }
 
+    // `classifier-score :text exp:{ target } [dim] [iters] [lr]` —
+    // model-based quality filtering: train a hashed-TF logistic
+    // classifier with rows matching the target expression as the
+    // positive seed set (bounded per-iteration gradient aggregates,
+    // driver-held weights), score EVERY row into `<col>_clf_score`
+    case "classifier-score" => ColumnOps.simple(spec) { df =>
+      val target = graft.expr.ExprCompiler.compile(spec.expr(1))
+      graft.llm.Classifier.qualityScore(df, spec.col(0), target,
+        dim = spec.optInt(2, 16), iterations = spec.optInt(3, 3),
+        lr = spec.optStr(4).map(_.toDouble).getOrElse(0.5),
+        outCol = s"${spec.col(0)}_clf_score")
+    }
+
+    // `dsir-weights :text exp:{ target } [dim]` — DSIR importance
+    // log-weights vs the target-expression distribution; feed
+    // `sample-weighted` with exp(weight) to complete the recipe
+    case "dsir-weights" => ColumnOps.simple(spec) { df =>
+      val target = graft.expr.ExprCompiler.compile(spec.expr(1))
+      graft.llm.Classifier.dsirLogWeights(df, spec.col(0), target,
+        dim = spec.optInt(2, 16),
+        outCol = s"${spec.col(0)}_dsir_logweight")
+    }
+
     // `hashing-tf :text [k]` — fixed-width hashed term-frequency
     // vector (no vocabulary, map-only; appends `<col>_tf`)
     case "hashing-tf" => ColumnOps.simple(spec) { df =>
