@@ -1508,6 +1508,24 @@ object QueryBank {
       },
       classifierOracleSql),
 
+    ("lm_perplexity",
+      // interpolated-bigram LM perplexity, trained in-engine on the
+      // lang='en' slice. DuckDB replays the WHOLE model: capped
+      // vocabulary with deterministic tie-breaks, pruned bigram table,
+      // interpolation arithmetic with the exact double literals
+      // (lambda = 0.5 so 1-lambda is exact in both engines), and the
+      // per-doc DECIMAL log-prob sums.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.llm.NgramLm.perplexity(docs(s, d), "text", "doc_id",
+            col("lang") === "en", maxVocab = 65536, minBigramCount = 2,
+            lambda = 0.5)
+          .select(col("doc_id"), col("lm_tokens"),
+            round(col("lm_logprob"), 6).as("lm_logprob"),
+            round(col("lm_ppl"), 4).as("lm_ppl"))
+      },
+      lmPerplexitySql),
+
     ("dsir_importance_weights",
       // DSIR-style importance log-weights: hashed-unigram likelihood
       // ratio of the lang='en' target distribution vs the raw corpus,
@@ -3778,6 +3796,54 @@ object QueryBank {
        |  round(${pExpr(s"w$iters")}, 6) AS quality_score
        |FROM feat, w$iters""".stripMargin
   }
+
+  /** Full replay of NgramLm.perplexity (target lang='en', maxVocab
+    * 65536, minBigramCount 2, lambda 0.5): capped unigram vocabulary
+    * (count-desc, token-asc ties), pruned bigram table, Jelinek-Mercer
+    * interpolation with exact-double 0.5 literals, per-doc
+    * DECIMAL(38,15) log-prob sums. `tot` sums over the UNCAPPED
+    * unigram table — the same value the engine uses whether or not
+    * the vocabulary cap was hit.
+    */
+  private lazy val lmPerplexitySql: String =
+    s"""WITH tokd AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |uni_all AS (SELECT t, count(*)::BIGINT AS cu
+       |  FROM (SELECT unnest(toks) AS t FROM tokd WHERE lang = 'en')
+       |  GROUP BY t),
+       |tot AS (SELECT sum(cu)::BIGINT AS n FROM uni_all),
+       |uni AS (SELECT t, cu FROM uni_all ORDER BY cu DESC, t LIMIT 65536),
+       |v AS (SELECT count(*)::BIGINT AS v FROM uni),
+       |big AS (SELECT p, w, count(*)::BIGINT AS cb FROM (
+       |    SELECT toks[i] AS p, toks[i + 1] AS w
+       |    FROM (SELECT toks FROM tokd WHERE lang = 'en') r,
+       |         unnest(range(1, len(toks))) AS u(i)) bp
+       |  WHERE EXISTS (SELECT 1 FROM uni WHERE uni.t = bp.p)
+       |    AND EXISTS (SELECT 1 FROM uni WHERE uni.t = bp.w)
+       |  GROUP BY p, w HAVING count(*) >= 2
+       |  ORDER BY cb DESC, p, w LIMIT 1048576),
+       |pairs AS (SELECT doc_id,
+       |    CASE WHEN j = 1 THEN NULL ELSE toks[j - 1] END AS p,
+       |    toks[j] AS w
+       |  FROM tokd, unnest(range(1, len(toks) + 1)) AS u(j)),
+       |terms AS (SELECT doc_id,
+       |    ln(CAST(0.5 AS DOUBLE) *
+       |       (CASE WHEN b.cb IS NOT NULL AND up.cu IS NOT NULL
+       |             THEN b.cb::DOUBLE / up.cu ELSE 0.0 END) +
+       |       (CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE)) *
+       |       ((COALESCE(uw.cu, 0)::DOUBLE + 1.0) /
+       |        (tot.n::DOUBLE + (v.v + 1)::DOUBLE))) AS logp
+       |  FROM pairs
+       |  LEFT JOIN uni uw ON uw.t = pairs.w
+       |  LEFT JOIN uni up ON up.t = pairs.p
+       |  LEFT JOIN big b ON b.p = pairs.p AND b.w = pairs.w,
+       |  tot, v),
+       |g AS (SELECT doc_id, count(*)::BIGINT AS n,
+       |    CAST(sum(CAST(logp AS DECIMAL(38,15))) AS DOUBLE) AS lp
+       |  FROM terms GROUP BY doc_id)
+       |SELECT t.doc_id, COALESCE(g.n, 0)::BIGINT AS lm_tokens,
+       |  round(g.lp / g.n, 6) AS lm_logprob,
+       |  round(exp(-(g.lp / g.n)), 4) AS lm_ppl
+       |FROM tokd t LEFT JOIN g ON g.doc_id = t.doc_id""".stripMargin
 
   /** Full replay of Classifier.dsirLogWeights (dim 16, target
     * lang='en'): exact integer bucket counts for target and raw

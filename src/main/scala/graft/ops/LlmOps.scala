@@ -221,6 +221,18 @@ object LlmOps {
         outCol = s"${spec.col(0)}_dsir_logweight")
     }
 
+    // `lm-perplexity :text :id exp:{ ref } [maxVocab] [minBigram]
+    // [lambda]` — interpolated-bigram LM perplexity trained on the
+    // reference-expression slice (the CCNet/KenLM-style quality
+    // signal); appends lm_tokens / lm_logprob / lm_ppl
+    case "lm-perplexity" => ColumnOps.simple(spec) { df =>
+      val ref = graft.expr.ExprCompiler.compile(spec.expr(2))
+      graft.llm.NgramLm.perplexity(df, spec.col(0), spec.col(1), ref,
+        maxVocab = spec.optInt(3, 65536),
+        minBigramCount = spec.optInt(4, 2),
+        lambda = spec.optStr(5).map(_.toDouble).getOrElse(0.7))
+    }
+
     // `hashing-tf :text [k]` — fixed-width hashed term-frequency
     // vector (no vocabulary, map-only; appends `<col>_tf`)
     case "hashing-tf" => ColumnOps.simple(spec) { df =>
