@@ -1984,6 +1984,34 @@ object QueryBank {
         |  i -> struct_pack(pos := i - 1, value := embedding[CAST(i AS INT)]))) AS u
         |  FROM dq)""".stripMargin),
 
+    ("reduce_dim_jl",
+      // Johnson-Lindenstrauss projection 64 -> 16: DuckDB re-derives
+      // the seeded ±1 sign matrix from the same md5 rule and recomputes
+      // every output coordinate (decimal term sums vs the kernel's
+      // sequential double fold — the 6-dp round guard bridges the
+      // sub-1e-14 summation-order delta, same as pool_embeddings)
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.llm.Similarity.randomProject(emb(s, d), "embedding",
+            inDim = 64, outDim = 16, seed = 7L)
+          .select(col("vec_id"),
+            posexplode(col("embedding_jl")).as(Seq("pos", "v")))
+          .select(col("vec_id"), col("pos"),
+            round(col("v"), 6).as("val"))
+      },
+      """WITH signs AS (SELECT i, j,
+        |  CASE WHEN ('0x' || substr(md5('jl:7:' || i || ':' || j), 1, 8))
+        |    ::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+        |  FROM unnest(range(1, 65)) t(i), unnest(range(0, 16)) u(j)),
+        |terms AS (SELECT vec_id, j,
+        |  CAST(embedding[CAST(i AS INT)]::DOUBLE * s AS DECIMAL(38,15)) AS t
+        |  FROM embeddings, signs),
+        |proj AS (SELECT vec_id, j,
+        |  CAST(sum(t) AS DOUBLE) / sqrt(CAST(16 AS DOUBLE)) AS v
+        |  FROM terms GROUP BY vec_id, j)
+        |SELECT vec_id, CAST(j AS INT) AS pos, round(v, 6) AS val
+        |FROM proj""".stripMargin),
+
     ("normalize_embedding",
       // L2 unit vectors: both engines accumulate the double norm over
       // the array in order (identical sequential adds), divide in

@@ -569,4 +569,59 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
+
+  /** Deterministic ±1 Johnson-Lindenstrauss sign matrix (Achlioptas
+    * 2003: Rademacher entries satisfy the JL lemma like Gaussians do,
+    * with integer-friendly arithmetic): sign(i, j) from the first 32
+    * bits of md5("jl:seed:i:j"), i 1-based — the same derivation an
+    * external SQL engine can replay
+    * (('0x' || substr(md5(...), 1, 8))::BIGINT % 2).
+    */
+  def jlSigns(inDim: Int, outDim: Int, seed: Long): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(inDim, outDim) { (i0, j) =>
+      md.reset()
+      val d = md.digest(s"jl:$seed:${i0 + 1}:$j".getBytes("UTF-8"))
+      val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      if (u % 2 == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Random projection to `outDim` dimensions: out_j = Σ_i v_i ·
+    * sign(i,j) / √outDim — the standard dimensionality cut BEFORE
+    * LSH/IVF indexing at corpus scale (a 768-d embedding column costs
+    * 12x the scan bytes of its 64-d JL sketch, and JL preserves
+    * pairwise distances within (1±ε) w.h.p.). Map-only kernel, no
+    * shuffle, no model state beyond the seeded sign matrix; vectors
+    * shorter than `inDim` are zero-padded, null stays null. Appends
+    * `<vecCol>_jl` (array<double>).
+    */
+  def randomProject(df: DataFrame, vecCol: String, inDim: Int,
+      outDim: Int, seed: Long = 7L, outCol: String = ""): DataFrame = {
+    require(inDim >= 1 && outDim >= 1 && outDim <= inDim,
+      s"randomProject: $inDim -> $outDim")
+    val out = if (outCol.nonEmpty) outCol else s"${vecCol}_jl"
+    val signs = jlSigns(inDim, outDim, seed)
+    val scale = math.sqrt(outDim.toDouble)
+    val bc = df.sparkSession.sparkContext.broadcast(signs)
+    val kernel = udf((v: Seq[Float]) => {
+      if (v == null) null
+      else {
+        val s = bc.value
+        val o = new Array[Double](outDim)
+        val n = math.min(v.length, inDim)
+        var j = 0
+        while (j < outDim) {
+          var acc = 0.0
+          var i = 0
+          while (i < n) { acc += v(i).toDouble * s(i)(j); i += 1 }
+          o(j) = acc / scale
+          j += 1
+        }
+        o
+      }
+    })
+    df.withColumn(out, kernel(col(vecCol)))
+  }
 }

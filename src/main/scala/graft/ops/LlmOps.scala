@@ -261,6 +261,15 @@ object LlmOps {
       df.withColumn(spec.col(0), TextAnalysis.redactPii(col(spec.col(0)), types))
     }
 
+    // `reduce-dim :vec :inDim :outDim [seed]` — Johnson-Lindenstrauss
+    // random projection (seeded ±1 signs): the dimensionality cut
+    // before LSH/IVF indexing at corpus scale; appends `<vec>_jl`
+    case "reduce-dim" => ColumnOps.simple(spec) { df =>
+      graft.llm.Similarity.randomProject(df, spec.col(0),
+        inDim = spec.int(1), outDim = spec.int(2),
+        seed = spec.optStr(3).map(_.toLong).getOrElse(7L))
+    }
+
     // `cluster-embeddings :vec [k]` — seeded-k-means cell per row
     // (corpus composition / diversity mixing / ANN layout precompute)
     case "cluster-embeddings" => ColumnOps.simple(spec) { df =>

@@ -1251,4 +1251,41 @@ class LlmSpec extends SparkSpec {
       graft.llm.Packing.packSequences(d, "tok", "id", 0, 1))
   }
 
+
+  test("randomProject: JL sign-matrix projection") {
+    import graft.llm.Similarity
+    val vecs = df("vec_id BIGINT, embedding ARRAY<FLOAT>", Seq(
+      Row(1L, Seq.tabulate(8)(i => (i + 1).toFloat)),
+      Row(2L, Seq.tabulate(8)(i => (8 - i).toFloat)),
+      Row(3L, Seq(1f, 2f)),          // short vector -> zero-padded
+      Row(4L, null)))
+    val out = Similarity.randomProject(vecs, "embedding", inDim = 8,
+      outDim = 4, seed = 7L)
+    val m = out.select("vec_id", "embedding_jl").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(m(1L).get.length == 4)
+    assert(m(4L).isEmpty) // null passes through
+    // deterministic: identical on recompute and across partitionings
+    val again = Similarity.randomProject(vecs.repartition(3), "embedding",
+      8, 4, 7L).select("vec_id", "embedding_jl").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(m == again)
+    // exact JL property of +-1 signs: a standard basis vector projects
+    // to a row of the sign matrix / sqrt(k), whose norm is EXACTLY 1
+    val basis = df("vec_id BIGINT, embedding ARRAY<FLOAT>", Seq(
+      Row(1L, (1f +: Seq.fill(7)(0f)))))
+    val b = Similarity.randomProject(basis, "embedding", 8, 4, 7L)
+      .select("embedding_jl").head().getSeq[Double](0)
+    assert(math.abs(b.map(x => x * x).sum - 1.0) < 1e-12)
+    // linearity (exact in double for small-integer floats)
+    val sum12 = Seq.tabulate(8)(_ => 9f) // vec1 + vec2 elementwise
+    val s12 = Similarity.randomProject(
+      df("vec_id BIGINT, embedding ARRAY<FLOAT>", Seq(Row(9L, sum12))),
+      "embedding", 8, 4, 7L).select("embedding_jl").head().getSeq[Double](0)
+    val added = m(1L).get.zip(m(2L).get).map { case (a, bb) => a + bb }
+    assert(s12.zip(added).forall { case (x, y) => x == y })
+    // directive spelling
+    val viaDir = Wrangle.recipe("reduce-dim :embedding 8 4")(vecs)
+    assert(viaDir.columns.contains("embedding_jl"))
+  }
 }
