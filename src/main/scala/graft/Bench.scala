@@ -103,7 +103,15 @@ object Bench {
     // those queries (floor sampling unchanged) — for adjudicating a
     // regression on one query without a 100 s full-bank run
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail fast on typos: a filter that matches nothing would write a
+    // ~0 s bench JSON that reads as a massive speedup
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(names.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY: unknown or empty query names: " +
+          s"${unknown.mkString(",")}")
+    }
     val benchNames = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = benchNames.map { n =>

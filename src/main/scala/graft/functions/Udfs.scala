@@ -947,6 +947,18 @@ object Udfs {
     * reproduces the bucket assignment exactly. Null/empty text yields
     * the zero vector.
     */
+  /** Unsigned first 32 bits of MD5(s) — the engine-side twin of the
+    * DuckDB spelling ('0x' || substr(md5(s), 1, 8))::BIGINT, shared by
+    * every oracle that re-derives a hash assignment (hashing-tf
+    * buckets, JL projection signs).
+    */
+  def md5Bucket32(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
   def hashingTf(text: String, k: Int): Array[Int] = {
     val counts = new Array[Int](k)
     val toks = normTokens(text)
@@ -954,11 +966,7 @@ object Udfs {
     val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
     while (i < toks.length) {
-      md.reset()
-      val d = md.digest(toks(i).getBytes("UTF-8"))
-      val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      counts((u % k).toInt) += 1
+      counts((md5Bucket32(md, toks(i)) % k).toInt) += 1
       i += 1
     }
     counts

@@ -77,9 +77,12 @@ object Classifier {
     // and each gradient term stays a tiny product — keeping the
     // per-iteration codegen unit small (the sigmoid/dot tree compiles
     // ONCE per iteration in the error projection, not once per sum)
+    // null labels count as NEGATIVE (matching the SQL-oracle CASE
+    // semantics) rather than silently vanishing from the gradient
+    // while still inflating n
     val tfd = df.select(tf.as("__tf"),
       aggregate(tf, lit(0), (a, x) => a + x).as("__total"),
-      col(labelCol).cast("double").as("__y"))
+      coalesce(col(labelCol).cast("double"), lit(0.0)).as("__y"))
     val xCols = (0 until dim).map(j =>
       xj(col("__tf"), col("__total"), j).as(s"__x$j"))
     val feats = tfd.select(xCols :+ col("__y"): _*)
@@ -174,8 +177,11 @@ object Classifier {
         sum(col("__tf").getItem(j)).as(s"r$j"))
     }
     val row = feats.agg(cntCols.head, cntCols.tail: _*).head()
-    val tCnt = (0 until dim).map(j => row.getLong(2 * j)).toArray
-    val rCnt = (0 until dim).map(j => row.getLong(2 * j + 1)).toArray
+    // empty input: sum() aggregates come back null — zero counts give
+    // identical smoothed distributions, so every log-ratio is 0
+    def cnt(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
+    val tCnt = (0 until dim).map(j => cnt(2 * j)).toArray
+    val rCnt = (0 until dim).map(j => cnt(2 * j + 1)).toArray
     val tTot = tCnt.sum.toDouble + dim
     val rTot = rCnt.sum.toDouble + dim
     // ln ratios from exact integer counts: any engine recomputes them

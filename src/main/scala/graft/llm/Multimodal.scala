@@ -638,7 +638,7 @@ object MediaHeaders {
       while (xx < w) {
         val o = yy * stride + xx * bpp
         val (r, g, bl) =
-          if (im.colorType == 0) {
+          if (bpp <= 2) { // grey / grey+alpha: one luma channel
             val v = u8(im.pixels, o); (v, v, v)
           } else (u8(im.pixels, o), u8(im.pixels, o + 1),
             u8(im.pixels, o + 2))

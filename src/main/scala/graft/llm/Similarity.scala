@@ -580,10 +580,7 @@ object Similarity {
   def jlSigns(inDim: Int, outDim: Int, seed: Long): Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(inDim, outDim) { (i0, j) =>
-      md.reset()
-      val d = md.digest(s"jl:$seed:${i0 + 1}:$j".getBytes("UTF-8"))
-      val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val u = graft.functions.Udfs.md5Bucket32(md, s"jl:$seed:${i0 + 1}:$j")
       if (u % 2 == 0) 1.0 else -1.0
     }
   }

@@ -502,9 +502,17 @@ class BinarySpec extends SparkSpec {
     // bad signature
     val bad = good.clone(); bad(0) = 0x00
     assert(MediaHeaders.pngStats(bad) == null)
-    // interlaced flag -> reject (Adam7 out of scope)
-    val il = good.clone(); il(8 + 8 + 12) = 1 // IHDR interlace byte
+    // unknown interlace method (2) -> precise reject (0 and 1 = Adam7
+    // are both supported now)
+    val il = good.clone(); il(8 + 8 + 12) = 2 // IHDR interlace byte
     assert(MediaHeaders.pngStats(il) == null)
+    // truncated Adam7 stream: a valid interlaced encode with its last
+    // IDAT bytes cut inflates short of the seven-pass raw layout
+    val adam = MediaHeaders.pngEncode(4, 4, 2, gradient(4, 4, 3),
+      interlace = true)
+    assert(MediaHeaders.pngStats(adam) != null)
+    assert(MediaHeaders.pngStats(
+      java.util.Arrays.copyOfRange(adam, 0, adam.length - 20)) == null)
     // not a PNG at all / null
     assert(MediaHeaders.pngStats("plainly not a png".getBytes) == null)
     assert(MediaHeaders.pngStats(null) == null)
@@ -589,6 +597,19 @@ class BinarySpec extends SparkSpec {
       assert((st.sum_r, st.sum_g, st.sum_b) == ((sr, sg, sb)),
         s"16-bit ct=$ct ft=$ft sums differ")
     }
+  }
+
+  test("pngFeatures handles grey+alpha (2-byte pixels, luma mirrored)") {
+    val (w, h) = (7, 5)
+    val ga = Array.tabulate[Byte](w * h * 2)(i => ((i * 13 + 3) % 256).toByte)
+    val f = MediaHeaders.pngFeatures(
+      MediaHeaders.pngEncode(w, h, 4, ga, filterFor = y => y % 5), 8)
+    assert(f != null, "ct-4 PNG must take the real-decode path")
+    val meanLuma = (0 until w * h).map(i => ga(2 * i) & 0xff).sum
+      .toDouble / (w * h) / 255.0
+    assert(math.abs(f(0) - meanLuma) < 1e-6)
+    assert(f(0) == f(1) && f(1) == f(2), "grey mirrors into all channels")
+    assert(math.abs(f.drop(3).map(_.toDouble).sum - 1.0) < 1e-6)
   }
 
   test("png adam7: interlaced decode is pixel-identical to sequential") {
