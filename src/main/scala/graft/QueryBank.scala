@@ -1231,6 +1231,28 @@ object QueryBank {
         |        ORDER BY o DESC, k DESC LIMIT 1) AS hottest_key_rows
         |FROM m""".stripMargin),
 
+    // Salted equi-join: the hot-key remedy joinSizeProfile motivates.
+    // The result must be EXACTLY the plain join's rows — the oracle
+    // computes the unsalted join and the rollup hash catches any
+    // dropped/duplicated row from the salt bookkeeping.
+    ("salted_join",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.ops.JoinOps.saltedJoin(
+            s.read.parquet(s"$d/events.parquet"),
+            ord(s, d).select(col("o_custkey"), col("o_orderstatus")),
+            "user_id", "o_custkey", salt = 8)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value").cast("decimal(38,6)")), 4)
+              .cast("double").as("total_value"))
+      },
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(round(sum(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE)
+        |   AS total_value
+        |FROM events e JOIN orders o ON e.user_id = o.o_custkey
+        |GROUP BY 1""".stripMargin),
+
     // KMV set-overlap: per-source vocabulary sketches, pairwise shared
     // words + Jaccard from sketch intersection. k exceeds every union,
     // so the bottom-k sketch holds ALL distinct hashes and the

@@ -329,4 +329,46 @@ object JoinOps {
         col("__top.__k").as("hottest_key"),
         col("__top.__out").as("hottest_key_rows"))
   }
+
+  /** Salted equi-join — the remedy for the hot keys
+    * [[joinSizeProfile]] flags. A hash-partitioned join puts EVERY row
+    * of a hot key in one task; AQE's skew handling splits oversized
+    * sort-merge partitions, but a single key's rows still co-locate
+    * because correctness requires it. Salting breaks that: the
+    * `left` (big, skewed) side gets a deterministic per-row salt in
+    * [0, salt) — xxhash64 of the whole row, so retries and
+    * repartitioning re-derive the same value — and the `right` (small
+    * unreplicable-broadcast) side is exploded into `salt` replicas,
+    * one per salt value. The join keys become (key, salt), spreading
+    * each hot key over `salt` tasks at the cost of scanning the right
+    * side `salt` times.
+    *
+    * Result rows are exactly the plain join's (each left row meets
+    * exactly the one replica set carrying its salt). Supported join
+    * types: inner, left / left_outer, left_semi, left_anti — the ones
+    * whose semantics survive right-side replication. right/full outer
+    * would emit unmatched right rows once per replica; use the plain
+    * join (or swap sides) for those.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, salt: Int,
+      how: String = "inner"): DataFrame = {
+    require(salt >= 1 && salt <= 4096, s"saltedJoin: salt $salt")
+    val ok = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(ok(how.toLowerCase),
+      s"saltedJoin: join type '$how' does not survive right-side " +
+        "replication (unmatched right rows would appear once per salt)")
+    val l = left
+      .withColumn("__sj_key", col(leftKey))
+      .withColumn("__sj_salt",
+        pmod(xxhash64(left.columns.map(col): _*), lit(salt.toLong))
+          .cast("int"))
+    val r = right
+      .withColumn("__sj_key", col(rightKey))
+      .withColumn("__sj_salt",
+        explode(sequence(lit(0), lit(salt - 1))))
+    l.join(r, Seq("__sj_key", "__sj_salt"), how)
+      .drop("__sj_key", "__sj_salt")
+  }
 }

@@ -229,4 +229,31 @@ class JoinSpec extends SparkSpec {
     assert(got.exceptAll(naive).count() == 0)
     assert(naive.exceptAll(got).count() == 0)
   }
+
+  test("saltedJoin: identical rows to the plain join under skew") {
+    import graft.ops.JoinOps
+    // one hot key (0) carrying most of the left side, plus null keys
+    val left = df("k BIGINT, lv INT", (1 to 60).map(i =>
+      Row(if (i <= 40) 0L else (i % 7).toLong, i)) :+ Row(null, 999))
+    val right = df("rk BIGINT, rv STRING", Seq(
+      Row(0L, "hot"), Row(1L, "a"), Row(2L, "b"), Row(3L, "c"),
+      Row(99L, "unmatched")))
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    for (how <- Seq("inner", "left_outer", "left_semi", "left_anti")) {
+      val plain = left.join(right, left("k") === right("rk"), how)
+      val plainCols = plain.columns
+      val salted = JoinOps.saltedJoin(left, right, "k", "rk", salt = 4,
+        how = how).select(plainCols.map(org.apache.spark.sql.functions.col): _*)
+      assert(canon(salted) == canon(plain), s"rows differ for $how")
+    }
+    // the join keys really carry the salt (hot key spread over tasks)
+    val plan = JoinOps.saltedJoin(left, right, "k", "rk", 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__sj_salt"), s"salt not in the join keys:\n$plan")
+    // right-side-replicating outer types are refused
+    intercept[IllegalArgumentException] {
+      JoinOps.saltedJoin(left, right, "k", "rk", 4, how = "full_outer")
+    }
+  }
 }
