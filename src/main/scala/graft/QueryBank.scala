@@ -1231,6 +1231,20 @@ object QueryBank {
         |        ORDER BY o DESC, k DESC LIMIT 1) AS hottest_key_rows
         |FROM m""".stripMargin),
 
+    // Scan pre-flight: footer-declared row counts per table (files and
+    // bytes are filesystem facts asserted in MiscSpec; the oracle
+    // cross-checks that footer metadata sums equal the true row
+    // counts — a wrong row-group walk breaks the hash)
+    ("source_footprint",
+      (s, d) => graft.sources.Sources.footprint(s, Map(
+          "orders" -> s"$d/orders.parquet",
+          "events" -> s"$d/events.parquet",
+          "documents" -> s"$d/documents.parquet"))
+        .select("tbl", "n_rows"),
+      """SELECT 'orders' AS tbl, count(*) AS n_rows FROM orders
+        |UNION ALL SELECT 'events', count(*) FROM events
+        |UNION ALL SELECT 'documents', count(*) FROM documents""".stripMargin),
+
     // Salted equi-join: the hot-key remedy joinSizeProfile motivates.
     // The result must be EXACTLY the plain join's rows — the oracle
     // computes the unsalted join and the rollup hash catches any
@@ -1547,6 +1561,27 @@ object QueryBank {
             round(col("lm_ppl"), 4).as("lm_ppl"))
       },
       lmPerplexitySql),
+
+    ("stream_classifier_score",
+      // the trained model applied on a STREAM: batch-train the logistic
+      // classifier, then score genuine readStream micro-batches with
+      // the broadcast-literal weights — map-only scoring runs unchanged
+      // under Structured Streaming (no state, no watermark), so the
+      // stream's output equals the batch oracle exactly.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val labeled = docs(s, d)
+          .withColumn("__label", (col("lang") === "en").cast("int"))
+        val (w, b) = graft.llm.Classifier.trainLogistic(
+          labeled, "text", "__label", dim = 16, iterations = 3, lr = 0.5)
+        graft.streaming.StreamOps.runBatchAsStream(
+          s, s"$d/documents.parquet",
+          st => graft.llm.Classifier.scoreLogistic(st, "text", w, b)
+            .select(col("doc_id"),
+              round(col("quality_score"), 6).as("quality_score")),
+          queryName = "stream_classifier_correctness")
+      },
+      s"SELECT doc_id, quality_score FROM (\n$classifierOracleSql\n) q"),
 
     ("dsir_importance_weights",
       // DSIR-style importance log-weights: hashed-unigram likelihood

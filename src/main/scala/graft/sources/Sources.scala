@@ -128,4 +128,52 @@ object Sources {
       case "text" => df.write.mode(mode).text(path)
       case _      => df.write.mode(mode).parquet(path)
     }
+
+  /** Scan pre-flight: per-path parquet footprint — file count, bytes
+    * on disk, and the footer-declared row count — WITHOUT reading any
+    * data pages. The cost estimate before pointing a job at a 100 TB
+    * table: rows come from row-group metadata (so the numbers are
+    * exact and engine-independent), and the footer reads distribute
+    * over the cluster (one task per file batch — a million-file table
+    * lists in parallel, nothing funnels through the driver but the
+    * per-path rollup).
+    */
+  def footprint(spark: SparkSession, paths: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val fileLists = paths.toSeq.sortBy(_._1).map { case (name, p) =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf.value)
+      val files = fs.listStatus(hp) match {
+        case null => Array.empty[org.apache.hadoop.fs.FileStatus]
+        case st => st.filter(f => f.isFile &&
+          f.getPath.getName.endsWith(".parquet"))
+      }
+      val only = if (files.isEmpty && fs.getFileStatus(hp).isFile)
+        Array(fs.getFileStatus(hp)) else files
+      (name, only.map(f => (f.getPath.toString, f.getLen)).toSeq)
+    }
+    val flat = fileLists.flatMap { case (name, fl) =>
+      fl.map { case (path, len) => (name, path, len) } }
+    val footers = spark.sparkContext
+      .parallelize(flat, math.max(1, math.min(flat.size, 64)))
+      .map { case (name, path, len) =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(path), conf.value)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = r.getFooter.getBlocks
+          var rows = 0L
+          val it = blocks.iterator()
+          while (it.hasNext) { rows += it.next().getRowCount }
+          (name, 1L, len, rows)
+        } finally r.close()
+      }
+    footers.toDF("tbl", "files", "bytes", "n_rows")
+      .groupBy($"tbl")
+      .agg(org.apache.spark.sql.functions.sum($"files").as("files"),
+        org.apache.spark.sql.functions.sum($"bytes").as("bytes"),
+        org.apache.spark.sql.functions.sum($"n_rows").as("n_rows"))
+  }
 }

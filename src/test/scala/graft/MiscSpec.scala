@@ -290,4 +290,24 @@ class MiscSpec extends SparkSpec {
       .count() == 1)
     assert(wrangle("sample-temperature :id :src 0.5 0.5", d).count() == kept)
   }
+
+  test("Sources.footprint: files and bytes match the filesystem") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.sources.Sources.footprint(spark, Map(
+      "nation" -> s"$dir/nation.parquet",
+      "orders" -> s"$dir/orders.parquet"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    for (t <- Seq("nation", "orders")) {
+      val f = new java.io.File(s"$dir/$t.parquet")
+      val files: Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else f.listFiles().filter(x => x.isFile &&
+          x.getName.endsWith(".parquet")).toSeq
+      assert(out(t)._1 == files.size, s"$t file count")
+      assert(out(t)._2 == files.map(_.length).sum, s"$t byte sum")
+      assert(out(t)._3 ==
+        spark.read.parquet(s"$dir/$t.parquet").count(), s"$t rows")
+    }
+  }
 }
