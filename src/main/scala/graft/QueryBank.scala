@@ -1491,6 +1491,32 @@ object QueryBank {
         |    ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) AS rank
         | FROM embeddings e, embeddings q WHERE q.vec_id < 5) WHERE rank <= 3""".stripMargin),
 
+    ("hard_negatives",
+      // contrastive hard-negative mining: top-3 most-similar non-
+      // positives per query (each query's positive set = itself + one
+      // planted id). DuckDB brute-forces the same exclusion + ranking.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val pos = s.createDataFrame(
+          (0L until 5L).flatMap(i => Seq((i, i), (i, i + 100))))
+          .toDF("qid", "pos_id")
+        graft.llm.Similarity.mineHardNegatives(e, q, "vec_id",
+            "embedding", "qid", "qvec", pos, "pos_id", k = 3)
+          .select("qid", "vec_id", "neg_rank")
+      },
+      """SELECT qid, vec_id, neg_rank FROM (
+        | SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+        |      e.vec_id) AS neg_rank
+        | FROM embeddings e, embeddings q
+        | WHERE q.vec_id < 5
+        |   AND e.vec_id != q.vec_id AND e.vec_id != q.vec_id + 100)
+        |WHERE neg_rank <= 3""".stripMargin),
+
     ("token_count",
       (s, d) => r("token-count :text; keep :doc_id,:text_tokens")(docs(s, d)),
       "SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS text_tokens FROM documents"),

@@ -570,6 +570,43 @@ object Similarity {
       .limit(k)
   }
 
+  /** Hard-negative mining for contrastive training data: for each
+    * query, the top-k most-similar corpus items that are NOT its known
+    * positives — the negatives that actually teach an embedding model
+    * (random negatives are trivially separable; the near-misses carry
+    * the gradient signal).
+    *
+    * Shape: one [[crossTopK]] retrieval over-fetched by the largest
+    * per-query positive count (a bounded count aggregate), an
+    * anti-join against the positive pairs, and a re-rank window over
+    * the bounded Q×(k+p) candidate set — corpus rows never funnel
+    * into a per-query window, exactly crossTopK's scale contract.
+    * Output: (qidCol, idCol, cosine, neg_rank ≤ k).
+    */
+  def mineHardNegatives(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, qvecCol: String,
+      positives: DataFrame, posIdCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxPos = positives.groupBy(col(qidCol)).count()
+      .agg(max("count")).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    require(maxPos <= 10000,
+      s"mineHardNegatives: $maxPos positives for one query — over-fetch " +
+        "would dominate retrieval; dedupe the positive set first")
+    val cand = crossTopK(corpus, queries, idCol, vecCol, qidCol, qvecCol,
+      k + maxPos.toInt)
+    val neg = cand.join(
+      positives.select(col(qidCol), col(posIdCol).as(idCol)),
+      Seq(qidCol, idCol), "left_anti")
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("cosine").desc, col(idCol))
+    neg.withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col(qidCol), col(idCol), col("cosine"), col("neg_rank"))
+  }
+
   /** Deterministic ±1 Johnson-Lindenstrauss sign matrix (Achlioptas
     * 2003: Rademacher entries satisfy the JL lemma like Gaussians do,
     * with integer-friendly arithmetic): sign(i, j) from the first 32

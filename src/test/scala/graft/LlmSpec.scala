@@ -1288,4 +1288,22 @@ class LlmSpec extends SparkSpec {
     val viaDir = Wrangle.recipe("reduce-dim :embedding 8 4")(vecs)
     assert(viaDir.columns.contains("embedding_jl"))
   }
+
+  test("mineHardNegatives excludes positives, keeps hardest k") {
+    import graft.llm.Similarity
+    // query 0 at the origin-ish; ids 1..5 progressively farther
+    def v(x: Float, y: Float) = Seq(x, y)
+    val corpus = df("vec_id BIGINT, embedding ARRAY<FLOAT>", Seq(
+      Row(0L, v(1f, 0f)), Row(1L, v(1f, 0.1f)), Row(2L, v(1f, 0.3f)),
+      Row(3L, v(1f, 0.6f)), Row(4L, v(0f, 1f)), Row(5L, v(-1f, 0f))))
+    val q = df("qid BIGINT, qvec ARRAY<FLOAT>", Seq(Row(0L, v(1f, 0f))))
+    val pos = df("qid BIGINT, pos_id BIGINT", Seq(Row(0L, 0L), Row(0L, 1L)))
+    val out = Similarity.mineHardNegatives(corpus, q, "vec_id",
+      "embedding", "qid", "qvec", pos, "pos_id", k = 2)
+      .orderBy("neg_rank").collect()
+    // self (0) and planted positive (1) excluded; hardest remaining
+    // are 2 then 3 by cosine
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 3L))
+    assert(out.map(_.getInt(3)).toSeq == Seq(1, 2))
+  }
 }
