@@ -46,7 +46,10 @@ class PlanGateSpec extends SparkSpec {
     * whose broadcast side is unbounded would still be a bug — nothing
     * else may appear here without a justification like this one.
     */
-  private val bnljAllowed = Set("cross_topk")
+  private val bnljAllowed = Set("cross_topk",
+    // built ON crossTopK: same contract (broadcast side = the bounded
+    // query set, stream reduced to Qx(k+p) by the phase-1 heap)
+    "hard_negatives")
 
   test("no QueryBank plan contains a scale-killer shape") {
     val failures = scala.collection.mutable.ListBuffer.empty[String]
