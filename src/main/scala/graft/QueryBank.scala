@@ -1609,6 +1609,57 @@ object QueryBank {
       },
       s"SELECT doc_id, quality_score FROM (\n$classifierOracleSql\n) q"),
 
+    ("pipeline_model_filter",
+      // the model-based curation composite (the LLaMA/CCNet recipe
+      // shape): train the quality classifier, the DSIR weights, AND
+      // the bigram LM on the lang='en' slice, score every doc with all
+      // three, gate on round(dsir,6) >= 0 ("more target-like than
+      // not"; 6-dp values are hash-identical across engines, so
+      // constant comparisons are deterministic), bucket by perplexity,
+      // roll up classifier mass per (lang, bucket). DuckDB replays all
+      // THREE training fixed points as nested subqueries.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val dd = docs(s, d)
+        val scored = graft.llm.NgramLm.perplexity(
+          graft.llm.Classifier.dsirLogWeights(
+            graft.llm.Classifier.qualityScore(dd, "text",
+              col("lang") === "en", dim = 16, iterations = 3, lr = 0.5),
+            "text", col("lang") === "en", dim = 16),
+          "text", "doc_id", col("lang") === "en", maxVocab = 65536,
+          minBigramCount = 2, lambda = 0.5)
+        scored
+          .where(round(col("dsir_logweight"), 6) >= 0.0 &&
+            col("lm_ppl").isNotNull)
+          .withColumn("ppl_bucket",
+            when(round(col("lm_ppl"), 4) < 25.0, "low")
+              .when(round(col("lm_ppl"), 4) < 60.0, "mid")
+              .otherwise("high"))
+          .groupBy(col("lang"), col("ppl_bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(round(col("quality_score"), 6)
+              .cast("decimal(38,6)")), 4).cast("double").as("sum_q"))
+      },
+      s"""WITH c AS (SELECT * FROM (\n$classifierOracleSql\n) x),
+         |w AS (SELECT * FROM (\n$dsirOracleSql\n) z),
+         |l AS (SELECT * FROM (\n$lmPerplexitySql\n) y),
+         |s AS (SELECT d.doc_id, d.lang, c.quality_score,
+         |             w.dsir_logweight, l.lm_ppl
+         |      FROM documents d
+         |      JOIN c ON c.doc_id = d.doc_id
+         |      JOIN w ON w.doc_id = d.doc_id
+         |      JOIN l ON l.doc_id = d.doc_id)
+         |SELECT lang,
+         |  CASE WHEN round(lm_ppl, 4) < 25.0 THEN 'low'
+         |       WHEN round(lm_ppl, 4) < 60.0 THEN 'mid'
+         |       ELSE 'high' END AS ppl_bucket,
+         |  count(*) AS n,
+         |  CAST(round(sum(CAST(round(quality_score, 6) AS DECIMAL(38,6))), 4)
+         |    AS DOUBLE) AS sum_q
+         |FROM s
+         |WHERE round(dsir_logweight, 6) >= 0.0 AND lm_ppl IS NOT NULL
+         |GROUP BY 1, 2""".stripMargin),
+
     ("dsir_importance_weights",
       // DSIR-style importance log-weights: hashed-unigram likelihood
       // ratio of the lang='en' target distribution vs the raw corpus,
