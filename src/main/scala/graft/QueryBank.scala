@@ -1273,6 +1273,53 @@ object QueryBank {
     // estimates are exact — DuckDB recomputes true set overlap. The
     // pair spine is a bounded driver list (20 sources), so both joins
     // stay equi-joins (no cartesian).
+    // KMV containment: the ASYMMETRIC overlap Jaccard misses —
+    // containment(A,B) near 1 flags "A's vocabulary lives inside B"
+    // even when B dwarfs A. Same exact-below-capacity property, so
+    // DuckDB recomputes true containments.
+    ("kmv_containment",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val words = docs(s, d)
+          .select(col("source"), explode(split(col("text"), "\\s+")).as("w"))
+          .where(length(col("w")) > 0)
+        val sks = words.groupBy(col("source"))
+          .agg(graftx.Sketches.kmvSketch(col("w"), 65536).as("sk"))
+        val srcs = sks.select("source").collect().map(_.getString(0)).sorted
+        val spine = s.createDataFrame(
+          srcs.combinations(2).map(p => (p(0), p(1))).toSeq)
+          .toDF("source_a", "source_b")
+        spine
+          .join(broadcast(sks.select(col("source").as("source_a"),
+            col("sk").as("__ska"))), Seq("source_a"))
+          .join(broadcast(sks.select(col("source").as("source_b"),
+            col("sk").as("__skb"))), Seq("source_b"))
+          .select(col("source_a"), col("source_b"),
+            round(graftx.Sketches.kmvContainment(col("__ska"), col("__skb")), 6)
+              .as("containment_ab"),
+            round(graftx.Sketches.kmvContainment(col("__skb"), col("__ska")), 6)
+              .as("containment_ba"))
+      },
+      """WITH w AS (
+        |  SELECT DISTINCT source, w FROM (
+        |    SELECT source, unnest(string_split_regex(text, '\s+')) AS w
+        |    FROM documents) t WHERE len(w) > 0),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |pairs AS (SELECT a.source AS sa, b.source AS sb
+        |          FROM srcs a, srcs b WHERE a.source < b.source),
+        |inter AS (SELECT wa.source AS sa, wb.source AS sb, count(*) AS c
+        |          FROM w wa JOIN w wb
+        |            ON wa.w = wb.w AND wa.source < wb.source
+        |          GROUP BY 1, 2),
+        |sizes AS (SELECT source, count(*) AS n FROM w GROUP BY 1)
+        |SELECT p.sa AS source_a, p.sb AS source_b,
+        |  round(coalesce(i.c, 0) * 1.0 / za.n, 6) AS containment_ab,
+        |  round(coalesce(i.c, 0) * 1.0 / zb.n, 6) AS containment_ba
+        |FROM pairs p
+        |LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+        |JOIN sizes za ON za.source = p.sa
+        |JOIN sizes zb ON zb.source = p.sb""".stripMargin),
+
     ("kmv_source_overlap",
       (s, d) => {
         import org.apache.spark.sql.functions._

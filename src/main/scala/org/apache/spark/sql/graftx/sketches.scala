@@ -928,6 +928,18 @@ object Sketches {
     ExpressionUtils.column(KmvIntersectExpr(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Containment estimate |A∩B| / |A| — the ASYMMETRIC overlap
+    * Jaccard misses: containment(A,B) ≈ 1 flags "A is inside B"
+    * (a source quoted/wrapped wholesale by another) even when B is
+    * huge and the Jaccard is tiny. Exact below sketch capacity, like
+    * the other KMV estimators.
+    */
+  def kmvContainment(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    when(kmvEstimate(a) === 0, lit(0.0))
+      .otherwise(kmvIntersect(a, b).cast("double") / kmvEstimate(a))
+  }
+
   /** Exact top-k (value desc, item asc) per group via bounded heaps. */
   def topKBy(value: Column, item: Column, k: Int): Column =
     agg(TopKByAgg(
