@@ -2193,6 +2193,58 @@ object QueryBank {
         |SELECT vec_id, CAST(j AS INT) AS pos, round(v, 6) AS val
         |FROM proj""".stripMargin),
 
+    ("validate_embeddings",
+      // embedding QA over a deliberately corrupted copy of the vector
+      // table: every issue class planted by a vec_id formula DuckDB
+      // replays (null / truncated / NaN-injected / zeroed / x1000 /
+      // /1000). The rollup carries sum(vec_id) so a single
+      // misclassified row breaks the hash, not just the counts.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val v = col("embedding")
+        val corrupted = emb(s, d).withColumn("embedding",
+          when(col("vec_id") % 13 === 0, lit(null).cast("array<float>"))
+            .when(col("vec_id") % 13 === 1, slice(v, 1, 3))
+            .when(col("vec_id") % 13 === 2,
+              concat(array(lit(Float.NaN)), slice(v, 2, 63)))
+            .when(col("vec_id") % 13 === 3, transform(v, _ => lit(0f)))
+            .when(col("vec_id") % 13 === 4,
+              transform(v, x => x * lit(1000f)))
+            .when(col("vec_id") % 13 === 5,
+              transform(v, x => (x / lit(1000f)).cast("float")))
+            .otherwise(v))
+        graft.llm.Similarity.validateEmbeddings(corrupted, "embedding",
+            expectedDim = 64)
+          .groupBy(col("embedding_issue"))
+          .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("id_sum"))
+      },
+      """WITH c AS (SELECT vec_id,
+        |  CASE WHEN vec_id % 13 = 0 THEN NULL
+        |       WHEN vec_id % 13 = 1 THEN embedding[1:3]
+        |       WHEN vec_id % 13 = 2
+        |         THEN list_concat(['nan'::FLOAT], embedding[2:64])
+        |       WHEN vec_id % 13 = 3
+        |         THEN list_transform(embedding, x -> 0::FLOAT)
+        |       WHEN vec_id % 13 = 4
+        |         THEN list_transform(embedding, x -> x * 1000::FLOAT)
+        |       WHEN vec_id % 13 = 5
+        |         THEN list_transform(embedding, x -> (x / 1000::FLOAT)::FLOAT)
+        |       ELSE embedding END AS v
+        | FROM embeddings),
+        |i AS (SELECT vec_id,
+        |  CASE WHEN v IS NULL THEN 'null_vector'
+        |       WHEN len(v) != 64 THEN 'wrong_dim'
+        |       WHEN len(list_filter(v, x -> isnan(x))) > 0 THEN 'nan'
+        |       WHEN len(list_filter(v, x -> x != 0)) = 0 THEN 'all_zero'
+        |       WHEN list_sum(list_transform(v,
+        |         x -> x::DOUBLE * x::DOUBLE)) < 0.25 THEN 'norm_low'
+        |       WHEN list_sum(list_transform(v,
+        |         x -> x::DOUBLE * x::DOUBLE)) > 4.0 THEN 'norm_high'
+        |       ELSE 'ok' END AS embedding_issue
+        | FROM c)
+        |SELECT embedding_issue, count(*) AS n, sum(vec_id) AS id_sum
+        |FROM i GROUP BY 1""".stripMargin),
+
     ("normalize_embedding",
       // L2 unit vectors: both engines accumulate the double norm over
       // the array in order (identical sequential adds), divide in

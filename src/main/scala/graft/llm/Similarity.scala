@@ -570,6 +570,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-column QA — the sanity gate before ANN indexing or
+    * training consumes a vector dump: per row, one issue label by
+    * priority (`null_vector` / `wrong_dim` / `nan` / `all_zero` /
+    * `norm_low` / `norm_high` / `ok`). Norm bounds compare the SQUARED
+    * L2 norm (accumulated in array order) against [loNormSq,
+    * hiNormSq] — unit-normalized corpora sit at 1.0. Map-only, pure
+    * Catalyst, no shuffle; appends `<vecCol>_issue`.
+    */
+  def validateEmbeddings(df: DataFrame, vecCol: String, expectedDim: Int,
+      loNormSq: Double = 0.25, hiNormSq: Double = 4.0,
+      outCol: String = ""): DataFrame = {
+    require(expectedDim >= 1, s"validateEmbeddings: dim $expectedDim")
+    require(loNormSq >= 0 && hiNormSq > loNormSq,
+      s"validateEmbeddings: bounds [$loNormSq, $hiNormSq]")
+    val out = if (outCol.nonEmpty) outCol else s"${vecCol}_issue"
+    val v = col(vecCol)
+    val n2 = aggregate(v, lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double"))
+    df.withColumn(out,
+      when(v.isNull, lit("null_vector"))
+        .when(size(v) =!= expectedDim, lit("wrong_dim"))
+        .when(exists(v, x => isnan(x.cast("double"))), lit("nan"))
+        .when(forall(v, x => x.cast("double") === 0.0), lit("all_zero"))
+        .when(n2 < loNormSq, lit("norm_low"))
+        .when(n2 > hiNormSq, lit("norm_high"))
+        .otherwise(lit("ok")))
+  }
+
   /** Hard-negative mining for contrastive training data: for each
     * query, the top-k most-similar corpus items that are NOT its known
     * positives — the negatives that actually teach an embedding model

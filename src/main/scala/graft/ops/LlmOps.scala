@@ -261,6 +261,15 @@ object LlmOps {
       df.withColumn(spec.col(0), TextAnalysis.redactPii(col(spec.col(0)), types))
     }
 
+    // `validate-embeddings :vec :dim [loNormSq] [hiNormSq]` — per-row
+    // QA label for a vector dump (null/dim/nan/zero/norm bounds)
+    case "validate-embeddings" => ColumnOps.simple(spec) { df =>
+      graft.llm.Similarity.validateEmbeddings(df, spec.col(0),
+        expectedDim = spec.int(1),
+        loNormSq = spec.optStr(2).map(_.toDouble).getOrElse(0.25),
+        hiNormSq = spec.optStr(3).map(_.toDouble).getOrElse(4.0))
+    }
+
     // `reduce-dim :vec :inDim :outDim [seed]` — Johnson-Lindenstrauss
     // random projection (seeded ±1 signs): the dimensionality cut
     // before LSH/IVF indexing at corpus scale; appends `<vec>_jl`

@@ -1306,4 +1306,27 @@ class LlmSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSeq == Seq(2L, 3L))
     assert(out.map(_.getInt(3)).toSeq == Seq(1, 2))
   }
+
+  test("validateEmbeddings labels every issue class by priority") {
+    import graft.llm.Similarity
+    val rows = df("vec_id BIGINT, embedding ARRAY<FLOAT>", Seq(
+      Row(0L, null),
+      Row(1L, Seq(1f, 0f)),                       // wrong dim (expect 4)
+      Row(2L, Seq(Float.NaN, 0f, 0f, 0f)),        // nan beats zero-ish
+      Row(3L, Seq(0f, 0f, 0f, 0f)),               // all zero
+      Row(4L, Seq(0.01f, 0f, 0f, 0f)),            // norm too low
+      Row(5L, Seq(100f, 0f, 0f, 0f)),             // norm too high
+      Row(6L, Seq(0.5f, 0.5f, 0.5f, 0.5f))))      // ok (norm 1)
+    val out = Similarity.validateEmbeddings(rows, "embedding", 4)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(0L -> "null_vector", 1L -> "wrong_dim",
+      2L -> "nan", 3L -> "all_zero", 4L -> "norm_low",
+      5L -> "norm_high", 6L -> "ok"))
+    // directive spelling + map-only plan
+    val viaDir = Wrangle.recipe("validate-embeddings :embedding 4")(rows)
+    assert(viaDir.columns.contains("embedding_issue"))
+    val plan = Similarity.validateEmbeddings(rows, "embedding", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"must be map-only:\n$plan")
+  }
 }
