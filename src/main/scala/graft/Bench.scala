@@ -107,9 +107,12 @@ object Bench {
     // fail fast on typos: a filter that matches nothing would write a
     // ~0 s bench JSON that reads as a massive speedup
     only.foreach { names =>
+      require(names.nonEmpty,
+        "SPARK_GRAFT_BENCH_ONLY is set but names no queries " +
+          s"(raw value: '${sys.env("SPARK_GRAFT_BENCH_ONLY")}')")
       val unknown = names.diff(SparkEntry.queries.keySet)
-      require(names.nonEmpty && unknown.isEmpty,
-        s"SPARK_GRAFT_BENCH_ONLY: unknown or empty query names: " +
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY: unknown query names: " +
           s"${unknown.mkString(",")}")
     }
     val benchNames = SparkEntry.queries.keys.toSeq.sorted

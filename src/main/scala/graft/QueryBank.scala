@@ -1280,20 +1280,7 @@ object QueryBank {
     ("kmv_containment",
       (s, d) => {
         import org.apache.spark.sql.functions._
-        val words = docs(s, d)
-          .select(col("source"), explode(split(col("text"), "\\s+")).as("w"))
-          .where(length(col("w")) > 0)
-        val sks = words.groupBy(col("source"))
-          .agg(graftx.Sketches.kmvSketch(col("w"), 65536).as("sk"))
-        val srcs = sks.select("source").collect().map(_.getString(0)).sorted
-        val spine = s.createDataFrame(
-          srcs.combinations(2).map(p => (p(0), p(1))).toSeq)
-          .toDF("source_a", "source_b")
-        spine
-          .join(broadcast(sks.select(col("source").as("source_a"),
-            col("sk").as("__ska"))), Seq("source_a"))
-          .join(broadcast(sks.select(col("source").as("source_b"),
-            col("sk").as("__skb"))), Seq("source_b"))
+        kmvSourcePairs(s, d)
           .select(col("source_a"), col("source_b"),
             round(graftx.Sketches.kmvContainment(col("__ska"), col("__skb")), 6)
               .as("containment_ab"),
@@ -1323,20 +1310,7 @@ object QueryBank {
     ("kmv_source_overlap",
       (s, d) => {
         import org.apache.spark.sql.functions._
-        val words = docs(s, d)
-          .select(col("source"), explode(split(col("text"), "\\s+")).as("w"))
-          .where(length(col("w")) > 0)
-        val sks = words.groupBy(col("source"))
-          .agg(graftx.Sketches.kmvSketch(col("w"), 65536).as("sk"))
-        val srcs = sks.select("source").collect().map(_.getString(0)).sorted
-        val spine = s.createDataFrame(
-          srcs.combinations(2).map(p => (p(0), p(1))).toSeq)
-          .toDF("source_a", "source_b")
-        spine
-          .join(broadcast(sks.select(col("source").as("source_a"),
-            col("sk").as("__ska"))), Seq("source_a"))
-          .join(broadcast(sks.select(col("source").as("source_b"),
-            col("sk").as("__skb"))), Seq("source_b"))
+        kmvSourcePairs(s, d)
           .select(col("source_a"), col("source_b"),
             graftx.Sketches.kmvIntersect(col("__ska"), col("__skb"))
               .as("shared_words"),
@@ -2234,6 +2208,8 @@ object QueryBank {
         |i AS (SELECT vec_id,
         |  CASE WHEN v IS NULL THEN 'null_vector'
         |       WHEN len(v) != 64 THEN 'wrong_dim'
+        |       WHEN len(list_filter(v, x -> x IS NULL)) > 0
+        |         THEN 'null_element'
         |       WHEN len(list_filter(v, x -> isnan(x))) > 0 THEN 'nan'
         |       WHEN len(list_filter(v, x -> x != 0)) = 0 THEN 'all_zero'
         |       WHEN list_sum(list_transform(v,
@@ -3738,6 +3714,28 @@ object QueryBank {
 
   private def docs(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/documents.parquet")
+  /** Shared spine for the KMV pair queries: per-source word sketches
+    * joined onto every (a < b) source pair as __ska / __skb.
+    */
+  private def kmvSourcePairs(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val words = docs(s, d)
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("w"))
+      .where(length(col("w")) > 0)
+    val sks = words.groupBy(col("source"))
+      .agg(graftx.Sketches.kmvSketch(col("w"), 65536).as("sk"))
+    val srcs = sks.select("source").collect().map(_.getString(0)).sorted
+    val spine = s.createDataFrame(
+      srcs.combinations(2).map(p => (p(0), p(1))).toSeq)
+      .toDF("source_a", "source_b")
+    spine
+      .join(broadcast(sks.select(col("source").as("source_a"),
+        col("sk").as("__ska"))), Seq("source_a"))
+      .join(broadcast(sks.select(col("source").as("source_b"),
+        col("sk").as("__skb"))), Seq("source_b"))
+  }
+
   private def emb(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/embeddings.parquet")
 

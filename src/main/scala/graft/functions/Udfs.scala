@@ -940,13 +940,6 @@ object Udfs {
   }
   val normTokensUdf: UserDefinedFunction = udf(normTokens _)
 
-  /** Feature-hashing term frequencies ("hashing trick"): a fixed-width
-    * count vector with each normalized token bucketed by the first 32
-    * bits of its MD5 (unsigned) mod k — no vocabulary, no shuffle, and
-    * any engine (or DuckDB: ('0x' || substr(md5(t),1,8))::BIGINT % k)
-    * reproduces the bucket assignment exactly. Null/empty text yields
-    * the zero vector.
-    */
   /** Unsigned first 32 bits of MD5(s) — the engine-side twin of the
     * DuckDB spelling ('0x' || substr(md5(s), 1, 8))::BIGINT, shared by
     * every oracle that re-derives a hash assignment (hashing-tf
@@ -959,6 +952,11 @@ object Udfs {
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** Feature-hashing term frequencies ("hashing trick"): a fixed-width
+    * count vector with each normalized token bucketed by [[md5Bucket32]]
+    * mod k — no vocabulary, no shuffle, any engine reproduces the
+    * bucket assignment exactly. Null/empty text yields the zero vector.
+    */
   def hashingTf(text: String, k: Int): Array[Int] = {
     val counts = new Array[Int](k)
     val toks = normTokens(text)

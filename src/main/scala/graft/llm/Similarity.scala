@@ -572,11 +572,14 @@ object Similarity {
 
   /** Embedding-column QA — the sanity gate before ANN indexing or
     * training consumes a vector dump: per row, one issue label by
-    * priority (`null_vector` / `wrong_dim` / `nan` / `all_zero` /
-    * `norm_low` / `norm_high` / `ok`). Norm bounds compare the SQUARED
-    * L2 norm (accumulated in array order) against [loNormSq,
-    * hiNormSq] — unit-normalized corpora sit at 1.0. Map-only, pure
-    * Catalyst, no shuffle; appends `<vecCol>_issue`.
+    * priority (`null_vector` / `wrong_dim` / `null_element` / `nan` /
+    * `all_zero` / `norm_low` / `norm_high` / `ok`). The null_element
+    * check runs BEFORE any arithmetic predicate — null elements turn
+    * exists/forall/aggregate into SQL nulls, which would otherwise
+    * fall through every `when` to a spurious `ok`. Norm bounds compare
+    * the SQUARED L2 norm (accumulated in array order) against
+    * [loNormSq, hiNormSq] — unit-normalized corpora sit at 1.0.
+    * Map-only, pure Catalyst, no shuffle; appends `<vecCol>_issue`.
     */
   def validateEmbeddings(df: DataFrame, vecCol: String, expectedDim: Int,
       loNormSq: Double = 0.25, hiNormSq: Double = 4.0,
@@ -591,6 +594,7 @@ object Similarity {
     df.withColumn(out,
       when(v.isNull, lit("null_vector"))
         .when(size(v) =!= expectedDim, lit("wrong_dim"))
+        .when(exists(v, x => x.isNull), lit("null_element"))
         .when(exists(v, x => isnan(x.cast("double"))), lit("nan"))
         .when(forall(v, x => x.cast("double") === 0.0), lit("all_zero"))
         .when(n2 < loNormSq, lit("norm_low"))

@@ -359,10 +359,26 @@ object JoinOps {
     require(ok(how.toLowerCase),
       s"saltedJoin: join type '$how' does not survive right-side " +
         "replication (unmatched right rows would appear once per salt)")
+    // salt basis: every hash-SAFE left column (xxhash64 rejects map
+    // types). Content-derived, so retries/repartitioning re-derive the
+    // same salt; the documented limit is that fully-identical rows
+    // share a salt — pre-aggregate exact duplicates if a hot key is
+    // also pure duplication.
+    def hashSafe(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.MapType(_, _, _) => false
+      case org.apache.spark.sql.types.ArrayType(et, _) => hashSafe(et)
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => hashSafe(f.dataType))
+      case _ => true
+    }
+    val basis = left.schema.fields.filter(f => hashSafe(f.dataType))
+      .map(f => col(f.name))
+    require(basis.nonEmpty,
+      "saltedJoin: no hash-safe columns to derive the row salt from")
     val l = left
       .withColumn("__sj_key", col(leftKey))
       .withColumn("__sj_salt",
-        pmod(xxhash64(left.columns.map(col): _*), lit(salt.toLong))
+        pmod(xxhash64(basis.toIndexedSeq: _*), lit(salt.toLong))
           .cast("int"))
     val r = right
       .withColumn("__sj_key", col(rightKey))

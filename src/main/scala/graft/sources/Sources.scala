@@ -132,11 +132,13 @@ object Sources {
   /** Scan pre-flight: per-path parquet footprint — file count, bytes
     * on disk, and the footer-declared row count — WITHOUT reading any
     * data pages. The cost estimate before pointing a job at a 100 TB
-    * table: rows come from row-group metadata (so the numbers are
-    * exact and engine-independent), and the footer reads distribute
-    * over the cluster (one task per file batch — a million-file table
-    * lists in parallel, nothing funnels through the driver but the
-    * per-path rollup).
+    * table: rows come from row-group metadata (exact and
+    * engine-independent). The file LISTING is one recursive driver
+    * pass per path (the same metadata operation any query planner's
+    * file index performs — partitioned dt=/part-* layouts are walked);
+    * the footer READS — the per-file I/O — distribute over the
+    * cluster. Paths with zero parquet files still emit a row (0/0/0)
+    * so a missing table reads as empty, not absent.
     */
   def footprint(spark: SparkSession, paths: Map[String, String]): DataFrame = {
     import spark.implicits._
@@ -145,14 +147,20 @@ object Sources {
     val fileLists = paths.toSeq.sortBy(_._1).map { case (name, p) =>
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(conf.value)
-      val files = fs.listStatus(hp) match {
-        case null => Array.empty[org.apache.hadoop.fs.FileStatus]
-        case st => st.filter(f => f.isFile &&
-          f.getPath.getName.endsWith(".parquet"))
-      }
-      val only = if (files.isEmpty && fs.getFileStatus(hp).isFile)
-        Array(fs.getFileStatus(hp)) else files
-      (name, only.map(f => (f.getPath.toString, f.getLen)).toSeq)
+      val st = fs.getFileStatus(hp)
+      val files =
+        if (st.isFile) Array(st)
+        else {
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[org.apache.hadoop.fs.FileStatus]
+          val it = fs.listFiles(hp, true) // recursive: partitioned layouts
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.isFile && f.getPath.getName.endsWith(".parquet")) out += f
+          }
+          out.toArray
+        }
+      (name, files.map(f => (f.getPath.toString, f.getLen)).toSeq)
     }
     val flat = fileLists.flatMap { case (name, fl) =>
       fl.map { case (path, len) => (name, path, len) } }
@@ -170,10 +178,15 @@ object Sources {
           (name, 1L, len, rows)
         } finally r.close()
       }
-    footers.toDF("tbl", "files", "bytes", "n_rows")
+    import org.apache.spark.sql.functions.{coalesce, lit, sum}
+    val agg = footers.toDF("tbl", "files", "bytes", "n_rows")
       .groupBy($"tbl")
-      .agg(org.apache.spark.sql.functions.sum($"files").as("files"),
-        org.apache.spark.sql.functions.sum($"bytes").as("bytes"),
-        org.apache.spark.sql.functions.sum($"n_rows").as("n_rows"))
+      .agg(sum($"files").as("files"), sum($"bytes").as("bytes"),
+        sum($"n_rows").as("n_rows"))
+    paths.keys.toSeq.sorted.toDF("tbl")
+      .join(agg, Seq("tbl"), "left")
+      .select($"tbl", coalesce($"files", lit(0L)).as("files"),
+        coalesce($"bytes", lit(0L)).as("bytes"),
+        coalesce($"n_rows", lit(0L)).as("n_rows"))
   }
 }

@@ -697,6 +697,17 @@ object Kmv {
     val (j, u) = overlap(a, b)
     math.round(j * u)
   }
+
+  /** Containment estimate |A∩B| / |A| in ONE overlap pass (one
+    * deserialize of each sketch, one union build) — the asymmetric
+    * overlap Jaccard misses. 0.0 for an empty A.
+    */
+  def containment(a: Array[Byte], b: Array[Byte]): Double = {
+    val (j, u) = overlap(a, b)
+    val inter = math.round(j * u)
+    val estA = estimate(a)
+    if (estA == 0L) 0.0 else inter.toDouble / estA
+  }
 }
 
 /** Aggregate: build a KMV bottom-k sketch (BinaryType) over any column. */
@@ -772,6 +783,18 @@ case class KmvIntersectExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): KmvIntersectExpr = copy(left = l, right = r)
   override def prettyName: String = "kmv_intersect"
+}
+
+case class KmvContainmentExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes
+    with codegen.CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kmv.containment(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): KmvContainmentExpr = copy(left = l, right = r)
+  override def prettyName: String = "kmv_containment"
 }
 
 /** Exact top-k per group as a bounded-heap aggregate. Each map-side
@@ -934,11 +957,9 @@ object Sketches {
     * huge and the Jaccard is tiny. Exact below sketch capacity, like
     * the other KMV estimators.
     */
-  def kmvContainment(a: Column, b: Column): Column = {
-    import org.apache.spark.sql.functions.{lit, when}
-    when(kmvEstimate(a) === 0, lit(0.0))
-      .otherwise(kmvIntersect(a, b).cast("double") / kmvEstimate(a))
-  }
+  def kmvContainment(a: Column, b: Column): Column =
+    ExpressionUtils.column(KmvContainmentExpr(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Exact top-k (value desc, item asc) per group via bounded heaps. */
   def topKBy(value: Column, item: Column, k: Int): Column =

@@ -1316,12 +1316,13 @@ class LlmSpec extends SparkSpec {
       Row(3L, Seq(0f, 0f, 0f, 0f)),               // all zero
       Row(4L, Seq(0.01f, 0f, 0f, 0f)),            // norm too low
       Row(5L, Seq(100f, 0f, 0f, 0f)),             // norm too high
-      Row(6L, Seq(0.5f, 0.5f, 0.5f, 0.5f))))      // ok (norm 1)
+      Row(6L, Seq(0.5f, 0.5f, 0.5f, 0.5f)),       // ok (norm 1)
+      Row(7L, Seq(1f, null, 1f, 1f))))            // null element
     val out = Similarity.validateEmbeddings(rows, "embedding", 4)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(out == Map(0L -> "null_vector", 1L -> "wrong_dim",
       2L -> "nan", 3L -> "all_zero", 4L -> "norm_low",
-      5L -> "norm_high", 6L -> "ok"))
+      5L -> "norm_high", 6L -> "ok", 7L -> "null_element"))
     // directive spelling + map-only plan
     val viaDir = Wrangle.recipe("validate-embeddings :embedding 4")(rows)
     assert(viaDir.columns.contains("embedding_issue"))
