@@ -1538,6 +1538,38 @@ object QueryBank {
         |   AND e.vec_id != q.vec_id AND e.vec_id != q.vec_id + 100)
         |WHERE neg_rank <= 3""".stripMargin),
 
+    ("chunk_cdc",
+      // content-defined chunking: DuckDB re-derives every hash-anchor
+      // boundary with the same rolling-polynomial rule (list_reduce
+      // folds in list order, matching the kernel's sequential mod
+      // arithmetic exactly) and rebuilds each chunk by substr — a
+      // boundary off by one anywhere breaks both the lengths and the
+      // chunk hashes.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        r("chunk-cdc :text 16 512")(docs(s, d).select("doc_id", "text"))
+          .select(col("doc_id"), col("chunk_id"),
+            length(col("text")).as("n_chars"),
+            md5(col("text")).as("chunk_hash"))
+      },
+      """WITH t AS (SELECT doc_id, text, len(text) AS n FROM documents
+        |           WHERE text IS NOT NULL AND len(text) > 0),
+        |b AS (SELECT doc_id, text, n,
+        |  [0] || list_filter(range(16, n + 1), i ->
+        |    list_reduce(list_transform(range(i - 16, i),
+        |      j -> CAST(unicode(text[j + 1]) AS BIGINT)),
+        |      (a, c) -> (a * 257 + c) % 1099511627776) % 512 = 0) AS bs0
+        |  FROM t),
+        |bd AS (SELECT doc_id, text,
+        |  CASE WHEN bs0[-1] = n THEN bs0 ELSE list_append(bs0, n) END AS bs
+        |  FROM b),
+        |ch AS (SELECT doc_id, CAST(j - 1 AS INT) AS chunk_id,
+        |  substr(text, bs[j] + 1, bs[j + 1] - bs[j]) AS chunk
+        |  FROM bd, unnest(range(1, len(bs))) AS u(j))
+        |SELECT doc_id, chunk_id, CAST(len(chunk) AS INT) AS n_chars,
+        |  md5(chunk) AS chunk_hash
+        |FROM ch""".stripMargin),
+
     ("token_count",
       (s, d) => r("token-count :text; keep :doc_id,:text_tokens")(docs(s, d)),
       "SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS text_tokens FROM documents"),

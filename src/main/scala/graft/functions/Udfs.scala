@@ -804,6 +804,48 @@ object Udfs {
   }
   val chunkTokensUdf: UserDefinedFunction = udf(chunkTokens _)
 
+  /** Content-defined chunk splitter (see TextAnalysis.chunkCdc for the
+    * semantics): boundary after code point i when the window-gram
+    * polynomial hash ((a*257 + cp) mod 2^40, fold in order) ending at
+    * i satisfies h % modulus == 0. Text shorter than the window is one
+    * chunk; null/empty yields no chunks.
+    */
+  def cdcChunks(text: String, window: Int, modulus: Int): Array[String] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val cps = text.codePoints().toArray
+    val n = cps.length
+    val bounds = scala.collection.mutable.ArrayBuffer(0)
+    var i = window
+    while (i <= n) {
+      var h = 0L
+      var j = i - window
+      while (j < i) { h = (h * 257 + cps(j)) % 1099511627776L; j += 1 }
+      if (h % modulus == 0) bounds += i
+      i += 1
+    }
+    if (bounds.last != n) bounds += n
+    // code-point bounds -> UTF-16 offsets (one cumulative pass)
+    val off = new Array[Int](bounds.length)
+    var k = 1
+    var cpDone = bounds(0)
+    var charOff = text.offsetByCodePoints(0, cpDone)
+    off(0) = charOff
+    while (k < bounds.length) {
+      charOff = text.offsetByCodePoints(charOff, bounds(k) - cpDone)
+      cpDone = bounds(k)
+      off(k) = charOff
+      k += 1
+    }
+    val out = new Array[String](bounds.length - 1)
+    var c = 0
+    while (c < out.length) {
+      out(c) = text.substring(off(c), off(c + 1))
+      c += 1
+    }
+    out
+  }
+  val cdcChunksUdf: UserDefinedFunction = udf(cdcChunks _)
+
   /** Rebuild `text` with the 1-based token index ranges in `spans`
     * removed (whitespace-tokenized like wsGramHashes; kept tokens
     * rejoin with single spaces). Spans are inclusive [start, end].

@@ -278,6 +278,30 @@ object TextAnalysis {
         .as(Seq(chunkIdCol, textCol)): _*)
   }
 
+  /** Content-defined chunking: boundaries at k-gram HASH ANCHORS
+    * instead of fixed offsets, so an insertion near the top of a
+    * document shifts only the one chunk it lands in — every later
+    * chunk re-aligns on the same anchors and dedups against the
+    * unedited copy (fixed-size chunking re-cuts the whole tail). The
+    * anchor rule is a rolling-window polynomial over Unicode code
+    * points ((a*257 + cp) mod 2^40, window chars, boundary when
+    * h % modulus == 0 → expected chunk length ≈ modulus chars) —
+    * exact integer arithmetic any engine replays. Map-only explode,
+    * same shape as [[chunkText]].
+    */
+  def chunkCdc(df: DataFrame, textCol: String, window: Int = 16,
+      modulus: Int = 512, chunkIdCol: String = "chunk_id"): DataFrame = {
+    require(window >= 2 && window <= 1024, s"chunkCdc: window $window")
+    require(modulus >= 2, s"chunkCdc: modulus $modulus")
+    require(!df.columns.contains(chunkIdCol),
+      s"chunkCdc: column '$chunkIdCol' already exists")
+    val others = df.columns.filter(_ != textCol).map(col).toSeq
+    df.select(others :+
+      posexplode(graft.functions.Udfs.cdcChunksUdf(
+        col(textCol), lit(window), lit(modulus)))
+        .as(Seq(chunkIdCol, textCol)): _*)
+  }
+
   /** Terminal-punctuation sentence pattern — deliberately restricted
     * to a regex both Java and RE2 dialects evaluate identically (no
     * lookbehind): a run of non-terminal chars, then either terminal

@@ -310,6 +310,15 @@ object LlmOps {
         overlap = spec.optStr(2).map(_.toInt).getOrElse(0))
     }
 
+    // `chunk-cdc :text [window] [modulus]` — content-defined chunking:
+    // hash-anchor boundaries (expected chunk ~modulus chars) that
+    // re-align after edits, so chunk-level dedup survives insertions
+    case "chunk-cdc" => ColumnOps.simple(spec) { df =>
+      TextAnalysis.chunkCdc(df, spec.col(0),
+        window = spec.optStr(1).map(_.toInt).getOrElse(16),
+        modulus = spec.optStr(2).map(_.toInt).getOrElse(512))
+    }
+
     // `dedup-spans :text :doc_id [minTokens]` — remove every non-first
     // occurrence of any >= minTokens-token run duplicated anywhere in
     // the corpus (exact-substring dedup, llm/SpanDedup)

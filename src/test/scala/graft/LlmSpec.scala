@@ -1330,4 +1330,34 @@ class LlmSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"must be map-only:\n$plan")
   }
+
+  test("chunkCdc: hash-anchor boundaries re-align after edits") {
+    import graft.functions.Udfs
+    val rnd = new scala.util.Random(42)
+    val base = (1 to 2000).map(_ => ('a' + rnd.nextInt(26)).toChar)
+      .mkString
+    val chunks = Udfs.cdcChunks(base, 16, 128)
+    assert(chunks.mkString == base, "chunks must concatenate to the input")
+    assert(chunks.length > 3, s"expected several chunks, got ${chunks.length}")
+    assert(chunks.forall(_.nonEmpty))
+    // THE content-defined property: prepend an edit — every chunk
+    // after the first anchor is byte-identical to the unedited copy,
+    // so chunk-level dedup still collapses the shared tail (fixed-size
+    // chunking re-cuts everything after the insertion point)
+    val edited = "INSERTED PREAMBLE " + base
+    val chunksE = Udfs.cdcChunks(edited, 16, 128)
+    val shared = chunks.toSet.intersect(chunksE.toSet)
+    assert(shared.size >= chunks.length - 2,
+      s"edit destroyed tail chunks: ${shared.size} of ${chunks.length} survive")
+    // short text = one chunk; null/empty = none; determinism
+    assert(Udfs.cdcChunks("tiny", 16, 128).toSeq == Seq("tiny"))
+    assert(Udfs.cdcChunks(null, 16, 128).isEmpty)
+    assert(Udfs.cdcChunks("", 16, 128).isEmpty)
+    assert(Udfs.cdcChunks(base, 16, 128).toSeq == chunks.toSeq)
+    // directive spelling explodes with ordinals
+    val out = Wrangle.recipe("chunk-cdc :text 16 128")(
+      df("doc_id BIGINT, text STRING", Seq(Row(1L, base))))
+    assert(out.count() == chunks.length)
+    assert(out.columns.toSeq == Seq("doc_id", "chunk_id", "text"))
+  }
 }
