@@ -2250,7 +2250,8 @@ object QueryBank {
         |         x -> x::DOUBLE * x::DOUBLE)) > 4.0 THEN 'norm_high'
         |       ELSE 'ok' END AS embedding_issue
         | FROM c)
-        |SELECT embedding_issue, count(*) AS n, sum(vec_id) AS id_sum
+        |SELECT embedding_issue, count(*) AS n,
+        |  CAST(sum(vec_id) AS BIGINT) AS id_sum
         |FROM i GROUP BY 1""".stripMargin),
 
     ("normalize_embedding",

@@ -812,16 +812,29 @@ object Udfs {
     */
   def cdcChunks(text: String, window: Int, modulus: Int): Array[String] = {
     if (text == null || text.isEmpty) return Array.empty
+    val M = 1099511627776L // 2^40
     val cps = text.codePoints().toArray
     val n = cps.length
     val bounds = scala.collection.mutable.ArrayBuffer(0)
-    var i = window
-    while (i <= n) {
+    if (n >= window) {
+      // 257^window mod 2^40, for evicting the outgoing code point —
+      // a TRUE rolling update: O(1) per position, identical values to
+      // the per-window fold (all arithmetic mod 2^40; floorMod keeps
+      // the representative canonical after the subtraction)
+      var pw = 1L
+      var e = 0
+      while (e < window) { pw = pw * 257 % M; e += 1 }
       var h = 0L
-      var j = i - window
-      while (j < i) { h = (h * 257 + cps(j)) % 1099511627776L; j += 1 }
-      if (h % modulus == 0) bounds += i
-      i += 1
+      var j = 0
+      while (j < window) { h = (h * 257 + cps(j)) % M; j += 1 }
+      var i = window
+      while (i <= n) {
+        if (h % modulus == 0) bounds += i
+        if (i < n) {
+          h = Math.floorMod(h * 257 + cps(i) - cps(i - window) * pw % M, M)
+        }
+        i += 1
+      }
     }
     if (bounds.last != n) bounds += n
     // code-point bounds -> UTF-16 offsets (one cumulative pass)

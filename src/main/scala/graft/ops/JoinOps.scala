@@ -361,9 +361,11 @@ object JoinOps {
         "replication (unmatched right rows would appear once per salt)")
     // salt basis: every hash-SAFE left column (xxhash64 rejects map
     // types). Content-derived, so retries/repartitioning re-derive the
-    // same salt; the documented limit is that fully-identical rows
-    // share a salt — pre-aggregate exact duplicates if a hot key is
-    // also pure duplication.
+    // same salt; the documented limit is that rows identical across
+    // the hash-safe columns share a salt — including rows that differ
+    // ONLY in map-typed columns. If a hot key's rows are
+    // distinguishable only by a map, project a stable scalar out of it
+    // first (or pre-aggregate the duplicates).
     def hashSafe(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case org.apache.spark.sql.types.MapType(_, _, _) => false
       case org.apache.spark.sql.types.ArrayType(et, _) => hashSafe(et)

@@ -144,21 +144,39 @@ object Sources {
     import spark.implicits._
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+    // same visibility rule as Spark's file index: underscore/dot
+    // prefixed path segments (_temporary, _SUCCESS, .staging) are
+    // invisible to a scan, so they must not count toward its estimate
+    def visible(p: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = p
+      while (cur != null) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return false
+        cur = cur.getParent
+      }
+      true
+    }
     val fileLists = paths.toSeq.sortBy(_._1).map { case (name, p) =>
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(conf.value)
-      val st = fs.getFileStatus(hp)
       val files =
-        if (st.isFile) Array(st)
+        if (!fs.exists(hp)) Array.empty[org.apache.hadoop.fs.FileStatus]
         else {
-          val out = scala.collection.mutable.ArrayBuffer
-            .empty[org.apache.hadoop.fs.FileStatus]
-          val it = fs.listFiles(hp, true) // recursive: partitioned layouts
-          while (it.hasNext) {
-            val f = it.next()
-            if (f.isFile && f.getPath.getName.endsWith(".parquet")) out += f
+          val st = fs.getFileStatus(hp)
+          if (st.isFile) Array(st)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[org.apache.hadoop.fs.FileStatus]
+            val it = fs.listFiles(hp, true) // recursive: partitioned layouts
+            while (it.hasNext) {
+              val f = it.next()
+              if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
+                visible(new org.apache.hadoop.fs.Path(
+                  f.getPath.toUri.getPath.stripPrefix(
+                    hp.toUri.getPath).stripPrefix("/")))) out += f
+            }
+            out.toArray
           }
-          out.toArray
         }
       (name, files.map(f => (f.getPath.toString, f.getLen)).toSeq)
     }

@@ -706,7 +706,9 @@ object Kmv {
     val (j, u) = overlap(a, b)
     val inter = math.round(j * u)
     val estA = estimate(a)
-    if (estA == 0L) 0.0 else inter.toDouble / estA
+    // clamp: above capacity inter and estA are independent noisy
+    // estimators, and a subset A can otherwise read as >100% contained
+    if (estA == 0L) 0.0 else math.min(1.0, inter.toDouble / estA)
   }
 }
 

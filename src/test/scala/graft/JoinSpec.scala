@@ -256,4 +256,23 @@ class JoinSpec extends SparkSpec {
       JoinOps.saltedJoin(left, right, "k", "rk", 4, how = "full_outer")
     }
   }
+
+  test("saltedJoin: map-typed columns are excluded from the salt basis") {
+    import graft.ops.JoinOps
+    import org.apache.spark.sql.functions._
+    // xxhash64 rejects MapType — the salt must come from hash-safe
+    // columns only, and the join must still run (the crash case)
+    val left = df("k BIGINT, lv INT", (1 to 20).map(i =>
+      Row((i % 3).toLong, i)))
+      .withColumn("attrs", map(lit("a"), col("lv").cast("string")))
+    val right = df("rk BIGINT, rv STRING", Seq(
+      Row(0L, "x"), Row(1L, "y"), Row(2L, "z")))
+    val out = JoinOps.saltedJoin(left, right, "k", "rk", salt = 4)
+    assert(out.count() == 20)
+    // a frame with ONLY map payloads beyond the key still salts (the
+    // key itself is hash-safe), and an all-map frame cannot exist
+    // since the join key must be hashable to join at all
+    val keyOnly = left.select(col("k"), col("attrs"))
+    assert(JoinOps.saltedJoin(keyOnly, right, "k", "rk", 4).count() == 20)
+  }
 }

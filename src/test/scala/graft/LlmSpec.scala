@@ -1354,6 +1354,31 @@ class LlmSpec extends SparkSpec {
     assert(Udfs.cdcChunks(null, 16, 128).isEmpty)
     assert(Udfs.cdcChunks("", 16, 128).isEmpty)
     assert(Udfs.cdcChunks(base, 16, 128).toSeq == chunks.toSeq)
+    // the O(1) rolling update must equal the naive per-window fold —
+    // the property the DuckDB oracle (which does the naive fold) rests on
+    def naiveBounds(text: String, w: Int, m: Int): Seq[Int] = {
+      val cps = text.codePoints().toArray
+      val bs = scala.collection.mutable.ArrayBuffer(0)
+      for (i <- w to cps.length) {
+        var h = 0L
+        for (j <- (i - w) until i) h = (h * 257 + cps(j)) % 1099511627776L
+        if (h % m == 0) bs += i
+      }
+      if (bs.last != cps.length) bs += cps.length
+      bs.toSeq
+    }
+    for (trial <- 1 to 20) {
+      val r2 = new scala.util.Random(trial)
+      val t = (1 to 500).map(_ =>
+        (r2.nextInt(0x2000) + 32).toChar).mkString // incl. non-ASCII
+      val viaKernel = Udfs.cdcChunks(t, 16, 64)
+      val nb = naiveBounds(t, 16, 64)
+      val lens = viaKernel.map(c => c.codePointCount(0, c.length)).toSeq
+      val nbLens = nb.sliding(2).map { case Seq(a, b) => b - a }
+        .filter(_ > 0).toSeq
+      assert(lens == nbLens && viaKernel.mkString == t,
+        s"rolling != naive fold on trial $trial: $lens vs $nbLens")
+    }
     // directive spelling explodes with ordinals
     val out = Wrangle.recipe("chunk-cdc :text 16 128")(
       df("doc_id BIGINT, text STRING", Seq(Row(1L, base))))
