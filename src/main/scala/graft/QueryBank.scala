@@ -928,8 +928,8 @@ object QueryBank {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |labeled2 AS (
         |  SELECT user_id, ts, value,
-        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
         |  FROM labeled)
         |SELECT user_id, session_idx, min(ts) AS session_start,
         |       max(ts) AS session_end, count(*) AS n_events,
@@ -1360,8 +1360,8 @@ object QueryBank {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |labeled2 AS (
         |  SELECT user_id, ts, value,
-        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
         |  FROM labeled)
         |SELECT user_id, session_idx, min(ts) AS session_start,
         |       max(ts) AS session_end, count(*) AS n_events,

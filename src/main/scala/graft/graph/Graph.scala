@@ -116,6 +116,13 @@ object Graph {
         .distinct()
       val spark = verts.sparkSession
       val vdt = verts.schema("vertex").dataType
+      // Eager localCheckpoint, not persist: the zipWithIndex assignment
+      // depends on the post-shuffle partition layout, so a cache miss
+      // (eviction, task retry) recomputing `ids` could hand the three
+      // downstream joins DIFFERENT vertex->__vid maps and silently
+      // mislabel components. Checkpointing truncates the lineage — the
+      // assignment physically cannot be recomputed, and there is no
+      // unpersist-before-materialize window to get wrong.
       val ids = spark.createDataFrame(
         verts.rdd.zipWithIndex.map { case (r, i) =>
           org.apache.spark.sql.Row(r.get(0), i + 1L) },
@@ -123,7 +130,7 @@ object Graph {
           org.apache.spark.sql.types.StructField("vertex", vdt),
           org.apache.spark.sql.types.StructField("__vid",
             org.apache.spark.sql.types.LongType))))
-        .persist()
+        .localCheckpoint()
       val pairs = edges
         .join(ids.withColumnRenamed("vertex", "src")
           .withColumnRenamed("__vid", "id_a"), Seq("src"))
@@ -136,9 +143,7 @@ object Graph {
       // component label = min ORIGINAL vertex of the component
       val reps = out.groupBy(col("__comp"))
         .agg(min(col("vertex")).as("component"))
-      val res = out.join(reps, Seq("__comp")).select("vertex", "component")
-      ids.unpersist()
-      res
+      out.join(reps, Seq("__comp")).select("vertex", "component")
     }
   }
 

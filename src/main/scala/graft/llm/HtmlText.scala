@@ -74,8 +74,12 @@ object HtmlText {
     var i = 0
     var dropDepth = 0
     var dropTag: String = null
-    def tagNameAt(start: Int): (String, Boolean, Int) = {
-      // returns (lowercased name, isClosing, index just past '>')
+    def tagNameAt(start: Int): (String, Boolean, Boolean, Int) = {
+      // returns (lowercased name, isClosing, isSelfClosing, index just
+      // past '>'). Self-closing (`<iframe src="x"/>`, inline `<svg/>` —
+      // common in crawled pages) must NOT open a drop subtree: there is
+      // no matching close tag, so treating it as an opener would
+      // silently discard the rest of the document's text.
       var j = start + 1
       val closing = j < html.length && html.charAt(j) == '/'
       if (closing) j += 1
@@ -92,7 +96,9 @@ object HtmlText {
         else if (ch == quote) quote = 0
         j += 1
       }
-      (name, closing, math.min(j + 1, html.length))
+      val selfClosing = !closing && j < html.length &&
+        j - 1 > nameStart && html.charAt(j - 1) == '/'
+      (name, closing, selfClosing, math.min(j + 1, html.length))
     }
     while (i < html.length) {
       val c = html.charAt(i)
@@ -107,16 +113,19 @@ object HtmlText {
           val e = html.indexOf('>', i + 1)
           i = if (e < 0) html.length else e + 1
         } else {
-          val (name, closing, next) = tagNameAt(i)
+          val (name, closing, selfClosing, next) = tagNameAt(i)
           i = next
           if (name == "title") {
-            if (!closing && title == null) titleBuf = new StringBuilder
+            if (!closing && !selfClosing && title == null)
+              titleBuf = new StringBuilder
             else if (closing && titleBuf != null) {
               title = collapseWs(decodeEntities(titleBuf.toString))
               titleBuf = null
             }
           } else if (DropTags(name)) {
-            if (!closing) {
+            if (selfClosing) {
+              // no content, no close tag — nothing to drop or emit
+            } else if (!closing) {
               if (dropDepth == 0) dropTag = name
               if (name == dropTag) dropDepth += 1
             } else if (name == dropTag && dropDepth > 0) {

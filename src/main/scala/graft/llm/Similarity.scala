@@ -671,7 +671,11 @@ object Similarity {
     val signs = jlSigns(inDim, outDim, seed)
     val scale = math.sqrt(outDim.toDouble)
     val bc = df.sparkSession.sparkContext.broadcast(signs)
-    val kernel = udf((v: Seq[Float]) => {
+    // Seq[Double] kernel: an array<double> input must NOT be narrowed
+    // to float on the way in (the implicit cast a Seq[Float] signature
+    // would buy) — the documented external-SQL replay is exact double
+    // arithmetic. array<float> columns widen losslessly instead.
+    val kernel = udf((v: Seq[Double]) => {
       if (v == null) null
       else {
         val s = bc.value
@@ -681,13 +685,13 @@ object Similarity {
         while (j < outDim) {
           var acc = 0.0
           var i = 0
-          while (i < n) { acc += v(i).toDouble * s(i)(j); i += 1 }
+          while (i < n) { acc += v(i) * s(i)(j); i += 1 }
           o(j) = acc / scale
           j += 1
         }
         o
       }
     })
-    df.withColumn(out, kernel(col(vecCol)))
+    df.withColumn(out, kernel(col(vecCol).cast("array<double>")))
   }
 }

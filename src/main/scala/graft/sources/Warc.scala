@@ -11,10 +11,15 @@ import org.apache.spark.sql.functions._
   * concatenation handles them natively).
   *
   * Scale shape: Common Crawl publishes ~1 GB .warc.gz shards; one
-  * shard = one task via `binaryFile` (the same unit cc-pyspark uses).
-  * Records inside a shard stream through [[Warc.parseAll]] without
-  * materializing more than one payload at a time beyond the emitted
-  * row array.
+  * shard = one task (the same unit cc-pyspark uses). [[Warc.read]]
+  * opens a Hadoop `FSDataInputStream` per shard and decodes through
+  * [[Warc.parseStream]], an InputStream-based splitter that holds ONE
+  * record payload at a time — neither the compressed shard nor its
+  * ~4-5 GB decompressed form is ever materialized as a byte[].
+  * Per-task memory = one record payload (+ its envelope copies), not
+  * the shard. [[Warc.parseAll]] (and the UDF over binary columns) is
+  * the convenience wrapper for ALREADY-IN-MEMORY blobs — per-record
+  * blobs or test fixtures, not whole shards.
   */
 object Warc {
 
@@ -85,109 +90,176 @@ object Warc {
     out.toByteArray
   }
 
-  /** All records in a WARC byte blob (one file, one record, or any
-    * concatenation; gzipped or plain). Malformed input returns the
-    * records parsed before the defect — ingestion keeps going on a
-    * truncated shard rather than failing the partition.
+  /** Build one record from its parsed header map + payload bytes —
+    * HTTP envelope (status line, headers, chunked framing, gzip body)
+    * unwrapped here so both the streaming and in-memory paths share
+    * identical semantics.
+    */
+  private def mkRecord(headers: collection.Map[String, String],
+      payloadBytes: Array[Byte], len: Long): WarcRecord = {
+    val contentType = headers.getOrElse("content-type", "")
+    // HTTP envelope: response/request records carry the HTTP message;
+    // split the status line + headers off and surface the body
+    var httpStatus: Integer = null
+    var httpCt: String = null
+    var payloadText: String = null
+    if (contentType.toLowerCase.startsWith("application/http")) {
+      // BYTE-level envelope split: archived bodies can be binary
+      // (gzip Content-Encoding) — a String round-trip would corrupt
+      // them before decoding
+      val sep = indexOfCrlfCrlf(payloadBytes)
+      if (sep >= 0) {
+        val head = new String(payloadBytes, 0, sep, "ISO-8859-1")
+        val lines = head.split("\r\n")
+        if (lines.nonEmpty && lines(0).startsWith("HTTP/")) {
+          val parts = lines(0).split(" ")
+          if (parts.length >= 2)
+            httpStatus = scala.util.Try(
+              Integer.valueOf(parts(1))).getOrElse(null)
+        }
+        var chunked = false
+        var gzipped = false
+        lines.drop(1).foreach { hl =>
+          val c = hl.indexOf(':')
+          if (c > 0) {
+            val k = hl.substring(0, c).trim.toLowerCase
+            val v = hl.substring(c + 1).trim
+            if (k == "content-type") httpCt = v
+            // real crawl archives store the wire form: chunked
+            // framing and gzip bodies must be undone to reach text
+            if (k == "transfer-encoding" &&
+              v.toLowerCase.contains("chunked")) chunked = true
+            if (k == "content-encoding" &&
+              v.toLowerCase.contains("gzip")) gzipped = true
+          }
+        }
+        var body = java.util.Arrays.copyOfRange(
+          payloadBytes, sep + 4, payloadBytes.length)
+        if (chunked) body = dechunk(body)
+        if (gzipped && isGzip(body))
+          body = scala.util.Try(gunzipAll(body)).getOrElse(body)
+        payloadText = new String(body, "UTF-8")
+      }
+    }
+    if (payloadText == null) payloadText = new String(payloadBytes, "UTF-8")
+    WarcRecord(
+      headers.getOrElse("warc-type", ""),
+      headers.getOrElse("warc-target-uri", null),
+      headers.getOrElse("warc-date", null),
+      headers.getOrElse("warc-record-id", null),
+      contentType,
+      len,
+      httpStatus,
+      httpCt,
+      payloadText)
+  }
+
+  /** Streaming record splitter: one record in memory at a time, gzip
+    * (single- or multi-member, i.e. `.warc.gz`) transparently
+    * unwrapped off the stream. Malformed input ends the iterator at
+    * the last whole record — ingestion keeps going on a truncated
+    * shard rather than failing the partition. The input stream is
+    * closed when the iterator is exhausted.
+    */
+  def parseStream(in0: java.io.InputStream): Iterator[WarcRecord] = {
+    val pb = new java.io.PushbackInputStream(
+      new java.io.BufferedInputStream(in0, 1 << 16), 2)
+    val b0 = pb.read()
+    val b1 = if (b0 >= 0) pb.read() else -1
+    if (b1 >= 0) pb.unread(b1)
+    if (b0 >= 0) pb.unread(b0)
+    val in: java.io.InputStream =
+      if (b0 == 0x1f && b1 == 0x8b)
+        new java.util.zip.GZIPInputStream(pb, 1 << 16)
+      else pb
+
+    new Iterator[WarcRecord] {
+      private var nextRec: WarcRecord = _
+      private var finished = false
+
+      // bytes until '\n' (excluded, trailing '\r' stripped); null at EOF
+      private def readLine(): String = {
+        var c = in.read()
+        if (c < 0) return null
+        val buf = new java.io.ByteArrayOutputStream(128)
+        while (c >= 0 && c != '\n') { buf.write(c); c = in.read() }
+        new String(buf.toByteArray, "UTF-8").stripSuffix("\r")
+      }
+
+      private def readFully(len: Long): Array[Byte] = {
+        if (len > Int.MaxValue - 16) return null // absurd length = malformed
+        val arr = new Array[Byte](len.toInt)
+        var off = 0
+        while (off < arr.length) {
+          val n = in.read(arr, off, arr.length - off)
+          if (n < 0) return null // truncated payload
+          off += n
+        }
+        arr
+      }
+
+      private def finish(): Unit = {
+        finished = true
+        nextRec = null
+        try in.close() catch { case _: java.io.IOException => () }
+      }
+
+      private def advance(): Unit = {
+        if (finished) return
+        nextRec = null
+        val rec = try {
+          // skip inter-record blank lines to the next version line
+          var version = readLine()
+          while (version != null && version.isEmpty) version = readLine()
+          if (version == null || !version.startsWith("WARC/")) null
+          else {
+            // header block until the first empty line
+            val headers = scala.collection.mutable.Map.empty[String, String]
+            var line = readLine()
+            while (line != null && line.nonEmpty) {
+              val c = line.indexOf(':')
+              if (c > 0)
+                headers(line.substring(0, c).trim.toLowerCase) =
+                  line.substring(c + 1).trim
+              line = readLine()
+            }
+            if (line == null) null // EOF inside the header block
+            else {
+              val len = headers.get("content-length").flatMap(s =>
+                scala.util.Try(s.toLong).toOption).getOrElse(-1L)
+              if (len < 0) null
+              else {
+                val payloadBytes = readFully(len)
+                if (payloadBytes == null) null
+                else mkRecord(headers, payloadBytes, len)
+              }
+            }
+          }
+        } catch { // corrupt gzip stream etc. — keep the records so far
+          case _: java.io.IOException => null
+        }
+        if (rec == null) finish() else nextRec = rec
+      }
+
+      advance()
+      override def hasNext: Boolean = nextRec != null
+      override def next(): WarcRecord = {
+        if (nextRec == null) throw new NoSuchElementException("WARC iterator")
+        val r = nextRec
+        advance()
+        r
+      }
+    }
+  }
+
+  /** All records in an in-memory WARC blob (gzipped or plain) — the
+    * bounded-input convenience over [[parseStream]] for per-record
+    * binary columns and fixtures. For whole shards use [[read]],
+    * which never materializes the blob.
     */
   def parseAll(bytes0: Array[Byte]): Seq[WarcRecord] = {
     if (bytes0 == null || bytes0.length == 0) return Seq.empty
-    val b = if (isGzip(bytes0)) gunzipAll(bytes0) else bytes0
-    val out = Vector.newBuilder[WarcRecord]
-    var p = 0
-    def lineEnd(from: Int): Int = {
-      var i = from
-      while (i < b.length && b(i) != '\n') i += 1
-      i
-    }
-    def lineAt(from: Int): (String, Int) = {
-      val e = lineEnd(from)
-      val raw = new String(b, from, e - from, "UTF-8")
-      (raw.stripSuffix("\r"), math.min(e + 1, b.length))
-    }
-    while (p < b.length) {
-      // skip inter-record blank lines
-      while (p < b.length && (b(p) == '\r' || b(p) == '\n')) p += 1
-      if (p >= b.length) return out.result()
-      val (version, afterVersion) = lineAt(p)
-      if (!version.startsWith("WARC/")) return out.result()
-      // header block until the first empty line
-      var q = afterVersion
-      val headers = scala.collection.mutable.Map.empty[String, String]
-      var done = false
-      while (!done && q < b.length) {
-        val (line, next) = lineAt(q)
-        q = next
-        if (line.isEmpty) done = true
-        else {
-          val c = line.indexOf(':')
-          if (c > 0)
-            headers(line.substring(0, c).trim.toLowerCase) =
-              line.substring(c + 1).trim
-        }
-      }
-      val len = headers.get("content-length").flatMap(s =>
-        scala.util.Try(s.toLong).toOption).getOrElse(-1L)
-      if (len < 0 || q + len > b.length) return out.result() // truncated
-      val payloadBytes = java.util.Arrays.copyOfRange(b, q, (q + len).toInt)
-      p = (q + len).toInt
-      val contentType = headers.getOrElse("content-type", "")
-      // HTTP envelope: response/request records carry the HTTP message;
-      // split the status line + headers off and surface the body
-      var httpStatus: Integer = null
-      var httpCt: String = null
-      var payloadText: String = null
-      if (contentType.toLowerCase.startsWith("application/http")) {
-        // BYTE-level envelope split: archived bodies can be binary
-        // (gzip Content-Encoding) — a String round-trip would corrupt
-        // them before decoding
-        val sep = indexOfCrlfCrlf(payloadBytes)
-        if (sep >= 0) {
-          val head = new String(payloadBytes, 0, sep, "ISO-8859-1")
-          val lines = head.split("\r\n")
-          if (lines.nonEmpty && lines(0).startsWith("HTTP/")) {
-            val parts = lines(0).split(" ")
-            if (parts.length >= 2)
-              httpStatus = scala.util.Try(
-                Integer.valueOf(parts(1))).getOrElse(null)
-          }
-          var chunked = false
-          var gzipped = false
-          lines.drop(1).foreach { hl =>
-            val c = hl.indexOf(':')
-            if (c > 0) {
-              val k = hl.substring(0, c).trim.toLowerCase
-              val v = hl.substring(c + 1).trim
-              if (k == "content-type") httpCt = v
-              // real crawl archives store the wire form: chunked
-              // framing and gzip bodies must be undone to reach text
-              if (k == "transfer-encoding" &&
-                v.toLowerCase.contains("chunked")) chunked = true
-              if (k == "content-encoding" &&
-                v.toLowerCase.contains("gzip")) gzipped = true
-            }
-          }
-          var body = java.util.Arrays.copyOfRange(
-            payloadBytes, sep + 4, payloadBytes.length)
-          if (chunked) body = dechunk(body)
-          if (gzipped && isGzip(body))
-            body = scala.util.Try(gunzipAll(body)).getOrElse(body)
-          payloadText = new String(body, "UTF-8")
-        }
-      }
-      if (payloadText == null) payloadText = new String(payloadBytes, "UTF-8")
-      out += WarcRecord(
-        headers.getOrElse("warc-type", ""),
-        headers.getOrElse("warc-target-uri", null),
-        headers.getOrElse("warc-date", null),
-        headers.getOrElse("warc-record-id", null),
-        contentType,
-        len,
-        httpStatus,
-        httpCt,
-        payloadText)
-    }
-    out.result()
+    parseStream(new java.io.ByteArrayInputStream(bytes0)).toVector
   }
 
   val parseAllUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
@@ -233,10 +305,26 @@ object Warc {
 
   /** Read WARC/WET shards from a path glob: one task per shard (the
     * Common Crawl unit of work), records exploded to rows with the
-    * source path retained for provenance.
+    * source path retained for provenance. binaryFile supplies ONLY
+    * the file listing (column pruning keeps `content` unread); each
+    * task re-opens its shard as a Hadoop stream and decodes it
+    * record-at-a-time through [[parseStream]] — peak task memory is
+    * one record, not a ~1 GB compressed (or ~4-5 GB decompressed)
+    * shard byte[].
     */
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.format("binaryFile").load(path)
-      .select(col("path"), explode(parseAllUdf(col("content"))).as("__r"))
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val paths = spark.read.format("binaryFile").load(path)
+      .select(col("path")).as[String]
+    paths
+      .flatMap { p =>
+        val hp = new org.apache.hadoop.fs.Path(new java.net.URI(p))
+        val fs = hp.getFileSystem(conf.value)
+        parseStream(fs.open(hp)).map(r => (p, r))
+      }
+      .toDF("path", "__r")
       .select(col("path"), col("__r.*"))
+  }
 }

@@ -86,20 +86,27 @@ case class Fnv64Expr(child: Expression)
   * `GetStructField` reads stay inside whole-stage codegen.
   */
 case class UrlPartsExpr(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = UrlPartsExpr.schema
+  // Returns null on URISyntaxException even for a non-null child, so
+  // nullability must not follow the child (same reason Spark's ParseUrl
+  // hard-codes nullable = true): with a non-nullable child the codegen
+  // below would assign into a FalseLiteral isNull and fail to compile.
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(value: Any): Any =
     UrlPartsExpr.parts(value.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, v =>
-      s"""org.apache.spark.sql.catalyst.InternalRow r =
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("urlParts")
+      s"""org.apache.spark.sql.catalyst.InternalRow $r =
          |  org.apache.spark.sql.graftx.UrlPartsExpr.parts($v);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
-         |""".stripMargin)
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+         |""".stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): UrlPartsExpr =
     copy(child = newChild)

@@ -45,6 +45,26 @@ class WebSpec extends SparkSpec {
     assert(HtmlText.extract("<p>&#x41;&bogus;</p>") == ((null, "A&bogus;")))
   }
 
+  test("html extract: self-closing drop tag must not swallow the document") {
+    // <iframe .../> and inline <svg/> have no close tag; treating them
+    // as subtree openers would discard all text after them
+    val html = """<body><p>before</p>
+      |<iframe src="https://ads.example/x"/>
+      |<p>after iframe</p><svg viewBox="0 0 1 1"/><p>after svg</p>
+      |<iframe src="/real">dropped inner</iframe><p>tail</p></body>""".stripMargin
+    val (_, text) = HtmlText.extract(html)
+    val lines = text.split("\n").toSeq
+    assert(lines.contains("before"))
+    assert(lines.contains("after iframe"))   // would vanish pre-fix
+    assert(lines.contains("after svg"))
+    assert(lines.contains("tail"))
+    assert(!text.contains("dropped inner"))  // paired drop still drops
+    // attribute value ending in '/' inside quotes is NOT self-closing
+    val (_, t2) = HtmlText.extract(
+      """<p>a</p><script src="http://x/">var z=1;</script><p>b</p>""")
+    assert(!t2.contains("var z") && t2.contains("b"))
+  }
+
   test("extract-html-text directive appends title and text columns") {
     val d = df("id BIGINT, h STRING", Seq(
       Row(1L, "<html><head><title>T1</title></head><body><p>Hello</p><p>World</p></body></html>"),
@@ -325,6 +345,37 @@ class WebSpec extends SparkSpec {
     val bad = Warc.parseAll(rec(
       "Transfer-Encoding: chunked\r\n", "ZZZ\r\nnot chunked".getBytes))
     assert(bad.length == 1 && bad.head.payload.contains("not chunked"))
+  }
+
+  test("warc parseStream: record-at-a-time, equivalent to parseAll") {
+    def gz(s: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s); g.close(); bos.toByteArray
+    }
+    val blob = (warcRecord("warcinfo", null, "software: test", http = false) +
+      warcRecord("response", "http://ex.com/a", "<html>A</html>", http = true) +
+      warcRecord("conversion", "http://ex.com/a", "plain text A", http = false))
+      .getBytes("UTF-8")
+    // plain and multi-member-gzip streams both match the in-memory parse
+    val expected = Warc.parseAll(blob)
+    val it = Warc.parseStream(new java.io.ByteArrayInputStream(blob))
+    assert(it.toVector == expected)
+    val gzBlob = gz(blob.take(blob.length / 2)) ++ gz(blob.drop(blob.length / 2))
+    assert(Warc.parseStream(
+      new java.io.ByteArrayInputStream(gzBlob)).toVector == expected)
+    // exhausted iterator closes the stream and keeps reporting empty
+    var closed = false
+    val tracking = new java.io.ByteArrayInputStream(blob) {
+      override def close(): Unit = { closed = true; super.close() }
+    }
+    val it2 = Warc.parseStream(tracking)
+    assert(it2.size == 3 && closed && !it2.hasNext)
+    intercept[NoSuchElementException](it2.next())
+    // truncated mid-payload: whole-record prefix survives
+    val it3 = Warc.parseStream(
+      new java.io.ByteArrayInputStream(blob.dropRight(25)))
+    assert(it3.toVector == expected.dropRight(1))
   }
 
   test("warc file read: one row per record with provenance path") {
