@@ -1466,6 +1466,37 @@ object QueryBank {
         |WHERE len(list_intersect(sa.s, sb.s)) * 1.0
         |      / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8""".stripMargin),
 
+    ("fuzzy_join_minhash",
+      // cross-TABLE fuzzy join: old corpus (doc_id < 250) vs new batch
+      // (doc_id >= 250) through banded MinHash LSH + exact verify. The
+      // pinned candidate set is INDEPENDENTLY validated: DuckDB
+      // recomputes each pair's true 5-gram Jaccard from the raw text,
+      // so a wrongly-claimed pair is filtered out and mismatches.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val dd = docs(s, d)
+        graft.llm.Dedup.minhashJoin(
+            dd.where(col("doc_id") < 250), dd.where(col("doc_id") >= 250),
+            "text", "text", "doc_id", "doc_id", threshold = 0.8)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 4).as("jaccard"))
+      },
+      """WITH pins(a, b) AS (VALUES
+        | (26,455),(31,383),(44,446),(45,267),(45,413),(58,293),(70,447),
+        | (72,377),(92,450),(98,290),(107,387),(120,332),(166,323)),
+        |norm AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS n
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(len(n) - 4, 1) + 1),
+        |    i -> substr(n, CAST(i AS INT), 5))) AS s FROM norm)
+        |SELECT CAST(a AS BIGINT) AS id_a, CAST(b AS BIGINT) AS id_b,
+        |  round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(sa.s, sb.s))), 4) AS jaccard
+        |FROM pins JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
+        |WHERE len(list_intersect(sa.s, sb.s)) * 1.0
+        |      / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8""".stripMargin),
+
     ("simhash_pairs",
       (s, d) => graft.llm.Dedup
         .simhashPairs(docs(s, d), "text", "doc_id", maxHamming = 3)
@@ -2689,6 +2720,56 @@ object QueryBank {
         | CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT) AS wav_sumsq
         |FROM s""".stripMargin),
 
+    ("audio_frame_features",
+      // Frame-level audio triage from a REAL PCM decode: 16-sample
+      // frames, clipped-sample count, silent-frame count, peak frame
+      // energy — the gates an audio-curation pipeline applies before
+      // paying for feature extraction. The fixture plants a quiet
+      // frame in every third slot, so silence and clipping both carry
+      // signal; DuckDB recomputes every counter from the sample
+      // formula (it never sees the bytes), so any framing/threshold/
+      // sign slip breaks the hash.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        docs(s, d).select(col("doc_id")).filter(col("doc_id") < 200)
+          .withColumn("payload", synthQuietWavUdf(col("doc_id")))
+          .select(col("doc_id"),
+            graft.llm.MediaHeaders.wavFrameStatsUdf(col("payload"), lit(16))
+              .as("st"))
+          .select(col("doc_id"),
+            col("st.n_frames").as("n_frames"),
+            col("st.clip_count").as("clip_count"),
+            col("st.silence_frames").as("silence_frames"),
+            col("st.peak_frame_energy").as("peak_frame_energy"))
+      },
+      """WITH s AS (SELECT doc_id,
+        |  list_transform(range(0, 64 + doc_id % 64),
+        |    i -> CASE WHEN (i // 16) % 3 = 2
+        |         THEN (doc_id * 7 + i * 13) % 1000 - 500
+        |         ELSE (doc_id * 31 + i * 7919) % 65536 - 32768 END) AS smp
+        | FROM documents WHERE doc_id < 200),
+        |fr AS (SELECT doc_id, f,
+        |   smp[CAST(f * 16 + 1 AS INT):
+        |       CAST(least((f + 1) * 16, len(smp)) AS INT)] AS fs
+        |  FROM s CROSS JOIN (SELECT unnest(range(0, 8)) AS f) t
+        |  WHERE f * 16 < len(smp)),
+        |fe AS (SELECT doc_id, f,
+        |   list_sum(list_transform(fs, x -> x * x)) AS energy,
+        |   list_max(list_transform(fs, x -> abs(x))) AS fpeak
+        |  FROM fr),
+        |base AS (SELECT doc_id,
+        |   CAST(len(list_filter(smp, x -> abs(x) >= 32000)) AS BIGINT)
+        |     AS clip_count
+        |  FROM s)
+        |SELECT b.doc_id,
+        |  CAST(count(*) AS INT) AS n_frames,
+        |  any_value(b.clip_count) AS clip_count,
+        |  CAST(sum(CASE WHEN fpeak < 512 THEN 1 ELSE 0 END) AS INT)
+        |    AS silence_frames,
+        |  CAST(max(energy) AS BIGINT) AS peak_frame_energy
+        |FROM fe JOIN base b ON fe.doc_id = b.doc_id
+        |GROUP BY b.doc_id""".stripMargin),
+
     ("multimodal_png_decode",
       // REAL image decode: deterministic 8-bit RGB PNGs are synthesized
       // per doc_id (real encoder: per-scanline filters cycling through
@@ -3135,6 +3216,125 @@ object QueryBank {
         |             + (ci[i + 1] * 29) % 256)))
         |   AS BIGINT) AS wsum
         |FROM px""".stripMargin),
+
+    ("image_dhash",
+      // Perceptual 64-bit dHash from a REAL PNG decode: 9×8 grid cell
+      // luminance sums, adjacent-column mean comparisons, hex-rendered
+      // byte-by-byte. DuckDB recomputes the full hash from the pixel
+      // formula (quadratic luminance scramble + the id>=100 corner
+      // perturbation) without ever seeing the bytes — any slip in the
+      // decode, grid mapping, BT.601 weights, or the exact
+      // cross-multiplied mean compare breaks the match.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        docs(s, d).select(col("doc_id")).filter(col("doc_id") < 200)
+          .withColumn("payload", synthDhashPngUdf(col("doc_id")))
+          .select(col("doc_id"),
+            graft.llm.ImageHash.dhashHexUdf(col("payload")).as("dhash"))
+      },
+      """WITH g AS (SELECT doc_id,
+        |  CAST(9 + (doc_id % 100) % 8 AS BIGINT) AS w,
+        |  CAST(8 + (doc_id % 100) % 7 AS BIGINT) AS h,
+        |  doc_id % 100 AS seed
+        | FROM documents WHERE doc_id < 200),
+        |qs AS (SELECT doc_id, w, h,
+        |  list_transform(range(0, w * h),
+        |    i -> (seed * 97 + (i % w) * 13 + (i // w) * 29) % 251) AS q
+        | FROM g),
+        |lums AS (SELECT doc_id, w, h,
+        |  CASE WHEN doc_id >= 100 THEN
+        |    list_concat([299 * ((q[1] * q[1] * 3 + q[1] * 5 + 120) % 256)
+        |               + 587 * ((q[1] * q[1] * 7 + q[1] * 11 + 116) % 256)
+        |               + 114 * ((q[1] * q[1] * 11 + q[1] * 3 + 130) % 256)],
+        |      l0[2:])
+        |  ELSE l0 END AS lum
+        | FROM (SELECT doc_id, w, h, q,
+        |    list_transform(q, v -> 299 * ((v * v * 3 + v * 5 + 7) % 256)
+        |      + 587 * ((v * v * 7 + v * 11 + 3) % 256)
+        |      + 114 * ((v * v * 11 + v * 3 + 17) % 256)) AS l0
+        |   FROM qs) t),
+        |cells AS (SELECT doc_id, cy, cx,
+        |  list_sum(list_transform(list_filter(range(0, w * h),
+        |     i -> (i % w) * 9 // w = cx AND (i // w) * 8 // h = cy),
+        |     i -> lum[CAST(i + 1 AS INT)])) AS s,
+        |  len(list_filter(range(0, w * h),
+        |     i -> (i % w) * 9 // w = cx AND (i // w) * 8 // h = cy)) AS c
+        | FROM lums
+        | CROSS JOIN (SELECT unnest(range(0, 8)) AS cy) ys
+        | CROSS JOIN (SELECT unnest(range(0, 9)) AS cx) xs),
+        |bits AS (SELECT a.doc_id, a.cy, a.cx,
+        |   CASE WHEN a.s * b.c > b.s * a.c THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8),
+        |bytes AS (SELECT doc_id, cy, CAST(sum(bit << cx) AS BIGINT) AS byte
+        |  FROM bits GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  string_agg(printf('%02x', byte), '' ORDER BY cy DESC) AS dhash
+        |FROM bytes GROUP BY doc_id""".stripMargin),
+
+    ("image_dup_pairs",
+      // Perceptual near-duplicate image detection end-to-end: dHash
+      // every fixture image, banded-Hamming LSH candidates, exact
+      // bit_count verify. The fixture plants 100 visually-near pairs
+      // (id, id+100) ≤ 1 bit apart while every other pair is ≥ 10 bits
+      // (validated over all 19,900 combinations); DuckDB brute-forces
+      // ALL pairs from the pixel formula, so both a missed planted
+      // pair and a spurious candidate break the match.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val fx = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthDhashPngUdf(col("doc_id")))
+        graft.llm.ImageHash.imageDupPairs(fx, "payload", "doc_id",
+          maxHamming = 3)
+      },
+      """WITH g AS (SELECT doc_id,
+        |  CAST(9 + (doc_id % 100) % 8 AS BIGINT) AS w,
+        |  CAST(8 + (doc_id % 100) % 7 AS BIGINT) AS h,
+        |  doc_id % 100 AS seed
+        | FROM documents WHERE doc_id < 200),
+        |qs AS (SELECT doc_id, w, h,
+        |  list_transform(range(0, w * h),
+        |    i -> (seed * 97 + (i % w) * 13 + (i // w) * 29) % 251) AS q
+        | FROM g),
+        |lums AS (SELECT doc_id, w, h,
+        |  CASE WHEN doc_id >= 100 THEN
+        |    list_concat([299 * ((q[1] * q[1] * 3 + q[1] * 5 + 120) % 256)
+        |               + 587 * ((q[1] * q[1] * 7 + q[1] * 11 + 116) % 256)
+        |               + 114 * ((q[1] * q[1] * 11 + q[1] * 3 + 130) % 256)],
+        |      l0[2:])
+        |  ELSE l0 END AS lum
+        | FROM (SELECT doc_id, w, h, q,
+        |    list_transform(q, v -> 299 * ((v * v * 3 + v * 5 + 7) % 256)
+        |      + 587 * ((v * v * 7 + v * 11 + 3) % 256)
+        |      + 114 * ((v * v * 11 + v * 3 + 17) % 256)) AS l0
+        |   FROM qs) t),
+        |cells AS (SELECT doc_id, cy, cx,
+        |  list_sum(list_transform(list_filter(range(0, w * h),
+        |     i -> (i % w) * 9 // w = cx AND (i // w) * 8 // h = cy),
+        |     i -> lum[CAST(i + 1 AS INT)])) AS s,
+        |  len(list_filter(range(0, w * h),
+        |     i -> (i % w) * 9 // w = cx AND (i // w) * 8 // h = cy)) AS c
+        | FROM lums
+        | CROSS JOIN (SELECT unnest(range(0, 8)) AS cy) ys
+        | CROSS JOIN (SELECT unnest(range(0, 9)) AS cx) xs),
+        |bits AS (SELECT a.doc_id, a.cy, a.cx,
+        |   CASE WHEN a.s * b.c > b.s * a.c THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8),
+        |bytes AS (SELECT doc_id, cy, CAST(sum(bit << cx) AS BIGINT) AS byte
+        |  FROM bits GROUP BY 1, 2),
+        |sigs AS (SELECT doc_id, list(byte ORDER BY cy) AS by
+        |  FROM bytes GROUP BY doc_id)
+        |SELECT id_a, id_b, hamming FROM (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(list_sum(list_transform(range(1, 9), j ->
+        |    bit_count(xor(a.by[CAST(j AS INT)], b.by[CAST(j AS INT)]))))
+        |    AS INT) AS hamming
+        | FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id) p
+        |WHERE hamming <= 3""".stripMargin),
 
     ("data_model_map_column",
       (s, d) => r("data-model-map-column prop:{field=account_balance,type=long} :c_acctbal; keep :c_custkey,:account_balance")(cust(s, d)),
@@ -4393,6 +4593,78 @@ object QueryBank {
     }
     graft.llm.MediaHeaders.bmpEncode(w, h, px, topDown = id % 2 == 1)
   })
+
+  /** Fixture: a PCM WAV with STRUCTURED dynamics — every third
+    * 16-sample frame is quiet (|s| ≤ 500, below the 512 silence gate)
+    * while the rest span full scale — so the frame analyzer's silence
+    * and clipping counters both carry real signal. Same RIFF layout
+    * as [[synthWavUdf]].
+    */
+  private val synthQuietWavUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      val n = (64 + (id % 64)).toInt
+      val bytes = new Array[Byte](44 + n * 2)
+      def w16(o: Int, v: Int): Unit = {
+        bytes(o) = (v & 0xff).toByte; bytes(o + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def w32(o: Int, v: Long): Unit = {
+        w16(o, (v & 0xffff).toInt); w16(o + 2, ((v >> 16) & 0xffff).toInt)
+      }
+      def tag(o: Int, s: String): Unit =
+        (0 until 4).foreach(i => bytes(o + i) = s.charAt(i).toByte)
+      tag(0, "RIFF"); w32(4, 36L + n * 2); tag(8, "WAVE")
+      tag(12, "fmt "); w32(16, 16); w16(20, 1); w16(22, 1) // PCM, mono
+      w32(24, 8000); w32(28, 16000); w16(32, 2); w16(34, 16)
+      tag(36, "data"); w32(40, n * 2L)
+      var i = 0
+      while (i < n) {
+        val s =
+          if ((i / 16) % 3 == 2) (((id * 7 + i.toLong * 13) % 1000) - 500).toInt
+          else (((id * 31 + i.toLong * 7919) % 65536) - 32768).toInt
+        w16(44 + 2 * i, s & 0xffff)
+        i += 1
+      }
+      bytes
+    })
+
+  /** Fixture: near-duplicate image pairs for perceptual-hash dedup.
+    * Ids 0..99 are RGB PNGs whose channels are QUADRATIC scrambles of
+    * q = (seed·97 + x·13 + y·29) % 251 — a linear gradient would give
+    * every image a near-constant dHash (all columns rise together);
+    * the quadratic decorrelates adjacent grid columns (measured: every
+    * non-planted pair ≥ 10 Hamming bits apart). Ids 100..199 re-render
+    * id%100's image with corner pixel (0,0) shifted +113 per channel —
+    * a visually-identical variant whose dHash differs only in cell
+    * (0,0)'s comparison, i.e. ≤ 1 bit. w = 9+seed%8, h = 8+seed%7 keep
+    * every 9×8 grid cell populated.
+    */
+  private val synthDhashPngUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      val seed = (id % 100).toInt
+      val w = 9 + seed % 8
+      val h = 8 + seed % 7
+      val px = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val q = (seed * 97 + x * 13 + y * 29) % 251
+          var r = (q * q * 3 + q * 5 + 7) % 256
+          var g = (q * q * 7 + q * 11 + 3) % 256
+          var b = (q * q * 11 + q * 3 + 17) % 256
+          if (id >= 100 && x == 0 && y == 0) {
+            r = (r + 113) % 256; g = (g + 113) % 256; b = (b + 113) % 256
+          }
+          val o = (y * w + x) * 3
+          px(o) = r.toByte; px(o + 1) = g.toByte; px(o + 2) = b.toByte
+          x += 1
+        }
+        y += 1
+      }
+      graft.llm.MediaHeaders.pngEncode(w, h, colorType = 2, px,
+        filterFor = yy => ((id + yy) % 5).toInt,
+        idatChunks = (1 + id % 3).toInt)
+    })
 
   /** Fixture: a two-record WARC blob per doc — an HTTP response whose
     * body is a pure function of the id, then the matching WET-style

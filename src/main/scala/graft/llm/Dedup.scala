@@ -177,6 +177,59 @@ object Dedup {
     minhashPairsAndIds(df, textCol, idCol, numHashes, bands, shingleK,
       threshold, maxBucketSize, textSource = df)._2
 
+  /** Fuzzy similarity JOIN between two corpora — "which of my new
+    * documents already exist, slightly edited, in that other table" —
+    * by the same banded-MinHash LSH as [[minhashPairs]], but across
+    * tables: each side computes signatures once, candidates come from
+    * an equi-join on (band, bucket) — never a cross product — and the
+    * exact shingle-Jaccard verify runs on the candidate sliver only.
+    * The hot-bucket skew guard applies to the COMBINED bucket
+    * population: a bucket hot on either side (boilerplate, templates)
+    * would explode the equi-join output, so it is dropped from both.
+    *
+    * Output: (id_a from left, id_b from right, jaccard ≥ threshold).
+    * Unlike the self-join there is no id ordering constraint — the
+    * sides are distinct tables.
+    */
+  def minhashJoin(left: DataFrame, right: DataFrame,
+      leftText: String, rightText: String,
+      leftId: String, rightId: String,
+      numHashes: Int = 128, bands: Int = 16, shingleK: Int = 5,
+      threshold: Double = 0.7, maxBucketSize: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    def buckets(df: DataFrame, text: String, id: String, side: Int) =
+      df.select(col(id).as("__id"),
+          graft.functions.Udfs.minhashBandBucketsUdf(col(text),
+            lit(numHashes), lit(bands), lit(shingleK), lit(42L)).as("__bk"))
+        .filter(size(col("__bk")) > 0)
+        .select(col("__id"), lit(side).as("__side"),
+          posexplode(col("__bk")).as(Seq("__band", "__bucket")))
+    // one cached pass over both signature kernels: the banded union
+    // feeds the hot-bucket count and both join branches
+    val banded = buckets(left, leftText, leftId, 0)
+      .unionByName(buckets(right, rightText, rightId, 1))
+      .persist()
+    banded.count() // eager: signatures compute once, not per consumer
+    val sized = dropHotBuckets(banded, Seq("__band", "__bucket"),
+      maxBucketSize)
+    val l = sized.filter(col("__side") === 0)
+      .select(col("__band"), col("__bucket"), col("__id").as("id_a"))
+    val r = sized.filter(col("__side") === 1)
+      .select(col("__band"), col("__bucket"), col("__id").as("id_b"))
+    val cands = l.join(r, Seq("__band", "__bucket"))
+      .select("id_a", "id_b").distinct()
+    // exact verify from TEXT on the candidate sliver (pruned scans of
+    // the sources; no corpus-wide text shuffle)
+    val withA = cands.join(left.select(col(leftId).as("id_a"),
+      col(leftText).as("__ta")), "id_a")
+    val withB = withA.join(right.select(col(rightId).as("id_b"),
+      col(rightText).as("__tb")), "id_b")
+    withB.withColumn("jaccard", graft.functions.Udfs.shingleJaccardUdf(
+        col("__ta"), col("__tb"), lit(shingleK)))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** [[minhashPairs]] plus the materialized (cached) `__id` column of
     * every input row — the dedup wrappers read keeper ids from this
     * cache instead of re-running their upstream exact-dedup shuffle.
@@ -457,30 +510,12 @@ object Dedup {
     * Hamming distance ≤ 3), verify with native bit_count(xor).
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
-    val sigs = df.select(col(idCol).as("__id"),
-      simhash64(col(textCol)).as("__sig")).persist()
-    sigs.count() // eager: signature computed once, not per self-join side
-    val banded = sigs.select(col("__id"), col("__sig"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("__sig"), b * 16).bitwiseAND(lit(0xffffL)).as("chunk"))): _*))
-        .as("__bb"))
-      .select(col("__id"), col("__sig"),
-        col("__bb.band").as("__band"), col("__bb.chunk").as("__chunk"))
-    // skew guard — see [[dropHotBuckets]]
-    val sized = dropHotBuckets(banded, Seq("__band", "__chunk"), maxBucketSize)
-    val l = sized.select(col("__band"), col("__chunk"),
-      col("__id").as("id_a"), col("__sig").as("sig_a"))
-    val r = sized.select(col("__band"), col("__chunk"),
-      col("__id").as("id_b"), col("__sig").as("sig_b"))
-    l.join(r, Seq("__band", "__chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-  }
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame =
+    // shared banded-Hamming machinery (4×16-bit chunks, skew guard,
+    // bit_count(xor) verify) — also drives perceptual image dedup
+    ImageHash.hammingPairs64(
+      df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sig")),
+      maxHamming, maxBucketSize)
 
   /** SimHash near-dedup: exact duplicates collapse first (keeping the
     * LSH chunks from concentrating identical signatures — the skew

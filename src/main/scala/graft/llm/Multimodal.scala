@@ -391,6 +391,76 @@ object MediaHeaders {
   val wavStatsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf(wavStats _)
 
+  /** Frame-level PCM analysis — the audio-curation triage signals a
+    * speech/music training pipeline gates on before paying for real
+    * feature extraction: clipped-sample count (recording damage),
+    * silent-frame count (dead air to trim), and the peak frame energy
+    * (loudness envelope proxy). Everything is integer-exact on the
+    * 16-bit sample scale (8-bit samples shift left 8), so an external
+    * SQL engine replays it from a sample formula.
+    *
+    * Frames are `frameSize` consecutive samples; the tail partial
+    * frame counts. clip = |s| ≥ 32000 (within ~2% of full scale);
+    * a frame is silent when its peak |s| < 512 (< ~1.6% full scale);
+    * peak_frame_energy = max over frames of Σ s². Null for non-PCM
+    * payloads, same contract as [[wavStats]].
+    */
+  case class WavFrameStats(n_frames: Int, clip_count: Long,
+      silence_frames: Int, peak_frame_energy: Long)
+
+  def wavFrameStats(b: Array[Byte], frameSize: Int): WavFrameStats = {
+    if (b == null || frameSize <= 0 || b.length < 44) return null
+    if (ascii(b, 0, 4) != "RIFF" || ascii(b, 8, 4) != "WAVE") return null
+    var p = 12
+    var fmt = -1
+    var bits = -1
+    var dataOff = -1
+    var dataLen = -1L
+    while (p + 8 <= b.length) {
+      val id = ascii(b, p, 4)
+      val len = le32(b, p + 4)
+      if (id == "fmt " && p + 24 <= b.length) {
+        fmt = le16(b, p + 8)
+        bits = le16(b, p + 22)
+      }
+      if (id == "data" && dataOff < 0) { dataOff = p + 8; dataLen = len }
+      val step = 8L + len + (len & 1L) // chunks are word-aligned
+      if (p + step > b.length) p = b.length else p += step.toInt
+    }
+    if (fmt != 1 || dataOff < 0 || (bits != 8 && bits != 16)) return null
+    val end = math.min(b.length.toLong, dataOff + dataLen).toInt
+    val n = if (bits == 16) (end - dataOff) / 2 else end - dataOff
+    def sample(i: Int): Int =
+      if (bits == 16) (le16(b, dataOff + 2 * i) << 16) >> 16
+      else (u8(b, dataOff + i) - 128) << 8 // unsigned midpoint-128, 16-bit scale
+    val nf = if (n == 0) 0 else (n + frameSize - 1) / frameSize
+    var clip = 0L
+    var silent = 0
+    var peakE = 0L
+    var f = 0
+    while (f < nf) {
+      var e = 0L
+      var fpeak = 0
+      var i = f * frameSize
+      val stop = math.min(n, i + frameSize)
+      while (i < stop) {
+        val s = sample(i)
+        val a = math.abs(s)
+        if (a >= 32000) clip += 1
+        if (a > fpeak) fpeak = a
+        e += s.toLong * s
+        i += 1
+      }
+      if (fpeak < 512) silent += 1
+      if (e > peakE) peakE = e
+      f += 1
+    }
+    WavFrameStats(nf, clip, silent, peakE)
+  }
+
+  val wavFrameStatsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(wavFrameStats _)
+
   // ---- PNG pixel decode (real, pure-JVM) ---------------------------
   // PNG spec (ISO/IEC 15948 / W3C PNG 2nd ed.): Sec. 5 chunk layout,
   // Sec. 9 filtering, Sec. 11.2.2 IHDR, 11.2.3 PLTE, 11.2.4 IDAT.

@@ -63,6 +63,15 @@ object LlmOps {
         maxHamming = spec.optStr(2).map(_.toInt).getOrElse(3))
     }
 
+    // `dedup-images :payload :id [maxHamming]` — perceptual near-dup
+    // image dedup over a binary column: dHash from the real decodes,
+    // banded-Hamming pairs, keep smallest id (undecodable payloads
+    // can't match anything and always survive)
+    case "dedup-images" => ColumnOps.simple(spec) { df =>
+      graft.llm.ImageHash.imageDedup(df, spec.col(0), spec.col(1),
+        maxHamming = spec.optStr(2).map(_.toInt).getOrElse(3))
+    }
+
     // content col first, id second — same order as the other dedup-*
     case "dedup-embedding" => ColumnOps.simple(spec) { df =>
       Dedup.embeddingDedup(df, idCol = spec.col(1), vecCol = spec.col(0),

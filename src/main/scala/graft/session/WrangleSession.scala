@@ -168,6 +168,7 @@ object Usage {
     "validate-standard" -> "validate-standard :col [required-fields]",
     "dedup-exact" -> "dedup-exact :textcol :idcol",
     "dedup-minhash" -> "dedup-minhash :textcol :idcol [threshold]",
+    "dedup-images" -> "dedup-images :payloadcol :idcol [maxHamming]",
     "lang-id" -> "lang-id :col",
     "token-count" -> "token-count :col",
     "quality-score" -> "quality-score :col",

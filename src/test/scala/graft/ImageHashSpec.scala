@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.llm.{ImageHash, MediaHeaders}
+
+class ImageHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rgbPng(w: Int, h: Int)(f: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = f(x, y)
+      val o = (y * w + x) * 3
+      px(o) = r.toByte; px(o + 1) = g.toByte; px(o + 2) = b.toByte
+    }
+    MediaHeaders.pngEncode(w, h, 2, px)
+  }
+
+  test("dhash64: monotone gradients pin every bit") {
+    // luminance strictly decreasing left->right: every adjacent-column
+    // comparison is "left brighter" -> all 64 bits set (-1L)
+    val dec = rgbPng(9, 8)((x, _) => (200 - x * 20, 200 - x * 20, 200 - x * 20))
+    assert(ImageHash.dhash64(dec) == -1L)
+    assert(ImageHash.dhashHex(dec) == "f" * 16)
+    // strictly increasing -> no bit set
+    val inc = rgbPng(9, 8)((x, _) => (x * 20, x * 20, x * 20))
+    assert(ImageHash.dhash64(inc) == 0L)
+    assert(ImageHash.dhashHex(inc) == "0" * 16)
+  }
+
+  test("dhash64: container-invariant (PNG and BMP of the same pixels)") {
+    def f(x: Int, y: Int): (Int, Int, Int) = {
+      val q = (x * 13 + y * 29) % 251
+      ((q * q * 3 + 7) % 256, (q * q * 7 + 3) % 256, (q * q * 11 + 17) % 256)
+    }
+    val w = 12; val h = 10
+    val png = rgbPng(w, h)(f)
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = f(x, y)
+      val o = (y * w + x) * 3
+      px(o) = r.toByte; px(o + 1) = g.toByte; px(o + 2) = b.toByte
+    }
+    val bmp = MediaHeaders.bmpEncode(w, h, px, topDown = false)
+    assert(ImageHash.dhash64(png) != null)
+    assert(ImageHash.dhash64(png) == ImageHash.dhash64(bmp))
+  }
+
+  test("dhash64: null for sub-grid images and undecodable payloads") {
+    assert(ImageHash.dhash64(rgbPng(8, 8)((_, _) => (1, 2, 3))) == null)
+    assert(ImageHash.dhash64(rgbPng(9, 7)((_, _) => (1, 2, 3))) == null)
+    assert(ImageHash.dhash64("definitely not an image".getBytes) == null)
+    assert(ImageHash.dhash64(null) == null)
+    assert(ImageHash.dhashHex(null) == null)
+  }
+
+  test("imageDupPairs finds the perturbed twin, not unrelated images") {
+    def scramble(seed: Int)(x: Int, y: Int): (Int, Int, Int) = {
+      val q = (seed * 97 + x * 13 + y * 29) % 251
+      ((q * q * 3 + q * 5 + 7) % 256, (q * q * 7 + q * 11 + 3) % 256,
+        (q * q * 11 + q * 3 + 17) % 256)
+    }
+    // 0 and 1: same image except one corner pixel; 2 and 3: unrelated
+    val base = rgbPng(11, 9)(scramble(1))
+    val tweaked = rgbPng(11, 9)((x, y) => {
+      val (r, g, b) = scramble(1)(x, y)
+      if (x == 0 && y == 0) ((r + 113) % 256, (g + 113) % 256, (b + 113) % 256)
+      else (r, g, b)
+    })
+    val other = rgbPng(11, 9)(scramble(2))
+    val noise = "not an image".getBytes
+    val d = Seq((0L, base), (1L, tweaked), (2L, other), (3L, noise))
+      .toDF("id", "payload")
+    val pairs = ImageHash.imageDupPairs(d, "payload", "id", maxHamming = 3)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+    assert(pairs.head.getInt(2) <= 1)
+    // keep-smallest-id dedup: the tweaked twin drops, everything else stays
+    val kept = ImageHash.imageDedup(d, "payload", "id").select("id")
+      .as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 3L))
+    // same through the directive surface
+    val viaDirective = wrangle("dedup-images :payload :id", d)
+      .select("id").as[Long].collect().toSet
+    assert(viaDirective == Set(0L, 2L, 3L))
+  }
+}

@@ -33,6 +33,28 @@ class LlmSpec extends SparkSpec {
       s"all-pairs join detected:\n$plan")
   }
 
+  test("minhashJoin matches near-dups ACROSS tables, no cross join") {
+    val left = docsDf.filter(col("doc_id") <= 3)   // 1, 2, 3
+    val right = df("rid BIGINT, body STRING", Seq(
+      Row(10L, "The quick brown fox jumps over the lazy dog near the river bank today!"), // ~doc 1
+      Row(11L, "entirely novel material on distributed shuffle services"),
+      Row(12L, "completely different content about spark catalyst optimizer internals"))) // = doc 3
+    val out = Dedup.minhashJoin(left, right, "text", "body",
+      "doc_id", "rid", numHashes = 64, bands = 16, shingleK = 5,
+      threshold = 0.6)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 10L)), s"missing planted cross match, got $got")
+    assert(got.contains((3L, 12L)))
+    assert(!got.exists(_._2 == 11L), s"unrelated right row matched: $got")
+    // verified similarity comes back with the pair
+    val j = out.filter(col("id_a") === 3 && col("id_b") === 12)
+      .select("jaccard").head().getDouble(0)
+    assert(j == 1.0, s"identical text should verify at 1.0, got $j")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"all-pairs join:\n$plan")
+  }
+
   test("minhashDedup drops near-duplicates, keeps distinct docs") {
     val out = Dedup.minhashDedup(docsDf, "text", "doc_id",
       numHashes = 64, bands = 16, shingleK = 5, threshold = 0.6)
@@ -481,6 +503,45 @@ class LlmSpec extends SparkSpec {
     // not crashed
     val trunc = wav16(Seq(1, 2, 3)).dropRight(2)
     assert(MediaHeaders.wavStats(trunc).n_samples == 2)
+  }
+
+  test("MediaHeaders.wavFrameStats: framing, silence, clipping, tail") {
+    import graft.llm.MediaHeaders
+    def le16(v: Int): Seq[Byte] = Seq(v.toByte, (v >> 8).toByte)
+    def le32(v: Long): Seq[Byte] =
+      Seq(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def wav16(samples: Seq[Int]): Array[Byte] =
+      ("RIFF".getBytes.toSeq ++ le32(36L + samples.length * 2) ++
+        "WAVE".getBytes.toSeq ++ "fmt ".getBytes.toSeq ++ le32(16) ++
+        le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++
+        le16(16) ++ "data".getBytes.toSeq ++ le32(samples.length * 2L) ++
+        samples.flatMap(s => le16(s & 0xffff))).toArray
+    // 4+4+2 samples at frameSize 4: loud frame (one clipped), silent
+    // frame (all |s| < 512), partial silent tail
+    val smp = Seq(32767, -100, 200, -300, 511, -511, 0, 100, 400, -400)
+    val st = MediaHeaders.wavFrameStats(wav16(smp), 4)
+    assert(st.n_frames == 3)
+    assert(st.clip_count == 1)      // only 32767 >= 32000
+    assert(st.silence_frames == 2)  // frame 2 and the 2-sample tail
+    assert(st.peak_frame_energy ==
+      32767L * 32767 + 100L * 100 + 200L * 200 + 300L * 300)
+    // boundary: |s| = 512 is NOT silent; |s| = 32000 IS clipped
+    val b = MediaHeaders.wavFrameStats(wav16(Seq(512, 0, -32000, 1)), 2)
+    assert(b.silence_frames == 0 && b.clip_count == 1)
+    // 8-bit samples scale to 16-bit: (129,131) -> (+256, +768); the
+    // frame peak 768 >= 512, so the scaled frame is NOT silent
+    val w8 = ("RIFF".getBytes.toSeq ++ le32(36L + 2) ++
+      "WAVE".getBytes.toSeq ++ "fmt ".getBytes.toSeq ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(8000) ++ le32(8000) ++ le16(1) ++
+      le16(8) ++ "data".getBytes.toSeq ++ le32(2) ++
+      Seq[Byte](129.toByte, 131.toByte)).toArray
+    val s8 = MediaHeaders.wavFrameStats(w8, 4)
+    assert(s8.n_frames == 1 && s8.silence_frames == 0 &&
+      s8.peak_frame_energy == 256L * 256 + 768L * 768)
+    // non-PCM and garbage -> null; empty data -> zero frames
+    assert(MediaHeaders.wavFrameStats("nope".getBytes ++
+      new Array[Byte](48), 4) == null)
+    assert(MediaHeaders.wavFrameStats(wav16(Nil), 4).n_frames == 0)
   }
 
   test("MediaHeaders.probe reads PNG/GIF/WAV/JPEG headers") {
