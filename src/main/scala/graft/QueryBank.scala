@@ -770,6 +770,33 @@ object QueryBank {
         |  ON e.value >= n.n_nationkey*20.0
         | AND e.value < (n.n_nationkey+1)*20.0""".stripMargin),
 
+    ("interval_join",
+      // interval-OVERLAP join (two interval tables): click windows
+      // [v, v+0.5) vs purchase windows [v, v+0.3) over the same value
+      // axis. Grid-cell equi-join + first-shared-cell dedup in the
+      // engine; DuckDB brute-forces the overlap predicate directly, so
+      // a duplicated candidate (dedup slip), a missed boundary cell,
+      // or an off-by-one in the half-open predicate breaks the match.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val ev = s.read.parquet(s"$d/events.parquet")
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id").as("id_a"), col("value").as("lo_a"),
+            (col("value") + 0.5).as("hi_a"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("id_b"), col("value").as("lo_b"),
+            (col("value") + 0.3).as("hi_b"))
+        graft.ops.JoinOps.intervalJoin(clicks, purchases,
+            "lo_a", "hi_a", "lo_b", "hi_b", cellWidth = 0.25)
+          .select("id_a", "id_b")
+      },
+      """SELECT a.event_id AS id_a, b.event_id AS id_b
+        |FROM (SELECT event_id, value AS lo, value + 0.5 AS hi
+        |      FROM events WHERE event_type = 'click') a
+        |JOIN (SELECT event_id, value AS lo, value + 0.3 AS hi
+        |      FROM events WHERE event_type = 'purchase') b
+        |  ON a.lo < b.hi AND b.lo < a.hi""".stripMargin),
+
     // ---- mergeable sketches (graftx.Sketches) ----------------------
     // The sketch estimates themselves aren't SQL-recomputable, so the
     // oracle contract is: Spark emits the EXACT figure (computed

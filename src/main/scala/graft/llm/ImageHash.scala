@@ -110,11 +110,20 @@ object ImageHash {
   val dhashHexUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf(dhashHex _)
 
-  /** Near-duplicate pairs among 64-bit signatures by banded Hamming
-    * LSH: 4×16-bit chunks (any shared chunk ⇒ candidate — pigeonhole
-    * guarantees recall for Hamming ≤ 3), native bit_count(xor)
-    * verify, hot-bucket skew guard. Shuffle keys are (band, chunk);
-    * no pair outside a shared bucket is ever formed.
+  /** Near-duplicate pairs among precomputed 64-bit signatures (any
+    * source: dHash, SimHash, a stored fingerprint column) by banded
+    * Hamming LSH. Output (id_a, id_b, hamming) with id_a < id_b,
+    * hamming ≤ maxHamming.
+    */
+  def hammingPairs64(df: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame =
+    hammingPairs64(df.select(col(idCol).as("__id"),
+      col(sigCol).cast("long").as("__sig")), maxHamming, maxBucketSize)
+
+  /** Banded-Hamming core: 4×16-bit chunks (any shared chunk ⇒
+    * candidate — pigeonhole guarantees recall for Hamming ≤ 3), native
+    * bit_count(xor) verify, hot-bucket skew guard. Shuffle keys are
+    * (band, chunk); no pair outside a shared bucket is ever formed.
     *
     * Input frame must carry (__id, __sig); output (id_a, id_b,
     * hamming) with id_a < id_b, hamming ≤ maxHamming.

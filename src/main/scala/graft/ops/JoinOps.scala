@@ -205,6 +205,53 @@ object JoinOps {
       .drop(cell)
   }
 
+  /** Interval-OVERLAP join — every (left, right) pair whose half-open
+    * intervals [lo, hi) intersect: `a.lo < b.hi AND b.lo < a.hi`.
+    * The two-sided generalization of [[rangeJoin]] (time-range overlap
+    * against maintenance windows, span-vs-span conflict detection).
+    *
+    * Spark plans a bare overlap predicate as BroadcastNestedLoopJoin —
+    * quadratic scan work however selective the predicate. Here both
+    * sides explode to the grid cells they cover and equi-join on the
+    * cell, so the shuffle is linear in rows × cells-per-interval and
+    * only cell-cohabiting pairs are ever compared. A pair sharing k
+    * cells would surface k times; instead of a distinct() over the
+    * candidate stream (a second full shuffle) each pair is kept ONLY
+    * at the first cell of its overlap region —
+    * `cell == floor(max(a.lo, b.lo) / W)` — which both sides cover by
+    * construction, recomputed per row with plain codegen arithmetic.
+    *
+    * `cellWidth` tunes cells-per-interval (≈ interval length / W + 1
+    * copies of each row through the shuffle) against cell population;
+    * size it near the typical interval length.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftLo: String, leftHi: String,
+                   rightLo: String, rightHi: String,
+                   cellWidth: Double): DataFrame = {
+    require(cellWidth > 0, "intervalJoin: cellWidth must be positive")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"intervalJoin: overlapping column names ${overlap.mkString(", ")}")
+
+    val cell = "__iv_cell"
+    def cells(df: DataFrame, lo: String, hi: String) =
+      df.withColumn(cell,
+        explode(sequence(
+          floor(col(lo).cast("double") / cellWidth).cast("long"),
+          greatest(
+            floor(col(lo).cast("double") / cellWidth).cast("long"),
+            ceil(col(hi).cast("double") / cellWidth).cast("long") - 1))))
+    val l = cells(left, leftLo, leftHi)
+    val r = cells(right, rightLo, rightHi)
+    l.join(r, Seq(cell), "inner")
+      .where(col(leftLo) < col(rightHi) && col(rightLo) < col(leftHi))
+      .where(col(cell) ===
+        floor(greatest(col(leftLo), col(rightLo)).cast("double") / cellWidth)
+          .cast("long"))
+      .drop(cell)
+  }
+
   /** Snapshot diff — changed-data detection between two versions of a
     * keyed table: one co-partitioned full-outer join on the key, row
     * status derived null-safely per compared column. Output: the key

@@ -105,6 +105,23 @@ object LookupOps {
       }
     }
 
+    // `interval-join :leftLo :leftHi table :rightLo :rightHi cellWidth`
+    // — attach every registered-table interval row whose [lo, hi)
+    // OVERLAPS the current row's interval; grid-bucketed equi-join
+    // with first-shared-cell dedup (JoinOps.intervalJoin), never a
+    // nested-loop plan.
+    case "interval-join" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = {
+        val table = spec.str(2)
+        val intervals = ctx.lookups.getOrElse(table,
+          throw new RecipeException(s"interval-join: unknown table '$table'"))
+        st.mapDf(df => JoinOps.intervalJoin(df, intervals,
+          spec.col(0), spec.col(1), spec.col(3), spec.col(4),
+          cellWidth = spec.num(5).toDouble))
+      }
+    }
+
     case _ => null
   })
 }

@@ -165,6 +165,8 @@ object Usage {
     "asof-join" -> ("asof-join :leftKey :leftTime table :rightKey :rightTime " +
       "payload[,payload]* [backward|forward|nearest] [toleranceSeconds|none] [tiebreakCol]"),
     "range-join" -> "range-join :pointCol table :loCol :hiCol cellWidth",
+    "interval-join" ->
+      "interval-join :leftLo :leftHi table :rightLo :rightHi cellWidth",
     "validate-standard" -> "validate-standard :col [required-fields]",
     "dedup-exact" -> "dedup-exact :textcol :idcol",
     "dedup-minhash" -> "dedup-minhash :textcol :idcol [threshold]",

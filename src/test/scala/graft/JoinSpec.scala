@@ -230,6 +230,53 @@ class JoinSpec extends SparkSpec {
     assert(naive.exceptAll(got).count() == 0)
   }
 
+  test("intervalJoin: overlap semantics, cell dedup, directive") {
+    val a = df("lo_a DOUBLE, hi_a DOUBLE, aid INT", Seq(
+      Row(0.0, 10.0, 1),    // overlaps b1 [5,15) and b3 [-5,1)
+      Row(10.0, 20.0, 2),   // touches b1 at 10 exactly: NOT overlap (half-open)
+      Row(14.9, 50.0, 3),   // overlaps b2 [30,31); spans many cells
+      Row(60.0, 60.0, 4)))  // degenerate hi <= lo: matches nothing
+    val b = df("lo_b DOUBLE, hi_b DOUBLE, bid INT", Seq(
+      Row(5.0, 10.0, 1), Row(30.0, 31.0, 2), Row(-5.0, 1.0, 3)))
+    val out = JoinOps.intervalJoin(a, b, "lo_a", "hi_a", "lo_b", "hi_b",
+      cellWidth = 4.0)
+    // each overlapping pair appears exactly ONCE despite shared cells
+    val got = out.select("aid", "bid").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(got.sorted == Seq((1, 1), (1, 3), (3, 2)).sorted, s"got $got")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    // matches the naive non-equi join on random intervals
+    val rnd = new scala.util.Random(13)
+    val ra = df("lo_a DOUBLE, hi_a DOUBLE, aid INT",
+      (1 to 300).map { i =>
+        val lo = rnd.nextDouble() * 90 - 20
+        Row(lo, lo + rnd.nextDouble() * 12, i)
+      })
+    val rb = df("lo_b DOUBLE, hi_b DOUBLE, bid INT",
+      (1 to 80).map { i =>
+        val lo = rnd.nextDouble() * 90 - 20
+        Row(lo, lo + rnd.nextDouble() * 8, i)
+      })
+    import org.apache.spark.sql.functions.col
+    val naive = ra.join(rb,
+        col("lo_a") < col("hi_b") && col("lo_b") < col("hi_a"))
+      .select("aid", "bid")
+    val fast = JoinOps.intervalJoin(ra, rb, "lo_a", "hi_a", "lo_b", "hi_b",
+      cellWidth = 6.0).select("aid", "bid")
+    assert(fast.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(fast).count() == 0)
+    // directive spelling against a registered table
+    val viaDirective = Wrangle
+      .recipe("interval-join :lo_a :hi_a windows :lo_b :hi_b 4")
+      .withLookup("windows", b)
+      .apply(a)
+      .select("aid", "bid").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(viaDirective.sorted == got.sorted)
+  }
+
   test("saltedJoin: identical rows to the plain join under skew") {
     import graft.ops.JoinOps
     // one hot key (0) carrying most of the left side, plus null keys
