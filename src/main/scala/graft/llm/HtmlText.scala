@@ -87,16 +87,27 @@ object HtmlText {
       while (j < html.length && (html.charAt(j).isLetterOrDigit ||
         html.charAt(j) == '-')) j += 1
       val name = html.substring(nameStart, j).toLowerCase
-      // scan to '>' respecting quoted attribute values
+      // scan to '>' respecting quoted attribute values, tracking
+      // whether the scan position sits inside an UNQUOTED attribute
+      // value — `<script src=https://cdn.x/>` ends with a '/' that
+      // belongs to the value (per HTML5 unquoted-value parsing), not
+      // a self-close marker, and mistaking it for one would leak the
+      // script body into the extracted text
       var quote: Char = 0
+      var afterEq = false  // seen '=', value not started yet
+      var inUnq = false    // inside an unquoted attribute value
       while (j < html.length &&
         !(quote == 0 && html.charAt(j) == '>')) {
         val ch = html.charAt(j)
-        if (quote == 0 && (ch == '"' || ch == '\'')) quote = ch
-        else if (ch == quote) quote = 0
+        if (quote == 0) {
+          if (ch == '"' || ch == '\'') { quote = ch; afterEq = false; inUnq = false }
+          else if (ch == '=') { afterEq = true; inUnq = false }
+          else if (ch.isWhitespace) inUnq = false // afterEq survives spaces around '='
+          else if (afterEq) { inUnq = true; afterEq = false }
+        } else if (ch == quote) quote = 0
         j += 1
       }
-      val selfClosing = !closing && j < html.length &&
+      val selfClosing = !closing && j < html.length && !inUnq &&
         j - 1 > nameStart && html.charAt(j - 1) == '/'
       (name, closing, selfClosing, math.min(j + 1, html.length))
     }

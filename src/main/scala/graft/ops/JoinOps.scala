@@ -190,19 +190,40 @@ object JoinOps {
     val cell = "__range_cell"
     val p = points.withColumn(cell,
       floor(col(pointCol).cast("double") / cellWidth).cast("long"))
-    // half-open [lo, hi): the last covered cell is the one containing
-    // the largest value strictly below hi; degenerate hi <= lo intervals
-    // clamp to a single cell and are removed by the exact post-filter
-    val iv = intervals.withColumn(cell,
-      explode(sequence(
-        floor(col(loCol).cast("double") / cellWidth).cast("long"),
-        greatest(
-          floor(col(loCol).cast("double") / cellWidth).cast("long"),
-          ceil(col(hiCol).cast("double") / cellWidth).cast("long") - 1))))
+    val iv = explodeToCells(intervals, cell, loCol, hiCol, cellWidth,
+      "rangeJoin")
 
     p.join(iv, Seq(cell), "inner")
       .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop(cell)
+  }
+
+  /** Shared grid-cell generator for [[rangeJoin]] / [[intervalJoin]]:
+    * one row per cell a half-open [lo, hi) interval covers — the last
+    * covered cell is the one containing the largest value strictly
+    * below hi; degenerate hi <= lo intervals clamp to a single cell
+    * and are removed by the caller's exact post-filter. Generator
+    * guard (same contract as resample's slot spine): one mis-sized
+    * cellWidth against one outlier interval would explode to millions
+    * of cell rows PER ROW — fail with an actionable message instead of
+    * silently materializing that. The `<= 0` arm catches Long overflow
+    * of the span arithmetic on ±Infinity bounds, which would otherwise
+    * bypass the cap.
+    */
+  private def explodeToCells(df: DataFrame, cell: String, loCol: String,
+      hiCol: String, cellWidth: Double, op: String): DataFrame = {
+    val maxCells = 10000L
+    val first = floor(col(loCol).cast("double") / cellWidth).cast("long")
+    val last = greatest(first,
+      ceil(col(hiCol).cast("double") / cellWidth).cast("long") - 1)
+    val span = last - first + lit(1L)
+    val guardedLast = when(span > maxCells || span <= 0L,
+      raise_error(concat(
+        lit(s"$op: an interval covers "), span.cast("string"),
+        lit(s" grid cells at cellWidth $cellWidth (cap $maxCells) — " +
+          "widen cellWidth"))).cast("long"))
+      .otherwise(last)
+    df.withColumn(cell, explode(sequence(first, guardedLast)))
   }
 
   /** Interval-OVERLAP join — every (left, right) pair whose half-open
@@ -235,15 +256,10 @@ object JoinOps {
       s"intervalJoin: overlapping column names ${overlap.mkString(", ")}")
 
     val cell = "__iv_cell"
-    def cells(df: DataFrame, lo: String, hi: String) =
-      df.withColumn(cell,
-        explode(sequence(
-          floor(col(lo).cast("double") / cellWidth).cast("long"),
-          greatest(
-            floor(col(lo).cast("double") / cellWidth).cast("long"),
-            ceil(col(hi).cast("double") / cellWidth).cast("long") - 1))))
-    val l = cells(left, leftLo, leftHi)
-    val r = cells(right, rightLo, rightHi)
+    val l = explodeToCells(left, cell, leftLo, leftHi, cellWidth,
+      "intervalJoin")
+    val r = explodeToCells(right, cell, rightLo, rightHi, cellWidth,
+      "intervalJoin")
     l.join(r, Seq(cell), "inner")
       .where(col(leftLo) < col(rightHi) && col(rightLo) < col(leftHi))
       .where(col(cell) ===

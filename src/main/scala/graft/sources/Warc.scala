@@ -178,24 +178,41 @@ object Warc {
       private var finished = false
 
       // bytes until '\n' (excluded, trailing '\r' stripped); null at EOF
+      // or when a "line" exceeds 64 KB — real WARC header lines are
+      // tiny, so an endless line means a mis-globbed binary input, and
+      // buffering it unbounded would break the one-record memory
+      // contract before the WARC/ version check could reject it
       private def readLine(): String = {
         var c = in.read()
         if (c < 0) return null
         val buf = new java.io.ByteArrayOutputStream(128)
-        while (c >= 0 && c != '\n') { buf.write(c); c = in.read() }
+        while (c >= 0 && c != '\n') {
+          buf.write(c)
+          if (buf.size > 65536) return null
+          c = in.read()
+        }
         new String(buf.toByteArray, "UTF-8").stripSuffix("\r")
       }
 
+      // Chunked payload read: allocation grows with bytes ACTUALLY
+      // read, never with the untrusted Content-Length header — a
+      // corrupt "Content-Length: 2000000000" on a truncated stream
+      // ends the iterator gracefully instead of eagerly allocating
+      // 2 GB per task (the in-memory parser's old `q + len > b.length`
+      // invariant, restored for streams).
       private def readFully(len: Long): Array[Byte] = {
         if (len > Int.MaxValue - 16) return null // absurd length = malformed
-        val arr = new Array[Byte](len.toInt)
-        var off = 0
-        while (off < arr.length) {
-          val n = in.read(arr, off, arr.length - off)
+        val out = new java.io.ByteArrayOutputStream(
+          math.min(len, 1L << 16).toInt)
+        val buf = new Array[Byte](1 << 16)
+        var remaining = len
+        while (remaining > 0) {
+          val n = in.read(buf, 0, math.min(remaining, buf.length.toLong).toInt)
           if (n < 0) return null // truncated payload
-          off += n
+          out.write(buf, 0, n)
+          remaining -= n
         }
-        arr
+        out.toByteArray
       }
 
       private def finish(): Unit = {
@@ -320,9 +337,22 @@ object Warc {
       .select(col("path")).as[String]
     paths
       .flatMap { p =>
-        val hp = new org.apache.hadoop.fs.Path(new java.net.URI(p))
+        // binaryFile's path column is URI-shaped for normal names, but
+        // decoded characters (spaces, '%', '#') make the URI parse
+        // throw — fall back to the raw-string Path constructor then
+        val hp =
+          try new org.apache.hadoop.fs.Path(new java.net.URI(p))
+          catch { case _: Exception => new org.apache.hadoop.fs.Path(p) }
         val fs = hp.getFileSystem(conf.value)
-        parseStream(fs.open(hp)).map(r => (p, r))
+        val in = fs.open(hp)
+        // parseStream closes `in` at EOF, but a limit/take or task
+        // failure abandons the iterator mid-stream — close on task
+        // completion too so no S3/HDFS connection outlives its task
+        // (double-close is a no-op)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ =>
+          try in.close() catch { case _: java.io.IOException => () })
+        parseStream(in).map(r => (p, r))
       }
       .toDF("path", "__r")
       .select(col("path"), col("__r.*"))

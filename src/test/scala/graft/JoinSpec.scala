@@ -277,6 +277,26 @@ class JoinSpec extends SparkSpec {
     assert(viaDirective.sorted == got.sorted)
   }
 
+  test("interval/range join generator guard trips on pathological spans") {
+    // one outlier interval x a mis-sized cellWidth would explode to a
+    // billion cell rows; the guard fails fast with an actionable message
+    val a = df("lo_a DOUBLE, hi_a DOUBLE, aid INT",
+      Seq(Row(0.0, 1.0e9, 1)))
+    val b = df("lo_b DOUBLE, hi_b DOUBLE, bid INT", Seq(Row(1.0, 2.0, 1)))
+    val e = intercept[Exception] {
+      JoinOps.intervalJoin(a, b, "lo_a", "hi_a", "lo_b", "hi_b",
+        cellWidth = 1.0).collect()
+    }
+    assert(e.getMessage.contains("widen cellWidth"), e.getMessage)
+    val pts = df("v DOUBLE, pid INT", Seq(Row(5.0, 1)))
+    val iv = df("lo DOUBLE, hi DOUBLE, band STRING",
+      Seq(Row(0.0, 1.0e9, "wide")))
+    val e2 = intercept[Exception] {
+      JoinOps.rangeJoin(pts, iv, "v", "lo", "hi", cellWidth = 1.0).collect()
+    }
+    assert(e2.getMessage.contains("widen cellWidth"), e2.getMessage)
+  }
+
   test("saltedJoin: identical rows to the plain join under skew") {
     import graft.ops.JoinOps
     // one hot key (0) carrying most of the left side, plus null keys

@@ -63,6 +63,15 @@ class WebSpec extends SparkSpec {
     val (_, t2) = HtmlText.extract(
       """<p>a</p><script src="http://x/">var z=1;</script><p>b</p>""")
     assert(!t2.contains("var z") && t2.contains("b"))
+    // UNQUOTED attribute value ending in '/' is part of the value per
+    // HTML5, not a self-close marker — the script stays an opener
+    val (_, t3) = HtmlText.extract(
+      """<p>a</p><script src=https://cdn.x.com/>var track=1;</script><p>b</p>""")
+    assert(!t3.contains("var track") && t3.contains("b"), t3)
+    // ...but after a space the '/' IS a self-close marker
+    val (_, t4) = HtmlText.extract(
+      """<p>a</p><iframe src=x /><p>b</p>""")
+    assert(t4.contains("b"), t4)
   }
 
   test("extract-html-text directive appends title and text columns") {
@@ -376,6 +385,18 @@ class WebSpec extends SparkSpec {
     val it3 = Warc.parseStream(
       new java.io.ByteArrayInputStream(blob.dropRight(25)))
     assert(it3.toVector == expected.dropRight(1))
+    // a corrupt Content-Length far beyond the stream must NOT allocate
+    // eagerly — earlier records survive, the bogus one ends the iterator
+    val bogus = (warcRecord("conversion", "u", "ok", http = false) +
+      "WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "Content-Length: 2000000000\r\n\r\nshort").getBytes("UTF-8")
+    val rb = Warc.parseStream(new java.io.ByteArrayInputStream(bogus)).toVector
+    assert(rb.length == 1 && rb.head.payload == "ok")
+    // a newline-free binary stream is rejected by the 64 KB line cap,
+    // not buffered whole
+    val noNl = new Array[Byte](1 << 20) // 1 MB of zeros, no '\n'
+    assert(Warc.parseStream(
+      new java.io.ByteArrayInputStream(noNl)).toVector.isEmpty)
   }
 
   test("warc file read: one row per record with provenance path") {
