@@ -1663,6 +1663,95 @@ object QueryBank {
       (s, d) => r("quality-score :text; keep :doc_id,:text_quality")(docs(s, d)),
       qualityScoreSql),
 
+    ("code_features",
+      // code-corpus curation gates over a code-shaped derivation of the
+      // documents table (sentence breaks become '# ' comment lines, a
+      // generated-file header on every third doc) — line shape,
+      // comment fraction, alnum density, and the autogen marker, every
+      // formula recomputed by DuckDB from the same derivation
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val code = concat(
+          when(col("doc_id") % 3 === 0,
+            lit("// AUTO-GENERATED, Do Not Edit\n")).otherwise(lit("")),
+          regexp_replace(col("text"), "\\. ", "\n# "))
+        val withCode = docs(s, d).withColumn("__code", code)
+        val f = graft.llm.TextAnalysis.codeFeatures(col("__code")).toMap
+        withCode.select(col("doc_id"),
+          f("n_lines").as("n_lines"),
+          f("max_line_len").as("max_line_len"),
+          round(f("avg_line_len"), 4).as("avg_line_len"),
+          round(f("comment_line_frac"), 4).as("comment_line_frac"),
+          round(f("alnum_frac"), 4).as("alnum_frac"),
+          f("autogenerated").as("autogenerated"))
+      },
+      """WITH c AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 3 = 0
+        |     THEN '// AUTO-GENERATED, Do Not Edit' || chr(10) ELSE '' END)
+        |  || regexp_replace(text, '\. ', chr(10) || '# ', 'g') AS code
+        | FROM documents),
+        |l AS (SELECT doc_id, code,
+        |  string_split(code, chr(10)) AS lines FROM c)
+        |SELECT doc_id,
+        | CAST(len(lines) AS INT) AS n_lines,
+        | CAST(coalesce(list_max(list_transform(lines, x -> len(x))), 0)
+        |   AS INT) AS max_line_len,
+        | round((len(code) - (len(lines) - 1)) * 1.0
+        |   / greatest(len(lines), 1), 4) AS avg_line_len,
+        | round(len(list_filter(lines,
+        |     x -> regexp_matches(x, '^\s*(//|#|--|/\*|\*)'))) * 1.0
+        |   / greatest(len(lines), 1), 4) AS comment_line_frac,
+        | round(len(regexp_extract_all(code, '[A-Za-z0-9]')) * 1.0
+        |   / greatest(len(code), 1), 4) AS alnum_frac,
+        | (contains(lower(code), 'auto-generated')
+        |   OR contains(lower(code), 'do not edit')) AS autogenerated
+        |FROM l""".stripMargin),
+
+    ("strip_markdown",
+      // markdown -> plain text over a markdown-shaped derivation of
+      // documents.text (header/quote/bullets/fence prologue, sentence
+      // breaks become '## ' headers, every ' the ' bolded). DuckDB
+      // rebuilds the same derivation and replays the identical
+      // regexp_replace chain — a drift in any step's pattern, order,
+      // or replacement breaks the hash.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val md = concat(
+          lit("# Doc\n> intro quote\n- item one\n* item two\n" +
+            "---\n```scala\nval x = 1\n```\n"),
+          regexp_replace(
+            regexp_replace(col("text"), " the ", " **the** "),
+            "\\. ", ".\n## "))
+        docs(s, d).select(col("doc_id"),
+          graft.llm.TextAnalysis.stripMarkdown(md).as("plain"))
+      },
+      """WITH md AS (SELECT doc_id,
+        |  '# Doc' || chr(10) || '> intro quote' || chr(10) ||
+        |  '- item one' || chr(10) || '* item two' || chr(10) ||
+        |  '---' || chr(10) || '```scala' || chr(10) ||
+        |  'val x = 1' || chr(10) || '```' || chr(10) ||
+        |  regexp_replace(regexp_replace(text,
+        |    ' the ', ' **the** ', 'g'),
+        |    '\. ', '.' || chr(10) || '## ', 'g') AS t
+        | FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  regexp_replace(t, '```[a-zA-Z]*', '', 'g') AS t FROM md),
+        |s2 AS (SELECT doc_id,
+        |  regexp_replace(t, '!\[([^\]]*)\]\([^)]*\)', '\1', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id,
+        |  regexp_replace(t, '\[([^\]]*)\]\([^)]*\)', '\1', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id,
+        |  regexp_replace(t, '(?m)^#{1,6}\s*', '', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id,
+        |  regexp_replace(t, '(?m)^>\s?', '', 'g') AS t FROM s4),
+        |s6 AS (SELECT doc_id,
+        |  regexp_replace(t, '(?m)^-{3,}\s*$', '', 'g') AS t FROM s5),
+        |s7 AS (SELECT doc_id,
+        |  regexp_replace(t, '(?m)^(\s*)[-*+]\s+', '\1', 'g') AS t FROM s6)
+        |SELECT doc_id,
+        |  regexp_replace(t, '\*\*|__|~~|`|\*', '', 'g') AS plain
+        |FROM s7""".stripMargin),
+
     ("classifier_quality_score",
       // model-based quality filtering: train a hashed-TF logistic
       // classifier IN the engine (3 batch-GD iterations, lang='en'

@@ -94,6 +94,69 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** Code-corpus curation signals — the per-file gates code-dataset
+    * builds (Codex "average line length < 100 / max < 1000"-style
+    * rules, alphanumeric-fraction and generated-file filters) apply
+    * before anything heavier runs:
+    *   - n_lines / max_line_len / avg_line_len (newline line shape;
+    *     avg = (chars − newlines) / lines, exact integer inputs)
+    *   - comment_line_frac: lines opening (mod leading whitespace)
+    *     with a line-comment marker (slash-slash, #, --) or a
+    *     block-comment opener/continuation (slash-star, star)
+    *   - alnum_frac: [A-Za-z0-9] density (minified/binary-ish blobs
+    *     sit at the extremes)
+    *   - autogenerated: carries an "auto-generated" / "do not edit"
+    *     marker (lowercased substring)
+    * Pure Catalyst Columns — no UDF, no shuffle — and every formula is
+    * replayable by an external SQL engine (the code_features oracle).
+    */
+  def codeFeatures(text: Column): Seq[(String, Column)] = {
+    val lines = split(text, "\n", -1)
+    val nLines = size(lines)
+    val low = lower(text)
+    Seq(
+      "n_lines" -> nLines,
+      "max_line_len" ->
+        coalesce(array_max(transform(lines, l => length(l))), lit(0)),
+      "avg_line_len" ->
+        (length(text) - (nLines - 1)).cast(DoubleType) /
+          greatest(nLines, lit(1)).cast(DoubleType),
+      "comment_line_frac" ->
+        size(filter(lines, l => l.rlike("^\\s*(//|#|--|/\\*|\\*)")))
+          .cast(DoubleType) / greatest(nLines, lit(1)).cast(DoubleType),
+      "alnum_frac" ->
+        regexp_count(text, lit("[A-Za-z0-9]")).cast(DoubleType) /
+          greatest(length(text), lit(1)).cast(DoubleType),
+      "autogenerated" ->
+        (low.contains("auto-generated") || low.contains("do not edit")))
+  }
+
+  /** Markdown → plain text for curation (READMEs, wiki dumps, forum
+    * exports arrive markdown-formatted; dedup keys and quality
+    * features want the prose). A FIXED chain of regexp_replace steps —
+    * pure Catalyst, codegen'd, no UDF — so an external SQL engine
+    * replays the exact output:
+    *   fence markers dropped (fenced code content kept), images → alt
+    *   text, links → anchor text, ATX headers / blockquote markers /
+    *   horizontal rules / list bullets stripped at line starts,
+    *   emphasis markers (**, __, ~~, backtick, *) removed.
+    * Single underscores survive deliberately — stripping them would
+    * mangle snake_case identifiers, a worse corruption for a code-and-
+    * prose corpus than leaving rare _emphasis_ marks.
+    */
+  def stripMarkdown(text: Column): Column = {
+    val steps: Seq[(String, String)] = Seq(
+      "```[a-zA-Z]*" -> "",                   // fences (content kept)
+      "!\\[([^\\]]*)\\]\\([^)]*\\)" -> "$1",  // images -> alt text
+      "\\[([^\\]]*)\\]\\([^)]*\\)" -> "$1",   // links -> anchor text
+      "(?m)^#{1,6}\\s*" -> "",                // ATX headers
+      "(?m)^>\\s?" -> "",                     // blockquotes
+      "(?m)^-{3,}\\s*$" -> "",                // horizontal rules
+      "(?m)^(\\s*)[-*+]\\s+" -> "$1",         // list bullets
+      "\\*\\*|__|~~|`|\\*" -> "")             // emphasis markers
+    steps.foldLeft(text)((c, sr) => regexp_replace(c, sr._1, sr._2))
+  }
+
   /** Composite quality score in [0,1]: penalizes extreme lengths, high
     * punctuation/digit density, missing stopwords. JVM kernel (same
     * factors/thresholds/HALF_UP rounding); [[qualityScoreColumns]]

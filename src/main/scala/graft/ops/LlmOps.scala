@@ -113,6 +113,27 @@ object LlmOps {
         .withColumn(s"${c}_blocked", col(s"${c}_blocklist_hits") > 0)
     }
 
+    // `code-features :col` — per-file code-corpus curation signals
+    // (line shape, comment-line fraction, alphanumeric density, the
+    // generated-file marker), appended as <col>_<feature>. Pure
+    // Catalyst Columns, no UDF, no shuffle.
+    case "code-features" => ColumnOps.simple(spec) { df =>
+      val c = spec.col(0)
+      val t = col(c).cast(org.apache.spark.sql.types.StringType)
+      graft.llm.TextAnalysis.codeFeatures(t).foldLeft(df) {
+        case (d, (n2, cc)) => d.withColumn(s"${c}_$n2", cc)
+      }
+    }
+
+    // `strip-markdown :col` — markdown to plain text (fences, links,
+    // images, headers, quotes, bullets, emphasis) as <col>_plain; a
+    // fixed codegen'd regexp_replace chain, no UDF.
+    case "strip-markdown" => ColumnOps.simple(spec) { df =>
+      val c = spec.col(0)
+      df.withColumn(s"${c}_plain", graft.llm.TextAnalysis.stripMarkdown(
+        col(c).cast(org.apache.spark.sql.types.StringType)))
+    }
+
     // `robots-allowed :robotsCol :pathCol [agent]` — RFC 9309 verdict
     // as a boolean column <pathCol>_allowed (crawl politeness gate).
     case "robots-allowed" => ColumnOps.simple(spec) { df =>

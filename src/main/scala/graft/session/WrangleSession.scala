@@ -174,5 +174,7 @@ object Usage {
     "lang-id" -> "lang-id :col",
     "token-count" -> "token-count :col",
     "quality-score" -> "quality-score :col",
+    "code-features" -> "code-features :col",
+    "strip-markdown" -> "strip-markdown :col",
     "fingerprint" -> "fingerprint :col")
 }

@@ -75,12 +75,16 @@ object R12ScaleProbe {
     // warmup: small pass through both kernels
     fuzzyJoin("/root/testdata/sf0.01", "warmup fuzzy sf0.01")
     val f01 = fuzzyJoin("/root/testdata/sf0.1", "minhashJoin sf0.1")
-    val f1 = fuzzyJoin(ladderDir, "minhashJoin sf1 (10x)")
+    val f1 = fuzzyJoin(ladderDir, s"minhashJoin $ladderDir")
     val h100k = hammingAt(100000L, "hammingPairs64 100K sigs")
     val h1m = hammingAt(1000000L, "hammingPairs64 1M sigs")
-    println(f"""{"minhash_join_sf01": $f01%.2f, "minhash_join_sf1": $f1%.2f, """ +
+    val h10m =
+      if (args.contains("--deep")) hammingAt(10000000L, "hammingPairs64 10M sigs")
+      else -1.0
+    println(f"""{"minhash_join_sf01": $f01%.2f, "minhash_join_ladder": $f1%.2f, """ +
       f""""minhash_join_ratio": ${f1 / f01}%.2f, """ +
       f""""hamming_100k": $h100k%.2f, "hamming_1m": $h1m%.2f, """ +
+      f""""hamming_10m": $h10m%.2f, """ +
       f""""hamming_ratio_10x": ${h1m / h100k}%.2f}""")
     spark.stop()
   }
