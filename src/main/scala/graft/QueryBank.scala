@@ -3452,6 +3452,27 @@ object QueryBank {
         | FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id) p
         |WHERE hamming <= 3""".stripMargin),
 
+    ("image_dedup_incremental",
+      // daily-crawl shape for images: the batch (ids 50..149) dedupes
+      // against persisted corpus state (ids 0..49) through the banded
+      // dHash table — corpus images are never re-decoded. Ids 100..149
+      // are planted visually-near twins of corpus ids 0..49 (<= 1 bit,
+      // validated) and drop; ids 50..99 are novel (>= 10 bits from
+      // every other fixture) and survive. The closed-form oracle holds
+      // exactly BECAUSE of those measured margins.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val all = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 150)
+          .withColumn("payload", synthDhashPngUdf(col("doc_id")))
+        val corpus = all.where(col("doc_id") < 50)
+        val batch = all.where(col("doc_id") >= 50)
+        graft.llm.ImageHash.imageDedupAgainst(batch, "payload", "doc_id",
+            graft.llm.ImageHash.dhashState(corpus, "payload", "doc_id"))
+          .select("doc_id")
+      },
+      "SELECT doc_id FROM documents WHERE doc_id >= 50 AND doc_id < 100"),
+
     ("data_model_map_column",
       (s, d) => r("data-model-map-column prop:{field=account_balance,type=long} :c_acctbal; keep :c_custkey,:account_balance")(cust(s, d)),
       "SELECT c_custkey, CAST(trunc(c_acctbal) AS BIGINT) AS account_balance FROM customer"),

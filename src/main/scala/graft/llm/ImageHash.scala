@@ -120,6 +120,19 @@ object ImageHash {
     hammingPairs64(df.select(col(idCol).as("__id"),
       col(sigCol).cast("long").as("__sig")), maxHamming, maxBucketSize)
 
+  /** (__id, __sig) → one row per 16-bit band: (__id, __sig, __band,
+    * __chunk) — the shared banding step of the pair core and the
+    * incremental state table.
+    */
+  private def bandedOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("__id"), col("__sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("__sig"), b * 16).bitwiseAND(lit(0xffffL))
+            .as("chunk"))): _*)).as("__bb"))
+      .select(col("__id"), col("__sig"),
+        col("__bb.band").as("__band"), col("__bb.chunk").as("__chunk"))
+
   /** Banded-Hamming core: 4×16-bit chunks (any shared chunk ⇒
     * candidate — pigeonhole guarantees recall for Hamming ≤ 3), native
     * bit_count(xor) verify, hot-bucket skew guard. Shuffle keys are
@@ -132,13 +145,7 @@ object ImageHash {
       maxBucketSize: Int): DataFrame = {
     val sigs = sigs0.persist()
     sigs.count() // eager: signatures compute once, not per self-join side
-    val banded = sigs.select(col("__id"), col("__sig"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("__sig"), b * 16).bitwiseAND(lit(0xffffL))
-            .as("chunk"))): _*)).as("__bb"))
-      .select(col("__id"), col("__sig"),
-        col("__bb.band").as("__band"), col("__bb.chunk").as("__chunk"))
+    val banded = bandedOf(sigs)
     val sized = Dedup.dropHotBuckets(banded, Seq("__band", "__chunk"),
       maxBucketSize)
     val l = sized.select(col("__band"), col("__chunk"),
@@ -174,5 +181,65 @@ object ImageHash {
     val losers = imageDupPairs(df, binCol, idCol, maxHamming)
       .select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Banded dHash state of an image corpus — the persisted table a
+    * daily crawl ingest dedupes against WITHOUT re-decoding a single
+    * corpus image: (__id, __sig, __band, __chunk), 4 narrow rows per
+    * decodable payload (~32 B each). The signature rides along so the
+    * ingest-time Hamming verify needs no corpus fetch at all (unlike
+    * the MinHash state, whose verify re-reads candidate text).
+    */
+  def dhashState(df: DataFrame, binCol: String, idCol: String): DataFrame =
+    bandedOf(df.select(col(idCol).as("__id"),
+        dhash64Udf(col(binCol)).as("__sig"))
+      .filter(col("__sig").isNotNull))
+
+  /** Incremental perceptual dedup — the [[graft.llm.IncrementalDedup]]
+    * shape for images: ONE decode+hash pass over the batch feeds both
+    * the in-batch pair generation (keep smallest id) and the banded
+    * join against the stored corpus state (any match ⇒ drop). The
+    * hot-bucket guard applies to the COMBINED batch+state population,
+    * so a bucket hot on either side is dropped from both. Corpus
+    * images are never re-decoded; the state aggregation is one linear
+    * narrow pass. Undecodable payloads can't match anything and always
+    * survive. Append `dhashState` rows of the survivors to carry the
+    * state forward.
+    */
+  def imageDedupAgainst(batch: DataFrame, binCol: String, idCol: String,
+      state: DataFrame, maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val sigs = batch.select(col(idCol).as("__id"),
+        dhash64Udf(col(binCol)).as("__sig"))
+      .filter(col("__sig").isNotNull)
+    val combined = bandedOf(sigs).withColumn("__side", lit(0))
+      .unionByName(state
+        .select(col("__id"), col("__sig"), col("__band"), col("__chunk"))
+        .withColumn("__side", lit(1)))
+      .persist()
+    combined.count() // eager: batch decode+hash runs once, not per branch
+    val guarded = Dedup.dropHotBuckets(combined, Seq("__band", "__chunk"),
+      maxBucketSize)
+    val b = guarded.filter(col("__side") === 0)
+      .select(col("__band"), col("__chunk"),
+        col("__id").as("id_a"), col("__sig").as("sig_a"))
+    val ham = bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+    // in-batch: smallest id of a near-dup pair survives
+    val inBatchLosers = b.join(guarded.filter(col("__side") === 0)
+        .select(col("__band"), col("__chunk"),
+          col("__id").as("id_b"), col("__sig").as("sig_b")),
+        Seq("__band", "__chunk"))
+      .filter(col("id_a") < col("id_b") && ham <= maxHamming)
+      .select(col("id_b").as("__loser"))
+    // vs corpus: any state match drops the batch row
+    val stateLosers = b.join(guarded.filter(col("__side") === 1)
+        .select(col("__band"), col("__chunk"),
+          col("__id").as("id_b"), col("__sig").as("sig_b")),
+        Seq("__band", "__chunk"))
+      .filter(ham <= maxHamming)
+      .select(col("id_a").as("__loser"))
+    val losers = inBatchLosers.unionByName(stateLosers).distinct()
+    batch.join(losers.withColumnRenamed("__loser", idCol), Seq(idCol),
+      "left_anti")
   }
 }

@@ -84,4 +84,33 @@ class ImageHashSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(viaDirective == Set(0L, 2L, 3L))
   }
+
+  test("imageDedupAgainst: state match drops, in-batch dedup, novel survives") {
+    def scramble(seed: Int)(x: Int, y: Int): (Int, Int, Int) = {
+      val q = (seed * 97 + x * 13 + y * 29) % 251
+      ((q * q * 3 + q * 5 + 7) % 256, (q * q * 7 + q * 11 + 3) % 256,
+        (q * q * 11 + q * 3 + 17) % 256)
+    }
+    def tweak(f: (Int, Int) => (Int, Int, Int))(x: Int, y: Int) = {
+      val (r, g, b) = f(x, y)
+      if (x == 0 && y == 0) ((r + 113) % 256, (g + 113) % 256, (b + 113) % 256)
+      else (r, g, b)
+    }
+    val corpus = Seq((1L, rgbPng(11, 9)(scramble(1)))).toDF("id", "payload")
+    val batch = Seq(
+      (10L, rgbPng(11, 9)(tweak(scramble(1)))),  // twin of corpus 1 -> drops
+      (11L, rgbPng(11, 9)(scramble(2))),         // novel -> survives
+      (12L, rgbPng(11, 9)(tweak(scramble(2)))),  // in-batch twin of 11 -> drops
+      (13L, "not an image".getBytes))            // undecodable -> survives
+      .toDF("id", "payload")
+    val state = ImageHash.dhashState(corpus, "payload", "id")
+    assert(state.count() == 4) // 4 bands x 1 decodable image
+    val kept = ImageHash.imageDedupAgainst(batch, "payload", "id", state)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(11L, 13L), s"got $kept")
+    // survivors' state appends carry the table forward
+    val next = state.unionByName(ImageHash.dhashState(
+      batch.filter($"id".isin(11L, 13L)), "payload", "id"))
+    assert(next.count() == 8) // 13 is undecodable, contributes nothing
+  }
 }
