@@ -100,6 +100,22 @@ class PlanSpec extends SparkSpec {
     assert(masked == graft.functions.Udfs.maskNumber(raw, "xxxxxxxx#"))
   }
 
+  test("code-features and strip-markdown compile UDF-free") {
+    // both kernels are pure Catalyst (native string functions + HOFs),
+    // so the scan->project pipeline carries no ScalaUDF anywhere
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+    val cf = wrangle("code-features :text", src)
+    assert(!cf.queryExecution.executedPlan.toString.contains("ScalaUDF"),
+      "code-features should not plan a UDF")
+    val sm = wrangle("strip-markdown :text", src)
+    val smPlan = sm.queryExecution.executedPlan.toString
+    assert(!smPlan.contains("ScalaUDF"),
+      "strip-markdown should not plan a UDF")
+    // the regexp chain stays inside whole-stage codegen ("*(n)" is the
+    // codegen-stage marker in the simple plan string)
+    assert(smPlan.contains("*(1)"), smPlan)
+  }
+
   test("fnv64 native expression matches the JVM kernel") {
     import org.apache.spark.sql.functions.{col, lit}
     val d = spark.range(1).select(lit("hello world").as("s"))

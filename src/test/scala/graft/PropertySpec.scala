@@ -339,6 +339,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dhash64 / wavFrameStats: total on arbitrary bytes") {
+    check("imageAudioHashTotal") {
+      Prop.forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) { bs =>
+        val b = bs.toArray
+        // both return null (not throw) on everything undecodable, and
+        // a decodable result is internally consistent
+        val d = graft.llm.ImageHash.dhash64(b)
+        val h = graft.llm.ImageHash.dhashHex(b)
+        val w = graft.llm.MediaHeaders.wavFrameStats(b, 16)
+        ((d == null) == (h == null)) &&
+          (d == null || h == f"${d.longValue}%016x") &&
+          (w == null || (w.n_frames >= 0 && w.silence_frames <= w.n_frames))
+      }
+    }
+  }
+
   test("png/gif/bmp/mp4 decoders: total on arbitrary bytes") {
     check("mediaDecodersTotal") {
       Prop.forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) { bs =>
