@@ -625,6 +625,69 @@ object QueryBank {
     // and the oracle is the per-user batch rollup). round() guards the
     // float-sum against accumulation-order ulps; `closed` is dropped
     // (always false without a timeout).
+    // Streaming perceptual image dedup: the crawl-ingest stream shape —
+    // decode + dHash per micro-batch (map-only), then exact-signature
+    // dedup with bounded watermark state. Emitted set = DISTINCT dHash
+    // values, which DuckDB recomputes from the pixel formula; the
+    // hamming-0 planted twins collapse in-stream, hamming-1 twins pass
+    // (near-dup pairing stays the batch imageDupPairs job — streaming
+    // state can only do exact keys).
+    ("stream_image_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.streaming.StreamOps.runBatchAsStream(
+          s, s"$d/documents.parquet",
+          st => graft.streaming.StreamOps.streamingDedup(
+            st.filter(col("doc_id") < 200)
+              .withColumn("payload", synthDhashPngUdf(col("doc_id")))
+              .withColumn("sig",
+                graft.llm.ImageHash.dhashHexUdf(col("payload")))
+              .withColumn("ts",
+                to_timestamp(lit("2024-01-01 00:00:00"))),
+            Seq("sig"), "ts").select("sig"),
+          queryName = "stream_image_dedup_correctness")
+      },
+      """WITH g AS (SELECT doc_id,
+        |  CAST(9 + (doc_id % 100) % 8 AS BIGINT) AS w,
+        |  CAST(8 + (doc_id % 100) % 7 AS BIGINT) AS h,
+        |  doc_id % 100 AS seed
+        | FROM documents WHERE doc_id < 200),
+        |qs AS (SELECT doc_id, w, h,
+        |  list_transform(range(0, w * h),
+        |    i -> (seed * 97 + (i % w) * 13 + (i // w) * 29) % 251) AS q
+        | FROM g),
+        |lums AS (SELECT doc_id, w, h,
+        |  CASE WHEN doc_id >= 100 THEN
+        |    list_concat([299 * ((q[1] * q[1] * 3 + q[1] * 5 + 120) % 256)
+        |               + 587 * ((q[1] * q[1] * 7 + q[1] * 11 + 116) % 256)
+        |               + 114 * ((q[1] * q[1] * 11 + q[1] * 3 + 130) % 256)],
+        |      l0[2:])
+        |  ELSE l0 END AS lum
+        | FROM (SELECT doc_id, w, h, q,
+        |    list_transform(q, v -> 299 * ((v * v * 3 + v * 5 + 7) % 256)
+        |      + 587 * ((v * v * 7 + v * 11 + 3) % 256)
+        |      + 114 * ((v * v * 11 + v * 3 + 17) % 256)) AS l0
+        |   FROM qs) t),
+        |cells AS (SELECT doc_id, cy, cx,
+        |  list_sum(list_transform(list_filter(range(0, w * h),
+        |     i -> (i % w) * 9 // w = cx AND (i // w) * 8 // h = cy),
+        |     i -> lum[CAST(i + 1 AS INT)])) AS s,
+        |  len(list_filter(range(0, w * h),
+        |     i -> (i % w) * 9 // w = cx AND (i // w) * 8 // h = cy)) AS c
+        | FROM lums
+        | CROSS JOIN (SELECT unnest(range(0, 8)) AS cy) ys
+        | CROSS JOIN (SELECT unnest(range(0, 9)) AS cx) xs),
+        |bits AS (SELECT a.doc_id, a.cy, a.cx,
+        |   CASE WHEN a.s * b.c > b.s * a.c THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8),
+        |bytes AS (SELECT doc_id, cy, CAST(sum(bit << cx) AS BIGINT) AS byte
+        |  FROM bits GROUP BY 1, 2)
+        |SELECT DISTINCT
+        |  string_agg(printf('%02x', byte), '' ORDER BY cy DESC) AS sig
+        |FROM bytes GROUP BY doc_id""".stripMargin),
+
     ("stream_sessionize",
       (s, d) => {
         import org.apache.spark.sql.functions._
