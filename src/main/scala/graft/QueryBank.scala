@@ -1726,6 +1726,19 @@ object QueryBank {
       (s, d) => r("quality-score :text; keep :doc_id,:text_quality")(docs(s, d)),
       qualityScoreSql),
 
+    ("dedup_report",
+      // per-(source, lang) duplication telemetry via the exact-dedup
+      // normalize kernel — DuckDB recomputes distinct normalized
+      // contents directly (fingerprints are md5 of the normalized text,
+      // so their distinct count is the normalized distinct count)
+      (s, d) => r("dedup-report :text :source,:lang")(docs(s, d)),
+      s"""SELECT source, lang, count(*) AS n_docs,
+        | count(DISTINCT ${normSql("text")}) AS n_distinct,
+        | round(CAST(1.0 AS DOUBLE)
+        |   - CAST(count(DISTINCT ${normSql("text")}) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE), 4) AS dup_frac
+        |FROM documents GROUP BY source, lang""".stripMargin),
+
     ("code_features",
       // code-corpus curation gates over a code-shaped derivation of the
       // documents table (sentence breaks become '# ' comment lines, a

@@ -177,6 +177,25 @@ object Dedup {
     minhashPairsAndIds(df, textCol, idCol, numHashes, bands, shingleK,
       threshold, maxBucketSize, textSource = df)._2
 
+  /** Per-group duplication report — the dedup TELEMETRY a pipeline
+    * reads before deciding which dedup pass to pay for: row count,
+    * distinct normalized contents, and the duplicate fraction per
+    * group (source, shard, ingest date, ...). ONE partial-aggregated
+    * pass: only (group, fingerprint) leaves the map side — text never
+    * shuffles — and the same normalize kernel as [[exact]] means the
+    * report counts exactly what `dedup-exact` would drop.
+    */
+  def dupReport(df: DataFrame, textCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "dupReport: at least one group column")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(fingerprint(col(textCol))).as("n_distinct"))
+      .withColumn("dup_frac",
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_docs").cast("double"), 4))
+  }
+
   /** Fuzzy similarity JOIN between two corpora — "which of my new
     * documents already exist, slightly edited, in that other table" —
     * by the same banded-MinHash LSH as [[minhashPairs]], but across

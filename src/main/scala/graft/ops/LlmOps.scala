@@ -22,6 +22,13 @@ object LlmOps {
       }
     }
 
+    // `dedup-report :text :group1[,:group2...]` — per-group duplication
+    // telemetry (n_docs, n_distinct, dup_frac) using the exact-dedup
+    // normalize kernel; the cost estimate before paying for a dedup.
+    case "dedup-report" => ColumnOps.simple(spec) { df =>
+      Dedup.dupReport(df, spec.col(0), spec.cols(1))
+    }
+
     // `dedup-lines :text :id [minChars]` — corpus-wide exact line
     // dedup: any line >= minChars chars repeated anywhere keeps only
     // its global first occurrence (CCNet/Dolma-style line dedup)

@@ -171,6 +171,7 @@ object Usage {
     "dedup-exact" -> "dedup-exact :textcol :idcol",
     "dedup-minhash" -> "dedup-minhash :textcol :idcol [threshold]",
     "dedup-images" -> "dedup-images :payloadcol :idcol [maxHamming]",
+    "dedup-report" -> "dedup-report :textcol :group1[,:group2...]",
     "lang-id" -> "lang-id :col",
     "token-count" -> "token-count :col",
     "quality-score" -> "quality-score :col",

@@ -113,4 +113,34 @@ class ImageHashSpec extends SparkSpec {
       batch.filter($"id".isin(11L, 13L)), "payload", "id"))
     assert(next.count() == 8) // 13 is undecodable, contributes nothing
   }
+
+  test("incremental identity: against-state equals full dedup on the union") {
+    // when every corpus id precedes every batch id, imageDedupAgainst
+    // survivors must equal full imageDedup over corpus+batch restricted
+    // to batch ids — same identity RobustnessSpec proves for MinHash
+    def scramble(seed: Int)(x: Int, y: Int): (Int, Int, Int) = {
+      val q = (seed * 97 + x * 13 + y * 29) % 251
+      ((q * q * 3 + q * 5 + 7) % 256, (q * q * 7 + q * 11 + 3) % 256,
+        (q * q * 11 + q * 3 + 17) % 256)
+    }
+    def tweak(f: (Int, Int) => (Int, Int, Int))(x: Int, y: Int) = {
+      val (r, g, b) = f(x, y)
+      if (x == 0 && y == 0) ((r + 113) % 256, (g + 113) % 256, (b + 113) % 256)
+      else (r, g, b)
+    }
+    val corpus = (1 to 8).map(s => (s.toLong, rgbPng(11, 9)(scramble(s))))
+      .toDF("id", "payload")
+    val batch = (
+      (5 to 12).map(s => (100L + s, rgbPng(11, 9)(tweak(scramble(s))))) ++
+      Seq((200L, "noise".getBytes))).toDF("id", "payload")
+    val viaState = ImageHash.imageDedupAgainst(batch, "payload", "id",
+        ImageHash.dhashState(corpus, "payload", "id"))
+      .select("id").as[Long].collect().toSet
+    val viaFull = ImageHash.imageDedup(corpus.unionByName(batch),
+        "payload", "id")
+      .filter($"id" >= 100L).select("id").as[Long].collect().toSet
+    assert(viaState == viaFull, s"state=$viaState full=$viaFull")
+    // twins of corpus seeds 5..8 dropped; seeds 9..12 novel; noise kept
+    assert(viaState == Set(109L, 110L, 111L, 112L, 200L))
+  }
 }
