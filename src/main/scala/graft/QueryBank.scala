@@ -1770,7 +1770,7 @@ object QueryBank {
         |  string_split(code, chr(10)) AS lines FROM c)
         |SELECT doc_id,
         | CAST(len(lines) AS INT) AS n_lines,
-        | CAST(coalesce(list_max(list_transform(lines, x -> len(x))), 0)
+        | CAST(list_max(list_transform(lines, x -> len(x)))
         |   AS INT) AS max_line_len,
         | round((len(code) - (len(lines) - 1)) * 1.0
         |   / greatest(len(lines), 1), 4) AS avg_line_len,
@@ -1787,14 +1787,16 @@ object QueryBank {
       // markdown -> plain text over a markdown-shaped derivation of
       // documents.text (header/quote/bullets/fence prologue, sentence
       // breaks become '## ' headers, every ' the ' bolded). DuckDB
-      // rebuilds the same derivation and replays the identical
-      // regexp_replace chain — a drift in any step's pattern, order,
-      // or replacement breaks the hash.
+      // rebuilds the same derivation, walls off the fenced segments
+      // exactly like the kernel (odd split segments = code, info line
+      // dropped, content verbatim), and replays the identical prose
+      // chain on the even segments — a drift in any pattern, order,
+      // replacement, or the fence walling breaks the hash.
       (s, d) => {
         import org.apache.spark.sql.functions._
         val md = concat(
           lit("# Doc\n> intro quote\n- item one\n* item two\n" +
-            "---\n```scala\nval x = 1\n```\n"),
+            "---\n```scala\nval x = 1 * 2\n```\n"),
           regexp_replace(
             regexp_replace(col("text"), " the ", " **the** "),
             "\\. ", ".\n## "))
@@ -1805,28 +1807,34 @@ object QueryBank {
         |  '# Doc' || chr(10) || '> intro quote' || chr(10) ||
         |  '- item one' || chr(10) || '* item two' || chr(10) ||
         |  '---' || chr(10) || '```scala' || chr(10) ||
-        |  'val x = 1' || chr(10) || '```' || chr(10) ||
+        |  'val x = 1 * 2' || chr(10) || '```' || chr(10) ||
         |  regexp_replace(regexp_replace(text,
         |    ' the ', ' **the** ', 'g'),
         |    '\. ', '.' || chr(10) || '## ', 'g') AS t
         | FROM documents),
-        |s1 AS (SELECT doc_id,
-        |  regexp_replace(t, '```[a-zA-Z]*', '', 'g') AS t FROM md),
-        |s2 AS (SELECT doc_id,
-        |  regexp_replace(t, '!\[([^\]]*)\]\([^)]*\)', '\1', 'g') AS t FROM s1),
-        |s3 AS (SELECT doc_id,
-        |  regexp_replace(t, '\[([^\]]*)\]\([^)]*\)', '\1', 'g') AS t FROM s2),
-        |s4 AS (SELECT doc_id,
-        |  regexp_replace(t, '(?m)^#{1,6}\s*', '', 'g') AS t FROM s3),
-        |s5 AS (SELECT doc_id,
-        |  regexp_replace(t, '(?m)^>\s?', '', 'g') AS t FROM s4),
-        |s6 AS (SELECT doc_id,
-        |  regexp_replace(t, '(?m)^-{3,}\s*$', '', 'g') AS t FROM s5),
-        |s7 AS (SELECT doc_id,
-        |  regexp_replace(t, '(?m)^(\s*)[-*+]\s+', '\1', 'g') AS t FROM s6)
-        |SELECT doc_id,
-        |  regexp_replace(t, '\*\*|__|~~|`|\*', '', 'g') AS plain
-        |FROM s7""".stripMargin),
+        |seg AS (SELECT doc_id, string_split(t, '```') AS segs FROM md)
+        |SELECT doc_id, array_to_string(
+        |  list_transform(range(1, len(segs) + 1), i ->
+        |    CASE WHEN (i - 1) % 2 = 1
+        |    THEN regexp_replace(segs[CAST(i AS INT)], '^[^\n]*\n?', '')
+        |    ELSE
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(
+        |        segs[CAST(i AS INT)],
+        |        '!\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+        |        '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+        |        '(?m)^#{1,6}\s*', '', 'g'),
+        |        '(?m)^>\s?', '', 'g'),
+        |        '(?m)^-{3,}\s*$', '', 'g'),
+        |        '(?m)^(\s*)[-*+]\s+', '\1', 'g'),
+        |        '\*\*(\S[^\n]*?)\*\*', '\1', 'g'),
+        |        '__(\S[^\n]*?)__', '\1', 'g'),
+        |        '~~(\S[^\n]*?)~~', '\1', 'g'),
+        |        '\*(\S[^*\n]*?)\*', '\1', 'g'),
+        |        '`', '', 'g')
+        |    END), '') AS plain
+        |FROM seg""".stripMargin),
 
     ("classifier_quality_score",
       // model-based quality filtering: train a hashed-TF logistic

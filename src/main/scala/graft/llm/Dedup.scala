@@ -190,7 +190,13 @@ object Dedup {
     require(groupCols.nonEmpty, "dupReport: at least one group column")
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
-        countDistinct(fingerprint(col(textCol))).as("n_distinct"))
+        // countDistinct skips null fingerprints, but exact() groups
+        // null-text rows together and KEEPS one — count that group
+        // explicitly so the report matches what dedup-exact drops
+        // (and an all-null group reads 1 distinct, not 0)
+        (countDistinct(fingerprint(col(textCol))) +
+          max(when(col(textCol).isNull, 1L).otherwise(0L)))
+          .as("n_distinct"))
       .withColumn("dup_frac",
         round(lit(1.0) - col("n_distinct").cast("double") /
           col("n_docs").cast("double"), 4))

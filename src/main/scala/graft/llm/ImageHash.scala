@@ -238,7 +238,15 @@ object ImageHash {
         Seq("__band", "__chunk"))
       .filter(ham <= maxHamming)
       .select(col("id_a").as("__loser"))
+    // the loser set is small (duplicates only) — pin IT eagerly and
+    // release the combined batch+state cache, which at a 100M-image
+    // corpus is 400M rows and must not outlive this call (CacheManager
+    // holds persisted plans until an explicit unpersist; a daily
+    // ingest loop would otherwise accumulate one full-state cache per
+    // batch)
     val losers = inBatchLosers.unionByName(stateLosers).distinct()
+      .localCheckpoint()
+    combined.unpersist()
     batch.join(losers.withColumnRenamed("__loser", idCol), Seq(idCol),
       "left_anti")
   }

@@ -116,8 +116,11 @@ object TextAnalysis {
     val low = lower(text)
     Seq(
       "n_lines" -> nLines,
-      "max_line_len" ->
-        coalesce(array_max(transform(lines, l => length(l))), lit(0)),
+      // no null-coalesce: non-null text always has >= 1 line, so a 0
+      // here could only ever be a disguised NULL — and a curation rule
+      // like "drop max_line_len = 0" must not swallow null docs as
+      // empty ones. Null in, null out, like every sibling feature.
+      "max_line_len" -> array_max(transform(lines, l => length(l))),
       "avg_line_len" ->
         (length(text) - (nLines - 1)).cast(DoubleType) /
           greatest(nLines, lit(1)).cast(DoubleType),
@@ -133,28 +136,46 @@ object TextAnalysis {
 
   /** Markdown → plain text for curation (READMEs, wiki dumps, forum
     * exports arrive markdown-formatted; dedup keys and quality
-    * features want the prose). A FIXED chain of regexp_replace steps —
-    * pure Catalyst, codegen'd, no UDF — so an external SQL engine
-    * replays the exact output:
-    *   fence markers dropped (fenced code content kept), images → alt
-    *   text, links → anchor text, ATX headers / blockquote markers /
-    *   horizontal rules / list bullets stripped at line starts,
-    *   emphasis markers (**, __, ~~, backtick, *) removed.
-    * Single underscores survive deliberately — stripping them would
-    * mangle snake_case identifiers, a worse corruption for a code-and-
-    * prose corpus than leaving rare _emphasis_ marks.
+    * features want the prose). Pure Catalyst — a split on ``` walls
+    * off fenced-code regions, the prose chain runs ONLY on the
+    * outside segments, and everything re-joins — so an external SQL
+    * engine replays the exact output (the strip_markdown oracle):
+    *   - fenced code: content preserved VERBATIM (a code-and-prose
+    *     corpus must not have its `__init__`s and `a * b`s mangled by
+    *     emphasis rules); only the fence markers and the info string
+    *     (the opening fence's language line) are dropped. Unbalanced
+    *     fences deterministically treat the trailing segment as code.
+    *   - prose segments: images → alt text, links → anchor text, ATX
+    *     headers / blockquote markers / horizontal rules / list
+    *     bullets stripped at line starts, then PAIRED emphasis
+    *     unwrapped — `**x**`/`__x__`/`~~x~~`/`*x*` → `x` only when the
+    *     content starts with non-space (so prose `2 * 3` keeps its
+    *     asterisk), and inline-code backticks dropped. Single
+    *     underscores survive (snake_case stays intact).
     */
   def stripMarkdown(text: Column): Column = {
     val steps: Seq[(String, String)] = Seq(
-      "```[a-zA-Z]*" -> "",                   // fences (content kept)
       "!\\[([^\\]]*)\\]\\([^)]*\\)" -> "$1",  // images -> alt text
       "\\[([^\\]]*)\\]\\([^)]*\\)" -> "$1",   // links -> anchor text
       "(?m)^#{1,6}\\s*" -> "",                // ATX headers
       "(?m)^>\\s?" -> "",                     // blockquotes
       "(?m)^-{3,}\\s*$" -> "",                // horizontal rules
       "(?m)^(\\s*)[-*+]\\s+" -> "$1",         // list bullets
-      "\\*\\*|__|~~|`|\\*" -> "")             // emphasis markers
-    steps.foldLeft(text)((c, sr) => regexp_replace(c, sr._1, sr._2))
+      "\\*\\*(\\S[^\\n]*?)\\*\\*" -> "$1",    // paired bold
+      "__(\\S[^\\n]*?)__" -> "$1",            // paired bold (underscore)
+      "~~(\\S[^\\n]*?)~~" -> "$1",            // strikethrough
+      "\\*(\\S[^*\\n]*?)\\*" -> "$1",         // paired italics
+      "`" -> "")                              // inline-code markers
+    def prose(c: Column): Column =
+      steps.foldLeft(c)((acc, sr) => regexp_replace(acc, sr._1, sr._2))
+    // even segments (0-based) are outside fences; odd segments are
+    // fenced code, kept verbatim minus the info-string line
+    val segs = split(text, "```", -1)
+    array_join(
+      zip_with(segs, sequence(lit(0), size(segs) - 1), (s, i) =>
+        when(i % 2 === 0, prose(s))
+          .otherwise(regexp_replace(s, "^[^\\n]*\\n?", ""))),
+      "")
   }
 
   /** Composite quality score in [0,1]: penalizes extreme lengths, high

@@ -132,9 +132,10 @@ object LlmOps {
       }
     }
 
-    // `strip-markdown :col` — markdown to plain text (fences, links,
-    // images, headers, quotes, bullets, emphasis) as <col>_plain; a
-    // fixed codegen'd regexp_replace chain, no UDF.
+    // `strip-markdown :col` — markdown to plain text as <col>_plain:
+    // fenced code walled off verbatim (split on ```), the prose
+    // regexp_replace chain on the outside segments. Pure Catalyst,
+    // no UDF.
     case "strip-markdown" => ColumnOps.simple(spec) { df =>
       val c = spec.col(0)
       df.withColumn(s"${c}_plain", graft.llm.TextAnalysis.stripMarkdown(

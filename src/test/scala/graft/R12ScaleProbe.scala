@@ -16,11 +16,14 @@ import org.apache.spark.sql.functions._
   *    (image decode is map-only and embarrassingly parallel; the join
   *    is the part whose scale shape needs proof).
   *
-  * Usage: Test/runMain graft.R12ScaleProbe <ladderDir>
+  * Usage: Test/runMain graft.R12ScaleProbe [ladderDir] [--deep]
+  * (--deep adds the 10M-signature hammingPairs64 rung; flags and the
+  * positional dir may appear in either order)
   */
 object R12ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val ladderDir = if (args.nonEmpty) args(0) else "/tmp/ladder_sf1"
+    val ladderDir = args.filterNot(_.startsWith("--"))
+      .headOption.getOrElse("/tmp/ladder_sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
