@@ -3536,6 +3536,27 @@ object QueryBank {
         | FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id) p
         |WHERE hamming <= 3""".stripMargin),
 
+    ("image_dup_pairs_jpeg",
+      // JPEG — the dominant web image format — through the SAME
+      // perceptual-dedup path: ImageIO DCT decode → dHash → banded-
+      // Hamming LSH → bit_count verify. Lossy DCT makes the hash
+      // decoder-exact but formula-inexact, so the oracle is the
+      // fixture's planted-pair CONTRACT rather than SQL pixel replay:
+      // every (id, id+100) twin must land within Hamming ≤ 3 and no
+      // cross pair may sneak in (all-pairs distances validated in
+      // ImageHashSpec; deterministic for a fixed JDK codec).
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val fx = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthJpegDhashUdf(col("doc_id")))
+        graft.llm.ImageHash.imageDupPairs(fx, "payload", "doc_id",
+            maxHamming = 3)
+          .select(col("id_a"), col("id_b"))
+      },
+      """SELECT doc_id AS id_a, doc_id + 100 AS id_b
+        |FROM documents WHERE doc_id < 100""".stripMargin),
+
     ("image_dedup_incremental",
       // daily-crawl shape for images: the batch (ids 50..149) dedupes
       // against persisted corpus state (ids 0..49) through the banded
@@ -3631,30 +3652,40 @@ object QueryBank {
         cust(s, d).orderBy("c_custkey"), 100).select("c_custkey", "c_name"),
       "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 100"),
 
-    // seeded samplers: deterministic under a pinned seed on the
-    // single-split sf0.01 scan (fixture-oracle pattern, like
-    // mask_shuffle). The pins are validated against the real table —
-    // DuckDB joins customer, so a fabricated key would surface as a
-    // row-count/hash mismatch, and the sampled fraction is checked by
-    // the pinned cardinality itself.
+    // seeded samplers, position-INDEPENDENT form: the draw is a pure
+    // function of (key, seed) through the md5 hash-point machinery of
+    // the sample-by-hash family, so each oracle is exact SQL that
+    // RECOMPUTES at any SF — and the sample itself is stable under
+    // retries, repartitioning, AQE re-planning and cluster size, the
+    // only reproducible form over a 100 TB corpus. The reference's
+    // per-row-RNG forms remain available as Sampler.bernoulli/
+    // poisson/reservoir (unit-tested in MiscSpec; their draws are
+    // position-dependent by construction, so they pin to a layout).
     ("sample_bernoulli",
-      (s, d) => graft.session.Sampler.bernoulli(cust(s, d), 0.05, seed = 7L)
+      (s, d) => graft.session.Sampler.bernoulliByKey(
+          cust(s, d), "c_custkey", 0.05, seed = 7L)
         .select("c_custkey", "c_name"),
-      sampleBernoulliSql),
+      s"""SELECT c_custkey, c_name FROM customer
+        | WHERE md5(coalesce(CAST(c_custkey AS VARCHAR), '') || '#bern7')
+        |  < '${graft.session.Sampler.hexThreshold(0.05)}'""".stripMargin),
 
     ("sample_poisson",
       (s, d) => {
         import org.apache.spark.sql.functions._
         // with-replacement: multiplicities matter, so count per key
-        graft.session.Sampler.poisson(cust(s, d), 0.04, seed = 7L)
+        graft.session.Sampler.poissonByKey(
+            cust(s, d), "c_custkey", 0.04, seed = 7L)
           .groupBy("c_custkey").agg(count(lit(1)).as("n"))
       },
-      samplePoissonSql),
+      samplePoissonKeyedSql),
 
     ("sample_reservoir",
-      (s, d) => graft.session.Sampler.reservoir(cust(s, d), 40, seed = 7L)
+      (s, d) => graft.session.Sampler.reservoirByKey(
+          cust(s, d), "c_custkey", 40, seed = 7L)
         .select("c_custkey", "c_name"),
-      sampleReservoirSql),
+      """SELECT c_custkey, c_name FROM customer
+        | ORDER BY md5(coalesce(CAST(c_custkey AS VARCHAR), '') || '#resv7')
+        | LIMIT 40""".stripMargin),
 
     // content-keyed md5-range sampling: EXACT SQL oracle (not a pinned
     // fixture) — both engines hash the same key string and compare
@@ -4080,43 +4111,24 @@ object QueryBank {
         |FROM nation""".stripMargin)
   )
 
-  /** Pinned seed-7 sampler outputs on the single-split sf0.01 customer
-    * scan (per-partition seeding makes them stable for any CPU count —
-    * the file is under the 4 MB open-cost floor, so always 1 split).
-    * Keys are pinned; the oracle joins customer so DuckDB independently
-    * supplies the names — a drifted key would fail the join row count.
-    * Regenerate with graft.tools.GenSamplerFixtures if seeds change. */
-  private lazy val sampleBernoulliSql: String =
-    """SELECT c.c_custkey, c.c_name FROM customer c JOIN (VALUES
-      | (11),(13),(20),(27),(56),(71),(107),(111),(136),(145),(146),(150),
-      | (152),(154),(170),(184),(194),(219),(229),(230),(234),(251),(252),
-      | (295),(297),(318),(366),(379),(394),(401),(443),(480),(504),(523),
-      | (534),(563),(576),(612),(625),(627),(654),(666),(720),(731),(732),
-      | (746),(750),(770),(777),(806),(807),(814),(822),(871),(890),(893),
-      | (906),(935),(982),(1036),(1037),(1086),(1173),(1201),(1248),(1256),
-      | (1281),(1291),(1297),(1318),(1320),(1342),(1343),(1379),(1381),
-      | (1387),(1396),(1407),(1413),(1416),(1430),(1469),(1471),(1494),
-      | (1499)) t(k) ON c.c_custkey = t.k""".stripMargin
-
-  private lazy val samplePoissonSql: String =
-    """SELECT c.c_custkey, CAST(t.n AS BIGINT) AS n FROM customer c JOIN (VALUES
-      | (49,1),(54,1),(62,1),(115,1),(120,1),(159,1),(229,1),(253,1),
-      | (273,1),(274,1),(313,1),(328,1),(360,1),(377,1),(396,1),(409,1),
-      | (417,1),(466,2),(474,1),(487,1),(496,1),(501,1),(533,1),(535,1),
-      | (558,1),(609,1),(625,1),(647,1),(652,1),(670,1),(672,1),(685,1),
-      | (702,1),(725,1),(759,1),(762,1),(772,1),(776,1),(779,1),(805,1),
-      | (806,1),(811,1),(844,1),(846,1),(858,1),(873,2),(914,1),(922,1),
-      | (970,1),(1038,1),(1107,1),(1131,1),(1249,1),(1293,1),(1328,1),
-      | (1329,1),(1341,1),(1442,1),(1446,1),(1456,1),(1474,1),(1476,1),
-      | (1486,1)) t(k, n) ON c.c_custkey = t.k""".stripMargin
-
-  private lazy val sampleReservoirSql: String =
-    """SELECT c.c_custkey, c.c_name FROM customer c JOIN (VALUES
-      | (14),(25),(29),(75),(121),(127),(207),(209),(219),(270),(289),
-      | (317),(491),(507),(544),(579),(584),(588),(595),(606),(607),(639),
-      | (708),(713),(776),(807),(984),(1035),(1036),(1045),(1167),(1205),
-      | (1234),(1238),(1255),(1309),(1419),(1440),(1480),(1488)) t(k)
-      |ON c.c_custkey = t.k""".stripMargin
+  /** Exact SQL for the keyed Poisson sampler: a CASE ladder over the
+    * bit-identical CDF hex thresholds the Spark side compares against
+    * (multiplicity = number of thresholds at or below the key's hash
+    * point), recomputable at any SF.
+    */
+  private lazy val samplePoissonKeyedSql: String = {
+    val ts = graft.session.Sampler.poissonCdfThresholds(0.04)
+    val ladder = ts.zipWithIndex
+      .map { case (t, k) => s"WHEN h < '$t' THEN $k" }
+      .mkString(" ")
+    s"""SELECT c_custkey, n FROM (
+      | SELECT c_custkey,
+      |  CAST(CASE $ladder ELSE ${ts.length} END AS BIGINT) AS n
+      | FROM (SELECT c_custkey,
+      |   md5(coalesce(CAST(c_custkey AS VARCHAR), '') || '#pois7') AS h
+      |  FROM customer) h0
+      |) m WHERE n > 0""".stripMargin
+  }
 
   /** Expected mask-shuffle output over nation (identical at every SF):
     * the xorshift64* masking is seeded by each value, so the fixture is
@@ -4886,6 +4898,49 @@ object QueryBank {
         filterFor = yy => ((id + yy) % 5).toInt,
         idatChunks = (1 + id % 3).toInt)
     })
+
+  /** Fixture: near-duplicate JPEG pairs for perceptual-hash dedup of
+    * the dominant web image format. Each image is 72×64 — 9×8 dHash
+    * cells of 8×8 constant GRAYSCALE blocks, exactly aligned with the
+    * JPEG 8×8 DCT blocks: grayscale keeps Cb=Cr=128 (no chroma
+    * subsampling distortion) and block-constant luma is captured by
+    * the DC coefficient alone, so cell means survive the lossy
+    * round-trip within quantization error. Cell values are the same
+    * quadratic scramble as the PNG fixture (adjacent-column
+    * decorrelation). Ids 100..199 re-encode id%100's image with cell
+    * (0,0) shifted +96 — only DCT block (0,0) changes, so the twin's
+    * dHash differs in at most bit 0 while cross-image distances stay
+    * large (validated over all pairs in ImageHashSpec).
+    */
+  /** Pixel plane of the JPEG twin fixture (shared with ImageHashSpec's
+    * all-pairs distance validation).
+    */
+  private[graft] def jpegDhashPixels(id: Long): Array[Byte] = {
+    val seed = (id % 100).toInt
+    val w = 72
+    val h = 64
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val cy = y / 8
+      var x = 0
+      while (x < w) {
+        val cx = x / 8
+        val q = (seed * 97 + cx * 13 + cy * 29) % 251
+        val v0 = (q * q * 3 + q * 5 + 7) % 256
+        val v = if (id >= 100 && cx == 0 && cy == 0) (v0 + 96) % 256 else v0
+        val o = (y * w + x) * 3
+        px(o) = v.toByte; px(o + 1) = v.toByte; px(o + 2) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  private val synthJpegDhashUdf =
+    org.apache.spark.sql.functions.udf((id: Long) =>
+      graft.llm.MediaHeaders.jpegEncode(72, 64, jpegDhashPixels(id)))
 
   /** Fixture: a two-record WARC blob per doc — an HTTP response whose
     * body is a pure function of the id, then the matching WET-style

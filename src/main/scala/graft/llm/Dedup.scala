@@ -249,10 +249,19 @@ object Dedup {
       col(leftText).as("__ta")), "id_a")
     val withB = withA.join(right.select(col(rightId).as("id_b"),
       col(rightText).as("__tb")), "id_b")
-    withB.withColumn("jaccard", graft.functions.Udfs.shingleJaccardUdf(
-        col("__ta"), col("__tb"), lit(shingleK)))
+    // the verified pair set is small — pin IT eagerly and release the
+    // banded signature cache, which at crawl scale is numHashes/band
+    // rows per document per side and must not outlive this call (a
+    // repeated-ingest loop would otherwise accumulate one full
+    // signature cache per invocation in the CacheManager)
+    val out = withB.withColumn("jaccard",
+        graft.functions.Udfs.shingleJaccardUdf(
+          col("__ta"), col("__tb"), lit(shingleK)))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+      .localCheckpoint()
+    banded.unpersist()
+    out
   }
 
   /** [[minhashPairs]] plus the materialized (cached) `__id` column of

@@ -22,6 +22,15 @@ object HtmlText {
   private val DropTags: Set[String] = Set(
     "script", "style", "noscript", "template", "svg", "head", "iframe")
 
+  // Raw-text drop elements: per HTML5 a '/' before '>' on these is a
+  // parse error the browser IGNORES — `<script />var x=1;</script>`
+  // opens the element and the body is script, not text. The
+  // self-closing exemption below applies only to the remaining drop
+  // elements (svg is foreign content where '/>' genuinely closes;
+  // head/iframe self-closing forms are treated the same way).
+  private val RawTextDropTags: Set[String] = Set(
+    "script", "style", "noscript", "template")
+
   private val Entities: Map[String, String] = Map(
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
     "apos" -> "'", "nbsp" -> " ", "ndash" -> "–",
@@ -134,7 +143,7 @@ object HtmlText {
               titleBuf = null
             }
           } else if (DropTags(name)) {
-            if (selfClosing) {
+            if (selfClosing && !RawTextDropTags(name)) {
               // no content, no close tag — nothing to drop or emit
             } else if (!closing) {
               if (dropDepth == 0) dropTag = name

@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   * Hash definition (integer-exact, so an external SQL engine can
   * replay it from a pixel formula — see the image_dhash oracle):
   *   - decode to RGB via the real pure-JVM decoders (PNG/GIF/BMP;
-  *     [[MediaHeaders.pngDecode]] resolves palettes and mirrors grey);
+  *     [[MediaHeaders.pngDecode]] resolves palettes and mirrors grey)
+  *     or, for JPEG — the dominant web image format — the JDK's
+  *     ImageIO codec (decoder-exact, formula-inexact: JPEG rows use
+  *     fixture-pinned oracles instead of SQL pixel replay);
   *   - luminance per pixel: lum = 299·r + 587·g + 114·b (BT.601
   *     integer weights, NOT divided — exactness beats scale);
   *   - 9×8 grid: pixel (x,y) belongs to cell (x·9 / w, y·8 / h)
@@ -34,6 +37,27 @@ object ImageHash {
 
   /** Decoded RGB accessor for any supported container, or null. */
   private def decodeRgb(b: Array[Byte]): (Int, Int, Int => (Int, Int, Int)) = {
+    // JPEG — the dominant web image format — decodes via the JDK's
+    // ImageIO (public java.desktop API; the only pure-JVM route to the
+    // DCT bitstream). Unlike the PNG/GIF/BMP paths the pixels are
+    // decoder-exact but formula-inexact (lossy DCT), so JPEG dHashes
+    // verify against fixture-pinned planted-twin oracles
+    // (image_dup_pairs_jpeg), not SQL pixel replay.
+    if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      if (System.getProperty("java.awt.headless") == null)
+        System.setProperty("java.awt.headless", "true")
+      val im =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        catch { case _: Exception => null }
+      if (im == null) return null
+      val w = im.getWidth
+      val h = im.getHeight
+      val argb = im.getRGB(0, 0, w, h, null, 0, w)
+      return (w, h, (i: Int) => {
+        val p = argb(i)
+        ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+      })
+    }
     val png = MediaHeaders.pngDecode(b)
     if (png != null) {
       val bpp = png.bpp
@@ -58,7 +82,8 @@ object ImageHash {
   }
 
   /** 64-bit dHash of a decodable image payload; null when the payload
-    * is not PNG/GIF/BMP or is smaller than the 9×8 comparison grid.
+    * is not PNG/GIF/BMP/JPEG or is smaller than the 9×8 comparison
+    * grid.
     */
   def dhash64(b: Array[Byte]): java.lang.Long = {
     if (b == null) return null
@@ -116,9 +141,24 @@ object ImageHash {
     * hamming ≤ maxHamming.
     */
   def hammingPairs64(df: DataFrame, idCol: String, sigCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame =
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+    // a non-numeric signature column (e.g. the dhashHex STRING output)
+    // would cast("long") to all-null and silently yield zero pairs —
+    // reject it with an actionable error instead
+    val dt = df.schema(sigCol).dataType
+    val integral = dt match {
+      case _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    require(integral, s"hammingPairs64 signature column '$sigCol' must be " +
+      s"an integral type (64-bit signature), got ${dt.simpleString}; for " +
+      "hex-string signatures use conv(sig, 16, 10).cast('long') first")
     hammingPairs64(df.select(col(idCol).as("__id"),
       col(sigCol).cast("long").as("__sig")), maxHamming, maxBucketSize)
+  }
 
   /** (__id, __sig) → one row per 16-bit band: (__id, __sig, __band,
     * __chunk) — the shared banding step of the pair core and the
@@ -152,12 +192,19 @@ object ImageHash {
       col("__id").as("id_a"), col("__sig").as("sig_a"))
     val r = sized.select(col("__band"), col("__chunk"),
       col("__id").as("id_b"), col("__sig").as("sig_b"))
-    l.join(r, Seq("__band", "__chunk"))
+    // verified pairs are small — pin them and release the signature
+    // cache before returning (same CacheManager-lifetime policy as
+    // imageDedupAgainst: this helper is on the simhash, image-pair
+    // and dedup hot paths, so a leaked cache multiplies per pipeline)
+    val out = l.join(r, Seq("__band", "__chunk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+      .localCheckpoint()
+    sigs.unpersist()
+    out
   }
 
   /** Perceptual near-duplicate image pairs over a binary payload

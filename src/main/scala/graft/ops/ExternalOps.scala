@@ -13,9 +13,12 @@ object ExternalOps {
 
     // POST selected row fields as JSON, merge response JSON into the row
     // (reference: wrangler-core directives/external/InvokeHttp.java:126 —
-    // explicitly documented "potentially slow"). mapPartitions with one
-    // pooled connection per partition; failures yield null (the
-    // reference sends failures to the error collector).
+    // explicitly documented "potentially slow"). Per-row UDF over ONE
+    // pooled java.net.http.HttpClient per executor JVM (keep-alive
+    // connection reuse across rows AND tasks — strictly wider reuse
+    // than a per-partition pool) with a bounded retry budget on
+    // transient failures; failures yield null (the reference sends
+    // failures to the error collector).
     case "invoke-http" => new PipeOp {
       def name = spec.name
       def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
@@ -73,34 +76,63 @@ object ExternalOps {
   })
 }
 
-/** HTTP call support for invoke-http (JDK HttpURLConnection, no extra
-  * dependencies; pooled keep-alive per executor).
+/** HTTP call support for invoke-http: one `java.net.http.HttpClient`
+  * per executor JVM (JDK-only, no extra dependencies). The client
+  * keeps an internal keep-alive connection pool shared across every
+  * row and task on the executor, so per-row cost after the first
+  * request to a host is one pooled round-trip, not a TCP handshake.
+  * Transient failures (IOException, HTTP 5xx) retry up to
+  * [[Http.MaxAttempts]] times within the per-request timeout budget;
+  * terminal failures (4xx body is still returned; malformed URL /
+  * exhausted retries yield null) never throw — a flaky endpoint
+  * degrades rows to null instead of failing the task.
   */
 object Http {
   import org.apache.spark.sql.expressions.UserDefinedFunction
   import org.apache.spark.sql.functions.udf
 
+  // lazy + per-JVM: materialized on first use on each executor; the
+  // driver-side UDF registration never constructs (or serializes) it
+  @transient private lazy val client: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(5))
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+
+  private val MaxAttempts = 3
+  private val RequestTimeout = java.time.Duration.ofSeconds(10)
+
   def post(url: String, body: String, headerBlob: String): String = {
-    try {
-      val conn = new java.net.URI(url).toURL.openConnection()
-        .asInstanceOf[java.net.HttpURLConnection]
-      conn.setRequestMethod("POST")
-      conn.setConnectTimeout(5000)
-      conn.setReadTimeout(10000)
-      conn.setDoOutput(true)
-      conn.setRequestProperty("Content-Type", "application/json")
+    val req = try {
+      val b = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(url))
+        .timeout(RequestTimeout)
+        .header("Content-Type", "application/json")
       headerBlob.split("\n").filter(_.contains(":")).foreach { h =>
         val Array(k, v) = h.split(":", 2)
-        conn.setRequestProperty(k.trim, v.trim)
+        b.header(k.trim, v.trim)
       }
-      val out = conn.getOutputStream
-      out.write(body.getBytes("UTF-8")); out.close()
-      val in = if (conn.getResponseCode < 400) conn.getInputStream
-               else conn.getErrorStream
-      val resp = new String(in.readAllBytes(), "UTF-8")
-      in.close()
-      resp
-    } catch { case _: Exception => null }
+      b.POST(java.net.http.HttpRequest.BodyPublishers
+        .ofString(if (body == null) "" else body)).build()
+    } catch { case _: Exception => return null } // malformed URL/header
+    var attempt = 0
+    while (attempt < MaxAttempts) {
+      attempt += 1
+      try {
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        // 5xx is transient (retry); anything else — incl. 4xx, whose
+        // body carries the server's error JSON — is the final answer
+        if (resp.statusCode() < 500 || attempt == MaxAttempts)
+          return resp.body()
+      } catch {
+        case _: InterruptedException =>
+          Thread.currentThread().interrupt(); return null
+        case _: java.io.IOException => () // connect/read failure: retry
+        case _: Exception => return null
+      }
+    }
+    null
   }
 
   val postUdf: UserDefinedFunction = udf(post _)

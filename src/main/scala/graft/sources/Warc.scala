@@ -169,9 +169,21 @@ object Warc {
     if (b1 >= 0) pb.unread(b1)
     if (b0 >= 0) pb.unread(b0)
     val in: java.io.InputStream =
-      if (b0 == 0x1f && b1 == 0x8b)
-        new java.util.zip.GZIPInputStream(pb, 1 << 16)
-      else pb
+      if (b0 == 0x1f && b1 == 0x8b) {
+        // GZIPInputStream validates the full 10-byte member header at
+        // construction time, so bytes like `1f 8b 00` (gzip magic, bad
+        // compression method) throw ZipException HERE — outside
+        // advance()'s guard. Same totality policy as advance(): a
+        // stream whose gzip header doesn't parse holds zero whole
+        // records, so close it and hand back the empty iterator
+        // instead of letting one corrupt shard fail the task.
+        try new java.util.zip.GZIPInputStream(pb, 1 << 16)
+        catch {
+          case _: java.io.IOException =>
+            try pb.close() catch { case _: java.io.IOException => () }
+            return Iterator.empty
+        }
+      } else pb
 
     new Iterator[WarcRecord] {
       private var nextRec: WarcRecord = _

@@ -85,6 +85,35 @@ class ImageHashSpec extends SparkSpec {
     assert(viaDirective == Set(0L, 2L, 3L))
   }
 
+  test("jpeg dhash: planted twins within 3 bits, every cross pair >= 4") {
+    // validates the image_dup_pairs_jpeg fixture contract over ALL
+    // pairs: deterministic for a fixed JDK codec, so the QueryBank
+    // oracle's planted-pair list is exactly reproducible
+    val sigs = (0L until 200L).map { id =>
+      val jpg = MediaHeaders.jpegEncode(72, 64, QueryBank.jpegDhashPixels(id))
+      val h = ImageHash.dhash64(jpg)
+      assert(h != null, s"jpeg $id failed to hash")
+      id -> h.longValue
+    }
+    for (i <- sigs.indices; j <- (i + 1) until sigs.size) {
+      val ((ia, ha), (ib, hb)) = (sigs(i), sigs(j))
+      val d = java.lang.Long.bitCount(ha ^ hb)
+      if (ib == ia + 100)
+        assert(d <= 3, s"planted twin ($ia,$ib) too far: $d bits")
+      else
+        assert(d >= 4, s"cross pair ($ia,$ib) too close: $d bits")
+    }
+    // jpeg payloads flow through the SAME banded pair path as PNG
+    val d = (0L until 8L).map(id => (id,
+        MediaHeaders.jpegEncode(72, 64, QueryBank.jpegDhashPixels(id)))) ++
+      Seq((104L, MediaHeaders.jpegEncode(72, 64,
+        QueryBank.jpegDhashPixels(104L))))
+    val pairs = ImageHash.imageDupPairs(d.toDF("id", "payload"),
+        "payload", "id", maxHamming = 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((4L, 104L)))
+  }
+
   test("imageDedupAgainst: state match drops, in-batch dedup, novel survives") {
     def scramble(seed: Int)(x: Int, y: Int): (Int, Int, Int) = {
       val q = (seed * 97 + x * 13 + y * 29) % 251

@@ -11,7 +11,12 @@ import java.nio.file.{Files, Paths}
   */
 object VerifyOne {
   def main(args: Array[String]): Unit = {
-    val outDir = args(0)
+    // relative outDir lands under target/ so ad-hoc runs never litter
+    // the repo root with per-query parquet directories
+    val outDir =
+      if (new java.io.File(args(0)).isAbsolute || args(0).startsWith("target/"))
+        args(0)
+      else s"target/${args(0)}"
     val names = args.drop(1).toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

@@ -72,6 +72,14 @@ class WebSpec extends SparkSpec {
     val (_, t4) = HtmlText.extract(
       """<p>a</p><iframe src=x /><p>b</p>""")
     assert(t4.contains("b"), t4)
+    // raw-text elements: HTML5 ignores the slash — `<script />` OPENS
+    // the element, so its body is script, not text, and must not leak
+    val (_, t5) = HtmlText.extract(
+      """<p>a</p><script />var leak=1;</script><p>b</p>""")
+    assert(!t5.contains("var leak") && t5.contains("b"), t5)
+    val (_, t6) = HtmlText.extract(
+      """<p>a</p><style />.x{color:red}</style><p>b</p>""")
+    assert(!t6.contains("color") && t6.contains("b"), t6)
   }
 
   test("extract-html-text directive appends title and text columns") {
@@ -304,6 +312,44 @@ class WebSpec extends SparkSpec {
     assert(rt.length == 1 && rt.head.payload == "body one")
     assert(Warc.parseAll(Array.emptyByteArray).isEmpty)
     assert(Warc.parseAll(null).isEmpty)
+  }
+
+  test("warc parse: corrupt gzip header never throws (regression 1f 8b 00)") {
+    // Pinned shrunk counterexample from PropertySpec: gzip magic with an
+    // invalid compression method byte makes GZIPInputStream's CONSTRUCTOR
+    // throw ZipException — which must not escape parseAll/parseStream.
+    val shrunk = Array[Byte](0x1f, 0x8b.toByte, 0x00)
+    assert(Warc.parseAll(shrunk).isEmpty)
+    assert(Warc.parseStream(
+      new java.io.ByteArrayInputStream(shrunk)).toVector.isEmpty)
+    // magic + valid method but corrupt flag/extra fields
+    assert(Warc.parseAll(Array[Byte](0x1f, 0x8b.toByte, 0x08,
+      0xe0.toByte, 0x01)).isEmpty)
+    // truncated to the magic alone
+    assert(Warc.parseAll(Array[Byte](0x1f, 0x8b.toByte)).isEmpty)
+    // the corrupt-header path still closes the underlying stream
+    var closed = false
+    val in = new java.io.ByteArrayInputStream(shrunk) {
+      override def close(): Unit = { closed = true; super.close() }
+    }
+    assert(Warc.parseStream(in).isEmpty && closed)
+    // multi-member shard where member 2's header is corrupt: the
+    // comment's "records so far" promise — member-1 records survive
+    def gz(s: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s); g.close(); bos.toByteArray
+    }
+    val r1 = warcRecord("conversion", "u1", "kept", http = false)
+      .getBytes("UTF-8")
+    val rs = Warc.parseAll(gz(r1) ++ shrunk)
+    assert(rs.length == 1 && rs.head.payload == "kept")
+    // member 2 truncated mid-deflate: member-1 records survive too
+    val r2 = warcRecord("conversion", "u2", "lost", http = false)
+      .getBytes("UTF-8")
+    val g2 = gz(r2)
+    val rt = Warc.parseAll(gz(r1) ++ g2.take(g2.length / 2))
+    assert(rt.length == 1 && rt.head.payload == "kept")
   }
 
   test("warc parse: body containing the record separator sequence") {
