@@ -259,6 +259,78 @@ object Sampler {
       df.sparkSession.sparkContext.parallelize(rows.toSeq), df.schema)
   }
 
+  // ---- position-INDEPENDENT (keyed) forms of the three seeded
+  // samplers. The seeded forms above mirror the reference's workspace
+  // samplers (per-row RNG draws), but a draw tied to row POSITION
+  // changes under repartitioning, task retry, AQE re-planning, or a
+  // different cluster size — at 100 TB that means a sample that cannot
+  // be reproduced and an oracle that only holds at one pinned layout.
+  // The keyed forms make the draw a pure function of (key, seed) via
+  // the md5 hash-point machinery of [[consistent]], so the sample is
+  // bit-stable at any scale and the expected output is plain SQL.
+
+  /** Keyed Bernoulli: keep a row iff md5(key ++ "#bern<seed>") lands in
+    * the first `fraction` of hash space — [[consistent]] with the seed
+    * folded into the salt, so distinct seeds draw independent samples.
+    */
+  def bernoulliByKey(df: DataFrame, keyCol: String, fraction: Double,
+      seed: Long = 42L): DataFrame =
+    consistent(df, keyCol, fraction, salt = s"#bern$seed")
+
+  /** Cumulative-CDF hex thresholds for Poisson(lambda): element k is
+    * [[hexThreshold]](P(X <= k)), ending at the first k whose CDF is
+    * within 1e-15 of 1 (beyond it the remaining mass is below the
+    * 128-bit hash resolution). Public so the DuckDB oracle can embed
+    * the bit-identical literals in a CASE ladder.
+    */
+  def poissonCdfThresholds(lambda: Double): Seq[String] = {
+    require(lambda > 0 && lambda < 30,
+      s"poisson lambda must be in (0, 30), got $lambda")
+    val buf = Seq.newBuilder[String]
+    var p = math.exp(-lambda)
+    var cdf = p
+    var k = 0
+    while (cdf < 1.0 - 1e-15 && k < 64) {
+      buf += hexThreshold(cdf)
+      k += 1
+      p = p * lambda / k
+      cdf += p
+    }
+    buf.result()
+  }
+
+  /** Keyed Poisson (with-replacement) sample: each key's multiplicity
+    * is the inverse Poisson(fraction) CDF evaluated at its hash point —
+    * m = #{k : hash >= threshold_k} over [[poissonCdfThresholds]] —
+    * and rows are replicated m times by a generator. Map-only plus
+    * explode; like the Bernoulli form the multiplicity is a pure
+    * function of (key, seed). Requires keys to be distinct for the
+    * "independent draws" reading (duplicate keys draw identically).
+    */
+  def poissonByKey(df: DataFrame, keyCol: String, fraction: Double,
+      seed: Long = 42L): DataFrame = {
+    val h = hashPoint(keyCol, s"#pois$seed")
+    val m = poissonCdfThresholds(fraction)
+      .map(t => when(h >= lit(t), 1).otherwise(0))
+      .reduce(_ + _)
+    df.withColumn("__m", m)
+      .filter(col("__m") > 0)
+      .withColumn("__i", explode(sequence(lit(1), col("__m"))))
+      .drop("__m", "__i")
+  }
+
+  /** Keyed fixed-size uniform sample: the n rows whose hash points are
+    * smallest — a single distributed TakeOrderedAndProject pass
+    * (per-partition top-n partials, n rows to the driver) instead of
+    * [[reservoir]]'s count()-then-sample double scan, and reproducible
+    * on any cluster at any scale. Keys should be distinct: a hash tie
+    * at the cut line is broken arbitrarily.
+    */
+  def reservoirByKey(df: DataFrame, keyCol: String, n: Int,
+      seed: Long = 42L): DataFrame =
+    df.withColumn("__h", hashPoint(keyCol, s"#resv$seed"))
+      .orderBy(col("__h")).limit(n).drop("__h")
+
   /** Deterministic content-keyed sampling: keep a row iff
     * md5(key ++ salt) falls in the first `fraction` of the 128-bit
     * hash space. The comparison is lexicographic on the fixed-width

@@ -27,6 +27,57 @@ class MiscSpec extends SparkSpec {
     assert(graft.session.Sampler.reservoir(d, 25, seed = 1).count() == 25)
   }
 
+  test("keyed samplers: partition-independent, seed-isolated, exact multiplicity") {
+    import graft.session.Sampler
+    import org.apache.spark.sql.functions._
+    val d = spark.range(2000).toDF("id")
+
+    // bernoulliByKey = consistent + seed salt: stable under repartition,
+    // different seeds draw different samples
+    val bk = Sampler.bernoulliByKey(d, "id", 0.1, seed = 7)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(bk.size > 120 && bk.size < 280, s"got ${bk.size}")
+    val bkShuffled = Sampler.bernoulliByKey(d.repartition(7), "id", 0.1, seed = 7)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(bk == bkShuffled)
+    assert(Sampler.bernoulliByKey(d, "id", 0.1, seed = 8)
+      .select("id").collect().map(_.getLong(0)).toSet != bk)
+
+    // poissonByKey: multiplicity replays from the public CDF thresholds
+    // (the exact contract the DuckDB oracle's CASE ladder uses)
+    val lam = 0.5
+    val ts = Sampler.poissonCdfThresholds(lam)
+    assert(ts == ts.sorted && ts.distinct == ts) // a valid CDF ladder
+    val counts = Sampler.poissonByKey(d, "id", lam, seed = 3)
+      .groupBy("id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (0L until 2000L).flatMap { id =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id#pois3".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val m = ts.count(t => h >= t)
+      if (m > 0) Some(id -> m.toLong) else None
+    }.toMap
+    assert(counts == expected)
+    assert(counts.valuesIterator.exists(_ >= 2), "lambda=0.5 over 2000 " +
+      "keys should produce at least one multiplicity>=2 draw")
+
+    // reservoirByKey: exactly n rows, stable under repartition, and
+    // equal to the n smallest hash points (the ORDER BY/LIMIT oracle)
+    val rk = Sampler.reservoirByKey(d, "id", 25, seed = 7)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(rk.size == 25)
+    val rkShuffled = Sampler.reservoirByKey(d.repartition(7), "id", 25, seed = 7)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(rk == rkShuffled)
+    val smallest = (0L until 2000L).sortBy { id =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id#resv7".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }.take(25).toSet
+    assert(rk == smallest)
+  }
+
   test("lineage relations derived from recipe AST") {
     val specs = Wrangle.specs(
       "rename :a :b; set-column :c exp:{ b * 2 }; drop :d; merge :b :c :e '-';")
