@@ -2084,10 +2084,10 @@ object QueryBank {
         |  FROM hit, unnest(range(0, 3)) AS v(o)),
         |covl AS (SELECT doc_id, list(p) AS ps FROM cov GROUP BY doc_id),
         |cut AS (SELECT t.doc_id,
-        |  array_to_string(list_transform(
+        |  coalesce(array_to_string(list_transform(
         |    list_filter(range(1, len(t.toks) + 1),
         |      i -> NOT list_contains(covl.ps, i)),
-        |    i -> t.toks[CAST(i AS INT)]), ' ') AS cut_text
+        |    i -> t.toks[CAST(i AS INT)]), ' '), '') AS cut_text
         |  FROM t JOIN covl ON t.doc_id = covl.doc_id)
         |SELECT t.doc_id,
         |  CASE WHEN cut.doc_id IS NULL THEN t.text ELSE cut.cut_text END AS text
