@@ -3557,6 +3557,26 @@ object QueryBank {
       """SELECT doc_id AS id_a, doc_id + 100 AS id_b
         |FROM documents WHERE doc_id < 100""".stripMargin),
 
+    ("image_dup_pairs_crossformat",
+      // the most common real web near-dup: the SAME image saved in two
+      // formats. Ids 0..99 carry the pixel plane as lossless PNG
+      // (dHash formula-exact), ids 100..199 the IDENTICAL plane as
+      // JPEG (dHash within DCT quantization noise) — every (id,
+      // id+100) cross-format twin must land within Hamming <= 3
+      // through the one shared banded pipeline, no cross pair within 4
+      // (all-pairs distances validated in ImageHashSpec).
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val fx = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthCrossFormatUdf(col("doc_id")))
+        graft.llm.ImageHash.imageDupPairs(fx, "payload", "doc_id",
+            maxHamming = 3)
+          .select(col("id_a"), col("id_b"))
+      },
+      """SELECT doc_id AS id_a, doc_id + 100 AS id_b
+        |FROM documents WHERE doc_id < 100""".stripMargin),
+
     ("image_dedup_incremental",
       // daily-crawl shape for images: the batch (ids 50..149) dedupes
       // against persisted corpus state (ids 0..49) through the banded
@@ -4941,6 +4961,20 @@ object QueryBank {
   private val synthJpegDhashUdf =
     org.apache.spark.sql.functions.udf((id: Long) =>
       graft.llm.MediaHeaders.jpegEncode(72, 64, jpegDhashPixels(id)))
+
+  /** Cross-format twin fixture: ids 0..99 the pixel plane as RGB PNG,
+    * ids 100..199 the IDENTICAL plane (id % 100) as JPEG — the
+    * same-image-two-formats shape (shared with ImageHashSpec's
+    * all-pairs validation).
+    */
+  private[graft] def crossFormatPayload(id: Long): Array[Byte] = {
+    val px = jpegDhashPixels(id % 100)
+    if (id < 100) graft.llm.MediaHeaders.pngEncode(72, 64, 2, px)
+    else graft.llm.MediaHeaders.jpegEncode(72, 64, px)
+  }
+
+  private val synthCrossFormatUdf =
+    org.apache.spark.sql.functions.udf(crossFormatPayload _)
 
   /** Fixture: a two-record WARC blob per doc — an HTTP response whose
     * body is a pure function of the id, then the matching WET-style

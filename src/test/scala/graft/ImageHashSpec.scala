@@ -114,6 +114,26 @@ class ImageHashSpec extends SparkSpec {
       Set((4L, 104L)))
   }
 
+  test("cross-format twins: PNG vs JPEG of the same plane within 3 bits") {
+    // validates the image_dup_pairs_crossformat contract over ALL
+    // pairs of the mixed 200-image set: the PNG half hashes formula-
+    // exactly, the JPEG half within DCT quantization noise — twins
+    // (id, id+100) carry the IDENTICAL pixel plane across formats
+    val sigs = (0L until 200L).map { id =>
+      val h = ImageHash.dhash64(QueryBank.crossFormatPayload(id))
+      assert(h != null, s"payload $id failed to hash")
+      id -> h.longValue
+    }
+    for (i <- sigs.indices; j <- (i + 1) until sigs.size) {
+      val ((ia, ha), (ib, hb)) = (sigs(i), sigs(j))
+      val d = java.lang.Long.bitCount(ha ^ hb)
+      if (ib == ia + 100)
+        assert(d <= 3, s"cross-format twin ($ia,$ib) too far: $d bits")
+      else
+        assert(d >= 4, s"cross pair ($ia,$ib) too close: $d bits")
+    }
+  }
+
   test("imageDedupAgainst: state match drops, in-batch dedup, novel survives") {
     def scramble(seed: Int)(x: Int, y: Int): (Int, Int, Int) = {
       val q = (seed * 97 + x * 13 + y * 29) % 251
