@@ -2543,6 +2543,31 @@ object QueryBank {
         | (7,340),(28,305),(44,301),(53,300),(75,256),(156,438),(158,452),
         | (166,324),(169,466),(238,287),(290,325),(338,406),(387,388)) t(a, b)""".stripMargin),
 
+    ("embedding_pairs_scaled",
+      // scale-path semantic pair mine at the published dedup operating
+      // point (τ=0.9): band geometry sized from the corpus via
+      // lshPlan (bits ~ log2 n so NULL collisions stay linear — the
+      // fixed 16x4 geometry above is measured Θ(n²) candidates on the
+      // r13 ladder: 11.4 s at 10x rows for an output of ZERO pairs).
+      // The corpus has no natural pairs at 0.9 (measured 0 at sf0.01
+      // AND sf0.1); 20 planted twins — each base vector halved
+      // elementwise, exact in float, so cosine is exactly 1 and every
+      // band signature is identical — are found with probability 1.
+      // Closed-form, SF-generic oracle.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val e = emb(s, d)
+        val twins = e.filter(col("vec_id") < 20)
+          .withColumn("vec_id", col("vec_id") + 10000000L)
+          .withColumn("embedding",
+            transform(col("embedding"), x => x * lit(0.5f)))
+        graft.llm.Dedup.embeddingPairsScaled(e.unionByName(twins),
+            "vec_id", "embedding", threshold = 0.9)
+          .select("id_a", "id_b")
+      },
+      """SELECT vec_id AS id_a, vec_id + 10000000 AS id_b
+        |FROM embeddings WHERE vec_id < 20""".stripMargin),
+
     ("pool_embeddings",
       // chunk->document mean pooling: 50 groups of ~10 vectors each.
       // Both engines average in double and narrow to float32; the
@@ -3726,6 +3751,46 @@ object QueryBank {
         |  CASE WHEN source = 'src0' THEN '${graft.session.Sampler.hexThreshold(1.0)}'
         |       WHEN source = 'src1' THEN '${graft.session.Sampler.hexThreshold(0.2)}'
         |       ELSE '${graft.session.Sampler.hexThreshold(0.6)}' END""".stripMargin),
+
+    ("sample_mixture",
+      // target-proportion mixing over a token budget WITH epoch
+      // oversampling: en's target (10000 tok) is under its supply so it
+      // downsamples (rate .851), zh (6000/4143) and de (4000/3549) are
+      // over-subscribed so every key repeats floor(rate) times plus a
+      // keyed fractional draw; es/fr carry no weight and drop. The
+      // oracle replays the whole pipeline — per-group token sums,
+      // sorted-order weight normalization, round-6 rates, the 60-bit
+      // fractional draw, and the generate_series epoch expansion — so
+      // the multiset (incl. multiplicities) matches bit-for-bit at ANY
+      // SF (exact at sf0.01 and sf0.1 both).
+      (s, d) => r("token-count :text; " +
+        "sample-mixture :doc_id :lang 'en:0.5,zh:0.3,de:0.2' 20000 :text_tokens; " +
+        "keep :doc_id,:lang,:text_tokens,:epoch")(docs(s, d)),
+      """WITH tk AS (SELECT doc_id, lang,
+        |   len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))
+        |     AS text_tokens FROM documents),
+        |w AS (SELECT g, CAST(wt AS DOUBLE) AS wt FROM (VALUES
+        |   ('en', 0.5), ('zh', 0.3), ('de', 0.2)) v(g, wt)),
+        |ws AS (SELECT list_sum(list(wt ORDER BY g)) AS wsum FROM w),
+        |avail AS (SELECT lang AS g, CAST(sum(text_tokens) AS BIGINT) AS tok
+        |   FROM tk WHERE lang IS NOT NULL AND text_tokens IS NOT NULL
+        |   GROUP BY 1),
+        |rates AS (SELECT a.g, round(least(4.0,
+        |     ((w.wt / ws.wsum) * CAST(20000 AS DOUBLE))
+        |       / CAST(a.tok AS DOUBLE)), 6) AS r6
+        |   FROM avail a JOIN w ON a.g = w.g, ws
+        |   WHERE a.tok > 0 AND w.wt > 0),
+        |m AS (SELECT t.doc_id, t.lang, t.text_tokens,
+        |   CAST(floor(r.r6) AS INT) + CASE WHEN
+        |     ('0x' || substr(md5(coalesce(CAST(t.doc_id AS VARCHAR), '')
+        |        || '#mix'), 1, 15))::BIGINT
+        |     < CAST(floor((r.r6 - floor(r.r6)) * 1152921504606846976.0)
+        |        AS BIGINT)
+        |    THEN 1 ELSE 0 END AS mult
+        |  FROM tk t JOIN rates r ON t.lang = r.g)
+        |SELECT doc_id, lang, text_tokens,
+        |  CAST(unnest(generate_series(1, mult)) AS INT) AS epoch
+        |FROM m WHERE mult > 0""".stripMargin),
 
     ("bpe_token_count",
       // corpus-trained BPE subword counts, verified as a per-lang

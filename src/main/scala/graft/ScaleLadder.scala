@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
   *    base rate rather than every doc gaining K exact clones (which would
   *    turn the minhash banded join into an artificial hot-bucket storm).
   *  - id-like keys get per-copy offsets so uniqueness invariants hold.
-  *  - embeddings get deterministic per-element jitter so ANN neighborhoods
-  *    scale instead of collapsing into K-way ties.
+  *  - embeddings get a per-copy diagonal ±1 sign flip (an exact isometry:
+  *    intra-copy cosines preserved bit-for-bit, cross-copy cosines ~0), so
+  *    the near-dup pair RATE and ANN neighborhoods scale linearly instead
+  *    of every vector gaining K near-clones.
   *  - events keep their timestamp range (rows-per-window scales by K,
   *    which is what happens when a real stream gets busier) but user ids
   *    are offset (state scales in key count, the dimension that matters
@@ -90,10 +92,21 @@ object ScaleLadder {
 
     val emb = tbl("embeddings")
     write((0 until copies).map { k =>
+      // Per-copy diagonal ±1 sign flip — the vector analogue of the
+      // text bijection. A diagonal isometry preserves every intra-copy
+      // dot product EXACTLY (dot(Sx, Sy) = dot(x, y)), so each copy
+      // reproduces the base corpus's near-dup/ANN structure; cross-copy
+      // cosines collapse to ~N(0, 1/sqrt(d)) because the sign patterns
+      // of two copies are uncorrelated. The r12 sweep's additive-jitter
+      // form (±0.05) left cross-copy cosines at ~0.99, minting K-way
+      // near-dup cliques: embedding_pairs' true output grew 878x at 10x
+      // rows (138 -> 121,171 pairs) — a fixture artifact that buried
+      // the linearity signal the ladder exists to measure.
       val e =
         if (k == 0) col("embedding")
         else transform(col("embedding"),
-          (x, i) => x + sin((col("vec_id") + i * 7 + lit(k * 13)).cast("double")) * lit(0.05)
+          (x, i) => x * (lit(1) - lit(2) *
+            pmod(xxhash64(i, lit(k)), lit(2)).cast("int")).cast("float")
         ).cast("array<float>")
       emb.select(
         (col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),

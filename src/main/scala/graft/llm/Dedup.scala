@@ -647,6 +647,79 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** [[embeddingPairs]] with the band geometry sized from the corpus
+    * instead of fixed — the scale path for semantic pair mining.
+    *
+    * The fixed-geometry form packs its whole signature into one Long,
+    * capping bands × bitsPerBand at 64; with the bank's 16×4 layout the
+    * bucket space per band is 2^4 = 16, so two UNRELATED vectors
+    * collide at 1/16 per band and the candidate stream is Θ(n²)
+    * regardless of threshold (measured on the r13 ladder: 10× rows →
+    * ~100× candidates, 11.4 s for an output of ZERO pairs at τ=0.9).
+    * Here [[Similarity.lshPlan]] grows bitsPerBand like log₂(n) (the
+    * per-band arrays from [[Similarity.lshBandBuckets]] lift the 64-bit
+    * cap) and re-derives the band count from the recall formula, so
+    * expected null candidates stay ~`candidatesPerRow`·n and the
+    * verify sliver is linear. True pairs at `threshold` are found with
+    * probability ≥ `recall`; EXACTLY parallel vectors (cosine 1) share
+    * every band signature and are found with probability 1. Candidates
+    * dedup through a distinct() — cheap by construction on the linear
+    * sliver (the fixed-geometry form's first-shared-band bit trick
+    * exists precisely because ITS candidate stream is too big to
+    * shuffle). Only meaningful at τ ≳ 0.8 — see [[Similarity.lshPlan]]
+    * for why low-τ pair mining is output-quadratic no matter the index.
+    */
+  def embeddingPairsScaled(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.9, recall: Double = 0.95,
+      candidatesPerRow: Double = 16.0, seed: Long = 7L,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("__norm", Similarity.vecNorm(col("__v")))
+      .persist()
+    val n = base.count() // eager: also sizes the plan
+    if (n == 0) {
+      base.unpersist()
+      return df.sparkSession.emptyDataFrame
+        .select(lit(null).cast("long").as("id_a"),
+          lit(null).cast("long").as("id_b"),
+          lit(null).cast("double").as("cosine")).limit(0)
+    }
+    val (bands, bits) = Similarity.lshPlan(n, threshold, recall,
+      candidatesPerRow)
+    val banded0 = base.select(col("__id"),
+      posexplode(Similarity.lshBandBuckets(col("__v"), bands, bits, seed))
+        .as(Seq("__band", "__chunk")))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val banded =
+      if (banded0.rdd.getNumPartitions < par)
+        banded0.repartition(par, col("__band"), col("__chunk"))
+      else banded0
+    val sized = dropHotBuckets(banded, Seq("__band", "__chunk"),
+      maxBucketSize)
+    val cands = sized.select(col("__band"), col("__chunk"),
+        col("__id").as("id_a"))
+      .join(sized.select(col("__band"), col("__chunk"),
+        col("__id").as("id_b")), Seq("__band", "__chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    // pin the verified pairs, release the signature/norm cache (same
+    // lifetime policy as minhashJoin)
+    val out = cands
+      .join(base.select(col("__id").as("id_a"), col("__v").as("__va"),
+        col("__norm").as("__na")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__v").as("__vb"),
+        col("__norm").as("__nb")), "id_b")
+      .withColumn("cosine", Similarity.pairCosinePrenorm(
+        col("__va"), col("__vb"), col("__na"), col("__nb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+      .localCheckpoint()
+    base.unpersist()
+    out
+  }
+
   /** Embedding-cosine near-dedup: keep-smallest-id over verified pairs,
     * same policy as [[minhashDedup]].
     */

@@ -116,6 +116,92 @@ object Similarity {
     planeCache.computeIfAbsent((dim, bits, seed),
       key => hyperplanes(key._1, key._2, key._3))
 
+  /** Per-band signed-projection bucket ids — [[lshBucketAuto]] without
+    * the single-Long ceiling (which caps bands × bitsPerBand at 64 and
+    * therefore caps the bucket space at 2^(64/bands) per band): bands ×
+    * bitsPerBand planes derived lazily from the vector length, band b
+    * packing bits [b·r, (b+1)·r) into element b of an array<long>.
+    * Null vector → null. The r ≤ 64-bits-TOTAL cap is exactly what
+    * makes the fixed-geometry pair mine quadratic: with 2^r buckets per
+    * band, two UNRELATED vectors collide with probability 2^-r per
+    * band, so candidate volume is Θ(bands · n² / 2^r) — scale-safe only
+    * when r grows with log₂(n), which needs more than 64 total bits.
+    */
+  def lshBandBuckets(vec: Column, bands: Int, bitsPerBand: Int,
+      seed: Long): Column = {
+    require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 63,
+      s"lshBandBuckets: bands >= 1 and bitsPerBand in [1,63], " +
+        s"got ($bands, $bitsPerBand)")
+    val kernel = udf((v: Array[Float]) => {
+      if (v == null) null
+      else {
+        val planes = planesFor(v.length, bands * bitsPerBand, seed)
+        val out = new Array[Long](bands)
+        var b = 0
+        while (b < bands) {
+          var sig = 0L
+          var j = 0
+          while (j < bitsPerBand) {
+            val p = planes(b * bitsPerBand + j)
+            var dot = 0.0; var i = 0
+            val len = math.min(v.length, p.length)
+            while (i < len) { dot += v(i).toDouble * p(i); i += 1 }
+            if (dot >= 0) sig |= (1L << j)
+            j += 1
+          }
+          out(b) = sig
+          b += 1
+        }
+        out
+      }
+    })
+    kernel(vec)
+  }
+
+  /** Corpus-sized band geometry for a sign-LSH pair mine: pick
+    * (bands, bitsPerBand) so the expected NULL-pair candidate stream
+    * stays linear while true pairs at `threshold` are found with
+    * probability ≥ `recall`.
+    *
+    * Per-bit collision of a pair at cosine τ is p = 1 − acos(τ)/π; a
+    * band of r bits collides at p^r for true pairs and 2^-r for the
+    * null mass, so: r ≈ log₂(bands·n / candidatesPerRow) bounds null
+    * candidates per row, and bands = ln(1−recall)/ln(1−p^r) restores
+    * recall. The two equations are coupled; a short fixed-point
+    * iteration converges (bands↑ ⇒ r↑ by a log factor ⇒ p^r↓ ⇒ bands↑,
+    * bounded by the caps). When the iteration saturates at `maxBands`
+    * the threshold is too low for subquadratic LSH — at τ = 0.45 on
+    * 64-dim data the NULL cosine distribution (σ ≈ 1/√dim) alone puts
+    * Θ(n²)·P(cos>τ) TRUE pairs in the output, so no index can help;
+    * this mine is for the published semantic-dedup operating points
+    * (τ ≳ 0.8), where the null mass at τ is ~zero and output is linear.
+    */
+  def lshPlan(n: Long, threshold: Double, recall: Double = 0.95,
+      candidatesPerRow: Double = 16.0, maxBands: Int = 64,
+      maxBits: Int = 30): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"lshPlan: threshold in (0,1), got $threshold")
+    require(recall > 0.0 && recall < 1.0,
+      s"lshPlan: recall in (0,1), got $recall")
+    require(n > 0, s"lshPlan: n must be > 0, got $n")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    var bands = 16
+    var bits = 8
+    var it = 0
+    while (it < 4) {
+      bits = math.max(4, math.min(maxBits, math.ceil(
+        math.log(bands.toDouble * n.toDouble / candidatesPerRow) /
+          math.log(2.0)).toInt))
+      val perBand = math.pow(p, bits.toDouble)
+      bands =
+        if (perBand >= recall) 1
+        else math.max(1, math.min(maxBands, math.ceil(
+          math.log1p(-recall) / math.log1p(-perBand)).toInt))
+      it += 1
+    }
+    (bands, bits)
+  }
+
   /** Bucketed approximate top-k: probe the query's bucket and all
     * buckets within `probeHamming` bit flips (multi-probe LSH), exact
     * cosine within the probed buckets.

@@ -167,6 +167,21 @@ object RowOps {
         salt = spec.optStr(4).getOrElse(""))
     }
 
+    // `sample-mixture :key :group 'en:0.6,code:0.4' <budgetTokens>
+    //  :tokens [maxEpochs] [salt]` — target-proportion mixing over a
+    // token budget with epoch oversampling: a group whose target
+    // exceeds its supply is REPEATED (floor(rate) copies + one keyed
+    // fractional draw), appending a 1-based `epoch` column
+    // (session.Sampler.mixtureByBudget)
+    case "sample-mixture" => ColumnOps.simple(spec) { df =>
+      graft.session.Sampler.mixtureByBudget(df, spec.col(0), spec.col(1),
+        parseFractions(spec.name, spec.str(2)),
+        budgetTokens = spec.num(3).toLong,
+        tokenCol = spec.col(4),
+        maxEpochs = spec.optStr(5).map(_.toDouble).getOrElse(4.0),
+        salt = spec.optStr(6).getOrElse(""))
+    }
+
     // `hash-split :key train:0.9,val:0.05,test:0.05 [salt] [outcol]` —
     // disjoint named subsets by hash range, each individually stable
     case "hash-split" => ColumnOps.simple(spec) { df =>

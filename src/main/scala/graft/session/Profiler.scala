@@ -465,6 +465,90 @@ object Sampler {
     }
   }
 
+  /** Budget-driven corpus mixing with epoch oversampling — the missing
+    * half of [[weightedByGroup]]: weights there are per-group KEEP
+    * fractions; here they are TARGET MIXTURE proportions over a token
+    * budget, the form mixture specs are actually published in
+    * ("40% web, 30% code, … for a 1.4T-token run"). Each group g gets
+    * rate r_g = min(maxEpochs, (w_g/Σw · budget) / tokens_g): under 1
+    * it downsamples, over 1 the group is REPEATED — multiplicity
+    * floor(r_g) for every key plus one more iff the key's hash point
+    * falls under the fractional remainder (so expected tokens = target,
+    * and the "2.3 epochs of books" reading is exact). `maxEpochs` caps
+    * repetition of tiny over-weighted sources. One bounded
+    * count-per-group aggregate sizes the rates on the driver (same
+    * group-cardinality contract as [[temperatureMix]]); the corpus pass
+    * is map-only (multiplicity expression + generator), stable under
+    * repartition/retry/AQE like every keyed sampler here. Rows whose
+    * group carries no weight — or whose group/token column is null —
+    * are dropped. `epochCol` records the copy index (1-based), so
+    * downstream can distinguish natural from repeated occurrences.
+    *
+    * Oracle-exactness: same recipe as [[temperatureMix]] — rates
+    * rounded to 6 decimals (the fractional part is exact: r6 − floor
+    * (r6) subtracts an integer from a double, which IEEE subtraction
+    * performs exactly), the fractional draw is the 60-bit integer test
+    * (`first 15 md5 hex < floor(frac·2^60)`), so SQL recomputing the
+    * formula reproduces the kept multiset bit-for-bit at any SF.
+    */
+  def mixtureByBudget(df: DataFrame, keyCol: String, groupCol: String,
+      weights: Seq[(String, Double)], budgetTokens: Long, tokenCol: String,
+      maxEpochs: Double = 4.0, salt: String = "",
+      epochCol: String = "epoch"): DataFrame = {
+    val rates = mixtureRates(df, groupCol, weights, budgetTokens, tokenCol,
+      maxEpochs)
+    if (rates.isEmpty) return df.filter(lit(false))
+      .withColumn(epochCol, lit(1))
+    val u = conv(substring(hashPoint(keyCol, salt + "#mix"), 1, 15), 16, 10)
+      .cast(LongType)
+    val mult = rates.foldRight(lit(0): Column) {
+      case ((g, base, thr), rest) =>
+        when(col(groupCol) === lit(g),
+          lit(base) + when(u < lit(thr), 1).otherwise(0)).otherwise(rest)
+    }
+    val m = "__graft_mix_m"
+    df.withColumn(m, mult)
+      .filter(col(m) > 0)
+      .withColumn(epochCol, explode(sequence(lit(1), col(m))))
+      .drop(m)
+  }
+
+  /** The per-group (floor epochs, 60-bit fractional-draw threshold)
+    * pairs behind [[mixtureByBudget]], groups in sorted order. Groups
+    * with no weight, zero weight, or no tokens are absent (rate 0).
+    * Public so tests and SQL mirrors can reproduce the exact integers.
+    */
+  def mixtureRates(df: DataFrame, groupCol: String,
+      weights: Seq[(String, Double)], budgetTokens: Long, tokenCol: String,
+      maxEpochs: Double): Seq[(String, Int, Long)] = {
+    require(budgetTokens > 0, s"mixture: budget must be > 0, got $budgetTokens")
+    require(maxEpochs >= 1.0 && maxEpochs <= 64.0,
+      s"mixture: maxEpochs in [1,64], got $maxEpochs")
+    require(weights.nonEmpty, "mixture: at least one group weight")
+    weights.foreach { case (g, w) => require(w >= 0.0,
+      s"mixture: negative weight for group '$g'") }
+    val wsum = weights.sortBy(_._1).foldLeft(0.0)(_ + _._2)
+    require(wsum > 0.0, "mixture: weights sum to 0")
+    val wmap = weights.toMap
+    val avail = df.filter(col(groupCol).isNotNull && col(tokenCol).isNotNull)
+      .groupBy(col(groupCol).cast(StringType).as("g"))
+      .agg(sum(col(tokenCol).cast(LongType)).as("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    avail.flatMap { case (g, tok) =>
+      wmap.get(g).filter(w => w > 0.0 && tok > 0L).map { w =>
+        val raw = ((w / wsum) * budgetTokens.toDouble) / tok.toDouble
+        val r6 = java.math.BigDecimal.valueOf(math.min(maxEpochs, raw))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        val base = math.floor(r6).toInt
+        // r6 - base: exact (integer subtracted from a double of larger
+        // magnitude); ·2^60 is exponent-only; toLong truncates = floor
+        val thr = ((r6 - base) * 1152921504606846976.0).toLong
+        (g, base, thr)
+      }
+    }.toSeq
+  }
+
   private def hashPoint(keyCol: String, salt: String): Column =
     md5(concat(coalesce(col(keyCol).cast(StringType), lit("")), lit(salt)))
 

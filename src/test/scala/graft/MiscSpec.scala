@@ -153,6 +153,52 @@ class MiscSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("Http.post: retries transient 5xx, returns 4xx body, nulls on bad URL") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val flakyHits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val clientErrHits = new java.util.concurrent.atomic.AtomicInteger(0)
+    def respond(ex: com.sun.net.httpserver.HttpExchange, code: Int,
+        body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+    // 503 twice, then 200 — within the MaxAttempts=3 retry budget
+    server.createContext("/flaky",
+      (ex: com.sun.net.httpserver.HttpExchange) =>
+        if (flakyHits.incrementAndGet() <= 2) respond(ex, 503, "busy")
+        else respond(ex, 200, """{"ok":true}"""))
+    // terminal 4xx: the body is the answer, no retry burned on it
+    server.createContext("/badreq",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        clientErrHits.incrementAndGet()
+        respond(ex, 400, """{"error":"bad request"}""")
+      })
+    // always-5xx: retries exhaust, last body returned (not null) so the
+    // caller can see the server's final word
+    server.createContext("/down",
+      (ex: com.sun.net.httpserver.HttpExchange) =>
+        respond(ex, 503, "still busy"))
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      assert(graft.ops.Http.post(s"http://127.0.0.1:$port/flaky", "{}", "")
+        == """{"ok":true}""")
+      assert(flakyHits.get() == 3, s"expected 3 attempts, ${flakyHits.get()}")
+      assert(graft.ops.Http.post(s"http://127.0.0.1:$port/badreq", "{}", "")
+        == """{"error":"bad request"}""")
+      assert(clientErrHits.get() == 1, "4xx must not retry")
+      assert(graft.ops.Http.post(s"http://127.0.0.1:$port/down", "{}", "")
+        == "still busy")
+      assert(graft.ops.Http.post("not a url", "{}", "") == null)
+      // connection refused (nothing listens on the reserved port 9):
+      // retries then null, never throws
+      assert(graft.ops.Http.post("http://127.0.0.1:9/x", "{}", "") == null)
+    } finally server.stop(0)
+  }
+
   test("validate-standard routes bad JSON to the error channel") {
     val d = df("j STRING", Seq(Row("""{"a":1}"""), Row("nope")))
     val res = Wrangle.recipe("validate-standard :j;").run(d)
@@ -340,6 +386,65 @@ class MiscSpec extends SparkSpec {
     assert(Sampler.temperatureMix(withNull, "id", "src", 0.5, 1.0)
       .count() == 1)
     assert(wrangle("sample-temperature :id :src 0.5 0.5", d).count() == kept)
+  }
+
+  test("mixtureByBudget: rates, epochs, cap, stability, drops") {
+    import graft.session.Sampler
+    // a: 800 rows x 10 tokens = 8000 supply; b: 200 x 10 = 2000
+    val rows = (1L to 1000L).map { i =>
+      Row(i, if (i <= 800) "a" else "b", 10L)
+    }
+    val d = df("id BIGINT, grp STRING, tok BIGINT", rows)
+
+    // equal weights over an 8000-token budget: a targets 4000 of its
+    // 8000 (rate .5, downsample), b targets 4000 of its 2000 (rate 2.0
+    // EXACTLY — integer epochs, no fractional draw)
+    val rates = Sampler.mixtureRates(d, "grp",
+      Seq("a" -> 0.5, "b" -> 0.5), 8000L, "tok", maxEpochs = 4.0)
+      .map { case (g, base, thr) => g -> ((base, thr)) }.toMap
+    assert(rates("a") == ((0, (0.5 * (1L << 60).toDouble).toLong)), s"got $rates")
+    assert(rates("b") == ((2, 0L)), s"got $rates")
+
+    val out = Sampler.mixtureByBudget(d, "id", "grp",
+      Seq("a" -> 0.5, "b" -> 0.5), 8000L, "tok")
+    // every b key appears exactly twice, epochs 1 and 2
+    val bEpochs = out.filter(col("grp") === "b")
+      .groupBy(col("id")).agg(collect_list(col("epoch")).as("es"))
+    assert(bEpochs.count() == 200)
+    assert(out.filter(col("grp") === "b").count() == 400)
+    // a keeps ~half its keys, each exactly once (epoch 1)
+    val aKept = out.filter(col("grp") === "a")
+    assert(aKept.agg(max(col("epoch"))).head.getInt(0) == 1)
+    val aN = aKept.count()
+    assert(aN > 320 && aN < 480, s"a kept $aN of 800 at rate 0.5")
+    // expected token total ~ budget
+    val tokTotal = out.agg(sum(col("tok"))).head.getLong(0)
+    assert(math.abs(tokTotal - 8000L) < 1200, s"token total $tokTotal")
+
+    // maxEpochs caps runaway oversampling: rate 40000/2000 = 20 -> 4
+    val capped = Sampler.mixtureByBudget(d, "id", "grp",
+      Seq("b" -> 1.0), 40000L, "tok")
+    assert(capped.count() == 800 &&
+      capped.agg(max(col("epoch"))).head.getInt(0) == 4)
+
+    // key-pure: the kept MULTISET is stable under repartition
+    def multiset(x: org.apache.spark.sql.DataFrame) =
+      x.select("id", "epoch").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(multiset(out) == multiset(Sampler.mixtureByBudget(
+      d.repartition(7), "id", "grp",
+      Seq("a" -> 0.5, "b" -> 0.5), 8000L, "tok")))
+
+    // null group and unweighted group drop
+    val withNull = df("id BIGINT, grp STRING, tok BIGINT",
+      Seq(Row(1L, "a", 5L), Row(2L, null, 5L), Row(3L, "c", 5L)))
+    assert(Sampler.mixtureByBudget(withNull, "id", "grp",
+      Seq("a" -> 1.0), 100L, "tok").select("grp")
+      .collect().map(_.getString(0)).forall(_ == "a"))
+
+    // directive surface wires through
+    assert(wrangle("sample-mixture :id :grp 'a:0.5,b:0.5' 8000 :tok", d)
+      .count() == out.count())
   }
 
   test("Sources.footprint: files and bytes match the filesystem") {
