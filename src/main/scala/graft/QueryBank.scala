@@ -2627,6 +2627,27 @@ object QueryBank {
         |FROM embeddings e
         |WHERE e.vec_id IN (0,73,165,257,344,365,387,388,483,498)""".stripMargin),
 
+    ("ann_ivf_cross",
+      // batched IVF ANN: a query STREAM probed against the cell-pruned
+      // corpus in one broadcast equi-join — the scale shape (ivfTopK
+      // serves one driver vector; crossTopK scans the whole corpus per
+      // batch). Queries are 10 exact half-scale twins of corpus
+      // vectors: cell assignment is argmax-of-dots (scale-invariant),
+      // so each twin always probes its base's cell and ranks first with
+      // cosine exactly 1 — closed-form oracle, SF-generic.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val e = emb(s, d)
+        val queries = e.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 10000000L).as("query_id"),
+            transform(col("embedding"), x => x * lit(0.5f)).as("qvec"))
+        graft.llm.Similarity.ivfCrossTopK(e, queries, "vec_id",
+            "embedding", "query_id", "qvec", k = 1)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      },
+      """SELECT vec_id + 10000000 AS query_id, vec_id AS neighbor_id
+        |FROM embeddings WHERE vec_id < 10""".stripMargin),
+
     // ---- §2.1 parsers, second wave ---------------------------------
     ("parse_xml_to_json",
       (s, d) => r("set-column :x exp:{ concat('<r><seg>', c_mktsegment, '</seg></r>') }; parse-xml-to-json :x; json-path :x :seg '$.r.seg'; keep :c_custkey,:seg")(cust(s, d)),

@@ -482,11 +482,69 @@ object Similarity {
     */
   def crossTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, qidCol: String, qvecCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.expressions.Window
     val scored = corpus.join(broadcast(queries))
       .withColumn("cosine", pairCosine(col(vecCol), col(qvecCol)))
       .select(col(qidCol), col(idCol), col("cosine"))
+    topKPerQuery(scored, qidCol, idCol, k)
+  }
+
+  /** Batched IVF ANN: top-k per QUERY ROW against a cell-pruned corpus
+    * — the scale shape for query STREAMS (millions of probes against an
+    * indexed corpus), where [[ivfTopK]] serves one driver-side vector
+    * and [[crossTopK]] pays a full corpus scan per batch. The coarse
+    * quantizer trains once on a bounded sample; the corpus is assigned
+    * cells in one map pass (at real scale precompute this column and
+    * write the corpus partitioned by it — the probe join then becomes
+    * partition pruning); each query explodes to its `nprobe` nearest
+    * cells and meets only ~nprobe/nlist of the corpus through a
+    * broadcast equi-join on the cell id. Exact cosine inside probed
+    * cells, per-query top-k through the same partial-heap + window
+    * pass as [[crossTopK]]. A (query, vector) pair can meet in at most
+    * one cell (a vector HAS one cell), so no candidate dedup is
+    * needed. Cell assignment is scale-invariant (argmax of dots), so a
+    * query parallel to a corpus vector always probes that vector's
+    * cell: exact twins are found with probability 1 at any nprobe ≥ 1.
+    * Column names must not collide between corpus and queries.
+    */
+  def ivfCrossTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, qidCol: String, qvecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 11L): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"ivfCrossTopK: nprobe in [1, nlist], got ($nprobe, $nlist)")
+    val cents = trainCentroids(corpus, vecCol, nlist, seed = seed)
+    val probeUdf = udf((q: Seq[Float]) => {
+      if (q == null) null
+      else {
+        val scoredCells = Array.tabulate(cents.length) { c =>
+          val cent = cents(c)
+          var dot = 0.0; var i = 0
+          val len = math.min(q.length, cent.length)
+          while (i < len) { dot += q(i).toDouble * cent(i); i += 1 }
+          (c, dot)
+        }
+        scoredCells.sortBy { case (c, d) => (-d, c) }
+          .take(math.min(nprobe, cents.length)).map(_._1)
+      }
+    })
+    val qc = queries.select(col(qidCol), col(qvecCol))
+      .withColumn("__cell", explode(probeUdf(col(qvecCol))))
+    val cc = corpus.select(col(idCol), col(vecCol))
+      .withColumn("__cell", ivfCell(col(vecCol), cents))
+    val scored = cc.join(broadcast(qc), Seq("__cell"))
+      .withColumn("cosine", pairCosine(col(vecCol), col(qvecCol)))
+      .select(col(qidCol), col(idCol), col("cosine"))
+    topKPerQuery(scored, qidCol, idCol, k)
+  }
+
+  /** Distributed per-query top-k over a (qid, id, cosine) stream:
+    * per-partition bounded heaps (at most k rows per query per
+    * partition reach the shuffle), then a window ranking on the
+    * partials. Shared tail of [[crossTopK]] / [[ivfCrossTopK]].
+    */
+  private def topKPerQuery(scored: DataFrame, qidCol: String,
+      idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.expressions.Window
     // heap ordering: dequeue() must evict the WORST row — lowest cosine,
     // then largest id (matching the final orderBy(cosine desc, id asc))
     val worstFirst: Ordering[Row] = new Ordering[Row] {

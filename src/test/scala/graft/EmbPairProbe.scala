@@ -29,6 +29,18 @@ object EmbPairProbe {
       }
       lap(s"scaled dir=$d thr=0.9", graft.llm.Dedup.embeddingPairsScaled(
         emb, "vec_id", "embedding", threshold = 0.9).count())
+      // batched ANN: 200 probes x corpus — the IVF cell join reads
+      // ~nprobe/nlist of the corpus per query vs crossTopK's full scan
+      import org.apache.spark.sql.functions.col
+      val probes = emb.filter(col("vec_id") < 200)
+        .select((col("vec_id") + 50000000L).as("query_id"),
+          col("embedding").as("qvec"))
+      lap(s"crossTopK  dir=$d q=200", graft.llm.Similarity.crossTopK(
+        emb, probes, "vec_id", "embedding", "query_id", "qvec",
+        k = 10).count())
+      lap(s"ivfCrossTopK dir=$d q=200", graft.llm.Similarity.ivfCrossTopK(
+        emb, probes, "vec_id", "embedding", "query_id", "qvec",
+        k = 10, nlist = 64, nprobe = 8).count())
     }
     spark.stop()
   }
