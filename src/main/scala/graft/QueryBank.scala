@@ -3832,6 +3832,30 @@ object QueryBank {
         |FROM (VALUES ('de', 3549, 70), ('en', 11757, 218), ('es', 3958, 73),
         |  ('fr', 3758, 64), ('zh', 4143, 75)) v(lang, t, n)""".stripMargin),
 
+    ("bpe_encode",
+      // the encode half of the corpus-BPE story (train is covered by
+      // bpe_token_count's rollup): the rendered subword stream for a
+      // 5-doc probe slice is pinned — training is a pure function of
+      // the word-frequency table, so any regression in the merge loop,
+      // rank application, or the encode kernel shifts these strings.
+      // (Pinned-fixture pattern; DuckDB cannot replay BPE training.)
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        r("bpe-encode :text 200")(docs(s, d))
+          .filter(col("doc_id") < 5)
+          .select(col("doc_id"),
+            size(col("text_bpe")).as("n_subwords"),
+            md5(concat_ws("|", col("text_bpe"))).as("bpe_md5"))
+      },
+      """SELECT CAST(i AS BIGINT) AS doc_id, CAST(n AS INT) AS n_subwords,
+        | m AS bpe_md5 FROM (VALUES
+        | (0, 32, 'b99e74eacd0607f58cb12fdc85696ae4'),
+        | (1, 72, '10c6cd679f67225c21423435a5474861'),
+        | (2, 45, 'f59151369e90eb78d185683d2b36e7d7'),
+        | (3, 27, 'd6d414aafe93311ac14c82ce6715a5f6'),
+        | (4, 45, '9dfffb970bcf2b88134fd2787da5cf22'))
+        | v(i, n, m)""".stripMargin),
+
     ("select_budget",
       // best-quality token-budget subset: inclusive running token sum
       // in (quality desc, doc_id asc) order, stop at the first
