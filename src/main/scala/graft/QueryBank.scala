@@ -3808,7 +3808,8 @@ object QueryBank {
         |     < CAST(floor((r.r6 - floor(r.r6)) * 1152921504606846976.0)
         |        AS BIGINT)
         |    THEN 1 ELSE 0 END AS mult
-        |  FROM tk t JOIN rates r ON t.lang = r.g)
+        |  FROM tk t JOIN rates r ON t.lang = r.g
+        |  WHERE t.text_tokens IS NOT NULL)
         |SELECT doc_id, lang, text_tokens,
         |  CAST(unnest(generate_series(1, mult)) AS INT) AS epoch
         |FROM m WHERE mult > 0""".stripMargin),

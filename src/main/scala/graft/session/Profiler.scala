@@ -507,7 +507,8 @@ object Sampler {
           lit(base) + when(u < lit(thr), 1).otherwise(0)).otherwise(rest)
     }
     val m = "__graft_mix_m"
-    df.withColumn(m, mult)
+    df.filter(col(groupCol).isNotNull && col(tokenCol).isNotNull)
+      .withColumn(m, mult)
       .filter(col(m) > 0)
       .withColumn(epochCol, explode(sequence(lit(1), col(m))))
       .drop(m)
@@ -525,6 +526,8 @@ object Sampler {
     require(maxEpochs >= 1.0 && maxEpochs <= 64.0,
       s"mixture: maxEpochs in [1,64], got $maxEpochs")
     require(weights.nonEmpty, "mixture: at least one group weight")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "mixture: duplicate group in weights")
     weights.foreach { case (g, w) => require(w >= 0.0,
       s"mixture: negative weight for group '$g'") }
     val wsum = weights.sortBy(_._1).foldLeft(0.0)(_ + _._2)

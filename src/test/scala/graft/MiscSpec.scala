@@ -435,12 +435,13 @@ class MiscSpec extends SparkSpec {
       d.repartition(7), "id", "grp",
       Seq("a" -> 0.5, "b" -> 0.5), 8000L, "tok")))
 
-    // null group and unweighted group drop
+    // null group, null tokens, and unweighted group all drop
     val withNull = df("id BIGINT, grp STRING, tok BIGINT",
-      Seq(Row(1L, "a", 5L), Row(2L, null, 5L), Row(3L, "c", 5L)))
+      Seq(Row(1L, "a", 5L), Row(2L, null, 5L), Row(3L, "c", 5L),
+        Row(4L, "a", null)))
     assert(Sampler.mixtureByBudget(withNull, "id", "grp",
-      Seq("a" -> 1.0), 100L, "tok").select("grp")
-      .collect().map(_.getString(0)).forall(_ == "a"))
+      Seq("a" -> 1.0), 100L, "tok").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
 
     // directive surface wires through
     assert(wrangle("sample-mixture :id :grp 'a:0.5,b:0.5' 8000 :tok", d)
