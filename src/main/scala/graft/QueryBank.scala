@@ -1533,6 +1533,43 @@ object QueryBank {
         | (134,178,185,245,267,290,293,301,323,332,374,377,383,387,389,
         |  413,420,446,447,450,455,457,462,486)""".stripMargin),
 
+    ("dedup_minhash_keepbest",
+      // keep-best policy over near-dup clusters: verified pairs cluster
+      // into connected components and the LONGEST copy per component
+      // survives (ties -> smallest id) — the keep-longest policy for
+      // truncated web-page twins, lifted from exact to near-dup. The
+      // oracle REPLAYS the whole policy rather than pinning the answer:
+      // from the independently-validated pair pins it rebuilds the
+      // components (two min-label hops — every duplicate cluster at
+      // sf0.01 has diameter <= 2) and re-ranks each component by
+      // (length desc, id asc), so a regression in banding,
+      // verification, CC, or the keep-best rank all break the match.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val dd = docs(s, d).withColumn("prio", length(col("text")))
+        graft.llm.Dedup.minhashDedupKeepBest(dd, "text", "doc_id", "prio",
+            threshold = 0.8)
+          .select("doc_id", "lang", "source")
+      },
+      """WITH pins(a, b) AS (VALUES
+        | (8,245),(26,455),(31,383),(44,446),(45,267),(45,413),(58,293),
+        | (61,185),(70,447),(72,377),(87,134),(92,450),(98,290),(107,387),
+        | (120,332),(152,178),(166,323),(267,413),(285,301),(295,374),
+        | (310,389),(326,457),(393,420),(435,486),(458,462)),
+        |adj AS (SELECT a AS u, b AS v FROM pins UNION SELECT b, a FROM pins
+        |  UNION SELECT a, a FROM pins UNION SELECT b, b FROM pins),
+        |l1 AS (SELECT u, min(v) AS lab FROM adj GROUP BY u),
+        |l2 AS (SELECT adj.u, min(l1.lab) AS comp
+        |  FROM adj JOIN l1 ON l1.u = adj.v GROUP BY adj.u),
+        |ranked AS (SELECT l2.u AS doc_id, l2.comp, len(d.text) AS prio
+        |  FROM l2 JOIN documents d ON d.doc_id = l2.u),
+        |losers AS (SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (
+        |    PARTITION BY comp ORDER BY prio DESC, doc_id ASC) AS rn
+        |  FROM ranked) t WHERE rn > 1)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin),
+
     ("minhash_pairs",
       (s, d) => graft.llm.Dedup
         .minhashPairs(docs(s, d), "text", "doc_id", threshold = 0.8)
@@ -3016,6 +3053,97 @@ object QueryBank {
         |FROM fe JOIN base b ON fe.doc_id = b.doc_id
         |GROUP BY b.doc_id""".stripMargin),
 
+    ("audio_ahash",
+      // Perceptual 64-bit audio envelope hash from a REAL PCM decode:
+      // 65 contiguous segment energies (exact integer Σs²), adjacent
+      // comparisons, hex-rendered byte-by-byte. DuckDB recomputes the
+      // full hash from the sample formula (quadratic scramble + the
+      // id>=100 segment-0 perturbation) without ever seeing the bytes —
+      // any slip in the decode, segment mapping, or comparison packing
+      // breaks the match.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        docs(s, d).select(col("doc_id")).filter(col("doc_id") < 200)
+          .withColumn("payload", synthAudioWavUdf(col("doc_id")))
+          .select(col("doc_id"),
+            graft.llm.AudioHash.audioHashHexUdf(col("payload")).as("ahash"))
+      },
+      """WITH g AS (SELECT doc_id, doc_id % 100 AS seed,
+        |  CAST(260 + (doc_id % 100) * 4 AS BIGINT) AS n
+        | FROM documents WHERE doc_id < 200),
+        |s AS (SELECT doc_id, n,
+        |  list_transform(range(0, n), i ->
+        |    (seed * 97 + i * i * 13 + i * 31) % 64000 - 32000
+        |    + CASE WHEN doc_id >= 100 AND i * 65 // n = 0
+        |      THEN 200 ELSE 0 END) AS smp
+        | FROM g),
+        |cells AS (SELECT doc_id, k,
+        |  list_sum(list_transform(list_filter(range(0, n),
+        |     i -> i * 65 // n = k),
+        |     i -> smp[CAST(i + 1 AS INT)] * smp[CAST(i + 1 AS INT)])) AS e
+        | FROM s CROSS JOIN (SELECT unnest(range(0, 65)) AS k) t),
+        |bits AS (SELECT a.doc_id, a.k,
+        |   CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND b.k = a.k + 1
+        |  WHERE a.k < 64),
+        |bytes AS (SELECT doc_id, k // 8 AS j,
+        |   CAST(sum(bit << (k % 8)) AS BIGINT) AS byte
+        |  FROM bits GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  string_agg(printf('%02x', byte), '' ORDER BY j DESC) AS ahash
+        |FROM bytes GROUP BY doc_id""".stripMargin),
+
+    ("audio_dup_pairs",
+      // Perceptual near-duplicate audio detection end-to-end: envelope-
+      // hash every fixture WAV, banded-Hamming LSH candidates (the SAME
+      // shared machinery as image dHash and SimHash), exact bit_count
+      // verify. The fixture plants 100 near pairs (id, id+100) — id+100
+      // re-renders id's samples with segment 0 perturbed, flipping at
+      // most one comparison bit — while every other pair is far apart
+      // (validated over all combinations in AudioHashSpec); DuckDB
+      // brute-forces ALL pairs from the sample formula, so both a
+      // missed planted pair and a spurious candidate break the match.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val fx = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthAudioWavUdf(col("doc_id")))
+        graft.llm.AudioHash.audioDupPairs(fx, "payload", "doc_id",
+          maxHamming = 3)
+      },
+      """WITH g AS (SELECT doc_id, doc_id % 100 AS seed,
+        |  CAST(260 + (doc_id % 100) * 4 AS BIGINT) AS n
+        | FROM documents WHERE doc_id < 200),
+        |s AS (SELECT doc_id, n,
+        |  list_transform(range(0, n), i ->
+        |    (seed * 97 + i * i * 13 + i * 31) % 64000 - 32000
+        |    + CASE WHEN doc_id >= 100 AND i * 65 // n = 0
+        |      THEN 200 ELSE 0 END) AS smp
+        | FROM g),
+        |cells AS (SELECT doc_id, k,
+        |  list_sum(list_transform(list_filter(range(0, n),
+        |     i -> i * 65 // n = k),
+        |     i -> smp[CAST(i + 1 AS INT)] * smp[CAST(i + 1 AS INT)])) AS e
+        | FROM s CROSS JOIN (SELECT unnest(range(0, 65)) AS k) t),
+        |bits AS (SELECT a.doc_id, a.k,
+        |   CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND b.k = a.k + 1
+        |  WHERE a.k < 64),
+        |bytes AS (SELECT doc_id, k // 8 AS j,
+        |   CAST(sum(bit << (k % 8)) AS BIGINT) AS byte
+        |  FROM bits GROUP BY 1, 2),
+        |sigs AS (SELECT doc_id, list(byte ORDER BY j) AS by
+        |  FROM bytes GROUP BY doc_id)
+        |SELECT id_a, id_b, hamming FROM (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(list_sum(list_transform(range(1, 9), j ->
+        |    bit_count(xor(a.by[CAST(j AS INT)], b.by[CAST(j AS INT)]))))
+        |    AS INT) AS hamming
+        | FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id) p
+        |WHERE hamming <= 3""".stripMargin),
+
     ("multimodal_png_decode",
       // REAL image decode: deterministic 8-bit RGB PNGs are synthesized
       // per doc_id (real encoder: per-scanline filters cycling through
@@ -3890,6 +4018,26 @@ object QueryBank {
         "normalize-unicode :t NFC; keep :c_custkey,:t")(cust(s, d)),
       """SELECT c_custkey, nfc_normalize('Cafe' || chr(769) || ' ' || c_name)
         | AS t FROM customer""".stripMargin),
+
+    ("fix_mojibake",
+      // ftfy-style encoding repair: UTF-8 misdecoded as cp1252 is
+      // re-encoded and strictly re-decoded ("cafÃ©" -> "café",
+      // "donâ€™t" -> "don’t"), double-encoded text converges in two
+      // rounds ("ÃƒÂ©" -> "é"), and ALREADY-CLEAN text must pass
+      // through unchanged (its cp1252 bytes are not valid UTF-8, so
+      // the repair is rejected) — the oracle states all three expected
+      // outcomes closed-form, so an over- or under-eager repair breaks
+      // the hash.
+      (s, d) => r("set-column :broken exp:{ concat('cafÃ© donâ€™t â‚¬9 Ã¼ber â€” ok ', c_name) }; " +
+        "set-column :clean exp:{ concat('already café – ok ', c_name) }; " +
+        "set-column :dbl exp:{ concat('ÃƒÂ©ÃƒÂ¨ ', c_name) }; " +
+        "fix-mojibake :broken; fix-mojibake :clean; fix-mojibake :dbl; " +
+        "keep :c_custkey,:broken,:clean,:dbl")(cust(s, d)),
+      """SELECT c_custkey,
+        | 'café don’t €9 über — ok ' || c_name AS broken,
+        | 'already café – ok ' || c_name AS clean,
+        | 'éè ' || c_name AS dbl
+        |FROM customer""".stripMargin),
 
     ("remove_accents",
       // NFD + combining-mark strip == DuckDB strip_accents for Latin
@@ -4985,6 +5133,45 @@ object QueryBank {
         val s =
           if ((i / 16) % 3 == 2) (((id * 7 + i.toLong * 13) % 1000) - 500).toInt
           else (((id * 31 + i.toLong * 7919) % 65536) - 32768).toInt
+        w16(44 + 2 * i, s & 0xffff)
+        i += 1
+      }
+      bytes
+    })
+
+  /** Fixture: near-duplicate audio pairs for perceptual envelope-hash
+    * dedup. Ids 0..99 are mono 16-bit PCM WAVs with n = 260 + seed·4
+    * samples, s_i = (seed·97 + i²·13 + i·31) mod 64000 − 32000 — the
+    * quadratic scramble decorrelates adjacent segment energies (a
+    * smooth signal would give every id a near-constant envelope hash).
+    * Ids 100..199 re-render id%100's samples with segment 0 (the
+    * samples where i·65/n = 0) shifted +200 each: only e₀ changes, so
+    * the planted twin differs in AT MOST the one comparison bit e₁>e₀.
+    * Bounded to ±32200, so no sample wraps in the 16-bit encode.
+    */
+  private val synthAudioWavUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      val seed = id % 100
+      val n = (260 + seed * 4).toInt
+      val bytes = new Array[Byte](44 + n * 2)
+      def w16(o: Int, v: Int): Unit = {
+        bytes(o) = (v & 0xff).toByte; bytes(o + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def w32(o: Int, v: Long): Unit = {
+        w16(o, (v & 0xffff).toInt); w16(o + 2, ((v >> 16) & 0xffff).toInt)
+      }
+      def tag(o: Int, s: String): Unit =
+        (0 until 4).foreach(i => bytes(o + i) = s.charAt(i).toByte)
+      tag(0, "RIFF"); w32(4, 36L + n * 2); tag(8, "WAVE")
+      tag(12, "fmt "); w32(16, 16); w16(20, 1); w16(22, 1) // PCM, mono
+      w32(24, 8000); w32(28, 16000); w16(32, 2); w16(34, 16)
+      tag(36, "data"); w32(40, n * 2L)
+      var i = 0
+      while (i < n) {
+        val base =
+          ((seed * 97 + i.toLong * i * 13 + i * 31) % 64000 - 32000).toInt
+        val s =
+          if (id >= 100 && i.toLong * 65 / n == 0) base + 200 else base
         w16(44 + 2 * i, s & 0xffff)
         i += 1
       }

@@ -988,6 +988,78 @@ object Udfs {
   }
   val removeAccentsUdf: UserDefinedFunction = udf(removeAccents _)
 
+  // ---- Mojibake repair -------------------------------------------------
+
+  /** The 27 printable cp1252 characters that live in the 0x80–0x9F
+    * block — the tell-tale glyphs of UTF-8 text misdecoded as Windows
+    * cp1252 ("â€™" for a right single quote, "â‚¬" for €).
+    */
+  private val cp1252High: Map[Char, Int] = Map(
+    '€' -> 0x80, '‚' -> 0x82, 'ƒ' -> 0x83, '„' -> 0x84,
+    '…' -> 0x85, '†' -> 0x86, '‡' -> 0x87, 'ˆ' -> 0x88,
+    '‰' -> 0x89, 'Š' -> 0x8A, '‹' -> 0x8B, 'Œ' -> 0x8C,
+    'Ž' -> 0x8E, '‘' -> 0x91, '’' -> 0x92, '“' -> 0x93,
+    '”' -> 0x94, '•' -> 0x95, '–' -> 0x96, '—' -> 0x97,
+    '˜' -> 0x98, '™' -> 0x99, 'š' -> 0x9A, '›' -> 0x9B,
+    'œ' -> 0x9C, 'ž' -> 0x9E, 'Ÿ' -> 0x9F)
+
+  /** One mojibake repair step: re-encode the string through "sloppy
+    * cp1252" (chars < U+0100 map to their own byte — covering both
+    * Latin-1 decodes and the C1 controls cp1252 leaves undefined —
+    * plus the 27 cp1252-specific glyphs above) and strictly re-decode
+    * as UTF-8. The repair is REJECTED (input returned unchanged) when
+    * any character has no cp1252 byte, the byte run is not valid
+    * UTF-8, or no multi-byte sequence was consumed — so already-clean
+    * text, pure ASCII, and genuine Latin-1 prose all pass through
+    * untouched. This is the core transform of the published ftfy
+    * "fix encoding" step, re-implemented from the codec tables.
+    */
+  private def fixMojibakeOnce(s: String): String = {
+    val n = s.length
+    val bytes = new Array[Byte](n)
+    var hasHigh = false
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      val b =
+        if (c < 0x100) c.toInt
+        else cp1252High.getOrElse(c, -1)
+      if (b < 0) return s
+      if (b >= 0x80) hasHigh = true
+      bytes(i) = b.toByte
+      i += 1
+    }
+    if (!hasHigh) return s
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try {
+      val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      if (out.length < n) out else s
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => s
+    }
+  }
+
+  /** Mojibake repair to a fixed point (double-encoded text like
+    * "ÃƒÂ©" needs two rounds): "cafÃ©" → "café", "donâ€™t" → "don’t",
+    * clean text unchanged. Terminates because every accepted round
+    * STRICTLY shrinks the string (a multi-byte UTF-8 sequence was
+    * consumed), so the round count is bounded by the input length.
+    */
+  def fixMojibake(s: String): String = {
+    if (s == null) return null
+    var cur = s
+    var done = false
+    while (!done) {
+      val next = fixMojibakeOnce(cur)
+      if (next == cur) done = true
+      else cur = next
+    }
+    cur
+  }
+  val fixMojibakeUdf: UserDefinedFunction = udf(fixMojibake _)
+
   /** Normalized word tokens (normalizeText split on single spaces). */
   def normTokens(text: String): Array[String] = {
     val n = normalizeText(text)

@@ -535,6 +535,45 @@ object Dedup {
     df.join(keepers, Seq(idCol), "left_semi")
   }
 
+  /** [[minhashDedupCC]] with the KEEP-BEST policy: within each
+    * connected component the row with the highest (numeric) `prioCol`
+    * survives, ties toward the smallest `idCol` — the CC analogue of
+    * [[exactKeepBest]] (near-duplicate web pages often differ only in
+    * truncation; keeping the longest or best-scored copy preserves the
+    * most content). Exact duplicates collapse first under the SAME
+    * (prio, id) rank, so the copy entering the LSH stage is already
+    * each content group's best and the two stages compose into one
+    * policy. A null priority ranks below every non-null one.
+    */
+  def minhashDedupKeepBest(df: DataFrame, textCol: String, idCol: String,
+      prioCol: String, numHashes: Int = 128, bands: Int = 16,
+      shingleK: Int = 5, threshold: Double = 0.7): DataFrame = {
+    val distinctDocs = exactKeepBest(
+      df.select(col(idCol), col(textCol), col(prioCol)),
+      textCol, idCol, prioCol)
+    val (ids, pairs) = minhashPairsAndIds(distinctDocs, textCol, idCol,
+      numHashes, bands, shingleK, threshold, textSource = df)
+    // rank each clustered doc inside its component by (prio desc, id
+    // asc). The component frame only carries CLUSTERED ids — a small
+    // fraction of the corpus by construction — so the window shuffle
+    // never touches the full population.
+    val ranked = connectedComponents(pairs)
+      .join(distinctDocs.select(col(idCol).as("id"),
+        coalesce(col(prioCol).cast(DoubleType),
+          lit(Double.NegativeInfinity)).as("__prio")), Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    val losers = ranked
+      .withColumn("__r", struct((lit(0.0) - col("__prio")).as("__rk"),
+        col("id").as("__id")))
+      .withColumn("__keep", min(col("__r")).over(w))
+      .where(not(col("__r") <=> col("__keep")))
+      .select(col("id").as(idCol))
+    // same cached-keeper semi-join shape as [[minhashDedup]]
+    val keepers = ids.select(col("__id").as(idCol))
+      .join(losers, Seq(idCol), "left_anti")
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
   /** 64-bit SimHash over whitespace tokens (sign of per-bit vote sums). */
   def simhash64(text: Column): Column =
     graft.functions.Udfs.simhashSigUdf(text)

@@ -461,6 +461,45 @@ object MediaHeaders {
   val wavFrameStatsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf(wavFrameStats _)
 
+  /** Decoded PCM samples on the 16-bit scale (8-bit samples shift
+    * left 8, unsigned midpoint-128 — same convention as
+    * [[wavFrameStats]]), or null for non-PCM / malformed payloads.
+    * The shared sample accessor behind the frame analyzer and the
+    * perceptual audio hash ([[graft.llm.AudioHash]]).
+    */
+  private[llm] def pcmSamples(b: Array[Byte]): Array[Int] = {
+    if (b == null || b.length < 44) return null
+    if (ascii(b, 0, 4) != "RIFF" || ascii(b, 8, 4) != "WAVE") return null
+    var p = 12
+    var fmt = -1
+    var bits = -1
+    var dataOff = -1
+    var dataLen = -1L
+    while (p + 8 <= b.length) {
+      val id = ascii(b, p, 4)
+      val len = le32(b, p + 4)
+      if (id == "fmt " && p + 24 <= b.length) {
+        fmt = le16(b, p + 8)
+        bits = le16(b, p + 22)
+      }
+      if (id == "data" && dataOff < 0) { dataOff = p + 8; dataLen = len }
+      val step = 8L + len + (len & 1L) // chunks are word-aligned
+      if (p + step > b.length) p = b.length else p += step.toInt
+    }
+    if (fmt != 1 || dataOff < 0 || (bits != 8 && bits != 16)) return null
+    val end = math.min(b.length.toLong, dataOff + dataLen).toInt
+    val n = if (bits == 16) (end - dataOff) / 2 else end - dataOff
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (bits == 16) (le16(b, dataOff + 2 * i) << 16) >> 16
+        else (u8(b, dataOff + i) - 128) << 8
+      i += 1
+    }
+    out
+  }
+
   // ---- PNG pixel decode (real, pure-JVM) ---------------------------
   // PNG spec (ISO/IEC 15948 / W3C PNG 2nd ed.): Sec. 5 chunk layout,
   // Sec. 9 filtering, Sec. 11.2.2 IHDR, 11.2.3 PLTE, 11.2.4 IDAT.

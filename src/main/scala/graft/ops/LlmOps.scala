@@ -60,9 +60,19 @@ object LlmOps {
       df.withColumn(spec.col(0), normed)
     }
 
+    // optional fourth column = numeric priority: cluster verified
+    // near-dup pairs into connected components and keep the HIGHEST
+    // priority copy per component (ties -> smallest id) — the same
+    // keep-longest/keep-best policy dedup-exact offers, lifted to
+    // near-duplicates
     case "dedup-minhash" => ColumnOps.simple(spec) { df =>
-      Dedup.minhashDedup(df, spec.col(0), spec.col(1),
-        threshold = spec.optStr(2).map(_.toDouble).getOrElse(0.7))
+      val threshold = spec.optStr(2).map(_.toDouble).getOrElse(0.7)
+      spec.optCol(3) match {
+        case Some(prio) => Dedup.minhashDedupKeepBest(df, spec.col(0),
+          spec.col(1), prio, threshold = threshold)
+        case None =>
+          Dedup.minhashDedup(df, spec.col(0), spec.col(1), threshold = threshold)
+      }
     }
 
     case "dedup-simhash" => ColumnOps.simple(spec) { df =>
@@ -76,6 +86,16 @@ object LlmOps {
     // can't match anything and always survive)
     case "dedup-images" => ColumnOps.simple(spec) { df =>
       graft.llm.ImageHash.imageDedup(df, spec.col(0), spec.col(1),
+        maxHamming = spec.optStr(2).map(_.toInt).getOrElse(3))
+    }
+
+    // `dedup-audio :payload :id [maxHamming]` — perceptual near-dup
+    // audio dedup over a binary column: gain-invariant envelope hash
+    // from the real PCM decode, the same banded-Hamming machinery as
+    // dedup-images, keep smallest id (undecodable payloads can't match
+    // anything and always survive)
+    case "dedup-audio" => ColumnOps.simple(spec) { df =>
+      graft.llm.AudioHash.audioDedup(df, spec.col(0), spec.col(1),
         maxHamming = spec.optStr(2).map(_.toInt).getOrElse(3))
     }
 

@@ -116,6 +116,15 @@ object StringOps {
     case "remove-accents" => inPlace(spec)(c =>
       Udfs.removeAccentsUdf(c.cast(StringType)))
 
+    // `fix-mojibake :col` — repair UTF-8 text misdecoded as
+    // cp1252/Latin-1 ("cafÃ©" -> "café", "donâ€™t" -> "don’t"), to a
+    // fixed point for double-encoded crawls; clean text, pure ASCII
+    // and genuine Latin-1 prose pass through unchanged (a repair is
+    // only accepted when the re-encoded bytes form valid multi-byte
+    // UTF-8). Map-only.
+    case "fix-mojibake" => inPlace(spec)(c =>
+      Udfs.fixMojibakeUdf(c.cast(StringType)))
+
     // appends `<col>_encode_<method>` (reference: wrangler-core
     // directives/transformation/Encode.java:104)
     case "encode" => ColumnOps.simple(spec) { df =>

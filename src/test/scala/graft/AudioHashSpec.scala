@@ -1,0 +1,111 @@
+package graft
+
+import graft.llm.AudioHash
+
+class AudioHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Minimal valid mono 16-bit PCM WAV around the given samples. */
+  private def wav16(samples: Array[Int]): Array[Byte] = {
+    val n = samples.length
+    val bytes = new Array[Byte](44 + n * 2)
+    def w16(o: Int, v: Int): Unit = {
+      bytes(o) = (v & 0xff).toByte; bytes(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def w32(o: Int, v: Long): Unit = {
+      w16(o, (v & 0xffff).toInt); w16(o + 2, ((v >> 16) & 0xffff).toInt)
+    }
+    def tag(o: Int, s: String): Unit =
+      (0 until 4).foreach(i => bytes(o + i) = s.charAt(i).toByte)
+    tag(0, "RIFF"); w32(4, 36L + n * 2); tag(8, "WAVE")
+    tag(12, "fmt "); w32(16, 16); w16(20, 1); w16(22, 1)
+    w32(24, 8000); w32(28, 16000); w16(32, 2); w16(34, 16)
+    tag(36, "data"); w32(40, n * 2L)
+    var i = 0
+    while (i < n) { w16(44 + 2 * i, samples(i) & 0xffff); i += 1 }
+    bytes
+  }
+
+  /** The synthAudioWav fixture's sample run (QueryBank formula). */
+  private def fixtureSamples(id: Long): Array[Int] = {
+    val seed = id % 100
+    val n = (260 + seed * 4).toInt
+    Array.tabulate(n) { i =>
+      val base =
+        ((seed * 97 + i.toLong * i * 13 + i * 31) % 64000 - 32000).toInt
+      if (id >= 100 && i.toLong * 65 / n == 0) base + 200 else base
+    }
+  }
+
+  test("audioHash64: monotone energy envelopes pin every bit") {
+    // |s| strictly rising per segment (65 segments x 4 samples, each
+    // segment's constant amplitude k+1): e[k+1] > e[k] everywhere ->
+    // all 64 bits set
+    val rising = wav16(Array.tabulate(260)(i => (i / 4 + 1) * 100))
+    assert(AudioHash.audioHash64(rising) == -1L)
+    assert(AudioHash.audioHashHex(rising) == "f" * 16)
+    // strictly falling -> no bit set
+    val falling = wav16(Array.tabulate(260)(i => (65 - i / 4) * 100))
+    assert(AudioHash.audioHash64(falling) == 0L)
+    assert(AudioHash.audioHashHex(falling) == "0" * 16)
+  }
+
+  test("audioHash64: gain-invariant — the same recording louder hashes identically") {
+    val base = fixtureSamples(7).map(_ / 4) // headroom for x3
+    val loud = base.map(_ * 3)
+    val hBase = AudioHash.audioHash64(wav16(base))
+    val hLoud = AudioHash.audioHash64(wav16(loud))
+    assert(hBase != null)
+    assert(hBase == hLoud)
+    // ...while the exact sample content differs
+    assert(!java.util.Arrays.equals(wav16(base), wav16(loud)))
+  }
+
+  test("audioHash64: null for short, non-PCM and undecodable payloads") {
+    assert(AudioHash.audioHash64(wav16(Array.tabulate(64)(_ * 10))) == null)
+    assert(AudioHash.audioHash64("not audio at all".getBytes) == null)
+    assert(AudioHash.audioHash64(null) == null)
+    assert(AudioHash.audioHashHex(null) == null)
+    // 65 samples is the minimum: one sample per segment
+    assert(AudioHash.audioHash64(wav16(Array.tabulate(65)(_ * 10))) != null)
+  }
+
+  test("fixture margins: planted twins <= 1 bit, all cross pairs >= 4 bits") {
+    val hashes = (0L until 200L).map { id =>
+      id -> AudioHash.audioHash64(wav16(fixtureSamples(id))).longValue
+    }.toMap
+    for (id <- 0L until 100L) {
+      val d = java.lang.Long.bitCount(hashes(id) ^ hashes(id + 100))
+      assert(d <= 1, s"planted twin ($id, ${id + 100}) at hamming $d")
+    }
+    for (a <- 0L until 200L; b <- a + 1 until 200L if b != a + 100 || a >= 100) {
+      val d = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+      assert(d >= 4, s"cross pair ($a, $b) at hamming $d")
+    }
+  }
+
+  test("audioDupPairs finds exactly the planted twins through the banded pipeline") {
+    val fx = (0L until 200L).map(id => (id, wav16(fixtureSamples(id))))
+      .toDF("doc_id", "payload")
+    val pairs = AudioHash.audioDupPairs(fx, "payload", "doc_id",
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0L until 100L).map(id => (id, id + 100)).toSet)
+  }
+
+  test("audioDedup keeps the smallest id of each twin and all singletons") {
+    val fx = (0L until 200L).map(id => (id, wav16(fixtureSamples(id))))
+      .toDF("doc_id", "payload")
+    val kept = AudioHash.audioDedup(fx, "payload", "doc_id", maxHamming = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == (0L until 100L).toSet)
+  }
+
+  test("audioDupPairs: undecodable payloads drop out instead of matching") {
+    val fx = Seq(
+      (1L, wav16(fixtureSamples(1))),
+      (2L, "junk".getBytes),
+      (3L, "junk".getBytes)).toDF("doc_id", "payload")
+    assert(AudioHash.audioDupPairs(fx, "payload", "doc_id").count() == 0L)
+  }
+}

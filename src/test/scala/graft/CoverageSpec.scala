@@ -135,7 +135,9 @@ class CoverageSpec extends SparkSpec {
     "sessionize", "profile-distinct", "profile-quantiles", "heavy-hitters",
     "topk-by", "drift-psi", "cluster-zorder", "bucket-quantiles",
     "sample-weighted-group", "quality-report", "sample-group",
-    "dedup-exact-incremental", "dedup-minhash-incremental")
+    "dedup-exact-incremental", "dedup-minhash-incremental",
+    // round-13 surface: multimodal dedup + encoding repair
+    "dedup-images", "dedup-audio", "fix-mojibake")
 
   test("all curation/sampling directives resolve in the registry") {
     val missing = unresolved(curationDirectives)
