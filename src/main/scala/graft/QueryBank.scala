@@ -417,6 +417,42 @@ object QueryBank {
         |  ELSE 'not a url at all' END AS url
         |FROM customer""".stripMargin),
 
+    ("url_domain",
+      // registrable-domain (eTLD+1) extraction by the publicsuffix.org
+      // algorithm: multi-label ccTLD registries (co.uk), private
+      // user-content registries (github.io — every user IS a site),
+      // wildcard (*.ck) and exception (!www.ck) rules, the unlisted-TLD
+      // default, IP-literal and public-suffix-only rejects. The oracle
+      // states every expected domain closed-form, so a slip in any rule
+      // class breaks the hash.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = cust(s, d).select(col("c_custkey").as("id"),
+          expr("CASE c_custkey % 8" +
+            " WHEN 0 THEN concat('https://WWW.Example.co.uk/p/', c_custkey)" +
+            " WHEN 1 THEN concat('http://blog.example.com:8080/x?q=', c_custkey)" +
+            " WHEN 2 THEN concat('https://user', c_custkey, '.github.io/repo')" +
+            " WHEN 3 THEN 'deep.sub.shop.com.au'" +
+            " WHEN 4 THEN 'https://192.168.10.1/admin'" +
+            " WHEN 5 THEN concat('https://a', c_custkey, '.b.ck/')" +
+            " WHEN 6 THEN 'http://www.ck/x'" +
+            " ELSE concat('https://api.svc', c_custkey, '.appspot.com/v1') END")
+            .as("u"))
+        r("url-domain :u; keep :id,:u_domain")(base)
+      },
+      """SELECT c_custkey AS id,
+        | CASE c_custkey % 8
+        |  WHEN 0 THEN 'example.co.uk'
+        |  WHEN 1 THEN 'example.com'
+        |  WHEN 2 THEN 'user' || CAST(c_custkey AS VARCHAR) || '.github.io'
+        |  WHEN 3 THEN 'shop.com.au'
+        |  WHEN 4 THEN NULL
+        |  WHEN 5 THEN 'a' || CAST(c_custkey AS VARCHAR) || '.b.ck'
+        |  WHEN 6 THEN 'www.ck'
+        |  ELSE 'svc' || CAST(c_custkey AS VARCHAR) || '.appspot.com'
+        | END AS u_domain
+        |FROM customer""".stripMargin),
+
     ("dedup_url",
       // the URL-level dedup composite Common-Crawl-derived pipelines
       // run: canonicalize (case/www./port/tracking/fragment rules) so

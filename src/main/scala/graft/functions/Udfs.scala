@@ -1060,6 +1060,102 @@ object Udfs {
   }
   val fixMojibakeUdf: UserDefinedFunction = udf(fixMojibake _)
 
+  // ---- Registrable domain (eTLD+1) -------------------------------------
+
+  /** Multi-label public-suffix rules — a bundled SNAPSHOT SUBSET of
+    * the publicsuffix.org list (the ~70 highest-traffic ccTLD
+    * second-level registries plus the major user-content private
+    * registries). The PSL *algorithm* below is complete — longest
+    * match, wildcard and exception rules, and the default rule that
+    * makes every unlisted TLD its own suffix — so unlisted multi-label
+    * registries degrade to the TLD default rather than failing;
+    * swap in the full list as data to upgrade fidelity.
+    */
+  private val pslRules: Set[String] = Set(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr",
+    "com.mx", "net.mx", "org.mx",
+    "com.tr", "net.tr", "org.tr",
+    "com.ar", "net.ar", "org.ar",
+    "co.za", "net.za", "org.za", "web.za",
+    "co.nz", "net.nz", "org.nz", "ac.nz",
+    "com.sg", "net.sg", "org.sg",
+    "com.hk", "net.hk", "org.hk",
+    "com.tw", "net.tw", "org.tw",
+    "co.il", "net.il", "org.il",
+    "com.ua", "net.ua",
+    "co.th", "ac.th", "in.th",
+    "com.vn", "net.vn",
+    "com.my", "net.my",
+    "com.ph", "net.ph",
+    "co.id", "or.id", "web.id",
+    "com.eg", "com.sa", "com.pk", "com.ng", "com.gh",
+    // private registries: per-user subdomains are separate sites
+    "github.io", "gitlab.io", "pages.dev", "netlify.app", "vercel.app",
+    "herokuapp.com", "appspot.com", "blogspot.com", "wordpress.com",
+    "s3.amazonaws.com", "cloudfront.net", "azurewebsites.net",
+    "firebaseapp.com", "web.app", "repl.co", "neocities.org")
+
+  /** TLDs under a `*.tld` wildcard rule (every second-level label is
+    * itself a registry) — PSL snapshot.
+    */
+  private val pslWildcards: Set[String] =
+    Set("ck", "er", "fj", "kh", "mm", "np", "pg")
+
+  /** `!exception` rules: hosts carved OUT of a wildcard (the public
+    * suffix is the rule minus its leftmost label) — PSL snapshot.
+    */
+  private val pslExceptions: Set[String] = Set("www.ck")
+
+  /** Registrable domain (eTLD+1) of a URL or bare host, by the
+    * publicsuffix.org algorithm: the public suffix is the longest
+    * matching rule (exceptions beat wildcards beat the TLD default),
+    * and the registrable domain is that suffix plus one label —
+    * "blog.shop.example.co.uk" → "example.co.uk",
+    * "user.github.io" → "user.github.io" (private registry). Null for
+    * IP literals, single-label hosts, and hosts that ARE a public
+    * suffix. The per-site aggregation key for crawl curation: domain
+    * quotas, per-site dedup, spam-site blocklists.
+    */
+  def registrableDomain(urlOrHost: String): String = {
+    if (urlOrHost == null) return null
+    var h = urlOrHost.trim.toLowerCase
+    val schemeIdx = h.indexOf("://")
+    if (schemeIdx >= 0) h = h.substring(schemeIdx + 3)
+    h = h.takeWhile(c => c != '/' && c != '?' && c != '#')
+    val at = h.lastIndexOf('@')
+    if (at >= 0) h = h.substring(at + 1)
+    if (h.startsWith("[")) return null // IPv6 literal
+    val colon = h.indexOf(':')
+    if (colon >= 0) h = h.substring(0, colon)
+    if (h.endsWith(".")) h = h.dropRight(1)
+    if (h.isEmpty) return null
+    if (h.forall(c => c.isDigit || c == '.')) return null // IPv4 literal
+    val labels = h.split('.')
+    if (labels.length < 2 || labels.exists(_.isEmpty)) return null
+    val suffixLen: Int = {
+      val exc = (labels.length to 2 by -1).find(k =>
+        pslExceptions(labels.takeRight(k).mkString(".")))
+      exc match {
+        case Some(k) => k - 1
+        case None =>
+          (labels.length to 2 by -1).find(k =>
+              pslRules(labels.takeRight(k).mkString("."))) match {
+            case Some(k) => k
+            case None => if (pslWildcards(labels.last)) 2 else 1
+          }
+      }
+    }
+    if (labels.length <= suffixLen) null
+    else labels.takeRight(suffixLen + 1).mkString(".")
+  }
+  val registrableDomainUdf: UserDefinedFunction = udf(registrableDomain _)
+
   /** Normalized word tokens (normalizeText split on single spaces). */
   def normTokens(text: String): Array[String] = {
     val n = normalizeText(text)

@@ -60,6 +60,17 @@ object LlmOps {
       df.withColumn(spec.col(0), normed)
     }
 
+    // `url-domain :col` — append `<col>_domain` = the registrable
+    // domain (eTLD+1) of a URL or bare host, by the publicsuffix.org
+    // algorithm over a bundled rule snapshot: the per-SITE aggregation
+    // key crawl curation groups on (domain quotas via sample-group,
+    // per-site dedup, spam-domain blocklists). Map-only.
+    case "url-domain" => ColumnOps.simple(spec) { df =>
+      val c = spec.col(0)
+      df.withColumn(s"${c}_domain", graft.functions.Udfs
+        .registrableDomainUdf(col(c).cast(org.apache.spark.sql.types.StringType)))
+    }
+
     // optional fourth column = numeric priority: cluster verified
     // near-dup pairs into connected components and keep the HIGHEST
     // priority copy per component (ties -> smallest id) — the same

@@ -136,8 +136,8 @@ class CoverageSpec extends SparkSpec {
     "topk-by", "drift-psi", "cluster-zorder", "bucket-quantiles",
     "sample-weighted-group", "quality-report", "sample-group",
     "dedup-exact-incremental", "dedup-minhash-incremental",
-    // round-13 surface: multimodal dedup + encoding repair
-    "dedup-images", "dedup-audio", "fix-mojibake")
+    // round-13 surface: multimodal dedup + encoding repair + site keys
+    "dedup-images", "dedup-audio", "fix-mojibake", "url-domain")
 
   test("all curation/sampling directives resolve in the registry") {
     val missing = unresolved(curationDirectives)
