@@ -3180,6 +3180,76 @@ object QueryBank {
         | FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id) p
         |WHERE hamming <= 3""".stripMargin),
 
+    ("audio_dedup_incremental",
+      // daily-ingest shape for audio: the batch (ids 50..149) dedupes
+      // against persisted corpus state (ids 0..49) through the banded
+      // envelope-hash table — corpus payloads are never re-decoded
+      // (shared core with image_dedup_incremental). Ids 100..149 are
+      // planted twins of corpus ids 0..49 (<= 1 bit, margins validated
+      // in AudioHashSpec) and drop; ids 50..99 are novel (>= 4 bits
+      // from everything) and survive. The closed-form oracle holds
+      // exactly BECAUSE of those measured margins.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val all = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 150)
+          .withColumn("payload", synthAudioWavUdf(col("doc_id")))
+        val corpus = all.where(col("doc_id") < 50)
+        val batch = all.where(col("doc_id") >= 50)
+        graft.llm.AudioHash.audioDedupAgainst(batch, "payload", "doc_id",
+            graft.llm.AudioHash.audioHashState(corpus, "payload", "doc_id"))
+          .select("doc_id")
+      },
+      "SELECT doc_id FROM documents WHERE doc_id >= 50 AND doc_id < 100"),
+
+    ("stream_audio_dedup",
+      // streaming audio dedup: decode + envelope-hash per micro-batch
+      // (map-only), exact-signature dropDuplicatesWithinWatermark —
+      // twins whose segment-0 perturbation flips no comparison bit
+      // collapse, perturbed-bit twins survive as distinct signatures.
+      // DuckDB recomputes the emitted set as DISTINCT hashes from the
+      // sample formula.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.streaming.StreamOps.runBatchAsStream(
+          s, s"$d/documents.parquet",
+          st => graft.streaming.StreamOps.streamingDedup(
+            st.filter(col("doc_id") < 200)
+              .withColumn("payload", synthAudioWavUdf(col("doc_id")))
+              .withColumn("sig",
+                graft.llm.AudioHash.audioHashHexUdf(col("payload")))
+              .withColumn("ts",
+                to_timestamp(lit("2024-01-01 00:00:00"))),
+            Seq("sig"), "ts").select("sig"),
+          queryName = "stream_audio_dedup_correctness")
+      },
+      """WITH g AS (SELECT doc_id, doc_id % 100 AS seed,
+        |  CAST(260 + (doc_id % 100) * 4 AS BIGINT) AS n
+        | FROM documents WHERE doc_id < 200),
+        |s AS (SELECT doc_id, n,
+        |  list_transform(range(0, n), i ->
+        |    (seed * 97 + i * i * 13 + i * 31) % 64000 - 32000
+        |    + CASE WHEN doc_id >= 100 AND i * 65 // n = 0
+        |      THEN 200 ELSE 0 END) AS smp
+        | FROM g),
+        |cells AS (SELECT doc_id, k,
+        |  list_sum(list_transform(list_filter(range(0, n),
+        |     i -> i * 65 // n = k),
+        |     i -> smp[CAST(i + 1 AS INT)] * smp[CAST(i + 1 AS INT)])) AS e
+        | FROM s CROSS JOIN (SELECT unnest(range(0, 65)) AS k) t),
+        |bits AS (SELECT a.doc_id, a.k,
+        |   CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND b.k = a.k + 1
+        |  WHERE a.k < 64),
+        |bytes AS (SELECT doc_id, k // 8 AS j,
+        |   CAST(sum(bit << (k % 8)) AS BIGINT) AS byte
+        |  FROM bits GROUP BY 1, 2),
+        |hashes AS (SELECT doc_id,
+        |  string_agg(printf('%02x', byte), '' ORDER BY j DESC) AS sig
+        | FROM bytes GROUP BY doc_id)
+        |SELECT DISTINCT sig FROM hashes""".stripMargin),
+
     ("multimodal_png_decode",
       // REAL image decode: deterministic 8-bit RGB PNGs are synthesized
       // per doc_id (real encoder: per-scanline filters cycling through

@@ -103,4 +103,30 @@ object AudioHash {
       .select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Banded envelope-hash state of an audio corpus — the persisted
+    * table a daily ingest dedupes against WITHOUT re-decoding a single
+    * corpus payload; same 4-rows-per-item shape (and storage contract)
+    * as [[ImageHash.dhashState]].
+    */
+  def audioHashState(df: DataFrame, binCol: String, idCol: String): DataFrame =
+    ImageHash.bandedOf(df.select(col(idCol).as("__id"),
+        audioHash64Udf(col(binCol)).as("__sig"))
+      .filter(col("__sig").isNotNull))
+
+  /** Incremental perceptual audio dedup — ONE decode+hash pass over
+    * the batch feeds both in-batch pairing and the banded join against
+    * the stored corpus state; identical plan shape and cache-lifetime
+    * policy as [[ImageHash.imageDedupAgainst]] (shared core).
+    * Undecodable payloads can't match anything and always survive.
+    */
+  def audioDedupAgainst(batch: DataFrame, binCol: String, idCol: String,
+      state: DataFrame, maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val sigs = batch.select(col(idCol).as("__id"),
+        audioHash64Udf(col(binCol)).as("__sig"))
+      .filter(col("__sig").isNotNull)
+    ImageHash.dedupAgainst64(batch, idCol, sigs, state, maxHamming,
+      maxBucketSize)
+  }
 }

@@ -164,7 +164,7 @@ object ImageHash {
     * __chunk) — the shared banding step of the pair core and the
     * incremental state table.
     */
-  private def bandedOf(sigs: DataFrame): DataFrame =
+  private[llm] def bandedOf(sigs: DataFrame): DataFrame =
     sigs.select(col("__id"), col("__sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -259,6 +259,18 @@ object ImageHash {
     val sigs = batch.select(col(idCol).as("__id"),
         dhash64Udf(col(binCol)).as("__sig"))
       .filter(col("__sig").isNotNull)
+    dedupAgainst64(batch, idCol, sigs, state, maxHamming, maxBucketSize)
+  }
+
+  /** Signature-agnostic core of [[imageDedupAgainst]] (also behind
+    * [[AudioHash.audioDedupAgainst]]): `sigs` is the batch's (__id,
+    * __sig) frame from whatever 64-bit perceptual hash the caller
+    * computed — the plan shape and cache-lifetime policy documented
+    * above hold for any of them.
+    */
+  private[llm] def dedupAgainst64(batch: DataFrame, idCol: String,
+      sigs: DataFrame, state: DataFrame, maxHamming: Int,
+      maxBucketSize: Int): DataFrame = {
     val combined = bandedOf(sigs).withColumn("__side", lit(0))
       .unionByName(state
         .select(col("__id"), col("__sig"), col("__band"), col("__chunk"))

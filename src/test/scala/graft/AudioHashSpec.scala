@@ -101,6 +101,23 @@ class AudioHashSpec extends SparkSpec {
     assert(kept == (0L until 100L).toSet)
   }
 
+  test("audioDedupAgainst: corpus twins drop, novel rows and undecodables survive") {
+    val fx = (0L until 150L).map(id => (id, wav16(fixtureSamples(id))))
+      .toDF("doc_id", "payload")
+    val state = AudioHash.audioHashState(
+      fx.where($"doc_id" < 50), "payload", "doc_id")
+    val kept = AudioHash.audioDedupAgainst(
+        fx.where($"doc_id" >= 50), "payload", "doc_id", state)
+      .select("doc_id").as[Long].collect().toSet
+    // 100..149 are twins of corpus ids 0..49 (<= 1 bit) -> drop;
+    // 50..99 are novel (>= 4 bits from everything) -> survive
+    assert(kept == (50L until 100L).toSet)
+    // undecodable payloads can't match anything and always survive
+    val junk = Seq((500L, "junk".getBytes)).toDF("doc_id", "payload")
+    assert(AudioHash.audioDedupAgainst(junk, "payload", "doc_id", state)
+      .count() == 1L)
+  }
+
   test("audioDupPairs: undecodable payloads drop out instead of matching") {
     val fx = Seq(
       (1L, wav16(fixtureSamples(1))),
