@@ -453,6 +453,39 @@ object QueryBank {
         | END AS u_domain
         |FROM customer""".stripMargin),
 
+    ("domain_cap",
+      // the per-SITE quota composite a 100 TB crawl curation actually
+      // runs: registrable-domain extraction (url-domain) feeding the
+      // deterministic per-group A-ES sampler (sample-group) — at most
+      // k pages survive per domain, stable under retry/repartition/
+      // cluster size. The oracle replays BOTH stages: the PSL domain
+      // per URL pattern and the exact md5 hash-point ranking within
+      // each domain.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = cust(s, d).select(col("c_custkey").as("id"),
+          expr("CASE c_custkey % 3" +
+            " WHEN 0 THEN concat('https://WWW.Example.co.uk/p/', c_custkey)" +
+            " WHEN 1 THEN concat('http://blog.example.com/x?q=', c_custkey)" +
+            " ELSE concat('https://docs.site.github.io/r/', c_custkey) END")
+            .as("u"))
+        r("url-domain :u; sample-group :u_domain :id 2")(base)
+      },
+      """SELECT dom AS u_domain, CAST(rn - 1 AS INT) AS rank,
+        |       CAST(id AS VARCHAR) AS item
+        |FROM (SELECT dom, id, row_number() OVER (PARTITION BY dom
+        |        ORDER BY pow(
+        |          (CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 13))
+        |            AS BIGINT) + 1) / 4503599627370496.0, 1.0) DESC,
+        |        CAST(id AS VARCHAR) ASC) AS rn
+        |      FROM (SELECT c_custkey AS id,
+        |              CASE c_custkey % 3
+        |               WHEN 0 THEN 'example.co.uk'
+        |               WHEN 1 THEN 'example.com'
+        |               ELSE 'site.github.io' END AS dom
+        |            FROM customer) b) q
+        |WHERE rn <= 2""".stripMargin),
+
     ("dedup_url",
       // the URL-level dedup composite Common-Crawl-derived pipelines
       // run: canonicalize (case/www./port/tracking/fragment rules) so
