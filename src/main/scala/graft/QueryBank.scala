@@ -688,6 +688,27 @@ object QueryBank {
         queryName = "stream_dedup_correctness"),
       "SELECT DISTINCT user_id, event_type FROM events"),
 
+    ("stream_enrich",
+      // stream-static broadcast join — the canonical streaming lookup
+      // shape: each micro-batch enriches against a batch dimension with
+      // NO state at all; the dimension broadcasts, the stream side
+      // never shuffles. Output is the full enriched stream, so the
+      // oracle is the plain batch join.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val dim = s.read.parquet(s"$d/nation.parquet")
+        graft.streaming.StreamOps.runBatchAsStream(
+          s, s"$d/events.parquet",
+          st => st.select(col("event_id"), col("user_id"), col("event_type"))
+            .join(broadcast(dim),
+              col("user_id") % 25 === col("n_nationkey"))
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("n_name")),
+          queryName = "stream_enrich_correctness")
+      },
+      """SELECT event_id, user_id, event_type, n_name
+        |FROM events JOIN nation ON user_id % 25 = n_nationkey""".stripMargin),
+
     // The same genuine-stream harness over mapGroupsWithState
     // sessionization (Update mode, NoTimeout — the bounded batch is one
     // micro-batch, so each user emits exactly one running-aggregate row
