@@ -2754,6 +2754,19 @@ object QueryBank {
         |FROM embeddings e
         |WHERE e.vec_id IN (0,73,165,257,344,365,387,388,483,498)""".stripMargin),
 
+    ("ann_ivf_indexed",
+      // the persisted-index path of the same IVF search: corpus written
+      // partitionBy(cell) + centroid sidecar, probe filter = parquet
+      // PARTITION PRUNING (only nprobe/nlist of the index files are
+      // listed or opened — asserted in LlmSpec). Same parameters and
+      // the index's own centroids ⇒ bit-identical to ann_ivf_topk ⇒
+      // the same pinned-id oracle.
+      (s, d) => annIvfIndexed(s, d),
+      """SELECT e.vec_id, list_cosine_similarity(e.embedding,
+        |  (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS cosine
+        |FROM embeddings e
+        |WHERE e.vec_id IN (0,73,165,257,344,365,387,388,483,498)""".stripMargin),
+
     ("ann_ivf_cross",
       // batched IVF ANN: a query STREAM probed against the cell-pruned
       // corpus in one broadcast equi-join — the scale shape (ivfTopK
@@ -5070,6 +5083,25 @@ object QueryBank {
           .partitionBy(lit(1))
           .orderBy(col("cosine").desc, col("vec_id"))))
       .select("vec_id", "rank")
+  }
+
+  /** Write-once-query-once probe of the PERSISTED IVF layout: the
+    * corpus is written partitioned by its cell, probe selection reads
+    * the index's own centroid sidecar, and the cell filter becomes
+    * parquet partition pruning (asserted in LlmSpec). Same parameters
+    * as [[annIvf]] ⇒ bit-identical results ⇒ same oracle.
+    */
+  private def annIvfIndexed(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_ivf_index").getAbsolutePath
+    graft.llm.Similarity.writeIvfIndex(e, "vec_id", "embedding", path,
+      nlist = 8)
+    graft.llm.Similarity.ivfTopKIndexed(s, path, "vec_id", "embedding",
+      q, 10, nprobe = 4)
   }
 
   private def annIvf(s: SparkSession, d: String): DataFrame = {

@@ -317,6 +317,58 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist a cell-partitioned ANN index: the corpus is written
+    * `partitionBy` its IVF cell, and the trained centroids ride along
+    * as an underscore-prefixed sidecar (parquet directory listings
+    * skip `_`-files). [[ivfTopKIndexed]]'s cell filter then becomes
+    * PARTITION PRUNING at the source — only ~nprobe/nlist of the index
+    * FILES are listed and opened. This is the physical realization of
+    * [[ivfTopK]]'s cell filter at 100 TB, where the win is not just
+    * skipping the cosine kernel on 3/4 of the corpus but never reading
+    * those bytes at all.
+    */
+  def writeIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+      path: String, nlist: Int = 16, seed: Long = 11L): Unit = {
+    val cents = trainCentroids(df, vecCol, nlist, seed = seed)
+    df.select(col(idCol), col(vecCol))
+      .withColumn("__cell", ivfCell(col(vecCol), cents))
+      .write.partitionBy("__cell").mode("overwrite").parquet(path)
+    val json = cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_centroids.json"), json)
+  }
+
+  /** Centroids persisted by [[writeIvfIndex]] (tiny nested JSON array
+    * of doubles; hand-rolled parse keeps the library dependency-free).
+    */
+  def readIvfCentroids(path: String): Array[Array[Double]] = {
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_centroids.json")).trim
+    json.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
+      .map(_.split(",").map(_.toDouble))
+  }
+
+  /** [[ivfTopK]] against a persisted [[writeIvfIndex]] layout: probe
+    * selection uses the index's OWN centroids (so results are
+    * bit-identical to ivfTopK over the same corpus and parameters),
+    * and the cell filter prunes index partitions instead of filtering
+    * scanned rows.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, query: Array[Double], k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val cents = readIvfCentroids(path)
+    val probes = cents.zipWithIndex.map { case (c, i) =>
+      val dot = c.zip(query).map { case (a, b) => a * b }.sum
+      (i, dot)
+    }.sortBy(-_._2).take(nprobe).map(_._1).toSeq
+    spark.read.parquet(path)
+      .filter(col("__cell").isin(probes: _*))
+      .select(col(idCol), cosineToQuery(col(vecCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Append a `cell` column assigning each embedding to its nearest
     * seeded-k-means centroid — the IVF coarse quantizer exposed as a
     * corpus-analysis op (cluster composition, diversity-aware mixing,
