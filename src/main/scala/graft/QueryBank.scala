@@ -486,6 +486,36 @@ object QueryBank {
         |            FROM customer) b) q
         |WHERE rn <= 2""".stripMargin),
 
+    ("threshold_sweep",
+      // the gate-picking precision/recall table: exact integer
+      // confusion counts per threshold in ONE partial-aggregated scan
+      // (no per-threshold re-scan, no explode), then a stack unpivot.
+      // Deterministic score/label derivation lets DuckDB recompute
+      // every count and the round-6 ratios closed-form.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val scored = docs(s, d).select(
+          (col("doc_id") % 100).cast("double")./(lit(100.0)).as("score"),
+          (col("doc_id") % 3 === 0).as("label"))
+        r("threshold-sweep :score :label")(scored)
+      },
+      """WITH base AS (SELECT CAST(doc_id % 100 AS DOUBLE) / 100.0 AS score,
+        |  doc_id % 3 = 0 AS label FROM documents),
+        |t(threshold) AS (SELECT CAST(unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+        |  AS DOUBLE)),
+        |cm AS (SELECT threshold,
+        |  sum(CASE WHEN score >= threshold AND label THEN 1 ELSE 0 END)::BIGINT AS tp,
+        |  sum(CASE WHEN score >= threshold AND NOT label THEN 1 ELSE 0 END)::BIGINT AS fp,
+        |  sum(CASE WHEN score < threshold AND label THEN 1 ELSE 0 END)::BIGINT AS fn,
+        |  sum(CASE WHEN score < threshold AND NOT label THEN 1 ELSE 0 END)::BIGINT AS tn
+        | FROM base CROSS JOIN t GROUP BY threshold)
+        |SELECT threshold, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0
+        |    THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+        |  CASE WHEN tp + fn > 0
+        |    THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall
+        |FROM cm""".stripMargin),
+
     ("dedup_url",
       // the URL-level dedup composite Common-Crawl-derived pipelines
       // run: canonicalize (case/www./port/tracking/fragment rules) so

@@ -91,6 +91,49 @@ object QualityOps {
         throw new RecipeException(s"quality-report: cannot parse rule '$other'")
     }.toSeq
 
+  /** Precision/recall sweep of a score column against a boolean label:
+    * one row per threshold with EXACT integer confusion counts — the
+    * table a quality-filter pipeline reads to choose its gate BEFORE
+    * committing to a full filter pass over the corpus. ONE
+    * partial-aggregated scan: all n×4 conditional counts aggregate in
+    * a single pass (no per-threshold re-scan, no row multiplication —
+    * an explode-by-threshold would push n copies of every row through
+    * the exchange), then the 1-row result unpivots with `stack`.
+    * Null scores/labels are excluded. precision/recall are
+    * round-6 ratios (null when the denominator is 0).
+    */
+  def thresholdSweep(df: DataFrame, scoreCol: String, labelCol: String,
+      start: Double = 0.1, step: Double = 0.1, n: Int = 9): DataFrame = {
+    require(n >= 1 && n <= 1000,
+      s"threshold-sweep: n must be in [1, 1000], got $n")
+    // decimal threshold arithmetic: 0.1 + 2*0.1 renders "0.3", not
+    // 0.30000000000000004 — both engines then parse the SAME literal
+    val ts = (0 until n).map(i =>
+      (BigDecimal(start.toString) + BigDecimal(step.toString) * i).toString)
+    val s = col(scoreCol).cast("double")
+    val lab = col(labelCol).cast("boolean")
+    val aggs = ts.zipWithIndex.flatMap { case (t, i) =>
+      val ge = s >= lit(t).cast("double")
+      Seq(
+        sum(when(ge && lab, 1L).otherwise(0L)).as(s"tp_$i"),
+        sum(when(ge && !lab, 1L).otherwise(0L)).as(s"fp_$i"),
+        sum(when(!ge && lab, 1L).otherwise(0L)).as(s"fn_$i"),
+        sum(when(!ge && !lab, 1L).otherwise(0L)).as(s"tn_$i"))
+    }
+    val one = df.where(s.isNotNull && lab.isNotNull)
+      .agg(aggs.head, aggs.tail: _*)
+    val stackArgs = ts.zipWithIndex.map { case (t, i) =>
+      s"CAST($t AS DOUBLE), tp_$i, fp_$i, fn_$i, tn_$i"
+    }.mkString(", ")
+    one.select(expr(
+        s"stack($n, $stackArgs) AS (threshold, tp, fp, fn, tn)"))
+      .withColumn("precision", when(col("tp") + col("fp") > 0,
+        round(col("tp") / (col("tp") + col("fp")), 6)))
+      .withColumn("recall", when(col("tp") + col("fn") > 0,
+        round(col("tp") / (col("tp") + col("fn")), 6)))
+      .orderBy("threshold")
+  }
+
   def build(spec: DirectiveSpec): Option[PipeOp] = Option(spec.name match {
     // `quality-report 'rule; rule; ...' [approx]`
     case "quality-report" => new PipeOp {
@@ -99,6 +142,16 @@ object QualityOps {
         val approx = spec.optStr(1).exists(_.equalsIgnoreCase("approx"))
         st.mapDf(df => report(df, parse(spec.str(0), approx)))
       }
+    }
+    // `threshold-sweep :score :label [start step n]` — the gate-picking
+    // precision/recall table (see [[thresholdSweep]])
+    case "threshold-sweep" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState =
+        st.mapDf(df => thresholdSweep(df, spec.col(0), spec.col(1),
+          start = spec.optStr(2).map(_.toDouble).getOrElse(0.1),
+          step = spec.optStr(3).map(_.toDouble).getOrElse(0.1),
+          n = spec.optStr(4).map(_.toInt).getOrElse(9)))
     }
     case _ => null
   })

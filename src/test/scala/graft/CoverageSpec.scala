@@ -137,7 +137,8 @@ class CoverageSpec extends SparkSpec {
     "sample-weighted-group", "quality-report", "sample-group",
     "dedup-exact-incremental", "dedup-minhash-incremental",
     // round-13 surface: multimodal dedup + encoding repair + site keys
-    "dedup-images", "dedup-audio", "fix-mojibake", "url-domain")
+    "dedup-images", "dedup-audio", "fix-mojibake", "url-domain",
+    "threshold-sweep")
 
   test("all curation/sampling directives resolve in the registry") {
     val missing = unresolved(curationDirectives)

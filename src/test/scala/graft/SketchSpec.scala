@@ -531,6 +531,35 @@ class SketchSpec extends SparkSpec {
     assert(rep("in(s)") == ((0.0, true))) // nulls don't violate the set
   }
 
+  test("threshold-sweep: exact confusion counts, null exclusion, zero-denominator nulls") {
+    // scores 0.05..0.95 step 0.1; label = score > 0.5 with one flip
+    val df = Seq(
+      (0.05, false), (0.15, false), (0.25, false), (0.35, true), // flip
+      (0.45, false), (0.55, true), (0.65, true), (0.75, true),
+      (0.85, true), (0.95, true),
+      (Double.NaN, true)).toDF("score", "label")
+      .where(!org.apache.spark.sql.functions.isnan(
+        org.apache.spark.sql.functions.col("score")))
+    val rows = wrangle("threshold-sweep :score :label 0.1 0.2 5", df)
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // T=0.5: scores >= 0.5 are the five 0.55..0.95 (all true) -> tp=5,
+    // fp=0; below: 0.35 is a true label -> fn=1, tn=4
+    assert(rows(0.5) == ((5L, 0L, 1L, 4L)))
+    // T=0.1: everything >= 0.1 except 0.05 -> tp=6, fp=3, fn=0, tn=1
+    assert(rows(0.1) == ((6L, 3L, 0L, 1L)))
+    // degenerate frame: all-negative labels -> recall is null, not 0/0
+    val neg = Seq((0.9, false)).toDF("score", "label")
+    val r0 = wrangle("threshold-sweep :score :label 0.5 0.1 1", neg).head()
+    assert(r0.getLong(1) == 0L && r0.isNullAt(6), "recall should be null")
+    // null scores and labels are excluded, not counted anywhere
+    val withNulls = Seq((Some(0.9), Some(true)), (None, Some(true)),
+      (Some(0.9), None)).toDF("score", "label")
+    val r1 = wrangle("threshold-sweep :score :label 0.5 0.1 1", withNulls).head()
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3), r1.getLong(4)) ==
+      ((1L, 0L, 0L, 0L)))
+  }
+
   test("quality-report: approx mode swaps exact distinct for the HLL sketch") {
     val df = (1 to 5000).map(i => s"k${i % 321}").toDF("k")
     val rep = wrangle("quality-report 'distinct(:k) >= 300' approx", df)
