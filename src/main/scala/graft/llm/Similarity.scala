@@ -340,6 +340,9 @@ object Similarity {
 
   /** Centroids persisted by [[writeIvfIndex]] (tiny nested JSON array
     * of doubles; hand-rolled parse keeps the library dependency-free).
+    * Sidecar IO is java.nio — on a cluster filesystem (HDFS/S3) route
+    * these two file reads/writes through the Hadoop FileSystem API;
+    * the index layout itself is storage-agnostic.
     */
   def readIvfCentroids(path: String): Array[Array[Double]] = {
     val json = java.nio.file.Files.readString(

@@ -120,7 +120,9 @@ object QualityOps {
         sum(when(!ge && lab, 1L).otherwise(0L)).as(s"fn_$i"),
         sum(when(!ge && !lab, 1L).otherwise(0L)).as(s"tn_$i"))
     }
-    val one = df.where(s.isNotNull && lab.isNotNull)
+    // NaN would otherwise count as >= every threshold (Spark orders
+    // NaN above all doubles) — exclude it like null
+    val one = df.where(s.isNotNull && !isnan(s) && lab.isNotNull)
       .agg(aggs.head, aggs.tail: _*)
     val stackArgs = ts.zipWithIndex.map { case (t, i) =>
       s"CAST($t AS DOUBLE), tp_$i, fp_$i, fn_$i, tn_$i"

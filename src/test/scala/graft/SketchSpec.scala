@@ -533,13 +533,13 @@ class SketchSpec extends SparkSpec {
 
   test("threshold-sweep: exact confusion counts, null exclusion, zero-denominator nulls") {
     // scores 0.05..0.95 step 0.1; label = score > 0.5 with one flip
+    // the NaN row must be EXCLUDED by the op itself (Spark orders NaN
+    // above every double, so it would otherwise inflate tp at all Ts)
     val df = Seq(
       (0.05, false), (0.15, false), (0.25, false), (0.35, true), // flip
       (0.45, false), (0.55, true), (0.65, true), (0.75, true),
       (0.85, true), (0.95, true),
       (Double.NaN, true)).toDF("score", "label")
-      .where(!org.apache.spark.sql.functions.isnan(
-        org.apache.spark.sql.functions.col("score")))
     val rows = wrangle("threshold-sweep :score :label 0.1 0.2 5", df)
       .collect().map(r => r.getDouble(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
