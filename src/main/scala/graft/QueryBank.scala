@@ -486,6 +486,28 @@ object QueryBank {
         |            FROM customer) b) q
         |WHERE rn <= 2""".stripMargin),
 
+    ("winsorize",
+      // percentile clamping with the EXACT interpolated percentile
+      // (Spark `percentile` and DuckDB `quantile_cont` implement the
+      // same sorted-index linear interpolation, so the bounds — and
+      // hence every clamped value — hash-match bit for bit after the
+      // shared round-6 guard).
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.ops.QualityOps.winsorize(
+            cust(s, d).select(col("c_custkey"),
+              col("c_acctbal").cast("double").as("bal")),
+            "bal", 0.05, 0.95)
+          .select(col("c_custkey"), round(col("bal"), 6).as("bal"))
+      },
+      """WITH b AS (SELECT quantile_cont(CAST(c_acctbal AS DOUBLE), 0.05) AS lo,
+        |  quantile_cont(CAST(c_acctbal AS DOUBLE), 0.95) AS hi FROM customer)
+        |SELECT c_custkey,
+        |  round(CASE WHEN CAST(c_acctbal AS DOUBLE) < lo THEN lo
+        |             WHEN CAST(c_acctbal AS DOUBLE) > hi THEN hi
+        |             ELSE CAST(c_acctbal AS DOUBLE) END, 6) AS bal
+        |FROM customer CROSS JOIN b""".stripMargin),
+
     ("threshold_sweep",
       // the gate-picking precision/recall table: exact integer
       // confusion counts per threshold in ONE partial-aggregated scan

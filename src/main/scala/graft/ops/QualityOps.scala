@@ -136,6 +136,35 @@ object QualityOps {
       .orderBy("threshold")
   }
 
+  /** Winsorize a numeric column: clamp values outside the [pLow,
+    * pHigh] percentile bounds to the bounds — the standard tabular-QA
+    * outlier treatment before aggregation/training. Bounds come from
+    * ONE aggregate pass (exact interpolated percentile by default —
+    * the classic sorted-index definition both Spark's `percentile` and
+    * external engines' `quantile_cont` implement; `approx = true`
+    * swaps in `approx_percentile` for corpus scale, where an exact
+    * percentile's full sort is the bottleneck), then the clamp itself
+    * is map-only against two broadcast scalars.
+    */
+  def winsorize(df: DataFrame, colName: String, pLow: Double = 0.05,
+      pHigh: Double = 0.95, approx: Boolean = false): DataFrame = {
+    require(pLow >= 0 && pHigh <= 1 && pLow < pHigh,
+      s"winsorize: need 0 <= pLow < pHigh <= 1, got ($pLow, $pHigh)")
+    val c = col(colName).cast("double")
+    val (loE, hiE) =
+      if (approx)
+        (expr(s"approx_percentile(CAST($colName AS DOUBLE), $pLow)"),
+          expr(s"approx_percentile(CAST($colName AS DOUBLE), $pHigh)"))
+      else
+        (expr(s"percentile(CAST($colName AS DOUBLE), $pLow)"),
+          expr(s"percentile(CAST($colName AS DOUBLE), $pHigh)"))
+    val bounds = df.agg(loE.as("lo"), hiE.as("hi")).head()
+    if (bounds.isNullAt(0) || bounds.isNullAt(1)) return df // all-null col
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    df.withColumn(colName,
+      when(c < lo, lit(lo)).when(c > hi, lit(hi)).otherwise(c))
+  }
+
   def build(spec: DirectiveSpec): Option[PipeOp] = Option(spec.name match {
     // `quality-report 'rule; rule; ...' [approx]`
     case "quality-report" => new PipeOp {
@@ -144,6 +173,16 @@ object QualityOps {
         val approx = spec.optStr(1).exists(_.equalsIgnoreCase("approx"))
         st.mapDf(df => report(df, parse(spec.str(0), approx)))
       }
+    }
+    // `winsorize :col [pLow pHigh] [approx]` — clamp outliers to the
+    // percentile bounds (see [[winsorize]])
+    case "winsorize" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState =
+        st.mapDf(df => winsorize(df, spec.col(0),
+          pLow = spec.optStr(1).map(_.toDouble).getOrElse(0.05),
+          pHigh = spec.optStr(2).map(_.toDouble).getOrElse(0.95),
+          approx = spec.optStr(3).exists(_.equalsIgnoreCase("approx"))))
     }
     // `threshold-sweep :score :label [start step n]` — the gate-picking
     // precision/recall table (see [[thresholdSweep]])

@@ -560,6 +560,22 @@ class SketchSpec extends SparkSpec {
       ((1L, 0L, 0L, 0L)))
   }
 
+  test("winsorize: clamps to exact percentile bounds; approx and all-null paths") {
+    // 1..100: p05/p95 interpolated over sorted index = 5.95 / 95.05
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val w = wrangle("winsorize :v", df).collect().map(_.getDouble(0))
+    assert(math.abs(w.min - 5.95) < 1e-9 && math.abs(w.max - 95.05) < 1e-9)
+    // interior values pass through untouched
+    assert(w.count(x => x == 50.0) == 1)
+    // approx mode still brackets the distribution
+    val wa = wrangle("winsorize :v 0.05 0.95 approx", df)
+      .collect().map(_.getDouble(0))
+    assert(wa.min >= 1.0 && wa.max <= 100.0 && wa.min > 1.0 + 1e-9)
+    // an all-null column is a no-op, not a crash
+    val nulls = Seq[Option[Double]](None, None).toDF("v")
+    assert(wrangle("winsorize :v", nulls).collect().forall(_.isNullAt(0)))
+  }
+
   test("quality-report: approx mode swaps exact distinct for the HLL sketch") {
     val df = (1 to 5000).map(i => s"k${i % 321}").toDF("k")
     val rep = wrangle("quality-report 'distinct(:k) >= 300' approx", df)
