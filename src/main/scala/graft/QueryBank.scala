@@ -2303,6 +2303,39 @@ object QueryBank {
         |FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
         |WHERE g.doc_id % 97 <> 0""".stripMargin),
 
+    ("stream_decontaminate",
+      // decontamination on the INGEST stream: the benchmark gram set is
+      // computed batch-side (bounded, broadcast) and each micro-batch
+      // marks + drops contaminated documents map-only — zero streaming
+      // state, the live-filtering shape of the batch `decontaminate`.
+      // Oracle = the batch hit-count SQL with the minHits gate applied.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val bench = docs(s, d).filter(col("doc_id") % 97 === 0)
+        graft.streaming.StreamOps.runBatchAsStream(
+          s, s"$d/documents.parquet",
+          st => graft.llm.Decontaminate.markHits(
+              st.filter(col("doc_id") % 97 =!= 0), "text", bench, "text",
+              n = 3)
+            .filter(col("text_contam_hits") < 3)
+            .select(col("doc_id"), col("lang"), col("source")),
+          queryName = "stream_decontaminate_correctness")
+      },
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[]) ELSE
+        |  list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |    i -> to_json(list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 2)))) END AS grams
+        |  FROM t),
+        |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+        |ch AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0),
+        |hits AS (SELECT ch.doc_id, count(*) AS h FROM ch JOIN bg USING (gram) GROUP BY ch.doc_id)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 97 <> 0 AND coalesce(h.h, 0) < 3""".stripMargin),
+
     ("decontaminate_bloom",
       // the huge-benchmark scale path: Bloom pre-screen + exact
       // equi-join verify. Bit-identical to markHits by construction
