@@ -4243,6 +4243,47 @@ object QueryBank {
         | (4, 45, '9dfffb970bcf2b88134fd2787da5cf22'))
         | v(i, n, m)""".stripMargin),
 
+    ("unigram_token_count",
+      // corpus-trained SentencePiece-unigram subword counts, verified
+      // as a per-lang rollup: training is hard-EM over the bounded
+      // word-frequency table (every step argmax-deterministic), so the
+      // learned pieces — and every derived count — are fixture-stable
+      // at sf0.01. Any regression in seeding, the EM loop, pruning, or
+      // the Viterbi encode shifts these sums. (Same pinned-rollup
+      // pattern as bpe_token_count; DuckDB cannot replay EM training.)
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.llm.UnigramLm.tokenCount(docs(s, d), "text", vocabSize = 45)
+          .groupBy(col("lang"))
+          .agg(sum(col("text_unigram_tokens")).as("unigram_tokens"),
+            count(lit(1)).as("docs"))
+      },
+      """SELECT lang, CAST(t AS BIGINT) AS unigram_tokens, CAST(n AS BIGINT) AS docs
+        |FROM (VALUES ('de', 7971, 70), ('en', 27245, 218), ('es', 9000, 73),
+        |  ('fr', 8519, 64), ('zh', 9413, 75)) v(lang, t, n)""".stripMargin),
+
+    ("unigram_encode",
+      // the encode half of the unigram-LM story: the rendered piece
+      // stream for a 5-doc probe slice is pinned — training is a pure
+      // function of the word-frequency table. (Pinned-fixture pattern,
+      // same as bpe_encode.)
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        r("unigram-encode :text 45")(docs(s, d))
+          .filter(col("doc_id") < 5)
+          .select(col("doc_id"),
+            size(col("text_unigram")).as("n_pieces"),
+            md5(concat_ws("|", col("text_unigram"))).as("unigram_md5"))
+      },
+      """SELECT CAST(i AS BIGINT) AS doc_id, CAST(n AS INT) AS n_pieces,
+        | m AS unigram_md5 FROM (VALUES
+        | (0, 77, '1da17e35cd18cbac69531ce795ca97c9'),
+        | (1, 197, 'ccd63c5bacc5ca06e0a47ac30b93e691'),
+        | (2, 110, 'b958b2ab77de1d28f9345869ea08eb38'),
+        | (3, 65, 'bc005dd348cfab0ba429c9fc4076e59d'),
+        | (4, 116, 'e5f00942679257f42f49ac536d406257'))
+        | v(i, n, m)""".stripMargin),
+
     ("select_budget",
       // best-quality token-budget subset: inclusive running token sum
       // in (quality desc, doc_id asc) order, stop at the first

@@ -440,6 +440,24 @@ object LlmOps {
         graft.llm.Bpe.encodeColumn(df, spec.col(0), merges))
     }
 
+    // `unigram-token-count :text [vocabSize] [maxWords]` — SentencePiece
+    // unigram-LM subword count (llm/UnigramLm): bounded word-freq top-k
+    // -> driver hard-EM trainer -> broadcast model -> map-only Viterbi
+    case "unigram-token-count" => ColumnOps.simple(spec) { df =>
+      graft.llm.UnigramLm.tokenCount(df, spec.col(0),
+        vocabSize = spec.optStr(1).map(_.toInt).getOrElse(2000),
+        maxWords = spec.optStr(2).map(_.toInt).getOrElse(50000))
+    }
+
+    // `unigram-encode :text [vocabSize] [maxWords]` — same training,
+    // appends the piece ARRAY as `<col>_unigram`
+    case "unigram-encode" => ColumnOps.simple(spec) { df =>
+      val model = graft.llm.UnigramLm.train(df, spec.col(0),
+        vocabSize = spec.optStr(1).map(_.toInt).getOrElse(2000),
+        maxWords = spec.optStr(2).map(_.toInt).getOrElse(50000))
+      graft.llm.UnigramLm.encodeColumn(df, spec.col(0), model)
+    }
+
     // `select-budget :tokens :order :id budget` — quality-ordered
     // token-budget corpus subsetting: keep best-`order` rows while the
     // running token total stays ≤ budget (llm/Packing.selectBudget;
