@@ -5222,8 +5222,11 @@ object QueryBank {
     val e = emb(s, d)
     val q = e.filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).map(_.toDouble).toArray
-    val path = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_ivf_index").getAbsolutePath
+    // per-call unique dir: a fixed shared path would race a concurrent
+    // harness run on the same box (overwrite deletes files mid-read,
+    // or worse serves another dataset's index)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_index_").toString
     graft.llm.Similarity.writeIvfIndex(e, "vec_id", "embedding", path,
       nlist = 8)
     graft.llm.Similarity.ivfTopKIndexed(s, path, "vec_id", "embedding",
@@ -5468,33 +5471,47 @@ object QueryBank {
     * Bounded to ±32200, so no sample wraps in the 16-bit encode.
     */
   private val synthAudioWavUdf =
-    org.apache.spark.sql.functions.udf((id: Long) => {
-      val seed = id % 100
-      val n = (260 + seed * 4).toInt
-      val bytes = new Array[Byte](44 + n * 2)
-      def w16(o: Int, v: Int): Unit = {
-        bytes(o) = (v & 0xff).toByte; bytes(o + 1) = ((v >> 8) & 0xff).toByte
-      }
-      def w32(o: Int, v: Long): Unit = {
-        w16(o, (v & 0xffff).toInt); w16(o + 2, ((v >> 16) & 0xffff).toInt)
-      }
-      def tag(o: Int, s: String): Unit =
-        (0 until 4).foreach(i => bytes(o + i) = s.charAt(i).toByte)
-      tag(0, "RIFF"); w32(4, 36L + n * 2); tag(8, "WAVE")
-      tag(12, "fmt "); w32(16, 16); w16(20, 1); w16(22, 1) // PCM, mono
-      w32(24, 8000); w32(28, 16000); w16(32, 2); w16(34, 16)
-      tag(36, "data"); w32(40, n * 2L)
-      var i = 0
-      while (i < n) {
-        val base =
-          ((seed * 97 + i.toLong * i * 13 + i * 31) % 64000 - 32000).toInt
-        val s =
-          if (id >= 100 && i.toLong * 65 / n == 0) base + 200 else base
-        w16(44 + 2 * i, s & 0xffff)
-        i += 1
-      }
-      bytes
-    })
+    org.apache.spark.sql.functions.udf((id: Long) =>
+      wav16(audioFixtureSamples(id % 100, perturb = id >= 100)))
+
+  /** Shared audio-fixture sample kernel — the SINGLE definition the
+    * QueryBank oracles, AudioHashSpec's margin validation, and the
+    * scale probe all derive from (three drifting copies would silently
+    * void the closed-form oracle guarantees). n = 260 + (seed mod
+    * 100)·4 samples, sᵢ = (seed·97 + i²·13 + i·31) mod 64000 − 32000;
+    * `perturb` shifts segment 0 (i·65/n = 0) by +200 — the planted
+    * twin differs in at most one envelope comparison bit.
+    */
+  private[graft] def audioFixtureSamples(seed: Long,
+      perturb: Boolean): Array[Int] = {
+    val n = (260 + (seed % 100) * 4).toInt
+    Array.tabulate(n) { i =>
+      val base =
+        ((seed * 97 + i.toLong * i * 13 + i * 31) % 64000 - 32000).toInt
+      if (perturb && i.toLong * 65 / n == 0) base + 200 else base
+    }
+  }
+
+  /** Minimal valid mono 16-bit 8 kHz PCM WAV around the samples. */
+  private[graft] def wav16(samples: Array[Int]): Array[Byte] = {
+    val n = samples.length
+    val bytes = new Array[Byte](44 + n * 2)
+    def w16(o: Int, v: Int): Unit = {
+      bytes(o) = (v & 0xff).toByte; bytes(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def w32(o: Int, v: Long): Unit = {
+      w16(o, (v & 0xffff).toInt); w16(o + 2, ((v >> 16) & 0xffff).toInt)
+    }
+    def tag(o: Int, s: String): Unit =
+      (0 until 4).foreach(i => bytes(o + i) = s.charAt(i).toByte)
+    tag(0, "RIFF"); w32(4, 36L + n * 2); tag(8, "WAVE")
+    tag(12, "fmt "); w32(16, 16); w16(20, 1); w16(22, 1) // PCM, mono
+    w32(24, 8000); w32(28, 16000); w16(32, 2); w16(34, 16)
+    tag(36, "data"); w32(40, n * 2L)
+    var i = 0
+    while (i < n) { w16(44 + 2 * i, samples(i) & 0xffff); i += 1 }
+    bytes
+  }
 
   /** Fixture: near-duplicate image pairs for perceptual-hash dedup.
     * Ids 0..99 are RGB PNGs whose channels are QUADRATIC scrambles of

@@ -67,6 +67,10 @@ object UnigramLm {
       maxPieceLen: Int = 10, emIters: Int = 3): Model = {
     require(vocabSize >= 1, "unigram: vocabSize must be >= 1")
     require(maxPieceLen >= 1 && emIters >= 1, "unigram: bad parameters")
+    // an all-null/empty corpus trains an empty model; encodeText still
+    // covers any text through the single-char UNK floor (Bpe's empty
+    // table degrades the same way)
+    if (words.isEmpty) return Model(Map.empty, 1)
     val marked = words.map { case (w, c) => (WordMark + w, c) }
 
     // ---- seed: substrings scored by frequency x length --------------

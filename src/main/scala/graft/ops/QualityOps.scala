@@ -112,13 +112,16 @@ object QualityOps {
       (BigDecimal(start.toString) + BigDecimal(step.toString) * i).toString)
     val s = col(scoreCol).cast("double")
     val lab = col(labelCol).cast("boolean")
+    // coalesce: an agg over ZERO surviving rows returns null sums —
+    // the contract is exact INTEGER counts, so an all-null/empty input
+    // yields n rows of zeros, not n rows of nulls
     val aggs = ts.zipWithIndex.flatMap { case (t, i) =>
       val ge = s >= lit(t).cast("double")
       Seq(
-        sum(when(ge && lab, 1L).otherwise(0L)).as(s"tp_$i"),
-        sum(when(ge && !lab, 1L).otherwise(0L)).as(s"fp_$i"),
-        sum(when(!ge && lab, 1L).otherwise(0L)).as(s"fn_$i"),
-        sum(when(!ge && !lab, 1L).otherwise(0L)).as(s"tn_$i"))
+        coalesce(sum(when(ge && lab, 1L).otherwise(0L)), lit(0L)).as(s"tp_$i"),
+        coalesce(sum(when(ge && !lab, 1L).otherwise(0L)), lit(0L)).as(s"fp_$i"),
+        coalesce(sum(when(!ge && lab, 1L).otherwise(0L)), lit(0L)).as(s"fn_$i"),
+        coalesce(sum(when(!ge && !lab, 1L).otherwise(0L)), lit(0L)).as(s"tn_$i"))
     }
     // NaN would otherwise count as >= every threshold (Spark orders
     // NaN above all doubles) — exclude it like null
@@ -151,18 +154,24 @@ object QualityOps {
     require(pLow >= 0 && pHigh <= 1 && pLow < pHigh,
       s"winsorize: need 0 <= pLow < pHigh <= 1, got ($pLow, $pHigh)")
     val c = col(colName).cast("double")
-    val (loE, hiE) =
-      if (approx)
-        (expr(s"approx_percentile(CAST($colName AS DOUBLE), $pLow)"),
-          expr(s"approx_percentile(CAST($colName AS DOUBLE), $pHigh)"))
-      else
-        (expr(s"percentile(CAST($colName AS DOUBLE), $pLow)"),
-          expr(s"percentile(CAST($colName AS DOUBLE), $pHigh)"))
-    val bounds = df.agg(loE.as("lo"), hiE.as("hi")).head()
+    // NaN is excluded from the BOUNDS (Spark sorts it above every
+    // double, so one NaN row would drag the upper percentile to NaN
+    // and silently disable the clamp) and passes THROUGH the clamp
+    // unchanged — the same treat-like-null policy as thresholdSweep.
+    // The SQL column reference is backtick-quoted so names needing
+    // quoting behave like every Column-API path.
+    val q = "`" + colName.replace("`", "``") + "`"
+    val fn = if (approx) "approx_percentile" else "percentile"
+    val guarded =
+      s"CASE WHEN isnan(CAST($q AS DOUBLE)) THEN NULL ELSE CAST($q AS DOUBLE) END"
+    val bounds = df.agg(
+      expr(s"$fn($guarded, $pLow)").as("lo"),
+      expr(s"$fn($guarded, $pHigh)").as("hi")).head()
     if (bounds.isNullAt(0) || bounds.isNullAt(1)) return df // all-null col
     val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
     df.withColumn(colName,
-      when(c < lo, lit(lo)).when(c > hi, lit(hi)).otherwise(c))
+      when(isnan(c), c)
+        .when(c < lo, lit(lo)).when(c > hi, lit(hi)).otherwise(c))
   }
 
   def build(spec: DirectiveSpec): Option[PipeOp] = Option(spec.name match {

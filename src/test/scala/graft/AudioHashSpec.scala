@@ -5,37 +5,12 @@ import graft.llm.AudioHash
 class AudioHashSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Minimal valid mono 16-bit PCM WAV around the given samples. */
-  private def wav16(samples: Array[Int]): Array[Byte] = {
-    val n = samples.length
-    val bytes = new Array[Byte](44 + n * 2)
-    def w16(o: Int, v: Int): Unit = {
-      bytes(o) = (v & 0xff).toByte; bytes(o + 1) = ((v >> 8) & 0xff).toByte
-    }
-    def w32(o: Int, v: Long): Unit = {
-      w16(o, (v & 0xffff).toInt); w16(o + 2, ((v >> 16) & 0xffff).toInt)
-    }
-    def tag(o: Int, s: String): Unit =
-      (0 until 4).foreach(i => bytes(o + i) = s.charAt(i).toByte)
-    tag(0, "RIFF"); w32(4, 36L + n * 2); tag(8, "WAVE")
-    tag(12, "fmt "); w32(16, 16); w16(20, 1); w16(22, 1)
-    w32(24, 8000); w32(28, 16000); w16(32, 2); w16(34, 16)
-    tag(36, "data"); w32(40, n * 2L)
-    var i = 0
-    while (i < n) { w16(44 + 2 * i, samples(i) & 0xffff); i += 1 }
-    bytes
-  }
-
-  /** The synthAudioWav fixture's sample run (QueryBank formula). */
-  private def fixtureSamples(id: Long): Array[Int] = {
-    val seed = id % 100
-    val n = (260 + seed * 4).toInt
-    Array.tabulate(n) { i =>
-      val base =
-        ((seed * 97 + i.toLong * i * 13 + i * 31) % 64000 - 32000).toInt
-      if (id >= 100 && i.toLong * 65 / n == 0) base + 200 else base
-    }
-  }
+  // the ONE fixture kernel shared with the QueryBank oracles and the
+  // scale probe — margin guarantees validated here hold there verbatim
+  private def wav16(samples: Array[Int]): Array[Byte] =
+    QueryBank.wav16(samples)
+  private def fixtureSamples(id: Long): Array[Int] =
+    QueryBank.audioFixtureSamples(id % 100, perturb = id >= 100)
 
   test("audioHash64: monotone energy envelopes pin every bit") {
     // |s| strictly rising per segment (65 segments x 4 samples, each

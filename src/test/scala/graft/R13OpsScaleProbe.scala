@@ -46,33 +46,12 @@ object R13OpsScaleProbe {
       t
     }
 
-    // ---- audio: synth WAV with planted twins every 10th row --------
+    // ---- audio: synth WAV with planted twins every 10th row, from
+    // the ONE fixture kernel shared with QueryBank and AudioHashSpec
     val synthWav = udf((id: Long) => {
       val twin = id % 10 == 0 && id > 0
       val seed = if (twin) id - 1 else id
-      val n = (260 + (seed % 100) * 4).toInt
-      val bytes = new Array[Byte](44 + n * 2)
-      def w16(o: Int, v: Int): Unit = {
-        bytes(o) = (v & 0xff).toByte; bytes(o + 1) = ((v >> 8) & 0xff).toByte
-      }
-      def w32(o: Int, v: Long): Unit = {
-        w16(o, (v & 0xffff).toInt); w16(o + 2, ((v >> 16) & 0xffff).toInt)
-      }
-      def tag(o: Int, s: String): Unit =
-        (0 until 4).foreach(i => bytes(o + i) = s.charAt(i).toByte)
-      tag(0, "RIFF"); w32(4, 36L + n * 2); tag(8, "WAVE")
-      tag(12, "fmt "); w32(16, 16); w16(20, 1); w16(22, 1)
-      w32(24, 8000); w32(28, 16000); w16(32, 2); w16(34, 16)
-      tag(36, "data"); w32(40, n * 2L)
-      var i = 0
-      while (i < n) {
-        val base =
-          ((seed * 97 + i.toLong * i * 13 + i * 31) % 64000 - 32000).toInt
-        val s = if (twin && i.toLong * 65 / n == 0) base + 200 else base
-        w16(44 + 2 * i, s & 0xffff)
-        i += 1
-      }
-      bytes
+      QueryBank.wav16(QueryBank.audioFixtureSamples(seed, perturb = twin))
     })
 
     def audioAt(n: Long, label: String): Double = {
@@ -122,6 +101,13 @@ object R13OpsScaleProbe {
           .write.format("noop").mode("overwrite").save()
       }
 
+    // ---- unigram tokenizer: bounded train + map-only encode ---------
+    def unigram(d: DataFrame, label: String): Double =
+      time2(label) {
+        graft.llm.UnigramLm.tokenCount(d, "text", vocabSize = 45)
+          .write.format("noop").mode("overwrite").save()
+      }
+
     // warmups (small)
     audioAt(2000L, "warmup audio 2K")
     val a20k = audioAt(20000L, "audioDupPairs 20K wavs")
@@ -132,13 +118,17 @@ object R13OpsScaleProbe {
     val m01 = mojibake(li, "fixMojibake 600K")
     val m10 = mojibake((0 until 10).map(_ => li).reduce(_ unionByName _),
       "fixMojibake 6M")
+    val u01 = unigram(docs01, "unigramTokenCount sf0.1")
+    val u10 = unigram(docs10x, "unigramTokenCount 10x")
     println(f"""{"audio_20k": $a20k%.2f, "audio_200k": $a200k%.2f, """ +
       f""""audio_ratio_10x": ${a200k / a20k}%.2f, """ +
       f""""keepbest_sf01": $kb01%.2f, "cc_sf01": $cc01%.2f, """ +
       f""""keepbest_10x": $kb10%.2f, """ +
       f""""keepbest_ratio_10x": ${kb10 / kb01}%.2f, """ +
       f""""mojibake_600k": $m01%.2f, "mojibake_6m": $m10%.2f, """ +
-      f""""mojibake_ratio_10x": ${m10 / m01}%.2f}""")
+      f""""mojibake_ratio_10x": ${m10 / m01}%.2f, """ +
+      f""""unigram_sf01": $u01%.2f, "unigram_10x": $u10%.2f, """ +
+      f""""unigram_ratio_10x": ${u10 / u01}%.2f}""")
     spark.stop()
   }
 }

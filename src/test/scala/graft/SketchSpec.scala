@@ -574,6 +574,24 @@ class SketchSpec extends SparkSpec {
     // an all-null column is a no-op, not a crash
     val nulls = Seq[Option[Double]](None, None).toDF("v")
     assert(wrangle("winsorize :v", nulls).collect().forall(_.isNullAt(0)))
+    // NaN: excluded from the bounds (one NaN must not drag the upper
+    // percentile to NaN and disable the clamp) and passes through
+    val withNan = ((1 to 100).map(_.toDouble) :+ Double.NaN).toDF("v")
+    val wn = wrangle("winsorize :v", withNan).collect().map(_.getDouble(0))
+    assert(wn.count(_.isNaN) == 1)
+    val clean = wn.filterNot(_.isNaN)
+    assert(math.abs(clean.min - 5.95) < 1e-9 &&
+      math.abs(clean.max - 95.05) < 1e-9)
+  }
+
+  test("threshold-sweep: an all-filtered input yields zero counts, not nulls") {
+    val empty = Seq[(Option[Double], Option[Boolean])]((None, Some(true)))
+      .toDF("score", "label")
+    val rows = wrangle("threshold-sweep :score :label 0.1 0.2 3", empty)
+      .collect()
+    assert(rows.length == 3)
+    assert(rows.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L &&
+      r.getLong(3) == 0L && r.getLong(4) == 0L))
   }
 
   test("quality-report: approx mode swaps exact distinct for the HLL sketch") {

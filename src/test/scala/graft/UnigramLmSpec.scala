@@ -61,6 +61,25 @@ class UnigramLmSpec extends SparkSpec {
     assert(viaRecipe == direct)
   }
 
+  test("an empty word table trains an empty model; encoding still covers") {
+    val m = UnigramLm.trainFromFreqs(Seq.empty, vocabSize = 10)
+    assert(m.pieces.isEmpty)
+    // single-char UNK floor still segments anything
+    val enc = UnigramLm.encodeText("hi", m.pieces, m.maxLen)
+    assert(enc.mkString("") == "▁hi")
+    // the distributed path over an all-null column doesn't crash
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val d = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(
+        Row(1L, null), Row(2L, "  "))),
+      StructType(Seq(StructField("id", LongType),
+        StructField("text", StringType))))
+    val out = wrangle("unigram-token-count :text 10", d)
+      .select("text_unigram_tokens").collect().map(_.getInt(0))
+    assert(out.forall(_ == 0))
+  }
+
   test("hard-EM segmentation prefers one piece for a whole frequent word") {
     // a single dominant short word should become its own piece and
     // encode as exactly one token
