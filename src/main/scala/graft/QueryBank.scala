@@ -4243,6 +4243,40 @@ object QueryBank {
         | (4, 45, '9dfffb970bcf2b88134fd2787da5cf22'))
         | v(i, n, m)""".stripMargin),
 
+    ("corpus_report",
+      // the dataset-card summary a curation run reports before/after
+      // each stage — docs, empties, word totals, exact
+      // distinct-content (the dedup normalize kernel) and dup
+      // fraction, language count — in ONE aggregate pass, unpivoted to
+      // tall (metric, value). DuckDB recomputes every metric from the
+      // raw table, including the normalize-kernel distinct.
+      (s, d) => r("corpus-report :text :lang")(docs(s, d)),
+      """WITH t AS (SELECT text, lang,
+        |  (text IS NULL OR len(trim(text)) = 0) AS empt,
+        |  CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) END AS words,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS norm
+        | FROM documents),
+        |agg AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |  CAST(sum(CASE WHEN empt THEN 1 ELSE 0 END) AS DOUBLE) AS n_empty,
+        |  CAST(sum(words) AS DOUBLE) AS total_words,
+        |  CAST(count(DISTINCT norm)
+        |    + max(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    AS n_distinct_content,
+        |  CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs
+        | FROM t),
+        |fin AS (SELECT *,
+        |  round(total_words / n_docs, 6) AS mean_doc_words,
+        |  round(1.0 - n_distinct_content / n_docs, 6) AS dup_frac
+        | FROM agg)
+        |SELECT 'n_docs' AS metric, n_docs AS value FROM fin
+        |UNION ALL SELECT 'n_empty', n_empty FROM fin
+        |UNION ALL SELECT 'total_words', total_words FROM fin
+        |UNION ALL SELECT 'n_distinct_content', n_distinct_content FROM fin
+        |UNION ALL SELECT 'mean_doc_words', mean_doc_words FROM fin
+        |UNION ALL SELECT 'dup_frac', dup_frac FROM fin
+        |UNION ALL SELECT 'n_langs', n_langs FROM fin""".stripMargin),
+
     ("unigram_token_count",
       // corpus-trained SentencePiece-unigram subword counts, verified
       // as a per-lang rollup: training is hard-EM over the bounded

@@ -212,6 +212,32 @@ object UnigramLm {
       enc(col(textCol).cast(StringType)))
   }
 
+  /** Persist a trained model as a TSV sidecar (`piece \t logprob` —
+    * pieces never contain whitespace by construction; doubles render
+    * through java.lang.Double, which round-trips exactly). The
+    * train-once-apply-to-every-shard workflow: training reads one
+    * corpus snapshot, every later ingest loads the frozen vocabulary.
+    * Driver-filesystem IO — route through the Hadoop FileSystem API
+    * for cluster storage, like the IVF centroid sidecar.
+    */
+  def save(model: Model, path: String): Unit = {
+    val lines = model.pieces.toSeq.sortBy(_._1)
+      .map { case (p, lp) => s"$p\t${java.lang.Double.toString(lp)}" }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  /** Reload a [[save]]d model (bit-identical pieces and log-probs). */
+  def load(path: String): Model = {
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    val pieces = raw.split("\n").iterator.filter(_.nonEmpty).map { l =>
+      val tab = l.lastIndexOf('\t')
+      l.substring(0, tab) -> java.lang.Double.parseDouble(l.substring(tab + 1))
+    }.toMap
+    Model(pieces, if (pieces.isEmpty) 1 else pieces.keys.map(_.length).max)
+  }
+
   /** Train on the corpus, append `<textCol>_unigram_tokens` (the piece
     * count per document).
     */

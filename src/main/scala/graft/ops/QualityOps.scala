@@ -174,6 +174,43 @@ object QualityOps {
         .when(c < lo, lit(lo)).when(c > hi, lit(hi)).otherwise(c))
   }
 
+  /** One-stop corpus summary — the dataset-card numbers a curation run
+    * reports before/after each stage: doc and empty-doc counts, word
+    * totals, exact distinct-content count (the exact-dedup normalize
+    * kernel) and duplicate fraction, plus language count when a lang
+    * column is given. ONE aggregate pass over the corpus (all metrics
+    * are partial-aggregable), unpivoted to tall (metric, value) rows.
+    */
+  def corpusReport(df: DataFrame, textCol: String,
+      langCol: Option[String]): DataFrame = {
+    import graft.llm.Dedup
+    val text = col(textCol).cast(org.apache.spark.sql.types.StringType)
+    val isEmpty = text.isNull || length(trim(text)) === 0
+    val words = when(isEmpty, 0).otherwise(size(split(trim(text), "\\s+")))
+    val base = Seq(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(when(isEmpty, 1L).otherwise(0L)).cast("double").as("n_empty"),
+      coalesce(sum(words), lit(0L)).cast("double").as("total_words"),
+      // same null-group correction as [[Dedup.dupReport]]
+      (countDistinct(Dedup.fingerprint(text)) +
+        max(when(text.isNull, 1L).otherwise(0L))).cast("double")
+        .as("n_distinct_content"))
+    val aggs = base ++ langCol.map(lc =>
+      countDistinct(col(lc)).cast("double").as("n_langs")).toSeq
+    val one = df.agg(aggs.head, aggs.tail: _*)
+      .withColumn("mean_doc_words", when(col("n_docs") > 0,
+        round(col("total_words") / col("n_docs"), 6)).otherwise(lit(0.0)))
+      .withColumn("dup_frac", when(col("n_docs") > 0,
+        round(lit(1.0) - col("n_distinct_content") / col("n_docs"), 6))
+        .otherwise(lit(0.0)))
+    val metrics = Seq("n_docs", "n_empty", "total_words",
+      "n_distinct_content", "mean_doc_words", "dup_frac") ++
+      langCol.map(_ => "n_langs").toSeq
+    val stackArgs = metrics.map(m => s"'$m', $m").mkString(", ")
+    one.select(expr(s"stack(${metrics.length}, $stackArgs) AS (metric, value)"))
+      .orderBy("metric")
+  }
+
   def build(spec: DirectiveSpec): Option[PipeOp] = Option(spec.name match {
     // `quality-report 'rule; rule; ...' [approx]`
     case "quality-report" => new PipeOp {
@@ -182,6 +219,13 @@ object QualityOps {
         val approx = spec.optStr(1).exists(_.equalsIgnoreCase("approx"))
         st.mapDf(df => report(df, parse(spec.str(0), approx)))
       }
+    }
+    // `corpus-report :text [:lang]` — the dataset-card summary
+    // (see [[corpusReport]])
+    case "corpus-report" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState =
+        st.mapDf(df => corpusReport(df, spec.col(0), spec.optCol(1)))
     }
     // `winsorize :col [pLow pHigh] [approx]` — clamp outliers to the
     // percentile bounds (see [[winsorize]])

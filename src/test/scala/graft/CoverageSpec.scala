@@ -138,7 +138,7 @@ class CoverageSpec extends SparkSpec {
     "dedup-exact-incremental", "dedup-minhash-incremental",
     // round-13 surface: multimodal dedup + encoding repair + site keys
     "dedup-images", "dedup-audio", "fix-mojibake", "url-domain",
-    "threshold-sweep", "winsorize", "unigram-token-count", "unigram-encode")
+    "threshold-sweep", "winsorize", "unigram-token-count", "unigram-encode", "corpus-report")
 
   test("all curation/sampling directives resolve in the registry") {
     val missing = unresolved(curationDirectives)

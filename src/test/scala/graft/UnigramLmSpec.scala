@@ -61,6 +61,21 @@ class UnigramLmSpec extends SparkSpec {
     assert(viaRecipe == direct)
   }
 
+  test("save/load round-trips the model bit-for-bit") {
+    val m = UnigramLm.trainFromFreqs(freqs, vocabSize = 60)
+    val path = java.nio.file.Files
+      .createTempFile("graft_unigram_", ".tsv").toString
+    UnigramLm.save(m, path)
+    val loaded = UnigramLm.load(path)
+    assert(loaded.pieces == m.pieces) // exact doubles, not approximate
+    assert(loaded.maxLen == m.maxLen)
+    // frozen-vocabulary encode equals the fresh model's encode
+    val a = UnigramLm.encodeText("internationalization xq", m.pieces, m.maxLen)
+    val b = UnigramLm.encodeText("internationalization xq",
+      loaded.pieces, loaded.maxLen)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("an empty word table trains an empty model; encoding still covers") {
     val m = UnigramLm.trainFromFreqs(Seq.empty, vocabSize = 10)
     assert(m.pieces.isEmpty)
