@@ -4243,6 +4243,25 @@ object QueryBank {
         | (4, 45, '9dfffb970bcf2b88134fd2787da5cf22'))
         | v(i, n, m)""".stripMargin),
 
+    ("compression_ratio",
+      // deflate-ratio repetitiveness signal, verified as a per-lang
+      // rollup: the JDK's bundled zlib is deterministic for a fixed
+      // level, so the per-doc ratios — and the rollup — are
+      // fixture-stable (decoder-exact contract, same as the ImageIO
+      // JPEG path; SQL cannot replay zlib). Natural-prose fixtures sit
+      // well above heavily-templated ones, which is the signal's job.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        r("compression-ratio :text")(docs(s, d))
+          .groupBy(col("lang"))
+          .agg(round(sum(col("text_deflate_ratio")), 4).as("ratio_sum"),
+            count(lit(1)).as("docs"))
+      },
+      """SELECT lang, CAST(r AS DOUBLE) AS ratio_sum, CAST(n AS BIGINT) AS docs
+        |FROM (VALUES ('de', 39.3573, 70), ('en', 121.9175, 218),
+        |  ('es', 40.3369, 73), ('fr', 34.5486, 64), ('zh', 41.0789, 75))
+        |  v(lang, r, n)""".stripMargin),
+
     ("corpus_report",
       // the dataset-card summary a curation run reports before/after
       // each stage — docs, empties, word totals, exact

@@ -15,6 +15,32 @@ import org.apache.spark.sql.types._
   */
 object TextAnalysis {
 
+  /** Deflate-compressed byte length of the UTF-8 text at the given
+    * zlib level — the cheap repetitiveness signal curation pipelines
+    * gate on (boilerplate and templated spam compress far below
+    * natural prose; the published Gopher/C4-adjacent "compression
+    * ratio" filter). Deterministic for a fixed JDK (the bundled zlib),
+    * the same decoder-exact contract as the ImageIO JPEG path — the
+    * correctness row pins a rollup rather than replaying zlib in SQL.
+    * Null text → null.
+    */
+  def deflateLen(s: String, level: Int): java.lang.Integer = {
+    if (s == null) return null
+    val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val d = new java.util.zip.Deflater(level)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      java.lang.Integer.valueOf(total)
+    } finally d.end()
+  }
+
+  val deflateLenUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(deflateLen _)
+
   /** Whitespace token count (0 for empty/null-ish text). JVM kernel —
     * the filter() HOF is CodegenFallback (see Udfs kernel island);
     * [[tokenCountColumns]] keeps the Column formulation for the

@@ -509,6 +509,24 @@ object LlmOps {
         .drop("__rep")
     }
 
+    // `compression-ratio :text [level]` — deflate length / raw UTF-8
+    // length (round-6; 0-byte text reads 0.0): the cheap
+    // repetitiveness gate — boilerplate compresses far below natural
+    // prose. Map-only UDF over the JDK's zlib.
+    case "compression-ratio" => ColumnOps.simple(spec) { df =>
+      val c = spec.col(0)
+      val level = spec.optStr(1).map(_.toInt).getOrElse(6)
+      require(level >= 0 && level <= 9,
+        s"compression-ratio: level must be 0..9, got $level")
+      val text = col(c).cast(org.apache.spark.sql.types.StringType)
+      val deflated = graft.llm.TextAnalysis
+        .deflateLenUdf(text, lit(level))
+      val rawLen = octet_length(text)
+      df.withColumn(s"${c}_deflate_ratio",
+        when(rawLen > 0, round(deflated.cast("double") / rawLen, 6))
+          .otherwise(when(text.isNotNull, lit(0.0))))
+    }
+
     case _ => null
   })
 

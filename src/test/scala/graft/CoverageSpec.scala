@@ -138,7 +138,8 @@ class CoverageSpec extends SparkSpec {
     "dedup-exact-incremental", "dedup-minhash-incremental",
     // round-13 surface: multimodal dedup + encoding repair + site keys
     "dedup-images", "dedup-audio", "fix-mojibake", "url-domain",
-    "threshold-sweep", "winsorize", "unigram-token-count", "unigram-encode", "corpus-report")
+    "threshold-sweep", "winsorize", "unigram-token-count", "unigram-encode", "corpus-report",
+    "compression-ratio")
 
   test("all curation/sampling directives resolve in the registry") {
     val missing = unresolved(curationDirectives)
