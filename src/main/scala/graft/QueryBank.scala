@@ -3716,6 +3716,27 @@ object QueryBank {
         |  CAST(NULL AS INT), CAST(length(conv) AS BIGINT), conv
         |FROM base""".stripMargin),
 
+    ("multimodal_webm_probe",
+      // Matroska/WebM header probe: EBML vint walk, container
+      // recursion (EBML header / Segment / Info — incl. the streamed
+      // unknown-size Segment form), DocType string, and the
+      // TimestampScale × Duration float arithmetic. The fixture varies
+      // scale against duration units at constant wall-clock, so a
+      // wrong scale decode shifts duration_ms and breaks the hash.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        docs(s, d).select(col("doc_id")).filter(col("doc_id") < 200)
+          .withColumn("payload", synthEbmlUdf(col("doc_id")))
+          .select(col("doc_id"),
+            graft.llm.MediaHeaders.probeUdf(col("payload")).as("p"))
+          .select(col("doc_id"), col("p.format").as("format"),
+            col("p.duration_ms").as("duration_ms"))
+      },
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'matroska' END AS format,
+        | CAST(1000 + doc_id * 7 AS BIGINT) AS duration_ms
+        |FROM documents WHERE doc_id < 200""".stripMargin),
+
     ("multimodal_mp4_samples",
       // REAL MP4 container access: stsz/stsc/stco/stss tables are
       // synthesized byte-exactly, then the sample walker recovers the
@@ -5526,6 +5547,48 @@ object QueryBank {
   private val synthAudioWavUdf =
     org.apache.spark.sql.functions.udf((id: Long) =>
       wav16(audioFixtureSamples(id % 100, perturb = id >= 100)))
+
+  /** Fixture: minimal EBML (RFC 8794) container — an EBML header
+    * carrying DocType, then Segment > Info with TimestampScale (4-byte
+    * uint) and Duration (8-byte float) — so the probe's vint walk,
+    * container recursion, scale arithmetic and float decode are all
+    * observable. `unknownSegSize` writes the Segment size as the
+    * 1-byte all-ones vint (streamed-WebM form).
+    */
+  private[graft] def ebmlBuild(docType: String, scaleNs: Long,
+      durUnits: Double, unknownSegSize: Boolean = false): Array[Byte] = {
+    def vs(n: Int): Byte = (0x80 | n).toByte // 1-byte size vint, n < 127
+    val dt = docType.getBytes("US-ASCII")
+    val header = Array[Byte](0x1A.toByte, 0x45.toByte, 0xDF.toByte,
+      0xA3.toByte, vs(3 + dt.length), 0x42.toByte, 0x82.toByte,
+      vs(dt.length)) ++ dt
+    val scaleBytes = Array.tabulate(4)(i =>
+      ((scaleNs >> (8 * (3 - i))) & 0xff).toByte)
+    val durBits = java.lang.Double.doubleToLongBits(durUnits)
+    val durBytes = Array.tabulate(8)(i =>
+      ((durBits >>> (8 * (7 - i))) & 0xff).toByte)
+    val scaleElem = Array[Byte](0x2A.toByte, 0xD7.toByte, 0xB1.toByte,
+      vs(4)) ++ scaleBytes
+    val durElem = Array[Byte](0x44.toByte, 0x89.toByte, vs(8)) ++ durBytes
+    val info = Array[Byte](0x15.toByte, 0x49.toByte, 0xA9.toByte,
+      0x66.toByte, vs(scaleElem.length + durElem.length)) ++
+      scaleElem ++ durElem
+    val segSize = if (unknownSegSize) 0xFF.toByte else vs(info.length)
+    val segment = Array[Byte](0x18.toByte, 0x53.toByte, 0x80.toByte,
+      0x67.toByte, segSize) ++ info
+    header ++ segment
+  }
+
+  private val synthEbmlUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      val docType = if (id % 2 == 0) "webm" else "matroska"
+      // ids %3==0 use a halved timestamp scale with doubled duration
+      // units (same wall-clock), so a wrong scale decode is observable
+      val (scale, units) =
+        if (id % 3 == 0) (500000L, 2.0 * (1000 + id * 7))
+        else (1000000L, (1000 + id * 7).toDouble)
+      ebmlBuild(docType, scale, units, unknownSegSize = id % 5 == 0)
+    })
 
   /** Shared audio-fixture sample kernel — the SINGLE definition the
     * QueryBank oracles, AudioHashSpec's margin validation, and the

@@ -304,6 +304,83 @@ object MediaHeaders {
         }
       }
     }
+    // Matroska/WebM: EBML header 1A 45 DF A3. Elements are (vint id —
+    // marker bit kept, vint size — marker bit cleared) pairs; DocType
+    // (0x4282) names the container, Segment (0x18538067) → Info
+    // (0x1549A966) carries TimestampScale (0x2AD7B1, ns/unit, default
+    // 1,000,000) and Duration (0x4489, float in scale units) →
+    // duration_ms. Public layout: RFC 8794 (EBML) + the Matroska spec.
+    // Unknown-size elements (all-ones size vint — streamed WebM's
+    // Segment) walk to the enclosing bound.
+    if (u8(b, 0) == 0x1a && u8(b, 1) == 0x45 && u8(b, 2) == 0xdf &&
+        u8(b, 3) == 0xa3) {
+      // (value, width) of the vint at p, or null when malformed
+      def vint(p: Int, keepMarker: Boolean): (Long, Int) = {
+        if (p >= b.length) return null
+        val fb = u8(b, p)
+        if (fb == 0) return null // width > 8: not used by real files
+        val w = Integer.numberOfLeadingZeros(fb) - 24 + 1
+        if (p + w > b.length) return null
+        var v: Long = if (keepMarker) fb.toLong else (fb & (0xff >>> w)).toLong
+        var k = 1
+        while (k < w) { v = (v << 8) | u8(b, p + k); k += 1 }
+        (v, w)
+      }
+      def beUint(off: Int, len: Int): Long = {
+        var v = 0L; var k = 0
+        while (k < len) { v = (v << 8) | u8(b, off + k); k += 1 }
+        v
+      }
+      var docType: String = null
+      var scale = 1000000L
+      var durUnits: java.lang.Double = null
+      def walk(from: Int, to: Int, depth: Int): Unit = {
+        var p = from
+        var ok = true
+        while (ok && p < to && depth < 8) {
+          val idv = vint(p, keepMarker = true)
+          if (idv == null) ok = false
+          else {
+            val sv = vint(p + idv._2, keepMarker = false)
+            if (sv == null) ok = false
+            else {
+              val dataStart = p + idv._2 + sv._2
+              // all-ones payload size = unknown: runs to the bound
+              val unknown = sv._1 == (1L << (7 * sv._2)) - 1
+              val end =
+                if (unknown) to
+                else math.min(dataStart + sv._1, to.toLong).toInt
+              if (dataStart > to) ok = false
+              else {
+                idv._1 match {
+                  case 0x1A45DFA3L | 0x18538067L | 0x1549A966L =>
+                    walk(dataStart, end, depth + 1) // container elements
+                  case 0x4282L =>
+                    docType = ascii(b, dataStart, (end - dataStart))
+                      .takeWhile(_ != '\u0000') // strings may be NUL-padded
+                  case 0x2AD7B1L if end - dataStart <= 8 =>
+                    scale = beUint(dataStart, end - dataStart)
+                  case 0x4489L if end - dataStart == 4 =>
+                    durUnits = java.lang.Float
+                      .intBitsToFloat(beUint(dataStart, 4).toInt).toDouble
+                  case 0x4489L if end - dataStart == 8 =>
+                    durUnits = java.lang.Double
+                      .longBitsToDouble(beUint(dataStart, 8))
+                  case _ => ()
+                }
+                if (unknown) ok = false else p = end
+              }
+            }
+          }
+        }
+      }
+      walk(0, b.length, 0)
+      val fmt = if (docType == null || docType.isEmpty) "matroska" else docType
+      val durMs: java.lang.Long =
+        if (durUnits == null || scale <= 0) null
+        else java.lang.Long.valueOf((durUnits * scale / 1e6).toLong)
+      return Probe(fmt, null, null, durMs)
+    }
     // WAV: RIFF....WAVE, then chunk walk; duration = dataBytes/byteRate
     if (ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE") {
       var p = 12
