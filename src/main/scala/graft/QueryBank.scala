@@ -3716,6 +3716,59 @@ object QueryBank {
         |  CAST(NULL AS INT), CAST(length(conv) AS BIGINT), conv
         |FROM base""".stripMargin),
 
+    ("parse_as_tar",
+      // POSIX ustar / WebDataset shard ingestion: one row per regular
+      // member with name, declared size, and payload bytes. DuckDB
+      // rebuilds every member (names, byte lengths, payload md5) from
+      // the id formula — any slip in the 512-byte header walk, octal
+      // size parse, or data slicing breaks the hash.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val shards = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthTarUdf(col("doc_id")))
+        r("parse-as-tar :payload")(shards)
+          .select(col("doc_id"), col("payload_name"), col("payload_size"),
+            md5(col("payload_payload")).as("payload_md5"))
+      },
+      """SELECT doc_id,
+        | 's' || doc_id || e AS payload_name,
+        | CAST(len(CASE e WHEN '.jpg' THEN 'IMG' || doc_id || '-payload'
+        |   WHEN '.cls' THEN CAST(doc_id % 10 AS VARCHAR)
+        |   ELSE '{"id":' || doc_id || '}' END) AS BIGINT) AS payload_size,
+        | md5(CASE e WHEN '.jpg' THEN 'IMG' || doc_id || '-payload'
+        |   WHEN '.cls' THEN CAST(doc_id % 10 AS VARCHAR)
+        |   ELSE '{"id":' || doc_id || '}' END) AS payload_md5
+        |FROM documents
+        |CROSS JOIN (SELECT unnest(['.jpg', '.cls', '.json']) AS e) t
+        |WHERE doc_id < 200""".stripMargin),
+
+    ("webdataset_group",
+      // the WebDataset sample-reassembly step: tar members group by
+      // basename stem (img.jpg + img.cls + img.json = one training
+      // sample); the class label rides out of the .cls member. One
+      // narrow groupBy on (shard, stem) — the standard multimodal
+      // loader shape.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val shards = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthTarUdf(col("doc_id")))
+        r("parse-as-tar :payload")(shards)
+          .withColumn("stem",
+            regexp_extract(col("payload_name"), "^(.*)\\.[^.]+$", 1))
+          .withColumn("ext",
+            regexp_extract(col("payload_name"), "\\.([^.]+)$", 1))
+          .groupBy(col("doc_id"), col("stem"))
+          .agg(count(lit(1)).as("n_parts"),
+            concat_ws(",", sort_array(collect_list(col("ext")))).as("exts"),
+            max(when(col("ext") === "cls",
+              col("payload_payload").cast("string"))).as("cls"))
+      },
+      """SELECT doc_id, 's' || doc_id AS stem, CAST(3 AS BIGINT) AS n_parts,
+        | 'cls,jpg,json' AS exts, CAST(doc_id % 10 AS VARCHAR) AS cls
+        |FROM documents WHERE doc_id < 200""".stripMargin),
+
     ("multimodal_webm_probe",
       // Matroska/WebM header probe: EBML vint walk, container
       // recursion (EBML header / Segment / Info — incl. the streamed
@@ -5578,6 +5631,17 @@ object QueryBank {
       0x67.toByte, segSize) ++ info
     header ++ segment
   }
+
+  /** Fixture: a WebDataset-style ustar shard per id — three members
+    * sharing the basename stem (`s<id>.jpg/.cls/.json`), built by the
+    * spec-derived [[graft.sources.Tar.build]] writer.
+    */
+  private val synthTarUdf =
+    org.apache.spark.sql.functions.udf((id: Long) =>
+      graft.sources.Tar.build(Seq(
+        (s"s$id.jpg", s"IMG$id-payload".getBytes("UTF-8")),
+        (s"s$id.cls", (id % 10).toString.getBytes("UTF-8")),
+        (s"s$id.json", s"""{"id":$id}""".getBytes("UTF-8")))))
 
   private val synthEbmlUdf =
     org.apache.spark.sql.functions.udf((id: Long) => {

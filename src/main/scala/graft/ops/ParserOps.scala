@@ -223,6 +223,26 @@ object ParserOps {
       }
     }
 
+    // `parse-as-tar :col` — POSIX ustar / WebDataset shard members:
+    // one output row per regular file (`<col>_name/_size/_payload`).
+    // Group downstream by the basename stem to reassemble WebDataset
+    // samples (img.jpg + img.cls + img.json).
+    case "parse-as-tar" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        val bin =
+          if (df.schema(c).dataType == BinaryType) col(c)
+          else col(c).cast(StringType).cast(BinaryType)
+        df.withColumn("__tar", explode(graft.sources.Tar.entriesUdf(bin)))
+          .drop(c)
+          .withColumn(s"${c}_name", col("__tar._1"))
+          .withColumn(s"${c}_size", col("__tar._2"))
+          .withColumn(s"${c}_payload", col("__tar._3"))
+          .drop("__tar")
+      }
+    }
+
     // `parse-as-sitemap :col` — sitemaps.org urlset/sitemapindex XML
     // to one row per entry (crawl-frontier companion to robots.txt).
     case "parse-as-sitemap" => new PipeOp {

