@@ -79,18 +79,21 @@ object Tar {
             else nameRaw
           pendingLongName = null
           val dataStart = p + 512
-          val avail = math.max(0L, (b.length - dataStart).toLong)
-          val take = math.min(size, avail).toInt
-          if (typeflag == 'L') {
-            // GNU long name: the data block names the NEXT member
-            pendingLongName = cstr(b, dataStart, take)
-          } else if ((typeflag == '0' || typeflag == 0) && name.nonEmpty) {
-            out += TarEntry(name, size,
-              java.util.Arrays.copyOfRange(b, dataStart, dataStart + take))
-          } // directories ('5'), links, pax headers: skipped
-          val padded = ((size + 511L) / 512L) * 512L
-          if (dataStart.toLong + padded > Int.MaxValue) done = true
-          else p = dataStart + padded.toInt
+          // a member whose data is cut off is DROPPED, not emitted
+          // partially — same contract as [[parseStream]]
+          if (dataStart.toLong + size > b.length) done = true
+          else {
+            if (typeflag == 'L') {
+              // GNU long name: the data block names the NEXT member
+              pendingLongName = cstr(b, dataStart, size.toInt)
+            } else if ((typeflag == '0' || typeflag == 0) && name.nonEmpty) {
+              out += TarEntry(name, size, java.util.Arrays.copyOfRange(
+                b, dataStart, dataStart + size.toInt))
+            } // directories ('5'), links, pax headers: skipped
+            val padded = ((size + 511L) / 512L) * 512L
+            if (dataStart.toLong + padded > Int.MaxValue) done = true
+            else p = dataStart + padded.toInt
+          }
         }
       }
     }
@@ -99,6 +102,130 @@ object Tar {
 
   val entriesUdf: UserDefinedFunction = udf((b: Array[Byte]) =>
     entries(b).map(e => (e.name, e.size, e.data)))
+
+  /** Streaming member iterator over an open shard stream — peak task
+    * memory is ONE member, not the shard (WebDataset shards run to
+    * gigabytes). Same totality contract as the in-memory walk: a
+    * malformed header or truncation ends the iterator with the members
+    * parsed so far; the stream closes at exhaustion.
+    */
+  def parseStream(in: java.io.InputStream): Iterator[TarEntry] =
+    new Iterator[TarEntry] {
+      private var nextE: TarEntry = _
+      private var finished = false
+      private var pendingLongName: String = null
+
+      private def finish(): Unit = {
+        finished = true
+        nextE = null
+        try in.close() catch { case _: java.io.IOException => () }
+      }
+
+      private def readBlock(n: Int): Array[Byte] = {
+        val buf = new Array[Byte](n)
+        var off = 0
+        while (off < n) {
+          val r = in.read(buf, off, n - off)
+          if (r < 0) return null
+          off += r
+        }
+        buf
+      }
+
+      private def skipFully(n: Long): Boolean = {
+        var remaining = n
+        val buf = new Array[Byte](1 << 16)
+        while (remaining > 0) {
+          val r = in.read(buf, 0, math.min(remaining, buf.length.toLong).toInt)
+          if (r < 0) return false
+          remaining -= r
+        }
+        true
+      }
+
+      private def advance(): Unit = {
+        nextE = null
+        try {
+          while (nextE == null && !finished) {
+            val h = readBlock(512)
+            if (h == null) { finish(); return }
+            var allZero = true
+            var z = 0
+            while (allZero && z < 512) { if (h(z) != 0) allZero = false; z += 1 }
+            if (allZero) { finish(); return }
+            val size = parseOctal(h, 124, 12)
+            val typeflag = h(156)
+            // absurd declared length = malformed (never eagerly trusted)
+            if (size < 0 || size > Int.MaxValue - 16) { finish(); return }
+            val padded = ((size + 511L) / 512L) * 512L
+            val nameRaw = cstr(h, 0, 100)
+            val prefix =
+              if (cstr(h, 257, 6).startsWith("ustar")) cstr(h, 345, 155)
+              else ""
+            val name =
+              if (pendingLongName != null) pendingLongName
+              else if (prefix.nonEmpty) s"$prefix/$nameRaw"
+              else nameRaw
+            pendingLongName = null
+            if (typeflag == 'L') {
+              val data = readBlock(size.toInt)
+              if (data == null || !skipFully(padded - size)) { finish(); return }
+              pendingLongName = cstr(data, 0, data.length)
+            } else if ((typeflag == '0' || typeflag == 0) && name.nonEmpty) {
+              val data = readBlock(size.toInt)
+              if (data == null) { finish(); return }
+              if (!skipFully(padded - size)) {
+                // truncated padding: keep this tail member, then stop
+                finished = true
+                try in.close() catch { case _: java.io.IOException => () }
+              }
+              nextE = TarEntry(name, size, data)
+            } else {
+              if (!skipFully(padded)) { finish(); return }
+            }
+          }
+        } catch { case _: java.io.IOException => finish() }
+      }
+
+      advance()
+      override def hasNext: Boolean = nextE != null
+      override def next(): TarEntry = {
+        val e = nextE
+        if (e == null) throw new NoSuchElementException
+        if (finished) nextE = null else advance()
+        e
+      }
+    }
+
+  /** Distributed shard reader: one .tar file = one task (the
+    * WebDataset unit of work), members exploded to rows with the
+    * source path retained. Identical plan shape and memory contract to
+    * [[Warc.read]]: binaryFile supplies only the file listing (column
+    * pruning keeps `content` unread); each task re-opens its shard as
+    * a Hadoop stream and walks it member-at-a-time.
+    */
+  def read(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val paths = spark.read.format("binaryFile").load(path)
+      .select(col("path")).as[String]
+    paths
+      .flatMap { p =>
+        val hp =
+          try new org.apache.hadoop.fs.Path(new java.net.URI(p))
+          catch { case _: Exception => new org.apache.hadoop.fs.Path(p) }
+        val fs = hp.getFileSystem(conf.value)
+        val in = fs.open(hp)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ =>
+          try in.close() catch { case _: java.io.IOException => () })
+        parseStream(in).map(e => (p, e.name, e.size, e.data))
+      }
+      .toDF("path", "name", "size", "payload")
+  }
 
   /** Minimal ustar writer for fixtures/tests: regular files only. */
   private[graft] def build(files: Seq[(String, Array[Byte])]): Array[Byte] = {

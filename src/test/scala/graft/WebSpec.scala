@@ -528,4 +528,41 @@ class WebSpec extends SparkSpec {
       true)
     assert(Tar.entries(null).isEmpty)
   }
+
+  test("tar: parseStream equals in-memory entries; Tar.read explodes shard files") {
+    import graft.sources.Tar
+    val files = Seq(
+      ("s1.jpg", Array.tabulate[Byte](600)(i => (i % 127).toByte)),
+      ("s1.cls", "7".getBytes("UTF-8")),
+      ("s2.jpg", "img2".getBytes("UTF-8")))
+    val shard = Tar.build(files)
+    val mem = Tar.entries(shard)
+    val streamed = Tar.parseStream(
+      new java.io.ByteArrayInputStream(shard)).toList
+    assert(streamed.map(_.name) == mem.map(_.name))
+    assert(streamed.map(_.size) == mem.map(_.size))
+    streamed.zip(mem).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a.data, b.data)) }
+    // truncated stream keeps the COMPLETE members parsed so far;
+    // a member whose data is cut off is dropped, never emitted partial
+    val cut = Tar.parseStream(
+      new java.io.ByteArrayInputStream(shard.take(1540))).toList
+    assert(cut.map(_.name) == Seq("s1.jpg"))
+    assert(cut.head.data.length == 600)
+    val cutMid = Tar.parseStream(
+      new java.io.ByteArrayInputStream(shard.take(700))).toList
+    assert(cutMid.isEmpty) // s1.jpg's 600 data bytes aren't all there
+    assert(Tar.entries(shard.take(700)).isEmpty) // same contract in-memory
+    // distributed reader: one row per member with provenance path
+    val dir = java.nio.file.Files.createTempDirectory("graft_tar_")
+    java.nio.file.Files.write(dir.resolve("a.tar"), shard)
+    java.nio.file.Files.write(dir.resolve("b.tar"),
+      Tar.build(Seq(("only.txt", "x".getBytes))))
+    val rows = Tar.read(spark, dir.toString).collect()
+    assert(rows.length == 4)
+    val byName = rows.map(r => r.getAs[String]("name") ->
+      r.getAs[String]("path")).toMap
+    assert(byName("only.txt").endsWith("b.tar"))
+    assert(byName("s1.cls").endsWith("a.tar"))
+  }
 }
