@@ -3769,6 +3769,33 @@ object QueryBank {
         | 'cls,jpg,json' AS exts, CAST(doc_id % 10 AS VARCHAR) AS cls
         |FROM documents WHERE doc_id < 200""".stripMargin),
 
+    ("parse_as_zip",
+      // ZIP member ingestion through the JDK inflater: one row per
+      // regular member. Same member layout as the tar fixture, so
+      // DuckDB rebuilds names, inflated lengths and payload md5 from
+      // the id formula — a slip in the stream walk or inflation breaks
+      // the hash.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val shards = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthZipUdf(col("doc_id")))
+        r("parse-as-zip :payload")(shards)
+          .select(col("doc_id"), col("payload_name"), col("payload_size"),
+            md5(col("payload_payload")).as("payload_md5"))
+      },
+      """SELECT doc_id,
+        | 's' || doc_id || e AS payload_name,
+        | CAST(len(CASE e WHEN '.jpg' THEN 'IMG' || doc_id || '-payload'
+        |   WHEN '.cls' THEN CAST(doc_id % 10 AS VARCHAR)
+        |   ELSE '{"id":' || doc_id || '}' END) AS BIGINT) AS payload_size,
+        | md5(CASE e WHEN '.jpg' THEN 'IMG' || doc_id || '-payload'
+        |   WHEN '.cls' THEN CAST(doc_id % 10 AS VARCHAR)
+        |   ELSE '{"id":' || doc_id || '}' END) AS payload_md5
+        |FROM documents
+        |CROSS JOIN (SELECT unnest(['.jpg', '.cls', '.json']) AS e) t
+        |WHERE doc_id < 200""".stripMargin),
+
     ("multimodal_webm_probe",
       // Matroska/WebM header probe: EBML vint walk, container
       // recursion (EBML header / Segment / Info — incl. the streamed
@@ -5639,6 +5666,16 @@ object QueryBank {
   private val synthTarUdf =
     org.apache.spark.sql.functions.udf((id: Long) =>
       graft.sources.Tar.build(Seq(
+        (s"s$id.jpg", s"IMG$id-payload".getBytes("UTF-8")),
+        (s"s$id.cls", (id % 10).toString.getBytes("UTF-8")),
+        (s"s$id.json", s"""{"id":$id}""".getBytes("UTF-8")))))
+
+  /** Fixture: the tar fixture's member set as a ZIP (deterministic
+    * bytes — fixed timestamps).
+    */
+  private val synthZipUdf =
+    org.apache.spark.sql.functions.udf((id: Long) =>
+      graft.sources.Zip.build(Seq(
         (s"s$id.jpg", s"IMG$id-payload".getBytes("UTF-8")),
         (s"s$id.cls", (id % 10).toString.getBytes("UTF-8")),
         (s"s$id.json", s"""{"id":$id}""".getBytes("UTF-8")))))

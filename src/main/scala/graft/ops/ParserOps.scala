@@ -243,6 +243,24 @@ object ParserOps {
       }
     }
 
+    // `parse-as-zip :col` — ZIP archive members (JDK inflater): one
+    // output row per regular member (`<col>_name/_size/_payload`).
+    case "parse-as-zip" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        val bin =
+          if (df.schema(c).dataType == BinaryType) col(c)
+          else col(c).cast(StringType).cast(BinaryType)
+        df.withColumn("__zip", explode(graft.sources.Zip.entriesUdf(bin)))
+          .drop(c)
+          .withColumn(s"${c}_name", col("__zip._1"))
+          .withColumn(s"${c}_size", col("__zip._2"))
+          .withColumn(s"${c}_payload", col("__zip._3"))
+          .drop("__zip")
+      }
+    }
+
     // `parse-as-sitemap :col` — sitemaps.org urlset/sitemapindex XML
     // to one row per entry (crawl-frontier companion to robots.txt).
     case "parse-as-sitemap" => new PipeOp {

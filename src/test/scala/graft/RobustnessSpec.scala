@@ -90,6 +90,19 @@ class RobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("Zip.entries never throws on arbitrary bytes (PK-prefixed too)") {
+    check("zip") {
+      Prop.forAll(bytesGen) { b => graft.sources.Zip.entries(b); true }
+    }
+    val validZ = graft.sources.Zip.build(Seq(("a", Array[Byte](1, 2, 3))))
+    check("zip-prefixed") {
+      Prop.forAll(bytesGen) { b =>
+        graft.sources.Zip.entries(validZ ++ b)
+        graft.sources.Zip.entries(validZ.take(validZ.length / 2) ++ b); true
+      }
+    }
+  }
+
   test("MediaHeaders.probe never throws on arbitrary bytes") {
     check("probe") {
       Prop.forAll(bytesGen) { b =>
