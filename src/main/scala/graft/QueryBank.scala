@@ -3769,6 +3769,24 @@ object QueryBank {
         | 'cls,jpg,json' AS exts, CAST(doc_id % 10 AS VARCHAR) AS cls
         |FROM documents WHERE doc_id < 200""".stripMargin),
 
+    ("decompress_gzip",
+      // per-row compressed payloads inflate back to the original text:
+      // DuckDB never sees the compressed bytes — it recomputes the
+      // expected plaintext md5 from the raw table, so any slip in the
+      // inflater plumbing (method, header, truncation-null) breaks the
+      // hash. Covers all three containers; the zlib/deflate rows round
+      // trip through their own compressors.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val withBin = docs(s, d)
+          .withColumn("gz", synthGzipUdf(col("text")))
+        r("decompress :gz")(withBin)
+          .select(col("doc_id"),
+            md5(col("gz_inflated")).as("text_md5"),
+            length(col("gz_inflated").cast("string")).as("n_chars"))
+      },
+      "SELECT doc_id, md5(text) AS text_md5, len(text) AS n_chars FROM documents"),
+
     ("parse_as_zip",
       // ZIP member ingestion through the JDK inflater: one row per
       // regular member. Same member layout as the tar fixture, so
@@ -5669,6 +5687,19 @@ object QueryBank {
         (s"s$id.jpg", s"IMG$id-payload".getBytes("UTF-8")),
         (s"s$id.cls", (id % 10).toString.getBytes("UTF-8")),
         (s"s$id.json", s"""{"id":$id}""".getBytes("UTF-8")))))
+
+  /** Fixture: gzip of the text column (JDK GZIPOutputStream). */
+  private val synthGzipUdf =
+    org.apache.spark.sql.functions.udf((s: String) => {
+      if (s == null) null
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(s.getBytes("UTF-8"))
+        gz.close()
+        bos.toByteArray
+      }
+    })
 
   /** Fixture: the tar fixture's member set as a ZIP (deterministic
     * bytes — fixed timestamps).

@@ -1060,6 +1060,46 @@ object Udfs {
   }
   val fixMojibakeUdf: UserDefinedFunction = udf(fixMojibake _)
 
+  // ---- Decompression ---------------------------------------------------
+
+  /** Inflate one compressed payload (gzip / zlib / raw deflate over
+    * the JDK inflater). Total: malformed input yields null; output
+    * grows with bytes ACTUALLY inflated under a hard budget so a
+    * decompression bomb cannot expand past it (over-budget → null).
+    */
+  def decompress(b: Array[Byte], method: String): Array[Byte] = {
+    if (b == null) return null
+    val maxOut = 1 << 28
+    val in: java.io.InputStream =
+      try method match {
+        case "gzip" => new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(b))
+        case "zlib" => new java.util.zip.InflaterInputStream(
+          new java.io.ByteArrayInputStream(b))
+        case "deflate" => new java.util.zip.InflaterInputStream(
+          new java.io.ByteArrayInputStream(b),
+          new java.util.zip.Inflater(true))
+        case other => throw new graft.api.RecipeException(
+          s"decompress: unknown method '$other' (gzip|zlib|deflate)")
+      } catch { case _: java.io.IOException => return null }
+    try {
+      val out = new java.io.ByteArrayOutputStream(1 << 12)
+      val chunk = new Array[Byte](1 << 16)
+      var n = in.read(chunk)
+      while (n >= 0) {
+        out.write(chunk, 0, n)
+        if (out.size > maxOut) return null // bomb budget
+        n = in.read(chunk)
+      }
+      out.toByteArray
+    } catch {
+      case _: java.io.IOException => null
+    } finally {
+      try in.close() catch { case _: java.io.IOException => () }
+    }
+  }
+  val decompressUdf: UserDefinedFunction = udf(decompress _)
+
   // ---- Registrable domain (eTLD+1) -------------------------------------
 
   /** Multi-label public-suffix rules — a bundled SNAPSHOT SUBSET of

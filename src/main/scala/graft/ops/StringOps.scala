@@ -152,6 +152,19 @@ object StringOps {
       df.withColumn(s"${c}_decode_$method", dec.cast(StringType))
     }
 
+    // `decompress :col [gzip|zlib|deflate]` — inflate a compressed
+    // binary column through the JDK inflater (total: malformed input
+    // and over-budget bombs yield null). Crawl payloads and log dumps
+    // often arrive per-row compressed; appends `<col>_inflated`.
+    case "decompress" => ColumnOps.simple(spec) { df =>
+      val c = spec.col(0)
+      val method = spec.optStr(1).getOrElse("gzip").toLowerCase
+      require(Set("gzip", "zlib", "deflate")(method),
+        s"decompress: unknown method '$method' (gzip|zlib|deflate)")
+      df.withColumn(s"${c}_inflated",
+        Udfs.decompressUdf(col(c).cast(BinaryType), lit(method)))
+    }
+
     // full sed s/…/…/flags over one or more columns (reference:
     // wrangler-core directives/transformation/FindAndReplace.java:74)
     case "find-and-replace" | "sed" => ColumnOps.simple(spec) { df =>

@@ -139,7 +139,7 @@ class CoverageSpec extends SparkSpec {
     // round-13 surface: multimodal dedup + encoding repair + site keys
     "dedup-images", "dedup-audio", "fix-mojibake", "url-domain",
     "threshold-sweep", "winsorize", "unigram-token-count", "unigram-encode", "corpus-report",
-    "compression-ratio", "parse-as-tar", "parse-as-zip")
+    "compression-ratio", "parse-as-tar", "parse-as-zip", "decompress")
 
   test("all curation/sampling directives resolve in the registry") {
     val missing = unresolved(curationDirectives)
