@@ -3769,6 +3769,32 @@ object QueryBank {
         | 'cls,jpg,json' AS exts, CAST(doc_id % 10 AS VARCHAR) AS cls
         |FROM documents WHERE doc_id < 200""".stripMargin),
 
+    ("pipeline_webdataset",
+      // the multimodal ingest composite end-to-end: WebDataset tar
+      // shards → streaming member extraction (parse-as-tar) → image
+      // payloads recovered by member name → perceptual dHash dedup
+      // through the shared banded-Hamming pipeline. 50 shards pack the
+      // 200 twin fixtures (4 samples each); the 100 planted twins
+      // collapse onto their smaller id, so the surviving set is
+      // closed-form. One wrong stage anywhere — tar walk, name parse,
+      // PNG decode, hash, banding, verify — breaks the match.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val shards = docs(s, d).select(col("doc_id").as("shard_id"))
+          .filter(col("shard_id") < 50)
+          .withColumn("payload", synthWdsShardUdf(col("shard_id")))
+        val members = r("parse-as-tar :payload")(shards)
+        val imgs = members
+          .filter(col("payload_name").endsWith(".png"))
+          .select(regexp_extract(col("payload_name"), "^(\\d+)\\.png$", 1)
+            .cast("long").as("doc_id"),
+            col("payload_payload").as("img"))
+        graft.llm.ImageHash.imageDedup(imgs, "img", "doc_id",
+            maxHamming = 3)
+          .select("doc_id")
+      },
+      "SELECT doc_id FROM documents WHERE doc_id < 100"),
+
     ("decompress_gzip",
       // per-row compressed payloads inflate back to the original text:
       // DuckDB never sees the compressed bytes — it recomputes the
@@ -5772,33 +5798,50 @@ object QueryBank {
     * (0,0)'s comparison, i.e. ≤ 1 bit. w = 9+seed%8, h = 8+seed%7 keep
     * every 9×8 grid cell populated.
     */
-  private val synthDhashPngUdf =
-    org.apache.spark.sql.functions.udf((id: Long) => {
-      val seed = (id % 100).toInt
-      val w = 9 + seed % 8
-      val h = 8 + seed % 7
-      val px = new Array[Byte](w * h * 3)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val q = (seed * 97 + x * 13 + y * 29) % 251
-          var r = (q * q * 3 + q * 5 + 7) % 256
-          var g = (q * q * 7 + q * 11 + 3) % 256
-          var b = (q * q * 11 + q * 3 + 17) % 256
-          if (id >= 100 && x == 0 && y == 0) {
-            r = (r + 113) % 256; g = (g + 113) % 256; b = (b + 113) % 256
-          }
-          val o = (y * w + x) * 3
-          px(o) = r.toByte; px(o + 1) = g.toByte; px(o + 2) = b.toByte
-          x += 1
+  /** The dHash twin fixture's PNG bytes (also packed into WebDataset
+    * shards by [[synthWdsShardUdf]]).
+    */
+  private[graft] def dhashPngFixture(id: Long): Array[Byte] = {
+    val seed = (id % 100).toInt
+    val w = 9 + seed % 8
+    val h = 8 + seed % 7
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val q = (seed * 97 + x * 13 + y * 29) % 251
+        var r = (q * q * 3 + q * 5 + 7) % 256
+        var g = (q * q * 7 + q * 11 + 3) % 256
+        var b = (q * q * 11 + q * 3 + 17) % 256
+        if (id >= 100 && x == 0 && y == 0) {
+          r = (r + 113) % 256; g = (g + 113) % 256; b = (b + 113) % 256
         }
-        y += 1
+        val o = (y * w + x) * 3
+        px(o) = r.toByte; px(o + 1) = g.toByte; px(o + 2) = b.toByte
+        x += 1
       }
-      graft.llm.MediaHeaders.pngEncode(w, h, colorType = 2, px,
-        filterFor = yy => ((id + yy) % 5).toInt,
-        idatChunks = (1 + id % 3).toInt)
-    })
+      y += 1
+    }
+    graft.llm.MediaHeaders.pngEncode(w, h, colorType = 2, px,
+      filterFor = yy => ((id + yy) % 5).toInt,
+      idatChunks = (1 + id % 3).toInt)
+  }
+
+  private val synthDhashPngUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => dhashPngFixture(id))
+
+  /** Fixture: a WebDataset shard of 4 consecutive dHash fixtures
+    * (`<id>.png` + `<id>.cls` per sample) — shard s carries ids
+    * 4s..4s+3, so 50 shards span the 200-image twin corpus.
+    */
+  private val synthWdsShardUdf =
+    org.apache.spark.sql.functions.udf((shard: Long) =>
+      graft.sources.Tar.build((0 until 4).flatMap { k =>
+        val id = shard * 4 + k
+        Seq((s"$id.png", dhashPngFixture(id)),
+          (s"$id.cls", (id % 10).toString.getBytes("UTF-8")))
+      }))
 
   /** Fixture: near-duplicate JPEG pairs for perceptual-hash dedup of
     * the dominant web image format. Each image is 72×64 — 9×8 dHash
