@@ -1164,7 +1164,7 @@ object Udfs {
     */
   def registrableDomain(urlOrHost: String): String = {
     if (urlOrHost == null) return null
-    var h = urlOrHost.trim.toLowerCase
+    var h = urlOrHost.trim.toLowerCase(java.util.Locale.ROOT)
     val schemeIdx = h.indexOf("://")
     if (schemeIdx >= 0) h = h.substring(schemeIdx + 3)
     h = h.takeWhile(c => c != '/' && c != '?' && c != '#')

@@ -334,19 +334,22 @@ object Similarity {
       .withColumn("__cell", ivfCell(col(vecCol), cents))
       .write.partitionBy("__cell").mode("overwrite").parquet(path)
     val json = cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_centroids.json"), json)
+    graft.sources.Sidecar.write(
+      df.sparkSession.sparkContext.hadoopConfiguration,
+      s"$path/_centroids.json", json)
   }
 
   /** Centroids persisted by [[writeIvfIndex]] (tiny nested JSON array
     * of doubles; hand-rolled parse keeps the library dependency-free).
-    * Sidecar IO is java.nio — on a cluster filesystem (HDFS/S3) route
-    * these two file reads/writes through the Hadoop FileSystem API;
-    * the index layout itself is storage-agnostic.
+    * Sidecar IO goes through the Hadoop FileSystem resolved from the
+    * path itself, so the index and its centroids always live on the
+    * same store (local, HDFS, or S3 — whatever the path names).
     */
-  def readIvfCentroids(path: String): Array[Array[Double]] = {
-    val json = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(path, "_centroids.json")).trim
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] = {
+    val json = graft.sources.Sidecar.read(
+      spark.sparkContext.hadoopConfiguration,
+      s"$path/_centroids.json").trim
     json.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
       .map(_.split(",").map(_.toDouble))
   }
@@ -360,7 +363,7 @@ object Similarity {
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, vecCol: String, query: Array[Double], k: Int,
       nprobe: Int = 4): DataFrame = {
-    val cents = readIvfCentroids(path)
+    val cents = readIvfCentroids(spark, path)
     val probes = cents.zipWithIndex.map { case (c, i) =>
       val dot = c.zip(query).map { case (a, b) => a * b }.sum
       (i, dot)

@@ -197,7 +197,8 @@ object UnigramLm {
   def encodeText(text: String, pieces: Map[String, Double],
       maxLen: Int): Array[String] = {
     if (text == null) return Array.empty
-    text.toLowerCase.split("\\s+").filter(_.nonEmpty).flatMap(w =>
+    text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+      .filter(_.nonEmpty).flatMap(w =>
       viterbi(WordMark + w, pieces, maxLen))
   }
 
@@ -217,20 +218,22 @@ object UnigramLm {
     * through java.lang.Double, which round-trips exactly). The
     * train-once-apply-to-every-shard workflow: training reads one
     * corpus snapshot, every later ingest loads the frozen vocabulary.
-    * Driver-filesystem IO — route through the Hadoop FileSystem API
-    * for cluster storage, like the IVF centroid sidecar.
+    * IO goes through the Hadoop FileSystem resolved from the path, so
+    * a cluster-storage path (hdfs://, s3a://) works the same as a
+    * local one — like the IVF centroid sidecar.
     */
-  def save(model: Model, path: String): Unit = {
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model,
+      path: String): Unit = {
     val lines = model.pieces.toSeq.sortBy(_._1)
       .map { case (p, lp) => s"$p\t${java.lang.Double.toString(lp)}" }
-    java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      lines.mkString("\n").getBytes("UTF-8"))
+    graft.sources.Sidecar.write(
+      spark.sparkContext.hadoopConfiguration, path, lines.mkString("\n"))
   }
 
   /** Reload a [[save]]d model (bit-identical pieces and log-probs). */
-  def load(path: String): Model = {
-    val raw = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path)), "UTF-8")
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val raw = graft.sources.Sidecar.read(
+      spark.sparkContext.hadoopConfiguration, path)
     val pieces = raw.split("\n").iterator.filter(_.nonEmpty).map { l =>
       val tab = l.lastIndexOf('\t')
       l.substring(0, tab) -> java.lang.Double.parseDouble(l.substring(tab + 1))

@@ -108,8 +108,16 @@ object Tar {
     * gigabytes). Same totality contract as the in-memory walk: a
     * malformed header or truncation ends the iterator with the members
     * parsed so far; the stream closes at exhaustion.
+    *
+    * `maxMemberBytes` is the same per-member budget [[Zip.entries]]
+    * enforces: the header's declared size is UNTRUSTED input, so a
+    * corrupted size field must not translate into a multi-GiB task
+    * allocation. An over-budget member is skipped (its bytes are
+    * streamed past in 64 KiB chunks, never buffered) and the walk
+    * continues with the next header.
     */
-  def parseStream(in: java.io.InputStream): Iterator[TarEntry] =
+  def parseStream(in: java.io.InputStream,
+      maxMemberBytes: Int = 1 << 28): Iterator[TarEntry] =
     new Iterator[TarEntry] {
       private var nextE: TarEntry = _
       private var finished = false
@@ -157,6 +165,7 @@ object Tar {
             val typeflag = h(156)
             // absurd declared length = malformed (never eagerly trusted)
             if (size < 0 || size > Int.MaxValue - 16) { finish(); return }
+            val overBudget = size > maxMemberBytes
             val padded = ((size + 511L) / 512L) * 512L
             val nameRaw = cstr(h, 0, 100)
             val prefix =
@@ -167,7 +176,11 @@ object Tar {
               else if (prefix.nonEmpty) s"$prefix/$nameRaw"
               else nameRaw
             pendingLongName = null
-            if (typeflag == 'L') {
+            if (overBudget) {
+              // header-declared size beyond the budget: drop the
+              // member, keep walking (the Zip.entries policy)
+              if (!skipFully(padded)) { finish(); return }
+            } else if (typeflag == 'L') {
               val data = readBlock(size.toInt)
               if (data == null || !skipFully(padded - size)) { finish(); return }
               pendingLongName = cstr(data, 0, data.length)

@@ -65,8 +65,8 @@ class UnigramLmSpec extends SparkSpec {
     val m = UnigramLm.trainFromFreqs(freqs, vocabSize = 60)
     val path = java.nio.file.Files
       .createTempFile("graft_unigram_", ".tsv").toString
-    UnigramLm.save(m, path)
-    val loaded = UnigramLm.load(path)
+    UnigramLm.save(spark, m, path)
+    val loaded = UnigramLm.load(spark, path)
     assert(loaded.pieces == m.pieces) // exact doubles, not approximate
     assert(loaded.maxLen == m.maxLen)
     // frozen-vocabulary encode equals the fresh model's encode

@@ -565,4 +565,35 @@ class WebSpec extends SparkSpec {
     assert(byName("only.txt").endsWith("b.tar"))
     assert(byName("s1.cls").endsWith("a.tar"))
   }
+
+  test("tar: an over-budget declared member size is skipped, not allocated") {
+    import graft.sources.Tar
+    val shard = Tar.build(Seq(
+      ("a.txt", "first".getBytes("UTF-8")),
+      ("big.bin", Array.fill[Byte](2048)(1)),
+      ("c.txt", "last".getBytes("UTF-8"))))
+    // budget below big.bin's 2048 bytes: the member is streamed past,
+    // the walk keeps a.txt and c.txt (the Zip.entries policy)
+    val capped = Tar.parseStream(
+      new java.io.ByteArrayInputStream(shard), maxMemberBytes = 1024).toList
+    assert(capped.map(_.name) == Seq("a.txt", "c.txt"))
+    assert(new String(capped.last.data, "UTF-8") == "last")
+    // a corrupted size field claiming ~1 GiB on a tiny stream must not
+    // allocate: with the default budget the skip hits EOF and the
+    // iterator ends with the prior members — never a 1 GiB buffer
+    val lying = {
+      val b = Tar.build(Seq(("ok.txt", "ok".getBytes("UTF-8")),
+        ("corrupt", "x".getBytes("UTF-8"))))
+      // ok.txt = header(512) + data block(512); patch corrupt's size
+      val oct = java.lang.Long.toOctalString(1L << 30)
+      (("0" * (11 - oct.length)) + oct).getBytes("US-ASCII")
+        .copyToArray(b, 1024 + 124)
+      // tar checksums aren't validated (robustness contract): the
+      // reader trusts structure, bounds every allocation instead
+      b
+    }
+    val out = Tar.parseStream(
+      new java.io.ByteArrayInputStream(lying)).toList
+    assert(out.map(_.name) == Seq("ok.txt"))
+  }
 }
