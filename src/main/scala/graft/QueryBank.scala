@@ -3743,6 +3743,32 @@ object QueryBank {
         |CROSS JOIN (SELECT unnest(['.jpg', '.cls', '.json']) AS e) t
         |WHERE doc_id < 200""".stripMargin),
 
+    ("parse_as_pdf",
+      // PDF text extraction through the pure object-model decode:
+      // body walk, FlateDecode (JDK inflater), page tree, BT/ET text
+      // operators. One row per page; the fixture text carries parens
+      // and a backslash so literal-string escaping is on the oracle
+      // path, and the two-line page exercises the T* line operator.
+      // DuckDB rebuilds every page closed-form — a slip anywhere
+      // (object slice, inflate, tree walk, operator decode, escape
+      // handling) breaks the hash.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val pdfs = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthPdfUdf(col("doc_id")))
+        r("parse-as-pdf :payload")(pdfs)
+          .select(col("doc_id"), col("payload_page").as("page"),
+            col("payload_text").as("text"))
+      },
+      """WITH g AS (SELECT doc_id, 1 + doc_id % 3 AS np
+        | FROM documents WHERE doc_id < 200),
+        |sp AS (SELECT doc_id, unnest(range(np)) AS p FROM g)
+        |SELECT doc_id, CAST(p AS INT) AS page,
+        | 'Doc ' || doc_id || ' page ' || p || chr(10) ||
+        | 'Body (' || (doc_id * 7 + p) || ') \q' AS text
+        |FROM sp""".stripMargin),
+
     ("webdataset_group",
       // the WebDataset sample-reassembly step: tar members group by
       // basename stem (img.jpg + img.cls + img.json = one training
@@ -5713,6 +5739,20 @@ object QueryBank {
         (s"s$id.jpg", s"IMG$id-payload".getBytes("UTF-8")),
         (s"s$id.cls", (id % 10).toString.getBytes("UTF-8")),
         (s"s$id.json", s"""{"id":$id}""".getBytes("UTF-8")))))
+
+  /** Fixture: a 1–3-page PDF per id, Flate-compressed content
+    * streams; page text carries parens and a backslash so the
+    * literal-string escape path is oracle-covered.
+    */
+  private val synthPdfUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      val np = 1 + (id % 3).toInt
+      graft.sources.Pdf.build(
+        (0 until np).map(p => Seq(
+          s"Doc $id page $p",
+          s"Body (${id * 7 + p}) \\q")),
+        title = s"T$id")
+    })
 
   /** Fixture: gzip of the text column (JDK GZIPOutputStream). */
   private val synthGzipUdf =

@@ -261,6 +261,25 @@ object ParserOps {
       }
     }
 
+    // `parse-as-pdf :col` — PDF page text (pure ISO 32000 object
+    // decode + Flate/ASCIIHex/ASCII85 filters + BT/ET text
+    // operators): one output row per page (`<col>_page/_text`).
+    // Total on garbage — undecodable documents yield zero rows.
+    case "parse-as-pdf" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        val bin =
+          if (df.schema(c).dataType == BinaryType) col(c)
+          else col(c).cast(StringType).cast(BinaryType)
+        df.withColumn("__pdf", explode(graft.sources.Pdf.pagesUdf(bin)))
+          .drop(c)
+          .withColumn(s"${c}_page", col("__pdf._1"))
+          .withColumn(s"${c}_text", col("__pdf._2"))
+          .drop("__pdf")
+      }
+    }
+
     // `parse-as-sitemap :col` — sitemaps.org urlset/sitemapindex XML
     // to one row per entry (crawl-frontier companion to robots.txt).
     case "parse-as-sitemap" => new PipeOp {

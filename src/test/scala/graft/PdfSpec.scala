@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.sources.Pdf
+
+/** PDF text extraction: object walk, stream filters, page tree,
+  * content-stream text operators, totality on garbage.
+  */
+class PdfSpec extends SparkSpec {
+
+  test("build/extract round-trips multi-page text with escapes") {
+    val pages = Seq(
+      Seq("Hello world", "line two"),
+      Seq("Parens (nested (deep)) and back\\slash", "tab\tok"),
+      Seq("Third page"))
+    val b = Pdf.build(pages, title = "My (Test) Doc")
+    val out = Pdf.extract(b)
+    assert(out.map(_.page) == Seq(0, 1, 2))
+    assert(out.map(_.text) == pages.map(_.mkString("\n")))
+    assert(Pdf.title(b).contains("My (Test) Doc"))
+  }
+
+  test("uncompressed and /Length-as-reference forms both parse") {
+    val pages = Seq(Seq("alpha", "beta"))
+    for (compress <- Seq(true, false); lref <- Seq(true, false)) {
+      val b = Pdf.build(pages, compress = compress, lengthAsRef = lref)
+      val out = Pdf.extract(b)
+      assert(out.map(_.text) == Seq("alpha\nbeta"),
+        s"compress=$compress lengthAsRef=$lref")
+    }
+  }
+
+  test("content operators: TJ kerning, quote ops, Td space vs newline") {
+    // hand-built content stream exercising the operator set beyond
+    // what the builder emits
+    val content = ("BT 72 720 Td (A) Tj " +
+      "[(B) -250 (C) -10 (D)] TJ " + // -250 = word gap, -10 = kern only
+      "(E) ' " + // next-line + show
+      "1 2 (F) \" " + // aw ac string "
+      "10 0 Td (G) Tj " + // horizontal move: space, not newline
+      "0 -14 Td (H) Tj " + // vertical move: newline
+      "ET").getBytes("ISO-8859-1")
+    assert(Pdf.streamText(content) == "AB CD\nE\nF G\nH")
+  }
+
+  test("hex strings, UTF-16BE strings, octal escapes decode") {
+    val content = "BT <48656C6C6F> Tj T* (\\101\\102) Tj ET".getBytes("ISO-8859-1")
+    assert(Pdf.streamText(content) == "Hello\nAB")
+    val utf16 = Array[Byte](0xfe.toByte, 0xff.toByte, 0x00, 0x41,
+      0x20, 0xac.toByte) // "A€"
+    val lit = new String(utf16.flatMap {
+      case b if b == '('.toByte || b == ')'.toByte || b == '\\'.toByte =>
+        Array('\\'.toByte, b)
+      case b => Array(b)
+    }, "ISO-8859-1")
+    val c2 = s"BT ($lit) Tj ET".getBytes("ISO-8859-1")
+    assert(Pdf.streamText(c2) == "A€")
+  }
+
+  test("ASCIIHex and ASCII85 filtered streams decode") {
+    def page(filter: String, data: String): Array[Byte] =
+      ("%PDF-1.4\n" +
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+        s"4 0 obj\n<< /Length ${data.length} /Filter /$filter >>\n" +
+        s"stream\n$data\nendstream\nendobj\n" +
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    val plain = "BT (Hi) Tj ET"
+    val hex = plain.getBytes("ISO-8859-1")
+      .map(b => f"${b & 0xff}%02X").mkString + ">"
+    assert(Pdf.extract(page("ASCIIHexDecode", hex))
+      .map(_.text) == Seq("Hi"))
+    // ASCII85 of the same bytes
+    val raw = plain.getBytes("ISO-8859-1")
+    val sb = new StringBuilder
+    var i = 0
+    while (i < raw.length) {
+      val n = math.min(4, raw.length - i)
+      var tuple = 0L
+      (0 until 4).foreach { j =>
+        tuple = (tuple << 8) | (if (j < n) raw(i + j) & 0xffL else 0L) }
+      val cs = new Array[Char](5)
+      (4 to 0 by -1).foreach { j => cs(j) = ('!' + (tuple % 85)).toChar
+        tuple /= 85 }
+      sb.append(new String(cs, 0, if (n == 4) 5 else n + 1))
+      i += 4
+    }
+    sb.append("~>")
+    assert(Pdf.extract(page("ASCII85Decode", sb.toString))
+      .map(_.text) == Seq("Hi"))
+  }
+
+  test("damaged xref offsets are irrelevant; damaged object resyncs") {
+    val good = Pdf.build(Seq(Seq("page one"), Seq("page two")))
+    // corrupt every xref offset digit — the sequential walk must not care
+    val s = new String(good, "ISO-8859-1")
+    val xrefAt = s.lastIndexOf("xref")
+    val corrupted = (s.substring(0, xrefAt) +
+      s.substring(xrefAt).replaceAll("\\d{10}", "9999999999"))
+      .getBytes("ISO-8859-1")
+    assert(Pdf.extract(corrupted).map(_.text) ==
+      Seq("page one", "page two"))
+    // splice a garbage object between two good ones: resync keeps both
+    val obj2 = s.indexOf("2 0 obj")
+    val withGarbage = (s.substring(0, obj2) +
+      "9 0 obj\n<< /Broken (unterminated\nendobj\n" +
+      s.substring(obj2)).getBytes("ISO-8859-1")
+    assert(Pdf.extract(withGarbage).map(_.text) ==
+      Seq("page one", "page two"))
+  }
+
+  test("total on garbage, truncation, and encrypted docs") {
+    assert(Pdf.extract(null).isEmpty)
+    assert(Pdf.extract(Array.empty[Byte]).isEmpty)
+    assert(Pdf.extract("not a pdf at all".getBytes).isEmpty)
+    val good = Pdf.build(Seq(Seq("one"), Seq("two")))
+    // truncations at every length must never throw
+    (0 until good.length by 7).foreach { n =>
+      Pdf.extract(good.take(n)) // totality only
+    }
+    // an /Encrypt trailer entry suppresses extraction entirely
+    val enc = new String(good, "ISO-8859-1")
+      .replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 9 0 R")
+      .getBytes("ISO-8859-1")
+    assert(Pdf.extract(enc).isEmpty)
+  }
+
+  test("parse-as-pdf directive: one row per page with provenance") {
+    val rows = Seq(
+      Row(1L, Pdf.build(Seq(Seq("d1 p0"), Seq("d1 p1")))),
+      Row(2L, Pdf.build(Seq(Seq("d2 only")))),
+      Row(3L, "garbage".getBytes("UTF-8")))
+    val in = df("id LONG, payload BINARY", rows)
+    val out = wrangle("parse-as-pdf :payload", in)
+      .select("id", "payload_page", "payload_text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq.sorted
+    assert(out == Seq((1L, 0, "d1 p0"), (1L, 1, "d1 p1"),
+      (2L, 0, "d2 only")))
+  }
+
+  test("fuzz: extract is total on arbitrary and PDF-prefixed bytes") {
+    val rnd = new scala.util.Random(41)
+    (0 until 300).foreach { _ =>
+      val n = rnd.nextInt(400)
+      val b = new Array[Byte](n)
+      rnd.nextBytes(b)
+      Pdf.extract(b) // must not throw
+      Pdf.extract("%PDF-1.4\n".getBytes("ISO-8859-1") ++ b)
+    }
+    // structured fuzz: random mutations of a real document
+    val good = Pdf.build(Seq(Seq("alpha", "beta"), Seq("gamma")))
+    (0 until 300).foreach { _ =>
+      val m = good.clone()
+      (0 until 5).foreach { _ =>
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte }
+      Pdf.extract(m) // must not throw
+    }
+  }
+}
