@@ -2852,6 +2852,54 @@ object QueryBank {
         |FROM embeddings e
         |WHERE e.vec_id IN (0,73,165,257,344,365,387,388,483,498)""".stripMargin),
 
+    ("ann_pq_topk",
+      // product-quantization ANN (Jégou 2011): the corpus stores 8
+      // one-byte codes per 64-dim vector (32× fewer scan bytes than
+      // float32), queries score by an m-entry ADC table lookup.
+      // Queries are 10 half-scale twins: a twin unit-normalizes to its
+      // base's vector, so the base's code hits the per-subspace argmin
+      // everywhere — the GLOBAL minimum ADC — and the (adc, id)
+      // tie-break returns the base. Closed-form, SF-generic.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val e = emb(s, d)
+        val model = graft.llm.Similarity.trainPq(e, "embedding")
+        val coded = graft.llm.Similarity.pqEncode(e, "embedding", model)
+          .select(col("vec_id"), col("pq_code"))
+        val qvecs = e.filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => r.getLong(0) ->
+            r.getSeq[Float](1).map(_.toDouble * 0.5).toArray)
+          .sortBy(_._1)
+        qvecs.map { case (qid, q) =>
+          coded.select(lit(qid + 10000000L).as("query_id"), col("vec_id"),
+              graft.llm.Similarity.pqAdcDistance(col("pq_code"), model, q)
+                .as("adc"))
+            .orderBy(col("adc").asc, col("vec_id"))
+            .limit(1)
+        }.reduce(_.unionAll(_))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      },
+      """SELECT vec_id + 10000000 AS query_id, vec_id AS neighbor_id
+        |FROM embeddings WHERE vec_id < 10""".stripMargin),
+
+    ("ann_ivf_pq",
+      // IVF-PQ (the FAISS default at corpus scale): the coarse
+      // quantizer prunes to nprobe cells, ADC ranks the survivors by
+      // byte code. The twin's base probes its own cell first (argmax
+      // dot is scale-invariant) and still holds the global ADC
+      // minimum inside the probed slice — closed-form, SF-generic.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") === 3).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble * 0.5).toArray
+        graft.llm.Similarity.ivfPqTopK(e, "vec_id", "embedding", q,
+            k = 1, nlist = 8, nprobe = 2)
+          .select(col("vec_id").as("neighbor_id"))
+      },
+      "SELECT CAST(3 AS BIGINT) AS neighbor_id"),
+
     ("ann_ivf_cross",
       // batched IVF ANN: a query STREAM probed against the cell-pruned
       // corpus in one broadcast equi-join — the scale shape (ivfTopK

@@ -896,4 +896,198 @@ object Similarity {
     })
     df.withColumn(out, kernel(col(vecCol).cast("array<double>")))
   }
+
+  // ---------------------------------------------------------------
+  // Product quantization (Jégou et al. 2011): the byte-code ANN tier
+  // above int8. The corpus stores m one-byte codes per vector
+  // (dim=64, m=8 → 8 bytes vs 256 for float32 — a 32× scan-byte cut);
+  // query-time scoring is an m-entry table lookup per row (ADC), no
+  // float math on the corpus side. Vectors are unit-normalized before
+  // encoding, so squared-L2 ADC ranks identically to cosine
+  // (‖a−b‖² = 2−2·cos on the unit sphere).
+  // ---------------------------------------------------------------
+
+  /** Per-subspace codebooks: `codebooks(sub)(code)` is a subDim-length
+    * centroid. Training is a bounded driver sample + seeded k-means
+    * per subspace (the [[trainCentroids]] policy — the model is KBs;
+    * the corpus-side work stays map-only).
+    */
+  case class PqModel(m: Int, ks: Int, subDim: Int,
+      codebooks: Array[Array[Array[Double]]])
+
+  private def unitD(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  /** Train PQ codebooks on a bounded unit-normalized sample: the dim
+    * axis splits into `m` contiguous subspaces, each running its own
+    * seeded L2 k-means with `ks` codes. Deterministic for a fixed
+    * sample prefix and seed.
+    */
+  def trainPq(df: DataFrame, vecCol: String, m: Int = 8, ks: Int = 16,
+      iters: Int = 10, sampleN: Int = 2048, seed: Long = 11L): PqModel = {
+    val sample = df.select(col(vecCol)).limit(sampleN).collect()
+      .flatMap(r => Option(r.getSeq[Float](0)))
+      .map(s => unitD(s.map(_.toDouble).toArray))
+    require(sample.nonEmpty, "pq: empty corpus sample")
+    val dim = sample.head.length
+    require(m >= 1 && dim % m == 0, s"pq: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val books = Array.tabulate(m) { sub =>
+      val off = sub * subDim
+      val slices = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, off, off + subDim))
+      val rnd = new scala.util.Random(seed + sub)
+      val cents = Array.fill(math.min(ks, slices.length))(
+        slices(rnd.nextInt(slices.length)).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](subDim))
+        val counts = new Array[Int](cents.length)
+        for (v <- slices) {
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < cents.length) {
+            var d2 = 0.0; var i = 0
+            while (i < subDim) {
+              val d = v(i) - cents(c)(i); d2 += d * d; i += 1
+            }
+            if (d2 < bestD) { bestD = d2; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < subDim) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        var c = 0
+        while (c < cents.length) {
+          if (counts(c) > 0) cents(c) = sums(c).map(_ / counts(c))
+          c += 1 // empty cell keeps its previous centroid
+        }
+        it += 1
+      }
+      cents
+    }
+    PqModel(m, books.head.length, subDim, books)
+  }
+
+  /** Append `outCol`: the m-byte PQ code of the unit-normalized
+    * vector (per-subspace L2 argmin, first-wins on exact ties).
+    * Map-only — this is the index-build pass a 100 TB corpus runs
+    * once; codes persist next to the id column and later ANN scans
+    * never touch the float vectors.
+    */
+  def pqEncode(df: DataFrame, vecCol: String, model: PqModel,
+      outCol: String = "pq_code"): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val kernel = udf((v: Seq[Float]) => {
+      if (v == null) null
+      else {
+        val mdl = bc.value
+        val u = unitD(v.map(_.toDouble).toArray)
+        if (u.length != mdl.m * mdl.subDim) null
+        else {
+          val code = new Array[Byte](mdl.m)
+          var sub = 0
+          while (sub < mdl.m) {
+            val off = sub * mdl.subDim
+            val book = mdl.codebooks(sub)
+            var best = 0; var bestD = Double.MaxValue; var c = 0
+            while (c < book.length) {
+              var d2 = 0.0; var i = 0
+              while (i < mdl.subDim) {
+                val d = u(off + i) - book(c)(i); d2 += d * d; i += 1
+              }
+              if (d2 < bestD) { bestD = d2; best = c }
+              c += 1
+            }
+            code(sub) = (best & 0xff).toByte
+            sub += 1
+          }
+          code
+        }
+      }
+    })
+    df.withColumn(outCol, kernel(col(vecCol)))
+  }
+
+  /** The query-side ADC lookup table: `lut(sub)(code)` = squared L2
+    * distance from the unit query's subvector to that codebook entry.
+    * m×ks doubles — KBs, broadcast-literal into the scan.
+    */
+  private def adcLut(model: PqModel, query: Array[Double]): Array[Array[Double]] = {
+    val q = unitD(query.clone())
+    Array.tabulate(model.m) { sub =>
+      val off = sub * model.subDim
+      Array.tabulate(model.ks) { c =>
+        var d2 = 0.0; var i = 0
+        while (i < model.subDim) {
+          val d = q(off + i) - model.codebooks(sub)(c)(i); d2 += d * d
+          i += 1
+        }
+        d2
+      }
+    }
+  }
+
+  /** ADC distance column over a code column (sum of m table lookups —
+    * no float-vector reads).
+    */
+  def pqAdcDistance(codeCol: Column, model: PqModel,
+      query: Array[Double]): Column = {
+    val lut = adcLut(model, query)
+    val kernel = udf((code: Array[Byte]) => {
+      if (code == null || code.length != lut.length) null
+      else {
+        var s = 0.0; var sub = 0
+        while (sub < lut.length) {
+          s += lut(sub)(code(sub) & 0xff); sub += 1
+        }
+        java.lang.Double.valueOf(s)
+      }
+    })
+    kernel(codeCol)
+  }
+
+  /** PQ approximate top-k: train on the corpus sample, encode
+    * map-only, rank by ADC (ascending = cosine descending on the unit
+    * sphere), deterministic id tie-break. One narrow scan +
+    * TakeOrderedAndProject — at scale the encode pass is precomputed
+    * and the scan reads only (id, 8-byte code).
+    */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, m: Int = 8, ks: Int = 16,
+      seed: Long = 11L): DataFrame = {
+    val model = trainPq(df, vecCol, m, ks, seed = seed)
+    pqEncode(df, vecCol, model)
+      .select(col(idCol), pqAdcDistance(col("pq_code"), model, query).as("adc"))
+      .filter(col("adc").isNotNull)
+      .orderBy(col("adc").asc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF-PQ: the coarse quantizer prunes to `nprobe` of `nlist` cells
+    * (partition pruning when the corpus is written by cell), ADC ranks
+    * the survivors by byte code — the FAISS IVFPQ shape, minus
+    * residual encoding (codes quantize the vector itself, so one code
+    * table serves every cell; documented trade of a little recall for
+    * a reusable corpus-wide codebook).
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ks: Int = 16, seed: Long = 11L): DataFrame = {
+    val cents = trainCentroids(df, vecCol, nlist, seed = seed)
+    val probes = cents.zipWithIndex.map { case (c, i) =>
+      val dot = c.zip(query).map { case (a, b) => a * b }.sum
+      (i, dot)
+    }.sortBy(-_._2).take(nprobe).map(_._1).toSeq
+    val model = trainPq(df, vecCol, m, ks, seed = seed)
+    pqEncode(df, vecCol, model)
+      .withColumn("__cell", ivfCell(col(vecCol), cents))
+      .filter(col("__cell").isin(probes: _*))
+      .select(col(idCol), pqAdcDistance(col("pq_code"), model, query).as("adc"))
+      .filter(col("adc").isNotNull)
+      .orderBy(col("adc").asc, col(idCol))
+      .limit(k)
+  }
 }
