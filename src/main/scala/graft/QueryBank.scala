@@ -3791,6 +3791,39 @@ object QueryBank {
         |CROSS JOIN (SELECT unnest(['.jpg', '.cls', '.json']) AS e) t
         |WHERE doc_id < 200""".stripMargin),
 
+    ("parse_as_feed",
+      // syndication-feed ingestion: even ids arrive as RSS 2.0, odd
+      // ids as Atom (with a decoy rel="self" link the alternate must
+      // beat), two items each; an &amp; entity sits on the summary
+      // path. DuckDB rebuilds every normalized field closed-form — a
+      // wrong root dispatch, link-rel pick, or entity decode breaks
+      // the hash.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val feeds = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthFeedUdf(col("doc_id")))
+        r("parse-as-feed :payload")(feeds)
+          .select(col("doc_id"), col("payload_feed_type").as("feed_type"),
+            col("payload_feed_title").as("feed_title"),
+            col("payload_title").as("title"),
+            col("payload_link").as("link"),
+            col("payload_published").as("published"),
+            col("payload_id").as("guid"),
+            col("payload_summary").as("summary"))
+      },
+      """WITH sp AS (SELECT doc_id, unnest([0, 1]) AS j
+        | FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS feed_type,
+        | 'Feed ' || doc_id AS feed_title,
+        | 'Item ' || doc_id || '-' || j AS title,
+        | 'https://ex.com/' || doc_id || '/' || j AS link,
+        | 'P' || (doc_id + j) AS published,
+        | 'g-' || doc_id || '-' || j AS guid,
+        | 'S & ' || j AS summary
+        |FROM sp""".stripMargin),
+
     ("parse_as_pdf",
       // PDF text extraction through the pure object-model decode:
       // body walk, FlateDecode (JDK inflater), page tree, BT/ET text
@@ -5787,6 +5820,32 @@ object QueryBank {
         (s"s$id.jpg", s"IMG$id-payload".getBytes("UTF-8")),
         (s"s$id.cls", (id % 10).toString.getBytes("UTF-8")),
         (s"s$id.json", s"""{"id":$id}""".getBytes("UTF-8")))))
+
+  /** Fixture: a 2-item syndication feed per id — RSS 2.0 for even
+    * ids, Atom for odd (with a decoy rel="self" link before the
+    * alternate); `&amp;` exercises entity decode.
+    */
+  private val synthFeedUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      def item(j: Int): String =
+        if (id % 2 == 0)
+          s"<item><title>Item $id-$j</title>" +
+            s"<link>https://ex.com/$id/$j</link>" +
+            s"<pubDate>P${id + j}</pubDate><guid>g-$id-$j</guid>" +
+            s"<description>S &amp; $j</description></item>"
+        else
+          s"<entry><title>Item $id-$j</title>" +
+            "<link rel=\"self\" href=\"https://ex.com/decoy\"/>" +
+            s"""<link rel="alternate" href="https://ex.com/$id/$j"/>""" +
+            s"<published>P${id + j}</published><id>g-$id-$j</id>" +
+            s"<summary>S &amp; $j</summary></entry>"
+      if (id % 2 == 0)
+        s"<rss version=\"2.0\"><channel><title>Feed $id</title>" +
+          s"${item(0)}${item(1)}</channel></rss>"
+      else
+        "<feed xmlns=\"http://www.w3.org/2005/Atom\">" +
+          s"<title>Feed $id</title>${item(0)}${item(1)}</feed>"
+    })
 
   /** Fixture: a 1–3-page PDF per id, Flate-compressed content
     * streams; page text carries parens and a backslash so the

@@ -299,6 +299,28 @@ object ParserOps {
       }
     }
 
+    // `parse-as-feed :col` — RSS 2.0 / RSS 1.0 / Atom syndication
+    // feeds to one row per item (the crawl-frontier companion to
+    // parse-as-sitemap; feeds surface new urls fastest).
+    case "parse-as-feed" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        df.withColumn("__fd",
+            explode(graft.sources.Warc.parseFeedUdf(
+              col(c).cast(StringType))))
+          .drop(c)
+          .withColumn(s"${c}_feed_type", col("__fd.feed_type"))
+          .withColumn(s"${c}_feed_title", col("__fd.feed_title"))
+          .withColumn(s"${c}_title", col("__fd.title"))
+          .withColumn(s"${c}_link", col("__fd.link"))
+          .withColumn(s"${c}_published", col("__fd.published"))
+          .withColumn(s"${c}_id", col("__fd.id"))
+          .withColumn(s"${c}_summary", col("__fd.summary"))
+          .drop("__fd")
+      }
+    }
+
     // (reference: wrangler-core directives/language/SetCharset.java:77)
     case "set-charset" => ColumnOps.simple(spec) { df =>
       val c = spec.col(0)

@@ -332,6 +332,72 @@ object Warc {
   val parseSitemapUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf(parseSitemap _)
 
+  /** One syndication-feed item, normalized across RSS 2.0 / RSS 1.0
+    * (RDF) / Atom — the third leg of the crawl-frontier triple
+    * (robots.txt gate, sitemap, feed): feeds surface NEW urls faster
+    * than sitemaps on news/blog sites. `published` is the item's own
+    * date string verbatim (pubDate / dc:date / published / updated —
+    * normalization is a downstream parse-as-datetime concern).
+    */
+  case class FeedEntry(feed_type: String, feed_title: String,
+      title: String, link: String, published: String, id: String,
+      summary: String)
+
+  /** Parse an RSS 2.0 (`<rss><channel><item>`), RSS 1.0
+    * (`<rdf:RDF><item>`), or Atom (`<feed><entry>`) document to one
+    * row per item. Tag matching is by local name, so namespace
+    * prefixes (dc:, atom:, content:) bind without schema knowledge.
+    * Malformed XML or an unknown root -> empty.
+    */
+  def parseFeed(xml: String): Seq[FeedEntry] = {
+    if (xml == null || xml.isEmpty) return Seq.empty
+    val root =
+      try scala.xml.XML.loadString(xml)
+      catch { case scala.util.control.NonFatal(_) => return Seq.empty }
+    def txt(n: scala.xml.NodeSeq): String =
+      Option(n.headOption.map(_.text.trim).getOrElse(""))
+        .filter(_.nonEmpty).orNull
+    root.label match {
+      case "rss" =>
+        val ch = root \ "channel"
+        val ft = txt(ch \ "title")
+        (ch \ "item").map { it =>
+          FeedEntry("rss", ft,
+            txt(it \ "title"), txt(it \ "link"),
+            Option(txt(it \ "pubDate")).getOrElse(txt(it \ "date")),
+            txt(it \ "guid"), txt(it \ "description"))
+        }
+      case "RDF" => // RSS 1.0: items are SIBLINGS of channel
+        val ft = txt(root \ "channel" \ "title")
+        (root \ "item").map { it =>
+          FeedEntry("rss1", ft,
+            txt(it \ "title"), txt(it \ "link"),
+            txt(it \ "date"), // dc:date
+            it.attributes.asAttrMap.collectFirst {
+              case (k, v) if k.endsWith("about") => v }.orNull,
+            txt(it \ "description"))
+        }
+      case "feed" => // Atom (RFC 4287)
+        val ft = txt(root \ "title")
+        (root \ "entry").map { e =>
+          val links = e \ "link"
+          val link = links.find(l =>
+              (l \@ "rel").isEmpty || (l \@ "rel") == "alternate")
+            .orElse(links.headOption)
+            .map(l => (l \@ "href").trim).filter(_.nonEmpty).orNull
+          FeedEntry("atom", ft,
+            txt(e \ "title"), link,
+            Option(txt(e \ "published")).getOrElse(txt(e \ "updated")),
+            txt(e \ "id"),
+            Option(txt(e \ "summary")).getOrElse(txt(e \ "content")))
+        }
+      case _ => Seq.empty
+    }
+  }
+
+  val parseFeedUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(parseFeed _)
+
   /** Read WARC/WET shards from a path glob: one task per shard (the
     * Common Crawl unit of work), records exploded to rows with the
     * source path retained for provenance. binaryFile supplies ONLY

@@ -566,6 +566,70 @@ class WebSpec extends SparkSpec {
     assert(byName("s1.cls").endsWith("a.tar"))
   }
 
+  test("feed parse: RSS 2.0, RSS 1.0 and Atom normalize to item rows") {
+    import graft.sources.Warc
+    val rss =
+      """<rss version="2.0"><channel><title> My Feed </title>
+        |<item><title>A</title><link>https://e.com/a</link>
+        | <pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate>
+        | <guid>g-a</guid><description>first &amp; foremost</description></item>
+        |<item><title>B</title><link>https://e.com/b</link></item>
+        |</channel></rss>""".stripMargin
+    val r = Warc.parseFeed(rss)
+    assert(r.map(_.title) == Seq("A", "B"))
+    assert(r.head == Warc.FeedEntry("rss", "My Feed", "A",
+      "https://e.com/a", "Mon, 01 Jan 2024 00:00:00 GMT", "g-a",
+      "first & foremost"))
+    assert(r(1).published == null && r(1).id == null && r(1).summary == null)
+
+    val atom =
+      """<feed xmlns="http://www.w3.org/2005/Atom"><title>AF</title>
+        |<entry><title>E1</title>
+        | <link rel="self" href="https://e.com/self"/>
+        | <link rel="alternate" href="https://e.com/e1"/>
+        | <published>2024-02-01T00:00:00Z</published>
+        | <id>urn:1</id><summary>s1</summary></entry>
+        |<entry><title>E2</title><link href="https://e.com/e2"/>
+        | <updated>2024-02-02T00:00:00Z</updated>
+        | <content>c2</content></entry>
+        |</feed>""".stripMargin
+    val a = Warc.parseFeed(atom)
+    assert(a.head == Warc.FeedEntry("atom", "AF", "E1", "https://e.com/e1",
+      "2024-02-01T00:00:00Z", "urn:1", "s1"))
+    // rel-less link wins; updated/content back-fill published/summary
+    assert(a(1).link == "https://e.com/e2")
+    assert(a(1).published == "2024-02-02T00:00:00Z" && a(1).summary == "c2")
+
+    val rdf =
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |  xmlns="http://purl.org/rss/1.0/"
+        |  xmlns:dc="http://purl.org/dc/elements/1.1/">
+        |<channel rdf:about="https://e.com"><title>R1</title></channel>
+        |<item rdf:about="https://e.com/x"><title>X</title>
+        | <link>https://e.com/x</link><dc:date>2024-03-01</dc:date></item>
+        |</rdf:RDF>""".stripMargin
+    val d1 = Warc.parseFeed(rdf)
+    assert(d1 == Seq(Warc.FeedEntry("rss1", "R1", "X", "https://e.com/x",
+      "2024-03-01", "https://e.com/x", null)))
+
+    assert(Warc.parseFeed(null).isEmpty)
+    assert(Warc.parseFeed("").isEmpty)
+    assert(Warc.parseFeed("<html><body>no</body></html>").isEmpty)
+    assert(Warc.parseFeed("not xml at < all").isEmpty)
+  }
+
+  test("parse-as-feed directive: one row per item with provenance") {
+    val rss = "<rss><channel><title>T</title>" +
+      "<item><title>i1</title><link>u1</link></item>" +
+      "<item><title>i2</title><link>u2</link></item></channel></rss>"
+    val in = df("id LONG, payload STRING",
+      Seq(Row(1L, rss), Row(2L, "garbage")))
+    val out = wrangle("parse-as-feed :payload", in)
+      .select("id", "payload_title", "payload_link").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
+    assert(out == Seq((1L, "i1", "u1"), (1L, "i2", "u2")))
+  }
+
   test("tar: an over-budget declared member size is skipped, not allocated") {
     import graft.sources.Tar
     val shard = Tar.build(Seq(
