@@ -3791,6 +3791,63 @@ object QueryBank {
         |CROSS JOIN (SELECT unnest(['.jpg', '.cls', '.json']) AS e) t
         |WHERE doc_id < 200""".stripMargin),
 
+    ("parse_as_eml",
+      // MIME email decode: ids cycle through three message shapes —
+      // QP body with a B-encoded subject, multipart/mixed (QP plain +
+      // html + base64 attachment) with a Q-encoded subject, and a
+      // base64 body with a plain subject. DuckDB rebuilds every
+      // decoded field closed-form (é rides through all three subject
+      // and body encodings) — a slip in RFC 2047, QP, base64, header
+      // unfolding, or the multipart walk breaks the hash.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val mails = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthEmlUdf(col("doc_id")))
+        r("parse-as-eml :payload")(mails)
+          .select(col("doc_id"),
+            col("payload_from").as("from_addr"),
+            col("payload_subject").as("subject"),
+            col("payload_text").as("text"),
+            col("payload_html").as("html"),
+            col("payload_n_parts").as("n_parts"),
+            concat_ws(",", col("payload_attachments")).as("atts"))
+      },
+      """SELECT doc_id,
+        | 'u' || doc_id || '@ex.com' AS from_addr,
+        | CASE WHEN doc_id % 3 = 2 THEN 'Sub ' || doc_id
+        |   ELSE 'Sub ' || doc_id || ' é' END AS subject,
+        | 'Body (' || doc_id || ') é' AS text,
+        | CASE WHEN doc_id % 3 = 1 THEN '<p>H' || doc_id || '</p>'
+        |   ELSE NULL END AS html,
+        | CAST(CASE WHEN doc_id % 3 = 1 THEN 3 ELSE 1 END AS INT)
+        |   AS n_parts,
+        | CASE WHEN doc_id % 3 = 1 THEN 'a' || doc_id || '.pdf'
+        |   ELSE '' END AS atts
+        |FROM documents WHERE doc_id < 200""".stripMargin),
+
+    ("pipeline_eml_attachments",
+      // three decoders chained end-to-end: MIME walk → base64
+      // transfer decode → REAL PDF attachment bytes → object-model
+      // decode → page text. One wrong stage anywhere (multipart
+      // split, base64, Flate, text operators) breaks the closed-form
+      // page text.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val mails = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 100)
+          .withColumn("payload", synthEmlPdfUdf(col("doc_id")))
+        val pdfs = r("parse-as-eml-parts :payload")(mails)
+          .filter(col("payload_content_type") === "application/pdf")
+          .select(col("doc_id"), col("payload_data").as("att"))
+        r("parse-as-pdf :att")(pdfs)
+          .select(col("doc_id"), col("att_page").as("page"),
+            col("att_text").as("text"))
+      },
+      """SELECT doc_id, CAST(0 AS INT) AS page,
+        | 'Att ' || doc_id || ' body' AS text
+        |FROM documents WHERE doc_id < 100""".stripMargin),
+
     ("parse_as_feed",
       // syndication-feed ingestion: even ids arrive as RSS 2.0, odd
       // ids as Atom (with a decoy rel="self" link the alternate must
@@ -5820,6 +5877,62 @@ object QueryBank {
         (s"s$id.jpg", s"IMG$id-payload".getBytes("UTF-8")),
         (s"s$id.cls", (id % 10).toString.getBytes("UTF-8")),
         (s"s$id.json", s"""{"id":$id}""".getBytes("UTF-8")))))
+
+  /** Fixture: one MIME message per id cycling through three shapes
+    * (QP body + B subject; multipart/mixed + Q subject; base64 body +
+    * plain subject); é exercises every decode path.
+    */
+  private val synthEmlUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      def b64(s: String): String = java.util.Base64.getEncoder
+        .encodeToString(s.getBytes("UTF-8"))
+      val subj = (id % 3) match {
+        case 0 => s"=?UTF-8?B?${b64(s"Sub $id é")}?="
+        case 1 => s"=?utf-8?Q?Sub_${id}_=C3=A9?="
+        case _ => s"Sub $id"
+      }
+      val head = s"From: u$id@ex.com\nTo: t@ex.com\n" +
+        s"Subject: $subj\nDate: Mon, 01 Jan 2024 00:00:00 +0000\n"
+      val qpBody = s"Body ($id) =C3=A9"
+      (id % 3) match {
+        case 1 =>
+          head + "MIME-Version: 1.0\n" +
+            "Content-Type: multipart/mixed; boundary=\"b\"\n\n" +
+            "--b\nContent-Type: text/plain; charset=utf-8\n" +
+            "Content-Transfer-Encoding: quoted-printable\n\n" +
+            qpBody + "\n" +
+            s"--b\nContent-Type: text/html\n\n<p>H$id</p>\n" +
+            "--b\nContent-Type: application/pdf\n" +
+            "Content-Transfer-Encoding: base64\n" +
+            s"""Content-Disposition: attachment; filename="a$id.pdf"\n\n""" +
+            b64(s"ATT$id") + "\n--b--\n"
+        case 2 =>
+          head + "Content-Type: text/plain; charset=utf-8\n" +
+            "Content-Transfer-Encoding: base64\n\n" +
+            b64(s"Body ($id) é")
+        case _ =>
+          head + "Content-Type: text/plain; charset=utf-8\n" +
+            "Content-Transfer-Encoding: quoted-printable\n\n" + qpBody
+      }
+    })
+
+  /** Fixture: a message carrying a REAL one-page PDF (Flate content
+    * stream) as a base64 attachment — the decoder-chain composite's
+    * input.
+    */
+  private val synthEmlPdfUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      val pdf = graft.sources.Pdf.build(Seq(Seq(s"Att $id body")))
+      s"From: u$id@ex.com\nSubject: att\n" +
+        "MIME-Version: 1.0\n" +
+        "Content-Type: multipart/mixed; boundary=\"mb\"\n\n" +
+        "--mb\nContent-Type: text/plain\n\ncover note\n" +
+        "--mb\nContent-Type: application/pdf\n" +
+        "Content-Transfer-Encoding: base64\n" +
+        s"""Content-Disposition: attachment; filename="d$id.pdf"\n\n""" +
+        java.util.Base64.getMimeEncoder.encodeToString(pdf) +
+        "\n--mb--\n"
+    })
 
   /** Fixture: a 2-item syndication feed per id — RSS 2.0 for even
     * ids, Atom for odd (with a decoy rel="self" link before the

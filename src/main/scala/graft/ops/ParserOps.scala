@@ -321,6 +321,62 @@ object ParserOps {
       }
     }
 
+    // `parse-as-mbox :col` — RFC 4155 mailbox stream split on From_
+    // separator lines (mboxrd unstuffed): one row per raw message in
+    // `<col>_message`; chain parse-as-eml for the decoded view.
+    case "parse-as-mbox" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        df.withColumn(s"${c}_message",
+            explode(graft.sources.Eml.splitMboxUdf(col(c).cast(StringType))))
+          .drop(c)
+      }
+    }
+
+    // `parse-as-eml :col` — RFC 5322/MIME message decode: unfolded
+    // headers with RFC 2047 subjects, multipart walk, base64/QP
+    // transfer decode. One row per message
+    // (`<col>_from/_to/_subject/_date/_text/_html/_n_parts/_attachments`);
+    // undecodable messages drop (explode of an empty struct list).
+    case "parse-as-eml" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        df.withColumn("__eml",
+            graft.sources.Eml.parseUdf(col(c).cast(StringType)))
+          .filter(col("__eml").isNotNull)
+          .drop(c)
+          .withColumn(s"${c}_from", col("__eml._1"))
+          .withColumn(s"${c}_to", col("__eml._2"))
+          .withColumn(s"${c}_subject", col("__eml._3"))
+          .withColumn(s"${c}_date", col("__eml._4"))
+          .withColumn(s"${c}_text", col("__eml._5"))
+          .withColumn(s"${c}_html", col("__eml._6"))
+          .withColumn(s"${c}_n_parts", col("__eml._7"))
+          .withColumn(s"${c}_attachments", col("__eml._8"))
+          .drop("__eml")
+      }
+    }
+
+    // `parse-as-eml-parts :col` — the leaf-part view (one row per
+    // MIME part, payload bytes in `<col>_data`): chain parse-as-pdf /
+    // parse-as-zip on attachment payloads downstream.
+    case "parse-as-eml-parts" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        df.withColumn("__pt",
+            explode(graft.sources.Eml.partsUdf(col(c).cast(StringType))))
+          .drop(c)
+          .withColumn(s"${c}_content_type", col("__pt._1"))
+          .withColumn(s"${c}_filename", col("__pt._2"))
+          .withColumn(s"${c}_data", col("__pt._3"))
+          .withColumn(s"${c}_text", col("__pt._4"))
+          .drop("__pt")
+      }
+    }
+
     // (reference: wrangler-core directives/language/SetCharset.java:77)
     case "set-charset" => ColumnOps.simple(spec) { df =>
       val c = spec.col(0)
