@@ -5882,7 +5882,7 @@ object QueryBank {
     * (QP body + B subject; multipart/mixed + Q subject; base64 body +
     * plain subject); é exercises every decode path.
     */
-  private val synthEmlUdf =
+  private[graft] val synthEmlUdf =
     org.apache.spark.sql.functions.udf((id: Long) => {
       def b64(s: String): String = java.util.Base64.getEncoder
         .encodeToString(s.getBytes("UTF-8"))
@@ -5938,7 +5938,7 @@ object QueryBank {
     * ids, Atom for odd (with a decoy rel="self" link before the
     * alternate); `&amp;` exercises entity decode.
     */
-  private val synthFeedUdf =
+  private[graft] val synthFeedUdf =
     org.apache.spark.sql.functions.udf((id: Long) => {
       def item(j: Int): String =
         if (id % 2 == 0)
