@@ -3590,6 +3590,46 @@ object QueryBank {
         |  UNION ALL
         |  SELECT c_custkey, 2, '/bare/' || c_custkey FROM customer)""".stripMargin),
 
+    ("extract_html_tables",
+      // table mining: header row + two data rows with an implicit
+      // <td> close and an &amp; entity on the cell path — the oracle
+      // rebuilds every (table,row,col,is_header,cell) ordinal
+      (s, d) => r("""set-column :h exp:{ concat('<html><body><table><tr><th>Seg</th><th>K &amp; N</th></tr><tr><td>', c_mktsegment, '<td>', c_custkey, '</tr><tr><td>x', c_custkey, '</td><td>', c_name, '</td></tr></table></body></html>') }; extract-html-tables :h; keep :c_custkey,:h_table,:h_row,:h_col,:h_is_header,:h_cell""")(cust(s, d)),
+      """SELECT c_custkey, CAST(0 AS INT) AS h_table,
+        | CAST(r AS INT) AS h_row, CAST(col AS INT) AS h_col,
+        | r = 0 AS h_is_header, cell AS h_cell FROM (
+        |  SELECT c_custkey, 0 AS r, 0 AS col, 'Seg' AS cell FROM customer
+        |  UNION ALL SELECT c_custkey, 0, 1, 'K & N' FROM customer
+        |  UNION ALL SELECT c_custkey, 1, 0, c_mktsegment FROM customer
+        |  UNION ALL SELECT c_custkey, 1, 1, CAST(c_custkey AS VARCHAR)
+        |    FROM customer
+        |  UNION ALL SELECT c_custkey, 2, 0, 'x' || c_custkey FROM customer
+        |  UNION ALL SELECT c_custkey, 2, 1, c_name FROM customer)""".stripMargin),
+
+    ("extract_html_meta",
+      // page-metadata mining: name= and property= keys, bare values,
+      // a decoy charset-only meta, plus one ld+json block routed
+      // through extract-html-jsonld and json-path downstream
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val pages = r("""set-column :h exp:{ concat('<html><head><meta charset="utf-8"><meta name="description" content="D &amp; ', c_custkey, '"><meta property="og:title" content="T', c_custkey, '"><meta name=robots content=noindex><script type="application/ld+json">{"price":', c_custkey, '}</script></head></html>') }""")(cust(s, d))
+        val meta = r("extract-html-meta :h")(pages)
+          .select(col("c_custkey"), col("h_key").as("k"),
+            col("h_value").as("v"))
+        val ld = r("extract-html-jsonld :h; json-path :h_jsonld :v '$.price'")(pages)
+          .select(col("c_custkey"), lit("ld:price").as("k"),
+            col("v").cast("string").as("v"))
+        meta.unionByName(ld)
+      },
+      """SELECT c_custkey, k, v FROM (
+        |  SELECT c_custkey, 'description' AS k,
+        |    'D & ' || c_custkey AS v FROM customer
+        |  UNION ALL SELECT c_custkey, 'og:title', 'T' || c_custkey
+        |    FROM customer
+        |  UNION ALL SELECT c_custkey, 'robots', 'noindex' FROM customer
+        |  UNION ALL SELECT c_custkey, 'ld:price',
+        |    CAST(c_custkey AS VARCHAR) FROM customer)""".stripMargin),
+
     ("pagerank_links",
       // DataFrame-iterative PageRank over the order->part bipartite
       // edge list (3 damped iterations): per-edge contributions are

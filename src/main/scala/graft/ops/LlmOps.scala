@@ -193,6 +193,53 @@ object LlmOps {
         col(c).cast(org.apache.spark.sql.types.StringType)))
     }
 
+    // `extract-html-tables :col` — every <table> cell as a row
+    // (`<col>_table/_row/_col/_is_header/_cell`): relational data
+    // mining from crawl HTML.
+    case "extract-html-tables" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        df.withColumn("__tc", explode(graft.llm.HtmlText.extractTablesUdf(
+            col(c).cast(org.apache.spark.sql.types.StringType))))
+          .drop(c)
+          .withColumn(s"${c}_table", col("__tc._1"))
+          .withColumn(s"${c}_row", col("__tc._2"))
+          .withColumn(s"${c}_col", col("__tc._3"))
+          .withColumn(s"${c}_is_header", col("__tc._4"))
+          .withColumn(s"${c}_cell", col("__tc._5"))
+          .drop("__tc")
+      }
+    }
+
+    // `extract-html-meta :col` — <meta name|property → content> pairs
+    // as rows (`<col>_key/_value`): og:/article:/robots metadata.
+    case "extract-html-meta" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        df.withColumn("__mt", explode(graft.llm.HtmlText.extractMetaUdf(
+            col(c).cast(org.apache.spark.sql.types.StringType))))
+          .drop(c)
+          .withColumn(s"${c}_key", col("__mt._1"))
+          .withColumn(s"${c}_value", col("__mt._2"))
+          .drop("__mt")
+      }
+    }
+
+    // `extract-html-jsonld :col` — raw application/ld+json script
+    // payloads, one row each (`<col>_jsonld`; chain json-path).
+    case "extract-html-jsonld" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        df.withColumn(s"${c}_jsonld",
+            explode(graft.llm.HtmlText.extractJsonLdUdf(
+              col(c).cast(org.apache.spark.sql.types.StringType))))
+          .drop(c)
+      }
+    }
+
     case "clean-lines-c4" => ColumnOps.simple(spec) { df =>
       df.withColumn(spec.col(0), graft.functions.Udfs.c4CleanLinesUdf(
         col(spec.col(0)),

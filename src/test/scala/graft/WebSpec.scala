@@ -566,6 +566,78 @@ class WebSpec extends SparkSpec {
     assert(byName("s1.cls").endsWith("a.tar"))
   }
 
+  test("html tables: ordinals, headers, implicit closes, nesting, script drop") {
+    val html =
+      """<html><body><p>before</p>
+        |<table>
+        | <tr><th>H1</th><th>H &amp; 2</th></tr>
+        | <tr><td>a<td>b</tr>
+        | <tr><td><b>bold</b> cell<script>var x = "<td>no</td>";</script></td><td>d</td>
+        |</table>
+        |<table><td>orphan</td></table>
+        |</body></html>""".stripMargin
+    val cells = HtmlText.extractTables(html)
+    assert(cells.map(c => (c.table, c.row, c.col, c.is_header, c.text)) == Seq(
+      (0, 0, 0, true, "H1"), (0, 0, 1, true, "H & 2"),
+      (0, 1, 0, false, "a"), (0, 1, 1, false, "b"), // implicit <td> close
+      (0, 2, 0, false, "bold cell"), (0, 2, 1, false, "d"), // script dropped
+      (1, 0, 0, false, "orphan"))) // cell before any <tr> -> row 0
+    // nested table: inner cells carry their own table ordinal
+    val nested = "<table><tr><td>outer" +
+      "<table><tr><td>inner</td></tr></table></td></tr></table>"
+    val nc = HtmlText.extractTables(nested)
+    assert(nc.map(c => (c.table, c.text)).toSet ==
+      Set((0, "outer"), (1, "inner")))
+    assert(HtmlText.extractTables(null).isEmpty)
+    assert(HtmlText.extractTables("<p>no tables</p>").isEmpty)
+    // truncated markup keeps the open cell
+    assert(HtmlText.extractTables("<table><tr><td>cut off")
+      .map(_.text) == Seq("cut off"))
+  }
+
+  test("html meta and json-ld extraction") {
+    val html =
+      """<html><head>
+        |<meta charset="utf-8">
+        |<meta name="description" content="A &amp; B page">
+        |<meta property="og:title" content='OG Title'>
+        |<meta name=robots content=noindex>
+        |<meta name="empty" content="">
+        |<script type="application/ld+json">{"@type":"Article","x":1}</script>
+        |<script>var notLd = 1;</script>
+        |<script type="application/ld+json">
+        |  {"@type":"Product"}
+        |</script>
+        |</head><body></body></html>""".stripMargin
+    assert(HtmlText.extractMeta(html) == Seq(
+      "description" -> "A & B page",
+      "og:title" -> "OG Title",
+      "robots" -> "noindex")) // charset-only and empty-content skipped
+    assert(HtmlText.extractJsonLd(html) == Seq(
+      """{"@type":"Article","x":1}""", """{"@type":"Product"}"""))
+    assert(HtmlText.extractMeta(null).isEmpty)
+    assert(HtmlText.extractJsonLd("<script>plain</script>").isEmpty)
+  }
+
+  test("directives: extract-html-tables / meta / jsonld explode rows") {
+    val html = "<meta name=k content=v>" +
+      "<table><tr><th>H</th></tr><tr><td>x</td></tr></table>" +
+      """<script type="application/ld+json">{"a":1}</script>"""
+    val in = df("id LONG, page STRING", Seq(Row(1L, html)))
+    val cells = wrangle("extract-html-tables :page", in)
+      .select("page_row", "page_col", "page_is_header", "page_cell")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getBoolean(2),
+        r.getString(3))).toSeq
+    assert(cells == Seq((0, 0, true, "H"), (1, 0, false, "x")))
+    val meta = wrangle("extract-html-meta :page", in)
+      .select("page_key", "page_value").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(meta == Seq(("k", "v")))
+    val ld = wrangle("extract-html-jsonld :page", in)
+      .select("page_jsonld").collect().map(_.getString(0)).toSeq
+    assert(ld == Seq("""{"a":1}"""))
+  }
+
   test("feed parse: RSS 2.0, RSS 1.0 and Atom normalize to item rows") {
     import graft.sources.Warc
     val rss =
