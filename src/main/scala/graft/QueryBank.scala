@@ -508,6 +508,44 @@ object QueryBank {
         |             ELSE CAST(c_acctbal AS DOUBLE) END, 6) AS bal
         |FROM customer CROSS JOIN b""".stripMargin),
 
+    ("outlier_mad",
+      // robust |x − med| > k·MAD outlier flag: median and MAD from
+      // the same exact interpolated percentile winsorize already
+      // proved equivalent to DuckDB's quantile machinery (DuckDB's
+      // mad() IS median(|x − median|), unscaled — matching the
+      // documented unscaled convention)
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.ops.QualityOps.madOutliers(
+            cust(s, d).select(col("c_custkey"),
+              col("c_acctbal").cast("double").as("bal")),
+            "bal", k = 2.5)
+          .select(col("c_custkey"), col("bal_outlier").as("outlier"))
+      },
+      """WITH s AS (SELECT median(CAST(c_acctbal AS DOUBLE)) AS med,
+        |  mad(CAST(c_acctbal AS DOUBLE)) AS m FROM customer)
+        |SELECT c_custkey,
+        |  abs(CAST(c_acctbal AS DOUBLE) - med) > 2.5 * m AS outlier
+        |FROM customer CROSS JOIN s""".stripMargin),
+
+    ("char_entropy",
+      // code-point Shannon entropy (log2): templated text scores low,
+      // diverse prose high. DuckDB recomputes per document from its
+      // own character split + entropy() aggregate (also log2); the
+      // LEFT JOIN keeps empty/null-text docs as null like the kernel.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        r("char-entropy :text")(docs(s, d))
+          .select(col("doc_id"), round(col("text_entropy"), 6).as("h"))
+      },
+      """SELECT d.doc_id, round(e.h, 6) AS h
+        |FROM documents d LEFT JOIN (
+        |  SELECT doc_id,
+        |    entropy(substring(text, CAST(i AS INT) + 1, 1)) AS h
+        |  FROM (SELECT doc_id, text, unnest(range(len(text))) AS i
+        |        FROM documents)
+        |  GROUP BY doc_id) e ON d.doc_id = e.doc_id""".stripMargin),
+
     ("threshold_sweep",
       // the gate-picking precision/recall table: exact integer
       // confusion counts per threshold in ONE partial-aggregated scan

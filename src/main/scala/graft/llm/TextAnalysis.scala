@@ -24,6 +24,37 @@ object TextAnalysis {
     * correctness row pins a rollup rather than replaying zlib in SQL.
     * Null text → null.
     */
+  /** Shannon entropy (log2) over CODE POINTS — the character-level
+    * diversity signal: templated spam and key-mash filler sit far
+    * below natural prose, binary-ish noise far above. Code points,
+    * not Java chars, so astral-plane text scores like the
+    * character-counting SQL engines (DuckDB substring/entropy) see
+    * it. Null/empty → null.
+    */
+  def charEntropy(s: String): java.lang.Double = {
+    if (s == null || s.isEmpty) return null
+    val counts = new java.util.HashMap[Integer, Array[Int]]()
+    var i = 0
+    var n = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1)) else slot(0) += 1
+    }
+    var h = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next()(0).toDouble / n
+      h -= p * (math.log(p) / math.log(2.0))
+    }
+    java.lang.Double.valueOf(h)
+  }
+
+  val charEntropyUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(charEntropy _)
+
   def deflateLen(s: String, level: Int): java.lang.Integer = {
     if (s == null) return null
     val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -556,6 +556,14 @@ object LlmOps {
         .drop("__rep")
     }
 
+    // `char-entropy :text` — Shannon entropy (log2) over code points:
+    // templated/key-mash text scores far below prose. Map-only.
+    case "char-entropy" => ColumnOps.simple(spec) { df =>
+      val c = spec.col(0)
+      df.withColumn(s"${c}_entropy", graft.llm.TextAnalysis
+        .charEntropyUdf(col(c).cast(org.apache.spark.sql.types.StringType)))
+    }
+
     // `compression-ratio :text [level]` — deflate length / raw UTF-8
     // length (round-6; 0-byte text reads 0.0): the cheap
     // repetitiveness gate — boilerplate compresses far below natural

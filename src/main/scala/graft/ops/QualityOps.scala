@@ -174,6 +174,38 @@ object QualityOps {
         .when(c < lo, lit(lo)).when(c > hi, lit(hi)).otherwise(c))
   }
 
+  /** Robust outlier flag for tabular QA: `<col>_outlier` = |x − med|
+    * > k·MAD, with median and MAD (median absolute deviation,
+    * UNSCALED — fold the 1.4826 normal-consistency constant into `k`
+    * if you want σ units) from exact interpolated percentiles. Two
+    * bounded stats actions (MAD needs the median first), then a
+    * map-only flag against two broadcast scalars — the winsorize
+    * shape, robust where mean/stddev z-scores break under the very
+    * outliers being hunted. NaN rows are excluded from the statistics
+    * and flag null; an all-equal column (MAD 0) flags any deviation.
+    */
+  def madOutliers(df: DataFrame, colName: String,
+      k: Double = 3.0, approx: Boolean = false): DataFrame = {
+    require(k > 0, s"outlier-mad: k must be positive, got $k")
+    val c = col(colName).cast("double")
+    val q = "`" + colName.replace("`", "``") + "`"
+    val fn = if (approx) "approx_percentile" else "percentile"
+    val guarded =
+      s"CASE WHEN isnan(CAST($q AS DOUBLE)) THEN NULL ELSE CAST($q AS DOUBLE) END"
+    val medRow = df.agg(expr(s"$fn($guarded, 0.5)").as("med")).head()
+    if (medRow.isNullAt(0))
+      return df.withColumn(s"${colName}_outlier",
+        lit(null).cast("boolean")) // all-null column
+    val med = medRow.getDouble(0)
+    val mad = df.agg(expr(
+        s"$fn(CASE WHEN isnan(CAST($q AS DOUBLE)) THEN NULL " +
+          s"ELSE abs(CAST($q AS DOUBLE) - $med) END, 0.5)").as("mad"))
+      .head().getDouble(0)
+    df.withColumn(s"${colName}_outlier",
+      when(c.isNull || isnan(c), lit(null).cast("boolean"))
+        .otherwise(abs(c - lit(med)) > lit(k) * lit(mad)))
+  }
+
   /** One-stop corpus summary — the dataset-card numbers a curation run
     * reports before/after each stage: doc and empty-doc counts, word
     * totals, exact distinct-content count (the exact-dedup normalize
@@ -236,6 +268,15 @@ object QualityOps {
           pLow = spec.optStr(1).map(_.toDouble).getOrElse(0.05),
           pHigh = spec.optStr(2).map(_.toDouble).getOrElse(0.95),
           approx = spec.optStr(3).exists(_.equalsIgnoreCase("approx"))))
+    }
+    // `outlier-mad :col [k] [approx]` — robust |x−med| > k·MAD flag
+    // (see [[madOutliers]])
+    case "outlier-mad" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState =
+        st.mapDf(df => madOutliers(df, spec.col(0),
+          k = spec.optStr(1).map(_.toDouble).getOrElse(3.0),
+          approx = spec.optStr(2).exists(_.equalsIgnoreCase("approx"))))
     }
     // `threshold-sweep :score :label [start step n]` — the gate-picking
     // precision/recall table (see [[thresholdSweep]])

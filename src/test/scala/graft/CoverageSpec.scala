@@ -139,7 +139,12 @@ class CoverageSpec extends SparkSpec {
     // round-13 surface: multimodal dedup + encoding repair + site keys
     "dedup-images", "dedup-audio", "fix-mojibake", "url-domain",
     "threshold-sweep", "winsorize", "unigram-token-count", "unigram-encode", "corpus-report",
-    "compression-ratio", "parse-as-tar", "parse-as-zip", "decompress")
+    "compression-ratio", "parse-as-tar", "parse-as-zip", "decompress",
+    // round-14 surface: document/feed/mail ingestion + html mining +
+    // robust QA signals
+    "parse-as-pdf", "parse-as-feed", "parse-as-mbox", "parse-as-eml",
+    "parse-as-eml-parts", "extract-html-tables", "extract-html-meta",
+    "extract-html-jsonld", "char-entropy", "outlier-mad")
 
   test("all curation/sampling directives resolve in the registry") {
     val missing = unresolved(curationDirectives)

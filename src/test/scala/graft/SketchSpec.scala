@@ -584,6 +584,47 @@ class SketchSpec extends SparkSpec {
       math.abs(clean.max - 95.05) < 1e-9)
   }
 
+  test("outlier-mad: robust flag, NaN/null policy, all-equal column") {
+    // 1..99 with one wild point: med=50, MAD=25 -> |x-50|>75 flags 1000
+    val df = ((1 to 99).map(_.toDouble) :+ 1000.0).toDF("v")
+    val out = wrangle("outlier-mad :v 3.0", df).collect()
+      .map(r => r.getDouble(0) -> r.getBoolean(1)).toMap
+    assert(out(1000.0) && !out(50.0) && !out(1.0) && !out(99.0))
+    // the mean/stddev z-score would be dragged by the outlier itself;
+    // MAD is not: k=2.5 still keeps the bulk clean
+    assert(out.count(_._2) == 1)
+    // NaN rows: excluded from the statistics, flag null
+    import org.apache.spark.sql.Row
+    val withNan = ((1 to 9).map(_.toDouble) :+ Double.NaN :+ 500.0).toDF("v")
+    val wn = wrangle("outlier-mad :v", withNan).collect()
+    assert(wn.count(r => !r.isNullAt(1) && r.getBoolean(1)) == 1) // 500
+    assert(wn.count(r => r.isNullAt(1)) == 1) // the NaN row
+    // all-equal column: MAD 0, any deviation flags
+    val eq = Seq(5.0, 5.0, 5.0, 7.0).toDF("v")
+    val we = wrangle("outlier-mad :v", eq).collect()
+      .map(r => r.getDouble(0) -> r.getBoolean(1))
+    assert(we.toMap.apply(7.0) && !we.toMap.apply(5.0))
+    // all-null column: null flags, no crash
+    val nulls = Seq[Option[Double]](None, None).toDF("v")
+    assert(wrangle("outlier-mad :v", nulls).collect()
+      .forall(_.isNullAt(1)))
+  }
+
+  test("char-entropy: uniform/degenerate/code-point cases") {
+    import org.apache.spark.sql.Row
+    val in = df("id LONG, t STRING", Seq(
+      Row(1L, "abab"), Row(2L, "aaaa"), Row(3L, "abcd"),
+      Row(4L, ""), Row(5L, null), Row(6L, "😀😀🚀🚀")))
+    val out = wrangle("char-entropy :t", in).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(out(1L) == 1.0) // two symbols, uniform
+    assert(out(2L) == 0.0) // one symbol
+    assert(out(3L) == 2.0) // four symbols, uniform
+    assert(out(4L) == null && out(5L) == null)
+    assert(out(6L) == 1.0) // astral-plane pairs count as code points
+  }
+
   test("threshold-sweep: an all-filtered input yields zero counts, not nulls") {
     val empty = Seq[(Option[Double], Option[Boolean])]((None, Some(true)))
       .toDF("score", "label")
