@@ -3926,6 +3926,30 @@ object QueryBank {
         | 'Att ' || doc_id || ' body' AS text
         |FROM documents WHERE doc_id < 100""".stripMargin),
 
+    ("pipeline_warc_pdf",
+      // the crawl→document path end-to-end: WARC record split → HTTP
+      // envelope unwrap → BYTE-exact binary payload (the new
+      // payload_bytes column; the UTF-8 text view would corrupt the
+      // Flate stream) → content-type routing → PDF object decode →
+      // page text. The decoy HTML response in the same shard must be
+      // filtered by its http content type.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val shards = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 100)
+          .withColumn("w", synthWarcPdfUdf(col("doc_id")))
+        val pdfs = r("parse-as-warc :w")(shards)
+          .filter(col("w_http_content_type") === "application/pdf")
+          .select(col("doc_id"), col("w_payload_bytes").as("att"))
+        r("parse-as-pdf :att")(pdfs)
+          .select(col("doc_id"), col("att_page").as("page"),
+            col("att_text").as("text"))
+      },
+      """SELECT doc_id, CAST(0 AS INT) AS page,
+        | 'Crawl ' || doc_id || ' body' || chr(10) ||
+        |   'Line (' || doc_id * 3 || ')' AS text
+        |FROM documents WHERE doc_id < 100""".stripMargin),
+
     ("parse_as_feed",
       // syndication-feed ingestion: even ids arrive as RSS 2.0, odd
       // ids as Atom (with a decoy rel="self" link the alternate must
@@ -6257,6 +6281,29 @@ object QueryBank {
        else "Content-Type: text/plain\r\n") +
       s"Content-Length: $n\r\n\r\n$full\r\n\r\n"
   }
+
+  /** Fixture: a WARC shard with a BINARY application/pdf response
+    * (real Flate PDF — a UTF-8 round-trip would corrupt it; the
+    * byte-exact payload_bytes column is the point) plus a decoy HTML
+    * response the pipeline must skip.
+    */
+  private val synthWarcPdfUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      val pdf = graft.sources.Pdf.build(Seq(Seq(
+        s"Crawl $id body", s"Line (${id * 3})")))
+      val httpHead = ("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: application/pdf\r\n\r\n").getBytes("ISO-8859-1")
+      val full = httpHead ++ pdf
+      val head = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: http://ex.com/$id.pdf\r\n" +
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+        s"WARC-Record-ID: <urn:uuid:$id-pdf>\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${full.length}\r\n\r\n").getBytes("ISO-8859-1")
+      head ++ full ++ "\r\n\r\n".getBytes("ISO-8859-1") ++
+        mkWarcRecord(id, "response", s"http://ex.com/$id",
+          s"<p>html $id</p>", http = true).getBytes("UTF-8")
+    })
 
   private val synthWarcUdf = org.apache.spark.sql.functions.udf((id: Long) => {
     val body = s"<html><body><p>doc $id</p></body></html>"

@@ -219,6 +219,7 @@ object ParserOps {
           .withColumn(s"${c}_http_content_type",
             col("__warc.http_content_type"))
           .withColumn(s"${c}_payload", col("__warc.payload"))
+          .withColumn(s"${c}_payload_bytes", col("__warc.payload_bytes"))
           .drop("__warc")
       }
     }

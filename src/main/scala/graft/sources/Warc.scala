@@ -25,7 +25,11 @@ object Warc {
 
   /** One WARC record, HTTP envelope already unwrapped for response
     * records: `payload` is the logical content (HTTP body for
-    * `application/http` payloads, raw payload text otherwise).
+    * `application/http` payloads, raw payload text otherwise) as
+    * text; `payload_bytes` is the SAME logical content byte-exact —
+    * crawls carry binary bodies (PDF, images, archives) that a UTF-8
+    * decode would corrupt, so binary-consuming stages (parse-as-pdf,
+    * dedup-images, parse-as-zip) chain on the bytes column.
     */
   case class WarcRecord(
       warc_type: String,
@@ -36,7 +40,8 @@ object Warc {
       content_length: Long,
       http_status: Integer,
       http_content_type: String,
-      payload: String)
+      payload: String,
+      payload_bytes: Array[Byte])
 
   private def isGzip(b: Array[Byte]): Boolean =
     b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
@@ -103,6 +108,7 @@ object Warc {
     var httpStatus: Integer = null
     var httpCt: String = null
     var payloadText: String = null
+    var bodyBytes: Array[Byte] = null
     if (contentType.toLowerCase.startsWith("application/http")) {
       // BYTE-level envelope split: archived bodies can be binary
       // (gzip Content-Encoding) — a String round-trip would corrupt
@@ -139,9 +145,13 @@ object Warc {
         if (gzipped && isGzip(body))
           body = scala.util.Try(gunzipAll(body)).getOrElse(body)
         payloadText = new String(body, "UTF-8")
+        bodyBytes = body
       }
     }
-    if (payloadText == null) payloadText = new String(payloadBytes, "UTF-8")
+    if (payloadText == null) {
+      payloadText = new String(payloadBytes, "UTF-8")
+      bodyBytes = payloadBytes
+    }
     WarcRecord(
       headers.getOrElse("warc-type", ""),
       headers.getOrElse("warc-target-uri", null),
@@ -151,7 +161,8 @@ object Warc {
       len,
       httpStatus,
       httpCt,
-      payloadText)
+      payloadText,
+      bodyBytes)
   }
 
   /** Streaming record splitter: one record in memory at a time, gzip

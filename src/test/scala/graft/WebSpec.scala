@@ -412,13 +412,17 @@ class WebSpec extends SparkSpec {
       warcRecord("response", "http://ex.com/a", "<html>A</html>", http = true) +
       warcRecord("conversion", "http://ex.com/a", "plain text A", http = false))
       .getBytes("UTF-8")
-    // plain and multi-member-gzip streams both match the in-memory parse
-    val expected = Warc.parseAll(blob)
+    // plain and multi-member-gzip streams both match the in-memory
+    // parse (payload_bytes compared structurally — Array equality in
+    // a case class is by reference)
+    def norm(rs: Seq[Warc.WarcRecord]) =
+      rs.map(r => (r.copy(payload_bytes = null), r.payload_bytes.toSeq))
+    val expected = norm(Warc.parseAll(blob))
     val it = Warc.parseStream(new java.io.ByteArrayInputStream(blob))
-    assert(it.toVector == expected)
+    assert(norm(it.toVector) == expected)
     val gzBlob = gz(blob.take(blob.length / 2)) ++ gz(blob.drop(blob.length / 2))
-    assert(Warc.parseStream(
-      new java.io.ByteArrayInputStream(gzBlob)).toVector == expected)
+    assert(norm(Warc.parseStream(
+      new java.io.ByteArrayInputStream(gzBlob)).toVector) == expected)
     // exhausted iterator closes the stream and keeps reporting empty
     var closed = false
     val tracking = new java.io.ByteArrayInputStream(blob) {
@@ -430,7 +434,7 @@ class WebSpec extends SparkSpec {
     // truncated mid-payload: whole-record prefix survives
     val it3 = Warc.parseStream(
       new java.io.ByteArrayInputStream(blob.dropRight(25)))
-    assert(it3.toVector == expected.dropRight(1))
+    assert(norm(it3.toVector) == expected.dropRight(1))
     // a corrupt Content-Length far beyond the stream must NOT allocate
     // eagerly — earlier records survive, the bogus one ends the iterator
     val bogus = (warcRecord("conversion", "u", "ok", http = false) +
@@ -564,6 +568,30 @@ class WebSpec extends SparkSpec {
       r.getAs[String]("path")).toMap
     assert(byName("only.txt").endsWith("b.tar"))
     assert(byName("s1.cls").endsWith("a.tar"))
+  }
+
+  test("warc: binary payload bytes survive byte-exact alongside the text view") {
+    val body = Array.tabulate[Byte](512)(i => i.toByte) // all byte values
+    val httpHead = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: application/octet-stream\r\n\r\n").getBytes("ISO-8859-1")
+    val full = httpHead ++ body
+    val rec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://e.com/b\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${full.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+      full ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    val r = Warc.parseAll(rec)
+    assert(r.length == 1)
+    // the text view is best-effort UTF-8; the bytes view is exact
+    assert(java.util.Arrays.equals(r.head.payload_bytes, body))
+    assert(r.head.http_content_type == "application/octet-stream")
+    // non-HTTP records expose their raw payload bytes too
+    val plain = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "Content-Type: text/plain\r\nContent-Length: 5\r\n\r\nhello\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    val p = Warc.parseAll(plain)
+    assert(new String(p.head.payload_bytes, "UTF-8") == "hello")
+    assert(p.head.payload == "hello")
   }
 
   test("html tables: ordinals, headers, implicit closes, nesting, script drop") {
