@@ -3926,6 +3926,69 @@ object QueryBank {
         | 'Att ' || doc_id || ' body' AS text
         |FROM documents WHERE doc_id < 100""".stripMargin),
 
+    ("robots_sitemaps",
+      // Sitemap: discovery out of robots.txt (group-independent per
+      // RFC 9309 §2.2.4, case-insensitive key) — two sitemap lines
+      // per host, rebuilt closed-form
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val robots = cust(s, d).select(col("c_custkey"),
+          concat_ws("\n",
+            lit("User-agent: *"), lit("Disallow: /private"),
+            concat(lit("Sitemap: https://e.com/"), col("c_custkey"),
+              lit("/s1.xml")),
+            concat(lit("sitemap: https://e.com/"), col("c_custkey"),
+              lit("/s2.xml  # comment"))).as("r"))
+        r("robots-sitemaps :r")(robots)
+          .select(col("c_custkey"), col("r_sitemap").as("sm"))
+      },
+      """SELECT c_custkey, 'https://e.com/' || c_custkey ||
+        |  CASE j WHEN 0 THEN '/s1.xml' ELSE '/s2.xml' END AS sm
+        |FROM customer CROSS JOIN (SELECT unnest([0, 1]) AS j) t""".stripMargin),
+
+    ("parse_as_subtitles",
+      // SRT cue decode: two cues per doc with exact millisecond
+      // timestamps — the video-text alignment input; DuckDB rebuilds
+      // index/start/end/text closed-form
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val subs = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("s", synthSrtUdf(col("doc_id")))
+        r("parse-as-subtitles :s")(subs)
+          .select(col("doc_id"), col("s_index").as("idx"),
+            col("s_start_ms").as("start_ms"), col("s_end_ms").as("end_ms"),
+            col("s_text").as("text"))
+      },
+      """WITH sp AS (SELECT doc_id, unnest([0, 1]) AS j
+        | FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, CAST(j AS INT) AS idx,
+        | CAST(doc_id * 1000 + j * 2000 AS BIGINT) AS start_ms,
+        | CAST(doc_id * 1000 + j * 2000 + 1500 AS BIGINT) AS end_ms,
+        | 'Cue ' || doc_id || '-' || j AS text
+        |FROM sp""".stripMargin),
+
+    ("yaml_frontmatter",
+      // markdown front-matter split: two flat scalars per doc, body
+      // byte-identical to the original text (md5-verified) — the
+      // Jekyll/Hugo-corpus routing step
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val md = docs(s, d).select(col("doc_id"), col("text"),
+          concat(lit("---\ntitle: T"), col("doc_id"),
+            lit("\nlang: l"), col("doc_id") % 5,
+            lit("\n---\n"), col("text")).as("m"))
+        r("parse-yaml-frontmatter :m")(md)
+          .select(col("doc_id"), col("m_key").as("k"),
+            col("m_value").as("v"), md5(col("m_body")).as("body_md5"))
+      },
+      """SELECT doc_id,
+        | CASE j WHEN 0 THEN 'title' ELSE 'lang' END AS k,
+        | CASE j WHEN 0 THEN 'T' || doc_id
+        |   ELSE 'l' || (doc_id % 5) END AS v,
+        | md5(text) AS body_md5
+        |FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS j) t""".stripMargin),
+
     ("pipeline_warc_pdf",
       // the crawl→document path end-to-end: WARC record split → HTTP
       // envelope unwrap → BYTE-exact binary payload (the new
@@ -5979,6 +6042,18 @@ object QueryBank {
         (s"s$id.jpg", s"IMG$id-payload".getBytes("UTF-8")),
         (s"s$id.cls", (id % 10).toString.getBytes("UTF-8")),
         (s"s$id.json", s"""{"id":$id}""".getBytes("UTF-8")))))
+
+  /** Fixture: a two-cue SRT per id with exact millisecond timestamps. */
+  private val synthSrtUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      def ts(ms: Long): String =
+        f"${ms / 3600000}%02d:${ms / 60000 % 60}%02d:" +
+          f"${ms / 1000 % 60}%02d,${ms % 1000}%03d"
+      (0 until 2).map { j =>
+        val st = id * 1000 + j * 2000
+        s"${j + 1}\n${ts(st)} --> ${ts(st + 1500)}\nCue $id-$j\n"
+      }.mkString("\n")
+    })
 
   /** Fixture: one MIME message per id cycling through three shapes
     * (QP body + B subject; multipart/mixed + Q subject; base64 body +

@@ -31,6 +31,28 @@ object Robots {
     }
   }
 
+  /** `Sitemap:` directive values in file order (RFC 9309 §2.2.4 —
+    * sitemaps are group-independent, so every line counts regardless
+    * of user-agent context): the crawl-frontier bootstrap, feeding
+    * parse-as-sitemap. Comments stripped; values kept verbatim
+    * (absolute URLs per the sitemaps.org protocol).
+    */
+  def sitemaps(robotsTxt: String): Seq[String] = {
+    if (robotsTxt == null) return Seq.empty
+    robotsTxt.split("\n").toSeq.flatMap { line0 =>
+      val line = line0.takeWhile(_ != '#').trim
+      val c = line.indexOf(':')
+      if (c > 0 && line.substring(0, c).trim
+          .equalsIgnoreCase("sitemap")) {
+        val v = line.substring(c + 1).trim
+        if (v.nonEmpty) Some(v) else None
+      } else None
+    }
+  }
+
+  val sitemapsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(sitemaps _)
+
   /** Parse into (user-agent-token -> rules) preserving rule order. */
   private def parse(txt: String): Map[String, Vector[Rule]] = {
     val groups = scala.collection.mutable.Map

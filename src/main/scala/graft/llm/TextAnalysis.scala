@@ -24,6 +24,58 @@ object TextAnalysis {
     * correctness row pins a rollup rather than replaying zlib in SQL.
     * Null text → null.
     */
+  /** Split a markdown/Jekyll-style document into (body, front-matter
+    * pairs): a leading `---` fence opens the block, `---`/`...`
+    * closes it, and FLAT SCALAR `key: value` lines inside become
+    * pairs (surrounding quotes stripped, full-line comments ignored).
+    * Nested structures and list items are out of the subset and
+    * skipped — the curation uses (route by `lang:`, keep `title:`,
+    * drop `draft: true`) read flat scalars. No fence, or an
+    * unterminated one, means no front matter: the document IS the
+    * body.
+    */
+  def frontMatter(s: String): (String, Seq[(String, String)]) = {
+    if (s == null) return (null, Nil)
+    val lines = s.split("\r\n|\n", -1)
+    if (lines.isEmpty || lines(0).trim != "---") return (s, Nil)
+    val pairs = Seq.newBuilder[(String, String)]
+    var closed = -1
+    var i = 1
+    while (closed < 0 && i < lines.length) {
+      val line = lines(i)
+      val t = line.trim
+      if (t == "---" || t == "...") closed = i
+      else {
+        // flat scalars only: skip nested (indented), list items, and
+        // comment lines
+        if (line.nonEmpty && !line(0).isWhitespace &&
+          !t.startsWith("#") && !t.startsWith("- ")) {
+          val c = line.indexOf(':')
+          if (c > 0) {
+            val key = line.substring(0, c).trim
+            var value = line.substring(c + 1).trim
+            if (value.length >= 2 &&
+              ((value.head == '"' && value.last == '"') ||
+                (value.head == '\'' && value.last == '\'')))
+              value = value.substring(1, value.length - 1)
+            if (key.nonEmpty && key.forall(ch =>
+              ch.isLetterOrDigit || ch == '_' || ch == '-' || ch == '.'))
+              pairs += key -> value
+          }
+        }
+        i += 1
+      }
+    }
+    if (closed < 0) return (s, Nil)
+    (lines.drop(closed + 1).mkString("\n"), pairs.result())
+  }
+
+  val frontMatterUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((s: String) => {
+      val (body, pairs) = frontMatter(s)
+      (body, pairs)
+    })
+
   /** Shannon entropy (log2) over CODE POINTS — the character-level
     * diversity signal: templated spam and key-mash filler sit far
     * below natural prose, binary-ish noise far above. Code points,

@@ -556,6 +556,57 @@ object LlmOps {
         .drop("__rep")
     }
 
+    // `robots-sitemaps :col` — `Sitemap:` directive values out of
+    // robots.txt bodies, one row each in `<col>_sitemap` (the crawl
+    // frontier bootstrap; chain parse-as-sitemap on the fetched docs).
+    case "robots-sitemaps" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        df.withColumn(s"${c}_sitemap",
+            explode(graft.llm.Robots.sitemapsUdf(
+              col(c).cast(org.apache.spark.sql.types.StringType))))
+          .drop(c)
+      }
+    }
+
+    // `parse-as-subtitles :col` — SRT/WebVTT cues, one row each
+    // (`<col>_index/_start_ms/_end_ms/_text`): the text half of
+    // video-text pairs; join start_ms against sampled frame offsets.
+    case "parse-as-subtitles" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        df.withColumn("__cue", explode(graft.sources.Subtitles.parseUdf(
+            col(c).cast(org.apache.spark.sql.types.StringType))))
+          .drop(c)
+          .withColumn(s"${c}_index", col("__cue._1"))
+          .withColumn(s"${c}_start_ms", col("__cue._2"))
+          .withColumn(s"${c}_end_ms", col("__cue._3"))
+          .withColumn(s"${c}_text", col("__cue._4"))
+          .drop("__cue")
+      }
+    }
+
+    // `parse-yaml-frontmatter :col` — split a markdown document into
+    // `<col>_body` + one row per flat front-matter scalar
+    // (`<col>_key/_value`; explode_outer keeps fence-less docs as a
+    // single null-key row).
+    case "parse-yaml-frontmatter" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        df.withColumn("__fm", graft.llm.TextAnalysis.frontMatterUdf(
+            col(c).cast(org.apache.spark.sql.types.StringType)))
+          .drop(c)
+          .withColumn(s"${c}_body", col("__fm._1"))
+          .withColumn("__kv", explode_outer(col("__fm._2")))
+          .withColumn(s"${c}_key", col("__kv._1"))
+          .withColumn(s"${c}_value", col("__kv._2"))
+          .drop("__fm", "__kv")
+      }
+    }
+
     // `char-entropy :text` — Shannon entropy (log2) over code points:
     // templated/key-mash text scores far below prose. Map-only.
     case "char-entropy" => ColumnOps.simple(spec) { df =>

@@ -144,7 +144,8 @@ class CoverageSpec extends SparkSpec {
     // robust QA signals
     "parse-as-pdf", "parse-as-feed", "parse-as-mbox", "parse-as-eml",
     "parse-as-eml-parts", "extract-html-tables", "extract-html-meta",
-    "extract-html-jsonld", "char-entropy", "outlier-mad")
+    "extract-html-jsonld", "char-entropy", "outlier-mad",
+    "robots-sitemaps", "parse-as-subtitles", "parse-yaml-frontmatter")
 
   test("all curation/sampling directives resolve in the registry") {
     val missing = unresolved(curationDirectives)

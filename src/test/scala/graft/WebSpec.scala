@@ -666,6 +666,102 @@ class WebSpec extends SparkSpec {
     assert(ld == Seq("""{"a":1}"""))
   }
 
+  test("robots sitemaps: group-independent Sitemap lines, comments stripped") {
+    import graft.llm.Robots
+    val txt =
+      """# politeness file
+        |User-agent: *
+        |Disallow: /private
+        |Sitemap: https://e.com/sitemap.xml
+        |User-agent: bot
+        |SITEMAP: https://e.com/news.xml  # case-insensitive key
+        |Sitemap:
+        |""".stripMargin
+    assert(Robots.sitemaps(txt) ==
+      Seq("https://e.com/sitemap.xml", "https://e.com/news.xml"))
+    assert(Robots.sitemaps(null).isEmpty)
+    assert(Robots.sitemaps("User-agent: *\nDisallow:").isEmpty)
+    val in = df("id LONG, r STRING", Seq(Row(1L, txt)))
+    assert(wrangle("robots-sitemaps :r", in).select("r_sitemap")
+      .collect().map(_.getString(0)).toSeq ==
+      Seq("https://e.com/sitemap.xml", "https://e.com/news.xml"))
+  }
+
+  test("subtitles: SRT and WebVTT cues, markup strip, malformed skip") {
+    import graft.sources.Subtitles
+    val srt =
+      """1
+        |00:00:01,500 --> 00:00:03,000
+        |Hello <i>world</i>
+        |second line
+        |
+        |2
+        |00:01:00,000 --> 00:00:59,000
+        |end before start: dropped
+        |
+        |3
+        |01:02:03,004 --> 01:02:04,000
+        |{\an8}positioned""".stripMargin
+    val cues = Subtitles.parse(srt)
+    assert(cues.map(c => (c.index, c.start_ms, c.end_ms, c.text)) == Seq(
+      (0, 1500L, 3000L, "Hello world\nsecond line"),
+      (1, 3723004L, 3724000L, "positioned")))
+    val vtt =
+      """WEBVTT - some title
+        |
+        |NOTE this block is not a cue
+        |
+        |intro
+        |00:05.000 --> 00:07.250
+        |<c.yellow>Short-form</c> timestamps
+        |
+        |00:00:10.000 --> 00:00:12.000 align:start
+        |full form""".stripMargin
+    assert(Subtitles.parse(vtt).map(c => (c.start_ms, c.end_ms, c.text)) ==
+      Seq((5000L, 7250L, "Short-form timestamps"),
+        (10000L, 12000L, "full form")))
+    assert(Subtitles.parse(null).isEmpty)
+    assert(Subtitles.parse("random text\nno cues").isEmpty)
+    val in = df("id LONG, s STRING", Seq(Row(1L, srt)))
+    val rows = wrangle("parse-as-subtitles :s", in)
+      .select("s_index", "s_start_ms", "s_text").collect()
+    assert(rows.length == 2 && rows.head.getLong(1) == 1500L)
+  }
+
+  test("yaml front matter: flat scalars, quotes, no-fence and unterminated") {
+    import graft.llm.TextAnalysis
+    val md =
+      """---
+        |title: "My Post"
+        |lang: en
+        |draft: false
+        |tags:
+        |  - a
+        |  - b
+        |# comment line
+        |empty:
+        |---
+        |# Heading
+        |body text""".stripMargin
+    val (body, pairs) = TextAnalysis.frontMatter(md)
+    assert(body == "# Heading\nbody text")
+    assert(pairs == Seq("title" -> "My Post", "lang" -> "en",
+      "draft" -> "false", "tags" -> "", "empty" -> ""))
+    // no fence: whole doc is the body
+    assert(TextAnalysis.frontMatter("plain doc") == ("plain doc", Nil))
+    // unterminated fence: NOT front matter
+    assert(TextAnalysis.frontMatter("---\nkey: v\nno close") ==
+      ("---\nkey: v\nno close", Nil))
+    val in = df("id LONG, t STRING",
+      Seq(Row(1L, md), Row(2L, "no front matter")))
+    val out = wrangle("parse-yaml-frontmatter :t", in)
+      .select("id", "t_key", "t_value", "t_body").collect()
+    assert(out.count(_.getLong(0) == 1L) == 5)
+    val r2 = out.filter(_.getLong(0) == 2L)
+    assert(r2.length == 1 && r2.head.isNullAt(1) &&
+      r2.head.getString(3) == "no front matter")
+  }
+
   test("feed parse: RSS 2.0, RSS 1.0 and Atom normalize to item rows") {
     import graft.sources.Warc
     val rss =
