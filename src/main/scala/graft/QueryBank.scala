@@ -2938,6 +2938,15 @@ object QueryBank {
       },
       "SELECT CAST(3 AS BIGINT) AS neighbor_id"),
 
+    ("ann_pq_indexed",
+      // the persisted-index path of PQ ANN: (id, 8-byte code) parquet
+      // + codebook sidecar written once; the query scans codes only
+      // (plan-asserted in LlmSpec — no embedding column is ever read)
+      // and the twin-argmin guarantee still returns the base.
+      // Bit-identical to pqTopK with the same parameters.
+      (s, d) => annPqIndexed(s, d),
+      "SELECT CAST(5 AS BIGINT) AS neighbor_id"),
+
     ("ann_ivf_cross",
       // batched IVF ANN: a query STREAM probed against the cell-pruned
       // corpus in one broadcast equi-join — the scale shape (ivfTopK
@@ -5744,6 +5753,18 @@ object QueryBank {
     * parquet partition pruning (asserted in LlmSpec). Same parameters
     * as [[annIvf]] ⇒ bit-identical results ⇒ same oracle.
     */
+  private def annPqIndexed(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") === 5).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble * 0.5).toArray
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pq_index_").toString + "/idx"
+    graft.llm.Similarity.writePqIndex(e, "vec_id", "embedding", path)
+    graft.llm.Similarity.pqTopKIndexed(s, path, "vec_id", q, 1)
+      .select(col("vec_id").as("neighbor_id"))
+  }
+
   private def annIvfIndexed(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val e = emb(s, d)

@@ -1066,6 +1066,77 @@ object Similarity {
       .limit(k)
   }
 
+  /** Serialize a [[PqModel]] as a TSV sidecar (exact-double
+    * round-trip via java.lang.Double, the UnigramLm convention):
+    * header `m ks subDim`, then one line per (sub, code) centroid.
+    */
+  def savePqModel(conf: org.apache.hadoop.conf.Configuration,
+      path: String, model: PqModel): Unit = {
+    val sb = new StringBuilder
+    sb.append(s"${model.m}\t${model.ks}\t${model.subDim}\n")
+    var sub = 0
+    while (sub < model.m) {
+      var c = 0
+      while (c < model.codebooks(sub).length) {
+        sb.append(sub).append('\t').append(c).append('\t')
+        sb.append(model.codebooks(sub)(c)
+          .map(java.lang.Double.toString).mkString(","))
+        sb.append('\n')
+        c += 1
+      }
+      sub += 1
+    }
+    graft.sources.Sidecar.write(conf, path, sb.toString)
+  }
+
+  /** Reload a [[savePqModel]]-persisted model bit-identically. */
+  def loadPqModel(conf: org.apache.hadoop.conf.Configuration,
+      path: String): PqModel = {
+    val lines = graft.sources.Sidecar.read(conf, path)
+      .split("\n").filter(_.nonEmpty)
+    val head = lines(0).split("\t")
+    val (m, ks, subDim) = (head(0).toInt, head(1).toInt, head(2).toInt)
+    val books = Array.fill(m, ks)(new Array[Double](subDim))
+    lines.drop(1).foreach { l =>
+      val p = l.split("\t")
+      books(p(0).toInt)(p(1).toInt) =
+        p(2).split(",").map(java.lang.Double.parseDouble)
+    }
+    PqModel(m, ks, subDim, books)
+  }
+
+  /** Persist a PQ ANN index: `(id, pq_code)` parquet + the trained
+    * codebooks as an underscore sidecar. The 100 TB contract: the
+    * encode pass runs ONCE; every later query scans 8-byte codes
+    * (32× fewer bytes than the float vectors) and never reads the
+    * embeddings again.
+    */
+  def writePqIndex(df: DataFrame, idCol: String, vecCol: String,
+      path: String, m: Int = 8, ks: Int = 16, seed: Long = 11L): Unit = {
+    val model = trainPq(df, vecCol, m, ks, seed = seed)
+    pqEncode(df, vecCol, model)
+      .select(col(idCol), col("pq_code"))
+      .write.mode("overwrite").parquet(path)
+    savePqModel(df.sparkSession.sparkContext.hadoopConfiguration,
+      s"$path/_pq_model.tsv", model)
+  }
+
+  /** ADC top-k against a persisted [[writePqIndex]] layout —
+    * bit-identical to [[pqTopK]] over the same corpus and parameters
+    * (the index stores the SAME model its queries score with).
+    */
+  def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, query: Array[Double],
+      k: Int): DataFrame = {
+    val model = loadPqModel(
+      spark.sparkContext.hadoopConfiguration, s"$path/_pq_model.tsv")
+    spark.read.parquet(path)
+      .select(col(idCol), pqAdcDistance(col("pq_code"), model, query).as("adc"))
+      .filter(col("adc").isNotNull)
+      .orderBy(col("adc").asc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF-PQ: the coarse quantizer prunes to `nprobe` of `nlist` cells
     * (partition pruning when the corpus is written by cell), ADC ranks
     * the survivors by byte code — the FAISS IVFPQ shape, minus

@@ -339,6 +339,67 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pdf extract: total on arbitrary bytes and on mutated real docs") {
+    check("pdfTotalRandom") {
+      Prop.forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) { bs =>
+        graft.sources.Pdf.extract(bs.toArray) != null // total
+      }
+    }
+    val base = graft.sources.Pdf.build(Seq(Seq("alpha", "beta (x)"),
+      Seq("gamma")))
+    val mutation = for {
+      n <- Gen.choose(1, 6)
+      muts <- Gen.listOfN(n,
+        Gen.zip(Gen.choose(0, base.length - 1),
+          Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    } yield muts
+    check("pdfTotalMutated") {
+      Prop.forAll(mutation) { muts =>
+        val m = base.clone()
+        muts.foreach { case (i, b) => m(i) = b }
+        graft.sources.Pdf.extract(m) != null // total on damaged docs
+      }
+    }
+  }
+
+  test("eml / subtitles / front matter: total on arbitrary text") {
+    val anyText: Gen[String] =
+      Gen.listOf(Gen.frequency(
+        8 -> Gen.choose(32.toChar, 126.toChar),
+        1 -> Gen.oneOf('\n', '\r', '\t'),
+        1 -> Gen.choose(128.toChar, 0x2fff.toChar))).map(_.mkString)
+    check("emlTotal") {
+      Prop.forAll(anyText) { s =>
+        graft.sources.Eml.parse(s) != null &&
+          graft.sources.Eml.parts(s) != null &&
+          graft.sources.Eml.splitMbox(s) != null
+      }
+    }
+    check("subtitlesTotal") {
+      Prop.forAll(anyText) { s =>
+        val cues = graft.sources.Subtitles.parse(s)
+        // total, and every cue well-ordered with contiguous ordinals
+        cues.zipWithIndex.forall { case (c, i) =>
+          c.index == i && c.start_ms >= 0 && c.end_ms >= c.start_ms }
+      }
+    }
+    check("frontMatterTotal") {
+      Prop.forAll(anyText) { s =>
+        val (body, pairs) = graft.llm.TextAnalysis.frontMatter(s)
+        // total; a doc with no LEADING fence is returned verbatim
+        pairs != null &&
+          (s.split("\r\n|\n", -1).headOption.exists(_.trim == "---") ||
+            (body == s && pairs.isEmpty))
+      }
+    }
+    check("feedTotal") {
+      Prop.forAll(anyText) { s =>
+        graft.sources.Warc.parseFeed(s) != null &&
+          graft.llm.Robots.sitemaps(s) != null
+      }
+    }
+  }
+
   test("dhash64 / wavFrameStats: total on arbitrary bytes") {
     check("imageAudioHashTotal") {
       Prop.forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) { bs =>
