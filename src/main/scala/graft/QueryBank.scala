@@ -2947,6 +2947,16 @@ object QueryBank {
       (s, d) => annPqIndexed(s, d),
       "SELECT CAST(5 AS BIGINT) AS neighbor_id"),
 
+    ("ann_pq_append",
+      // the daily-ingest ANN shape: a batch appends to the persisted
+      // PQ index under the FROZEN codebooks (no retrain — old and new
+      // codes stay mutually comparable), and a query at an appended
+      // twin's base retrieves BOTH copies: same minimal ADC, id
+      // tie-break orders base first. Closed-form, SF-generic.
+      (s, d) => annPqAppend(s, d),
+      """SELECT CAST(4 AS BIGINT) AS neighbor_id
+        |UNION ALL SELECT CAST(10000004 AS BIGINT)""".stripMargin),
+
     ("ann_ivf_cross",
       // batched IVF ANN: a query STREAM probed against the cell-pruned
       // corpus in one broadcast equi-join — the scale shape (ivfTopK
@@ -3997,6 +4007,45 @@ object QueryBank {
         |   ELSE 'l' || (doc_id % 5) END AS v,
         | md5(text) AS body_md5
         |FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS j) t""".stripMargin),
+
+    ("parse_as_docx",
+      // OOXML word-processing text: ZIP walk → word/document.xml →
+      // run scanner (entity + tab on the oracle path); DuckDB
+      // rebuilds both paragraphs closed-form
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val docsx = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthDocxUdf(col("doc_id")))
+        r("parse-as-docx :payload")(docsx)
+          .select(col("doc_id"), col("payload_para").as("para"),
+            col("payload_text").as("text"))
+      },
+      """WITH sp AS (SELECT doc_id, unnest([0, 1]) AS p
+        | FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, CAST(p AS INT) AS para,
+        | CASE p WHEN 0 THEN 'Doc ' || doc_id || ' title'
+        |   ELSE 'Body & ' || (doc_id * 3) || chr(9) || 'T' END AS text
+        |FROM sp""".stripMargin),
+
+    ("parse_as_pptx",
+      // PPTX slide text with numeric slide ordering (slide10 after
+      // slide2 — a lexicographic walk would misplace it; the fixture
+      // uses slides 2 and 10 to force the case)
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val decks = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthPptxUdf(col("doc_id")))
+        r("parse-as-pptx :payload")(decks)
+          .select(col("doc_id"), col("payload_slide").as("slide"),
+            col("payload_text").as("text"))
+      },
+      """WITH sp AS (SELECT doc_id, unnest([2, 10]) AS sl
+        | FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, CAST(sl AS INT) AS slide,
+        | 'S' || doc_id || '-' || sl AS text
+        |FROM sp""".stripMargin),
 
     ("pipeline_warc_pdf",
       // the crawl→document path end-to-end: WARC record split → HTTP
@@ -5765,6 +5814,21 @@ object QueryBank {
       .select(col("vec_id").as("neighbor_id"))
   }
 
+  private def annPqAppend(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = emb(s, d)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pq_append_q_").toString + "/idx"
+    graft.llm.Similarity.writePqIndex(e, "vec_id", "embedding", path)
+    val batch = e.filter(col("vec_id") === 4)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+    graft.llm.Similarity.appendToPqIndex(batch, "vec_id", "embedding", path)
+    val q = e.filter(col("vec_id") === 4).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    graft.llm.Similarity.pqTopKIndexed(s, path, "vec_id", q, 2)
+      .select(col("vec_id").as("neighbor_id"))
+  }
+
   private def annIvfIndexed(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val e = emb(s, d)
@@ -6063,6 +6127,31 @@ object QueryBank {
         (s"s$id.jpg", s"IMG$id-payload".getBytes("UTF-8")),
         (s"s$id.cls", (id % 10).toString.getBytes("UTF-8")),
         (s"s$id.json", s"""{"id":$id}""".getBytes("UTF-8")))))
+
+  /** Fixture: a DOCX (ZIP + document.xml) with two paragraphs — an
+    * entity and a tab on the decode path.
+    */
+  private val synthDocxUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      val xml = "<w:document><w:body>" +
+        s"<w:p><w:r><w:t>Doc $id title</w:t></w:r></w:p>" +
+        s"<w:p><w:r><w:t>Body &amp; ${id * 3}</w:t><w:tab/>" +
+        "<w:t>T</w:t></w:r></w:p>" +
+        "</w:body></w:document>"
+      graft.sources.Zip.build(Seq(
+        ("[Content_Types].xml", "<Types/>".getBytes("UTF-8")),
+        ("word/document.xml", xml.getBytes("UTF-8"))))
+    })
+
+  /** Fixture: a PPTX with slides 2 and 10 (numeric-order trap). */
+  private val synthPptxUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      def slide(n: Int): (String, Array[Byte]) =
+        (s"ppt/slides/slide$n.xml",
+          (s"<p:sld><a:p><a:r><a:t>S$id-$n</a:t></a:r></a:p></p:sld>")
+            .getBytes("UTF-8"))
+      graft.sources.Zip.build(Seq(slide(10), slide(2)))
+    })
 
   /** Fixture: a two-cue SRT per id with exact millisecond timestamps. */
   private val synthSrtUdf =

@@ -1121,6 +1121,25 @@ object Similarity {
       s"$path/_pq_model.tsv", model)
   }
 
+  /** Append a batch to a persisted PQ index — the daily-ingest shape:
+    * the batch encodes with the index's EXISTING codebooks (no
+    * retrain, so old and new codes stay mutually comparable and
+    * queries over the union are exactly pqTopK under the frozen
+    * model), one map-only pass, parquet append. Retrain+rewrite only
+    * when the corpus distribution has drifted enough that the frozen
+    * quantizer's recall decays — a deliberate, monitored event, not
+    * an ingest side effect.
+    */
+  def appendToPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val model = loadPqModel(
+      df.sparkSession.sparkContext.hadoopConfiguration,
+      s"$path/_pq_model.tsv")
+    pqEncode(df, vecCol, model)
+      .select(col(idCol), col("pq_code"))
+      .write.mode("append").parquet(path)
+  }
+
   /** ADC top-k against a persisted [[writePqIndex]] layout —
     * bit-identical to [[pqTopK]] over the same corpus and parameters
     * (the index stores the SAME model its queries score with).

@@ -378,6 +378,42 @@ object ParserOps {
       }
     }
 
+    // `parse-as-docx :col` — Office Open XML word-processing text
+    // (ZIP + word/document.xml runs): one row per paragraph
+    // (`<col>_para/_text`). No POI; total on garbage.
+    case "parse-as-docx" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        val bin =
+          if (df.schema(c).dataType == BinaryType) col(c)
+          else col(c).cast(StringType).cast(BinaryType)
+        df.withColumn("__dx", explode(graft.sources.Docx.docxUdf(bin)))
+          .drop(c)
+          .withColumn(s"${c}_para", col("__dx._1"))
+          .withColumn(s"${c}_text", col("__dx._2"))
+          .drop("__dx")
+      }
+    }
+
+    // `parse-as-pptx :col` — slide text out of PPTX
+    // (ppt/slides/slideN.xml runs, numeric slide order): one row per
+    // paragraph (`<col>_slide/_text`).
+    case "parse-as-pptx" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        val bin =
+          if (df.schema(c).dataType == BinaryType) col(c)
+          else col(c).cast(StringType).cast(BinaryType)
+        df.withColumn("__px", explode(graft.sources.Docx.pptxUdf(bin)))
+          .drop(c)
+          .withColumn(s"${c}_slide", col("__px._1"))
+          .withColumn(s"${c}_text", col("__px._2"))
+          .drop("__px")
+      }
+    }
+
     // (reference: wrangler-core directives/language/SetCharset.java:77)
     case "set-charset" => ColumnOps.simple(spec) { df =>
       val c = spec.col(0)

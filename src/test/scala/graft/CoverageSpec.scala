@@ -145,7 +145,8 @@ class CoverageSpec extends SparkSpec {
     "parse-as-pdf", "parse-as-feed", "parse-as-mbox", "parse-as-eml",
     "parse-as-eml-parts", "extract-html-tables", "extract-html-meta",
     "extract-html-jsonld", "char-entropy", "outlier-mad",
-    "robots-sitemaps", "parse-as-subtitles", "parse-yaml-frontmatter")
+    "robots-sitemaps", "parse-as-subtitles", "parse-yaml-frontmatter",
+    "parse-as-docx", "parse-as-pptx")
 
   test("all curation/sampling directives resolve in the registry") {
     val missing = unresolved(curationDirectives)
