@@ -173,6 +173,27 @@ object Bpe {
     udf((s: String) => encodeText(s, bc.value)).apply(col(textCol))
   }
 
+  /** Persist learned merges, ONE PER LINE IN RANK ORDER (`a\tb` —
+    * the line order IS the model: BPE applies merges by rank).
+    * Hadoop-FS sidecar IO like UnigramLm.save, so cluster paths work.
+    * The train-once-apply-per-shard workflow's freeze step.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge], path: String): Unit =
+    graft.sources.Sidecar.write(
+      spark.sparkContext.hadoopConfiguration, path,
+      merges.map { case (a, b) => s"$a\t$b" }.mkString("\n"))
+
+  /** Reload [[save]]d merges in their original rank order. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Merge] =
+    graft.sources.Sidecar.read(
+        spark.sparkContext.hadoopConfiguration, path)
+      .split("\n").iterator.filter(_.nonEmpty).map { l =>
+        val t = l.indexOf('\t')
+        (l.substring(0, t), l.substring(t + 1))
+      }.toSeq
+
   /** Train on the corpus, append `<textCol>_bpe_tokens` (the subword
     * COUNT per document — the budget-relevant number).
     */
