@@ -4047,6 +4047,28 @@ object QueryBank {
         | 'S' || doc_id || '-' || sl AS text
         |FROM sp""".stripMargin),
 
+    ("parse_as_epub",
+      // e-book ingestion: OCF container walk → OPF spine → XHTML
+      // chapters through the HtmlText extractor; the fixture's zip
+      // order is REVERSED vs spine order so a zip-order walk breaks
+      // the chapter ordinals
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val books = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthEpubUdf(col("doc_id")))
+        r("parse-as-epub :payload")(books)
+          .select(col("doc_id"), col("payload_chapter").as("chapter"),
+            col("payload_title").as("title"),
+            col("payload_text").as("text"))
+      },
+      """WITH sp AS (SELECT doc_id, unnest([0, 1]) AS ch
+        | FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, CAST(ch AS INT) AS chapter,
+        | 'T' || doc_id || '-' || ch AS title,
+        | 'Chapter ' || ch || ' of book ' || doc_id AS text
+        |FROM sp""".stripMargin),
+
     ("pipeline_warc_pdf",
       // the crawl→document path end-to-end: WARC record split → HTTP
       // envelope unwrap → BYTE-exact binary payload (the new
@@ -6151,6 +6173,30 @@ object QueryBank {
           (s"<p:sld><a:p><a:r><a:t>S$id-$n</a:t></a:r></a:p></p:sld>")
             .getBytes("UTF-8"))
       graft.sources.Zip.build(Seq(slide(10), slide(2)))
+    })
+
+  /** Fixture: a two-chapter EPUB whose zip order is reversed vs the
+    * spine (the ordering trap).
+    */
+  private val synthEpubUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      def xhtml(ch: Int): Array[Byte] =
+        (s"<html><head><title>T$id-$ch</title></head><body>" +
+          s"<p>Chapter $ch of book $id</p></body></html>").getBytes("UTF-8")
+      val container = ("<container><rootfiles>" +
+        "<rootfile full-path=\"OEBPS/content.opf\"/>" +
+        "</rootfiles></container>").getBytes("UTF-8")
+      val opf = ("<package><manifest>" +
+        "<item id=\"c0\" href=\"ch0.xhtml\"/>" +
+        "<item id=\"c1\" href=\"ch1.xhtml\"/></manifest>" +
+        "<spine><itemref idref=\"c0\"/><itemref idref=\"c1\"/>" +
+        "</spine></package>").getBytes("UTF-8")
+      graft.sources.Zip.build(Seq(
+        ("mimetype", "application/epub+zip".getBytes("UTF-8")),
+        ("META-INF/container.xml", container),
+        ("OEBPS/ch1.xhtml", xhtml(1)),
+        ("OEBPS/ch0.xhtml", xhtml(0)),
+        ("OEBPS/content.opf", opf)))
     })
 
   /** Fixture: a two-cue SRT per id with exact millisecond timestamps. */

@@ -414,6 +414,26 @@ object ParserOps {
       }
     }
 
+    // `parse-as-epub :col` — e-book chapters in SPINE order (OCF zip
+    // → container.xml → OPF manifest/spine → XHTML chapters through
+    // the HtmlText extractor): one row per chapter
+    // (`<col>_chapter/_title/_text`).
+    case "parse-as-epub" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        val bin =
+          if (df.schema(c).dataType == BinaryType) col(c)
+          else col(c).cast(StringType).cast(BinaryType)
+        df.withColumn("__ep", explode(graft.sources.Epub.extractUdf(bin)))
+          .drop(c)
+          .withColumn(s"${c}_chapter", col("__ep._1"))
+          .withColumn(s"${c}_title", col("__ep._2"))
+          .withColumn(s"${c}_text", col("__ep._3"))
+          .drop("__ep")
+      }
+    }
+
     // (reference: wrangler-core directives/language/SetCharset.java:77)
     case "set-charset" => ColumnOps.simple(spec) { df =>
       val c = spec.col(0)

@@ -48,6 +48,49 @@ class DocxSpec extends SparkSpec {
     assert(Docx.extractPptx("junk".getBytes).isEmpty)
   }
 
+  test("epub: spine order beats zip order, opf-relative hrefs, totality") {
+    import graft.sources.Epub
+    def xhtml(title: String, body: String): Array[Byte] =
+      (s"<html><head><title>$title</title></head>" +
+        s"<body><p>$body</p></body></html>").getBytes("UTF-8")
+    val container =
+      ("""<?xml version="1.0"?><container>""" +
+        """<rootfiles><rootfile full-path="OEBPS/content.opf"/>""" +
+        "</rootfiles></container>").getBytes("UTF-8")
+    val opf =
+      ("""<package><manifest>""" +
+        """<item id="c2" href="text/ch2.xhtml"/>""" +
+        """<item id="c1" href="text/ch1.xhtml"/>""" +
+        """<item id="css" href="style.css"/>""" +
+        """</manifest><spine>""" +
+        """<itemref idref="c1"/><itemref idref="c2"/>""" +
+        """<itemref idref="missing"/></spine></package>""").getBytes("UTF-8")
+    val epub = Zip.build(Seq(
+      ("mimetype", "application/epub+zip".getBytes("UTF-8")),
+      ("META-INF/container.xml", container),
+      // zip order DELIBERATELY reversed vs spine order
+      ("OEBPS/text/ch2.xhtml", xhtml("Two", "second chapter")),
+      ("OEBPS/text/ch1.xhtml", xhtml("One", "first chapter")),
+      ("OEBPS/content.opf", opf)))
+    assert(Epub.extract(epub).map(c => (c.chapter, c.title, c.text)) ==
+      Seq((0, "One", "first chapter"), (1, "Two", "second chapter")))
+    // no container.xml: first .opf member is the fallback
+    val noContainer = Zip.build(Seq(
+      ("OEBPS/content.opf", opf),
+      ("OEBPS/text/ch1.xhtml", xhtml("One", "x")),
+      ("OEBPS/text/ch2.xhtml", xhtml("Two", "y"))))
+    assert(Epub.extract(noContainer).map(_.title) == Seq("One", "Two"))
+    assert(Epub.extract(null).isEmpty)
+    assert(Epub.extract("not an epub".getBytes).isEmpty)
+    assert(Epub.extract(Zip.build(Seq(("a.txt", "x".getBytes)))).isEmpty)
+    // directive
+    val in = df("id LONG, payload BINARY", Seq(Row(7L, epub)))
+    val rows = wrangle("parse-as-epub :payload", in)
+      .select("payload_chapter", "payload_title").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((0, "One"), (1, "Two")))
+  }
+
   test("directives: parse-as-docx / parse-as-pptx explode rows") {
     val xml = "<w:body><w:p><w:r><w:t>p0</w:t></w:r></w:p>" +
       "<w:p><w:r><w:t>p1</w:t></w:r></w:p></w:body>"
