@@ -4069,6 +4069,27 @@ object QueryBank {
         | 'Chapter ' || ch || ' of book ' || doc_id AS text
         |FROM sp""".stripMargin),
 
+    ("extract_text_route",
+      // the mixed-corpus front door: ids cycle through PDF, DOCX,
+      // HTML and plain-text payloads carrying the SAME closed-form
+      // content — the router must both dispatch the format correctly
+      // (magic bytes, container members) and recover identical text
+      // from every one of them
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val mixed = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthMixedDocUdf(col("doc_id")))
+        r("extract-text :payload")(mixed)
+          .select(col("doc_id"), col("payload_format").as("format"),
+            col("payload_text").as("text"))
+      },
+      """SELECT doc_id,
+        | CASE doc_id % 4 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+        |   WHEN 2 THEN 'html' ELSE 'text' END AS format,
+        | 'R ' || doc_id AS text
+        |FROM documents WHERE doc_id < 200""".stripMargin),
+
     ("pipeline_warc_pdf",
       // the crawl→document path end-to-end: WARC record split → HTTP
       // envelope unwrap → BYTE-exact binary payload (the new
@@ -6173,6 +6194,19 @@ object QueryBank {
           (s"<p:sld><a:p><a:r><a:t>S$id-$n</a:t></a:r></a:p></p:sld>")
             .getBytes("UTF-8"))
       graft.sources.Zip.build(Seq(slide(10), slide(2)))
+    })
+
+  /** Fixture: the same text (`R <id>`) wrapped as PDF, DOCX, HTML or
+    * plain bytes by id — the router must recover it from all four.
+    */
+  private val synthMixedDocUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => (id % 4) match {
+      case 0 => graft.sources.Pdf.build(Seq(Seq(s"R $id")))
+      case 1 => graft.sources.Zip.build(Seq(("word/document.xml",
+        s"<w:p><w:r><w:t>R $id</w:t></w:r></w:p>".getBytes("UTF-8"))))
+      case 2 => (s"<html><body><p>R $id</p></body></html>")
+        .getBytes("UTF-8")
+      case _ => s"R $id".getBytes("UTF-8")
     })
 
   /** Fixture: a two-chapter EPUB whose zip order is reversed vs the

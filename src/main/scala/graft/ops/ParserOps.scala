@@ -434,6 +434,24 @@ object ParserOps {
       }
     }
 
+    // `extract-text :col` — the mixed-corpus front door: sniff the
+    // binary by magic bytes / container members and route to the
+    // right extractor (pdf/docx/pptx/epub/html/text). Appends
+    // `<col>_format` + `<col>_text`; unroutable binaries get nulls.
+    case "extract-text" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        val bin =
+          if (df.schema(c).dataType == BinaryType) col(c)
+          else col(c).cast(StringType).cast(BinaryType)
+        df.withColumn("__xt", graft.sources.Extract.extractAnyUdf(bin))
+          .withColumn(s"${c}_format", col("__xt._1"))
+          .withColumn(s"${c}_text", col("__xt._2"))
+          .drop("__xt", c)
+      }
+    }
+
     // (reference: wrangler-core directives/language/SetCharset.java:77)
     case "set-charset" => ColumnOps.simple(spec) { df =>
       val c = spec.col(0)

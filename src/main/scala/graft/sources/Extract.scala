@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+/** The document-ingestion front door: sniff a binary payload's format
+  * and route it to the right text extractor — the one directive a
+  * mixed-corpus pipeline (a crawl's application/octet-stream bucket,
+  * an email attachment column, a WebDataset of scraped files) applies
+  * before any format-specific stage. Detection is by MAGIC BYTES and
+  * container members, never by filename:
+  *
+  *  - `%PDF`                  → [[Pdf.extract]] (pages joined by \n\n)
+  *  - `PK` zip with `word/document.xml`       → docx
+  *  -            with `ppt/slides/`           → pptx
+  *  -            with `META-INF/container.xml`→ epub
+  *  -            anything else                → zip (NOT extracted —
+  *    member routing is parse-as-zip's job; a blind concat of members
+  *    would interleave unrelated texts)
+  *  - `<html` / `<!doctype html` / `<?xml…<html` → html
+  *  - valid UTF-8 with a printable majority   → text (identity)
+  *  - everything else → (null, null): unknown binary is a routing
+  *    decision for the caller, not silently-empty text
+  *
+  * Total on arbitrary bytes (every delegate already is).
+  */
+object Extract {
+
+  private def isZip(b: Array[Byte]): Boolean =
+    b.length >= 4 && b(0) == 'P' && b(1) == 'K' &&
+      (b(2) == 3 || b(2) == 5 || b(2) == 7)
+
+  private def looksHtml(s: String): Boolean = {
+    val head = s.take(1024).toLowerCase(java.util.Locale.ROOT)
+    head.contains("<html") || head.contains("<!doctype html")
+  }
+
+  /** (format, text); (null, null) when unroutable. */
+  def extractAny(b: Array[Byte]): (String, String) = {
+    try {
+      if (b == null || b.length == 0) return (null, null)
+      if (b.length >= 4 &&
+        b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F') {
+        val pages = Pdf.extract(b)
+        return ("pdf", pages.map(_.text).mkString("\n\n"))
+      }
+      if (isZip(b)) {
+        val names = Zip.entries(b).map(_._1)
+        if (names.contains("word/document.xml"))
+          return ("docx", Docx.extractDocx(b).mkString("\n"))
+        if (names.exists(_.startsWith("ppt/slides/slide")))
+          return ("pptx", Docx.extractPptx(b).map(_._2).mkString("\n"))
+        if (names.contains("META-INF/container.xml") ||
+          names.exists(_.endsWith(".opf")))
+          return ("epub", Epub.extract(b).map(_.text).mkString("\n\n"))
+        return ("zip", null) // member routing is parse-as-zip's job
+      }
+      // text-family: decode strictly — binary noise must not pass
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      val s =
+        try dec.decode(java.nio.ByteBuffer.wrap(b)).toString
+        catch { case _: java.nio.charset.CharacterCodingException =>
+          return (null, null) }
+      if (looksHtml(s)) {
+        val (_, text) = graft.llm.HtmlText.extract(s)
+        ("html", text)
+      } else {
+        val printable = s.count(c => !Character.isISOControl(c) ||
+          c == '\n' || c == '\r' || c == '\t')
+        if (printable * 10 >= s.length * 9) ("text", s)
+        else (null, null)
+      }
+    } catch { case scala.util.control.NonFatal(_) => (null, null) }
+  }
+
+  val extractAnyUdf: UserDefinedFunction = udf(extractAny _)
+}

@@ -91,6 +91,37 @@ class DocxSpec extends SparkSpec {
     assert(rows == Seq((0, "One"), (1, "Two")))
   }
 
+  test("extract-text router: magic-byte dispatch across six formats") {
+    import graft.sources.{Extract, Pdf}
+    val pdf = Pdf.build(Seq(Seq("pdf page one"), Seq("page two")))
+    assert(Extract.extractAny(pdf) ==
+      ("pdf", "pdf page one\n\npage two"))
+    val dx = docx("<w:p><w:r><w:t>doc text</w:t></w:r></w:p>")
+    assert(Extract.extractAny(dx) == ("docx", "doc text"))
+    val pptx = Zip.build(Seq(("ppt/slides/slide1.xml",
+      "<a:p><a:t>slide text</a:t></a:p>".getBytes("UTF-8"))))
+    assert(Extract.extractAny(pptx) == ("pptx", "slide text"))
+    val html = "<!DOCTYPE html><html><body><p>web text</p></body></html>"
+    assert(Extract.extractAny(html.getBytes("UTF-8")) ==
+      ("html", "web text"))
+    assert(Extract.extractAny("plain prose\nsecond line".getBytes("UTF-8"))
+      == ("text", "plain prose\nsecond line"))
+    // plain zip: routed but not blindly concatenated
+    val zip = Zip.build(Seq(("a.txt", "x".getBytes)))
+    assert(Extract.extractAny(zip) == ("zip", null))
+    // binary noise: unroutable, not silently-empty text
+    assert(Extract.extractAny(
+      Array[Byte](0, 1, 2, 3, -1, -2, -128, 40)) == ((null, null)))
+    assert(Extract.extractAny(null) == ((null, null)))
+    // directive: format + text columns appended
+    val in = df("id LONG, payload BINARY",
+      Seq(Row(1L, pdf), Row(2L, dx), Row(3L, "just text".getBytes("UTF-8"))))
+    val out = wrangle("extract-text :payload", in)
+      .select("id", "payload_format").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "pdf", 2L -> "docx", 3L -> "text"))
+  }
+
   test("directives: parse-as-docx / parse-as-pptx explode rows") {
     val xml = "<w:body><w:p><w:r><w:t>p0</w:t></w:r></w:p>" +
       "<w:p><w:r><w:t>p1</w:t></w:r></w:p></w:body>"
