@@ -112,6 +112,25 @@ object R14OpsScaleProbe {
       (enc, scan)
     }
 
+    // ---- router over a 4-format mixed corpus -------------------------
+    val synthMixed = udf((id: Long) => (id % 4) match {
+      case 0 => graft.sources.Pdf.build(Seq(Seq(s"R $id body text")))
+      case 1 => graft.sources.Zip.build(Seq(("word/document.xml",
+        s"<w:p><w:r><w:t>R $id body text</w:t></w:r></w:p>"
+          .getBytes("UTF-8"))))
+      case 2 => (s"<html><body><p>R $id body text</p></body></html>")
+        .getBytes("UTF-8")
+      case _ => s"R $id body text".getBytes("UTF-8")
+    })
+    def routeAt(n: Long, label: String): Double = {
+      val d = spark.range(n).select(col("id").as("doc_id"),
+        synthMixed(col("id")).as("payload"))
+      time2(label) {
+        wrangle("extract-text :payload", d)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
     pdfAt(2000L, "warmup pdf 2K")
     val p20 = pdfAt(20000L, "parse-as-pdf 20K x 3 pages")
     val p200 = pdfAt(200000L, "parse-as-pdf 200K x 3 pages")
@@ -119,9 +138,13 @@ object R14OpsScaleProbe {
     val e600 = emlAt(600000L, "parse-as-eml 600K")
     val f60 = feedAt(60000L, "parse-as-feed 60K")
     val f600 = feedAt(600000L, "parse-as-feed 600K")
+    val r60 = routeAt(60000L, "extract-text 60K mixed")
+    val r600 = routeAt(600000L, "extract-text 600K mixed")
     val (enc05, scan05) = pqAt(500000L, "pq 500K")
     val (enc5, scan5) = pqAt(5000000L, "pq 5M")
-    println(f"""{"pdf_20k": $p20%.2f, "pdf_200k": $p200%.2f, """ +
+    println(f"""{"route_60k": $r60%.2f, "route_600k": $r600%.2f, """ +
+      f""""route_ratio_10x": ${r600 / r60}%.2f, """ +
+      f""""pdf_20k": $p20%.2f, "pdf_200k": $p200%.2f, """ +
       f""""pdf_ratio_10x": ${p200 / p20}%.2f, """ +
       f""""eml_60k": $e60%.2f, "eml_600k": $e600%.2f, """ +
       f""""eml_ratio_10x": ${e600 / e60}%.2f, """ +
