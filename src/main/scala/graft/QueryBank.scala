@@ -778,6 +778,23 @@ object QueryBank {
         queryName = "stream_dedup_correctness"),
       "SELECT DISTINCT user_id, event_type FROM events"),
 
+    ("stream_stream_join",
+      // watermarked stream-stream INNER join (view → purchase by the
+      // same user within a day): the canonical two-stream state shape —
+      // both sides watermarked, the time bound is what lets join state
+      // expire. The bounded harness delivers everything in one
+      // micro-batch, so the emitted pairs equal the batch interval
+      // join the oracle states.
+      (s, d) => graft.streaming.StreamOps.runBatchAsStream(
+        s, s"$d/events.parquet",
+        st => graft.streaming.StreamOps.streamStreamJoin(
+          st, "view", "purchase", withinMs = 86400000L),
+        queryName = "stream_stream_join_correctness"),
+      """SELECT v.user_id, v.event_id AS l_id, p.event_id AS r_id
+        |FROM events v JOIN events p ON v.user_id = p.user_id
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 DAY""".stripMargin),
+
     ("stream_enrich",
       // stream-static broadcast join — the canonical streaming lookup
       // shape: each micro-batch enriches against a batch dimension with
@@ -4069,6 +4086,24 @@ object QueryBank {
         | 'Chapter ' || ch || ' of book ' || doc_id AS text
         |FROM sp""".stripMargin),
 
+    ("detect_charset",
+      // charset sniff across the four shapes a crawl's raw text
+      // bucket actually contains: pure ASCII, valid UTF-8, cp1252
+      // (invalid UTF-8), and BOM-less UTF-16LE (valid-but-NUL-riddled
+      // UTF-8 — the parity heuristic must win)
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val raw = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("raw", synthCharsetUdf(col("doc_id")))
+        r("detect-charset :raw")(raw)
+          .select(col("doc_id"), col("raw_charset").as("charset"))
+      },
+      """SELECT doc_id, CASE doc_id % 4
+        | WHEN 0 THEN 'us-ascii' WHEN 1 THEN 'utf-8'
+        | WHEN 2 THEN 'windows-1252' ELSE 'utf-16le' END AS charset
+        |FROM documents WHERE doc_id < 200""".stripMargin),
+
     ("extract_text_route",
       // the mixed-corpus front door: ids cycle through PDF, DOCX,
       // HTML and plain-text payloads carrying the SAME closed-form
@@ -6194,6 +6229,15 @@ object QueryBank {
           (s"<p:sld><a:p><a:r><a:t>S$id-$n</a:t></a:r></a:p></p:sld>")
             .getBytes("UTF-8"))
       graft.sources.Zip.build(Seq(slide(10), slide(2)))
+    })
+
+  /** Fixture: raw text bytes in four encodings by id. */
+  private val synthCharsetUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => (id % 4) match {
+      case 0 => s"Plain text $id".getBytes("US-ASCII")
+      case 1 => s"Café text $id".getBytes("UTF-8")
+      case 2 => s"Café text $id".getBytes("windows-1252")
+      case _ => s"Hello wide $id".getBytes("UTF-16LE")
     })
 
   /** Fixture: the same text (`R <id>`) wrapped as PDF, DOCX, HTML or

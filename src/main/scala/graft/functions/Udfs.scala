@@ -1014,6 +1014,60 @@ object Udfs {
     * untouched. This is the core transform of the published ftfy
     * "fix encoding" step, re-implemented from the codec tables.
     */
+  /** Charset sniff for raw text bytes — the decode router ahead of
+    * set-charset on crawled/legacy corpora. BOMs win; then a STRICT
+    * UTF-8 decode (pure ASCII reports us-ascii); then the
+    * alternating-null shape of BOM-less UTF-16 (≥40% zero bytes on
+    * one parity and almost none on the other); windows-1252 is the
+    * web-default fallback for everything else (a superset of
+    * iso-8859-1 in the bytes browsers actually see). Null/empty →
+    * null.
+    */
+  def detectCharset(b: Array[Byte]): String = {
+    if (b == null || b.length == 0) return null
+    def at(i: Int): Int = b(i) & 0xff
+    if (b.length >= 3 && at(0) == 0xef && at(1) == 0xbb && at(2) == 0xbf)
+      return "utf-8"
+    if (b.length >= 4 && at(0) == 0xff && at(1) == 0xfe &&
+      at(2) == 0 && at(3) == 0) return "utf-32le"
+    if (b.length >= 4 && at(0) == 0 && at(1) == 0 &&
+      at(2) == 0xfe && at(3) == 0xff) return "utf-32be"
+    if (b.length >= 2 && at(0) == 0xff && at(1) == 0xfe) return "utf-16le"
+    if (b.length >= 2 && at(0) == 0xfe && at(1) == 0xff) return "utf-16be"
+    // BOM-less UTF-16 FIRST: NUL bytes are technically valid UTF-8
+    // (U+0000), so a strict-UTF-8 check would misread Latin UTF-16 as
+    // NUL-riddled ASCII; real text never carries NULs, the parity
+    // shape is decisive
+    var zeroEven = 0; var zeroOdd = 0
+    var i = 0
+    while (i < b.length) {
+      if (b(i) == 0) { if (i % 2 == 0) zeroEven += 1 else zeroOdd += 1 }
+      i += 1
+    }
+    val half = math.max(1, b.length / 2)
+    if (b.length >= 8) {
+      if (zeroEven * 10 >= half * 4 && zeroOdd * 10 < half)
+        return "utf-16be" // high bytes (even positions) are zero
+      if (zeroOdd * 10 >= half * 4 && zeroEven * 10 < half)
+        return "utf-16le"
+    }
+    val strictUtf8 =
+      try {
+        java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .decode(java.nio.ByteBuffer.wrap(b))
+        true
+      } catch { case _: java.nio.charset.CharacterCodingException => false }
+    if (strictUtf8) {
+      var ascii = true
+      var j = 0
+      while (ascii && j < b.length) { if (at(j) >= 0x80) ascii = false; j += 1 }
+      if (ascii) "us-ascii" else "utf-8"
+    } else "windows-1252"
+  }
+
+  val detectCharsetUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(detectCharset _)
+
   private def fixMojibakeOnce(s: String): String = {
     val n = s.length
     val bytes = new Array[Byte](n)

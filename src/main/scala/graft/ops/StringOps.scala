@@ -116,6 +116,20 @@ object StringOps {
     case "remove-accents" => inPlace(spec)(c =>
       Udfs.removeAccentsUdf(c.cast(StringType)))
 
+    // `detect-charset :col` — sniff raw text bytes (BOM → strict
+    // UTF-8 → BOM-less UTF-16 shape → windows-1252 fallback) into
+    // `<col>_charset`; compose with set-charset for the decode.
+    case "detect-charset" => ColumnOps.simple(spec) { df =>
+      val c = spec.col(0)
+      val bin =
+        if (df.schema(c).dataType == org.apache.spark.sql.types.BinaryType)
+          col(c)
+        else col(c).cast(org.apache.spark.sql.types.StringType)
+          .cast(org.apache.spark.sql.types.BinaryType)
+      df.withColumn(s"${c}_charset",
+        graft.functions.Udfs.detectCharsetUdf(bin))
+    }
+
     // `fix-mojibake :col` — repair UTF-8 text misdecoded as
     // cp1252/Latin-1 ("cafÃ©" -> "café", "donâ€™t" -> "don’t"), to a
     // fixed point for double-encoded crawls; clean text, pure ASCII

@@ -44,6 +44,37 @@ object StreamOps {
       case _ => df
     }
 
+  /** Watermarked stream-stream INNER join — the impressions→
+    * conversions shape (a `leftType` event joined to every
+    * `rightType` event by the same user within `withinMs`). BOTH
+    * sides carry watermarks and the join condition bounds event time
+    * in BOTH directions, which is exactly what lets Spark expire join
+    * state: a buffered left row can be dropped once the right
+    * watermark passes `l_ts + within` — without the bound the state
+    * grows forever. Self-splitting one source stream into the two
+    * sides is the supported stream-stream self-join form.
+    */
+  def streamStreamJoin(events0: DataFrame, leftType: String,
+      rightType: String, withinMs: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    require(withinMs > 0, "streamStreamJoin: withinMs must be positive")
+    val events = normalizeTs(events0, "ts")
+    val left = events.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"))
+      .withWatermark("l_ts", watermark)
+    val right = events.filter(col("event_type") === rightType)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"))
+      .withWatermark("r_ts", watermark)
+    left.join(right,
+        col("user_id") === col("r_user") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") +
+            expr(s"INTERVAL ${withinMs / 1000} SECOND"))
+      .select(col("user_id"), col("l_id"), col("r_id"))
+  }
+
   /** Watermarked sliding-window aggregation over an event stream:
     * count + sum(value) per (window, event_type).
     */

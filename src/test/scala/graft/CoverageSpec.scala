@@ -146,7 +146,8 @@ class CoverageSpec extends SparkSpec {
     "parse-as-eml-parts", "extract-html-tables", "extract-html-meta",
     "extract-html-jsonld", "char-entropy", "outlier-mad",
     "robots-sitemaps", "parse-as-subtitles", "parse-yaml-frontmatter",
-    "parse-as-docx", "parse-as-pptx", "parse-as-epub", "extract-text")
+    "parse-as-docx", "parse-as-pptx", "parse-as-epub", "extract-text",
+    "detect-charset")
 
   test("all curation/sampling directives resolve in the registry") {
     val missing = unresolved(curationDirectives)

@@ -43,6 +43,39 @@ class StreamSpec extends SparkSpec {
       batch.agg(sum("n")).head().getLong(0))
   }
 
+  test("stream-stream join: watermarked self-join equals the batch interval join") {
+    val out = StreamOps.runBatchAsStream(spark, s"$eventsDir/events.parquet",
+      st => StreamOps.streamStreamJoin(st, "view", "purchase",
+        withinMs = 86400000L),
+      queryName = "stream_ssj")
+    val ev = StreamOps.normalizeTs(
+      spark.read.parquet(s"$eventsDir/events.parquet"), "ts")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"), col("event_id").as("vid"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"),
+        col("event_id").as("pid"))
+    val batch = v.join(p, col("user_id") === col("pu") &&
+        col("pts") >= col("vts") &&
+        col("pts") <= col("vts") + expr("INTERVAL 86400 SECOND"))
+      .select("user_id", "vid", "pid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // the logical plan carries watermarks on BOTH sides and the
+    // two-directional event-time bound — the preconditions for
+    // watermark-driven join-state eviction (without them Spark
+    // rejects or buffers forever)
+    val st = spark.readStream
+      .schema(spark.read.parquet(s"$eventsDir/events.parquet").schema)
+      .parquet(eventsDir + "/events.parquet")
+    val plan = StreamOps.streamStreamJoin(st, "view", "purchase",
+      86400000L).queryExecution.analyzed.toString
+    assert(plan.contains("EventTimeWatermark"), plan.take(2000))
+    assert(plan.contains("l_ts") && plan.contains("r_ts"))
+  }
+
   test("mapGroupsWithState sessionization emits per-user aggregates") {
     val out = StreamOps.runBatchAsStream(spark, s"$eventsDir/events.parquet",
       st => StreamOps.sessionize(st),
