@@ -4104,6 +4104,30 @@ object QueryBank {
         | WHEN 2 THEN 'windows-1252' ELSE 'utf-16le' END AS charset
         |FROM documents WHERE doc_id < 200""".stripMargin),
 
+    ("pipeline_document_lake",
+      // the document-lake capstone: the SAME logical content arrives
+      // four times — as PDF, DOCX, HTML and plain bytes — and the
+      // router + exact dedup collapse the four container forms onto
+      // one survivor (smallest id). A slip in ANY extractor leaves
+      // that format's copies as spurious survivors and breaks the
+      // hash; the router is what makes cross-format dedup possible
+      // at all.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val lake = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthLakeDocUdf(col("doc_id")))
+        val texts = r("extract-text :payload")(lake)
+        r("dedup-exact :payload_text :doc_id")(texts)
+          .select(col("doc_id"), col("payload_format").as("format"),
+            col("payload_text").as("text"))
+      },
+      """SELECT doc_id, CASE doc_id % 4
+        | WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+        | WHEN 2 THEN 'html' ELSE 'text' END AS format,
+        | 'R ' || doc_id AS text
+        |FROM documents WHERE doc_id < 50""".stripMargin),
+
     ("extract_text_route",
       // the mixed-corpus front door: ids cycle through PDF, DOCX,
       // HTML and plain-text payloads carrying the SAME closed-form
@@ -6238,6 +6262,23 @@ object QueryBank {
       case 1 => s"Café text $id".getBytes("UTF-8")
       case 2 => s"Café text $id".getBytes("windows-1252")
       case _ => s"Hello wide $id".getBytes("UTF-16LE")
+    })
+
+  /** Fixture: content keyed by id%50, container by id%4 — each
+    * logical document exists in four formats across the 200-id range
+    * (the cross-format dedup input).
+    */
+  private val synthLakeDocUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      val text = s"R ${id % 50}"
+      (id % 4) match {
+        case 0 => graft.sources.Pdf.build(Seq(Seq(text)))
+        case 1 => graft.sources.Zip.build(Seq(("word/document.xml",
+          s"<w:p><w:r><w:t>$text</w:t></w:r></w:p>".getBytes("UTF-8"))))
+        case 2 => s"<html><body><p>$text</p></body></html>"
+          .getBytes("UTF-8")
+        case _ => text.getBytes("UTF-8")
+      }
     })
 
   /** Fixture: the same text (`R <id>`) wrapped as PDF, DOCX, HTML or
