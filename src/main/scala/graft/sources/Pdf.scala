@@ -18,11 +18,14 @@ import org.apache.spark.sql.functions.udf
   * with the bytes falls back to scanning for `endstream`, and any
   * structural failure yields the pages recovered so far.
   *
-  * Out of scope (documented, not silently wrong): CJK/composite-font
-  * CID text (bytes without a /ToUnicode map are emitted via the
-  * single-byte fallback), encrypted documents (detected via
-  * /Encrypt → empty), object streams (/Type /ObjStm compressed
-  * objects), and PNG-predictored streams (Predictor ≥ 2 → skipped).
+  * Covered beyond the base walk: /Type /ObjStm compressed object
+  * streams (modern writers park the page tree there) expand into
+  * their member objects, and PNG-predictored Flate streams
+  * reconstruct through the row filters. Out of scope (documented,
+  * not silently wrong): CJK/composite-font CID text (bytes without a
+  * /ToUnicode map are emitted via the single-byte fallback),
+  * encrypted documents (detected via /Encrypt → empty), and the TIFF
+  * predictor (Predictor 2 → skipped).
   */
 object Pdf {
 
@@ -291,6 +294,60 @@ object Pdf {
     -1
   }
 
+  /** Expand `/Type /ObjStm` compressed object streams (ISO 32000
+    * 7.5.7) into their member objects — modern writers park the
+    * catalog, page tree and font dicts inside these, so without the
+    * expansion a 2010s-era PDF parses to ZERO pages. Layout: /N pairs
+    * of `objnum offset` integers, then the objects themselves
+    * starting at /First. Directly-parsed objects win on collision
+    * (an incremental update overrides its ObjStm original). One
+    * level — ObjStm inside ObjStm is forbidden by the spec.
+    */
+  private def expandObjStm(doc: PdfDoc): PdfDoc = {
+    val resolve = mkResolver(doc)
+    val extra = Map.newBuilder[Int, (PVal, Option[Array[Byte]])]
+    doc.objs.foreach {
+      case (_, (d: PDict, Some(raw)))
+        if d.m.get("Type").contains(PName("ObjStm")) =>
+        decodeStream(d, raw, resolve).foreach { data =>
+          try {
+            val n = resolve(d.m.getOrElse("N", PNullV)) match {
+              case PNum(v) => v.toInt
+              case _ => 0
+            }
+            val first = resolve(d.m.getOrElse("First", PNullV)) match {
+              case PNum(v) => v.toInt
+              case _ => -1
+            }
+            if (n > 0 && n <= 100000 && first >= 0 &&
+              first <= data.length) {
+              val lx = new Lex(data)
+              val pairs = (0 until n).flatMap { _ =>
+                (lx.next(), lx.next()) match {
+                  case (TNum(num), TNum(off))
+                    if num >= 0 && off >= 0 => Some((num.toInt, off.toInt))
+                  case _ => None
+                }
+              }
+              pairs.foreach { case (num, off) =>
+                if (first + off < data.length) {
+                  val vlx = new Lex(data)
+                  vlx.pos = first + off
+                  try {
+                    extra += num ->
+                      (parseValue(vlx, vlx.next(), refs = true, 0), None)
+                  } catch { case _: RuntimeException => () }
+                }
+              }
+            }
+          } catch { case _: RuntimeException => () }
+        }
+      case _ => ()
+    }
+    // direct objects win: ++ keeps the right-hand (direct) map's entry
+    PdfDoc(extra.result() ++ doc.objs, doc.trailer)
+  }
+
   /** Sequential body parse: `N G obj … endobj` records in file order,
     * xref tables / trailer / startxref skipped in place. The xref
     * OFFSETS are never trusted — crawled PDFs carry stale or
@@ -442,16 +499,21 @@ object Pdf {
       f match {
         case "" => ()
         case "FlateDecode" | "Fl" =>
+          data = inflate(data, maxBytes).orNull
           resolve(parm) match {
-            case d: PDict if (resolve(d.m.getOrElse("Predictor", PNum(1)))
-                match {
-                  case PNum(p) => p >= 2
-                  case _ => false
-                }) =>
-              return None // predictored streams: xref-stream territory
+            case d: PDict =>
+              def intOf(k: String, dflt: Int): Int =
+                resolve(d.m.getOrElse(k, PNum(dflt))) match {
+                  case PNum(v) => v.toInt
+                  case _ => dflt
+                }
+              val predictor = intOf("Predictor", 1)
+              if (predictor >= 10 && data != null)
+                data = pngUnpredict(data, intOf("Columns", 1),
+                  intOf("Colors", 1), intOf("BitsPerComponent", 8)).orNull
+              else if (predictor == 2) return None // TIFF predictor: rare
             case _ => ()
           }
-          data = inflate(data, maxBytes).orNull
         case "ASCIIHexDecode" | "AHx" => data = asciiHex(data)
         case "ASCII85Decode" | "A85" => data = ascii85(data).orNull
         case _ => return None // DCTDecode/JPX/CCITT/LZW/Crypt: not text
@@ -479,6 +541,55 @@ object Pdf {
       } finally inf.end()
     }
     run(false).orElse(run(true)) // some writers emit raw deflate
+  }
+
+  /** Undo PNG row predictors (ISO 32000 7.4.4.4 delegates to the PNG
+    * spec): each row is one filter byte + rowBytes; filters 0–4
+    * (none/sub/up/average/paeth) reconstruct against the previous
+    * row. Malformed geometry → None.
+    */
+  private def pngUnpredict(data: Array[Byte], columns: Int, colors: Int,
+      bpc: Int): Option[Array[Byte]] = {
+    if (columns <= 0 || colors <= 0 || bpc <= 0) return None
+    val rowBytes = (columns.toLong * colors * bpc + 7) / 8
+    if (rowBytes <= 0 || rowBytes > Int.MaxValue - 1) return None
+    val stride = rowBytes.toInt + 1
+    if (data.length % stride != 0) return None
+    val bpp = math.max(1, colors * bpc / 8)
+    val rows = data.length / stride
+    val out = new Array[Byte](rows * rowBytes.toInt)
+    var r = 0
+    while (r < rows) {
+      val filter = data(r * stride) & 0xff
+      val src = r * stride + 1
+      val dst = r * rowBytes.toInt
+      val prev = dst - rowBytes.toInt
+      var i = 0
+      while (i < rowBytes) {
+        val raw = data(src + i) & 0xff
+        val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+        val up = if (r > 0) out(prev + i) & 0xff else 0
+        val ul = if (r > 0 && i >= bpp) out(prev + i - bpp) & 0xff else 0
+        val rec = filter match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            raw + (if (pa <= pb && pa <= pc) left
+              else if (pb <= pc) up else ul)
+          case _ => return None
+        }
+        out(dst + i) = (rec & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    Some(out)
   }
 
   private def asciiHex(data: Array[Byte]): Array[Byte] = {
@@ -685,7 +796,7 @@ object Pdf {
   def extract(bytes: Array[Byte]): Seq[PdfPage] = {
     try {
       if (bytes == null || bytes.length < 8) return Nil
-      val doc = parseDoc(bytes)
+      val doc = expandObjStm(parseDoc(bytes))
       if (doc.trailer.m.contains("Encrypt")) return Nil
       val resolve = mkResolver(doc)
       pageDicts(doc).zipWithIndex.map { case ((page, _), idx) =>
@@ -715,7 +826,7 @@ object Pdf {
   /** Document /Info title (None when absent/undecodable). */
   def title(bytes: Array[Byte]): Option[String] = {
     try {
-      val doc = parseDoc(bytes)
+      val doc = expandObjStm(parseDoc(bytes))
       val resolve = mkResolver(doc)
       resolve(doc.trailer.m.getOrElse("Info", PNullV)) match {
         case d: PDict => resolve(d.m.getOrElse("Title", PNullV)) match {

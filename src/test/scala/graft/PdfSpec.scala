@@ -91,6 +91,74 @@ class PdfSpec extends SparkSpec {
       .map(_.text) == Seq("Hi"))
   }
 
+  test("ObjStm: page tree inside a compressed object stream still yields pages") {
+    // modern-writer shape: catalog/pages/page dicts live in an
+    // ObjStm; only the content stream is a direct object
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val o = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+      d.end(); o.toByteArray
+    }
+    val objs = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    val offsets = objs.scanLeft(0)(_ + _.length + 1).init
+    val header = objs.indices.map(i => s"${i + 1} ${offsets(i)}")
+      .mkString(" ") + " "
+    val payload = (header + objs.mkString(" ") + " ").getBytes("ISO-8859-1")
+    // header length must be /First; recompute after building
+    val first = header.length
+    val stmData = deflate(payload)
+    val content = "BT (from objstm) Tj ET"
+    val pdf = ("%PDF-1.5\n" +
+      s"5 0 obj\n<< /Type /ObjStm /N 3 /First $first " +
+      s"/Length ${stmData.length} /Filter /FlateDecode >>\nstream\n")
+      .getBytes("ISO-8859-1") ++ stmData ++
+      ("\nendstream\nendobj\n" +
+        s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\n" +
+        "endstream\nendobj\n" +
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    assert(Pdf.extract(pdf).map(_.text) == Seq("from objstm"))
+  }
+
+  test("PNG-predictored Flate content streams reconstruct") {
+    val content0 = "BT (predictored text) Tj ET".getBytes("ISO-8859-1")
+    val cols = 16
+    val padded = content0 ++ Array.fill[Byte](
+      (cols - content0.length % cols) % cols)(' '.toByte)
+    // encode with PNG filter 1 (sub): enc[i] = raw[i] - left
+    val enc = new java.io.ByteArrayOutputStream()
+    padded.grouped(cols).foreach { row =>
+      enc.write(1)
+      var left = 0
+      row.foreach { b =>
+        enc.write(((b & 0xff) - left) & 0xff)
+        left = b & 0xff
+      }
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(enc.toByteArray); d.finish()
+    val o = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+    d.end()
+    val stmData = o.toByteArray
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${stmData.length} /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns $cols >> >>\nstream\n")
+      .getBytes("ISO-8859-1") ++ stmData ++
+      ("\nendstream\nendobj\ntrailer\n<< /Root 1 0 R >>\n%%EOF\n")
+        .getBytes("ISO-8859-1")
+    assert(Pdf.extract(pdf).map(_.text) == Seq("predictored text"))
+  }
+
   test("damaged xref offsets are irrelevant; damaged object resyncs") {
     val good = Pdf.build(Seq(Seq("page one"), Seq("page two")))
     // corrupt every xref offset digit — the sequential walk must not care
