@@ -4149,6 +4149,24 @@ object QueryBank {
         | 'R ' || doc_id AS text
         |FROM documents WHERE doc_id < 200""".stripMargin),
 
+    ("parse_as_pdf_cid",
+      // composite-font text: a Type0 font whose /ToUnicode CMap
+      // (bfrange over 20 codes) decodes 2-byte CID hex strings —
+      // the CJK-PDF path; DuckDB rebuilds the mapped characters from
+      // the code arithmetic
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val pdfs = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthCidPdfUdf(col("doc_id")))
+        r("parse-as-pdf :payload")(pdfs)
+          .select(col("doc_id"), col("payload_text").as("text"))
+      },
+      """SELECT doc_id,
+        | chr(CAST(65 + doc_id % 20 AS INT)) ||
+        |   chr(CAST(65 + (doc_id * 7) % 20 AS INT)) AS text
+        |FROM documents WHERE doc_id < 200""".stripMargin),
+
     ("pipeline_warc_pdf",
       // the crawl→document path end-to-end: WARC record split → HTTP
       // envelope unwrap → BYTE-exact binary payload (the new
@@ -6262,6 +6280,32 @@ object QueryBank {
       case 1 => s"Café text $id".getBytes("UTF-8")
       case 2 => s"Café text $id".getBytes("windows-1252")
       case _ => s"Hello wide $id".getBytes("UTF-16LE")
+    })
+
+  /** Fixture: a one-page PDF whose text rides a Type0 font + 2-byte
+    * /ToUnicode CMap (bfrange codes 0..19 → A..T) — the CID decode
+    * path.
+    */
+  private val synthCidPdfUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      val c1 = (id % 20).toInt
+      val c2 = ((id * 7) % 20).toInt
+      val cmap = "begincmap\n" +
+        "1 begincodespacerange <0000> <FFFF> endcodespacerange\n" +
+        "1 beginbfrange <0000> <0013> <0041> endbfrange\n" +
+        "endcmap"
+      val content = f"BT /F9 12 Tf 72 720 Td <$c1%04X$c2%04X> Tj ET"
+      ("%PDF-1.4\n" +
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R " +
+        "/Resources << /Font << /F9 5 0 R >> >> /Contents 4 0 R >>\nendobj\n" +
+        s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\n" +
+        "endstream\nendobj\n" +
+        "5 0 obj\n<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>\nendobj\n" +
+        s"6 0 obj\n<< /Length ${cmap.length} >>\nstream\n$cmap\n" +
+        "endstream\nendobj\n" +
+        "trailer\n<< /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
     })
 
   /** Fixture: content keyed by id%50, container by id%4 — each

@@ -721,15 +721,134 @@ object Pdf {
     else new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 
+  /** A parsed /ToUnicode CMap: source-code byte length + the
+    * code→text map (bfchar entries and expanded bfranges).
+    */
+  private[graft] case class CMap(codeLen: Int, map: Map[Int, String])
+
+  /** Parse a /ToUnicode CMap stream (ISO 32000 9.10.3 / Adobe CMap
+    * syntax): `begincodespacerange` fixes the source byte length,
+    * `beginbfchar` pairs map codes to UTF-16BE text, `beginbfrange`
+    * triples map [lo,hi] to a base (incremented per code) or to an
+    * explicit array. The CMap's own PostScript framing lexes with the
+    * shared [[Lex]] — hex strings are already first-class tokens.
+    */
+  private[graft] def parseCMap(data: Array[Byte]): CMap = {
+    val lx = new Lex(data)
+    var codeLen = 0
+    val map = Map.newBuilder[Int, String]
+    def codeOf(b: Array[Byte]): Int = {
+      var v = 0
+      b.foreach(x => v = (v << 8) | (x & 0xff))
+      v
+    }
+    def utf16(b: Array[Byte]): String =
+      new String(b, java.nio.charset.StandardCharsets.UTF_16BE)
+    var mode = 0 // 0 none, 1 codespace, 2 bfchar, 3 bfrange
+    val args = scala.collection.mutable.ArrayBuffer[PVal]()
+    var go = true
+    var guard = 0
+    while (go && guard < 1000000) {
+      guard += 1
+      val before = lx.pos
+      lx.next() match {
+        case TEof => go = false
+        case TKw(kw) =>
+          kw match {
+            case "begincodespacerange" => mode = 1; args.clear()
+            case "beginbfchar" => mode = 2; args.clear()
+            case "beginbfrange" => mode = 3; args.clear()
+            case "endcodespacerange" | "endbfchar" | "endbfrange" =>
+              mode = 0; args.clear()
+            case _ => ()
+          }
+        case TStr(s) if mode == 1 =>
+          if (codeLen == 0) codeLen = s.length
+        case t if mode == 2 =>
+          args += parseValue(lx, t, refs = false, 0)
+          if (args.length == 2) {
+            (args(0), args(1)) match {
+              case (PStr(src), PStr(dst)) =>
+                map += codeOf(src) -> utf16(dst)
+              case _ => ()
+            }
+            args.clear()
+          }
+        case t if mode == 3 =>
+          args += parseValue(lx, t, refs = false, 0)
+          if (args.length == 3) {
+            (args(0), args(1), args(2)) match {
+              case (PStr(lo), PStr(hi), PStr(dst)) =>
+                val l = codeOf(lo); val h = codeOf(hi)
+                if (h >= l && h - l <= 65535 && dst.nonEmpty) {
+                  val base = utf16(dst)
+                  var c = l
+                  while (c <= h) {
+                    val s =
+                      if (base.isEmpty) ""
+                      else base.init +
+                        (base.last + (c - l)).toChar
+                    map += c -> s
+                    c += 1
+                  }
+                }
+              case (PStr(lo), PStr(hi), PArr(items)) =>
+                val l = codeOf(lo); val h = codeOf(hi)
+                if (h >= l && h - l < items.length + 1) {
+                  items.zipWithIndex.foreach {
+                    case (PStr(dst), i) if l + i <= h =>
+                      map += (l + i) -> utf16(dst)
+                    case _ => ()
+                  }
+                }
+              case _ => ()
+            }
+            args.clear()
+          }
+        case _ => ()
+      }
+      if (lx.pos <= before && !lx.eof) lx.pos = before + 1
+    }
+    CMap(if (codeLen == 0) 2 else codeLen, map.result())
+  }
+
+  /** CID string decode under a font's CMap: bytes group into
+    * codeLen-byte codes, each mapped through the CMap (unmapped codes
+    * drop — emitting raw CIDs would be garbage, and a document whose
+    * CMap misses codes is degrading either way).
+    */
+  private def cidText(bytes: Array[Byte], cmap: CMap): String = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + cmap.codeLen <= bytes.length) {
+      var code = 0
+      var j = 0
+      while (j < cmap.codeLen) { code = (code << 8) | (bytes(i + j) & 0xff); j += 1 }
+      cmap.map.get(code).foreach(sb.append)
+      i += cmap.codeLen
+    }
+    sb.toString
+  }
+
   /** Text of one page's concatenated content streams. Line structure
     * from the positioning operators: `T*`, TD, Tm, ET and Td with a
     * vertical move start a new line; Td with ty=0 is a horizontal
     * jump → space. TJ kern gaps ≤ −180/1000 em read as word spaces.
+    * `fonts` maps resource font names (the `/F1` of `Tf`) to their
+    * /ToUnicode CMaps: strings shown under a CMap-carrying font
+    * decode as CID codes, everything else through [[strText]].
     */
-  private[graft] def streamText(data: Array[Byte]): String = {
+  private[graft] def streamText(data: Array[Byte],
+      fonts: Map[String, CMap] = Map.empty): String = {
     val sb = new java.lang.StringBuilder
     var pendingNl = false
     var pendingSp = false
+    var curFont: String = null
+    def decoded(s: Array[Byte]): String =
+      (if (curFont == null) None else fonts.get(curFont)) match {
+        case Some(cmap) => cidText(s, cmap)
+        case None => strText(s)
+      }
     def show(s: String): Unit = {
       if (s.isEmpty) return
       if (pendingNl && sb.length > 0) sb.append('\n')
@@ -749,20 +868,23 @@ object Pdf {
         case TKw(op) =>
           op match {
             case "Tj" => stack.lastOption.collect { case PStr(s) =>
-              show(strText(s)) }
+              show(decoded(s)) }
             case "'" =>
               pendingNl = true
-              stack.lastOption.collect { case PStr(s) => show(strText(s)) }
+              stack.lastOption.collect { case PStr(s) => show(decoded(s)) }
             case "\"" =>
               pendingNl = true
-              stack.lastOption.collect { case PStr(s) => show(strText(s)) }
+              stack.lastOption.collect { case PStr(s) => show(decoded(s)) }
             case "TJ" => stack.lastOption.collect { case PArr(items) =>
               items.foreach {
-                case PStr(s) => show(strText(s))
+                case PStr(s) => show(decoded(s))
                 case PNum(v) if v <= -180 => pendingSp = true
                 case _ => ()
               }
             }
+            case "Tf" =>
+              stack.collectFirst { case PName(f) => f }
+                .foreach(f => curFont = f)
             case "T*" => pendingNl = true
             case "TD" => pendingNl = true
             case "Tm" => pendingNl = true
@@ -772,7 +894,7 @@ object Pdf {
                 case Some(PNum(ty)) if ty != 0 => pendingNl = true
                 case _ => pendingSp = true
               }
-            case _ => () // Tf/Tc/Tw/gs/re/… — no text effect
+            case _ => () // Tc/Tw/gs/re/… — no text effect
           }
           stack.clear()
         case t =>
@@ -815,7 +937,30 @@ object Pdf {
         val joined =
           if (raw.isEmpty) Array.empty[Byte]
           else raw.reduce((a, b) => a ++ Array[Byte](10) ++ b)
-        PdfPage(idx, streamText(joined))
+        // composite-font text: each resource font carrying /ToUnicode
+        // gets its CMap, so CID strings decode to real characters
+        val fonts: Map[String, CMap] =
+          resolve(page.m.getOrElse("Resources", PNullV)) match {
+            case rd: PDict => resolve(rd.m.getOrElse("Font", PNullV)) match {
+              case fd: PDict => fd.m.flatMap { case (fname, fref) =>
+                resolve(fref) match {
+                  case f: PDict => f.m.get("ToUnicode") match {
+                    case Some(PRef(n)) => doc.objs.get(n).flatMap {
+                      case (d2: PDict, Some(rawS)) =>
+                        decodeStream(d2, rawS, resolve)
+                          .map(b => fname -> parseCMap(b))
+                      case _ => None
+                    }
+                    case _ => None
+                  }
+                  case _ => None
+                }
+              }
+              case _ => Map.empty[String, CMap]
+            }
+            case _ => Map.empty[String, CMap]
+          }
+        PdfPage(idx, streamText(joined, fonts))
       }
     } catch {
       case _: RuntimeException => Nil

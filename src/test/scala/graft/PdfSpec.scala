@@ -159,6 +159,44 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.extract(pdf).map(_.text) == Seq("predictored text"))
   }
 
+  test("CID text: /ToUnicode CMap decodes composite-font hex strings") {
+    // bfchar maps 0001→日 0002→本, bfrange 0010..0012 → A B C
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange <0000> <FFFF> endcodespacerange
+        |2 beginbfchar
+        |<0001> <65E5>
+        |<0002> <672C>
+        |endbfchar
+        |1 beginbfrange
+        |<0010> <0012> <0041>
+        |endbfrange
+        |endcmap end end""".stripMargin
+    val parsed = graft.sources.Pdf.parseCMap(cmap.getBytes("ISO-8859-1"))
+    assert(parsed.codeLen == 2)
+    assert(parsed.map(1) == "日" && parsed.map(2) == "本")
+    assert(parsed.map(0x10) == "A" && parsed.map(0x12) == "C")
+    // full document: a Type0 font whose Tf governs a CID hex string,
+    // plus a plain-font line the CMap must NOT touch
+    val content = "BT /F9 12 Tf 72 720 Td <00010002> Tj " +
+      "T* /F1 12 Tf (plain) Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /F9 5 0 R /F1 7 0 R >> >> " +
+      "/Contents 4 0 R >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\n" +
+      "endstream\nendobj\n" +
+      "5 0 obj\n<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>\nendobj\n" +
+      s"6 0 obj\n<< /Length ${cmap.length} >>\nstream\n$cmap\n" +
+      "endstream\nendobj\n" +
+      "7 0 obj\n<< /Type /Font /Subtype /Type1 >>\nendobj\n" +
+      "trailer\n<< /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    assert(Pdf.extract(pdf).map(_.text) == Seq("日本\nplain"))
+  }
+
   test("damaged xref offsets are irrelevant; damaged object resyncs") {
     val good = Pdf.build(Seq(Seq("page one"), Seq("page two")))
     // corrupt every xref offset digit — the sequential walk must not care
