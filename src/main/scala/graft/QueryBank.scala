@@ -4045,6 +4045,26 @@ object QueryBank {
         |   ELSE 'Body & ' || (doc_id * 3) || chr(9) || 'T' END AS text
         |FROM sp""".stripMargin),
 
+    ("parse_as_odt",
+      // OpenDocument text: character data sits directly in text:p
+      // (spans flow through, unlike OOXML's run wrappers); entity +
+      // tab on the oracle path
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val odts = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthOdtUdf(col("doc_id")))
+        r("parse-as-odt :payload")(odts)
+          .select(col("doc_id"), col("payload_para").as("para"),
+            col("payload_text").as("text"))
+      },
+      """WITH sp AS (SELECT doc_id, unnest([0, 1]) AS p
+        | FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, CAST(p AS INT) AS para,
+        | CASE p WHEN 0 THEN 'Head ' || doc_id
+        |   ELSE 'Body & ' || (doc_id * 5) || chr(9) || 'end' END AS text
+        |FROM sp""".stripMargin),
+
     ("parse_as_pptx",
       // PPTX slide text with numeric slide ordering (slide10 after
       // slide2 — a lexicographic walk would misplace it; the fixture
@@ -6261,6 +6281,22 @@ object QueryBank {
       graft.sources.Zip.build(Seq(
         ("[Content_Types].xml", "<Types/>".getBytes("UTF-8")),
         ("word/document.xml", xml.getBytes("UTF-8"))))
+    })
+
+  /** Fixture: an ODT (zip + content.xml) with a heading and a
+    * span-carrying paragraph — entity and tab on the decode path.
+    */
+  private val synthOdtUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      val content = "<office:body><office:text>" +
+        s"<text:h>Head $id</text:h>" +
+        s"<text:p>Body <text:span>&amp; ${id * 5}</text:span>" +
+        "<text:tab/>end</text:p>" +
+        "</office:text></office:body>"
+      graft.sources.Zip.build(Seq(
+        ("mimetype",
+          "application/vnd.oasis.opendocument.text".getBytes("UTF-8")),
+        ("content.xml", content.getBytes("UTF-8"))))
     })
 
   /** Fixture: a PPTX with slides 2 and 10 (numeric-order trap). */

@@ -396,6 +396,24 @@ object ParserOps {
       }
     }
 
+    // `parse-as-odt :col` — OpenDocument text paragraphs
+    // (content.xml text:p/text:h character data): one row per
+    // paragraph (`<col>_para/_text`).
+    case "parse-as-odt" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        val bin =
+          if (df.schema(c).dataType == BinaryType) col(c)
+          else col(c).cast(StringType).cast(BinaryType)
+        df.withColumn("__od", explode(graft.sources.Docx.odtUdf(bin)))
+          .drop(c)
+          .withColumn(s"${c}_para", col("__od._1"))
+          .withColumn(s"${c}_text", col("__od._2"))
+          .drop("__od")
+      }
+    }
+
     // `parse-as-pptx :col` — slide text out of PPTX
     // (ppt/slides/slideN.xml runs, numeric slide order): one row per
     // paragraph (`<col>_slide/_text`).

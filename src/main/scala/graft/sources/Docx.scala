@@ -120,8 +120,73 @@ object Docx {
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
   }
 
+  /** Paragraph texts of an OpenDocument text file (ODT —
+    * LibreOffice/OpenOffice): `content.xml` paragraphs (`<text:p>`,
+    * `<text:h>` headings) whose CHARACTER DATA sits directly in the
+    * element (unlike OOXML's run wrappers); `<text:span>` inline
+    * content flows through, `<text:tab/>` → TAB, `<text:line-break/>`
+    * → LF, `<text:s/>` → space.
+    */
+  def extractOdt(b: Array[Byte]): Seq[String] = {
+    try {
+      Zip.entries(b).collectFirst {
+        case (name, _, data) if name == "content.xml" =>
+          odtParagraphs(new String(data,
+            java.nio.charset.StandardCharsets.UTF_8))
+      }.getOrElse(Seq.empty)
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+  }
+
+  private def odtParagraphs(xml: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new java.lang.StringBuilder
+    var inP = false
+    var i = 0
+    while (i < xml.length) {
+      val c = xml.charAt(i)
+      if (c == '<') {
+        val gt = xml.indexOf('>', i)
+        if (gt < 0) i = xml.length
+        else {
+          val selfClosing = xml.charAt(gt - 1) == '/'
+          if ((xml.startsWith("<text:p", i) &&
+              !xml.charAt(i + 7).isLetter && xml.charAt(i + 7) != '-') ||
+            (xml.startsWith("<text:h", i) &&
+              !xml.charAt(i + 7).isLetter && xml.charAt(i + 7) != '-')) {
+            if (inP) { out += sb.toString; sb.setLength(0) }
+            inP = true
+            if (selfClosing) { out += ""; inP = false } // empty paragraph
+          } else if (xml.startsWith("</text:p", i) ||
+            xml.startsWith("</text:h", i)) {
+            if (inP) { out += sb.toString; sb.setLength(0) }
+            inP = false
+          } else if (inP && xml.startsWith("<text:tab", i)) sb.append('\t')
+          else if (inP && xml.startsWith("<text:line-break", i))
+            sb.append('\n')
+          else if (inP && xml.startsWith("<text:s", i) &&
+            (xml.charAt(i + 7) == '/' || xml.charAt(i + 7) == ' ' ||
+              xml.charAt(i + 7) == '>')) sb.append(' ')
+          i = gt + 1
+        }
+      } else {
+        if (inP) {
+          // collect to the next tag in one hop, entity-decoded
+          val lt = xml.indexOf('<', i)
+          val end = if (lt < 0) xml.length else lt
+          sb.append(decode(xml.substring(i, end)))
+          i = end
+        } else i += 1
+      }
+    }
+    if (inP && sb.length > 0) out += sb.toString // truncated tail
+    out.result()
+  }
+
   val docxUdf: UserDefinedFunction = udf((b: Array[Byte]) =>
     extractDocx(b).zipWithIndex.map { case (t, i) => (i, t) })
+
+  val odtUdf: UserDefinedFunction = udf((b: Array[Byte]) =>
+    extractOdt(b).zipWithIndex.map { case (t, i) => (i, t) })
 
   val pptxUdf: UserDefinedFunction = udf((b: Array[Byte]) => extractPptx(b))
 }

@@ -53,6 +53,8 @@ object Extract {
         if (names.contains("META-INF/container.xml") ||
           names.exists(_.endsWith(".opf")))
           return ("epub", Epub.extract(b).map(_.text).mkString("\n\n"))
+        if (names.contains("content.xml"))
+          return ("odt", Docx.extractOdt(b).mkString("\n"))
         return ("zip", null) // member routing is parse-as-zip's job
       }
       // text-family: decode strictly — binary noise must not pass

@@ -91,6 +91,35 @@ class DocxSpec extends SparkSpec {
     assert(rows == Seq((0, "One"), (1, "Two")))
   }
 
+  test("odt: direct character data, spans flow through, tabs/breaks/entities") {
+    import graft.sources.Docx
+    val content =
+      """<?xml version="1.0"?>
+        |<office:document-content xmlns:text="x"><office:body><office:text>
+        |<text:h text:outline-level="1">Heading &amp; more</text:h>
+        |<text:p>Hello <text:span text:style-name="b">bold</text:span> world</text:p>
+        |<text:p>A<text:tab/>B<text:line-break/>C<text:s/>D</text:p>
+        |<text:p/>
+        |<text:page-number>7</text:page-number>
+        |</office:text></office:body></office:document-content>""".stripMargin
+    val odt = Zip.build(Seq(
+      ("mimetype", "application/vnd.oasis.opendocument.text".getBytes),
+      ("content.xml", content.getBytes("UTF-8"))))
+    assert(Docx.extractOdt(odt) == Seq(
+      "Heading & more", "Hello bold world", "A\tB\nC D", ""))
+    assert(Docx.extractOdt(null).isEmpty)
+    assert(Docx.extractOdt("junk".getBytes).isEmpty)
+    // router recognizes it
+    assert(graft.sources.Extract.extractAny(odt) ==
+      ("odt", "Heading & more\nHello bold world\nA\tB\nC D\n"))
+    // directive
+    val in = df("id LONG, payload BINARY", Seq(Row(1L, odt)))
+    val rows = wrangle("parse-as-odt :payload", in)
+      .select("payload_para", "payload_text").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows.take(2) == Seq((0, "Heading & more"), (1, "Hello bold world")))
+  }
+
   test("extract-text router: magic-byte dispatch across six formats") {
     import graft.sources.{Extract, Pdf}
     val pdf = Pdf.build(Seq(Seq("pdf page one"), Seq("page two")))
