@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions.udf
   *
   * Covered beyond the base walk: /Type /ObjStm compressed object
   * streams (modern writers park the page tree there) expand into
-  * their member objects, and PNG-predictored Flate streams
-  * reconstruct through the row filters. Out of scope (documented,
-  * not silently wrong): CJK/composite-font CID text (bytes without a
-  * /ToUnicode map are emitted via the single-byte fallback),
+  * their member objects, PNG-predictored Flate streams reconstruct
+  * through the row filters, and composite-font (Type0/CID) strings
+  * decode through their /ToUnicode CMaps — the CJK path. Out of
+  * scope (documented, not silently wrong): CID fonts WITHOUT a
+  * /ToUnicode map (bytes fall back to the single-byte decode),
   * encrypted documents (detected via /Encrypt → empty), and the TIFF
   * predictor (Predictor 2 → skipped).
   */
@@ -374,9 +375,12 @@ object Pdf {
               case TDictOpen =>
                 parseValue(lx, TDictOpen, refs = true, 0) match {
                   case d: PDict =>
-                    // first trailer wins (incremental updates append
-                    // later, staler ones)
-                    if (trailer.m.isEmpty) trailer = d
+                    // LAST trailer wins: incremental updates APPEND
+                    // their trailer after the original one, and the
+                    // final trailer names the newest /Root — matching
+                    // the object map, where later (newer) versions of
+                    // an object number also overwrite earlier ones
+                    trailer = d
                   case _ => ()
                 }
               case _ => ()

@@ -51,7 +51,7 @@ object Subtitles {
     var idx = 0
     // BOM + WEBVTT header line (with optional trailing metadata) is
     // just another non-cue line to the block walk below
-    val lines = raw.replace("﻿", "").split("\r\n|\n", -1)
+    val lines = raw.replace("\uFEFF", "").split("\r\n|\n", -1)
     var i = 0
     while (i < lines.length) {
       val m = Arrow.matcher(lines(i))

@@ -216,6 +216,19 @@ class PdfSpec extends SparkSpec {
       Seq("page one", "page two"))
   }
 
+  test("incremental update: appended object version and trailer win") {
+    // builder layout for 1 page: 1 catalog, 2 pages, 3 page,
+    // 4 content, 5 font — an incremental update appends a NEW
+    // object 4 and a new trailer; both must override the originals
+    val base = Pdf.build(Seq(Seq("old text")), compress = false)
+    val newContent = "BT (new text) Tj ET"
+    val update = (s"4 0 obj\n<< /Length ${newContent.length} >>\n" +
+      s"stream\n$newContent\nendstream\nendobj\n" +
+      "trailer\n<< /Root 1 0 R >>\nstartxref\n0\n%%EOF\n")
+      .getBytes("ISO-8859-1")
+    assert(Pdf.extract(base ++ update).map(_.text) == Seq("new text"))
+  }
+
   test("total on garbage, truncation, and encrypted docs") {
     assert(Pdf.extract(null).isEmpty)
     assert(Pdf.extract(Array.empty[Byte]).isEmpty)
