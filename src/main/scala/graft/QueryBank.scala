@@ -4150,10 +4150,10 @@ object QueryBank {
 
     ("extract_text_route",
       // the mixed-corpus front door: ids cycle through PDF, DOCX,
-      // HTML and plain-text payloads carrying the SAME closed-form
-      // content — the router must both dispatch the format correctly
-      // (magic bytes, container members) and recover identical text
-      // from every one of them
+      // HTML, plain-text and GZIPPED plain-text payloads carrying the
+      // SAME closed-form content — the router must both dispatch the
+      // format correctly (magic bytes, container members, gzip
+      // wrapper) and recover identical text from every one of them
       (s, d) => {
         import org.apache.spark.sql.functions._
         val mixed = docs(s, d).select(col("doc_id"))
@@ -4164,8 +4164,9 @@ object QueryBank {
             col("payload_text").as("text"))
       },
       """SELECT doc_id,
-        | CASE doc_id % 4 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
-        |   WHEN 2 THEN 'html' ELSE 'text' END AS format,
+        | CASE doc_id % 5 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+        |   WHEN 2 THEN 'html' WHEN 3 THEN 'text'
+        |   ELSE 'gz+text' END AS format,
         | 'R ' || doc_id AS text
         |FROM documents WHERE doc_id < 200""".stripMargin),
 
@@ -6361,17 +6362,23 @@ object QueryBank {
       }
     })
 
-  /** Fixture: the same text (`R <id>`) wrapped as PDF, DOCX, HTML or
-    * plain bytes by id — the router must recover it from all four.
+  /** Fixture: the same text (`R <id>`) wrapped as PDF, DOCX, HTML,
+    * plain bytes or gzipped plain bytes by id — the router must
+    * recover it from all five.
     */
   private val synthMixedDocUdf =
-    org.apache.spark.sql.functions.udf((id: Long) => (id % 4) match {
+    org.apache.spark.sql.functions.udf((id: Long) => (id % 5) match {
       case 0 => graft.sources.Pdf.build(Seq(Seq(s"R $id")))
       case 1 => graft.sources.Zip.build(Seq(("word/document.xml",
         s"<w:p><w:r><w:t>R $id</w:t></w:r></w:p>".getBytes("UTF-8"))))
       case 2 => (s"<html><body><p>R $id</p></body></html>")
         .getBytes("UTF-8")
-      case _ => s"R $id".getBytes("UTF-8")
+      case 3 => s"R $id".getBytes("UTF-8")
+      case _ =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(s"R $id".getBytes("UTF-8")); g.close()
+        bos.toByteArray
     })
 
   /** Fixture: a two-chapter EPUB whose zip order is reversed vs the

@@ -36,9 +36,22 @@ object Extract {
   }
 
   /** (format, text); (null, null) when unroutable. */
-  def extractAny(b: Array[Byte]): (String, String) = {
+  def extractAny(b: Array[Byte]): (String, String) =
+    extractAny(b, depth = 0)
+
+  private def extractAny(b: Array[Byte], depth: Int): (String, String) = {
     try {
       if (b == null || b.length == 0) return (null, null)
+      // gzip wrapper (crawls store .gz documents): inflate through
+      // the bomb-budgeted kernel and route the payload — ONE level,
+      // reported as gz+<inner> so the caller sees the wire form
+      if (depth == 0 && b.length >= 3 && (b(0) & 0xff) == 0x1f &&
+        (b(1) & 0xff) == 0x8b) {
+        val inner = graft.functions.Udfs.decompress(b, "gzip")
+        if (inner == null) return (null, null)
+        val (fmt, text) = extractAny(inner, depth + 1)
+        return (if (fmt == null) null else s"gz+$fmt", text)
+      }
       if (b.length >= 4 &&
         b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F') {
         val pages = Pdf.extract(b)
@@ -75,5 +88,6 @@ object Extract {
     } catch { case scala.util.control.NonFatal(_) => (null, null) }
   }
 
-  val extractAnyUdf: UserDefinedFunction = udf(extractAny _)
+  val extractAnyUdf: UserDefinedFunction =
+    udf((b: Array[Byte]) => extractAny(b))
 }

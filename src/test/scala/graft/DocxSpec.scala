@@ -141,6 +141,21 @@ class DocxSpec extends SparkSpec {
     // binary noise: unroutable, not silently-empty text
     assert(Extract.extractAny(
       Array[Byte](0, 1, 2, 3, -1, -2, -128, 40)) == ((null, null)))
+    // gzip wrapper: inflate once and route the payload
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    assert(Extract.extractAny(gz(pdf)) ==
+      ("gz+pdf", "pdf page one\n\npage two"))
+    assert(Extract.extractAny(gz("hello gz".getBytes("UTF-8"))) ==
+      ("gz+text", "hello gz"))
+    // double-gzip stops at one level: the inner gz is unroutable
+    assert(Extract.extractAny(gz(gz("x".getBytes))) == ((null, null)))
+    // corrupt gzip header: unroutable
+    assert(Extract.extractAny(
+      Array[Byte](0x1f, 0x8b.toByte, 0, 0, 0)) == ((null, null)))
     assert(Extract.extractAny(null) == ((null, null)))
     // directive: format + text columns appended
     val in = df("id LONG, payload BINARY",
