@@ -4106,6 +4106,41 @@ object QueryBank {
         | 'Chapter ' || ch || ' of book ' || doc_id AS text
         |FROM sp""".stripMargin),
 
+    ("parse_as_rtf",
+      // RTF extraction: destination skip (fonttbl must not leak),
+      // \'hh codepage byte, \tab/\par, unicode escape with fallback
+      // skip — all on the oracle path
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val rtfs = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthRtfUdf(col("doc_id")))
+        r("parse-as-rtf :payload")(rtfs)
+          .select(col("doc_id"), col("payload_text").as("text"))
+      },
+      """SELECT doc_id,
+        | 'Doc é ' || doc_id || chr(9) || '—x' || chr(10) ||
+        |   'second ' || (doc_id * 3) AS text
+        |FROM documents WHERE doc_id < 200""".stripMargin),
+
+    ("strip_latex",
+      // arXiv de-TeX: comment cut, math drop, \emph unwrap, \cite
+      // drop-with-arg, whitespace collapse — DuckDB states the
+      // stripped result closed-form
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val tex = docs(s, d).select(col("doc_id"),
+          concat(lit("\\section{Head "), col("doc_id"), lit("}\n"),
+            lit("Body % comment\n"),
+            lit("math $x+y$ gone, \\emph{kept "), col("doc_id"),
+            lit("} and \\cite{x} end.")).as("t"))
+        r("strip-latex :t")(tex).select(col("doc_id"), col("t"))
+      },
+      """SELECT doc_id,
+        | 'Head ' || doc_id || chr(10) || 'Body' || chr(10) ||
+        |   'math gone, kept ' || doc_id || ' and end.' AS t
+        |FROM documents""".stripMargin),
+
     ("detect_charset",
       // charset sniff across the four shapes a crawl's raw text
       // bucket actually contains: pure ASCII, valid UTF-8, cp1252
@@ -6309,6 +6344,14 @@ object QueryBank {
             .getBytes("UTF-8"))
       graft.sources.Zip.build(Seq(slide(10), slide(2)))
     })
+
+  /** Fixture: an RTF document exercising destination skip, codepage
+    * and unicode escapes, tab and paragraph marks.
+    */
+  private val synthRtfUdf =
+    org.apache.spark.sql.functions.udf((id: Long) =>
+      "{\\rtf1\\ansi{\\fonttbl{\\f0 Times;}}" +
+        s"Doc \\'e9 $id\\tab \\u8212?x\\par second ${id * 3}}")
 
   /** Fixture: raw text bytes in four encodings by id. */
   private val synthCharsetUdf =

@@ -76,6 +76,91 @@ object TextAnalysis {
       (body, pairs)
     })
 
+  /** De-TeX for arXiv-style corpora (the published heuristic the
+    * LaTeX-source training pipelines use — not a TeX engine):
+    * comments cut at the first unescaped `%`, display/float/verbatim
+    * environments dropped wholesale, inline and display math
+    * replaced by a space, text-carrying commands (`\emph`,
+    * `\section`, `\textbf`, …) unwrap to their argument,
+    * reference-machinery commands (`\cite`, `\ref`, `\label`,
+    * `\url`, …) drop WITH their argument, unknown commands drop
+    * bare, specials unescape (`\%` → %, `~` → space, `\\` →
+    * newline, ``` `` '' ``` → quotes), and whitespace collapses with
+    * paragraph breaks preserved as single newlines.
+    */
+  def stripLatex(s0: String): String = {
+    if (s0 == null) return null
+    // 1. comments: % to EOL unless escaped
+    val noComments = {
+      val sb = new java.lang.StringBuilder
+      s0.split("\n", -1).foreach { line =>
+        var cut = line.length
+        var i = 0
+        var found = false
+        while (!found && i < line.length) {
+          if (line.charAt(i) == '%' &&
+            (i == 0 || line.charAt(i - 1) != '\\')) {
+            cut = i; found = true
+          }
+          i += 1
+        }
+        sb.append(line.substring(0, cut)).append('\n')
+      }
+      sb.toString
+    }
+    // 2. drop environments that carry no prose
+    val dropEnvs = Seq("equation", "align", "eqnarray", "displaymath",
+      "math", "figure", "table", "tabular", "verbatim", "lstlisting",
+      "tikzpicture", "algorithm", "algorithmic")
+    var t = noComments
+    dropEnvs.foreach { env =>
+      t = t.replaceAll(
+        "(?s)\\\\begin\\{" + env + "\\*?\\}.*?\\\\end\\{" + env +
+          "\\*?\\}", " ")
+    }
+    // 3. math: $$..$$ first (else $..$ would split it), then $..$,
+    // \[..\], \(..\)
+    t = t.replaceAll("(?s)\\$\\$.*?\\$\\$", " ")
+    t = t.replaceAll("(?s)(?<!\\\\)\\$[^$]*\\$", " ")
+    t = t.replaceAll("(?s)\\\\\\[.*?\\\\\\]", " ")
+    t = t.replaceAll("(?s)\\\\\\(.*?\\\\\\)", " ")
+    // 4. commands: three passes unwrap reasonable nesting depth
+    val keepArg = "emph|textbf|textit|texttt|textsc|textrm|textsf|" +
+      "underline|mbox|section|subsection|subsubsection|paragraph|" +
+      "chapter|title|author|caption|footnote|text"
+    val dropWithArg = "cite|citep|citet|ref|eqref|autoref|label|url|" +
+      "href|includegraphics|input|include|bibliography|" +
+      "bibliographystyle|usepackage|documentclass|vspace|hspace"
+    var pass = 0
+    while (pass < 3) {
+      t = t.replaceAll(
+        "\\\\(?:" + keepArg + ")\\*?(?:\\[[^\\]]*\\])?\\{([^{}]*)\\}",
+        "$1")
+      t = t.replaceAll(
+        "\\\\(?:" + dropWithArg + ")\\*?(?:\\[[^\\]]*\\])?" +
+          "(?:\\{[^{}]*\\})+", " ")
+      pass += 1
+    }
+    // \begin/\end of remaining (prose) environments drop bare
+    t = t.replaceAll("\\\\(?:begin|end)\\{[^}]*\\}", " ")
+    // specials BEFORE the generic command drop (\% is not a command)
+    t = t.replaceAll("\\\\\\\\\\*?", "\n")
+    t = t.replaceAll("\\\\([%&_#$])", "$1")
+    t = t.replaceAll("\\\\[a-zA-Z]+\\*?", " ") // unknown commands
+    t = t.replace("``", "“").replace("''", "”")
+      .replace("~", " ")
+    // leftover group braces are structure, not text
+    t = t.replace("{", " ").replace("}", " ")
+    // 5. whitespace: paragraph breaks to ONE newline, rest to spaces
+    t = t.replaceAll("[ \\t]+", " ")
+    t = t.replaceAll(" ?\\n ?", "\n")
+    t = t.replaceAll("\\n{2,}", "\n")
+    t.trim
+  }
+
+  val stripLatexUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(stripLatex _)
+
   /** Shannon entropy (log2) over CODE POINTS — the character-level
     * diversity signal: templated spam and key-mash filler sit far
     * below natural prose, binary-ish noise far above. Code points,

@@ -607,6 +607,24 @@ object LlmOps {
       }
     }
 
+    // `parse-as-rtf :col` — RTF plain text (group-aware control-word
+    // walk: destination skip, \'hh codepage bytes, \uN + \ucN) into
+    // `<col>_text`. Non-RTF input yields empty text.
+    case "parse-as-rtf" => ColumnOps.simple(spec) { df =>
+      val c = spec.col(0)
+      df.withColumn(s"${c}_text", graft.sources.Rtf.extractUdf(
+        col(c).cast(org.apache.spark.sql.types.StringType)))
+    }
+
+    // `strip-latex :col` — arXiv-style de-TeX (comments, math,
+    // no-prose environments, command unwrap/drop, specials); the
+    // LaTeX-source curation pass.
+    case "strip-latex" => ColumnOps.simple(spec) { df =>
+      val c = spec.col(0)
+      df.withColumn(c, graft.llm.TextAnalysis.stripLatexUdf(
+        col(c).cast(org.apache.spark.sql.types.StringType)))
+    }
+
     // `char-entropy :text` — Shannon entropy (log2) over code points:
     // templated/key-mash text scores far below prose. Map-only.
     case "char-entropy" => ColumnOps.simple(spec) { df =>

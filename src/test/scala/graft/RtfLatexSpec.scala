@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.sources.Rtf
+import graft.llm.TextAnalysis
+
+/** RTF extraction and LaTeX stripping. */
+class RtfLatexSpec extends SparkSpec {
+
+  test("rtf: destinations skipped, escapes, unicode, par/tab") {
+    val rtf = Seq(
+      "{\\rtf1\\ansi\\deff0",
+      "{\\fonttbl{\\f0 Times New Roman;}}",
+      "{\\colortbl;\\red0\\green0\\blue0;}",
+      "{\\*\\generator Riched20}",
+      "First line\\par",
+      "Caf\\'e9 and \\u8212?dash\\tab end\\par",
+      "Braces \\{x\\} and 50\\% done",
+      "}").mkString("\r\n")
+    val text = Rtf.extract(rtf)
+    assert(text.contains("First line\n"))
+    assert(text.contains("Café and —dash\tend"))
+    assert(text.contains("Braces {x} and 50% done"))
+    assert(!text.contains("Times New Roman")) // fonttbl skipped
+    assert(!text.contains("Riched20")) // starred destination skipped
+    // \ucN fallback skipping: \uc2 means two fallback chars drop
+    assert(Rtf.extract("{\\rtf1\\uc2\\u934 FF after}") == "\u03a6 after")
+    // negative \u is codepoint-65536
+    assert(Rtf.extract("{\\rtf1\\uc0\\u-3812 }") == "\uf11c")
+    // non-RTF and garbage: empty, never throws
+    assert(Rtf.extract("plain text") == "")
+    assert(Rtf.extract(null) == "")
+    assert(Rtf.extract("{\\rtf1 trailing\\") == "trailing")
+  }
+
+  test("rtf: totality fuzz on mutated documents") {
+    val base = "{\\rtf1{\\fonttbl{\\f0 X;}}Hello \\'e9 \\u934?F world\\par}"
+    val rnd = new scala.util.Random(23)
+    (0 until 400).foreach { _ =>
+      val chars = base.toCharArray
+      (0 until 4).foreach { _ =>
+        chars(rnd.nextInt(chars.length)) = rnd.nextPrintableChar() }
+      Rtf.extract(new String(chars)) // must not throw
+    }
+  }
+
+  test("latex: comments, math, environments, commands, specials") {
+    val tex =
+      """\documentclass{article}
+        |% a full-line comment
+        |\begin{document}
+        |\section{Intro}
+        |We study \emph{large} models % trailing comment
+        |with loss $L = \sum_i \ell_i$ and 50\% gains~here.
+        |\begin{equation}
+        |E = mc^2
+        |\end{equation}
+        |As shown in \cite{smith2020}, the \textbf{key} result
+        |\footnote{a note} holds.
+        |
+        |New paragraph with ``quotes'' and \mystery text.
+        |\end{document}""".stripMargin
+    val out = TextAnalysis.stripLatex(tex)
+    assert(!out.contains("%") || out.contains("50%"))
+    assert(out.contains("Intro"))
+    assert(out.contains("We study large models"))
+    assert(!out.contains("mc^2")) // equation env dropped
+    assert(!out.contains("smith2020")) // cite dropped with arg
+    assert(out.contains("key result"))
+    assert(out.contains("a note")) // footnote text kept
+    assert(out.contains("50% gains here"))
+    assert(out.contains("“quotes”"))
+    assert(out.contains("New paragraph"))
+    assert(!out.contains("\\")) // no commands survive
+    assert(TextAnalysis.stripLatex(null) == null)
+    assert(TextAnalysis.stripLatex("plain prose stays") == "plain prose stays")
+  }
+
+  test("directives: parse-as-rtf and strip-latex") {
+    val in = df("id LONG, doc STRING", Seq(
+      Row(1L, "{\\rtf1 Hello\\par world}"),
+      Row(2L, "\\section{T} Body $x$ end.")))
+    val rtf = wrangle("parse-as-rtf :doc", in).filter("id = 1")
+      .select("doc_text").head().getString(0)
+    assert(rtf == "Hello\nworld")
+    val tex = wrangle("strip-latex :doc", in).filter("id = 2")
+      .select("doc").head().getString(0)
+    assert(tex == "T Body end.")
+  }
+}
