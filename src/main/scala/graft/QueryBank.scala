@@ -4199,9 +4199,9 @@ object QueryBank {
             col("payload_text").as("text"))
       },
       """SELECT doc_id,
-        | CASE doc_id % 5 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+        | CASE doc_id % 6 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
         |   WHEN 2 THEN 'html' WHEN 3 THEN 'text'
-        |   ELSE 'gz+text' END AS format,
+        |   WHEN 4 THEN 'gz+text' ELSE 'rtf' END AS format,
         | 'R ' || doc_id AS text
         |FROM documents WHERE doc_id < 200""".stripMargin),
 
@@ -6410,18 +6410,19 @@ object QueryBank {
     * recover it from all five.
     */
   private val synthMixedDocUdf =
-    org.apache.spark.sql.functions.udf((id: Long) => (id % 5) match {
+    org.apache.spark.sql.functions.udf((id: Long) => (id % 6) match {
       case 0 => graft.sources.Pdf.build(Seq(Seq(s"R $id")))
       case 1 => graft.sources.Zip.build(Seq(("word/document.xml",
         s"<w:p><w:r><w:t>R $id</w:t></w:r></w:p>".getBytes("UTF-8"))))
       case 2 => (s"<html><body><p>R $id</p></body></html>")
         .getBytes("UTF-8")
       case 3 => s"R $id".getBytes("UTF-8")
-      case _ =>
+      case 4 =>
         val bos = new java.io.ByteArrayOutputStream()
         val g = new java.util.zip.GZIPOutputStream(bos)
         g.write(s"R $id".getBytes("UTF-8")); g.close()
         bos.toByteArray
+      case _ => s"{\\rtf1 R $id}".getBytes("UTF-8")
     })
 
   /** Fixture: a two-chapter EPUB whose zip order is reversed vs the

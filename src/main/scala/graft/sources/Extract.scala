@@ -76,7 +76,8 @@ object Extract {
         try dec.decode(java.nio.ByteBuffer.wrap(b)).toString
         catch { case _: java.nio.charset.CharacterCodingException =>
           return (null, null) }
-      if (looksHtml(s)) {
+      if (s.startsWith("{\\rtf")) ("rtf", Rtf.extract(s))
+      else if (looksHtml(s)) {
         val (_, text) = graft.llm.HtmlText.extract(s)
         ("html", text)
       } else {
