@@ -398,6 +398,24 @@ class PropertySpec extends AnyFunSuite {
           graft.llm.Robots.sitemaps(s) != null
       }
     }
+    check("rtfTotal") {
+      Prop.forAll(anyText) { s =>
+        graft.sources.Rtf.extract(s) != null &&
+          graft.sources.Rtf.extract("{\\rtf1" + s) != null
+      }
+    }
+    check("latexTotalAndCommandFree") {
+      Prop.forAll(anyText) { s =>
+        val out = graft.llm.TextAnalysis.stripLatex(s)
+        // total, and no \command survives the strip
+        out != null && "\\\\[a-zA-Z]".r.findFirstIn(out).isEmpty
+      }
+    }
+    check("extractAnyTotal") {
+      Prop.forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) {
+        bs => graft.sources.Extract.extractAny(bs.toArray) != null
+      }
+    }
   }
 
   test("dhash64 / wavFrameStats: total on arbitrary bytes") {
