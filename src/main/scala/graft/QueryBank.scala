@@ -778,6 +778,30 @@ object QueryBank {
         queryName = "stream_dedup_correctness"),
       "SELECT DISTINCT user_id, event_type FROM events"),
 
+    ("stream_document_lake",
+      // the LIVE document-lake shape: a stream of raw binaries (the
+      // six-format mixed fixture) routes through extract-text per
+      // micro-batch (map-only) and exact-dedups on the text
+      // fingerprint with bounded watermark state — content keyed by
+      // id%50 collapses to 50 distinct fingerprints however many
+      // container forms arrive
+      (s, d) => graft.streaming.StreamOps.runBatchAsStream(
+        s, s"$d/documents.parquet",
+        st => {
+          import org.apache.spark.sql.functions._
+          val routed = r("extract-text :payload")(
+            st.filter(col("doc_id") < 200)
+              .select(col("doc_id"),
+                synthLakeDocUdf(col("doc_id")).as("payload")))
+          graft.streaming.StreamOps.streamingDedup(
+            routed.withColumn("fp", md5(col("payload_text")))
+              .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00"))),
+            Seq("fp"), "ts").select("fp")
+        },
+        queryName = "stream_document_lake_correctness"),
+      """SELECT DISTINCT md5('R ' || (doc_id % 50)) AS fp
+        |FROM documents WHERE doc_id < 200""".stripMargin),
+
     ("stream_stream_join",
       // watermarked stream-stream INNER join (view → purchase by the
       // same user within a day): the canonical two-stream state shape —
