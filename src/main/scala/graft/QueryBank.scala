@@ -4130,6 +4130,47 @@ object QueryBank {
         | 'Chapter ' || ch || ' of book ' || doc_id AS text
         |FROM sp""".stripMargin),
 
+    ("pipeline_video_text",
+      // multimodal alignment end-to-end: REAL MP4 sample extraction
+      // (stsz/stsc/stco walk) assigns frame timestamps, SRT cues
+      // parse to half-open intervals, and the cell-grid range join
+      // pairs every frame with the cue on screen at its moment —
+      // frames past the last cue drop. Timestamps carry a per-doc
+      // offset so the interval spaces of different docs are disjoint
+      // (the videos are unrelated; a time-only join must not cross
+      // them).
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+        val frames = graft.llm.Multimodal.sampleFramesMp4(
+            base.withColumn("payload", synthMp4Udf(col("doc_id"))),
+            "payload", "doc_id")
+          .select(col("doc_id").as("f_doc"), col("sample_idx"),
+            (col("doc_id") * 100000L +
+              col("sample_idx") * 700L).as("f_ts"))
+        val cues = r("parse-as-subtitles :srt")(
+            base.withColumn("srt", synthSrtUdf(col("doc_id"))))
+          .select((col("srt_start_ms") + col("doc_id") * 99000L).as("lo"),
+            (col("srt_end_ms") + col("doc_id") * 99000L).as("hi"),
+            col("srt_text").as("cue"))
+        graft.ops.JoinOps.rangeJoin(frames, cues, "f_ts", "lo", "hi",
+            cellWidth = 2000.0)
+          .select(col("f_doc").as("doc_id"), col("sample_idx"),
+            col("cue"))
+      },
+      """WITH g AS (SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS ns
+        | FROM documents WHERE doc_id < 200),
+        |f AS (SELECT doc_id, unnest(range(ns)) AS i FROM g),
+        |m AS (SELECT doc_id, i,
+        |  CASE WHEN i * 700 < 1500 THEN 0
+        |       WHEN i * 700 >= 2000 AND i * 700 < 3500 THEN 1
+        |       ELSE -1 END AS j
+        | FROM f)
+        |SELECT doc_id, CAST(i AS INT) AS sample_idx,
+        | 'Cue ' || doc_id || '-' || j AS cue
+        |FROM m WHERE j >= 0""".stripMargin),
+
     ("parse_as_rtf",
       // RTF extraction: destination skip (fonttbl must not leak),
       // \'hh codepage byte, \tab/\par, unicode escape with fallback
