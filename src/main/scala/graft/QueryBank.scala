@@ -4188,6 +4188,35 @@ object QueryBank {
         |   'second ' || (doc_id * 3) AS text
         |FROM documents WHERE doc_id < 200""".stripMargin),
 
+    ("extract_md_tables",
+      // GitHub-flavored pipe-table mining: header + delimiter + two
+      // data rows with an escaped pipe on the cell path — every
+      // (table,row,col,is_header,cell) ordinal rebuilt closed-form
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val md = docs(s, d).select(col("doc_id"),
+          concat(lit("Intro prose.\n\n| Key | Val |\n| --- | --- |\n| k"),
+            col("doc_id"), lit(" | v"), col("doc_id"),
+            lit(" |\n| esc\\| | "), col("doc_id") * 2,
+            lit(" |\n\ntail")).as("t"))
+        r("extract-md-tables :t")(md)
+          .select(col("doc_id"), col("t_row").as("r"),
+            col("t_col").as("c"), col("t_is_header").as("hdr"),
+            col("t_cell").as("cell"))
+      },
+      """WITH sp AS (SELECT doc_id, r, c FROM documents
+        | CROSS JOIN (SELECT unnest([0,1,2]) AS r)
+        | CROSS JOIN (SELECT unnest([0,1]) AS c))
+        |SELECT doc_id, CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+        | r = 0 AS hdr,
+        | CASE WHEN r = 0 AND c = 0 THEN 'Key'
+        |      WHEN r = 0 THEN 'Val'
+        |      WHEN r = 1 AND c = 0 THEN 'k' || doc_id
+        |      WHEN r = 1 THEN 'v' || doc_id
+        |      WHEN c = 0 THEN 'esc|'
+        |      ELSE CAST(doc_id * 2 AS VARCHAR) END AS cell
+        |FROM sp""".stripMargin),
+
     ("strip_latex",
       // arXiv de-TeX: comment cut, math drop, \emph unwrap, \cite
       // drop-with-arg, whitespace collapse — DuckDB states the

@@ -76,6 +76,77 @@ object TextAnalysis {
       (body, pairs)
     })
 
+  /** One markdown pipe-table cell (the GitHub-flavored form): table
+    * ordinal, row ordinal (0 = the header row), column ordinal,
+    * header flag, trimmed cell text.
+    */
+  case class MdTableCell(table: Int, row: Int, col: Int,
+      is_header: Boolean, text: String)
+
+  /** Extract GitHub-flavored pipe tables from markdown: a table is a
+    * header line of `|`-separated cells followed by a delimiter line
+    * (dashes with optional alignment colons), then data rows until
+    * the first non-table line. Escaped `\|` stays literal; leading/
+    * trailing pipes are optional per cell row. The relational-mining
+    * pass for README/docs corpora — the markdown complement of
+    * extract-html-tables.
+    */
+  def extractMdTables(md: String): Seq[MdTableCell] = {
+    if (md == null) return Seq.empty
+    val out = Seq.newBuilder[MdTableCell]
+    val lines = md.split("\r\n|\n", -1)
+    def cells(line: String): Seq[String] = {
+      // split on unescaped '|', dropping the empty edge cells the
+      // leading/trailing pipes produce
+      val parts = Seq.newBuilder[String]
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < line.length) {
+        val c = line.charAt(i)
+        if (c == '\\' && i + 1 < line.length &&
+          line.charAt(i + 1) == '|') { sb.append('|'); i += 2 }
+        else if (c == '|') { parts += sb.toString; sb.setLength(0); i += 1 }
+        else { sb.append(c); i += 1 }
+      }
+      parts += sb.toString
+      val all = parts.result().map(_.trim)
+      all.drop(if (all.headOption.contains("")) 1 else 0)
+        .dropRight(if (all.lastOption.contains("")) 1 else 0)
+    }
+    def isDelimiter(line: String): Boolean = {
+      val cs = cells(line)
+      cs.nonEmpty && cs.forall(c =>
+        c.matches(":?-{3,}:?") || c.matches(":?-+:?") && c.length >= 3)
+    }
+    var table = -1
+    var i = 0
+    while (i < lines.length) {
+      val line = lines(i)
+      if (line.contains("|") && i + 1 < lines.length &&
+        lines(i + 1).contains("|") && isDelimiter(lines(i + 1))) {
+        val header = cells(line)
+        if (header.nonEmpty) {
+          table += 1
+          header.zipWithIndex.foreach { case (t, c) =>
+            out += MdTableCell(table, 0, c, is_header = true, t) }
+          i += 2
+          var row = 1
+          while (i < lines.length && lines(i).contains("|")) {
+            cells(lines(i)).zipWithIndex.foreach { case (t, c) =>
+              out += MdTableCell(table, row, c, is_header = false, t) }
+            row += 1
+            i += 1
+          }
+        } else i += 1
+      } else i += 1
+    }
+    out.result()
+  }
+
+  val extractMdTablesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((s: String) =>
+      extractMdTables(s).map(t => (t.table, t.row, t.col, t.is_header, t.text)))
+
   /** De-TeX for arXiv-style corpora (the published heuristic the
     * LaTeX-source training pipelines use — not a TeX engine):
     * comments cut at the first unescaped `%`, display/float/verbatim

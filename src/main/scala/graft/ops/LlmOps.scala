@@ -616,6 +616,26 @@ object LlmOps {
         col(c).cast(org.apache.spark.sql.types.StringType)))
     }
 
+    // `extract-md-tables :col` — GitHub-flavored pipe tables to rows
+    // (`<col>_table/_row/_col/_is_header/_cell`): the markdown
+    // complement of extract-html-tables for README/docs corpora.
+    case "extract-md-tables" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        df.withColumn("__mt", explode(
+            graft.llm.TextAnalysis.extractMdTablesUdf(
+              col(c).cast(org.apache.spark.sql.types.StringType))))
+          .drop(c)
+          .withColumn(s"${c}_table", col("__mt._1"))
+          .withColumn(s"${c}_row", col("__mt._2"))
+          .withColumn(s"${c}_col", col("__mt._3"))
+          .withColumn(s"${c}_is_header", col("__mt._4"))
+          .withColumn(s"${c}_cell", col("__mt._5"))
+          .drop("__mt")
+      }
+    }
+
     // `strip-latex :col` — arXiv-style de-TeX (comments, math,
     // no-prose environments, command unwrap/drop, specials); the
     // LaTeX-source curation pass.

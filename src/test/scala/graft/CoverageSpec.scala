@@ -147,7 +147,7 @@ class CoverageSpec extends SparkSpec {
     "extract-html-jsonld", "char-entropy", "outlier-mad",
     "robots-sitemaps", "parse-as-subtitles", "parse-yaml-frontmatter",
     "parse-as-docx", "parse-as-pptx", "parse-as-epub", "extract-text",
-    "detect-charset", "parse-as-odt", "parse-as-rtf", "strip-latex")
+    "detect-charset", "parse-as-odt", "parse-as-rtf", "strip-latex", "extract-md-tables")
 
   test("all curation/sampling directives resolve in the registry") {
     val missing = unresolved(curationDirectives)

@@ -76,6 +76,38 @@ class RtfLatexSpec extends SparkSpec {
     assert(TextAnalysis.stripLatex("plain prose stays") == "plain prose stays")
   }
 
+  test("markdown tables: header/delimiter detection, escapes, multiple tables") {
+    val md = Seq(
+      "Intro prose | with a stray pipe but no delimiter line below",
+      "",
+      "| Name | Value |",
+      "| --- | ---: |",
+      "| a | 1 |",
+      "b | pipe \\| kept",
+      "",
+      "not a table anymore",
+      "Col1|Col2",
+      ":---|----",
+      "x|y").mkString("\n")
+    val cells = TextAnalysis.extractMdTables(md)
+    assert(cells.map(c => (c.table, c.row, c.col, c.is_header, c.text)) ==
+      Seq(
+        (0, 0, 0, true, "Name"), (0, 0, 1, true, "Value"),
+        (0, 1, 0, false, "a"), (0, 1, 1, false, "1"),
+        (0, 2, 0, false, "b"), (0, 2, 1, false, "pipe | kept"),
+        (1, 0, 0, true, "Col1"), (1, 0, 1, true, "Col2"),
+        (1, 1, 0, false, "x"), (1, 1, 1, false, "y")))
+    assert(TextAnalysis.extractMdTables(null).isEmpty)
+    assert(TextAnalysis.extractMdTables("no tables | here").isEmpty)
+    // directive
+    val in = df("id LONG, t STRING",
+      Seq(Row(1L, "| H |\n| --- |\n| v |")))
+    val rows = wrangle("extract-md-tables :t", in)
+      .select("t_row", "t_is_header", "t_cell").collect()
+      .map(r => (r.getInt(0), r.getBoolean(1), r.getString(2))).toSeq
+    assert(rows == Seq((0, true, "H"), (1, false, "v")))
+  }
+
   test("directives: parse-as-rtf and strip-latex") {
     val in = df("id LONG, doc STRING", Seq(
       Row(1L, "{\\rtf1 Hello\\par world}"),
