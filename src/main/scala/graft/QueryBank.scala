@@ -4546,6 +4546,39 @@ object QueryBank {
         |   AS byte_sum
         |FROM sp""".stripMargin),
 
+    ("multimodal_webm_samples",
+      // REAL Matroska/WebM container access — the second major web
+      // video container: Cluster/SimpleBlock/BlockGroup offsets are
+      // synthesized byte-exactly (both block forms, two clusters),
+      // then the EBML walker recovers frame bytes, keyframe flags,
+      // and cluster-relative timestamps. Same size/byte formulas as
+      // the MP4 twin, so a wrong vint width, lacing-flag read, or
+      // cluster-timestamp add breaks byte_sum or timestamp.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val webm = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthWebmUdf(col("doc_id")))
+        val byteSum = udf((b: Array[Byte]) =>
+          b.map(x => (x & 0xff).toLong).sum)
+        graft.llm.Multimodal.sampleFramesWebm(webm, "payload", "doc_id")
+          .select(col("doc_id"), col("sample_idx"), col("timestamp"),
+            col("size"), col("keyframe"),
+            byteSum(col("frame")).as("byte_sum"))
+      },
+      """WITH g AS (SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS ns
+        | FROM documents WHERE doc_id < 200),
+        |sp AS (SELECT doc_id, ns, unnest(range(ns)) AS i FROM g)
+        |SELECT doc_id, CAST(i AS INT) AS sample_idx,
+        | CAST(CASE WHEN i < (ns + 1) // 2 THEN 0 ELSE 1000 END + i * 40
+        |   AS BIGINT) AS timestamp,
+        | CAST(8 + (doc_id + i) % 5 AS BIGINT) AS size,
+        | (i % 3 = 0) AS keyframe,
+        | CAST(list_sum(list_transform(range(0, 8 + (doc_id + i) % 5),
+        |   j -> (doc_id * 7 + i * 13 + j * 3) % 256)) AS BIGINT)
+        |   AS byte_sum
+        |FROM sp""".stripMargin),
+
     ("multimodal_jpeg_decode",
       // REAL JPEG decode via the JDK's ImageIO (public java.desktop
       // API — full JPEG codec in every JDK). Lossy DCT means pixel
@@ -5044,6 +5077,82 @@ object QueryBank {
         | (3, 27, 'd6d414aafe93311ac14c82ce6715a5f6'),
         | (4, 45, '9dfffb970bcf2b88134fd2787da5cf22'))
         | v(i, n, m)""".stripMargin),
+
+    ("bpe_model_roundtrip",
+      // the persisted-model path: train → save → load → encode must
+      // equal train → encode byte-for-byte (the saved rank-ordered
+      // merge list IS the model — a serialization or parse slip
+      // reorders merges and shifts some doc's token stream). Same
+      // persisted-path-equivalence pattern as ann_pq_indexed;
+      // closed-form oracle: every probed doc matches.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val corpus = docs(s, d)
+        val merges = graft.llm.Bpe.train(corpus, "text", numMerges = 200)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_bpe_model_").toString + "/bpe.model"
+        graft.llm.Bpe.save(s, merges, path)
+        val loaded = graft.llm.Bpe.load(s, path)
+        val probe = corpus.filter(col("doc_id") < 100)
+        probe.select(col("doc_id"),
+          (graft.llm.Bpe.encodeColumn(probe, "text", merges) ===
+            graft.llm.Bpe.encodeColumn(probe, "text", loaded))
+            .as("model_roundtrip"))
+      },
+      """SELECT doc_id, TRUE AS model_roundtrip
+        |FROM documents WHERE doc_id < 100""".stripMargin),
+
+    ("multimodal_image_features",
+      // the (binary → Array[Float]) feature front door over a REAL
+      // PNG decode. The vector is float-normalized; the oracle needs
+      // integers, so the query reconstructs the exact channel sums
+      // and per-bin luminance counts from the vector (sums ≤ 53K ≪
+      // the 2^24 float mantissa, so round() recovers them exactly) —
+      // DuckDB recomputes both from the synth pixel formula without
+      // ever seeing a float or the bytes.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val png = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthPngUdf(col("doc_id")))
+          .withColumn("f",
+            graft.llm.Multimodal.imageFeatures(col("payload"), 8))
+        val n = ((col("doc_id") % 13) + 4) * ((col("doc_id") % 11) + 3)
+        def cnt(i: Int) = round(element_at(col("f"), i + 4) * n)
+          .cast("bigint").as(s"bin$i")
+        png.select(col("doc_id"),
+          round(element_at(col("f"), 1) * n * 255).cast("bigint").as("sum_r"),
+          round(element_at(col("f"), 2) * n * 255).cast("bigint").as("sum_g"),
+          round(element_at(col("f"), 3) * n * 255).cast("bigint").as("sum_b"),
+          cnt(0), cnt(1), cnt(2), cnt(3), cnt(4))
+      },
+      """WITH g AS (SELECT doc_id,
+        |  CAST(4 + doc_id % 13 AS BIGINT) AS w,
+        |  CAST(3 + doc_id % 11 AS BIGINT) AS h
+        | FROM documents WHERE doc_id < 200),
+        |px AS (SELECT doc_id, w, h,
+        |  list_transform(range(0, w * h),
+        |    i -> (doc_id * 7 + (i % w) * 13 + (i // w) * 31) % 256) AS rs,
+        |  list_transform(range(0, w * h),
+        |    i -> (doc_id * 11 + (i % w) * 17 + (i // w) * 23) % 256) AS gs,
+        |  list_transform(range(0, w * h),
+        |    i -> (doc_id * 5 + (i % w) * 29 + (i // w) * 19) % 256) AS bs
+        | FROM g),
+        |lum AS (SELECT doc_id, rs, gs, bs,
+        |  list_transform(range(0, len(rs)), i -> least(4,
+        |    ((rs[i+1]*299 + gs[i+1]*587 + bs[i+1]*114) // 1000) * 5 // 256))
+        |    AS bins
+        | FROM px)
+        |SELECT doc_id,
+        | CAST(list_sum(rs) AS BIGINT) AS sum_r,
+        | CAST(list_sum(gs) AS BIGINT) AS sum_g,
+        | CAST(list_sum(bs) AS BIGINT) AS sum_b,
+        | CAST(len(list_filter(bins, x -> x = 0)) AS BIGINT) AS bin0,
+        | CAST(len(list_filter(bins, x -> x = 1)) AS BIGINT) AS bin1,
+        | CAST(len(list_filter(bins, x -> x = 2)) AS BIGINT) AS bin2,
+        | CAST(len(list_filter(bins, x -> x = 3)) AS BIGINT) AS bin3,
+        | CAST(len(list_filter(bins, x -> x = 4)) AS BIGINT) AS bin4
+        |FROM lum""".stripMargin),
 
     ("compression_ratio",
       // deflate-ratio repetitiveness signal, verified as a per-lang
@@ -6938,6 +7047,26 @@ object QueryBank {
     }
     graft.llm.MediaHeaders.mp4Build(samples, samplesPerChunk = 2,
       keyframes1Based = (0 until ns).filter(_ % 3 == 0).map(_ + 1))
+  })
+
+  /** Fixture: a deterministic two-cluster WebM twin of [[synthMp4Udf]]
+    * — same per-sample size/byte formulas so the oracle SQL mirrors
+    * multimodal_mp4_samples'. Cluster 0 (ts 0) holds the first
+    * ceil(ns/2) samples, cluster 1 (ts 1000) the rest; every 4th
+    * sample is written as a BlockGroup/Block (ReferenceBlock iff not
+    * a keyframe) so both block forms are exercised.
+    */
+  private val synthWebmUdf = org.apache.spark.sql.functions.udf((id: Long) => {
+    val ns = (4 + id % 5).toInt
+    val half = (ns + 1) / 2
+    def sample(i: Int) = {
+      val len = (8 + (id + i) % 5).toInt
+      (1L, i * 40, i % 3 == 0, i % 4 == 3,
+        Array.tabulate(len)(j => ((id * 7 + i * 13 + j * 3) % 256).toByte))
+    }
+    graft.llm.MediaHeaders.webmBuild(Seq(
+      (0L, (0 until half).map(sample)),
+      (1000L, (half until ns).map(sample))))
   })
 
   /** Fixture: a robots.txt whose group disallows the row's segment

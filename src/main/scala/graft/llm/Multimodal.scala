@@ -152,6 +152,37 @@ object Multimodal {
   case class Mp4Frame(sample_idx: Int, offset: Long, size: Long,
       keyframe: Boolean, frame: Array[Byte])
 
+  /** REAL container-level frame access for Matroska/WebM payloads —
+    * the second major web video container, parallel to
+    * [[sampleFramesMp4]]: one row per (Simple)Block frame at the
+    * exact offsets the Cluster walk yields, with keyframe flags from
+    * the SimpleBlock flag bit / ReferenceBlock absence and the
+    * decoded cluster-relative timestamp. Map-only explode — the same
+    * scale shape as the MP4 path.
+    */
+  def sampleFramesWebm(df: DataFrame, binCol: String,
+      idCol: String, keyframesOnly: Boolean = false): DataFrame = {
+    val framesUdf = udf((b: Array[Byte]) =>
+      MediaHeaders.webmSamples(b).collect {
+        case s if s.offset >= 0 && s.offset + s.size <= b.length =>
+          WebmFrame(s.index, s.track, s.timestamp, s.offset, s.size,
+            s.keyframe,
+            java.util.Arrays.copyOfRange(
+              b, s.offset.toInt, (s.offset + s.size).toInt))
+      })
+    val exploded = df
+      .select(col(idCol), explode(framesUdf(col(binCol))).as("__f"))
+      .select(col(idCol), col("__f.sample_idx").as("sample_idx"),
+        col("__f.track").as("track"),
+        col("__f.timestamp").as("timestamp"),
+        col("__f.offset").as("offset"), col("__f.size").as("size"),
+        col("__f.keyframe").as("keyframe"), col("__f.frame").as("frame"))
+    if (keyframesOnly) exploded.where(col("keyframe")) else exploded
+  }
+
+  case class WebmFrame(sample_idx: Int, track: Long, timestamp: Long,
+      offset: Long, size: Long, keyframe: Boolean, frame: Array[Byte])
+
   /** Resize stub: re-bucket the feature histogram to a new width —
     * keeps the (payload → features) contract shape for downstream ops.
     */
@@ -1468,6 +1499,185 @@ object MediaHeaders {
     }
     bos.write(assemble(chunkOffs))
     bos.toByteArray
+  }
+
+  // ---- Matroska/WebM sample extraction ------------------------------
+  // The second major web video container (RFC 8794 EBML + the public
+  // Matroska spec), parallel to the MP4 stsz/stsc/stco walk above:
+  // Segment → Cluster (0x1F43B675) → Timestamp (0xE7) + SimpleBlock
+  // (0xA3) / BlockGroup (0xA0 → Block 0xA1 + ReferenceBlock 0xFB).
+  // Each (Simple)Block payload is: track vint, int16 big-endian
+  // timestamp relative to the cluster, flags byte, frame bytes.
+  // Keyframes: SimpleBlock flag bit 0x80; for Block, the absence of a
+  // ReferenceBlock sibling. Laced blocks (flags & 0x06 != 0) are
+  // skipped — lacing packs variable sub-frames and is rare for video
+  // tracks; total on arbitrary bytes either way. Codec decode of the
+  // frame bytes stays out of scope, exactly like MP4.
+
+  case class WebmSample(index: Int, track: Long, timestamp: Long,
+      offset: Long, size: Long, keyframe: Boolean)
+
+  def webmSamples(b: Array[Byte]): Seq[WebmSample] = {
+    if (b == null || b.length < 8 || u8(b, 0) != 0x1a || u8(b, 1) != 0x45 ||
+        u8(b, 2) != 0xdf || u8(b, 3) != 0xa3) return Seq.empty
+    // (value, width) of the vint at p, or null when malformed
+    def vint(p: Int, keepMarker: Boolean): (Long, Int) = {
+      if (p >= b.length) return null
+      val fb = u8(b, p)
+      if (fb == 0) return null
+      val w = Integer.numberOfLeadingZeros(fb) - 24 + 1
+      if (p + w > b.length) return null
+      var v: Long = if (keepMarker) fb.toLong else (fb & (0xff >>> w)).toLong
+      var k = 1
+      while (k < w) { v = (v << 8) | u8(b, p + k); k += 1 }
+      (v, w)
+    }
+    def beUint(off: Int, len: Int): Long = {
+      var v = 0L; var k = 0
+      while (k < len) { v = (v << 8) | u8(b, off + k); k += 1 }
+      v
+    }
+    val out = Vector.newBuilder[WebmSample]
+    var index = 0
+    var clusterTs = 0L
+    // one (Simple)Block payload at [from, to): emit the frame row
+    def block(from: Int, to: Int, simpleKey: Boolean,
+        groupHasRef: Boolean, isSimple: Boolean): Unit = {
+      val tv = vint(from, keepMarker = false)
+      if (tv == null || from + tv._2 + 3 > to) return
+      val rel = (beUint(from + tv._2, 2).toInt << 16) >> 16 // signed int16
+      val flags = u8(b, from + tv._2 + 2)
+      if ((flags & 0x06) != 0) return // laced: skipped (see header note)
+      val dataStart = from + tv._2 + 3
+      if (dataStart > to) return
+      val key = if (isSimple) simpleKey else !groupHasRef
+      out += WebmSample(index, tv._1, clusterTs + rel,
+        dataStart.toLong, (to - dataStart).toLong, key)
+      index += 1
+    }
+    def walk(from: Int, to: Int, depth: Int, inCluster: Boolean): Unit = {
+      var p = from
+      var ok = true
+      while (ok && p < to && depth < 8) {
+        val idv = vint(p, keepMarker = true)
+        if (idv == null) ok = false
+        else {
+          val sv = vint(p + idv._2, keepMarker = false)
+          if (sv == null) ok = false
+          else {
+            val dataStart = p + idv._2 + sv._2
+            val unknown = sv._1 == (1L << (7 * sv._2)) - 1
+            val end =
+              if (unknown) to
+              else math.min(dataStart + sv._1, to.toLong).toInt
+            if (dataStart > to) ok = false
+            else {
+              idv._1 match {
+                case 0x18538067L => // Segment
+                  walk(dataStart, end, depth + 1, inCluster = false)
+                case 0x1F43B675L => // Cluster
+                  walk(dataStart, end, depth + 1, inCluster = true)
+                case 0xE7L if inCluster && end - dataStart <= 8 =>
+                  clusterTs = beUint(dataStart, end - dataStart)
+                case 0xA3L if inCluster => // SimpleBlock
+                  // flags bit 0x80 = keyframe; peek it via the block
+                  // payload's own layout
+                  val tv = vint(dataStart, keepMarker = false)
+                  val key = tv != null && dataStart + tv._2 + 3 <= end &&
+                    (u8(b, dataStart + tv._2 + 2) & 0x80) != 0
+                  block(dataStart, end, simpleKey = key,
+                    groupHasRef = false, isSimple = true)
+                case 0xA0L if inCluster => // BlockGroup
+                  // two passes: ReferenceBlock presence decides the
+                  // keyframe flag of the contained Block
+                  var hasRef = false
+                  var blockStart = -1; var blockEnd = -1
+                  var q = dataStart
+                  var inner = true
+                  while (inner && q < end) {
+                    val iv = vint(q, keepMarker = true)
+                    if (iv == null) inner = false
+                    else {
+                      val isv = vint(q + iv._2, keepMarker = false)
+                      if (isv == null) inner = false
+                      else {
+                        val ds = q + iv._2 + isv._2
+                        val de = math.min(ds + isv._1, end.toLong).toInt
+                        if (ds > end) inner = false
+                        else {
+                          if (iv._1 == 0xFBL) hasRef = true
+                          if (iv._1 == 0xA1L) { blockStart = ds; blockEnd = de }
+                          q = de
+                        }
+                      }
+                    }
+                  }
+                  if (blockStart >= 0)
+                    block(blockStart, blockEnd, simpleKey = false,
+                      groupHasRef = hasRef, isSimple = false)
+                case _ => () // EBML header, Info, Tracks, … — no frames
+              }
+              if (unknown) ok = false else p = end
+            }
+          }
+        }
+      }
+    }
+    walk(0, b.length, 0, inCluster = false)
+    out.result()
+  }
+
+  /** Fixture complement of [[webmSamples]]: a minimal EBML/WebM file
+    * — EBML header with DocType, a Segment holding `clusters` of
+    * (clusterTimestamp, samples), each sample (track, relTs, keyframe,
+    * useBlockGroup, bytes) written as a SimpleBlock or a
+    * BlockGroup/Block (+ ReferenceBlock when not a keyframe).
+    */
+  def webmBuild(clusters: Seq[(Long, Seq[(Long, Int, Boolean, Boolean,
+      Array[Byte])])], docType: String = "webm"): Array[Byte] = {
+    def vintSize(n: Long): Array[Byte] = {
+      var w = 1
+      while (w < 8 && n >= (1L << (7 * w)) - 1) w += 1
+      val out = new Array[Byte](w)
+      out(0) = ((0x100 >> w) | ((n >> (8 * (w - 1))) & ((0xff >> w)))).toByte
+      var k = 1
+      while (k < w) {
+        out(k) = ((n >> (8 * (w - 1 - k))) & 0xff).toByte; k += 1
+      }
+      out
+    }
+    def idBytes(id: Long): Array[Byte] = {
+      val w = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+      Array.tabulate(w)(k => ((id >> (8 * (w - 1 - k))) & 0xff).toByte)
+    }
+    def el(id: Long, payload: Array[Byte]): Array[Byte] =
+      idBytes(id) ++ vintSize(payload.length.toLong) ++ payload
+    def beMin(v: Long): Array[Byte] = { // big-endian, minimal width
+      val w = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+      Array.tabulate(w)(k => ((v >> (8 * (w - 1 - k))) & 0xff).toByte)
+    }
+    val header = el(0x1A45DFA3L,
+      el(0x4282L, docType.getBytes("US-ASCII")))
+    val clusterBytes = clusters.map { case (ts, samples) =>
+      val body = new java.io.ByteArrayOutputStream()
+      body.write(el(0xE7L, beMin(ts)))
+      samples.foreach { case (track, rel, key, useGroup, bytes) =>
+        val tb = vintSize(track) // track number vint (marker form)
+        val blockPayload = tb ++
+          Array(((rel >> 8) & 0xff).toByte, (rel & 0xff).toByte) ++
+          Array((if (key && !useGroup) 0x80 else 0x00).toByte) ++ bytes
+        if (!useGroup) body.write(el(0xA3L, blockPayload))
+        else {
+          val inner = el(0xA1L, blockPayload) ++
+            (if (key) Array.emptyByteArray
+             else el(0xFBL, Array(0xff.toByte))) // RefBlock: rel -1
+          body.write(el(0xA0L, inner))
+        }
+      }
+      el(0x1F43B675L, body.toByteArray)
+    }
+    val segment = el(0x18538067L, clusterBytes.flatten.toArray)
+    header ++ segment
   }
 
   // ---- JPEG pixel decode (real, via the JDK's ImageIO) -------------

@@ -37,6 +37,8 @@ object Docx {
     val tClose = s"</$pre:t>"
     val pClose = s"</$pre:p>"
     val tab = s"<$pre:tab"
+    val pPrOpen = s"<$pre:pPr"
+    val pPrClose = s"</$pre:pPr>"
     val br = s"<$pre:br"
     val cr = s"<$pre:cr"
     var i = 0
@@ -75,6 +77,20 @@ object Docx {
         else {
           if (xml.charAt(gt - 1) == '/') out += ""
           i = gt + 1
+        }
+      } else if (xml.startsWith(pPrOpen, lt) &&
+        lt + pPrOpen.length < xml.length &&
+        !xml.charAt(lt + pPrOpen.length).isLetter) {
+        // <w:pPr> holds tab-STOP definitions (<w:tabs><w:tab .../>)
+        // that the "<w:tab" run scan would misread as literal tabs —
+        // skip the paragraph-properties block wholesale (real <w:tab/>
+        // run content never lives there)
+        val gt = xml.indexOf('>', lt)
+        if (gt < 0) i = xml.length
+        else if (xml.charAt(gt - 1) == '/') i = gt + 1 // <w:pPr/>
+        else {
+          val end = xml.indexOf(pPrClose, gt + 1)
+          i = if (end < 0) xml.length else end + pPrClose.length
         }
       } else if (xml.startsWith(tab, lt)) { sb.append('\t'); i = lt + 1 }
       else if (xml.startsWith(br, lt) || xml.startsWith(cr, lt)) {

@@ -915,6 +915,30 @@ object Pdf {
   // public surface
   // ---------------------------------------------------------------
 
+  /** /Resources is an INHERITABLE page-tree attribute (ISO 32000
+    * §7.7.3.4): shared fonts commonly live on the /Pages node, so a
+    * page dict without its own /Resources must walk its /Parent
+    * chain — otherwise /ToUnicode CMaps are lost and CID text
+    * degrades to Latin-1 garbage. Bounded depth keeps hostile
+    * Parent cycles total.
+    */
+  private def inheritedResources(page: PDict,
+      resolve: PVal => PVal): PVal = {
+    var cur: PDict = page
+    var depth = 0
+    while (depth < 64) {
+      cur.m.get("Resources") match {
+        case Some(r) => return r
+        case None =>
+          resolve(cur.m.getOrElse("Parent", PNullV)) match {
+            case p: PDict => cur = p; depth += 1
+            case _ => return PNullV
+          }
+      }
+    }
+    PNullV
+  }
+
   /** Per-page text. Total on arbitrary bytes: garbage, encrypted
     * documents, and undecodable streams yield the pages recovered so
     * far (possibly none).
@@ -944,7 +968,7 @@ object Pdf {
         // composite-font text: each resource font carrying /ToUnicode
         // gets its CMap, so CID strings decode to real characters
         val fonts: Map[String, CMap] =
-          resolve(page.m.getOrElse("Resources", PNullV)) match {
+          resolve(inheritedResources(page, resolve)) match {
             case rd: PDict => resolve(rd.m.getOrElse("Font", PNullV)) match {
               case fd: PDict => fd.m.flatMap { case (fname, fref) =>
                 resolve(fref) match {

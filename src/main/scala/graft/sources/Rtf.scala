@@ -38,6 +38,18 @@ object Rtf {
       val c = s.charAt(i)
       if (pendingUcSkip > 0 && c != '{' && c != '}' && c != '\\') {
         pendingUcSkip -= 1; i += 1 // \uN fallback chars
+      } else if (pendingUcSkip > 0 && c == '\\' && i + 1 < s.length &&
+        s.charAt(i + 1) == '\'') {
+        // Word writes the fallback as an escape, e.g. \u8212\'97: the
+        // whole \'hh is ONE fallback character — rendering it would
+        // duplicate every non-ASCII char in Word-authored RTF
+        pendingUcSkip -= 1
+        i += (if (i + 3 < s.length) 4 else s.length - i)
+      } else if (pendingUcSkip > 0 && c == '\\' && i + 1 < s.length &&
+        !s.charAt(i + 1).isLetter && s.charAt(i + 1) != '*') {
+        // control-symbol fallback (\~ \\ \{ \}): one fallback unit
+        pendingUcSkip -= 1
+        i += 2
       } else c match {
         case '{' =>
           stack = cur :: stack

@@ -46,20 +46,6 @@ object Warc {
   private def isGzip(b: Array[Byte]): Boolean =
     b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
 
-  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(b))
-    val out = new java.io.ByteArrayOutputStream(b.length * 4)
-    val buf = new Array[Byte](65536)
-    var n = in.read(buf)
-    while (n >= 0) {
-      if (n > 0) out.write(buf, 0, n)
-      n = in.read(buf)
-    }
-    in.close()
-    out.toByteArray
-  }
-
   private def indexOfCrlfCrlf(b: Array[Byte]): Int = {
     var i = 0
     while (i + 3 < b.length) {
@@ -86,9 +72,15 @@ object Warc {
       val hexPart = sizeLine.split(";")(0).trim
       val size = try Integer.parseInt(hexPart, 16)
         catch { case _: NumberFormatException => return b }
+      // parseInt accepts "-5": a hostile negative size would pass the
+      // `dataStart + size > b.length` bound below and make write()
+      // throw IndexOutOfBoundsException — treat it as malformed framing
+      if (size < 0) return b
       if (size == 0) return out.toByteArray // terminal chunk (trailers ignored)
       val dataStart = e + 2
-      if (dataStart + size > b.length) return b
+      // Long arithmetic: dataStart + 0x7fffffff wraps negative in Int
+      // and would slip past this bound into an out-of-range write
+      if (dataStart.toLong + size > b.length) return b
       out.write(b, dataStart, size)
       p = dataStart + size + 2 // skip trailing CRLF
     }
@@ -142,8 +134,13 @@ object Warc {
         var body = java.util.Arrays.copyOfRange(
           payloadBytes, sep + 4, payloadBytes.length)
         if (chunked) body = dechunk(body)
-        if (gzipped && isGzip(body))
-          body = scala.util.Try(gunzipAll(body)).getOrElse(body)
+        if (gzipped && isGzip(body)) {
+          // budgeted + total (1 << 28 cap): a gzip-bomb body returns
+          // null instead of inflating ~1032:1 into an OOM Error that
+          // no Try at this site could catch — keep the wire bytes then
+          val inflated = graft.functions.Udfs.decompress(body, "gzip")
+          if (inflated != null) body = inflated
+        }
         payloadText = new String(body, "UTF-8")
         bodyBytes = body
       }
@@ -172,7 +169,8 @@ object Warc {
     * shard rather than failing the partition. The input stream is
     * closed when the iterator is exhausted.
     */
-  def parseStream(in0: java.io.InputStream): Iterator[WarcRecord] = {
+  def parseStream(in0: java.io.InputStream,
+      maxRecordBytes: Long = 1L << 28): Iterator[WarcRecord] = {
     val pb = new java.io.PushbackInputStream(
       new java.io.BufferedInputStream(in0, 1 << 16), 2)
     val b0 = pb.read()
@@ -244,41 +242,68 @@ object Warc {
         try in.close() catch { case _: java.io.IOException => () }
       }
 
+      // stream past an over-budget payload in 64 KiB chunks (never
+      // buffered) — the Tar.parseStream drop-and-continue contract.
+      // Returns false on EOF mid-skip (truncated stream).
+      private def skipFully(len: Long): Boolean = {
+        val buf = new Array[Byte](1 << 16)
+        var remaining = len
+        while (remaining > 0) {
+          val n = in.read(buf, 0, math.min(remaining, buf.length.toLong).toInt)
+          if (n < 0) return false
+          remaining -= n
+        }
+        true
+      }
+
       private def advance(): Unit = {
         if (finished) return
         nextRec = null
-        val rec = try {
-          // skip inter-record blank lines to the next version line
-          var version = readLine()
-          while (version != null && version.isEmpty) version = readLine()
-          if (version == null || !version.startsWith("WARC/")) null
-          else {
-            // header block until the first empty line
-            val headers = scala.collection.mutable.Map.empty[String, String]
-            var line = readLine()
-            while (line != null && line.nonEmpty) {
-              val c = line.indexOf(':')
-              if (c > 0)
-                headers(line.substring(0, c).trim.toLowerCase) =
-                  line.substring(c + 1).trim
-              line = readLine()
-            }
-            if (line == null) null // EOF inside the header block
+        // loops only when an over-budget record is dropped: skip its
+        // payload and continue with the next record instead of either
+        // buffering maxRecordBytes+ per task or ending the shard
+        while (!finished && nextRec == null) {
+          var dropped = false
+          val rec = try {
+            // skip inter-record blank lines to the next version line
+            var version = readLine()
+            while (version != null && version.isEmpty) version = readLine()
+            if (version == null || !version.startsWith("WARC/")) null
             else {
-              val len = headers.get("content-length").flatMap(s =>
-                scala.util.Try(s.toLong).toOption).getOrElse(-1L)
-              if (len < 0) null
+              // header block until the first empty line
+              val headers = scala.collection.mutable.Map.empty[String, String]
+              var line = readLine()
+              while (line != null && line.nonEmpty) {
+                val c = line.indexOf(':')
+                if (c > 0)
+                  headers(line.substring(0, c).trim.toLowerCase) =
+                    line.substring(c + 1).trim
+                line = readLine()
+              }
+              if (line == null) null // EOF inside the header block
               else {
-                val payloadBytes = readFully(len)
-                if (payloadBytes == null) null
-                else mkRecord(headers, payloadBytes, len)
+                val len = headers.get("content-length").flatMap(s =>
+                  scala.util.Try(s.toLong).toOption).getOrElse(-1L)
+                if (len < 0) null
+                else if (len > maxRecordBytes) {
+                  dropped = skipFully(len)
+                  null
+                } else {
+                  val payloadBytes = readFully(len)
+                  if (payloadBytes == null) null
+                  else mkRecord(headers, payloadBytes, len)
+                }
               }
             }
+          } catch {
+            // corrupt gzip stream, hostile envelope bytes (a runtime
+            // exception out of the HTTP unwrap must not escape the
+            // task) — keep the records so far
+            case scala.util.control.NonFatal(_) => null
           }
-        } catch { // corrupt gzip stream etc. — keep the records so far
-          case _: java.io.IOException => null
+          if (rec != null) nextRec = rec
+          else if (!dropped) finish()
         }
-        if (rec == null) finish() else nextRec = rec
       }
 
       advance()

@@ -70,8 +70,11 @@ object StreamOps {
     left.join(right,
         col("user_id") === col("r_user") &&
           col("r_ts") >= col("l_ts") &&
+          // MILLISECOND, not withinMs/1000 SECOND: integer division
+          // silently collapsed sub-second bounds (500 ms → zero-width
+          // join) and truncated 1500 ms → 1 s
           col("r_ts") <= col("l_ts") +
-            expr(s"INTERVAL ${withinMs / 1000} SECOND"))
+            expr(s"INTERVAL ${withinMs} MILLISECOND"))
       .select(col("user_id"), col("l_id"), col("r_id"))
   }
 

@@ -787,6 +787,57 @@ class BinarySpec extends SparkSpec {
     assert(kf.map(_.getAs[Int]("sample_idx")).toSeq == Seq(0, 4))
   }
 
+  // ---- Matroska/WebM sample extraction ------------------------------
+
+  test("webm samples: cluster/SimpleBlock/BlockGroup round-trip") {
+    val frames = (0 until 6).map(i =>
+      Array.tabulate(5 + i)(j => ((i * 31 + j * 7) % 256).toByte))
+    // cluster 0 (ts 0): samples 0-2; cluster 1 (ts 1000): samples 3-5.
+    // samples 1 and 4 are written as BlockGroup/Block (1 keyframe, 4
+    // not → ReferenceBlock present); the rest as SimpleBlocks.
+    def s(i: Int) = (1L, i * 40, i % 2 == 1, i == 1 || i == 4, frames(i))
+    val bytes = MediaHeaders.webmBuild(Seq(
+      (0L, (0 until 3).map(s)), (1000L, (3 until 6).map(s))))
+    val got = MediaHeaders.webmSamples(bytes)
+    assert(got.length == 6)
+    for ((g0, i) <- got.zipWithIndex) {
+      assert(g0.index == i && g0.track == 1L && g0.size == 5 + i)
+      assert(g0.timestamp == (if (i < 3) 0 else 1000) + i * 40, s"ts @$i")
+      assert(g0.keyframe == (i % 2 == 1), s"keyframe @$i")
+      val slice = java.util.Arrays.copyOfRange(
+        bytes, g0.offset.toInt, (g0.offset + g0.size).toInt)
+      assert(slice.toSeq == frames(i).toSeq, s"sample $i bytes differ")
+    }
+    // degenerate: not EBML / empty / truncated
+    assert(MediaHeaders.webmSamples("junk".getBytes).isEmpty)
+    assert(MediaHeaders.webmSamples(null).isEmpty)
+    MediaHeaders.webmSamples(bytes.take(bytes.length / 2)) // total
+    // mutation totality (the mp4/PropertySpec pattern)
+    val rnd = new scala.util.Random(7)
+    (0 until 300).foreach { _ =>
+      val m = bytes.clone()
+      (0 until 3).foreach(_ =>
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte)
+      MediaHeaders.webmSamples(m) // must not throw
+    }
+  }
+
+  test("sampleFramesWebm emits real frames; keyframesOnly filters") {
+    import org.apache.spark.sql.Row
+    val frames = (0 until 6).map(i => Array.fill(4)(i.toByte))
+    def s(i: Int) = (1L, i * 40, i == 0 || i == 4, false, frames(i))
+    val bytes = graft.llm.MediaHeaders.webmBuild(
+      Seq((0L, (0 until 6).map(s))))
+    val d = df("id BIGINT, v BINARY", Seq(Row(1L, bytes)))
+    val all = graft.llm.Multimodal.sampleFramesWebm(d, "v", "id").collect()
+    assert(all.length == 6)
+    assert(all.map(_.getAs[Array[Byte]]("frame").head.toInt).toSeq ==
+      Seq(0, 1, 2, 3, 4, 5))
+    val kf = graft.llm.Multimodal
+      .sampleFramesWebm(d, "v", "id", keyframesOnly = true).collect()
+    assert(kf.map(_.getAs[Int]("sample_idx")).toSeq == Seq(0, 4))
+  }
+
   // ---- JPEG decode (ImageIO) ---------------------------------------
 
   test("jpeg round-trip: exact dims, means within DCT tolerance") {

@@ -24,6 +24,20 @@ class DocxSpec extends SparkSpec {
       "Hello world & co", "", "A\tB\nC A", ""))
   }
 
+  test("docx: pPr tab-stop definitions do not emit literal tabs (r14 advice)") {
+    // <w:tabs><w:tab w:val=... w:pos=.../></w:tabs> inside <w:pPr>
+    // are tab-STOP definitions, not tab characters — before the fix
+    // the "<w:tab" scan matched both the <w:tabs> wrapper and each
+    // definition, prepending 2+ spurious tabs per styled paragraph
+    val xml =
+      """<?xml version="1.0"?>
+        |<w:document xmlns:w="x"><w:body>
+        |<w:p><w:pPr><w:tabs><w:tab w:val="left" w:pos="720"/><w:tab w:val="right" w:pos="9360"/></w:tabs><w:jc w:val="left"/></w:pPr><w:r><w:t>A</w:t><w:tab/><w:t>B</w:t></w:r></w:p>
+        |<w:p><w:pPr/><w:r><w:t>plain</w:t></w:r></w:p>
+        |</w:body></w:document>""".stripMargin
+    assert(Docx.extractDocx(docx(xml)) == Seq("A\tB", "plain"))
+  }
+
   test("pptx: slides in numeric order, a:t runs") {
     def slide(ts: Seq[String]): Array[Byte] =
       ("<p:sld xmlns:a=\"x\"><p:txBody>" +

@@ -197,6 +197,43 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.extract(pdf).map(_.text) == Seq("日本\nplain"))
   }
 
+  test("inherited /Resources: CMap found on the /Pages node (r14 advice)") {
+    // ISO 32000 §7.7.3.4 makes /Resources inheritable — shared fonts
+    // commonly live on the /Pages node; before the fix only the page
+    // dict's own /Resources was consulted, so CID text degraded to
+    // Latin-1 garbage for that common layout
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange <0000> <FFFF> endcodespacerange
+        |2 beginbfchar
+        |<0001> <65E5>
+        |<0002> <672C>
+        |endbfchar
+        |endcmap end end""".stripMargin
+    val content = "BT /F9 12 Tf 72 720 Td <00010002> Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      // Resources on the PAGES node, not the page
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 " +
+      "/Resources << /Font << /F9 5 0 R >> >> >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\n" +
+      "endstream\nendobj\n" +
+      "5 0 obj\n<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>\nendobj\n" +
+      s"6 0 obj\n<< /Length ${cmap.length} >>\nstream\n$cmap\n" +
+      "endstream\nendobj\n" +
+      "trailer\n<< /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    assert(Pdf.extract(pdf).map(_.text) == Seq("日本"))
+    // a page-local /Resources still wins over the inherited one
+    val pdf2 = new String(pdf, "ISO-8859-1")
+      .replace("/Type /Page /Parent 2 0 R",
+        "/Type /Page /Parent 2 0 R /Resources << /Font << >> >>")
+      .getBytes("ISO-8859-1")
+    // own (empty) Resources → no CMap → raw CID bytes, not 日本
+    assert(Pdf.extract(pdf2).map(_.text).forall(t => !t.contains("日本")))
+  }
+
   test("damaged xref offsets are irrelevant; damaged object resyncs") {
     val good = Pdf.build(Seq(Seq("page one"), Seq("page two")))
     // corrupt every xref offset digit — the sequential walk must not care

@@ -33,6 +33,22 @@ class RtfLatexSpec extends SparkSpec {
     assert(Rtf.extract("{\\rtf1 trailing\\") == "trailing")
   }
 
+  test("rtf: Word-style escape fallbacks consumed as one unit (r14 advice)") {
+    // Word writes the \uN fallback as a \'hh escape, e.g. \u8212\'97 —
+    // before the fix the escape decoded and APPENDED after the
+    // Unicode char, duplicating every non-ASCII char in
+    // Word-authored RTF (em-dash became two dashes)
+    assert(Rtf.extract("{\\rtf1\\ansi a\\u8212\\'97b}") == "a—b")
+    // \uc2 with two escape fallbacks
+    assert(Rtf.extract("{\\rtf1\\uc2\\u934\\'46\\'46 after}") == "Φ after")
+    // mixed escape + plain fallback
+    assert(Rtf.extract("{\\rtf1\\uc2\\u934\\'46F after}") == "Φ after")
+    // a control-symbol escape is one fallback unit too
+    assert(Rtf.extract("{\\rtf1 a\\u8212\\~x}") == "a—x")
+    // truncated escape at EOF: total
+    assert(Rtf.extract("{\\rtf1 a\\u8212\\'9") == "a—")
+  }
+
   test("rtf: totality fuzz on mutated documents") {
     val base = "{\\rtf1{\\fonttbl{\\f0 X;}}Hello \\'e9 \\u934?F world\\par}"
     val rnd = new scala.util.Random(23)

@@ -76,6 +76,27 @@ class StreamSpec extends SparkSpec {
     assert(plan.contains("l_ts") && plan.contains("r_ts"))
   }
 
+  test("stream-stream join: sub-second withinMs holds exactly (r14 advice)") {
+    // before the fix, INTERVAL ${withinMs/1000} SECOND truncated
+    // withinMs=500 to a zero-width bound (empty join) and 1500 → 1 s
+    val dir = java.nio.file.Files.createTempDirectory("ssj_ms").toString
+    val t0 = 1700000000000L
+    val rows = Seq(
+      Row(1L, new java.sql.Timestamp(t0), "view", 10L, 1.0),
+      Row(1L, new java.sql.Timestamp(t0 + 400), "purchase", 11L, 1.0), // in
+      Row(2L, new java.sql.Timestamp(t0), "view", 20L, 1.0),
+      Row(2L, new java.sql.Timestamp(t0 + 600), "purchase", 21L, 1.0)) // out
+    df("user_id LONG, ts TIMESTAMP, event_type STRING, event_id LONG, value DOUBLE",
+      rows).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = StreamOps.runBatchAsStream(spark, s"$dir/events.parquet",
+      st => StreamOps.streamStreamJoin(st, "view", "purchase",
+        withinMs = 500L),
+      queryName = "stream_ssj_ms")
+    val pairs = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 10L, 11L))) // 400 ms in, 600 ms out
+  }
+
   test("mapGroupsWithState sessionization emits per-user aggregates") {
     val out = StreamOps.runBatchAsStream(spark, s"$eventsDir/events.parquet",
       st => StreamOps.sessionize(st),

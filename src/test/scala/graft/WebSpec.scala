@@ -402,6 +402,125 @@ class WebSpec extends SparkSpec {
     assert(bad.length == 1 && bad.head.payload.contains("not chunked"))
   }
 
+  test("warc parse: hostile negative chunk size never throws (r14 judge repro)") {
+    // Integer.parseInt("-5", 16) succeeds, and `dataStart + size >
+    // b.length` passes for a negative size — before the fix
+    // out.write(b, dataStart, -5) threw IndexOutOfBoundsException
+    // past advance()'s IOException-only catch and killed the task.
+    def rec(headers: String, body: Array[Byte]): Array[Byte] = {
+      val envelope = ("HTTP/1.1 200 OK\r\n" + headers + "\r\n")
+        .getBytes("ISO-8859-1") ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${envelope.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        envelope ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    val hostile = rec("Transfer-Encoding: chunked\r\n",
+      "-5\r\nhello world\r\n0\r\n\r\n".getBytes("ISO-8859-1"))
+    val rs = Warc.parseAll(hostile)
+    // malformed framing → raw-bytes fallback, record survives
+    assert(rs.length == 1 && rs.head.payload.contains("hello world"))
+    // and a following record still parses (one hostile record must
+    // not end the shard)
+    val after = Warc.parseAll(hostile ++
+      warcRecord("conversion", "u2", "after", http = false).getBytes("UTF-8"))
+    assert(after.length == 2 && after(1).payload == "after")
+    // other hostile size spellings: huge positive, overflow hex, empty
+    for (sz <- Seq("-1", "-7fffffff", "7fffffff", "ffffffffffffffff", "")) {
+      val r = Warc.parseAll(rec("Transfer-Encoding: chunked\r\n",
+        s"$sz\r\nbody\r\n0\r\n\r\n".getBytes("ISO-8859-1")))
+      assert(r.length == 1, s"size spelling '$sz' must not kill the record")
+    }
+  }
+
+  test("warc parse: gzip-bomb HTTP body falls back to raw bytes (budget)") {
+    // ~300 MB of zeros gzips to ~300 KB; before the fix gunzipAll
+    // inflated it unbounded (OOM is an Error — the Try at the call
+    // site could not catch it). Udfs.decompress's 1 << 28 budget
+    // returns null → the wire bytes are kept.
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    val zeros = new Array[Byte](1 << 20)
+    for (_ <- 0 until 300) g.write(zeros)
+    g.close()
+    val bomb = bos.toByteArray
+    assert(bomb.length < (1 << 21)) // the bomb itself is tiny
+    val envelope = ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n")
+      .getBytes("ISO-8859-1") ++ bomb
+    val blob = (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${envelope.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+      envelope ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    val rs = Warc.parseAll(blob)
+    assert(rs.length == 1)
+    // raw-bytes fallback: payload_bytes are the compressed wire form
+    assert(rs.head.payload_bytes.length == bomb.length)
+    // a small legit gzip body in the next record still inflates
+    val ok = Warc.parseAll(blob ++
+      warcRecord("conversion", "u2", "after", http = false).getBytes("UTF-8"))
+    assert(ok.length == 2 && ok(1).payload == "after")
+  }
+
+  test("warc parseStream: over-budget record dropped, following records survive") {
+    // the Tar.maxMemberBytes drop-and-continue contract: a genuine
+    // multi-GiB record must not be buffered per task — skip its
+    // payload in chunks and keep reading
+    val big = warcRecord("conversion", "u-big", "X" * 500, http = false)
+    val small = warcRecord("conversion", "u-small", "kept", http = false)
+    val blob = (big + small + big + small).getBytes("UTF-8")
+    val rs = Warc.parseStream(
+      new java.io.ByteArrayInputStream(blob), maxRecordBytes = 100).toVector
+    assert(rs.map(_.payload) == Seq("kept", "kept"))
+    // default budget: both parse
+    val all = Warc.parseStream(new java.io.ByteArrayInputStream(blob)).toVector
+    assert(all.length == 4)
+  }
+
+  test("warc parse: structured envelope mutations are total") {
+    // PropertySpec's arbitrary-bytes generator can never reach the
+    // HTTP-envelope code (random bytes don't form a WARC header +
+    // envelope) — mutate a VALID chunked/gzip record instead so the
+    // totality claim actually covers dechunk/inflate/skip paths.
+    val rnd = new scala.util.Random(42)
+    def rec(headers: String, body: Array[Byte]): Array[Byte] = {
+      val envelope = ("HTTP/1.1 200 OK\r\n" + headers + "\r\n")
+        .getBytes("ISO-8859-1") ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${envelope.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        envelope ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    val gzBody = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write("payload text".getBytes("UTF-8")); g.close(); bos.toByteArray
+    }
+    val bases = Seq(
+      rec("Transfer-Encoding: chunked\r\n",
+        "c\r\nhello world!\r\n0\r\n\r\n".getBytes("ISO-8859-1")),
+      rec("Content-Encoding: gzip\r\n", gzBody),
+      rec("Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n",
+        (f"${gzBody.length}%x\r\n").getBytes("ISO-8859-1") ++ gzBody ++
+          "\r\n0\r\n\r\n".getBytes("ISO-8859-1")))
+    for (base <- bases; trial <- 0 until 200) {
+      val b = base.clone()
+      trial % 4 match {
+        case 0 => // flip 1-3 random bytes
+          for (_ <- 0 to rnd.nextInt(3))
+            b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        case 1 => // truncate at a random offset
+        case 2 => // corrupt a byte INSIDE the body region specifically
+          val bodyStart = b.length - 20
+          b(bodyStart + rnd.nextInt(15)) = rnd.nextInt(256).toByte
+        case 3 => // inject a '-' to manufacture negative-looking sizes
+          b(rnd.nextInt(b.length)) = '-'.toByte
+      }
+      val in = if (trial % 4 == 1) b.take(rnd.nextInt(b.length)) else b
+      Warc.parseAll(in) // must not throw — result content unconstrained
+      Warc.parseStream(new java.io.ByteArrayInputStream(in)).foreach(_ => ())
+    }
+  }
+
   test("warc parseStream: record-at-a-time, equivalent to parseAll") {
     def gz(s: Array[Byte]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
