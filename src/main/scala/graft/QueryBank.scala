@@ -2352,6 +2352,30 @@ object QueryBank {
         |FROM t LEFT JOIN cut ON t.doc_id = cut.doc_id
         |WHERE t.doc_id % 97 <> 0""".stripMargin),
 
+    ("decontaminate_semantic",
+      // the EMBEDDING leg of decontamination (paraphrased benchmark
+      // leakage that token n-grams miss): eval = half-scale twins of
+      // vec_id < 10 (cosine is scale-invariant, so each base vector
+      // hits its twin at exactly 1.0), eval broadcast, corpus side
+      // map-only. DuckDB replays the max-cosine-vs-eval filter
+      // exactly; round(4) absorbs its float32 cosine kernel.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val e = emb(s, d)
+        val eval = e.filter(col("vec_id") < 10)
+          .select(transform(col("embedding"), x => x * lit(0.5f))
+            .as("evec"))
+        graft.llm.Decontaminate.semanticHits(e, "vec_id", "embedding",
+            eval, "evec", threshold = 0.99)
+          .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+      },
+      """WITH ev AS (SELECT embedding FROM embeddings WHERE vec_id < 10),
+        |mx AS (SELECT c.vec_id,
+        |    max(list_cosine_similarity(c.embedding, ev.embedding)) AS mc
+        |  FROM embeddings c CROSS JOIN ev GROUP BY c.vec_id)
+        |SELECT vec_id, round(mc, 4) AS cosine FROM mx
+        |WHERE mc >= 0.99""".stripMargin),
+
     ("decontaminate",
       // benchmark decontamination: docs whose doc_id % 97 == 0 stand in
       // for a held-out eval set; every other document counts its word
@@ -4578,6 +4602,70 @@ object QueryBank {
         |   j -> (doc_id * 7 + i * 13 + j * 3) % 256)) AS BIGINT)
         |   AS byte_sum
         |FROM sp""".stripMargin),
+
+    ("multimodal_mkv_subtitles",
+      // MKV-embedded subtitle extraction: the Tracks element names
+      // track 2 S_TEXT/UTF8, and only ITS BlockGroups become cues
+      // (the interleaved V_VP9 SimpleBlocks must be ignored); start
+      // is the cluster-absolute block time, duration the
+      // BlockDuration element. A codec-routing or duration-read slip
+      // breaks the rows.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val mkv = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthMkvSubsUdf(col("doc_id")))
+        graft.llm.Multimodal.extractWebmSubtitles(mkv, "payload", "doc_id")
+          .select(col("doc_id"), col("start_ms"), col("duration_ms"),
+            col("text"))
+      },
+      """WITH g AS (SELECT doc_id, CAST(3 + doc_id % 4 AS BIGINT) AS nc
+        | FROM documents WHERE doc_id < 200),
+        |sp AS (SELECT doc_id, unnest(range(nc)) AS i FROM g)
+        |SELECT doc_id, CAST(i * 2000 AS BIGINT) AS start_ms,
+        | CAST(1500 AS BIGINT) AS duration_ms,
+        | 'cue ' || doc_id || ' ' || i AS text
+        |FROM sp""".stripMargin),
+
+    ("pipeline_mkv_video_text",
+      // the MUXED variant of pipeline_video_text: ONE Matroska
+      // container carries both the video frames and the subtitle
+      // track (the real web shape — MP4+sidecar-SRT was the other
+      // layout). Track routing splits it, then the same cell-grid
+      // range join pairs each frame with the cue on screen at its
+      // timestamp; frames in cue gaps drop. Per-doc ts offsets keep
+      // unrelated videos' time axes disjoint through the join.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val base = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthMkvAvUdf(col("doc_id")))
+        val frames = graft.llm.Multimodal.sampleFramesWebm(
+            base, "payload", "doc_id")
+          .filter(col("track") === 1)
+          .select(col("doc_id").as("f_doc"), col("sample_idx"),
+            (col("doc_id") * 100000L + col("timestamp")).as("f_ts"))
+        val cues = graft.llm.Multimodal.extractWebmSubtitles(
+            base, "payload", "doc_id")
+          .select((col("doc_id") * 100000L + col("start_ms")).as("lo"),
+            (col("doc_id") * 100000L + col("start_ms") +
+              col("duration_ms")).as("hi"),
+            col("text").as("cue"))
+        graft.ops.JoinOps.rangeJoin(frames, cues, "f_ts", "lo", "hi",
+            cellWidth = 2000.0)
+          .select(col("f_doc").as("doc_id"), col("sample_idx"),
+            col("cue"))
+      },
+      """WITH g AS (SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS nf
+        | FROM documents WHERE doc_id < 200),
+        |f AS (SELECT doc_id, unnest(range(nf)) AS i FROM g),
+        |m AS (SELECT doc_id, i,
+        |  CASE WHEN (i * 700) % 2000 < 1500 THEN (i * 700) // 2000
+        |       ELSE -1 END AS j
+        | FROM f)
+        |SELECT doc_id, CAST(i AS INT) AS sample_idx,
+        | 'cue ' || doc_id || ' ' || j AS cue
+        |FROM m WHERE j >= 0""".stripMargin),
 
     ("multimodal_jpeg_decode",
       // REAL JPEG decode via the JDK's ImageIO (public java.desktop
@@ -7061,13 +7149,57 @@ object QueryBank {
     val half = (ns + 1) / 2
     def sample(i: Int) = {
       val len = (8 + (id + i) % 5).toInt
-      (1L, i * 40, i % 3 == 0, i % 4 == 3,
+      graft.llm.MediaHeaders.WebmBlockSpec(1L, i * 40, i % 3 == 0,
+        i % 4 == 3,
         Array.tabulate(len)(j => ((id * 7 + i * 13 + j * 3) % 256).toByte))
     }
     graft.llm.MediaHeaders.webmBuild(Seq(
       (0L, (0 until half).map(sample)),
       (1000L, (half until ns).map(sample))))
   })
+
+  /** Fixture: an MKV with a video track (1, V_VP9 SimpleBlocks) and a
+    * subtitle track (2, S_TEXT/UTF8 BlockGroups with BlockDuration) —
+    * cue i of nc = 3 + id % 4 starts at i*2000 ms for 1500 ms. The
+    * video blocks must be IGNORED by the subtitle extractor.
+    */
+  private val synthMkvSubsUdf = org.apache.spark.sql.functions.udf(
+    (id: Long) => {
+      import graft.llm.MediaHeaders.WebmBlockSpec
+      val nc = (3 + id % 4).toInt
+      val blocks = (0 until nc).flatMap { i =>
+        Seq(
+          WebmBlockSpec(1L, i * 33, i == 0, useGroup = false,
+            Array.tabulate(6)(j => ((id + i * 5 + j) % 256).toByte)),
+          WebmBlockSpec(2L, i * 2000, keyframe = true, useGroup = true,
+            s"cue $id $i".getBytes("UTF-8"), durationMs = 1500L))
+      }
+      graft.llm.MediaHeaders.webmBuild(Seq((0L, blocks)),
+        tracks = Seq((1L, "V_VP9"), (2L, "S_TEXT/UTF8")),
+        docType = "matroska")
+    })
+
+  /** Fixture: a MUXED MKV — video track 1 frames every 700 ms
+    * (nf = 4 + id % 5 SimpleBlocks, first in each cluster keyframed)
+    * interleaved with subtitle track 2 cues at j*2000 ms for 1500 ms
+    * (nc = 3 + id % 4) — the real audio/video/subs-in-one-container
+    * shape the MP4+sidecar-SRT composite cannot exercise.
+    */
+  private val synthMkvAvUdf = org.apache.spark.sql.functions.udf(
+    (id: Long) => {
+      import graft.llm.MediaHeaders.WebmBlockSpec
+      val nf = (4 + id % 5).toInt
+      val nc = (3 + id % 4).toInt
+      val video = (0 until nf).map(i =>
+        WebmBlockSpec(1L, i * 700, i % 3 == 0, useGroup = false,
+          Array.tabulate(6)(j => ((id + i * 5 + j) % 256).toByte)))
+      val subs = (0 until nc).map(j =>
+        WebmBlockSpec(2L, j * 2000, keyframe = true, useGroup = true,
+          s"cue $id $j".getBytes("UTF-8"), durationMs = 1500L))
+      graft.llm.MediaHeaders.webmBuild(Seq((0L, video ++ subs)),
+        tracks = Seq((1L, "V_VP9"), (2L, "S_TEXT/UTF8")),
+        docType = "matroska")
+    })
 
   /** Fixture: a robots.txt whose group disallows the row's segment
     * directory but allows its /open subtree (longest-match override).

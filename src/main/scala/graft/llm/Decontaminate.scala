@@ -159,6 +159,82 @@ object Decontaminate {
     corpus.withColumn(textCol, cutUdf(col(textCol)))
   }
 
+  /** Semantic (embedding) decontamination — the fourth leg beside the
+    * n-gram, Bloom, and span legs: a corpus row whose cosine against
+    * ANY eval-set embedding reaches `threshold` is a contamination
+    * hit (paraphrased benchmark leakage that token n-grams miss).
+    * Same 100 TB shape as the n-gram legs: the eval set (a benchmark —
+    * thousands of vectors, not terabytes) is collected under
+    * `maxEval`, L2-normalized once on the driver, and broadcast; the
+    * corpus side is MAP-ONLY (scan → per-row max-dot kernel → filter),
+    * no shuffle, no explode. Returns (idCol, `cosine`) hit rows;
+    * compose with an anti-join or use [[dropSemantic]] for survivors.
+    */
+  def semanticHits(corpus: DataFrame, idCol: String, vecCol: String,
+      eval: DataFrame, evalVecCol: String, threshold: Double,
+      maxEval: Int = 100000): DataFrame =
+    corpus.select(col(idCol),
+        maxCosColumn(corpus, vecCol, eval, evalVecCol, maxEval)
+          .as("cosine"))
+      // Spark orders NaN ABOVE every double, so the null/zero-vector
+      // sentinel would satisfy >= threshold — exclude it explicitly
+      .where(col("cosine") >= threshold && !isnan(col("cosine")))
+
+  /** Survivors of [[semanticHits]]: the corpus minus semantic
+    * contamination — the same map-only plan with the filter flipped
+    * (NaN-vector rows, undecidable, are kept).
+    */
+  def dropSemantic(corpus: DataFrame, idCol: String, vecCol: String,
+      eval: DataFrame, evalVecCol: String, threshold: Double,
+      maxEval: Int = 100000): DataFrame = {
+    val c = maxCosColumn(corpus, vecCol, eval, evalVecCol, maxEval)
+    corpus.where(c < threshold || isnan(c))
+  }
+
+  private def maxCosColumn(corpus: DataFrame, vecCol: String,
+      eval: DataFrame, evalVecCol: String, maxEval: Int): Column = {
+    val spark = corpus.sparkSession
+    val evalRows = eval.select(col(evalVecCol)).limit(maxEval + 1)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(evalRows.length <= maxEval,
+      s"decontaminate-semantic: eval set exceeds $maxEval vectors — " +
+        "an eval benchmark should be small; for corpus-vs-corpus " +
+        "similarity use semanticPairs/ANN instead")
+    val units: Array[Array[Float]] = evalRows.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0) v else v.map(x => (x / n).toFloat)
+    }
+    val bc = spark.sparkContext.broadcast(units)
+    val maxCos = udf((v: Seq[Float]) => {
+      if (v == null || v.isEmpty) Double.NaN
+      else {
+        val c = v.toArray
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += c(i).toDouble * c(i); i += 1 }
+        val cn = math.sqrt(s)
+        if (cn == 0) Double.NaN
+        else {
+          var best = -1.0
+          val es = bc.value
+          var e = 0
+          while (e < es.length) {
+            val u = es(e)
+            var d = 0.0; var j = 0
+            val m = math.min(u.length, c.length)
+            while (j < m) { d += u(j) * c(j).toDouble; j += 1 }
+            val cos = d / cn
+            if (cos > best) best = cos
+            e += 1
+          }
+          best
+        }
+      }
+    })
+    maxCos(col(vecCol))
+  }
+
   private def hitsColumn(corpus: DataFrame, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int,
       maxBenchGrams: Int): Column = {

@@ -183,6 +183,21 @@ object Multimodal {
   case class WebmFrame(sample_idx: Int, track: Long, timestamp: Long,
       offset: Long, size: Long, keyframe: Boolean, frame: Array[Byte])
 
+  /** Subtitle cues embedded in Matroska/WebM containers (S_TEXT
+    * tracks) as rows — the MKV leg of the subtitle story next to the
+    * SRT/VTT parsers: one row per cue with cluster-absolute start,
+    * BlockDuration, and UTF-8 text. Map-only explode.
+    */
+  def extractWebmSubtitles(df: DataFrame, binCol: String,
+      idCol: String): DataFrame = {
+    val cuesUdf = udf((b: Array[Byte]) => MediaHeaders.webmSubtitles(b))
+    df.select(col(idCol), explode(cuesUdf(col(binCol))).as("__c"))
+      .select(col(idCol), col("__c.track").as("track"),
+        col("__c.start").as("start_ms"),
+        col("__c.duration").as("duration_ms"),
+        col("__c.text").as("text"))
+  }
+
   /** Resize stub: re-bucket the feature histogram to a new width —
     * keeps the (payload → features) contract shape for downstream ops.
     */
@@ -1515,11 +1530,44 @@ object MediaHeaders {
   // frame bytes stays out of scope, exactly like MP4.
 
   case class WebmSample(index: Int, track: Long, timestamp: Long,
-      offset: Long, size: Long, keyframe: Boolean)
+      offset: Long, size: Long, keyframe: Boolean, duration: Long = -1L)
 
-  def webmSamples(b: Array[Byte]): Seq[WebmSample] = {
+  /** One subtitle cue from a Matroska S_TEXT track: the MKV-embedded
+    * equivalent of an SRT/VTT entry (cluster-absolute start, the
+    * BlockGroup's BlockDuration, UTF-8 cue text).
+    */
+  case class WebmCue(track: Long, start: Long, duration: Long,
+      text: String)
+
+  def webmSamples(b: Array[Byte]): Seq[WebmSample] =
+    webmScan(b)._2
+
+  /** Subtitle cues of every S_TEXT-prefixed track (the Matroska codec
+    * id family for SRT/ASS/USF text subtitles). Frames of non-text tracks are
+    * ignored; total on arbitrary bytes.
+    */
+  def webmSubtitles(b: Array[Byte]): Seq[WebmCue] = {
+    val (codecs, samples) = webmScan(b)
+    val textTracks = codecs.collect {
+      case (t, c) if c != null && c.startsWith("S_TEXT") => t
+    }.toSet
+    samples.collect {
+      case s if textTracks.contains(s.track) &&
+          s.offset >= 0 && s.offset + s.size <= b.length =>
+        WebmCue(s.track, s.timestamp, s.duration,
+          new String(b, s.offset.toInt, s.size.toInt,
+            java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Shared EBML walk: (track → CodecID) from the Tracks element plus
+    * every (Simple)Block frame row. See [[webmSamples]] for layout
+    * notes.
+    */
+  private def webmScan(b: Array[Byte]): (Map[Long, String], Seq[WebmSample]) = {
     if (b == null || b.length < 8 || u8(b, 0) != 0x1a || u8(b, 1) != 0x45 ||
-        u8(b, 2) != 0xdf || u8(b, 3) != 0xa3) return Seq.empty
+        u8(b, 2) != 0xdf || u8(b, 3) != 0xa3)
+      return (Map.empty, Seq.empty)
     // (value, width) of the vint at p, or null when malformed
     def vint(p: Int, keepMarker: Boolean): (Long, Int) = {
       if (p >= b.length) return null
@@ -1538,11 +1586,12 @@ object MediaHeaders {
       v
     }
     val out = Vector.newBuilder[WebmSample]
+    val codecs = Map.newBuilder[Long, String]
     var index = 0
     var clusterTs = 0L
     // one (Simple)Block payload at [from, to): emit the frame row
     def block(from: Int, to: Int, simpleKey: Boolean,
-        groupHasRef: Boolean, isSimple: Boolean): Unit = {
+        groupHasRef: Boolean, isSimple: Boolean, duration: Long): Unit = {
       val tv = vint(from, keepMarker = false)
       if (tv == null || from + tv._2 + 3 > to) return
       val rel = (beUint(from + tv._2, 2).toInt << 16) >> 16 // signed int16
@@ -1552,8 +1601,35 @@ object MediaHeaders {
       if (dataStart > to) return
       val key = if (isSimple) simpleKey else !groupHasRef
       out += WebmSample(index, tv._1, clusterTs + rel,
-        dataStart.toLong, (to - dataStart).toLong, key)
+        dataStart.toLong, (to - dataStart).toLong, key, duration)
       index += 1
+    }
+    // one TrackEntry payload: TrackNumber (0xD7) + CodecID (0x86)
+    def trackEntry(from: Int, to: Int): Unit = {
+      var q = from
+      var trackNum = -1L
+      var codec: String = null
+      var inner = true
+      while (inner && q < to) {
+        val iv = vint(q, keepMarker = true)
+        if (iv == null) inner = false
+        else {
+          val isv = vint(q + iv._2, keepMarker = false)
+          if (isv == null) inner = false
+          else {
+            val ds = q + iv._2 + isv._2
+            val de = math.min(ds + isv._1, to.toLong).toInt
+            if (ds > to) inner = false
+            else {
+              if (iv._1 == 0xD7L && de - ds <= 8) trackNum = beUint(ds, de - ds)
+              if (iv._1 == 0x86L)
+                codec = ascii(b, ds, de - ds).takeWhile(_ != '\u0000')
+              q = de
+            }
+          }
+        }
+      }
+      if (trackNum >= 0) codecs += trackNum -> codec
     }
     def walk(from: Int, to: Int, depth: Int, inCluster: Boolean): Unit = {
       var p = from
@@ -1579,6 +1655,26 @@ object MediaHeaders {
                   walk(dataStart, end, depth + 1, inCluster = true)
                 case 0xE7L if inCluster && end - dataStart <= 8 =>
                   clusterTs = beUint(dataStart, end - dataStart)
+                case 0x1654AE6BL => // Tracks: TrackEntry children
+                  var q = dataStart
+                  var inner = true
+                  while (inner && q < end) {
+                    val iv = vint(q, keepMarker = true)
+                    if (iv == null) inner = false
+                    else {
+                      val isv = vint(q + iv._2, keepMarker = false)
+                      if (isv == null) inner = false
+                      else {
+                        val ds = q + iv._2 + isv._2
+                        val de = math.min(ds + isv._1, end.toLong).toInt
+                        if (ds > end) inner = false
+                        else {
+                          if (iv._1 == 0xAEL) trackEntry(ds, de)
+                          q = de
+                        }
+                      }
+                    }
+                  }
                 case 0xA3L if inCluster => // SimpleBlock
                   // flags bit 0x80 = keyframe; peek it via the block
                   // payload's own layout
@@ -1586,11 +1682,13 @@ object MediaHeaders {
                   val key = tv != null && dataStart + tv._2 + 3 <= end &&
                     (u8(b, dataStart + tv._2 + 2) & 0x80) != 0
                   block(dataStart, end, simpleKey = key,
-                    groupHasRef = false, isSimple = true)
+                    groupHasRef = false, isSimple = true, duration = -1L)
                 case 0xA0L if inCluster => // BlockGroup
                   // two passes: ReferenceBlock presence decides the
-                  // keyframe flag of the contained Block
+                  // keyframe flag of the contained Block; BlockDuration
+                  // (0x9B) rides along for subtitle cues
                   var hasRef = false
+                  var dur = -1L
                   var blockStart = -1; var blockEnd = -1
                   var q = dataStart
                   var inner = true
@@ -1606,6 +1704,8 @@ object MediaHeaders {
                         if (ds > end) inner = false
                         else {
                           if (iv._1 == 0xFBL) hasRef = true
+                          if (iv._1 == 0x9BL && de - ds <= 8)
+                            dur = beUint(ds, de - ds)
                           if (iv._1 == 0xA1L) { blockStart = ds; blockEnd = de }
                           q = de
                         }
@@ -1614,8 +1714,8 @@ object MediaHeaders {
                   }
                   if (blockStart >= 0)
                     block(blockStart, blockEnd, simpleKey = false,
-                      groupHasRef = hasRef, isSimple = false)
-                case _ => () // EBML header, Info, Tracks, … — no frames
+                      groupHasRef = hasRef, isSimple = false, duration = dur)
+                case _ => () // EBML header, Info, … — no frames
               }
               if (unknown) ok = false else p = end
             }
@@ -1624,17 +1724,25 @@ object MediaHeaders {
       }
     }
     walk(0, b.length, 0, inCluster = false)
-    out.result()
+    (codecs.result(), out.result())
   }
 
-  /** Fixture complement of [[webmSamples]]: a minimal EBML/WebM file
-    * — EBML header with DocType, a Segment holding `clusters` of
-    * (clusterTimestamp, samples), each sample (track, relTs, keyframe,
-    * useBlockGroup, bytes) written as a SimpleBlock or a
-    * BlockGroup/Block (+ ReferenceBlock when not a keyframe).
+  /** One fixture block for [[webmBuild]]: written as a SimpleBlock,
+    * or as a BlockGroup/Block when `useGroup` (ReferenceBlock added
+    * when not a keyframe; BlockDuration when `durationMs >= 0` —
+    * duration forces the BlockGroup form, as in real files).
     */
-  def webmBuild(clusters: Seq[(Long, Seq[(Long, Int, Boolean, Boolean,
-      Array[Byte])])], docType: String = "webm"): Array[Byte] = {
+  case class WebmBlockSpec(track: Long, rel: Int, keyframe: Boolean,
+      useGroup: Boolean, bytes: Array[Byte], durationMs: Long = -1L)
+
+  /** Fixture complement of [[webmSamples]]/[[webmSubtitles]]: a
+    * minimal EBML/WebM file — EBML header with DocType, a Segment
+    * holding an optional Tracks element ((number, CodecID) pairs)
+    * then `clusters` of (clusterTimestamp, blocks).
+    */
+  def webmBuild(clusters: Seq[(Long, Seq[WebmBlockSpec])],
+      tracks: Seq[(Long, String)] = Nil,
+      docType: String = "webm"): Array[Byte] = {
     def vintSize(n: Long): Array[Byte] = {
       var w = 1
       while (w < 8 && n >= (1L << (7 * w)) - 1) w += 1
@@ -1658,25 +1766,36 @@ object MediaHeaders {
     }
     val header = el(0x1A45DFA3L,
       el(0x4282L, docType.getBytes("US-ASCII")))
-    val clusterBytes = clusters.map { case (ts, samples) =>
+    val tracksBytes =
+      if (tracks.isEmpty) Array.emptyByteArray
+      else el(0x1654AE6BL, tracks.flatMap { case (num, codec) =>
+        el(0xAEL, el(0xD7L, beMin(num)) ++
+          el(0x86L, codec.getBytes("US-ASCII")))
+      }.toArray)
+    val clusterBytes = clusters.map { case (ts, blocks) =>
       val body = new java.io.ByteArrayOutputStream()
       body.write(el(0xE7L, beMin(ts)))
-      samples.foreach { case (track, rel, key, useGroup, bytes) =>
-        val tb = vintSize(track) // track number vint (marker form)
+      blocks.foreach { sp =>
+        val group = sp.useGroup || sp.durationMs >= 0
+        val tb = vintSize(sp.track) // track number vint (marker form)
         val blockPayload = tb ++
-          Array(((rel >> 8) & 0xff).toByte, (rel & 0xff).toByte) ++
-          Array((if (key && !useGroup) 0x80 else 0x00).toByte) ++ bytes
-        if (!useGroup) body.write(el(0xA3L, blockPayload))
+          Array(((sp.rel >> 8) & 0xff).toByte, (sp.rel & 0xff).toByte) ++
+          Array((if (sp.keyframe && !group) 0x80 else 0x00).toByte) ++
+          sp.bytes
+        if (!group) body.write(el(0xA3L, blockPayload))
         else {
           val inner = el(0xA1L, blockPayload) ++
-            (if (key) Array.emptyByteArray
+            (if (sp.durationMs >= 0) el(0x9BL, beMin(sp.durationMs))
+             else Array.emptyByteArray) ++
+            (if (sp.keyframe) Array.emptyByteArray
              else el(0xFBL, Array(0xff.toByte))) // RefBlock: rel -1
           body.write(el(0xA0L, inner))
         }
       }
       el(0x1F43B675L, body.toByteArray)
     }
-    val segment = el(0x18538067L, clusterBytes.flatten.toArray)
+    val segment = el(0x18538067L,
+      tracksBytes ++ clusterBytes.flatten.toArray)
     header ++ segment
   }
 

@@ -443,7 +443,8 @@ object Warc {
     * one record, not a ~1 GB compressed (or ~4-5 GB decompressed)
     * shard byte[].
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String,
+      maxRecordBytes: Long = 1L << 28): DataFrame = {
     import spark.implicits._
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -466,7 +467,7 @@ object Warc {
         val tc = org.apache.spark.TaskContext.get()
         if (tc != null) tc.addTaskCompletionListener[Unit](_ =>
           try in.close() catch { case _: java.io.IOException => () })
-        parseStream(in).map(r => (p, r))
+        parseStream(in, maxRecordBytes).map(r => (p, r))
       }
       .toDF("path", "__r")
       .select(col("path"), col("__r.*"))

@@ -795,7 +795,8 @@ class BinarySpec extends SparkSpec {
     // cluster 0 (ts 0): samples 0-2; cluster 1 (ts 1000): samples 3-5.
     // samples 1 and 4 are written as BlockGroup/Block (1 keyframe, 4
     // not → ReferenceBlock present); the rest as SimpleBlocks.
-    def s(i: Int) = (1L, i * 40, i % 2 == 1, i == 1 || i == 4, frames(i))
+    def s(i: Int) = MediaHeaders.WebmBlockSpec(1L, i * 40, i % 2 == 1,
+      i == 1 || i == 4, frames(i))
     val bytes = MediaHeaders.webmBuild(Seq(
       (0L, (0 until 3).map(s)), (1000L, (3 until 6).map(s))))
     val got = MediaHeaders.webmSamples(bytes)
@@ -822,10 +823,42 @@ class BinarySpec extends SparkSpec {
     }
   }
 
+  test("webm subtitles: S_TEXT track cues extracted, video blocks ignored") {
+    import graft.llm.MediaHeaders.WebmBlockSpec
+    val blocks = Seq(
+      WebmBlockSpec(1L, 0, keyframe = true, useGroup = false,
+        Array[Byte](1, 2, 3)), // video frame: must not become a cue
+      WebmBlockSpec(2L, 100, keyframe = true, useGroup = true,
+        "first cue".getBytes("UTF-8"), durationMs = 900L),
+      WebmBlockSpec(2L, 2000, keyframe = true, useGroup = true,
+        "sécond cue".getBytes("UTF-8"), durationMs = 1200L))
+    val bytes = MediaHeaders.webmBuild(Seq((5000L, blocks)),
+      tracks = Seq((1L, "V_VP9"), (2L, "S_TEXT/UTF8")),
+      docType = "matroska")
+    val cues = MediaHeaders.webmSubtitles(bytes)
+    assert(cues.map(c => (c.track, c.start, c.duration, c.text)) == Seq(
+      (2L, 5100L, 900L, "first cue"), (2L, 7000L, 1200L, "sécond cue")))
+    // the video track's frames still come through the sample walker
+    assert(MediaHeaders.webmSamples(bytes).count(_.track == 1L) == 1)
+    // no Tracks element → no S_TEXT routing → no cues (but no throw)
+    val untracked = MediaHeaders.webmBuild(Seq((0L, blocks)))
+    assert(MediaHeaders.webmSubtitles(untracked).isEmpty)
+    assert(MediaHeaders.webmSubtitles("junk".getBytes).isEmpty)
+    assert(MediaHeaders.webmSubtitles(null).isEmpty)
+    // DataFrame op
+    import org.apache.spark.sql.Row
+    val d = df("id BIGINT, v BINARY", Seq(Row(9L, bytes)))
+    val rows = graft.llm.Multimodal.extractWebmSubtitles(d, "v", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(4)))
+    assert(rows.toSeq == Seq((9L, 5100L, "first cue"),
+      (9L, 7000L, "sécond cue")))
+  }
+
   test("sampleFramesWebm emits real frames; keyframesOnly filters") {
     import org.apache.spark.sql.Row
     val frames = (0 until 6).map(i => Array.fill(4)(i.toByte))
-    def s(i: Int) = (1L, i * 40, i == 0 || i == 4, false, frames(i))
+    def s(i: Int) = graft.llm.MediaHeaders.WebmBlockSpec(1L, i * 40,
+      i == 0 || i == 4, false, frames(i))
     val bytes = graft.llm.MediaHeaders.webmBuild(
       Seq((0L, (0 until 6).map(s))))
     val d = df("id BIGINT, v BINARY", Seq(Row(1L, bytes)))
