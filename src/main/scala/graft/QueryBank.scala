@@ -4627,6 +4627,35 @@ object QueryBank {
         | 'cue ' || doc_id || ' ' || i AS text
         |FROM sp""".stripMargin),
 
+    ("multimodal_webm_laced",
+      // laced audio blocks — the packing real audio muxers emit: even
+      // blocks Xiph (255-continued sizes), odd EBML (signed vint
+      // deltas), each expanding to one row per packed frame at the
+      // block timestamp. A size-table misread shifts every following
+      // offset, which byte_sum catches.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val webm = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthWebmLacedUdf(col("doc_id")))
+        val byteSum = udf((b: Array[Byte]) =>
+          b.map(x => (x & 0xff).toLong).sum)
+        graft.llm.Multimodal.sampleFramesWebm(webm, "payload", "doc_id")
+          .select(col("doc_id"), col("sample_idx"), col("timestamp"),
+            col("size"), byteSum(col("frame")).as("byte_sum"))
+      },
+      """WITH g AS (SELECT doc_id, CAST(3 + doc_id % 3 AS BIGINT) AS na
+        | FROM documents WHERE doc_id < 200),
+        |bl AS (SELECT doc_id, unnest(range(na)) AS i FROM g),
+        |fr AS (SELECT doc_id, i, unnest(range(3)) AS j FROM bl)
+        |SELECT doc_id, CAST(i * 3 + j AS INT) AS sample_idx,
+        | CAST(i * 25 AS BIGINT) AS timestamp,
+        | CAST(4 + (doc_id + i * 3 + j) % 6 AS BIGINT) AS size,
+        | CAST(list_sum(list_transform(range(0, 4 + (doc_id + i * 3 + j) % 6),
+        |   k -> (doc_id * 3 + i * 7 + j * 11 + k) % 256)) AS BIGINT)
+        |   AS byte_sum
+        |FROM fr""".stripMargin),
+
     ("pipeline_mkv_video_text",
       // the MUXED variant of pipeline_video_text: ONE Matroska
       // container carries both the video frames and the subtitle
@@ -7177,6 +7206,26 @@ object QueryBank {
       graft.llm.MediaHeaders.webmBuild(Seq((0L, blocks)),
         tracks = Seq((1L, "V_VP9"), (2L, "S_TEXT/UTF8")),
         docType = "matroska")
+    })
+
+  /** Fixture: an MKV audio track whose blocks are LACED — na = 3 +
+    * id % 3 blocks at i*25 ms, each packing 3 frames of size
+    * 4 + (id + i*3 + j) % 6; even blocks Xiph-laced, odd EBML-laced
+    * (the two variable-size codings audio muxers actually emit).
+    */
+  private val synthWebmLacedUdf = org.apache.spark.sql.functions.udf(
+    (id: Long) => {
+      import graft.llm.MediaHeaders.WebmBlockSpec
+      val na = (3 + id % 3).toInt
+      val blocks = (0 until na).map { i =>
+        val frames = (0 until 3).map { j =>
+          val len = (4 + (id + i * 3 + j) % 6).toInt
+          Array.tabulate(len)(k => ((id * 3 + i * 7 + j * 11 + k) % 256).toByte)
+        }
+        WebmBlockSpec(1L, i * 25, keyframe = true, useGroup = false,
+          null, lacing = if (i % 2 == 0) 1 else 3, lacedFrames = frames)
+      }
+      graft.llm.MediaHeaders.webmBuild(Seq((0L, blocks)))
     })
 
   /** Fixture: a MUXED MKV — video track 1 frames every 700 ms

@@ -1524,10 +1524,11 @@ object MediaHeaders {
   // Each (Simple)Block payload is: track vint, int16 big-endian
   // timestamp relative to the cluster, flags byte, frame bytes.
   // Keyframes: SimpleBlock flag bit 0x80; for Block, the absence of a
-  // ReferenceBlock sibling. Laced blocks (flags & 0x06 != 0) are
-  // skipped — lacing packs variable sub-frames and is rare for video
-  // tracks; total on arbitrary bytes either way. Codec decode of the
-  // frame bytes stays out of scope, exactly like MP4.
+  // ReferenceBlock sibling. Laced blocks (flags bits 1-2: Xiph /
+  // fixed-size / EBML — the standard packing for audio tracks) expand
+  // to one row per packed frame at the block's timestamp; total on
+  // arbitrary bytes. Codec decode of the frame bytes stays out of
+  // scope, exactly like MP4.
 
   case class WebmSample(index: Int, track: Long, timestamp: Long,
       offset: Long, size: Long, keyframe: Boolean, duration: Long = -1L)
@@ -1589,20 +1590,78 @@ object MediaHeaders {
     val codecs = Map.newBuilder[Long, String]
     var index = 0
     var clusterTs = 0L
-    // one (Simple)Block payload at [from, to): emit the frame row
+    // one (Simple)Block payload at [from, to): emit the frame row(s).
+    // Lacing (flags bits 1-2: 1=Xiph, 2=fixed-size, 3=EBML) packs
+    // several frames into one block — standard for audio tracks —
+    // each becoming its own row at the block's timestamp.
     def block(from: Int, to: Int, simpleKey: Boolean,
         groupHasRef: Boolean, isSimple: Boolean, duration: Long): Unit = {
       val tv = vint(from, keepMarker = false)
       if (tv == null || from + tv._2 + 3 > to) return
       val rel = (beUint(from + tv._2, 2).toInt << 16) >> 16 // signed int16
       val flags = u8(b, from + tv._2 + 2)
-      if ((flags & 0x06) != 0) return // laced: skipped (see header note)
-      val dataStart = from + tv._2 + 3
-      if (dataStart > to) return
+      val lacing = (flags >> 1) & 0x3
+      var p = from + tv._2 + 3
+      if (p > to) return
       val key = if (isSimple) simpleKey else !groupHasRef
-      out += WebmSample(index, tv._1, clusterTs + rel,
-        dataStart.toLong, (to - dataStart).toLong, key, duration)
-      index += 1
+      val ts = clusterTs + rel
+      if (lacing == 0) {
+        out += WebmSample(index, tv._1, ts, p.toLong, (to - p).toLong,
+          key, duration)
+        index += 1
+        return
+      }
+      if (p >= to) return
+      val nFrames = u8(b, p) + 1
+      p += 1
+      val sizes = new Array[Long](nFrames)
+      lacing match {
+        case 1 => // Xiph: 255-continued byte sums for frames 0..n-2
+          var i = 0
+          while (i < nFrames - 1) {
+            var sz = 0L
+            var v = 255
+            while (v == 255) {
+              if (p >= to) return
+              v = u8(b, p); p += 1; sz += v
+            }
+            sizes(i) = sz; i += 1
+          }
+        case 3 => // EBML: first size a vint, then signed vint deltas
+          val fv = vint(p, keepMarker = false)
+          if (fv == null || p + fv._2 > to) return
+          sizes(0) = fv._1; p += fv._2
+          var i = 1
+          while (i < nFrames - 1) {
+            val dv = vint(p, keepMarker = false)
+            if (dv == null || p + dv._2 > to) return
+            val bias = (1L << (7 * dv._2 - 1)) - 1
+            sizes(i) = sizes(i - 1) + (dv._1 - bias)
+            if (sizes(i) < 0) return // hostile delta underflow
+            p += dv._2; i += 1
+          }
+        case _ => () // fixed-size: derived from the remainder below
+      }
+      val remaining = (to - p).toLong
+      if (lacing == 2) {
+        if (remaining % nFrames != 0) return // must divide evenly
+        java.util.Arrays.fill(sizes, remaining / nFrames)
+      } else {
+        var known = 0L
+        var i = 0
+        while (i < nFrames - 1) { known += sizes(i); i += 1 }
+        if (known > remaining) return // truncated/hostile size table
+        sizes(nFrames - 1) = remaining - known
+      }
+      var off = p.toLong
+      var i = 0
+      while (i < nFrames) {
+        if (off + sizes(i) > to) return // keep the frames emitted so far
+        out += WebmSample(index, tv._1, ts, off, sizes(i), key, duration)
+        index += 1
+        off += sizes(i)
+        i += 1
+      }
     }
     // one TrackEntry payload: TrackNumber (0xD7) + CodecID (0x86)
     def trackEntry(from: Int, to: Int): Unit = {
@@ -1730,10 +1789,14 @@ object MediaHeaders {
   /** One fixture block for [[webmBuild]]: written as a SimpleBlock,
     * or as a BlockGroup/Block when `useGroup` (ReferenceBlock added
     * when not a keyframe; BlockDuration when `durationMs >= 0` —
-    * duration forces the BlockGroup form, as in real files).
+    * duration forces the BlockGroup form, as in real files). When
+    * `lacedFrames` is non-empty the block packs those frames with
+    * `lacing` (1 = Xiph, 2 = fixed-size, 3 = EBML) and `bytes` is
+    * ignored.
     */
   case class WebmBlockSpec(track: Long, rel: Int, keyframe: Boolean,
-      useGroup: Boolean, bytes: Array[Byte], durationMs: Long = -1L)
+      useGroup: Boolean, bytes: Array[Byte], durationMs: Long = -1L,
+      lacing: Int = 0, lacedFrames: Seq[Array[Byte]] = Nil)
 
   /** Fixture complement of [[webmSamples]]/[[webmSubtitles]]: a
     * minimal EBML/WebM file — EBML header with DocType, a Segment
@@ -1778,10 +1841,44 @@ object MediaHeaders {
       blocks.foreach { sp =>
         val group = sp.useGroup || sp.durationMs >= 0
         val tb = vintSize(sp.track) // track number vint (marker form)
+        val laced = sp.lacedFrames.nonEmpty
+        val flags = (if (sp.keyframe && !group) 0x80 else 0x00) |
+          (if (laced) (sp.lacing & 0x3) << 1 else 0)
+        val blockBody: Array[Byte] =
+          if (!laced) sp.bytes
+          else {
+            val fs = sp.lacedFrames
+            val bos = new java.io.ByteArrayOutputStream()
+            bos.write(fs.length - 1)
+            sp.lacing match {
+              case 1 => // Xiph: 255-continued sizes for frames 0..n-2
+                fs.dropRight(1).foreach { f =>
+                  var sz = f.length
+                  while (sz >= 255) { bos.write(255); sz -= 255 }
+                  bos.write(sz)
+                }
+              case 3 => // EBML: first size a vint, then width-2 signed
+                // vint deltas (bias 8191 at width 2)
+                bos.write(vintSize(fs.head.length.toLong))
+                fs.sliding(2).toSeq.dropRight(1).foreach { pair =>
+                  val delta = pair(1).length - pair(0).length
+                  val v = delta + 8191
+                  require(v >= 0 && v < 16383,
+                    "webmBuild: EBML lace delta out of width-2 range")
+                  bos.write(0x40 | (v >> 8)); bos.write(v & 0xff)
+                }
+              case 2 =>
+                require(fs.map(_.length).distinct.size == 1,
+                  "webmBuild: fixed-size lacing needs equal frames")
+              case other => throw new IllegalArgumentException(
+                s"webmBuild: lacing must be 1|2|3 (got $other)")
+            }
+            fs.foreach(bos.write)
+            bos.toByteArray
+          }
         val blockPayload = tb ++
           Array(((sp.rel >> 8) & 0xff).toByte, (sp.rel & 0xff).toByte) ++
-          Array((if (sp.keyframe && !group) 0x80 else 0x00).toByte) ++
-          sp.bytes
+          Array(flags.toByte) ++ blockBody
         if (!group) body.write(el(0xA3L, blockPayload))
         else {
           val inner = el(0xA1L, blockPayload) ++

@@ -823,6 +823,50 @@ class BinarySpec extends SparkSpec {
     }
   }
 
+  test("webm lacing: Xiph, fixed-size, and EBML laced frames expand to rows") {
+    import graft.llm.MediaHeaders.WebmBlockSpec
+    // Xiph: three frames incl. one >= 255 bytes (multi-byte size code)
+    val xf = Seq(Array.fill(300)(1.toByte), Array.fill(7)(2.toByte),
+      Array.fill(11)(3.toByte))
+    // EBML: growing then shrinking sizes exercise signed deltas
+    val ef = Seq(Array.fill(10)(4.toByte), Array.fill(40)(5.toByte),
+      Array.fill(5)(6.toByte), Array.fill(9)(7.toByte))
+    // fixed: four equal frames
+    val ff = (0 until 4).map(i => Array.fill(6)((10 + i).toByte))
+    val bytes = MediaHeaders.webmBuild(Seq((100L, Seq(
+      WebmBlockSpec(3L, 10, keyframe = true, useGroup = false, null,
+        lacing = 1, lacedFrames = xf),
+      WebmBlockSpec(3L, 20, keyframe = false, useGroup = false, null,
+        lacing = 3, lacedFrames = ef),
+      WebmBlockSpec(3L, 30, keyframe = true, useGroup = false, null,
+        lacing = 2, lacedFrames = ff)))))
+    val got = MediaHeaders.webmSamples(bytes)
+    assert(got.length == 11, s"3+4+4 laced frames, got ${got.length}")
+    val expect = (xf.map(f => (110L, f)) ++ ef.map(f => (120L, f)) ++
+      ff.map(f => (130L, f)))
+    for (((ts, f), i) <- expect.zipWithIndex) {
+      val g = got(i)
+      assert(g.index == i && g.timestamp == ts && g.size == f.length,
+        s"frame $i: got $g")
+      val slice = java.util.Arrays.copyOfRange(
+        bytes, g.offset.toInt, (g.offset + g.size).toInt)
+      assert(slice.toSeq == f.toSeq, s"frame $i bytes differ")
+    }
+    // keyframe flag shared across a block's laced frames
+    assert(got.take(3).forall(_.keyframe) && !got.slice(3, 7).exists(_.keyframe))
+    // hostile: fixed lacing with a non-dividing remainder drops the block
+    val m = bytes.clone()
+    // mutate a payload byte is harmless; instead check totality sweep
+    val rnd = new scala.util.Random(11)
+    (0 until 300).foreach { _ =>
+      val h = bytes.clone()
+      (0 until 3).foreach(_ =>
+        h(rnd.nextInt(h.length)) = rnd.nextInt(256).toByte)
+      MediaHeaders.webmSamples(h) // must not throw
+    }
+    assert(m.length == bytes.length)
+  }
+
   test("webm subtitles: S_TEXT track cues extracted, video blocks ignored") {
     import graft.llm.MediaHeaders.WebmBlockSpec
     val blocks = Seq(

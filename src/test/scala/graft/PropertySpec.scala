@@ -442,7 +442,23 @@ class PropertySpec extends AnyFunSuite {
         graft.llm.MediaHeaders.pngStats(b)
         graft.llm.MediaHeaders.gifStats(b)
         graft.llm.MediaHeaders.bmpStats(b)
+        graft.llm.MediaHeaders.webmSamples(b)
+        graft.llm.MediaHeaders.webmSubtitles(b)
         graft.llm.MediaHeaders.mp4Samples(b) != null
+      }
+    }
+  }
+
+  test("webm walker: total on EBML-prefixed arbitrary bytes") {
+    // random bytes rarely carry the 1A45DFA3 magic, so the plain
+    // generator never reaches the element walk — prefix it
+    val magic = Array[Byte](0x1a, 0x45, 0xdf.toByte, 0xa3.toByte)
+    check("webmPrefixedTotal") {
+      Prop.forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) { bs =>
+        val b = magic ++ bs.toArray
+        graft.llm.MediaHeaders.webmSamples(b)
+        graft.llm.MediaHeaders.webmSubtitles(b)
+        true
       }
     }
   }
