@@ -4303,10 +4303,11 @@ object QueryBank {
 
     ("extract_text_route",
       // the mixed-corpus front door: ids cycle through PDF, DOCX,
-      // HTML, plain-text and GZIPPED plain-text payloads carrying the
-      // SAME closed-form content — the router must both dispatch the
-      // format correctly (magic bytes, container members, gzip
-      // wrapper) and recover identical text from every one of them
+      // HTML, plain-text, GZIPPED plain-text, RTF and subtitled-MKV
+      // payloads carrying the SAME closed-form content — the router
+      // must both dispatch the format correctly (magic bytes,
+      // container members, gzip wrapper, EBML) and recover identical
+      // text from every one of them
       (s, d) => {
         import org.apache.spark.sql.functions._
         val mixed = docs(s, d).select(col("doc_id"))
@@ -4317,9 +4318,10 @@ object QueryBank {
             col("payload_text").as("text"))
       },
       """SELECT doc_id,
-        | CASE doc_id % 6 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+        | CASE doc_id % 7 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
         |   WHEN 2 THEN 'html' WHEN 3 THEN 'text'
-        |   WHEN 4 THEN 'gz+text' ELSE 'rtf' END AS format,
+        |   WHEN 4 THEN 'gz+text' WHEN 5 THEN 'rtf' ELSE 'mkv'
+        |   END AS format,
         | 'R ' || doc_id AS text
         |FROM documents WHERE doc_id < 200""".stripMargin),
 
@@ -6730,7 +6732,7 @@ object QueryBank {
     * recover it from all five.
     */
   private val synthMixedDocUdf =
-    org.apache.spark.sql.functions.udf((id: Long) => (id % 6) match {
+    org.apache.spark.sql.functions.udf((id: Long) => (id % 7) match {
       case 0 => graft.sources.Pdf.build(Seq(Seq(s"R $id")))
       case 1 => graft.sources.Zip.build(Seq(("word/document.xml",
         s"<w:p><w:r><w:t>R $id</w:t></w:r></w:p>".getBytes("UTF-8"))))
@@ -6742,7 +6744,16 @@ object QueryBank {
         val g = new java.util.zip.GZIPOutputStream(bos)
         g.write(s"R $id".getBytes("UTF-8")); g.close()
         bos.toByteArray
-      case _ => s"{\\rtf1 R $id}".getBytes("UTF-8")
+      case 5 => s"{\\rtf1 R $id}".getBytes("UTF-8")
+      case _ => // muxed MKV whose S_TEXT cue carries the text
+        graft.llm.MediaHeaders.webmBuild(Seq((0L, Seq(
+          graft.llm.MediaHeaders.WebmBlockSpec(1L, 0, keyframe = true,
+            useGroup = false, Array.tabulate(8)(k => ((id + k) % 256).toByte)),
+          graft.llm.MediaHeaders.WebmBlockSpec(2L, 0, keyframe = true,
+            useGroup = true, s"R $id".getBytes("UTF-8"),
+            durationMs = 1000L)))),
+          tracks = Seq((1L, "V_VP9"), (2L, "S_TEXT/UTF8")),
+          docType = "matroska")
     })
 
   /** Fixture: a two-chapter EPUB whose zip order is reversed vs the

@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions.udf
   *    member routing is parse-as-zip's job; a blind concat of members
   *    would interleave unrelated texts)
   *  - `<html` / `<!doctype html` / `<?xml…<html` → html
+  *  - EBML `1A 45 DF A3` (Matroska/WebM)       → mkv: the S_TEXT
+  *    subtitle track IS the video's text (cues joined by \n) — the
+  *    video-to-training-text route; no text track → (mkv, null)
   *  - valid UTF-8 with a printable majority   → text (identity)
   *  - everything else → (null, null): unknown binary is a routing
   *    decision for the caller, not silently-empty text
@@ -69,6 +72,15 @@ object Extract {
         if (names.contains("content.xml"))
           return ("odt", Docx.extractOdt(b).mkString("\n"))
         return ("zip", null) // member routing is parse-as-zip's job
+      }
+      if (b.length >= 4 && (b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
+        (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3) {
+        // Matroska/WebM: the muxed subtitle track is the container's
+        // text; a caption-less video routes as (mkv, null) so the
+        // caller can still count/segregate video payloads
+        val cues = graft.llm.MediaHeaders.webmSubtitles(b)
+        return ("mkv",
+          if (cues.isEmpty) null else cues.map(_.text).mkString("\n"))
       }
       // text-family: decode strictly — binary noise must not pass
       val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()

@@ -167,6 +167,23 @@ class DocxSpec extends SparkSpec {
       ("gz+text", "hello gz"))
     // double-gzip stops at one level: the inner gz is unroutable
     assert(Extract.extractAny(gz(gz("x".getBytes))) == ((null, null)))
+    // Matroska: the S_TEXT track is the video's text
+    import graft.llm.MediaHeaders.WebmBlockSpec
+    val mkv = graft.llm.MediaHeaders.webmBuild(Seq((0L, Seq(
+      WebmBlockSpec(1L, 0, keyframe = true, useGroup = false,
+        Array[Byte](1, 2, 3)),
+      WebmBlockSpec(2L, 0, keyframe = true, useGroup = true,
+        "cue one".getBytes("UTF-8"), durationMs = 900L),
+      WebmBlockSpec(2L, 1000, keyframe = true, useGroup = true,
+        "cue two".getBytes("UTF-8"), durationMs = 900L)))),
+      tracks = Seq((1L, "V_VP9"), (2L, "S_TEXT/UTF8")),
+      docType = "matroska")
+    assert(Extract.extractAny(mkv) == ("mkv", "cue one\ncue two"))
+    // caption-less video: routed, no text
+    val bareMkv = graft.llm.MediaHeaders.webmBuild(Seq((0L, Seq(
+      WebmBlockSpec(1L, 0, keyframe = true, useGroup = false,
+        Array[Byte](1, 2, 3))))))
+    assert(Extract.extractAny(bareMkv) == (("mkv", null)))
     // corrupt gzip header: unroutable
     assert(Extract.extractAny(
       Array[Byte](0x1f, 0x8b.toByte, 0, 0, 0)) == ((null, null)))
