@@ -463,6 +463,126 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("container decoders: total on mutated VALID fixtures") {
+    // Random bytes never reach the deep paths of a structured format
+    // (the r14 WARC dechunk crash escaped the arbitrary-bytes fuzz
+    // exactly this way) — mutate VALID fixtures instead so the
+    // element/table walks, size fields, and nested members are the
+    // code actually under fire. Each parser must never throw; result
+    // content is unconstrained.
+    import graft.sources.{Zip, Tar, Epub, Docx}
+    val docx = Zip.build(Seq(("word/document.xml",
+      "<w:p><w:pPr><w:tabs><w:tab w:pos=\"1\"/></w:tabs></w:pPr><w:r><w:t>doc body text</w:t><w:tab/><w:t>x</w:t></w:r></w:p>"
+        .getBytes("UTF-8"))))
+    val pptx = Zip.build(Seq(("ppt/slides/slide2.xml",
+      "<a:p><a:r><a:t>slide</a:t></a:r></a:p>".getBytes("UTF-8"))))
+    val odt = Zip.build(Seq(("content.xml",
+      "<office:text><text:p>odt body</text:p></office:text>".getBytes("UTF-8"))))
+    val epub = {
+      val opf = ("<package><manifest>" +
+        "<item id=\"c1\" href=\"c1.xhtml\" media-type=\"application/xhtml+xml\"/>" +
+        "</manifest><spine><itemref idref=\"c1\"/></spine></package>")
+      Zip.build(Seq(
+        ("META-INF/container.xml",
+          "<container><rootfiles><rootfile full-path=\"content.opf\"/></rootfiles></container>"
+            .getBytes("UTF-8")),
+        ("content.opf", opf.getBytes("UTF-8")),
+        ("c1.xhtml", "<html><body><p>chapter</p></body></html>".getBytes("UTF-8"))))
+    }
+    val xlsx = Zip.build(Seq(
+      ("xl/sharedStrings.xml", "<sst><si><t>v</t></si></sst>".getBytes("UTF-8")),
+      ("xl/worksheets/sheet1.xml",
+        "<worksheet><sheetData><row><c r=\"A1\" t=\"s\"><v>0</v></c></row></sheetData></worksheet>"
+          .getBytes("UTF-8"))))
+    val xls = XlsFixture.cfbRegular(XlsFixture.biffWorkbook())
+    val tar = Tar.build(Seq(("a/file1.txt", Array.fill(600)('x'.toByte)),
+      ("b.bin", Array.tabulate(40)(_.toByte))))
+    val avro = {
+      import org.apache.avro.Schema
+      import org.apache.avro.file.DataFileWriter
+      import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+      val schema = new Schema.Parser().parse(
+        """{"type":"record","name":"R","fields":[{"name":"x","type":"int"}]}""")
+      val bos = new java.io.ByteArrayOutputStream()
+      val w = new DataFileWriter[GenericData.Record](
+        new GenericDatumWriter[GenericData.Record](schema))
+      w.create(schema, bos)
+      (1 to 3).foreach { i =>
+        val r = new GenericData.Record(schema); r.put("x", i); w.append(r)
+      }
+      w.close(); bos.toByteArray
+    }
+    // protobuf wire: field 1 varint 150, field 2 string "abc",
+    // field 3 nested (field 1 varint 1)
+    val proto = Array[Byte](0x08, 0x96.toByte, 0x01,
+      0x12, 0x03, 'a', 'b', 'c', 0x1a, 0x02, 0x08, 0x01)
+    val mp4 = graft.llm.MediaHeaders.mp4Build(
+      (0 until 5).map(i => Array.fill(6 + i)(i.toByte)),
+      samplesPerChunk = 2, keyframes1Based = Seq(1, 4))
+    val targets: Seq[(String, Array[Byte], Array[Byte] => Any)] = Seq(
+      ("docx", docx, Docx.extractDocx _),
+      ("pptx", pptx, Docx.extractPptx _),
+      ("odt", odt, Docx.extractOdt _),
+      ("epub", epub, Epub.extract _),
+      ("xlsx", xlsx, (b: Array[Byte]) => graft.ops.Xlsx.parse(b, "0")),
+      // the BIFF5 precise-reject (UnsupportedOperationException) is a
+      // DELIBERATE non-total contract — a mutation can flip the BOF
+      // version bytes into it, so it's acceptable here
+      ("xls", xls, (b: Array[Byte]) =>
+        try graft.ops.Xlsx.parse(b, "0")
+        catch { case _: UnsupportedOperationException => Nil }),
+      ("tar", tar, Tar.entries _),
+      ("zip", docx, (b: Array[Byte]) => Zip.entries(b)),
+      ("avro", avro, (b: Array[Byte]) => graft.ops.AvroFile.parse(b)),
+      ("proto", proto, (b: Array[Byte]) => graft.ops.Protobuf.parse(b)),
+      ("mp4", mp4, (b: Array[Byte]) => graft.llm.MediaHeaders.mp4Samples(b)),
+      ("router", epub, (b: Array[Byte]) => graft.sources.Extract.extractAny(b)))
+    val rnd = new scala.util.Random(1234)
+    for ((name, base, parse) <- targets) {
+      (0 until 200).foreach { trial =>
+        val m = base.clone()
+        (0 to rnd.nextInt(3)).foreach(_ =>
+          m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte)
+        val in = if (trial % 3 == 2) m.take(rnd.nextInt(m.length)) else m
+        try parse(in)
+        catch { case scala.util.control.NonFatal(e) =>
+          fail(s"$name threw ${e.getClass.getSimpleName}: ${e.getMessage} " +
+            s"(trial $trial)")
+        }
+      }
+    }
+    // string parsers: mutated valid MIME + HL7 messages
+    val eml = Seq(
+      "From: a@b.c", "To: d@e.f", "Subject: =?utf-8?B?aGVsbG8=?=",
+      "MIME-Version: 1.0",
+      "Content-Type: multipart/mixed; boundary=\"XX\"", "",
+      "--XX", "Content-Type: text/plain", "", "body text", "--XX",
+      "Content-Type: application/pdf",
+      "Content-Transfer-Encoding: base64",
+      "Content-Disposition: attachment; filename=\"a.pdf\"", "",
+      "JVBERi0xLjQK", "--XX--", "").mkString("\r\n")
+    val hl7 = Seq(
+      "MSH|^~\\&|S|F|R|D|20240101||ORU^R01|1|P|2.4",
+      "PID|1||123||Doe^John", "OBR|1|||T",
+      "OBX|1|NM|GLU||99|mg/dL").mkString("\r")
+    for ((name, base, parse) <- Seq[(String, String, String => Any)](
+      ("eml", eml, (s: String) => graft.sources.Eml.parse(s)),
+      ("hl7", hl7, (s: String) => graft.ops.Hl7.parseBothGrouped(s)))) {
+      (0 until 200).foreach { trial =>
+        val chars = base.toCharArray
+        (0 to rnd.nextInt(3)).foreach(_ =>
+          chars(rnd.nextInt(chars.length)) = rnd.nextPrintableChar())
+        val in = new String(chars,
+          0, if (trial % 3 == 2) rnd.nextInt(chars.length) else chars.length)
+        try parse(in)
+        catch { case scala.util.control.NonFatal(e) =>
+          fail(s"$name threw ${e.getClass.getSimpleName}: ${e.getMessage} " +
+            s"(trial $trial)")
+        }
+      }
+    }
+  }
+
   test("png/gif decoders: total on corrupted VALID images") {
     val pal = Array.tabulate(48)(i => (i * 11).toByte)
     val idx = Array.tabulate(60)(i => (i % 16).toByte)
