@@ -131,13 +131,91 @@ object WarcScaleProbe {
       s"corrupt-member read: $nc != $expectWithCorrupt (healthy shards or " +
         "pre-corruption records were lost, or the tail leaked through)")
 
+    // hostile-envelope lap (the r15 fix classes, now load-bearing at
+    // scale): every 997th record is a chunked response with a NEGATIVE
+    // chunk size (raw-bytes fallback — still a record), every 499th
+    // carries a gzip-bomb Content-Encoding body (budget → raw bytes),
+    // and five over-budget records are appended (dropped under
+    // maxRecordBytes; following records must survive — so they are
+    // INTERLEAVED with five normal ones after them).
+    def hostileChunked(i: Int): Array[Byte] = {
+      val body = "-5\r\nhello world\r\n0\r\n\r\n".getBytes("ISO-8859-1")
+      val envelope = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: http://example.com/hostile/$i\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${envelope.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        envelope ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    def bombRecord(i: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      val zeros = new Array[Byte](1 << 20)
+      (0 until 300).foreach(_ => g.write(zeros)) // ~300 MB inflated
+      g.close()
+      val bomb = bos.toByteArray
+      val envelope = ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ bomb
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: http://example.com/bomb/$i\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${envelope.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        envelope ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    def bigRecord(i: Int): Array[Byte] = {
+      val body = new Array[Byte](2 << 20) // over a 1 MB record budget
+      java.util.Arrays.fill(body, 'x'.toByte)
+      (s"WARC/1.0\r\nWARC-Type: resource\r\n" +
+        s"WARC-Target-URI: http://example.com/big/$i\r\n" +
+        "Content-Type: application/octet-stream\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        body ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    val hostileDir = new java.io.File(dir, "hostile")
+    val bomb = bombRecord(0)
+    if (!new java.io.File(hostileDir, "shard-0.warc.gz").exists) {
+      hostileDir.mkdirs()
+      val f = new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(s"$hostileDir/shard-0.warc.gz"), 1 << 20)
+      var i = 0
+      while (i < recs) {
+        if (i % 997 == 0) f.write(gzMember(hostileChunked(i)))
+        else if (i % 499 == 0) f.write(gzMember(bomb))
+        else f.write(gzMember(record(0, i)))
+        i += 1
+      }
+      // over-budget records interleaved with normal tails
+      var k = 0
+      while (k < 5) {
+        f.write(gzMember(bigRecord(k)))
+        f.write(gzMember(record(0, recs + k)))
+        k += 1
+      }
+      f.close()
+    }
+    // 1 MB record budget: the ~305 KB compressed bombs pass it (their
+    // ~300 MB INFLATION is what the decompress budget must stop), the
+    // 2 MB resource records trip it
+    val t0h = System.nanoTime()
+    val nh = sources.Warc.read(spark, s"$hostileDir/shard-0.warc.gz",
+      maxRecordBytes = 1L << 20).count()
+    val secsH = (System.nanoTime() - t0h) / 1e9
+    // hostile chunked + bomb rows still ARRIVE (raw-bytes fallback);
+    // only the 5 over-budget records drop, their 5 followers survive
+    require(nh == recs + 5,
+      s"hostile-envelope read: $nh != ${recs + 5} (a hostile record " +
+        "killed the task, or drop-and-continue lost followers)")
+
     val mb = payloadBytes / 1e6
     val json = f"""{"metric":"warc_read","shards":$shards,""" +
       f""""records":$n,"gz_mb":${gzBytes / 1e6}%.1f,""" +
       f""""payload_mb":$mb%.1f,"sec":$secs%.2f,""" +
       f""""rec_per_s":${n / secs}%.0f,"payload_mb_per_s":${mb / secs}%.1f,""" +
       f""""corrupt_member_sec":$secsC%.2f,"corrupt_member_records":$nc,""" +
-      f""""corrupt_member_expected":$expectWithCorrupt}"""
+      f""""corrupt_member_expected":$expectWithCorrupt,""" +
+      f""""hostile_sec":$secsH%.2f,"hostile_records":$nh,""" +
+      f""""hostile_expected":${recs + 5}}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_WARC.json"),
       (json + "\n").getBytes("UTF-8"))
