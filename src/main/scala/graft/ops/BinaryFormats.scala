@@ -151,8 +151,11 @@ object Xlsx {
     letters.foldLeft(0)((acc, ch) => acc * 26 + (ch - 'A' + 1)) - 1
   }
 
-  def parse(bytes: Array[Byte], sheet: String): Seq[XlRow] = {
+  def parse(bytes: Array[Byte], sheet0: String): Seq[XlRow] = {
     if (bytes == null) return Seq.empty
+    // null sheet = the directive's default (first sheet) — a library
+    // caller passing null must not NPE inside the name match
+    val sheet = if (sheet0 == null) "0" else sheet0
     // legacy .xls (OLE2/BIFF8) takes its own reader; a corrupt
     // container degrades to zero rows like a corrupt xlsx, but the
     // precise legacy-BIFF5 error (UnsupportedOperation) must propagate
