@@ -4212,6 +4212,45 @@ object QueryBank {
         |   'second ' || (doc_id * 3) AS text
         |FROM documents WHERE doc_id < 200""".stripMargin),
 
+    ("split_sections",
+      // heading-aware markdown sectioning: preamble, an H1 with body,
+      // two H2 children (breadcrumb path "T > A"/"T > B"), a second
+      // H1 that POPS the stack, and a fenced ```# not a heading```
+      // block that must stay body text — each rule visible in the
+      // closed-form rows
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val md = docs(s, d).select(col("doc_id"),
+          concat(lit("intro "), col("doc_id"),
+            lit("\n# T"), col("doc_id"),
+            lit("\nalpha\n```\n# not a heading\n```\n## A"), col("doc_id"),
+            lit("\nbeta\n## B"), col("doc_id"),
+            lit("\ngamma\n# U"), col("doc_id"),
+            lit("\ndelta")).as("t"))
+        r("split-sections :t")(md)
+          .select(col("doc_id"), col("t_section").as("section"),
+            col("t_level").as("level"), col("t_heading").as("heading"),
+            col("t_heading_path").as("path"), col("t").as("body"))
+      },
+      """WITH sp AS (SELECT doc_id, i FROM documents
+        |  CROSS JOIN (SELECT unnest([0,1,2,3,4]) AS i))
+        |SELECT doc_id, CAST(i AS INT) AS section,
+        | CAST(CASE i WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 4 THEN 1
+        |   ELSE 2 END AS INT) AS level,
+        | CASE i WHEN 0 THEN NULL WHEN 1 THEN 'T' || doc_id
+        |   WHEN 2 THEN 'A' || doc_id WHEN 3 THEN 'B' || doc_id
+        |   ELSE 'U' || doc_id END AS heading,
+        | CASE i WHEN 0 THEN '' WHEN 1 THEN 'T' || doc_id
+        |   WHEN 2 THEN 'T' || doc_id || ' > A' || doc_id
+        |   WHEN 3 THEN 'T' || doc_id || ' > B' || doc_id
+        |   ELSE 'U' || doc_id END AS path,
+        | CASE i WHEN 0 THEN 'intro ' || doc_id
+        |   WHEN 1 THEN 'alpha' || chr(10) || '```' || chr(10)
+        |     || '# not a heading' || chr(10) || '```'
+        |   WHEN 2 THEN 'beta' WHEN 3 THEN 'gamma'
+        |   ELSE 'delta' END AS body
+        |FROM sp""".stripMargin),
+
     ("extract_md_tables",
       // GitHub-flavored pipe-table mining: header + delimiter + two
       // data rows with an escaped pipe on the cell path — every

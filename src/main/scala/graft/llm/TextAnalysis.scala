@@ -147,6 +147,69 @@ object TextAnalysis {
     org.apache.spark.sql.functions.udf((s: String) =>
       extractMdTables(s).map(t => (t.table, t.row, t.col, t.is_header, t.text)))
 
+  /** One markdown section: the contiguous body under an ATX heading,
+    * with the hierarchical breadcrumb (`H1 > H2 > ...`) that makes a
+    * chunk self-describing when it travels without its document —
+    * the curation/RAG chunking unit heading-blind splitters lose.
+    * Section 0 is the pre-heading preamble (level 0, null heading)
+    * when non-empty.
+    */
+  case class MdSection(section: Int, level: Int, heading: String,
+      heading_path: String, text: String)
+
+  private val AtxHeadingRe =
+    java.util.regex.Pattern.compile("^(#{1,6})\\s+(.*?)\\s*#*\\s*$")
+
+  /** Split markdown into heading-delimited sections. ATX headings
+    * only (the GitHub-dominant form); fenced code blocks suppress
+    * heading detection so a `# comment` inside ``` fences stays body
+    * text. A heading with an empty body still yields its (empty-text)
+    * section — the structure is the point. Total on arbitrary text.
+    */
+  def splitMdSections(md: String): Seq[MdSection] = {
+    if (md == null) return Seq.empty
+    val out = Seq.newBuilder[MdSection]
+    var path = List.empty[(Int, String)] // heading stack, innermost first
+    var curHeading: String = null
+    var curLevel = 0
+    var idx = 0
+    var inFence = false
+    val buf = new java.lang.StringBuilder
+    def flush(): Unit = {
+      val text = buf.toString.replaceAll("\\s+$", "")
+        .replaceAll("^\\n+", "")
+      if (text.nonEmpty || curHeading != null) {
+        out += MdSection(idx, curLevel, curHeading,
+          path.reverse.map(_._2).mkString(" > "), text)
+        idx += 1
+      }
+      buf.setLength(0)
+    }
+    md.split("\r\n|\n", -1).foreach { line =>
+      val t = line.trim
+      if (t.startsWith("```") || t.startsWith("~~~")) {
+        inFence = !inFence
+        buf.append(line).append('\n')
+      } else {
+        val m = if (inFence) null else AtxHeadingRe.matcher(line)
+        if (m != null && m.matches()) {
+          flush()
+          curLevel = m.group(1).length
+          curHeading = m.group(2)
+          path = (curLevel, curHeading) ::
+            path.dropWhile(_._1 >= curLevel)
+        } else buf.append(line).append('\n')
+      }
+    }
+    flush()
+    out.result()
+  }
+
+  val splitMdSectionsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((s: String) =>
+      splitMdSections(s).map(x =>
+        (x.section, x.level, x.heading, x.heading_path, x.text)))
+
   /** De-TeX for arXiv-style corpora (the published heuristic the
     * LaTeX-source training pipelines use — not a TeX engine):
     * comments cut at the first unescaped `%`, display/float/verbatim

@@ -619,6 +619,27 @@ object LlmOps {
     // `extract-md-tables :col` — GitHub-flavored pipe tables to rows
     // (`<col>_table/_row/_col/_is_header/_cell`): the markdown
     // complement of extract-html-tables for README/docs corpora.
+    // `split-sections :col` — heading-delimited markdown sections,
+    // one row each, with the hierarchical breadcrumb path (the
+    // curation/RAG chunking unit); the text column becomes the
+    // section body
+    case "split-sections" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        df.withColumn("__ms", explode(
+            graft.llm.TextAnalysis.splitMdSectionsUdf(
+              col(c).cast(org.apache.spark.sql.types.StringType))))
+          .drop(c)
+          .withColumn(s"${c}_section", col("__ms._1"))
+          .withColumn(s"${c}_level", col("__ms._2"))
+          .withColumn(s"${c}_heading", col("__ms._3"))
+          .withColumn(s"${c}_heading_path", col("__ms._4"))
+          .withColumn(c, col("__ms._5"))
+          .drop("__ms")
+      }
+    }
+
     case "extract-md-tables" => new PipeOp {
       def name = spec.name
       def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>

@@ -124,6 +124,49 @@ class RtfLatexSpec extends SparkSpec {
     assert(rows == Seq((0, true, "H"), (1, false, "v")))
   }
 
+  test("markdown sections: breadcrumbs, stack pops, fences, preamble") {
+    val md = Seq(
+      "intro text",
+      "# One",
+      "alpha",
+      "```",
+      "# not a heading",
+      "```",
+      "## A",
+      "beta",
+      "### deep",
+      "x",
+      "## B  ##", // trailing closing hashes stripped
+      "gamma",
+      "# Two",
+      "").mkString("\n")
+    val ss = TextAnalysis.splitMdSections(md)
+    assert(ss.map(s => (s.section, s.level, s.heading, s.heading_path)) ==
+      Seq(
+        (0, 0, null, ""),
+        (1, 1, "One", "One"),
+        (2, 2, "A", "One > A"),
+        (3, 3, "deep", "One > A > deep"),
+        (4, 2, "B", "One > B"),
+        (5, 1, "Two", "Two")))
+    assert(ss(0).text == "intro text")
+    assert(ss(1).text == "alpha\n```\n# not a heading\n```")
+    assert(ss(3).text == "x")
+    assert(ss(5).text == "") // heading with empty body keeps its row
+    // no headings at all: one level-0 section
+    assert(TextAnalysis.splitMdSections("plain\nprose").map(_.text) ==
+      Seq("plain\nprose"))
+    // totality
+    assert(TextAnalysis.splitMdSections(null).isEmpty)
+    assert(TextAnalysis.splitMdSections("").isEmpty)
+    // directive
+    val in = df("id LONG, t STRING", Seq(Row(1L, "# H\nbody")))
+    val rows = wrangle("split-sections :t", in)
+      .select("t_heading", "t_heading_path", "t").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows == Seq(("H", "H", "body")))
+  }
+
   test("directives: parse-as-rtf and strip-latex") {
     val in = df("id LONG, doc STRING", Seq(
       Row(1L, "{\\rtf1 Hello\\par world}"),
