@@ -4406,6 +4406,33 @@ object QueryBank {
         |   'Line (' || doc_id * 3 || ')' AS text
         |FROM documents WHERE doc_id < 100""".stripMargin),
 
+    ("pipeline_web_video",
+      // the crawl→video-text path end-to-end, chaining the round-15
+      // surface: WARC record split → HTTP envelope unwrap → byte-exact
+      // payload → content-type routing picks the video/webm response
+      // (decoy HTML filtered) → extract-text's EBML route reads the
+      // muxed S_TEXT track → token count on the recovered captions.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val shards = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 100)
+          .withColumn("w", synthWarcMkvUdf(col("doc_id")))
+        val vids = r("parse-as-warc :w")(shards)
+          .filter(col("w_http_content_type") === "video/webm")
+          .select(col("doc_id"), col("w_payload_bytes").as("v"))
+        r("extract-text :v; token-count :v_text")(vids)
+          .select(col("doc_id"), col("v_format").as("format"),
+            col("v_text").as("text"),
+            col("v_text_tokens").as("n_tokens"))
+      },
+      """WITH g AS (SELECT doc_id, CAST(2 + doc_id % 3 AS BIGINT) AS nc
+        | FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, 'mkv' AS format,
+        | array_to_string(list_transform(range(nc),
+        |   j -> 'cue ' || doc_id || ' ' || j), chr(10)) AS text,
+        | CAST(3 * nc AS INT) AS n_tokens
+        |FROM g""".stripMargin),
+
     ("parse_as_feed",
       // syndication-feed ingestion: even ids arrive as RSS 2.0, odd
       // ids as Atom (with a decoy rel="self" link the alternate must
@@ -7149,6 +7176,36 @@ object QueryBank {
         s"WARC-Target-URI: http://ex.com/$id.pdf\r\n" +
         "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
         s"WARC-Record-ID: <urn:uuid:$id-pdf>\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${full.length}\r\n\r\n").getBytes("ISO-8859-1")
+      head ++ full ++ "\r\n\r\n".getBytes("ISO-8859-1") ++
+        mkWarcRecord(id, "response", s"http://ex.com/$id",
+          s"<p>html $id</p>", http = true).getBytes("UTF-8")
+    })
+
+  /** Fixture: a WARC shard whose response body is a subtitled MKV
+    * (video/webm content type) plus a decoy HTML response — the
+    * crawl→video-text path end-to-end.
+    */
+  private val synthWarcMkvUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      import graft.llm.MediaHeaders.WebmBlockSpec
+      val nc = (2 + id % 3).toInt
+      val mkv = graft.llm.MediaHeaders.webmBuild(Seq((0L,
+        (0 until nc).flatMap(j => Seq(
+          WebmBlockSpec(1L, j * 500, j == 0, useGroup = false,
+            Array.tabulate(6)(k => ((id + j + k) % 256).toByte)),
+          WebmBlockSpec(2L, j * 2000, keyframe = true, useGroup = true,
+            s"cue $id $j".getBytes("UTF-8"), durationMs = 1500L))))),
+        tracks = Seq((1L, "V_VP9"), (2L, "S_TEXT/UTF8")),
+        docType = "matroska")
+      val httpHead = ("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: video/webm\r\n\r\n").getBytes("ISO-8859-1")
+      val full = httpHead ++ mkv
+      val head = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: http://ex.com/$id.webm\r\n" +
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+        s"WARC-Record-ID: <urn:uuid:$id-webm>\r\n" +
         "Content-Type: application/http; msgtype=response\r\n" +
         s"Content-Length: ${full.length}\r\n\r\n").getBytes("ISO-8859-1")
       head ++ full ++ "\r\n\r\n".getBytes("ISO-8859-1") ++
