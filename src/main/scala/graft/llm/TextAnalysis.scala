@@ -553,6 +553,88 @@ object TextAnalysis {
     }
   }
 
+  /** High-precision credential shapes for code corpora (the published
+    * open code-dataset pipelines scrub these before training): AWS
+    * access-key ids, GitHub/Slack tokens, PEM private-key blocks,
+    * JWTs, Google API keys. Deliberately NO low-precision patterns
+    * (`password = ...` assignments) — a scrub pass that mangles
+    * ordinary code does more harm than the secret it might catch.
+    */
+  val secretPatterns: Seq[(String, String, String)] = Seq(
+    ("aws_key", """\bAKIA[0-9A-Z]{16}\b""", "[AWS_KEY]"),
+    ("github_token", """\bgh[pousr]_[A-Za-z0-9]{36,255}\b""",
+      "[GITHUB_TOKEN]"),
+    ("slack_token", """\bxox[baprs]-[A-Za-z0-9-]{10,72}\b""",
+      "[SLACK_TOKEN]"),
+    // BEGIN ... PRIVATE KEY through the matching END fence (DOTALL via
+    // [\s\S]; lazy so adjacent blocks redact separately)
+    ("private_key",
+      """-----BEGIN [A-Z ]*PRIVATE KEY-----[\s\S]*?-----END [A-Z ]*PRIVATE KEY-----""",
+      "[PRIVATE_KEY]"),
+    ("jwt",
+      """\beyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\b""",
+      "[JWT]"),
+    ("gcp_key", """\bAIza[0-9A-Za-z_-]{35}\b""", "[GCP_KEY]"))
+
+  /** Mask credential spans with typed placeholders — the code-corpus
+    * sibling of [[redactPii]]. Pure regexp_replace chain: stays in
+    * whole-stage codegen.
+    */
+  def redactSecrets(text: Column, types: Seq[String] = Nil): Column = {
+    val selected =
+      if (types.isEmpty) secretPatterns
+      else secretPatterns.filter(p => types.contains(p._1))
+    selected.foldLeft(text) { case (c, (_, re, tag)) =>
+      regexp_replace(c, lit(re), lit(tag))
+    }
+  }
+
+  /** Per-type credential hit counts (struct column) — the audit view:
+    * count first, decide to drop or redact after.
+    */
+  def secretHits(text: Column): Column =
+    struct(secretPatterns.map { case (name, re, _) =>
+      size(regexp_extract_all(text, lit(re), lit(0))).as(name)
+    }: _*)
+
+  /** License of a source file from its header region (first 2 KB):
+    * an SPDX-License-Identifier tag wins verbatim (via = 'spdx');
+    * otherwise the distinctive phrases of the common licenses match
+    * case-insensitively (via = 'phrase'); else (null, null). Native
+    * when-chain — codegen'd, no UDF.
+    */
+  def detectLicense(text: Column): Column = {
+    val header = substring(text, 1, 2048)
+    val low = lower(header)
+    val spdx = regexp_extract(header,
+      """(?i)SPDX-License-Identifier:\s*([A-Za-z0-9.+\-]+)""", 1)
+    val phrase = when(low.contains(
+        "permission is hereby granted, free of charge"), "MIT")
+      .when(low.contains("apache license") &&
+        low.contains("version 2.0"), "Apache-2.0")
+      .when(low.contains("gnu affero general public license"), "AGPL-3.0")
+      .when(low.contains("gnu lesser general public license"), "LGPL-3.0")
+      .when(low.contains("gnu general public license") &&
+        low.contains("version 3"), "GPL-3.0")
+      .when(low.contains("gnu general public license") &&
+        low.contains("version 2"), "GPL-2.0")
+      .when(low.contains(
+        "redistribution and use in source and binary forms"), "BSD-3-Clause")
+      .when(low.contains("mozilla public license") &&
+        low.contains("2.0"), "MPL-2.0")
+      .when(low.contains(
+        "permission to use, copy, modify, and/or distribute"), "ISC")
+      .when(low.contains(
+        "this is free and unencumbered software"), "Unlicense")
+      .otherwise(lit(null))
+    when(length(spdx) > 0,
+        struct(spdx.as("license"), lit("spdx").as("via")))
+      .when(phrase.isNotNull,
+        struct(phrase.as("license"), lit("phrase").as("via")))
+      .otherwise(struct(lit(null).cast("string").as("license"),
+        lit(null).cast("string").as("via")))
+  }
+
   /** Stable document fingerprint (md5 hex of normalized content). */
   def fingerprint(text: Column): Column = Dedup.fingerprint(text)
 

@@ -377,6 +377,41 @@ object LlmOps {
       df.withColumn(spec.col(0), TextAnalysis.redactPii(col(spec.col(0)), types))
     }
 
+    // `redact-secrets :col [aws_key,jwt,...]` — the code-corpus
+    // sibling of redact-pii: mask credential shapes in place
+    case "redact-secrets" => ColumnOps.simple(spec) { df =>
+      val types = spec.optStr(1)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+      val unknown = types.filterNot(t =>
+        TextAnalysis.secretPatterns.exists(_._1 == t))
+      require(unknown.isEmpty,
+        s"redact-secrets: unknown type(s) ${unknown.mkString(",")}; " +
+          s"supported: ${TextAnalysis.secretPatterns.map(_._1).mkString(",")}")
+      df.withColumn(spec.col(0),
+        TextAnalysis.redactSecrets(col(spec.col(0)), types))
+    }
+
+    // `secret-hits :col` — per-type credential counts as
+    // <col>_<type>_hits columns (audit first, then drop or redact)
+    case "secret-hits" => ColumnOps.simple(spec) { df =>
+      val c = spec.col(0)
+      val withS = df.withColumn("__sh", TextAnalysis.secretHits(col(c)))
+      TextAnalysis.secretPatterns.map(_._1).foldLeft(withS) { (d, t) =>
+        d.withColumn(s"${c}_${t}_hits", col(s"__sh.$t"))
+      }.drop("__sh")
+    }
+
+    // `detect-license :col` — SPDX tag or distinctive-phrase license
+    // id from the file header as <col>_license / <col>_license_via
+    case "detect-license" => ColumnOps.simple(spec) { df =>
+      val c = spec.col(0)
+      df.withColumn("__lic", TextAnalysis.detectLicense(col(c)))
+        .withColumn(s"${c}_license", col("__lic.license"))
+        .withColumn(s"${c}_license_via", col("__lic.via"))
+        .drop("__lic")
+    }
+
     // `validate-embeddings :vec :dim [loNormSq] [hiNormSq]` — per-row
     // QA label for a vector dump (null/dim/nan/zero/norm bounds)
     case "validate-embeddings" => ColumnOps.simple(spec) { df =>
