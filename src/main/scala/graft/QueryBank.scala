@@ -2276,6 +2276,31 @@ object QueryBank {
         |   ELSE 'phrase' END AS via
         |FROM documents""".stripMargin),
 
+    ("detect_generated",
+      // the generated-source gate: protoc-style banner (first marker
+      // wins), @generated tag, a minified single-line file, and real
+      // code that must pass — all four legs closed-form
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val src = docs(s, d).select(col("doc_id"),
+          (col("doc_id") % 4).cast("int").as("k"))
+          .withColumn("t", expr("""CASE k
+            | WHEN 0 THEN '// Code generated by protoc. DO NOT EDIT.' || chr(10) || 'func f() {}'
+            | WHEN 1 THEN '/* @generated by tooling */' || chr(10) || 'x = 1'
+            | WHEN 2 THEN repeat('var a=1;', 160)
+            | ELSE 'def f():' || chr(10) || '    return 1' END""".stripMargin))
+        r("detect-generated :t")(src)
+          .select(col("doc_id"),
+            col("t_generated_marker").as("marker"),
+            col("t_is_generated").as("is_generated"))
+      },
+      """SELECT doc_id,
+        | CASE doc_id % 4 WHEN 0 THEN 'do not edit'
+        |   WHEN 1 THEN '@generated' WHEN 2 THEN 'minified'
+        |   ELSE NULL END AS marker,
+        | doc_id % 4 <> 3 AS is_generated
+        |FROM documents""".stripMargin),
+
     ("redact_secrets",
       // credential scrub for code corpora: AWS key, GitHub token, and
       // a PEM private-key block (multi-line, lazy END match) built

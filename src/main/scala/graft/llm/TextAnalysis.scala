@@ -635,6 +635,39 @@ object TextAnalysis {
         lit(null).cast("string").as("via")))
   }
 
+  /** Generated-file markers, checked over the 1 KB header the way
+    * tools actually emit them. Order = report priority.
+    */
+  private val GeneratedMarkers = Seq(
+    "do not edit", "@generated", "code generated by", "auto-generated",
+    "autogenerated", "automatically generated", "generated automatically")
+
+  /** Detect machine-generated source files — the published code-corpus
+    * pipelines drop them (training on generated boilerplate teaches
+    * the generator, not the language). (marker, is_generated) from
+    * the 1 KB header: the tool banner phrase when present; else a
+    * minified-file heuristic (a single line, or lines averaging
+    * >200 chars, with at least 1 KB of content) flags with marker
+    * 'minified'. Native when-chain — codegen'd, no UDF.
+    */
+  def detectGenerated(text: Column): Column = {
+    val header = lower(substring(text, 1, 1024))
+    val marker = GeneratedMarkers.tail.foldLeft(
+        when(header.contains(GeneratedMarkers.head),
+          GeneratedMarkers.head)) { (c, m) =>
+      c.when(header.contains(m), m)
+    } // no otherwise: non-match is null
+    val lines = split(text, "\n", -1)
+    val minified = length(text) >= 1024 &&
+      (size(lines) === 1 ||
+        length(text).cast(DoubleType) /
+          greatest(size(lines), lit(1)).cast(DoubleType) > 200.0)
+    val m = when(marker.isNotNull, marker)
+      .when(minified, lit("minified"))
+      .otherwise(lit(null).cast("string"))
+    struct(m.as("marker"), m.isNotNull.as("is_generated"))
+  }
+
   /** Stable document fingerprint (md5 hex of normalized content). */
   def fingerprint(text: Column): Column = Dedup.fingerprint(text)
 

@@ -402,6 +402,17 @@ object LlmOps {
       }.drop("__sh")
     }
 
+    // `detect-generated :col` — machine-generated-source gate:
+    // <col>_generated_marker (tool banner phrase or 'minified') +
+    // <col>_is_generated
+    case "detect-generated" => ColumnOps.simple(spec) { df =>
+      val c = spec.col(0)
+      df.withColumn("__gen", TextAnalysis.detectGenerated(col(c)))
+        .withColumn(s"${c}_generated_marker", col("__gen.marker"))
+        .withColumn(s"${c}_is_generated", col("__gen.is_generated"))
+        .drop("__gen")
+    }
+
     // `detect-license :col` — SPDX tag or distinctive-phrase license
     // id from the file header as <col>_license / <col>_license_via
     case "detect-license" => ColumnOps.simple(spec) { df =>
