@@ -536,6 +536,17 @@ class PropertySpec extends AnyFunSuite {
       ("avro", avro, (b: Array[Byte]) => graft.ops.AvroFile.parse(b)),
       ("proto", proto, (b: Array[Byte]) => graft.ops.Protobuf.parse(b)),
       ("mp4", mp4, (b: Array[Byte]) => graft.llm.MediaHeaders.mp4Samples(b)),
+      ("mkv", {
+        import graft.llm.MediaHeaders.WebmBlockSpec
+        graft.llm.MediaHeaders.webmBuild(Seq((0L, Seq(
+          WebmBlockSpec(1L, 0, keyframe = true, useGroup = false, null,
+            lacing = 1, lacedFrames = (0 until 3).map(i =>
+              Array.fill(5 + i)(i.toByte))),
+          WebmBlockSpec(2L, 100, keyframe = true, useGroup = true,
+            "cue".getBytes("UTF-8"), durationMs = 900L)))),
+          tracks = Seq((1L, "V_VP9"), (2L, "S_TEXT/UTF8")),
+          docType = "matroska")
+      }, (b: Array[Byte]) => graft.sources.Extract.extractAny(b)),
       ("router", epub, (b: Array[Byte]) => graft.sources.Extract.extractAny(b)))
     val rnd = new scala.util.Random(1234)
     for ((name, base, parse) <- targets) {
