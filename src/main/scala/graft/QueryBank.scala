@@ -4730,6 +4730,26 @@ object QueryBank {
         |   AS byte_sum
         |FROM sp""".stripMargin),
 
+    ("multimodal_mp4_timed",
+      // stts decode times through the mdhd timescale: sample i's
+      // delta is (i+1)*300 ticks at timescale 3000, so its decode
+      // time is exactly 50*i*(i+1) ms — a run-table or timescale
+      // misread shifts every timestamp
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val mp4 = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synthMp4TimedUdf(col("doc_id")))
+        graft.llm.Multimodal.sampleFramesMp4(mp4, "payload", "doc_id")
+          .select(col("doc_id"), col("sample_idx"), col("timestamp"))
+      },
+      """WITH g AS (SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS ns
+        | FROM documents WHERE doc_id < 200),
+        |sp AS (SELECT doc_id, unnest(range(ns)) AS i FROM g)
+        |SELECT doc_id, CAST(i AS INT) AS sample_idx,
+        | CAST(50 * i * (i + 1) AS BIGINT) AS timestamp
+        |FROM sp""".stripMargin),
+
     ("multimodal_webm_samples",
       // REAL Matroska/WebM container access — the second major web
       // video container: Cluster/SimpleBlock/BlockGroup offsets are
@@ -7364,6 +7384,23 @@ object QueryBank {
     graft.llm.MediaHeaders.mp4Build(samples, samplesPerChunk = 2,
       keyframes1Based = (0 until ns).filter(_ % 3 == 0).map(_ + 1))
   })
+
+  /** Fixture: the [[synthMp4Udf]] layout plus an stts/mdhd pair —
+    * sample i's delta is (i+1)*300 ticks at timescale 3000 (decode
+    * time = 50*i*(i+1) ms exactly).
+    */
+  private val synthMp4TimedUdf = org.apache.spark.sql.functions.udf(
+    (id: Long) => {
+      val ns = (4 + id % 5).toInt
+      val samples = (0 until ns).map { i =>
+        val len = (8 + (id + i) % 5).toInt
+        Array.tabulate(len)(j => ((id * 7 + i * 13 + j * 3) % 256).toByte)
+      }
+      graft.llm.MediaHeaders.mp4Build(samples, samplesPerChunk = 2,
+        keyframes1Based = (0 until ns).filter(_ % 3 == 0).map(_ + 1),
+        deltas = (0 until ns).map(i => (i + 1) * 300L),
+        timescale = 3000L)
+    })
 
   /** Fixture: a deterministic two-cluster WebM twin of [[synthMp4Udf]]
     * — same per-sample size/byte formulas so the oracle SQL mirrors

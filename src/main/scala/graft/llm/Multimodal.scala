@@ -139,18 +139,19 @@ object Multimodal {
         case s if s.offset >= 0 && s.offset + s.size <= b.length =>
           Mp4Frame(s.index, s.offset, s.size, s.keyframe,
             java.util.Arrays.copyOfRange(
-              b, s.offset.toInt, (s.offset + s.size).toInt))
+              b, s.offset.toInt, (s.offset + s.size).toInt), s.timestamp)
       })
     val exploded = df
       .select(col(idCol), explode(framesUdf(col(binCol))).as("__f"))
       .select(col(idCol), col("__f.sample_idx").as("sample_idx"),
         col("__f.offset").as("offset"), col("__f.size").as("size"),
-        col("__f.keyframe").as("keyframe"), col("__f.frame").as("frame"))
+        col("__f.keyframe").as("keyframe"), col("__f.frame").as("frame"),
+        col("__f.timestamp").as("timestamp"))
     if (keyframesOnly) exploded.where(col("keyframe")) else exploded
   }
 
   case class Mp4Frame(sample_idx: Int, offset: Long, size: Long,
-      keyframe: Boolean, frame: Array[Byte])
+      keyframe: Boolean, frame: Array[Byte], timestamp: Long = -1L)
 
   /** REAL container-level frame access for Matroska/WebM payloads —
     * the second major web video container, parallel to
@@ -1366,8 +1367,12 @@ object MediaHeaders {
   // real container-level frame access a video pipeline needs; only
   // the codec decode of the sample BYTES stays out of scope.
 
+  /** `timestamp` is the stts decode time in MILLISECONDS (mdhd
+    * timescale applied), -1 when the file carries no stts — parity
+    * with the WebM walker's cluster-relative times.
+    */
   case class Mp4Sample(index: Int, offset: Long, size: Long,
-      keyframe: Boolean)
+      keyframe: Boolean, timestamp: Long = -1L)
 
   def mp4Samples(b: Array[Byte]): Seq[Mp4Sample] = {
     if (b == null || b.length < 16 || ascii(b, 4, 4) != "ftyp")
@@ -1377,6 +1382,8 @@ object MediaHeaders {
     // (first_chunk, samples_per_chunk) runs from stsc
     var stsc: Array[(Long, Long)] = null
     var sync: Set[Long] = null // 1-based keyframe sample numbers
+    var stts: Array[(Long, Long)] = null // (sample_count, delta) runs
+    var timescale = 1000L // mdhd ticks/second; 1000 = ms if absent
     def walk(from: Long, to: Long, depth: Int): Unit = {
       var p = from
       while (p + 8 <= to && depth < 8) {
@@ -1424,6 +1431,21 @@ object MediaHeaders {
             if (n >= 0 && n < 1000000 && body + 8 + 4L * n <= to)
               sync = (0 until n).map(i =>
                 be32(b, (body + 8 + 4L * i).toInt)).toSet
+          case "stts" if stts == null && body + 8 <= to =>
+            val n = be32(b, (body + 4).toInt).toInt
+            if (n >= 0 && n < 1000000 && body + 8 + 8L * n <= to)
+              stts = Array.tabulate(n) { i =>
+                (be32(b, (body + 8 + 8L * i).toInt),
+                  be32(b, (body + 12 + 8L * i).toInt))
+              }
+          case "mdhd" if body + 4 <= to =>
+            // timescale sits past the version-dependent create/modify
+            // times: v0 at +12 (two u32 times), v1 at +20 (two u64)
+            val tsOff = if (u8(b, body.toInt) == 1) body + 20 else body + 12
+            if (tsOff + 4 <= to) {
+              val v = be32(b, tsOff.toInt)
+              if (v > 0) timescale = v
+            }
           case _ => ()
         }
         p = end
@@ -1432,6 +1454,24 @@ object MediaHeaders {
     walk(0L, b.length.toLong, 0)
     if (sizes == null || chunkOffsets == null || stsc == null ||
         stsc.isEmpty) return Seq.empty
+    // decode times: cumulative stts deltas, ms via the mdhd timescale;
+    // a short stts extends its last delta (lenient on off-spec files)
+    val times: Array[Long] =
+      if (stts == null) null
+      else {
+        val t = new Array[Long](sizes.length)
+        var cum = 0L; var si = 0; var r = 0; var inRun = 0L
+        var delta = if (stts.nonEmpty) stts(0)._2 else 0L
+        while (si < t.length) {
+          while (r < stts.length && inRun >= stts(r)._1) { r += 1; inRun = 0 }
+          if (r < stts.length) delta = stts(r)._2
+          t(si) = cum * 1000L / timescale
+          cum += delta
+          inRun += 1
+          si += 1
+        }
+        t
+      }
     // expand stsc runs -> samples-per-chunk per chunk, then walk chunks
     val out = Vector.newBuilder[Mp4Sample]
     var sample = 0 // 0-based
@@ -1448,7 +1488,8 @@ object MediaHeaders {
       while (i < spc && sample < sizes.length) {
         val sz = sizes(sample)
         out += Mp4Sample(sample, off, sz,
-          sync == null || sync.contains(sample + 1L))
+          sync == null || sync.contains(sample + 1L),
+          if (times == null) -1L else times(sample))
         off += sz
         sample += 1
         i += 1
@@ -1463,8 +1504,11 @@ object MediaHeaders {
     * out in an mdat at the offsets the tables declare.
     */
   def mp4Build(samples: Seq[Array[Byte]], samplesPerChunk: Int,
-      keyframes1Based: Seq[Int]): Array[Byte] = {
+      keyframes1Based: Seq[Int], deltas: Seq[Long] = Nil,
+      timescale: Long = 1000L): Array[Byte] = {
     require(samplesPerChunk > 0)
+    require(deltas.isEmpty || deltas.length == samples.length,
+      "mp4Build: deltas must be empty or one per sample")
     val bos = new java.io.ByteArrayOutputStream()
     def be(v: Long): Array[Byte] = Array(
       ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
@@ -1487,9 +1531,27 @@ object MediaHeaders {
     def assemble(chunkOffs: Seq[Long]): Array[Byte] = {
       val stcoB = box("stco", be(0) ++ be(nChunks.toLong) ++
         chunkOffs.flatMap(be).toArray)
-      val stbl = box("stbl", stszB ++ stscB ++ stcoB ++ stssB)
+      // stts as run-length (count, delta) entries; mdhd carries the
+      // timescale the decode times are expressed in
+      val sttsB =
+        if (deltas.isEmpty) Array.emptyByteArray
+        else {
+          val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          deltas.foreach { dlt =>
+            if (runs.nonEmpty && runs.last._2 == dlt)
+              runs(runs.length - 1) = (runs.last._1 + 1, dlt)
+            else runs += ((1L, dlt))
+          }
+          box("stts", be(0) ++ be(runs.length.toLong) ++
+            runs.flatMap { case (c, dl) => be(c) ++ be(dl) }.toArray)
+        }
+      val mdhdB =
+        if (deltas.isEmpty) Array.emptyByteArray
+        else box("mdhd", be(0) ++ be(0) ++ be(0) ++ be(timescale) ++
+          be(deltas.sum) ++ be(0))
+      val stbl = box("stbl", stszB ++ stscB ++ stcoB ++ stssB ++ sttsB)
       val minf = box("minf", stbl)
-      val mdia = box("mdia", minf)
+      val mdia = box("mdia", mdhdB ++ minf)
       val trak = box("trak", mdia)
       val moov = box("moov", trak)
       val mdat = box("mdat", samples.flatten.toArray)
@@ -1590,6 +1652,12 @@ object MediaHeaders {
     val codecs = Map.newBuilder[Long, String]
     var index = 0
     var clusterTs = 0L
+    // Matroska timestamps are in TimestampScale units (ns/tick,
+    // default 1,000,000 = 1 ms/tick); Info precedes Clusters in
+    // spec-ordered files, so the scale is in force before any block
+    var scaleNs = 1000000L
+    def toMs(ticks: Long): Long =
+      if (scaleNs == 1000000L) ticks else ticks * scaleNs / 1000000L
     // one (Simple)Block payload at [from, to): emit the frame row(s).
     // Lacing (flags bits 1-2: 1=Xiph, 2=fixed-size, 3=EBML) packs
     // several frames into one block — standard for audio tracks —
@@ -1604,10 +1672,11 @@ object MediaHeaders {
       var p = from + tv._2 + 3
       if (p > to) return
       val key = if (isSimple) simpleKey else !groupHasRef
-      val ts = clusterTs + rel
+      val ts = toMs(clusterTs + rel)
+      val durMs = if (duration < 0) -1L else toMs(duration)
       if (lacing == 0) {
         out += WebmSample(index, tv._1, ts, p.toLong, (to - p).toLong,
-          key, duration)
+          key, durMs)
         index += 1
         return
       }
@@ -1657,7 +1726,7 @@ object MediaHeaders {
       var i = 0
       while (i < nFrames) {
         if (off + sizes(i) > to) return // keep the frames emitted so far
-        out += WebmSample(index, tv._1, ts, off, sizes(i), key, duration)
+        out += WebmSample(index, tv._1, ts, off, sizes(i), key, durMs)
         index += 1
         off += sizes(i)
         i += 1
@@ -1714,6 +1783,29 @@ object MediaHeaders {
                   walk(dataStart, end, depth + 1, inCluster = true)
                 case 0xE7L if inCluster && end - dataStart <= 8 =>
                   clusterTs = beUint(dataStart, end - dataStart)
+                case 0x1549A966L => // Info: TimestampScale child
+                  var q = dataStart
+                  var inner = true
+                  while (inner && q < end) {
+                    val iv = vint(q, keepMarker = true)
+                    if (iv == null) inner = false
+                    else {
+                      val isv = vint(q + iv._2, keepMarker = false)
+                      if (isv == null) inner = false
+                      else {
+                        val ds = q + iv._2 + isv._2
+                        val de = math.min(ds + isv._1, end.toLong).toInt
+                        if (ds > end) inner = false
+                        else {
+                          if (iv._1 == 0x2AD7B1L && de - ds <= 8) {
+                            val v = beUint(ds, de - ds)
+                            if (v > 0) scaleNs = v
+                          }
+                          q = de
+                        }
+                      }
+                    }
+                  }
                 case 0x1654AE6BL => // Tracks: TrackEntry children
                   var q = dataStart
                   var inner = true
@@ -1805,7 +1897,8 @@ object MediaHeaders {
     */
   def webmBuild(clusters: Seq[(Long, Seq[WebmBlockSpec])],
       tracks: Seq[(Long, String)] = Nil,
-      docType: String = "webm"): Array[Byte] = {
+      docType: String = "webm",
+      timestampScaleNs: Long = -1L): Array[Byte] = {
     def vintSize(n: Long): Array[Byte] = {
       var w = 1
       while (w < 8 && n >= (1L << (7 * w)) - 1) w += 1
@@ -1829,6 +1922,9 @@ object MediaHeaders {
     }
     val header = el(0x1A45DFA3L,
       el(0x4282L, docType.getBytes("US-ASCII")))
+    val infoBytes =
+      if (timestampScaleNs <= 0) Array.emptyByteArray
+      else el(0x1549A966L, el(0x2AD7B1L, beMin(timestampScaleNs)))
     val tracksBytes =
       if (tracks.isEmpty) Array.emptyByteArray
       else el(0x1654AE6BL, tracks.flatMap { case (num, codec) =>
@@ -1892,7 +1988,7 @@ object MediaHeaders {
       el(0x1F43B675L, body.toByteArray)
     }
     val segment = el(0x18538067L,
-      tracksBytes ++ clusterBytes.flatten.toArray)
+      infoBytes ++ tracksBytes ++ clusterBytes.flatten.toArray)
     header ++ segment
   }
 

@@ -773,6 +773,27 @@ class BinarySpec extends SparkSpec {
     assert(MediaHeaders.mp4Samples(null).isEmpty)
   }
 
+  test("mp4 stts decode times: timescale-scaled ms, run-length entries") {
+    val samples = (0 until 6).map(i => Array.fill(4)(i.toByte))
+    // 90 kHz timescale (the real video norm): three 3003-tick deltas
+    // (~33.37 ms NTSC frames) then three 9000-tick (100 ms) — two stts
+    // runs; decode time of sample i = cumsum of prior deltas
+    val deltas = Seq(3003L, 3003L, 3003L, 9000L, 9000L, 9000L)
+    val bytes = MediaHeaders.mp4Build(samples, samplesPerChunk = 2,
+      keyframes1Based = Seq(1), deltas = deltas, timescale = 90000L)
+    val got = MediaHeaders.mp4Samples(bytes)
+    assert(got.map(_.timestamp) == Seq(0L, 33L, 66L, 100L, 200L, 300L))
+    // without stts the field stays -1 (prior fixtures unchanged)
+    val plain = MediaHeaders.mp4Build(samples, 2, Seq(1))
+    assert(MediaHeaders.mp4Samples(plain).forall(_.timestamp == -1L))
+    // DataFrame surface carries it
+    import org.apache.spark.sql.Row
+    val d = df("id BIGINT, v BINARY", Seq(Row(1L, bytes)))
+    val ts = graft.llm.Multimodal.sampleFramesMp4(d, "v", "id")
+      .select("timestamp").collect().map(_.getLong(0)).toSeq
+    assert(ts == Seq(0L, 33L, 66L, 100L, 200L, 300L))
+  }
+
   test("sampleFramesMp4 emits real samples; keyframesOnly filters") {
     import org.apache.spark.sql.Row
     val samples = (0 until 6).map(i => Array.fill(4)(i.toByte))
@@ -865,6 +886,28 @@ class BinarySpec extends SparkSpec {
       MediaHeaders.webmSamples(h) // must not throw
     }
     assert(m.length == bytes.length)
+  }
+
+  test("webm TimestampScale: non-default tick size converts to real ms") {
+    import graft.llm.MediaHeaders.WebmBlockSpec
+    // 0.5 ms ticks (scale 500,000 ns): cluster ts 2000 ticks = 1000 ms,
+    // rel 100 ticks = 50 ms, BlockDuration 1800 ticks = 900 ms
+    val blocks = Seq(
+      WebmBlockSpec(1L, 100, keyframe = true, useGroup = false,
+        Array[Byte](1, 2, 3)),
+      WebmBlockSpec(2L, 100, keyframe = true, useGroup = true,
+        "cue".getBytes("UTF-8"), durationMs = 1800L))
+    val bytes = MediaHeaders.webmBuild(Seq((2000L, blocks)),
+      tracks = Seq((1L, "V_VP9"), (2L, "S_TEXT/UTF8")),
+      docType = "matroska", timestampScaleNs = 500000L)
+    val got = MediaHeaders.webmSamples(bytes)
+    assert(got.map(_.timestamp) == Seq(1050L, 1050L))
+    assert(got(1).duration == 900L)
+    val cues = MediaHeaders.webmSubtitles(bytes)
+    assert(cues.map(c => (c.start, c.duration)) == Seq((1050L, 900L)))
+    // default scale unchanged: same ticks ARE ms
+    val dflt = MediaHeaders.webmBuild(Seq((2000L, blocks)))
+    assert(MediaHeaders.webmSamples(dflt).head.timestamp == 2100L)
   }
 
   test("webm subtitles: S_TEXT track cues extracted, video blocks ignored") {
