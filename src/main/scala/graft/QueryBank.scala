@@ -4259,12 +4259,14 @@ object QueryBank {
         import org.apache.spark.sql.functions._
         val base = docs(s, d).select(col("doc_id"))
           .filter(col("doc_id") < 200)
+        // frame times come from the CONTAINER (stts at 700 ms/frame),
+        // not synthesized from the ordinal — the aligner consumes what
+        // the demuxer actually says
         val frames = graft.llm.Multimodal.sampleFramesMp4(
-            base.withColumn("payload", synthMp4Udf(col("doc_id"))),
+            base.withColumn("payload", synthMp4VtUdf(col("doc_id"))),
             "payload", "doc_id")
           .select(col("doc_id").as("f_doc"), col("sample_idx"),
-            (col("doc_id") * 100000L +
-              col("sample_idx") * 700L).as("f_ts"))
+            (col("doc_id") * 100000L + col("timestamp")).as("f_ts"))
         val cues = r("parse-as-subtitles :srt")(
             base.withColumn("srt", synthSrtUdf(col("doc_id"))))
           .select((col("srt_start_ms") + col("doc_id") * 99000L).as("lo"),
@@ -7384,6 +7386,22 @@ object QueryBank {
     graft.llm.MediaHeaders.mp4Build(samples, samplesPerChunk = 2,
       keyframes1Based = (0 until ns).filter(_ % 3 == 0).map(_ + 1))
   })
+
+  /** Fixture: [[synthMp4Udf]] plus a constant 700 ms stts (timescale
+    * 1000) so the video-text aligner reads frame times from the
+    * container itself.
+    */
+  private val synthMp4VtUdf = org.apache.spark.sql.functions.udf(
+    (id: Long) => {
+      val ns = (4 + id % 5).toInt
+      val samples = (0 until ns).map { i =>
+        val len = (8 + (id + i) % 5).toInt
+        Array.tabulate(len)(j => ((id * 7 + i * 13 + j * 3) % 256).toByte)
+      }
+      graft.llm.MediaHeaders.mp4Build(samples, samplesPerChunk = 2,
+        keyframes1Based = (0 until ns).filter(_ % 3 == 0).map(_ + 1),
+        deltas = Seq.fill(ns)(700L), timescale = 1000L)
+    })
 
   /** Fixture: the [[synthMp4Udf]] layout plus an stts/mdhd pair —
     * sample i's delta is (i+1)*300 ticks at timescale 3000 (decode
