@@ -2270,7 +2270,7 @@ object QueryBank {
       },
       """SELECT doc_id,
         | CASE doc_id % 5 WHEN 0 THEN 'BSD-2-Clause' WHEN 1 THEN 'MIT'
-        |   WHEN 2 THEN 'Apache-2.0' WHEN 3 THEN 'BSD-3-Clause'
+        |   WHEN 2 THEN 'Apache-2.0' WHEN 3 THEN 'BSD-2-Clause'
         |   ELSE NULL END AS license,
         | CASE doc_id % 5 WHEN 0 THEN 'spdx' WHEN 4 THEN NULL
         |   ELSE 'phrase' END AS via
@@ -4715,11 +4715,9 @@ object QueryBank {
         val mp4 = docs(s, d).select(col("doc_id"))
           .filter(col("doc_id") < 200)
           .withColumn("payload", synthMp4Udf(col("doc_id")))
-        val byteSum = udf((b: Array[Byte]) =>
-          b.map(x => (x & 0xff).toLong).sum)
         graft.llm.Multimodal.sampleFramesMp4(mp4, "payload", "doc_id")
           .select(col("doc_id"), col("sample_idx"), col("size"),
-            col("keyframe"), byteSum(col("frame")).as("byte_sum"))
+            col("keyframe"), byteSumUdf(col("frame")).as("byte_sum"))
       },
       """WITH g AS (SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS ns
         | FROM documents WHERE doc_id < 200),
@@ -4765,12 +4763,10 @@ object QueryBank {
         val webm = docs(s, d).select(col("doc_id"))
           .filter(col("doc_id") < 200)
           .withColumn("payload", synthWebmUdf(col("doc_id")))
-        val byteSum = udf((b: Array[Byte]) =>
-          b.map(x => (x & 0xff).toLong).sum)
         graft.llm.Multimodal.sampleFramesWebm(webm, "payload", "doc_id")
           .select(col("doc_id"), col("sample_idx"), col("timestamp"),
             col("size"), col("keyframe"),
-            byteSum(col("frame")).as("byte_sum"))
+            byteSumUdf(col("frame")).as("byte_sum"))
       },
       """WITH g AS (SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS ns
         | FROM documents WHERE doc_id < 200),
@@ -4820,11 +4816,9 @@ object QueryBank {
         val webm = docs(s, d).select(col("doc_id"))
           .filter(col("doc_id") < 200)
           .withColumn("payload", synthWebmLacedUdf(col("doc_id")))
-        val byteSum = udf((b: Array[Byte]) =>
-          b.map(x => (x & 0xff).toLong).sum)
         graft.llm.Multimodal.sampleFramesWebm(webm, "payload", "doc_id")
           .select(col("doc_id"), col("sample_idx"), col("timestamp"),
-            col("size"), byteSum(col("frame")).as("byte_sum"))
+            col("size"), byteSumUdf(col("frame")).as("byte_sum"))
       },
       """WITH g AS (SELECT doc_id, CAST(3 + doc_id % 3 AS BIGINT) AS na
         | FROM documents WHERE doc_id < 200),
@@ -5392,6 +5386,13 @@ object QueryBank {
           .createTempDirectory("graft_bpe_model_").toString + "/bpe.model"
         graft.llm.Bpe.save(s, merges, path)
         val loaded = graft.llm.Bpe.load(s, path)
+        // load is eager (driver-side sidecar read): the temp model can
+        // be deleted immediately — sweeps must not accumulate garbage
+        scala.util.Try {
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+          java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(path).getParent)
+        }
         val probe = corpus.filter(col("doc_id") < 100)
         probe.select(col("doc_id"),
           (graft.llm.Bpe.encodeColumn(probe, "text", merges) ===
@@ -7377,6 +7378,13 @@ object QueryBank {
     * (id*7+i*13+j*3)%256, two samples per chunk, keyframes at every
     * third sample — tables built byte-exactly by mp4Build.
     */
+  /** Exact byte sum of a binary payload — the oracle-side checksum the
+    * sample-extraction queries share (a wrong offset or size slices
+    * different bytes and shifts it).
+    */
+  private val byteSumUdf = org.apache.spark.sql.functions.udf(
+    (b: Array[Byte]) => b.map(x => (x & 0xff).toLong).sum)
+
   private val synthMp4Udf = org.apache.spark.sql.functions.udf((id: Long) => {
     val ns = (4 + id % 5).toInt
     val samples = (0 until ns).map { i =>

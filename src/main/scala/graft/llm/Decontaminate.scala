@@ -186,16 +186,23 @@ object Decontaminate {
     */
   def dropSemantic(corpus: DataFrame, idCol: String, vecCol: String,
       eval: DataFrame, evalVecCol: String, threshold: Double,
-      maxEval: Int = 100000): DataFrame = {
-    val c = maxCosColumn(corpus, vecCol, eval, evalVecCol, maxEval)
-    corpus.where(c < threshold || isnan(c))
-  }
+      maxEval: Int = 100000): DataFrame =
+    // compute the kernel ONCE per row: the same UDF twice inside a
+    // filter predicate (cos < t || isnan(cos)) is not guaranteed
+    // common-subexpression-eliminated, and the kernel is
+    // O(|eval| x dim)
+    corpus.withColumn("__semcos",
+        maxCosColumn(corpus, vecCol, eval, evalVecCol, maxEval))
+      .where(col("__semcos") < threshold || isnan(col("__semcos")))
+      .drop("__semcos")
 
   private def maxCosColumn(corpus: DataFrame, vecCol: String,
       eval: DataFrame, evalVecCol: String, maxEval: Int): Column = {
     val spark = corpus.sparkSession
+    // null eval vectors are skipped, not NPE'd (same pattern as
+    // Similarity's driver samples)
     val evalRows = eval.select(col(evalVecCol)).limit(maxEval + 1)
-      .collect().map(_.getSeq[Float](0).toArray)
+      .collect().flatMap(r => Option(r.getSeq[Float](0)).map(_.toArray))
     require(evalRows.length <= maxEval,
       s"decontaminate-semantic: eval set exceeds $maxEval vectors — " +
         "an eval benchmark should be small; for corpus-vs-corpus " +

@@ -1384,6 +1384,7 @@ object MediaHeaders {
     var sync: Set[Long] = null // 1-based keyframe sample numbers
     var stts: Array[(Long, Long)] = null // (sample_count, delta) runs
     var timescale = 1000L // mdhd ticks/second; 1000 = ms if absent
+    var timescaleSet = false
     def walk(from: Long, to: Long, depth: Int): Unit = {
       var p = from
       while (p + 8 <= to && depth < 8) {
@@ -1438,13 +1439,17 @@ object MediaHeaders {
                 (be32(b, (body + 8 + 8L * i).toInt),
                   be32(b, (body + 12 + 8L * i).toInt))
               }
-          case "mdhd" if body + 4 <= to =>
+          case "mdhd" if !timescaleSet && body + 4 <= to =>
+            // FIRST-wins like stts/stsz/stsc/stco — the walk keeps the
+            // first trak's tables, so its mdhd must pair with them (a
+            // last-wins timescale would scale the video stts by the
+            // audio trak's rate on every multi-track file).
             // timescale sits past the version-dependent create/modify
             // times: v0 at +12 (two u32 times), v1 at +20 (two u64)
             val tsOff = if (u8(b, body.toInt) == 1) body + 20 else body + 12
             if (tsOff + 4 <= to) {
               val v = be32(b, tsOff.toInt)
-              if (v > 0) timescale = v
+              if (v > 0) { timescale = v; timescaleSet = true }
             }
           case _ => ()
         }
@@ -1610,7 +1615,9 @@ object MediaHeaders {
     * ignored; total on arbitrary bytes.
     */
   def webmSubtitles(b: Array[Byte]): Seq[WebmCue] = {
-    val (codecs, samples) = webmScan(b)
+    // subtitlesOnly: a feature-length caption-less video costs the
+    // byte walk, not a frame-row Vector for every video/audio sample
+    val (codecs, samples) = webmScan(b, subtitlesOnly = true)
     val textTracks = codecs.collect {
       case (t, c) if c != null && c.startsWith("S_TEXT") => t
     }.toSet
@@ -1624,10 +1631,13 @@ object MediaHeaders {
   }
 
   /** Shared EBML walk: (track → CodecID) from the Tracks element plus
-    * every (Simple)Block frame row. See [[webmSamples]] for layout
-    * notes.
+    * every (Simple)Block frame row. With `subtitlesOnly`, block rows
+    * are emitted only for tracks whose CodecID (seen so far — Tracks
+    * precedes Clusters in spec-ordered files) is S_TEXT-prefixed.
+    * See [[webmSamples]] for layout notes.
     */
-  private def webmScan(b: Array[Byte]): (Map[Long, String], Seq[WebmSample]) = {
+  private def webmScan(b: Array[Byte], subtitlesOnly: Boolean = false)
+      : (Map[Long, String], Seq[WebmSample]) = {
     if (b == null || b.length < 8 || u8(b, 0) != 0x1a || u8(b, 1) != 0x45 ||
         u8(b, 2) != 0xdf || u8(b, 3) != 0xa3)
       return (Map.empty, Seq.empty)
@@ -1650,6 +1660,7 @@ object MediaHeaders {
     }
     val out = Vector.newBuilder[WebmSample]
     val codecs = Map.newBuilder[Long, String]
+    var textTracks = Set.empty[Long] // live view for subtitlesOnly
     var index = 0
     var clusterTs = 0L
     // Matroska timestamps are in TimestampScale units (ns/tick,
@@ -1666,6 +1677,7 @@ object MediaHeaders {
         groupHasRef: Boolean, isSimple: Boolean, duration: Long): Unit = {
       val tv = vint(from, keepMarker = false)
       if (tv == null || from + tv._2 + 3 > to) return
+      if (subtitlesOnly && !textTracks.contains(tv._1)) return
       val rel = (beUint(from + tv._2, 2).toInt << 16) >> 16 // signed int16
       val flags = u8(b, from + tv._2 + 2)
       val lacing = (flags >> 1) & 0x3
@@ -1757,7 +1769,11 @@ object MediaHeaders {
           }
         }
       }
-      if (trackNum >= 0) codecs += trackNum -> codec
+      if (trackNum >= 0) {
+        codecs += trackNum -> codec
+        if (codec != null && codec.startsWith("S_TEXT"))
+          textTracks += trackNum
+      }
     }
     def walk(from: Int, to: Int, depth: Int, inCluster: Boolean): Unit = {
       var p = from

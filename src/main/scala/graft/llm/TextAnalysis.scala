@@ -173,7 +173,9 @@ object TextAnalysis {
     var curHeading: String = null
     var curLevel = 0
     var idx = 0
-    var inFence = false
+    // fence state tracks WHICH char opened it: a ~~~ line inside a
+    // ``` block is body, and only a same-char 3+ line closes
+    var fenceChar: Char = 0
     val buf = new java.lang.StringBuilder
     def flush(): Unit = {
       val text = buf.toString.replaceAll("\\s+$", "")
@@ -187,11 +189,23 @@ object TextAnalysis {
     }
     md.split("\r\n|\n", -1).foreach { line =>
       val t = line.trim
-      if (t.startsWith("```") || t.startsWith("~~~")) {
-        inFence = !inFence
+      // CommonMark fences: open = 3+ of one char with an info string
+      // that (for backticks) contains no further backtick — so a
+      // one-line ```x``` snippet is inline code, NOT an open fence
+      // that would swallow the rest of the document; close = 3+ of
+      // the SAME char only
+      val fenceOpen =
+        if (fenceChar != 0) false
+        else if (t.startsWith("```")) !t.drop(3).contains('`')
+        else if (t.startsWith("~~~")) true
+        else false
+      val fenceClose = fenceChar != 0 &&
+        t.length >= 3 && t.forall(_ == fenceChar)
+      if (fenceOpen || fenceClose) {
+        fenceChar = if (fenceOpen) t.charAt(0) else 0
         buf.append(line).append('\n')
       } else {
-        val m = if (inFence) null else AtxHeadingRe.matcher(line)
+        val m = if (fenceChar != 0) null else AtxHeadingRe.matcher(line)
         if (m != null && m.matches()) {
           flush()
           curLevel = m.group(1).length
@@ -613,13 +627,21 @@ object TextAnalysis {
       .when(low.contains("apache license") &&
         low.contains("version 2.0"), "Apache-2.0")
       .when(low.contains("gnu affero general public license"), "AGPL-3.0")
+      .when(low.contains("gnu lesser general public license") &&
+        low.contains("version 2.1"), "LGPL-2.1")
       .when(low.contains("gnu lesser general public license"), "LGPL-3.0")
       .when(low.contains("gnu general public license") &&
         low.contains("version 3"), "GPL-3.0")
       .when(low.contains("gnu general public license") &&
         low.contains("version 2"), "GPL-2.0")
+      // BSD clause count: the no-endorsement clause ("neither the
+      // name") is what distinguishes 3-clause from 2-clause — both
+      // share the "redistribution and use" preamble
       .when(low.contains(
-        "redistribution and use in source and binary forms"), "BSD-3-Clause")
+          "redistribution and use in source and binary forms") &&
+        low.contains("neither the name"), "BSD-3-Clause")
+      .when(low.contains(
+        "redistribution and use in source and binary forms"), "BSD-2-Clause")
       .when(low.contains("mozilla public license") &&
         low.contains("2.0"), "MPL-2.0")
       .when(low.contains(

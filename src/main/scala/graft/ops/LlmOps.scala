@@ -662,9 +662,6 @@ object LlmOps {
         col(c).cast(org.apache.spark.sql.types.StringType)))
     }
 
-    // `extract-md-tables :col` — GitHub-flavored pipe tables to rows
-    // (`<col>_table/_row/_col/_is_header/_cell`): the markdown
-    // complement of extract-html-tables for README/docs corpora.
     // `split-sections :col` — heading-delimited markdown sections,
     // one row each, with the hierarchical breadcrumb path (the
     // curation/RAG chunking unit); the text column becomes the
@@ -686,6 +683,9 @@ object LlmOps {
       }
     }
 
+    // `extract-md-tables :col` — GitHub-flavored pipe tables to rows
+    // (`<col>_table/_row/_col/_is_header/_cell`): the markdown
+    // complement of extract-html-tables for README/docs corpora.
     case "extract-md-tables" => new PipeOp {
       def name = spec.name
       def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>

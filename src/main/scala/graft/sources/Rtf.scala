@@ -36,6 +36,12 @@ object Rtf {
     var pendingUcSkip = 0
     while (i < s.length) {
       val c = s.charAt(i)
+      // a control WORD ends the fallback run (the spec's fallback is
+      // plain chars and escapes): without this, \uN followed by \tab would both
+      // render the tab AND still eat the next REAL character as the
+      // "fallback"
+      if (pendingUcSkip > 0 && c == '\\' && i + 1 < s.length &&
+        s.charAt(i + 1).isLetter) pendingUcSkip = 0
       if (pendingUcSkip > 0 && c != '{' && c != '}' && c != '\\') {
         pendingUcSkip -= 1; i += 1 // \uN fallback chars
       } else if (pendingUcSkip > 0 && c == '\\' && i + 1 < s.length &&

@@ -794,6 +794,31 @@ class BinarySpec extends SparkSpec {
     assert(ts == Seq(0L, 33L, 66L, 100L, 200L, 300L))
   }
 
+  test("mp4 multi-track: first trak's timescale pairs with its stts") {
+    // a second (audio) trak with mdhd timescale 44100 must NOT rescale
+    // the first trak's 3003-tick @ 90 kHz video times — timescale is
+    // first-wins like every other sample table
+    val samples = (0 until 3).map(i => Array.fill(4)(i.toByte))
+    val base = MediaHeaders.mp4Build(samples, 2, Seq(1),
+      deltas = Seq(3003L, 3003L, 3003L), timescale = 90000L)
+    def be(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(id: String, p: Array[Byte]): Array[Byte] =
+      be(8L + p.length) ++ id.getBytes("US-ASCII") ++ p
+    val audioTrak = box("trak", box("mdia",
+      box("mdhd", be(0) ++ be(0) ++ be(0) ++ be(44100L) ++ be(0) ++ be(0))))
+    // splice the audio trak in right after moov's header: moov size
+    // grows by the trak's length; outer offsets into mdat shift too,
+    // so rebuild instead: append trak INSIDE moov by patching sizes is
+    // brittle — walk order is what matters, so put the audio trak in a
+    // SECOND moov after the first (the walker recurses both in order)
+    val bytes = base ++ box("moov", audioTrak)
+    val got = MediaHeaders.mp4Samples(bytes)
+    assert(got.map(_.timestamp) == Seq(0L, 33L, 66L),
+      s"audio mdhd must not rescale video times: ${got.map(_.timestamp)}")
+  }
+
   test("sampleFramesMp4 emits real samples; keyframesOnly filters") {
     import org.apache.spark.sql.Row
     val samples = (0 until 6).map(i => Array.fill(4)(i.toByte))

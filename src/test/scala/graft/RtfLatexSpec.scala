@@ -47,6 +47,14 @@ class RtfLatexSpec extends SparkSpec {
     assert(Rtf.extract("{\\rtf1 a\\u8212\\~x}") == "a—x")
     // truncated escape at EOF: total
     assert(Rtf.extract("{\\rtf1 a\\u8212\\'9") == "a—")
+    // a control WORD ends the fallback run: the tab renders once and
+    // the following real character is NOT eaten as "fallback"
+    assert(Rtf.extract("{\\rtf1 \\u945\\tab abc}") == "α\tabc")
+    // consecutive \uN with omitted fallbacks: both render (the second
+    // escape is not eaten as the first one's fallback); the char after
+    // the delimiter IS \u946's fallback and is skipped
+    assert(Rtf.extract("{\\rtf1 \\u945\\u946 x}") == "αβ")
+    assert(Rtf.extract("{\\rtf1 \\u945\\u946}") == "αβ")
   }
 
   test("rtf: totality fuzz on mutated documents") {
@@ -156,6 +164,16 @@ class RtfLatexSpec extends SparkSpec {
     // no headings at all: one level-0 section
     assert(TextAnalysis.splitMdSections("plain\nprose").map(_.text) ==
       Seq("plain\nprose"))
+    // a one-line ```x``` snippet is inline code, not an open fence —
+    // headings after it must still split
+    val inline = TextAnalysis.splitMdSections(
+      "```js console.log(1)```\n# H\nbody")
+    assert(inline.map(_.heading) == Seq(null, "H"))
+    // a ~~~ line inside a ``` block is body; only ``` closes
+    val mixed = TextAnalysis.splitMdSections(
+      "```\n~~~\n# not heading\n```\n# H2\nx")
+    assert(mixed.map(_.heading) == Seq(null, "H2"))
+    assert(mixed(0).text.contains("~~~"))
     // totality
     assert(TextAnalysis.splitMdSections(null).isEmpty)
     assert(TextAnalysis.splitMdSections("").isEmpty)
