@@ -1624,10 +1624,32 @@ object MediaHeaders {
     samples.collect {
       case s if textTracks.contains(s.track) &&
           s.offset >= 0 && s.offset + s.size <= b.length =>
+        val raw = new String(b, s.offset.toInt, s.size.toInt,
+          java.nio.charset.StandardCharsets.UTF_8)
+        val ass = codecs.get(s.track).exists(c =>
+          c == "S_TEXT/ASS" || c == "S_TEXT/SSA")
         WebmCue(s.track, s.timestamp, s.duration,
-          new String(b, s.offset.toInt, s.size.toInt,
-            java.nio.charset.StandardCharsets.UTF_8))
+          if (ass) stripAssCue(raw) else raw)
     }
+  }
+
+  /** ASS/SSA cue payloads in Matroska carry the Dialogue line's
+    * leading fields (ReadOrder,Layer,Style,Name,MarginL,MarginR,
+    * MarginV,Effect,Text — text is everything after the 8th comma)
+    * plus inline override tags like `{\i1}` and `\N` hard breaks; a
+    * text pipeline wants the words, not the styling.
+    */
+  private def stripAssCue(raw: String): String = {
+    var idx = 0
+    var commas = 0
+    while (commas < 8 && idx < raw.length) {
+      if (raw.charAt(idx) == ',') commas += 1
+      idx += 1
+    }
+    val body = if (commas == 8) raw.substring(idx) else raw
+    body.replaceAll("\\{\\\\[^}]*\\}", "")
+      .replace("\\N", "\n").replace("\\n", "\n")
+      .replace("\\h", " ")
   }
 
   /** Shared EBML walk: (track → CodecID) from the Tracks element plus

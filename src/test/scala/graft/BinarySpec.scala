@@ -913,6 +913,33 @@ class BinarySpec extends SparkSpec {
     assert(m.length == bytes.length)
   }
 
+  test("webm ASS subtitles: dialogue fields and override tags stripped") {
+    import graft.llm.MediaHeaders.WebmBlockSpec
+    // Matroska S_TEXT/ASS block payload: ReadOrder,Layer,Style,Name,
+    // MarginL,MarginR,MarginV,Effect,Text
+    val assCue = "1,0,Default,,0,0,0,," +
+      "{\\i1}Hello{\\i0} there,\\Nsecond line"
+    val bytes = MediaHeaders.webmBuild(Seq((0L, Seq(
+      WebmBlockSpec(2L, 0, keyframe = true, useGroup = true,
+        assCue.getBytes("UTF-8"), durationMs = 900L)))),
+      tracks = Seq((2L, "S_TEXT/ASS")), docType = "matroska")
+    val cues = MediaHeaders.webmSubtitles(bytes)
+    // a comma INSIDE the text (after the 8 field commas) survives
+    assert(cues.map(_.text) == Seq("Hello there,\nsecond line"))
+    // UTF8 cues stay verbatim
+    val utf8 = MediaHeaders.webmBuild(Seq((0L, Seq(
+      WebmBlockSpec(2L, 0, keyframe = true, useGroup = true,
+        "a,b{\\x}".getBytes("UTF-8"), durationMs = 900L)))),
+      tracks = Seq((2L, "S_TEXT/UTF8")), docType = "matroska")
+    assert(MediaHeaders.webmSubtitles(utf8).map(_.text) == Seq("a,b{\\x}"))
+    // malformed ASS payload (too few commas): kept as-is, no throw
+    val bad = MediaHeaders.webmBuild(Seq((0L, Seq(
+      WebmBlockSpec(2L, 0, keyframe = true, useGroup = true,
+        "no fields here".getBytes("UTF-8"), durationMs = 900L)))),
+      tracks = Seq((2L, "S_TEXT/ASS")), docType = "matroska")
+    assert(MediaHeaders.webmSubtitles(bad).map(_.text) == Seq("no fields here"))
+  }
+
   test("webm TimestampScale: non-default tick size converts to real ms") {
     import graft.llm.MediaHeaders.WebmBlockSpec
     // 0.5 ms ticks (scale 500,000 ns): cluster ts 2000 ticks = 1000 ms,
