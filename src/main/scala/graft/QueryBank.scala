@@ -4144,6 +4144,29 @@ object QueryBank {
         | 'Cue ' || doc_id || '-' || j AS text
         |FROM sp""".stripMargin),
 
+    ("parse_as_subtitles_ass",
+      // the ASS leg of subtitle decode (fansub archives): Format-
+      // declared field order, centisecond timestamps, override tags
+      // stripped, a comma inside the dialogue text surviving the
+      // bounded field split
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val subs = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("s", synthAssUdf(col("doc_id")))
+        r("parse-as-subtitles :s")(subs)
+          .select(col("doc_id"), col("s_index").as("idx"),
+            col("s_start_ms").as("start_ms"), col("s_end_ms").as("end_ms"),
+            col("s_text").as("text"))
+      },
+      """WITH sp AS (SELECT doc_id, unnest([0, 1]) AS j
+        | FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, CAST(j AS INT) AS idx,
+        | CAST(doc_id * 1000 + j * 2000 AS BIGINT) AS start_ms,
+        | CAST(doc_id * 1000 + j * 2000 + 1500 AS BIGINT) AS end_ms,
+        | 'Cue ' || doc_id || ', take ' || j AS text
+        |FROM sp""".stripMargin),
+
     ("yaml_frontmatter",
       // markdown front-matter split: two flat scalars per doc, body
       // byte-identical to the original text (md5-verified) — the
@@ -6971,6 +6994,26 @@ object QueryBank {
         val st = id * 1000 + j * 2000
         s"${j + 1}\n${ts(st)} --> ${ts(st + 1500)}\nCue $id-$j\n"
       }.mkString("\n")
+    })
+
+  /** Fixture: a two-cue ASS document per id — Format-declared field
+    * order, centisecond H:MM:SS.cc timestamps, an override tag pair,
+    * a \N break collapsed by the comma-join of the oracle text, and a
+    * comma INSIDE the dialogue that must survive the field split.
+    */
+  private val synthAssUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      def ts(ms: Long): String =
+        f"${ms / 3600000}:${ms / 60000 % 60}%02d:" +
+          f"${ms / 1000 % 60}%02d.${ms % 1000 / 10}%02d"
+      "[Script Info]\nTitle: t\n\n[Events]\n" +
+        "Format: Layer, Start, End, Style, Name, MarginL, MarginR, " +
+        "MarginV, Effect, Text\n" +
+        (0 until 2).map { j =>
+          val st = id * 1000 + j * 2000
+          s"Dialogue: 0,${ts(st)},${ts(st + 1500)},Default,,0,0,0,," +
+            s"{\\i1}Cue $id{\\i0}, take $j"
+        }.mkString("\n")
     })
 
   /** Fixture: one MIME message per id cycling through three shapes

@@ -3,12 +3,16 @@ package graft.sources
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions.udf
 
-/** SRT / WebVTT subtitle decode — the text half of video-text
-  * training pairs (every captioned video corpus ships one of these
-  * two formats). Autodetects by the `WEBVTT` magic; both forms yield
-  * time-aligned cues for transcript assembly, frame-caption pairing
-  * (join on `start_ms` against sampled frame offsets), or plain text
-  * mining. Total on arbitrary input: malformed blocks are skipped,
+/** SRT / WebVTT / ASS-SSA subtitle decode — the text half of
+  * video-text training pairs (captioned video corpora ship these
+  * three formats; fansub archives are overwhelmingly ASS). SRT/VTT
+  * parse as `start --> end` blocks; a document with an `[Events]`
+  * section parses as ASS: the `Format:` line names the field order,
+  * `Dialogue:` lines yield cues with override tags (`{\i1}`) and
+  * `\N` hard breaks normalized away. All forms yield time-aligned
+  * cues for transcript assembly, frame-caption pairing (join on
+  * `start_ms` against sampled frame offsets), or plain text mining.
+  * Total on arbitrary input: malformed blocks/lines are skipped,
   * garbage yields zero cues.
   */
 object Subtitles {
@@ -47,6 +51,7 @@ object Subtitles {
     */
   def parse(raw: String): Seq[Cue] = {
     if (raw == null || raw.isEmpty) return Seq.empty
+    if (raw.contains("[Events]")) return parseAss(raw)
     val out = Seq.newBuilder[Cue]
     var idx = 0
     // BOM + WEBVTT header line (with optional trailing metadata) is
@@ -73,6 +78,49 @@ object Subtitles {
           idx += 1
         }
       } else i += 1
+    }
+    out.result()
+  }
+
+  /** ASS/SSA: the `Format:` line in `[Events]` names the field order
+    * (defaults to the v4+ standard when absent); each `Dialogue:`
+    * line's Start/End/Text fields become a cue. Text is everything
+    * from the text field on (commas inside dialogue survive — the
+    * split is bounded by the field count); `{\tags}` drop, `\N`/`\n`
+    * become newlines, `\h` a space. ASS timestamps are
+    * H:MM:SS.cc centiseconds — parseTs's right-pad-to-millis handles
+    * them (50cs -> 500ms).
+    */
+  private def parseAss(raw: String): Seq[Cue] = {
+    val out = Seq.newBuilder[Cue]
+    var idx = 0
+    // v4+ default order
+    var fields: Array[String] = Array("layer", "start", "end", "style",
+      "name", "marginl", "marginr", "marginv", "effect", "text")
+    var inEvents = false
+    raw.replace("﻿", "").split("\r\n|\n", -1).foreach { line =>
+      val t = line.trim
+      if (t.startsWith("[")) inEvents = t.equalsIgnoreCase("[Events]")
+      else if (inEvents && t.regionMatches(true, 0, "Format:", 0, 7)) {
+        fields = t.substring(7).split(",")
+          .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      } else if (inEvents && t.regionMatches(true, 0, "Dialogue:", 0, 9)) {
+        val parts = t.substring(9).split(",", fields.length)
+        def fld(n: String): String = {
+          val i = fields.indexOf(n)
+          if (i >= 0 && i < parts.length) parts(i).trim else null
+        }
+        val start = Option(fld("start")).map(parseTs).getOrElse(-1L)
+        val end = Option(fld("end")).map(parseTs).getOrElse(-1L)
+        val body = fld("text")
+        if (start >= 0 && end >= start && body != null) {
+          val text = body.replaceAll("\\{\\\\[^}]*\\}", "")
+            .replace("\\N", "\n").replace("\\n", "\n")
+            .replace("\\h", " ").trim
+          out += Cue(idx, start, end, text)
+          idx += 1
+        }
+      }
     }
     out.result()
   }

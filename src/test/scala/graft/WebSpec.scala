@@ -841,6 +841,27 @@ class WebSpec extends SparkSpec {
         (10000L, 12000L, "full form")))
     assert(Subtitles.parse(null).isEmpty)
     assert(Subtitles.parse("random text\nno cues").isEmpty)
+    // ASS: Format-declared field order, centisecond timestamps,
+    // override tags + \N breaks, commas inside dialogue survive
+    val ass = Seq(
+      "[Script Info]",
+      "Title: t",
+      "",
+      "[Events]",
+      "Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text",
+      "Dialogue: 0,0:00:01.50,0:00:03.00,Default,,0,0,0,," +
+        "{\\i1}Hello{\\i0} there,\\Nworld",
+      "Comment: 0,0:00:05.00,0:00:06.00,Default,,0,0,0,,not a cue",
+      "Dialogue: 0,0:01:00.00,0:00:59.00,Default,,0,0,0,,end<start dropped",
+      "Dialogue: 0,1:02:03.04,1:02:04.00,Default,,0,0,0,,plain").mkString("\n")
+    assert(Subtitles.parse(ass).map(c =>
+      (c.index, c.start_ms, c.end_ms, c.text)) == Seq(
+      (0, 1500L, 3000L, "Hello there,\nworld"),
+      (1, 3723040L, 3724000L, "plain")))
+    // Format line absent: v4+ default order still parses
+    val assNoFmt = "[Events]\nDialogue: 0,0:00:01.00,0:00:02.00," +
+      "Default,,0,0,0,,bare"
+    assert(Subtitles.parse(assNoFmt).map(_.text) == Seq("bare"))
     val in = df("id LONG, s STRING", Seq(Row(1L, srt)))
     val rows = wrangle("parse-as-subtitles :s", in)
       .select("s_index", "s_start_ms", "s_text").collect()
