@@ -4459,11 +4459,11 @@ object QueryBank {
 
     ("extract_text_route",
       // the mixed-corpus front door: ids cycle through PDF, DOCX,
-      // HTML, plain-text, GZIPPED plain-text, RTF and subtitled-MKV
-      // payloads carrying the SAME closed-form content — the router
-      // must both dispatch the format correctly (magic bytes,
-      // container members, gzip wrapper, EBML) and recover identical
-      // text from every one of them
+      // HTML, plain-text, GZIPPED plain-text, RTF, bare-SRT and
+      // subtitled-MKV payloads carrying the SAME closed-form content —
+      // the router must both dispatch the format correctly (magic
+      // bytes, container members, gzip wrapper, cue shapes, EBML) and
+      // recover identical text from every one of them
       (s, d) => {
         import org.apache.spark.sql.functions._
         val mixed = docs(s, d).select(col("doc_id"))
@@ -4474,10 +4474,10 @@ object QueryBank {
             col("payload_text").as("text"))
       },
       """SELECT doc_id,
-        | CASE doc_id % 7 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+        | CASE doc_id % 8 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
         |   WHEN 2 THEN 'html' WHEN 3 THEN 'text'
-        |   WHEN 4 THEN 'gz+text' WHEN 5 THEN 'rtf' ELSE 'mkv'
-        |   END AS format,
+        |   WHEN 4 THEN 'gz+text' WHEN 5 THEN 'rtf'
+        |   WHEN 6 THEN 'subtitles' ELSE 'mkv' END AS format,
         | 'R ' || doc_id AS text
         |FROM documents WHERE doc_id < 200""".stripMargin),
 
@@ -6936,7 +6936,7 @@ object QueryBank {
     * recover it from all five.
     */
   private val synthMixedDocUdf =
-    org.apache.spark.sql.functions.udf((id: Long) => (id % 7) match {
+    org.apache.spark.sql.functions.udf((id: Long) => (id % 8) match {
       case 0 => graft.sources.Pdf.build(Seq(Seq(s"R $id")))
       case 1 => graft.sources.Zip.build(Seq(("word/document.xml",
         s"<w:p><w:r><w:t>R $id</w:t></w:r></w:p>".getBytes("UTF-8"))))
@@ -6949,6 +6949,8 @@ object QueryBank {
         g.write(s"R $id".getBytes("UTF-8")); g.close()
         bos.toByteArray
       case 5 => s"{\\rtf1 R $id}".getBytes("UTF-8")
+      case 6 => // bare SRT file: the cue text is the document text
+        s"1\n00:00:01,000 --> 00:00:02,000\nR $id\n".getBytes("UTF-8")
       case _ => // muxed MKV whose S_TEXT cue carries the text
         graft.llm.MediaHeaders.webmBuild(Seq((0L, Seq(
           graft.llm.MediaHeaders.WebmBlockSpec(1L, 0, keyframe = true,

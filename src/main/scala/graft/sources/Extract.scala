@@ -89,6 +89,20 @@ object Extract {
         catch { case _: java.nio.charset.CharacterCodingException =>
           return (null, null) }
       if (s.startsWith("{\\rtf")) ("rtf", Rtf.extract(s))
+      else if (s.startsWith("WEBVTT") || s.contains("[Events]") ||
+        s.take(400).contains(" --> ")) {
+        // subtitle documents (SRT/VTT/ASS): the cue text IS the text;
+        // require at least one real cue so prose containing " --> "
+        // falls through to the plain-text leg
+        val cues = Subtitles.parse(s)
+        if (cues.nonEmpty)
+          ("subtitles", cues.map(_.text).mkString("\n"))
+        else {
+          val printable = s.count(c => !Character.isISOControl(c) ||
+            c == '\n' || c == '\r' || c == '\t')
+          if (printable * 10 >= s.length * 9) ("text", s) else (null, null)
+        }
+      }
       else if (looksHtml(s)) {
         val (_, text) = graft.llm.HtmlText.extract(s)
         ("html", text)

@@ -184,6 +184,17 @@ class DocxSpec extends SparkSpec {
       WebmBlockSpec(1L, 0, keyframe = true, useGroup = false,
         Array[Byte](1, 2, 3))))))
     assert(Extract.extractAny(bareMkv) == (("mkv", null)))
+    // bare subtitle files: cue text is the document text
+    assert(Extract.extractAny(
+      "1\n00:00:01,000 --> 00:00:02,000\nsub text\n".getBytes("UTF-8")) ==
+      (("subtitles", "sub text")))
+    assert(Extract.extractAny(
+      "WEBVTT\n\n00:05.000 --> 00:07.000\nvtt text".getBytes("UTF-8")) ==
+      (("subtitles", "vtt text")))
+    // prose that merely CONTAINS an arrow stays text
+    assert(Extract.extractAny(
+      "see a --> b for the mapping".getBytes("UTF-8")) ==
+      (("text", "see a --> b for the mapping")))
     // corrupt gzip header: unroutable
     assert(Extract.extractAny(
       Array[Byte](0x1f, 0x8b.toByte, 0, 0, 0)) == ((null, null)))
