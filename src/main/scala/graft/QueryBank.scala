@@ -4661,6 +4661,30 @@ object QueryBank {
       },
       "SELECT doc_id FROM documents WHERE doc_id < 100"),
 
+    ("decompress_modern",
+      // the codecs Spark itself ships beyond the JDK trio: zstd (the
+      // modern crawl-dump compression), bzip2, lz4 frame, framed
+      // snappy — each row round-trips through its cycling codec and
+      // must inflate back to the original text (DuckDB recomputes the
+      // plaintext md5 from the raw table; it never sees the bytes)
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val m = element_at(
+          array(lit("zstd"), lit("bzip2"), lit("lz4"), lit("snappy")),
+          (col("doc_id") % 4).cast("int") + 1)
+        docs(s, d).withColumn("m", m)
+          .withColumn("z",
+            graft.functions.Udfs.compressUdf(col("text"), col("m")))
+          .select(col("doc_id"), col("m").as("method"),
+            md5(graft.functions.Udfs.decompressUdf(col("z"), col("m"))
+              .cast("string")).as("text_md5"))
+      },
+      """SELECT doc_id,
+        | CASE doc_id % 4 WHEN 0 THEN 'zstd' WHEN 1 THEN 'bzip2'
+        |   WHEN 2 THEN 'lz4' ELSE 'snappy' END AS method,
+        | md5(text) AS text_md5
+        |FROM documents""".stripMargin),
+
     ("decompress_gzip",
       // per-row compressed payloads inflate back to the original text:
       // DuckDB never sees the compressed bytes — it recomputes the

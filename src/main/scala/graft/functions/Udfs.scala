@@ -1116,10 +1116,12 @@ object Udfs {
 
   // ---- Decompression ---------------------------------------------------
 
-  /** Inflate one compressed payload (gzip / zlib / raw deflate over
-    * the JDK inflater). Total: malformed input yields null; output
-    * grows with bytes ACTUALLY inflated under a hard budget so a
-    * decompression bomb cannot expand past it (over-budget → null).
+  /** Inflate one compressed payload: gzip / zlib / raw deflate (JDK
+    * inflater) plus the codecs Spark itself ships — zstd (zstd-jni;
+    * the modern crawl-dump compression), bzip2 (commons-compress),
+    * lz4 frame and framed snappy. Total: malformed input yields null;
+    * output grows with bytes ACTUALLY inflated under a hard budget so
+    * a decompression bomb cannot expand past it (over-budget → null).
     */
   def decompress(b: Array[Byte], method: String): Array[Byte] = {
     if (b == null) return null
@@ -1133,9 +1135,25 @@ object Udfs {
         case "deflate" => new java.util.zip.InflaterInputStream(
           new java.io.ByteArrayInputStream(b),
           new java.util.zip.Inflater(true))
+        case "zstd" => new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(b))
+        case "bzip2" => new org.apache.commons.compress.compressors
+          .bzip2.BZip2CompressorInputStream(
+            new java.io.ByteArrayInputStream(b))
+        case "lz4" => new net.jpountz.lz4.LZ4FrameInputStream(
+          new java.io.ByteArrayInputStream(b))
+        case "snappy" => new org.xerial.snappy.SnappyFramedInputStream(
+          new java.io.ByteArrayInputStream(b))
         case other => throw new graft.api.RecipeException(
-          s"decompress: unknown method '$other' (gzip|zlib|deflate)")
-      } catch { case _: java.io.IOException => return null }
+          s"decompress: unknown method '$other' " +
+            "(gzip|zlib|deflate|zstd|bzip2|lz4|snappy)")
+      } catch {
+        case _: java.io.IOException => return null
+        // zstd-jni/snappy native wrappers can surface malformed input
+        // as runtime exceptions — same totality contract
+        case e: RuntimeException
+          if !e.isInstanceOf[graft.api.RecipeException] => return null
+      }
     try {
       val out = new java.io.ByteArrayOutputStream(1 << 12)
       val chunk = new Array[Byte](1 << 16)
@@ -1148,11 +1166,36 @@ object Udfs {
       out.toByteArray
     } catch {
       case _: java.io.IOException => null
+      case _: RuntimeException => null // corrupt zstd/snappy frames
     } finally {
       try in.close() catch { case _: java.io.IOException => () }
     }
   }
   val decompressUdf: UserDefinedFunction = udf(decompress _)
+
+  /** Deterministic compressors for fixtures/tests (the decode side is
+    * what production uses; DuckDB oracles state the ORIGINAL text, so
+    * compressed-form stability across codec versions is not load-
+    * bearing).
+    */
+  def compress(b: Array[Byte], method: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out: java.io.OutputStream = method match {
+      case "gzip" => new java.util.zip.GZIPOutputStream(bos)
+      case "zstd" => new com.github.luben.zstd.ZstdOutputStream(bos)
+      case "bzip2" => new org.apache.commons.compress.compressors
+        .bzip2.BZip2CompressorOutputStream(bos)
+      case "lz4" => new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+      case "snappy" => new org.xerial.snappy.SnappyFramedOutputStream(bos)
+      case other => throw new graft.api.RecipeException(
+        s"compress: unknown method '$other'")
+    }
+    out.write(b); out.close()
+    bos.toByteArray
+  }
+  val compressUdf: UserDefinedFunction = udf((s: String, m: String) =>
+    if (s == null) null
+    else compress(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), m))
 
   // ---- Registrable domain (eTLD+1) -------------------------------------
 

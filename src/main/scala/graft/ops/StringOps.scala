@@ -173,8 +173,10 @@ object StringOps {
     case "decompress" => ColumnOps.simple(spec) { df =>
       val c = spec.col(0)
       val method = spec.optStr(1).getOrElse("gzip").toLowerCase
-      require(Set("gzip", "zlib", "deflate")(method),
-        s"decompress: unknown method '$method' (gzip|zlib|deflate)")
+      require(Set("gzip", "zlib", "deflate", "zstd", "bzip2", "lz4",
+          "snappy")(method),
+        s"decompress: unknown method '$method' " +
+          "(gzip|zlib|deflate|zstd|bzip2|lz4|snappy)")
       df.withColumn(s"${c}_inflated",
         Udfs.decompressUdf(col(c).cast(BinaryType), lit(method)))
     }

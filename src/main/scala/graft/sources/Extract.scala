@@ -55,6 +55,32 @@ object Extract {
         val (fmt, text) = extractAny(inner, depth + 1)
         return (if (fmt == null) null else s"gz+$fmt", text)
       }
+      // zstd (the modern crawl-dump compression) and bzip2 wrappers:
+      // same one-level inflate through the budgeted kernel
+      if (depth == 0 && b.length >= 4 && (b(0) & 0xff) == 0x28 &&
+        (b(1) & 0xff) == 0xb5 && (b(2) & 0xff) == 0x2f &&
+        (b(3) & 0xff) == 0xfd) {
+        val inner = graft.functions.Udfs.decompress(b, "zstd")
+        if (inner == null) return (null, null)
+        val (fmt, text) = extractAny(inner, depth + 1)
+        return (if (fmt == null) null else s"zst+$fmt", text)
+      }
+      if (depth == 0 && b.length >= 4 && b(0) == 'B' && b(1) == 'Z' &&
+        b(2) == 'h') {
+        val inner = graft.functions.Udfs.decompress(b, "bzip2")
+        if (inner == null) return (null, null)
+        val (fmt, text) = extractAny(inner, depth + 1)
+        return (if (fmt == null) null else s"bz2+$fmt", text)
+      }
+      // archive/compression formats with no shipped pure-JVM decoder:
+      // NAMED but textless, so callers can segregate instead of
+      // mistaking them for noise
+      if (b.length >= 6 && (b(0) & 0xff) == 0xfd && b(1) == '7' &&
+        b(2) == 'z' && b(3) == 'X' && b(4) == 'Z') return ("xz", null)
+      if (b.length >= 6 && b(0) == '7' && b(1) == 'z' &&
+        (b(2) & 0xff) == 0xbc && (b(3) & 0xff) == 0xaf) return ("7z", null)
+      if (b.length >= 5 && b(0) == 'R' && b(1) == 'a' && b(2) == 'r' &&
+        b(3) == '!') return ("rar", null)
       if (b.length >= 4 &&
         b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F') {
         val pages = Pdf.extract(b)

@@ -195,6 +195,18 @@ class DocxSpec extends SparkSpec {
     assert(Extract.extractAny(
       "see a --> b for the mapping".getBytes("UTF-8")) ==
       (("text", "see a --> b for the mapping")))
+    // zstd / bzip2 wrappers (the modern crawl compressions)
+    assert(Extract.extractAny(graft.functions.Udfs.compress(
+      "zstd text".getBytes("UTF-8"), "zstd")) == (("zst+text", "zstd text")))
+    assert(Extract.extractAny(graft.functions.Udfs.compress(
+      pdf, "bzip2")) == (("bz2+pdf", "pdf page one\n\npage two")))
+    // archives without a shipped decoder: named, textless
+    assert(Extract.extractAny(Array[Byte](0xfd.toByte, '7', 'z', 'X', 'Z',
+      0)) == (("xz", null)))
+    assert(Extract.extractAny(Array[Byte]('7', 'z', 0xbc.toByte,
+      0xaf.toByte, 0x27, 0x1c)) == (("7z", null)))
+    assert(Extract.extractAny(
+      "Rar!junk".getBytes("ISO-8859-1")) == (("rar", null)))
     // corrupt gzip header: unroutable
     assert(Extract.extractAny(
       Array[Byte](0x1f, 0x8b.toByte, 0, 0, 0)) == ((null, null)))
