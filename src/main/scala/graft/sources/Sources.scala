@@ -27,6 +27,8 @@ object Sources {
       case "warc" | "wet" | "wat" => "warc"
       case "gz" if name.endsWith(".warc.gz") || name.endsWith(".wet.gz") ||
         name.endsWith(".wat.gz") => "warc"
+      case "zst" if name.endsWith(".warc.zst") || name.endsWith(".wet.zst") ||
+        name.endsWith(".wat.zst") => "warc"
       case _                 => "parquet" // directories default to parquet
     }
   }

@@ -172,13 +172,14 @@ object Warc {
   def parseStream(in0: java.io.InputStream,
       maxRecordBytes: Long = 1L << 28): Iterator[WarcRecord] = {
     val pb = new java.io.PushbackInputStream(
-      new java.io.BufferedInputStream(in0, 1 << 16), 2)
-    val b0 = pb.read()
-    val b1 = if (b0 >= 0) pb.read() else -1
-    if (b1 >= 0) pb.unread(b1)
-    if (b0 >= 0) pb.unread(b0)
+      new java.io.BufferedInputStream(in0, 1 << 16), 4)
+    val head = new Array[Int](4)
+    var hn = 0
+    while (hn < 4 && { head(hn) = pb.read(); head(hn) >= 0 }) hn += 1
+    var k = hn - 1
+    while (k >= 0) { pb.unread(head(k)); k -= 1 }
     val in: java.io.InputStream =
-      if (b0 == 0x1f && b1 == 0x8b) {
+      if (head(0) == 0x1f && head(1) == 0x8b) {
         // GZIPInputStream validates the full 10-byte member header at
         // construction time, so bytes like `1f 8b 00` (gzip magic, bad
         // compression method) throw ZipException HERE — outside
@@ -189,6 +190,20 @@ object Warc {
         try new java.util.zip.GZIPInputStream(pb, 1 << 16)
         catch {
           case _: java.io.IOException =>
+            try pb.close() catch { case _: java.io.IOException => () }
+            return Iterator.empty
+        }
+      } else if (hn == 4 && head(0) == 0x28 && head(1) == 0xb5 &&
+        head(2) == 0x2f && head(3) == 0xfd) {
+        // .warc.zst — the compression Common Crawl is migrating to;
+        // continuous mode reads across concatenated frames the same
+        // way GZIPInputStream concatenates gzip members
+        try {
+          val z = new com.github.luben.zstd.ZstdInputStream(pb)
+          z.setContinuous(true)
+          z
+        } catch {
+          case scala.util.control.NonFatal(_) =>
             try pb.close() catch { case _: java.io.IOException => () }
             return Iterator.empty
         }

@@ -402,6 +402,33 @@ class WebSpec extends SparkSpec {
     assert(bad.length == 1 && bad.head.payload.contains("not chunked"))
   }
 
+  test("warc parse: zstd shards (single and concatenated frames)") {
+    // .warc.zst is the compression Common Crawl is migrating to
+    def zst(s: Array[Byte]): Array[Byte] =
+      graft.functions.Udfs.compress(s, "zstd")
+    val r1 = warcRecord("conversion", "u1", "zstd one", http = false)
+      .getBytes("UTF-8")
+    val r2 = warcRecord("conversion", "u2", "zstd two", http = false)
+      .getBytes("UTF-8")
+    // single frame over both records
+    assert(Warc.parseAll(zst(r1 ++ r2)).map(_.payload) ==
+      Seq("zstd one", "zstd two"))
+    // per-record frames concatenated (the gzip-member layout)
+    assert(Warc.parseAll(zst(r1) ++ zst(r2)).map(_.payload) ==
+      Seq("zstd one", "zstd two"))
+    // corrupt zstd header: empty, never a throw; stream still closed
+    var closed = false
+    val bad = new java.io.ByteArrayInputStream(Array[Byte](0x28,
+      0xb5.toByte, 0x2f, 0xfd.toByte, 0x42, 0x42)) {
+      override def close(): Unit = { closed = true; super.close() }
+    }
+    assert(Warc.parseStream(bad).toVector.isEmpty && closed)
+    // truncated mid-frame: records-so-far contract
+    val whole = zst(r1 ++ r2)
+    val rt = Warc.parseAll(whole.dropRight(8))
+    assert(rt.map(_.payload).headOption.forall(_ == "zstd one"))
+  }
+
   test("warc parse: hostile negative chunk size never throws (r14 judge repro)") {
     // Integer.parseInt("-5", 16) succeeds, and `dataStart + size >
     // b.length` passes for a negative size — before the fix
