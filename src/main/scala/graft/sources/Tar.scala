@@ -217,6 +217,37 @@ object Tar {
     * pruning keeps `content` unread); each task re-opens its shard as
     * a Hadoop stream and walks it member-at-a-time.
     */
+  /** Transparent gzip/zstd unwrap by magic bytes (compressed
+    * WebDataset/.tar.gz/.tar.zst shards): plain streams pass through;
+    * a stream whose codec header will not even construct holds zero
+    * members, so it degrades to empty (the parseStream totality
+    * contract, one layer earlier).
+    */
+  private def sniffDecompress(
+      in0: java.io.InputStream): java.io.InputStream = {
+    val pb = new java.io.PushbackInputStream(
+      new java.io.BufferedInputStream(in0, 1 << 16), 4)
+    val head = new Array[Int](4)
+    var hn = 0
+    while (hn < 4 && { head(hn) = pb.read(); head(hn) >= 0 }) hn += 1
+    var k = hn - 1
+    while (k >= 0) { pb.unread(head(k)); k -= 1 }
+    try {
+      if (head(0) == 0x1f && head(1) == 0x8b)
+        new java.util.zip.GZIPInputStream(pb, 1 << 16)
+      else if (hn == 4 && head(0) == 0x28 && head(1) == 0xb5 &&
+        head(2) == 0x2f && head(3) == 0xfd) {
+        val z = new com.github.luben.zstd.ZstdInputStream(pb)
+        z.setContinuous(true)
+        z
+      } else pb
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        try pb.close() catch { case _: java.io.IOException => () }
+        new java.io.ByteArrayInputStream(Array.emptyByteArray)
+    }
+  }
+
   def read(spark: org.apache.spark.sql.SparkSession,
       path: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
@@ -235,7 +266,8 @@ object Tar {
         val tc = org.apache.spark.TaskContext.get()
         if (tc != null) tc.addTaskCompletionListener[Unit](_ =>
           try in.close() catch { case _: java.io.IOException => () })
-        parseStream(in).map(e => (p, e.name, e.size, e.data))
+        parseStream(sniffDecompress(in)).map(e =>
+          (p, e.name, e.size, e.data))
       }
       .toDF("path", "name", "size", "payload")
   }

@@ -714,6 +714,23 @@ class WebSpec extends SparkSpec {
       r.getAs[String]("path")).toMap
     assert(byName("only.txt").endsWith("b.tar"))
     assert(byName("s1.cls").endsWith("a.tar"))
+    // compressed shards unwrap by magic: .tar.gz and .tar.zst
+    val zdir = java.nio.file.Files.createTempDirectory("graft_tarz_")
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    java.nio.file.Files.write(zdir.resolve("a.tar.gz"), gz(shard))
+    java.nio.file.Files.write(zdir.resolve("b.tar.zst"),
+      graft.functions.Udfs.compress(
+        Tar.build(Seq(("z.txt", "zz".getBytes))), "zstd"))
+    val zrows = Tar.read(spark, zdir.toString).collect()
+    assert(zrows.length == 4)
+    val zByName = zrows.map(r => r.getAs[String]("name") ->
+      r.getAs[String]("path")).toMap
+    assert(zByName("z.txt").endsWith("b.tar.zst"))
+    assert(zByName("s1.jpg").endsWith("a.tar.gz"))
   }
 
   test("warc: binary payload bytes survive byte-exact alongside the text view") {
