@@ -99,6 +99,31 @@ class BinarySpec extends SparkSpec {
     assert(jp("$.PID.5.1") == "Jones")
   }
 
+  test("avro containers with deflate/snappy/zstd codecs parse") {
+    // the codec jars ship with Spark (snappy-java, zstd-jni), so
+    // compressed avro dumps decode with no extra dependency
+    import org.apache.avro.Schema
+    import org.apache.avro.file.{CodecFactory, DataFileWriter}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"R","fields":[{"name":"x","type":"int"}]}""")
+    for (codec <- Seq(CodecFactory.deflateCodec(6),
+        CodecFactory.snappyCodec(), CodecFactory.zstandardCodec(3))) {
+      val bos = new java.io.ByteArrayOutputStream()
+      val w = new DataFileWriter[GenericData.Record](
+        new GenericDatumWriter[GenericData.Record](schema))
+      w.setCodec(codec)
+      w.create(schema, bos)
+      (1 to 3).foreach { i =>
+        val r = new GenericData.Record(schema); r.put("x", i); w.append(r)
+      }
+      w.close()
+      val rows = graft.ops.AvroFile.parse(bos.toByteArray)
+      assert(rows.length == 3, s"codec $codec")
+      assert(rows.forall(_.contains("\"x\"")), s"codec $codec")
+    }
+  }
+
   test("parse-as-avro-file explodes container records") {
     import org.apache.avro.Schema
     import org.apache.avro.file.DataFileWriter
