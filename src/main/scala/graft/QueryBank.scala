@@ -4018,6 +4018,28 @@ object QueryBank {
         |  CAST(NULL AS INT), CAST(length(conv) AS BIGINT), conv
         |FROM base""".stripMargin),
 
+    ("parse_as_warc_zst_dict",
+      // the Common Crawl .warc.zst DICTIONARY layout (iipc
+      // warc-specifications): each shard LEADS with a zstd skippable
+      // frame carrying the decode dictionary, and the record frame is
+      // compressed WITH it — the frame carries the dictID, so a
+      // splitter that misses the skippable magic or ignores the
+      // dictionary slot yields ZERO rows here. DuckDB rebuilds the
+      // conversion text closed-form; it never sees the bytes.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        r("parse-as-warc :w; keep :doc_id,:w_warc_type,:w_target_uri,:w_content_length,:w_payload")(
+          docs(s, d).select(col("doc_id"))
+            .filter(col("doc_id") < 300)
+            .withColumn("w", synthWarcZstDictUdf(col("doc_id"))))
+      },
+      """SELECT doc_id, 'conversion' AS w_warc_type,
+        |  'http://ex.com/' || doc_id AS w_target_uri,
+        |  CAST(length('dictionary text of doc ' || doc_id) AS BIGINT)
+        |    AS w_content_length,
+        |  'dictionary text of doc ' || doc_id AS w_payload
+        |FROM documents WHERE doc_id < 300""".stripMargin),
+
     ("parse_as_tar",
       // POSIX ustar / WebDataset shard ingestion: one row per regular
       // member with name, declared size, and payload bytes. DuckDB
@@ -4670,10 +4692,11 @@ object QueryBank {
       (s, d) => {
         import org.apache.spark.sql.functions._
         val m = element_at(
-          array(lit("zstd"), lit("bzip2"), lit("lz4"), lit("snappy")),
-          (col("doc_id") % 4).cast("int") + 1)
+          array(lit("zstd"), lit("bzip2"), lit("lz4"), lit("snappy"),
+            lit("xz")),
+          (col("doc_id") % 5).cast("int") + 1)
         // doc_id < 2000: full codec coverage at bounded cost — the
-        // expensive side is the bzip2 COMPRESSION building the
+        // expensive side is the bzip2/xz COMPRESSION building the
         // fixture, not the decode path under test
         docs(s, d).filter(col("doc_id") < 2000).withColumn("m", m)
           .withColumn("z",
@@ -4683,8 +4706,9 @@ object QueryBank {
               .cast("string")).as("text_md5"))
       },
       """SELECT doc_id,
-        | CASE doc_id % 4 WHEN 0 THEN 'zstd' WHEN 1 THEN 'bzip2'
-        |   WHEN 2 THEN 'lz4' ELSE 'snappy' END AS method,
+        | CASE doc_id % 5 WHEN 0 THEN 'zstd' WHEN 1 THEN 'bzip2'
+        |   WHEN 2 THEN 'lz4' WHEN 3 THEN 'snappy' ELSE 'xz' END
+        |   AS method,
         | md5(text) AS text_md5
         |FROM documents WHERE doc_id < 2000""".stripMargin),
 
@@ -7406,6 +7430,31 @@ object QueryBank {
       mkWarcRecord(id, "conversion", s"http://ex.com/$id",
         s"text of doc $id", http = false)
   })
+
+  /** Fixture dictionary for the warc-zstd layout: trained once per
+    * JVM over record-shaped samples (each executor re-derives the
+    * same bytes; every shard is self-contained — it CARRIES the
+    * dictionary its frames reference, so cross-executor byte equality
+    * is not load-bearing).
+    */
+  private lazy val warcZstDictBytes: Array[Byte] = {
+    val samples = (0 until 400).map(i => mkWarcRecord(i, "conversion",
+      s"http://ex.com/$i", s"dictionary text of doc $i", http = false)
+      .getBytes("UTF-8"))
+    graft.sources.ZstdFrames.trainDict(samples, 4096)
+  }
+
+  /** Fixture: one warc-zstd shard —
+    * [skippable frame: dictionary][zstd frame compressed WITH it].
+    */
+  private val synthWarcZstDictUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      val dict = warcZstDictBytes
+      val rec = mkWarcRecord(id, "conversion", s"http://ex.com/$id",
+        s"dictionary text of doc $id", http = false).getBytes("UTF-8")
+      graft.sources.ZstdFrames.skippableFrame(dict) ++
+        graft.sources.ZstdFrames.compressWithDict(rec, dict)
+    })
 
   /** Fixture for the web-curation composite: a response record whose
     * HTML body embeds the document's own text (verified HTML-safe) plus

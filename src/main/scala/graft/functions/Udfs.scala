@@ -1119,9 +1119,12 @@ object Udfs {
   /** Inflate one compressed payload: gzip / zlib / raw deflate (JDK
     * inflater) plus the codecs Spark itself ships — zstd (zstd-jni;
     * the modern crawl-dump compression), bzip2 (commons-compress),
-    * lz4 frame and framed snappy. Total: malformed input yields null;
-    * output grows with bytes ACTUALLY inflated under a hard budget so
-    * a decompression bomb cannot expand past it (over-budget → null).
+    * lz4 frame, framed snappy, and xz (tukaani; arXiv/HF dump
+    * shards). Total: malformed input yields null; output grows with
+    * bytes ACTUALLY inflated under a hard budget so a decompression
+    * bomb cannot expand past it (over-budget → null); the xz decoder
+    * additionally runs under a 256 MiB memory limit (hostile
+    * dictionary-size headers throw inside the IOException contract).
     */
   def decompress(b: Array[Byte], method: String): Array[Byte] = {
     if (b == null) return null
@@ -1135,8 +1138,12 @@ object Udfs {
         case "deflate" => new java.util.zip.InflaterInputStream(
           new java.io.ByteArrayInputStream(b),
           new java.util.zip.Inflater(true))
-        case "zstd" => new com.github.luben.zstd.ZstdInputStream(
-          new java.io.ByteArrayInputStream(b))
+        // ZstdFrames consumes leading skippable frames and honors a
+        // dictionary slot (the warc-zstd layout) before streaming
+        case "zstd" => graft.sources.ZstdFrames.open(
+          new java.io.ByteArrayInputStream(b), continuous = false)
+        case "xz" => new org.tukaani.xz.XZInputStream(
+          new java.io.ByteArrayInputStream(b), 1 << 18)
         case "bzip2" => new org.apache.commons.compress.compressors
           .bzip2.BZip2CompressorInputStream(
             new java.io.ByteArrayInputStream(b))
@@ -1146,7 +1153,7 @@ object Udfs {
           new java.io.ByteArrayInputStream(b))
         case other => throw new graft.api.RecipeException(
           s"decompress: unknown method '$other' " +
-            "(gzip|zlib|deflate|zstd|bzip2|lz4|snappy)")
+            "(gzip|zlib|deflate|zstd|bzip2|lz4|snappy|xz)")
       } catch {
         case _: java.io.IOException => return null
         // zstd-jni/snappy native wrappers can surface malformed input
@@ -1187,6 +1194,8 @@ object Udfs {
         .bzip2.BZip2CompressorOutputStream(bos)
       case "lz4" => new net.jpountz.lz4.LZ4FrameOutputStream(bos)
       case "snappy" => new org.xerial.snappy.SnappyFramedOutputStream(bos)
+      case "xz" => new org.tukaani.xz.XZOutputStream(bos,
+        new org.tukaani.xz.LZMA2Options())
       case other => throw new graft.api.RecipeException(
         s"compress: unknown method '$other'")
     }

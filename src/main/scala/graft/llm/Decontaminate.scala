@@ -224,18 +224,27 @@ object Decontaminate {
         if (cn == 0) Double.NaN
         else {
           var best = -1.0
+          var anyComparable = false
           val es = bc.value
           var e = 0
           while (e < es.length) {
             val u = es(e)
-            var d = 0.0; var j = 0
-            val m = math.min(u.length, c.length)
-            while (j < m) { d += u(j) * c(j).toDouble; j += 1 }
-            val cos = d / cn
-            if (cos > best) best = cos
+            if (u.length == c.length) {
+              anyComparable = true
+              var d = 0.0; var j = 0
+              while (j < c.length) { d += u(j) * c(j).toDouble; j += 1 }
+              val cos = d / cn
+              if (cos > best) best = cos
+            }
             e += 1
           }
-          best
+          // a corpus/eval dimension mismatch is UNDECIDABLE, not
+          // low-similarity: a truncated dot product understates the
+          // cosine and lets contaminated rows slip under the
+          // threshold — surface NaN (kept, flagged) like null/zero
+          // vectors, unless a same-dimension eval vector gave a real
+          // answer
+          if (!anyComparable) Double.NaN else best
         }
       }
     })

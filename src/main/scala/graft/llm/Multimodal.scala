@@ -1374,9 +1374,13 @@ object MediaHeaders {
   case class Mp4Sample(index: Int, offset: Long, size: Long,
       keyframe: Boolean, timestamp: Long = -1L)
 
-  def mp4Samples(b: Array[Byte]): Seq[Mp4Sample] = {
-    if (b == null || b.length < 16 || ascii(b, 4, 4) != "ftyp")
-      return Seq.empty
+  /** One trak's sample tables, accumulated TOGETHER as the walk
+    * descends that trak's subtree — stts and mdhd must pair with the
+    * stsz/stsc/stco of the SAME track, or a multi-track file whose
+    * first trak lacks an stts would scale the video sample times by
+    * the audio trak's timescale (or the 1000 default).
+    */
+  private final class Mp4Tables {
     var sizes: Array[Long] = null
     var chunkOffsets: Array[Long] = null
     // (first_chunk, samples_per_chunk) runs from stsc
@@ -1385,7 +1389,20 @@ object MediaHeaders {
     var stts: Array[(Long, Long)] = null // (sample_count, delta) runs
     var timescale = 1000L // mdhd ticks/second; 1000 = ms if absent
     var timescaleSet = false
-    def walk(from: Long, to: Long, depth: Int): Unit = {
+    // a usable track has the three tables sample layout needs
+    def complete: Boolean = sizes != null && chunkOffsets != null &&
+      stsc != null && stsc.nonEmpty
+  }
+
+  def mp4Samples(b: Array[Byte]): Seq[Mp4Sample] = {
+    if (b == null || b.length < 16 || ascii(b, 4, 4) != "ftyp")
+      return Seq.empty
+    // FIRST COMPLETE TRAK wins; boxes found outside any trak
+    // (off-spec flat files, and our own minimal fixtures) accumulate
+    // in `root` as the fallback
+    val root = new Mp4Tables
+    var chosen: Mp4Tables = null
+    def walk(from: Long, to: Long, depth: Int, t: Mp4Tables): Unit = {
       var p = from
       while (p + 8 <= to && depth < 8) {
         var size = be32(b, p.toInt)
@@ -1399,66 +1416,78 @@ object MediaHeaders {
         val end = math.min(p + size, to)
         val body = p + hdr
         id match {
-          case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
-            walk(body, end, depth + 1)
-          case "stsz" if sizes == null && body + 12 <= to =>
+          case "trak" =>
+            // each trak gets its OWN table set, so stts/mdhd can only
+            // pair with sample tables from the same subtree; the
+            // first trak that yields a complete set wins
+            val ctx = new Mp4Tables
+            walk(body, end, depth + 1, ctx)
+            if (chosen == null && ctx.complete) chosen = ctx
+          case "moov" | "mdia" | "minf" | "stbl" =>
+            walk(body, end, depth + 1, t)
+          case "stsz" if t.sizes == null && body + 12 <= to =>
             val uniform = be32(b, (body + 4).toInt)
             val n = be32(b, (body + 8).toInt).toInt
             if (n >= 0 && n < 1000000) {
-              if (uniform != 0) sizes = Array.fill(n)(uniform)
+              if (uniform != 0) t.sizes = Array.fill(n)(uniform)
               else if (body + 12 + 4L * n <= to)
-                sizes = Array.tabulate(n)(i => be32(b, (body + 12 + 4L * i).toInt))
+                t.sizes =
+                  Array.tabulate(n)(i => be32(b, (body + 12 + 4L * i).toInt))
             }
-          case "stsc" if stsc == null && body + 8 <= to =>
+          case "stsc" if t.stsc == null && body + 8 <= to =>
             val n = be32(b, (body + 4).toInt).toInt
             if (n >= 0 && n < 100000 && body + 8 + 12L * n <= to)
-              stsc = Array.tabulate(n) { i =>
+              t.stsc = Array.tabulate(n) { i =>
                 (be32(b, (body + 8 + 12L * i).toInt),
                   be32(b, (body + 12 + 12L * i).toInt))
               }
-          case "stco" if chunkOffsets == null && body + 8 <= to =>
+          case "stco" if t.chunkOffsets == null && body + 8 <= to =>
             val n = be32(b, (body + 4).toInt).toInt
             if (n >= 0 && n < 100000 && body + 8 + 4L * n <= to)
-              chunkOffsets = Array.tabulate(n)(i =>
+              t.chunkOffsets = Array.tabulate(n)(i =>
                 be32(b, (body + 8 + 4L * i).toInt))
-          case "co64" if chunkOffsets == null && body + 8 <= to =>
+          case "co64" if t.chunkOffsets == null && body + 8 <= to =>
             val n = be32(b, (body + 4).toInt).toInt
             if (n >= 0 && n < 100000 && body + 8 + 8L * n <= to)
-              chunkOffsets = Array.tabulate(n)(i =>
+              t.chunkOffsets = Array.tabulate(n)(i =>
                 (be32(b, (body + 8 + 8L * i).toInt) << 32) |
                   be32(b, (body + 12 + 8L * i).toInt))
-          case "stss" if sync == null && body + 8 <= to =>
+          case "stss" if t.sync == null && body + 8 <= to =>
             val n = be32(b, (body + 4).toInt).toInt
             if (n >= 0 && n < 1000000 && body + 8 + 4L * n <= to)
-              sync = (0 until n).map(i =>
+              t.sync = (0 until n).map(i =>
                 be32(b, (body + 8 + 4L * i).toInt)).toSet
-          case "stts" if stts == null && body + 8 <= to =>
+          case "stts" if t.stts == null && body + 8 <= to =>
             val n = be32(b, (body + 4).toInt).toInt
             if (n >= 0 && n < 1000000 && body + 8 + 8L * n <= to)
-              stts = Array.tabulate(n) { i =>
+              t.stts = Array.tabulate(n) { i =>
                 (be32(b, (body + 8 + 8L * i).toInt),
                   be32(b, (body + 12 + 8L * i).toInt))
               }
-          case "mdhd" if !timescaleSet && body + 4 <= to =>
-            // FIRST-wins like stts/stsz/stsc/stco — the walk keeps the
-            // first trak's tables, so its mdhd must pair with them (a
-            // last-wins timescale would scale the video stts by the
-            // audio trak's rate on every multi-track file).
+          case "mdhd" if !t.timescaleSet && body + 4 <= to =>
             // timescale sits past the version-dependent create/modify
             // times: v0 at +12 (two u32 times), v1 at +20 (two u64)
             val tsOff = if (u8(b, body.toInt) == 1) body + 20 else body + 12
             if (tsOff + 4 <= to) {
               val v = be32(b, tsOff.toInt)
-              if (v > 0) { timescale = v; timescaleSet = true }
+              if (v > 0) { t.timescale = v; t.timescaleSet = true }
             }
           case _ => ()
         }
         p = end
       }
     }
-    walk(0L, b.length.toLong, 0)
-    if (sizes == null || chunkOffsets == null || stsc == null ||
-        stsc.isEmpty) return Seq.empty
+    walk(0L, b.length.toLong, 0, root)
+    val tbl =
+      if (chosen != null) chosen
+      else if (root.complete) root
+      else return Seq.empty
+    val sizes = tbl.sizes
+    val chunkOffsets = tbl.chunkOffsets
+    val stsc = tbl.stsc
+    val sync = tbl.sync
+    val stts = tbl.stts
+    val timescale = tbl.timescale
     // decode times: cumulative stts deltas, ms via the mdhd timescale;
     // a short stts extends its last delta (lenient on off-spec files)
     val times: Array[Long] =

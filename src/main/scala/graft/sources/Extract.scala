@@ -56,10 +56,12 @@ object Extract {
         return (if (fmt == null) null else s"gz+$fmt", text)
       }
       // zstd (the modern crawl-dump compression) and bzip2 wrappers:
-      // same one-level inflate through the budgeted kernel
-      if (depth == 0 && b.length >= 4 && (b(0) & 0xff) == 0x28 &&
-        (b(1) & 0xff) == 0xb5 && (b(2) & 0xff) == 0x2f &&
-        (b(3) & 0xff) == 0xfd) {
+      // same one-level inflate through the budgeted kernel. The sniff
+      // accepts BOTH frame kinds — a payload that leads with a
+      // skippable frame (the warc-zstd dictionary layout) routes here
+      // too; the kernel consumes it and honors its dictionary slot.
+      if (depth == 0 && b.length >= 4 && ZstdFrames.isZstdMagic(
+        b(0) & 0xff, b(1) & 0xff, b(2) & 0xff, b(3) & 0xff)) {
         val inner = graft.functions.Udfs.decompress(b, "zstd")
         if (inner == null) return (null, null)
         val (fmt, text) = extractAny(inner, depth + 1)
@@ -72,11 +74,24 @@ object Extract {
         val (fmt, text) = extractAny(inner, depth + 1)
         return (if (fmt == null) null else s"bz2+$fmt", text)
       }
+      // xz (arXiv/HF dump shards): one-level inflate like gz/zst/bz2
+      // — the tukaani decoder ships in Spark's own jars. An xz
+      // payload that won't decode (or holds an unroutable inner)
+      // stays NAMED-but-textless, so callers can still segregate it.
+      if (b.length >= 6 && (b(0) & 0xff) == 0xfd && b(1) == '7' &&
+        b(2) == 'z' && b(3) == 'X' && b(4) == 'Z') {
+        if (depth == 0) {
+          val inner = graft.functions.Udfs.decompress(b, "xz")
+          if (inner != null) {
+            val (fmt, text) = extractAny(inner, depth + 1)
+            if (fmt != null) return (s"xz+$fmt", text)
+          }
+        }
+        return ("xz", null)
+      }
       // archive/compression formats with no shipped pure-JVM decoder:
       // NAMED but textless, so callers can segregate instead of
       // mistaking them for noise
-      if (b.length >= 6 && (b(0) & 0xff) == 0xfd && b(1) == '7' &&
-        b(2) == 'z' && b(3) == 'X' && b(4) == 'Z') return ("xz", null)
       if (b.length >= 6 && b(0) == '7' && b(1) == 'z' &&
         (b(2) & 0xff) == 0xbc && (b(3) & 0xff) == 0xaf) return ("7z", null)
       if (b.length >= 5 && b(0) == 'R' && b(1) == 'a' && b(2) == 'r' &&
@@ -108,27 +123,29 @@ object Extract {
         return ("mkv",
           if (cues.isEmpty) null else cues.map(_.text).mkString("\n"))
       }
+      // WARC envelope (a .zst/.gz-wrapped crawl shard routed through
+      // the wrapper legs above lands here): NAMED — record routing is
+      // parse-as-warc's job, same contract as the zip leg; the
+      // wrapper prefix makes the wire form visible (`zst+warc`)
+      if (b.length >= 5 && b(0) == 'W' && b(1) == 'A' && b(2) == 'R' &&
+        b(3) == 'C' && b(4) == '/') return ("warc", null)
       // text-family: decode strictly — binary noise must not pass
       val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
       val s =
         try dec.decode(java.nio.ByteBuffer.wrap(b)).toString
         catch { case _: java.nio.charset.CharacterCodingException =>
           return (null, null) }
+      // subtitle documents (SRT/VTT/ASS): the cue text IS the text.
+      // The hint alone does NOT claim the document — only documents
+      // that yield at least one real cue take this branch, so crawled
+      // HTML containing `<!-- x --> ` or the literal `[Events]` still
+      // falls through to the html/plain-text chain below
+      val subtitleHint = s.startsWith("WEBVTT") ||
+        s.contains("[Events]") || s.take(400).contains(" --> ")
+      val cues =
+        if (subtitleHint) Subtitles.parse(s) else Seq.empty[Subtitles.Cue]
       if (s.startsWith("{\\rtf")) ("rtf", Rtf.extract(s))
-      else if (s.startsWith("WEBVTT") || s.contains("[Events]") ||
-        s.take(400).contains(" --> ")) {
-        // subtitle documents (SRT/VTT/ASS): the cue text IS the text;
-        // require at least one real cue so prose containing " --> "
-        // falls through to the plain-text leg
-        val cues = Subtitles.parse(s)
-        if (cues.nonEmpty)
-          ("subtitles", cues.map(_.text).mkString("\n"))
-        else {
-          val printable = s.count(c => !Character.isISOControl(c) ||
-            c == '\n' || c == '\r' || c == '\t')
-          if (printable * 10 >= s.length * 9) ("text", s) else (null, null)
-        }
-      }
+      else if (cues.nonEmpty) ("subtitles", cues.map(_.text).mkString("\n"))
       else if (looksHtml(s)) {
         val (_, text) = graft.llm.HtmlText.extract(s)
         ("html", text)

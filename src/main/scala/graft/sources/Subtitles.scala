@@ -49,9 +49,26 @@ object Subtitles {
     * cue ids) are skipped; a cue whose end precedes its start is
     * dropped as malformed.
     */
+  // ASS dispatch requires a REAL `[Events]` section header — the
+  // literal at line start — AND a `Dialogue:` line after it; an
+  // SRT/VTT file whose cue text merely mentions "[Events]" must not
+  // be re-parsed as ASS (it would yield zero cues and drop every
+  // valid SRT cue)
+  private val AssEventsHeader = java.util.regex.Pattern.compile(
+    "(?m)^\\s*\\[Events\\]\\s*$")
+  private val AssDialogueLine = java.util.regex.Pattern.compile(
+    "(?m)^\\s*Dialogue\\s*:")
+
+  private def looksAss(raw: String): Boolean = {
+    val m = AssEventsHeader.matcher(raw)
+    if (!m.find()) return false
+    val d = AssDialogueLine.matcher(raw)
+    d.find(m.end())
+  }
+
   def parse(raw: String): Seq[Cue] = {
     if (raw == null || raw.isEmpty) return Seq.empty
-    if (raw.contains("[Events]")) return parseAss(raw)
+    if (looksAss(raw)) return parseAss(raw)
     val out = Seq.newBuilder[Cue]
     var idx = 0
     // BOM + WEBVTT header line (with optional trailing metadata) is

@@ -235,12 +235,12 @@ object Tar {
     try {
       if (head(0) == 0x1f && head(1) == 0x8b)
         new java.util.zip.GZIPInputStream(pb, 1 << 16)
-      else if (hn == 4 && head(0) == 0x28 && head(1) == 0xb5 &&
-        head(2) == 0x2f && head(3) == 0xfd) {
-        val z = new com.github.luben.zstd.ZstdInputStream(pb)
-        z.setContinuous(true)
-        z
-      } else pb
+      else if (hn == 4 &&
+        ZstdFrames.isZstdMagic(head(0), head(1), head(2), head(3)))
+        // accepts a leading skippable frame too (the warc-zstd
+        // dictionary layout) and honors its dictionary slot
+        ZstdFrames.open(pb)
+      else pb
     } catch {
       case scala.util.control.NonFatal(_) =>
         try pb.close() catch { case _: java.io.IOException => () }

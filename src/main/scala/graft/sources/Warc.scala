@@ -193,16 +193,17 @@ object Warc {
             try pb.close() catch { case _: java.io.IOException => () }
             return Iterator.empty
         }
-      } else if (hn == 4 && head(0) == 0x28 && head(1) == 0xb5 &&
-        head(2) == 0x2f && head(3) == 0xfd) {
+      } else if (hn == 4 &&
+        ZstdFrames.isZstdMagic(head(0), head(1), head(2), head(3))) {
         // .warc.zst — the compression Common Crawl is migrating to;
         // continuous mode reads across concatenated frames the same
-        // way GZIPInputStream concatenates gzip members
-        try {
-          val z = new com.github.luben.zstd.ZstdInputStream(pb)
-          z.setContinuous(true)
-          z
-        } catch {
+        // way GZIPInputStream concatenates gzip members. The Common
+        // Crawl dictionary layout LEADS with a skippable frame
+        // (0x184D2A5x) carrying the decode dictionary — ZstdFrames
+        // consumes it and installs the dictionary before streaming,
+        // so both plain and dictionary shards parse.
+        try ZstdFrames.open(pb)
+        catch {
           case scala.util.control.NonFatal(_) =>
             try pb.close() catch { case _: java.io.IOException => () }
             return Iterator.empty

@@ -844,6 +844,32 @@ class BinarySpec extends SparkSpec {
       s"audio mdhd must not rescale video times: ${got.map(_.timestamp)}")
   }
 
+  test("mp4 per-trak pairing: a later trak's stts never pairs with " +
+      "the first trak's sample tables (r15 advice)") {
+    // first trak: stsz/stsc/stco but NO stts/mdhd; second trak: stts
+    // + mdhd only. Independent first-wins capture used to marry
+    // trak2's stts to trak1's layout and emit bogus timestamps — the
+    // per-trak walk must leave them -1 instead.
+    val samples = (0 until 3).map(i => Array.fill(4)(i.toByte))
+    val base = MediaHeaders.mp4Build(samples, 2, Seq(1))
+    def be(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(id: String, p: Array[Byte]): Array[Byte] =
+      be(8L + p.length) ++ id.getBytes("US-ASCII") ++ p
+    val sttsB = box("stts", be(0) ++ be(1) ++ be(3) ++ be(500))
+    val mdhdB = box("mdhd",
+      be(0) ++ be(0) ++ be(0) ++ be(90000L) ++ be(1500) ++ be(0))
+    val other = box("moov", box("trak", box("mdia",
+      mdhdB ++ box("minf", box("stbl", sttsB)))))
+    val got = MediaHeaders.mp4Samples(base ++ other)
+    assert(got.length == 3)
+    assert(got.forall(_.timestamp == -1L),
+      s"cross-trak stts pairing: ${got.map(_.timestamp)}")
+    // and the sample layout still comes from the first (complete) trak
+    assert(got.map(_.size) == Seq(4L, 4L, 4L))
+  }
+
   test("sampleFramesMp4 emits real samples; keyframesOnly filters") {
     import org.apache.spark.sql.Row
     val samples = (0 until 6).map(i => Array.fill(4)(i.toByte))

@@ -200,9 +200,31 @@ class DocxSpec extends SparkSpec {
       "zstd text".getBytes("UTF-8"), "zstd")) == (("zst+text", "zstd text")))
     assert(Extract.extractAny(graft.functions.Udfs.compress(
       pdf, "bzip2")) == (("bz2+pdf", "pdf page one\n\npage two")))
-    // archives without a shipped decoder: named, textless
+    // xz: valid payloads inflate one level (tukaani ships in Spark's
+    // jars); undecodable xz stays named-textless
+    assert(Extract.extractAny(graft.functions.Udfs.compress(
+      "xz text".getBytes("UTF-8"), "xz")) == (("xz+text", "xz text")))
     assert(Extract.extractAny(Array[Byte](0xfd.toByte, '7', 'z', 'X', 'Z',
       0)) == (("xz", null)))
+    // a compressed WARC shard names its wire form: record routing is
+    // parse-as-warc's job (same contract as the zip leg)
+    val warcBytes = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "Content-Length: 2\r\n\r\nhi\r\n\r\n").getBytes("UTF-8")
+    assert(Extract.extractAny(graft.functions.Udfs.compress(
+      warcBytes, "zstd")) == (("zst+warc", null)))
+    // skippable-frame-led zstd (the warc-zstd dictionary layout)
+    // routes through the same leg instead of falling to binary noise
+    assert(Extract.extractAny(
+      graft.sources.ZstdFrames.skippableFrame(Array[Byte](1, 2)) ++
+        graft.functions.Udfs.compress(warcBytes, "zstd")) ==
+      (("zst+warc", null)))
+    // HTML whose head contains an HTML comment with ' --> ' (or the
+    // literal '[Events]') must still route html, not raw markup-as-
+    // text: the subtitle hint only claims documents with real cues
+    val trickyHtml = "<!DOCTYPE html><!-- nav --> " +
+      "<html><body><p>[Events] are listed here</p></body></html>"
+    assert(Extract.extractAny(trickyHtml.getBytes("UTF-8")) ==
+      (("html", "[Events] are listed here")))
     assert(Extract.extractAny(Array[Byte]('7', 'z', 0xbc.toByte,
       0xaf.toByte, 0x27, 0x1c)) == (("7z", null)))
     assert(Extract.extractAny(
