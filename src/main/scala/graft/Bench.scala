@@ -78,11 +78,13 @@ object Bench {
     // Contention marker: the `rename` query is a trivial scan+project
     // whose clean-box time is ~0.095 s — any excess is pure machine
     // contention (another build, GC storm, IO saturation), not engine
-    // work. Sample it before and after the measured loop; if the
-    // pre-loop sample is contended, back off briefly and retry so a
-    // transient spike doesn't poison the whole record. The fields let
-    // the judge (and the driver) adjudicate a noisy capture without a
-    // manual rerun.
+    // work. Sample it before the measured loop, INTERLEAVED every
+    // `probeEvery` queries, and after — start/end-only sampling missed
+    // the r15 driver run's 5-8x mid-run bursts while reporting
+    // contended:false. If the pre-loop sample is contended, back off
+    // briefly and retry so a transient spike doesn't poison the whole
+    // record. The fields let the judge (and the driver) adjudicate a
+    // noisy capture without a manual rerun.
     // threshold is calibrated to sf0.1's rename cost; override when
     // benching a larger SF (where the trivial scan legitimately costs
     // more) so the marker doesn't report permanent phantom contention
@@ -117,13 +119,29 @@ object Bench {
     }
     val benchNames = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val results = benchNames.map { n =>
+    // one floor probe every N queries (~0.1 s each; 13 probes over a
+    // full-bank run) — cheap enough to leave on, dense enough that a
+    // mid-run contention burst lands on at least one probe
+    val probeEvery =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_EVERY", "25").toInt
+    val midProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val results = benchNames.zipWithIndex.map { case (n, i) =>
+      if (i > 0 && i % probeEvery == 0) midProbes += materialize("rename")
       n -> median((1 to runs).map(_ => materialize(n)))
     }
 
     val floorEnd = floorSample()
-    val floor = math.min(floorStart, floorEnd)
-    val contended = floor > floorMax
+    val probes =
+      (Seq(floorStart) ++ midProbes ++ Seq(floorEnd)).filter(_ >= 0)
+    val floor = probes.min
+    val floorPeak = probes.max
+    // contended when the box is persistently loaded (even the best
+    // probe exceeds the calibrated trivial-scan cost) OR any probe
+    // drifted >2x off the session's own floor while also exceeding the
+    // absolute threshold (mid-run burst; the floorMax guard keeps a
+    // 0.08->0.13 s wiggle on a quiet box from tripping it)
+    val contended = floor > floorMax ||
+      floorPeak > math.max(2 * floor, floorMax)
 
     // 3-decimal values: millisecond precision is already below run
     // noise, and the shorter line survives stdout-capture truncation
@@ -135,9 +153,11 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     // floor/contended lead the object so even a tail-cut capture
     // carries the adjudication fields
+    val probesJson = probes.map(r3).mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""floor":${r3(floor)},"floor_start":${r3(floorStart)},""" +
-      s""""floor_end":${r3(floorEnd)},"contended":$contended,""" +
+      s""""floor_end":${r3(floorEnd)},"floor_peak":${r3(floorPeak)},""" +
+      s""""floor_probes":$probesJson,"contended":$contended,""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // stdout captures of this line have been truncated repeatedly, so

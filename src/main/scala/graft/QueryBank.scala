@@ -4778,6 +4778,42 @@ object QueryBank {
         | CAST(1000 + doc_id * 7 AS BIGINT) AS duration_ms
         |FROM documents WHERE doc_id < 200""".stripMargin),
 
+    ("multimodal_audio_probe",
+      // Ogg/FLAC container probes (r15 stretch): FLAC STREAMINFO bit
+      // unpack (20-bit rate / 3-bit channels / 36-bit total samples)
+      // and the Ogg page walk with OpusHead (granule at 48 kHz minus
+      // pre-skip, RFC 7845) vs Vorbis-id (granule at the declared
+      // rate) duration semantics. The oracle rebuilds every field
+      // closed-form — a slip in any bit offset or the granule
+      // arithmetic breaks the hash.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        docs(s, d).select(col("doc_id")).filter(col("doc_id") < 300)
+          .withColumn("payload", synthAudioUdf(col("doc_id")))
+          .select(col("doc_id"),
+            graft.llm.MediaHeaders.audioInfoUdf(col("payload")).as("a"))
+          .select(col("doc_id"),
+            col("a.container").as("container"),
+            col("a.codec").as("codec"),
+            col("a.channels").as("channels"),
+            col("a.sample_rate").as("sample_rate"),
+            col("a.duration_ms").as("duration_ms"))
+      },
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'flac' ELSE 'ogg' END AS container,
+        | CASE doc_id % 3 WHEN 0 THEN 'flac' WHEN 1 THEN 'opus'
+        |   ELSE 'vorbis' END AS codec,
+        | CAST(1 + doc_id % 2 AS INT) AS channels,
+        | CAST(CASE doc_id % 3 WHEN 0 THEN 16000 + (doc_id % 4) * 8000
+        |   WHEN 1 THEN 48000 ELSE 22050 END AS INT) AS sample_rate,
+        | CAST(CASE doc_id % 3
+        |   WHEN 0 THEN ((16000 + doc_id * 7) * 1000)
+        |     // (16000 + (doc_id % 4) * 8000)
+        |   WHEN 1 THEN ((48000 + doc_id * 48) * 1000) // 48000
+        |   ELSE ((22050 + doc_id * 441) * 1000) // 22050 END AS BIGINT)
+        |   AS duration_ms
+        |FROM documents WHERE doc_id < 300""".stripMargin),
+
     ("multimodal_mp4_samples",
       // REAL MP4 container access: stsz/stsc/stco/stss tables are
       // synthesized byte-exactly, then the sample walker recovers the
@@ -7454,6 +7490,23 @@ object QueryBank {
         s"dictionary text of doc $id", http = false).getBytes("UTF-8")
       graft.sources.ZstdFrames.skippableFrame(dict) ++
         graft.sources.ZstdFrames.compressWithDict(rec, dict)
+    })
+
+  /** Fixture: one audio container per row — FLAC STREAMINFO (ids
+    * ≡0 mod 3), Ogg+Opus (≡1), Ogg+Vorbis (≡2) — with closed-form
+    * rate/channels/samples so DuckDB can rebuild every probed field.
+    */
+  private val synthAudioUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      val ch = (1 + id % 2).toInt
+      (id % 3) match {
+        case 0 => graft.llm.MediaHeaders.flacBuild(
+          (16000 + (id % 4) * 8000).toInt, ch, 16, 16000L + id * 7)
+        case 1 => graft.llm.MediaHeaders.oggBuild(
+          "opus", ch, 48000, 48312L + id * 48, preskip = 312)
+        case _ => graft.llm.MediaHeaders.oggBuild(
+          "vorbis", ch, 22050, 22050L + id * 441)
+      }
     })
 
   /** Fixture for the web-curation composite: a response record whose

@@ -1142,8 +1142,13 @@ object Udfs {
         // dictionary slot (the warc-zstd layout) before streaming
         case "zstd" => graft.sources.ZstdFrames.open(
           new java.io.ByteArrayInputStream(b), continuous = false)
+        // BasicArrayCache: LZMA2 allocates its full declared dict
+        // (8-64 MB on default-encoded files) per stream — pooling the
+        // buffers across rows keeps a many-small-docs decode from
+        // becoming a GC storm (measured: the r16 mixed-corpus rung)
         case "xz" => new org.tukaani.xz.XZInputStream(
-          new java.io.ByteArrayInputStream(b), 1 << 18)
+          new java.io.ByteArrayInputStream(b), 1 << 18,
+          org.tukaani.xz.BasicArrayCache.getInstance())
         case "bzip2" => new org.apache.commons.compress.compressors
           .bzip2.BZip2CompressorInputStream(
             new java.io.ByteArrayInputStream(b))
@@ -1194,8 +1199,15 @@ object Udfs {
         .bzip2.BZip2CompressorOutputStream(bos)
       case "lz4" => new net.jpountz.lz4.LZ4FrameOutputStream(bos)
       case "snappy" => new org.xerial.snappy.SnappyFramedOutputStream(bos)
-      case "xz" => new org.tukaani.xz.XZOutputStream(bos,
-        new org.tukaani.xz.LZMA2Options())
+      case "xz" =>
+        // 64 KiB dict: fixture payloads are small documents; the
+        // declared dict size is what the DECODER allocates per
+        // stream, so an 8 MB default would make every decode of our
+        // own fixtures allocate 8 MB for a 2 KB doc
+        val opts = new org.tukaani.xz.LZMA2Options()
+        opts.setDictSize(1 << 16)
+        new org.tukaani.xz.XZOutputStream(bos, opts,
+          org.tukaani.xz.BasicArrayCache.getInstance())
       case other => throw new graft.api.RecipeException(
         s"compress: unknown method '$other'")
     }

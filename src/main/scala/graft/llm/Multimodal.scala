@@ -447,11 +447,213 @@ object MediaHeaders {
         if (byteRate > 0 && dataLen >= 0) dataLen * 1000L / byteRate else null
       return Probe("wav", null, null, dur)
     }
+    // FLAC / Ogg audio containers: delegate to the audioInfo walk so
+    // the generic prober names them with their container duration
+    val ai = audioInfo(b)
+    if (ai != null) return Probe(ai.container, null, null, ai.duration_ms)
     null
   }
 
   val probeUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf(probe _)
+
+  // ---- Ogg / FLAC audio container probes ---------------------------
+  // The remaining common web-audio containers beyond WAV/MP3 (probe
+  // above): FLAC STREAMINFO (the public xiph.org FLAC format spec /
+  // RFC 9639) and Ogg page walks with Opus (RFC 7845) and Vorbis
+  // (Vorbis I spec) identification headers. Header walks only — codec
+  // DECODE of the audio frames stays out of scope, exactly like the
+  // MP4/WebM walkers.
+
+  /** Container-level audio identity: codec, channel count, sample
+    * rate, and duration derived from container bookkeeping (FLAC
+    * total-samples field; Ogg last-page granule position). Nulls where
+    * the container does not state a field; null overall when neither
+    * signature matches.
+    */
+  case class AudioInfo(container: String, codec: String,
+      channels: Integer, sample_rate: Integer,
+      duration_ms: java.lang.Long)
+
+  private def le64(b: Array[Byte], i: Int): Long =
+    le32(b, i) | (le32(b, i + 4) << 32)
+
+  def audioInfo(b: Array[Byte]): AudioInfo = {
+    if (b == null || b.length < 16) return null
+    // FLAC: "fLaC" then metadata blocks; STREAMINFO (type 0, 34
+    // bytes) carries sample rate (20 bits), channels-1 (3),
+    // bits-per-sample-1 (5), total samples (36)
+    if (ascii(b, 0, 4) == "fLaC") {
+      var p = 4
+      while (p + 4 <= b.length) {
+        val last = (u8(b, p) & 0x80) != 0
+        val typ = u8(b, p) & 0x7f
+        val len = (u8(b, p + 1) << 16) | (u8(b, p + 2) << 8) | u8(b, p + 3)
+        val body = p + 4
+        if (typ == 0 && len >= 34 && body + 34 <= b.length) {
+          val sr = (u8(b, body + 10) << 12) | (u8(b, body + 11) << 4) |
+            (u8(b, body + 12) >> 4)
+          val ch = ((u8(b, body + 12) >> 1) & 0x7) + 1
+          val total = ((u8(b, body + 13) & 0xf).toLong << 32) |
+            be32(b, body + 14)
+          val dur: java.lang.Long =
+            if (sr > 0 && total > 0) total * 1000L / sr else null
+          return AudioInfo("flac", "flac", ch,
+            if (sr > 0) sr else null, dur)
+        }
+        if (last || body + len > b.length) return AudioInfo(
+          "flac", "flac", null, null, null)
+        p = body + len
+      }
+      return AudioInfo("flac", "flac", null, null, null)
+    }
+    // Ogg: walk pages ("OggS", version 0); the first packet names the
+    // codec (OpusHead / \x01vorbis); duration comes from the LAST
+    // page's granule position (PCM samples — at 48 kHz minus pre-skip
+    // for Opus per RFC 7845 §4, at the declared rate for Vorbis)
+    if (ascii(b, 0, 4) == "OggS") {
+      var codec: String = null
+      var channels: Integer = null
+      var rate: Integer = null
+      var preskip = 0
+      var lastGranule = -1L
+      var p = 0
+      var pages = 0
+      while (p + 27 <= b.length && ascii(b, p, 4) == "OggS" &&
+        u8(b, p + 4) == 0 && pages < 1000000) {
+        val granule = le64(b, p + 6)
+        val nseg = u8(b, p + 26)
+        if (p + 27 + nseg > b.length) { p = b.length }
+        else {
+          var bodyLen = 0
+          var k = 0
+          while (k < nseg) { bodyLen += u8(b, p + 27 + k); k += 1 }
+          val body = p + 27 + nseg
+          if (body + bodyLen > b.length) { p = b.length }
+          else {
+            if (codec == null && bodyLen >= 8) {
+              if (ascii(b, body, 8) == "OpusHead" && bodyLen >= 19) {
+                codec = "opus"
+                channels = u8(b, body + 9)
+                preskip = le16(b, body + 10)
+                // RFC 7845: granule positions always count 48 kHz
+                // samples regardless of the input sample rate field
+                rate = 48000
+              } else if (u8(b, body) == 1 &&
+                ascii(b, body + 1, 6) == "vorbis" && bodyLen >= 30) {
+                codec = "vorbis"
+                channels = u8(b, body + 11)
+                val r = le32(b, body + 12)
+                if (r > 0 && r <= Int.MaxValue) rate = r.toInt
+              }
+            }
+            if (granule != -1L && granule >= 0) lastGranule = granule
+            p = body + bodyLen
+            pages += 1
+          }
+        }
+      }
+      val dur: java.lang.Long =
+        if (lastGranule < 0 || rate == null) null
+        else if (codec == "opus")
+          math.max(0L, lastGranule - preskip) * 1000L / 48000L
+        else lastGranule * 1000L / rate.intValue()
+      return AudioInfo("ogg", codec, channels, rate, dur)
+    }
+    null
+  }
+
+  val audioInfoUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(audioInfo _)
+
+  /** Fixture complement of [[audioInfo]]: a FLAC header with a real
+    * STREAMINFO block (no audio frames — the probe reads bookkeeping).
+    */
+  def flacBuild(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      totalSamples: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    out.write(0x80) // last-block flag + type 0 (STREAMINFO)
+    out.write(0); out.write(0); out.write(34)
+    val si = new Array[Byte](34)
+    si(0) = 0x10; si(1) = 0x00 // min block 4096
+    si(2) = 0x10; si(3) = 0x00 // max block
+    // min/max frame sizes (24-bit): zeros = unknown
+    si(10) = ((sampleRate >> 12) & 0xff).toByte
+    si(11) = ((sampleRate >> 4) & 0xff).toByte
+    si(12) = (((sampleRate & 0xf) << 4) | (((channels - 1) & 0x7) << 1) |
+      (((bitsPerSample - 1) >> 4) & 0x1)).toByte
+    si(13) = ((((bitsPerSample - 1) & 0xf) << 4) |
+      ((totalSamples >> 32) & 0xf)).toInt.toByte
+    si(14) = ((totalSamples >> 24) & 0xff).toByte
+    si(15) = ((totalSamples >> 16) & 0xff).toByte
+    si(16) = ((totalSamples >> 8) & 0xff).toByte
+    si(17) = (totalSamples & 0xff).toByte
+    out.write(si)
+    out.toByteArray
+  }
+
+  /** Fixture complement of [[audioInfo]] for Ogg: a BOS page carrying
+    * the codec identification header (OpusHead / Vorbis id), `midPages`
+    * filler pages, and an EOS page at `lastGranule`.
+    */
+  def oggBuild(codec: String, channels: Int, sampleRate: Int,
+      lastGranule: Long, preskip: Int = 312,
+      midPages: Int = 2): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def page(flags: Int, granule: Long, seq: Int,
+        payload: Array[Byte]): Unit = {
+      require(payload.length < 255)
+      out.write("OggS".getBytes("US-ASCII"))
+      out.write(0) // version
+      out.write(flags)
+      var g = granule
+      var i = 0
+      while (i < 8) { out.write((g & 0xff).toInt); g >>>= 8; i += 1 }
+      // serial, sequence, crc (probe does not verify crc)
+      val le = (v: Long) => (0 until 4).foreach(k =>
+        out.write(((v >> (8 * k)) & 0xff).toInt))
+      le(0x1234L); le(seq.toLong); le(0L)
+      out.write(1) // one segment
+      out.write(payload.length)
+      out.write(payload)
+    }
+    val idPacket: Array[Byte] = codec match {
+      case "opus" =>
+        val p = new java.io.ByteArrayOutputStream()
+        p.write("OpusHead".getBytes("US-ASCII"))
+        p.write(1) // version
+        p.write(channels)
+        p.write(preskip & 0xff); p.write((preskip >> 8) & 0xff)
+        (0 until 4).foreach(k =>
+          p.write((sampleRate >> (8 * k)) & 0xff)) // input rate (info only)
+        p.write(0); p.write(0) // output gain
+        p.write(0) // channel mapping family
+        p.toByteArray
+      case "vorbis" =>
+        val p = new java.io.ByteArrayOutputStream()
+        p.write(1)
+        p.write("vorbis".getBytes("US-ASCII"))
+        (0 until 4).foreach(_ => p.write(0)) // version
+        p.write(channels)
+        (0 until 4).foreach(k => p.write((sampleRate >> (8 * k)) & 0xff))
+        (0 until 12).foreach(_ => p.write(0)) // bitrate triple
+        p.write(0xb8) // blocksizes exp nibbles
+        p.write(1) // framing bit
+        p.toByteArray
+      case other => throw new IllegalArgumentException(
+        s"oggBuild: unknown codec '$other'")
+    }
+    page(0x02, 0L, 0, idPacket) // BOS
+    var s = 1
+    while (s <= midPages) {
+      page(0, lastGranule * s / (midPages + 1), s,
+        Array.fill(16)((s * 7).toByte))
+      s += 1
+    }
+    page(0x04, lastGranule, s, Array.fill(8)(3.toByte)) // EOS
+    out.toByteArray
+  }
 
   /** Exact sample statistics from a REAL decode of a PCM WAV payload —
     * the one format whose "decode" is pure public byte layout (RIFF

@@ -98,8 +98,13 @@ private[graft] object ZstdFrames {
     // null, not a silent prefix
     val z = new com.github.luben.zstd.ZstdInputStream(pb)
     z.setContinuous(continuous)
-    if (dict != null)
-      z.setDict(new com.github.luben.zstd.ZstdDictDecompress(dict))
+    // the byte[] overload LOADS the dictionary into the stream's own
+    // native context; the ZstdDictDecompress overload only borrows a
+    // shared native dict whose lifetime the caller must manage — with
+    // nothing holding it, GC frees the native dict mid-stream and the
+    // next read SIGSEGVs (reproduced under the r16 scale probe's
+    // allocation pressure)
+    if (dict != null) z.setDict(dict)
     z
   }
 

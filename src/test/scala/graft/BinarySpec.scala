@@ -777,6 +777,40 @@ class BinarySpec extends SparkSpec {
     assert(MediaHeaders.bmpStats(null) == null)
   }
 
+  test("ogg/flac audio probes: STREAMINFO fields, page-walk duration, total") {
+    // FLAC: 44.1 kHz stereo, 441000 samples → exactly 10 s
+    val flac = MediaHeaders.flacBuild(44100, 2, 16, 441000L)
+    assert(MediaHeaders.audioInfo(flac) ==
+      MediaHeaders.AudioInfo("flac", "flac", 2, 44100, 10000L))
+    // odd rate floor-divides
+    val flac2 = MediaHeaders.flacBuild(48000, 1, 24, 100001L)
+    assert(MediaHeaders.audioInfo(flac2).duration_ms == 100001L * 1000 / 48000)
+    // Opus: granule counts 48 kHz samples minus pre-skip
+    val opus = MediaHeaders.oggBuild("opus", 2, 48000, 96312L, preskip = 312)
+    assert(MediaHeaders.audioInfo(opus) ==
+      MediaHeaders.AudioInfo("ogg", "opus", 2, 48000, 2000L))
+    // Vorbis: granule at the declared rate
+    val vorbis = MediaHeaders.oggBuild("vorbis", 1, 22050, 44100L)
+    assert(MediaHeaders.audioInfo(vorbis) ==
+      MediaHeaders.AudioInfo("ogg", "vorbis", 1, 22050, 2000L))
+    // generic prober names both containers with their duration
+    assert(MediaHeaders.probe(flac) ==
+      MediaHeaders.Probe("flac", null, null, 10000L))
+    assert(MediaHeaders.probe(opus) ==
+      MediaHeaders.Probe("ogg", null, null, 2000L))
+    // totality: junk, truncations, every-byte mutants of both fixtures
+    assert(MediaHeaders.audioInfo(null) == null)
+    assert(MediaHeaders.audioInfo("junk bytes but long enough".getBytes) == null)
+    for (base <- Seq(flac, opus, vorbis)) {
+      for (n <- 0 until base.length)
+        MediaHeaders.audioInfo(java.util.Arrays.copyOf(base, n))
+      for (i <- base.indices; v <- Seq(0x00, 0xff)) {
+        val m = base.clone(); m(i) = v.toByte
+        MediaHeaders.audioInfo(m)
+      }
+    }
+  }
+
   // ---- MP4 sample tables --------------------------------------------
 
   test("mp4 sample tables: stsz/stsc/stco round-trip with keyframes") {
