@@ -5337,6 +5337,43 @@ object QueryBank {
         | WHEN c_acctbal < 0 THEN 'neg' ELSE 'zero' END AS sign
         |FROM customer""".stripMargin),
 
+    ("pipeline_workspace",
+      // §3 interactive lifecycle as ONE composite row: a
+      // WrangleSession workspace per sampling method (`first` plus
+      // the position-independent keyed bernoulli/poisson/reservoir
+      // forms), the same recipe executed over each workspace sample,
+      // and the derived output schema (Catalyst derivation, no
+      // execution) surfaced as a column. The oracle replays every
+      // sampler closed-form (md5 hash points / Poisson CDF ladder)
+      // and the aggregate arithmetic.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val sess = new graft.session.WrangleSession(s)
+        val src = docs(s, d).select(col("doc_id"), col("text"))
+        sess.createWorkspace("w_first", src.orderBy("doc_id"),
+          "first", n = 100)
+        sess.createWorkspace("w_bern", src, "bernoulli",
+          fraction = 0.05, seed = 7L, keyCol = "doc_id")
+        sess.createWorkspace("w_pois", src, "poisson",
+          fraction = 0.04, seed = 7L, keyCol = "doc_id")
+        sess.createWorkspace("w_resv", src, "reservoir",
+          n = 40, seed = 7L, keyCol = "doc_id")
+        val recipe = "set-column :n_chars exp:{ length(text) }; drop :text"
+        val ddl = sess.schema("w_first", recipe)
+        Seq("first" -> "w_first", "bernoulli" -> "w_bern",
+          "poisson" -> "w_pois", "reservoir" -> "w_resv").map {
+          case (m, w) =>
+            graft.Wrangle.recipe(recipe).apply(sess.workspace(w))
+              .agg(count(lit(1)).as("n_rows"),
+                coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"),
+                coalesce(sum(col("n_chars")), lit(0L)).as("chars_sum"))
+              .withColumn("method", lit(m))
+        }.reduce(_ unionByName _)
+          .withColumn("schema_ddl", lit(ddl))
+          .select("method", "n_rows", "id_sum", "chars_sum", "schema_ddl")
+      },
+      workspaceSql),
+
     ("sample_first",
       (s, d) => graft.session.Sampler.first(
         cust(s, d).orderBy("c_custkey"), 100).select("c_custkey", "c_name"),
@@ -6068,6 +6105,44 @@ object QueryBank {
     * (multiplicity = number of thresholds at or below the key's hash
     * point), recomputable at any SF.
     */
+  /** Oracle for the workspace composite: each sampler replayed
+    * closed-form (same md5 hash points as the sample_* oracles), the
+    * recipe arithmetic, and the derived DDL as a literal (doc_id
+    * BIGINT survives the recipe; length() is INT).
+    */
+  private lazy val workspaceSql: String = {
+    val bernT = graft.session.Sampler.hexThreshold(0.05)
+    val ts = graft.session.Sampler.poissonCdfThresholds(0.04)
+    val ladder = ts.zipWithIndex
+      .map { case (t, k) => s"WHEN h < '$t' THEN $k" }
+      .mkString(" ")
+    s"""WITH src AS (
+      |  SELECT doc_id, CAST(len(text) AS INT) AS n_chars FROM documents),
+      |f AS (SELECT 'first' AS method, COUNT(*) AS n_rows,
+      |   SUM(doc_id) AS id_sum, SUM(n_chars) AS chars_sum
+      |  FROM (SELECT * FROM src ORDER BY doc_id LIMIT 100)),
+      |b AS (SELECT 'bernoulli', COUNT(*), SUM(doc_id), SUM(n_chars)
+      |  FROM src
+      |  WHERE md5(coalesce(CAST(doc_id AS VARCHAR), '') || '#bern7')
+      |   < '$bernT'),
+      |p AS (SELECT 'poisson', SUM(m), SUM(doc_id * m), SUM(n_chars * m)
+      |  FROM (SELECT doc_id, n_chars, CASE $ladder ELSE ${ts.length} END AS m
+      |   FROM (SELECT doc_id, n_chars,
+      |     md5(coalesce(CAST(doc_id AS VARCHAR), '') || '#pois7') AS h
+      |    FROM src) h0) m0
+      |  WHERE m > 0),
+      |r AS (SELECT 'reservoir', COUNT(*), SUM(doc_id), SUM(n_chars)
+      |  FROM (SELECT * FROM src
+      |   ORDER BY md5(coalesce(CAST(doc_id AS VARCHAR), '') || '#resv7')
+      |   LIMIT 40))
+      |SELECT method, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(id_sum AS BIGINT) AS id_sum,
+      |  CAST(chars_sum AS BIGINT) AS chars_sum,
+      |  'doc_id BIGINT,n_chars INT' AS schema_ddl
+      |FROM (SELECT * FROM f UNION ALL SELECT * FROM b
+      |  UNION ALL SELECT * FROM p UNION ALL SELECT * FROM r) u""".stripMargin
+  }
+
   private lazy val samplePoissonKeyedSql: String = {
     val ts = graft.session.Sampler.poissonCdfThresholds(0.04)
     val ladder = ts.zipWithIndex

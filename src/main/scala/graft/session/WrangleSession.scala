@@ -23,16 +23,32 @@ final class WrangleSession(spark: SparkSession) {
 
   /** Create a workspace from a source with a sampling method
     * (first|bernoulli|poisson|reservoir — reference SamplingMethod.java:27-30).
+    *
+    * With `keyCol` set, the seeded methods use the position-INDEPENDENT
+    * hash-point samplers (bernoulliByKey/poissonByKey/reservoirByKey):
+    * the draw is a pure function of (key, seed), so the workspace
+    * sample is reproducible under retries, repartitioning, AQE
+    * re-planning and cluster size — the only stable form over a
+    * 100 TB source. Without it, the reference's per-row-RNG forms
+    * apply (position-dependent by construction).
     */
   def createWorkspace(name: String, source: DataFrame,
       method: String = "first", n: Int = 1000,
-      fraction: Double = 0.01, seed: Long = 42L): Unit = {
-    val sample = method.toLowerCase match {
-      case "first"     => Sampler.first(source, n)
-      case "bernoulli" => Sampler.bernoulli(source, fraction, seed).limit(n)
-      case "poisson"   => Sampler.poisson(source, fraction, seed).limit(n)
-      case "reservoir" => Sampler.reservoir(source, n, seed)
-      case other => throw new IllegalArgumentException(s"sampling: $other")
+      fraction: Double = 0.01, seed: Long = 42L,
+      keyCol: String = null): Unit = {
+    val sample = (method.toLowerCase, Option(keyCol)) match {
+      case ("first", _)           => Sampler.first(source, n)
+      case ("bernoulli", Some(k)) =>
+        Sampler.bernoulliByKey(source, k, fraction, seed)
+      case ("bernoulli", None)    =>
+        Sampler.bernoulli(source, fraction, seed).limit(n)
+      case ("poisson", Some(k))   =>
+        Sampler.poissonByKey(source, k, fraction, seed)
+      case ("poisson", None)      =>
+        Sampler.poisson(source, fraction, seed).limit(n)
+      case ("reservoir", Some(k)) => Sampler.reservoirByKey(source, k, n, seed)
+      case ("reservoir", None)    => Sampler.reservoir(source, n, seed)
+      case (other, _) => throw new IllegalArgumentException(s"sampling: $other")
     }
     workspaces += name -> sample.cache()
   }

@@ -26,6 +26,34 @@ class SessionSpec extends SparkSpec {
     sess.dropWorkspace("w1")
   }
 
+  test("keyed workspace sampling: position-independent draws, stable " +
+      "under repartitioning") {
+    val sess = new WrangleSession(spark)
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    // keyed forms: the draw is a pure function of (key, seed), so the
+    // SAME workspace contents arrive regardless of input layout
+    sess.createWorkspace("kb", cust, "bernoulli",
+      fraction = 0.2, seed = 7L, keyCol = "c_custkey")
+    sess.createWorkspace("kb2", cust.repartition(7), "bernoulli",
+      fraction = 0.2, seed = 7L, keyCol = "c_custkey")
+    val ids1 = sess.workspace("kb").select("c_custkey")
+      .collect().map(_.getLong(0)).toSet
+    val ids2 = sess.workspace("kb2").select("c_custkey")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2 && ids1.nonEmpty)
+    sess.createWorkspace("kr", cust, "reservoir",
+      n = 10, seed = 7L, keyCol = "c_custkey")
+    assert(sess.workspace("kr").count() == 10)
+    sess.createWorkspace("kp", cust, "poisson",
+      fraction = 0.1, seed = 7L, keyCol = "c_custkey")
+    assert(sess.workspace("kp").count() > 0)
+    // unknown method still fails fast
+    intercept[IllegalArgumentException] {
+      sess.createWorkspace("bad", cust, "stratified")
+    }
+    Seq("kb", "kb2", "kr", "kp").foreach(sess.dropWorkspace)
+  }
+
   test("usage registry lists every registered directive") {
     assert(Usage.directives.size > 80)
     // every listed directive must actually resolve in the engine
