@@ -1984,6 +1984,89 @@ object QueryBank {
       (s, d) => r("quality-score :text; keep :doc_id,:text_quality")(docs(s, d)),
       qualityScoreSql),
 
+    ("repetition_signals",
+      // Gopher repetition metrics over REAL text with a per-doc
+      // partial self-repeat appended (text + its first doc_id%150
+      // chars) so duplicate 2/3/5-grams actually occur at varying
+      // mass: DuckDB rebuilds the word list, every n-gram count, the
+      // tie-broken top-gram mass, and the integer-cross-multiplied
+      // Gopher gate — any slip in tokenization, gram windowing, tie
+      // break, or threshold arithmetic breaks the hash.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val in = docs(s, d).select(col("doc_id"),
+          concat(col("text"), lit(" "),
+            expr("substring(text, 1, CAST(doc_id % 150 AS INT))")).as("t"))
+        val sig = graft.llm.TextAnalysis.repetitionSignalsUdf(col("t"))
+        in.withColumn("g", sig)
+          .select(col("doc_id"),
+            col("g.n_words").as("n_words"),
+            col("g.n_alpha_words").as("n_alpha_words"),
+            col("g.top2gram_count").as("top2gram_count"),
+            col("g.top2gram_chars").as("top2gram_chars"),
+            col("g.top3gram_count").as("top3gram_count"),
+            col("g.top3gram_chars").as("top3gram_chars"),
+            col("g.dup5gram_count").as("dup5gram_count"),
+            col("g.n_5grams").as("n_5grams"),
+            graft.llm.TextAnalysis.repetitionKeep(col("g")).as("keep"))
+      },
+      gopherGramSql),
+
+    ("gopher_repetition",
+      // the line/paragraph half of the Gopher filter set over a
+      // synthetic multiline fixture (real documents are single-line):
+      // duplicated paragraphs (ids ≡0 mod 2 repeat para1 verbatim),
+      // repeated lines (id%3 copies), bullet lines (id%4), ellipsis
+      // tails (id%5=0) — every count rebuilt closed-form in SQL.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val in = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 400)
+          .withColumn("t", synthRepDocUdf(col("doc_id")))
+        val sig = graft.llm.TextAnalysis.repetitionSignalsUdf(col("t"))
+        in.withColumn("g", sig)
+          .select(col("doc_id"),
+            col("g.n_chars").as("n_chars"),
+            col("g.n_lines").as("n_lines"),
+            col("g.n_dup_lines").as("n_dup_lines"),
+            col("g.dup_line_chars").as("dup_line_chars"),
+            col("g.n_paras").as("n_paras"),
+            col("g.n_dup_paras").as("n_dup_paras"),
+            col("g.dup_para_chars").as("dup_para_chars"),
+            col("g.n_bullet_lines").as("n_bullet_lines"),
+            col("g.n_ellipsis_lines").as("n_ellipsis_lines"))
+      },
+      """WITH p AS (SELECT doc_id,
+        |  len(CAST(doc_id AS VARCHAR)) AS idlen,
+        |  CAST(doc_id % 3 AS INT) AS r,
+        |  CAST(doc_id % 4 AS INT) AS b,
+        |  CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS e5,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS dup
+        | FROM documents WHERE doc_id < 400),
+        |q AS (SELECT doc_id, idlen, r, b, e5, dup,
+        |  2 + r + b AS l1,
+        |  (7 + idlen) + r*11 + b*8 + (5 + idlen + e5*3) AS c1
+        | FROM p),
+        |q2 AS (SELECT *, c1 + (l1 - 1) AS p1 FROM q)
+        |SELECT doc_id,
+        | CAST(CASE WHEN dup = 1 THEN 2*p1 + 2
+        |   ELSE p1 + 10 + idlen END AS BIGINT) AS n_chars,
+        | CAST(CASE WHEN dup = 1 THEN 2*l1 ELSE l1 + 1 END AS INT)
+        |   AS n_lines,
+        | CAST(CASE WHEN dup = 1 THEN 4 + 2*r + 2*b
+        |   WHEN r = 2 THEN 2 ELSE 0 END AS INT) AS n_dup_lines,
+        | CAST(CASE WHEN dup = 1 THEN 2*c1
+        |   WHEN r = 2 THEN 22 ELSE 0 END AS BIGINT) AS dup_line_chars,
+        | CAST(2 AS INT) AS n_paras,
+        | CAST(CASE WHEN dup = 1 THEN 2 ELSE 0 END AS INT) AS n_dup_paras,
+        | CAST(CASE WHEN dup = 1 THEN 2*p1 ELSE 0 END AS BIGINT)
+        |   AS dup_para_chars,
+        | CAST(CASE WHEN dup = 1 THEN 2*b ELSE b END AS INT)
+        |   AS n_bullet_lines,
+        | CAST(CASE WHEN dup = 1 THEN 2*e5 ELSE e5 END AS INT)
+        |   AS n_ellipsis_lines
+        |FROM q2""".stripMargin),
+
     ("dedup_report",
       // per-(source, lang) duplication telemetry via the exact-dedup
       // normalize kernel — DuckDB recomputes distinct normalized
@@ -6142,6 +6225,90 @@ object QueryBank {
       |FROM (SELECT * FROM f UNION ALL SELECT * FROM b
       |  UNION ALL SELECT * FROM p UNION ALL SELECT * FROM r) u""".stripMargin
   }
+
+  /** Fixture: a multiline document per id — para1 = header + (id%3)
+    * copies of "repeat line" + (id%4) bullet items + a tail line
+    * (ellipsis-terminated when id%5=0); even ids repeat para1
+    * verbatim as para2 (duplicate paragraph), odd ids close with a
+    * unique line. Every repetition metric is closed-form in id.
+    */
+  private val synthRepDocUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      val r = (id % 3).toInt
+      val b = (id % 4).toInt
+      val ell = if (id % 5 == 0) "..." else ""
+      val para1 = (Seq(s"header $id") ++
+        Seq.fill(r)("repeat line") ++
+        (0 until b).map(k => s"- item $k") ++
+        Seq(s"tail $id$ell")).mkString("\n")
+      if (id % 2 == 0) para1 + "\n\n" + para1
+      else para1 + "\n\n" + s"closing $id"
+    })
+
+  /** Oracle for repetition_signals: DuckDB rebuilds the whitespace
+    * word list over the self-repeat-appended text, every 2/3/5-gram
+    * count, the top-gram mass with the longest-tied-gram break, and
+    * the integer-cross-multiplied Gopher gate. Single-line input, so
+    * the line/para legs of the gate are trivially true (their counts
+    * are zero) — gopher_repetition covers those closed-form.
+    */
+  private lazy val gopherGramSql: String =
+    """WITH d0 AS (SELECT doc_id,
+      |   text || ' ' || substr(text, 1, CAST(doc_id % 150 AS INT)) AS t
+      |  FROM documents),
+      |w AS (SELECT doc_id, len(t) AS n_chars,
+      |   list_filter(string_split_regex(t, '\s+'), x -> len(x) > 0) AS ws
+      |  FROM d0),
+      |base AS (SELECT doc_id, n_chars, ws, len(ws) AS nw FROM w),
+      |wx AS (SELECT doc_id, unnest(ws) AS word FROM base),
+      |alpha AS (SELECT doc_id, count(*) AS n_words,
+      |   count(*) FILTER (WHERE regexp_matches(word, '[A-Za-z]'))
+      |     AS n_alpha_words
+      |  FROM wx GROUP BY doc_id),
+      |g2 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+      |  FROM base, UNNEST(range(1, nw)) AS t(i)),
+      |g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+      |g2top AS (SELECT doc_id, max(c) AS topc FROM g2c GROUP BY doc_id),
+      |g2m AS (SELECT c.doc_id, t.topc AS top2_count,
+      |   t.topc * max(len(c.g)) AS top2_chars
+      |  FROM g2c c JOIN g2top t ON c.doc_id = t.doc_id AND c.c = t.topc
+      |  GROUP BY c.doc_id, t.topc),
+      |g3 AS (SELECT doc_id,
+      |   ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      |  FROM base, UNNEST(range(1, nw - 1)) AS t(i)),
+      |g3c AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+      |g3top AS (SELECT doc_id, max(c) AS topc FROM g3c GROUP BY doc_id),
+      |g3m AS (SELECT c.doc_id, t.topc AS top3_count,
+      |   t.topc * max(len(c.g)) AS top3_chars
+      |  FROM g3c c JOIN g3top t ON c.doc_id = t.doc_id AND c.c = t.topc
+      |  GROUP BY c.doc_id, t.topc),
+      |g5 AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |   || ' ' || ws[i+3] || ' ' || ws[i+4] AS g
+      |  FROM base, UNNEST(range(1, nw - 3)) AS t(i)),
+      |g5c AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+      |g5d AS (SELECT doc_id,
+      |   coalesce(sum(c) FILTER (WHERE c > 1), 0) AS dup5_count,
+      |   sum(c) AS n5 FROM g5c GROUP BY doc_id)
+      |SELECT b.doc_id,
+      | CAST(a.n_words AS INT) AS n_words,
+      | CAST(a.n_alpha_words AS INT) AS n_alpha_words,
+      | CAST(coalesce(m2.top2_count, 0) AS INT) AS top2gram_count,
+      | CAST(coalesce(m2.top2_chars, 0) AS BIGINT) AS top2gram_chars,
+      | CAST(coalesce(m3.top3_count, 0) AS INT) AS top3gram_count,
+      | CAST(coalesce(m3.top3_chars, 0) AS BIGINT) AS top3gram_chars,
+      | CAST(coalesce(d.dup5_count, 0) AS INT) AS dup5gram_count,
+      | CAST(coalesce(d.n5, 0) AS INT) AS n_5grams,
+      | ((coalesce(m2.top2_count, 0) <= 1
+      |    OR coalesce(m2.top2_chars, 0) * 10 <= b.n_chars * 2)
+      |  AND (coalesce(m3.top3_count, 0) <= 1
+      |    OR coalesce(m3.top3_chars, 0) * 100 <= b.n_chars * 18)
+      |  AND coalesce(d.dup5_count, 0) * 100 <= coalesce(d.n5, 0) * 15)
+      |  AS keep
+      |FROM base b
+      |LEFT JOIN alpha a ON a.doc_id = b.doc_id
+      |LEFT JOIN g2m m2 ON m2.doc_id = b.doc_id
+      |LEFT JOIN g3m m3 ON m3.doc_id = b.doc_id
+      |LEFT JOIN g5d d ON d.doc_id = b.doc_id""".stripMargin
 
   private lazy val samplePoissonKeyedSql: String = {
     val ts = graft.session.Sampler.poissonCdfThresholds(0.04)

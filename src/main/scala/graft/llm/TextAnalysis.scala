@@ -690,6 +690,126 @@ object TextAnalysis {
     struct(m.as("marker"), m.isNotNull.as("is_generated"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 Table A1, the
+    * filter set RefinedWeb/Dolma reuse) as EXACT INTEGER counts — the
+    * fractions the published thresholds compare against are one
+    * integer division away, and integer outputs keep every field
+    * SQL-oracle-able with no float-hash hazard:
+    *
+    *  - lines/paragraphs: instances in duplicate groups (count > 1)
+    *    and the characters they carry. Lines split on '\n', paragraphs
+    *    on '\n\n', blank entries dropped after trim; duplicate keys
+    *    are EXACT strings.
+    *  - words: whitespace-split; alpha words contain [A-Za-z].
+    *  - bullet lines ("- ", "* ", "•" after trim) and
+    *    ellipsis-terminated lines ("..." / "…") — the Gopher layout
+    *    gates.
+    *  - top n-gram (n=2,3): occurrence count of the most frequent
+    *    space-joined word n-gram, and count × gram length (ties break
+    *    to the LONGEST gram among the tied — deterministic both here
+    *    and in the SQL oracle).
+    *  - duplicate 5-grams: instances whose gram occurs more than once
+    *    (an instance-count variant of Gopher's char-coverage form —
+    *    coverage dedup is order-dependent; instances are exactly
+    *    replayable).
+    */
+  case class RepSignals(
+      n_chars: Long,
+      n_lines: Int, n_dup_lines: Int, dup_line_chars: Long,
+      n_paras: Int, n_dup_paras: Int, dup_para_chars: Long,
+      n_words: Int, n_alpha_words: Int,
+      n_bullet_lines: Int, n_ellipsis_lines: Int,
+      top2gram_count: Int, top2gram_chars: Long,
+      top3gram_count: Int, top3gram_chars: Long,
+      dup5gram_count: Int, n_5grams: Int)
+
+  def repetitionSignals(s: String): RepSignals = {
+    if (s == null) return null
+    def dupStats(items: Array[String]): (Int, Long) = {
+      val m = new java.util.HashMap[String, Integer]()
+      items.foreach(l => m.merge(l, Integer.valueOf(1), (a, b) =>
+        Integer.valueOf(a.intValue + b.intValue)))
+      var cnt = 0; var chars = 0L
+      m.forEach { (k, c) =>
+        if (c > 1) { cnt += c; chars += c.toLong * k.length }
+      }
+      (cnt, chars)
+    }
+    val lines = s.split("\n", -1).filter(_.trim.nonEmpty)
+    val (dl, dlc) = dupStats(lines)
+    val paras = s.split("\n\n", -1).filter(_.trim.nonEmpty)
+    val (dp, dpc) = dupStats(paras)
+    val words = s.split("\\s+").filter(_.nonEmpty)
+    val alpha = words.count(_.exists(ch =>
+      (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z')))
+    val trimmed = lines.map(_.trim)
+    val bullets = trimmed.count(l => l.startsWith("- ") ||
+      l.startsWith("* ") || l.startsWith("•"))
+    val ellipsis = trimmed.count(l => l.endsWith("...") ||
+      l.endsWith("…"))
+    def gramCounts(n: Int): java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer]()
+      var i = 0
+      while (i + n <= words.length) {
+        m.merge(words.slice(i, i + n).mkString(" "), Integer.valueOf(1),
+          (a, b) => Integer.valueOf(a.intValue + b.intValue))
+        i += 1
+      }
+      m
+    }
+    def topGram(n: Int): (Int, Long) = {
+      if (words.length < n) return (0, 0L)
+      var topc = 0; var maxLen = 0
+      gramCounts(n).forEach { (g, c) =>
+        if (c > topc) { topc = c; maxLen = g.length }
+        else if (c == topc && g.length > maxLen) maxLen = g.length
+      }
+      (topc, topc.toLong * maxLen)
+    }
+    val (t2c, t2ch) = topGram(2)
+    val (t3c, t3ch) = topGram(3)
+    val (d5, n5) =
+      if (words.length < 5) (0, 0)
+      else {
+        var dup = 0
+        gramCounts(5).forEach { (_, c) => if (c > 1) dup += c }
+        (dup, words.length - 4)
+      }
+    RepSignals(s.length.toLong, lines.length, dl, dlc,
+      paras.length, dp, dpc, words.length, alpha, bullets, ellipsis,
+      t2c, t2ch, t3c, t3ch, d5, n5)
+  }
+
+  val repetitionSignalsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(repetitionSignals _)
+
+  /** The Gopher repetition GATE over [[repetitionSignals]] output,
+    * expressed in integer cross-multiplications (no float thresholds):
+    * keep when duplicate-line instances ≤30% of lines, duplicate-para
+    * instances ≤30%, duplicate-line chars ≤20% of chars, duplicate-
+    * para chars ≤20%, top-2-gram chars ≤20%, top-3-gram chars ≤18%,
+    * duplicate-5-gram instances ≤15% of 5-grams (instance-count
+    * variant). The top-gram gates apply only when the top gram
+    * actually REPEATS (count > 1): with all-unique grams the "top"
+    * gram is just the longest one, and on a short document its length
+    * alone can exceed 20% of the chars — that is length, not
+    * repetition (on Gopher-scale documents a count-1 gram is far
+    * under every threshold, so the published behavior is unchanged).
+    * Null signals (null text) keep — undecidable is not droppable,
+    * matching the dedup/decontamination convention.
+    */
+  def repetitionKeep(sig: Column): Column =
+    sig.isNull || (
+      sig("n_dup_lines") * 10 <= sig("n_lines") * 3 &&
+      sig("n_dup_paras") * 10 <= sig("n_paras") * 3 &&
+      sig("dup_line_chars") * 10 <= sig("n_chars") * 2 &&
+      sig("dup_para_chars") * 10 <= sig("n_chars") * 2 &&
+      (sig("top2gram_count") <= 1 ||
+        sig("top2gram_chars") * 10 <= sig("n_chars") * 2) &&
+      (sig("top3gram_count") <= 1 ||
+        sig("top3gram_chars") * 100 <= sig("n_chars") * 18) &&
+      sig("dup5gram_count") * 100 <= sig("n_5grams") * 15)
+
   /** Stable document fingerprint (md5 hex of normalized content). */
   def fingerprint(text: Column): Column = Dedup.fingerprint(text)
 

@@ -163,6 +163,36 @@ object LlmOps {
       }
     }
 
+    // `repetition-signals :col` — the Gopher repetition-filter
+    // signals (duplicate line/paragraph instances and chars, top
+    // 2/3-gram mass, duplicate 5-grams, bullet/ellipsis lines) as
+    // exact integer columns <col>_<field>
+    case "repetition-signals" => ColumnOps.simple(spec) { df =>
+      val c = spec.col(0)
+      val sig = graft.llm.TextAnalysis.repetitionSignalsUdf(
+        col(c).cast(org.apache.spark.sql.types.StringType))
+      df.withColumn("__rep", sig)
+        .select(col("*") +: Seq("n_chars", "n_lines", "n_dup_lines",
+          "dup_line_chars", "n_paras", "n_dup_paras", "dup_para_chars",
+          "n_words", "n_alpha_words", "n_bullet_lines",
+          "n_ellipsis_lines", "top2gram_count", "top2gram_chars",
+          "top3gram_count", "top3gram_chars", "dup5gram_count",
+          "n_5grams").map(f => col("__rep")(f).as(s"${c}_$f")): _*)
+        .drop("__rep")
+    }
+
+    // `filter-repetitive :col` — apply the Gopher repetition gate:
+    // keep rows whose text passes every published threshold (integer
+    // cross-multiplied, no float compares); null text keeps
+    case "filter-repetitive" => ColumnOps.simple(spec) { df =>
+      val c = spec.col(0)
+      val sig = graft.llm.TextAnalysis.repetitionSignalsUdf(
+        col(c).cast(org.apache.spark.sql.types.StringType))
+      df.withColumn("__rep", sig)
+        .where(graft.llm.TextAnalysis.repetitionKeep(col("__rep")))
+        .drop("__rep")
+    }
+
     // `strip-markdown :col` — markdown to plain text as <col>_plain:
     // fenced code walled off verbatim (split on ```), the prose
     // regexp_replace chain on the outside segments. Pure Catalyst,

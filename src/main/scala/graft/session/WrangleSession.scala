@@ -192,6 +192,8 @@ object Usage {
     "token-count" -> "token-count :col",
     "quality-score" -> "quality-score :col",
     "code-features" -> "code-features :col",
+    "repetition-signals" -> "repetition-signals :col",
+    "filter-repetitive" -> "filter-repetitive :col",
     "strip-markdown" -> "strip-markdown :col",
     "fingerprint" -> "fingerprint :col")
 }
