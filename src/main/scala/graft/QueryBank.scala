@@ -950,6 +950,45 @@ object QueryBank {
         |   <= mx - INTERVAL 10 MINUTE
         |GROUP BY 1, 2""".stripMargin),
 
+    // Gap-based event-time sessionization through the genuine-stream
+    // harness: Spark's native session_window operator (state-store
+    // window rows, watermark-bounded — the scale form, vs the
+    // mapGroupsWithState session above). Append emits exactly the
+    // sessions whose end (last event + gap) the 1-day watermark
+    // passed; the oracle island-detects the same sessions per user
+    // (break at gap >= 6 h) and replays that emission rule.
+    ("stream_session_window",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.streaming.StreamOps.runBatchAsStream(
+          s, s"$d/events.parquet",
+          st => graft.streaming.StreamOps
+            .sessionWindows(st, "ts", gap = "6 hours", watermark = "1 day")
+            .select(col("user_id"), col("session_start"),
+              col("session_end"), col("n_events"),
+              round(col("total_value"), 4).as("total_value")),
+          queryName = "stream_session_window_correctness")
+      },
+      """WITH e AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |     IS NULL
+        |   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |     >= INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
+        | FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM e),
+        |agg AS (SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 6 HOUR AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE)
+        |    AS total_value
+        | FROM s GROUP BY user_id, sid)
+        |SELECT user_id, session_start, session_end, n_events, total_value
+        |FROM agg, (SELECT max(ts) AS mx FROM events)
+        |WHERE session_end <= mx - INTERVAL 1 DAY""".stripMargin),
+
     // Streaming sketch: tumbling-window approx distinct users through a
     // genuine readStream micro-batch run (append mode emits only
     // watermark-closed windows), then the batch exact distinct per
@@ -4897,6 +4936,75 @@ object QueryBank {
         |   AS duration_ms
         |FROM documents WHERE doc_id < 300""".stripMargin),
 
+    ("multimodal_audio_tags",
+      // the three tag systems web audio carries, one per id class:
+      // FLAC VORBIS_COMMENT (≡0 mod 4), OpusTags (≡1), Ogg Vorbis
+      // comments (≡2), ID3v2.3/2.4 alternating (≡3). DuckDB rebuilds
+      // title/artist/album/vendor closed-form — a slip in the LE
+      // length walk, key case-normalization, the ID3 syncsafe-vs-
+      // plain frame size, or the encoding byte breaks the hash.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        docs(s, d).select(col("doc_id")).filter(col("doc_id") < 300)
+          .withColumn("payload", synthAudioTagsUdf(col("doc_id")))
+          .select(col("doc_id"),
+            graft.llm.MediaHeaders.audioTagsUdf(col("payload")).as("a"))
+          .select(col("doc_id"),
+            col("a.container").as("container"),
+            col("a.title").as("title"),
+            col("a.artist").as("artist"),
+            col("a.album").as("album"),
+            col("a.vendor").as("vendor"),
+            col("a.n_tags").as("n_tags"))
+      },
+      """SELECT doc_id,
+        | CASE doc_id % 4 WHEN 0 THEN 'flac' WHEN 3 THEN 'mp3'
+        |   ELSE 'ogg' END AS container,
+        | 'Title ' || doc_id AS title,
+        | 'Artist ' || (doc_id % 7) AS artist,
+        | CASE WHEN doc_id % 4 = 1 THEN NULL
+        |   ELSE 'Album ' || (doc_id % 3) END AS album,
+        | CASE doc_id % 4 WHEN 0 THEN 'graftflac' WHEN 1 THEN 'libopus'
+        |   WHEN 2 THEN 'libvorbis' ELSE NULL END AS vendor,
+        | CAST(CASE doc_id % 4 WHEN 1 THEN 2 ELSE 3 END AS INT) AS n_tags
+        |FROM documents WHERE doc_id < 300""".stripMargin),
+
+    ("multimodal_exif",
+      // JPEG EXIF provenance walk: APP1 TIFF IFDs in BOTH byte orders
+      // (ids alternate II/MM), IFD0 orientation/make/model/DateTime +
+      // the Exif sub-IFD's DateTimeOriginal and pixel dimensions. The
+      // oracle rebuilds every field closed-form — a slip in the
+      // endian-dependent reads, the inline-vs-offset ASCII rule, or
+      // the sub-IFD pointer breaks the hash.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        docs(s, d).select(col("doc_id")).filter(col("doc_id") < 300)
+          .withColumn("payload", synthExifUdf(col("doc_id")))
+          .select(col("doc_id"),
+            graft.llm.MediaHeaders.exifInfoUdf(col("payload")).as("e"))
+          .select(col("doc_id"),
+            col("e.byte_order").as("byte_order"),
+            col("e.orientation").as("orientation"),
+            col("e.make").as("make"),
+            col("e.model").as("model"),
+            col("e.datetime").as("datetime"),
+            col("e.datetime_original").as("datetime_original"),
+            col("e.pixel_width").as("pixel_width"),
+            col("e.pixel_height").as("pixel_height"))
+      },
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        | CAST(1 + doc_id % 8 AS INT) AS orientation,
+        | 'Make' || (doc_id % 5) AS make,
+        | 'Model ' || doc_id AS model,
+        | '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+        |   || ' 10:00:00' AS datetime,
+        | '2023:12:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+        |   || ' 09:30:00' AS datetime_original,
+        | CAST(640 + (doc_id % 7) * 160 AS INT) AS pixel_width,
+        | CAST(480 + (doc_id % 5) * 120 AS INT) AS pixel_height
+        |FROM documents WHERE doc_id < 300""".stripMargin),
+
     ("multimodal_mp4_samples",
       // REAL MP4 container access: stsz/stsc/stco/stss tables are
       // synthesized byte-exactly, then the sample walker recovers the
@@ -7749,6 +7857,47 @@ object QueryBank {
         case _ => graft.llm.MediaHeaders.oggBuild(
           "vorbis", ch, 22050, 22050L + id * 441)
       }
+    })
+
+  /** Fixture: one tagged audio container per row — FLAC comments,
+    * OpusTags (title+artist only), Ogg Vorbis comments, ID3v2 (v2.3 /
+    * v2.4 alternating by id/4 parity) — fields closed-form in doc_id.
+    */
+  private val synthAudioTagsUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      val title = s"Title $id"
+      val artist = s"Artist ${id % 7}"
+      val album = s"Album ${id % 3}"
+      val full = Seq("TITLE" -> title, "ARTIST" -> artist,
+        "ALBUM" -> album)
+      (id % 4) match {
+        case 0 => graft.llm.MediaHeaders.flacBuild(44100, 2, 16, 1000L,
+          vendor = "graftflac", tags = full)
+        case 1 => graft.llm.MediaHeaders.oggBuild("opus", 2, 48000,
+          48000L, vendor = "libopus",
+          tags = Seq("TITLE" -> title, "ARTIST" -> artist))
+        case 2 => graft.llm.MediaHeaders.oggBuild("vorbis", 1, 22050,
+          22050L, vendor = "libvorbis", tags = full)
+        case _ => graft.llm.MediaHeaders.id3Build(title, artist, album,
+          v4 = (id / 4) % 2 == 0)
+      }
+    })
+
+  /** Fixture: a minimal JPEG with a real two-IFD EXIF TIFF per row,
+    * byte order alternating II/MM by id parity, every field
+    * closed-form in doc_id.
+    */
+  private val synthExifUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      graft.llm.MediaHeaders.exifBuild(
+        littleEndian = id % 2 == 0,
+        orientation = (1 + id % 8).toInt,
+        make = s"Make${id % 5}",
+        model = s"Model $id",
+        datetime = f"2024:01:${1 + id % 28}%02d 10:00:00",
+        dtOriginal = f"2023:12:${1 + id % 28}%02d 09:30:00",
+        pixelW = (640 + (id % 7) * 160).toInt,
+        pixelH = (480 + (id % 5) * 120).toInt)
     })
 
   /** Fixture for the web-curation composite: a response record whose

@@ -566,14 +566,205 @@ object MediaHeaders {
   val audioInfoUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf(audioInfo _)
 
-  /** Fixture complement of [[audioInfo]]: a FLAC header with a real
-    * STREAMINFO block (no audio frames — the probe reads bookkeeping).
+  /** Unified audio metadata tags across the three tag systems the
+    * web-audio containers carry: FLAC VORBIS_COMMENT blocks, Ogg
+    * Vorbis-comment / OpusTags packets (all three share the LE
+    * vendor + KEY=value list layout from the Vorbis I spec), and MP3
+    * ID3v2.3/2.4 text frames (TIT2/TPE1/TALB, latin-1 or UTF-8
+    * encodings). The dedup keys an audio-corpus pipeline joins on.
+    */
+  case class AudioTags(container: String, title: String, artist: String,
+      album: String, vendor: String, n_tags: Integer)
+
+  def audioTags(b: Array[Byte]): AudioTags = {
+    if (b == null || b.length < 8) return null
+    // the shared Vorbis-comment layout: u32le vendor len + vendor,
+    // u32le entry count, then per entry u32le len + "KEY=value" UTF-8
+    def vorbisComments(off0: Int, end: Int):
+        (String, Seq[(String, String)]) = {
+      if (off0 + 8 > end) return (null, Nil)
+      val vlen = le32(b, off0)
+      if (vlen < 0 || off0 + 4 + vlen + 4 > end) return (null, Nil)
+      val vendor = new String(b, off0 + 4, vlen.toInt, "UTF-8")
+      var p = off0 + 4 + vlen.toInt
+      val n = le32(b, p)
+      p += 4
+      if (n < 0 || n > 10000) return (vendor, Nil)
+      val out = Seq.newBuilder[(String, String)]
+      var k = 0L
+      while (k < n && p + 4 <= end) {
+        val len = le32(b, p)
+        p += 4
+        if (len < 0 || p + len > end) return (vendor, out.result())
+        val s = new String(b, p, len.toInt, "UTF-8")
+        val eq = s.indexOf('=')
+        if (eq > 0) out += ((s.substring(0, eq)
+          .toUpperCase(java.util.Locale.ROOT), s.substring(eq + 1)))
+        p += len.toInt
+        k += 1
+      }
+      (vendor, out.result())
+    }
+    def assemble(container: String, vendor: String,
+        tags: Seq[(String, String)]): AudioTags = {
+      val m = tags.toMap
+      AudioTags(container, m.getOrElse("TITLE", null),
+        m.getOrElse("ARTIST", null), m.getOrElse("ALBUM", null),
+        vendor, tags.length)
+    }
+    if (ascii(b, 0, 4) == "fLaC") {
+      var p = 4
+      while (p + 4 <= b.length) {
+        val last = (u8(b, p) & 0x80) != 0
+        val typ = u8(b, p) & 0x7f
+        val len = (u8(b, p + 1) << 16) | (u8(b, p + 2) << 8) | u8(b, p + 3)
+        val body = p + 4
+        if (body + len > b.length) return null
+        if (typ == 4) {
+          val (v, tags) = vorbisComments(body, body + len)
+          return assemble("flac", v, tags)
+        }
+        if (last) return AudioTags("flac", null, null, null, null, 0)
+        p = body + len
+      }
+      return AudioTags("flac", null, null, null, null, 0)
+    }
+    if (ascii(b, 0, 4) == "OggS") {
+      var p = 0
+      var pages = 0
+      while (p + 27 <= b.length && ascii(b, p, 4) == "OggS" &&
+        u8(b, p + 4) == 0 && pages < 100000) {
+        val nseg = u8(b, p + 26)
+        if (p + 27 + nseg > b.length) return AudioTags(
+          "ogg", null, null, null, null, 0)
+        var bodyLen = 0
+        var k = 0
+        while (k < nseg) { bodyLen += u8(b, p + 27 + k); k += 1 }
+        val body = p + 27 + nseg
+        if (body + bodyLen > b.length) return AudioTags(
+          "ogg", null, null, null, null, 0)
+        if (bodyLen >= 8 && ascii(b, body, 8) == "OpusTags") {
+          val (v, tags) = vorbisComments(body + 8, body + bodyLen)
+          return assemble("ogg", v, tags)
+        }
+        if (bodyLen >= 7 && u8(b, body) == 3 &&
+          ascii(b, body + 1, 6) == "vorbis") {
+          val (v, tags) = vorbisComments(body + 7, body + bodyLen)
+          return assemble("ogg", v, tags)
+        }
+        p = body + bodyLen
+        pages += 1
+      }
+      return AudioTags("ogg", null, null, null, null, 0)
+    }
+    if (ascii(b, 0, 3) == "ID3" && b.length >= 10) {
+      val ver = u8(b, 3)
+      val size = (u8(b, 6) << 21) | (u8(b, 7) << 14) |
+        (u8(b, 8) << 7) | u8(b, 9)
+      val end = math.min(10L + size, b.length.toLong).toInt
+      var p = 10
+      var title: String = null; var artist: String = null
+      var album: String = null; var n = 0
+      while (p + 10 <= end) {
+        val id = ascii(b, p, 4)
+        if (!id.forall(c => (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9'))) p = end // padding reached
+        else {
+          // v2.4 frame sizes are syncsafe; v2.3 plain big-endian
+          val fsz =
+            if (ver >= 4) (u8(b, p + 4) << 21) | (u8(b, p + 5) << 14) |
+              (u8(b, p + 6) << 7) | u8(b, p + 7)
+            else be32(b, p + 4).toInt
+          if (fsz < 0 || p + 10 + fsz > end) p = end
+          else {
+            if (id.startsWith("T") && fsz >= 1) {
+              val enc = u8(b, p + 10)
+              val cs = enc match {
+                case 0 => "ISO-8859-1"
+                case 1 => "UTF-16"
+                case 2 => "UTF-16BE"
+                case _ => "UTF-8"
+              }
+              val txt = new String(b, p + 11, fsz - 1, cs)
+                .takeWhile(_ != 0.toChar)
+              n += 1
+              id match {
+                case "TIT2" if title == null => title = txt
+                case "TPE1" if artist == null => artist = txt
+                case "TALB" if album == null => album = txt
+                case _ => ()
+              }
+            }
+            p += 10 + fsz
+          }
+        }
+      }
+      return AudioTags("mp3", title, artist, album, null, n)
+    }
+    null
+  }
+
+  val audioTagsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(audioTags _)
+
+  /** Shared fixture piece: one Vorbis-comment block. */
+  private def vorbisCommentBytes(vendor: String,
+      tags: Seq[(String, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le(v: Int): Unit = (0 until 4).foreach(k =>
+      out.write((v >> (8 * k)) & 0xff))
+    val vb = vendor.getBytes("UTF-8")
+    le(vb.length); out.write(vb)
+    le(tags.length)
+    tags.foreach { case (k, v) =>
+      val e = s"$k=$v".getBytes("UTF-8")
+      le(e.length); out.write(e)
+    }
+    out.toByteArray
+  }
+
+  /** Fixture complement of [[audioTags]] for MP3: an ID3v2.3 or v2.4
+    * tag with TIT2/TPE1/TALB text frames (latin-1 encoding byte 0).
+    */
+  def id3Build(title: String, artist: String, album: String,
+      v4: Boolean = false): Array[Byte] = {
+    val frames = new java.io.ByteArrayOutputStream()
+    Seq("TIT2" -> title, "TPE1" -> artist, "TALB" -> album).foreach {
+      case (id, txt) =>
+        val body = 0.toByte +: txt.getBytes("ISO-8859-1")
+        frames.write(id.getBytes("US-ASCII"))
+        val sz = body.length
+        if (v4) {
+          frames.write((sz >> 21) & 0x7f); frames.write((sz >> 14) & 0x7f)
+          frames.write((sz >> 7) & 0x7f); frames.write(sz & 0x7f)
+        } else {
+          frames.write((sz >> 24) & 0xff); frames.write((sz >> 16) & 0xff)
+          frames.write((sz >> 8) & 0xff); frames.write(sz & 0xff)
+        }
+        frames.write(0); frames.write(0)
+        frames.write(body)
+    }
+    val fb = frames.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("ID3".getBytes("US-ASCII"))
+    out.write(if (v4) 4 else 3); out.write(0); out.write(0)
+    out.write((fb.length >> 21) & 0x7f); out.write((fb.length >> 14) & 0x7f)
+    out.write((fb.length >> 7) & 0x7f); out.write(fb.length & 0x7f)
+    out.write(fb)
+    out.toByteArray
+  }
+
+  /** Fixture complement of [[audioInfo]]/[[audioTags]]: a FLAC header
+    * with a real STREAMINFO block and an optional VORBIS_COMMENT
+    * block (no audio frames — the probes read bookkeeping).
     */
   def flacBuild(sampleRate: Int, channels: Int, bitsPerSample: Int,
-      totalSamples: Long): Array[Byte] = {
+      totalSamples: Long, vendor: String = null,
+      tags: Seq[(String, String)] = Nil): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write("fLaC".getBytes("US-ASCII"))
-    out.write(0x80) // last-block flag + type 0 (STREAMINFO)
+    val withTags = vendor != null
+    out.write(if (withTags) 0x00 else 0x80) // STREAMINFO; last unless tags
     out.write(0); out.write(0); out.write(34)
     val si = new Array[Byte](34)
     si(0) = 0x10; si(1) = 0x00 // min block 4096
@@ -590,16 +781,26 @@ object MediaHeaders {
     si(16) = ((totalSamples >> 8) & 0xff).toByte
     si(17) = (totalSamples & 0xff).toByte
     out.write(si)
+    if (withTags) {
+      val vc = vorbisCommentBytes(vendor, tags)
+      out.write(0x84) // last-block + type 4 (VORBIS_COMMENT)
+      out.write((vc.length >> 16) & 0xff)
+      out.write((vc.length >> 8) & 0xff)
+      out.write(vc.length & 0xff)
+      out.write(vc)
+    }
     out.toByteArray
   }
 
-  /** Fixture complement of [[audioInfo]] for Ogg: a BOS page carrying
-    * the codec identification header (OpusHead / Vorbis id), `midPages`
-    * filler pages, and an EOS page at `lastGranule`.
+  /** Fixture complement of [[audioInfo]]/[[audioTags]] for Ogg: a BOS
+    * page carrying the codec identification header (OpusHead / Vorbis
+    * id), an optional comment page (OpusTags / Vorbis comment packet),
+    * `midPages` filler pages, and an EOS page at `lastGranule`.
     */
   def oggBuild(codec: String, channels: Int, sampleRate: Int,
       lastGranule: Long, preskip: Int = 312,
-      midPages: Int = 2): Array[Byte] = {
+      midPages: Int = 2, vendor: String = null,
+      tags: Seq[(String, String)] = Nil): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def page(flags: Int, granule: Long, seq: Int,
         payload: Array[Byte]): Unit = {
@@ -646,12 +847,205 @@ object MediaHeaders {
     }
     page(0x02, 0L, 0, idPacket) // BOS
     var s = 1
-    while (s <= midPages) {
+    if (vendor != null) {
+      val vc = vorbisCommentBytes(vendor, tags)
+      val packet =
+        if (codec == "opus") "OpusTags".getBytes("US-ASCII") ++ vc
+        else (3.toByte +: "vorbis".getBytes("US-ASCII")) ++ vc :+ 1.toByte
+      page(0, -1L, s, packet) // comment page: no granule position
+      s += 1
+    }
+    while (s <= midPages + (if (vendor != null) 1 else 0)) {
       page(0, lastGranule * s / (midPages + 1), s,
         Array.fill(16)((s * 7).toByte))
       s += 1
     }
     page(0x04, lastGranule, s, Array.fill(8)(3.toByte)) // EOS
+    out.toByteArray
+  }
+
+  // ---- JPEG EXIF (TIFF IFD walk) ------------------------------------
+  // Image provenance metadata a multimodal curation pipeline keys on:
+  // orientation (the display-correctness bit), camera make/model,
+  // capture timestamp, declared pixel dimensions. Public layout:
+  // JPEG APP1 "Exif\0\0" + TIFF 6.0 IFDs (both byte orders) with the
+  // Exif sub-IFD for DateTimeOriginal / PixelX-YDimension. Bounds-
+  // checked walk, total on arbitrary bytes; no codec decode.
+
+  /** Nulls where the tag is absent; null overall when the payload is
+    * not a JPEG with an Exif APP1 segment.
+    */
+  case class ExifInfo(byte_order: String, orientation: Integer,
+      make: String, model: String, datetime: String,
+      datetime_original: String, pixel_width: Integer,
+      pixel_height: Integer)
+
+  def exifInfo(b: Array[Byte]): ExifInfo = {
+    if (b == null || b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8)
+      return null
+    // marker walk to APP1/Exif (same walk as the JPEG probe above)
+    var p = 2
+    var tiff = -1
+    var tiffEnd = -1
+    while (tiff < 0 && p + 4 <= b.length && u8(b, p) == 0xff) {
+      val m = u8(b, p + 1)
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) p += 2
+      else {
+        val len = be16(b, p + 2)
+        if (len < 2 || p + 2 + len > b.length) return null
+        if (m == 0xe1 && len >= 14 && ascii(b, p + 4, 4) == "Exif" &&
+          u8(b, p + 8) == 0 && u8(b, p + 9) == 0) {
+          tiff = p + 10
+          tiffEnd = p + 2 + len
+        }
+        if (m == 0xda) return null // entropy-coded data: no APP1 before it
+        p += 2 + len
+      }
+    }
+    if (tiff < 0 || tiff + 8 > tiffEnd) return null
+    val le = ascii(b, tiff, 2) match {
+      case "II" => true
+      case "MM" => false
+      case _ => return null
+    }
+    def r16(i: Int): Int =
+      if (i < tiff || i + 2 > tiffEnd) -1
+      else if (le) le16(b, i) else be16(b, i)
+    def r32(i: Int): Long =
+      if (i < tiff || i + 4 > tiffEnd) -1L
+      else if (le) le32(b, i) else be32(b, i)
+    if (r16(tiff + 2) != 42) return null
+    var orientation: Integer = null
+    var make: String = null
+    var model: String = null
+    var datetime: String = null
+    var dtOrig: String = null
+    var pw: Integer = null
+    var ph: Integer = null
+    def asciiVal(typ: Int, cnt: Long, valOff: Int): String = {
+      if (typ != 2 || cnt <= 0 || cnt > (1L << 16)) return null
+      val start =
+        if (cnt <= 4) valOff
+        else {
+          val off = r32(valOff)
+          if (off < 0) return null
+          tiff + off.toInt
+        }
+      if (start < tiff || start + cnt > tiffEnd) return null
+      val s = new String(b, start, cnt.toInt, "US-ASCII")
+      val nul = s.indexOf(0.toChar) // NUL-terminated TIFF ASCII
+      (if (nul >= 0) s.substring(0, nul) else s).trim match {
+        case "" => null
+        case t => t
+      }
+    }
+    def shortOrLong(typ: Int, valOff: Int): Integer = {
+      if (typ == 3) { val v = r16(valOff); if (v >= 0) Integer.valueOf(v) else null }
+      else if (typ == 4) {
+        val v = r32(valOff)
+        if (v >= 0 && v <= Int.MaxValue) Integer.valueOf(v.toInt) else null
+      } else null
+    }
+    def walkIfd(ifdOff: Long, isExifIfd: Boolean, depth: Int): Unit = {
+      if (depth > 4 || ifdOff < 0) return
+      val base = tiff + ifdOff.toInt
+      val n = r16(base)
+      if (n < 0 || n > 512) return
+      var k = 0
+      while (k < n) {
+        val e = base + 2 + 12 * k
+        val tag = r16(e)
+        val typ = r16(e + 2)
+        val cnt = r32(e + 4)
+        val valOff = e + 8
+        tag match {
+          case 0x0112 if orientation == null =>
+            orientation = shortOrLong(typ, valOff)
+          case 0x010f if make == null => make = asciiVal(typ, cnt, valOff)
+          case 0x0110 if model == null => model = asciiVal(typ, cnt, valOff)
+          case 0x0132 if datetime == null =>
+            datetime = asciiVal(typ, cnt, valOff)
+          case 0x9003 if dtOrig == null =>
+            dtOrig = asciiVal(typ, cnt, valOff)
+          case 0xa002 if pw == null => pw = shortOrLong(typ, valOff)
+          case 0xa003 if ph == null => ph = shortOrLong(typ, valOff)
+          case 0x8769 if !isExifIfd && typ == 4 =>
+            walkIfd(r32(valOff), isExifIfd = true, depth + 1)
+          case _ => ()
+        }
+        k += 1
+      }
+    }
+    walkIfd(r32(tiff + 4), isExifIfd = false, 0)
+    ExifInfo(if (le) "II" else "MM", orientation, make, model,
+      datetime, dtOrig, pw, ph)
+  }
+
+  val exifInfoUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(exifInfo _)
+
+  /** Fixture complement of [[exifInfo]]: a minimal JPEG whose APP1
+    * carries a real two-IFD TIFF (IFD0: orientation/make/model/
+    * DateTime + Exif pointer; Exif IFD: DateTimeOriginal +
+    * PixelX/YDimension) in either byte order.
+    */
+  def exifBuild(littleEndian: Boolean, orientation: Int, make: String,
+      model: String, datetime: String, dtOriginal: String,
+      pixelW: Int, pixelH: Int): Array[Byte] = {
+    val t = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (littleEndian) { t.write(v & 0xff); t.write((v >> 8) & 0xff) }
+      else { t.write((v >> 8) & 0xff); t.write(v & 0xff) }
+    def w32(v: Long): Unit =
+      if (littleEndian) { t.write((v & 0xff).toInt)
+        t.write(((v >> 8) & 0xff).toInt); t.write(((v >> 16) & 0xff).toInt)
+        t.write(((v >> 24) & 0xff).toInt) }
+      else { t.write(((v >> 24) & 0xff).toInt)
+        t.write(((v >> 16) & 0xff).toInt); t.write(((v >> 8) & 0xff).toInt)
+        t.write((v & 0xff).toInt) }
+    val mk = make.getBytes("US-ASCII") :+ 0.toByte
+    val md = model.getBytes("US-ASCII") :+ 0.toByte
+    val dt = datetime.getBytes("US-ASCII") :+ 0.toByte
+    val dto = dtOriginal.getBytes("US-ASCII") :+ 0.toByte
+    // layout: header(8) IFD0(2+5*12+4) exifIFD(2+3*12+4) then strings
+    val ifd0 = 8L
+    val exifIfd = ifd0 + 2 + 5 * 12 + 4
+    val strBase = exifIfd + 2 + 3 * 12 + 4
+    val mkOff = strBase
+    val mdOff = mkOff + mk.length
+    val dtOff = mdOff + md.length
+    val dtoOff = dtOff + dt.length
+    t.write(if (littleEndian) 'I' else 'M')
+    t.write(if (littleEndian) 'I' else 'M')
+    w16(42); w32(ifd0)
+    def entry(tag: Int, typ: Int, cnt: Long)(value: => Unit): Unit = {
+      w16(tag); w16(typ); w32(cnt)
+      val before = t.size()
+      value
+      while (t.size() < before + 4) t.write(0)
+    }
+    w16(5)
+    entry(0x010f, 2, mk.length.toLong) { w32(mkOff) }
+    entry(0x0110, 2, md.length.toLong) { w32(mdOff) }
+    entry(0x0112, 3, 1L) { w16(orientation) }
+    entry(0x0132, 2, dt.length.toLong) { w32(dtOff) }
+    entry(0x8769, 4, 1L) { w32(exifIfd) }
+    w32(0) // no next IFD
+    w16(3)
+    entry(0x9003, 2, dto.length.toLong) { w32(dtoOff) }
+    entry(0xa002, 4, 1L) { w32(pixelW.toLong) }
+    entry(0xa003, 3, 1L) { w16(pixelH) }
+    w32(0)
+    t.write(mk); t.write(md); t.write(dt); t.write(dto)
+    val tiff = t.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xe1) // APP1
+    val segLen = 2 + 6 + tiff.length
+    out.write((segLen >> 8) & 0xff); out.write(segLen & 0xff)
+    out.write("Exif".getBytes("US-ASCII")); out.write(0); out.write(0)
+    out.write(tiff)
+    out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
   }
 

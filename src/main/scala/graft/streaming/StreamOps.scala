@@ -141,6 +141,28 @@ object StreamOps {
       }.toDF()
   }
 
+  /** Native gap-based event-time sessions via `session_window` — the
+    * scale-preferred sessionization: unlike the mapGroupsWithState
+    * form above, session state lives in the state store as plain
+    * window rows (merge handled by Spark's session-window operator),
+    * is bounded by the watermark (append mode emits a session once
+    * the watermark passes its end = last event + gap), and needs no
+    * custom state class. Exact decimal value accumulation for the
+    * same order-independence reason as [[windowedCounts]].
+    */
+  def sessionWindows(events0: DataFrame, tsCol: String = "ts",
+      gap: String = "6 hours", watermark: String = "1 day"): DataFrame =
+    normalizeTs(events0, tsCol)
+      .withWatermark(tsCol, watermark)
+      .groupBy(col("user_id"), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,6)")).cast("double")
+          .as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Watermarked tumbling-window approximate distinct-count via the
     * mergeable HLL aggregate ([[org.apache.spark.sql.graftx.Sketches]]):
     * per open (window, type) group the state store holds ONE 4 KB

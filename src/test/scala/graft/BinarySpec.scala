@@ -811,6 +811,77 @@ class BinarySpec extends SparkSpec {
     }
   }
 
+  test("audio tags: FLAC VORBIS_COMMENT, OpusTags, Vorbis comments, ID3v2.3/2.4") {
+    import graft.llm.MediaHeaders.AudioTags
+    val tags = Seq("TITLE" -> "Song A", "ARTIST" -> "Band B",
+      "ALBUM" -> "LP C", "DATE" -> "2024")
+    val flac = MediaHeaders.flacBuild(44100, 2, 16, 441000L,
+      vendor = "graftenc", tags = tags)
+    assert(MediaHeaders.audioTags(flac) ==
+      AudioTags("flac", "Song A", "Band B", "LP C", "graftenc", 4))
+    // audioInfo still reads the STREAMINFO past the extra block
+    assert(MediaHeaders.audioInfo(flac).duration_ms == 10000L)
+    val opus = MediaHeaders.oggBuild("opus", 2, 48000, 96312L,
+      vendor = "libopus", tags = tags.take(2))
+    assert(MediaHeaders.audioTags(opus) ==
+      AudioTags("ogg", "Song A", "Band B", null, "libopus", 2))
+    assert(MediaHeaders.audioInfo(opus).duration_ms == 2000L)
+    val vorb = MediaHeaders.oggBuild("vorbis", 1, 22050, 44100L,
+      vendor = "libvorbis", tags = Seq("title" -> "lower key"))
+    // keys normalize to upper case (the Vorbis spec's case rule)
+    assert(MediaHeaders.audioTags(vorb) ==
+      AudioTags("ogg", "lower key", null, null, "libvorbis", 1))
+    for (v4 <- Seq(false, true)) {
+      val mp3 = MediaHeaders.id3Build("T1", "A1", "L1", v4 = v4)
+      assert(MediaHeaders.audioTags(mp3) ==
+        AudioTags("mp3", "T1", "A1", "L1", null, 3), s"v4=$v4")
+    }
+    // tag-less containers: named, empty
+    assert(MediaHeaders.audioTags(
+      MediaHeaders.flacBuild(8000, 1, 16, 100L)).n_tags == 0)
+    assert(MediaHeaders.audioTags("junk bytes".getBytes) == null)
+    assert(MediaHeaders.audioTags(null) == null)
+    // totality: mutants + truncations over all four fixture families
+    for (base <- Seq(flac, opus, vorb,
+      MediaHeaders.id3Build("x", "y", "z"))) {
+      for (i <- base.indices; v <- Seq(0x00, 0xff)) {
+        val m = base.clone(); m(i) = v.toByte
+        MediaHeaders.audioTags(m)
+      }
+      for (n <- 0 until base.length)
+        MediaHeaders.audioTags(java.util.Arrays.copyOf(base, n))
+    }
+  }
+
+  test("jpeg exif: both byte orders round-trip, NUL-terminated strings, total") {
+    for (le <- Seq(true, false)) {
+      val jpg = MediaHeaders.exifBuild(le, orientation = 6,
+        make = "Canon", model = "EOS R5 Mark II",
+        datetime = "2024:03:01 10:20:30",
+        dtOriginal = "2024:02:28 09:00:00", pixelW = 8192, pixelH = 5464)
+      val e = MediaHeaders.exifInfo(jpg)
+      assert(e == MediaHeaders.ExifInfo(if (le) "II" else "MM", 6,
+        "Canon", "EOS R5 Mark II", "2024:03:01 10:20:30",
+        "2024:02:28 09:00:00", 8192, 5464), s"le=$le: $e")
+      // the generic image probe still sees a jpeg (no SOF → null dims)
+      assert(MediaHeaders.probe(jpg).format == "jpeg")
+    }
+    // non-exif jpeg / non-jpeg: null
+    assert(MediaHeaders.exifInfo(Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xd9.toByte)) == null)
+    assert(MediaHeaders.exifInfo("junk".getBytes) == null)
+    assert(MediaHeaders.exifInfo(null) == null)
+    // totality: every-byte x2 mutants + all truncations of a real fixture
+    val base = MediaHeaders.exifBuild(littleEndian = true, 1, "M", "X",
+      "2024:01:01 00:00:00", "2024:01:01 00:00:00", 10, 20)
+    for (i <- base.indices; v <- Seq(0x00, 0xff)) {
+      val m = base.clone(); m(i) = v.toByte
+      MediaHeaders.exifInfo(m)
+    }
+    for (n <- 0 until base.length)
+      MediaHeaders.exifInfo(java.util.Arrays.copyOf(base, n))
+  }
+
   // ---- MP4 sample tables --------------------------------------------
 
   test("mp4 sample tables: stsz/stsc/stco round-trip with keyframes") {
