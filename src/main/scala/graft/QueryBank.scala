@@ -4603,11 +4603,13 @@ object QueryBank {
 
     ("extract_text_route",
       // the mixed-corpus front door: ids cycle through PDF, DOCX,
-      // HTML, plain-text, GZIPPED plain-text, RTF, bare-SRT and
-      // subtitled-MKV payloads carrying the SAME closed-form content —
-      // the router must both dispatch the format correctly (magic
-      // bytes, container members, gzip wrapper, cue shapes, EBML) and
-      // recover identical text from every one of them
+      // HTML, plain-text, GZIPPED plain-text, RTF, bare-SRT,
+      // subtitled-MKV, zstd-wrapped WARC (named zst+warc, textless),
+      // xz-wrapped text, FLAC (named, textless) and skippable-frame-
+      // led zstd text payloads — the router must dispatch every
+      // format (magic bytes, container members, compression wrappers
+      // incl. the warc-zstd lead shape, cue shapes, EBML) and recover
+      // identical text where text exists
       (s, d) => {
         import org.apache.spark.sql.functions._
         val mixed = docs(s, d).select(col("doc_id"))
@@ -4618,11 +4620,14 @@ object QueryBank {
             col("payload_text").as("text"))
       },
       """SELECT doc_id,
-        | CASE doc_id % 8 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+        | CASE doc_id % 12 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
         |   WHEN 2 THEN 'html' WHEN 3 THEN 'text'
         |   WHEN 4 THEN 'gz+text' WHEN 5 THEN 'rtf'
-        |   WHEN 6 THEN 'subtitles' ELSE 'mkv' END AS format,
-        | 'R ' || doc_id AS text
+        |   WHEN 6 THEN 'subtitles' WHEN 7 THEN 'mkv'
+        |   WHEN 8 THEN 'zst+warc' WHEN 9 THEN 'xz+text'
+        |   WHEN 10 THEN 'flac' ELSE 'zst+text' END AS format,
+        | CASE WHEN doc_id % 12 IN (8, 10) THEN NULL
+        |   ELSE 'R ' || doc_id END AS text
         |FROM documents WHERE doc_id < 200""".stripMargin),
 
     ("parse_as_pdf_cid",
@@ -7373,7 +7378,7 @@ object QueryBank {
     * recover it from all five.
     */
   private val synthMixedDocUdf =
-    org.apache.spark.sql.functions.udf((id: Long) => (id % 8) match {
+    org.apache.spark.sql.functions.udf((id: Long) => (id % 12) match {
       case 0 => graft.sources.Pdf.build(Seq(Seq(s"R $id")))
       case 1 => graft.sources.Zip.build(Seq(("word/document.xml",
         s"<w:p><w:r><w:t>R $id</w:t></w:r></w:p>".getBytes("UTF-8"))))
@@ -7388,7 +7393,7 @@ object QueryBank {
       case 5 => s"{\\rtf1 R $id}".getBytes("UTF-8")
       case 6 => // bare SRT file: the cue text is the document text
         s"1\n00:00:01,000 --> 00:00:02,000\nR $id\n".getBytes("UTF-8")
-      case _ => // muxed MKV whose S_TEXT cue carries the text
+      case 7 => // muxed MKV whose S_TEXT cue carries the text
         graft.llm.MediaHeaders.webmBuild(Seq((0L, Seq(
           graft.llm.MediaHeaders.WebmBlockSpec(1L, 0, keyframe = true,
             useGroup = false, Array.tabulate(8)(k => ((id + k) % 256).toByte)),
@@ -7397,6 +7402,17 @@ object QueryBank {
             durationMs = 1000L)))),
           tracks = Seq((1L, "V_VP9"), (2L, "S_TEXT/UTF8")),
           docType = "matroska")
+      case 8 => // zstd-wrapped WARC shard: named zst+warc, textless
+        graft.functions.Udfs.compress(
+          (s"WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: 4" +
+            s"\r\n\r\nR $id\r\n\r\n").getBytes("UTF-8"), "zstd")
+      case 9 => // xz-wrapped text (the r16 one-level unwrap)
+        graft.functions.Udfs.compress(s"R $id".getBytes("UTF-8"), "xz")
+      case 10 => // FLAC audio: named, textless
+        graft.llm.MediaHeaders.flacBuild(44100, 2, 16, 44100L + id)
+      case _ => // skippable-frame-led zstd text (warc-zstd lead shape)
+        graft.sources.ZstdFrames.skippableFrame(Array[Byte](7, 7)) ++
+          graft.functions.Udfs.compress(s"R $id".getBytes("UTF-8"), "zstd")
     })
 
   /** Fixture: a two-chapter EPUB whose zip order is reversed vs the

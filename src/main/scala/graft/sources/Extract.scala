@@ -129,6 +129,18 @@ object Extract {
       // wrapper prefix makes the wire form visible (`zst+warc`)
       if (b.length >= 5 && b(0) == 'W' && b(1) == 'A' && b(2) == 'R' &&
         b(3) == 'C' && b(4) == '/') return ("warc", null)
+      // audio containers: NAMED, textless (the audio probes/tag
+      // readers are their decoders) — a crawl's media bucket routes
+      // to segregation instead of binary noise
+      if (b.length >= 8 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
+        b(3) == 'C') return ("flac", null)
+      if (b.length >= 28 && b(0) == 'O' && b(1) == 'g' && b(2) == 'g' &&
+        b(3) == 'S') return ("ogg", null)
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+        return ("mp3", null)
+      if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+        b(11) == 'E') return ("wav", null)
       // text-family: decode strictly — binary noise must not pass
       val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
       val s =

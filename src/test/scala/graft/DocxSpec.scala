@@ -225,6 +225,13 @@ class DocxSpec extends SparkSpec {
       "<html><body><p>[Events] are listed here</p></body></html>"
     assert(Extract.extractAny(trickyHtml.getBytes("UTF-8")) ==
       (("html", "[Events] are listed here")))
+    // audio containers route to segregation, not binary noise
+    assert(Extract.extractAny(graft.llm.MediaHeaders.flacBuild(
+      8000, 1, 16, 100L)) == (("flac", null)))
+    assert(Extract.extractAny(graft.llm.MediaHeaders.oggBuild(
+      "opus", 2, 48000, 48000L)) == (("ogg", null)))
+    assert(Extract.extractAny(graft.llm.MediaHeaders.id3Build(
+      "t", "a", "l")) == (("mp3", null)))
     assert(Extract.extractAny(Array[Byte]('7', 'z', 0xbc.toByte,
       0xaf.toByte, 0x27, 0x1c)) == (("7z", null)))
     assert(Extract.extractAny(

@@ -638,6 +638,49 @@ class PropertySpec extends AnyFunSuite {
       total(java.util.Arrays.copyOf(fixture, n), s"truncation at $n")
   }
 
+  test("warc-zstd dictionary shards: total on every-byte mutants and " +
+      "all truncations (r16 fix class)") {
+    // The r16 skippable-frame/dictionary path is new attack surface:
+    // sweep a REAL dictionary shard ([skippable dict][2 dict frames])
+    // with every-byte x2 mutants + all truncations through the full
+    // record splitter — zero records is fine, a throw or a hang is not.
+    import graft.sources.ZstdFrames
+    val recs = (1 to 2).map { i =>
+      val body = s"fuzz body $i"
+      (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n$body\r\n\r\n")
+        .getBytes("UTF-8")
+    }
+    val samples = (0 until 300).map(i =>
+      s"WARC/1.0 sample $i fuzz body content".getBytes("UTF-8"))
+    val dict = ZstdFrames.trainDict(samples, 2048)
+    val shard = ZstdFrames.skippableFrame(dict) ++
+      recs.map(r2 => ZstdFrames.compressWithDict(r2, dict)).reduce(_ ++ _)
+    // sanity: unmutated shard parses both records
+    assert(graft.sources.Warc.parseAll(shard).length == 2)
+    for (i <- shard.indices; v <- Seq(0x00, 0xff)) {
+      val m = shard.clone(); m(i) = v.toByte
+      try graft.sources.Warc.parseAll(m)
+      catch { case scala.util.control.NonFatal(e) =>
+        fail(s"warc-zst fuzz threw at byte $i -> $v: " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    for (n <- 0 until shard.length) {
+      try graft.sources.Warc.parseAll(java.util.Arrays.copyOf(shard, n))
+      catch { case scala.util.control.NonFatal(e) =>
+        fail(s"warc-zst truncation threw at $n: " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+    // and the decompress kernel with the same shard bytes (non-
+    // continuous mode): total under mutation, null on garbage
+    for (i <- shard.indices by 7) {
+      val m = shard.clone(); m(i) = 0x5a.toByte
+      graft.functions.Udfs.decompress(m, "zstd")
+    }
+  }
+
   test("png/gif decoders: total on corrupted VALID images") {
     val pal = Array.tabulate(48)(i => (i * 11).toByte)
     val idx = Array.tabulate(60)(i => (i % 16).toByte)
