@@ -4974,6 +4974,33 @@ object QueryBank {
         | CAST(CASE doc_id % 4 WHEN 1 THEN 2 ELSE 3 END AS INT) AS n_tags
         |FROM documents WHERE doc_id < 300""".stripMargin),
 
+    ("multimodal_mp4_subtitles",
+      // MP4 timed text (3GPP tx3g), the MKV-subtitle counterpart: a
+      // MUXED fixture (avc1 video trak first, tx3g second) exercises
+      // the stsd codec routing, the per-trak stts+mdhd pairing at a
+      // 90 kHz text-track timescale, and the u16-length sample
+      // decode. DuckDB rebuilds every cue closed-form.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        docs(s, d).select(col("doc_id")).filter(col("doc_id") < 200)
+          .withColumn("payload", synthMp4SubsUdf(col("doc_id")))
+          .select(col("doc_id"), explode(
+            graft.llm.MediaHeaders.mp4SubtitlesUdf(col("payload")))
+            .as("c"))
+          .select(col("doc_id"),
+            col("c.track").as("track"),
+            col("c.start").as("start"),
+            col("c.duration").as("duration"),
+            col("c.text").as("text"))
+      },
+      """SELECT doc_id, CAST(1 AS INT) AS track,
+        | CAST(1000*k + 250*k*(k-1) AS BIGINT) AS start,
+        | CAST(1000 + 500*k AS BIGINT) AS duration,
+        | 'cue ' || doc_id || '-' || k AS text
+        |FROM documents
+        |CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) t
+        |WHERE doc_id < 200 AND k < 2 + doc_id % 3""".stripMargin),
+
     ("multimodal_exif",
       // JPEG EXIF provenance walk: APP1 TIFF IFDs in BOTH byte orders
       // (ids alternate II/MM), IFD0 orientation/make/model/DateTime +
@@ -7897,6 +7924,25 @@ object QueryBank {
         case _ => graft.llm.MediaHeaders.id3Build(title, artist, album,
           v4 = (id / 4) % 2 == 0)
       }
+    })
+
+  /** Fixture: a muxed ISO-BMFF file per row — avc1 video trak + tx3g
+    * text trak with 2 + id%3 cues at a 90 kHz track timescale; cue k
+    * starts at 1000k + 250k(k-1) ms and runs 1000 + 500k ms.
+    */
+  private val synthMp4SubsUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      import graft.llm.MediaHeaders.Mp4TrackSpec
+      val nCues = (2 + id % 3).toInt
+      val video = Mp4TrackSpec("avc1",
+        (0 until 3).map(i => Array.fill(8)(((id + i) % 256).toByte)),
+        deltas = Seq(40L, 40L, 40L))
+      val text = Mp4TrackSpec("tx3g",
+        (0 until nCues).map(k =>
+          graft.llm.MediaHeaders.tx3gSample(s"cue $id-$k")),
+        deltas = (0 until nCues).map(k => (1000L + 500L * k) * 90),
+        timescale = 90000L)
+      graft.llm.MediaHeaders.mp4BuildTracks(Seq(video, text))
     })
 
   /** Fixture: a minimal JPEG with a real two-IFD EXIF TIFF per row,

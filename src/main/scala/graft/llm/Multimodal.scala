@@ -1985,19 +1985,21 @@ object MediaHeaders {
     var stts: Array[(Long, Long)] = null // (sample_count, delta) runs
     var timescale = 1000L // mdhd ticks/second; 1000 = ms if absent
     var timescaleSet = false
+    var codec: String = null // stsd first-entry fourcc (avc1/mp4a/tx3g/...)
     // a usable track has the three tables sample layout needs
     def complete: Boolean = sizes != null && chunkOffsets != null &&
       stsc != null && stsc.nonEmpty
   }
 
-  def mp4Samples(b: Array[Byte]): Seq[Mp4Sample] = {
+  /** All COMPLETE traks in document order (boxes outside any trak —
+    * off-spec flat files and our own minimal fixtures — accumulate in
+    * a root fallback appended last when no real trak completed).
+    */
+  private def mp4Traks(b: Array[Byte]): Seq[Mp4Tables] = {
     if (b == null || b.length < 16 || ascii(b, 4, 4) != "ftyp")
       return Seq.empty
-    // FIRST COMPLETE TRAK wins; boxes found outside any trak
-    // (off-spec flat files, and our own minimal fixtures) accumulate
-    // in `root` as the fallback
     val root = new Mp4Tables
-    var chosen: Mp4Tables = null
+    val traks = scala.collection.mutable.ArrayBuffer.empty[Mp4Tables]
     def walk(from: Long, to: Long, depth: Int, t: Mp4Tables): Unit = {
       var p = from
       while (p + 8 <= to && depth < 8) {
@@ -2014,11 +2016,10 @@ object MediaHeaders {
         id match {
           case "trak" =>
             // each trak gets its OWN table set, so stts/mdhd can only
-            // pair with sample tables from the same subtree; the
-            // first trak that yields a complete set wins
+            // pair with sample tables from the same subtree
             val ctx = new Mp4Tables
             walk(body, end, depth + 1, ctx)
-            if (chosen == null && ctx.complete) chosen = ctx
+            if (ctx.complete) traks += ctx
           case "moov" | "mdia" | "minf" | "stbl" =>
             walk(body, end, depth + 1, t)
           case "stsz" if t.sizes == null && body + 12 <= to =>
@@ -2060,6 +2061,10 @@ object MediaHeaders {
                 (be32(b, (body + 8 + 8L * i).toInt),
                   be32(b, (body + 12 + 8L * i).toInt))
               }
+          case "stsd" if t.codec == null && body + 16 <= to =>
+            // fullbox(4) + entry_count(4) + first entry: size(4) +
+            // fourcc(4) — the codec identity a track router needs
+            t.codec = ascii(b, (body + 12).toInt, 4)
           case "mdhd" if !t.timescaleSet && body + 4 <= to =>
             // timescale sits past the version-dependent create/modify
             // times: v0 at +12 (two u32 times), v1 at +20 (two u64)
@@ -2074,10 +2079,18 @@ object MediaHeaders {
       }
     }
     walk(0L, b.length.toLong, 0, root)
-    val tbl =
-      if (chosen != null) chosen
-      else if (root.complete) root
-      else return Seq.empty
+    if (traks.nonEmpty) traks.toSeq
+    else if (root.complete) Seq(root)
+    else Seq.empty
+  }
+
+  /** First-complete-trak samples (the prior behavior, unchanged). */
+  def mp4Samples(b: Array[Byte]): Seq[Mp4Sample] =
+    mp4Traks(b).headOption.map(t => expandMp4Samples(b, t))
+      .getOrElse(Seq.empty)
+
+  private def expandMp4Samples(b: Array[Byte],
+      tbl: Mp4Tables): Seq[Mp4Sample] = {
     val sizes = tbl.sizes
     val chunkOffsets = tbl.chunkOffsets
     val stsc = tbl.stsc
@@ -2127,6 +2140,141 @@ object MediaHeaders {
       chunk += 1
     }
     out.result()
+  }
+
+  /** One timed-text cue from an MP4 tx3g/text track (3GPP TS 26.245):
+    * start/duration in ms from the track's own stts+mdhd; text from
+    * the u16-big-endian-length-prefixed sample payload.
+    */
+  case class Mp4Cue(track: Int, start: Long, duration: Long, text: String)
+
+  /** Timed-text cues from the first tx3g/text/sbtt track — the MP4
+    * counterpart of [[webmSubtitles]]: a muxed video's caption track
+    * IS its training text. Tracks are routed by the stsd fourcc, so a
+    * video/audio trak appearing first no longer hides the text track.
+    * Total on arbitrary bytes; empty when no text track exists.
+    */
+  def mp4Subtitles(b: Array[Byte]): Seq[Mp4Cue] = {
+    val traks = mp4Traks(b)
+    val textCodecs = Set("tx3g", "text", "sbtt")
+    traks.zipWithIndex.collectFirst {
+      case (t, k) if t.codec != null && textCodecs.contains(t.codec) =>
+        val samples = expandMp4Samples(b, t)
+        val lastDeltaMs =
+          if (t.stts != null && t.stts.nonEmpty)
+            t.stts.last._2 * 1000L / t.timescale
+          else -1L
+        samples.zipWithIndex.flatMap { case (s0, i) =>
+          if (s0.offset < 0 || s0.size < 2 ||
+            s0.offset + s0.size > b.length) None
+          else {
+            val off = s0.offset.toInt
+            val len = be16(b, off)
+            if (len < 0 || off + 2 + len > b.length ||
+              len > s0.size - 2) None
+            else {
+              val txt = new String(b, off + 2, len, "UTF-8")
+              val dur =
+                if (s0.timestamp < 0) -1L
+                else if (i + 1 < samples.length &&
+                  samples(i + 1).timestamp >= 0)
+                  samples(i + 1).timestamp - s0.timestamp
+                else lastDeltaMs
+              // empty cues are gaps between subtitles, not text
+              if (txt.isEmpty) None
+              else Some(Mp4Cue(k, s0.timestamp, dur, txt))
+            }
+          }
+        }
+    }.getOrElse(Seq.empty)
+  }
+
+  val mp4SubtitlesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(mp4Subtitles _)
+
+  /** Fixture complement of [[mp4Subtitles]]: a MUXED ISO-BMFF file —
+    * one moov holding N traks (each with its own stsd fourcc,
+    * stsz/stsc/stco, optional stts+mdhd), all samples laid out in one
+    * mdat at the offsets the tables declare. Text-track samples must
+    * already carry their u16-length prefix (use [[tx3gSample]]).
+    */
+  case class Mp4TrackSpec(codec: String, samples: Seq[Array[Byte]],
+      deltas: Seq[Long] = Nil, timescale: Long = 1000L,
+      samplesPerChunk: Int = 2)
+
+  def tx3gSample(text: String): Array[Byte] = {
+    val tb = text.getBytes("UTF-8")
+    Array(((tb.length >> 8) & 0xff).toByte,
+      (tb.length & 0xff).toByte) ++ tb
+  }
+
+  def mp4BuildTracks(tracks: Seq[Mp4TrackSpec]): Array[Byte] = {
+    def be(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(id: String, payload: Array[Byte]): Array[Byte] =
+      be(8L + payload.length) ++ id.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be(0) ++
+      "isomiso2".getBytes("US-ASCII"))
+    def trakBytes(t: Mp4TrackSpec, chunkOffs: Seq[Long]): Array[Byte] = {
+      val n = t.samples.length
+      val nChunks = (n + t.samplesPerChunk - 1) / t.samplesPerChunk
+      val stsdB = box("stsd", be(0) ++ be(1) ++
+        box(t.codec, new Array[Byte](8)))
+      val stszB = box("stsz", be(0) ++ be(0) ++ be(n.toLong) ++
+        t.samples.flatMap(s0 => be(s0.length.toLong)).toArray)
+      val stscB = box("stsc", be(0) ++ be(1) ++
+        (be(1) ++ be(t.samplesPerChunk.toLong) ++ be(1)))
+      val stcoB = box("stco", be(0) ++ be(nChunks.toLong) ++
+        chunkOffs.flatMap(be).toArray)
+      val sttsB =
+        if (t.deltas.isEmpty) Array.emptyByteArray
+        else {
+          val runs = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long)]
+          t.deltas.foreach { dlt =>
+            if (runs.nonEmpty && runs.last._2 == dlt)
+              runs(runs.length - 1) = (runs.last._1 + 1, dlt)
+            else runs += ((1L, dlt))
+          }
+          box("stts", be(0) ++ be(runs.length.toLong) ++
+            runs.flatMap { case (c, dl) => be(c) ++ be(dl) }.toArray)
+        }
+      val mdhdB =
+        if (t.deltas.isEmpty) Array.emptyByteArray
+        else box("mdhd", be(0) ++ be(0) ++ be(0) ++ be(t.timescale) ++
+          be(t.deltas.sum) ++ be(0))
+      val stbl = box("stbl", stsdB ++ stszB ++ stscB ++ stcoB ++ sttsB)
+      box("trak", box("mdia", mdhdB ++ box("minf", stbl)))
+    }
+    // two-pass: zero offsets to learn the layout, then patch
+    def assemble(offsetsPerTrack: Seq[Seq[Long]]): Array[Byte] = {
+      val moov = box("moov",
+        tracks.zip(offsetsPerTrack).flatMap { case (t, o) =>
+          trakBytes(t, o)
+        }.toArray)
+      val mdat = box("mdat", tracks.flatMap(_.samples.flatten).toArray)
+      ftyp ++ moov ++ mdat
+    }
+    val zeroOffs = tracks.map { t =>
+      Seq.fill((t.samples.length + t.samplesPerChunk - 1) /
+        t.samplesPerChunk)(0L)
+    }
+    val probe = assemble(zeroOffs)
+    val mdatStart =
+      probe.length - tracks.map(_.samples.map(_.length).sum).sum + 0
+    var cursor = mdatStart.toLong
+    val realOffs = tracks.map { t =>
+      val offs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var inChunk = 0
+      t.samples.foreach { s0 =>
+        if (inChunk == 0) offs += cursor
+        cursor += s0.length
+        inChunk = (inChunk + 1) % t.samplesPerChunk
+      }
+      offs.toSeq
+    }
+    assemble(realOffs)
   }
 
   /** Fixture complement of [[mp4Samples]]: a minimal ISO-BMFF file

@@ -123,6 +123,15 @@ object Extract {
         return ("mkv",
           if (cues.isEmpty) null else cues.map(_.text).mkString("\n"))
       }
+      // MP4/ISO-BMFF: the tx3g/text timed-text track is the video's
+      // text (parity with the MKV leg); caption-less video routes as
+      // (mp4, null)
+      if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+        b(7) == 'p') {
+        val cues = graft.llm.MediaHeaders.mp4Subtitles(b)
+        return ("mp4",
+          if (cues.isEmpty) null else cues.map(_.text).mkString("\n"))
+      }
       // WARC envelope (a .zst/.gz-wrapped crawl shard routed through
       // the wrapper legs above lands here): NAMED — record routing is
       // parse-as-warc's job, same contract as the zip leg; the

@@ -975,6 +975,49 @@ class BinarySpec extends SparkSpec {
     assert(got.map(_.size) == Seq(4L, 4L, 4L))
   }
 
+  test("mp4 timed text: tx3g track routed by stsd, muxed with video, " +
+      "timestamps from its own mdhd") {
+    import graft.llm.MediaHeaders.{Mp4TrackSpec, Mp4Cue}
+    // muxed file: video trak FIRST (avc1, no captions), tx3g second —
+    // the codec routing must find the text track past the video one
+    val video = Mp4TrackSpec("avc1",
+      (0 until 4).map(i => Array.fill(10 + i)(i.toByte)),
+      deltas = Seq(40L, 40L, 40L, 40L), timescale = 1000L)
+    val text = Mp4TrackSpec("tx3g",
+      Seq("first cue", "second cue", "third cue")
+        .map(MediaHeaders.tx3gSample),
+      // 90 kHz track timescale: 2 s, 3 s, 1 s cues
+      deltas = Seq(180000L, 270000L, 90000L), timescale = 90000L)
+    val muxed = MediaHeaders.mp4BuildTracks(Seq(video, text))
+    val cues = MediaHeaders.mp4Subtitles(muxed)
+    assert(cues == Seq(
+      Mp4Cue(1, 0L, 2000L, "first cue"),
+      Mp4Cue(1, 2000L, 3000L, "second cue"),
+      Mp4Cue(1, 5000L, 1000L, "third cue")), cues)
+    // mp4Samples still reads the FIRST trak (the video)
+    val vs = MediaHeaders.mp4Samples(muxed)
+    assert(vs.length == 4 && vs.map(_.size) == Seq(10L, 11L, 12L, 13L))
+    assert(vs.map(_.timestamp) == Seq(0L, 40L, 80L, 120L))
+    // extract-text: the caption track IS the video's text
+    assert(graft.sources.Extract.extractAny(muxed) ==
+      (("mp4", "first cue\nsecond cue\nthird cue")))
+    // caption-less video: named, textless
+    val bare = MediaHeaders.mp4BuildTracks(Seq(video))
+    assert(MediaHeaders.mp4Subtitles(bare).isEmpty)
+    assert(graft.sources.Extract.extractAny(bare) == (("mp4", null)))
+    // the single-trak builder keeps working through the refactor
+    val legacy = MediaHeaders.mp4Build(
+      (0 until 3).map(i => Array.fill(4)(i.toByte)), 2, Seq(1))
+    assert(MediaHeaders.mp4Samples(legacy).length == 3)
+    // totality: mutants + truncations over the muxed fixture
+    for (i <- muxed.indices; v <- Seq(0x00, 0xff)) {
+      val m = muxed.clone(); m(i) = v.toByte
+      MediaHeaders.mp4Subtitles(m)
+    }
+    for (n <- 0 until muxed.length)
+      MediaHeaders.mp4Subtitles(java.util.Arrays.copyOf(muxed, n))
+  }
+
   test("sampleFramesMp4 emits real samples; keyframesOnly filters") {
     import org.apache.spark.sql.Row
     val samples = (0 until 6).map(i => Array.fill(4)(i.toByte))
