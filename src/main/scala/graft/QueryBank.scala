@@ -4941,6 +4941,28 @@ object QueryBank {
         |   AS duration_ms
         |FROM documents WHERE doc_id < 300""".stripMargin),
 
+    ("multimodal_tiff_webp_probe",
+      // TIFF (II/MM byte orders, SHORT/LONG IFD entry types) and WebP
+      // (VP8 lossy sync-coded 14-bit dims, VP8L packed 14-bit
+      // minus-one, VP8X 24-bit LE canvas) header probes — the two
+      // remaining common web image containers. One closed-form
+      // dimension formula across all five shapes: a slip in any entry
+      // walk or bit unpack breaks the hash.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        docs(s, d).select(col("doc_id")).filter(col("doc_id") < 250)
+          .withColumn("payload", synthTiffWebpUdf(col("doc_id")))
+          .select(col("doc_id"),
+            graft.llm.MediaHeaders.probeUdf(col("payload")).as("p"))
+          .select(col("doc_id"), col("p.format").as("format"),
+            col("p.width").as("width"), col("p.height").as("height"))
+      },
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 5 IN (0, 1) THEN 'tiff' ELSE 'webp' END AS format,
+        | CAST(100 + doc_id % 50 AS INT) AS width,
+        | CAST(80 + doc_id % 40 AS INT) AS height
+        |FROM documents WHERE doc_id < 250""".stripMargin),
+
     ("multimodal_audio_tags",
       // the three tag systems web audio carries, one per id class:
       // FLAC VORBIS_COMMENT (≡0 mod 4), OpusTags (≡1), Ogg Vorbis
@@ -7616,6 +7638,79 @@ object QueryBank {
         (s"s$id.jpg", s"IMG$id-payload".getBytes("UTF-8")),
         (s"s$id.cls", (id % 10).toString.getBytes("UTF-8")),
         (s"s$id.json", s"""{"id":$id}""".getBytes("UTF-8")))))
+
+  /** Fixture: TIFF (both byte orders, SHORT and LONG dimension entry
+    * types) and WebP (all three first-chunk forms: VP8 lossy, VP8L
+    * lossless, VP8X extended) headers, one shape per id class —
+    * dimensions follow one closed-form formula so the oracle states
+    * every row. A slip in the IFD entry walk, the left-justified
+    * inline-value rule, the VP8L 14-bit packing, or the VP8X 24-bit LE
+    * minus-one fields breaks the hash.
+    */
+  private[graft] def tiffWebpFixture(id: Long): Array[Byte] = {
+    val w = (100 + id % 50).toInt
+    val h = (80 + id % 40).toInt
+    (id % 5) match {
+      case 0 => // little-endian TIFF, SHORT dims
+        val b = new Array[Byte](38)
+        b(0) = 'I'; b(1) = 'I'; b(2) = 0x2a; b(3) = 0
+        b(4) = 8 // IFD offset LE32
+        b(8) = 2 // entry count LE16
+        def entLe(o: Int, tag: Int, v: Int): Unit = {
+          b(o) = (tag & 0xff).toByte; b(o + 1) = (tag >> 8).toByte
+          b(o + 2) = 3 // SHORT
+          b(o + 4) = 1 // count
+          b(o + 8) = (v & 0xff).toByte; b(o + 9) = (v >> 8).toByte
+        }
+        entLe(10, 256, w); entLe(22, 257, h)
+        b
+      case 1 => // big-endian TIFF, LONG dims
+        val b = new Array[Byte](38)
+        b(0) = 'M'; b(1) = 'M'; b(2) = 0; b(3) = 0x2a
+        b(7) = 8 // IFD offset BE32
+        b(9) = 2 // entry count BE16
+        def entBe(o: Int, tag: Int, v: Int): Unit = {
+          b(o) = (tag >> 8).toByte; b(o + 1) = (tag & 0xff).toByte
+          b(o + 3) = 4 // LONG
+          b(o + 7) = 1 // count
+          b(o + 10) = (v >> 8).toByte; b(o + 11) = (v & 0xff).toByte
+        }
+        entBe(10, 256, w); entBe(22, 257, h)
+        b
+      case _ =>
+        val payload: Array[Byte] = (id % 5) match {
+          case 2 => // VP8 lossy: frame tag + 9D 01 2A sync + LE14 dims
+            Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a,
+              (w & 0xff).toByte, (w >> 8).toByte,
+              (h & 0xff).toByte, (h >> 8).toByte)
+          case 3 => // VP8L: 2F + (w-1 | (h-1)<<14) LE32
+            val bits = (w - 1).toLong | ((h - 1).toLong << 14)
+            Array[Byte](0x2f,
+              (bits & 0xff).toByte, ((bits >> 8) & 0xff).toByte,
+              ((bits >> 16) & 0xff).toByte, ((bits >> 24) & 0xff).toByte,
+              0, 0, 0, 0, 0)
+          case _ => // VP8X: flags+reserved, then 24-bit LE minus-one dims
+            Array[Byte](0, 0, 0, 0,
+              ((w - 1) & 0xff).toByte, ((w - 1) >> 8).toByte, 0,
+              ((h - 1) & 0xff).toByte, ((h - 1) >> 8).toByte, 0)
+        }
+        val fourcc = (id % 5) match {
+          case 2 => "VP8 "; case 3 => "VP8L"; case _ => "VP8X"
+        }
+        val b = new Array[Byte](20 + payload.length)
+        "RIFF".getBytes.copyToArray(b, 0)
+        val riffLen = 12 + payload.length
+        b(4) = (riffLen & 0xff).toByte; b(5) = ((riffLen >> 8) & 0xff).toByte
+        "WEBP".getBytes.copyToArray(b, 8)
+        fourcc.getBytes.copyToArray(b, 12)
+        b(16) = (payload.length & 0xff).toByte
+        payload.copyToArray(b, 20)
+        b
+    }
+  }
+
+  private val synthTiffWebpUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => tiffWebpFixture(id))
 
   private val synthEbmlUdf =
     org.apache.spark.sql.functions.udf((id: Long) => {

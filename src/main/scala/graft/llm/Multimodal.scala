@@ -242,6 +242,65 @@ object MediaHeaders {
     // BMP: "BM", BITMAPINFOHEADER width LE32 @18, height LE32 @22
     if (b.length >= 26 && ascii(b, 0, 2) == "BM")
       return Probe("bmp", le32(b, 18).toInt, math.abs(le32(b, 22).toInt), null)
+    // TIFF: "II*\0" (little-endian) or "MM\0*" (big-endian), IFD0
+    // offset at 4; IFD = count(2) + count x 12-byte entries of
+    // tag(2) type(2) count(4) value(4, left-justified inline when it
+    // fits). Dimensions are tags 256 (ImageWidth) / 257 (ImageLength),
+    // stored as SHORT (type 3) or LONG (type 4). Layout: TIFF 6.0.
+    if ((ascii(b, 0, 2) == "II" && u8(b, 2) == 0x2a && u8(b, 3) == 0) ||
+        (ascii(b, 0, 2) == "MM" && u8(b, 2) == 0 && u8(b, 3) == 0x2a)) {
+      val le = u8(b, 0) == 'I'
+      def r16(i: Int): Int = if (le) le16(b, i) else be16(b, i)
+      def r32(i: Int): Long = if (le) le32(b, i) else be32(b, i)
+      var w: Integer = null
+      var h: Integer = null
+      val ifd = r32(4)
+      if (ifd >= 8 && ifd + 2 <= b.length) {
+        val n = r16(ifd.toInt)
+        var e = 0
+        while (e < n && ifd + 2 + (e + 1) * 12 <= b.length) {
+          val off = (ifd + 2 + e * 12).toInt
+          val tag = r16(off)
+          if (tag == 256 || tag == 257) {
+            val typ = r16(off + 2)
+            // inline value, left-justified: SHORT reads the first
+            // two value bytes, LONG all four
+            val v: Long =
+              if (typ == 3) r16(off + 8).toLong
+              else if (typ == 4) r32(off + 8)
+              else -1L
+            if (v >= 0 && v <= Int.MaxValue) {
+              if (tag == 256) w = v.toInt else h = v.toInt
+            }
+          }
+          e += 1
+        }
+      }
+      return Probe("tiff", w, h, null)
+    }
+    // WebP: RIFF container, "WEBP" form at 8, first chunk at 12 —
+    // "VP8 " (lossy: 3-byte frame tag, 9D 01 2A sync, 14-bit LE w/h),
+    // "VP8L" (lossless: 2F signature, two packed 14-bit minus-one
+    // fields), or "VP8X" (extended: 24-bit LE canvas minus-one).
+    // Layout: Google WebP container + VP8/VP8L bitstream specs.
+    if (b.length >= 30 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WEBP") {
+      val chunk = ascii(b, 12, 4)
+      if (chunk == "VP8 " && u8(b, 23) == 0x9d && u8(b, 24) == 0x01 &&
+          u8(b, 25) == 0x2a)
+        return Probe("webp", le16(b, 26) & 0x3fff, le16(b, 28) & 0x3fff, null)
+      if (chunk == "VP8L" && u8(b, 20) == 0x2f) {
+        val bits = le32(b, 21)
+        val w = ((bits & 0x3fff) + 1).toInt
+        val h = (((bits >> 14) & 0x3fff) + 1).toInt
+        return Probe("webp", w, h, null)
+      }
+      if (chunk == "VP8X" && b.length >= 30) {
+        val w = (le16(b, 24) | (u8(b, 26) << 16)) + 1
+        val h = (le16(b, 27) | (u8(b, 29) << 16)) + 1
+        return Probe("webp", w, h, null)
+      }
+      return Probe("webp", null, null, null)
+    }
     // JPEG: FF D8, then marker walk to SOFn (C0-CF minus C4/C8/CC):
     // marker FF xx, len(2,BE), precision(1), height(2,BE), width(2,BE)
     if (u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {

@@ -547,7 +547,13 @@ class PropertySpec extends AnyFunSuite {
           tracks = Seq((1L, "V_VP9"), (2L, "S_TEXT/UTF8")),
           docType = "matroska")
       }, (b: Array[Byte]) => graft.sources.Extract.extractAny(b)),
-      ("router", epub, (b: Array[Byte]) => graft.sources.Extract.extractAny(b)))
+      ("router", epub, (b: Array[Byte]) => graft.sources.Extract.extractAny(b)),
+      ("tiff", QueryBank.tiffWebpFixture(0),
+        (b: Array[Byte]) => graft.llm.MediaHeaders.probe(b)),
+      ("tiffBe", QueryBank.tiffWebpFixture(1),
+        (b: Array[Byte]) => graft.llm.MediaHeaders.probe(b)),
+      ("webp", QueryBank.tiffWebpFixture(3),
+        (b: Array[Byte]) => graft.llm.MediaHeaders.probe(b)))
     val rnd = new scala.util.Random(1234)
     for ((name, base, parse) <- targets) {
       (0 until 200).foreach { trial =>
