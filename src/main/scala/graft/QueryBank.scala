@@ -5940,6 +5940,49 @@ object QueryBank {
         | (4, 116, 'e5f00942679257f42f49ac536d406257'))
         | v(i, n, m)""".stripMargin),
 
+    ("wordpiece_token_count",
+      // corpus-trained BERT-style WordPiece subword counts, verified
+      // as a per-lang rollup: training is the deterministic
+      // likelihood-scored merge loop over the bounded word-frequency
+      // table, so the learned vocabulary — and every derived count —
+      // is fixture-stable at sf0.01. vocab 60 leaves only ~10 merge
+      // slots above the ~50-symbol alphabet, forcing real subword
+      // splits. (Pinned-rollup pattern, same as bpe/unigram; DuckDB
+      // cannot replay the merge loop.)
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.llm.WordPiece.tokenCount(docs(s, d), "text", vocabSize = 60)
+          .groupBy(col("lang"))
+          .agg(sum(col("text_wordpiece_tokens")).as("wordpiece_tokens"),
+            count(lit(1)).as("docs"))
+      },
+      """SELECT lang, CAST(t AS BIGINT) AS wordpiece_tokens,
+        | CAST(n AS BIGINT) AS docs
+        |FROM (VALUES ('de', 13414, 70), ('en', 44189, 218), ('es', 14982, 73),
+        |  ('fr', 14173, 64), ('zh', 15783, 75)) v(lang, t, n)""".stripMargin),
+
+    ("wordpiece_encode",
+      // the encode half: greedy longest-match-first piece streams for
+      // a 5-doc probe slice, pinned — training is a pure function of
+      // the word-frequency table. (Pinned-fixture pattern, same as
+      // bpe_encode/unigram_encode.)
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        r("wordpiece-encode :text 60")(docs(s, d))
+          .filter(col("doc_id") < 5)
+          .select(col("doc_id"),
+            size(col("text_wordpiece")).as("n_pieces"),
+            md5(concat_ws("|", col("text_wordpiece"))).as("wordpiece_md5"))
+      },
+      """SELECT CAST(i AS BIGINT) AS doc_id, CAST(n AS INT) AS n_pieces,
+        | m AS wordpiece_md5 FROM (VALUES
+        | (0, 108, '9a83d0fec928a8329b8510b573d8ff09'),
+        | (1, 274, '1fdb8616cb5febff68288fb37ab46d43'),
+        | (2, 167, '5b783c0034a69aecf35df1563728f947'),
+        | (3, 97, 'cca5ec2611285b1a4370e4f46bc8b58c'),
+        | (4, 166, 'ad1f39d1abd872f4757df0f6d5309851'))
+        | v(i, n, m)""".stripMargin),
+
     ("select_budget",
       // best-quality token-budget subset: inclusive running token sum
       // in (quality desc, doc_id asc) order, stop at the first

@@ -581,6 +581,25 @@ object LlmOps {
       graft.llm.UnigramLm.encodeColumn(df, spec.col(0), model)
     }
 
+    // `wordpiece-token-count :text [vocabSize] [maxWords]` — BERT-style
+    // WordPiece subword count (llm/WordPiece): bounded word-freq top-k
+    // -> driver likelihood-scored merge loop -> broadcast vocab ->
+    // map-only greedy longest-match encode
+    case "wordpiece-token-count" => ColumnOps.simple(spec) { df =>
+      graft.llm.WordPiece.tokenCount(df, spec.col(0),
+        vocabSize = spec.optStr(1).map(_.toInt).getOrElse(2000),
+        maxWords = spec.optStr(2).map(_.toInt).getOrElse(50000))
+    }
+
+    // `wordpiece-encode :text [vocabSize] [maxWords]` — same training,
+    // appends the piece ARRAY as `<col>_wordpiece`
+    case "wordpiece-encode" => ColumnOps.simple(spec) { df =>
+      val model = graft.llm.WordPiece.train(df, spec.col(0),
+        vocabSize = spec.optStr(1).map(_.toInt).getOrElse(2000),
+        maxWords = spec.optStr(2).map(_.toInt).getOrElse(50000))
+      graft.llm.WordPiece.encodeColumn(df, spec.col(0), model)
+    }
+
     // `select-budget :tokens :order :id budget` — quality-ordered
     // token-budget corpus subsetting: keep best-`order` rows while the
     // running token total stays ≤ budget (llm/Packing.selectBudget;
