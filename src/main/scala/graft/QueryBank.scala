@@ -4810,6 +4810,35 @@ object QueryBank {
       },
       "SELECT doc_id FROM documents WHERE doc_id < 100"),
 
+    ("parse_as_7z",
+      // 7z member ingestion (the archive format left after zip/tar):
+      // Copy archives for even ids, LZMA2 solid archives — which also
+      // carry compressed ENCODED headers — for odd ids, same member
+      // layout as the zip/tar fixtures. DuckDB rebuilds names, sizes
+      // and payload md5 from the id formula; a slip in either codec
+      // path, the encoded-header decode, or the solid-folder substream
+      // split breaks the hash.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val shards = docs(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .withColumn("payload", synth7zUdf(col("doc_id")))
+        r("parse-as-7z :payload")(shards)
+          .select(col("doc_id"), col("payload_name"), col("payload_size"),
+            md5(col("payload_payload")).as("payload_md5"))
+      },
+      """SELECT doc_id,
+        | 's' || doc_id || e AS payload_name,
+        | CAST(len(CASE e WHEN '.jpg' THEN 'IMG' || doc_id || '-payload'
+        |   WHEN '.cls' THEN CAST(doc_id % 10 AS VARCHAR)
+        |   ELSE '{"id":' || doc_id || '}' END) AS BIGINT) AS payload_size,
+        | md5(CASE e WHEN '.jpg' THEN 'IMG' || doc_id || '-payload'
+        |   WHEN '.cls' THEN CAST(doc_id % 10 AS VARCHAR)
+        |   ELSE '{"id":' || doc_id || '}' END) AS payload_md5
+        |FROM documents
+        |CROSS JOIN (SELECT unnest(['.jpg', '.cls', '.json']) AS e) t
+        |WHERE doc_id < 200""".stripMargin),
+
     ("decompress_modern",
       // the codecs Spark itself ships beyond the JDK trio: zstd (the
       // modern crawl-dump compression), bzip2, lz4 frame, framed
@@ -7754,6 +7783,18 @@ object QueryBank {
 
   private val synthTiffWebpUdf =
     org.apache.spark.sql.functions.udf((id: Long) => tiffWebpFixture(id))
+
+  /** Fixture: the tar/zip fixture's member set as a 7z archive —
+    * Copy coder for even ids, LZMA2 (solid folder + encoded header)
+    * for odd ids.
+    */
+  private val synth7zUdf =
+    org.apache.spark.sql.functions.udf((id: Long) =>
+      graft.sources.SevenZip.build(Seq(
+        (s"s$id.jpg", s"IMG$id-payload".getBytes("UTF-8")),
+        (s"s$id.cls", (id % 10).toString.getBytes("UTF-8")),
+        (s"s$id.json", s"""{"id":$id}""".getBytes("UTF-8"))),
+        codec = if (id % 2 == 0) "copy" else "lzma2"))
 
   private val synthEbmlUdf =
     org.apache.spark.sql.functions.udf((id: Long) => {

@@ -262,6 +262,27 @@ object ParserOps {
       }
     }
 
+    // `parse-as-7z :col` — 7z archive members (commons-compress sevenz
+    // over the bundled tukaani LZMA): one output row per regular
+    // member (`<col>_name/_size/_payload`). Copy/LZMA/LZMA2/bzip2
+    // coders, encoded headers, solid folders; encrypted or malformed
+    // archives degrade to the members decoded so far.
+    case "parse-as-7z" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = st.mapDf { df =>
+        val c = spec.col(0)
+        val bin =
+          if (df.schema(c).dataType == BinaryType) col(c)
+          else col(c).cast(StringType).cast(BinaryType)
+        df.withColumn("__sz", explode(graft.sources.SevenZip.entriesUdf(bin)))
+          .drop(c)
+          .withColumn(s"${c}_name", col("__sz._1"))
+          .withColumn(s"${c}_size", col("__sz._2"))
+          .withColumn(s"${c}_payload", col("__sz._3"))
+          .drop("__sz")
+      }
+    }
+
     // `parse-as-pdf :col` — PDF page text (pure ISO 32000 object
     // decode + Flate/ASCIIHex/ASCII85 filters + BT/ET text
     // operators): one output row per page (`<col>_page/_text`).

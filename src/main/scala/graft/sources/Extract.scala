@@ -89,9 +89,8 @@ object Extract {
         }
         return ("xz", null)
       }
-      // archive/compression formats with no shipped pure-JVM decoder:
-      // NAMED but textless, so callers can segregate instead of
-      // mistaking them for noise
+      // 7z: NAMED — member routing is parse-as-7z's job (the zip
+      // contract); rar has no shipped pure-JVM decoder, NAMED only
       if (b.length >= 6 && b(0) == '7' && b(1) == 'z' &&
         (b(2) & 0xff) == 0xbc && (b(3) & 0xff) == 0xaf) return ("7z", null)
       if (b.length >= 5 && b(0) == 'R' && b(1) == 'a' && b(2) == 'r' &&

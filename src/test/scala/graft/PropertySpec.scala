@@ -548,6 +548,10 @@ class PropertySpec extends AnyFunSuite {
           docType = "matroska")
       }, (b: Array[Byte]) => graft.sources.Extract.extractAny(b)),
       ("router", epub, (b: Array[Byte]) => graft.sources.Extract.extractAny(b)),
+      ("7z", graft.sources.SevenZip.build(Seq(
+        ("m/a.txt", "seven zip member body".getBytes("UTF-8")),
+        ("b.bin", Array.tabulate(64)(_.toByte))), "lzma2"),
+        (b: Array[Byte]) => graft.sources.SevenZip.entries(b)),
       ("tiff", QueryBank.tiffWebpFixture(0),
         (b: Array[Byte]) => graft.llm.MediaHeaders.probe(b)),
       ("tiffBe", QueryBank.tiffWebpFixture(1),

@@ -103,6 +103,21 @@ class RobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("SevenZip.entries never throws on arbitrary bytes (sig-prefixed too)") {
+    check("sevenz") {
+      Prop.forAll(bytesGen) { b => graft.sources.SevenZip.entries(b); true }
+    }
+    val valid7 = graft.sources.SevenZip.build(
+      Seq(("a", Array[Byte](1, 2, 3))), "lzma2")
+    check("sevenz-prefixed") {
+      Prop.forAll(bytesGen) { b =>
+        graft.sources.SevenZip.entries(valid7 ++ b)
+        graft.sources.SevenZip.entries(
+          valid7.take(valid7.length / 2) ++ b); true
+      }
+    }
+  }
+
   test("MediaHeaders.probe never throws on arbitrary bytes") {
     check("probe") {
       Prop.forAll(bytesGen) { b =>

@@ -1110,4 +1110,35 @@ class WebSpec extends SparkSpec {
       new java.io.ByteArrayInputStream(lying)).toList
     assert(out.map(_.name) == Seq("ok.txt"))
   }
+
+  test("SevenZip: copy + lzma2 round-trip, empty member, budget, truncation") {
+    import graft.sources.SevenZip
+    val files = Seq(
+      ("dir/a.txt", "hello seven zip".getBytes("UTF-8")),
+      ("b.bin", Array.tabulate(300)(_.toByte)),
+      ("empty.txt", Array.emptyByteArray))
+    for (codec <- Seq("copy", "lzma2")) {
+      val arch = SevenZip.build(files, codec)
+      val es = SevenZip.entries(arch)
+      assert(es.map(_._1) == files.map(_._1), s"$codec: ${es.map(_._1)}")
+      es.zip(files).foreach { case ((_, sz, data), (_, ed)) =>
+        assert(sz == ed.length && data.toSeq == ed.toSeq, codec)
+      }
+      // the header lives at the END of a 7z archive: a truncated shard
+      // degrades to zero members, never a throw
+      assert(SevenZip.entries(arch.take(arch.length / 2)).isEmpty)
+      // per-member budget: the over-cap member drops, the walk keeps
+      // the rest — even mid-solid-folder (reader skips unread bytes)
+      val capped = SevenZip.entries(arch, maxMemberBytes = 100)
+      assert(capped.map(_._1) == Seq("dir/a.txt", "empty.txt"), codec)
+    }
+    // writer determinism (fixture stability)
+    assert(SevenZip.build(files, "lzma2").toSeq ==
+      SevenZip.build(files, "lzma2").toSeq)
+    // garbage and prefix-only signatures: total, zero members
+    assert(SevenZip.entries("not an archive at all".getBytes).isEmpty)
+    assert(SevenZip.entries(Array[Byte]('7', 'z', 0xbc.toByte, 0xaf.toByte,
+      0x27, 0x1c, 0, 4, 1, 2, 3)).isEmpty)
+    assert(SevenZip.entries(null).isEmpty)
+  }
 }
