@@ -4140,6 +4140,46 @@ object QueryBank {
         |  CAST(NULL AS INT), CAST(length(conv) AS BIGINT), conv
         |FROM base""".stripMargin),
 
+    ("pipeline_wat_links",
+      // WAT crawl-metadata mining (the Common Crawl companion format):
+      // parse-as-warc splits the shard, the metadata-type filter drops
+      // the decoy response record carrying the same JSON, from_json
+      // walks the WAT envelope (hyphenated keys and all) to the
+      // HTML-Metadata Links array, and the PSL registrable-domain
+      // kernel keys the per-site outlink rollup — the host-graph
+      // front door. Relative links must drop (no domain); a type
+      // filter slip doubles every count. Map-side JSON decode, ONE
+      // shuffle for the final rollup.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val recs = r("parse-as-warc :w")(
+          docs(s, d).select(col("doc_id")).filter(col("doc_id") < 300)
+            .withColumn("w", synthWatUdf(col("doc_id"))))
+        val linkArr = col("j").getField("Envelope")
+          .getField("Payload-Metadata").getField("HTTP-Response-Metadata")
+          .getField("HTML-Metadata").getField("Links").getField("url")
+        recs.filter(col("w_warc_type") === "metadata")
+          .withColumn("j", from_json(col("w_payload").cast("string"),
+            org.apache.spark.sql.types.DataType.fromDDL(
+              "STRUCT<Envelope: STRUCT<`Payload-Metadata`: " +
+                "STRUCT<`HTTP-Response-Metadata`: STRUCT<`HTML-Metadata`: " +
+                "STRUCT<Links: ARRAY<STRUCT<url: STRING>>>>>>>")
+              .asInstanceOf[org.apache.spark.sql.types.StructType]))
+          .select(explode(linkArr).as("url"))
+          .withColumn("domain",
+            graft.functions.Udfs.registrableDomainUdf(col("url")))
+          .filter(col("domain").isNotNull)
+          .groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_links"))
+      },
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+        |links AS (
+        |  SELECT 'site' || (doc_id % 7) || '.org' AS domain FROM ids
+        |  UNION ALL
+        |  SELECT 'site' || ((doc_id + 1) % 7) || '.org' FROM ids)
+        |SELECT domain, count(*) AS n_links FROM links GROUP BY domain"""
+        .stripMargin),
+
     ("parse_as_warc_zst_dict",
       // the Common Crawl .warc.zst DICTIONARY layout (iipc
       // warc-specifications): each shard LEADS with a zstd skippable
@@ -8031,6 +8071,25 @@ object QueryBank {
         mkWarcRecord(id, "response", s"http://ex.com/$id",
           s"<p>html $id</p>", http = true).getBytes("UTF-8")
     })
+
+  /** Fixture: one WAT-style shard per id — a `metadata` record whose
+    * JSON payload carries the Common Crawl WAT envelope (HTML-Metadata
+    * Links with absolute, relative and duplicate-host urls) PLUS a
+    * decoy `response` record carrying the SAME JSON body: a pipeline
+    * that filters by record type sees each link once; one that
+    * doesn't, twice — the closed-form counts catch it.
+    */
+  private val synthWatUdf = org.apache.spark.sql.functions.udf((id: Long) => {
+    val json =
+      s"""{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"http://ex.com/$id"},
+         |"Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":{
+         |"Head":{"Title":"Doc $id"},
+         |"Links":[{"url":"http://site${id % 7}.org/p$id"},
+         |{"url":"https://www.site${(id + 1) % 7}.org/q"},
+         |{"url":"/relative/skip"}]}}}}}""".stripMargin.replace("\n", "")
+    mkWarcRecord(id, "metadata", s"http://ex.com/$id", json, http = false) +
+      mkWarcRecord(id, "response", s"http://ex.com/$id", json, http = true)
+  })
 
   private val synthWarcUdf = org.apache.spark.sql.functions.udf((id: Long) => {
     val body = s"<html><body><p>doc $id</p></body></html>"
