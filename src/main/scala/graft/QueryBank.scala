@@ -5361,6 +5361,50 @@ object QueryBank {
         |   i -> i * (pr[i + 1] + pg[i + 1] + pb[i + 1]))) AS BIGINT) AS wsum
         |FROM px""".stripMargin),
 
+    ("multimodal_tiff_decode",
+      // REAL baseline-TIFF decode: both byte orders, multi-strip
+      // walks, PackBits decompression, gray mirroring and the
+      // WhiteIsZero invert — four layout shapes over the SAME pixel
+      // formulas, so DuckDB recomputes every channel sum without
+      // seeing the bytes; the position-weighted wsum catches strip
+      // order and RLE slips.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        docs(s, d).select(col("doc_id")).filter(col("doc_id") < 200)
+          .withColumn("payload", synthTiffUdf(col("doc_id")))
+          .select(col("doc_id"),
+            graft.llm.MediaHeaders.tiffStatsUdf(col("payload")).as("st"))
+          .select(col("doc_id"),
+            col("st.width").as("tiff_w"), col("st.height").as("tiff_h"),
+            col("st.sum_r").as("sum_r"), col("st.sum_g").as("sum_g"),
+            col("st.sum_b").as("sum_b"), col("st.wsum").as("wsum"))
+      },
+      """WITH g AS (SELECT doc_id,
+        |  CAST(5 + doc_id % 11 AS BIGINT) AS w,
+        |  CAST(3 + doc_id % 7 AS BIGINT) AS h,
+        |  doc_id % 4 IN (0, 3) AS gray
+        | FROM documents WHERE doc_id < 200),
+        |px AS (SELECT doc_id, w, h, gray,
+        |  list_transform(range(0, w * h),
+        |    i -> (doc_id * 13 + (i % w) * 3 + (i // w) * 17) % 256) AS pr,
+        |  list_transform(range(0, w * h),
+        |    i -> (doc_id * 19 + (i % w) * 7 + (i // w) * 5) % 256) AS pg,
+        |  list_transform(range(0, w * h),
+        |    i -> (doc_id * 23 + (i % w) * 11 + (i // w) * 29) % 256) AS pb
+        | FROM g)
+        |SELECT doc_id, CAST(w AS INT) AS tiff_w, CAST(h AS INT) AS tiff_h,
+        | CAST(list_sum(pr) AS BIGINT) AS sum_r,
+        | CAST(CASE WHEN gray THEN list_sum(pr) ELSE list_sum(pg) END
+        |   AS BIGINT) AS sum_g,
+        | CAST(CASE WHEN gray THEN list_sum(pr) ELSE list_sum(pb) END
+        |   AS BIGINT) AS sum_b,
+        | CAST(CASE WHEN gray THEN list_sum(list_transform(range(0, w * h),
+        |     i -> i * 3 * pr[i + 1]))
+        |   ELSE list_sum(list_transform(range(0, w * h),
+        |     i -> i * (pr[i + 1] + pg[i + 1] + pb[i + 1]))) END
+        |   AS BIGINT) AS wsum
+        |FROM px""".stripMargin),
+
     ("multimodal_gif_decode",
       // REAL GIF decode: palette + LZW (variable-width, CLEAR/EOI,
       // KwKwK) + optional interlace, synthesized per doc_id by the
@@ -7823,6 +7867,42 @@ object QueryBank {
 
   private val synthTiffWebpUdf =
     org.apache.spark.sql.functions.udf((id: Long) => tiffWebpFixture(id))
+
+  /** Fixture: real baseline-TIFF payloads with the bmp fixture's pixel
+    * formulas, four layout shapes by id class — (0) gray LE multi-
+    * strip, (1) RGB BE single-strip, (2) RGB LE PackBits, (3) gray BE
+    * PackBits WhiteIsZero storing the INVERTED value (so a decoder
+    * that skips the photometric-0 invert breaks the hash).
+    */
+  private val synthTiffUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      val w = (5 + id % 11).toInt
+      val h = (3 + id % 7).toInt
+      val gray = id % 4 == 0 || id % 4 == 3
+      val white = id % 4 == 3
+      val px =
+        if (gray) Array.tabulate(w * h) { i =>
+          val v = ((id * 13 + (i % w) * 3 + (i / w) * 17) % 256).toInt
+          (if (white) 255 - v else v).toByte
+        }
+        else {
+          val a = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < w * h) {
+            a(3 * i) = ((id * 13 + (i % w) * 3 + (i / w) * 17) % 256).toByte
+            a(3 * i + 1) = ((id * 19 + (i % w) * 7 + (i / w) * 5) % 256).toByte
+            a(3 * i + 2) = ((id * 23 + (i % w) * 11 + (i / w) * 29) % 256).toByte
+            i += 1
+          }
+          a
+        }
+      graft.llm.MediaHeaders.tiffEncode(w, h, px,
+        samplesPerPixel = if (gray) 1 else 3,
+        littleEndian = id % 4 == 0 || id % 4 == 2,
+        packbits = id % 4 >= 2,
+        rowsPerStrip = if (id % 4 == 0) 2 else if (id % 4 == 2) 3 else 0,
+        whiteIsZero = white)
+    })
 
   /** Fixture: the tar/zip fixture's member set as a 7z archive —
     * Copy coder for even ids, LZMA2 (solid folder + encoded header)

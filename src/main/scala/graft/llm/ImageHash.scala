@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *
   * Hash definition (integer-exact, so an external SQL engine can
   * replay it from a pixel formula — see the image_dhash oracle):
-  *   - decode to RGB via the real pure-JVM decoders (PNG/GIF/BMP;
+  *   - decode to RGB via the real pure-JVM decoders (PNG/GIF/BMP/TIFF;
   *     [[MediaHeaders.pngDecode]] resolves palettes and mirrors grey)
   *     or, for JPEG — the dominant web image format — the JDK's
   *     ImageIO codec (decoder-exact, formula-inexact: JPEG rows use
@@ -78,11 +78,15 @@ object ImageHash {
     if (bmp != null)
       return (bmp.width, bmp.height, (i: Int) => (bmp.rgb(3 * i) & 0xff,
         bmp.rgb(3 * i + 1) & 0xff, bmp.rgb(3 * i + 2) & 0xff))
+    val tif = MediaHeaders.tiffDecode(b)
+    if (tif != null)
+      return (tif.width, tif.height, (i: Int) => (tif.rgb(3 * i) & 0xff,
+        tif.rgb(3 * i + 1) & 0xff, tif.rgb(3 * i + 2) & 0xff))
     null
   }
 
   /** 64-bit dHash of a decodable image payload; null when the payload
-    * is not PNG/GIF/BMP/JPEG or is smaller than the 9×8 comparison
+    * is not PNG/GIF/BMP/TIFF/JPEG or is smaller than the 9×8 comparison
     * grid.
     */
   def dhash64(b: Array[Byte]): java.lang.Long = {

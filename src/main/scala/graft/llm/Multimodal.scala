@@ -3120,4 +3120,300 @@ object MediaHeaders {
     }
     out
   }
+
+  // ---- TIFF baseline decode (TIFF 6.0) -------------------------------
+
+  case class TiffImage(width: Int, height: Int, rgb: Array[Byte])
+
+  /** PackBits decompression (TIFF 6.0 §9): n in 0..127 copies n+1
+    * literals, n in -127..-1 repeats the next byte 1-n times, -128 is
+    * a noop. Returns exactly `expect` bytes or null (bounds-total).
+    */
+  private def unpackBits(b: Array[Byte], from: Int, len: Int,
+      expect: Int): Array[Byte] = {
+    val out = new Array[Byte](expect)
+    var i = from
+    val end = from + len
+    var o = 0
+    while (i < end && o < expect) {
+      val n = b(i)
+      i += 1
+      if (n >= 0) {
+        val cnt = n + 1
+        if (i + cnt > end || o + cnt > expect) return null
+        System.arraycopy(b, i, out, o, cnt)
+        i += cnt; o += cnt
+      } else if (n != -128) {
+        val cnt = 1 - n
+        if (i >= end || o + cnt > expect) return null
+        java.util.Arrays.fill(out, o, o + cnt, b(i))
+        i += 1; o += cnt
+      }
+    }
+    if (o == expect) out else null
+  }
+
+  /** Baseline-TIFF decode to RGB (TIFF 6.0 baseline subset: both byte
+    * orders, 8-bit grayscale — BlackIsZero AND WhiteIsZero — or chunky
+    * 8-bit RGB, strips, Compression 1 (none) or 32773 (PackBits)).
+    * Tiled, planar, predictored, LZW and sub-8-bit files return null —
+    * named by [[probe]], not decoded. Total on arbitrary bytes; every
+    * strip offset/size is bounds-checked in Long.
+    */
+  def tiffDecode(b: Array[Byte]): TiffImage = {
+    if (b == null || b.length < 8) return null
+    val le = b(0) == 'I' && b(1) == 'I' && u8(b, 2) == 0x2a && u8(b, 3) == 0
+    val bigE = b(0) == 'M' && b(1) == 'M' && u8(b, 2) == 0 && u8(b, 3) == 0x2a
+    if (!le && !bigE) return null
+    def r16(i: Int): Int =
+      if (i < 0 || i + 2 > b.length) -1
+      else if (le) le16(b, i) else be16(b, i)
+    def r32(i: Int): Long =
+      if (i < 0 || i + 4 > b.length) -1L
+      else if (le) le32(b, i) else be32(b, i)
+    val ifd = r32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return null
+    val nEnt = r16(ifd.toInt)
+    if (nEnt <= 0) return null
+    var w = 0L; var h = 0L
+    var comp = 1L; var photo = -1L; var spp = 1L; var rps = -1L
+    var bitsOk = true
+    var stripOffs: Array[Long] = null
+    var stripCnts: Array[Long] = null
+    var planarOk = true
+    var e = 0
+    while (e < nEnt && ifd + 2 + (e + 1) * 12 <= b.length) {
+      val off = (ifd + 2 + e * 12).toInt
+      val tag = r16(off)
+      val typ = r16(off + 2)
+      val cnt = r32(off + 4)
+      val elemSize = if (typ == 3) 2 else if (typ == 4) 4 else -1
+      // values: left-justified inline when they fit in 4 bytes, else
+      // the value field is an offset to the array
+      def vals(): Array[Long] = {
+        if (elemSize < 0 || cnt <= 0 || cnt > (1 << 20)) return null
+        val total = cnt * elemSize
+        val base = if (total <= 4) off + 8 else r32(off + 8)
+        if (base < 0 || base + total > b.length) return null
+        Array.tabulate(cnt.toInt) { k =>
+          val p = (base + k.toLong * elemSize).toInt
+          if (elemSize == 2) r16(p).toLong else r32(p)
+        }
+      }
+      def v1(): Long = { val a = vals(); if (a == null || a.isEmpty) -1L else a(0) }
+      tag match {
+        case 256 => w = v1()
+        case 257 => h = v1()
+        case 258 => val a = vals(); bitsOk = a != null && a.forall(_ == 8L)
+        case 259 => comp = v1()
+        case 262 => photo = v1()
+        case 273 => stripOffs = vals()
+        case 277 => spp = v1()
+        case 278 => rps = v1()
+        case 279 => stripCnts = vals()
+        case 284 => planarOk = v1() <= 1L
+        case _ => ()
+      }
+      e += 1
+    }
+    if (w <= 0 || h <= 0 || w * h * 3 > Int.MaxValue) return null
+    if (!bitsOk || !planarOk) return null
+    if (comp != 1 && comp != 32773) return null
+    if (photo != 0 && photo != 1 && (photo != 2 || spp < 3)) return null
+    if (spp != 1 && spp != 3) return null
+    if (stripOffs == null || stripCnts == null ||
+      stripOffs.length != stripCnts.length || stripOffs.isEmpty) return null
+    val rowsPerStrip = if (rps <= 0 || rps > h) h else rps
+    val nStrips = ((h + rowsPerStrip - 1) / rowsPerStrip).toInt
+    if (stripOffs.length < nStrips) return null
+    val wi = w.toInt; val hi = h.toInt; val sppI = spp.toInt
+    val rowBytes = wi * sppI
+    val raw = new Array[Byte](hi * rowBytes)
+    var s = 0
+    while (s < nStrips) {
+      val rows = math.min(rowsPerStrip, h - s * rowsPerStrip).toInt
+      val expect = rows * rowBytes
+      val so = stripOffs(s); val sc = stripCnts(s)
+      if (so < 0 || sc < 0 || so + sc > b.length) return null
+      val strip =
+        if (comp == 1) {
+          if (sc != expect) return null
+          java.util.Arrays.copyOfRange(b, so.toInt, (so + sc).toInt)
+        } else unpackBits(b, so.toInt, sc.toInt, expect)
+      if (strip == null) return null
+      System.arraycopy(strip, 0, raw, s * rowsPerStrip.toInt * rowBytes,
+        expect)
+      s += 1
+    }
+    val rgb = new Array[Byte](wi * hi * 3)
+    var i = 0
+    val n = wi * hi
+    while (i < n) {
+      if (sppI == 1) {
+        // grayscale mirrored; photometric 0 (WhiteIsZero) inverts
+        val g0 = raw(i) & 0xff
+        val g = if (photo == 0) 255 - g0 else g0
+        rgb(3 * i) = g.toByte; rgb(3 * i + 1) = g.toByte
+        rgb(3 * i + 2) = g.toByte
+      } else {
+        rgb(3 * i) = raw(3 * i); rgb(3 * i + 1) = raw(3 * i + 1)
+        rgb(3 * i + 2) = raw(3 * i + 2)
+      }
+      i += 1
+    }
+    TiffImage(wi, hi, rgb)
+  }
+
+  /** Same stats contract as [[bmpStats]], from the TIFF decode (the
+    * shared position-weighted sums make strip order and PackBits slips
+    * observable).
+    */
+  def tiffStats(b: Array[Byte]): BmpStats = {
+    val im = tiffDecode(b)
+    if (im == null) return null
+    var sr = 0L; var sg = 0L; var sb = 0L; var ws = 0L
+    val n = im.width * im.height
+    var i = 0
+    while (i < n) {
+      val pr = im.rgb(3 * i) & 0xff
+      val pg = im.rgb(3 * i + 1) & 0xff
+      val pb = im.rgb(3 * i + 2) & 0xff
+      sr += pr; sg += pg; sb += pb
+      ws += i.toLong * (pr + pg + pb)
+      i += 1
+    }
+    BmpStats(im.width, im.height, n.toLong, sr, sg, sb, ws)
+  }
+
+  val tiffStatsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(tiffStats _)
+
+  /** PackBits compression of one strip (runs of >= 3 become repeat
+    * packets, the rest literal packets of <= 128) — forward complement
+    * of [[unpackBits]] for fixtures.
+    */
+  private def packBits(src: Array[Byte], from: Int, len: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(len + len / 128 + 2)
+    var i = from
+    val end = from + len
+    while (i < end) {
+      // measure the run at i
+      var run = 1
+      while (i + run < end && run < 128 && src(i + run) == src(i)) run += 1
+      if (run >= 3) {
+        out.write(1 - run) // -(run-1)
+        out.write(src(i))
+        i += run
+      } else {
+        // literal stretch: until the next >= 3 run or 128 bytes
+        var lit = run
+        var j = i + run
+        while (j < end && lit < 128) {
+          var r2 = 1
+          while (j + r2 < end && r2 < 3 && src(j + r2) == src(j)) r2 += 1
+          if (r2 >= 3) j = end // stop the scan; run starts here
+          else { lit += r2; j += r2 }
+        }
+        if (lit > 128) lit = 128
+        out.write(lit - 1)
+        out.write(src, i, lit)
+        i += lit
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Minimal baseline-TIFF encoder for fixtures: both byte orders,
+    * 8-bit gray or chunky RGB, strip split via `rowsPerStrip`,
+    * optional PackBits. `pixels` = gray bytes (spp 1) or RGB triples
+    * (spp 3), row-major top-down.
+    */
+  def tiffEncode(width: Int, height: Int, pixels: Array[Byte],
+      samplesPerPixel: Int = 3, littleEndian: Boolean = true,
+      packbits: Boolean = false, rowsPerStrip: Int = 0,
+      whiteIsZero: Boolean = false): Array[Byte] = {
+    require(samplesPerPixel == 1 || samplesPerPixel == 3)
+    require(pixels.length == width * height * samplesPerPixel)
+    val rps = if (rowsPerStrip <= 0) height else rowsPerStrip
+    val rowBytes = width * samplesPerPixel
+    val nStrips = (height + rps - 1) / rps
+    val strips = (0 until nStrips).map { s =>
+      val rows = math.min(rps, height - s * rps)
+      val from = s * rps * rowBytes
+      if (packbits) packBits(pixels, from, rows * rowBytes)
+      else java.util.Arrays.copyOfRange(pixels, from, from + rows * rowBytes)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (littleEndian) { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+      else { bos.write((v >> 8) & 0xff); bos.write(v & 0xff) }
+    def w32(v: Long): Unit =
+      if (littleEndian) { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+      else { w16(((v >> 16) & 0xffff).toInt); w16((v & 0xffff).toInt) }
+    // header
+    if (littleEndian) { bos.write('I'); bos.write('I'); bos.write(0x2a); bos.write(0) }
+    else { bos.write('M'); bos.write('M'); bos.write(0); bos.write(0x2a) }
+    val stripDataStart = 8L
+    val stripOffsets = strips.scanLeft(stripDataStart)(_ + _.length).init
+    val ifdOff = stripDataStart + strips.map(_.length.toLong).sum
+    w32(ifdOff)
+    strips.foreach(s => bos.write(s, 0, s.length))
+    // IFD: 10 fixed entries, ascending tags; external arrays (3-sample
+    // BitsPerSample, multi-strip offset/count lists) follow the IFD
+    val entries = 10
+    var aux = ifdOff + 2 + entries * 12 + 4
+    val auxData = new java.io.ByteArrayOutputStream()
+    def ent(tag: Int, typ: Int, cnt: Int, inline: Long): Unit = {
+      w16(tag); w16(typ); w32(cnt.toLong)
+      typ match {
+        case 3 if cnt == 1 =>
+          // SHORT left-justified in the 4-byte value field
+          w16(inline.toInt); w16(0)
+        case _ => w32(inline)
+      }
+    }
+    def entArr(tag: Int, typ: Int, values: Seq[Long]): Unit = {
+      val elem = if (typ == 3) 2 else 4
+      if (values.length * elem <= 4) {
+        w16(tag); w16(typ); w32(values.length.toLong)
+        if (typ == 3) {
+          w16(values(0).toInt)
+          w16(if (values.length > 1) values(1).toInt else 0)
+        } else w32(values(0))
+      } else {
+        w16(tag); w16(typ); w32(values.length.toLong); w32(aux)
+        values.foreach { v =>
+          if (typ == 3) {
+            if (littleEndian) { auxData.write((v & 0xff).toInt)
+              auxData.write(((v >> 8) & 0xff).toInt) }
+            else { auxData.write(((v >> 8) & 0xff).toInt)
+              auxData.write((v & 0xff).toInt) }
+          } else {
+            val b0 = (v & 0xff).toInt; val b1 = ((v >> 8) & 0xff).toInt
+            val b2 = ((v >> 16) & 0xff).toInt; val b3 = ((v >> 24) & 0xff).toInt
+            if (littleEndian) { auxData.write(b0); auxData.write(b1)
+              auxData.write(b2); auxData.write(b3) }
+            else { auxData.write(b3); auxData.write(b2)
+              auxData.write(b1); auxData.write(b0) }
+          }
+        }
+        aux += values.length.toLong * elem
+      }
+    }
+    w16(entries)
+    ent(256, 4, 1, width.toLong)
+    ent(257, 4, 1, height.toLong)
+    entArr(258, 3, Seq.fill(samplesPerPixel)(8L))
+    ent(259, 3, 1, if (packbits) 32773L else 1L)
+    ent(262, 3, 1,
+      if (samplesPerPixel != 1) 2L else if (whiteIsZero) 0L else 1L)
+    entArr(273, 4, stripOffsets.map(_.toLong))
+    ent(277, 3, 1, samplesPerPixel.toLong)
+    ent(278, 4, 1, rps.toLong)
+    entArr(279, 4, strips.map(_.length.toLong))
+    ent(284, 3, 1, 1L)
+    w32(0L) // no next IFD
+    auxData.writeTo(bos)
+    bos.toByteArray
+  }
 }

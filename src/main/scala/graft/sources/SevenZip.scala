@@ -89,11 +89,17 @@ object SevenZip {
       .SeekableInMemoryByteChannel()
     val out = new SevenZOutputFile(ch)
     try {
-      val method = codec match {
-        case "copy" => SevenZMethod.COPY
-        case _ => SevenZMethod.LZMA2
+      // LZMA2 with an explicit 64 KiB dictionary: the encoder's 8 MiB
+      // default re-allocates per archive — a GC storm at fixture scale
+      // (the xz codec hit the same wall, see PERF.md) — and the DECODER
+      // allocates whatever the stream declares, so small fixtures
+      // should declare small
+      val cfg = codec match {
+        case "copy" => new SevenZMethodConfiguration(SevenZMethod.COPY)
+        case _ => new SevenZMethodConfiguration(SevenZMethod.LZMA2,
+          Integer.valueOf(1 << 16))
       }
-      out.setContentCompression(method)
+      out.setContentMethods(java.util.Collections.singletonList(cfg))
       files.foreach { case (name, data) =>
         val e = new SevenZArchiveEntry()
         e.setName(name)

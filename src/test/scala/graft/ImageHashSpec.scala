@@ -44,6 +44,48 @@ class ImageHashSpec extends SparkSpec {
     val bmp = MediaHeaders.bmpEncode(w, h, px, topDown = false)
     assert(ImageHash.dhash64(png) != null)
     assert(ImageHash.dhash64(png) == ImageHash.dhash64(bmp))
+    // TIFF of the same pixels hashes identically through every layout
+    // (byte order x strips x PackBits)
+    for ((le, pb, rps) <- Seq((true, false, 0), (false, false, 3),
+        (true, true, 0), (false, true, 2))) {
+      val tif = MediaHeaders.tiffEncode(w, h, px, samplesPerPixel = 3,
+        littleEndian = le, packbits = pb, rowsPerStrip = rps)
+      assert(ImageHash.dhash64(tif) == ImageHash.dhash64(png),
+        s"le=$le pb=$pb rps=$rps")
+    }
+  }
+
+  test("tiffDecode: exact pixels through every layout; invalid -> null") {
+    val w = 7; val h = 5
+    val px = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+    for ((le, pb, rps) <- Seq((true, false, 0), (false, false, 2),
+        (true, true, 3), (false, true, 0))) {
+      val t = MediaHeaders.tiffEncode(w, h, px, samplesPerPixel = 3,
+        littleEndian = le, packbits = pb, rowsPerStrip = rps)
+      val im = MediaHeaders.tiffDecode(t)
+      assert(im != null && im.width == w && im.height == h &&
+        im.rgb.toSeq == px.toSeq, s"le=$le pb=$pb rps=$rps")
+    }
+    // grayscale mirrors; WhiteIsZero inverts (stored 255-v decodes v)
+    val g = Array.tabulate(w * h)(i => ((i * 53 + 7) % 256).toByte)
+    val tg = MediaHeaders.tiffEncode(w, h, g, samplesPerPixel = 1)
+    val img = MediaHeaders.tiffDecode(tg)
+    assert(img != null &&
+      (0 until w * h).forall(i => img.rgb(3 * i) == g(i) &&
+        img.rgb(3 * i + 1) == g(i) && img.rgb(3 * i + 2) == g(i)))
+    val inv = g.map(b => (255 - (b & 0xff)).toByte)
+    val tw = MediaHeaders.tiffEncode(w, h, inv, samplesPerPixel = 1,
+      whiteIsZero = true)
+    val imw = MediaHeaders.tiffDecode(tw)
+    assert(imw != null &&
+      (0 until w * h).forall(i => imw.rgb(3 * i) == g(i)))
+    // truncation, bad magic, null: total, no decode
+    val full = MediaHeaders.tiffEncode(w, h, px)
+    assert(MediaHeaders.tiffDecode(full.take(full.length / 3)) == null)
+    assert(MediaHeaders.tiffDecode("II not a tiff".getBytes) == null)
+    assert(MediaHeaders.tiffDecode(null) == null)
+    // the probe still names a tiff the decoder refuses
+    assert(MediaHeaders.probe(full.take(12)).format == "tiff")
   }
 
   test("dhash64: null for sub-grid images and undecodable payloads") {

@@ -442,6 +442,7 @@ class PropertySpec extends AnyFunSuite {
         graft.llm.MediaHeaders.pngStats(b)
         graft.llm.MediaHeaders.gifStats(b)
         graft.llm.MediaHeaders.bmpStats(b)
+        graft.llm.MediaHeaders.tiffStats(b)
         graft.llm.MediaHeaders.webmSamples(b)
         graft.llm.MediaHeaders.webmSubtitles(b)
         graft.llm.MediaHeaders.mp4Samples(b) != null
@@ -556,6 +557,10 @@ class PropertySpec extends AnyFunSuite {
         (b: Array[Byte]) => graft.llm.MediaHeaders.probe(b)),
       ("tiffBe", QueryBank.tiffWebpFixture(1),
         (b: Array[Byte]) => graft.llm.MediaHeaders.probe(b)),
+      ("tiffDecode", graft.llm.MediaHeaders.tiffEncode(9, 8,
+        Array.tabulate(9 * 8 * 3)(i => ((i * 31 + 5) % 256).toByte),
+        packbits = true, rowsPerStrip = 3),
+        (b: Array[Byte]) => graft.llm.MediaHeaders.tiffStats(b)),
       ("webp", QueryBank.tiffWebpFixture(3),
         (b: Array[Byte]) => graft.llm.MediaHeaders.probe(b)))
     val rnd = new scala.util.Random(1234)
