@@ -6053,6 +6053,33 @@ object QueryBank {
         | (4, 116, 'e5f00942679257f42f49ac536d406257'))
         | v(i, n, m)""".stripMargin),
 
+    ("dedup_bloom",
+      // membership-sketch incremental dedup: the Bloom filter of the
+      // state slice's normalized keys (one partial-aggregated pass,
+      // bitwise-OR merge => deterministic bits) broadcasts, and the
+      // corpus filters map-only — no join, no shuffle. No false
+      // negatives by construction, and at fpp 1e-7 over this corpus
+      // the FP set is empty, so DuckDB replays the EXACT membership
+      // semantics closed-form with the same normalize kernel.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val all = docs(s, d)
+        val state = all.filter(col("doc_id") % 5 === 0).select(col("text"))
+        val bloom = graft.llm.IncrementalDedup.bloomState(state, "text",
+          expectedItems = 2000, fpp = 1e-7)
+        graft.llm.IncrementalDedup.exactAgainstBloom(all, "text", bloom)
+          .select(col("doc_id"))
+      },
+      """WITH norm AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS k
+        | FROM documents)
+        |SELECT doc_id FROM norm
+        |WHERE k IS NULL
+        |   OR k NOT IN (SELECT k FROM norm
+        |                WHERE doc_id % 5 = 0 AND k IS NOT NULL)"""
+        .stripMargin),
+
     ("wordpiece_token_count",
       // corpus-trained BERT-style WordPiece subword counts, verified
       // as a per-lang rollup: training is the deterministic

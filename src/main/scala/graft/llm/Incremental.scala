@@ -39,6 +39,48 @@ object IncrementalDedup {
       .drop("__fp")
   }
 
+  /** Membership-SKETCH state: a Bloom filter over the corpus's
+    * normalized-content keys. The 100 TB alternative to [[exactState]]
+    * + anti-join when the seen-set is huge and a controlled
+    * false-positive rate is acceptable (dedup's FP direction is SAFE —
+    * a false positive drops a genuinely-novel row, never re-admits a
+    * duplicate): ~1.2 bytes/key at fpp 1e-6 means a BILLION seen
+    * documents broadcast as ~1.2 GB of bits instead of shuffling a
+    * 16-byte-fingerprint table into every ingest join. Built with ONE
+    * partial-aggregated pass (Spark's BloomFilter merge is a bitwise
+    * OR — order/partitioning independent, so the bits are
+    * deterministic for a given key multiset).
+    */
+  def bloomState(df: DataFrame, textCol: String,
+      expectedItems: Long, fpp: Double = 1e-6):
+      org.apache.spark.util.sketch.BloomFilter = {
+    require(expectedItems > 0 && expectedItems <= 2000000000L,
+      s"bloomState: expectedItems must be in (0, 2e9], got $expectedItems")
+    require(fpp > 0 && fpp < 1, s"bloomState: fpp must be in (0,1), got $fpp")
+    df.select(Dedup.normalized(col(textCol)).as("__k"))
+      .filter(col("__k").isNotNull)
+      .stat.bloomFilter("__k", expectedItems, fpp)
+  }
+
+  /** Exact incremental dedup against a Bloom [[bloomState]]: map-only —
+    * the filter broadcasts once and every batch row probes it with NO
+    * join and NO shuffle. No false negatives (every true duplicate of
+    * the state drops); a false-positive rate of `fpp` drops that
+    * fraction of novel rows. Rows with a null key (null text) cannot
+    * be probed and are KEPT, like the undecodable-row policy of the
+    * image/audio dedup legs. Batch-internal duplicates are NOT
+    * collapsed — compose with [[Dedup.exact]] first when that matters.
+    */
+  def exactAgainstBloom(newBatch: DataFrame, textCol: String,
+      state: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val bc = newBatch.sparkSession.sparkContext.broadcast(state)
+    val hit = udf((k: String) => k != null && bc.value.mightContainString(k))
+    newBatch
+      .withColumn("__k", Dedup.normalized(col(textCol)))
+      .filter(col("__k").isNull || !hit(col("__k")))
+      .drop("__k")
+  }
+
   /** Banded-bucket state of a corpus for near-dedup: (__id, __band,
     * __bucket) rows — `bands` longs per doc, the signature never needs
     * recomputing at ingest time.

@@ -544,6 +544,26 @@ object LlmOps {
       }
     }
 
+    // `dedup-against-bloom :text statetable [expected] [fpp]` —
+    // membership-sketch incremental dedup: ONE partial-aggregated pass
+    // builds a Bloom filter of the state table's normalized-content
+    // keys (first column), then the batch filters map-only against the
+    // broadcast bits — no join, no shuffle; fpp-bounded novel-row loss,
+    // zero duplicate re-admission (IncrementalDedup.bloomState/
+    // exactAgainstBloom)
+    case "dedup-against-bloom" => new PipeOp {
+      def name = spec.name
+      def apply(st: PipeState, ctx: WrangleContext): PipeState = {
+        val state = benchTable(spec, ctx)
+        val bloom = graft.llm.IncrementalDedup.bloomState(state,
+          state.columns.head,
+          expectedItems = spec.optStr(2).map(_.toLong).getOrElse(1000000L),
+          fpp = spec.optStr(3).map(_.toDouble).getOrElse(1e-6))
+        st.mapDf(df =>
+          graft.llm.IncrementalDedup.exactAgainstBloom(df, spec.col(0), bloom))
+      }
+    }
+
     // `bpe-token-count :text [numMerges] [maxWords]` — corpus-trained
     // byte-pair-encoding subword count (llm/Bpe): bounded word-freq
     // top-k -> driver merge loop -> broadcast ranks -> map-only encode
