@@ -5032,6 +5032,38 @@ object QueryBank {
         | CAST(80 + doc_id % 40 AS INT) AS height
         |FROM documents WHERE doc_id < 250""".stripMargin),
 
+    ("multimodal_aiff_probe",
+      // AIFF/AIFF-C probe: IFF chunk walk with odd-length padding, the
+      // 80-bit extended-float sample rate (the only format that ever
+      // used one), AIFF-C compression fourcc. The five rates exercise
+      // different extended-float exponents; DuckDB rebuilds every
+      // field closed-form — a slip in the mantissa shift or the
+      // even-padding walk breaks the hash.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        docs(s, d).select(col("doc_id")).filter(col("doc_id") < 250)
+          .withColumn("payload", synthAiffUdf(col("doc_id")))
+          .select(col("doc_id"),
+            graft.llm.MediaHeaders.audioInfoUdf(col("payload")).as("a"))
+          .select(col("doc_id"),
+            col("a.container").as("container"), col("a.codec").as("codec"),
+            col("a.channels").as("channels"),
+            col("a.sample_rate").as("sample_rate"),
+            col("a.duration_ms").as("duration_ms"))
+      },
+      """WITH g AS (SELECT doc_id,
+        | CAST(CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |   WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS BIGINT)
+        |   AS rate
+        | FROM documents WHERE doc_id < 250)
+        |SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'aiff' ELSE 'aifc' END AS container,
+        | CASE WHEN doc_id % 2 = 0 THEN 'pcm' ELSE 'sowt' END AS codec,
+        | CAST(1 + doc_id % 2 AS INT) AS channels,
+        | CAST(rate AS INT) AS sample_rate,
+        | CAST((rate + doc_id * 31) * 1000 // rate AS BIGINT) AS duration_ms
+        |FROM g""".stripMargin),
+
     ("multimodal_audio_tags",
       // the three tag systems web audio carries, one per id class:
       // FLAC VORBIS_COMMENT (≡0 mod 4), OpusTags (≡1), Ogg Vorbis
@@ -8245,6 +8277,23 @@ object QueryBank {
         case _ => graft.llm.MediaHeaders.oggBuild(
           "vorbis", ch, 22050, 22050L + id * 441)
       }
+    })
+
+  /** Fixture: AIFF (even ids, PCM) / AIFF-C (odd ids, sowt) with the
+    * closed-form rate/channels/frames the oracle restates.
+    */
+  private val synthAiffUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      val rate = (id % 5) match {
+        case 0 => 8000; case 1 => 16000; case 2 => 22050
+        case 3 => 44100; case _ => 48000
+      }
+      graft.llm.MediaHeaders.aiffBuild(
+        channels = (1 + id % 2).toInt,
+        frames = rate + id * 31,
+        sampleRate = rate,
+        aifc = id % 2 == 1,
+        compression = "sowt")
     })
 
   /** Fixture: one tagged audio container per row — FLAC comments,

@@ -619,6 +619,55 @@ object MediaHeaders {
         else lastGranule * 1000L / rate.intValue()
       return AudioInfo("ogg", codec, channels, rate, dur)
     }
+    // AIFF/AIFF-C: IFF FORM container, big-endian; the COMM chunk
+    // carries channels (u16), sample frames (u32), sample size (u16)
+    // and the sample rate as an 80-bit IEEE 754 extended float — the
+    // one format that ever used it (Apple AIFF-1.3 spec). AIFF-C adds
+    // a compression fourcc after the rate.
+    if (b.length >= 12 && ascii(b, 0, 4) == "FORM" &&
+      (ascii(b, 8, 4) == "AIFF" || ascii(b, 8, 4) == "AIFC")) {
+      val aifc = ascii(b, 8, 4) == "AIFC"
+      var p = 12
+      while (p + 8 <= b.length) {
+        val id = ascii(b, p, 4)
+        val len = be32(b, p + 4)
+        val body = p + 8
+        if (len < 0 || body + len > b.length) p = b.length
+        else if (id == "COMM" && len >= 18) {
+          val ch = be16(b, body)
+          val frames = be32(b, body + 2)
+          // 80-bit extended: 1 sign + 15 exponent (bias 16383) +
+          // 64-bit mantissa with an EXPLICIT integer bit
+          val expRaw = be16(b, body + 8)
+          val mantHi = be32(b, body + 10)
+          val mantLo = be32(b, body + 14)
+          val mant = (mantHi << 32) | mantLo
+          val exp = expRaw & 0x7fff
+          val rate: Integer =
+            if (exp == 0 || exp == 0x7fff || (expRaw & 0x8000) != 0) null
+            else {
+              val v = java.lang.Math.scalb(
+                // unsigned 64-bit mantissa as a double
+                (mant >>> 1).toDouble * 2.0 + (mant & 1L),
+                exp - 16383 - 63)
+              if (v >= 1 && v <= Int.MaxValue) Integer.valueOf(
+                math.round(v).toInt) else null
+            }
+          val codec =
+            if (!aifc) "pcm"
+            else if (len >= 22) ascii(b, body + 18, 4).trim
+              .toLowerCase(java.util.Locale.ROOT)
+            else "pcm"
+          val dur: java.lang.Long =
+            if (rate != null && frames >= 0 && rate.intValue() > 0)
+              frames * 1000L / rate.intValue()
+            else null
+          return AudioInfo(if (aifc) "aifc" else "aiff", codec,
+            if (ch > 0) ch else null, rate, dur)
+        } else p = (body + len + (len & 1)).toInt // chunks pad to even
+      }
+      return AudioInfo(if (aifc) "aifc" else "aiff", null, null, null, null)
+    }
     null
   }
 
@@ -848,6 +897,39 @@ object MediaHeaders {
       out.write(vc.length & 0xff)
       out.write(vc)
     }
+    out.toByteArray
+  }
+
+  /** Fixture complement of [[audioInfo]] for AIFF/AIFF-C: FORM
+    * container with a decoy annotation chunk (odd length, so the
+    * even-padding walk is exercised) before the COMM chunk; the
+    * sample rate is encoded as a REAL 80-bit extended float.
+    */
+  def aiffBuild(channels: Int, frames: Long, sampleRate: Int,
+      aifc: Boolean = false, compression: String = "NONE"): Array[Byte] = {
+    require(sampleRate > 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def w32(v: Long): Unit = { w16(((v >> 16) & 0xffff).toInt)
+      w16((v & 0xffff).toInt) }
+    out.write("FORM".getBytes("US-ASCII"))
+    val commLen = if (aifc) 18 + 4 else 18
+    val annLen = 5 // odd on purpose: pad byte follows
+    val formLen = 4 + (8 + annLen + 1) + (8 + commLen)
+    w32(formLen.toLong)
+    out.write((if (aifc) "AIFC" else "AIFF").getBytes("US-ASCII"))
+    out.write("ANNO".getBytes("US-ASCII")); w32(annLen.toLong)
+    out.write("notes".getBytes("US-ASCII")); out.write(0) // pad to even
+    out.write("COMM".getBytes("US-ASCII")); w32(commLen.toLong)
+    w16(channels); w32(frames); w16(16) // sample size
+    // 80-bit extended from the integer rate: exponent = 16383 + log2,
+    // mantissa = rate left-justified with the explicit integer bit set
+    val log2 = 63 - java.lang.Long.numberOfLeadingZeros(sampleRate.toLong)
+    w16(16383 + log2)
+    val mant = sampleRate.toLong << (63 - log2)
+    w32(mant >>> 32); w32(mant & 0xffffffffL)
+    if (aifc) out.write(compression.take(4).padTo(4, ' ')
+      .getBytes("US-ASCII"))
     out.toByteArray
   }
 

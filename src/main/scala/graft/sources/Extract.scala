@@ -149,6 +149,9 @@ object Extract {
       if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
         b(11) == 'E') return ("wav", null)
+      if (b.length >= 12 && b(0) == 'F' && b(1) == 'O' && b(2) == 'R' &&
+        b(3) == 'M' && b(8) == 'A' && b(9) == 'I' && b(10) == 'F' &&
+        (b(11) == 'F' || b(11) == 'C')) return ("aiff", null)
       // text-family: decode strictly — binary noise must not pass
       val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
       val s =

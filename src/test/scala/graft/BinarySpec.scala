@@ -798,10 +798,21 @@ class BinarySpec extends SparkSpec {
       MediaHeaders.Probe("flac", null, null, 10000L))
     assert(MediaHeaders.probe(opus) ==
       MediaHeaders.Probe("ogg", null, null, 2000L))
-    // totality: junk, truncations, every-byte mutants of both fixtures
+    // AIFF: 80-bit extended-float rate, odd-chunk padding walk
+    val aiff = MediaHeaders.aiffBuild(2, 88200L, 44100)
+    assert(MediaHeaders.audioInfo(aiff) ==
+      MediaHeaders.AudioInfo("aiff", "pcm", 2, 44100, 2000L))
+    // AIFF-C names its compression fourcc; non-pow2 rate decodes exact
+    val aifc = MediaHeaders.aiffBuild(1, 22050L * 3, 22050, aifc = true,
+      compression = "sowt")
+    assert(MediaHeaders.audioInfo(aifc) ==
+      MediaHeaders.AudioInfo("aifc", "sowt", 1, 22050, 3000L))
+    // the router segregates AIFF like the other audio containers
+    assert(graft.sources.Extract.extractAny(aiff) == ("aiff", null))
+    // totality: junk, truncations, every-byte mutants of the fixtures
     assert(MediaHeaders.audioInfo(null) == null)
     assert(MediaHeaders.audioInfo("junk bytes but long enough".getBytes) == null)
-    for (base <- Seq(flac, opus, vorbis)) {
+    for (base <- Seq(flac, opus, vorbis, aiff, aifc)) {
       for (n <- 0 until base.length)
         MediaHeaders.audioInfo(java.util.Arrays.copyOf(base, n))
       for (i <- base.indices; v <- Seq(0x00, 0xff)) {
