@@ -2653,6 +2653,35 @@ object QueryBank {
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 97 <> 0 AND coalesce(h.h, 0) < 3""".stripMargin),
 
+    ("stream_bloom_dedup",
+      // Bloom-membership dedup on the INGEST stream: the seen-corpus
+      // sketch builds batch-side once (ONE partial-aggregated pass)
+      // and broadcasts; each micro-batch probes it map-only — zero
+      // streaming state, no join, the live-ingest shape of dedup_bloom
+      // (and the exact stream-side analogue of the batch semantics, so
+      // the oracle is the same closed-form membership SQL).
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val state = docs(s, d).filter(col("doc_id") % 5 === 0)
+          .select(col("text"))
+        val bloom = graft.llm.IncrementalDedup.bloomState(state, "text",
+          expectedItems = 2000, fpp = 1e-7)
+        graft.streaming.StreamOps.runBatchAsStream(
+          s, s"$d/documents.parquet",
+          st => graft.llm.IncrementalDedup.exactAgainstBloom(st, "text", bloom)
+            .select(col("doc_id")),
+          queryName = "stream_bloom_dedup_correctness")
+      },
+      """WITH norm AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS k
+        | FROM documents)
+        |SELECT doc_id FROM norm
+        |WHERE k IS NULL
+        |   OR k NOT IN (SELECT k FROM norm
+        |                WHERE doc_id % 5 = 0 AND k IS NOT NULL)"""
+        .stripMargin),
+
     ("decontaminate_bloom",
       // the huge-benchmark scale path: Bloom pre-screen + exact
       // equi-join verify. Bit-identical to markHits by construction
