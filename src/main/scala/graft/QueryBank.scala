@@ -1160,6 +1160,33 @@ object QueryBank {
       },
       "SELECT count(DISTINCT user_id) AS exact_distinct, TRUE AS within_tol FROM events"),
 
+    ("cms_frequency",
+      // Count-Min point-frequency estimates: the sketch builds in ONE
+      // partial-aggregated pass (element-wise-sum merge => partition
+      // independent), lands on the driver as a literal (bounded:
+      // depth*width longs), and every event type's estimate is checked
+      // against its exact count — never an undercount, and within the
+      // published e/width * N overcount bound. The sketch side proves
+      // the whole add/serialize/estimate path; the booleans make the
+      // contract hash-verifiable without replaying xxhash in SQL.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val ev = s.read.parquet(s"$d/events.parquet")
+        val sk = ev.agg(graftx.Sketches.cmsSketch(col("event_type")).as("sk"))
+          .head().getAs[Array[Byte]](0)
+        val n = ev.count()
+        val slack = math.ceil(math.E * n / 2048).toLong
+        val est = graftx.Sketches.cmsEstimate(lit(sk), col("event_type"))
+        ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("exact_count"))
+          .select(col("event_type"), col("exact_count"),
+            (est >= col("exact_count")).as("no_undercount"),
+            (est <= col("exact_count") + lit(slack)).as("within_bound"))
+      },
+      """SELECT event_type, count(*) AS exact_count,
+        | TRUE AS no_undercount, TRUE AS within_bound
+        |FROM events GROUP BY event_type""".stripMargin),
+
     ("kll_quantiles",
       (s, d) => {
         import org.apache.spark.sql.functions._

@@ -895,6 +895,178 @@ case class TopKByAgg(
 }
 
 /** Column-level entry points (mirrors `graft.functions` style). */
+/** Count-Min sketch (Cormode & Muthukrishnan 2005): point-frequency
+  * estimates over a stream/corpus in depth × width counters. The
+  * guarantee direction dedup/quota pipelines rely on: estimates NEVER
+  * undercount, and overcount by at most ε·N (ε = e/width) with
+  * probability 1-δ (δ = e^-depth) — the point-query complement of
+  * SpaceSaving's top-k. Merging is element-wise addition, so sketches
+  * are order/partition independent and re-aggregable like the
+  * HLL/KLL/KMV family. Row hashes derive from two xxhash64 seeds via
+  * Kirsch-Mitzenmacher double hashing (h1 + i·h2).
+  */
+object Cms {
+  val Seed1 = 0x5EED1L
+  val Seed2 = 0x5EED2L
+
+  /** serialized form: depth (4 BE), width (4 BE), depth*width longs */
+  def serialize(d: Int, w: Int, counters: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + counters.length * 8)
+    bb.putInt(d); bb.putInt(w)
+    counters.foreach(bb.putLong)
+    bb.array()
+  }
+
+  def add(counters: Array[Long], d: Int, w: Int, h1: Long, h2: Long): Unit = {
+    var i = 0
+    while (i < d) {
+      val idx = java.lang.Math.floorMod(h1 + i.toLong * h2, w.toLong).toInt
+      counters(i * w + idx) += 1L
+      i += 1
+    }
+  }
+
+  /** Min-over-rows point estimate from a serialized sketch. */
+  def estimate(bytes: Array[Byte], h1: Long, h2: Long): Long = {
+    if (bytes == null || bytes.length < 8) return 0L
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val d = bb.getInt; val w = bb.getInt
+    if (d <= 0 || w <= 0 || bytes.length < 8 + d.toLong * w * 8) return 0L
+    var best = Long.MaxValue
+    var i = 0
+    while (i < d) {
+      val idx = java.lang.Math.floorMod(h1 + i.toLong * h2, w.toLong)
+      val c = bb.getLong(8 + (i.toLong * w + idx).toInt * 8)
+      if (c < best) best = c
+      i += 1
+    }
+    if (best == Long.MaxValue) 0L else best
+  }
+
+  def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    if (a == null || a.length < 8) return b
+    if (b == null || b.length < 8) return a
+    val ba = java.nio.ByteBuffer.wrap(a)
+    val bb = java.nio.ByteBuffer.wrap(b)
+    val d = ba.getInt; val w = ba.getInt
+    require(bb.getInt == d && bb.getInt == w,
+      "cms_merge: sketches disagree on depth/width")
+    val out = new Array[Byte](a.length)
+    val bo = java.nio.ByteBuffer.wrap(out)
+    bo.putInt(d); bo.putInt(w)
+    var i = 0
+    val n = d * w
+    while (i < n) { bo.putLong(ba.getLong + bb.getLong); i += 1 }
+    out
+  }
+}
+
+/** Aggregate: build a Count-Min sketch (BinaryType) over a STRING
+  * column. Null inputs are skipped.
+  */
+case class CmsSketchAgg(
+    child: Expression,
+    depth: Int = 5,
+    width: Int = 2048,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(depth >= 1 && depth <= 16, s"cms_sketch: depth $depth outside [1,16]")
+  require(width >= 16 && width <= (1 << 22),
+    s"cms_sketch: width $width outside [16, 4M]")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h1 = XxHash64Function.hash(v, child.dataType, Cms.Seed1)
+      val h2 = XxHash64Function.hash(v, child.dataType, Cms.Seed2)
+      Cms.add(buf, depth, width, h1, h2)
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = Cms.serialize(depth, width, buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    Cms.serialize(depth, width, buf)
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.getInt; bb.getInt
+    Array.fill(depth * width)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CmsSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CmsSketchAgg =
+    copy(child = c.head)
+  override def prettyName: String = "cms_sketch"
+}
+
+/** Aggregate: merge stored CMS sketches (BinaryType → BinaryType) —
+  * the re-aggregation half; all inputs must share depth/width.
+  */
+case class CmsMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with ExpectsInputTypes {
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else Cms.mergeBytes(buf, v.asInstanceOf[Array[Byte]])
+  }
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    Cms.mergeBytes(a, b)
+  override def eval(buf: Array[Byte]): Any = buf
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def withNewMutableAggBufferOffset(o: Int): CmsMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CmsMergeAgg =
+    copy(child = c.head)
+  override def prettyName: String = "cms_merge"
+}
+
+/** Scalar: point-frequency estimate of a STRING key from a serialized
+  * CMS sketch (never undercounts).
+  */
+case class CmsEstimateExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes
+    with codegen.CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, StringType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(sk: Any, key: Any): Any =
+    Cms.estimate(sk.asInstanceOf[Array[Byte]],
+      XxHash64Function.hash(key, StringType, Cms.Seed1),
+      XxHash64Function.hash(key, StringType, Cms.Seed2))
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CmsEstimateExpr = copy(left = l, right = r)
+  override def prettyName: String = "cms_estimate"
+}
+
 object Sketches {
   private def agg(e: aggregate.AggregateFunction): Column =
     ExpressionUtils.column(e.toAggregateExpression())
@@ -934,6 +1106,23 @@ object Sketches {
   def kllQuantilesOf(c: Column, probs: Seq[Double]): Column =
     ExpressionUtils.column(KllQuantilesOfExpr(
       ExpressionUtils.expression(c), probs))
+
+  /** Mergeable Count-Min sketch (binary) over a column's values
+    * (point-frequency estimates; never undercounts).
+    */
+  def cmsSketch(c: Column, depth: Int = 5, width: Int = 2048): Column =
+    agg(CmsSketchAgg(ExpressionUtils.expression(c.cast("string")),
+      depth, width))
+
+  /** Merge stored CMS sketches back into one sketch. */
+  def cmsMerge(c: Column): Column =
+    agg(CmsMergeAgg(ExpressionUtils.expression(c)))
+
+  /** Point-frequency estimate of `key` from a serialized CMS sketch. */
+  def cmsEstimate(sketch: Column, key: Column): Column =
+    ExpressionUtils.column(CmsEstimateExpr(
+      ExpressionUtils.expression(sketch),
+      ExpressionUtils.expression(key.cast("string"))))
 
   /** Mergeable KMV bottom-k sketch (binary) — supports set operations. */
   def kmvSketch(c: Column, k: Int = 1024): Column =

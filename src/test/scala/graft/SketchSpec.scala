@@ -772,4 +772,47 @@ class SketchSpec extends SparkSpec {
     val sessions = graft.ops.SessionOps.sessionize(d, "user_id", "ts", 1800)
     assert(sessions.count() == 2)
   }
+
+  test("cms: never undercounts, exact at low load, merge law, reagg") {
+    import org.apache.spark.sql.graftx.Cms
+    val rows = (1 to 500).map(i => s"key${i % 7}") ++ Seq.fill(100)("hot")
+    val df = rows.toDF("k")
+    val sk = df.agg(Sketches.cmsSketch(col("k")).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val estOf = udf((key: String) => Cms.estimate(sk,
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(key),
+        org.apache.spark.sql.types.StringType, Cms.Seed1),
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(key),
+        org.apache.spark.sql.types.StringType, Cms.Seed2)))
+    val got = df.distinct().select(col("k"), estOf(col("k")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 8 distinct keys in 5x2048 counters: collision-free => EXACT
+    exact.foreach { case (k, c) => assert(got(k) == c, s"$k: ${got(k)} != $c") }
+    // absent key estimates 0 at this load
+    val none = df.agg(Sketches.cmsEstimate(
+      Sketches.cmsSketch(col("k")), lit("never-seen")).as("e"))
+      .head().getLong(0)
+    assert(none == 0L)
+    // merge law: per-partition sketches merged == one-pass sketch bytes
+    val onePass = sk
+    val merged = df.repartition(8)
+      .withColumn("p", spark_partition_id())
+      .groupBy("p").agg(Sketches.cmsSketch(col("k")).as("sk"))
+      .agg(Sketches.cmsMerge(col("sk")).as("m"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(onePass, merged))
+    // estimate through the Column surface matches the kernel
+    val viaCol = df.agg(Sketches.cmsEstimate(
+      Sketches.cmsSketch(col("k")), lit("hot")).as("e")).head().getLong(0)
+    assert(viaCol == exact("hot"))
+    // nulls are skipped like count
+    val withNulls = (rows.map(Option(_)) ++ Seq.fill(50)(Option.empty[String]))
+      .toDF("k")
+    val viaNull = withNulls.agg(Sketches.cmsEstimate(
+      Sketches.cmsSketch(col("k")), lit("hot")).as("e")).head().getLong(0)
+    assert(viaNull == exact("hot"))
+  }
 }
