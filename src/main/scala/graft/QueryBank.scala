@@ -6141,6 +6141,44 @@ object QueryBank {
         | (4, 116, 'e5f00942679257f42f49ac536d406257'))
         | v(i, n, m)""".stripMargin),
 
+    ("detect_script",
+      // Unicode script routing: planted latin/cyrillic/han letter
+      // counts (digits+punct noise must NOT vote), dominance ties
+      // breaking toward the alphabetically first name, per-script
+      // letter fractions. DuckDB restates counts and the tie-break
+      // closed-form via a struct sort — a slip in the codepoint walk,
+      // the COMMON exclusion, or the tie rule breaks the hash.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        docs(s, d).select(col("doc_id")).filter(col("doc_id") < 300)
+          .withColumn("t", synthScriptUdf(col("doc_id")))
+          .select(col("doc_id"),
+            graft.llm.TextAnalysis.scriptMixUdf(col("t")).as("m"))
+          .select(col("doc_id"), col("m.script").as("script"),
+            col("m.script_frac").as("script_frac"),
+            col("m.n_scripts").as("n_scripts"),
+            col("m.letters").as("letters"))
+      },
+      """WITH g AS (SELECT doc_id,
+        |  CAST(3 + doc_id % 4 AS BIGINT) AS L,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+        |            ELSE 2 + doc_id % 3 END AS BIGINT) AS C,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 0 END AS BIGINT) AS H
+        | FROM documents WHERE doc_id < 300),
+        |s AS (SELECT doc_id, L, C, H, L + C + H AS total,
+        |  list_sort([
+        |    struct_pack(negc := -L, name := 'latin'),
+        |    struct_pack(negc := -C, name := 'cyrillic'),
+        |    struct_pack(negc := -H, name := 'han')])[1] AS top
+        | FROM g)
+        |SELECT doc_id, top.name AS script,
+        | round(CAST(-top.negc AS DOUBLE) / total, 6) AS script_frac,
+        | CAST((CASE WHEN L > 0 THEN 1 ELSE 0 END) +
+        |   (CASE WHEN C > 0 THEN 1 ELSE 0 END) +
+        |   (CASE WHEN H > 0 THEN 1 ELSE 0 END) AS INT) AS n_scripts,
+        | total AS letters
+        |FROM s""".stripMargin),
+
     ("dedup_bloom",
       // membership-sketch incremental dedup: the Bloom filter of the
       // state slice's normalized keys (one partial-aggregated pass,
@@ -8333,6 +8371,17 @@ object QueryBank {
         case _ => graft.llm.MediaHeaders.oggBuild(
           "vorbis", ch, 22050, 22050L + id * 441)
       }
+    })
+
+  /** Fixture: planted script mix — L latin + C cyrillic + H han
+    * letters with digit/punct noise that must not vote.
+    */
+  private val synthScriptUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => {
+      val l = (3 + id % 4).toInt
+      val c = if (id % 3 == 0) 0 else (2 + id % 3).toInt
+      val h = if (id % 5 == 0) 5 else 0
+      "a" * l + " " + "б" * c + " 12 ! " + "水" * h
     })
 
   /** Fixture: AIFF (even ids, PCM) / AIFF-C (odd ids, sowt) with the

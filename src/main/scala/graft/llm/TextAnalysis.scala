@@ -1000,6 +1000,57 @@ object TextAnalysis {
       posexplode(sents).as(Seq(idxCol, textCol)): _*)
   }
 
+  /** (dominant script, its letter fraction, distinct scripts, letter
+    * count) for [[scriptMixUdf]].
+    */
+  final case class ScriptMix(script: String, script_frac: java.lang.Double,
+      n_scripts: Integer, letters: java.lang.Long)
+
+  /** Unicode script mix of a document's LETTERS (the writing-system
+    * complement of [[langId]]'s n-gram guess: script is table-exact
+    * per codepoint — JDK Character.UnicodeScript, i.e. the Unicode
+    * Scripts.txt property — so it routes multilingual corpora even
+    * where short-text n-gram stats are ambiguous). Non-letters and the
+    * COMMON/INHERITED classes (digits, punctuation, combining marks)
+    * don't vote. Dominant ties break toward the alphabetically first
+    * script name; a letterless document maps to (null, null, 0, 0).
+    */
+  def scriptMix(s: String): ScriptMix = {
+    if (s == null) return ScriptMix(null, null, 0, 0L)
+    val counts = new java.util.HashMap[String, Long]()
+    var i = 0
+    var letters = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (Character.isLetter(cp)) {
+        val sc = Character.UnicodeScript.of(cp)
+        if (sc != Character.UnicodeScript.COMMON &&
+          sc != Character.UnicodeScript.INHERITED &&
+          sc != Character.UnicodeScript.UNKNOWN) {
+          val name = sc.name.toLowerCase(java.util.Locale.ROOT)
+          counts.merge(name, 1L, (a, b) => a + b)
+          letters += 1
+        }
+      }
+      i += Character.charCount(cp)
+    }
+    if (letters == 0) return ScriptMix(null, null, 0, 0L)
+    var bestName: String = null
+    var bestCount = -1L
+    counts.forEach { (name, c) =>
+      if (c > bestCount || (c == bestCount && name < bestName)) {
+        bestName = name; bestCount = c
+      }
+    }
+    ScriptMix(bestName,
+      BigDecimal(bestCount.toDouble / letters)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      counts.size, letters)
+  }
+
+  val scriptMixUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(scriptMix _)
+
   /** One-call profile: appends all analysis columns. */
   def profile(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -544,6 +544,19 @@ object LlmOps {
       }
     }
 
+    // `detect-script :col` — Unicode script mix of the letters
+    // (table-exact per codepoint): appends `<col>_script`,
+    // `<col>_script_frac`, `<col>_n_scripts` (TextAnalysis.scriptMix)
+    case "detect-script" => ColumnOps.simple(spec) { df =>
+      val c = spec.col(0)
+      df.withColumn("__sm", graft.llm.TextAnalysis.scriptMixUdf(
+          col(c).cast(org.apache.spark.sql.types.StringType)))
+        .withColumn(s"${c}_script", col("__sm.script"))
+        .withColumn(s"${c}_script_frac", col("__sm.script_frac"))
+        .withColumn(s"${c}_n_scripts", col("__sm.n_scripts"))
+        .drop("__sm")
+    }
+
     // `dedup-against-bloom :text statetable [expected] [fpp]` —
     // membership-sketch incremental dedup: ONE partial-aggregated pass
     // builds a Bloom filter of the state table's normalized-content
