@@ -4701,8 +4701,9 @@ object QueryBank {
       // the mixed-corpus front door: ids cycle through PDF, DOCX,
       // HTML, plain-text, GZIPPED plain-text, RTF, bare-SRT,
       // subtitled-MKV, zstd-wrapped WARC (named zst+warc, textless),
-      // xz-wrapped text, FLAC (named, textless) and skippable-frame-
-      // led zstd text payloads — the router must dispatch every
+      // xz-wrapped text, FLAC (named, textless), skippable-frame-led
+      // zstd text, AIFF (named, textless) and 7z (named - member
+      // routing is parse-as-7z's job) payloads — the router must dispatch every
       // format (magic bytes, container members, compression wrappers
       // incl. the warc-zstd lead shape, cue shapes, EBML) and recover
       // identical text where text exists
@@ -4716,13 +4717,14 @@ object QueryBank {
             col("payload_text").as("text"))
       },
       """SELECT doc_id,
-        | CASE doc_id % 12 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+        | CASE doc_id % 14 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
         |   WHEN 2 THEN 'html' WHEN 3 THEN 'text'
         |   WHEN 4 THEN 'gz+text' WHEN 5 THEN 'rtf'
         |   WHEN 6 THEN 'subtitles' WHEN 7 THEN 'mkv'
         |   WHEN 8 THEN 'zst+warc' WHEN 9 THEN 'xz+text'
-        |   WHEN 10 THEN 'flac' ELSE 'zst+text' END AS format,
-        | CASE WHEN doc_id % 12 IN (8, 10) THEN NULL
+        |   WHEN 10 THEN 'flac' WHEN 11 THEN 'zst+text'
+        |   WHEN 12 THEN 'aiff' ELSE '7z' END AS format,
+        | CASE WHEN doc_id % 14 IN (8, 10, 12, 13) THEN NULL
         |   ELSE 'R ' || doc_id END AS text
         |FROM documents WHERE doc_id < 200""".stripMargin),
 
@@ -7736,7 +7738,7 @@ object QueryBank {
     * recover it from all five.
     */
   private val synthMixedDocUdf =
-    org.apache.spark.sql.functions.udf((id: Long) => (id % 12) match {
+    org.apache.spark.sql.functions.udf((id: Long) => (id % 14) match {
       case 0 => graft.sources.Pdf.build(Seq(Seq(s"R $id")))
       case 1 => graft.sources.Zip.build(Seq(("word/document.xml",
         s"<w:p><w:r><w:t>R $id</w:t></w:r></w:p>".getBytes("UTF-8"))))
@@ -7768,9 +7770,14 @@ object QueryBank {
         graft.functions.Udfs.compress(s"R $id".getBytes("UTF-8"), "xz")
       case 10 => // FLAC audio: named, textless
         graft.llm.MediaHeaders.flacBuild(44100, 2, 16, 44100L + id)
-      case _ => // skippable-frame-led zstd text (warc-zstd lead shape)
+      case 11 => // skippable-frame-led zstd text (warc-zstd lead shape)
         graft.sources.ZstdFrames.skippableFrame(Array[Byte](7, 7)) ++
           graft.functions.Udfs.compress(s"R $id".getBytes("UTF-8"), "zstd")
+      case 12 => // AIFF audio: named, textless (r16 session-B leg)
+        graft.llm.MediaHeaders.aiffBuild(2, 44100L + id, 44100)
+      case _ => // 7z archive: NAMED - member routing is parse-as-7z's job
+        graft.sources.SevenZip.build(
+          Seq((s"m$id.txt", s"R $id".getBytes("UTF-8"))), "lzma2")
     })
 
   /** Fixture: a two-chapter EPUB whose zip order is reversed vs the
