@@ -5122,6 +5122,34 @@ object QueryBank {
         | CAST((rate + doc_id * 31) * 1000 // rate AS BIGINT) AS duration_ms
         |FROM g""".stripMargin),
 
+    ("multimodal_modern_probe",
+      // the modern web image tier: HEIC/AVIF ride ISO-BMFF, so the
+      // ftyp MAJOR BRAND (not the container) names them and dimensions
+      // come from the meta/iprp/ipco/ispe walk (meta is a FULL box —
+      // the 4 version/flag bytes are the classic off-by-four trap);
+      // animated GIFs sum their per-frame GCE delays through a block
+      // walk that must skip LZW sub-blocks by declared size. All
+      // closed-form in doc_id.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        docs(s, d).select(col("doc_id")).filter(col("doc_id") < 240)
+          .withColumn("payload", synthModernImageUdf(col("doc_id")))
+          .select(col("doc_id"),
+            graft.llm.MediaHeaders.probeUdf(col("payload")).as("p"))
+          .select(col("doc_id"), col("p.format").as("format"),
+            col("p.width").as("width"), col("p.height").as("height"),
+            col("p.duration_ms").as("duration_ms"))
+      },
+      """SELECT doc_id,
+        | CASE doc_id % 3 WHEN 0 THEN 'heic' WHEN 1 THEN 'avif'
+        |   ELSE 'gif' END AS format,
+        | CAST(20 + doc_id % 10 AS INT) AS width,
+        | CAST(10 + doc_id % 5 AS INT) AS height,
+        | CASE WHEN doc_id % 3 = 2
+        |   THEN CAST((2 + doc_id % 4) * (5 + doc_id % 7) * 10 AS BIGINT)
+        |   ELSE NULL END AS duration_ms
+        |FROM documents WHERE doc_id < 240""".stripMargin),
+
     ("multimodal_audio_tags",
       // the three tag systems web audio carries, one per id class:
       // FLAC VORBIS_COMMENT (≡0 mod 4), OpusTags (≡1), Ogg Vorbis
@@ -8075,6 +8103,60 @@ object QueryBank {
         (s"s$id.cls", (id % 10).toString.getBytes("UTF-8")),
         (s"s$id.json", s"""{"id":$id}""".getBytes("UTF-8"))),
         codec = if (id % 2 == 0) "copy" else "lzma2"))
+
+  /** Fixture: modern-web still/animated images — HEIC and AVIF
+    * (ISO-BMFF ftyp brand + meta/iprp/ipco/ispe dimensions) and
+    * animated GIF (per-frame GCE delays the probe must sum through
+    * the block walk, local-table-less frames with undecoded LZW
+    * sub-blocks it must SKIP by declared size).
+    */
+  private[graft] def modernImageFixture(id: Long): Array[Byte] = {
+    val w = (20 + id % 10).toInt
+    val h = (10 + id % 5).toInt
+    def be32(v: Long): Seq[Byte] = Seq((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    (id % 3) match {
+      case k if k == 0 || k == 1 =>
+        val brand = if (k == 0) "heic" else "avif"
+        val ispe = be32(20) ++ "ispe".getBytes.toSeq ++ be32(0) ++
+          be32(w.toLong) ++ be32(h.toLong)
+        val ipco = be32(8L + ispe.length) ++ "ipco".getBytes.toSeq ++ ispe
+        val iprp = be32(8L + ipco.length) ++ "iprp".getBytes.toSeq ++ ipco
+        val meta = be32(12L + iprp.length) ++ "meta".getBytes.toSeq ++
+          be32(0) ++ iprp
+        val ftyp = be32(20) ++ "ftyp".getBytes.toSeq ++
+          brand.getBytes.toSeq ++ be32(0) ++ "mif1".getBytes.toSeq
+        (ftyp ++ meta).toArray
+      case _ =>
+        val frames = (2 + id % 4).toInt
+        val delayCs = (5 + id % 7).toInt
+        val out = new java.io.ByteArrayOutputStream()
+        out.write("GIF89a".getBytes("US-ASCII"))
+        out.write(w & 0xff); out.write(w >> 8)
+        out.write(h & 0xff); out.write(h >> 8)
+        out.write(0); out.write(0); out.write(0) // no GCT, bg, aspect
+        var f = 0
+        while (f < frames) {
+          out.write(0x21); out.write(0xf9); out.write(4) // GCE
+          out.write(0); out.write(delayCs & 0xff); out.write(delayCs >> 8)
+          out.write(0); out.write(0) // transparent idx + terminator
+          out.write(0x2c) // image descriptor, full logical screen
+          out.write(0); out.write(0); out.write(0); out.write(0)
+          out.write(w & 0xff); out.write(w >> 8)
+          out.write(h & 0xff); out.write(h >> 8)
+          out.write(0) // no local table
+          out.write(2) // LZW min code size
+          out.write(2); out.write(0x4c); out.write(0x01) // one sub-block
+          out.write(0) // sub-block terminator
+          f += 1
+        }
+        out.write(0x3b)
+        out.toByteArray
+    }
+  }
+
+  private val synthModernImageUdf =
+    org.apache.spark.sql.functions.udf((id: Long) => modernImageFixture(id))
 
   private val synthEbmlUdf =
     org.apache.spark.sql.functions.udf((id: Long) => {

@@ -236,9 +236,48 @@ object MediaHeaders {
     if (b.length >= 24 && u8(b, 0) == 0x89 && ascii(b, 1, 3) == "PNG" &&
         ascii(b, 12, 4) == "IHDR")
       return Probe("png", be32(b, 16).toInt, be32(b, 20).toInt, null)
-    // GIF87a/GIF89a: logical screen w/h as LE16 at 6/8
-    if (ascii(b, 0, 3) == "GIF")
-      return Probe("gif", le16(b, 6), le16(b, 8), null)
+    // GIF87a/GIF89a: logical screen w/h as LE16 at 6/8; ANIMATED gifs
+    // additionally report duration = the sum of the Graphic Control
+    // Extension delays (centiseconds) across frames — the block walk
+    // skips color tables and LZW sub-blocks by their declared sizes
+    if (ascii(b, 0, 3) == "GIF") {
+      val w = le16(b, 6); val h = le16(b, 8)
+      var dur: java.lang.Long = null
+      if (b.length >= 14) {
+        var p = 13
+        if ((u8(b, 10) & 0x80) != 0) p += 3 * (1 << ((u8(b, 10) & 7) + 1))
+        var frames = 0
+        var delayCs = 0L
+        def skipSubBlocks(from: Int): Int = {
+          var q = from
+          while (q < b.length && u8(b, q) != 0) q += 1 + u8(b, q)
+          q + 1
+        }
+        var halt = false
+        while (!halt && p + 1 < b.length) {
+          u8(b, p) match {
+            case 0x21 => // extension: label + sub-blocks
+              if (u8(b, p + 1) == 0xf9 && p + 7 < b.length &&
+                u8(b, p + 2) == 4)
+                delayCs += le16(b, p + 4)
+              p = skipSubBlocks(p + 2)
+            case 0x2c => // image descriptor (+ local table + LZW data)
+              frames += 1
+              if (p + 10 >= b.length) halt = true
+              else {
+                var q = p + 10
+                if ((u8(b, p + 9) & 0x80) != 0)
+                  q += 3 * (1 << ((u8(b, p + 9) & 7) + 1))
+                p = skipSubBlocks(q + 1) // +1: LZW min code size byte
+              }
+            case 0x3b => halt = true // trailer
+            case _ => halt = true // malformed: keep what we counted
+          }
+        }
+        if (frames >= 2 && delayCs > 0) dur = delayCs * 10L
+      }
+      return Probe("gif", w, h, dur)
+    }
     // BMP: "BM", BITMAPINFOHEADER width LE32 @18, height LE32 @22
     if (b.length >= 26 && ascii(b, 0, 2) == "BM")
       return Probe("bmp", le32(b, 18).toInt, math.abs(le32(b, 22).toInt), null)
@@ -318,6 +357,48 @@ object MediaHeaders {
     // boxes to moov, then moov children: mvhd (timescale+duration →
     // duration_ms) and trak/tkhd (16.16 fixed-point width/height of
     // the first visual track). Public layout: ISO/IEC 14496-12.
+    // HEIF-family still images ride the ISO-BMFF container too: the
+    // ftyp MAJOR BRAND distinguishes them from video mp4, and the
+    // dimensions live in meta/iprp/ipco/ispe (ISO 23008-12), not tkhd.
+    // meta is a FULL box (4 bytes version/flags before children).
+    if (ascii(b, 4, 4) == "ftyp" && b.length >= 12 && {
+      val brand = ascii(b, 8, 4)
+      brand == "heic" || brand == "heix" || brand == "avif" ||
+        brand == "avis" || brand == "mif1"
+    }) {
+      val fmt = ascii(b, 8, 4) match {
+        case "avif" | "avis" => "avif"
+        case _ => "heic"
+      }
+      var w: Integer = null
+      var h: Integer = null
+      def walk(from: Long, to: Long, depth: Int): Unit = {
+        var p = from
+        while (p + 8 <= to && depth < 8 && w == null) {
+          var size = be32(b, p.toInt)
+          val id = ascii(b, p.toInt + 4, 4)
+          var hdr = 8L
+          if (size == 1 && p + 16 <= to) {
+            size = (be32(b, p.toInt + 8) << 32) | be32(b, p.toInt + 12)
+            hdr = 16L
+          } else if (size == 0) size = to - p
+          if (size < hdr) return
+          val end = math.min(p + size, to)
+          id match {
+            case "meta" => walk(p + hdr + 4, end, depth + 1) // full box
+            case "iprp" | "ipco" => walk(p + hdr, end, depth + 1)
+            case "ispe" if p + hdr + 12 <= to =>
+              // full box: version/flags, then width/height BE32
+              w = be32(b, (p + hdr + 4).toInt).toInt
+              h = be32(b, (p + hdr + 8).toInt).toInt
+            case _ => ()
+          }
+          p = end
+        }
+      }
+      walk(0L, b.length.toLong, 0)
+      return Probe(fmt, w, h, null)
+    }
     if (ascii(b, 4, 4) == "ftyp") {
       var durMs: java.lang.Long = null
       var w: Integer = null

@@ -557,6 +557,10 @@ class PropertySpec extends AnyFunSuite {
         (b: Array[Byte]) => graft.llm.MediaHeaders.probe(b)),
       ("tiffBe", QueryBank.tiffWebpFixture(1),
         (b: Array[Byte]) => graft.llm.MediaHeaders.probe(b)),
+      ("heic", QueryBank.modernImageFixture(0),
+        (b: Array[Byte]) => graft.llm.MediaHeaders.probe(b)),
+      ("animGif", QueryBank.modernImageFixture(2),
+        (b: Array[Byte]) => graft.llm.MediaHeaders.probe(b)),
       ("tiffDecode", graft.llm.MediaHeaders.tiffEncode(9, 8,
         Array.tabulate(9 * 8 * 3)(i => ((i * 31 + 5) % 256).toByte),
         packbits = true, rowsPerStrip = 3),
