@@ -322,12 +322,12 @@ object MediaHeaders {
     // "VP8L" (lossless: 2F signature, two packed 14-bit minus-one
     // fields), or "VP8X" (extended: 24-bit LE canvas minus-one).
     // Layout: Google WebP container + VP8/VP8L bitstream specs.
-    if (b.length >= 30 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WEBP") {
+    if (b.length >= 16 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WEBP") {
       val chunk = ascii(b, 12, 4)
-      if (chunk == "VP8 " && u8(b, 23) == 0x9d && u8(b, 24) == 0x01 &&
-          u8(b, 25) == 0x2a)
+      if (chunk == "VP8 " && b.length >= 30 && u8(b, 23) == 0x9d &&
+          u8(b, 24) == 0x01 && u8(b, 25) == 0x2a)
         return Probe("webp", le16(b, 26) & 0x3fff, le16(b, 28) & 0x3fff, null)
-      if (chunk == "VP8L" && u8(b, 20) == 0x2f) {
+      if (chunk == "VP8L" && b.length >= 25 && u8(b, 20) == 0x2f) {
         val bits = le32(b, 21)
         val w = ((bits & 0x3fff) + 1).toInt
         val h = (((bits >> 14) & 0x3fff) + 1).toInt

@@ -124,7 +124,15 @@ object Extract {
       }
       // MP4/ISO-BMFF: the tx3g/text timed-text track is the video's
       // text (parity with the MKV leg); caption-less video routes as
-      // (mp4, null)
+      // (mp4, null). HEIF-family STILL images share the container —
+      // the ftyp major brand segregates them first (textless)
+      if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+        b(7) == 'p') {
+        val brand = new String(b, 8, 4, "US-ASCII")
+        if (brand == "heic" || brand == "heix" || brand == "mif1")
+          return ("heic", null)
+        if (brand == "avif" || brand == "avis") return ("avif", null)
+      }
       if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
         b(7) == 'p') {
         val cues = graft.llm.MediaHeaders.mp4Subtitles(b)
