@@ -1187,6 +1187,35 @@ object QueryBank {
         | TRUE AS no_undercount, TRUE AS within_bound
         |FROM events GROUP BY event_type""".stripMargin),
 
+    ("cms_merge_reaggregate",
+      // sketch-once / merge-later for CMS: per-type sketches are built
+      // first, then MERGED (element-wise sum — never re-reading raw
+      // rows), and the merged estimate must equal the one-pass
+      // whole-table estimate EXACTLY (the merge is lossless by
+      // construction, unlike HLL's tolerance bound). Checked per key
+      // against the one-pass sketch AND the never-undercount floor.
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val ev = s.read.parquet(s"$d/events.parquet")
+        val merged = ev.groupBy(col("event_type"))
+          .agg(graftx.Sketches.cmsSketch(col("event_type")).as("sk"))
+          .agg(graftx.Sketches.cmsMerge(col("sk")).as("m"))
+          .head().getAs[Array[Byte]](0)
+        val onePass = ev
+          .agg(graftx.Sketches.cmsSketch(col("event_type")).as("sk"))
+          .head().getAs[Array[Byte]](0)
+        val estM = graftx.Sketches.cmsEstimate(lit(merged), col("event_type"))
+        val est1 = graftx.Sketches.cmsEstimate(lit(onePass), col("event_type"))
+        ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("exact_count"))
+          .select(col("event_type"), col("exact_count"),
+            (estM === est1).as("merge_lossless"),
+            (estM >= col("exact_count")).as("no_undercount"))
+      },
+      """SELECT event_type, count(*) AS exact_count,
+        | TRUE AS merge_lossless, TRUE AS no_undercount
+        |FROM events GROUP BY event_type""".stripMargin),
+
     ("kll_quantiles",
       (s, d) => {
         import org.apache.spark.sql.functions._
