@@ -44,8 +44,10 @@ object IncrementalDedup {
     * + anti-join when the seen-set is huge and a controlled
     * false-positive rate is acceptable (dedup's FP direction is SAFE —
     * a false positive drops a genuinely-novel row, never re-admits a
-    * duplicate): ~1.2 bytes/key at fpp 1e-6 means a BILLION seen
-    * documents broadcast as ~1.2 GB of bits instead of shuffling a
+    * duplicate): ~28.8 bits ≈ 3.6 bytes/key at fpp 1e-6 (the classic
+    * m/n = -ln(p)/ln(2)^2), so a BILLION seen documents broadcast as
+    * ~3.6 GB of bits — or ~1.2 GB at a looser fpp 1e-2 — instead of
+    * shuffling a
     * 16-byte-fingerprint table into every ingest join. Built with ONE
     * partial-aggregated pass (Spark's BloomFilter merge is a bitwise
     * OR — order/partitioning independent, so the bits are

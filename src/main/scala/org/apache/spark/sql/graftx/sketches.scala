@@ -951,6 +951,13 @@ object Cms {
     val d = ba.getInt; val w = ba.getInt
     require(bb.getInt == d && bb.getInt == w,
       "cms_merge: sketches disagree on depth/width")
+    // a valid header over a truncated counter body would otherwise hit
+    // BufferUnderflowException in the getLong loop — fail descriptively
+    // (estimate length-checks the same way and returns 0)
+    require(d > 0 && w > 0 &&
+      a.length >= 8 + d.toLong * w * 8 && b.length >= 8 + d.toLong * w * 8,
+      s"cms_merge: truncated sketch body (depth=$d width=$w needs " +
+        s"${8 + d.toLong * w * 8} bytes; got ${a.length} and ${b.length})")
     val out = new Array[Byte](a.length)
     val bo = java.nio.ByteBuffer.wrap(out)
     bo.putInt(d); bo.putInt(w)
