@@ -43,6 +43,15 @@ object Bench {
       // 16 MB splits saturate local[32] at these SFs; a real cluster
       // sizes this to executor count x cores (same knob, PERF.md).
       .config("spark.sql.files.maxPartitionBytes", "16m")
+      // a full-bank run executes ~1000 jobs in one driver JVM; shuffle
+      // files and broadcasts are only reclaimed when the GC-driven
+      // ContextCleaner notices them, and the default periodic-GC
+      // interval (30min) never fires inside a bench run. The backlog
+      // measurably inflates late heavy queries (dedup_minhash_cc
+      // measured 8.7 s at position ~60 of a single-pass full bank vs
+      // 2.0-2.5 s steady-state in a fresh JVM). 2min bounds the
+      // backlog; harness hygiene, not a query change.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -218,6 +227,13 @@ object Bench {
       catch { case _: Throwable => () }
     spark.catalog.clearCache()
 
+    // warm the floor query ONCE untimed at the bench SF before
+    // sampling: the very first sf-dir read pays footer/codegen costs
+    // that are not contention — an unwarmed floorStart (measured
+    // 0.296 s vs 0.09 steady) both burns backoff sleeps and falsely
+    // flags the whole record contended
+    materialize("rename")
+
     floorStart = floorSample()
     var backoffs = 0
     while (floorStart > floorMax && backoffs < 2) {
@@ -236,8 +252,17 @@ object Bench {
     var pass = 1
     var overBudget = false
     while (pass <= maxRuns && !overBudget && !aborted) {
+      // passes 2+ run HEAVIEST-FIRST (by current estimate): the wall
+      // budget usually admits only a slice of a re-run pass, and the
+      // single-sample entries that most need a second sample (the min
+      // estimator deflates one-off JIT/GC/contention hits) are exactly
+      // the expensive ones — alphabetical order would spend the slice
+      // on sub-floor queries instead
+      val order =
+        if (pass == 1) benchNames
+        else benchNames.sortBy(n => -median(samples(n).toSeq))
       var i = 0
-      for (n <- benchNames if !overBudget && !aborted) {
+      for (n <- order if !overBudget && !aborted) {
         if (i > 0 && i % probeEvery == 0) midProbes += materialize("rename")
         if (pass > 1 && elapsed > budgetSec) {
           overBudget = true

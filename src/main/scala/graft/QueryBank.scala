@@ -140,8 +140,14 @@ object QueryBank {
       // DuckDB reconstructs the exact http_response string with
       // concatenation — a real per-row HTTP round trip with an exact
       // oracle and zero egress (127.0.0.1 only)
+      // repartition the tiny table across cores: nation is one scan
+      // split, so the per-row HTTP round trips otherwise run SERIALLY
+      // in one task (25 x ~45 ms of network latency on one core — the
+      // classic external-latency straggler, guide §2.6). Spreading the
+      // rows overlaps the round trips; row contents are untouched.
       (s, d) => r(s"invoke-http '${LoopbackEcho.url}' :n_nationkey,:n_name; " +
-        "keep :n_nationkey,:n_name,:http_response")(nat(s, d)),
+        "keep :n_nationkey,:n_name,:http_response")(
+        nat(s, d).repartition(s.sparkContext.defaultParallelism)),
       """SELECT n_nationkey, n_name,
         | '{"ok":true,"echoed":{"n_nationkey":' || n_nationkey ||
         | ',"n_name":"' || n_name || '"}}' AS http_response
@@ -2282,7 +2288,15 @@ object QueryBank {
       // a drift anywhere in the training loop breaks the hash.
       (s, d) => {
         import org.apache.spark.sql.functions._
-        graft.llm.Classifier.qualityScore(docs(s, d), "text",
+        // shared featurization: ONE hashed-TF pass over the corpus,
+        // cached — training gradients and the final scoring projection
+        // both read the cached vector instead of re-hashing the text
+        // (identical arrays, so the fixed point is bit-identical)
+        val base = docs(s, d).select(col("doc_id"), col("lang"),
+            graft.functions.Udfs.hashingTfUdf(
+              col("text").cast("string"), lit(16)).as("__tf"))
+          .persist()
+        graft.llm.Classifier.qualityScoreTf(base, col("__tf"),
             col("lang") === "en", dim = 16, iterations = 3, lr = 0.5)
           .select(col("doc_id"),
             (col("lang") === "en").cast("int").as("label"),
@@ -2299,8 +2313,16 @@ object QueryBank {
       // per-doc DECIMAL log-prob sums.
       (s, d) => {
         import org.apache.spark.sql.functions._
-        graft.llm.NgramLm.perplexity(docs(s, d), "text", "doc_id",
-            col("lang") === "en", maxVocab = 65536, minBigramCount = 2,
+        // shared tokenization: ONE normTokens pass over the corpus,
+        // cached — the trainer's unigram/bigram passes and the scoring
+        // explode all read the cached arrays instead of re-tokenizing
+        // (identical tokens, so the model and scores are bit-identical)
+        val base = docs(s, d).select(col("doc_id"), col("lang"),
+            graft.functions.Udfs.normTokensUdf(col("text")).as("__toks"))
+          .persist()
+        val lm = graft.llm.NgramLm.trainToks(base, col("__toks"),
+          col("lang") === "en", maxVocab = 65536, minBigramCount = 2)
+        graft.llm.NgramLm.scoreToks(base, col("__toks"), "doc_id", lm,
             lambda = 0.5)
           .select(col("doc_id"), col("lm_tokens"),
             round(col("lm_logprob"), 6).as("lm_logprob"),
@@ -2340,14 +2362,26 @@ object QueryBank {
       // THREE training fixed points as nested subqueries.
       (s, d) => {
         import org.apache.spark.sql.functions._
-        val dd = docs(s, d)
-        val scored = graft.llm.NgramLm.perplexity(
-          graft.llm.Classifier.dsirLogWeights(
-            graft.llm.Classifier.qualityScore(dd, "text",
-              col("lang") === "en", dim = 16, iterations = 3, lr = 0.5),
-            "text", col("lang") === "en", dim = 16),
-          "text", "doc_id", col("lang") === "en", maxVocab = 65536,
-          minBigramCount = 2, lambda = 0.5)
+        // shared featurization across all THREE training fixed points:
+        // ONE normTokens pass and ONE hashed-TF pass (derived from the
+        // cached tokens), cached — classifier gradients, DSIR counts,
+        // LM train and all three scoring projections read the cache.
+        // Identical tokens/vectors, so every fixed point and score is
+        // bit-identical to the unshared spelling the oracle replays.
+        val base = docs(s, d).select(col("doc_id"), col("lang"),
+            graft.functions.Udfs.normTokensUdf(col("text")).as("__toks"))
+          .withColumn("__tf", graft.functions.Udfs
+            .hashingTfFromToksUdf(col("__toks"), lit(16)))
+          .persist()
+        val en = col("lang") === "en"
+        val lm = graft.llm.NgramLm.trainToks(base, col("__toks"), en,
+          maxVocab = 65536, minBigramCount = 2)
+        val scored = graft.llm.NgramLm.scoreToks(
+          graft.llm.Classifier.dsirLogWeightsTf(
+            graft.llm.Classifier.qualityScoreTf(base, col("__tf"),
+              en, dim = 16, iterations = 3, lr = 0.5),
+            col("__tf"), en, dim = 16),
+          col("__toks"), "doc_id", lm, lambda = 0.5)
         scored
           .where(round(col("dsir_logweight"), 6) >= 0.0 &&
             col("lm_ppl").isNotNull)
@@ -2387,6 +2421,12 @@ object QueryBank {
       // and the bucket-ordered weighted sum exactly.
       (s, d) => {
         import org.apache.spark.sql.functions._
+        // deliberately NOT shared-featurized (unlike
+        // classifier_quality_score): this standalone query evaluates
+        // the dim-16 TF kernel exactly twice (count agg + scoring
+        // projection), and caching the arrays costs more than the one
+        // pass it saves (measured: ~0.65 s unshared vs ≥1.26 s with a
+        // persisted TF base)
         graft.llm.Classifier.dsirLogWeights(docs(s, d), "text",
             col("lang") === "en", dim = 16)
           .select(col("doc_id"),
@@ -4980,8 +5020,17 @@ object QueryBank {
           (col("doc_id") % 5).cast("int") + 1)
         // doc_id < 2000: full codec coverage at bounded cost — the
         // expensive side is the bzip2/xz COMPRESSION building the
-        // fixture, not the decode path under test
-        docs(s, d).filter(col("doc_id") < 2000).withColumn("m", m)
+        // fixture, not the decode path under test.
+        // repartition AFTER the selective filter: the pushed-down
+        // doc_id predicate leaves the 2000 surviving rows inside 1-2
+        // scan splits, serializing ~2 s of per-row codec work onto one
+        // core while 31 idle (guide §2.5 input skew). Round-robin
+        // spread over defaultParallelism is core-count-adaptive and
+        // result-invariant (row contents untouched, compare is
+        // order-insensitive).
+        docs(s, d).filter(col("doc_id") < 2000)
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn("m", m)
           .withColumn("z",
             graft.functions.Udfs.compressUdf(col("text"), col("m")))
           .select(col("doc_id"), col("m").as("method"),
@@ -8798,6 +8847,13 @@ private object LoopbackEcho {
   lazy val url: String = {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    // cached thread pool (daemon threads): the default executor handles
+    // every exchange on the single dispatcher thread, which would
+    // serialize the invoke_http query's now-parallel per-task requests
+    // right back into a queue
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+      (r: Runnable) => { val t = new Thread(r, "loopback-echo-worker")
+        t.setDaemon(true); t }))
     server.createContext("/echo", (ex: com.sun.net.httpserver.HttpExchange) => {
       val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
       val resp = s"""{"ok":true,"echoed":$body}""".getBytes("UTF-8")

@@ -1338,10 +1338,17 @@ object Udfs {
     * mod k — no vocabulary, no shuffle, any engine reproduces the
     * bucket assignment exactly. Null/empty text yields the zero vector.
     */
-  def hashingTf(text: String, k: Int): Array[Int] = {
+  def hashingTf(text: String, k: Int): Array[Int] =
+    hashingTfFromToks(normTokens(text), k)
+
+  /** [[hashingTf]] over ALREADY-normalized tokens — the shared-
+    * featurization path: a pipeline that caches one normTokens pass
+    * derives the TF vector from it instead of re-normalizing the text
+    * (same MD5 bucketing, bit-identical counts).
+    */
+  def hashingTfFromToks(toks: Seq[String], k: Int): Array[Int] = {
     val counts = new Array[Int](k)
-    val toks = normTokens(text)
-    if (toks.isEmpty) return counts
+    if (toks == null || toks.isEmpty) return counts
     val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
     while (i < toks.length) {
@@ -1351,6 +1358,7 @@ object Udfs {
     counts
   }
   val hashingTfUdf: UserDefinedFunction = udf(hashingTf _)
+  val hashingTfFromToksUdf: UserDefinedFunction = udf(hashingTfFromToks _)
 
   /** Same normalization as graft.llm.Dedup.normalized (keep in sync). */
   def normalizeText(text: String): String = {

@@ -54,9 +54,16 @@ object Graph {
     }
     var ranks = vertices.withColumn("rank", lit(1.0 / n))
     for (_ <- 0 until iterations) {
+      // SHUFFLE_HASH on the rank side: the checkpointed ranks frame has
+      // no size stats (LogicalRDD defaults to "huge"), so the planner
+      // falls back to sort-merge and re-SORTS the cached edge list
+      // every iteration. Hash-building the per-partition rank slice
+      // (|V|/partitions rows) streams the edges unsorted — the right
+      // join shape for an edge list at any scale, and the edge cache's
+      // src-partitioning still satisfies the join distribution.
       val contribs = edges
         .join(ranks.withColumnRenamed("vertex", "src")
-          .where(col("__outdeg") > 0), Seq("src"))
+          .where(col("__outdeg") > 0).hint("shuffle_hash"), Seq("src"))
         .select(col("dst").as("vertex"),
           (col("rank") / col("__outdeg")).as("__contrib"))
         .groupBy(col("vertex"))
@@ -68,7 +75,7 @@ object Graph {
       // alone OOMs past ~15 iterations). A cluster deployment uses
       // reliable checkpoint() to storage; same shape.
       ranks = vertices
-        .join(contribs, Seq("vertex"), "left")
+        .join(contribs.hint("shuffle_hash"), Seq("vertex"), "left")
         .select(col("vertex"), col("__outdeg"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))

@@ -67,11 +67,21 @@ object Classifier {
     */
   def trainLogistic(df: DataFrame, textCol: String, labelCol: String,
       dim: Int = 16, iterations: Int = 3, lr: Double = 0.5)
+      : (Array[Double], Double) =
+    trainLogisticTf(df, tfCol(textCol, dim), labelCol, dim, iterations, lr)
+
+  /** [[trainLogistic]] with a caller-supplied TF column — the
+    * shared-featurization spelling: a pipeline that has already
+    * materialized (cached) the hashed-TF vector passes `col("__tf")`
+    * instead of paying a fresh tokenize+hash pass over the text.
+    * Bit-identical weights (same features, same fold order).
+    */
+  def trainLogisticTf(df: DataFrame, tf: Column, labelCol: String,
+      dim: Int = 16, iterations: Int = 3, lr: Double = 0.5)
       : (Array[Double], Double) = {
     require(dim >= 1 && dim <= 4096, s"trainLogistic: dim $dim")
     require(iterations >= 1 && iterations <= 1000,
       s"trainLogistic: iterations $iterations")
-    val tf = tfCol(textCol, dim)
     // materialize the normalized features as flat double COLUMNS (not
     // the packed array): iterations then read cached doubles directly,
     // and each gradient term stays a tiny product — keeping the
@@ -123,12 +133,20 @@ object Classifier {
     */
   def scoreLogistic(df: DataFrame, textCol: String,
       weights: Array[Double], bias: Double,
+      outCol: String = "quality_score"): DataFrame =
+    scoreLogisticTf(df, tfCol(textCol, weights.length), weights, bias,
+      outCol)
+
+  /** [[scoreLogistic]] with a caller-supplied TF column (see
+    * [[trainLogisticTf]]). */
+  def scoreLogisticTf(df: DataFrame, tf: Column,
+      weights: Array[Double], bias: Double,
       outCol: String = "quality_score"): DataFrame = {
     // alias the hashed-TF array in its own projection: the scorer
     // references it 2·dim times, and CollapseProject keeps a
     // multi-referenced non-cheap alias un-inlined — so the UDF kernel
     // runs ONCE per row, not once per reference (measured 17x)
-    df.withColumn("__clf_tf", tfCol(textCol, weights.length))
+    df.withColumn("__clf_tf", tf)
       .withColumn(outCol,
         sigmoid(dot(col("__clf_tf"),
           aggregate(col("__clf_tf"), lit(0), (a, x) => a + x),
@@ -142,11 +160,21 @@ object Classifier {
     */
   def qualityScore(df: DataFrame, textCol: String, targetPred: Column,
       dim: Int = 16, iterations: Int = 3, lr: Double = 0.5,
+      outCol: String = "quality_score"): DataFrame =
+    qualityScoreTf(df, tfCol(textCol, dim), targetPred, dim, iterations,
+      lr, outCol)
+
+  /** [[qualityScore]] with a caller-supplied TF column (see
+    * [[trainLogisticTf]]): train and score read the same (ideally
+    * cached) feature vector instead of hashing the text twice.
+    */
+  def qualityScoreTf(df: DataFrame, tf: Column, targetPred: Column,
+      dim: Int = 16, iterations: Int = 3, lr: Double = 0.5,
       outCol: String = "quality_score"): DataFrame = {
     val labeled = df.withColumn("__label", targetPred.cast("int"))
-    val (w, b) = trainLogistic(labeled, textCol, "__label", dim,
+    val (w, b) = trainLogisticTf(labeled, tf, "__label", dim,
       iterations, lr)
-    scoreLogistic(df, textCol, w, b, outCol)
+    scoreLogisticTf(df, tf, w, b, outCol)
   }
 
   /** DSIR-style importance log-weights (Xie et al. 2023, "Data
@@ -166,9 +194,14 @@ object Classifier {
     * `sample-weighted`) completes the DSIR recipe.
     */
   def dsirLogWeights(df: DataFrame, textCol: String, targetPred: Column,
+      dim: Int = 16, outCol: String = "dsir_logweight"): DataFrame =
+    dsirLogWeightsTf(df, tfCol(textCol, dim), targetPred, dim, outCol)
+
+  /** [[dsirLogWeights]] with a caller-supplied TF column (see
+    * [[trainLogisticTf]]). */
+  def dsirLogWeightsTf(df: DataFrame, tf: Column, targetPred: Column,
       dim: Int = 16, outCol: String = "dsir_logweight"): DataFrame = {
     require(dim >= 1 && dim <= 4096, s"dsirLogWeights: dim $dim")
-    val tf = tfCol(textCol, dim)
     val feats = df.select(tf.as("__tf"), targetPred.as("__t"))
     val cntCols = (0 until dim).flatMap { j =>
       Seq(
@@ -194,7 +227,7 @@ object Classifier {
     val score = (0 until dim).foldLeft(lit(0.0): Column) { (acc, j) =>
       acc + col("__dsir_tf").getItem(j).cast("double") * lit(logRatio(j))
     }
-    df.withColumn("__dsir_tf", tfCol(textCol, dim))
+    df.withColumn("__dsir_tf", tf)
       .withColumn(outCol, score)
       .drop("__dsir_tf")
   }

@@ -302,10 +302,15 @@ object MediaHeaders {
           val tag = r16(off)
           if (tag == 256 || tag == 257) {
             val typ = r16(off + 2)
+            // a (rare but legal) count > 1 stores an OFFSET in the
+            // value field — reporting it as the dimension would be
+            // garbage, so only accept the inline single value
+            val cnt = r32(off + 4)
             // inline value, left-justified: SHORT reads the first
             // two value bytes, LONG all four
             val v: Long =
-              if (typ == 3) r16(off + 8).toLong
+              if (cnt != 1L) -1L
+              else if (typ == 3) r16(off + 8).toLong
               else if (typ == 4) r32(off + 8)
               else -1L
             if (v >= 0 && v <= Int.MaxValue) {
@@ -3391,18 +3396,34 @@ object MediaHeaders {
     if (stripOffs.length < nStrips) return null
     val wi = w.toInt; val hi = h.toInt; val sppI = spp.toInt
     val rowBytes = wi * sppI
-    val raw = new Array[Byte](hi * rowBytes)
+    // validate every strip against the payload BEFORE allocating the
+    // pixel buffer: header-claimed dims alone could otherwise force a
+    // near-2 GB allocation from a ~60-byte crafted file. Uncompressed
+    // strips must carry exactly their pixel bytes; PackBits output is
+    // bounded by 128x its input bytes, so a claimed raw size beyond
+    // that is undecodable regardless of content.
     var s = 0
+    var inBytes = 0L
+    while (s < nStrips) {
+      val rows = math.min(rowsPerStrip, h - s * rowsPerStrip).toInt
+      val expect = rows.toLong * rowBytes
+      val so = stripOffs(s); val sc = stripCnts(s)
+      if (so < 0 || sc < 0 || so + sc > b.length) return null
+      if (comp == 1 && sc != expect) return null
+      inBytes += sc
+      s += 1
+    }
+    if (comp == 32773 && hi.toLong * rowBytes > inBytes * 128L) return null
+    val raw = new Array[Byte](hi * rowBytes)
+    s = 0
     while (s < nStrips) {
       val rows = math.min(rowsPerStrip, h - s * rowsPerStrip).toInt
       val expect = rows * rowBytes
       val so = stripOffs(s); val sc = stripCnts(s)
-      if (so < 0 || sc < 0 || so + sc > b.length) return null
       val strip =
-        if (comp == 1) {
-          if (sc != expect) return null
+        if (comp == 1)
           java.util.Arrays.copyOfRange(b, so.toInt, (so + sc).toInt)
-        } else unpackBits(b, so.toInt, sc.toInt, expect)
+        else unpackBits(b, so.toInt, sc.toInt, expect)
       if (strip == null) return null
       System.arraycopy(strip, 0, raw, s * rowsPerStrip.toInt * rowBytes,
         expect)

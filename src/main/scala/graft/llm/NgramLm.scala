@@ -46,12 +46,24 @@ object NgramLm {
     */
   def train(df: DataFrame, textCol: String, refPred: Column,
       maxVocab: Int = 65536, minBigramCount: Int = 2,
+      maxBigrams: Int = 1 << 20): BigramLm =
+    trainToks(df,
+      graft.functions.Udfs.normTokensUdf(col(textCol)), refPred,
+      maxVocab, minBigramCount, maxBigrams)
+
+  /** [[train]] with a caller-supplied token-array column — the
+    * shared-featurization spelling: a pipeline that has already
+    * materialized (cached) the normTokens pass hands `col("__toks")`
+    * instead of re-tokenizing the text. Identical model (same tokens,
+    * same counts, same tie-breaks).
+    */
+  def trainToks(df: DataFrame, toksCol: Column, refPred: Column,
+      maxVocab: Int = 65536, minBigramCount: Int = 2,
       maxBigrams: Int = 1 << 20): BigramLm = {
     require(maxVocab >= 1 && maxVocab <= (1 << 20), s"maxVocab $maxVocab")
     require(maxBigrams >= 1 && maxBigrams <= (1 << 24),
       s"maxBigrams $maxBigrams")
-    val toks = df.where(refPred).select(
-      graft.functions.Udfs.normTokensUdf(col(textCol)).as("__toks"))
+    val toks = df.where(refPred).select(toksCol.as("__toks"))
       .persist()
     try {
       val uniGrouped = toks
@@ -92,7 +104,15 @@ object NgramLm {
     * and `<outPrefix>_ppl` (exp(−mean)).
     */
   def score(df: DataFrame, textCol: String, idCol: String, lm: BigramLm,
-      lambda: Double = 0.7, outPrefix: String = "lm"): DataFrame = {
+      lambda: Double = 0.7, outPrefix: String = "lm"): DataFrame =
+    scoreToks(df, graft.functions.Udfs.normTokensUdf(col(textCol)),
+      idCol, lm, lambda, outPrefix)
+
+  /** [[score]] with a caller-supplied token-array column (see
+    * [[trainToks]]). */
+  def scoreToks(df: DataFrame, toksCol: Column, idCol: String,
+      lm: BigramLm, lambda: Double = 0.7, outPrefix: String = "lm")
+      : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     if (lm.total == 0L)
@@ -106,8 +126,7 @@ object NgramLm {
     val vocabPlus = (lm.vocabSize + 1).toDouble
     // (prev, cur) pairs with a null prev at position 0: zip the
     // null-prefixed token array against the array itself
-    val toksC = graft.functions.Udfs.normTokensUdf(col(textCol))
-    val pairs = df.select(col(idCol).as("__id"), toksC.as("__toks"))
+    val pairs = df.select(col(idCol).as("__id"), toksCol.as("__toks"))
       .select(col("__id"), explode(
         // zip_with pads to the LONGER array — slice back to the token
         // count so the null-prefixed zip doesn't emit a trailing

@@ -252,13 +252,41 @@ object StreamOps {
     }
     val schema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(schema).parquet(src)
+    // checkpoint on tmpfs when the box has one: every micro-batch
+    // fsyncs offsets/commits/state snapshots through the checkpoint
+    // manager, and on this harness's disk-backed /tmp those synchronous
+    // writes dominate the fixed per-query streaming cost. The smoke
+    // harness's checkpoint is throwaway by construction (temp dir,
+    // bounded batch) — a real deployment MUST keep its checkpoint on
+    // durable shared storage instead.
+    val ckptBase = {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    }
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(ckptBase, "graft_ckpt_")
     val q = transform(stream).writeStream
       .outputMode(outputMode)
+      .option("checkpointLocation", ckpt.toString)
       .format("memory")
       .queryName(queryName)
       .start()
     q.processAllAvailable()
     q.stop()
+    // best-effort cleanup: tmpfs space is RAM
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        val s = java.nio.file.Files.list(p)
+        try s.forEach(c => rm(c)) finally s.close()
+      }
+      try java.nio.file.Files.deleteIfExists(p)
+      catch { case _: java.io.IOException => () }
+    }
+    rm(ckpt)
     spark.table(queryName)
     } finally {
       prevNanos match {

@@ -89,4 +89,32 @@ class ClassifierSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"scoring must be map-only:\n$plan")
   }
+
+  test("hashingTfFromToks over normTokens equals hashingTf") {
+    import graft.functions.Udfs
+    for (t <- Seq("The cat SAT!", "", null, "a b a c a",
+        "mixed   Whitespace\tand\nlines"))
+      assert(Udfs.hashingTf(t, 16).toSeq ==
+        Udfs.hashingTfFromToks(Udfs.normTokens(t), 16).toSeq, s"text=$t")
+  }
+
+  test("shared-featurization Tf variants are bit-identical to the " +
+      "text spelling") {
+    import graft.functions.Udfs
+    val base = corpus.withColumn("__tf",
+      Udfs.hashingTfUdf(col("text").cast("string"), lit(16)))
+    def m(d: org.apache.spark.sql.DataFrame, c: String) =
+      d.select(col("doc_id"), col(c)).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaText = Classifier.qualityScore(corpus, "text",
+      col("label") === 1, dim = 16, iterations = 3, lr = 0.5)
+    val viaTf = Classifier.qualityScoreTf(base, col("__tf"),
+      col("label") === 1, dim = 16, iterations = 3, lr = 0.5)
+    assert(m(viaText, "quality_score") == m(viaTf, "quality_score"))
+    val dText = Classifier.dsirLogWeights(corpus, "text",
+      col("label") === 1, dim = 16)
+    val dTf = Classifier.dsirLogWeightsTf(base, col("__tf"),
+      col("label") === 1, dim = 16)
+    assert(m(dText, "dsir_logweight") == m(dTf, "dsir_logweight"))
+  }
 }

@@ -234,4 +234,59 @@ class ImageHashSpec extends SparkSpec {
     // twins of corpus seeds 5..8 dropped; seeds 9..12 novel; noise kept
     assert(viaState == Set(109L, 110L, 111L, 112L, 200L))
   }
+
+  /** Hand-assembled little-endian TIFF: header + one IFD of the given
+    * (tag, type, count, value) entries + trailing payload bytes.
+    */
+  private def craftTiffLE(entries: Seq[(Int, Int, Long, Long)],
+      payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer
+      .allocate(8 + 2 + entries.size * 12 + 4 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).put(0x2a.toByte).put(0.toByte)
+    bb.putInt(8) // IFD0 offset
+    bb.putShort(entries.size.toShort)
+    for ((tag, typ, cnt, v) <- entries) {
+      bb.putShort(tag.toShort).putShort(typ.toShort)
+      bb.putInt(cnt.toInt).putInt(v.toInt)
+    }
+    bb.putInt(0) // next IFD
+    bb.put(payload)
+    bb.array()
+  }
+
+  test("tiffDecode: header-claimed giant dims over a tiny payload -> " +
+      "null before the pixel buffer is allocated") {
+    // 20000x20000 grayscale PackBits with a 4-byte strip: raw size
+    // (400 MB) exceeds any possible PackBits expansion of 4 input
+    // bytes, so the decoder must reject from the strip pre-validation
+    // (the r16 advice: a ~60-byte crafted file could force the
+    // allocation from header dims alone)
+    val dataOff = 8 + 2 + 9 * 12 + 4
+    val bomb = craftTiffLE(Seq(
+      (256, 3, 1, 20000L), (257, 3, 1, 20000L), (258, 3, 1, 8L),
+      (259, 3, 1, 32773L), (262, 3, 1, 1L), (273, 4, 1, dataOff.toLong),
+      (277, 3, 1, 1L), (278, 4, 1, 20000L), (279, 4, 1, 4L)),
+      Array[Byte](0, 0, 0, 0))
+    assert(MediaHeaders.tiffDecode(bomb) == null)
+    // uncompressed variant: strip count != exact pixel bytes -> null
+    val bombU = craftTiffLE(Seq(
+      (256, 3, 1, 20000L), (257, 3, 1, 20000L), (258, 3, 1, 8L),
+      (259, 3, 1, 1L), (262, 3, 1, 1L), (273, 4, 1, dataOff.toLong),
+      (277, 3, 1, 1L), (278, 4, 1, 20000L), (279, 4, 1, 4L)),
+      Array[Byte](0, 0, 0, 0))
+    assert(MediaHeaders.tiffDecode(bombU) == null)
+  }
+
+  test("probe: TIFF dimension entry with count > 1 is an offset, " +
+      "not a value — left null") {
+    // tag 256 with count 2 stores an OFFSET in the value field; a
+    // probe that read it as the width would report garbage dims
+    val t = craftTiffLE(Seq(
+      (256, 3, 2, 26L), (257, 3, 1, 77L)), Array[Byte](9, 0, 9, 0))
+    val p = MediaHeaders.probe(t)
+    assert(p.format == "tiff")
+    assert(p.width == null, s"width must be null, got ${p.width}")
+    assert(p.height == 77)
+  }
 }

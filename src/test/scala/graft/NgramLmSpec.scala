@@ -80,4 +80,24 @@ class NgramLmSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin [__"),
       s"token rows must never shuffle for the model joins:\n$plan")
   }
+
+  test("shared-tokenization Toks variants are identical to the text " +
+      "spelling") {
+    val base = corpus.withColumn("__toks",
+      graft.functions.Udfs.normTokensUdf(col("text")))
+    val lmA = NgramLm.train(corpus, "text", col("ref") === 1,
+      maxVocab = 8, minBigramCount = 2)
+    val lmB = NgramLm.trainToks(base, col("__toks"), col("ref") === 1,
+      maxVocab = 8, minBigramCount = 2)
+    assert(lmA.unigrams.toSeq == lmB.unigrams.toSeq)
+    assert(lmA.bigrams.toSeq == lmB.bigrams.toSeq)
+    assert(lmA.total == lmB.total)
+    def s(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "lm_tokens", "lm_logprob", "lm_ppl").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)),
+          Option(r.get(3)))).toSet // token-less rows score null
+    assert(s(NgramLm.score(corpus, "text", "doc_id", lmA, lambda = 0.5))
+      == s(NgramLm.scoreToks(base, col("__toks"), "doc_id", lmB,
+        lambda = 0.5)))
+  }
 }
