@@ -1491,18 +1491,27 @@ object QueryBank {
         import org.apache.spark.sql.functions._
         val n = 8
         val l = li(s, d)
-        val total = l.count().toDouble // bounded 1-value action
+        // per-bucket counts collected to the driver (bounded: ≤ n+1
+        // rows by construction). The row total is the SUM of the
+        // bucket counts — every row lands in exactly one bucket (null
+        // values in the null bucket) — so the previous separate
+        // count() job (a third full input scan) is redundant; the
+        // spine and tolerance checks are driver arithmetic over 8
+        // numbers, leaving 2 input scans (sketch pass + bucket count).
         val counts = graft.ops.LayoutOps
           .equiDepthBuckets(l, "l_extendedprice", n)
           .groupBy(col("bucket"))
           .agg(count(lit(1)).as("c"))
+          .collect()
+        val total = counts.map(_.getLong(1)).sum.toDouble
+        val byBucket = counts.filter(!_.isNullAt(0))
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
         // range spine: a pathologically empty bucket shows up as a
         // within_tol=false row, not a row-count mismatch
-        s.range(n).select(col("id").cast("int").as("bucket"))
-          .join(broadcast(counts), Seq("bucket"), "left")
-          .select(col("bucket"),
-            (abs(coalesce(col("c"), lit(0L)) / lit(total) - 1.0 / n) <= 0.03)
-              .as("within_tol"))
+        import s.implicits._
+        (0 until n).map(b => (b,
+            math.abs(byBucket.getOrElse(b, 0L) / total - 1.0 / n) <= 0.03))
+          .toDF("bucket", "within_tol")
       },
       "SELECT CAST(unnest(range(8)) AS INT) AS bucket, TRUE AS within_tol"),
 
@@ -3038,8 +3047,18 @@ object QueryBank {
       // column is driver-sortable.
       (s, d) => {
         import org.apache.spark.sql.functions._
+        // posexplode_OUTER: plain posexplode makes Catalyst infer a
+        // `size(arr) > 0 AND isnotnull(arr)` filter below the Generate
+        // (InferFiltersFromGenerate) — with the whole quantize/
+        // dequantize lambda chain SUBSTITUTED into the condition twice
+        // and the O(d) array_max scale inlined per element, the row
+        // pays the transform ~3x at O(d^2), all CodegenFallback-
+        // interpreted. The arrays here are never null/empty (64-dim at
+        // every SF; quantize/dequantize preserve length), so the outer
+        // form emits identical rows with ONE transform evaluation.
         r("quantize-embedding :embedding; dequantize-embedding :embedding; keep :vec_id,:embedding")(emb(s, d))
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "value")))
+          .select(col("vec_id"),
+            posexplode_outer(col("embedding")).as(Seq("pos", "value")))
       },
       """WITH dq AS (SELECT vec_id,
         | CASE WHEN list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) = 0
@@ -3064,10 +3083,12 @@ object QueryBank {
       // sub-1e-14 summation-order delta, same as pool_embeddings)
       (s, d) => {
         import org.apache.spark.sql.functions._
+        // posexplode_outer: see dequantize_embedding (the inner form's
+        // inferred filter re-evaluates the projection kernel per row)
         graft.llm.Similarity.randomProject(emb(s, d), "embedding",
             inDim = 64, outDim = 16, seed = 7L)
           .select(col("vec_id"),
-            posexplode(col("embedding_jl")).as(Seq("pos", "v")))
+            posexplode_outer(col("embedding_jl")).as(Seq("pos", "v")))
           .select(col("vec_id"), col("pos"),
             round(col("v"), 6).as("val"))
       },
@@ -3146,9 +3167,14 @@ object QueryBank {
       // are posexploded to scalar rows like dequantize_embedding
       (s, d) => {
         import org.apache.spark.sql.functions._
+        // posexplode_outer for the same reason as dequantize_embedding:
+        // the inner form's inferred size/notnull filter substitutes the
+        // whole interpreted normalize lambda chain into the condition
+        // and triples the per-row work; arrays are never null/empty, so
+        // the outer form emits identical rows
         graft.llm.Similarity.normalizeEmbedding(emb(s, d), "embedding")
           .select(col("vec_id"),
-            posexplode(col("embedding")).as(Seq("pos", "value")))
+            posexplode_outer(col("embedding")).as(Seq("pos", "value")))
       },
       """WITH nz AS (SELECT vec_id,
         | CASE WHEN list_sum(list_transform(embedding,

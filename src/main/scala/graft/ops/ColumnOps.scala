@@ -119,9 +119,14 @@ object ColumnOps {
       val (c, re) = (spec.col(0), spec.str(1))
       val parts = split(col(c), re)
       val n = probeArity(df, parts)
-      (1 to n).foldLeft(df) { (d, i) =>
-        d.withColumn(s"${c}_$i", element_at(parts, i))
-      }
+      // alias the split array ONCE (CollapseProject keeps a multi-
+      // referenced non-cheap alias un-inlined): inlining `parts` into
+      // every output column made the collapsed projection re-run the
+      // regex split n times per row
+      val tmp = "__graft_split_parts"
+      (1 to n).foldLeft(df.withColumn(tmp, parts)) { (d, i) =>
+        d.withColumn(s"${c}_$i", element_at(col(tmp), i))
+      }.drop(tmp)
     }
 
     // metadata-driven rename+retype toward a target data-model field

@@ -34,17 +34,32 @@ object ParserOps {
         }
         val qd = java.util.regex.Pattern.quote(delim)
         // quote-aware parse for single-char delimiters (RFC-4180 style,
-        // like the reference's commons-CSV); regex split otherwise
-        val parts =
-          if (delim.length == 1) {
-            val n0 = ColumnOps.probeArity(df, split(col(c), qd))
-            val schema = StructType((1 to n0).map(i =>
-              StructField(s"_c$i", StringType)))
-            val parsed = from_csv(col(c), schema,
+        // like the reference's commons-CSV); regex split otherwise.
+        // The from_csv struct is aliased ONCE in its own projection —
+        // CollapseProject keeps a multi-referenced non-cheap alias
+        // un-inlined, so the CSV parse runs once per row. The previous
+        // spelling inlined from_csv into every output column, and the
+        // collapsed projection evaluated it n_cols^2 times per row
+        // (measured: 25 parses/row on the 13-directive baseline
+        // recipe — the recipe's entire hot cost).
+        val single = delim.length == 1
+        // lazy: the header+regex-split path derives its columns from
+        // the header row and never needs the arity probe job
+        lazy val n0 = ColumnOps.probeArity(df, split(col(c), qd))
+        val structTmp = "__graft_csv_struct"
+        lazy val csvSchema = StructType((1 to n0).map(i =>
+          StructField(s"_c$i", StringType)))
+        def withParsed(d: DataFrame): DataFrame =
+          if (single)
+            d.withColumn(structTmp, from_csv(col(c), csvSchema,
               // RFC-4180: "" escapes a quote inside a quoted field
-              Map("sep" -> delim, "quote" -> "\"", "escape" -> "\""))
-            array((1 to n0).map(i => parsed.getField(s"_c$i")): _*)
-          } else split(col(c), qd)
+              Map("sep" -> delim, "quote" -> "\"", "escape" -> "\"")))
+          else d
+        def partCol(i: Int): Column =
+          if (single) col(structTmp).getField(s"_c$i")
+          else element_at(split(col(c), qd), i)
+        def dropTmp(d: DataFrame): DataFrame =
+          if (single) d.drop(structTmp) else d
         // reference isHeader heuristic (CsvParser.java:184-199): the
         // first row is a header only if every cell is non-empty and
         // none type-infers to a number/boolean — otherwise it is data
@@ -89,16 +104,18 @@ object ParserOps {
           // trim + collapse internal whitespace runs to one underscore
           val names = headerRaw.split(qd).map(
             _.trim.replaceAll("\\s+", "_"))
-          val noHeader =
-            withId.filter(col(rid) =!= lit(firstProbe.get._1)).drop(rid)
-          names.zipWithIndex.foldLeft(noHeader) { case (d, (n, i)) =>
-            d.withColumn(n, element_at(parts, i + 1))
-          }
+          val noHeader = withParsed(
+            withId.filter(col(rid) =!= lit(firstProbe.get._1)).drop(rid))
+          dropTmp(names.zipWithIndex.foldLeft(noHeader) { case (d, (n, i)) =>
+            d.withColumn(n, partCol(i + 1))
+          })
         } else {
-          val n = ColumnOps.probeArity(df, parts)
-          (1 to n).foldLeft(df) { (d, i) =>
-            d.withColumn(s"${c}_$i", element_at(parts, i))
-          }
+          // n0 already IS the max arity (one bounded probe job above);
+          // the previous second probeArity over the parsed array was a
+          // redundant probe job
+          dropTmp((1 to n0).foldLeft(withParsed(df)) { (d, i) =>
+            d.withColumn(s"${c}_$i", partCol(i))
+          })
         }
       }
     }

@@ -88,7 +88,13 @@ object SessionOps {
     val bySlot = slotted.groupBy(col(keyCol), col("__slot"))
       .agg(count(lit(1)).as("n_events"),
         round(avg(col(valueCol)), 4).as("value_mean"))
-    val spans = slotted.groupBy(col(keyCol))
+    // derive the per-key span from the (key, slot) rollup instead of
+    // re-aggregating the raw events: min/max of the slots are the same
+    // either way, the second full input scan disappears (the rollup's
+    // exchange subtree is shared via ReusedExchange), and this
+    // re-aggregation shuffles one row per occupied slot, not one per
+    // event
+    val spans = bySlot.groupBy(col(keyCol))
       .agg(min(col("__slot")).as("__lo"), max(col("__slot")).as("__hi"))
     // in-plan guard (no eager job, no extra input scan): a key whose
     // slot COUNT (span + 1) exceeds the cap fails at execution time
