@@ -88,13 +88,13 @@ object SessionOps {
     val bySlot = slotted.groupBy(col(keyCol), col("__slot"))
       .agg(count(lit(1)).as("n_events"),
         round(avg(col(valueCol)), 4).as("value_mean"))
-    // derive the per-key span from the (key, slot) rollup instead of
-    // re-aggregating the raw events: min/max of the slots are the same
-    // either way, the second full input scan disappears (the rollup's
-    // exchange subtree is shared via ReusedExchange), and this
-    // re-aggregation shuffles one row per occupied slot, not one per
-    // event
-    val spans = bySlot.groupBy(col(keyCol))
+    // NOTE (r17 measurement): deriving this span from the bySlot
+    // rollup instead is a no-op — Catalyst's RemoveRedundantAggregates
+    // collapses min/max-over-a-rollup back to min/max over the raw
+    // slots, producing this exact plan (two partial-aggregated scans,
+    // kilobytes shuffled); the direct spelling is kept as the honest
+    // one
+    val spans = slotted.groupBy(col(keyCol))
       .agg(min(col("__slot")).as("__lo"), max(col("__slot")).as("__hi"))
     // in-plan guard (no eager job, no extra input scan): a key whose
     // slot COUNT (span + 1) exceeds the cap fails at execution time
