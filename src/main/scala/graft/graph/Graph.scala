@@ -53,7 +53,7 @@ object Graph {
       return vertices.select(col("vertex"), lit(0.0).as("rank"))
     }
     var ranks = vertices.withColumn("rank", lit(1.0 / n))
-    for (_ <- 0 until iterations) {
+    for (it <- 0 until iterations) {
       // SHUFFLE_HASH on the rank side: the checkpointed ranks frame has
       // no size stats (LogicalRDD defaults to "huge"), so the planner
       // falls back to sort-merge and re-SORTS the cached edge list
@@ -72,14 +72,20 @@ object Graph {
           .cast("double").as("__in"))
       // localCheckpoint TRUNCATES the lineage each iteration — chained
       // iteration plans otherwise grow without bound (plan rendering
-      // alone OOMs past ~15 iterations). A cluster deployment uses
-      // reliable checkpoint() to storage; same shape.
+      // alone OOMs past ~15 iterations). Only the LAST iteration
+      // checkpoints EAGERLY: intermediate lazy checkpoints still
+      // truncate the SQL plan, but all iterations then materialize in
+      // ONE final job instead of one job per iteration (same math,
+      // fewer scheduler round-trips) — and the eager last checkpoint
+      // means the caches unpersisted below are never needed again.
+      // A cluster deployment uses reliable checkpoint() to storage;
+      // same shape.
       ranks = vertices
         .join(contribs.hint("shuffle_hash"), Seq("vertex"), "left")
         .select(col("vertex"), col("__outdeg"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+        .localCheckpoint(it == iterations - 1)
     }
     vertices.unpersist()
     edges.unpersist()
