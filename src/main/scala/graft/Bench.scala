@@ -92,8 +92,9 @@ object Bench {
     // always completes regardless; passes 2..N start a query only while
     // under budget. 330 s + warmup/floor overhead + sbt startup stays
     // comfortably inside the driver's cap (r15's full run hit 559 s and
-    // r16's was killed; a quiet full pass is ~112 s, a contended one
-    // ~218 s, so 330 s admits 1-3 passes depending on box load).
+    // r16's was killed; a quiet r17 full pass is ~160 s, a contended
+    // one ~240-330 s, so 330 s admits 1-2 full passes plus a
+    // heaviest-first slice depending on box load).
     val budgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "330").toDouble
     def median(xs: Seq[Double]): Double = {
