@@ -164,11 +164,13 @@ object Bench {
       if (v < 0) "-1" else f"$v%.3f"
     @volatile var passesDone = 0
     @volatile var finished = false
-    def buildJson(partial: Boolean): String = {
-      val results = samples.toSeq.map { case (k, xs) => k -> median(xs.toSeq) }
-      val floorEnd = midProbes.lastOption.getOrElse(floorStart)
-      val probes =
-        (Seq(floorStart) ++ midProbes).filter(_ >= 0)
+    // the per-query estimator is median for >=3 samples and min below
+    // (see `median` above); the record names it, and carries per-query
+    // sample counts, so cross-round comparisons can be qualified
+    // without reading the harness source (r17 verdict "What's wrong #2")
+    val estimatorName = "median3_else_min"
+    def floorStats(): (Double, Double, Boolean, Seq[Double]) = {
+      val probes = (Seq(floorStart) ++ midProbes).filter(_ >= 0)
       val floor = if (probes.isEmpty) -1.0 else probes.min
       val floorPeak = if (probes.isEmpty) -1.0 else probes.max
       // contended when the box is persistently loaded (even the best
@@ -178,7 +180,16 @@ object Bench {
       // 0.08->0.13 s wiggle on a quiet box from tripping it)
       val contended = floor > floorMax ||
         floorPeak > math.max(2 * floor, floorMax)
+      (floor, floorPeak, contended, probes)
+    }
+    def buildJson(partial: Boolean): String = {
+      val results = samples.toSeq.map { case (k, xs) => k -> median(xs.toSeq) }
+      val floorEnd = midProbes.lastOption.getOrElse(floorStart)
+      val (floor, floorPeak, contended, probes) = floorStats()
       val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      val ns = samples.toSeq
+        .map { case (k, xs) => "\"" + k + "\":" + xs.count(_ >= 0) }
         .mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
       val measured = samples.count(_._2.nonEmpty)
@@ -188,10 +199,30 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
         s""""partial":$partial,"measured":$measured,""" +
         s""""of":${benchNames.size},"passes":$passesDone,""" +
+        s""""estimator":"$estimatorName",""" +
         s""""floor":${r3(floor)},"floor_start":${r3(floorStart)},""" +
         s""""floor_end":${r3(floorEnd)},"floor_peak":${r3(floorPeak)},""" +
         s""""floor_probes":$probesJson,"contended":$contended,""" +
-        s""""queries":$qs,"sf":"$sfDir"}"""
+        s""""queries":$qs,"samples":$ns,"sf":"$sfDir"}"""
+    }
+    // Compact summary: the full per-query line is ~9 KB for 353 queries
+    // and every driver capture to date (BENCH_r01..r17) kept only the
+    // LAST ~2000 chars of stdout, head-truncating the full line into
+    // unparseable text — `parsed: null` for 17 straight rounds. This
+    // line is ~300 bytes, printed AFTER the full line so it is the last
+    // (and only complete) JSON object in any tail capture; the full
+    // per-query record stays in `benchOut` on disk.
+    def compactJson(partial: Boolean): String = {
+      val results = samples.toSeq.map { case (k, xs) => k -> median(xs.toSeq) }
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val measured = samples.count(_._2.nonEmpty)
+      val (floor, floorPeak, contended, _) = floorStats()
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+        s""""partial":$partial,"measured":$measured,""" +
+        s""""of":${benchNames.size},"passes":$passesDone,""" +
+        s""""estimator":"$estimatorName","floor":${r3(floor)},""" +
+        s""""floor_peak":${r3(floorPeak)},"contended":$contended,""" +
+        s""""bench_file":"$benchOut","sf":"$sfDir"}"""
     }
     // lock: the shutdown hook and the measuring thread both write the
     // output file; interleaved writes would corrupt the one JSON line
@@ -209,6 +240,10 @@ object Bench {
     val hook = new Thread(() => if (!finished) {
       val j = buildJson(partial = true)
       println(j); System.err.println(j); writeOut(j)
+      // compact line LAST so a tail-cut capture of a killed run still
+      // ends with one complete JSON object
+      val c = compactJson(partial = true)
+      println(c); System.err.println(c)
     })
     Runtime.getRuntime.addShutdownHook(hook)
 
@@ -301,6 +336,13 @@ object Bench {
       // captured separately by some harnesses)
       System.err.println(json)
       writeOut(json)
+      // the ~300-byte summary goes LAST: any tail-window capture of
+      // this process's stdout ends with one complete, parseable JSON
+      // object carrying total/floor/contended/estimator (the full
+      // per-query map lives in the line above and in `benchOut`)
+      val compact = compactJson(partial = false)
+      println(compact)
+      System.err.println(compact)
       spark.stop()
     }
     // aborted: the shutdown hook owns the (partial) record — emitting a

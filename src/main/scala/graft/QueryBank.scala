@@ -2322,13 +2322,20 @@ object QueryBank {
       // per-doc DECIMAL log-prob sums.
       (s, d) => {
         import org.apache.spark.sql.functions._
-        // shared tokenization: ONE normTokens pass over the corpus,
-        // cached — the trainer's unigram/bigram passes and the scoring
-        // explode all read the cached arrays instead of re-tokenizing
-        // (identical tokens, so the model and scores are bit-identical)
+        // UNSHARED tokenization (persist dropped), like
+        // dsir_importance_weights: r17 measured the persisted
+        // shared-tokens spelling flat-to-WORSE (2.02 -> 2.35 s builder
+        // / 2.05 driver flat); the r18 same-box A/B read dead flat
+        // (shared median 3.01/min 2.66 vs unshared 3.12/min 2.63 on a
+        // contended box). The cache materialization cancels the one
+        // tokenize pass it saves — trainToks only tokenizes the
+        // lang='en' slice, while the cache pays for EVERY row up
+        // front — so the simpler spelling wins on memory and ties on
+        // time. trainToks/scoreToks keep their caller-supplied-column
+        // API; pipeline_model_filter still shares profitably across
+        // its three consumers.
         val base = docs(s, d).select(col("doc_id"), col("lang"),
             graft.functions.Udfs.normTokensUdf(col("text")).as("__toks"))
-          .persist()
         val lm = graft.llm.NgramLm.trainToks(base, col("__toks"),
           col("lang") === "en", maxVocab = 65536, minBigramCount = 2)
         graft.llm.NgramLm.scoreToks(base, col("__toks"), "doc_id", lm,
@@ -2383,13 +2390,35 @@ object QueryBank {
             .hashingTfFromToksUdf(col("__toks"), lit(16)))
           .persist()
         val en = col("lang") === "en"
-        val lm = graft.llm.NgramLm.trainToks(base, col("__toks"), en,
-          maxVocab = 65536, minBigramCount = 2)
+        // the three training fixed points are INDEPENDENT bounded-
+        // aggregate job chains over the same cached base (classifier:
+        // 3 fused gradient aggs; DSIR: 1 count agg; LM: 2 TakeOrdered
+        // collects) that the driver previously awaited one after
+        // another. Run them from driver threads so their jobs overlap
+        // (guide §2.6 — Spark schedules concurrent jobs FIFO and
+        // back-fills stage tails): each chain still computes the exact
+        // deterministic constants it always did (decimal-exact sums,
+        // deterministic tie-breaks), so the fixed points and every
+        // downstream score are bit-identical to the sequential
+        // spelling the oracle replays.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fClf = Future(graft.llm.Classifier.trainLogisticTf(
+          base.withColumn("__label", en.cast("int")), col("__tf"),
+          "__label", dim = 16, iterations = 3, lr = 0.5))
+        val fDsir = Future(graft.llm.Classifier.dsirLogRatiosTf(
+          base, col("__tf"), en, dim = 16))
+        val fLm = Future(graft.llm.NgramLm.trainToks(base, col("__toks"),
+          en, maxVocab = 65536, minBigramCount = 2))
+        val (wgt, bias) = Await.result(fClf, Duration.Inf)
+        val ratios = Await.result(fDsir, Duration.Inf)
+        val lm = Await.result(fLm, Duration.Inf)
         val scored = graft.llm.NgramLm.scoreToks(
-          graft.llm.Classifier.dsirLogWeightsTf(
-            graft.llm.Classifier.qualityScoreTf(base, col("__tf"),
-              en, dim = 16, iterations = 3, lr = 0.5),
-            col("__tf"), en, dim = 16),
+          graft.llm.Classifier.dsirApplyTf(
+            graft.llm.Classifier.scoreLogisticTf(
+              base, col("__tf"), wgt, bias),
+            col("__tf"), ratios),
           col("__toks"), "doc_id", lm, lambda = 0.5)
         scored
           .where(round(col("dsir_logweight"), 6) >= 0.0 &&
@@ -3056,6 +3085,8 @@ object QueryBank {
         // interpreted. The arrays here are never null/empty (64-dim at
         // every SF; quantize/dequantize preserve length), so the outer
         // form emits identical rows with ONE transform evaluation.
+        // That data invariant is PINNED by FixtureInvariantSpec — a
+        // fixture regeneration that breaks it fails the build.
         r("quantize-embedding :embedding; dequantize-embedding :embedding; keep :vec_id,:embedding")(emb(s, d))
           .select(col("vec_id"),
             posexplode_outer(col("embedding")).as(Seq("pos", "value")))

@@ -28,6 +28,22 @@ object Graph {
   def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iterations >= 0 && iterations <= 100)
+    // AQE is scope-disabled for the iteration chain (restored in the
+    // finally): AdaptiveSparkPlanExec reports UnknownPartitioning, so
+    // under AQE every checkpointed ranks frame (and every not-yet-
+    // materialized cache) LOSES its hash(vertex, P) layout and the
+    // next iteration re-SHUFFLES the ranks table before the src join
+    // — 2 exchanges per iteration instead of the 1 fundamental one
+    // (the contribution aggregation). AQE buys nothing unique here:
+    // its skew-join split only applies when BOTH join sides are fresh
+    // shuffle stages, and these joins always stream a cache/
+    // checkpoint side; partition count stays the cluster-sized
+    // spark.sql.shuffle.partitions either way. Interleaved A/B at
+    // sf0.1/local[32]: AQE-off min 2.28 s vs AQE-on min 2.84 s.
+    val session = edges0.sparkSession
+    val prevAqe = session.conf.getOption("spark.sql.adaptive.enabled")
+    session.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     // pre-partition the edge list on src ONCE: the cache then satisfies
     // the per-iteration join's distribution, so iterations never move
     // edge bytes again — only the (much smaller) rank/contrib tables
@@ -54,42 +70,68 @@ object Graph {
     }
     var ranks = vertices.withColumn("rank", lit(1.0 / n))
     for (it <- 0 until iterations) {
-      // SHUFFLE_HASH on the rank side: the checkpointed ranks frame has
-      // no size stats (LogicalRDD defaults to "huge"), so the planner
-      // falls back to sort-merge and re-SORTS the cached edge list
-      // every iteration. Hash-building the per-partition rank slice
-      // (|V|/partitions rows) streams the edges unsorted — the right
-      // join shape for an edge list at any scale, and the edge cache's
-      // src-partitioning still satisfies the join distribution.
-      val contribs = edges
-        .join(ranks.withColumnRenamed("vertex", "src")
-          .where(col("__outdeg") > 0).hint("shuffle_hash"), Seq("src"))
-        .select(col("dst").as("vertex"),
-          (col("rank") / col("__outdeg")).as("__contrib"))
-        .groupBy(col("vertex"))
-        // exact decimal accumulation -> partitioning-independent ranks
-        .agg(sum(col("__contrib").cast("decimal(38,15)"))
-          .cast("double").as("__in"))
       // localCheckpoint TRUNCATES the lineage each iteration — chained
       // iteration plans otherwise grow without bound (plan rendering
-      // alone OOMs past ~15 iterations). Only the LAST iteration
-      // checkpoints EAGERLY: intermediate lazy checkpoints still
-      // truncate the SQL plan, but all iterations then materialize in
-      // ONE final job instead of one job per iteration (same math,
-      // fewer scheduler round-trips) — and the eager last checkpoint
-      // means the caches unpersisted below are never needed again.
-      // A cluster deployment uses reliable checkpoint() to storage;
-      // same shape.
-      ranks = vertices
-        .join(contribs.hint("shuffle_hash"), Seq("vertex"), "left")
-        .select(col("vertex"), col("__outdeg"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+      // alone OOMs past ~15 iterations). With AQE scope-disabled the
+      // checkpoint's LogicalRDD KEEPS the hash(vertex, P) output
+      // partitioning, which the alias-aware Project carries through
+      // the vertex->src rename — so the next iteration's src join
+      // needs NO exchange on the ranks side (asserted by PlanSpec;
+      // plans/r18/pagerank_iteration_{before,after}.txt). Only the
+      // LAST iteration checkpoints EAGERLY: intermediate lazy
+      // checkpoints still truncate the SQL plan, but all iterations
+      // materialize in ONE final job instead of one scheduler
+      // round-trip per iteration (same math) — and the eager last
+      // checkpoint means the caches unpersisted below are never
+      // needed again. A cluster deployment uses reliable checkpoint()
+      // to storage; same shape.
+      ranks = pageRankIteration(edges, vertices, ranks, n, damping)
         .localCheckpoint(it == iterations - 1)
     }
     vertices.unpersist()
     edges.unpersist()
     ranks.select(col("vertex"), col("rank"))
+    } finally {
+      prevAqe match {
+        case Some(v) => session.conf.set("spark.sql.adaptive.enabled", v)
+        case None => session.conf.unset("spark.sql.adaptive.enabled")
+      }
+    }
+  }
+
+  /** One PageRank iteration's PRE-checkpoint frame (extracted so the
+    * per-iteration plan shape is assertable — the committed plans of
+    * the full query are checkpoint-truncated `Scan ExistingRDD` stubs
+    * that hide the join strategy; PlanSpec explains this frame
+    * directly). `edges` must be (src,dst) partitioned by src and
+    * cached; `vertices` is (vertex,__outdeg) cached; `ranks` carries
+    * (vertex,__outdeg,rank).
+    *
+    * SHUFFLE_HASH on the rank side: the checkpointed ranks frame has
+    * no size stats (LogicalRDD defaults to "huge"), so the planner
+    * falls back to sort-merge and re-SORTS the cached edge list
+    * every iteration. Hash-building the per-partition rank slice
+    * (|V|/partitions rows) streams the edges unsorted — the right
+    * join shape for an edge list at any scale, and the edge cache's
+    * src-partitioning still satisfies the join distribution.
+    */
+  private[graft] def pageRankIteration(edges: DataFrame,
+      vertices: DataFrame, ranks: DataFrame, n: Double,
+      damping: Double): DataFrame = {
+    val contribs = edges
+      .join(ranks.withColumnRenamed("vertex", "src")
+        .where(col("__outdeg") > 0).hint("shuffle_hash"), Seq("src"))
+      .select(col("dst").as("vertex"),
+        (col("rank") / col("__outdeg")).as("__contrib"))
+      .groupBy(col("vertex"))
+      // exact decimal accumulation -> partitioning-independent ranks
+      .agg(sum(col("__contrib").cast("decimal(38,15)"))
+        .cast("double").as("__in"))
+    vertices
+      .join(contribs.hint("shuffle_hash"), Seq("vertex"), "left")
+      .select(col("vertex"), col("__outdeg"),
+        (lit((1.0 - damping) / n) +
+          lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
   }
 
   /** Undirected connected components over an edge list — delegates to

@@ -98,10 +98,15 @@ object Classifier {
     val feats = tfd.select(xCols :+ col("__y"): _*)
       .persist() // scanned once per iteration
     try {
-      val n = feats.count().toDouble
       val w = new Array[Double](dim)
       var b = 0.0
-      if (n == 0) return (w, b)
+      // n is fused into iteration 0's gradient aggregate (one more
+      // bounded sum through the same map-side-combined shuffle) — a
+      // separate count() job scanned the cached features a full extra
+      // time and paid one more scheduler round-trip for a single long.
+      // Identical math: iteration 0 always runs (iterations >= 1) and
+      // its weights are zero regardless of n.
+      var n = 0.0
       var it = 0
       while (it < iterations) {
         val dotc = w.zipWithIndex.foldLeft(lit(b): Column) {
@@ -110,11 +115,16 @@ object Classifier {
         val errDf = feats.select(
           (sigmoid(dotc) - col("__y")).as("__err") +:
             (0 until dim).map(j => col(s"__x$j")): _*)
-        val gradCols = (0 until dim).map { j =>
+        val gradCols = ((0 until dim).map { j =>
           sum((col("__err") * col(s"__x$j"))
             .cast(DecimalType(38, 15))).as(s"g$j")
-        } :+ sum(col("__err").cast(DecimalType(38, 15))).as("gb")
+        } :+ sum(col("__err").cast(DecimalType(38, 15))).as("gb")) ++
+          (if (it == 0) Seq(count(lit(1)).as("__n")) else Nil)
         val row = errDf.agg(gradCols.head, gradCols.tail: _*).head()
+        if (it == 0) {
+          n = row.getLong(dim + 1).toDouble
+          if (n == 0) return (w, b)
+        }
         var j = 0
         while (j < dim) {
           w(j) -= lr * row.getDecimal(j).doubleValue() / n
@@ -200,7 +210,20 @@ object Classifier {
   /** [[dsirLogWeights]] with a caller-supplied TF column (see
     * [[trainLogisticTf]]). */
   def dsirLogWeightsTf(df: DataFrame, tf: Column, targetPred: Column,
-      dim: Int = 16, outCol: String = "dsir_logweight"): DataFrame = {
+      dim: Int = 16, outCol: String = "dsir_logweight"): DataFrame =
+    dsirApplyTf(df, tf, dsirLogRatiosTf(df, tf, targetPred, dim), outCol)
+
+  /** The bounded-aggregate half of [[dsirLogWeightsTf]]: ONE job of
+    * 2·dim exact integer sums → the per-bucket log-ratios. Split out
+    * so a pipeline can run this action CONCURRENTLY with its other
+    * bounded training jobs (guide §2.6 — independent driver actions
+    * back-fill each other's stage tails) and attach the map-only
+    * scoring projection later via [[dsirApplyTf]]. Values are
+    * identical to the fused spelling: the counts read only `tf` and
+    * `targetPred`, never the caller's other columns.
+    */
+  def dsirLogRatiosTf(df: DataFrame, tf: Column, targetPred: Column,
+      dim: Int = 16): Array[Double] = {
     require(dim >= 1 && dim <= 4096, s"dsirLogWeights: dim $dim")
     val feats = df.select(tf.as("__tf"), targetPred.as("__t"))
     val cntCols = (0 until dim).flatMap { j =>
@@ -218,13 +241,20 @@ object Classifier {
     val tTot = tCnt.sum.toDouble + dim
     val rTot = rCnt.sum.toDouble + dim
     // ln ratios from exact integer counts: any engine recomputes them
-    val logRatio = (0 until dim).map { j =>
+    (0 until dim).map { j =>
       math.log((tCnt(j) + 1).toDouble / tTot) -
         math.log((rCnt(j) + 1).toDouble / rTot)
     }.toArray
+  }
+
+  /** The map-only scoring half of [[dsirLogWeightsTf]]: appends
+    * `outCol` = Σ_j tf_j · logRatio_j (codegen projection, the ratios
+    * ride as literals). */
+  def dsirApplyTf(df: DataFrame, tf: Column, logRatio: Array[Double],
+      outCol: String = "dsir_logweight"): DataFrame = {
     // aliased tf projection — one UDF evaluation per row (see
     // scoreLogistic)
-    val score = (0 until dim).foldLeft(lit(0.0): Column) { (acc, j) =>
+    val score = logRatio.indices.foldLeft(lit(0.0): Column) { (acc, j) =>
       acc + col("__dsir_tf").getItem(j).cast("double") * lit(logRatio(j))
     }
     df.withColumn("__dsir_tf", tf)

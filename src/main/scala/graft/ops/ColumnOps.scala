@@ -123,7 +123,7 @@ object ColumnOps {
       // referenced non-cheap alias un-inlined): inlining `parts` into
       // every output column made the collapsed projection re-run the
       // regex split n times per row
-      val tmp = "__graft_split_parts"
+      val tmp = freshName(df, "__graft_split_parts")
       (1 to n).foldLeft(df.withColumn(tmp, parts)) { (d, i) =>
         d.withColumn(s"${c}_$i", element_at(col(tmp), i))
       }.drop(tmp)
@@ -218,6 +218,17 @@ object ColumnOps {
     val rep = if (parts.size > 1) parts(1) else ""
     val flags = if (parts.size > 2) parts(2) else ""
     (pat, rep, flags)
+  }
+
+  /** A temp-column name guaranteed absent from `df` — a fixed
+    * `__graft_*` literal silently REPLACES a same-named user column
+    * via withColumn and the final drop then deletes the user's data
+    * (ADVICE r17). */
+  def freshName(df: DataFrame, base: String): String = {
+    var n = base
+    var i = 0
+    while (df.columns.contains(n)) { i += 1; n = s"${base}_$i" }
+    n
   }
 
   /** Max split arity over a bounded sample (driver-side probe; the scan

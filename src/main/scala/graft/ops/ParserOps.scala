@@ -46,7 +46,7 @@ object ParserOps {
         // lazy: the header+regex-split path derives its columns from
         // the header row and never needs the arity probe job
         lazy val n0 = ColumnOps.probeArity(df, split(col(c), qd))
-        val structTmp = "__graft_csv_struct"
+        val structTmp = ColumnOps.freshName(df, "__graft_csv_struct")
         lazy val csvSchema = StructType((1 to n0).map(i =>
           StructField(s"_c$i", StringType)))
         def withParsed(d: DataFrame): DataFrame =

@@ -268,15 +268,9 @@ object StreamOps {
     }
     val ckpt = java.nio.file.Files
       .createTempDirectory(ckptBase, "graft_ckpt_")
-    val q = transform(stream).writeStream
-      .outputMode(outputMode)
-      .option("checkpointLocation", ckpt.toString)
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    // best-effort cleanup: tmpfs space is RAM
+    // best-effort cleanup: tmpfs space is RAM — and it must run on the
+    // FAILURE path too, or repeated failing runs leak RAM-backed
+    // directories (ADVICE r17)
     def rm(p: java.nio.file.Path): Unit = {
       if (java.nio.file.Files.isDirectory(p,
           java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
@@ -286,7 +280,16 @@ object StreamOps {
       try java.nio.file.Files.deleteIfExists(p)
       catch { case _: java.io.IOException => () }
     }
-    rm(ckpt)
+    try {
+      val q = transform(stream).writeStream
+        .outputMode(outputMode)
+        .option("checkpointLocation", ckpt.toString)
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally rm(ckpt)
     spark.table(queryName)
     } finally {
       prevNanos match {

@@ -227,4 +227,67 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("regexp_extract"),
       s"per-field regexp_extract survived:\n$plan")
   }
+
+  test("pageRank iteration: 2 shuffled-hash joins, no sort, ONE exchange " +
+      "— the checkpointed ranks keep their hash(vertex) partitioning") {
+    // The committed query plans for pagerank_links are checkpoint-
+    // truncated stubs, so the per-iteration join strategy is asserted
+    // here on the PRE-checkpoint frame, in the exact environment
+    // pageRank runs its iterations in (it scope-disables AQE —
+    // AdaptiveSparkPlanExec reports UnknownPartitioning and forced a
+    // per-iteration re-shuffle of the ranks table).
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      // replicate pageRank's setup (edges cached partitioned by src,
+      // vertices cached from the one-pass degree aggregation)
+      val edges = li.select(
+          concat(lit("o"), col("l_orderkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull)
+        .repartition(col("src"))
+        .persist()
+      val vertices = edges
+        .select(explode(array(
+          struct(col("src").as("vertex"), lit(1L).as("__w")),
+          struct(col("dst").as("vertex"), lit(0L).as("__w")))).as("e"))
+        .groupBy(col("e.vertex").as("vertex"))
+        .agg(sum(col("e.__w")).as("__outdeg"))
+        .persist()
+      val n = vertices.count().toDouble
+      val ranks0 = vertices.withColumn("rank", lit(1.0 / n))
+      val it1 = graph.Graph.pageRankIteration(edges, vertices, ranks0, n, 0.85)
+      // iteration 2 reads a CHECKPOINTED ranks frame — the shape every
+      // iteration after the first sees in production
+      val ranks1 = it1.localCheckpoint(true)
+      val it2 = graph.Graph.pageRankIteration(edges, vertices, ranks1, n, 0.85)
+      val plan = it2.queryExecution.executedPlan
+      val smj = plan.collect { case j: SortMergeJoinExec => j }
+      val shj = plan.collect { case j: ShuffledHashJoinExec => j }
+      val sorts = plan.collect { case s: SortExec => s }
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(smj.isEmpty, s"sort-merge join crept back:\n$plan")
+      assert(shj.size == 2, s"expected 2 shuffled-hash joins:\n$plan")
+      assert(sorts.isEmpty,
+        s"an iteration should never sort the edge list:\n$plan")
+      // exactly ONE exchange: the contribution aggregation. The ranks
+      // side must NOT re-shuffle (its checkpoint carries hash(vertex, P)
+      // and the alias-aware rename satisfies the src join), and the
+      // cached edge list must never move.
+      assert(exchanges.size == 1,
+        s"expected exactly 1 exchange (contrib agg), got " +
+          s"${exchanges.size}:\n$plan")
+      edges.unpersist()
+      vertices.unpersist()
+    } finally {
+      prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None => spark.conf.unset("spark.sql.adaptive.enabled")
+      }
+    }
+  }
 }
