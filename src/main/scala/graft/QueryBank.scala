@@ -2301,7 +2301,11 @@ object QueryBank {
         // cached — training gradients and the final scoring projection
         // both read the cached vector instead of re-hashing the text
         // (identical arrays, so the fixed point is bit-identical)
-        val base = docs(s, d).select(col("doc_id"), col("lang"),
+        // spread the single-split documents scan before the TF kernel
+        // (guide §2.5; no-op on well-split inputs)
+        val base = graft.ops.LayoutOps.spread(
+            docs(s, d).select(col("doc_id"), col("lang"), col("text")))
+          .select(col("doc_id"), col("lang"),
             graft.functions.Udfs.hashingTfUdf(
               col("text").cast("string"), lit(16)).as("__tf"))
           .persist()
@@ -2334,6 +2338,9 @@ object QueryBank {
         // time. trainToks/scoreToks keep their caller-supplied-column
         // API; pipeline_model_filter still shares profitably across
         // its three consumers.
+        // NOT spread: without a persisted base the round-robin exchange
+        // re-executes per consumer and loses — interleaved A/B at
+        // sf0.1: median 1.57 s unspread vs 1.91 s spread
         val base = docs(s, d).select(col("doc_id"), col("lang"),
             graft.functions.Udfs.normTokensUdf(col("text")).as("__toks"))
         val lm = graft.llm.NgramLm.trainToks(base, col("__toks"),
@@ -2384,7 +2391,12 @@ object QueryBank {
         // LM train and all three scoring projections read the cache.
         // Identical tokens/vectors, so every fixed point and score is
         // bit-identical to the unshared spelling the oracle replays.
-        val base = docs(s, d).select(col("doc_id"), col("lang"),
+        // spread the single-split documents scan across cores before
+        // the tokenize/TF kernels (guide §2.5 input skew; no-op on
+        // well-split inputs — LayoutOps.spread scaladoc)
+        val base = graft.ops.LayoutOps.spread(
+            docs(s, d).select(col("doc_id"), col("lang"), col("text")))
+          .select(col("doc_id"), col("lang"),
             graft.functions.Udfs.normTokensUdf(col("text")).as("__toks"))
           .withColumn("__tf", graft.functions.Udfs
             .hashingTfFromToksUdf(col("__toks"), lit(16)))
@@ -2465,6 +2477,10 @@ object QueryBank {
         // projection), and caching the arrays costs more than the one
         // pass it saves (measured: ~0.65 s unshared vs ≥1.26 s with a
         // persisted TF base)
+        // NOT spread (unlike the minhash kernels): the dim-16 TF
+        // kernel is too cheap for the added exchange to pay — measured
+        // r18 median 0.76 s unspread vs 1.18 s spread (same box),
+        // matching the SpreadProbe TF-agg flat result
         graft.llm.Classifier.dsirLogWeights(docs(s, d), "text",
             col("lang") === "en", dim = 16)
           .select(col("doc_id"),

@@ -89,6 +89,11 @@ object Dedup {
   private def exactByRank(df: DataFrame, textCol: String, idCol: String,
       rank: Column, maxBroadcastLosers: Long): DataFrame = {
     val cols = df.columns
+    // NOT spread (unlike the minhash signature kernels): the
+    // normalize+hash pass is cheap enough that a pre-kernel round-robin
+    // exchange LOSES — interleaved A/B at sf0.1 read dedup_exact median
+    // 0.54 s unspread vs 0.95 s spread (the full-row exchange plus the
+    // extra plan execution outweigh parallelizing ~0.2 s of regex+md5)
     val keyed = df.withColumn("__h", xxhash64(normalized(col(textCol))))
     // narrow single pass: (hash, (rank, id)) pairs through ONE exchange;
     // the per-group min comes from a window over the hash partition so
@@ -223,6 +228,9 @@ object Dedup {
       threshold: Double = 0.7, maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     def buckets(df: DataFrame, text: String, id: String, side: Int) =
+      // NOT spread before the kernel — measured net loss, interleaved
+      // A/B at sf0.1: 1.76 s unspread vs 2.53 s spread (see the
+      // identical adjudication in minhashPairsAndIds)
       df.select(col(id).as("__id"),
           graft.functions.Udfs.minhashBandBucketsUdf(col(text),
             lit(numHashes), lit(bands), lit(shingleK), lit(42L)).as("__bk"))
@@ -302,6 +310,15 @@ object Dedup {
     // Bucket values are bit-identical to the old Column formulation
     // (Udfs.minhashBandBuckets scaladoc), so candidate sets — and the
     // pinned oracles — are unchanged.
+    // NOT spread before the kernel (a guide-§2.5 pre-kernel round-robin
+    // was tried in r18 and measured a NET LOSS end-to-end, interleaved
+    // A/B at sf0.1: minhash_pairs 0.99 s unspread vs 1.34 s spread,
+    // dedup_minhash 1.52 vs 2.28 — the isolated kernel does run ~2x
+    // faster spread, but every downstream consumer of the banded cache
+    // then multiplies its map-task count by the core count, and that
+    // scheduling overhead exceeds the kernel win at bench scale; at
+    // real scale inputs arrive well-split and the spread would be a
+    // no-op anyway)
     val raw = df.select(
       col(idCol).as("__id"),
       graft.functions.Udfs.minhashBandBucketsUdf(col(textCol),
@@ -585,7 +602,10 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame =
     // shared banded-Hamming machinery (4×16-bit chunks, skew guard,
-    // bit_count(xor) verify) — also drives perceptual image dedup
+    // bit_count(xor) verify) — also drives perceptual image dedup.
+    // NOT spread before the kernel — measured net loss, interleaved
+    // A/B at sf0.1: 0.71 s unspread vs 1.29 s spread (see the
+    // adjudication in minhashPairsAndIds)
     ImageHash.hammingPairs64(
       df.select(col(idCol).as("__id"), simhash64(col(textCol)).as("__sig")),
       maxHamming, maxBucketSize)
@@ -623,6 +643,10 @@ object Dedup {
     // driver-side dim-probe job); the count() materializes the persist
     // before the downstream branches race over it — uncached partitions
     // read concurrently by two join sides compute their signatures twice
+    // NOT spread before the kernel — measured net loss, interleaved
+    // A/B at sf0.1: 0.83 s unspread vs 1.24 s spread (see the
+    // adjudication in minhashPairsAndIds; the banded0 repartition
+    // below already spreads the narrow rows where it pays)
     val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__sig",
         Similarity.lshBucketAuto(col("__v"), bands * bitsPerBand, seed))

@@ -19,6 +19,35 @@ import org.apache.spark.sql.types.DoubleType
   */
 object LayoutOps {
 
+  /** Spread a narrow input across the cluster BEFORE a CPU-heavy
+    * per-row kernel when the scan produced fewer splits than the
+    * session's parallelism — the guide-§2.5 input-skew remedy ("one
+    * huge unsplittable file ... repartition immediately after the
+    * read"). A tiny or unsplittable source otherwise serializes the
+    * kernel onto one core while the rest idle.
+    *
+    * USE SPARINGLY — measure end-to-end, not the kernel. The r18
+    * interleaved A/Bs found the isolated minhash kernel 2x faster
+    * spread, yet every minhash/simhash/embedding pipeline NET SLOWER
+    * (e.g. dedup_minhash 1.52 s unspread vs 2.28 s spread at sf0.1):
+    * each downstream consumer of the spread frame multiplies its
+    * map-task count by the core count, and that scheduling overhead
+    * can exceed the kernel win. It pays only when the spread frame is
+    * persisted AND feeds several concurrent consumers (the
+    * model-training bases in QueryBank). Call it on a PROJECTED frame
+    * (id + payload) so the exchange carries only what the kernel needs
+    * (guide §2.3). At real scale inputs arrive in many splits, the
+    * condition is false, and no shuffle is added.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    // dev-only measurement hook: lets a probe interleave spread-on/off
+    // runs inside one JVM so contention waves hit both variants
+    // equally (SpreadProbe/DedupProbe A/Bs). Never set in production.
+    if (sys.props.contains("graft.spread.off")) return df
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
   /** Attach `__zvalue`: each column is bucketed into 2^bits equi-width
     * cells from its own min/max (bounds from ONE stats pass; degenerate
     * all-equal columns collapse to bucket 0), and the bucket bits are
