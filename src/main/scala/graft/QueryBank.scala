@@ -189,7 +189,11 @@ object QueryBank {
       // cross-generated from GNU nettle, Tiger from GNU libgcrypt;
       // Skein '' is the published empty-message vector, 'abc' is a
       // regression pin from the IV+KAT-verified impl in DigestSpec).
-      (s, d) => r("""set-column :v exp:{ c_custkey % 2 == 0 ? 'abc' : '' }; copy :v :md4; hash :md4 MD4; copy :v :r256; hash :r256 RIPEMD256; copy :v :s512; hash :s512 'SHA-512/256'; copy :v :wp; hash :wp WHIRLPOOL; copy :v :gost; hash :gost 'GOST3411-2012-256'; copy :v :g94; hash :g94 GOST3411; copy :v :tig; hash :tig TIGER; copy :v :tig2; hash :tig2 TIGER2; copy :v :sk; hash :sk 'Skein-512-256'; keep :c_custkey,:md4,:r256,:s512,:wp,:gost,:g94,:tig,:tig2,:sk""")(cust(s, d)),
+      // spread (LayoutOps.spread): 9 software digest kernels per row
+      // over a single-row-group input otherwise all run on ONE core —
+      // interleaved A/B at sf0.1: median 0.55 s spread vs 0.87 s
+      // unspread (the 15 K-row exchange is far cheaper than the CPU)
+      (s, d) => r("""set-column :v exp:{ c_custkey % 2 == 0 ? 'abc' : '' }; copy :v :md4; hash :md4 MD4; copy :v :r256; hash :r256 RIPEMD256; copy :v :s512; hash :s512 'SHA-512/256'; copy :v :wp; hash :wp WHIRLPOOL; copy :v :gost; hash :gost 'GOST3411-2012-256'; copy :v :g94; hash :g94 GOST3411; copy :v :tig; hash :tig TIGER; copy :v :tig2; hash :tig2 TIGER2; copy :v :sk; hash :sk 'Skein-512-256'; keep :c_custkey,:md4,:r256,:s512,:wp,:gost,:g94,:tig,:tig2,:sk""")(graft.ops.LayoutOps.spread(cust(s, d))),
       """SELECT c_custkey,
         | CASE WHEN c_custkey % 2 = 0 THEN 'a448017aaf21d8525fc10ae87aa6729d'
         |      ELSE '31d6cfe0d16ae931b73c59d7e0c089c0' END AS md4,
@@ -3876,6 +3880,11 @@ object QueryBank {
       // missed planted pair and a spurious candidate break the match.
       (s, d) => {
         import org.apache.spark.sql.functions._
+        // NOT spread: a pre-kernel round-robin of the id spine measured
+        // ~1.5x SLOWER end-to-end (interleaved A/B at sf0.1: 0.60 s
+        // unspread vs 0.89 s spread) — the pair pipeline's branches
+        // re-execute the exchange per consumer (same adjudication for
+        // the whole image/audio fixture family)
         val fx = docs(s, d).select(col("doc_id"))
           .filter(col("doc_id") < 200)
           .withColumn("payload", synthAudioWavUdf(col("doc_id")))
@@ -3925,6 +3934,7 @@ object QueryBank {
       // exactly BECAUSE of those measured margins.
       (s, d) => {
         import org.apache.spark.sql.functions._
+        // NOT spread — measured slower (see audio_dup_pairs)
         val all = docs(s, d).select(col("doc_id"))
           .filter(col("doc_id") < 150)
           .withColumn("payload", synthAudioWavUdf(col("doc_id")))
@@ -5780,6 +5790,7 @@ object QueryBank {
       // pair and a spurious candidate break the match.
       (s, d) => {
         import org.apache.spark.sql.functions._
+        // NOT spread — measured slower (see audio_dup_pairs)
         val fx = docs(s, d).select(col("doc_id"))
           .filter(col("doc_id") < 200)
           .withColumn("payload", synthDhashPngUdf(col("doc_id")))
@@ -5844,6 +5855,7 @@ object QueryBank {
       // ImageHashSpec; deterministic for a fixed JDK codec).
       (s, d) => {
         import org.apache.spark.sql.functions._
+        // NOT spread — measured slower (see audio_dup_pairs)
         val fx = docs(s, d).select(col("doc_id"))
           .filter(col("doc_id") < 200)
           .withColumn("payload", synthJpegDhashUdf(col("doc_id")))
@@ -5864,6 +5876,7 @@ object QueryBank {
       // (all-pairs distances validated in ImageHashSpec).
       (s, d) => {
         import org.apache.spark.sql.functions._
+        // NOT spread — measured slower (see audio_dup_pairs)
         val fx = docs(s, d).select(col("doc_id"))
           .filter(col("doc_id") < 200)
           .withColumn("payload", synthCrossFormatUdf(col("doc_id")))
@@ -5884,6 +5897,7 @@ object QueryBank {
       // exactly BECAUSE of those measured margins.
       (s, d) => {
         import org.apache.spark.sql.functions._
+        // NOT spread — measured slower (see audio_dup_pairs)
         val all = docs(s, d).select(col("doc_id"))
           .filter(col("doc_id") < 150)
           .withColumn("payload", synthDhashPngUdf(col("doc_id")))
@@ -5904,6 +5918,11 @@ object QueryBank {
     // mask-shuffle, filter-row-if-true — wrangler-docs/performance.md:25-39),
     // for a like-for-like BENCH comparison against BASELINE.md
     ("baseline_13_directive_recipe",
+      // NOT spread: the whole-stage-codegen'd 13-directive projection
+      // is cheaper per row than shuffling the 600 K-row input once —
+      // interleaved A/B at sf0.1: median 1.85 s unspread vs 2.16 s
+      // spread (contrast hash_exotic, where 9 digest kernels/row DO
+      // outweigh a 15 K-row exchange)
       (s, d) => r("""
         set-column :body exp:{ concat(l_orderkey, ',', l_partkey, ',', l_quantity, ',', l_returnflag, ',', l_linestatus) };
         parse-as-csv :body ',' false;
